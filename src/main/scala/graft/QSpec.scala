@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One named query of the engine's surface: a Spark implementation plus an
+  * optional DuckDB oracle SQL (run by the driver on the same parquet tables).
+  * Column names of the Spark result and the oracle result MUST match — the
+  * driver's comparator sorts columns by name before hashing values.
+  */
+final case class QSpec(
+    name: String,
+    spark: (SparkSession, String) => DataFrame,
+    oracle: Option[String]) {
+  require(name.matches("[a-z0-9_]+"), s"bad query name: $name")
+}
+
+object QSpec {
+  /** SQL that is valid and result-identical in both Spark SQL and DuckDB. */
+  def sameSql(name: String, sql: String): QSpec =
+    QSpec(name, (s, dir) => { Tables.register(s, dir); s.sql(sql) }, Some(sql))
+
+  /** Per-dialect SQL (function-name or syntax gaps). */
+  def dialect(name: String, sparkSql: String, duckSql: String): QSpec =
+    QSpec(name, (s, dir) => { Tables.register(s, dir); s.sql(sparkSql) }, Some(duckSql))
+
+  /** DataFrame-API implementation with a DuckDB oracle. */
+  def df(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): QSpec =
+    QSpec(name, (s, dir) => { Tables.register(s, dir); fn(s, dir) }, Some(oracle))
+
+  /** No DuckDB-expressible oracle — driver records a rows-only check. */
+  def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): QSpec =
+    QSpec(name, (s, dir) => { Tables.register(s, dir); fn(s, dir) }, None)
+}

@@ -1,0 +1,199 @@
+package graft.queries
+
+import graft.QSpec
+import graft.QSpec._
+import org.apache.spark.sql.functions._
+
+/** The relational operator surface of SURVEY.md §2.4 (Q1–Q41), one oracle-
+  * checked query per operator family. The reference delegates all of this to
+  * its host engine (DuckDB); we delegate to Spark SQL / Catalyst — no custom
+  * operators are needed for parity (SURVEY §4.2).
+  *
+  * Determinism rules for oracle hash-parity:
+  *   - every query has a total ORDER BY (row order is part of the contract);
+  *   - no raw timestamps in output — formatted strings only (engine-native
+  *     timestamp encodings differ);
+  *   - derived doubles are round()ed; raw parquet doubles pass through
+  *     unmodified (identical bits in both engines);
+  *   - double→int conversions use explicit floor() (DuckDB CAST rounds,
+  *     Spark CAST truncates);
+  *   - NULLS FIRST is explicit wherever a sort key can be null (defaults
+  *     differ between the engines).
+  */
+object Relational {
+
+  val all: Seq[QSpec] = Seq(
+    // Q1 projection
+    sameSql("q01_projection",
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin),
+    // Q2 filter: range + equality + AND
+    sameSql("q02_filter_range",
+      "SELECT count(*) AS cnt FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'"),
+    // Q3 filter: IN list
+    sameSql("q03_filter_in",
+      "SELECT count(*) AS cnt FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')"),
+    // Q4 filter: LIKE
+    sameSql("q04_filter_like",
+      "SELECT count(*) AS cnt FROM part WHERE p_name LIKE '%red%'"),
+    // Q5 NULL semantics (nullif + IS NULL)
+    sameSql("q05_null_filter",
+      "SELECT count(*) AS cnt FROM orders WHERE nullif(o_orderstatus, 'O') IS NULL"),
+    // Q6 hash aggregate, multi-key GROUP BY (TPC-H Q1 core)
+    sameSql("q06_groupby_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    // Q7 min/max/avg/sum/count
+    sameSql("q07_agg_stats",
+      """SELECT round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price,
+        |  round(avg(o_totalprice), 4) AS avg_price,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  count(*) AS cnt
+        |FROM orders""".stripMargin),
+    // Q8 exact percentile (ordered-set aggregate)
+    sameSql("q08_percentile",
+      """SELECT round(CAST(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE), 4) AS p95_price
+        |FROM lineitem""".stripMargin),
+    // Q9 count(DISTINCT)
+    sameSql("q09_count_distinct",
+      "SELECT count(DISTINCT c_nationkey) AS n_nations FROM customer"),
+    // Q10 top-K (TakeOrderedAndProject)
+    sameSql("q10_topk",
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+    // Q11 multi-column sort asc/desc
+    sameSql("q11_multisort",
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_regionkey DESC, n_name ASC, n_nationkey"),
+    // Q12 inner equi-join + filter
+    sameSql("q12_join_filter",
+      """SELECT count(*) AS cnt FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin),
+    // Q13 multi-way join + group
+    sameSql("q13_join_multiway",
+      """SELECT n.n_name, count(*) AS cnt
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA' GROUP BY n.n_name ORDER BY n.n_name""".stripMargin),
+    // Q14 broadcast join (DataFrame API, explicit broadcast of small dims;
+    // result-identical to q13 — the hint is plan-level only)
+    df("q14_broadcast_join",
+      """SELECT n.n_name, count(*) AS cnt
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA' GROUP BY n.n_name ORDER BY n.n_name""".stripMargin) { (s, _) =>
+      val c = s.table("customer")
+      val n = broadcast(s.table("nation"))
+      val r = broadcast(s.table("region"))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .where(r("r_name") === "ASIA")
+        .groupBy(n("n_name"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("n_name")
+    },
+    // Q15 left outer join (row preservation + match count)
+    sameSql("q15_left_join",
+      """SELECT count(*) AS cnt, count(l.l_orderkey) AS matched
+        |FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey""".stripMargin),
+    // Q16 anti join (NOT EXISTS)
+    sameSql("q16_anti_join",
+      """SELECT count(*) AS cnt FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin),
+    // Q16b semi join (EXISTS)
+    sameSql("q16_semi_join",
+      """SELECT count(*) AS cnt FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin),
+    // Q17 self join
+    sameSql("q17_self_join",
+      "SELECT count(*) AS cnt FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey"),
+    // Q18 scalar subquery
+    sameSql("q18_scalar_subquery",
+      """SELECT count(*) AS cnt FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin),
+    // Q19 UNION ALL
+    sameSql("q19_union_all",
+      """SELECT count(*) AS cnt FROM
+        |(SELECT o_orderkey AS k FROM orders UNION ALL SELECT l_orderkey AS k FROM lineitem) u""".stripMargin),
+    // Q20 EXCEPT (distinct semantics in both engines)
+    sameSql("q20_except",
+      """SELECT count(*) AS cnt FROM
+        |((SELECT c_nationkey AS k FROM customer) EXCEPT (SELECT s_nationkey AS k FROM supplier)) d""".stripMargin),
+    // Q21 INTERSECT
+    sameSql("q21_intersect",
+      """SELECT count(*) AS cnt FROM
+        |((SELECT c_nationkey AS k FROM customer) INTERSECT (SELECT s_nationkey AS k FROM supplier)) i""".stripMargin),
+    // Q22 running-sum window
+    sameSql("q22_window_sum",
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum
+        |FROM orders ORDER BY o_custkey, o_orderkey LIMIT 100""".stripMargin),
+    // Q23 ranking window (top-2 per group)
+    sameSql("q23_window_rank",
+      """SELECT n_regionkey, n_name, rn FROM (
+        |  SELECT n_regionkey, n_name,
+        |    row_number() OVER (PARTITION BY n_regionkey ORDER BY n_name, n_nationkey) AS rn
+        |  FROM nation) x
+        |WHERE rn <= 2 ORDER BY n_regionkey, rn""".stripMargin),
+    // Q24 date_trunc hour bucketing (ns-timestamp events table)
+    dialect("q24_hour_bucket",
+      """SELECT date_format(date_trunc('HOUR', ts), 'yyyy-MM-dd HH:mm:ss') AS h, count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY h""".stripMargin,
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h, count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY h""".stripMargin),
+    // Q25 strftime/date_format partition keys
+    dialect("q25_date_format",
+      """SELECT date_format(o_orderdate, 'yyyy-MM-dd') AS d, count(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY d""".stripMargin,
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, count(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY d""".stripMargin),
+    // Q26 CAST/arithmetic (explicit floor: DuckDB CAST(double AS int) rounds)
+    sameSql("q26_cast_floor",
+      "SELECT CAST(floor(avg(l_quantity)) AS BIGINT) AS avg_qty_floor FROM lineitem"),
+    // Q27 COALESCE / NULLIF
+    sameSql("q27_coalesce",
+      """SELECT coalesce(nullif(event_type, 'error'), 'ERR') AS et, count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY et""".stripMargin),
+    // Q28 JSON extraction
+    dialect("q28_json_extract",
+      "SELECT count(*) AS cnt FROM events WHERE CAST(get_json_object(props, '$.k') AS BIGINT) > 50",
+      "SELECT count(*) AS cnt FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50"),
+    // Q29 string functions
+    sameSql("q29_string_fns",
+      """SELECT count(*) AS cnt FROM part
+        |WHERE length(p_name) > 9 AND lower(p_type) LIKE '%m%' AND upper(p_brand) LIKE 'BRAND#%'""".stripMargin),
+    // Q30 hex/unhex/md5 round trip (binary length spelling differs)
+    dialect("q30_hex_unhex",
+      "SELECT count(*) AS cnt FROM part WHERE length(unhex(md5(p_name))) = 16",
+      "SELECT count(*) AS cnt FROM part WHERE octet_length(unhex(md5(p_name))) = 16"),
+    // Q31 array explode/unnest
+    dialect("q31_explode",
+      "SELECT count(*) AS cnt FROM (SELECT explode(embedding) AS e FROM embeddings) t",
+      "SELECT count(*) AS cnt FROM (SELECT unnest(embedding) AS e FROM embeddings) t"),
+    // Q33 range generator
+    sameSql("q33_range",
+      "SELECT count(*) AS cnt FROM range(2049)"),
+    // Q40 HAVING
+    sameSql("q40_having",
+      """SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+        |HAVING count(*) > 5 ORDER BY cnt DESC, o_custkey LIMIT 20""".stripMargin),
+    // Q41 ROLLUP (explicit NULLS FIRST — engine defaults differ)
+    sameSql("q41_rollup",
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, cnt""".stripMargin),
+    // Q41b CUBE
+    sameSql("q41_cube",
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, cnt""".stripMargin)
+  )
+}

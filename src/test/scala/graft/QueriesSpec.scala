@@ -1,0 +1,32 @@
+package graft
+
+/** Every registered query runs, is deterministic across two runs, and its
+  * oracle SQL references only driver-visible tables. The value-level oracle
+  * comparison itself runs out-of-band (tools/compare.py vs DuckDB).
+  */
+class QueriesSpec extends SparkTestBase {
+
+  test("query names are unique and well-formed") {
+    val names = SparkEntry.specs.map(_.name)
+    assert(names.distinct.size == names.size)
+    names.foreach(n => assert(n.matches("[a-z0-9_]+"), n))
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val qk = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qk))
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for (q <- SparkEntry.specs) {
+    test(s"${q.name} runs and is deterministic") {
+      val r1 = q.spark(spark, sfDir).collect()
+      val r2 = q.spark(spark, sfDir).collect()
+      assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq,
+        s"${q.name} not deterministic across runs")
+    }
+  }
+}
