@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All operators are expressed as declarative DataFrame transforms so Catalyst
+  * keeps predicate pushdown / partial aggregation / AQE; none of them collects
+  * to the driver. Determinism contract (for the DuckDB oracle): every hash is
+  * an `md5` hex string (identical bytes in any engine), minima over hex
+  * strings are plain lexicographic string minima.
+  *
+  * Scale notes (100 TB):
+  *   - exactDedup is a single hash-shuffle on md5(text) — the canonical
+  *     map-side-combinable groupBy; skew-safe because md5 keys are uniform.
+  *   - minhash signatures are one explode + one groupBy(doc_id): shuffle keyed
+  *     by doc_id (uniform). The LSH band join shuffles by 32-byte band key —
+  *     uniform unless the corpus has giant near-dup clusters; those are
+  *     exactly the rows one wants grouped, and AQE skew-join handles stragglers.
+  *   - no O(n^2) stage anywhere: candidate generation is the banded join,
+  *     exact Jaccard runs only on candidate (or explicitly enumerated) pairs.
+  */
+object Dedup {
+
+  /** Word tokens of `textCol`, lowercased, split on runs of whitespace.
+    * Empty tokens are filtered (regex-split engines disagree on whether a
+    * leading/trailing separator produces an empty token). */
+  def tokens(textCol: Column): Column =
+    filter(split(lower(textCol), "\\s+"), t => length(t) > 0)
+
+  /** doc_id + exploded word n-gram shingles (space-joined). */
+  def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val joined = (0 until n).map(i => s"w[i+$i]").mkString("concat_ws(' ', ", ", ", ")")
+    docs.select(col(idCol), tokens(col(textCol)).as("w"))
+      .where(size(col("w")) >= n)
+      .select(col(idCol),
+        explode(expr(s"transform(sequence(0, size(w)-$n), i -> $joined)")).as("shingle"))
+  }
+
+  /** Exact-duplicate groups: one row per distinct md5(text), with the kept
+    * (minimum) doc id and the group size. Keep-first exact dedup is then a
+    * semi-join of `docs` against `keeper`. */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("group_size"))
+
+  /** MinHash signature: k independent hash functions h_i(s) = md5(i ":" s),
+    * signature column mh_i = min over the doc's shingles. One wide aggregate —
+    * a single shuffle keyed by doc_id. */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 8): DataFrame = {
+    val sh = shingles(docs, n)
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over a minhash signature: k hashes, r rows per band, so
+    * k/r bands; band key = md5 of the concatenated row hashes. Docs sharing
+    * any band key are candidate near-duplicates. */
+  def lshBands(sigs: DataFrame, k: Int = 8, r: Int = 2): DataFrame = {
+    require(k % r == 0, "k must be divisible by r")
+    val bands = (0 until k / r).map { b =>
+      val key = md5(concat((b * r until (b + 1) * r).map(i => col(s"mh$i")): _*))
+      sigs.select(col("doc_id"), lit(b).as("band"), key.as("bkey"))
+    }
+    bands.reduce(_ unionAll _)
+  }
+
+  /** Distinct candidate pairs (id_a < id_b) from the banded self-join. */
+  def lshCandidatePairs(docs: DataFrame, n: Int = 3, k: Int = 8, r: Int = 2): DataFrame = {
+    val bands = lshBands(minhashSignatures(docs, n, k), k, r)
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash over word unigrams (with multiplicity). Per token the
+    * hash is the first 8 hex chars of md5(token); bit j (LSB-first within
+    * each hex nibble group, j = 0..31) votes +1/-1; the fingerprint sets bit
+    * j when the vote is positive. Two explodes (tokens x 32 bits) then two
+    * aggregates — all shuffles keyed by (doc_id[, bit]), uniform. */
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .where(length(col("t")) > 0)
+      .withColumn("h", substring(md5(col("t")), 1, 8))
+    val bits = toks
+      .select(col(idCol), col("h"), explode(expr("sequence(0, 31)")).as("j"))
+      // hex char at position j/4 (1-based), nibble bit 3 - j%4 (MSB-first)
+      .withColumn("v",
+        expr("instr('0123456789abcdef', substring(h, CAST(j / 4 AS INT) + 1, 1)) - 1"))
+      .withColumn("bit", expr("shiftright(v, 3 - j % 4) & 1"))
+    bits.groupBy(col(idCol), col("j"))
+      .agg(sum(col("bit") * 2 - 1).as("vote"))
+      .groupBy(col(idCol))
+      .agg(sum(expr("CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE 0 END"))
+        .as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard similarity for an explicit pair list
+    * (pairs: id_a, id_b). Relational formulation — distinct shingle sets,
+    * pair-join on shingle equality — so it runs on candidates only, never
+    * all-pairs. */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, n: Int = 2): DataFrame = {
+    val sh = shingles(docs, n).distinct()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val inter = pairs
+      .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.doc_id") &&
+        col("sa.shingle") === col("sb.shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(cnt.as("ca"), col("id_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("id_b") === col("cb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        round(coalesce(col("i"), lit(0)) / (col("ca.c") + col("cb.c") - coalesce(col("i"), lit(0))), 4)
+          .as("jaccard"))
+  }
+}

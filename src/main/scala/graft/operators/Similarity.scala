@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate / exact nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Determinism contract: every float is cast to DOUBLE before arithmetic and
+  * sums run left-to-right over the array (Spark `aggregate`), matching what a
+  * sequential engine computes bit-for-bit; reported similarities are rounded
+  * BEFORE ordering so ties sort identically in any engine.
+  *
+  * Scale notes (100 TB): brute force is an embarrassingly-parallel scan —
+  * the query vector broadcasts, each partition computes local top-k, and only
+  * k rows per partition reach the driver-side TakeOrderedAndProject. The LSH
+  * path prunes that scan to matching hash buckets: the bucket id is a
+  * partition-friendly key, so the corpus can be written bucketBy(bucket) and a
+  * probe touches only its buckets' files (partition pruning at the source).
+  */
+object Similarity {
+
+  /** embedding cast to DOUBLE elements (fp determinism + no float drift). */
+  def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Left-to-right dot product of two equally-sized double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine similarity against the single query row
+    * `idCol == queryId`. The query side is one row — Spark broadcasts it, so
+    * this is a map-only scan + global top-k (no shuffle of the corpus). */
+  def cosineTopK(emb: DataFrame, queryId: Long, k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(
+      emb.where(col(idCol) === queryId)
+        .select(asDouble(col(vecCol)).as("qv")))
+    emb.where(col(idCol) =!= queryId)
+      .crossJoin(q)
+      .select(col(idCol), round(cosine(asDouble(col(vecCol)), col("qv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
+    * first hex nibble of md5("p_d") mapped to [-7.5, 7.5]. Engine-portable
+    * (md5 + strpos only) and full-rank across 64 dims. */
+  private def planeComponent(p: Int, d: Int): Column =
+    expr(s"instr('0123456789abcdef', substring(md5('${p}_$d'), 1, 1)) - 8.5")
+
+  /** Sign-random-projection LSH: `planes` hyperplanes; bucket = the string of
+    * sign bits of the dot products. Map-only (no shuffle). */
+  def lshBuckets(emb: DataFrame, planes: Int, dims: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val bits = (0 until planes).map { p =>
+      val d = (0 until dims).map(i => element_at(v, i + 1) * planeComponent(p, i))
+        .reduce(_ + _)
+      when(d > 0, lit("1")).otherwise(lit("0"))
+    }
+    emb.select(col(idCol), col(vecCol), concat(bits: _*).as("bucket"))
+  }
+
+  /** ANN top-k: exact cosine ranking restricted to the query's LSH bucket
+    * (single-probe). Recall < 1 by construction; the bucketed scan touches
+    * ~corpus/2^planes rows. */
+  def annTopKLsh(emb: DataFrame, queryId: Long, k: Int, planes: Int, dims: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = lshBuckets(emb, planes, dims, idCol, vecCol)
+    val q = broadcast(
+      bucketed.where(col(idCol) === queryId)
+        .select(asDouble(col(vecCol)).as("qv"), col("bucket").as("qbucket")))
+    bucketed.where(col(idCol) =!= queryId)
+      .join(q, col("bucket") === col("qbucket"))
+      .select(col(idCol), round(cosine(asDouble(col(vecCol)), col("qv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Near-duplicate detection by embedding cosine over an explicit pair list
+    * (id_a, id_b): returns pairs with similarity >= threshold. */
+  def embeddingNearDups(emb: DataFrame, pairs: DataFrame, threshold: Double,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    pairs
+      .join(e.as("ea"), col("id_a") === col(s"ea.$idCol"))
+      .join(e.as("eb"), col("id_b") === col(s"eb.$idCol"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("ea.v"), col("eb.v")), 4).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+}

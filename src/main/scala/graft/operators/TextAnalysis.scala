@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, language id, canonical fingerprinting. All are map-only
+  * column transforms (no shuffle) — they scan, compute, and keep Catalyst's
+  * column pruning / pushdown intact, so at 100 TB they run at IO speed.
+  *
+  * Determinism: integer counts, ratios rounded to fixed precision, md5
+  * fingerprints — all bit-identical across engines.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def wsTokens(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword count: alpha runs count ceil(len/4) subwords (a common
+    * ~4-chars-per-token heuristic), digit runs and punctuation count one per
+    * char. Pure regexp — no external tokenizer. */
+  def bpeishTokens(text: Column): Column = {
+    val alphaChunks = // each alpha run contributes ceil(len/4)
+      aggregate(
+        regexp_extract_all(text, lit("[A-Za-z]+"), lit(0)),
+        lit(0L), (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("long"))
+    val nonAlpha = length(regexp_replace(text, "[A-Za-z\\s]", "")).cast("long")
+    alphaChunks + nonAlpha
+  }
+
+  private val stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+
+  /** Quality features + score in [0,1]: word count band, mean word length
+    * band, stopword ratio, punctuation density. Mirrors the usual Gopher/C4
+    * style filters, engine-portable. */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val words = filter(split(lower(t), "\\s+"), w => length(w) > 0)
+    val wc = size(words).cast("long")
+    val meanLen = round(length(regexp_replace(t, "\\s", "")).cast("double") / wc, 4)
+    val stopRatio = round(
+      size(filter(words, w => w.isin(stopwords.map(lit): _*))).cast("double") / wc, 4)
+    val punctRatio = round(
+      length(regexp_replace(t, "[A-Za-z0-9\\s]", "")).cast("double")
+        / greatest(length(t), lit(1)).cast("double"), 4)
+    val score = round(
+      when(wc.between(5, 100000), lit(0.25)).otherwise(lit(0.0)) +
+      when(meanLen.between(2.0, 12.0), lit(0.25)).otherwise(lit(0.0)) +
+      when(stopRatio > 0.01, lit(0.25)).otherwise(lit(0.0)) +
+      when(punctRatio < 0.2, lit(0.25)).otherwise(lit(0.0)), 2)
+    docs.select(col("doc_id"), wc.as("word_cnt"), meanLen.as("mean_word_len"),
+      stopRatio.as("stop_ratio"), punctRatio.as("punct_ratio"), score.as("quality"))
+  }
+
+  /** Marker words per language for the n-gram/stopword language-id heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "la", "y", "los", "es"))
+
+  /** Language id: the language whose marker-word hit count is highest
+    * (ties broken by language code order); 'und' when nothing matches. */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)
+    val scored = docs.select(col("doc_id"), words.as("w"))
+      .select(col("doc_id") +:
+        langMarkers.map { case (lang, ms) =>
+          size(filter(col("w"), w => w.isin(ms.map(lit): _*))).as(s"c_$lang")
+        }: _*)
+    // greatest-count argmax; deterministic tie-break = first in list order
+    val best = langMarkers.map { case (l, _) => col(s"c_$l") }.reduce((a, b) => greatest(a, b))
+    val firstWins = langMarkers.reverse.foldLeft(lit("und"): Column) {
+      case (e, (l, _)) => when(col(s"c_$l") === best && best > 0, lit(l)).otherwise(e)
+    }
+    scored.select(col("doc_id"), firstWins.as("lang_pred"))
+  }
+
+  /** Canonical fingerprint (OpenRefine-style): md5 of the space-joined,
+    * sorted, distinct lowercase tokens. Word order / repetition insensitive —
+    * a cheap semantic dedup key. */
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)
+    docs.select(col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(words)))).as("fingerprint"))
+  }
+}

@@ -1,0 +1,254 @@
+package graft.queries
+
+import graft.QSpec
+import graft.QSpec._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators (dedup, similarity search, text
+  * analysis) as oracle-checked queries over the `documents` and `embeddings`
+  * tables. The Spark side runs the operator library (graft.operators.*); the
+  * oracle is hand-written DuckDB SQL with identical semantics.
+  *
+  * Cross-engine determinism: all hashing is md5 hex (byte-identical
+  * everywhere); float math is double-widened and evaluated left-to-right in
+  * both engines; similarity values are rounded before ordering.
+  */
+object TrainingData {
+
+  /** Shared DuckDB CTE: filtered lowercase word arrays of documents. */
+  private val duckWords =
+    """toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |  x -> len(x) > 0) AS w FROM documents)""".stripMargin
+
+  /** Shared DuckDB CTE chain: word 3-gram shingles + 8 minhash columns. */
+  private val duckMinhashSig = {
+    val mhCols = (0 until 8)
+      .map(i => s"min(md5(concat('$i:', shingle))) AS mh$i").mkString(",\n  ")
+    s"""$duckWords,
+       |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
+       |  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+       |  FROM toks WHERE len(w) >= 3),
+       |sig AS (SELECT doc_id,
+       |  $mhCols
+       |  FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  val all: Seq[QSpec] = Seq(
+
+    // ---- deduplication ----------------------------------------------------
+
+    df("dd_exact_dedup",
+      """SELECT count(*) AS kept, CAST(sum(keeper) AS BIGINT) AS keeper_id_sum,
+        |  CAST(sum(group_size) AS BIGINT) AS total_rows
+        |FROM (SELECT min(doc_id) AS keeper, count(*) AS group_size
+        |      FROM documents GROUP BY md5(text)) t""".stripMargin) { (s, _) =>
+      Dedup.exactGroups(s.table("documents"))
+        .agg(count(lit(1)).as("kept"), sum(col("keeper")).as("keeper_id_sum"),
+          sum(col("group_size")).as("total_rows"))
+    },
+
+    df("dd_minhash_signature",
+      s"""WITH $duckMinhashSig
+         |SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7
+         |FROM sig ORDER BY doc_id LIMIT 100""".stripMargin) { (s, _) =>
+      Dedup.minhashSignatures(s.table("documents"), n = 3, k = 8)
+        .orderBy("doc_id").limit(100)
+    },
+
+    df("dd_minhash_lsh_pairs",
+      s"""WITH $duckMinhashSig,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, md5(concat(mh0, mh1)) AS bkey FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(concat(mh2, mh3)) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(concat(mh4, mh5)) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(concat(mh6, mh7)) FROM sig)
+         |SELECT count(*) AS cnt FROM (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id) p""".stripMargin) {
+      (s, _) =>
+        Dedup.lshCandidatePairs(s.table("documents"), n = 3, k = 8, r = 2)
+          .agg(count(lit(1)).as("cnt"))
+    },
+
+    df("dd_simhash",
+      s"""WITH $duckWords,
+         |h AS (SELECT doc_id, substring(md5(t), 1, 8) AS h
+         |      FROM (SELECT doc_id, unnest(w) AS t FROM toks) x WHERE len(t) > 0),
+         |bits AS (SELECT doc_id, j,
+         |    ((strpos('0123456789abcdef', substring(h, (j // 4) + 1, 1)) - 1) >> (3 - (j % 4))) & 1 AS bit
+         |  FROM h CROSS JOIN generate_series(0, 31) t(j)),
+         |votes AS (SELECT doc_id, j, sum(bit * 2 - 1) AS vote FROM bits GROUP BY doc_id, j)
+         |SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM votes GROUP BY doc_id ORDER BY doc_id LIMIT 100""".stripMargin) { (s, _) =>
+      Dedup.simhash(s.table("documents")).orderBy("doc_id").limit(100)
+    },
+
+    df("dd_ngram_jaccard",
+      s"""WITH $duckWords,
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+         |    i -> concat_ws(' ', w[i], w[i+1]))) AS shingle
+         |  FROM toks WHERE len(w) >= 2) x),
+         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents),
+         |inter AS (SELECT id_a, id_b, count(*) AS i
+         |  FROM pairs JOIN sh sa ON sa.doc_id = id_a
+         |  JOIN sh sb ON sb.doc_id = id_b AND sb.shingle = sa.shingle
+         |  GROUP BY id_a, id_b)
+         |SELECT p.id_a, p.id_b,
+         |  round(coalesce(i.i, 0) / (ca.c + cb.c - coalesce(i.i, 0)), 4) AS jaccard
+         |FROM pairs p
+         |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+         |JOIN cnt ca ON ca.doc_id = p.id_a
+         |JOIN cnt cb ON cb.doc_id = p.id_b
+         |ORDER BY p.id_a LIMIT 100""".stripMargin) { (s, _) =>
+      val docs = s.table("documents")
+      val pairs = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      Dedup.ngramJaccard(docs, pairs, n = 2).orderBy("id_a").limit(100)
+    },
+
+    df("dd_embedding_neardup",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |pairs AS (SELECT vec_id AS id_a, vec_id + 1 AS id_b FROM embeddings),
+        |s AS (SELECT id_a, id_b,
+        |  list_sum(list_transform(generate_series(1, len(ea.v)), i -> ea.v[i] * eb.v[i])) AS dp,
+        |  sqrt(list_sum(list_transform(generate_series(1, len(ea.v)), i -> ea.v[i] * ea.v[i]))) AS na,
+        |  sqrt(list_sum(list_transform(generate_series(1, len(eb.v)), i -> eb.v[i] * eb.v[i]))) AS nb
+        |  FROM pairs JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
+        |SELECT id_a, id_b, round(dp / (na * nb), 4) AS sim
+        |FROM s WHERE round(dp / (na * nb), 4) >= -1.0
+        |ORDER BY id_a LIMIT 100""".stripMargin) { (s, _) =>
+      val emb = s.table("embeddings")
+      val pairs = emb.select(col("vec_id").as("id_a"), (col("vec_id") + 1).as("id_b"))
+      Similarity.embeddingNearDups(emb, pairs, threshold = -1.0)
+        .orderBy("id_a").limit(100)
+    },
+
+    // ---- similarity search ------------------------------------------------
+
+    df("ss_cosine_topk",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+        |s AS (SELECT vec_id,
+        |  list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i])) AS dp,
+        |  sqrt(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i]))) AS nv,
+        |  sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i]))) AS nq
+        |  FROM e CROSS JOIN q WHERE vec_id <> 7)
+        |SELECT vec_id, round(dp / (nv * nq), 4) AS sim
+        |FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) { (s, _) =>
+      Similarity.cosineTopK(s.table("embeddings"), queryId = 7, k = 10)
+    },
+
+    df("ss_lsh_buckets",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |proj AS (SELECT vec_id, p,
+        |  list_sum(list_transform(generate_series(1, 64),
+        |    d -> v[d] * (strpos('0123456789abcdef', substring(md5(concat(p, '_', d - 1)), 1, 1)) - 8.5))) AS dp
+        |  FROM e CROSS JOIN generate_series(0, 7) t(p)),
+        |bucket AS (SELECT vec_id,
+        |  string_agg(CASE WHEN dp > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+        |  FROM proj GROUP BY vec_id)
+        |SELECT bucket, count(*) AS cnt FROM bucket GROUP BY bucket
+        |ORDER BY bucket""".stripMargin) { (s, _) =>
+      Similarity.lshBuckets(s.table("embeddings"), planes = 8, dims = 64)
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")
+    },
+
+    df("ss_ann_lsh",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |proj AS (SELECT vec_id, p,
+        |  list_sum(list_transform(generate_series(1, 64),
+        |    d -> v[d] * (strpos('0123456789abcdef', substring(md5(concat(p, '_', d - 1)), 1, 1)) - 8.5))) AS dp
+        |  FROM e CROSS JOIN generate_series(0, 7) t(p)),
+        |bucket AS (SELECT vec_id,
+        |  string_agg(CASE WHEN dp > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+        |  FROM proj GROUP BY vec_id),
+        |eb AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN bucket b ON b.vec_id = e.vec_id),
+        |q AS (SELECT v AS qv, bucket AS qbucket FROM eb WHERE vec_id = 7),
+        |s AS (SELECT eb.vec_id,
+        |  list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i])) AS dp,
+        |  sqrt(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i]))) AS nv,
+        |  sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i]))) AS nq
+        |  FROM eb JOIN q ON eb.bucket = q.qbucket WHERE eb.vec_id <> 7)
+        |SELECT vec_id, round(dp / (nv * nq), 4) AS sim
+        |FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) { (s, _) =>
+      Similarity.annTopKLsh(s.table("embeddings"), queryId = 7, k = 10,
+        planes = 8, dims = 64)
+    },
+
+    // ---- text analysis ----------------------------------------------------
+
+    df("ta_token_count",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS ws_tokens,
+        |  CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '[A-Za-z]+', 0),
+        |      w -> CAST(ceil(len(w) / 4.0) AS BIGINT))), 0)
+        |    + len(regexp_replace(text, '[A-Za-z\s]', '', 'g')) AS BIGINT) AS bpeish_tokens
+        |FROM documents ORDER BY doc_id LIMIT 100""".stripMargin) { (s, _) =>
+      s.table("documents").select(col("doc_id"),
+          TextAnalysis.wsTokens(col("text")).cast("long").as("ws_tokens"),
+          TextAnalysis.bpeishTokens(col("text")).as("bpeish_tokens"))
+        .orderBy("doc_id").limit(100)
+    },
+
+    df("ta_quality_score",
+      """WITH w AS (SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS words
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |  CAST(len(words) AS BIGINT) AS word_cnt,
+        |  round(CAST(len(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(words), 4) AS mean_word_len,
+        |  round(CAST(len(list_filter(words, x -> x IN ('the','a','an','and','of','to','in','is'))) AS DOUBLE) / len(words), 4) AS stop_ratio,
+        |  round(CAST(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / greatest(len(text), 1), 4) AS punct_ratio
+        |  FROM w)
+        |SELECT doc_id, word_cnt, mean_word_len, stop_ratio, punct_ratio,
+        |  round((CASE WHEN word_cnt BETWEEN 5 AND 100000 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN stop_ratio > 0.01 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN punct_ratio < 0.2 THEN 0.25 ELSE 0.0 END), 2) AS quality
+        |FROM f ORDER BY doc_id LIMIT 100""".stripMargin) { (s, _) =>
+      TextAnalysis.qualityScore(s.table("documents")).orderBy("doc_id").limit(100)
+    },
+
+    df("ta_langid",
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS words
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  len(list_filter(words, x -> x IN ('the','and','of','is','a'))) AS c_en,
+        |  len(list_filter(words, x -> x IN ('der','die','und','das','ist'))) AS c_de,
+        |  len(list_filter(words, x -> x IN ('le','la','et','les','est'))) AS c_fr,
+        |  len(list_filter(words, x -> x IN ('el','la','y','los','es'))) AS c_es
+        |  FROM w)
+        |SELECT doc_id,
+        |  CASE WHEN c_en = best AND best > 0 THEN 'en'
+        |       WHEN c_de = best AND best > 0 THEN 'de'
+        |       WHEN c_fr = best AND best > 0 THEN 'fr'
+        |       WHEN c_es = best AND best > 0 THEN 'es'
+        |       ELSE 'und' END AS lang_pred
+        |FROM (SELECT *, greatest(c_en, c_de, c_fr, c_es) AS best FROM c) t
+        |ORDER BY doc_id LIMIT 200""".stripMargin) { (s, _) =>
+      TextAnalysis.langId(s.table("documents")).orderBy("doc_id").limit(200)
+    },
+
+    df("ta_fingerprint",
+      """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0))), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id LIMIT 100""".stripMargin) { (s, _) =>
+      TextAnalysis.fingerprint(s.table("documents")).orderBy("doc_id").limit(100)
+    },
+
+    df("ta_fingerprint_collisions",
+      """SELECT count(DISTINCT md5(array_to_string(list_sort(list_distinct(
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0))), ' '))) AS distinct_fp,
+        |  count(*) AS docs
+        |FROM documents""".stripMargin) { (s, _) =>
+      TextAnalysis.fingerprint(s.table("documents"))
+        .agg(countDistinct(col("fingerprint")).as("distinct_fp"),
+          count(lit(1)).as("docs"))
+    }
+  )
+}
