@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing: schema, partition preservation, stub determinism. */
+class MultimodalSpec extends SparkTestBase {
+
+  private lazy val media = {
+    Tables.register(spark, sfDir)
+    Multimodal.fromDocuments(spark.table("documents"))
+  }
+
+  test("fromDocuments schema: opaque binary + typed columns") {
+    val f = media.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(f("content") == "binary")
+    assert(f("media_type") == "string")
+    assert(f("media_id") == "long")
+  }
+
+  test("decodeStub is deterministic and map-only (no shuffle)") {
+    val items = Multimodal.asItems(media)
+    val a = Multimodal.decodeStub(items).collect().sortBy(_.media_id)
+    val b = Multimodal.decodeStub(items).collect().sortBy(_.media_id)
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(m => m.n_bytes == 32 && m.channels >= 1 && m.channels <= 4))
+    val plan = Multimodal.decodeStub(items).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decode should not shuffle:\n$plan")
+  }
+
+  test("decodeStub preserves partitioning (one iterator per partition)") {
+    val items = Multimodal.asItems(media.repartition(5))
+    assert(Multimodal.decodeStub(items).rdd.getNumPartitions == 5)
+  }
+
+  test("featureStub emits fixed-dim vectors") {
+    val feats = Multimodal.featureStub(Multimodal.asItems(media), dims = 8).collect()
+    assert(feats.nonEmpty)
+    assert(feats.forall(f => f.feature.length == 8 &&
+      f.feature.forall(v => v >= 0f && v < 1f)))
+  }
+
+  test("frameSampleStub yields n frames per video only") {
+    val frames = Multimodal.frameSampleStub(Multimodal.asItems(media), n = 4)
+    val videos = media.where(col("media_type") === "video").count()
+    assert(frames.count() == videos * 4)
+  }
+}
