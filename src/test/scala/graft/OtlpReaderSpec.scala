@@ -1,0 +1,255 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Port of the reference's reader SQLLogicTest goldens
+  * (test/sql/read_otlp_*.test) onto the DSv2 source. */
+class OtlpReaderSpec extends SparkTestBase {
+
+  private val fx = "src/test/resources/otlp"
+
+  // ---- logs ----------------------------------------------------------------
+
+  test("logs: count, schema, severity goldens (read_otlp_json.test)") {
+    val df = Otlp.readLogs(spark, s"$fx/logs_simple.jsonl")
+    assert(df.schema.fieldNames.toSeq == graft.otlp.OtlpSchemas.logs().fieldNames.toSeq)
+    assert(df.count() == 3)
+    assert(df.where(col("severity_text").isin("INFO", "WARN", "ERROR")).count() == 3)
+    val first = df.orderBy("time_unix_nano").first()
+    assert(first.getAs[String]("service_name") == "test-service")
+    assert(first.getAs[String]("body") == "Application started")
+    assert(first.getAs[String]("trace_id") == "5b8efff798038103d269b633813fc60c")
+    assert(first.getAs[String]("event_name") == "startup")
+    assert(first.getAs[String]("resource_attributes") ==
+      """{"service.name":"test-service","host.name":"test-host"}""")
+  }
+
+  test("logs: projection pushdown emits only required columns") {
+    val df = Otlp.readLogs(spark, s"$fx/logs_simple.jsonl").select("body")
+    assert(df.orderBy("body").first().getString(0) == "Application started")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("body"))
+    assert(df.count() == 3)
+  }
+
+  test("logs: int attribute rendered as JSON number") {
+    val df = Otlp.readLogs(spark, s"$fx/logs_simple.jsonl")
+    val warn = df.where(col("severity_text") === "WARN").first()
+    assert(warn.getAs[String]("log_attributes") == """{"memory.used_percent":85}""")
+  }
+
+  test("logs: document (multi-line JSON) file parses as one envelope") {
+    assert(Otlp.readLogs(spark, s"$fx/logs_document.json").count() == 1)
+  }
+
+  test("logs nulls: severity 0 → NULL, empty ids → NULL, body {} → NULL") {
+    val df = Otlp.readLogs(spark, s"$fx/logs_nulls.jsonl")
+    assert(df.count() == 3)
+    assert(df.where(col("trace_id").isNull && col("span_id").isNull).count() == 3)
+    assert(df.where(col("severity_number").isNull).count() == 1)
+    assert(df.where(col("body").isNull).count() == 1)
+    assert(df.where(col("scope_name").isNull).count() == 3)
+  }
+
+  // ---- traces --------------------------------------------------------------
+
+  test("traces: count, duration, name goldens") {
+    val df = Otlp.readTraces(spark, s"$fx/traces_simple.jsonl")
+    assert(df.schema.fieldNames.toSeq == graft.otlp.OtlpSchemas.traces().fieldNames.toSeq)
+    assert(df.count() == 3)
+    assert(df.where(col("name").like("%users%")).count() == 2)
+    assert(df.where(col("duration_time_unix_nano") > 0).count() == 3)
+    val first = df.orderBy("start_time_unix_nano").first()
+    assert(first.getAs[Long]("duration_time_unix_nano") == 100000000L)
+    assert(first.getAs[Int]("kind") == 2)
+    assert(first.getAs[String]("parent_span_id") == "eee19b7ec3c1b173")
+  }
+
+  test("traces: status, events_json, links_json") {
+    val df = Otlp.readTraces(spark, s"$fx/traces_simple.jsonl")
+    val err = df.where(col("status_code") === 2).first()
+    assert(err.getAs[String]("status_status_message") == "boom")
+    assert(err.getAs[String]("events_json").contains(""""name":"retry""""))
+    assert(err.getAs[String]("links_json").contains("5b8efff798038103d269b633813fc60c"))
+    assert(df.where(col("events_json").isNull).count() == 2)
+  }
+
+  test("traces nulls: zero timestamps → NULL start, duration 0, no parent") {
+    val df = Otlp.readTraces(spark, s"$fx/traces_nulls.jsonl")
+    assert(df.count() == 3)
+    assert(df.where(col("duration_time_unix_nano") === 0).count() == 3)
+    assert(df.where(col("parent_span_id").isNull).count() == 3)
+    assert(df.where(col("scope_name").isNull).count() == 3)
+    assert(df.where(col("start_time_unix_nano").isNull).count() == 3)
+  }
+
+  test("traces: single minimal record golden") {
+    val df = Otlp.readTraces(spark, s"$fx/single_trace.jsonl")
+    val r = df.first()
+    assert(r.getAs[String]("trace_id") == "00000000000000000000000000000001")
+    assert(r.getAs[String]("name") == "single_span")
+  }
+
+  // ---- metrics -------------------------------------------------------------
+
+  test("metrics: one parse yields exactly one row per shape reader") {
+    val p = s"$fx/metrics_all_types.jsonl"
+    assert(Otlp.readMetricsGauge(spark, p).count() == 1)
+    assert(Otlp.readMetricsSum(spark, p).count() == 1)
+    assert(Otlp.readMetricsHistogram(spark, p).count() == 1)
+    assert(Otlp.readMetricsExpHistogram(spark, p).count() == 1)
+  }
+
+  test("metrics histogram: bucket/bounds/attr goldens (read_otlp_metrics_histogram.test)") {
+    val r = Otlp.readMetricsHistogram(spark, s"$fx/metrics_all_types.jsonl").first()
+    assert(r.getAs[String]("name") == "latency.hist")
+    assert(r.getAs[String]("unit") == "ms")
+    assert(r.getAs[Long]("count") == 50L)
+    assert(r.getAs[Double]("sum") == 250.0)
+    assert(r.getSeq[Long](r.fieldIndex("bucket_counts")).toSeq == Seq(5L, 10L, 15L, 12L, 8L))
+    assert(r.getSeq[Double](r.fieldIndex("explicit_bounds")).toSeq == Seq(5.0, 10.0, 20.0, 50.0))
+    assert(r.getAs[String]("metric_attributes") == """{"endpoint":"/health"}""")
+    assert(r.getAs[String]("service_name") == "test-service")
+    assert(r.getAs[Int]("aggregation_temporality") == 2)
+  }
+
+  test("metrics sum: negative int value, temporality, monotonic") {
+    val r = Otlp.readMetricsSum(spark, s"$fx/metrics_all_types.jsonl").first()
+    assert(r.getAs[Long]("int_value") == -7L)
+    assert(r.isNullAt(r.fieldIndex("double_value")))
+    assert(r.getAs[Int]("aggregation_temporality") == 1)
+    assert(!r.getAs[Boolean]("is_monotonic"))
+  }
+
+  test("metrics gauge: double value and int NULL") {
+    val r = Otlp.readMetricsGauge(spark, s"$fx/metrics_all_types.jsonl").first()
+    assert(r.getAs[Double]("double_value") == 0.75)
+    assert(r.isNullAt(r.fieldIndex("int_value")))
+  }
+
+  test("metrics exp histogram: buckets and offsets") {
+    val r = Otlp.readMetricsExpHistogram(spark, s"$fx/metrics_all_types.jsonl").first()
+    assert(r.getAs[Int]("scale") == 3)
+    assert(r.getAs[Long]("zero_count") == 1L)
+    assert(r.getAs[Int]("positive_offset") == 2)
+    assert(r.getSeq[Long](r.fieldIndex("positive_bucket_counts")).toSeq == Seq(3L, 4L, 2L))
+    assert(r.getAs[Int]("negative_offset") == -1)
+    assert(r.getSeq[Long](r.fieldIndex("negative_bucket_counts")).toSeq == Seq(2L, 1L))
+  }
+
+  test("metrics: shape readers yield 0 rows on a logs file (not an error)") {
+    assert(Otlp.readMetricsGauge(spark, s"$fx/logs_simple.jsonl").count() == 0)
+    assert(Otlp.readMetricsHistogram(spark, s"$fx/logs_simple.jsonl").count() == 0)
+  }
+
+  test("metrics: temporality accepts name-string enums") {
+    val r = Otlp.readMetricsSum(spark, s"$fx/metrics_temporality_strings.jsonl").first()
+    assert(r.getAs[Int]("aggregation_temporality") == 1)
+  }
+
+  test("metrics: optional sum/min/max NULL when absent") {
+    val r = Otlp.readMetricsHistogram(spark, s"$fx/metrics_optional_fields.jsonl").first()
+    assert(r.isNullAt(r.fieldIndex("sum")))
+    assert(r.isNullAt(r.fieldIndex("min")))
+    assert(r.isNullAt(r.fieldIndex("max")))
+    assert(r.getSeq[Long](r.fieldIndex("bucket_counts")).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("metrics: summary points produce no rows in any shape") {
+    val p = s"$fx/metrics_summary_only.jsonl"
+    assert(Otlp.readMetricsGauge(spark, p).count() == 0)
+    assert(Otlp.readMetricsSum(spark, p).count() == 0)
+    assert(Otlp.readMetricsHistogram(spark, p).count() == 0)
+  }
+
+  test("metrics / metrics_summary placeholders throw at bind") {
+    intercept[UnsupportedOperationException] {
+      Otlp.readMetrics(spark, s"$fx/metrics_all_types.jsonl")
+    }
+    intercept[UnsupportedOperationException] {
+      Otlp.readMetricsSummary(spark, s"$fx/metrics_all_types.jsonl")
+    }
+  }
+
+  // ---- files, globs, errors ------------------------------------------------
+
+  test("empty file → 0 rows; whitespace-only → error") {
+    assert(Otlp.readTraces(spark, s"$fx/empty.jsonl").count() == 0)
+    val e = intercept[Exception] {
+      Otlp.readTraces(spark, s"$fx/whitespace.jsonl").count()
+    }
+    assert(e.getMessage.contains("OTLP parse error") ||
+      Option(e.getCause).exists(_.getMessage.contains("OTLP parse error")))
+  }
+
+  test("malformed file fails the whole scan (never partial rows)") {
+    intercept[Exception] {
+      Otlp.readTraces(spark, s"$fx/malformed.jsonl").count()
+    }
+  }
+
+  test("nonexistent path errors at resolution") {
+    intercept[Exception] {
+      Otlp.readTraces(spark, s"$fx/does_not_exist.jsonl").count()
+    }
+  }
+
+  test("glob: traces_*.jsonl matches 4 files / 8 spans (read_otlp_limits.test)") {
+    assert(Otlp.readTraces(spark, s"$fx/traces_*.jsonl").count() == 8)
+  }
+
+  test("glob scan parallelism: one partition per file") {
+    val df = Otlp.readTraces(spark, s"$fx/traces_*.jsonl")
+    assert(df.rdd.getNumPartitions == 4)
+  }
+
+  test("timestamp boundary parses; overflow past i64::MAX errors (no clamp)") {
+    val ok = Otlp.readLogs(spark, s"$fx/ts_boundary_logs.jsonl")
+      .select(date_format(col("time_unix_nano"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .first().getString(0)
+    assert(ok == "2262-04-11 23:47:16.854775")
+    val e = intercept[Exception] {
+      Otlp.readLogs(spark, s"$fx/ts_overflow_logs.jsonl").count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("OTLP parse error") && m.contains("Parse failed")))
+  }
+
+  test("ns_as_long exposes exact nanoseconds as BIGINT") {
+    val df = Otlp.readLogs(spark, s"$fx/ts_boundary_logs.jsonl",
+      Map("ns_as_long" -> "true"))
+    assert(df.schema("time_unix_nano").dataType == LongType)
+    assert(df.first().getAs[Long]("time_unix_nano") == 9223372036854775000L)
+  }
+
+  test("file cap: max_file_bytes errors on oversized input") {
+    val e = intercept[Exception] {
+      Otlp.readLogs(spark, s"$fx/logs_simple.jsonl",
+        Map("max_file_bytes" -> "10")).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("exceeds")))
+  }
+
+  test("batch regression: file larger than one vector batch (2049 rows)") {
+    val line = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$fx/logs_simple.jsonl")).get(0)
+    val tmp = java.nio.file.Files.createTempFile("many_logs", ".jsonl")
+    val content = (Seq.fill(2049)(line)).mkString("\n")
+    java.nio.file.Files.writeString(tmp, content)
+    try assert(Otlp.readLogs(spark, tmp.toString).count() == 2049)
+    finally java.nio.file.Files.delete(tmp)
+  }
+
+  test("SQL view over the reader works end-to-end (minimum slice)") {
+    Otlp.readLogs(spark, s"$fx/logs_simple.jsonl").createOrReplaceTempView("otlp_logs_v")
+    val rows = spark.sql(
+      """SELECT time_unix_nano, service_name, severity_text, body
+        |FROM otlp_logs_v WHERE severity_text = 'INFO'
+        |ORDER BY time_unix_nano""".stripMargin).collect()
+    assert(rows.length == 1 && rows(0).getAs[String]("body") == "Application started")
+  }
+}
