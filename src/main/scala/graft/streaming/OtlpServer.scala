@@ -1,0 +1,434 @@
+package graft.streaming
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.otlp.{OtlpJsonParser, OtlpParseException, OtlpProtoParser}
+import org.apache.spark.sql.SparkSession
+
+import java.io.{ByteArrayOutputStream, InputStream}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+import java.util.zip.{GZIPInputStream, InflaterInputStream}
+import scala.collection.mutable
+import scala.collection.mutable.ArrayBuffer
+
+/** One sealed batch of a single signal. */
+final case class SealBatch(signal: String, rows: IndexedSeq[Array[Any]],
+                           admittedBytes: Long, firstUnsealedAtMs: Long)
+
+/** Per-seal telemetry event (otlp_seal_list). */
+final case class SealEvent(listenUri: String, seq: Long, success: Boolean,
+                           error: String, rows: Long, bytes: Long,
+                           appendMs: Long, commitMs: Long, trigger: String,
+                           signalsSealed: Int, sealedRowsTotal: Long,
+                           sealsTotal: Long, sealFailuresTotal: Long,
+                           atMs: Long)
+
+/** The live OTLP/HTTP ingest server: admission → parse → stage →
+  * commit-to-buffer → (async) seal. The Spark-native re-expression of the
+  * reference's otlp_serve pipeline (src/otlp_server.cpp; SURVEY.md §2.3):
+  * per-signal in-memory columnar buffers group-commit ("seal") into catalog
+  * tables or hive-partitioned Parquet through a single serialized writer on
+  * size (seal_target_bytes) or age (seal_max_age_ms) triggers.
+  *
+  * Concurrency model (mirrors the reference):
+  *   - HTTP worker threads run admission (CAS byte reservation against
+  *     max_buffered_bytes — 503 over budget, reservation released on any
+  *     failure), parse the whole request, then commit all staged signals
+  *     under per-signal locks only after every signal converted
+  *     (all-or-nothing per request; a metrics request fans out to ≤4
+  *     buffers with admitted bytes split by rows, remainder to last).
+  *   - a single sealer thread waits on a condition (≤1 s poll) for a flush
+  *     request, the size trigger, or the oldest-row age trigger, swaps all
+  *     six buffers for fresh ones while holding every lock, and writes
+  *     outside the locks; a failed signal write restores its rows AT THE
+  *     HEAD of the live buffer (order, admitted bytes, and true row age
+  *     preserved) for retry — at-least-once, like the reference's parquet
+  *     path.
+  *
+  * Scale: the buffer/seal pipeline is driver-hosted control plane; the seal
+  * write itself is a distributed Spark write (partitioned parquet / catalog
+  * append). At 100 TB one runs many ingest endpoints, each sealing into the
+  * same partitioned layout — the layout, not the listener, is the scale unit.
+  */
+final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
+  import ServerConfig.Signals
+
+  // ---- state --------------------------------------------------------------
+
+  private final class Buffer(val signal: String) {
+    val lock = new Object
+    var rows = new ArrayBuffer[Array[Any]]()
+    var admittedBytes = 0L
+    var firstUnsealedAtMs = -1L
+  }
+  private val buffers: Map[String, Buffer] =
+    Signals.map(s => s -> new Buffer(s)).toMap
+
+  private val reservedBytes = new AtomicLong(0)
+  val totalRequests = new AtomicLong(0)
+  val activeRequests = new AtomicLong(0)
+  val totalRowsBuffered = new AtomicLong(0)
+  val committedRowsTotal = new AtomicLong(0)
+  val sealsTotal = new AtomicLong(0)
+  val sealFailuresTotal = new AtomicLong(0)
+  val skippedSummary = new AtomicLong(0)
+  val skippedInvalid = new AtomicLong(0)
+  @volatile var lastSealAtMs: Long = -1L
+  @volatile var sealLastError: String = _
+  @volatile var lastError: String = _
+  @volatile var isListening = false
+  val maintenanceRuns = new AtomicLong(0)
+  val maintenanceFailures = new AtomicLong(0)
+  @volatile var lastMaintenanceAtMs: Long = -1L
+  @volatile var maintenanceLastError: String = _
+
+  private val sealEvents = new java.util.ArrayDeque[SealEvent]()
+  private val SealHistoryCap = 4096
+  private val sealSeq = new AtomicLong(0)
+
+  private val writer = new SealWriter(cfg, spark)
+  private val sealMonitor = new Object
+  private var flushRequested = false
+  private var sealRequested = false
+  private val stopping = new AtomicBoolean(false)
+
+  private var http: HttpServer = _
+  private var sealerThread: Thread = _
+
+  // ---- lifecycle ----------------------------------------------------------
+
+  def start(): Unit = {
+    writer.prepareTables()
+    http = HttpServer.create(new InetSocketAddress(cfg.uri.host, cfg.uri.port), 64)
+    http.createContext("/", (ex: HttpExchange) => handle(ex))
+    http.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(32, math.max(4, 4 * Runtime.getRuntime.availableProcessors()))))
+    http.start()
+    isListening = true
+    sealerThread = new Thread(() => sealerLoop(), s"otlp-sealer-${cfg.uri.canonical}")
+    sealerThread.setDaemon(true)
+    sealerThread.start()
+  }
+
+  /** Stop listening, drain with up to 3 final seals, report dropped rows. */
+  def stop(): Long = {
+    stopping.set(true)
+    isListening = false
+    if (http != null) http.stop(0)
+    var attempts = 0
+    while (attempts < 3 && bufferedRows > 0) {
+      sealOnce("stop")
+      attempts += 1
+    }
+    sealMonitor.synchronized { sealMonitor.notifyAll() }
+    if (sealerThread != null) sealerThread.join(5000)
+    bufferedRows
+  }
+
+  /** Synchronous seal-now; returns rows sealed by this call. */
+  def flush(): (Long, String) = {
+    val before = committedRowsTotal.get()
+    val err = sealOnce("flush")
+    (committedRowsTotal.get() - before, err)
+  }
+
+  // ---- telemetry snapshots -------------------------------------------------
+
+  def bufferedRows: Long =
+    buffers.valuesIterator.map(b => b.lock.synchronized(b.rows.size.toLong)).sum
+  def bufferedBytes: Long =
+    buffers.valuesIterator.map(b => b.lock.synchronized(b.admittedBytes)).sum
+  def admittedBytes: Long = reservedBytes.get()
+  def oldestBufferedAgeMs: Option[Long] = {
+    val now = System.currentTimeMillis()
+    val ages = buffers.valuesIterator
+      .map(b => b.lock.synchronized(b.firstUnsealedAtMs))
+      .filter(_ >= 0).toSeq
+    if (ages.isEmpty) None else Some(now - ages.min)
+  }
+  def sealHistory: Seq[SealEvent] =
+    sealEvents.synchronized {
+      import scala.collection.JavaConverters._
+      sealEvents.iterator().asScala.toSeq
+    }
+  def promotedColumnsTotal: Int = cfg.promoteResourceAttributes.size
+
+  // ---- HTTP ---------------------------------------------------------------
+
+  private def handle(ex: HttpExchange): Unit = {
+    totalRequests.incrementAndGet()
+    activeRequests.incrementAndGet()
+    try route(ex)
+    catch {
+      case e: Exception =>
+        lastError = e.getMessage
+        respond(ex, 500, s"""{"error":"${esc(e.getMessage)}"}""")
+    } finally {
+      activeRequests.decrementAndGet()
+      ex.close()
+    }
+  }
+
+  private def route(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath
+    (ex.getRequestMethod, path) match {
+      case ("GET", "/healthz") => respond(ex, 200, """{"status":"ok"}""")
+      case ("GET", "/readyz") =>
+        if (sealLastError == null) respond(ex, 200, """{"status":"ready"}""")
+        else respond(ex, 503, s"""{"status":"degraded","error":"${esc(sealLastError)}"}""")
+      case ("POST", "/v1/logs")    => ingest(ex, "logs")
+      case ("POST", "/v1/traces")  => ingest(ex, "traces")
+      case ("POST", "/v1/metrics") => ingest(ex, "metrics")
+      case _ => respond(ex, 404, """{"error":"not found"}""")
+    }
+  }
+
+  private def authorized(ex: HttpExchange): Boolean = {
+    if (!cfg.authEnabled) return true
+    val h = ex.getRequestHeaders
+    val bearer = Option(h.getFirst("Authorization"))
+      .filter(_.startsWith("Bearer ")).map(_.substring(7))
+    val apiKey = Option(h.getFirst("x-api-key"))
+    def eq(a: String): Boolean = MessageDigest.isEqual(
+      a.getBytes(StandardCharsets.UTF_8), cfg.token.getBytes(StandardCharsets.UTF_8))
+    bearer.exists(eq) || apiKey.exists(eq)
+  }
+
+  private def ingest(ex: HttpExchange, family: String): Unit = {
+    if (!authorized(ex)) { respond(ex, 401, """{"error":"unauthorized"}"""); return }
+
+    val headers = ex.getRequestHeaders
+    val contentType = Option(headers.getFirst("Content-Type")).getOrElse("")
+      .split(";").head.trim.toLowerCase
+    val encoding = Option(headers.getFirst("Content-Encoding"))
+      .getOrElse("identity").trim.toLowerCase
+
+    val fmt = contentType match {
+      case "application/json" | "application/x-ndjson" => "json"
+      case "application/x-protobuf"                    => "protobuf"
+      case "application/vnd.apache.arrow.stream" | "application/x-otap"
+          if cfg.uri.scheme == "otap" => "otap"
+      case _ => respond(ex, 415,
+        s"""{"error":"unsupported content type: $contentType"}"""); return
+    }
+    if (!Seq("identity", "gzip", "deflate").contains(encoding)) {
+      respond(ex, 415, s"""{"error":"unsupported content encoding: $encoding"}""")
+      return
+    }
+
+    val raw = readBody(ex.getRequestBody, cfg.maxBodyBytes)
+    raw match {
+      case None =>
+        respond(ex, 413, """{"error":"request body too large"}"""); return
+      case Some(rawBytes) =>
+        // admission BEFORE parse: CAS-reserve against max_buffered_bytes
+        val reserve = math.max(rawBytes.length.toLong, 1024L)
+        if (!tryReserve(reserve)) {
+          respond(ex, 503, """{"error":"ingest buffer over capacity"}"""); return
+        }
+        try {
+          val body =
+            try decode(rawBytes, encoding)
+            catch { case e: Exception =>
+              release(reserve)
+              respond(ex, 400, s"""{"error":"decompress failed: ${esc(e.getMessage)}"}""")
+              return
+            }
+          val parsed =
+            try fmt match {
+              case "json"     => OtlpJsonParser.parse(body)
+              case "protobuf" => OtlpProtoParser.parse(body, family, nsAsLong = false)
+              case "otap"     => graft.otlp.OtapDecoder.parse(body, nsAsLong = false)
+            } catch {
+              case e: OtlpParseException =>
+                release(reserve)
+                respond(ex, 400, s"""{"error":"${esc(e.getMessage)}"}""")
+                return
+            }
+          val batches = countBatches(body, fmt)
+          val rows = commitStaged(parsed, reserve)
+          skippedSummary.addAndGet(parsed.skipped.summaryPoints)
+          skippedInvalid.addAndGet(parsed.skipped.invalidPoints)
+          val skipped = parsed.skipped.summaryPoints + parsed.skipped.invalidPoints
+          val skippedJson =
+            if (skipped > 0)
+              s""","skipped":{"summary":${parsed.skipped.summaryPoints},"invalid":${parsed.skipped.invalidPoints}}"""
+            else ""
+          respond(ex, 202,
+            s"""{"status":"buffered","rows":$rows,"batches":$batches$skippedJson}""")
+        } catch {
+          case e: Exception =>
+            release(reserve)
+            throw e
+        }
+    }
+  }
+
+  /** read up to maxBytes; None when exceeded. */
+  private def readBody(in: InputStream, maxBytes: Long): Option[Array[Byte]] = {
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) {
+      out.write(buf, 0, n)
+      if (out.size() > maxBytes) return None
+      n = in.read(buf)
+    }
+    Some(out.toByteArray)
+  }
+
+  private def decode(body: Array[Byte], encoding: String): Array[Byte] =
+    encoding match {
+      case "identity" => body
+      case "gzip" =>
+        val in = new GZIPInputStream(new java.io.ByteArrayInputStream(body))
+        try in.readAllBytes() finally in.close()
+      case "deflate" =>
+        val in = new InflaterInputStream(new java.io.ByteArrayInputStream(body))
+        try in.readAllBytes() finally in.close()
+    }
+
+  private def countBatches(body: Array[Byte], fmt: String): Int = fmt match {
+    case "json" =>
+      val t = new String(body, StandardCharsets.UTF_8)
+      math.max(1, t.split("\n").count(_.trim.nonEmpty))
+    case _ => 1
+  }
+
+  // ---- admission + buffers -------------------------------------------------
+
+  private def tryReserve(n: Long): Boolean = {
+    var cur = reservedBytes.get()
+    while (cur + n <= cfg.maxBufferedBytes) {
+      if (reservedBytes.compareAndSet(cur, cur + n)) return true
+      cur = reservedBytes.get()
+    }
+    false
+  }
+  private def release(n: Long): Unit = reservedBytes.addAndGet(-n)
+
+  /** Move all staged signals into the live buffers; admitted bytes split by
+    * rows with the remainder on the last non-empty signal. Returns rows. */
+  private def commitStaged(parsed: OtlpJsonParser.ParsedFile, bytes: Long): Long = {
+    val nonEmpty = Signals.map(s => s -> parsed.signal(s)).filter(_._2.nonEmpty)
+    val totalRows = nonEmpty.map(_._2.size.toLong).sum
+    if (totalRows == 0) { release(bytes); return 0 }
+    val now = System.currentTimeMillis()
+    var remaining = bytes
+    nonEmpty.zipWithIndex.foreach { case ((signal, rows), i) =>
+      val share =
+        if (i == nonEmpty.size - 1) remaining
+        else bytes * rows.size / totalRows
+      remaining -= share
+      val b = buffers(signal)
+      b.lock.synchronized {
+        b.rows ++= rows
+        b.admittedBytes += share
+        if (b.firstUnsealedAtMs < 0) b.firstUnsealedAtMs = now
+      }
+    }
+    totalRowsBuffered.addAndGet(totalRows)
+    maybeRequestSeal()
+    totalRows
+  }
+
+  private def maybeRequestSeal(): Unit = {
+    if (bufferedBytes >= cfg.sealTargetBytes)
+      sealMonitor.synchronized { sealRequested = true; sealMonitor.notifyAll() }
+  }
+
+  // ---- sealing ------------------------------------------------------------
+
+  private def sealerLoop(): Unit = {
+    while (!stopping.get()) {
+      val due = sealMonitor.synchronized {
+        if (!sealRequested && !flushRequested) sealMonitor.wait(1000)
+        val d = sealRequested || flushRequested
+        sealRequested = false; flushRequested = false
+        d
+      }
+      val ageDue = oldestBufferedAgeMs.exists(_ >= cfg.sealMaxAgeMs)
+      if (!stopping.get() && (due || ageDue))
+        sealOnce(if (ageDue && !due) "age" else "size")
+    }
+  }
+
+  private val writerMutex = new Object
+
+  /** Swap all buffers, write each signal, restore failures. Returns the
+    * error message of the first failed signal write (null on success). */
+  private def sealOnce(trigger: String): String = writerMutex.synchronized {
+    val t0 = System.currentTimeMillis()
+    // swap all buffers for fresh ones with every lock held (pre-allocated)
+    val fresh = Signals.map(_ => new ArrayBuffer[Array[Any]]()).toArray
+    val batches: Seq[SealBatch] =
+      Signals.zipWithIndex.map { case (s, i) =>
+        val b = buffers(s)
+        b.lock.synchronized {
+          val batch = SealBatch(s, b.rows.toIndexedSeq, b.admittedBytes, b.firstUnsealedAtMs)
+          b.rows = fresh(i)
+          b.admittedBytes = 0L
+          b.firstUnsealedAtMs = -1L
+          batch
+        }
+      }
+    val toSeal = batches.filter(_.rows.nonEmpty)
+    var error: String = null
+    var rowsSealed = 0L
+    var bytesSealed = 0L
+    val tAppend = System.currentTimeMillis()
+    toSeal.foreach { batch =>
+      try {
+        writer.write(batch)
+        rowsSealed += batch.rows.size
+        bytesSealed += batch.admittedBytes
+        release(batch.admittedBytes)
+        committedRowsTotal.addAndGet(batch.rows.size)
+      } catch {
+        case e: Exception =>
+          if (error == null) error = s"${batch.signal}: ${e.getMessage}"
+          // restore AT THE HEAD of the live buffer: order, bytes, age kept
+          val b = buffers(batch.signal)
+          b.lock.synchronized {
+            b.rows.prependAll(batch.rows)
+            b.admittedBytes += batch.admittedBytes
+            b.firstUnsealedAtMs =
+              if (b.firstUnsealedAtMs < 0) batch.firstUnsealedAtMs
+              else math.min(b.firstUnsealedAtMs, batch.firstUnsealedAtMs)
+          }
+      }
+    }
+    val tCommit = System.currentTimeMillis()
+    sealsTotal.incrementAndGet()
+    if (error != null) { sealFailuresTotal.incrementAndGet(); sealLastError = error }
+    else sealLastError = null
+    lastSealAtMs = tCommit
+    val ev = SealEvent(cfg.uri.canonical, sealSeq.incrementAndGet(),
+      success = error == null, error = error, rows = rowsSealed,
+      bytes = bytesSealed, appendMs = tAppend - t0, commitMs = tCommit - tAppend,
+      trigger = trigger, signalsSealed = toSeal.size,
+      sealedRowsTotal = committedRowsTotal.get(), sealsTotal = sealsTotal.get(),
+      sealFailuresTotal = sealFailuresTotal.get(), atMs = tCommit)
+    sealEvents.synchronized {
+      sealEvents.addLast(ev)
+      while (sealEvents.size() > SealHistoryCap) sealEvents.removeFirst()
+    }
+    error
+  }
+
+  // ---- misc ---------------------------------------------------------------
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    os.write(bytes)
+    os.close()
+  }
+
+  private def esc(s: String): String =
+    if (s == null) "" else s.replace("\\", "\\\\").replace("\"", "\\\"")
+}

@@ -1,0 +1,163 @@
+package graft.streaming
+
+import graft.otlp.OtlpSchemas
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Writes sealed batches into the target store (reference SealCatalog /
+  * SealParquet, src/otlp_server.cpp; SURVEY.md §2.2):
+  *
+  *   - catalog mode: append into `<schema>.otlp_<signal>` managed tables
+  *     (created at startup with the base signal schema plus any promoted
+  *     attribute columns). Spark has no cross-table transaction, so the
+  *     contract is per-signal at-least-once — the documented contract of
+  *     the reference's parquet path; a failed signal re-buffers for retry.
+  *   - parquet mode: `root/otlp_<signal>/year=YYYY/month=MM/day=DD/` zstd
+  *     parquet, partitioned on start_time_unix_nano for traces and
+  *     time_unix_nano otherwise; partition columns are not written into
+  *     the data files (Spark partitionBy semantics — same as the
+  *     reference's WRITE_PARTITION_COLUMNS false).
+  *
+  * Attribute promotion: each key in promote_resource_attributes becomes a
+  * `resource_attr_<sanitized>` STRING column on every signal, computed at
+  * seal time from the resource_attributes JSON; the JSON blob is kept.
+  * The read pattern is COALESCE(resource_attr_k, get_json_object(...)) —
+  * at 100 TB the promoted column is what gives parquet min/max pruning. */
+final class SealWriter(cfg: ServerConfig, spark: SparkSession) {
+
+  private def promoted: Seq[(String, String)] =
+    cfg.promoteResourceAttributes.map(k => k -> ServerConfig.promotedColumn(k))
+
+  /** External (Row-compatible) schema of a signal's seal DataFrame. */
+  private def baseSchema(signal: String): StructType = OtlpSchemas.forSignal(signal)
+
+  def prepareTables(): Unit = {
+    if (cfg.target == "catalog") {
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS ${cfg.schema}")
+      OtlpSchemas.Signals.foreach { signal =>
+        val table = cfg.tableName(signal)
+        if (!spark.catalog.tableExists(table)) {
+          if (!cfg.createTables)
+            throw new IllegalArgumentException(
+              s"table $table is not available (create_tables := false)")
+          val empty = spark.createDataFrame(
+            java.util.Collections.emptyList[Row](), withPromoted(baseSchema(signal)))
+          empty.write.saveAsTable(table)
+        } else validateTable(table, signal)
+      }
+    }
+  }
+
+  /** Existing tables must carry the base schema as a leading prefix (extra
+    * trailing columns are fine — the promotion / wide-table contract). */
+  private def validateTable(table: String, signal: String): Unit = {
+    val actual = spark.table(table).schema
+    val base = withPromoted(baseSchema(signal))
+    if (actual.fields.length < base.fields.length ||
+      !base.fields.zip(actual.fields).forall { case (b, a) =>
+        b.name == a.name && b.dataType == a.dataType
+      })
+      throw new IllegalArgumentException(
+        s"table $table exists with an incompatible schema; " +
+          s"expected leading columns ${base.fieldNames.mkString(", ")}")
+  }
+
+  private def withPromoted(s: StructType): StructType =
+    StructType(s.fields ++ promoted.map { case (_, c) => StructField(c, StringType) })
+
+  /** Build the seal DataFrame for one batch (base cols + promoted cols). */
+  def toDataFrame(batch: SealBatch): DataFrame = {
+    val schema = baseSchema(batch.signal)
+    val rows: java.util.List[Row] = {
+      val list = new java.util.ArrayList[Row](batch.rows.size)
+      batch.rows.foreach(r => list.add(Row.fromSeq(toExternal(r, schema))))
+      list
+    }
+    var df = spark.createDataFrame(rows, schema)
+    promoted.foreach { case (key, colName) =>
+      df = df.withColumn(colName,
+        get_json_object(col("resource_attributes"), s"$$['$key']"))
+    }
+    df
+  }
+
+  /** Parser JVM values → external Row values (µs Long → Instant, arrays → Seq). */
+  private def toExternal(row: Array[Any], schema: StructType): Seq[Any] =
+    row.toSeq.zip(schema.fields).map {
+      case (null, _) => null
+      case (v: Long, f) if f.dataType == TimestampType =>
+        java.time.Instant.ofEpochSecond(
+          Math.floorDiv(v, 1000000L), Math.floorMod(v, 1000000L) * 1000L)
+      case (a: Array[Long], _)   => a.toSeq
+      case (a: Array[Double], _) => a.toSeq
+      case (v, _) => v
+    }
+
+  def write(batch: SealBatch): Unit = {
+    val df = toDataFrame(batch)
+    cfg.target match {
+      case "catalog" =>
+        df.write.mode("append").insertInto(cfg.tableName(batch.signal))
+      case "parquet" =>
+        val tsCol =
+          if (batch.signal == "traces") "start_time_unix_nano" else "time_unix_nano"
+        df.withColumn("year", date_format(col(tsCol), "yyyy"))
+          .withColumn("month", date_format(col(tsCol), "MM"))
+          .withColumn("day", date_format(col(tsCol), "dd"))
+          .write.mode("append")
+          .partitionBy("year", "month", "day")
+          .option("compression", "zstd")
+          .parquet(s"${cfg.parquetRoot}/otlp_${batch.signal}")
+    }
+  }
+
+  /** Inspection views over the parquet export layout (reference creates
+    * a view via read_parquet over the recursive table glob after sealing). */
+  def createInspectionViews(): Unit = {
+    if (cfg.target == "parquet") OtlpSchemas.Signals.foreach { signal =>
+      val dir = new java.io.File(s"${cfg.parquetRoot}/otlp_$signal")
+      if (dir.exists()) {
+        spark.read.option("recursiveFileLookup", "false")
+          .parquet(dir.toString)
+          .createOrReplaceTempView(s"otlp_$signal")
+      }
+    }
+  }
+
+  /** Small-file compaction for the parquet layout: rewrite partitions whose
+    * file count is high toward target_file_size (the reference's post-seal
+    * CHECKPOINT analog, O(new files) per cycle). */
+  def compact(signal: String): Long = {
+    if (cfg.target != "parquet") return 0L
+    val root = new java.io.File(s"${cfg.parquetRoot}/otlp_$signal")
+    if (!root.exists()) return 0L
+    var rewritten = 0L
+    // partition dirs: year=*/month=*/day=*
+    def leafDirs(d: java.io.File): Seq[java.io.File] = {
+      val kids = Option(d.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
+      if (kids.isEmpty) Seq(d) else kids.toSeq.flatMap(leafDirs)
+    }
+    leafDirs(root).foreach { dir =>
+      val files = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      if (files.length > 4 && files.map(_.length).sum < cfg.targetFileSize) {
+        val df = spark.read.parquet(dir.toString)
+        val tmp = dir.toString + "__compact_tmp"
+        df.coalesce(1).write.mode("overwrite")
+          .option("compression", "zstd").parquet(tmp)
+        files.foreach(_.delete())
+        new java.io.File(tmp).listFiles().foreach { f =>
+          if (f.getName.endsWith(".parquet"))
+            f.renameTo(new java.io.File(dir, f.getName))
+        }
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+        }
+        rm(new java.io.File(tmp))
+        rewritten += files.length
+      }
+    }
+    rewritten
+  }
+}

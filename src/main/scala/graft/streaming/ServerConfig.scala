@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.security.SecureRandom
+
+/** `otlp_serve`/`otap_serve` named parameters + validation. Error messages
+  * mirror the reference's bind errors (test/sql/otlp_serve.test goldens). */
+final case class ServerConfig(
+    uri: OtlpUriParts,
+    token: String,
+    authEnabled: Boolean,
+    schema: String,
+    catalog: String,
+    createTables: Boolean,
+    transport: String,
+    target: String,             // "catalog" | "parquet"
+    parquetRoot: String,
+    sealTargetBytes: Long,
+    sealMaxAgeMs: Long,
+    maxBufferedBytes: Long,
+    maxBodyBytes: Long,
+    targetFileSize: Long,
+    maintenanceRetentionMs: Long,
+    promoteResourceAttributes: Seq[String]) {
+  def tableName(signal: String): String = s"$schema.otlp_$signal"
+}
+
+object ServerConfig {
+  val Signals: Seq[String] = graft.otlp.OtlpSchemas.Signals
+
+  val DefaultSealTargetBytes: Long = 128L * 1024 * 1024
+  val DefaultSealMaxAgeMs: Long = 5000L
+  val DefaultMaxBufferedBytes: Long = 512L * 1024 * 1024
+  val DefaultMaxBodyBytes: Long = 16L * 1024 * 1024
+
+  private val Known = Set(
+    "token", "disable_auth", "schema", "catalog", "create_tables",
+    "transport", "allow_other_hostname", "target", "parquet_root",
+    "seal_target_bytes", "seal_max_age_ms", "max_buffered_bytes",
+    "max_body_bytes", "target_file_size", "maintenance_retention_ms",
+    "promote_resource_attributes")
+
+  private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+
+  def mintToken(): String = {
+    val b = new Array[Byte](16)
+    new SecureRandom().nextBytes(b)
+    b.map(x => f"${x & 0xff}%02x").mkString
+  }
+
+  def apply(fn: String, uriStr: String, params: Map[String, String]): ServerConfig = {
+    params.keys.find(!Known.contains(_)).foreach(k =>
+      fail(s"""Invalid named parameter "$k""""))
+    val uri = OtlpUri.parse(uriStr)
+    if (fn == "otlp_serve" && uri.scheme != "otlp")
+      fail("otlp_serve requires an 'otlp:' URI")
+    if (fn == "otap_serve" && uri.scheme != "otap")
+      fail("otap_serve requires an 'otap:' URI")
+
+    def bool(k: String, d: Boolean) =
+      params.get(k).map(_.toBoolean).getOrElse(d)
+    def long(k: String, d: Long) = {
+      val v = params.get(k).map(_.toLong).getOrElse(d)
+      if (v <= 0) fail(s"$k must be greater than zero")
+      v
+    }
+    val allowOther = bool("allow_other_hostname", d = false)
+    if (!uri.isLocalhost && !allowOther)
+      fail(s"Only localhost is allowed without allow_other_hostname: ${uri.host}")
+
+    val disableAuth = bool("disable_auth", d = false)
+    val token = params.get("token") match {
+      case Some(t) =>
+        if (!disableAuth && t.length < 16)
+          fail("OTLP server token must be at least 16 characters long")
+        if (disableAuth) "" else t
+      case None => if (disableAuth) "" else mintToken()
+    }
+    val schema = params.getOrElse("schema", "otlp")
+    if (schema.isEmpty) fail("schema must not be empty")
+    // No gRPC runtime ships in this environment, so both schemes listen over
+    // HTTP: otap: accepts OTAP BatchArrowRecords as POST bodies (documented
+    // transport divergence — the decode path and control plane are identical).
+    val transport = params.getOrElse("transport", "http")
+    if (transport == "grpc")
+      throw new UnsupportedOperationException(
+        "gRPC transport is not available in this build (no gRPC runtime on " +
+          "the classpath); OTAP payloads are accepted over HTTP POST instead")
+    val target = params.getOrElse("target", "catalog")
+    if (target != "catalog" && target != "parquet")
+      fail(s"target must be 'catalog' or 'parquet', got '$target'")
+    val parquetRoot = params.getOrElse("parquet_root", "")
+    if (target == "parquet" && parquetRoot.isEmpty)
+      fail("parquet_root is required when target := 'parquet'")
+
+    ServerConfig(
+      uri = uri,
+      token = token,
+      authEnabled = !disableAuth,
+      schema = schema,
+      catalog = params.getOrElse("catalog", ""),
+      createTables = bool("create_tables", d = true),
+      transport = transport,
+      target = target,
+      parquetRoot = parquetRoot,
+      sealTargetBytes = long("seal_target_bytes", DefaultSealTargetBytes),
+      sealMaxAgeMs = long("seal_max_age_ms", DefaultSealMaxAgeMs),
+      maxBufferedBytes = long("max_buffered_bytes", DefaultMaxBufferedBytes),
+      maxBodyBytes = long("max_body_bytes", DefaultMaxBodyBytes),
+      targetFileSize = long("target_file_size", 128L * 1024 * 1024),
+      maintenanceRetentionMs = long("maintenance_retention_ms", 7L * 24 * 3600 * 1000),
+      promoteResourceAttributes = params.get("promote_resource_attributes")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty))
+  }
+
+  /** promoted column name for a resource attribute key. */
+  def promotedColumn(key: String): String =
+    "resource_attr_" + key.toLowerCase.map(c =>
+      if (c.isLetterOrDigit) c else '_')
+}
