@@ -7,10 +7,17 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, JsonNodeFactory, ObjectNo
 /** Canonical JSON rendering of OTLP attribute lists and AnyValues.
   *
   * Contract (reference test/sql/read_otlp_metrics_histogram.test "Test
-  * metric_attributes" golden `{"endpoint":"/health"}`; SURVEY.md §7.3 #4):
-  * compact output (no spaces), keys in input order, scalar AnyValues rendered
-  * as native JSON scalars (string/number/bool), arrayValue → JSON array,
-  * kvlistValue → JSON object, bytesValue kept as its base64 string.
+  * metric_attributes" golden `{"endpoint":"/health"}`): compact output (no
+  * spaces), scalar AnyValues rendered as native JSON scalars
+  * (string/number/bool), arrayValue → JSON array, kvlistValue → JSON object,
+  * bytesValue kept as its base64 string.
+  *
+  * Top-level attribute keys are SORTED lexicographically: the reference's
+  * own read_otap.test pins `read_otap_X(bar) EXCEPT read_otlp_X(otlp)`
+  * empty in both directions, and the OTAP attribute tables arrive sorted by
+  * (value-type, key) while OTLP carries input order — only a canonical key
+  * order can make both paths render identical JSON text. Nested kvlist
+  * values keep their own order (both transports preserve it).
   */
 object AttrJson {
   private val mapper = new ObjectMapper()
@@ -44,14 +51,22 @@ object AttrJson {
       .getOrElse(nf.nullNode())
   }
 
-  /** Attribute list [{key, value}, ...] → compact JSON object text in input
-    * order. Absent/empty list → "{}". */
+  /** Attribute list [{key, value}, ...] → compact JSON object text with
+    * keys sorted lexicographically (last value wins on duplicate keys).
+    * Absent/empty list → "{}". */
   def attrsToJson(attrs: JsonNode): String = {
-    val obj = new ObjectNode(nf)
+    val pairs = scala.collection.mutable.LinkedHashMap[String, JsonNode]()
     if (attrs != null && attrs.isArray) attrs.forEach { kv =>
       val k = if (kv.hasNonNull("key")) kv.get("key").asText() else ""
-      obj.set[JsonNode](k, anyValueToNode(kv.get("value")))
+      pairs(k) = anyValueToNode(kv.get("value"))
     }
+    sortedObject(pairs.toSeq)
+  }
+
+  /** (key, value-node) pairs → compact key-sorted JSON object text. */
+  def sortedObject(pairs: Seq[(String, JsonNode)]): String = {
+    val obj = new ObjectNode(nf)
+    pairs.sortBy(_._1).foreach { case (k, v) => obj.set[JsonNode](k, v) }
     mapper.writeValueAsString(obj)
   }
 

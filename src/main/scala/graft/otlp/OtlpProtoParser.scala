@@ -243,7 +243,7 @@ object OtlpProtoParser {
         case (5, 2)  => o.set[JsonNode]("body", anyValue(r.readSub()))
         case (6, 2)  => attrList(o, "attributes").add(keyValue(r.readSub()))
         case (7, 0)  => o.put("droppedAttributesCount", r.readVarint().toInt)
-        case (8, 0)  => o.put("flags", r.readVarint().toInt)
+        case (8, 5)  => o.put("flags", r.readFixed32())
         case (9, 2)  => o.put("traceId", hex(r.readBytes()))
         case (10, 2) => o.put("spanId", hex(r.readBytes()))
         case (11, 1) => o.set[JsonNode]("observedTimeUnixNano", u64Node(r.readFixed64()))

@@ -21,8 +21,9 @@ class OtlpReaderSpec extends SparkTestBase {
     assert(first.getAs[String]("body") == "Application started")
     assert(first.getAs[String]("trace_id") == "5b8efff798038103d269b633813fc60c")
     assert(first.getAs[String]("event_name") == "startup")
+    // canonical attribute JSON: keys sorted (see AttrJson scaladoc)
     assert(first.getAs[String]("resource_attributes") ==
-      """{"service.name":"test-service","host.name":"test-host"}""")
+      """{"host.name":"test-host","service.name":"test-service"}""")
   }
 
   test("logs: projection pushdown emits only required columns") {
