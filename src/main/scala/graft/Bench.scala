@@ -1,5 +1,12 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry (driver-run): times every registered query at the given
+  * scale factor (noop sink — forces full execution, no driver collect) and
+  * measures live-ingest throughput through the HTTP server, the reference's
+  * headline metric (~100-175k logs/s on 4 vCPU — BASELINE.md). Prints ONE
+  * JSON line. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,15 +19,76 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // one cheap action to pay JVM/codegen warmup outside the timings
+    Tables.register(spark, sfDir)
+    spark.table("lineitem").limit(1).count()
+
+    val skipQueries = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("ingest")
+    val results = (if (skipQueries) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] else SparkEntry.queries).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val (accepted, durable) =
+      try ingestBench(spark) catch { case _: Throwable => (0.0, 0.0) }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_accepted_rows_per_sec":${accepted.round},"ingest_logs_rows_per_sec":${durable.round},"sf":"$sfDir"}""")
     spark.stop()
+    sys.exit(0)
+  }
+
+  /** POST OTLP/JSON log batches from several threads for a few seconds and
+    * report (accepted rows/s, durable rows/s incl. final flush) — mirrors
+    * the reference's capacity bench shape (concurrent HTTP producers,
+    * group-commit sealing included). */
+  private def ingestBench(spark: SparkSession): (Double, Double) = {
+    import graft.streaming.OtlpServe
+    val uri = "otlp:127.0.0.1:46900"
+    val root = java.nio.file.Files.createTempDirectory("bench_ingest").toString
+    val token = "bench-token-0123456789abcdef"
+    OtlpServe.otlpServe(spark, uri, Map(
+      "token" -> token, "target" -> "parquet", "parquet_root" -> root,
+      "seal_max_age_ms" -> "2000"))
+    // one envelope per line, ~300 bytes/record, 500 records per request
+    val line = """{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"bench-service"}},{"key":"host.name","value":{"stringValue":"bench-host"}}]},"scopeLogs":[{"scope":{"name":"bench-logger"},"logRecords":[{"timeUnixNano":"1640000000000000000","severityNumber":9,"severityText":"INFO","body":{"stringValue":"benchmark log record with a reasonably sized message body"},"attributes":[{"key":"thread.id","value":{"intValue":"42"}}]}]}]}]}"""
+    val body = Array.fill(500)(line).mkString("\n").getBytes("UTF-8")
+    // the sync JDK HttpClient adds ~ms per call, so saturating the server
+    // needs many producer threads spread over several client instances
+    val threads = 32
+    val runMs = 6000L
+    val clients = Array.fill(8)(java.net.http.HttpClient.newHttpClient())
+    val sent = new java.util.concurrent.atomic.AtomicLong(0)
+    val deadline = System.currentTimeMillis() + runMs
+    val t0 = System.nanoTime()
+    val pool = (0 until threads).map { i =>
+      val t = new Thread(() => {
+        val client = clients(i % clients.length)
+        while (System.currentTimeMillis() < deadline) {
+          val req = java.net.http.HttpRequest.newBuilder(
+              java.net.URI.create("http://127.0.0.1:46900/v1/logs"))
+            .header("Content-Type", "application/x-ndjson")
+            .header("Authorization", s"Bearer $token")
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
+            .build()
+          val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding())
+          if (resp.statusCode() == 202) sent.addAndGet(500)
+          else Thread.sleep(20) // backpressure
+        }
+      })
+      t.start(); t
+    }
+    pool.foreach(_.join())
+    val acceptElapsed = (System.nanoTime() - t0) / 1e9
+    OtlpServe.otlpFlush(spark, uri)
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val durable = OtlpServe.get(uri).map(_.committedRowsTotal.get()).getOrElse(0L)
+    OtlpServe.otlpStop(spark, uri)
+    (sent.get() / acceptElapsed, durable / elapsed)
   }
 }

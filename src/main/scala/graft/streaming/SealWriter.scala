@@ -66,33 +66,24 @@ final class SealWriter(cfg: ServerConfig, spark: SparkSession) {
   private def withPromoted(s: StructType): StructType =
     StructType(s.fields ++ promoted.map { case (_, c) => StructField(c, StringType) })
 
-  /** Build the seal DataFrame for one batch (base cols + promoted cols). */
+  /** Build the seal DataFrame for one batch (base cols + promoted cols).
+    * Row conversion runs on executors (parallelize → map), so a large seal
+    * — a flush can drain millions of buffered rows — converts and writes
+    * with full core parallelism instead of a single local task. */
   def toDataFrame(batch: SealBatch): DataFrame = {
     val schema = baseSchema(batch.signal)
-    val rows: java.util.List[Row] = {
-      val list = new java.util.ArrayList[Row](batch.rows.size)
-      batch.rows.foreach(r => list.add(Row.fromSeq(toExternal(r, schema))))
-      list
-    }
-    var df = spark.createDataFrame(rows, schema)
+    val slices = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, batch.rows.size / 20000))
+    val rdd = spark.sparkContext
+      .parallelize(batch.rows, slices)
+      .map(r => Row.fromSeq(SealWriter.toExternal(r, schema)))
+    var df = spark.createDataFrame(rdd, schema)
     promoted.foreach { case (key, colName) =>
       df = df.withColumn(colName,
         get_json_object(col("resource_attributes"), s"$$['$key']"))
     }
     df
   }
-
-  /** Parser JVM values → external Row values (µs Long → Instant, arrays → Seq). */
-  private def toExternal(row: Array[Any], schema: StructType): Seq[Any] =
-    row.toSeq.zip(schema.fields).map {
-      case (null, _) => null
-      case (v: Long, f) if f.dataType == TimestampType =>
-        java.time.Instant.ofEpochSecond(
-          Math.floorDiv(v, 1000000L), Math.floorMod(v, 1000000L) * 1000L)
-      case (a: Array[Long], _)   => a.toSeq
-      case (a: Array[Double], _) => a.toSeq
-      case (v, _) => v
-    }
 
   def write(batch: SealBatch): Unit = {
     val df = toDataFrame(batch)
@@ -160,4 +151,19 @@ final class SealWriter(cfg: ServerConfig, spark: SparkSession) {
     }
     rewritten
   }
+}
+
+object SealWriter {
+  /** Parser JVM values → external Row values (µs Long → Instant, arrays →
+    * Seq). Static so executor closures don't capture the writer. */
+  def toExternal(row: Array[Any], schema: StructType): Seq[Any] =
+    row.toSeq.zip(schema.fields).map {
+      case (null, _) => null
+      case (v: Long, f) if f.dataType == TimestampType =>
+        java.time.Instant.ofEpochSecond(
+          Math.floorDiv(v, 1000000L), Math.floorMod(v, 1000000L) * 1000L)
+      case (a: Array[Long], _)   => a.toSeq
+      case (a: Array[Double], _) => a.toSeq
+      case (v, _) => v
+    }
 }
