@@ -5,7 +5,8 @@ import graft.QSpec
 /** All oracle-checkable queries the engine exposes, keyed uniquely. */
 object Registry {
   val all: Seq[QSpec] = {
-    val qs = Relational.all ++ TrainingData.all ++ MultimodalQueries.all
+    val qs = Relational.all ++ TrainingData.all ++ MultimodalQueries.all ++
+      OtlpReaders.all
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
     qs
   }

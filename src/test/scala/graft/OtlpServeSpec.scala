@@ -29,6 +29,21 @@ class OtlpServeSpec extends SparkTestBase {
   private def fixture(name: String): Array[Byte] =
     java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$fx/$name"))
 
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    // drop leftover warehouse dirs from prior JVMs (the in-memory catalog is
+    // gone but managed-table locations persist and block saveAsTable)
+    val wh = new java.io.File("spark-warehouse")
+    Option(wh.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("otlptest_"))
+      .foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+        }
+        rm(d)
+      }
+  }
+
   override def afterAll(): Unit = {
     OtlpServe.stopAll(spark)
     super.afterAll()

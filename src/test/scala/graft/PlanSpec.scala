@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan hygiene: the plans we rely on at 100 TB actually form.
+  * (SURVEY.md §4 — pushdown, broadcast, partial aggregation, no stray
+  * shuffles in map-only operators.) */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("parquet scan pushes filters and prunes columns") {
+    Tables.register(spark, sfDir)
+    val df = spark.table("lineitem")
+      .where(col("l_quantity") > 30 && col("l_returnflag") === "R")
+      .select("l_orderkey")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)") ||
+      p.contains("PushedFilters: [IsNotNull(l_returnflag)"), p)
+    assert(p.contains("ReadSchema") &&
+      !p.contains("l_comment"), "column pruning should drop unused columns")
+  }
+
+  test("small-dimension join broadcasts (no shuffle of the big side)") {
+    Tables.register(spark, sfDir)
+    val df = spark.table("customer")
+      .join(broadcast(spark.table("nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)))
+    assert(plan(df).contains("BroadcastHashJoin"), plan(df))
+  }
+
+  test("groupBy aggregates partially before the shuffle (map-side combine)") {
+    Tables.register(spark, sfDir)
+    val df = spark.table("lineitem")
+      .groupBy("l_returnflag").agg(sum("l_quantity"))
+    val p = plan(df)
+    // two HashAggregate nodes around a single Exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("whole-stage codegen covers the scan->filter->project pipeline") {
+    Tables.register(spark, sfDir)
+    val df = spark.table("orders")
+      .where(col("o_totalprice") > 1000).select("o_orderkey")
+    // "*(n)" node prefixes mark whole-stage-codegen stages in the plan string
+    assert(plan(df).contains("*(1)"), plan(df))
+  }
+
+  test("otlp DSv2 scan reports one partition per file and pruned schema") {
+    val fx = "src/test/resources/otlp"
+    val df = Otlp.readLogs(spark, s"$fx/logs_simple.jsonl").select("body")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("otlp"), scan)
+    assert(df.rdd.getNumPartitions == 1)
+  }
+
+  test("text operators are map-only (no Exchange before the aggregate)") {
+    Tables.register(spark, sfDir)
+    val df = graft.operators.TextAnalysis.qualityScore(spark.table("documents"))
+    assert(!plan(df).contains("Exchange"), plan(df))
+  }
+
+  test("brute-force cosine top-k broadcasts the query vector") {
+    Tables.register(spark, sfDir)
+    val df = graft.operators.Similarity.cosineTopK(
+      spark.table("embeddings"), queryId = 7, k = 10)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
