@@ -415,7 +415,30 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
       sealEvents.addLast(ev)
       while (sealEvents.size() > SealHistoryCap) sealEvents.removeFirst()
     }
+    if (error == null && rowsSealed > 0) maybeMaintain()
     error
+  }
+
+  private var sealsSinceMaintenance = 0L
+
+  /** Post-seal compaction, gated by cadence like the reference's
+    * post-seal CHECKPOINT (≥N row-seals AND ≥interval since last run). */
+  private def maybeMaintain(): Unit = {
+    sealsSinceMaintenance += 1
+    val now = System.currentTimeMillis()
+    val due = sealsSinceMaintenance >= cfg.maintenanceMinSeals &&
+      (lastMaintenanceAtMs < 0 || now - lastMaintenanceAtMs >= cfg.maintenanceMinIntervalMs)
+    if (!due || cfg.target != "parquet") return
+    sealsSinceMaintenance = 0
+    try {
+      Signals.foreach(writer.compact)
+      maintenanceRuns.incrementAndGet()
+      maintenanceLastError = null
+    } catch {
+      case e: Exception =>
+        maintenanceFailures.incrementAndGet()
+        maintenanceLastError = e.getMessage
+    } finally lastMaintenanceAtMs = System.currentTimeMillis()
   }
 
   // ---- misc ---------------------------------------------------------------

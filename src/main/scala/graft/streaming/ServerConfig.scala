@@ -20,6 +20,8 @@ final case class ServerConfig(
     maxBodyBytes: Long,
     targetFileSize: Long,
     maintenanceRetentionMs: Long,
+    maintenanceMinSeals: Long,
+    maintenanceMinIntervalMs: Long,
     promoteResourceAttributes: Seq[String]) {
   def tableName(signal: String): String = s"$schema.otlp_$signal"
 }
@@ -37,6 +39,7 @@ object ServerConfig {
     "transport", "allow_other_hostname", "target", "parquet_root",
     "seal_target_bytes", "seal_max_age_ms", "max_buffered_bytes",
     "max_body_bytes", "target_file_size", "maintenance_retention_ms",
+    "maintenance_min_seals", "maintenance_min_interval_ms",
     "promote_resource_attributes")
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
@@ -108,6 +111,9 @@ object ServerConfig {
       maxBodyBytes = long("max_body_bytes", DefaultMaxBodyBytes),
       targetFileSize = long("target_file_size", 128L * 1024 * 1024),
       maintenanceRetentionMs = long("maintenance_retention_ms", 7L * 24 * 3600 * 1000),
+      // reference cadence gates: >=32 row-seals AND >=5 min since last run
+      maintenanceMinSeals = long("maintenance_min_seals", 32L),
+      maintenanceMinIntervalMs = long("maintenance_min_interval_ms", 5L * 60 * 1000),
       promoteResourceAttributes = params.get("promote_resource_attributes")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty))
   }

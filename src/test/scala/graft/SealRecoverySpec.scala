@@ -1,0 +1,94 @@
+package graft
+
+import graft.streaming._
+import org.apache.spark.sql.functions._
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** Failure recovery + maintenance: restore-unsealed semantics on failed
+  * seals (reference src/otlp_server.cpp restore contract, SURVEY §7.3 #3)
+  * and the cadence-gated post-seal compaction. */
+class SealRecoverySpec extends SparkTestBase {
+
+  private val fx = "src/test/resources/otlp"
+  private val client = HttpClient.newHttpClient()
+  private val Token = "dev-token-1234567890"
+
+  private def post(port: Int, body: Array[Byte]): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/v1/logs"))
+      .header("Content-Type", "application/x-ndjson")
+      .header("Authorization", s"Bearer $Token")
+      .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def fixture(name: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$fx/$name"))
+
+  override def afterAll(): Unit = {
+    OtlpServe.stopAll(spark)
+    super.afterAll()
+  }
+
+  test("failed seal restores rows, reports degradation, counts drops on stop") {
+    val uri = "otlp:127.0.0.1:45841"
+    // /dev/null is not a directory: every parquet write must fail
+    OtlpServe.otlpServe(spark, uri, Map(
+      "token" -> Token, "target" -> "parquet",
+      "parquet_root" -> "/dev/null/otlp_broken",
+      "seal_max_age_ms" -> "3600000", "seal_target_bytes" -> "1073741824"))
+    assert(post(45841, fixture("logs_simple.jsonl")).statusCode() == 202)
+
+    val fl = OtlpServe.otlpFlush(spark, uri).first()
+    assert(fl.getAs[String]("status") == "error")
+    assert(fl.getAs[String]("error") != null)
+
+    // rows restored (order-preserving re-buffer), failure counted
+    val listed = OtlpServe.serverList(spark)
+      .where(col("listen_uri") === "otlp:127.0.0.1:45841").first()
+    assert(listed.getAs[Long]("buffered_rows") == 3L)
+    assert(listed.getAs[Long]("seal_failures_total") >= 1L)
+    assert(listed.getAs[String]("seal_last_error") != null)
+    assert(listed.getAs[Long]("committed_rows_total") == 0L)
+
+    // readyz degrades while sealing is failing
+    val ready = client.send(HttpRequest.newBuilder(
+        URI.create("http://127.0.0.1:45841/readyz")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(ready.statusCode() == 503)
+
+    // seal history records the failures
+    val seals = OtlpServe.sealList(spark)
+      .where(col("listen_uri") === "otlp:127.0.0.1:45841" && !col("success"))
+    assert(seals.count() >= 1)
+
+    // stop drains with 3 attempts, then reports the undeliverable rows
+    val st = OtlpServe.otlpStop(spark, uri).first()
+    assert(st.getAs[Long]("dropped_rows") == 3L)
+  }
+
+  test("cadence-gated post-seal compaction merges small files") {
+    val root = java.nio.file.Files.createTempDirectory("otlp_maint").toString
+    val uri = "otlp:127.0.0.1:45842"
+    OtlpServe.otlpServe(spark, uri, Map(
+      "token" -> Token, "target" -> "parquet", "parquet_root" -> root,
+      "seal_max_age_ms" -> "3600000", "seal_target_bytes" -> "1073741824",
+      "maintenance_min_seals" -> "5", "maintenance_min_interval_ms" -> "1"))
+    val body = fixture("logs_simple.jsonl")
+    (1 to 5).foreach { _ =>
+      assert(post(45842, body).statusCode() == 202)
+      val fl = OtlpServe.otlpFlush(spark, uri).first()
+      assert(fl.getAs[String]("status") == "sealed", fl.toString)
+    }
+    val day = new java.io.File(s"$root/otlp_logs/year=2021/month=12/day=20")
+    val files = day.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 1, s"expected compaction to 1 file, got ${files.length}")
+    // all 15 rows survive compaction
+    assert(spark.read.parquet(s"$root/otlp_logs").count() == 15)
+    val listed = OtlpServe.serverList(spark)
+      .where(col("listen_uri") === "otlp:127.0.0.1:45842").first()
+    assert(listed.getAs[Long]("maintenance_runs_total") == 1L)
+    assert(listed.isNullAt(listed.fieldIndex("maintenance_last_error")))
+    OtlpServe.otlpStop(spark, uri)
+  }
+}
