@@ -80,26 +80,29 @@ object Dedup {
   }
 
   /** 32-bit SimHash over word unigrams (with multiplicity). Per token the
-    * hash is the first 8 hex chars of md5(token); bit j (LSB-first within
-    * each hex nibble group, j = 0..31) votes +1/-1; the fingerprint sets bit
-    * j when the vote is positive. Two explodes (tokens x 32 bits) then two
-    * aggregates — all shuffles keyed by (doc_id[, bit]), uniform. */
+    * hash is the 32-bit value of the first 8 hex chars of md5(token); bit j
+    * (j = 0..31, where bit j is bit 31-j of that value — i.e. hex chars in
+    * order, MSB-first within each nibble) votes +1/-1; the fingerprint sets
+    * bit j when the vote is positive.
+    *
+    * Plan shape: one explode (tokens) then ONE map-side-combinable aggregate
+    * with 32 conditional sums — a single shuffle keyed by doc_id, no 32x row
+    * expansion. (The DuckDB oracle keeps the explicit bits formulation; the
+    * two are value-identical by the bit identity above.) */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("t"))
       .where(length(col("t")) > 0)
-      .withColumn("h", substring(md5(col("t")), 1, 8))
-    val bits = toks
-      .select(col(idCol), col("h"), explode(expr("sequence(0, 31)")).as("j"))
-      // hex char at position j/4 (1-based), nibble bit 3 - j%4 (MSB-first)
-      .withColumn("v",
-        expr("instr('0123456789abcdef', substring(h, CAST(j / 4 AS INT) + 1, 1)) - 1"))
-      .withColumn("bit", expr("shiftright(v, 3 - j % 4) & 1"))
-    bits.groupBy(col(idCol), col("j"))
-      .agg(sum(col("bit") * 2 - 1).as("vote"))
-      .groupBy(col(idCol))
-      .agg(sum(expr("CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE 0 END"))
-        .as("simhash"))
+      // 32-bit token hash: first 8 hex chars of md5 as a big-endian value
+      .withColumn("v", expr("CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)"))
+    val votes = (0 until 32).map(j =>
+      sum(expr(s"shiftright(v, ${31 - j}) & 1") * 2 - 1).as(s"vote$j"))
+    val fingerprint = (0 until 32).map(j =>
+      expr(s"CASE WHEN vote$j > 0 THEN shiftleft(CAST(1 AS BIGINT), $j) ELSE CAST(0 AS BIGINT) END"))
+      .reduce(_ + _)
+    toks.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), fingerprint.as("simhash"))
   }
 
   /** Exact n-gram Jaccard similarity for an explicit pair list

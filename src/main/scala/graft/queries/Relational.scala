@@ -178,6 +178,14 @@ object Relational {
     dialect("q31_explode",
       "SELECT count(*) AS cnt FROM (SELECT explode(embedding) AS e FROM embeddings) t",
       "SELECT count(*) AS cnt FROM (SELECT unnest(embedding) AS e FROM embeddings) t"),
+    // Q32 struct values: build, nest, project fields back out
+    dialect("q32_struct",
+      """SELECT s.k AS k, s.nm AS nm FROM
+        |(SELECT named_struct('k', n_nationkey, 'nm', n_name) AS s FROM nation) t
+        |ORDER BY k LIMIT 10""".stripMargin,
+      """SELECT s.k AS k, s.nm AS nm FROM
+        |(SELECT struct_pack(k := n_nationkey, nm := n_name) AS s FROM nation) t
+        |ORDER BY k LIMIT 10""".stripMargin),
     // Q33 range generator
     sameSql("q33_range",
       "SELECT count(*) AS cnt FROM range(2049)"),
