@@ -1,0 +1,112 @@
+package graft.streaming
+
+import graft.otlp.OtlpSchemas
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming analytics over the live-ingest output: the seal
+  * pipeline lands telemetry as partitioned parquet (SealWriter), and these
+  * streams `readStream` that layout — so the OTLP server's group-commits
+  * become micro-batches downstream without any coupling between the two
+  * processes. This is the Spark-native continuation the reference leaves to
+  * its host engine (it has no event-time/window machinery at all —
+  * README "Late/duplicate data handling: none"; SURVEY §2.3): watermarks,
+  * windowed aggregation, and custom per-trace state are *extensions* that
+  * Structured Streaming gives the same storage layout.
+  *
+  * Scale: file-source streams list only new files per micro-batch (the seal
+  * layout appends, never rewrites, and compaction is gated to parquet-part
+  * rewrites inside a partition the stream has already passed — set
+  * `maxFileAge` / start fresh checkpoints accordingly); state stores are
+  * keyed by (window, service) or trace_id — both high-cardinality uniform
+  * keys that partition cleanly across executors.
+  */
+object TelemetryStreams {
+
+  /** Stream of sealed log rows from a parquet-export root. */
+  def logStream(spark: SparkSession, parquetRoot: String): DataFrame =
+    spark.readStream
+      .schema(OtlpSchemas.logs())
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true") // partition dirs year=/month=/day=
+      .parquet(s"$parquetRoot/otlp_logs")
+
+  /** Stream of sealed span rows. */
+  def traceStream(spark: SparkSession, parquetRoot: String): DataFrame =
+    spark.readStream
+      .schema(OtlpSchemas.traces())
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$parquetRoot/otlp_traces")
+
+  /** Windowed severity counts per service with an event-time watermark:
+    * the standard error-rate stream. Late rows beyond the watermark are
+    * dropped (documented extension over the reference's no-watermark
+    * contract). */
+  def severityRate(logs: DataFrame, windowLen: String = "1 minute",
+                   watermark: String = "2 minutes"): DataFrame =
+    logs
+      .withWatermark("time_unix_nano", watermark)
+      .groupBy(
+        window(col("time_unix_nano"), windowLen).as("w"),
+        col("service_name"), col("severity_text"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("service_name"), col("severity_text"), col("cnt"))
+
+  /** Exact-duplicate suppression on the stream (trace_id+span_id within the
+    * watermark horizon) — the dedup the reference documents as a downstream
+    * responsibility for its at-least-once parquet path. */
+  def dedupSpans(spans: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    spans
+      .withWatermark("start_time_unix_nano", watermark)
+      .dropDuplicatesWithinWatermark("trace_id", "span_id")
+
+  /** Per-trace rollup state tracked with flatMapGroupsWithState. */
+  case class TraceAgg(trace_id: String, spans: Long, error_spans: Long,
+                      root_span: String, total_duration_ns: Long)
+
+  /** Narrow span projection for the stateful rollup (public: Catalyst's
+    * generated deserializer cannot touch private classes). */
+  case class SpanLite(trace_id: String, span_id: String,
+                      parent_span_id: Option[String], name: String,
+                      status_code: Int, duration_ns: Long)
+
+  /** Custom-state operator: accumulate per-trace span counts / error counts
+    * / root span name, emitting the running rollup on every update and
+    * expiring idle traces via a processing-time timeout. */
+  def traceRollup(spans: DataFrame, idleTimeoutMs: Long = 60000)
+      : Dataset[TraceAgg] = {
+    val spark = spans.sparkSession
+    import spark.implicits._
+    val lite = spans.select(
+        col("trace_id"), col("span_id"), col("parent_span_id"),
+        col("name"), col("status_code"),
+        col("duration_time_unix_nano").as("duration_ns"))
+      .where(col("trace_id").isNotNull)
+      .as[SpanLite]
+    lite.groupByKey(_.trace_id)
+      .flatMapGroupsWithState[TraceAgg, TraceAgg](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (traceId, spans, state: GroupState[TraceAgg]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption
+            state.remove()
+            out.iterator
+          } else {
+            var agg = state.getOption.getOrElse(TraceAgg(traceId, 0, 0, null, 0))
+            spans.foreach { s =>
+              agg = agg.copy(
+                spans = agg.spans + 1,
+                error_spans = agg.error_spans + (if (s.status_code == 2) 1 else 0),
+                root_span = if (s.parent_span_id.isEmpty) s.name else agg.root_span,
+                total_duration_ns = agg.total_duration_ns + s.duration_ns)
+            }
+            state.update(agg)
+            state.setTimeoutDuration(idleTimeoutMs)
+            Iterator(agg)
+          }
+      }
+  }
+}

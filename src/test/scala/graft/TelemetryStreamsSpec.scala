@@ -1,0 +1,89 @@
+package graft
+
+import graft.streaming._
+import org.apache.spark.sql.functions._
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** End-to-end: live HTTP ingest seals parquet; Structured Streaming picks
+  * the layout up as micro-batches (windowed aggregation with watermark,
+  * streaming dedup, custom per-trace state). */
+class TelemetryStreamsSpec extends SparkTestBase {
+
+  private val fx = "src/test/resources/otlp"
+  private val client = HttpClient.newHttpClient()
+  private val Token = "dev-token-1234567890"
+
+  private def fixture(name: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$fx/$name"))
+
+  private def seededRoot(): String = {
+    // seal the logs+traces fixtures into a fresh parquet export root
+    val root = java.nio.file.Files.createTempDirectory("ts_stream").toString
+    val uri = "otlp:127.0.0.1:45851"
+    OtlpServe.otlpServe(spark, uri, Map(
+      "token" -> Token, "target" -> "parquet", "parquet_root" -> root,
+      "seal_max_age_ms" -> "3600000", "seal_target_bytes" -> "1073741824"))
+    def post(path: String, body: Array[Byte]): Int =
+      client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:45851$path"))
+        .header("Content-Type", "application/x-ndjson")
+        .header("Authorization", s"Bearer $Token")
+        .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode()
+    assert(post("/v1/logs", fixture("logs_simple.jsonl")) == 202)
+    assert(post("/v1/traces", fixture("traces_simple.jsonl")) == 202)
+    // duplicate spans on purpose (at-least-once contract) for the dedup test
+    assert(post("/v1/traces", fixture("traces_simple.jsonl")) == 202)
+    OtlpServe.otlpFlush(spark, "otlp:127.0.0.1:45851")
+    OtlpServe.otlpStop(spark, "otlp:127.0.0.1:45851")
+    root
+  }
+
+  private lazy val root = seededRoot()
+
+  test("windowed severity rate over the sealed layout (watermark + window)") {
+    // complete mode for the finite golden check (production uses append,
+    // where a window emits once the watermark passes its end)
+    val q = TelemetryStreams.severityRate(
+        TelemetryStreams.logStream(spark, root))
+      .writeStream.format("memory").queryName("sevrate")
+      .outputMode("complete").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("sevrate")
+    assert(rows.agg(sum("cnt")).first().getLong(0) == 3L)
+    assert(rows.where(col("severity_text") === "ERROR").count() == 1)
+    assert(rows.select("service_name").distinct().first().getString(0) == "test-service")
+  }
+
+  test("streaming dedup drops at-least-once duplicates within the watermark") {
+    val q = TelemetryStreams.dedupSpans(
+        TelemetryStreams.traceStream(spark, root))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // 3 spans were posted twice → 6 sealed rows → 3 after dedup
+    assert(spark.table("dedup").count() == 3)
+  }
+
+  test("per-trace rollup with flatMapGroupsWithState") {
+    val q = TelemetryStreams.traceRollup(
+        TelemetryStreams.traceStream(spark, root))
+      .writeStream.format("memory").queryName("rollup")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("rollup")
+    // running rollups per update; take the max per trace for finals
+    val finals = rows.groupBy("trace_id")
+      .agg(max("spans").as("spans"), max("error_spans").as("error_spans"))
+    val m = finals.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // two traces; fc60c has 2 distinct spans (x2 posts = 4), fc60d has 1 (x2)
+    assert(m("5b8efff798038103d269b633813fc60c")._1 == 4L)
+    assert(m("5b8efff798038103d269b633813fc60d")._1 == 2L)
+    assert(m("5b8efff798038103d269b633813fc60d")._2 == 2L) // error status spans
+  }
+}
