@@ -245,6 +245,27 @@ class OtlpReaderSpec extends SparkTestBase {
     finally java.nio.file.Files.delete(tmp)
   }
 
+  test("union and join across reader scans (read_otlp_concurrent.test)") {
+    val a = Otlp.readTraces(spark, s"$fx/traces_simple.jsonl")
+    val b = Otlp.readTraces(spark, s"$fx/traces_nulls.jsonl")
+    assert(a.unionAll(b).count() == 6)
+    val logs = Otlp.readLogs(spark, s"$fx/logs_simple.jsonl")
+    assert(a.join(logs, "trace_id").count() == 4) // 2 spans x 2 logs on fc60c
+  }
+
+  test("glob with a malformed member fails the whole scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("glob_malformed")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$fx/traces_simple.jsonl"),
+      tmp.resolve("traces_ok.jsonl"))
+    java.nio.file.Files.writeString(tmp.resolve("traces_bad.jsonl"), "{broken")
+    try intercept[Exception] {
+      Otlp.readTraces(spark, s"$tmp/traces_*.jsonl").count()
+    } finally {
+      tmp.toFile.listFiles().foreach(_.delete()); tmp.toFile.delete()
+    }
+  }
+
   test("SQL view over the reader works end-to-end (minimum slice)") {
     Otlp.readLogs(spark, s"$fx/logs_simple.jsonl").createOrReplaceTempView("otlp_logs_v")
     val rows = spark.sql(
