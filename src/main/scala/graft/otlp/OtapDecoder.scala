@@ -116,7 +116,18 @@ object OtapDecoder {
     * timestamps/durations → ns Long, binary → Array[Byte]). */
   private type ARow = Map[String, Any]
 
-  private def readTable(bytes: Array[Byte]): (IndexedSeq[ARow], Map[String, String]) = {
+  private def readTable(bytes: Array[Byte]): (IndexedSeq[ARow], Map[String, String]) =
+    try readTableInner(bytes)
+    catch {
+      case e: OtlpParseException => throw e
+      case e: Exception =>
+        // invalid/partial IPC (e.g. a dictionary-reuse continuation stream
+        // with no schema message) → parse error, not an engine crash
+        throw new OtlpParseException(
+          s"invalid OTAP Arrow IPC payload: ${e.getMessage}")
+    }
+
+  private def readTableInner(bytes: Array[Byte]): (IndexedSeq[ARow], Map[String, String]) = {
     val alloc = new RootAllocator()
     try {
       val reader = new ArrowStreamReader(
@@ -146,7 +157,11 @@ object OtapDecoder {
         }
         (rows.toIndexedSeq, meta.toMap)
       } finally reader.close()
-    } finally alloc.close()
+    } finally {
+      // a failed mid-stream read can leave buffers allocated; the close
+      // error would otherwise mask the real parse failure
+      try alloc.close() catch { case _: IllegalStateException => () }
+    }
   }
 
   private def cell(v: ValueVector, i: Int,

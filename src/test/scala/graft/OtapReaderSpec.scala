@@ -70,6 +70,19 @@ class OtapReaderSpec extends SparkTestBase {
     assert(otap.schema == otlp.schema)
   }
 
+  test("dictionary-reuse streams are rejected with a clear error (not garbage)") {
+    assume(available && new java.io.File(s"$corpus/logs-reuse.bar").exists())
+    // logs-reuse.bar carries continuation batches without schema messages —
+    // decodable only by a stateful per-stream decoder (the reference's own
+    // read_otap tests exercise only self-contained files too)
+    val e = intercept[Exception] {
+      Otlp.readOtapLogs(spark, s"$corpus/logs-reuse.bar").count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("OTLP parse error")), msgs(e).mkString("|"))
+  }
+
   test("otap value spot checks") {
     assume(available)
     val logs = Otlp.readOtapLogs(spark, s"$corpus/logs-initial.bar")
