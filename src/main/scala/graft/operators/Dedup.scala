@@ -47,13 +47,20 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("group_size"))
 
-  /** MinHash signature: k independent hash functions h_i(s) = md5(i ":" s),
-    * signature column mh_i = min over the doc's shingles. One wide aggregate —
-    * a single shuffle keyed by doc_id. */
+  /** MinHash signature: ONE md5 per shingle, with the k hash functions
+    * taken as k overlapping 16-hex-char (64-bit) fragments of the doubled
+    * digest (h_i = substr(h || h, 4i+1, 16)) — each fragment is a distinct
+    * 64-bit projection of the 128-bit digest, independent enough for
+    * min-wise hashing at 1/k the hash cost. Signature column mh_i = min
+    * over the doc's shingles. One wide aggregate — a single shuffle keyed
+    * by doc_id. */
   def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 8): DataFrame = {
+    require(k <= 8, "at most 8 64-bit fragments fit one md5 digest")
     val sh = shingles(docs, n)
+      .withColumn("h", md5(col("shingle")))
+      .withColumn("h2", concat(col("h"), col("h")))
     val aggs = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i"))
+      min(substring(col("h2"), 4 * i + 1, 16)).as(s"mh$i"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 

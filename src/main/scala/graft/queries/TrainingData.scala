@@ -21,14 +21,17 @@ object TrainingData {
     """toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
       |  x -> len(x) > 0) AS w FROM documents)""".stripMargin
 
-  /** Shared DuckDB CTE chain: word 3-gram shingles + 8 minhash columns. */
+  /** Shared DuckDB CTE chain: word 3-gram shingles + 8 minhash columns
+    * (one md5 per shingle; hash i = 16-hex-char fragment of the doubled
+    * digest at offset 4i — mirrors Dedup.minhashSignatures). */
   private val duckMinhashSig = {
     val mhCols = (0 until 8)
-      .map(i => s"min(md5(concat('$i:', shingle))) AS mh$i").mkString(",\n  ")
+      .map(i => s"min(substring(h2, ${4 * i + 1}, 16)) AS mh$i").mkString(",\n  ")
     s"""$duckWords,
-       |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
-       |  i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
-       |  FROM toks WHERE len(w) >= 3),
+       |sh AS (SELECT doc_id, concat(md5(shingle), md5(shingle)) AS h2 FROM (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
+       |    i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+       |  FROM toks WHERE len(w) >= 3) x),
        |sig AS (SELECT doc_id,
        |  $mhCols
        |  FROM sh GROUP BY doc_id)""".stripMargin
