@@ -188,12 +188,22 @@ object OtlpJsonParser {
 
   // ---- main entry ---------------------------------------------------------
 
-  def parse(content: Array[Byte], nsAsLong: Boolean = false): ParsedFile =
-    parseEnvelopes(envelopes(content), nsAsLong)
+  def parse(content: Array[Byte], nsAsLong: Boolean = false,
+            need: String => Boolean = _ => true): ParsedFile =
+    parseEnvelopes(envelopes(content), nsAsLong, need)
 
   /** Row-build from already-materialized envelope nodes (shared with the
-    * protobuf decoder, which converts wire format → the same node shape). */
-  def parseEnvelopes(envs: Iterator[JsonNode], nsAsLong: Boolean): ParsedFile = {
+    * protobuf decoder, which converts wire format → the same node shape).
+    *
+    * `need` is the projection predicate: columns it rejects are emitted as
+    * NULL and their (expensive) rendering — attribute-JSON serialization,
+    * events/links/exemplars arrays, service-triple extraction — is skipped
+    * entirely. This goes one step past the reference, whose parser
+    * materializes every column regardless of projection (its documented
+    * limitation, SURVEY §4.1). The full-width row layout is unchanged; the
+    * DSv2 reader projects by index afterwards. */
+  def parseEnvelopes(envs: Iterator[JsonNode], nsAsLong: Boolean,
+                     need: String => Boolean = _ => true): ParsedFile = {
     val logs = ArrayBuffer[Array[Any]]()
     val traces = ArrayBuffer[Array[Any]]()
     val gauge = ArrayBuffer[Array[Any]]()
@@ -202,6 +212,11 @@ object OtlpJsonParser {
     val expHist = ArrayBuffer[Array[Any]]()
     var skippedSummary = 0L
     var skippedInvalid = 0L
+
+    val needService = need("service_name") || need("service_namespace") ||
+      need("service_instance_id")
+    val needResAttrs = need("resource_attributes")
+    val needScopeAttrs = need("scope_attributes")
 
     envs.foreach { env =>
       if (!env.isObject)
@@ -215,14 +230,15 @@ object OtlpJsonParser {
 
       if (rls != null && rls.isArray) rls.forEach { rl =>
         val resource = get(rl, "resource", "resource")
-        val (svcName, svcNs, svcInst) = serviceTriple(resource)
-        val resAttrs = attrsJson(resource)
+        val (svcName, svcNs, svcInst) =
+          if (needService) serviceTriple(resource) else (null, null, null)
+        val resAttrs = if (needResAttrs) attrsJson(resource) else null
         val sls = get(rl, "scopeLogs", "scope_logs")
         if (sls != null && sls.isArray) sls.forEach { sl =>
           val scope = get(sl, "scope", "scope")
           val scopeName = if (scope == null) null else strOrNullIfEmpty(scope, "name", "name")
           val scopeVer = if (scope == null) null else strOrNullIfEmpty(scope, "version", "version")
-          val scopeAttrs = attrsJson(scope)
+          val scopeAttrs = if (needScopeAttrs) attrsJson(scope) else null
           val lrs = get(sl, "logRecords", "log_records")
           if (lrs != null && lrs.isArray) lrs.forEach { lr =>
             val sev = enumInt(lr, "severityNumber", "severity_number",
@@ -241,7 +257,7 @@ object OtlpJsonParser {
               eventName,
               AttrJson.anyValueToText(get(lr, "body", "body")),
               resAttrs, scopeName, scopeVer, scopeAttrs,
-              AttrJson.attrsToJson(attrsNode),
+              if (need("log_attributes")) AttrJson.attrsToJson(attrsNode) else null,
               Int.box(intField(lr, "droppedAttributesCount", "dropped_attributes_count")),
               Int.box(intField(lr, "flags", "flags")))
           }
@@ -250,14 +266,15 @@ object OtlpJsonParser {
 
       if (rss != null && rss.isArray) rss.forEach { rs =>
         val resource = get(rs, "resource", "resource")
-        val (svcName, svcNs, svcInst) = serviceTriple(resource)
-        val resAttrs = attrsJson(resource)
+        val (svcName, svcNs, svcInst) =
+          if (needService) serviceTriple(resource) else (null, null, null)
+        val resAttrs = if (needResAttrs) attrsJson(resource) else null
         val sss = get(rs, "scopeSpans", "scope_spans")
         if (sss != null && sss.isArray) sss.forEach { ss =>
           val scope = get(ss, "scope", "scope")
           val scopeName = if (scope == null) null else strOrNullIfEmpty(scope, "name", "name")
           val scopeVer = if (scope == null) null else strOrNullIfEmpty(scope, "version", "version")
-          val scopeAttrs = attrsJson(scope)
+          val scopeAttrs = if (needScopeAttrs) attrsJson(scope) else null
           val spans = get(ss, "spans", "spans")
           if (spans != null && spans.isArray) spans.forEach { sp =>
             val startNs = tsNanos(sp, "startTimeUnixNano", "start_time_unix_nano")
@@ -280,8 +297,11 @@ object OtlpJsonParser {
               Int.box(if (status == null) 0 else enumInt(status, "code", "code", StatusNames)),
               if (status == null) null else strOrNullIfEmpty(status, "message", "message"),
               resAttrs, scopeName, scopeVer, scopeAttrs,
-              AttrJson.attrsToJson(get(sp, "attributes", "attributes")),
-              jsonArray(get(sp, "events", "events")) { ev =>
+              if (need("span_attributes"))
+                AttrJson.attrsToJson(get(sp, "attributes", "attributes"))
+              else null,
+              if (!need("events_json")) null
+              else jsonArray(get(sp, "events", "events")) { ev =>
                 val o = new ObjectNode(nf)
                 tsNanos(ev, "timeUnixNano", "time_unix_nano")
                   .foreach(v => o.put("time_unix_nano", v))
@@ -292,7 +312,8 @@ object OtlpJsonParser {
                 if (d != 0) o.put("dropped_attributes_count", d)
                 o
               },
-              jsonArray(get(sp, "links", "links")) { lk =>
+              if (!need("links_json")) null
+              else jsonArray(get(sp, "links", "links")) { lk =>
                 val o = new ObjectNode(nf)
                 val t = hexId(lk, "traceId", "trace_id"); if (t != null) o.put("trace_id", t)
                 val s = hexId(lk, "spanId", "span_id"); if (s != null) o.put("span_id", s)
@@ -314,14 +335,15 @@ object OtlpJsonParser {
 
       if (rms != null && rms.isArray) rms.forEach { rm =>
         val resource = get(rm, "resource", "resource")
-        val (svcName, svcNs, svcInst) = serviceTriple(resource)
-        val resAttrs = attrsJson(resource)
+        val (svcName, svcNs, svcInst) =
+          if (needService) serviceTriple(resource) else (null, null, null)
+        val resAttrs = if (needResAttrs) attrsJson(resource) else null
         val sms = get(rm, "scopeMetrics", "scope_metrics")
         if (sms != null && sms.isArray) sms.forEach { sm =>
           val scope = get(sm, "scope", "scope")
           val scopeName = if (scope == null) null else strOrNullIfEmpty(scope, "name", "name")
           val scopeVer = if (scope == null) null else strOrNullIfEmpty(scope, "version", "version")
-          val scopeAttrs = attrsJson(scope)
+          val scopeAttrs = if (needScopeAttrs) attrsJson(scope) else null
           val metrics = get(sm, "metrics", "metrics")
           if (metrics != null && metrics.isArray) metrics.forEach { m =>
             val mName = str(m, "name", "name")
@@ -331,8 +353,11 @@ object OtlpJsonParser {
             def pointCommon(dp: JsonNode): (Any, Any, String, String, Int) = (
               tsCell(tsNanos(dp, "timeUnixNano", "time_unix_nano"), nsAsLong),
               tsCell(tsNanos(dp, "startTimeUnixNano", "start_time_unix_nano"), nsAsLong),
-              AttrJson.attrsToJson(get(dp, "attributes", "attributes")),
-              jsonArray(get(dp, "exemplars", "exemplars")) { ex =>
+              if (need("metric_attributes"))
+                AttrJson.attrsToJson(get(dp, "attributes", "attributes"))
+              else null,
+              if (!need("exemplars_json")) null
+              else jsonArray(get(dp, "exemplars", "exemplars")) { ex =>
                 val o = new ObjectNode(nf)
                 tsNanos(ex, "timeUnixNano", "time_unix_nano")
                   .foreach(v => o.put("time_unix_nano", v))

@@ -23,7 +23,8 @@ import java.nio.charset.StandardCharsets
 object OtlpProtoParser {
   private val nf = JsonNodeFactory.instance
 
-  def parse(content: Array[Byte], family: String, nsAsLong: Boolean): OtlpJsonParser.ParsedFile = {
+  def parse(content: Array[Byte], family: String, nsAsLong: Boolean,
+            need: String => Boolean = _ => true): OtlpJsonParser.ParsedFile = {
     val env = new ObjectNode(nf)
     val listName = family match {
       case "logs"    => "resourceLogs"
@@ -51,7 +52,7 @@ object OtlpProtoParser {
         throw new OtlpParseException(s"protobuf decode failed: ${e.getMessage}")
     }
     env.set[JsonNode](listName, arr)
-    OtlpJsonParser.parseEnvelopes(Iterator.single(env), nsAsLong)
+    OtlpJsonParser.parseEnvelopes(Iterator.single(env), nsAsLong, need)
   }
 
   // ---- wire reader --------------------------------------------------------

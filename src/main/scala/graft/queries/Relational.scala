@@ -143,6 +143,41 @@ object Relational {
         |    row_number() OVER (PARTITION BY n_regionkey ORDER BY n_name, n_nationkey) AS rn
         |  FROM nation) x
         |WHERE rn <= 2 ORDER BY n_regionkey, rn""".stripMargin),
+    // Q23b lead/lag window navigation (inter-event gaps per user)
+    sameSql("q23_lag_lead",
+      """SELECT user_id, event_id,
+        |  event_id - (lag(event_id) OVER w) AS gap_prev,
+        |  (lead(event_id) OVER w) - event_id AS gap_next
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY user_id, event_id LIMIT 100""".stripMargin),
+    // Q23c ntile bucketing
+    sameSql("q23_ntile",
+      """SELECT b, count(*) AS cnt, min(o_orderkey) AS min_key FROM (
+        |  SELECT o_orderkey, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS b
+        |  FROM orders) t
+        |GROUP BY b ORDER BY b""".stripMargin),
+    // Q23d first/last value over a frame
+    sameSql("q23_first_last",
+      """SELECT n_regionkey,
+        |  first_value(n_name) OVER w AS first_name,
+        |  last_value(n_name) OVER (PARTITION BY n_regionkey ORDER BY n_name
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_name
+        |FROM nation
+        |WINDOW w AS (PARTITION BY n_regionkey ORDER BY n_name)
+        |ORDER BY n_regionkey, first_name, last_name LIMIT 50""".stripMargin),
+    // Q7b statistical aggregates (sample stddev/variance, correlation)
+    sameSql("q07_stats_ext",
+      """SELECT round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+        |FROM lineitem""".stripMargin),
+    // Q7c argmin/argmax-style aggregates (dialect: max_by vs arg_max)
+    dialect("q07_arg_minmax",
+      """SELECT max_by(o_orderkey, o_totalprice) AS top_order,
+        |  min_by(o_orderkey, o_totalprice) AS bottom_order FROM orders""".stripMargin,
+      """SELECT arg_max(o_orderkey, o_totalprice) AS top_order,
+        |  arg_min(o_orderkey, o_totalprice) AS bottom_order FROM orders""".stripMargin),
     // Q24 date_trunc hour bucketing (ns-timestamp events table)
     dialect("q24_hour_bucket",
       """SELECT date_format(date_trunc('HOUR', ts), 'yyyy-MM-dd HH:mm:ss') AS h, count(*) AS cnt

@@ -173,7 +173,8 @@ class OtlpPartitionReader(partition: OtlpInputPartition, signal: String,
         buf
       } finally in.close()
     try {
-      val parsed = OtlpFormats.parse(content, format, nsAsLong, signal)
+      val needed = required.fieldNames.toSet
+      val parsed = OtlpFormats.parse(content, format, nsAsLong, signal, needed.contains)
       parsed.signal(signal).iterator
     } catch {
       case e: OtlpParseException =>
@@ -220,18 +221,22 @@ object OtlpFormats {
   def family(signal: String): String =
     if (signal.startsWith("metrics")) "metrics" else signal
 
-  /** auto: '{' (after whitespace) → OTLP JSON/JSONL; otherwise protobuf. */
+  /** auto: '{' (after whitespace) → OTLP JSON/JSONL; otherwise protobuf.
+    * `need` is the projection predicate — pruned columns skip their
+    * (expensive) rendering in the JSON/protobuf row builders. */
   def parse(content: Array[Byte], format: String, nsAsLong: Boolean,
-            signal: String): OtlpJsonParser.ParsedFile = format match {
-    case "otap" => graft.otlp.OtapDecoder.parse(content, nsAsLong)
-    case "otlp" | "auto" =>
-      var i = 0
-      while (i < content.length && Character.isWhitespace(content(i))) i += 1
-      if (content.isEmpty || (i < content.length && content(i) == '{'))
-        OtlpJsonParser.parse(content, nsAsLong)
-      else
-        graft.otlp.OtlpProtoParser.parse(content, family(signal), nsAsLong)
-    case other =>
-      throw new IllegalArgumentException(s"unknown otlp format '$other'")
-  }
+            signal: String,
+            need: String => Boolean = _ => true): OtlpJsonParser.ParsedFile =
+    format match {
+      case "otap" => graft.otlp.OtapDecoder.parse(content, nsAsLong)
+      case "otlp" | "auto" =>
+        var i = 0
+        while (i < content.length && Character.isWhitespace(content(i))) i += 1
+        if (content.isEmpty || (i < content.length && content(i) == '{'))
+          OtlpJsonParser.parse(content, nsAsLong, need)
+        else
+          graft.otlp.OtlpProtoParser.parse(content, family(signal), nsAsLong, need)
+      case other =>
+        throw new IllegalArgumentException(s"unknown otlp format '$other'")
+    }
 }

@@ -34,6 +34,22 @@ class OtlpReaderSpec extends SparkTestBase {
     assert(df.count() == 3)
   }
 
+  test("parser skips rendering pruned heavy columns (beats reference limitation)") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$fx/logs_simple.jsonl"))
+    val schema = graft.otlp.OtlpSchemas.logs()
+    val full = graft.otlp.OtlpJsonParser.parse(bytes)
+    val pruned = graft.otlp.OtlpJsonParser.parse(bytes, nsAsLong = false,
+      need = Set("body").contains)
+    val ra = schema.fieldIndex("resource_attributes")
+    val la = schema.fieldIndex("log_attributes")
+    assert(full.signal("logs").head(ra) != null)
+    assert(pruned.signal("logs").head(ra) == null)
+    assert(pruned.signal("logs").head(la) == null)
+    assert(pruned.signal("logs").head(schema.fieldIndex("body")) == "Application started")
+    assert(pruned.signal("logs").size == full.signal("logs").size)
+  }
+
   test("logs: int attribute rendered as JSON number") {
     val df = Otlp.readLogs(spark, s"$fx/logs_simple.jsonl")
     val warn = df.where(col("severity_text") === "WARN").first()
