@@ -101,19 +101,100 @@ class OtlpTable(schema: StructType, options: CaseInsensitiveStringMap)
 }
 
 class OtlpScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Opt-in (`filter_pushdown=true`): evaluate simple predicates inside the
+    * reader so non-matching rows are never emitted. The reference declares
+    * filter_pushdown=false, so OFF is the parity default. Every filter is
+    * also returned as unhandled — Catalyst re-applies them above the scan,
+    * so pushdown can only drop rows the filter would drop anyway (safe even
+    * where our null/type semantics are conservative). */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    if (options.getBoolean("filter_pushdown", false))
+      pushed = filters.filter(f => OtlpRowFilter.supports(f, fullSchema))
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
   override def build(): Scan = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val files = OtlpDataSource.resolveFiles(options, conf)
-    new OtlpScan(fullSchema, required, files, options)
+    new OtlpScan(fullSchema, required, files, options, pushed)
+  }
+}
+
+/** Row-level predicate evaluation over the parser's full-width rows
+  * (JVM values: String/Long/Int/Double/Boolean; timestamps excluded — their
+  * external filter values don't match the internal µs longs). */
+object OtlpRowFilter {
+  import org.apache.spark.sql.sources._
+
+  def supports(f: Filter, schema: StructType): Boolean = f match {
+    case EqualTo(a, _) => comparable(a, schema)
+    case GreaterThan(a, _) => comparable(a, schema)
+    case GreaterThanOrEqual(a, _) => comparable(a, schema)
+    case LessThan(a, _) => comparable(a, schema)
+    case LessThanOrEqual(a, _) => comparable(a, schema)
+    case In(a, _) => comparable(a, schema)
+    case IsNull(a) => schema.fieldNames.contains(a)
+    case IsNotNull(a) => schema.fieldNames.contains(a)
+    case StringContains(a, _) => isString(a, schema)
+    case StringStartsWith(a, _) => isString(a, schema)
+    case StringEndsWith(a, _) => isString(a, schema)
+    case And(l, r) => supports(l, schema) && supports(r, schema)
+    case Or(l, r) => supports(l, schema) && supports(r, schema)
+    case _ => false
+  }
+  private def comparable(name: String, schema: StructType): Boolean =
+    schema.fields.find(_.name == name).exists(f => f.dataType match {
+      case StringType | IntegerType | LongType | DoubleType | BooleanType => true
+      case _ => false
+    })
+  private def isString(name: String, schema: StructType): Boolean =
+    schema.fields.find(_.name == name).exists(_.dataType == StringType)
+
+  /** Evaluate a pushed filter against a full-width parser row. */
+  def eval(f: Filter, row: Array[Any], idx: Map[String, Int]): Boolean = f match {
+    case EqualTo(a, v) => cmp(row(idx(a)), v).contains(0)
+    case GreaterThan(a, v) => cmp(row(idx(a)), v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(row(idx(a)), v).exists(_ >= 0)
+    case LessThan(a, v) => cmp(row(idx(a)), v).exists(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(row(idx(a)), v).exists(_ <= 0)
+    case In(a, vs) => vs.exists(v => cmp(row(idx(a)), v).contains(0))
+    case IsNull(a) => row(idx(a)) == null
+    case IsNotNull(a) => row(idx(a)) != null
+    case StringContains(a, v) =>
+      row(idx(a)) match { case s: String => s.contains(v); case _ => false }
+    case StringStartsWith(a, v) =>
+      row(idx(a)) match { case s: String => s.startsWith(v); case _ => false }
+    case StringEndsWith(a, v) =>
+      row(idx(a)) match { case s: String => s.endsWith(v); case _ => false }
+    case And(l, r) => eval(l, row, idx) && eval(r, row, idx)
+    case Or(l, r) => eval(l, row, idx) || eval(r, row, idx)
+    case _ => true
+  }
+
+  /** Null-safe comparison of a row value with a filter literal. */
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (null, _) | (_, null) => None
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: Boolean, y: Boolean) => Some(x.compareTo(y))
+    case (x: Number, y: Number) =>
+      Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
+    case _ => None
   }
 }
 
 class OtlpScan(fullSchema: StructType, required: StructType,
-               files: Seq[(String, Long)], options: CaseInsensitiveStringMap)
+               files: Seq[(String, Long)], options: CaseInsensitiveStringMap,
+               pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics {
   private val signal = options.getOrDefault("signal", "logs")
   private val nsAsLong = options.getBoolean("ns_as_long", false)
@@ -124,7 +205,8 @@ class OtlpScan(fullSchema: StructType, required: StructType,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"otlp signal=$signal files=${files.size}"
+    s"otlp signal=$signal files=${files.size} " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(files.map(_._2).sum)
@@ -133,30 +215,36 @@ class OtlpScan(fullSchema: StructType, required: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     files.map { case (p, len) => OtlpInputPartition(p, len) }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new OtlpReaderFactory(signal, fullSchema, required, nsAsLong, format, maxBytes)
+    new OtlpReaderFactory(signal, fullSchema, required, nsAsLong, format,
+      maxBytes, pushed)
 }
 
 case class OtlpInputPartition(path: String, length: Long) extends InputPartition
 
 class OtlpReaderFactory(signal: String, fullSchema: StructType,
                         required: StructType, nsAsLong: Boolean,
-                        format: String, maxBytes: Long)
+                        format: String, maxBytes: Long,
+                        pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[OtlpInputPartition]
-    new OtlpPartitionReader(p, signal, fullSchema, required, nsAsLong, format, maxBytes)
+    new OtlpPartitionReader(p, signal, fullSchema, required, nsAsLong, format,
+      maxBytes, pushed)
   }
 }
 
 /** Reads one whole file, parses it, and emits pruned `InternalRow`s. */
 class OtlpPartitionReader(partition: OtlpInputPartition, signal: String,
                           fullSchema: StructType, required: StructType,
-                          nsAsLong: Boolean, format: String, maxBytes: Long)
+                          nsAsLong: Boolean, format: String, maxBytes: Long,
+                          pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReader[InternalRow] {
 
   private val projection: Array[Int] =
     required.fields.map(f => fullSchema.fieldIndex(f.name))
   private val types: Array[DataType] = required.fields.map(_.dataType)
+  private val colIdx: Map[String, Int] =
+    fullSchema.fieldNames.zipWithIndex.toMap
 
   private lazy val rows: Iterator[Array[Any]] = {
     if (partition.length > maxBytes)
@@ -186,17 +274,20 @@ class OtlpPartitionReader(partition: OtlpInputPartition, signal: String,
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    if (rows.hasNext) {
+    while (rows.hasNext) {
       val full = rows.next()
-      val vals = new Array[Any](projection.length)
-      var i = 0
-      while (i < projection.length) {
-        vals(i) = OtlpPartitionReader.toCatalyst(full(projection(i)), types(i))
-        i += 1
+      if (pushed.forall(f => OtlpRowFilter.eval(f, full, colIdx))) {
+        val vals = new Array[Any](projection.length)
+        var i = 0
+        while (i < projection.length) {
+          vals(i) = OtlpPartitionReader.toCatalyst(full(projection(i)), types(i))
+          i += 1
+        }
+        current = new GenericInternalRow(vals)
+        return true
       }
-      current = new GenericInternalRow(vals)
-      true
-    } else false
+    }
+    false
   }
   override def get(): InternalRow = current
   override def close(): Unit = ()

@@ -261,6 +261,26 @@ class OtlpReaderSpec extends SparkTestBase {
     finally java.nio.file.Files.delete(tmp)
   }
 
+  test("opt-in filter pushdown: identical results, filters reach the scan") {
+    val base = Otlp.readLogs(spark, s"$fx/logs_simple.jsonl")
+    val fp = Otlp.readLogs(spark, s"$fx/logs_simple.jsonl",
+      Map("filter_pushdown" -> "true"))
+    def q(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("severity_text") === "INFO" && col("trace_id").isNotNull)
+        .select("body")
+    assert(q(fp).collect().toSeq == q(base).collect().toSeq)
+    assert(q(fp).count() == 1)
+    // default (parity with the reference) pushes nothing
+    val scanDefault = q(base).queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scanDefault.contains("PushedFilters: []"), scanDefault)
+    val scanPushed = q(fp).queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scanPushed.contains("EqualTo(severity_text,INFO)"), scanPushed)
+    // range + string-match filters also push and stay correct
+    val r = fp.where(col("severity_number") >= 13 &&
+      col("body").contains("memory")).select("severity_text")
+    assert(r.collect().map(_.getString(0)).toSeq == Seq("WARN"))
+  }
+
   test("union and join across reader scans (read_otlp_concurrent.test)") {
     val a = Otlp.readTraces(spark, s"$fx/traces_simple.jsonl")
     val b = Otlp.readTraces(spark, s"$fx/traces_nulls.jsonl")
