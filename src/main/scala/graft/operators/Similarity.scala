@@ -87,6 +87,55 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF coarse quantizer with deterministic md5-derived random centroids
+    * (seed offset 1000 keeps them independent of the LSH planes): cell =
+    * argmax over centroids of cos-score dot(v,c)/|c|. Random centroids give
+    * a valid Voronoi partition without a training pass, so the assignment
+    * is a pure map — and fully reproducible in any engine. */
+  def ivfCentroid(p: Int, d: Int): Double = planeComponent(p + 1000, d)
+
+  /** vec_id, embedding, per-centroid score array, assigned cell (0-based;
+    * first-max wins on ties). Map-only. */
+  def ivfCells(emb: DataFrame, centroids: Int, dims: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val cents = array((0 until centroids).map(p =>
+      array((0 until dims).map(d => lit(ivfCentroid(p, d))): _*)): _*)
+    val norms = array((0 until centroids).map { p =>
+      val n = math.sqrt((0 until dims).map(d => ivfCentroid(p, d))
+        .foldLeft(0.0)((acc, x) => acc + x * x))
+      lit(n)
+    }: _*)
+    val scores = transform(sequence(lit(0), lit(centroids - 1)), p =>
+      dot(v, element_at(cents, p + 1)) / element_at(norms, p + 1))
+    emb.select(col(idCol), col(vecCol), scores.as("cell_scores"))
+      .withColumn("cell",
+        (array_position(col("cell_scores"), array_max(col("cell_scores"))) - 1)
+          .cast("int"))
+  }
+
+  /** IVF ANN top-k: probe the query's `nprobe` best cells (every cell whose
+    * query score reaches the nprobe-th largest — ties widen the probe set
+    * identically in any engine), exact cosine within probed cells. The cell
+    * id is a partition/bucket-friendly key: written bucketBy(cell), a probe
+    * touches only its cells' files. */
+  def annTopKIvf(emb: DataFrame, queryId: Long, k: Int, centroids: Int,
+                 nprobe: Int, dims: Int, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val cells = ivfCells(emb, centroids, dims, idCol, vecCol)
+    val q = broadcast(
+      cells.where(col(idCol) === queryId)
+        .select(asDouble(col(vecCol)).as("qv"),
+          col("cell_scores").as("qscores"))
+        .withColumn("thr", expr(s"sort_array(qscores, false)[${nprobe - 1}]")))
+    cells.where(col(idCol) =!= queryId)
+      .crossJoin(q)
+      .where(expr("element_at(qscores, cell + 1) >= thr"))
+      .select(col(idCol), round(cosine(asDouble(col(vecCol)), col("qv")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Near-duplicate detection by embedding cosine over an explicit pair list
     * (id_a, id_b): returns pairs with similarity >= threshold. */
   def embeddingNearDups(emb: DataFrame, pairs: DataFrame, threshold: Double,

@@ -182,6 +182,51 @@ object TrainingData {
         planes = 8, dims = 64)
     },
 
+    df("ss_ivf_cells",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cn AS (SELECT p, c, sqrt(list_sum(list_transform(generate_series(1, 64), i -> c[i] * c[i]))) AS nc
+        |  FROM (SELECT p, list_transform(generate_series(1, 64),
+        |    d -> (strpos('0123456789abcdef', substring(md5(concat(p + 1000, '_', d - 1)), 1, 1)) - 8.5)) AS c
+        |  FROM generate_series(0, 7) t(p)) x),
+        |scored AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN cn GROUP BY vec_id),
+        |cells AS (SELECT vec_id,
+        |  list_position(scores, list_aggregate(scores, 'max')) - 1 AS cell FROM scored)
+        |SELECT cell, count(*) AS cnt FROM cells GROUP BY cell ORDER BY cell""".stripMargin) {
+      (s, _) =>
+        Similarity.ivfCells(s.table("embeddings"), centroids = 8, dims = 64)
+          .groupBy("cell").agg(count(lit(1)).as("cnt"))
+          .orderBy("cell")
+    },
+
+    df("ss_ann_ivf",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cn AS (SELECT p, c, sqrt(list_sum(list_transform(generate_series(1, 64), i -> c[i] * c[i]))) AS nc
+        |  FROM (SELECT p, list_transform(generate_series(1, 64),
+        |    d -> (strpos('0123456789abcdef', substring(md5(concat(p + 1000, '_', d - 1)), 1, 1)) - 8.5)) AS c
+        |  FROM generate_series(0, 7) t(p)) x),
+        |scored AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN cn GROUP BY vec_id),
+        |cells AS (SELECT s.vec_id, e.v, s.scores,
+        |  list_position(s.scores, list_aggregate(s.scores, 'max')) - 1 AS cell
+        |  FROM scored s JOIN e ON e.vec_id = s.vec_id),
+        |q AS (SELECT v AS qv, scores AS qscores,
+        |  list_sort(scores, 'DESC')[2] AS thr FROM cells WHERE vec_id = 7),
+        |cand AS (SELECT c.vec_id, c.v, q.qv FROM cells c CROSS JOIN q
+        |  WHERE c.vec_id <> 7 AND q.qscores[c.cell + 1] >= q.thr),
+        |sims AS (SELECT vec_id,
+        |  list_sum(list_transform(generate_series(1, 64), i -> v[i] * qv[i])) AS dp,
+        |  sqrt(list_sum(list_transform(generate_series(1, 64), i -> v[i] * v[i]))) AS nv,
+        |  sqrt(list_sum(list_transform(generate_series(1, 64), i -> qv[i] * qv[i]))) AS nq
+        |  FROM cand)
+        |SELECT vec_id, round(dp / (nv * nq), 4) AS sim
+        |FROM sims ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) { (s, _) =>
+      Similarity.annTopKIvf(s.table("embeddings"), queryId = 7, k = 10,
+        centroids = 8, nprobe = 2, dims = 64)
+    },
+
     // ---- text analysis ----------------------------------------------------
 
     df("ta_token_count",
