@@ -85,4 +85,26 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       md5(concat_ws(" ", array_sort(array_distinct(words)))).as("fingerprint"))
   }
+
+  /** Winnowing fingerprints (Schleimer et al.): hash every character
+    * `k`-gram (rolling window over the text; hash = first 8 hex chars of
+    * md5), then keep the minimum hash of every `w`-hash window — the
+    * classic local fingerprinting scheme for near-copy detection. Returns
+    * one row per doc: the distinct selected hashes, sorted, plus their
+    * digest. Shuffle-free until the final per-doc aggregate. */
+  def winnowing(docs: DataFrame, k: Int = 8, w: Int = 4,
+                textCol: String = "text"): DataFrame = {
+    // entirely array-expression-based: one row in, one row out, no explode,
+    // no window sort, no shuffle — the rolling structure lives inside
+    // transform/slice over the per-doc hash array
+    docs.where(length(col(textCol)) >= k)
+      .select(col("doc_id"), lower(col(textCol)).as("t"))
+      .withColumn("hs", expr(
+        s"transform(sequence(1, length(t) - ${k - 1}), p -> substring(md5(substr(t, p, $k)), 1, 8))"))
+      .withColumn("fingerprints", expr(
+        s"sort_array(array_distinct(transform(sequence($w, size(hs)), i -> array_min(slice(hs, i - ${w - 1}, $w)))))"))
+      .select(col("doc_id"),
+        size(col("fingerprints")).cast("long").as("n_fingerprints"),
+        md5(concat_ws(",", col("fingerprints"))).as("fp_digest"))
+  }
 }

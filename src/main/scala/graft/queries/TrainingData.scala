@@ -289,6 +289,30 @@ object TrainingData {
       TextAnalysis.fingerprint(s.table("documents")).orderBy("doc_id").limit(100)
     },
 
+    df("ta_winnowing",
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 8),
+        |h AS (SELECT doc_id,
+        |  list_transform(generate_series(1, length(t) - 7),
+        |    p -> substring(md5(substr(t, p, 8)), 1, 8)) AS hs FROM d),
+        |fp AS (SELECT doc_id, list_sort(list_distinct(
+        |  list_transform(generate_series(4, len(hs)),
+        |    i -> list_aggregate(list_slice(hs, i - 3, i), 'min')))) AS l FROM h)
+        |SELECT doc_id, CAST(len(l) AS BIGINT) AS n_fingerprints,
+        |  md5(array_to_string(l, ',')) AS fp_digest
+        |FROM fp ORDER BY doc_id LIMIT 100""".stripMargin) { (s, _) =>
+      TextAnalysis.winnowing(s.table("documents"), k = 8, w = 4)
+        .orderBy("doc_id").limit(100)
+    },
+
+    dialect("ta_vocab",
+      """SELECT count(DISTINCT w) AS vocab, count(*) AS total_tokens FROM (
+        |  SELECT explode(filter(split(lower(text), '\\s+'), x -> length(x) > 0)) AS w
+        |  FROM documents) t""".stripMargin,
+      """SELECT count(DISTINCT w) AS vocab, count(*) AS total_tokens FROM (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS w
+        |  FROM documents) t""".stripMargin),
+
     df("ta_fingerprint_collisions",
       """SELECT count(DISTINCT md5(array_to_string(list_sort(list_distinct(
         |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0))), ' '))) AS distinct_fp,
