@@ -227,6 +227,56 @@ object TrainingData {
         centroids = 8, nprobe = 2, dims = 64)
     },
 
+    // class centroids: element-wise mean embedding per label (the building
+    // block of IVF training / prototype classifiers). posexplode ≡
+    // unnest+generate_subscripts; means are exact-order-independent enough
+    // after round(4) since addition groups per dimension in both engines.
+    df("ss_label_centroids",
+      """SELECT label, d, round(avg(val), 4) AS c FROM (
+        |  SELECT label, generate_subscripts(v, 1) AS d, unnest(v) AS val
+        |  FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings) e) t
+        |GROUP BY label, d ORDER BY label, d LIMIT 200""".stripMargin) { (s, _) =>
+      s.table("embeddings")
+        .select(col("label"), posexplode(Similarity.asDouble(col("embedding"))))
+        .select(col("label"), (col("pos") + 1).as("d"), col("col").as("val"))
+        .groupBy("label", "d").agg(round(avg("val"), 4).as("c"))
+        .orderBy("label", "d").limit(200)
+    },
+
+    // gap-based sessionization over the events stream (1h inactivity gap):
+    // session boundaries via lag + running sum — the standard large-scale
+    // sessionize; counts are oracle-exact on the raw ns timestamps.
+    dialect("ev_sessionize",
+      """WITH o AS (SELECT user_id, ts_ns,
+        |  CASE WHEN ts_ns - (lag(ts_ns) OVER w) > 3600000000000 OR (lag(ts_ns) OVER w) IS NULL
+        |       THEN 1 ELSE 0 END AS new_session
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+        |s AS (SELECT user_id, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ns
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM o)
+        |SELECT user_id, count(DISTINCT session_id) AS sessions, count(*) AS events
+        |FROM s GROUP BY user_id ORDER BY user_id LIMIT 100""".stripMargin,
+      """WITH o AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id FROM events),
+        |o2 AS (SELECT user_id, ts_ns,
+        |  CASE WHEN ts_ns - (lag(ts_ns) OVER w) > 3600000000000 OR (lag(ts_ns) OVER w) IS NULL
+        |       THEN 1 ELSE 0 END AS new_session
+        |FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+        |s AS (SELECT user_id, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ns
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM o2)
+        |SELECT user_id, count(DISTINCT session_id) AS sessions, count(*) AS events
+        |FROM s GROUP BY user_id ORDER BY user_id LIMIT 100""".stripMargin),
+
+    // heavy hitters: top-20 corpus tokens by frequency
+    dialect("ta_top_tokens",
+      """SELECT w, count(*) AS cnt FROM (
+        |  SELECT explode(filter(split(lower(text), '\\s+'), x -> length(x) > 0)) AS w
+        |  FROM documents) t
+        |GROUP BY w ORDER BY cnt DESC, w LIMIT 20""".stripMargin,
+      """SELECT w, count(*) AS cnt FROM (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS w
+        |  FROM documents) t
+        |GROUP BY w ORDER BY cnt DESC, w LIMIT 20""".stripMargin),
+
     // ---- text analysis ----------------------------------------------------
 
     df("ta_token_count",
