@@ -360,6 +360,42 @@ class OtlpServeSpec extends SparkTestBase {
     OtlpServe.otlpStop(spark, uri)
   }
 
+  test("concurrent producers: no lost rows, accepted == sealed (reconciliation)") {
+    val uri = "otlp:127.0.0.1:45828"
+    val r = OtlpServe.otlpServe(spark, uri,
+      Map("token" -> Token, "schema" -> "otlptest_conc",
+        "seal_max_age_ms" -> "500")).first()
+    val url = r.getAs[String]("listen_url")
+    val body = fixture("logs_simple.jsonl") // 3 rows per request
+    val threads = 8
+    val perThread = 20
+    val accepted = new java.util.concurrent.atomic.AtomicLong(0)
+    val pool = (0 until threads).map { _ =>
+      val t = new Thread(() => {
+        val c = HttpClient.newHttpClient()
+        (0 until perThread).foreach { _ =>
+          val resp = c.send(HttpRequest.newBuilder(URI.create(url + "/v1/logs"))
+            .header("Content-Type", "application/x-ndjson")
+            .header("Authorization", s"Bearer $Token")
+            .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+            HttpResponse.BodyHandlers.ofString())
+          if (resp.statusCode() == 202) accepted.addAndGet(3)
+        }
+      })
+      t.start(); t
+    }
+    pool.foreach(_.join())
+    assert(accepted.get() == threads * perThread * 3L)
+    // mid-load seals already ran (age 500ms); flush drains the rest
+    OtlpServe.otlpFlush(spark, uri)
+    val listed = OtlpServe.serverList(spark)
+      .where(col("listen_uri") === "otlp:127.0.0.1:45828").first()
+    assert(listed.getAs[Long]("committed_rows_total") == accepted.get())
+    assert(listed.getAs[Long]("buffered_rows") == 0L)
+    assert(spark.table("otlptest_conc.otlp_logs").count() == accepted.get())
+    OtlpServe.otlpStop(spark, uri)
+  }
+
   test("create_tables := false fails fast when tables are missing") {
     val e = intercept[Exception](OtlpServe.otlpServe(spark, "otlp:127.0.0.1:45827",
       Map("token" -> Token, "schema" -> "otlptest_missing",
