@@ -17,6 +17,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local SFs ship one small parquet file per table, which would pin
+      // CPU-bound per-row operators (md5-heavy dedup/fingerprinting) to a
+      // single task; smaller splits restore the parallelism a production
+      // many-file layout has by default
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
