@@ -214,9 +214,20 @@ class OtlpScan(fullSchema: StructType, required: StructType,
   }
   override def planInputPartitions(): Array[InputPartition] =
     files.map { case (p, len) => OtlpInputPartition(p, len) }.toArray
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // ship the driver's Hadoop conf entries to executors (s3a/abfs/gs
+    // credentials and endpoints live there; Configuration isn't
+    // serializable itself)
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val confEntries = {
+      val b = Map.newBuilder[String, String]
+      val it = conf.iterator()
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
     new OtlpReaderFactory(signal, fullSchema, required, nsAsLong, format,
-      maxBytes, pushed)
+      maxBytes, pushed, confEntries)
+  }
 }
 
 case class OtlpInputPartition(path: String, length: Long) extends InputPartition
@@ -224,12 +235,13 @@ case class OtlpInputPartition(path: String, length: Long) extends InputPartition
 class OtlpReaderFactory(signal: String, fullSchema: StructType,
                         required: StructType, nsAsLong: Boolean,
                         format: String, maxBytes: Long,
-                        pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+                        pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+                        confEntries: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[OtlpInputPartition]
     new OtlpPartitionReader(p, signal, fullSchema, required, nsAsLong, format,
-      maxBytes, pushed)
+      maxBytes, pushed, confEntries)
   }
 }
 
@@ -237,7 +249,8 @@ class OtlpReaderFactory(signal: String, fullSchema: StructType,
 class OtlpPartitionReader(partition: OtlpInputPartition, signal: String,
                           fullSchema: StructType, required: StructType,
                           nsAsLong: Boolean, format: String, maxBytes: Long,
-                          pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+                          pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+                          confEntries: Map[String, String] = Map.empty)
     extends PartitionReader[InternalRow] {
 
   private val projection: Array[Int] =
@@ -252,7 +265,9 @@ class OtlpPartitionReader(partition: OtlpInputPartition, signal: String,
         s"File ${partition.path} is ${partition.length} bytes which exceeds " +
           s"the ${maxBytes} byte limit")
     val path = new Path(partition.path)
-    val fs = path.getFileSystem(new Configuration())
+    val conf = new Configuration(false)
+    confEntries.foreach { case (k, v) => conf.set(k, v) }
+    val fs = path.getFileSystem(conf)
     val in = fs.open(path)
     val content =
       try {
