@@ -89,7 +89,17 @@ final class SealWriter(cfg: ServerConfig, spark: SparkSession) {
     val df = toDataFrame(batch)
     cfg.target match {
       case "catalog" =>
-        df.write.mode("append").insertInto(cfg.tableName(batch.signal))
+        // align by name with the live table schema: wide tables may carry
+        // extra trailing columns (the promotion / schema-evolution
+        // contract) — they NULL-fill, like the reference's column-targeted
+        // INSERT...SELECT
+        val table = cfg.tableName(batch.signal)
+        val target = spark.table(table).schema
+        val aligned = df.select(target.fields.map { f =>
+          if (df.columns.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
+        aligned.write.mode("append").insertInto(table)
       case "parquet" =>
         val tsCol =
           if (batch.signal == "traces") "start_time_unix_nano" else "time_unix_nano"

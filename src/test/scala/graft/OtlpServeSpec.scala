@@ -396,6 +396,34 @@ class OtlpServeSpec extends SparkTestBase {
     OtlpServe.otlpStop(spark, uri)
   }
 
+  test("wide tables: extra trailing columns NULL-fill at seal (schema evolution)") {
+    import org.apache.spark.sql.types._
+    // pre-create the six tables, one widened with an extra trailing column
+    spark.sql("CREATE DATABASE IF NOT EXISTS otlptest_wide")
+    graft.otlp.OtlpSchemas.Signals.foreach { s =>
+      val base = graft.otlp.OtlpSchemas.forSignal(s)
+      val schema =
+        if (s == "logs") StructType(base.fields :+ StructField("extra_note", StringType))
+        else base
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+        .write.mode("overwrite").saveAsTable(s"otlptest_wide.otlp_$s")
+    }
+    val uri = "otlp:127.0.0.1:45829"
+    OtlpServe.otlpServe(spark, uri,
+      Map("token" -> Token, "schema" -> "otlptest_wide", "create_tables" -> "false"))
+    val url = s"http://127.0.0.1:45829"
+    assert(post(url, "/v1/logs", fixture("logs_simple.jsonl"),
+      Map("Content-Type" -> "application/x-ndjson",
+        "Authorization" -> s"Bearer $Token")).statusCode() == 202)
+    val fl = OtlpServe.otlpFlush(spark, uri).first()
+    assert(fl.getAs[String]("status") == "sealed", fl.toString)
+    val t = spark.table("otlptest_wide.otlp_logs")
+    assert(t.count() == 3)
+    assert(t.where(col("extra_note").isNull).count() == 3)
+    assert(t.where(col("severity_text") === "INFO").count() == 1)
+    OtlpServe.otlpStop(spark, uri)
+  }
+
   test("create_tables := false fails fast when tables are missing") {
     val e = intercept[Exception](OtlpServe.otlpServe(spark, "otlp:127.0.0.1:45827",
       Map("token" -> Token, "schema" -> "otlptest_missing",
