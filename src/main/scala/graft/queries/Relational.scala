@@ -61,6 +61,9 @@ object Relational {
     sameSql("q08_percentile",
       """SELECT round(CAST(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE), 4) AS p95_price
         |FROM lineitem""".stripMargin),
+    // Q8b exact median
+    sameSql("q08_median",
+      "SELECT round(CAST(median(l_extendedprice) AS DOUBLE), 2) AS med_price FROM lineitem"),
     // Q9 count(DISTINCT)
     sameSql("q09_count_distinct",
       "SELECT count(DISTINCT c_nationkey) AS n_nations FROM customer"),
@@ -205,6 +208,13 @@ object Relational {
     sameSql("q29_string_fns",
       """SELECT count(*) AS cnt FROM part
         |WHERE length(p_name) > 9 AND lower(p_type) LIKE '%m%' AND upper(p_brand) LIKE 'BRAND#%'""".stripMargin),
+    // Q29b regexp extraction (first word of the type column); Spark string
+    // literals eat backslashes, DuckDB's don't — same regex, two spellings
+    dialect("q29_regexp_extract",
+      """SELECT regexp_extract(p_type, '^(\\w+)', 1) AS family, count(*) AS cnt
+        |FROM part GROUP BY 1 ORDER BY family""".stripMargin,
+      """SELECT regexp_extract(p_type, '^(\w+)', 1) AS family, count(*) AS cnt
+        |FROM part GROUP BY 1 ORDER BY family""".stripMargin),
     // Q30 hex/unhex/md5 round trip (binary length spelling differs)
     dialect("q30_hex_unhex",
       "SELECT count(*) AS cnt FROM part WHERE length(unhex(md5(p_name))) = 16",
