@@ -101,8 +101,13 @@ object TextAnalysis {
       .select(col("doc_id"), lower(col(textCol)).as("t"))
       .withColumn("hs", expr(
         s"transform(sequence(1, length(t) - ${k - 1}), p -> substring(md5(substr(t, p, $k)), 1, 8))"))
+      // guard: sequence(w, n) runs DESCENDING when n < w — a doc with fewer
+      // than w hashes must yield an empty fingerprint set, not slice(…, 0)
       .withColumn("fingerprints", expr(
-        s"sort_array(array_distinct(transform(sequence($w, size(hs)), i -> array_min(slice(hs, i - ${w - 1}, $w)))))"))
+        s"""CASE WHEN size(hs) >= $w
+           |THEN sort_array(array_distinct(transform(sequence($w, size(hs)),
+           |  i -> array_min(slice(hs, i - ${w - 1}, $w)))))
+           |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
       .select(col("doc_id"),
         size(col("fingerprints")).cast("long").as("n_fingerprints"),
         md5(concat_ws(",", col("fingerprints"))).as("fp_digest"))

@@ -30,7 +30,12 @@ object AttrJson {
       names.iterator.map(v.get).find(n => n != null && !n.isNull)
     f("stringValue", "string_value").map(n => nf.textNode(n.asText()))
       .orElse(f("boolValue", "bool_value").map(n => nf.booleanNode(n.asBoolean())))
-      .orElse(f("intValue", "int_value").map(n => nf.numberNode(n.asText().toLong)))
+      .orElse(f("intValue", "int_value").map { n =>
+        val l = try n.asText().toLong
+                catch { case _: NumberFormatException =>
+                  throw new OtlpParseException("Parse failed") }
+        nf.numberNode(l)
+      })
       .orElse(f("doubleValue", "double_value").map(n => nf.numberNode(n.asDouble())))
       .orElse(f("bytesValue", "bytes_value").map(n => nf.textNode(n.asText())))
       .orElse(f("arrayValue", "array_value").map { a =>

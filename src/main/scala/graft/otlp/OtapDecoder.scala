@@ -342,10 +342,13 @@ object OtapDecoder {
       else if (nsAsLong) ns
       else Math.floorDiv(ns, 1000L)
   }
+  /** Absent ids arrive as null vectors (OTAP) or empty strings (OTLP) →
+    * NULL; all-zero byte ids render as literal zeros, matching what the
+    * OTLP paths do with explicit "000…0" hex input. */
   private def hexOrNull(v: Any): String = v match {
     case null => null
     case b: Array[Byte] =>
-      if (b.isEmpty || b.forall(_ == 0) && false) null
+      if (b.isEmpty) null
       else {
         val sb = new StringBuilder(b.length * 2)
         b.foreach(x => sb.append(f"${x & 0xff}%02x"))

@@ -70,13 +70,25 @@ object OtlpJsonParser {
     if (s == null || s.isEmpty) null else s
   }
 
+  /** numeric text → BigInteger; malformed input is a parse error, not a
+    * bare NumberFormatException escaping the error contract. */
+  private def bigInt(txt: String): BigInteger =
+    try new BigInteger(txt)
+    catch { case _: NumberFormatException =>
+      throw new OtlpParseException("Parse failed") }
+
+  private def parseLong(txt: String): Long =
+    try txt.toLong
+    catch { case _: NumberFormatException =>
+      throw new OtlpParseException("Parse failed") }
+
   /** u64 ns timestamp → Some(ns Long); None for 0/absent; error past i64. */
   private def tsNanos(n: JsonNode, camel: String, snake: String): Option[Long] = {
     val v = get(n, camel, snake)
     if (v == null) return None
     val txt = v.asText()
     if (txt.isEmpty) return None
-    val bi = new BigInteger(txt)
+    val bi = bigInt(txt)
     if (bi.signum() < 0) throw new OtlpParseException("Parse failed")
     if (bi.compareTo(I64Max) > 0) throw new OtlpParseException("Parse failed")
     val l = bi.longValue()
@@ -87,7 +99,7 @@ object OtlpJsonParser {
   private def u64(n: JsonNode, camel: String, snake: String, default: Long = 0L): Long = {
     val v = get(n, camel, snake)
     if (v == null) return default
-    val bi = new BigInteger(v.asText())
+    val bi = bigInt(v.asText())
     if (bi.signum() < 0 || bi.compareTo(I64Max) > 0)
       throw new OtlpParseException("Parse failed")
     bi.longValue()
@@ -362,7 +374,7 @@ object OtlpJsonParser {
                 tsNanos(ex, "timeUnixNano", "time_unix_nano")
                   .foreach(v => o.put("time_unix_nano", v))
                 val ai = get(ex, "asInt", "as_int")
-                if (ai != null) o.put("as_int", ai.asText().toLong)
+                if (ai != null) o.put("as_int", parseLong(ai.asText()))
                 val ad = get(ex, "asDouble", "as_double")
                 if (ad != null) o.put("as_double", ad.asDouble())
                 val t = hexId(ex, "traceId", "trace_id"); if (t != null) o.put("trace_id", t)
@@ -377,7 +389,7 @@ object OtlpJsonParser {
             def numberValue(dp: JsonNode): Option[(Any, Any)] = {
               val ai = get(dp, "asInt", "as_int")
               val ad = get(dp, "asDouble", "as_double")
-              if (ai != null) Some((Long.box(ai.asText().toLong), null))
+              if (ai != null) Some((Long.box(parseLong(ai.asText())), null))
               else if (ad != null) {
                 val d = ad.asDouble()
                 if (d.isNaN || d.isInfinite) None
@@ -391,7 +403,7 @@ object OtlpJsonParser {
                 val out = new Array[Long](n.size)
                 var i = 0
                 n.forEach { x =>
-                  val bi = new BigInteger(x.asText())
+                  val bi = bigInt(x.asText())
                   if (bi.signum() < 0 || bi.compareTo(I64Max) > 0)
                     throw new OtlpParseException("Parse failed")
                   out(i) = bi.longValue(); i += 1

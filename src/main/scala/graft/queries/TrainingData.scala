@@ -247,20 +247,20 @@ object TrainingData {
     // session boundaries via lag + running sum — the standard large-scale
     // sessionize; counts are oracle-exact on the raw ns timestamps.
     dialect("ev_sessionize",
-      """WITH o AS (SELECT user_id, ts_ns,
+      """WITH o AS (SELECT user_id, ts_ns, event_id,
         |  CASE WHEN ts_ns - (lag(ts_ns) OVER w) > 3600000000000 OR (lag(ts_ns) OVER w) IS NULL
         |       THEN 1 ELSE 0 END AS new_session
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
-        |s AS (SELECT user_id, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ns
+        |s AS (SELECT user_id, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM o)
         |SELECT user_id, count(DISTINCT session_id) AS sessions, count(*) AS events
         |FROM s GROUP BY user_id ORDER BY user_id LIMIT 100""".stripMargin,
       """WITH o AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id FROM events),
-        |o2 AS (SELECT user_id, ts_ns,
+        |o2 AS (SELECT user_id, ts_ns, event_id,
         |  CASE WHEN ts_ns - (lag(ts_ns) OVER w) > 3600000000000 OR (lag(ts_ns) OVER w) IS NULL
         |       THEN 1 ELSE 0 END AS new_session
         |FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
-        |s AS (SELECT user_id, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ns
+        |s AS (SELECT user_id, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM o2)
         |SELECT user_id, count(DISTINCT session_id) AS sessions, count(*) AS events
         |FROM s GROUP BY user_id ORDER BY user_id LIMIT 100""".stripMargin),

@@ -181,13 +181,21 @@ object OtlpRowFilter {
     case _ => true
   }
 
-  /** Null-safe comparison of a row value with a filter literal. */
+  /** Null-safe comparison of a row value with a filter literal. Integral
+    * pairs compare exactly (doubles lose precision past 2^53 — ns values). */
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (null, _) | (_, null) => None
     case (x: String, y: String) => Some(x.compareTo(y))
     case (x: Boolean, y: Boolean) => Some(x.compareTo(y))
     case (x: Number, y: Number) =>
-      Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
+      def integral(n: Number) = n match {
+        case _: java.lang.Long | _: java.lang.Integer |
+             _: java.lang.Short | _: java.lang.Byte => true
+        case _ => false
+      }
+      if (integral(x) && integral(y))
+        Some(java.lang.Long.compare(x.longValue(), y.longValue()))
+      else Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
     case _ => None
   }
 }
@@ -327,20 +335,36 @@ object OtlpFormats {
   def family(signal: String): String =
     if (signal.startsWith("metrics")) "metrics" else signal
 
-  /** auto: '{' (after whitespace) → OTLP JSON/JSONL; otherwise protobuf.
-    * `need` is the projection predicate — pruned columns skip their
-    * (expensive) rendering in the JSON/protobuf row builders. */
+  /** auto: looks-like-JSON content tries the JSON parser first and falls
+    * back to protobuf on parse failure (a protobuf export starts with tag
+    * byte 0x0A — also '\n' — so whitespace-skipping alone can misroute a
+    * message whose first length byte is 0x7B '{'); anything else decodes as
+    * protobuf. `json`/`protobuf` force one path. `need` is the projection
+    * predicate — pruned columns skip their (expensive) rendering. */
   def parse(content: Array[Byte], format: String, nsAsLong: Boolean,
             signal: String,
             need: String => Boolean = _ => true): OtlpJsonParser.ParsedFile =
     format match {
-      case "otap" => graft.otlp.OtapDecoder.parse(content, nsAsLong)
+      case "otap"     => graft.otlp.OtapDecoder.parse(content, nsAsLong)
+      case "json"     => OtlpJsonParser.parse(content, nsAsLong, need)
+      case "protobuf" =>
+        graft.otlp.OtlpProtoParser.parse(content, family(signal), nsAsLong, need)
       case "otlp" | "auto" =>
         var i = 0
         while (i < content.length && Character.isWhitespace(content(i))) i += 1
-        if (content.isEmpty || (i < content.length && content(i) == '{'))
-          OtlpJsonParser.parse(content, nsAsLong, need)
-        else
+        val looksJson =
+          content.isEmpty || (i < content.length && content(i) == '{')
+        val jsonCertain = looksJson && (content.isEmpty || content(0) == '{')
+        if (jsonCertain) OtlpJsonParser.parse(content, nsAsLong, need)
+        else if (looksJson) {
+          // leading "whitespace" could be protobuf tag bytes — try JSON,
+          // fall back to the wire decoder on failure
+          try OtlpJsonParser.parse(content, nsAsLong, need)
+          catch {
+            case _: OtlpParseException =>
+              graft.otlp.OtlpProtoParser.parse(content, family(signal), nsAsLong, need)
+          }
+        } else
           graft.otlp.OtlpProtoParser.parse(content, family(signal), nsAsLong, need)
       case other =>
         throw new IllegalArgumentException(s"unknown otlp format '$other'")

@@ -228,13 +228,19 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
         if (!tryReserve(reserve)) {
           respond(ex, 503, """{"error":"ingest buffer over capacity"}"""); return
         }
+        var reserveTransferred = false
         try {
           val body =
             try decode(rawBytes, encoding)
-            catch { case e: Exception =>
-              release(reserve)
-              respond(ex, 400, s"""{"error":"decompress failed: ${esc(e.getMessage)}"}""")
-              return
+            catch {
+              case _: DecompressedTooLarge =>
+                release(reserve)
+                respond(ex, 413, """{"error":"decompressed body too large"}""")
+                return
+              case e: Exception =>
+                release(reserve)
+                respond(ex, 400, s"""{"error":"decompress failed: ${esc(e.getMessage)}"}""")
+                return
             }
           val parsed =
             try fmt match {
@@ -249,6 +255,7 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
             }
           val batches = countBatches(body, fmt)
           val rows = commitStaged(parsed, reserve)
+          reserveTransferred = true // buffers own the reservation now
           skippedSummary.addAndGet(parsed.skipped.summaryPoints)
           skippedInvalid.addAndGet(parsed.skipped.invalidPoints)
           val skipped = parsed.skipped.summaryPoints + parsed.skipped.invalidPoints
@@ -260,7 +267,9 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
             s"""{"status":"buffered","rows":$rows,"batches":$batches$skippedJson}""")
         } catch {
           case e: Exception =>
-            release(reserve)
+            // only release if the reservation wasn't handed to the buffers
+            // (a respond() failure after commit must not double-release)
+            if (!reserveTransferred) release(reserve)
             throw e
         }
     }
@@ -279,16 +288,30 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
     Some(out.toByteArray)
   }
 
-  private def decode(body: Array[Byte], encoding: String): Array[Byte] =
-    encoding match {
-      case "identity" => body
-      case "gzip" =>
-        val in = new GZIPInputStream(new java.io.ByteArrayInputStream(body))
-        try in.readAllBytes() finally in.close()
-      case "deflate" =>
-        val in = new InflaterInputStream(new java.io.ByteArrayInputStream(body))
-        try in.readAllBytes() finally in.close()
+  private final class DecompressedTooLarge extends RuntimeException
+
+  /** Decompress with a hard cap (8× the body cap): max_body_bytes limits
+    * only the wire size, so an unbounded inflate would be a decompression
+    * bomb against the driver. */
+  private def decode(body: Array[Byte], encoding: String): Array[Byte] = {
+    if (encoding == "identity") return body
+    val in: InputStream = encoding match {
+      case "gzip" => new GZIPInputStream(new java.io.ByteArrayInputStream(body))
+      case "deflate" => new InflaterInputStream(new java.io.ByteArrayInputStream(body))
     }
+    try {
+      val cap = 8L * cfg.maxBodyBytes
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        if (out.size() > cap) throw new DecompressedTooLarge
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } finally in.close()
+  }
 
   private def countBatches(body: Array[Byte], fmt: String): Int = fmt match {
     case "json" =>
@@ -415,9 +438,18 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
       sealEvents.addLast(ev)
       while (sealEvents.size() > SealHistoryCap) sealEvents.removeFirst()
     }
-    if (error == null && rowsSealed > 0) maybeMaintain()
+    if (error == null && rowsSealed > 0) {
+      // parquet targets: refresh the inspection views after data landed
+      if (cfg.target == "parquet" && !viewsCreated) {
+        try { writer.createInspectionViews(); viewsCreated = true }
+        catch { case _: Exception => () }
+      }
+      maybeMaintain()
+    }
     error
   }
+
+  @volatile private var viewsCreated = false
 
   private var sealsSinceMaintenance = 0L
 

@@ -125,13 +125,13 @@ final class SealWriter(cfg: ServerConfig, spark: SparkSession) {
   }
 
   /** Inspection views over the parquet export layout (reference creates
-    * a view via read_parquet over the recursive table glob after sealing). */
+    * a view via read_parquet over the recursive table glob after sealing).
+    * Partition discovery picks up the year=/month=/day= dirs natively. */
   def createInspectionViews(): Unit = {
     if (cfg.target == "parquet") OtlpSchemas.Signals.foreach { signal =>
       val dir = new java.io.File(s"${cfg.parquetRoot}/otlp_$signal")
       if (dir.exists()) {
-        spark.read.option("recursiveFileLookup", "false")
-          .parquet(dir.toString)
+        spark.read.parquet(dir.toString)
           .createOrReplaceTempView(s"otlp_$signal")
       }
     }

@@ -110,6 +110,9 @@ object ServerConfig {
       maxBufferedBytes = long("max_buffered_bytes", DefaultMaxBufferedBytes),
       maxBodyBytes = long("max_body_bytes", DefaultMaxBodyBytes),
       targetFileSize = long("target_file_size", 128L * 1024 * 1024),
+      // maps to the reference's lakehouse SNAPSHOT expiry (expire_older_than
+      // / delete_older_than); plain-parquet targets have no snapshots to
+      // expire, so the knob is validated for compatibility but a no-op here
       maintenanceRetentionMs = long("maintenance_retention_ms", 7L * 24 * 3600 * 1000),
       // reference cadence gates: >=32 row-seals AND >=5 min since last run
       maintenanceMinSeals = long("maintenance_min_seals", 32L),

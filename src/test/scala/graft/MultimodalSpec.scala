@@ -40,6 +40,21 @@ class MultimodalSpec extends SparkTestBase {
       f.feature.forall(v => v >= 0f && v < 1f)))
   }
 
+  test("winnowing handles docs shorter than one window (no crash, no prints)") {
+    import org.apache.spark.sql.types._
+    val short = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(1L, "tiny"),          // < k chars → filtered
+        org.apache.spark.sql.Row(2L, "ninechars"),     // 2 hashes < w → empty set
+        org.apache.spark.sql.Row(3L, "a decently long document body")),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val out = graft.operators.TextAnalysis.winnowing(short, k = 8, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!out.contains(1L))
+    assert(out(2L) == 0L)
+    assert(out(3L) > 0L)
+  }
+
   test("frameSampleStub yields n frames per video only") {
     val frames = Multimodal.frameSampleStub(Multimodal.asItems(media), n = 4)
     val videos = media.where(col("media_type") === "video").count()

@@ -186,6 +186,38 @@ class OtlpProtoSpec extends SparkTestBase {
     } finally Files.delete(p)
   }
 
+  test("auto-detect: proto whose length byte is 0x7b ('{') still decodes") {
+    // craft a request whose first resourceLogs submessage is exactly 123
+    // bytes: after skipping the 0x0A tag as whitespace, the sniffer sees
+    // '{' — the JSON attempt must fail over to the wire decoder
+    val res = resource(strAttr("service.name", "svc-padded-to-length-x"))
+    var rl = m().msg(1, res).msg(2, m().msg(1, scope("padscope"))
+      .msg(2, m().fixed64(1, 1640000000000000000L).vint(2, 9)
+        .msg(5, m().string(1, "x"))))
+    var bytes = rl.toBytes
+    // pad the scope name until the submessage is exactly 123 bytes
+    var pad = 0
+    while (bytes.length != 123 && pad < 200) {
+      pad += 1
+      rl = m().msg(1, res).msg(2, m().msg(1, scope("padscope" + "x" * pad))
+        .msg(2, m().fixed64(1, 1640000000000000000L).vint(2, 9)
+          .msg(5, m().string(1, "x"))))
+      bytes = rl.toBytes
+    }
+    assert(bytes.length == 123, s"could not pad to 123 (got ${bytes.length})")
+    val req = m().msg(1, rl).toBytes
+    assert(req(0) == 0x0a && req(1) == 0x7b, "fixture must hit the ambiguity")
+    val p = write(req)
+    try {
+      assert(Otlp.readLogs(spark, p.toString).count() == 1)
+      // explicit format overrides also work
+      assert(Otlp.readLogs(spark, p.toString, Map("format" -> "protobuf")).count() == 1)
+      intercept[Exception] {
+        Otlp.readLogs(spark, p.toString, Map("format" -> "json")).count()
+      }
+    } finally Files.delete(p)
+  }
+
   test("protobuf gauge + sum from one request") {
     val gdp = m().fixed64(3, 1640000065000000000L).double(4, 0.75)
     val sdp = m().fixed64(3, 1640000060000000000L).fixed64(6, -7L)

@@ -265,6 +265,19 @@ class OtlpServeSpec extends SparkTestBase {
       Map("Content-Type" -> "application/json", "Content-Encoding" -> "gzip",
         "Authorization" -> s"Bearer $Token"))
     assert(ok.statusCode() == 202, ok.body())
+
+    // decompression bomb: tiny gzip body expanding past 8x max_body_bytes
+    val bomb = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(new Array[Byte](64 * 1024)); g.close() // 64KB of zeros, ~80B gz
+      bos.toByteArray
+    }
+    assert(bomb.length < 256, s"bomb should compress tiny, got ${bomb.length}")
+    val boom = post(url, "/v1/logs", bomb,
+      Map("Content-Type" -> "application/json", "Content-Encoding" -> "gzip",
+        "Authorization" -> s"Bearer $Token"))
+    assert(boom.statusCode() == 413, boom.body())
     OtlpServe.otlpStop(spark, uri)
   }
 
