@@ -186,6 +186,22 @@ class OtlpProtoSpec extends SparkTestBase {
     } finally Files.delete(p)
   }
 
+  test("reference-generated .pb fixtures decode (read_otlp_protobuf.test)") {
+    val refData = "/root/reference/test/data"
+    assume(new java.io.File(refData).isDirectory)
+    val traces = Otlp.readTraces(spark, s"$refData/otlp_traces.pb")
+    assert(traces.count() == 1)
+    val t = traces.first()
+    assert(t.getAs[String]("trace_id").nonEmpty)
+    assert(t.getAs[String]("span_id").nonEmpty)
+    assert(Seq("test-service", "trace-service").contains(t.getAs[String]("service_name")))
+    assert(!t.isNullAt(t.fieldIndex("start_time_unix_nano")))
+    assert(Otlp.readLogs(spark, s"$refData/otlp_logs.pb").count() >= 1)
+    val gauges = Otlp.readMetricsGauge(spark, s"$refData/otlp_metrics.pb").count()
+    val sums = Otlp.readMetricsSum(spark, s"$refData/otlp_metrics.pb").count()
+    assert(gauges + sums >= 1)
+  }
+
   test("auto-detect: proto whose length byte is 0x7b ('{') still decodes") {
     // craft a request whose first resourceLogs submessage is exactly 123
     // bytes: after skipping the 0x0A tag as whitespace, the sniffer sees
