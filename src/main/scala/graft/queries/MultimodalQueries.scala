@@ -44,17 +44,23 @@ object MultimodalQueries {
         .toDF().orderBy("media_id").limit(100)
     },
 
+    // feature vector exploded to (media_id, dim, v) rows: the driver's
+    // comparator sorts + hashes cell values and cannot handle top-level
+    // arrays, and per-cell doubles get its float normalization for free
     df("mm_feature_stub",
-      s"""WITH hx AS (SELECT doc_id, concat(md5(text), md5(concat('2:', text))) AS h FROM documents),
+      s"""WITH hx AS (SELECT doc_id, concat(md5(text), md5(concat('2:', text))) AS h
+         |  FROM documents ORDER BY doc_id LIMIT 100),
          |bytes AS (SELECT doc_id, i, ${byteAt("i")} AS b
          |  FROM hx CROSS JOIN generate_series(0, 31) t(i)),
          |f AS (SELECT doc_id, i % 8 AS d, avg(b) / 256 AS v
          |  FROM bytes GROUP BY doc_id, i % 8)
-         |SELECT doc_id AS media_id, array_agg(v ORDER BY d) AS feature
-         |FROM f GROUP BY doc_id ORDER BY media_id LIMIT 100""".stripMargin) { (s, _) =>
+         |SELECT doc_id AS media_id, d AS dim, v
+         |FROM f ORDER BY media_id, dim""".stripMargin) { (s, _) =>
       Multimodal.featureStub(Multimodal.asItems(
           Multimodal.fromDocuments(s.table("documents"))), dims = 8)
         .toDF().orderBy("media_id").limit(100)
+        .select(col("media_id"), posexplode(col("feature")).as(Seq("dim", "v")))
+        .orderBy("media_id", "dim")
     },
 
     df("mm_frame_sample",

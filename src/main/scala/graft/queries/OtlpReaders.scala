@@ -4,52 +4,208 @@ import graft.{Otlp, QSpec}
 import graft.QSpec._
 import org.apache.spark.sql.functions._
 
-/** The OTLP reader surface exposed as registry queries (rows-only driver
-  * checks — DuckDB has no OTLP extension loaded on the oracle side, so the
-  * value-level goldens live in OtlpReaderSpec/OtlpProtoSpec/OtapReaderSpec).
-  * Fixture inputs ship with the repo; paths are absolute because the driver
-  * runs Verify from its own working directory. */
+/** The OTLP reader surface exposed as registry queries, each with a real
+  * DuckDB oracle that `read_json`s the SAME JSONL fixture and recomputes the
+  * flattening (µs timestamps, lowercase hex ids, sorted-key compact attribute
+  * JSON) — so the driver hash-checks values, not just row counts.
+  *
+  * Timestamps are projected through date_format/strftime to a µs string on
+  * BOTH sides: the comparator equates values after a column sort, and a
+  * string sidesteps tz-aware-vs-naive datetime mismatches between Spark
+  * parquet and DuckDB arrow output. Array columns (histogram buckets) are
+  * joined to csv strings for the same reason — the driver's sorter cannot
+  * hash numpy arrays.
+  *
+  * Deeper value-level goldens (every column, nulls, proto/OTAP parity) live
+  * in OtlpReaderSpec/OtlpProtoSpec/OtapReaderSpec. Fixture paths are
+  * absolute because the driver runs Verify from its own working directory. */
 object OtlpReaders {
   private val fx = "/root/repo/src/test/resources/otlp"
 
+  private val TsFmtSpark = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private val TsFmtDuck = "%Y-%m-%d %H:%M:%S.%f"
+
+  /** DuckDB STRUCT type text of an OTLP attribute list whose values are
+    * strings or ints (all these fixtures use). */
+  private val AttrsT =
+    """STRUCT("key" VARCHAR, "value" STRUCT(stringValue VARCHAR, intValue VARCHAR))[]"""
+
+  /** DuckDB: attribute list -> compact key-sorted JSON object text, scalars
+    * rendered natively (string/number) — mirrors graft.otlp.AttrJson. */
+  private def duckAttrs(col: String): String =
+    s"""to_json(map_from_entries(list_sort(list_transform($col, kv ->
+       |  {k: kv."key", v: CASE WHEN kv."value".stringValue IS NOT NULL
+       |                        THEN to_json(kv."value".stringValue)
+       |                        ELSE to_json(CAST(kv."value".intValue AS BIGINT)) END}))))::VARCHAR""".stripMargin
+
+  /** DuckDB: service.name out of a resource-attribute list. */
+  private def duckService(col: String): String =
+    s"""(list_filter($col, a -> a."key" = 'service.name')[1])."value".stringValue"""
+
+  private def duckTs(expr: String): String =
+    s"strftime(make_timestamp(CAST($expr AS BIGINT) // 1000), '$TsFmtDuck')"
+
+  private val logsRecT =
+    s"""STRUCT(resource STRUCT(attributes $AttrsT),
+       |  scopeLogs STRUCT("scope" STRUCT("name" VARCHAR),
+       |    logRecords STRUCT(timeUnixNano VARCHAR, severityNumber INTEGER,
+       |      severityText VARCHAR, body STRUCT(stringValue VARCHAR),
+       |      attributes $AttrsT, traceId VARCHAR, spanId VARCHAR)[])[])[]""".stripMargin
+
+  private def logsFlat(path: String): String =
+    s"""SELECT rl.resource AS res, lr.*
+       |FROM read_json('$path', format='newline_delimited',
+       |       columns={resourceLogs: '$logsRecT'}),
+       |  unnest(resourceLogs) AS a(rl),
+       |  unnest(rl.scopeLogs) AS b(sl),
+       |  unnest(sl.logRecords) AS c(lr)""".stripMargin
+
+  private val spansRecT =
+    s"""STRUCT(resource STRUCT(attributes $AttrsT),
+       |  scopeSpans STRUCT("scope" STRUCT("name" VARCHAR),
+       |    spans STRUCT(traceId VARCHAR, spanId VARCHAR, parentSpanId VARCHAR,
+       |      "name" VARCHAR, kind INTEGER, startTimeUnixNano VARCHAR,
+       |      endTimeUnixNano VARCHAR, attributes $AttrsT,
+       |      status STRUCT(code INTEGER, message VARCHAR))[])[])[]""".stripMargin
+
+  private val metricsRecT =
+    s"""STRUCT(resource STRUCT(attributes $AttrsT),
+       |  scopeMetrics STRUCT("scope" STRUCT("name" VARCHAR),
+       |    metrics STRUCT("name" VARCHAR, description VARCHAR, unit VARCHAR,
+       |      gauge STRUCT(dataPoints STRUCT(timeUnixNano VARCHAR,
+       |        asInt VARCHAR, asDouble DOUBLE, attributes $AttrsT)[]),
+       |      "sum" STRUCT(dataPoints STRUCT(timeUnixNano VARCHAR,
+       |        asInt VARCHAR, asDouble DOUBLE, attributes $AttrsT)[],
+       |        aggregationTemporality INTEGER, isMonotonic BOOLEAN),
+       |      histogram STRUCT(dataPoints STRUCT(timeUnixNano VARCHAR,
+       |        count BIGINT, "sum" DOUBLE, bucketCounts BIGINT[],
+       |        explicitBounds DOUBLE[], attributes $AttrsT)[],
+       |        aggregationTemporality INTEGER),
+       |      exponentialHistogram STRUCT(dataPoints STRUCT(timeUnixNano VARCHAR,
+       |        count VARCHAR, "sum" DOUBLE, scale INTEGER, zeroCount VARCHAR,
+       |        positive STRUCT("offset" INTEGER, bucketCounts VARCHAR[]),
+       |        negative STRUCT("offset" INTEGER, bucketCounts VARCHAR[]))[],
+       |        aggregationTemporality INTEGER))[])[])[]""".stripMargin
+
+  private def metricsFlat(path: String): String =
+    s"""SELECT rm.resource AS res, mt.*
+       |FROM read_json('$path', format='newline_delimited',
+       |       columns={resourceMetrics: '$metricsRecT'}),
+       |  unnest(resourceMetrics) AS a(rm),
+       |  unnest(rm.scopeMetrics) AS b(sm),
+       |  unnest(sm.metrics) AS c(mt)""".stripMargin
+
   val all: Seq[QSpec] = Seq(
-    noOracle("otlp_read_logs") { (s, _) =>
+    df("otlp_read_logs",
+      s"""WITH rec AS (${logsFlat(s"$fx/logs_simple.jsonl")})
+         |SELECT ${duckTs("timeUnixNano")} AS time_unix_nano,
+         |  ${duckService("res.attributes")} AS service_name,
+         |  severityText AS severity_text,
+         |  body.stringValue AS body,
+         |  lower(traceId) AS trace_id,
+         |  ${duckAttrs("attributes")} AS log_attributes
+         |FROM rec ORDER BY time_unix_nano""".stripMargin) { (s, _) =>
       Otlp.readLogs(s, s"$fx/logs_simple.jsonl")
-        .select("time_unix_nano", "service_name", "severity_text", "body",
-          "trace_id", "log_attributes")
+        .select(
+          date_format(col("time_unix_nano"), TsFmtSpark).as("time_unix_nano"),
+          col("service_name"), col("severity_text"), col("body"),
+          col("trace_id"), col("log_attributes"))
         .orderBy("time_unix_nano")
     },
-    noOracle("otlp_read_traces") { (s, _) =>
+
+    df("otlp_read_traces",
+      s"""WITH rec AS (
+         |  SELECT sp.* FROM read_json('$fx/traces_simple.jsonl',
+         |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
+         |    unnest(resourceSpans) AS a(rs),
+         |    unnest(rs.scopeSpans) AS b(ss),
+         |    unnest(ss.spans) AS c(sp))
+         |SELECT ${duckTs("startTimeUnixNano")} AS start_time_unix_nano,
+         |  lower(traceId) AS trace_id, lower(spanId) AS span_id, "name",
+         |  kind,
+         |  CAST(endTimeUnixNano AS BIGINT) - CAST(startTimeUnixNano AS BIGINT)
+         |    AS duration_time_unix_nano,
+         |  status.code AS status_code
+         |FROM rec ORDER BY start_time_unix_nano, span_id""".stripMargin) { (s, _) =>
       Otlp.readTraces(s, s"$fx/traces_simple.jsonl")
-        .select("start_time_unix_nano", "trace_id", "span_id", "name", "kind",
-          "duration_time_unix_nano", "status_code")
+        .select(
+          date_format(col("start_time_unix_nano"), TsFmtSpark).as("start_time_unix_nano"),
+          col("trace_id"), col("span_id"), col("name"), col("kind"),
+          col("duration_time_unix_nano"), col("status_code"))
         .orderBy("start_time_unix_nano", "span_id")
     },
-    noOracle("otlp_read_metrics_gauge") { (s, _) =>
+
+    df("otlp_read_metrics_gauge",
+      s"""WITH m AS (${metricsFlat(s"$fx/metrics_all_types.jsonl")})
+         |SELECT ${duckTs("dp.timeUnixNano")} AS time_unix_nano,
+         |  m."name" AS "name", dp.asDouble AS double_value,
+         |  ${duckAttrs("dp.attributes")} AS metric_attributes
+         |FROM m, unnest(m.gauge.dataPoints) AS d(dp)
+         |ORDER BY "name"""".stripMargin) { (s, _) =>
       Otlp.readMetricsGauge(s, s"$fx/metrics_all_types.jsonl")
-        .select("time_unix_nano", "name", "double_value", "metric_attributes")
+        .select(
+          date_format(col("time_unix_nano"), TsFmtSpark).as("time_unix_nano"),
+          col("name"), col("double_value"), col("metric_attributes"))
         .orderBy("name")
     },
-    noOracle("otlp_read_metrics_sum") { (s, _) =>
+
+    df("otlp_read_metrics_sum",
+      s"""WITH m AS (${metricsFlat(s"$fx/metrics_all_types.jsonl")})
+         |SELECT ${duckTs("dp.timeUnixNano")} AS time_unix_nano,
+         |  m."name" AS "name", CAST(dp.asInt AS BIGINT) AS int_value,
+         |  m."sum".aggregationTemporality AS aggregation_temporality,
+         |  m."sum".isMonotonic AS is_monotonic
+         |FROM m, unnest(m."sum".dataPoints) AS d(dp)
+         |ORDER BY "name"""".stripMargin) { (s, _) =>
       Otlp.readMetricsSum(s, s"$fx/metrics_all_types.jsonl")
-        .select("time_unix_nano", "name", "int_value",
-          "aggregation_temporality", "is_monotonic")
+        .select(
+          date_format(col("time_unix_nano"), TsFmtSpark).as("time_unix_nano"),
+          col("name"), col("int_value"), col("aggregation_temporality"),
+          col("is_monotonic"))
         .orderBy("name")
     },
-    noOracle("otlp_read_metrics_histogram") { (s, _) =>
+
+    df("otlp_read_metrics_histogram",
+      s"""WITH m AS (${metricsFlat(s"$fx/metrics_all_types.jsonl")})
+         |SELECT m."name" AS "name", dp.count AS count, dp."sum" AS "sum",
+         |  array_to_string(dp.bucketCounts, ',') AS bucket_counts,
+         |  array_to_string(dp.explicitBounds, ',') AS explicit_bounds,
+         |  m.histogram.aggregationTemporality AS aggregation_temporality
+         |FROM m, unnest(m.histogram.dataPoints) AS d(dp)
+         |ORDER BY "name"""".stripMargin) { (s, _) =>
       Otlp.readMetricsHistogram(s, s"$fx/metrics_all_types.jsonl")
-        .select("name", "count", "sum", "bucket_counts", "explicit_bounds",
-          "aggregation_temporality")
+        .select(col("name"), col("count"), col("sum"),
+          array_join(col("bucket_counts").cast("array<string>"), ",").as("bucket_counts"),
+          array_join(col("explicit_bounds").cast("array<string>"), ",").as("explicit_bounds"),
+          col("aggregation_temporality"))
         .orderBy("name")
     },
-    noOracle("otlp_read_metrics_exp_histogram") { (s, _) =>
+
+    df("otlp_read_metrics_exp_histogram",
+      s"""WITH m AS (${metricsFlat(s"$fx/metrics_all_types.jsonl")})
+         |SELECT m."name" AS "name", CAST(dp.count AS BIGINT) AS count,
+         |  dp.scale AS scale, CAST(dp.zeroCount AS BIGINT) AS zero_count,
+         |  dp.positive."offset" AS positive_offset,
+         |  array_to_string(dp.positive.bucketCounts, ',') AS positive_bucket_counts,
+         |  dp.negative."offset" AS negative_offset,
+         |  array_to_string(dp.negative.bucketCounts, ',') AS negative_bucket_counts
+         |FROM m, unnest(m.exponentialHistogram.dataPoints) AS d(dp)
+         |ORDER BY "name"""".stripMargin) { (s, _) =>
       Otlp.readMetricsExpHistogram(s, s"$fx/metrics_all_types.jsonl")
-        .select("name", "count", "scale", "zero_count", "positive_offset",
-          "positive_bucket_counts", "negative_offset", "negative_bucket_counts")
+        .select(col("name"), col("count"), col("scale"), col("zero_count"),
+          col("positive_offset"),
+          array_join(col("positive_bucket_counts").cast("array<string>"), ",").as("positive_bucket_counts"),
+          col("negative_offset"),
+          array_join(col("negative_bucket_counts").cast("array<string>"), ",").as("negative_bucket_counts"))
         .orderBy("name")
     },
+
     // aggregation over a reader scan: the minimum end-to-end slice widened
-    noOracle("otlp_logs_severity_rollup") { (s, _) =>
+    df("otlp_logs_severity_rollup",
+      s"""WITH rec AS (${logsFlat(s"$fx/logs_simple.jsonl")})
+         |SELECT ${duckService("res.attributes")} AS service_name,
+         |  severityText AS severity_text, count(*) AS cnt
+         |FROM rec GROUP BY 1, 2 ORDER BY service_name, severity_text""".stripMargin) { (s, _) =>
       Otlp.readLogs(s, s"$fx/logs_simple.jsonl")
         .groupBy("service_name", "severity_text")
         .agg(count(lit(1)).as("cnt"))
