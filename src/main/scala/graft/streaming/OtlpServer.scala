@@ -13,8 +13,9 @@ import java.util.zip.{GZIPInputStream, InflaterInputStream}
 import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 
-/** One sealed batch of a single signal. */
-final case class SealBatch(signal: String, rows: IndexedSeq[Array[Any]],
+/** One sealed batch of a single signal; rows are UnsafeRow byte images
+  * (encoded by RowBin on the HTTP worker threads at admission). */
+final case class SealBatch(signal: String, rows: IndexedSeq[Array[Byte]],
                            admittedBytes: Long, firstUnsealedAtMs: Long)
 
 /** Per-seal telemetry event (otlp_seal_list). */
@@ -59,7 +60,7 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
 
   private final class Buffer(val signal: String) {
     val lock = new Object
-    var rows = new ArrayBuffer[Array[Any]]()
+    var rows = new ArrayBuffer[Array[Byte]]()
     var admittedBytes = 0L
     var firstUnsealedAtMs = -1L
   }
@@ -254,7 +255,21 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
                 return
             }
           val batches = countBatches(body, fmt)
-          val rows = commitStaged(parsed, reserve)
+          // encode to UnsafeRow images HERE, on the (many) worker threads,
+          // so the single sealer thread ships ready bytes — this is where
+          // the seal pipeline's per-row conversion cost is paid, 32-wide
+          val encoded =
+            try Signals.map(s => s -> {
+              val bin = RowBin.forSignal(s)
+              parsed.signal(s).map(bin.toBytes)
+            }).filter(_._2.nonEmpty)
+            catch {
+              case e: Exception =>
+                release(reserve)
+                respond(ex, 400, s"""{"error":"row encode failed: ${esc(e.getMessage)}"}""")
+                return
+            }
+          val rows = commitStaged(encoded, reserve)
           reserveTransferred = true // buffers own the reservation now
           skippedSummary.addAndGet(parsed.skipped.summaryPoints)
           skippedInvalid.addAndGet(parsed.skipped.invalidPoints)
@@ -313,10 +328,22 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
     } finally in.close()
   }
 
+  /** Envelope count for the response JSON: non-blank lines, counted at the
+    * byte level — decoding the (≤16 MiB) body to a String on the hot ingest
+    * path just to split it was measurable overhead. */
   private def countBatches(body: Array[Byte], fmt: String): Int = fmt match {
     case "json" =>
-      val t = new String(body, StandardCharsets.UTF_8)
-      math.max(1, t.split("\n").count(_.trim.nonEmpty))
+      var count = 0
+      var lineHasInk = false
+      var i = 0
+      while (i < body.length) {
+        val b = body(i)
+        if (b == '\n') { if (lineHasInk) count += 1; lineHasInk = false }
+        else if (b != ' ' && b != '\t' && b != '\r') lineHasInk = true
+        i += 1
+      }
+      if (lineHasInk) count += 1
+      math.max(1, count)
     case _ => 1
   }
 
@@ -334,10 +361,11 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
 
   /** Move all staged signals into the live buffers; admitted bytes split by
     * rows with the remainder on the last non-empty signal. Returns rows. */
-  private def commitStaged(parsed: OtlpJsonParser.ParsedFile, bytes: Long): Long = {
-    val nonEmpty = Signals.map(s => s -> parsed.signal(s)).filter(_._2.nonEmpty)
+  private def commitStaged(nonEmpty: Seq[(String, IndexedSeq[Array[Byte]])],
+                           bytes: Long): Long = {
     val totalRows = nonEmpty.map(_._2.size.toLong).sum
     if (totalRows == 0) { release(bytes); return 0 }
+    admittedBytesTotal.addAndGet(bytes)
     val now = System.currentTimeMillis()
     var remaining = bytes
     nonEmpty.zipWithIndex.foreach { case ((signal, rows), i) =>
@@ -385,7 +413,7 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
   private def sealOnce(trigger: String): String = writerMutex.synchronized {
     val t0 = System.currentTimeMillis()
     // swap all buffers for fresh ones with every lock held (pre-allocated)
-    val fresh = Signals.map(_ => new ArrayBuffer[Array[Any]]()).toArray
+    val fresh = Signals.map(_ => new ArrayBuffer[Array[Byte]]()).toArray
     val batches: Seq[SealBatch] =
       Signals.zipWithIndex.map { case (s, i) =>
         val b = buffers(s)
@@ -402,28 +430,43 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
     var rowsSealed = 0L
     var bytesSealed = 0L
     val tAppend = System.currentTimeMillis()
-    toSeal.foreach { batch =>
-      try {
-        writer.write(batch)
+    // write the signals CONCURRENTLY (metrics fan out to ≤4 tables + logs +
+    // traces): each is an independent Spark job, and overlapping them hides
+    // job-launch and output-commit latency behind each other. ≤6 short-lived
+    // threads per seal; outcome accounting stays on the sealer thread.
+    val outcomes: Seq[(SealBatch, Option[String])] =
+      if (toSeal.size <= 1)
+        toSeal.map(b => b -> writeOne(b))
+      else {
+        val results = new Array[Option[String]](toSeal.size)
+        val threads = toSeal.zipWithIndex.map { case (batch, i) =>
+          val t = new Thread(() => { results(i) = writeOne(batch) },
+            s"otlp-seal-write-${batch.signal}")
+          t.start(); t
+        }
+        threads.foreach(_.join())
+        toSeal.zip(results.toIndexedSeq)
+      }
+    outcomes.foreach {
+      case (batch, None) =>
         rowsSealed += batch.rows.size
         bytesSealed += batch.admittedBytes
         release(batch.admittedBytes)
         committedRowsTotal.addAndGet(batch.rows.size)
-      } catch {
-        case e: Exception =>
-          if (error == null) error = s"${batch.signal}: ${e.getMessage}"
-          // restore AT THE HEAD of the live buffer: order, bytes, age kept
-          val b = buffers(batch.signal)
-          b.lock.synchronized {
-            b.rows.prependAll(batch.rows)
-            b.admittedBytes += batch.admittedBytes
-            b.firstUnsealedAtMs =
-              if (b.firstUnsealedAtMs < 0) batch.firstUnsealedAtMs
-              else math.min(b.firstUnsealedAtMs, batch.firstUnsealedAtMs)
-          }
-      }
+      case (batch, Some(msg)) =>
+        if (error == null) error = msg
+        // restore AT THE HEAD of the live buffer: order, bytes, age kept
+        val b = buffers(batch.signal)
+        b.lock.synchronized {
+          b.rows.prependAll(batch.rows)
+          b.admittedBytes += batch.admittedBytes
+          b.firstUnsealedAtMs =
+            if (b.firstUnsealedAtMs < 0) batch.firstUnsealedAtMs
+            else math.min(b.firstUnsealedAtMs, batch.firstUnsealedAtMs)
+        }
     }
     val tCommit = System.currentTimeMillis()
+    updateIngressEwma()
     sealsTotal.incrementAndGet()
     if (error != null) { sealFailuresTotal.incrementAndGet(); sealLastError = error }
     else sealLastError = null
@@ -451,16 +494,59 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
 
   @volatile private var viewsCreated = false
 
+  /** One Spark-job write of a sealed batch; returns the error (None = ok). */
+  private def writeOne(batch: SealBatch): Option[String] =
+    try { writer.write(batch); None }
+    catch { case e: Exception => Some(s"${batch.signal}: ${e.getMessage}") }
+
+  // ---- maintenance gates ---------------------------------------------------
+
   private var sealsSinceMaintenance = 0L
+  val maintenanceDeferrals = new AtomicLong(0)
+
+  /** Monotone admitted-byte counter + EWMA sample state (sealer thread). */
+  private val admittedBytesTotal = new AtomicLong(0)
+  @volatile private[streaming] var ingressEwmaBytesPerSec: Double = 0.0
+  private var lastIngressSampleAtMs = -1L
+  private var admittedBytesAtLastSample = 0L
+
+  /** Refresh the ingress EWMA once per seal cycle (α = 0.5, mirroring the
+    * reference's maintenance-admission estimator). */
+  private def updateIngressEwma(): Unit = {
+    val now = System.currentTimeMillis()
+    val total = admittedBytesTotal.get()
+    if (lastIngressSampleAtMs > 0 && now > lastIngressSampleAtMs) {
+      val rate = (total - admittedBytesAtLastSample) * 1000.0 /
+        (now - lastIngressSampleAtMs)
+      ingressEwmaBytesPerSec = 0.5 * ingressEwmaBytesPerSec + 0.5 * rate
+    }
+    lastIngressSampleAtMs = now
+    admittedBytesAtLastSample = total
+  }
+
+  /** Ingress-headroom gate: run maintenance only when the projected next
+    * 60 s of ingress fits in HALF the remaining admission budget — heavy
+    * sustained load defers compaction so it never steals ingest headroom
+    * (reference otlp_server.cpp:54-58,1296-1306). */
+  private[streaming] def ingressGateOpen: Boolean = {
+    val headroom = math.max(0L, cfg.maxBufferedBytes - reservedBytes.get())
+    ingressEwmaBytesPerSec * 60.0 <= 0.5 * headroom
+  }
 
   /** Post-seal compaction, gated by cadence like the reference's
-    * post-seal CHECKPOINT (≥N row-seals AND ≥interval since last run). */
-  private def maybeMaintain(): Unit = {
+    * post-seal CHECKPOINT (≥N row-seals AND ≥interval since last run),
+    * plus the ingress-headroom gate above. */
+  private[streaming] def maybeMaintain(): Unit = {
     sealsSinceMaintenance += 1
     val now = System.currentTimeMillis()
     val due = sealsSinceMaintenance >= cfg.maintenanceMinSeals &&
       (lastMaintenanceAtMs < 0 || now - lastMaintenanceAtMs >= cfg.maintenanceMinIntervalMs)
     if (!due || cfg.target != "parquet") return
+    if (!ingressGateOpen) {
+      // deferral, not reset: the cadence stays due and retries next seal
+      maintenanceDeferrals.incrementAndGet()
+      return
+    }
     sealsSinceMaintenance = 0
     try {
       Signals.foreach(writer.compact)

@@ -66,27 +66,36 @@ final class SealWriter(cfg: ServerConfig, spark: SparkSession) {
   private def withPromoted(s: StructType): StructType =
     StructType(s.fields ++ promoted.map { case (_, c) => StructField(c, StringType) })
 
-  /** Build the seal DataFrame for one batch (base cols + promoted cols).
-    * Row conversion runs on executors (parallelize → map), so a large seal
-    * — a flush can drain millions of buffered rows — converts and writes
-    * with full core parallelism instead of a single local task. */
-  def toDataFrame(batch: SealBatch): DataFrame = {
-    val schema = baseSchema(batch.signal)
+  /** Seal rows arrive pre-encoded as UnsafeRow byte images (RowBin, built
+    * on the HTTP worker threads at ingest). The write reads them through
+    * the in-memory DSv2 source, so the only per-seal driver work is
+    * chunking an array of references — conversion cost was already paid
+    * 32-wide at admission, and tasks receive plain byte arrays. */
+  private def chunked(rows: IndexedSeq[Array[Byte]]): Array[Array[Array[Byte]]] = {
     val slices = math.max(1, math.min(
-      spark.sparkContext.defaultParallelism, batch.rows.size / 20000))
-    val rdd = spark.sparkContext
-      .parallelize(batch.rows, slices)
-      .map(r => Row.fromSeq(SealWriter.toExternal(r, schema)))
-    var df = spark.createDataFrame(rdd, schema)
-    promoted.foreach { case (key, colName) =>
-      df = df.withColumn(colName,
-        get_json_object(col("resource_attributes"), s"$$['$key']"))
-    }
-    df
+      spark.sparkContext.defaultParallelism, rows.size / 20000))
+    val per = math.max(1, (rows.size + slices - 1) / slices)
+    rows.grouped(per).map(_.toArray).toArray
   }
 
-  def write(batch: SealBatch): Unit = {
-    val df = toDataFrame(batch)
+  private def withHandle[A](batch: SealBatch)(fn: DataFrame => A): A = {
+    val handle = graft.sources.SealRowSource.register(
+      baseSchema(batch.signal), chunked(batch.rows))
+    try {
+      var df = graft.sources.SealRowSource.dataFrame(spark, handle)
+      promoted.foreach { case (key, colName) =>
+        df = df.withColumn(colName,
+          get_json_object(col("resource_attributes"), s"$$['$key']"))
+      }
+      fn(df)
+    } finally graft.sources.SealRowSource.unregister(handle)
+  }
+
+  /** Build the seal DataFrame for one batch (base cols + promoted cols).
+    * NOTE: valid only inside the callback — the row handle is freed after. */
+  def toDataFrame[A](batch: SealBatch)(fn: DataFrame => A): A = withHandle(batch)(fn)
+
+  def write(batch: SealBatch): Unit = withHandle(batch) { df =>
     cfg.target match {
       case "catalog" =>
         // align by name with the live table schema: wide tables may carry
@@ -172,19 +181,4 @@ final class SealWriter(cfg: ServerConfig, spark: SparkSession) {
     }
     rewritten
   }
-}
-
-object SealWriter {
-  /** Parser JVM values → external Row values (µs Long → Instant, arrays →
-    * Seq). Static so executor closures don't capture the writer. */
-  def toExternal(row: Array[Any], schema: StructType): Seq[Any] =
-    row.toSeq.zip(schema.fields).map {
-      case (null, _) => null
-      case (v: Long, f) if f.dataType == TimestampType =>
-        java.time.Instant.ofEpochSecond(
-          Math.floorDiv(v, 1000000L), Math.floorMod(v, 1000000L) * 1000L)
-      case (a: Array[Long], _)   => a.toSeq
-      case (a: Array[Double], _) => a.toSeq
-      case (v, _) => v
-    }
 }
