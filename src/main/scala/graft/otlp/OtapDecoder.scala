@@ -35,18 +35,26 @@ import scala.collection.mutable.ArrayBuffer
   * batches; complex attribute values arrive CBOR-serialized in `ser`
   * columns and render exactly like the OTLP JSON path (see [[Cbor]]).
   *
-  * Limitation: each payload must be a self-contained IPC stream — the
-  * streaming dictionary-reuse mode (logs-reuse.bar) needs a stateful
-  * per-stream decoder and is not supported by the batch file reader.
+  * Statefulness contract (mirrors the reference's one-decoder-per-stream
+  * model, src/function/read_otlp.cpp DecodeFileToArray + the gRPC
+  * per-stream decoder in src/otlp_server_grpc.cpp): [[OtapStreamDecoder]]
+  * keeps one Arrow IPC reader per (schema_id, payload type) across
+  * `decode` calls, so a follow-up message that omits its schema and reuses
+  * (or delta-extends) dictionaries established by an earlier message
+  * decodes correctly within the same decoder session. The batch file
+  * reader uses one decoder per file — a standalone dictionary-reuse file
+  * (logs-reuse.bar) still fails with a clear error rather than
+  * mis-decoding, exactly like the reference's read_otap_* functions.
   */
 object OtapDecoder {
-  private val nf = JsonNodeFactory.instance
+  private[otlp] val nf = JsonNodeFactory.instance
 
   // ---- protobuf envelope --------------------------------------------------
 
-  private def payloads(content: Array[Byte]): Seq[(Int, Array[Byte])] = {
+  /** ArrowPayload entries in file order: (schema_id, type, record bytes). */
+  private[otlp] def payloads(content: Array[Byte]): Seq[(Long, Int, Array[Byte])] = {
     var i = 0
-    val out = ArrayBuffer[(Int, Array[Byte])]()
+    val out = ArrayBuffer[(Long, Int, Array[Byte])]()
     def varint(): Long = {
       var shift = 0; var v = 0L
       while (shift < 64) {
@@ -74,6 +82,7 @@ object OtapDecoder {
           if (field == 2) {
             // ArrowPayload{schema_id=1, type=2, record=3}
             var j = 0
+            var schemaId = 0L
             var ptype = 0
             var record: Array[Byte] = null
             def pvarint(): Long = {
@@ -93,16 +102,20 @@ object OtapDecoder {
                 case 0 =>
                   val v = pvarint()
                   if (f2 == 2) ptype = v.toInt
+                  else if (f2 == 1) schemaId = v
                 case 2 =>
                   val l2 = pvarint().toInt
                   val s2 = java.util.Arrays.copyOfRange(sub, j, j + l2); j += l2
                   if (f2 == 3) record = s2
+                  else if (f2 == 1)
+                    // schema_id is a string in otel-arrow ≥v1; fold to a key
+                    schemaId = java.util.Arrays.hashCode(s2).toLong & 0xffffffffL
                 case 1 => j += 8
                 case 5 => j += 4
                 case w => throw new OtlpParseException(s"bad wire type $w")
               }
             }
-            if (record != null) out += ((ptype, record))
+            if (record != null) out += ((schemaId, ptype, record))
           }
         case w => throw new OtlpParseException(s"bad wire type $w")
       }
@@ -114,57 +127,23 @@ object OtapDecoder {
 
   /** One decoded row: column name → JVM value (struct → Map, list → Seq,
     * timestamps/durations → ns Long, binary → Array[Byte]). */
-  private type ARow = Map[String, Any]
+  private[otlp] type ARow = Map[String, Any]
 
-  private def readTable(bytes: Array[Byte]): (IndexedSeq[ARow], Map[String, String]) =
-    try readTableInner(bytes)
-    catch {
-      case e: OtlpParseException => throw e
-      case e: Exception =>
-        // invalid/partial IPC (e.g. a dictionary-reuse continuation stream
-        // with no schema message) → parse error, not an engine crash
-        throw new OtlpParseException(
-          s"invalid OTAP Arrow IPC payload: ${e.getMessage}")
+  private[otlp] def extractMeta(
+      schema: org.apache.arrow.vector.types.pojo.Schema): Map[String, String] = {
+    val meta = mutable.Map[String, String]()
+    schema.getFields.forEach { f =>
+      val enc = f.getMetadata.get("encoding")
+      if (enc != null) meta(f.getName) = enc
+      f.getChildren.forEach { c =>
+        val ce = c.getMetadata.get("encoding")
+        if (ce != null) meta(f.getName + "." + c.getName) = ce
+      }
     }
-
-  private def readTableInner(bytes: Array[Byte]): (IndexedSeq[ARow], Map[String, String]) = {
-    val alloc = new RootAllocator()
-    try {
-      val reader = new ArrowStreamReader(
-        new ByteArrayInputStream(bytes), alloc, CommonsCompressionFactory.INSTANCE)
-      try {
-        val root = reader.getVectorSchemaRoot
-        val rows = ArrayBuffer[ARow]()
-        val meta = mutable.Map[String, String]()
-        root.getSchema.getFields.forEach { f =>
-          val enc = f.getMetadata.get("encoding")
-          if (enc != null) meta(f.getName) = enc
-          f.getChildren.forEach { c =>
-            val ce = c.getMetadata.get("encoding")
-            if (ce != null) meta(f.getName + "." + c.getName) = ce
-          }
-        }
-        while (reader.loadNextBatch()) {
-          val dicts = reader.getDictionaryVectors
-          val vectors = root.getFieldVectors
-          var i = 0
-          while (i < root.getRowCount) {
-            val m = mutable.LinkedHashMap[String, Any]()
-            vectors.forEach(v => m(v.getName) = cell(v, i, dicts))
-            rows += m.toMap
-            i += 1
-          }
-        }
-        (rows.toIndexedSeq, meta.toMap)
-      } finally reader.close()
-    } finally {
-      // a failed mid-stream read can leave buffers allocated; the close
-      // error would otherwise mask the real parse failure
-      try alloc.close() catch { case _: IllegalStateException => () }
-    }
+    meta.toMap
   }
 
-  private def cell(v: ValueVector, i: Int,
+  private[otlp] def cell(v: ValueVector, i: Int,
                    dicts: java.util.Map[java.lang.Long, Dictionary]): Any = {
     if (v.isNull(i)) return null
     val encoding = v.getField.getDictionary
@@ -384,17 +363,19 @@ object OtapDecoder {
 
   // ---- main ---------------------------------------------------------------
 
+  /** One-shot batch decode: one stateful decoder per file, like the
+    * reference's DecodeFileToArray. A standalone dictionary-reuse file
+    * (no schema message of its own) fails here by design. */
   def parse(content: Array[Byte], nsAsLong: Boolean): OtlpJsonParser.ParsedFile = {
-    val ps = payloads(content)
-    if (ps.isEmpty)
-      throw new OtlpParseException("no Arrow payloads in OTAP input")
-    val byType: Map[Int, (IndexedSeq[ARow], Map[String, String])] =
-      ps.groupBy(_._1).map { case (t, list) =>
-        // concatenate rows of same-type payloads (multi-batch files)
-        val read = list.map(p => readTable(p._2))
-        (t, (read.flatMap(_._1).toIndexedSeq, read.head._2))
-      }
+    val d = new OtapStreamDecoder(nsAsLong)
+    try d.decode(content) finally d.close()
+  }
 
+  /** Assemble decoded payload tables into signal rows (shared by the batch
+    * reader and the stateful streaming decoder; ids/parent_ids join only
+    * within one BatchArrowRecords message, so this runs once per message). */
+  private[otlp] def assemble(byType: Map[Int, (IndexedSeq[ARow], Map[String, String])],
+                             nsAsLong: Boolean): OtlpJsonParser.ParsedFile = {
     val resourceAttrs = byType.get(1).map(attrsByParent).getOrElse(Map.empty)
     val scopeAttrs = byType.get(2).map(attrsByParent).getOrElse(Map.empty)
 
@@ -729,5 +710,117 @@ object OtapDecoder {
     val o = new ObjectNode(nf)
     pairs.sortBy(_._1).foreach { case (k, v) => o.set[JsonNode](k, v) }
     o
+  }
+}
+
+/** Stateful OTAP decoder: one Arrow IPC reader per (schema_id, payload
+  * type), held open across `decode` calls so later BatchArrowRecords
+  * messages can omit their schema and reuse — or delta-extend, or replace —
+  * dictionaries established by earlier messages on the same stream
+  * (arrow-java's ArrowReader applies delta and replacement dictionary
+  * batches natively). This is the engine behind both the batch file reader
+  * (one decoder per file) and otap_serve streaming sessions (one decoder
+  * per session), mirroring the reference's per-stream decoder
+  * (src/otlp_server_grpc.cpp) and per-file decoder (read_otlp.cpp).
+  *
+  * Not thread-safe: callers serialize access (one HTTP request at a time
+  * per streaming session; one file at a time per scan task). */
+final class OtapStreamDecoder(nsAsLong: Boolean) extends AutoCloseable {
+  import OtapDecoder.ARow
+
+  private val alloc = new RootAllocator()
+  private val streams = mutable.LinkedHashMap[(Long, Int), StreamState]()
+
+  /** An InputStream over an append-only chunk queue: returns EOF when
+    * drained, and serves newly-appended chunks on later reads — exactly
+    * what ArrowStreamReader needs to resume a stream across messages
+    * (its message reader treats a clean EOF as "no message yet", not as a
+    * terminal state). */
+  private final class FeedStream extends java.io.InputStream {
+    private val chunks = new java.util.ArrayDeque[ByteArrayInputStream]()
+    def append(bytes: Array[Byte]): Unit =
+      chunks.addLast(new ByteArrayInputStream(bytes))
+    override def read(): Int = {
+      while (!chunks.isEmpty) {
+        val v = chunks.peekFirst.read()
+        if (v >= 0) return v
+        chunks.removeFirst()
+      }
+      -1
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      while (!chunks.isEmpty) {
+        val n = chunks.peekFirst.read(b, off, len)
+        if (n > 0) return n
+        chunks.removeFirst()
+      }
+      -1
+    }
+  }
+
+  private final class StreamState {
+    val feed = new FeedStream
+    private var reader: ArrowStreamReader = _
+    private var meta: Map[String, String] = _
+
+    /** Drain every complete batch currently in the feed into rows. */
+    def readNewRows(): (IndexedSeq[ARow], Map[String, String]) = {
+      if (reader == null)
+        reader = new ArrowStreamReader(feed, alloc, CommonsCompressionFactory.INSTANCE)
+      val root = reader.getVectorSchemaRoot // first call reads the schema
+      if (meta == null) meta = OtapDecoder.extractMeta(root.getSchema)
+      val rows = ArrayBuffer[ARow]()
+      while (reader.loadNextBatch()) {
+        val dicts = reader.getDictionaryVectors
+        val vectors = root.getFieldVectors
+        var i = 0
+        while (i < root.getRowCount) {
+          val m = mutable.LinkedHashMap[String, Any]()
+          vectors.forEach(v => m(v.getName) = OtapDecoder.cell(v, i, dicts))
+          rows += m.toMap
+          i += 1
+        }
+      }
+      (rows.toIndexedSeq, meta)
+    }
+
+    def close(): Unit = if (reader != null) reader.close()
+  }
+
+  /** Decode one BatchArrowRecords message; returns only ITS rows. Ids and
+    * parent_ids join within a message, so assembly runs per message while
+    * the Arrow dictionary/schema state persists across messages. */
+  def decode(message: Array[Byte]): OtlpJsonParser.ParsedFile = {
+    val ps = OtapDecoder.payloads(message)
+    if (ps.isEmpty)
+      throw new OtlpParseException("no Arrow payloads in OTAP input")
+    val acc = mutable.LinkedHashMap[Int, (ArrayBuffer[ARow], Map[String, String])]()
+    ps.foreach { case (schemaId, ptype, record) =>
+      val st = streams.getOrElseUpdate((schemaId, ptype), new StreamState)
+      st.feed.append(record)
+      val (rows, meta) =
+        try st.readNewRows()
+        catch {
+          case e: OtlpParseException => throw e
+          case e: Exception =>
+            // invalid/partial IPC (e.g. a dictionary-reuse continuation
+            // stream decoded with no prior state) → parse error, not a crash
+            throw new OtlpParseException(
+              s"invalid OTAP Arrow IPC payload: ${e.getMessage}")
+        }
+      val slot = acc.getOrElseUpdate(ptype, (ArrayBuffer[ARow](), meta))
+      slot._1 ++= rows
+    }
+    OtapDecoder.assemble(
+      acc.iterator.map { case (t, (r, m)) => t -> (r.toIndexedSeq, m) }.toMap,
+      nsAsLong)
+  }
+
+  override def close(): Unit = {
+    streams.valuesIterator.foreach(s => try s.close() catch { case _: Exception => () })
+    streams.clear()
+    // a failed mid-stream read can leave buffers allocated; the close
+    // error would otherwise mask the real parse failure
+    try alloc.close() catch { case _: IllegalStateException => () }
   }
 }

@@ -230,16 +230,23 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
           respond(ex, 503, """{"error":"ingest buffer over capacity"}"""); return
         }
         var reserveTransferred = false
+        // exactly-once release: the error paths below release-then-respond,
+        // and respond can itself throw (client gone mid-write) landing in
+        // the outer catch — a second release there would drift reservedBytes
+        // negative and silently inflate admission capacity
+        var reserveReleased = false
+        def releaseOnce(): Unit =
+          if (!reserveReleased) { reserveReleased = true; release(reserve) }
         try {
           val body =
             try decode(rawBytes, encoding)
             catch {
               case _: DecompressedTooLarge =>
-                release(reserve)
+                releaseOnce()
                 respond(ex, 413, """{"error":"decompressed body too large"}""")
                 return
               case e: Exception =>
-                release(reserve)
+                releaseOnce()
                 respond(ex, 400, s"""{"error":"decompress failed: ${esc(e.getMessage)}"}""")
                 return
             }
@@ -250,7 +257,7 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
               case "otap"     => graft.otlp.OtapDecoder.parse(body, nsAsLong = false)
             } catch {
               case e: OtlpParseException =>
-                release(reserve)
+                releaseOnce()
                 respond(ex, 400, s"""{"error":"${esc(e.getMessage)}"}""")
                 return
             }
@@ -265,7 +272,7 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
             }).filter(_._2.nonEmpty)
             catch {
               case e: Exception =>
-                release(reserve)
+                releaseOnce()
                 respond(ex, 400, s"""{"error":"row encode failed: ${esc(e.getMessage)}"}""")
                 return
             }
@@ -284,7 +291,7 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
           case e: Exception =>
             // only release if the reservation wasn't handed to the buffers
             // (a respond() failure after commit must not double-release)
-            if (!reserveTransferred) release(reserve)
+            if (!reserveTransferred) releaseOnce()
             throw e
         }
     }
@@ -402,7 +409,14 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
       }
       val ageDue = oldestBufferedAgeMs.exists(_ >= cfg.sealMaxAgeMs)
       if (!stopping.get() && (due || ageDue))
-        sealOnce(if (ageDue && !due) "age" else "size")
+        // the sealer thread must survive any single seal failure — an
+        // uncaught throw here would stop all future seals and wedge ingest
+        try sealOnce(if (ageDue && !due) "age" else "size")
+        catch {
+          case e: Throwable =>
+            sealFailuresTotal.incrementAndGet()
+            sealLastError = s"seal cycle failed: ${e.getMessage}"
+        }
     }
   }
 
@@ -445,7 +459,12 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
           t.start(); t
         }
         threads.foreach(_.join())
-        toSeal.zip(results.toIndexedSeq)
+        // a still-null slot means the thread died before writeOne returned
+        // (fatal error outside its catch) — treat as a failed write so the
+        // batch is restored instead of MatchError-ing the sealer
+        toSeal.zip(results.toIndexedSeq).map { case (b, r) =>
+          b -> (if (r == null) Some(s"${b.signal}: seal write thread died") else r)
+        }
       }
     outcomes.foreach {
       case (batch, None) =>
@@ -494,10 +513,14 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
 
   @volatile private var viewsCreated = false
 
-  /** One Spark-job write of a sealed batch; returns the error (None = ok). */
+  /** One Spark-job write of a sealed batch; returns the error (None = ok).
+    * Catches Throwable, not just Exception: a write thread dying from an
+    * Error (OOM during a large seal) must still produce a failure outcome,
+    * or the batch would be neither committed nor restored and its admission
+    * reservation would leak. */
   private def writeOne(batch: SealBatch): Option[String] =
     try { writer.write(batch); None }
-    catch { case e: Exception => Some(s"${batch.signal}: ${e.getMessage}") }
+    catch { case e: Throwable => Some(s"${batch.signal}: ${e.getMessage}") }
 
   // ---- maintenance gates ---------------------------------------------------
 
@@ -515,11 +538,21 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
   private def updateIngressEwma(): Unit = {
     val now = System.currentTimeMillis()
     val total = admittedBytesTotal.get()
-    if (lastIngressSampleAtMs > 0 && now > lastIngressSampleAtMs) {
-      val rate = (total - admittedBytesAtLastSample) * 1000.0 /
-        (now - lastIngressSampleAtMs)
-      ingressEwmaBytesPerSec = 0.5 * ingressEwmaBytesPerSec + 0.5 * rate
+    if (lastIngressSampleAtMs < 0) {
+      // first call establishes the sample origin; no rate yet
+      lastIngressSampleAtMs = now
+      admittedBytesAtLastSample = total
+      return
     }
+    if (now == lastIngressSampleAtMs) return
+    // same-millisecond seals fall through to the next sample (counters
+    // untouched) so their bytes are not dropped from the measured rate
+    val rate = (total - admittedBytesAtLastSample) * 1000.0 /
+      (now - lastIngressSampleAtMs)
+    // seed with the first observed rate (not a half-weighted blend from 0)
+    ingressEwmaBytesPerSec =
+      if (ingressEwmaBytesPerSec == 0.0) rate
+      else 0.5 * ingressEwmaBytesPerSec + 0.5 * rate
     lastIngressSampleAtMs = now
     admittedBytesAtLastSample = total
   }

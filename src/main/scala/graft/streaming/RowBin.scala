@@ -20,7 +20,7 @@ import org.apache.spark.sql.types.StructType
   * UnsafeProjection instances are codegen'd and NOT thread-safe → one per
   * thread via ThreadLocal; the projection's output buffer is reused across
   * calls → `.copy()` before keeping the bytes. */
-final class RowBin(schema: StructType) extends Serializable {
+final class RowBin(schema: StructType) {
   private val arity = schema.fields.length
   private val types = schema.fields.map(_.dataType)
   private val proj = ThreadLocal.withInitial[UnsafeProjection](() =>

@@ -70,17 +70,78 @@ class OtapReaderSpec extends SparkTestBase {
     assert(otap.schema == otlp.schema)
   }
 
-  test("dictionary-reuse streams are rejected with a clear error (not garbage)") {
+  test("standalone dictionary-reuse file is rejected (one decoder per file)") {
     assume(available && new java.io.File(s"$corpus/logs-reuse.bar").exists())
-    // logs-reuse.bar carries continuation batches without schema messages —
-    // decodable only by a stateful per-stream decoder (the reference's own
-    // read_otap tests exercise only self-contained files too)
+    // logs-reuse.bar omits its schema/dictionaries and is only decodable in
+    // the same decoder session as the initial message; decoded alone it must
+    // fail rather than mis-decode (reference test/sql/read_otap.test:140)
     val e = intercept[Exception] {
       Otlp.readOtapLogs(spark, s"$corpus/logs-reuse.bar").count()
     }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("OTLP parse error")), msgs(e).mkString("|"))
+  }
+
+  private def fileBytes(p: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+
+  test("stateful session decodes the dictionary-reuse follow-up message") {
+    assume(available && new java.io.File(s"$corpus/logs-reuse.bar").exists())
+    // The per-stream decoder holds Arrow schema + dictionary state across
+    // BatchArrowRecords messages (reference otlp_server_grpc.cpp and
+    // test/manual/otap_serve_arrow_stream.py): the reuse message carries no
+    // schema of its own and re-sends only the dictionaries that changed, so
+    // every resolved value below proves cross-message dictionary reuse.
+    val d = new graft.otlp.OtapStreamDecoder(nsAsLong = false)
+    try {
+      val first = d.decode(fileBytes(s"$corpus/logs-initial.bar"))
+      assert(first.signal("logs").size == 3)
+      // the session path is the same engine as the batch reader: decoding
+      // the initial message in a session yields exactly the batch rows
+      val batch = graft.otlp.OtapDecoder.parse(
+        fileBytes(s"$corpus/logs-initial.bar"), nsAsLong = false)
+      assert(first.signal("logs").size == batch.signal("logs").size)
+      first.signal("logs").zip(batch.signal("logs")).foreach { case (a, b) =>
+        assert(java.util.Arrays.deepEquals(
+          a.asInstanceOf[Array[AnyRef]], b.asInstanceOf[Array[AnyRef]]))
+      }
+
+      val second = d.decode(fileBytes(s"$corpus/logs-reuse.bar"))
+      val rows = second.signal("logs")
+      assert(rows.size == 3, s"reuse message decoded ${rows.size} rows")
+      // columns: 0=time 1=observed 2=trace_id 3=span_id 4=service_name ...
+      // 7=severity_number 8=severity_text 9=event_name 10=body 11=res_attrs
+      // 12=scope_name 13=scope_version 14=scope_attrs 15=log_attrs
+      assert(rows.forall(_(4) == "fixture-service")) // dict held from msg 1
+      assert(rows.forall(_(11).asInstanceOf[String]
+        .contains("\"service.name\":\"fixture-service\"")))
+      assert(rows.forall(_(12) == "fixture-scope"))
+      val events = rows.filter(_(9) != null)
+      assert(events.size == 2 && events.forall(_(9) == "second-event"))
+      assert(events.forall(_(8) == "INFO"))
+      // "repeated":"same" resolves through a dictionary NOT re-sent in the
+      // reuse message — the sharpest proof state carried over
+      assert(events.forall(_(15).asInstanceOf[String]
+        .contains("\"repeated\":\"same\"")))
+      assert(events.forall(_(15).asInstanceOf[String]
+        .contains("\"str\":\"second\"")))
+      // reuse rows are NEW records, not replays: distinct trace ids
+      val traceIds = rows.map(_(2)).filter(_ != null)
+      assert(traceIds.toSet.intersect(
+        first.signal("logs").map(_(2)).filter(_ != null).toSet).isEmpty)
+    } finally d.close()
+  }
+
+  test("stateful session poisons cleanly on a bad message") {
+    assume(available)
+    val d = new graft.otlp.OtapStreamDecoder(nsAsLong = false)
+    try {
+      d.decode(fileBytes(s"$corpus/logs-initial.bar"))
+      intercept[graft.otlp.OtlpParseException] {
+        d.decode("not a BatchArrowRecords envelope".getBytes)
+      }
+    } finally d.close()
   }
 
   test("otap value spot checks") {
