@@ -125,6 +125,13 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
     }
     sealMonitor.synchronized { sealMonitor.notifyAll() }
     if (sealerThread != null) sealerThread.join(5000)
+    // close every streaming-session decoder (frees Arrow buffers)
+    val it = otapSessions.values().iterator()
+    while (it.hasNext) {
+      val s = it.next()
+      s.synchronized { try s.decoder.close() catch { case _: Exception => () } }
+    }
+    otapSessions.clear()
     bufferedRows
   }
 
@@ -224,6 +231,15 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
       case None =>
         respond(ex, 413, """{"error":"request body too large"}"""); return
       case Some(rawBytes) =>
+        // OTAP streaming session: an x-otap-stream header selects the
+        // stateful per-stream decode path (HTTP framing of the reference's
+        // gRPC bidirectional stream — one BatchStatus per message)
+        val streamId = Option(headers.getFirst("x-otap-stream"))
+          .map(_.trim).filter(_.nonEmpty)
+        if (fmt == "otap" && streamId.isDefined) {
+          ingestOtapStream(ex, streamId.get, rawBytes, encoding)
+          return
+        }
         // admission BEFORE parse: CAS-reserve against max_buffered_bytes
         val reserve = math.max(rawBytes.length.toLong, 1024L)
         if (!tryReserve(reserve)) {
@@ -294,6 +310,166 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
             if (!reserveTransferred) releaseOnce()
             throw e
         }
+    }
+  }
+
+  // ---- OTAP streaming sessions ---------------------------------------------
+  //
+  // HTTP framing of the reference's OTAP/Arrow bidirectional stream
+  // (serve.md "gRPC transport"; src/otlp_server_grpc.cpp): the client sends
+  // repeated BatchArrowRecords POSTs under one x-otap-stream id, the server
+  // keeps one stateful decoder per stream (dictionary/schema reuse across
+  // messages) and answers each message with a BatchStatus-shaped JSON
+  // {batch_id, status_code} — 0 OK, 3 INVALID_ARGUMENT (decode failure;
+  // poisons and closes the stream), 8 RESOURCE_EXHAUSTED (backpressure;
+  // stream stays open). Unlike the reference, admission is reserved BEFORE
+  // decode, so a backpressure nack leaves the decoder untouched and the
+  // client can replay the same message with no dictionary double-apply.
+
+  private final class OtapSession {
+    val decoder = new graft.otlp.OtapStreamDecoder(nsAsLong = false)
+    var poisoned = false
+    @volatile var lastUsedMs = System.currentTimeMillis()
+  }
+  private val otapSessions =
+    new java.util.concurrent.ConcurrentHashMap[String, OtapSession]()
+  private val OtapSessionCap = 256
+  private val OtapSessionIdleMs = 5L * 60 * 1000
+
+  def otapStreamsOpen: Int = otapSessions.size()
+
+  /** BatchArrowRecords.batch_id (field 1 varint) for the ack; -1 unknown. */
+  private def otapBatchId(body: Array[Byte]): Long = {
+    try {
+      var i = 0
+      def varint(): Long = {
+        var shift = 0; var v = 0L
+        while (true) {
+          val b = body(i); i += 1
+          v |= (b & 0x7fL) << shift
+          if ((b & 0x80) == 0) return v
+          shift += 7
+        }
+        v
+      }
+      while (i < body.length) {
+        val tag = varint()
+        val (f, w) = ((tag >>> 3).toInt, (tag & 7).toInt)
+        if (f == 1 && w == 0) return varint()
+        w match {
+          case 0 => varint()
+          case 1 => i += 8
+          case 5 => i += 4
+          case 2 => val l = varint().toInt; i += l
+          case _ => return -1L
+        }
+      }
+      -1L
+    } catch { case _: Exception => -1L }
+  }
+
+  private def batchStatus(code: Int, batchId: Long, extra: String = ""): String =
+    s"""{"batch_id":$batchId,"status_code":$code$extra}"""
+
+  private def poisonSession(sess: OtapSession): Unit = {
+    sess.poisoned = true
+    try sess.decoder.close() catch { case _: Exception => () }
+  }
+
+  private def ingestOtapStream(ex: HttpExchange, sid: String,
+                               rawBytes: Array[Byte], encoding: String): Unit = {
+    val sess = {
+      val existing = otapSessions.get(sid)
+      if (existing != null) existing
+      else if (otapSessions.size() >= OtapSessionCap) {
+        respond(ex, 503, """{"error":"too many open OTAP streams"}"""); return
+      } else otapSessions.computeIfAbsent(sid, _ => new OtapSession)
+    }
+    // one message at a time per stream: decoder state is strictly ordered
+    sess.synchronized {
+      sess.lastUsedMs = System.currentTimeMillis()
+      if (sess.poisoned) {
+        respond(ex, 409, batchStatus(3, -1L,
+          ""","error":"stream closed by an earlier decode failure""""))
+        return
+      }
+      val body =
+        try decode(rawBytes, encoding)
+        catch {
+          case _: DecompressedTooLarge =>
+            respond(ex, 413, """{"error":"decompressed body too large"}""")
+            return
+          case e: Exception =>
+            respond(ex, 400, s"""{"error":"decompress failed: ${esc(e.getMessage)}"}""")
+            return
+        }
+      val batchId = otapBatchId(body)
+      val reserve = math.max(rawBytes.length.toLong, 1024L)
+      if (!tryReserve(reserve)) {
+        // backpressure nack: the message was NOT decoded, so the stream
+        // stays open and a retry replays it cleanly
+        respond(ex, 503, batchStatus(8, batchId,
+          ""","error":"ingest buffer over capacity""""))
+        return
+      }
+      var reserveTransferred = false
+      var reserveReleased = false
+      def releaseOnce(): Unit =
+        if (!reserveReleased) { reserveReleased = true; release(reserve) }
+      try {
+        val parsed =
+          try sess.decoder.decode(body)
+          catch {
+            case e: OtlpParseException =>
+              // decode failure poisons the stream: decoder state may be
+              // partially advanced and cannot be trusted for later messages
+              poisonSession(sess)
+              releaseOnce()
+              respond(ex, 400, batchStatus(3, batchId,
+                s""","error":"${esc(e.getMessage)}""""))
+              return
+          }
+        val encoded =
+          try Signals.map(s => s -> {
+            val bin = RowBin.forSignal(s)
+            parsed.signal(s).map(bin.toBytes)
+          }).filter(_._2.nonEmpty)
+          catch {
+            case e: Exception =>
+              // the message was consumed by the decoder; a replay would
+              // double-apply dictionary deltas — poison, like the reference
+              poisonSession(sess)
+              releaseOnce()
+              respond(ex, 500, batchStatus(13, batchId,
+                s""","error":"row encode failed: ${esc(e.getMessage)}""""))
+              return
+          }
+        val rows = commitStaged(encoded, reserve)
+        reserveTransferred = true
+        skippedSummary.addAndGet(parsed.skipped.summaryPoints)
+        skippedInvalid.addAndGet(parsed.skipped.invalidPoints)
+        respond(ex, 202, batchStatus(0, batchId, s""","rows":$rows"""))
+      } catch {
+        case e: Exception =>
+          if (!reserveTransferred) releaseOnce()
+          throw e
+      }
+    }
+  }
+
+  /** Close idle streams (sealer thread); a live request holds the session
+    * lock, so the idle check re-runs under it. */
+  private def sweepOtapSessions(): Unit = {
+    val now = System.currentTimeMillis()
+    val it = otapSessions.entrySet().iterator()
+    while (it.hasNext) {
+      val s = it.next().getValue
+      s.synchronized {
+        if (now - s.lastUsedMs > OtapSessionIdleMs) {
+          it.remove()
+          try s.decoder.close() catch { case _: Exception => () }
+        }
+      }
     }
   }
 
@@ -417,6 +593,7 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
             sealFailuresTotal.incrementAndGet()
             sealLastError = s"seal cycle failed: ${e.getMessage}"
         }
+      sweepOtapSessions()
     }
   }
 
