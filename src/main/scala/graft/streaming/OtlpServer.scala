@@ -678,17 +678,18 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
       while (sealEvents.size() > SealHistoryCap) sealEvents.removeFirst()
     }
     if (error == null && rowsSealed > 0) {
-      // parquet targets: refresh the inspection views after data landed
-      if (cfg.target == "parquet" && !viewsCreated) {
-        try { writer.createInspectionViews(); viewsCreated = true }
+      // parquet targets: RE-create the inspection views after every
+      // successful seal — a view captures its file listing at creation, so
+      // a one-shot view would go stale and hide every later seal's rows
+      // (the reference re-globs per query, otlp_server.cpp:1047-1056)
+      if (cfg.target == "parquet") {
+        try writer.createInspectionViews()
         catch { case _: Exception => () }
       }
       maybeMaintain()
     }
     error
   }
-
-  @volatile private var viewsCreated = false
 
   /** One Spark-job write of a sealed batch; returns the error (None = ok).
     * Catches Throwable, not just Exception: a write thread dying from an
@@ -751,7 +752,7 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
     val now = System.currentTimeMillis()
     val due = sealsSinceMaintenance >= cfg.maintenanceMinSeals &&
       (lastMaintenanceAtMs < 0 || now - lastMaintenanceAtMs >= cfg.maintenanceMinIntervalMs)
-    if (!due || cfg.target != "parquet") return
+    if (!due) return
     if (!ingressGateOpen) {
       // deferral, not reset: the cadence stays due and retries next seal
       maintenanceDeferrals.incrementAndGet()

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.otlp.OtlpSchemas
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -133,52 +134,101 @@ final class SealWriter(cfg: ServerConfig, spark: SparkSession) {
     }
   }
 
-  /** Inspection views over the parquet export layout (reference creates
-    * a view via read_parquet over the recursive table glob after sealing).
-    * Partition discovery picks up the year=/month=/day= dirs natively. */
+  // ---- maintenance (Hadoop FS API: works on file:, hdfs:, s3a:, abfs:) ----
+
+  private def fs(p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def isParquetFile(st: FileStatus): Boolean =
+    st.isFile && st.getPath.getName.endsWith(".parquet") &&
+      !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_")
+
+  /** Inspection views over the parquet export layout (reference creates a
+    * view via read_parquet over the recursive table glob after sealing,
+    * otlp_server.cpp:1047-1056, and re-globs per query). Spark captures the
+    * file listing when the DataFrame is created, so the server re-creates
+    * these views after every successful seal — a second seal's rows are
+    * visible through `otlp_<signal>` without a new session. */
   def createInspectionViews(): Unit = {
     if (cfg.target == "parquet") OtlpSchemas.Signals.foreach { signal =>
-      val dir = new java.io.File(s"${cfg.parquetRoot}/otlp_$signal")
-      if (dir.exists()) {
+      val dir = new Path(s"${cfg.parquetRoot}/otlp_$signal")
+      if (fs(dir).exists(dir))
         spark.read.parquet(dir.toString)
           .createOrReplaceTempView(s"otlp_$signal")
-      }
     }
   }
 
-  /** Small-file compaction for the parquet layout: rewrite partitions whose
-    * file count is high toward target_file_size (the reference's post-seal
-    * CHECKPOINT analog, O(new files) per cycle). */
-  def compact(signal: String): Long = {
-    if (cfg.target != "parquet") return 0L
-    val root = new java.io.File(s"${cfg.parquetRoot}/otlp_$signal")
-    if (!root.exists()) return 0L
-    var rewritten = 0L
-    // partition dirs: year=*/month=*/day=*
-    def leafDirs(d: java.io.File): Seq[java.io.File] = {
-      val kids = Option(d.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
-      if (kids.isEmpty) Seq(d) else kids.toSeq.flatMap(leafDirs)
-    }
-    leafDirs(root).foreach { dir =>
-      val files = Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      if (files.length > 4 && files.map(_.length).sum < cfg.targetFileSize) {
-        val df = spark.read.parquet(dir.toString)
-        val tmp = dir.toString + "__compact_tmp"
-        df.coalesce(1).write.mode("overwrite")
-          .option("compression", "zstd").parquet(tmp)
-        files.foreach(_.delete())
-        new java.io.File(tmp).listFiles().foreach { f =>
-          if (f.getName.endsWith(".parquet"))
-            f.renameTo(new java.io.File(dir, f.getName))
-        }
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
-        }
-        rm(new java.io.File(tmp))
-        rewritten += files.length
+  /** Coalesce-rewrite a set of small parquet files in `dir` into one
+    * target-sized file. Commit protocol: write to a dot-prefixed temp dir
+    * (invisible to parquet readers), per-file atomic rename INTO the live
+    * dir, THEN delete the originals. A concurrent reader that listed
+    * mid-commit can briefly see a row twice — consistent with the export
+    * path's documented at-least-once contract — but never sees it missing;
+    * the old delete-then-rename order could serve a listing with the data
+    * gone. Any failure before the renames leaves the originals untouched. */
+  private def rewriteFiles(dir: Path, files: Seq[FileStatus]): Long = {
+    if (files.isEmpty) return 0L
+    val hfs = fs(dir)
+    val tmp = new Path(dir, s".compact-tmp-${java.util.UUID.randomUUID()}")
+    try {
+      spark.read.parquet(files.map(_.getPath.toString): _*)
+        .coalesce(1).write.mode("overwrite")
+        .option("compression", "zstd").parquet(tmp.toString)
+      val parts = hfs.listStatus(tmp).filter(isParquetFile)
+      parts.foreach { p =>
+        val dest = new Path(dir, s"compact-${java.util.UUID.randomUUID()}.parquet")
+        if (!hfs.rename(p.getPath, dest))
+          throw new java.io.IOException(s"rename ${p.getPath} -> $dest failed")
       }
-    }
-    rewritten
+      files.foreach(f => hfs.delete(f.getPath, false))
+      files.length.toLong
+    } finally hfs.delete(tmp, true)
+  }
+
+  /** Small-file compaction (the reference's post-seal CHECKPOINT analog,
+    * otlp_server.cpp:1273-1387 — bin-pack toward target_file_size,
+    * O(small files) per cycle, files already at target left alone).
+    *   - parquet target: per leaf partition dir (year=/month=/day=).
+    *   - catalog target: the managed table's accumulated seal files,
+    *     oldest first, bounded to one target-size output per cycle, with a
+    *     REFRESH so cached plans drop the replaced listing. */
+  def compact(signal: String): Long = cfg.target match {
+    case "parquet" =>
+      val root = new Path(s"${cfg.parquetRoot}/otlp_$signal")
+      val hfs = fs(root)
+      if (!hfs.exists(root)) return 0L
+      def leafDirs(d: Path): Seq[Path] = {
+        val kids = hfs.listStatus(d)
+          .filter(st => st.isDirectory && !st.getPath.getName.startsWith(".") &&
+            !st.getPath.getName.startsWith("_"))
+          .map(_.getPath)
+        if (kids.isEmpty) Seq(d) else kids.toSeq.flatMap(leafDirs)
+      }
+      leafDirs(root).map { dir =>
+        val files = hfs.listStatus(dir).filter(isParquetFile)
+        if (files.length > 4 && files.map(_.getLen).sum < cfg.targetFileSize)
+          rewriteFiles(dir, files.toSeq)
+        else 0L
+      }.sum
+    case "catalog" =>
+      val table = cfg.tableName(signal)
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      val dir = new Path(spark.sessionState.catalog.getTableMetadata(ident).location)
+      val hfs = fs(dir)
+      if (!hfs.exists(dir)) return 0L
+      // oldest small files first; one bounded bin-pack per cycle keeps the
+      // write amplification O(target_file_size) however large the table is
+      val small = hfs.listStatus(dir).filter(isParquetFile)
+        .filter(_.getLen < cfg.targetFileSize / 4)
+        .sortBy(_.getModificationTime)
+      var acc = 0L
+      val batch = small.takeWhile { st => acc += st.getLen; acc < cfg.targetFileSize }
+      if (batch.length <= 4) 0L
+      else {
+        val n = rewriteFiles(dir, batch.toSeq)
+        spark.catalog.refreshTable(table)
+        n
+      }
+    case _ => 0L
   }
 }

@@ -25,6 +25,21 @@ class SealRecoverySpec extends SparkTestBase {
   private def fixture(name: String): Array[Byte] =
     java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$fx/$name"))
 
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    // managed-table locations persist across JVMs while the in-memory
+    // catalog does not; stale dirs block saveAsTable
+    val wh = new java.io.File("spark-warehouse")
+    Option(wh.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("otlptest_"))
+      .foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+        }
+        rm(d)
+      }
+  }
+
   override def afterAll(): Unit = {
     OtlpServe.stopAll(spark)
     super.afterAll()
@@ -89,6 +104,51 @@ class SealRecoverySpec extends SparkTestBase {
       .where(col("listen_uri") === "otlp:127.0.0.1:45842").first()
     assert(listed.getAs[Long]("maintenance_runs_total") == 1L)
     assert(listed.isNullAt(listed.fieldIndex("maintenance_last_error")))
+    OtlpServe.otlpStop(spark, uri)
+  }
+
+  test("inspection views see every later seal without a session restart") {
+    val root = java.nio.file.Files.createTempDirectory("otlp_viewfresh").toString
+    val uri = "otlp:127.0.0.1:45843"
+    OtlpServe.otlpServe(spark, uri, Map(
+      "token" -> Token, "target" -> "parquet", "parquet_root" -> root,
+      "seal_max_age_ms" -> "3600000", "seal_target_bytes" -> "1073741824"))
+    assert(post(45843, fixture("logs_simple.jsonl")).statusCode() == 202)
+    assert(OtlpServe.otlpFlush(spark, uri).first()
+      .getAs[String]("status") == "sealed")
+    assert(spark.table("otlp_logs").count() == 3)
+    // a second seal must be visible through the SAME view name — the view
+    // is recreated per seal because Spark pins the file listing at creation
+    assert(post(45843, fixture("logs_simple.jsonl")).statusCode() == 202)
+    assert(OtlpServe.otlpFlush(spark, uri).first()
+      .getAs[String]("status") == "sealed")
+    assert(spark.table("otlp_logs").count() == 6)
+    OtlpServe.otlpStop(spark, uri)
+  }
+
+  test("catalog-mode maintenance compacts the managed table's seal files") {
+    val uri = "otlp:127.0.0.1:45844"
+    OtlpServe.otlpServe(spark, uri, Map(
+      "token" -> Token, "schema" -> "otlptest_catmaint",
+      "seal_max_age_ms" -> "3600000", "seal_target_bytes" -> "1073741824",
+      "maintenance_min_seals" -> "5", "maintenance_min_interval_ms" -> "1"))
+    val body = fixture("logs_simple.jsonl")
+    (1 to 5).foreach { _ =>
+      assert(post(45844, body).statusCode() == 202)
+      val fl = OtlpServe.otlpFlush(spark, uri).first()
+      assert(fl.getAs[String]("status") == "sealed", fl.toString)
+    }
+    // the 5 per-seal files bin-packed into one; rows intact through the table
+    val loc = new java.io.File(new java.net.URI(spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser
+        .parseTableIdentifier("otlptest_catmaint.otlp_logs")).location.toString))
+    val files = loc.listFiles().filter(f => f.getName.endsWith(".parquet") &&
+      !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    assert(files.length == 1, s"expected 1 compacted file, got ${files.length}")
+    assert(spark.table("otlptest_catmaint.otlp_logs").count() == 15)
+    val listed = OtlpServe.serverList(spark)
+      .where(col("listen_uri") === "otlp:127.0.0.1:45844").first()
+    assert(listed.getAs[Long]("maintenance_runs_total") == 1L)
     OtlpServe.otlpStop(spark, uri)
   }
 }
