@@ -93,6 +93,9 @@ object Bench {
     OtlpServe.otlpFlush(spark, uri)
     val elapsed = (System.nanoTime() - t0) / 1e9
     val durable = OtlpServe.get(uri).map(_.committedRowsTotal.get()).getOrElse(0L)
+    if (sys.env.contains("SPARK_GRAFT_BENCH_SEALS"))
+      OtlpServe.get(uri).foreach(_.sealHistory.foreach(ev => System.err.println(
+        s"[seal] trigger=${ev.trigger} rows=${ev.rows} appendMs=${ev.appendMs} commitMs=${ev.commitMs}")))
     OtlpServe.otlpStop(spark, uri)
     (sent.get() / acceptElapsed, durable / elapsed)
   }

@@ -121,6 +121,9 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
     var attempts = 0
     while (attempts < 3 && bufferedRows > 0) {
       sealOnce("stop")
+      // a failed concurrent cycle may restore rows after our check; wait
+      // for quiescence so the drop count below is accurate
+      awaitInflight()
       attempts += 1
     }
     sealMonitor.synchronized { sealMonitor.notifyAll() }
@@ -135,11 +138,14 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
     bufferedRows
   }
 
-  /** Synchronous seal-now; returns rows sealed by this call. */
+  /** Synchronous seal-now; returns rows sealed by this call's cycle. Also
+    * waits for every cycle already in flight, so rows accepted before the
+    * flush call are durable when it returns. */
   def flush(): (Long, String) = {
-    val before = committedRowsTotal.get()
-    val err = sealOnce("flush")
-    (committedRowsTotal.get() - before, err)
+    val cycle = startSealCycle("flush")
+    awaitInflight()
+    cycle.latch.await()
+    (cycle.rowsSealed.get(), cycle.error.get())
   }
 
   // ---- telemetry snapshots -------------------------------------------------
@@ -584,10 +590,18 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
         d
       }
       val ageDue = oldestBufferedAgeMs.exists(_ >= cfg.sealMaxAgeMs)
-      if (!stopping.get() && (due || ageDue))
-        // the sealer thread must survive any single seal failure — an
-        // uncaught throw here would stop all future seals and wedge ingest
-        try sealOnce(if (ageDue && !due) "age" else "size")
+      // a size request can go stale when a concurrent cycle drained the
+      // buffers between the signal and this wakeup — a near-empty seal
+      // still pays full Spark job overhead, so require a quarter-target
+      // floor unless the age trigger binds
+      val worthSealing = ageDue || bufferedBytes >= cfg.sealTargetBytes / 4
+      if (!stopping.get() && (due || ageDue) && worthSealing)
+        // async: the cycle's writes run on their own threads; the sealer
+        // immediately returns to watching triggers, so the NEXT seal can
+        // swap and start while this one is still committing. The sealer
+        // thread must survive any single seal failure — an uncaught throw
+        // here would stop all future seals and wedge ingest.
+        try startSealCycle(if (ageDue && !due) "age" else "size")
         catch {
           case e: Throwable =>
             sealFailuresTotal.incrementAndGet()
@@ -598,85 +612,138 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
   }
 
   private val writerMutex = new Object
+  private val maintenanceMutex = new Object
+  /** Bound on overlapping seal cycles: cycle N's distributed write runs
+    * while cycle N+1 swaps and starts its own, hiding job-launch and
+    * output-commit latency between seals (the measured durable-throughput
+    * bottleneck was the serial write tail). Two in flight bounds memory at
+    * ~2× seal_target_bytes of row images. */
+  private val sealSlots = new java.util.concurrent.Semaphore(2)
+  private val inflight = new java.util.concurrent.ConcurrentLinkedQueue[SealCycle]()
 
-  /** Swap all buffers, write each signal, restore failures. Returns the
-    * error message of the first failed signal write (null on success). */
-  private def sealOnce(trigger: String): String = writerMutex.synchronized {
-    val t0 = System.currentTimeMillis()
-    // swap all buffers for fresh ones with every lock held (pre-allocated)
-    val fresh = Signals.map(_ => new ArrayBuffer[Array[Byte]]()).toArray
-    val batches: Seq[SealBatch] =
-      Signals.zipWithIndex.map { case (s, i) =>
-        val b = buffers(s)
-        b.lock.synchronized {
-          val batch = SealBatch(s, b.rows.toIndexedSeq, b.admittedBytes, b.firstUnsealedAtMs)
-          b.rows = fresh(i)
-          b.admittedBytes = 0L
-          b.firstUnsealedAtMs = -1L
-          batch
-        }
+  private final class SealCycle(val trigger: String) {
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val error = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val rowsSealed = new AtomicLong(0)
+    val bytesSealed = new AtomicLong(0)
+    var toSeal: Seq[SealBatch] = Nil
+    var t0 = 0L
+    var tAppend = 0L
+  }
+
+  /** Block until every cycle in flight at call time has finalized. */
+  private def awaitInflight(): Unit = {
+    val it = inflight.iterator()
+    while (it.hasNext) it.next().latch.await()
+  }
+
+  /** Synchronous seal (flush/stop): waits for THIS cycle and returns its
+    * error (null on success). */
+  private def sealOnce(trigger: String): String = {
+    val c = startSealCycle(trigger)
+    c.latch.await()
+    c.error.get()
+  }
+
+  /** Swap all buffers into a new seal cycle and start one write thread per
+    * non-empty signal; finalization (events, counters, views, maintenance)
+    * runs on the last writer thread to finish. */
+  private def startSealCycle(trigger: String): SealCycle = {
+    sealSlots.acquire()
+    val cycle = new SealCycle(trigger)
+    try {
+      // swaps are serialized so cycles carry disjoint, ordered row ranges
+      writerMutex.synchronized {
+        cycle.t0 = System.currentTimeMillis()
+        val fresh = Signals.map(_ => new ArrayBuffer[Array[Byte]]()).toArray
+        val batches: Seq[SealBatch] =
+          Signals.zipWithIndex.map { case (s, i) =>
+            val b = buffers(s)
+            b.lock.synchronized {
+              val batch = SealBatch(s, b.rows.toIndexedSeq, b.admittedBytes, b.firstUnsealedAtMs)
+              b.rows = fresh(i)
+              b.admittedBytes = 0L
+              b.firstUnsealedAtMs = -1L
+              batch
+            }
+          }
+        cycle.toSeal = batches.filter(_.rows.nonEmpty)
+        cycle.tAppend = System.currentTimeMillis()
+        inflight.add(cycle)
       }
-    val toSeal = batches.filter(_.rows.nonEmpty)
-    var error: String = null
-    var rowsSealed = 0L
-    var bytesSealed = 0L
-    val tAppend = System.currentTimeMillis()
-    // write the signals CONCURRENTLY (metrics fan out to ≤4 tables + logs +
-    // traces): each is an independent Spark job, and overlapping them hides
-    // job-launch and output-commit latency behind each other. ≤6 short-lived
-    // threads per seal; outcome accounting stays on the sealer thread.
-    val outcomes: Seq[(SealBatch, Option[String])] =
-      if (toSeal.size <= 1)
-        toSeal.map(b => b -> writeOne(b))
+      if (cycle.toSeal.isEmpty) finalizeCycle(cycle)
       else {
-        val results = new Array[Option[String]](toSeal.size)
-        val threads = toSeal.zipWithIndex.map { case (batch, i) =>
-          val t = new Thread(() => { results(i) = writeOne(batch) },
-            s"otlp-seal-write-${batch.signal}")
-          t.start(); t
-        }
-        threads.foreach(_.join())
-        // a still-null slot means the thread died before writeOne returned
-        // (fatal error outside its catch) — treat as a failed write so the
-        // batch is restored instead of MatchError-ing the sealer
-        toSeal.zip(results.toIndexedSeq).map { case (b, r) =>
-          b -> (if (r == null) Some(s"${b.signal}: seal write thread died") else r)
+        val remaining =
+          new java.util.concurrent.atomic.AtomicInteger(cycle.toSeal.size)
+        cycle.toSeal.foreach { batch =>
+          val t = new Thread(() => {
+            try {
+              writeOne(batch) match {
+                case None =>
+                  cycle.rowsSealed.addAndGet(batch.rows.size)
+                  cycle.bytesSealed.addAndGet(batch.admittedBytes)
+                  release(batch.admittedBytes)
+                  committedRowsTotal.addAndGet(batch.rows.size)
+                case Some(msg) =>
+                  cycle.error.compareAndSet(null, msg)
+                  restoreBatch(batch)
+              }
+            } catch {
+              // writeOne catches Throwable itself; this guards the
+              // accounting above so the cycle ALWAYS finalizes
+              case e: Throwable =>
+                cycle.error.compareAndSet(null, s"${batch.signal}: ${e.getMessage}")
+            } finally {
+              if (remaining.decrementAndGet() == 0) finalizeCycle(cycle)
+            }
+          }, s"otlp-seal-write-${batch.signal}")
+          t.setDaemon(true)
+          t.start()
         }
       }
-    outcomes.foreach {
-      case (batch, None) =>
-        rowsSealed += batch.rows.size
-        bytesSealed += batch.admittedBytes
-        release(batch.admittedBytes)
-        committedRowsTotal.addAndGet(batch.rows.size)
-      case (batch, Some(msg)) =>
-        if (error == null) error = msg
-        // restore AT THE HEAD of the live buffer: order, bytes, age kept
-        val b = buffers(batch.signal)
-        b.lock.synchronized {
-          b.rows.prependAll(batch.rows)
-          b.admittedBytes += batch.admittedBytes
-          b.firstUnsealedAtMs =
-            if (b.firstUnsealedAtMs < 0) batch.firstUnsealedAtMs
-            else math.min(b.firstUnsealedAtMs, batch.firstUnsealedAtMs)
-        }
+    } catch {
+      case e: Throwable =>
+        cycle.error.compareAndSet(null, s"seal cycle failed: ${e.getMessage}")
+        finalizeCycle(cycle)
     }
+    cycle
+  }
+
+  /** Restore a failed batch AT THE HEAD of the live buffer: order, bytes,
+    * and true row age preserved for retry (at-least-once). */
+  private def restoreBatch(batch: SealBatch): Unit = {
+    val b = buffers(batch.signal)
+    b.lock.synchronized {
+      b.rows.prependAll(batch.rows)
+      b.admittedBytes += batch.admittedBytes
+      b.firstUnsealedAtMs =
+        if (b.firstUnsealedAtMs < 0) batch.firstUnsealedAtMs
+        else math.min(b.firstUnsealedAtMs, batch.firstUnsealedAtMs)
+    }
+  }
+
+  private def finalizeCycle(cycle: SealCycle): Unit = {
     val tCommit = System.currentTimeMillis()
-    updateIngressEwma()
+    val error = cycle.error.get()
+    val rowsSealed = cycle.rowsSealed.get()
+    maintenanceMutex.synchronized { updateIngressEwma() }
     sealsTotal.incrementAndGet()
     if (error != null) { sealFailuresTotal.incrementAndGet(); sealLastError = error }
     else sealLastError = null
     lastSealAtMs = tCommit
     val ev = SealEvent(cfg.uri.canonical, sealSeq.incrementAndGet(),
       success = error == null, error = error, rows = rowsSealed,
-      bytes = bytesSealed, appendMs = tAppend - t0, commitMs = tCommit - tAppend,
-      trigger = trigger, signalsSealed = toSeal.size,
+      bytes = cycle.bytesSealed.get(), appendMs = cycle.tAppend - cycle.t0,
+      commitMs = tCommit - cycle.tAppend, trigger = cycle.trigger,
+      signalsSealed = cycle.toSeal.size,
       sealedRowsTotal = committedRowsTotal.get(), sealsTotal = sealsTotal.get(),
       sealFailuresTotal = sealFailuresTotal.get(), atMs = tCommit)
     sealEvents.synchronized {
       sealEvents.addLast(ev)
       while (sealEvents.size() > SealHistoryCap) sealEvents.removeFirst()
     }
+    // views + maintenance run BEFORE the latch drops so a synchronous
+    // flush observes refreshed views and completed compaction on return
     if (error == null && rowsSealed > 0) {
       // parquet targets: RE-create the inspection views after every
       // successful seal — a view captures its file listing at creation, so
@@ -686,9 +753,11 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
         try writer.createInspectionViews()
         catch { case _: Exception => () }
       }
-      maybeMaintain()
+      maintenanceMutex.synchronized { maybeMaintain() }
     }
-    error
+    inflight.remove(cycle)
+    sealSlots.release()
+    cycle.latch.countDown()
   }
 
   /** One Spark-job write of a sealed batch; returns the error (None = ok).

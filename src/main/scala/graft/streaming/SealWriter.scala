@@ -74,7 +74,7 @@ final class SealWriter(cfg: ServerConfig, spark: SparkSession) {
     * 32-wide at admission, and tasks receive plain byte arrays. */
   private def chunked(rows: IndexedSeq[Array[Byte]]): Array[Array[Array[Byte]]] = {
     val slices = math.max(1, math.min(
-      spark.sparkContext.defaultParallelism, rows.size / 20000))
+      spark.sparkContext.defaultParallelism, rows.size / 10000))
     val per = math.max(1, (rows.size + slices - 1) / slices)
     rows.grouped(per).map(_.toArray).toArray
   }
@@ -96,42 +96,88 @@ final class SealWriter(cfg: ServerConfig, spark: SparkSession) {
     * NOTE: valid only inside the callback — the row handle is freed after. */
   def toDataFrame[A](batch: SealBatch)(fn: DataFrame => A): A = withHandle(batch)(fn)
 
-  def write(batch: SealBatch): Unit = withHandle(batch) { df =>
-    cfg.target match {
-      case "catalog" =>
-        // align by name with the live table schema: wide tables may carry
-        // extra trailing columns (the promotion / schema-evolution
-        // contract) — they NULL-fill, like the reference's column-targeted
-        // INSERT...SELECT
-        val table = cfg.tableName(batch.signal)
-        val target = spark.table(table).schema
-        val aligned = df.select(target.fields.map { f =>
-          if (df.columns.contains(f.name)) col(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
-        }.toIndexedSeq: _*)
-        aligned.write.mode("append").insertInto(table)
-      case "parquet" =>
-        val tsCol =
-          if (batch.signal == "traces") "start_time_unix_nano" else "time_unix_nano"
-        // Physical-layout accelerators the reference measured as "tier 2"
-        // future work (benchmark/otlp-query-probe: ~3.2x scan-cost win from
-        // (service, time) clustering; ~8x bytes-scanned win from a trace_id
-        // bloom filter on point lookups): cluster rows inside each seal file
-        // and attach parquet blooms where a trace_id column exists.
-        var out = df
-          .withColumn("year", date_format(col(tsCol), "yyyy"))
-          .withColumn("month", date_format(col(tsCol), "MM"))
-          .withColumn("day", date_format(col(tsCol), "dd"))
-          .sortWithinPartitions(col("service_name"), col(tsCol))
-          .write.mode("append")
-          .partitionBy("year", "month", "day")
-          .option("compression", "zstd")
-        // (parquet-mr only materializes the bloom when a chunk is not fully
-        // dictionary-encoded — tiny test seals won't show one; large seals do)
-        if (df.columns.contains("trace_id"))
-          out = out.option("parquet.bloom.filter.enabled#trace_id", "true")
-        out.parquet(s"${cfg.parquetRoot}/otlp_${batch.signal}")
+  /** Per-signal write locks: catalog appends go through insertInto, whose
+    * commit protocol stages under the table's shared _temporary dir — two
+    * concurrent jobs on one table collide. Parquet seals don't need this:
+    * each writes an isolated staging dir (see below). */
+  private val tableLocks: Map[String, Object] =
+    OtlpSchemas.Signals.map(s => s -> new Object).toMap
+
+  def write(batch: SealBatch): Unit = cfg.target match {
+    case "catalog" =>
+      tableLocks(batch.signal).synchronized {
+        withHandle(batch) { df =>
+          // align by name with the live table schema: wide tables may carry
+          // extra trailing columns (the promotion / schema-evolution
+          // contract) — they NULL-fill, like the reference's column-targeted
+          // INSERT...SELECT
+          val table = cfg.tableName(batch.signal)
+          val target = spark.table(table).schema
+          val aligned = df.select(target.fields.map { f =>
+            if (df.columns.contains(f.name)) col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }.toIndexedSeq: _*)
+          aligned.write.mode("append").insertInto(table)
+        }
+      }
+    case "parquet" => withHandle(batch) { df =>
+      val tsCol =
+        if (batch.signal == "traces") "start_time_unix_nano" else "time_unix_nano"
+      // Physical-layout accelerators the reference measured as "tier 2"
+      // future work (benchmark/otlp-query-probe: ~3.2x scan-cost win from
+      // (service, time) clustering; ~8x bytes-scanned win from a trace_id
+      // bloom filter on point lookups): cluster rows inside each seal file
+      // and attach parquet blooms where a trace_id column exists.
+      // The partition columns LEAD the sort: FileFormatWriter requires rows
+      // ordered by partition cols and would otherwise insert its own sort
+      // on top, sorting every seal twice and destroying the clustering.
+      var out = df
+        .withColumn("year", date_format(col(tsCol), "yyyy"))
+        .withColumn("month", date_format(col(tsCol), "MM"))
+        .withColumn("day", date_format(col(tsCol), "dd"))
+        .sortWithinPartitions(col("year"), col("month"), col("day"),
+          col("service_name"), col(tsCol))
+        .write.mode("overwrite")
+        .partitionBy("year", "month", "day")
+        .option("compression", "zstd")
+      // (parquet-mr only materializes the bloom when a chunk is not fully
+      // dictionary-encoded — tiny test seals won't show one; large seals do)
+      if (df.columns.contains("trace_id"))
+        out = out.option("parquet.bloom.filter.enabled#trace_id", "true")
+      // Isolated staging per seal, then per-file rename into the live
+      // layout: concurrent seal cycles on the SAME signal would otherwise
+      // share the path's _temporary dir (FileOutputCommitter) and clobber
+      // each other's staged files. Renames are metadata-only on file:/hdfs:
+      // and same-bucket copies on object stores. Publish is at-least-once
+      // (a crash mid-publish re-seals the batch), the documented contract.
+      val tableRoot = new Path(s"${cfg.parquetRoot}/otlp_${batch.signal}")
+      val staging = new Path(tableRoot, s".seal-staging-${java.util.UUID.randomUUID()}")
+      val hfs = fs(tableRoot)
+      try {
+        out.parquet(staging.toString)
+        publishStaged(hfs, staging, tableRoot)
+      } finally hfs.delete(staging, true)
     }
+  }
+
+  /** Move every staged leaf parquet file into the matching live partition
+    * dir, preserving Spark's unique part-file names. */
+  private def publishStaged(hfs: FileSystem, staging: Path, tableRoot: Path): Unit = {
+    def walk(dir: Path, rel: String): Unit =
+      hfs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (!name.startsWith(".") && !name.startsWith("_"))
+            walk(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
+        } else if (isParquetFile(st)) {
+          val destDir = if (rel.isEmpty) tableRoot else new Path(tableRoot, rel)
+          hfs.mkdirs(destDir)
+          val dest = new Path(destDir, name)
+          if (!hfs.rename(st.getPath, dest))
+            throw new java.io.IOException(s"publish rename ${st.getPath} -> $dest failed")
+        }
+      }
+    walk(staging, "")
   }
 
   // ---- maintenance (Hadoop FS API: works on file:, hdfs:, s3a:, abfs:) ----
