@@ -94,25 +94,64 @@ object Similarity {
     * is a pure map — and fully reproducible in any engine. */
   def ivfCentroid(p: Int, d: Int): Double = planeComponent(p + 1000, d)
 
-  /** vec_id, embedding, per-centroid score array, assigned cell (0-based;
-    * first-max wins on ties). Map-only. */
-  def ivfCells(emb: DataFrame, centroids: Int, dims: Int,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = asDouble(col(vecCol))
-    val cents = array((0 until centroids).map(p =>
-      array((0 until dims).map(d => lit(ivfCentroid(p, d))): _*)): _*)
-    val norms = array((0 until centroids).map { p =>
-      val n = math.sqrt((0 until dims).map(d => ivfCentroid(p, d))
-        .foldLeft(0.0)((acc, x) => acc + x * x))
-      lit(n)
-    }: _*)
-    val scores = transform(sequence(lit(0), lit(centroids - 1)), p =>
-      dot(v, element_at(cents, p + 1)) / element_at(norms, p + 1))
-    emb.select(col(idCol), col(vecCol), scores.as("cell_scores"))
+  /** The deterministic seed centroid matrix (no training pass). */
+  def ivfSeedCentroids(centroids: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(centroids, dims)((p, d) => ivfCentroid(p, d))
+
+  /** Per-centroid cos-score array for an explicit centroid matrix. */
+  private def cellScores(v: Column, cents: Array[Array[Double]]): Column = {
+    val centsLit = array(cents.map(c => array(c.map(lit(_)): _*)).toIndexedSeq: _*)
+    val norms = array(cents.map(c =>
+      lit(math.sqrt(c.foldLeft(0.0)((acc, x) => acc + x * x)))).toIndexedSeq: _*)
+    transform(sequence(lit(0), lit(cents.length - 1)), p =>
+      dot(v, element_at(centsLit, p + 1)) / element_at(norms, p + 1))
+  }
+
+  /** vec_id, embedding, score array, assigned cell for an explicit centroid
+    * matrix (0-based; first-max wins on ties). Map-only. */
+  def ivfCellsWith(emb: DataFrame, cents: Array[Array[Double]],
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol), col(vecCol),
+        cellScores(asDouble(col(vecCol)), cents).as("cell_scores"))
       .withColumn("cell",
         (array_position(col("cell_scores"), array_max(col("cell_scores"))) - 1)
           .cast("int"))
+
+  /** vec_id, embedding, per-centroid score array, assigned cell (0-based;
+    * first-max wins on ties). Map-only. */
+  def ivfCells(emb: DataFrame, centroids: Int, dims: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfCellsWith(emb, ivfSeedCentroids(centroids, dims), idCol, vecCol)
+
+  /** One seeded, SAMPLED k-means iteration: vectors with `id % sampleMod
+    * == 0` are assigned to their best seed cell, and each trained centroid
+    * is the element-wise mean of its sample, rounded to 4 decimals (a cell
+    * with no sample keeps its seed). The rounding makes the trained matrix
+    * engine-portable — partial-aggregation sum order differs only ~1e-13
+    * across engines, far inside round(4) — so an oracle can recompute it
+    * exactly. Returns the tiny (centroids × dims) matrix to the driver:
+    * the standard train-then-assign IVF shape — at 100 TB the training job
+    * scans only the sample and ships back kilobytes. */
+  def ivfCentroidsTrained(emb: DataFrame, centroids: Int, dims: Int,
+                          sampleMod: Int = 5, idCol: String = "vec_id",
+                          vecCol: String = "embedding"): Array[Array[Double]] = {
+    val cents = ivfSeedCentroids(centroids, dims)
+    ivfCells(emb.where(col(idCol) % sampleMod === 0), centroids, dims, idCol, vecCol)
+      .select(col("cell"), posexplode(asDouble(col(vecCol))))
+      .groupBy("cell", "pos").agg(round(avg("col"), 4).as("cd"))
+      .collect()
+      .foreach(r => cents(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    cents
   }
+
+  /** Cell assignment under trained centroids (data-adaptive occupancy;
+    * same map-only shape as the untrained path). */
+  def ivfCellsTrained(emb: DataFrame, centroids: Int, dims: Int,
+                      sampleMod: Int = 5, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame =
+    ivfCellsWith(emb,
+      ivfCentroidsTrained(emb, centroids, dims, sampleMod, idCol, vecCol),
+      idCol, vecCol)
 
   /** IVF ANN top-k: probe the query's `nprobe` best cells (every cell whose
     * query score reaches the nprobe-th largest — ties widen the probe set
@@ -121,8 +160,21 @@ object Similarity {
     * touches only its cells' files. */
   def annTopKIvf(emb: DataFrame, queryId: Long, k: Int, centroids: Int,
                  nprobe: Int, dims: Int, idCol: String = "vec_id",
-                 vecCol: String = "embedding"): DataFrame = {
-    val cells = ivfCells(emb, centroids, dims, idCol, vecCol)
+                 vecCol: String = "embedding"): DataFrame =
+    annTopKInCells(ivfCells(emb, centroids, dims, idCol, vecCol),
+      queryId, k, nprobe, idCol, vecCol)
+
+  /** IVF ANN with a trained coarse quantizer (see ivfCentroidsTrained). */
+  def annTopKIvfTrained(emb: DataFrame, queryId: Long, k: Int, centroids: Int,
+                        nprobe: Int, dims: Int, sampleMod: Int = 5,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame =
+    annTopKInCells(ivfCellsTrained(emb, centroids, dims, sampleMod, idCol, vecCol),
+      queryId, k, nprobe, idCol, vecCol)
+
+  private def annTopKInCells(cells: DataFrame, queryId: Long, k: Int,
+                             nprobe: Int, idCol: String,
+                             vecCol: String): DataFrame = {
     val q = broadcast(
       cells.where(col(idCol) === queryId)
         .select(asDouble(col(vecCol)).as("qv"),

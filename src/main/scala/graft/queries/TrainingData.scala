@@ -227,6 +227,80 @@ object TrainingData {
         centroids = 8, nprobe = 2, dims = 64)
     },
 
+    // trained IVF: one seeded sampled k-means iteration (vec_id % 5 sample,
+    // element-wise round(avg,4) per cell; empty cells keep their seed), then
+    // assignment of the whole corpus under the trained matrix. The oracle
+    // recomputes the training pass — round(4) makes the trained centroids
+    // engine-portable (see Similarity.ivfCentroidsTrained).
+    df("ss_ivf_cells_trained",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cn AS (SELECT p, c, sqrt(list_sum(list_transform(generate_series(1, 64), i -> c[i] * c[i]))) AS nc
+        |  FROM (SELECT p, list_transform(generate_series(1, 64),
+        |    d -> (strpos('0123456789abcdef', substring(md5(concat(p + 1000, '_', d - 1)), 1, 1)) - 8.5)) AS c
+        |  FROM generate_series(0, 7) t(p)) x),
+        |s0 AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN cn WHERE vec_id % 5 = 0 GROUP BY vec_id),
+        |c0 AS (SELECT vec_id, list_position(scores, list_aggregate(scores, 'max')) - 1 AS cell FROM s0),
+        |tr AS (SELECT cell, d, round(avg(v[d]), 4) AS cd
+        |  FROM c0 JOIN e USING (vec_id) CROSS JOIN generate_series(1, 64) t(d)
+        |  GROUP BY cell, d),
+        |tl AS (SELECT cell, list(cd ORDER BY d) AS c FROM tr GROUP BY cell),
+        |tc AS (SELECT cn.p, coalesce(tl.c, cn.c) AS c,
+        |  sqrt(list_sum(list_transform(generate_series(1, 64),
+        |    i -> coalesce(tl.c, cn.c)[i] * coalesce(tl.c, cn.c)[i]))) AS nc
+        |  FROM cn LEFT JOIN tl ON tl.cell = cn.p),
+        |scored AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN tc GROUP BY vec_id),
+        |cells AS (SELECT vec_id, list_position(scores, list_aggregate(scores, 'max')) - 1 AS cell FROM scored)
+        |SELECT cell, count(*) AS cnt FROM cells GROUP BY cell ORDER BY cell""".stripMargin) {
+      (s, _) =>
+        Similarity.ivfCellsTrained(s.table("embeddings"), centroids = 8,
+            dims = 64, sampleMod = 5)
+          .groupBy("cell").agg(count(lit(1)).as("cnt"))
+          .orderBy("cell")
+    },
+
+    df("ss_ann_ivf_trained",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cn AS (SELECT p, c, sqrt(list_sum(list_transform(generate_series(1, 64), i -> c[i] * c[i]))) AS nc
+        |  FROM (SELECT p, list_transform(generate_series(1, 64),
+        |    d -> (strpos('0123456789abcdef', substring(md5(concat(p + 1000, '_', d - 1)), 1, 1)) - 8.5)) AS c
+        |  FROM generate_series(0, 7) t(p)) x),
+        |s0 AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN cn WHERE vec_id % 5 = 0 GROUP BY vec_id),
+        |c0 AS (SELECT vec_id, list_position(scores, list_aggregate(scores, 'max')) - 1 AS cell FROM s0),
+        |tr AS (SELECT cell, d, round(avg(v[d]), 4) AS cd
+        |  FROM c0 JOIN e USING (vec_id) CROSS JOIN generate_series(1, 64) t(d)
+        |  GROUP BY cell, d),
+        |tl AS (SELECT cell, list(cd ORDER BY d) AS c FROM tr GROUP BY cell),
+        |tc AS (SELECT cn.p, coalesce(tl.c, cn.c) AS c,
+        |  sqrt(list_sum(list_transform(generate_series(1, 64),
+        |    i -> coalesce(tl.c, cn.c)[i] * coalesce(tl.c, cn.c)[i]))) AS nc
+        |  FROM cn LEFT JOIN tl ON tl.cell = cn.p),
+        |scored AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN tc GROUP BY vec_id),
+        |cells AS (SELECT s.vec_id, e.v, s.scores,
+        |  list_position(s.scores, list_aggregate(s.scores, 'max')) - 1 AS cell
+        |  FROM scored s JOIN e ON e.vec_id = s.vec_id),
+        |q AS (SELECT v AS qv, scores AS qscores,
+        |  list_sort(scores, 'DESC')[2] AS thr FROM cells WHERE vec_id = 7),
+        |cand AS (SELECT c.vec_id, c.v, q.qv FROM cells c CROSS JOIN q
+        |  WHERE c.vec_id <> 7 AND q.qscores[c.cell + 1] >= q.thr),
+        |sims AS (SELECT vec_id,
+        |  list_sum(list_transform(generate_series(1, 64), i -> v[i] * qv[i])) AS dp,
+        |  sqrt(list_sum(list_transform(generate_series(1, 64), i -> v[i] * v[i]))) AS nv,
+        |  sqrt(list_sum(list_transform(generate_series(1, 64), i -> qv[i] * qv[i]))) AS nq
+        |  FROM cand)
+        |SELECT vec_id, round(dp / (nv * nq), 4) AS sim
+        |FROM sims ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) { (s, _) =>
+      Similarity.annTopKIvfTrained(s.table("embeddings"), queryId = 7, k = 10,
+        centroids = 8, nprobe = 2, dims = 64, sampleMod = 5)
+    },
+
     // class centroids: element-wise mean embedding per label (the building
     // block of IVF training / prototype classifiers). posexplode ≡
     // unnest+generate_subscripts; means are exact-order-independent enough

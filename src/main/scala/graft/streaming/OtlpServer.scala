@@ -551,9 +551,20 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
   /** Move all staged signals into the live buffers; admitted bytes split by
     * rows with the remainder on the last non-empty signal. Returns rows. */
   private def commitStaged(nonEmpty: Seq[(String, IndexedSeq[Array[Byte]])],
-                           bytes: Long): Long = {
+                           wireBytes: Long): Long = {
     val totalRows = nonEmpty.map(_._2.size.toLong).sum
-    if (totalRows == 0) { release(bytes); return 0 }
+    if (totalRows == 0) { release(wireBytes); return 0 }
+    // secondary admission bound: a gzip body can expand ~8x on decode and
+    // the UnsafeRow heap images differ from the wire size again, so account
+    // the LARGER of wire bytes and resident row-image bytes (+16/row array
+    // overhead). The top-up is reserved unconditionally — this request
+    // already paid the decode, so admit it and let the inflated reservation
+    // 503 the NEXT request; without it a high-ratio stream could hold ~8x
+    // max_buffered_bytes of heap before the cap ever tripped.
+    val heapBytes = nonEmpty.iterator
+      .map(_._2.iterator.map(_.length.toLong + 16L).sum).sum
+    val bytes = math.max(wireBytes, heapBytes)
+    if (bytes > wireBytes) reservedBytes.addAndGet(bytes - wireBytes)
     admittedBytesTotal.addAndGet(bytes)
     val now = System.currentTimeMillis()
     var remaining = bytes

@@ -300,6 +300,39 @@ class OtlpServeSpec extends SparkTestBase {
     OtlpServe.otlpStop(spark, uri)
   }
 
+  test("admission binds on decoded size, not wire size (gzip bomb)") {
+    val uri = "otlp:127.0.0.1:45827"
+    OtlpServe.otlpServe(spark, uri,
+      Map("token" -> Token, "schema" -> "otlptest_bomb",
+        "max_buffered_bytes" -> "200000",
+        "seal_target_bytes" -> "1073741824",
+        "seal_max_age_ms" -> "3600000"))
+    val url = OtlpServe.serverList(spark)
+      .where(col("listen_uri") === "otlp:127.0.0.1:45827").first()
+      .getAs[String]("listen_url")
+    // ~2000 identical records: tiny on the wire after gzip, ~1 MB of
+    // UnsafeRow images resident after decode — far over the 200 KB cap
+    val line = """{"resourceLogs":[{"resource":{},"scopeLogs":[{"scope":{},"logRecords":[{"timeUnixNano":"1640000000000000000","severityNumber":9,"severityText":"INFO","body":{"stringValue":"aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"}}]}]}]}"""
+    val plain = Array.fill(2000)(line).mkString("\n").getBytes(StandardCharsets.UTF_8)
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(plain); gz.close()
+    val gzBody = bos.toByteArray
+    assert(gzBody.length < 50000, s"gzip body unexpectedly large: ${gzBody.length}")
+    val hdrs = Map("Content-Type" -> "application/x-ndjson",
+      "Content-Encoding" -> "gzip", "Authorization" -> s"Bearer $Token")
+    // the bomb itself is admitted (its wire reserve passed the check)…
+    assert(post(url, "/v1/logs", gzBody, hdrs).statusCode() == 202)
+    // …but the decoded-size top-up now holds the reservation over the cap,
+    // so the next request 503s even though total WIRE bytes are tiny
+    val second = post(url, "/v1/logs", gzBody, hdrs)
+    assert(second.statusCode() == 503, s"${second.statusCode()} ${second.body()}")
+    // sealing releases the decoded-size reservation and ingest resumes
+    assert(OtlpServe.otlpFlush(spark, uri).first().getAs[String]("status") == "sealed")
+    assert(post(url, "/v1/logs", gzBody, hdrs).statusCode() == 202)
+    OtlpServe.otlpStop(spark, uri)
+  }
+
   test("OTAP streaming session: ack, dict reuse, backpressure nack, poison") {
     // HTTP framing of the reference's bidirectional OTAP stream contract
     // (serve.md "gRPC transport"; test/manual/otap_serve_arrow_stream.py):

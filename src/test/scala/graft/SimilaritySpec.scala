@@ -50,6 +50,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(sims == sims.sorted.reverse)
   }
 
+  test("trained ivf: valid partition, exact sims, recall beats untrained") {
+    val trainedCells = Similarity.ivfCellsTrained(emb, centroids = 8, dims = 64,
+      sampleMod = 5).select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(trainedCells.values.toSet.subsetOf((0 until 8).toSet))
+    assert(trainedCells.size == emb.count())
+
+    val exact = Similarity.cosineTopK(emb, queryId = 7, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    def recall(ann: Array[org.apache.spark.sql.Row]): Int =
+      ann.map(_.getLong(0)).toSet.intersect(exact).size
+    // data-adaptive cells raise recall at the same probe budget on this
+    // corpus (deterministic: fixed data, fixed seeds, round(4) training)
+    for (np <- Seq(2, 3)) {
+      val un = recall(Similarity.annTopKIvf(emb, 7, 10, 8, np, 64).collect())
+      val tr = recall(Similarity.annTopKIvfTrained(emb, 7, 10, 8, np, 64, 5).collect())
+      assert(tr >= un, s"nprobe=$np trained recall $tr < untrained $un")
+    }
+    val ann = Similarity.annTopKIvfTrained(emb, 7, 10, 8, 3, 64, 5).collect()
+    assert(recall(ann) >= 7, s"trained recall@10 nprobe=3 was ${recall(ann)}")
+    // reported sims are the exact cosine values
+    val brute = Similarity.cosineTopK(emb, 7, k = emb.count().toInt)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ann.foreach(r => assert(brute(r.getLong(0)) == r.getDouble(1)))
+  }
+
   test("lsh bucket ids are valid bit strings partitioning the corpus") {
     val rows = Similarity.lshBuckets(emb, planes = 8, dims = 64)
       .groupBy("bucket").agg(count(lit(1)).as("cnt")).collect()
