@@ -112,6 +112,47 @@ object Dedup {
       .select(col(idCol), fingerprint.as("simhash"))
   }
 
+  /** Near-duplicate CLUSTERS from a candidate-pair list: connected
+    * components by iterative min-label propagation — every id's cluster_id
+    * converges to the minimum id reachable through the pair graph, giving a
+    * canonical keeper per cluster (keep-first dedup = keep id == cluster_id).
+    *
+    * Scale shape: each round is one join + one map-side-combinable groupBy
+    * (shuffles keyed by id — uniform); rounds = component diameter, and
+    * near-dup clusters are shallow by construction (LSH pairs connect
+    * mutually-similar docs). Lineage is truncated per round with an eager
+    * localCheckpoint so the plan stays flat however many rounds run; the
+    * known upgrade path for adversarial long-chain graphs is the
+    * log-round large-star/small-star variant. Driver work per round is one
+    * converged? counter — no row data ever reaches the driver. */
+  def neardupClusters(pairs: DataFrame, idA: String = "id_a",
+                      idB: String = "id_b"): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min("cluster_id").as("nbr_min"))
+      val next = labels.as("l")
+        .join(nbrMin.as("n"), col("l.id") === col("n.src"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.cluster_id"),
+            coalesce(col("n.nbr_min"), col("l.cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      converged = next.as("a")
+        .join(labels.as("b"), col("a.id") === col("b.id"))
+        .where(col("a.cluster_id") =!= col("b.cluster_id"))
+        .isEmpty
+      labels = next
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact n-gram Jaccard similarity for an explicit pair list
     * (pairs: id_a, id_b). Relational formulation — distinct shingle sets,
     * pair-join on shingle equality — so it runs on candidates only, never

@@ -86,6 +86,31 @@ object TextAnalysis {
       md5(concat_ws(" ", array_sort(array_distinct(words)))).as("fingerprint"))
   }
 
+  /** Per-document top-k terms by tf-idf (tfidf = tf · ln(N/df), rounded to
+    * 4 decimals BEFORE ranking so engines whose ln differs in the last ulp
+    * still rank identically; ties break on the term). Plan shape: explode →
+    * two map-side-combinable aggregates (doc-term tf, term df) → broadcast
+    * of the 1-row corpus count → per-doc window top-k. The df table is
+    * vocabulary-sized, and the window partitions by doc_id — both shuffle
+    * keys are uniform at any corpus size. */
+  def tfidfTopTerms(docs: DataFrame, k: Int, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+      explode(filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))))
+      .where(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"), col("rnk"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al.): hash every character
     * `k`-gram (rolling window over the text; hash = first 8 hex chars of
     * md5), then keep the minimum hash of every `w`-hash window — the

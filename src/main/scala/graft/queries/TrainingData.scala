@@ -129,6 +129,36 @@ object TrainingData {
         .orderBy("id_a").limit(100)
     },
 
+    // near-dup clustering: connected components over the candidate-pair
+    // graph (consecutive-id embedding pairs at cos >= 0.2), cluster_id =
+    // min reachable id — the keeper-selection step after LSH. The oracle
+    // computes the transitive closure with a recursive CTE; Spark runs
+    // iterative min-label propagation — same fixpoint.
+    df("dd_neardup_clusters",
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p0 AS (SELECT vec_id AS id_a, vec_id + 1 AS id_b FROM embeddings),
+        |sim AS (SELECT id_a, id_b,
+        |  round(list_sum(list_transform(generate_series(1, len(ea.v)), i -> ea.v[i] * eb.v[i])) /
+        |  (sqrt(list_sum(list_transform(generate_series(1, len(ea.v)), i -> ea.v[i] * ea.v[i]))) *
+        |   sqrt(list_sum(list_transform(generate_series(1, len(eb.v)), i -> eb.v[i] * eb.v[i])))), 4) AS s
+        |  FROM p0 JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b),
+        |pr AS (SELECT id_a, id_b FROM sim WHERE s >= 0.2),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON e2.src = r.dst)
+        |SELECT src AS id, least(src, min(dst)) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY id LIMIT 200""".stripMargin) { (s, _) =>
+      val emb = s.table("embeddings")
+      val pairs = Similarity.embeddingNearDups(emb,
+          emb.select(col("vec_id").as("id_a"), (col("vec_id") + 1).as("id_b")),
+          threshold = 0.2)
+        .select(col("id_a"), col("id_b"))
+      Dedup.neardupClusters(pairs).orderBy("id").limit(200)
+    },
+
     // ---- similarity search ------------------------------------------------
 
     df("ss_cosine_topk",
@@ -445,6 +475,44 @@ object TrainingData {
       TextAnalysis.fingerprint(s.table("documents"))
         .agg(countDistinct(col("fingerprint")).as("distinct_fp"),
           count(lit(1)).as("docs"))
+    },
+
+    // per-doc top-3 terms by tf-idf; tfidf rounded to 4 decimals BEFORE the
+    // rank so an ulp difference in ln() between engines cannot flip an order
+    df("ta_tfidf_top",
+      s"""WITH $duckWords,
+         |tf AS (SELECT doc_id, t AS term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(w) AS t FROM toks) x GROUP BY doc_id, t),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |s AS (SELECT doc_id, term, tf, df,
+         |  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         |r AS (SELECT s.*, row_number() OVER (
+         |  PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk FROM s)
+         |SELECT doc_id, term, tf, df, tfidf, rnk FROM r WHERE rnk <= 3
+         |ORDER BY doc_id, rnk LIMIT 300""".stripMargin) { (s, _) =>
+      TextAnalysis.tfidfTopTerms(s.table("documents"), k = 3)
+        .orderBy("doc_id", "rnk").limit(300)
+    },
+
+    // deterministic hash-based stratified sampling (downsample 'en' to 25%,
+    // keep 75% elsewhere): the keep/drop decision derives from md5 of the
+    // doc id, so the SAME rows are kept in any engine / partitioning / run
+    df("ta_sample_stratified",
+      """WITH s AS (SELECT lang, doc_id FROM documents
+        |  WHERE CAST(list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |      substring(md5(concat('s0', CAST(doc_id AS VARCHAR))), i, 1)) - 1)
+        |      * 16.0 ** (8 - i))) AS DOUBLE) / 4294967296.0
+        |    < CASE WHEN lang = 'en' THEN 0.25 ELSE 0.75 END)
+        |SELECT lang, count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin) { (s, _) =>
+      graft.operators.Sampling.stratifiedSample(s.table("documents"), "lang",
+          rates = Map("en" -> 0.25), defaultRate = 0.75, salt = "s0")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("lang")
     }
   )
 }

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.{Dedup, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Property tests for dedup clustering and deterministic sampling beyond
+  * the oracle value checks. */
+class DedupSpec extends SparkTestBase {
+
+  test("neardup clusters: multi-hop chains converge to the min id") {
+    import spark.implicits._
+    // components: {1,2,3,4} (a 4-chain — 3 hops), {10,11}, {20,21,22} (a
+    // triangle), and 30-31 via a duplicate edge listed both ways
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 20L),
+      (30L, 31L), (31L, 30L)
+    ).toDF("id_a", "id_b")
+    val got = Dedup.neardupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L)
+    assert(got == want, s"got $got")
+  }
+
+  test("keep-first dedup = keep id == cluster_id") {
+    import spark.implicits._
+    val pairs = Seq((5L, 3L), (5L, 9L)).toDF("id_a", "id_b")
+    val keepers = Dedup.neardupClusters(pairs)
+      .where(col("id") === col("cluster_id")).collect().map(_.getLong(0)).toSet
+    assert(keepers == Set(3L))
+  }
+
+  test("hash sampling is deterministic and partitioning-invariant") {
+    Tables.register(spark, sfDir)
+    val docs = spark.table("documents")
+    val a = Sampling.hashSample(docs, 0.3, "s0").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs.repartition(7), 0.3, "s0").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "same rows must be kept under any partitioning")
+    assert(a.nonEmpty && a.size < docs.count())
+    // a different salt draws a different (deterministic) sample
+    val c = Sampling.hashSample(docs, 0.3, "s1").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(c != a)
+  }
+
+  test("stratified sampling applies per-stratum rates") {
+    Tables.register(spark, sfDir)
+    val docs = spark.table("documents")
+    val kept = Sampling.stratifiedSample(docs, "lang",
+        rates = Map("en" -> 0.1), defaultRate = 0.9, salt = "s0")
+      .groupBy("lang").agg(count(lit(1)).as("kept"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enShare = kept.getOrElse("en", 0L).toDouble / total("en")
+    val deShare = kept.getOrElse("de", 0L).toDouble / total("de")
+    assert(enShare < 0.35, s"en kept share $enShare should be near 0.1")
+    assert(deShare > 0.6, s"de kept share $deShare should be near 0.9")
+  }
+}
