@@ -105,7 +105,8 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
     http = HttpServer.create(new InetSocketAddress(cfg.uri.host, cfg.uri.port), 64)
     http.createContext("/", (ex: HttpExchange) => handle(ex))
     http.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(32, math.max(4, 4 * Runtime.getRuntime.availableProcessors()))))
+      if (cfg.httpThreads > 0) cfg.httpThreads
+      else math.min(32, math.max(4, 4 * Runtime.getRuntime.availableProcessors()))))
     http.start()
     isListening = true
     sealerThread = new Thread(() => sealerLoop(), s"otlp-sealer-${cfg.uri.canonical}")
@@ -167,7 +168,8 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
       import scala.collection.JavaConverters._
       sealEvents.iterator().asScala.toSeq
     }
-  def promotedColumnsTotal: Int = cfg.promoteResourceAttributes.size
+  def promotedColumnsTotal: Int =
+    cfg.promoteResourceAttributes.size + cfg.promoteScopeAttributes.size
 
   // ---- HTTP ---------------------------------------------------------------
 

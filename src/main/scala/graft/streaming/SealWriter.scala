@@ -27,8 +27,12 @@ import org.apache.spark.sql.types._
   * at 100 TB the promoted column is what gives parquet min/max pruning. */
 final class SealWriter(cfg: ServerConfig, spark: SparkSession) {
 
-  private def promoted: Seq[(String, String)] =
-    cfg.promoteResourceAttributes.map(k => k -> ServerConfig.promotedColumn(k))
+  /** (source JSON column, attribute key, promoted column name). */
+  private def promoted: Seq[(String, String, String)] =
+    cfg.promoteResourceAttributes.map(k =>
+      ("resource_attributes", k, ServerConfig.promotedColumn(k))) ++
+    cfg.promoteScopeAttributes.map(k =>
+      ("scope_attributes", k, ServerConfig.promotedScopeColumn(k)))
 
   /** External (Row-compatible) schema of a signal's seal DataFrame. */
   private def baseSchema(signal: String): StructType = OtlpSchemas.forSignal(signal)
@@ -65,7 +69,7 @@ final class SealWriter(cfg: ServerConfig, spark: SparkSession) {
   }
 
   private def withPromoted(s: StructType): StructType =
-    StructType(s.fields ++ promoted.map { case (_, c) => StructField(c, StringType) })
+    StructType(s.fields ++ promoted.map { case (_, _, c) => StructField(c, StringType) })
 
   /** Seal rows arrive pre-encoded as UnsafeRow byte images (RowBin, built
     * on the HTTP worker threads at ingest). The write reads them through
@@ -84,9 +88,8 @@ final class SealWriter(cfg: ServerConfig, spark: SparkSession) {
       baseSchema(batch.signal), chunked(batch.rows))
     try {
       var df = graft.sources.SealRowSource.dataFrame(spark, handle)
-      promoted.foreach { case (key, colName) =>
-        df = df.withColumn(colName,
-          get_json_object(col("resource_attributes"), s"$$['$key']"))
+      promoted.foreach { case (src, key, colName) =>
+        df = df.withColumn(colName, get_json_object(col(src), s"$$['$key']"))
       }
       fn(df)
     } finally graft.sources.SealRowSource.unregister(handle)

@@ -22,7 +22,9 @@ final case class ServerConfig(
     maintenanceRetentionMs: Long,
     maintenanceMinSeals: Long,
     maintenanceMinIntervalMs: Long,
-    promoteResourceAttributes: Seq[String]) {
+    httpThreads: Int,
+    promoteResourceAttributes: Seq[String],
+    promoteScopeAttributes: Seq[String]) {
   def tableName(signal: String): String = s"$schema.otlp_$signal"
 }
 
@@ -37,10 +39,11 @@ object ServerConfig {
   private val Known = Set(
     "token", "disable_auth", "schema", "catalog", "create_tables",
     "transport", "allow_other_hostname", "target", "parquet_root",
+    "parquet_export_path", "http_threads",
     "seal_target_bytes", "seal_max_age_ms", "max_buffered_bytes",
     "max_body_bytes", "target_file_size", "maintenance_retention_ms",
     "maintenance_min_seals", "maintenance_min_interval_ms",
-    "promote_resource_attributes")
+    "promote_resource_attributes", "promote_scope_attributes")
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
 
@@ -88,12 +91,26 @@ object ServerConfig {
       throw new UnsupportedOperationException(
         "gRPC transport is not available in this build (no gRPC runtime on " +
           "the classpath); OTAP payloads are accepted over HTTP POST instead")
-    val target = params.getOrElse("target", "catalog")
+    // parquet_export_path is the reference's canonical parameter name; the
+    // target/parquet_root pair is kept as an accepted spelling of the same
+    // thing. A non-empty export path IS the parquet target and is mutually
+    // exclusive with a catalog target (reference serve.md, otlp_server.cpp).
+    val exportPath = params.getOrElse("parquet_export_path", "")
+    if (exportPath.nonEmpty && params.getOrElse("catalog", "").nonEmpty)
+      fail("parquet_export_path is mutually exclusive with a catalog target")
+    val target =
+      if (exportPath.nonEmpty) "parquet"
+      else params.getOrElse("target", "catalog")
     if (target != "catalog" && target != "parquet")
       fail(s"target must be 'catalog' or 'parquet', got '$target'")
-    val parquetRoot = params.getOrElse("parquet_root", "")
+    val parquetRoot =
+      if (exportPath.nonEmpty) exportPath
+      else params.getOrElse("parquet_root", "")
     if (target == "parquet" && parquetRoot.isEmpty)
       fail("parquet_root is required when target := 'parquet'")
+    val httpThreads = params.get("http_threads").map(_.toInt).getOrElse(0)
+    if (params.contains("http_threads") && httpThreads <= 0)
+      fail("http_threads must be greater than zero")
 
     ServerConfig(
       uri = uri,
@@ -117,12 +134,19 @@ object ServerConfig {
       // reference cadence gates: >=32 row-seals AND >=5 min since last run
       maintenanceMinSeals = long("maintenance_min_seals", 32L),
       maintenanceMinIntervalMs = long("maintenance_min_interval_ms", 5L * 60 * 1000),
+      httpThreads = httpThreads,
       promoteResourceAttributes = params.get("promote_resource_attributes")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty),
+      promoteScopeAttributes = params.get("promote_scope_attributes")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty))
   }
 
+  private def sanitized(key: String): String =
+    key.toLowerCase.map(c => if (c.isLetterOrDigit) c else '_')
+
   /** promoted column name for a resource attribute key. */
-  def promotedColumn(key: String): String =
-    "resource_attr_" + key.toLowerCase.map(c =>
-      if (c.isLetterOrDigit) c else '_')
+  def promotedColumn(key: String): String = "resource_attr_" + sanitized(key)
+
+  /** promoted column name for a scope attribute key. */
+  def promotedScopeColumn(key: String): String = "scope_attr_" + sanitized(key)
 }

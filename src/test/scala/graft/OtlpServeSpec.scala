@@ -95,6 +95,11 @@ class OtlpServeSpec extends SparkTestBase {
       .contains("""Invalid named parameter "checkpoint_interval""""))
     assert(err(Map("token" -> Token, "schema" -> ""))
       .contains("schema must not be empty"))
+    assert(err(Map("token" -> Token, "http_threads" -> "0"))
+      .contains("http_threads must be greater than zero"))
+    assert(err(Map("token" -> Token, "parquet_export_path" -> "/tmp/x",
+      "catalog" -> "lake"))
+      .contains("parquet_export_path is mutually exclusive with a catalog target"))
     assert(err(Map("token" -> Token), uri = "otlp:0.0.0.0:45802")
       .contains("Only localhost is allowed"))
     assert(err(Map("token" -> Token), uri = "otap:127.0.0.1:45803")
@@ -301,14 +306,14 @@ class OtlpServeSpec extends SparkTestBase {
   }
 
   test("admission binds on decoded size, not wire size (gzip bomb)") {
-    val uri = "otlp:127.0.0.1:45827"
+    val uri = "otlp:127.0.0.1:45831"
     OtlpServe.otlpServe(spark, uri,
       Map("token" -> Token, "schema" -> "otlptest_bomb",
         "max_buffered_bytes" -> "200000",
         "seal_target_bytes" -> "1073741824",
         "seal_max_age_ms" -> "3600000"))
     val url = OtlpServe.serverList(spark)
-      .where(col("listen_uri") === "otlp:127.0.0.1:45827").first()
+      .where(col("listen_uri") === "otlp:127.0.0.1:45831").first()
       .getAs[String]("listen_url")
     // ~2000 identical records: tiny on the wire after gzip, ~1 MB of
     // UnsafeRow images resident after decode — far over the 200 KB cap
@@ -342,7 +347,7 @@ class OtlpServeSpec extends SparkTestBase {
     assume(new java.io.File(s"$corpus/logs-reuse.bar").exists())
     def bar(name: String) = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$corpus/$name"))
-    val uri = "otap:127.0.0.1:45826"
+    val uri = "otap:127.0.0.1:45830"
     val r = OtlpServe.otapServe(spark, uri,
       Map("token" -> Token, "schema" -> "otlptest_otapstream",
         "max_buffered_bytes" -> "25000",
@@ -426,20 +431,47 @@ class OtlpServeSpec extends SparkTestBase {
     val uri = "otlp:127.0.0.1:45825"
     OtlpServe.otlpServe(spark, uri,
       Map("token" -> Token, "schema" -> "otlptest_promo",
-        "promote_resource_attributes" -> "service.name,host.name"))
+        "promote_resource_attributes" -> "service.name,host.name",
+        "promote_scope_attributes" -> "telemetry.sdk.name"))
     val url = OtlpServe.serverList(spark)
       .where(col("listen_uri") === "otlp:127.0.0.1:45825").first()
       .getAs[String]("listen_url")
     assert(post(url, "/v1/logs", fixture("logs_simple.jsonl"),
       Map("Content-Type" -> "application/x-ndjson",
         "Authorization" -> s"Bearer $Token")).statusCode() == 202)
+    // one record whose scope carries the promoted attribute
+    val scoped = """{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"test-service"}}]},"scopeLogs":[{"scope":{"name":"sdk-logger","attributes":[{"key":"telemetry.sdk.name","value":{"stringValue":"graft-sdk"}}]},"logRecords":[{"timeUnixNano":"1640000000000000000","severityNumber":9,"body":{"stringValue":"scoped"}}]}]}]}"""
+    assert(post(url, "/v1/logs", scoped.getBytes(StandardCharsets.UTF_8),
+      Map("Content-Type" -> "application/json",
+        "Authorization" -> s"Bearer $Token")).statusCode() == 202)
     OtlpServe.otlpFlush(spark, uri)
     val t = spark.table("otlptest_promo.otlp_logs")
     assert(t.columns.contains("resource_attr_service_name"))
-    assert(t.where(col("resource_attr_service_name") === "test-service").count() == 3)
+    assert(t.where(col("resource_attr_service_name") === "test-service").count() == 4)
     // JSON blob is kept alongside the promoted column
     assert(t.where(get_json_object(col("resource_attributes"),
-      "$['service.name']") === "test-service").count() == 3)
+      "$['service.name']") === "test-service").count() == 4)
+    // scope promotion: real column; rows without the key read NULL
+    assert(t.columns.contains("scope_attr_telemetry_sdk_name"))
+    assert(t.where(col("scope_attr_telemetry_sdk_name") === "graft-sdk").count() == 1)
+    assert(t.where(col("scope_attr_telemetry_sdk_name").isNull).count() == 3)
+    OtlpServe.otlpStop(spark, uri)
+  }
+
+  test("parquet_export_path is the reference spelling of the parquet target") {
+    val root = java.nio.file.Files.createTempDirectory("otlp_pep").toString
+    val uri = "otlp:127.0.0.1:45832"
+    OtlpServe.otlpServe(spark, uri, Map("token" -> Token,
+      "parquet_export_path" -> root, "http_threads" -> "8"))
+    val url = OtlpServe.serverList(spark)
+      .where(col("listen_uri") === "otlp:127.0.0.1:45832").first()
+      .getAs[String]("listen_url")
+    assert(post(url, "/v1/logs", fixture("logs_simple.jsonl"),
+      Map("Content-Type" -> "application/x-ndjson",
+        "Authorization" -> s"Bearer $Token")).statusCode() == 202)
+    assert(OtlpServe.otlpFlush(spark, uri).first()
+      .getAs[String]("status") == "sealed")
+    assert(spark.read.parquet(s"$root/otlp_logs").count() == 3)
     OtlpServe.otlpStop(spark, uri)
   }
 
