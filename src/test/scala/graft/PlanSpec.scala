@@ -71,4 +71,35 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("deterministic sampling is a pushed-down map-side filter") {
+    Tables.register(spark, sfDir)
+    val df = graft.operators.Sampling.stratifiedSample(
+      spark.table("documents"), "lang", Map("en" -> 0.25), 0.75)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), p)
+    // the md5 filter can't push to parquet, but column pruning must hold:
+    // only doc_id (hash input) + lang (stratum) + selected cols are read
+    val pruned = df.select("doc_id", "lang")
+    assert(!plan(pruned).contains("text"), plan(pruned))
+  }
+
+  test("trained IVF assignment stays map-only after training") {
+    Tables.register(spark, sfDir)
+    val cents = graft.operators.Similarity.ivfCentroidsTrained(
+      spark.table("embeddings"), centroids = 8, dims = 64)
+    val df = graft.operators.Similarity.ivfCellsWith(
+      spark.table("embeddings"), cents)
+    assert(!plan(df).contains("Exchange"), plan(df))
+  }
+
+  test("tf-idf aggregates partially before each shuffle") {
+    Tables.register(spark, sfDir)
+    val df = graft.operators.TextAnalysis.tfidfTopTerms(
+      spark.table("documents"), k = 3)
+    val p = plan(df)
+    // doc-term tf and term df both partial-aggregate; corpus count broadcasts
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
 }
