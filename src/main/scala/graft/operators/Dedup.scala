@@ -133,6 +133,13 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster_id"))
       .localCheckpoint()
+    // labels only ever decrease, so the (overflow-proof) label sum is a
+    // single-aggregate convergence check — no extra per-round join job
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).first()
+      if (v.isNullAt(0)) java.math.BigDecimal.ZERO else v.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
@@ -143,10 +150,10 @@ object Dedup {
           least(col("l.cluster_id"),
             coalesce(col("n.nbr_min"), col("l.cluster_id"))).as("cluster_id"))
         .localCheckpoint()
-      converged = next.as("a")
-        .join(labels.as("b"), col("a.id") === col("b.id"))
-        .where(col("a.cluster_id") =!= col("b.cluster_id"))
-        .isEmpty
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels.unpersist() // drop the superseded checkpoint's blocks
       labels = next
     }
     edges.unpersist()

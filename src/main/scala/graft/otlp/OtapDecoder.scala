@@ -787,6 +787,32 @@ final class OtapStreamDecoder(nsAsLong: Boolean) extends AutoCloseable {
     def close(): Unit = if (reader != null) reader.close()
   }
 
+  /** True when the payload's first IPC message is a Schema message (header
+    * type 1 in the encapsulated-message flatbuffer). A Schema on an ALREADY
+    * OPEN stream key means a new self-contained segment, not a continuation
+    * — OTAP assigns a new schema_id when a schema actually changes, and
+    * multi-payload batch files repeat full (schema + dictionaries + batch)
+    * segments under one id — so the old reader state is replaced. */
+  private def startsWithSchema(record: Array[Byte]): Boolean = {
+    try {
+      if (record.length < 12) return false
+      def i32(off: Int): Int =
+        (record(off) & 0xff) | ((record(off + 1) & 0xff) << 8) |
+          ((record(off + 2) & 0xff) << 16) | ((record(off + 3) & 0xff) << 24)
+      // encapsulated message: 0xFFFFFFFF continuation, int32 length, flatbuffer
+      if (i32(0) != -1) return false
+      val fb = 8
+      val root = fb + i32(fb)
+      val vt = root - i32(root)
+      val vtSize = (record(vt) & 0xff) | ((record(vt + 1) & 0xff) << 8)
+      // Message fields: version(0), header_type(1), header(2), bodyLength(3)
+      val slot = 4 + 2 * 1
+      if (slot + 2 > vtSize) return false
+      val rel = (record(vt + slot) & 0xff) | ((record(vt + slot + 1) & 0xff) << 8)
+      rel != 0 && record(root + rel) == 1 // MessageHeader.Schema
+    } catch { case _: IndexOutOfBoundsException => false }
+  }
+
   /** Decode one BatchArrowRecords message; returns only ITS rows. Ids and
     * parent_ids join within a message, so assembly runs per message while
     * the Arrow dictionary/schema state persists across messages. */
@@ -796,7 +822,13 @@ final class OtapStreamDecoder(nsAsLong: Boolean) extends AutoCloseable {
       throw new OtlpParseException("no Arrow payloads in OTAP input")
     val acc = mutable.LinkedHashMap[Int, (ArrayBuffer[ARow], Map[String, String])]()
     ps.foreach { case (schemaId, ptype, record) =>
-      val st = streams.getOrElseUpdate((schemaId, ptype), new StreamState)
+      val key = (schemaId, ptype)
+      if (streams.contains(key) && startsWithSchema(record)) {
+        // a fresh self-contained segment on an open key: replace the state
+        val old = streams.remove(key).get
+        try old.close() catch { case _: Exception => () }
+      }
+      val st = streams.getOrElseUpdate(key, new StreamState)
       st.feed.append(record)
       val (rows, meta) =
         try st.readNewRows()

@@ -133,7 +133,9 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
     val it = otapSessions.values().iterator()
     while (it.hasNext) {
       val s = it.next()
-      s.synchronized { try s.decoder.close() catch { case _: Exception => () } }
+      s.lock.lock()
+      try { s.closed = true; try s.decoder.close() catch { case _: Exception => () } }
+      finally s.lock.unlock()
     }
     otapSessions.clear()
     bufferedRows
@@ -336,7 +338,12 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
 
   private final class OtapSession {
     val decoder = new graft.otlp.OtapStreamDecoder(nsAsLong = false)
+    // an explicit lock (not a monitor) so the idle sweep can tryLock and
+    // skip busy sessions instead of blocking the sealer thread behind an
+    // in-flight decode+commit
+    val lock = new java.util.concurrent.locks.ReentrantLock()
     var poisoned = false
+    var closed = false // set by the sweep under the lock; holders revalidate
     @volatile var lastUsedMs = System.currentTimeMillis()
   }
   private val otapSessions =
@@ -386,37 +393,41 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
 
   private def ingestOtapStream(ex: HttpExchange, sid: String,
                                rawBytes: Array[Byte], encoding: String): Unit = {
-    val sess = {
-      val existing = otapSessions.get(sid)
-      if (existing != null) existing
-      else if (otapSessions.size() >= OtapSessionCap) {
-        respond(ex, 503, """{"error":"too many open OTAP streams"}"""); return
-      } else otapSessions.computeIfAbsent(sid, _ => new OtapSession)
+    // acquire a live session: the idle sweep may close one between lookup
+    // and lock, so revalidate `closed` under the lock and retry
+    var sess: OtapSession = null
+    var acquired = false
+    while (!acquired) {
+      val found = otapSessions.get(sid)
+      val candidate =
+        if (found != null) found
+        else if (otapSessions.size() >= OtapSessionCap) {
+          respond(ex, 503, """{"error":"too many open OTAP streams"}"""); return
+        } else otapSessions.computeIfAbsent(sid, _ => new OtapSession)
+      candidate.lock.lock()
+      if (candidate.closed) {
+        candidate.lock.unlock()
+        otapSessions.remove(sid, candidate)
+      } else { sess = candidate; acquired = true }
     }
     // one message at a time per stream: decoder state is strictly ordered
-    sess.synchronized {
-      sess.lastUsedMs = System.currentTimeMillis()
+    try {
+      // poisoned check FIRST, without refreshing lastUsedMs — retries on a
+      // dead stream id must not keep it alive past the idle sweep
       if (sess.poisoned) {
         respond(ex, 409, batchStatus(3, -1L,
           ""","error":"stream closed by an earlier decode failure""""))
         return
       }
-      val body =
-        try decode(rawBytes, encoding)
-        catch {
-          case _: DecompressedTooLarge =>
-            respond(ex, 413, """{"error":"decompressed body too large"}""")
-            return
-          case e: Exception =>
-            respond(ex, 400, s"""{"error":"decompress failed: ${esc(e.getMessage)}"}""")
-            return
-        }
-      val batchId = otapBatchId(body)
+      sess.lastUsedMs = System.currentTimeMillis()
+      // admission BEFORE decompress+decode, like the non-stream path: a
+      // nacked message holds no decompressed bytes on the heap and never
+      // touched the decoder, so a retry replays it cleanly. The nack's
+      // batch_id is only extractable without decompression.
       val reserve = math.max(rawBytes.length.toLong, 1024L)
       if (!tryReserve(reserve)) {
-        // backpressure nack: the message was NOT decoded, so the stream
-        // stays open and a retry replays it cleanly
-        respond(ex, 503, batchStatus(8, batchId,
+        val nackId = if (encoding == "identity") otapBatchId(rawBytes) else -1L
+        respond(ex, 503, batchStatus(8, nackId,
           ""","error":"ingest buffer over capacity""""))
         return
       }
@@ -425,6 +436,19 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
       def releaseOnce(): Unit =
         if (!reserveReleased) { reserveReleased = true; release(reserve) }
       try {
+        val body =
+          try decode(rawBytes, encoding)
+          catch {
+            case _: DecompressedTooLarge =>
+              releaseOnce()
+              respond(ex, 413, """{"error":"decompressed body too large"}""")
+              return
+            case e: Exception =>
+              releaseOnce()
+              respond(ex, 400, s"""{"error":"decompress failed: ${esc(e.getMessage)}"}""")
+              return
+          }
+        val batchId = otapBatchId(body)
         val parsed =
           try sess.decoder.decode(body)
           catch {
@@ -462,21 +486,25 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
           if (!reserveTransferred) releaseOnce()
           throw e
       }
-    }
+    } finally sess.lock.unlock()
   }
 
-  /** Close idle streams (sealer thread); a live request holds the session
-    * lock, so the idle check re-runs under it. */
+  /** Close idle streams (sealer thread). tryLock skips sessions with an
+    * in-flight message so the sweep never stalls the seal-trigger loop
+    * behind a long decode; skipped sessions are re-checked next pass. */
   private def sweepOtapSessions(): Unit = {
     val now = System.currentTimeMillis()
     val it = otapSessions.entrySet().iterator()
     while (it.hasNext) {
       val s = it.next().getValue
-      s.synchronized {
-        if (now - s.lastUsedMs > OtapSessionIdleMs) {
-          it.remove()
-          try s.decoder.close() catch { case _: Exception => () }
-        }
+      if (now - s.lastUsedMs > OtapSessionIdleMs && s.lock.tryLock()) {
+        try {
+          if (now - s.lastUsedMs > OtapSessionIdleMs) {
+            s.closed = true
+            it.remove()
+            try s.decoder.close() catch { case _: Exception => () }
+          }
+        } finally s.lock.unlock()
       }
     }
   }
@@ -756,8 +784,12 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
       while (sealEvents.size() > SealHistoryCap) sealEvents.removeFirst()
     }
     // views + maintenance run BEFORE the latch drops so a synchronous
-    // flush observes refreshed views and completed compaction on return
+    // flush observes refreshed views and completed compaction on return.
+    // Maintenance runs FIRST: compaction deletes the small files it
+    // rewrote, so a view created before it would pin a listing of
+    // soon-deleted paths and throw FileNotFound until the next seal.
     if (error == null && rowsSealed > 0) {
+      maintenanceMutex.synchronized { maybeMaintain() }
       // parquet targets: RE-create the inspection views after every
       // successful seal — a view captures its file listing at creation, so
       // a one-shot view would go stale and hide every later seal's rows
@@ -766,7 +798,6 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
         try writer.createInspectionViews()
         catch { case _: Exception => () }
       }
-      maintenanceMutex.synchronized { maybeMaintain() }
     }
     inflight.remove(cycle)
     sealSlots.release()

@@ -96,7 +96,8 @@ object ServerConfig {
     // thing. A non-empty export path IS the parquet target and is mutually
     // exclusive with a catalog target (reference serve.md, otlp_server.cpp).
     val exportPath = params.getOrElse("parquet_export_path", "")
-    if (exportPath.nonEmpty && params.getOrElse("catalog", "").nonEmpty)
+    if (exportPath.nonEmpty && (params.getOrElse("catalog", "").nonEmpty ||
+        params.get("target").contains("catalog")))
       fail("parquet_export_path is mutually exclusive with a catalog target")
     val target =
       if (exportPath.nonEmpty) "parquet"

@@ -133,6 +133,24 @@ class OtapReaderSpec extends SparkTestBase {
     } finally d.close()
   }
 
+  test("multi-segment files decode every self-contained payload") {
+    assume(available)
+    // protobuf concatenation of two .bar files = one BatchArrowRecords with
+    // repeated self-contained (schema + dicts + batch) segments per type;
+    // a repeated Schema under the SAME schema_id must start a fresh reader,
+    // not be fed into the open stream (which would reject it)
+    val one = fileBytes(s"$corpus/logs-initial.bar")
+    val doubled = one ++ one
+    val tmp = java.nio.file.Files.createTempFile("logs-double", ".bar")
+    java.nio.file.Files.write(tmp, doubled)
+    try {
+      val logs = Otlp.readOtapLogs(spark, tmp.toString)
+      assert(logs.count() == 6)
+      assert(logs.select("service_name").distinct().first().getString(0)
+        == "fixture-service")
+    } finally java.nio.file.Files.delete(tmp)
+  }
+
   test("stateful session poisons cleanly on a bad message") {
     assume(available)
     val d = new graft.otlp.OtapStreamDecoder(nsAsLong = false)

@@ -100,6 +100,9 @@ class OtlpServeSpec extends SparkTestBase {
     assert(err(Map("token" -> Token, "parquet_export_path" -> "/tmp/x",
       "catalog" -> "lake"))
       .contains("parquet_export_path is mutually exclusive with a catalog target"))
+    assert(err(Map("token" -> Token, "parquet_export_path" -> "/tmp/x",
+      "target" -> "catalog"))
+      .contains("parquet_export_path is mutually exclusive with a catalog target"))
     assert(err(Map("token" -> Token), uri = "otlp:0.0.0.0:45802")
       .contains("Only localhost is allowed"))
     assert(err(Map("token" -> Token), uri = "otap:127.0.0.1:45803")
