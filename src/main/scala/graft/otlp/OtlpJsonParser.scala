@@ -198,6 +198,16 @@ object OtlpJsonParser {
     }
   }
 
+  /** One JSONL line → envelope node; OtlpParseException on malformed. */
+  def parseLine(line: String): JsonNode =
+    try mapper.readTree(line)
+    catch { case e: Exception =>
+      throw new OtlpParseException(s"malformed JSON line: ${e.getMessage}") }
+
+  /** Whether a line parses standalone (NDJSON probe; no exception). */
+  def lineParses(line: String): Boolean =
+    try { mapper.readTree(line); true } catch { case _: Exception => false }
+
   // ---- main entry ---------------------------------------------------------
 
   def parse(content: Array[Byte], nsAsLong: Boolean = false,

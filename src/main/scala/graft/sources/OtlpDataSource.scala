@@ -3,7 +3,7 @@ package graft.sources
 import com.fasterxml.jackson.databind.ObjectMapper
 import graft.otlp.{OtlpJsonParser, OtlpParseException, OtlpSchemas}
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -267,6 +267,8 @@ class OtlpPartitionReader(partition: OtlpInputPartition, signal: String,
   private val colIdx: Map[String, Int] =
     fullSchema.fieldNames.zipWithIndex.toMap
 
+  private var openReader: java.io.BufferedReader = _
+
   private lazy val rows: Iterator[Array[Any]] = {
     if (partition.length > maxBytes)
       throw new IOException(
@@ -276,6 +278,19 @@ class OtlpPartitionReader(partition: OtlpInputPartition, signal: String,
     val conf = new Configuration(false)
     confEntries.foreach { case (k, v) => conf.set(k, v) }
     val fs = path.getFileSystem(conf)
+    // JSON-certain files (forced json format, or auto with a leading '{')
+    // stream line-by-line: per-task heap is one envelope's rows, not the
+    // whole file — protobuf/OTAP need the full body and stay whole-file
+    val jsonCertain = partition.length > 0 && (format == "json" ||
+      ((format == "otlp" || format == "auto") && {
+        val in = fs.open(path)
+        try in.read() == '{' finally in.close()
+      }))
+    if (jsonCertain) streamedJsonRows(fs, path)
+    else wholeFileRows(fs, path)
+  }
+
+  private def wholeFileRows(fs: FileSystem, path: Path): Iterator[Array[Any]] = {
     val in = fs.open(path)
     val content =
       try {
@@ -291,6 +306,47 @@ class OtlpPartitionReader(partition: OtlpInputPartition, signal: String,
       case e: OtlpParseException =>
         throw new IOException(
           s"OTLP parse error on ${partition.path}: ${e.getMessage}")
+    }
+  }
+
+  /** NDJSON streaming: parse and emit one envelope at a time. A first line
+    * that does not parse standalone means a single multi-line JSON doc —
+    * fall back to the whole-file path (rare, and bounded by the cap). */
+  private def streamedJsonRows(fs: FileSystem, path: Path): Iterator[Array[Any]] = {
+    val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(path), java.nio.charset.StandardCharsets.UTF_8))
+    openReader = reader
+    var first: String = null
+    var eof = false
+    while (first == null && !eof) {
+      val l = reader.readLine()
+      if (l == null) eof = true
+      else if (l.trim.nonEmpty) first = l.trim
+    }
+    if (first == null) {
+      reader.close(); openReader = null
+      throw new IOException(s"OTLP parse error on ${partition.path}: " +
+        "invalid content (whitespace-only file)")
+    }
+    if (!graft.otlp.OtlpJsonParser.lineParses(first)) {
+      reader.close(); openReader = null
+      return wholeFileRows(fs, path)
+    }
+    val needed = required.fieldNames.toSet
+    val lines = Iterator.single(first) ++
+      Iterator.continually(reader.readLine()).takeWhile(_ != null)
+        .map(_.trim).filter(_.nonEmpty)
+    lines.flatMap { line =>
+      try {
+        val node = graft.otlp.OtlpJsonParser.parseLine(line)
+        graft.otlp.OtlpJsonParser
+          .parseEnvelopes(Iterator.single(node), nsAsLong, needed.contains)
+          .signal(signal)
+      } catch {
+        case e: OtlpParseException =>
+          throw new IOException(
+            s"OTLP parse error on ${partition.path}: ${e.getMessage}")
+      }
     }
   }
 
@@ -313,7 +369,11 @@ class OtlpPartitionReader(partition: OtlpInputPartition, signal: String,
     false
   }
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit =
+    if (openReader != null) {
+      try openReader.close() catch { case _: java.io.IOException => () }
+      openReader = null
+    }
 }
 
 object OtlpPartitionReader {

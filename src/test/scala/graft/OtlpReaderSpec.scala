@@ -60,6 +60,36 @@ class OtlpReaderSpec extends SparkTestBase {
     assert(Otlp.readLogs(spark, s"$fx/logs_document.json").count() == 1)
   }
 
+  test("streamed NDJSON: many lines decode; a mid-file bad line names the path") {
+    // the JSONL scan path parses one envelope at a time (per-task heap is
+    // one envelope, not the file) — behavior must match the whole-file path
+    val line = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$fx/logs_simple.jsonl")).get(0)
+    val big = java.nio.file.Files.createTempFile("logs_many", ".jsonl")
+    try {
+      java.nio.file.Files.write(big,
+        java.util.Collections.nCopies(5000, line))
+      assert(Otlp.readLogs(spark, big.toString).count() == 5000)
+
+      val bad = java.nio.file.Files.createTempFile("logs_bad_mid", ".jsonl")
+      try {
+        val lines = new java.util.ArrayList[String](
+          java.util.Collections.nCopies(100, line))
+        lines.add("{not json")
+        lines.addAll(java.util.Collections.nCopies(100, line))
+        java.nio.file.Files.write(bad, lines)
+        val e = intercept[Exception] {
+          Otlp.readLogs(spark, bad.toString).count()
+        }
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Seq.empty
+          else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(e).exists(m => m.contains("OTLP parse error") &&
+          m.contains("logs_bad_mid")), msgs(e).mkString("|"))
+      } finally java.nio.file.Files.delete(bad)
+    } finally java.nio.file.Files.delete(big)
+  }
+
   test("logs nulls: severity 0 → NULL, empty ids → NULL, body {} → NULL") {
     val df = Otlp.readLogs(spark, s"$fx/logs_nulls.jsonl")
     assert(df.count() == 3)
