@@ -111,6 +111,28 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"), col("rnk"))
   }
 
+  /** Mean token surprisal under the corpus unigram LM with add-one
+    * smoothing: -ln((cnt+1)/(total+vocab)) averaged per doc — the cheap
+    * perplexity-style quality signal (high = rare/garbled tokens, low =
+    * common fluent text). Plan: explode → term-frequency partial agg →
+    * broadcast of the 1-row corpus stats → per-doc aggregate; both shuffle
+    * keys (term, doc id) are uniform at any corpus size. Rounded to 4
+    * decimals so engines whose ln differs in the last ulp agree. */
+  def unigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)).as("term"))
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val stats = broadcast(freq.agg(
+      sum("cnt").cast("double").as("total"),
+      count(lit(1)).cast("double").as("vocab")))
+    toks.join(freq, "term").crossJoin(stats)
+      .withColumn("nll",
+        -log((col("cnt") + 1).cast("double") / (col("total") + col("vocab"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), round(avg("nll"), 4).as("surprisal"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al.): hash every character
     * `k`-gram (rolling window over the text; hash = first 8 hex chars of
     * md5), then keep the minimum hash of every `w`-hash window — the

@@ -496,6 +496,23 @@ object TrainingData {
         .orderBy("doc_id", "rnk").limit(300)
     },
 
+    // perplexity-style quality: mean token surprisal under the corpus
+    // unigram LM (add-one smoothing), round(4) before compare so ln-ulp
+    // differences between engines cannot surface
+    df("ta_unigram_surprisal",
+      s"""WITH $duckWords,
+         |t AS (SELECT doc_id, unnest(w) AS term FROM toks),
+         |freq AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+         |st AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+         |  CAST(count(*) AS DOUBLE) AS vocab FROM freq),
+         |n AS (SELECT doc_id, -ln((cnt + 1) / (total + vocab)) AS nll
+         |  FROM t JOIN freq USING (term) CROSS JOIN st)
+         |SELECT doc_id, count(*) AS n_tokens, round(avg(nll), 4) AS surprisal
+         |FROM n GROUP BY doc_id ORDER BY doc_id LIMIT 100""".stripMargin) { (s, _) =>
+      TextAnalysis.unigramSurprisal(s.table("documents"))
+        .orderBy("doc_id").limit(100)
+    },
+
     // deterministic hash-based stratified sampling (downsample 'en' to 25%,
     // keep 75% elsewhere): the keep/drop decision derives from md5 of the
     // doc id, so the SAME rows are kept in any engine / partitioning / run
