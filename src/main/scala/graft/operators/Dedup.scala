@@ -133,13 +133,18 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster_id"))
       .localCheckpoint()
-    // labels only ever decrease, so the (overflow-proof) label sum is a
-    // single-aggregate convergence check — no extra per-round join job
+    // Convergence check: labels only ever decrease, so for NUMERIC ids one
+    // overflow-proof sum aggregate per round detects the fixpoint with no
+    // extra join. String ids (the module contract allows hex-digest ids)
+    // have no such homomorphism — they use the type-agnostic changed-rows
+    // join; both run on the freshly checkpointed frames.
+    val numericIds = labels.schema("cluster_id").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val v = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).first()
       if (v.isNullAt(0)) java.math.BigDecimal.ZERO else v.getDecimal(0)
     }
-    var prevSum = labelSum(labels)
+    var prevSum = if (numericIds) labelSum(labels) else null
     var converged = false
     while (!converged) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
@@ -150,9 +155,15 @@ object Dedup {
           least(col("l.cluster_id"),
             coalesce(col("n.nbr_min"), col("l.cluster_id"))).as("cluster_id"))
         .localCheckpoint()
-      val s = labelSum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      if (numericIds) {
+        val s = labelSum(next)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+      } else
+        converged = next.as("a")
+          .join(labels.as("b"), col("a.id") === col("b.id"))
+          .where(col("a.cluster_id") =!= col("b.cluster_id"))
+          .isEmpty
       labels.unpersist() // drop the superseded checkpoint's blocks
       labels = next
     }

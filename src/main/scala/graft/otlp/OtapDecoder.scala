@@ -793,25 +793,17 @@ final class OtapStreamDecoder(nsAsLong: Boolean) extends AutoCloseable {
     * — OTAP assigns a new schema_id when a schema actually changes, and
     * multi-payload batch files repeat full (schema + dictionaries + batch)
     * segments under one id — so the old reader state is replaced. */
-  private def startsWithSchema(record: Array[Byte]): Boolean = {
+  private def startsWithSchema(record: Array[Byte]): Boolean =
     try {
-      if (record.length < 12) return false
-      def i32(off: Int): Int =
-        (record(off) & 0xff) | ((record(off + 1) & 0xff) << 8) |
-          ((record(off + 2) & 0xff) << 16) | ((record(off + 3) & 0xff) << 24)
-      // encapsulated message: 0xFFFFFFFF continuation, int32 length, flatbuffer
-      if (i32(0) != -1) return false
-      val fb = 8
-      val root = fb + i32(fb)
-      val vt = root - i32(root)
-      val vtSize = (record(vt) & 0xff) | ((record(vt + 1) & 0xff) << 8)
-      // Message fields: version(0), header_type(1), header(2), bodyLength(3)
-      val slot = 4 + 2 * 1
-      if (slot + 2 > vtSize) return false
-      val rel = (record(vt + slot) & 0xff) | ((record(vt + slot + 1) & 0xff) << 8)
-      rel != 0 && record(root + rel) == 1 // MessageHeader.Schema
-    } catch { case _: IndexOutOfBoundsException => false }
-  }
+      // peek only the first encapsulated message's metadata via the
+      // library's own reader — one source of truth for IPC framing
+      val ch = new org.apache.arrow.vector.ipc.ReadChannel(
+        java.nio.channels.Channels.newChannel(new ByteArrayInputStream(record)))
+      val result =
+        org.apache.arrow.vector.ipc.message.MessageSerializer.readMessage(ch)
+      result != null && result.headerType() ==
+        org.apache.arrow.flatbuf.MessageHeader.Schema
+    } catch { case _: Exception => false }
 
   /** Decode one BatchArrowRecords message; returns only ITS rows. Ids and
     * parent_ids join within a message, so assembly runs per message while

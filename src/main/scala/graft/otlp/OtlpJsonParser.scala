@@ -181,14 +181,8 @@ object OtlpJsonParser {
     if (text.trim.isEmpty)
       throw new OtlpParseException("invalid content (whitespace-only file)")
     val lines = text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toArray
-    val firstParses =
-      try { mapper.readTree(lines.head); true } catch { case _: Exception => false }
-    if (firstParses) {
-      lines.iterator.map { line =>
-        try mapper.readTree(line)
-        catch { case e: Exception =>
-          throw new OtlpParseException(s"malformed JSON line: ${e.getMessage}") }
-      }
+    if (lineParses(lines.head)) {
+      lines.iterator.map(parseLine)
     } else {
       val doc =
         try mapper.readTree(text)

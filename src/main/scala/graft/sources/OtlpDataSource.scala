@@ -280,18 +280,27 @@ class OtlpPartitionReader(partition: OtlpInputPartition, signal: String,
     val fs = path.getFileSystem(conf)
     // JSON-certain files (forced json format, or auto with a leading '{')
     // stream line-by-line: per-task heap is one envelope's rows, not the
-    // whole file — protobuf/OTAP need the full body and stay whole-file
-    val jsonCertain = partition.length > 0 && (format == "json" ||
-      ((format == "otlp" || format == "auto") && {
-        val in = fs.open(path)
-        try in.read() == '{' finally in.close()
-      }))
-    if (jsonCertain) streamedJsonRows(fs, path)
-    else wholeFileRows(fs, path)
+    // whole file — protobuf/OTAP need the full body and stay whole-file.
+    // One open serves both paths: the byte probe seeks back, and the
+    // whole-file read is positioned (no second fs.open round-trip — on
+    // object stores that is a GET per file on the scan hot path).
+    if (partition.length == 0) wholeFileRows(fs.open(path))
+    else {
+      val in = fs.open(path)
+      val jsonCertain = format == "json" ||
+        ((format == "otlp" || format == "auto") && {
+          val b = in.read()
+          in.seek(0)
+          b == '{'
+        })
+      if (jsonCertain) streamedJsonRows(in)
+      else wholeFileRows(in)
+    }
   }
 
-  private def wholeFileRows(fs: FileSystem, path: Path): Iterator[Array[Any]] = {
-    val in = fs.open(path)
+  /** Whole-file path (protobuf/OTAP/multi-line JSON): consumes and closes
+    * `in`, which may be at any position (the read is positioned). */
+  private def wholeFileRows(in: org.apache.hadoop.fs.FSDataInputStream): Iterator[Array[Any]] = {
     val content =
       try {
         val buf = new Array[Byte](partition.length.toInt)
@@ -312,9 +321,9 @@ class OtlpPartitionReader(partition: OtlpInputPartition, signal: String,
   /** NDJSON streaming: parse and emit one envelope at a time. A first line
     * that does not parse standalone means a single multi-line JSON doc —
     * fall back to the whole-file path (rare, and bounded by the cap). */
-  private def streamedJsonRows(fs: FileSystem, path: Path): Iterator[Array[Any]] = {
+  private def streamedJsonRows(in: org.apache.hadoop.fs.FSDataInputStream): Iterator[Array[Any]] = {
     val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
-      fs.open(path), java.nio.charset.StandardCharsets.UTF_8))
+      in, java.nio.charset.StandardCharsets.UTF_8))
     openReader = reader
     var first: String = null
     var eof = false
@@ -328,26 +337,35 @@ class OtlpPartitionReader(partition: OtlpInputPartition, signal: String,
       throw new IOException(s"OTLP parse error on ${partition.path}: " +
         "invalid content (whitespace-only file)")
     }
-    if (!graft.otlp.OtlpJsonParser.lineParses(first)) {
-      reader.close(); openReader = null
-      return wholeFileRows(fs, path)
+    val firstNode =
+      try Some(graft.otlp.OtlpJsonParser.parseLine(first))
+      catch { case _: OtlpParseException => None }
+    if (firstNode.isEmpty) {
+      // single multi-line doc: the buffered reader consumed an unknown
+      // prefix, so the whole-file read is positioned from 0 on a new open
+      openReader = null
+      reader.close()
+      val path = new Path(partition.path)
+      val conf = new Configuration(false)
+      confEntries.foreach { case (k, v) => conf.set(k, v) }
+      return wholeFileRows(path.getFileSystem(conf).open(path))
     }
     val needed = required.fieldNames.toSet
-    val lines = Iterator.single(first) ++
-      Iterator.continually(reader.readLine()).takeWhile(_ != null)
-        .map(_.trim).filter(_.nonEmpty)
-    lines.flatMap { line =>
-      try {
-        val node = graft.otlp.OtlpJsonParser.parseLine(line)
-        graft.otlp.OtlpJsonParser
-          .parseEnvelopes(Iterator.single(node), nsAsLong, needed.contains)
-          .signal(signal)
-      } catch {
+    def wrap[A](body: => A): A =
+      try body
+      catch {
         case e: OtlpParseException =>
           throw new IOException(
             s"OTLP parse error on ${partition.path}: ${e.getMessage}")
       }
-    }
+    val nodes = Iterator.single(firstNode.get) ++
+      Iterator.continually(reader.readLine()).takeWhile(_ != null)
+        .map(_.trim).filter(_.nonEmpty)
+        .map(line => wrap(graft.otlp.OtlpJsonParser.parseLine(line)))
+    nodes.flatMap(node => wrap(
+      graft.otlp.OtlpJsonParser
+        .parseEnvelopes(Iterator.single(node), nsAsLong, needed.contains)
+        .signal(signal)))
   }
 
   private var current: InternalRow = _

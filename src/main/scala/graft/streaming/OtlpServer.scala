@@ -386,6 +386,27 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
   private def batchStatus(code: Int, batchId: Long, extra: String = ""): String =
     s"""{"batch_id":$batchId,"status_code":$code$extra}"""
 
+  /** batch_id from a possibly-compressed body WITHOUT materializing it:
+    * decompress at most 128 bytes (BatchArrowRecords.batch_id is field 1,
+    * written first by standard serializers) and scan those. -1 unknown. */
+  private def peekBatchId(rawBytes: Array[Byte], encoding: String): Long = {
+    if (encoding == "identity") return otapBatchId(rawBytes)
+    try {
+      val in: InputStream = encoding match {
+        case "gzip" => new GZIPInputStream(new java.io.ByteArrayInputStream(rawBytes))
+        case "deflate" => new InflaterInputStream(new java.io.ByteArrayInputStream(rawBytes))
+        case _ => return -1L
+      }
+      try {
+        val head = new Array[Byte](128)
+        var off = 0
+        var n = in.read(head, off, head.length - off)
+        while (n > 0 && off < head.length) { off += n; n = in.read(head, off, head.length - off) }
+        otapBatchId(java.util.Arrays.copyOf(head, off))
+      } finally in.close()
+    } catch { case _: Exception => -1L }
+  }
+
   private def poisonSession(sess: OtapSession): Unit = {
     sess.poisoned = true
     try sess.decoder.close() catch { case _: Exception => () }
@@ -398,6 +419,9 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
     var sess: OtapSession = null
     var acquired = false
     while (!acquired) {
+      if (stopping.get()) {
+        respond(ex, 503, """{"error":"server stopping"}"""); return
+      }
       val found = otapSessions.get(sid)
       val candidate =
         if (found != null) found
@@ -412,6 +436,16 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
     }
     // one message at a time per stream: decoder state is strictly ordered
     try {
+      // stop() may have landed between the stopping check and our create:
+      // a session resurrected after the shutdown sweep would leak its
+      // decoder and buffer rows no sealer will ever write — tear it down
+      if (stopping.get()) {
+        sess.closed = true
+        otapSessions.remove(sid, sess)
+        try sess.decoder.close() catch { case _: Exception => () }
+        respond(ex, 503, """{"error":"server stopping"}""")
+        return
+      }
       // poisoned check FIRST, without refreshing lastUsedMs — retries on a
       // dead stream id must not keep it alive past the idle sweep
       if (sess.poisoned) {
@@ -422,12 +456,13 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
       sess.lastUsedMs = System.currentTimeMillis()
       // admission BEFORE decompress+decode, like the non-stream path: a
       // nacked message holds no decompressed bytes on the heap and never
-      // touched the decoder, so a retry replays it cleanly. The nack's
-      // batch_id is only extractable without decompression.
+      // touched the decoder, so a retry replays it cleanly. The nack still
+      // carries the real batch_id — standard serializers write field 1
+      // first, so a bounded 128-byte decompression peek recovers it
+      // without materializing the body.
       val reserve = math.max(rawBytes.length.toLong, 1024L)
       if (!tryReserve(reserve)) {
-        val nackId = if (encoding == "identity") otapBatchId(rawBytes) else -1L
-        respond(ex, 503, batchStatus(8, nackId,
+        respond(ex, 503, batchStatus(8, peekBatchId(rawBytes, encoding),
           ""","error":"ingest buffer over capacity""""))
         return
       }

@@ -27,6 +27,18 @@ class DedupSpec extends SparkTestBase {
     assert(got == want, s"got $got")
   }
 
+  test("neardup clusters: string (digest) ids converge multi-hop too") {
+    import spark.implicits._
+    // a 4-chain of lexicographic string ids needs 3 propagation rounds;
+    // convergence must be type-agnostic (no numeric-sum shortcut)
+    val pairs = Seq(("b", "a"), ("b", "c"), ("c", "d"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    val got = Dedup.neardupClusters(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "x" -> "x", "y" -> "x"), s"got $got")
+  }
+
   test("keep-first dedup = keep id == cluster_id") {
     import spark.implicits._
     val pairs = Seq((5L, 3L), (5L, 9L)).toDF("id_a", "id_b")
