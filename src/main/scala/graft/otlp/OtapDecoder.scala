@@ -52,9 +52,9 @@ object OtapDecoder {
   // ---- protobuf envelope --------------------------------------------------
 
   /** ArrowPayload entries in file order: (schema_id, type, record bytes). */
-  private[otlp] def payloads(content: Array[Byte]): Seq[(Long, Int, Array[Byte])] = {
+  private[otlp] def payloads(content: Array[Byte]): Seq[(String, Int, Array[Byte])] = {
     var i = 0
-    val out = ArrayBuffer[(Long, Int, Array[Byte])]()
+    val out = ArrayBuffer[(String, Int, Array[Byte])]()
     def varint(): Long = {
       var shift = 0; var v = 0L
       while (shift < 64) {
@@ -82,7 +82,11 @@ object OtapDecoder {
           if (field == 2) {
             // ArrowPayload{schema_id=1, type=2, record=3}
             var j = 0
-            var schemaId = 0L
+            // the FULL id value keys decoder streams — a lossy fold (the
+            // old 32-bit hash) could silently decode a payload against
+            // another schema's reader/dictionaries on collision. Distinct
+            // prefixes keep varint ids and string ids from colliding.
+            var schemaId = "n:0"
             var ptype = 0
             var record: Array[Byte] = null
             def pvarint(): Long = {
@@ -102,14 +106,14 @@ object OtapDecoder {
                 case 0 =>
                   val v = pvarint()
                   if (f2 == 2) ptype = v.toInt
-                  else if (f2 == 1) schemaId = v
+                  else if (f2 == 1) schemaId = "n:" + v
                 case 2 =>
                   val l2 = pvarint().toInt
                   val s2 = java.util.Arrays.copyOfRange(sub, j, j + l2); j += l2
                   if (f2 == 3) record = s2
                   else if (f2 == 1)
-                    // schema_id is a string in otel-arrow ≥v1; fold to a key
-                    schemaId = java.util.Arrays.hashCode(s2).toLong & 0xffffffffL
+                    // schema_id is a string in otel-arrow ≥v1
+                    schemaId = "s:" + new String(s2, java.nio.charset.StandardCharsets.UTF_8)
                 case 1 => j += 8
                 case 5 => j += 4
                 case w => throw new OtlpParseException(s"bad wire type $w")
@@ -729,7 +733,7 @@ final class OtapStreamDecoder(nsAsLong: Boolean) extends AutoCloseable {
   import OtapDecoder.ARow
 
   private val alloc = new RootAllocator()
-  private val streams = mutable.LinkedHashMap[(Long, Int), StreamState]()
+  private val streams = mutable.LinkedHashMap[(String, Int), StreamState]()
 
   /** An InputStream over an append-only chunk queue: returns EOF when
     * drained, and serves newly-appended chunks on later reads — exactly

@@ -111,7 +111,12 @@ object OtlpServe {
       StructField("maintenance_failures_total", LongType),
       StructField("last_maintenance_age_ms", LongType),
       StructField("maintenance_last_error", StringType),
-      StructField("promoted_columns_total", IntegerType)))
+      StructField("promoted_columns_total", IntegerType),
+      StructField("buffered_wire_bytes", LongType),
+      StructField("admitted_inflation_ratio", DoubleType),
+      StructField("otap_streams_open", IntegerType),
+      StructField("maintenance_deferrals_total", LongType),
+      StructField("retention_deleted_files_total", LongType)))
     val now = System.currentTimeMillis()
     val rows = registry.values.toSeq.sortBy(_.cfg.uri.canonical).map { s =>
       Row(s.cfg.uri.canonical, s.cfg.uri.url, s.cfg.transport, s.cfg.schema,
@@ -128,7 +133,12 @@ object OtlpServe {
         s.maintenanceRuns.get(), s.maintenanceFailures.get(),
         if (s.lastMaintenanceAtMs < 0) null else Long.box(now - s.lastMaintenanceAtMs),
         s.maintenanceLastError,
-        s.promotedColumnsTotal)
+        s.promotedColumnsTotal,
+        s.bufferedWireBytes,
+        s.admittedInflationRatio.map(Double.box).orNull,
+        s.otapStreamsOpen,
+        s.maintenanceDeferrals.get(),
+        s.retentionDeletedFilesTotal)
     }
     import scala.collection.JavaConverters._
     spark.createDataFrame(rows.asJava, schema)

@@ -14,9 +14,21 @@ import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 
 /** One sealed batch of a single signal; rows are UnsafeRow byte images
-  * (encoded by RowBin on the HTTP worker threads at admission). */
+  * (encoded by RowBin on the HTTP worker threads at admission).
+  *
+  * `admittedBytes` is the admission-reservation share (max of wire and
+  * resident heap bytes — what `release` must return); `wireBytes` is the
+  * raw request-body share (what the seal size trigger fires on, matching
+  * the reference's admitted-request-bytes semantics). `sealId` names this
+  * write attempt; `priorSegments` lists consecutive head row ranges
+  * (sealId, rowCount) that earlier FAILED attempts may have committed —
+  * the catalog write checks each id and skips rows a prior attempt proved
+  * durable (effectively-once retry). */
 final case class SealBatch(signal: String, rows: IndexedSeq[Array[Byte]],
-                           admittedBytes: Long, firstUnsealedAtMs: Long)
+                           admittedBytes: Long, wireBytes: Long,
+                           firstUnsealedAtMs: Long,
+                           sealId: String,
+                           priorSegments: List[(String, Int)])
 
 /** Per-seal telemetry event (otlp_seal_list). */
 final case class SealEvent(listenUri: String, seq: Long, success: Boolean,
@@ -62,7 +74,11 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
     val lock = new Object
     var rows = new ArrayBuffer[Array[Byte]]()
     var admittedBytes = 0L
+    var wireBytes = 0L
     var firstUnsealedAtMs = -1L
+    // consecutive head row ranges (sealId, rowCount) restored by failed
+    // write attempts — see SealBatch.priorSegments
+    var priorSegments: List[(String, Int)] = Nil
   }
   private val buffers: Map[String, Buffer] =
     Signals.map(s => s -> new Buffer(s)).toMap
@@ -89,7 +105,7 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
   private val SealHistoryCap = 4096
   private val sealSeq = new AtomicLong(0)
 
-  private val writer = new SealWriter(cfg, spark)
+  private[graft] val writer = new SealWriter(cfg, spark)
   private val sealMonitor = new Object
   private var flushRequested = false
   private var sealRequested = false
@@ -143,12 +159,15 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
 
   /** Synchronous seal-now; returns rows sealed by this call's cycle. Also
     * waits for every cycle already in flight, so rows accepted before the
-    * flush call are durable when it returns. */
+    * flush call are durable when it returns — and surfaces a concurrent
+    * in-flight cycle's failure (its rows were restored to the buffers, so
+    * returning success would falsely promise durability for them). */
   def flush(): (Long, String) = {
     val cycle = startSealCycle("flush")
-    awaitInflight()
+    val inflightErr = awaitInflight()
     cycle.latch.await()
-    (cycle.rowsSealed.get(), cycle.error.get())
+    val err = if (cycle.error.get() != null) cycle.error.get() else inflightErr
+    (cycle.rowsSealed.get(), err)
   }
 
   // ---- telemetry snapshots -------------------------------------------------
@@ -157,7 +176,16 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
     buffers.valuesIterator.map(b => b.lock.synchronized(b.rows.size.toLong)).sum
   def bufferedBytes: Long =
     buffers.valuesIterator.map(b => b.lock.synchronized(b.admittedBytes)).sum
+  def bufferedWireBytes: Long =
+    buffers.valuesIterator.map(b => b.lock.synchronized(b.wireBytes)).sum
   def admittedBytes: Long = reservedBytes.get()
+  /** resident-heap / wire admission ratio — how much the decoded-size
+    * secondary bound is inflating reservations (1.0 = wire binds). */
+  def admittedInflationRatio: Option[Double] = {
+    val wire = admittedWireBytesTotal.get()
+    if (wire <= 0) None else Some(admittedBytesTotal.get().toDouble / wire)
+  }
+  def retentionDeletedFilesTotal: Long = retentionDeletedTotal.get()
   def oldestBufferedAgeMs: Option[Long] = {
     val now = System.currentTimeMillis()
     val ages = buffers.valuesIterator
@@ -625,23 +653,31 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
     // overhead). The top-up is reserved unconditionally — this request
     // already paid the decode, so admit it and let the inflated reservation
     // 503 the NEXT request; without it a high-ratio stream could hold ~8x
-    // max_buffered_bytes of heap before the cap ever tripped.
+    // max_buffered_bytes of heap before the cap ever tripped. The top-up
+    // binds ADMISSION only: the seal size trigger fires on wire bytes
+    // (below), matching the reference's admitted-request-bytes trigger —
+    // an inflated trigger would fire seals at a fraction of the configured
+    // target and multiply per-seal Spark job overhead.
     val heapBytes = nonEmpty.iterator
       .map(_._2.iterator.map(_.length.toLong + 16L).sum).sum
     val bytes = math.max(wireBytes, heapBytes)
     if (bytes > wireBytes) reservedBytes.addAndGet(bytes - wireBytes)
     admittedBytesTotal.addAndGet(bytes)
+    admittedWireBytesTotal.addAndGet(wireBytes)
     val now = System.currentTimeMillis()
     var remaining = bytes
+    var remainingWire = wireBytes
     nonEmpty.zipWithIndex.foreach { case ((signal, rows), i) =>
-      val share =
-        if (i == nonEmpty.size - 1) remaining
-        else bytes * rows.size / totalRows
+      val last = i == nonEmpty.size - 1
+      val share = if (last) remaining else bytes * rows.size / totalRows
+      val wireShare = if (last) remainingWire else wireBytes * rows.size / totalRows
       remaining -= share
+      remainingWire -= wireShare
       val b = buffers(signal)
       b.lock.synchronized {
         b.rows ++= rows
         b.admittedBytes += share
+        b.wireBytes += wireShare
         if (b.firstUnsealedAtMs < 0) b.firstUnsealedAtMs = now
       }
     }
@@ -651,7 +687,7 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
   }
 
   private def maybeRequestSeal(): Unit = {
-    if (bufferedBytes >= cfg.sealTargetBytes)
+    if (bufferedWireBytes >= cfg.sealTargetBytes)
       sealMonitor.synchronized { sealRequested = true; sealMonitor.notifyAll() }
   }
 
@@ -669,8 +705,8 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
       // a size request can go stale when a concurrent cycle drained the
       // buffers between the signal and this wakeup — a near-empty seal
       // still pays full Spark job overhead, so require a quarter-target
-      // floor unless the age trigger binds
-      val worthSealing = ageDue || bufferedBytes >= cfg.sealTargetBytes / 4
+      // floor unless the age trigger binds. Wire bytes, like the trigger.
+      val worthSealing = ageDue || bufferedWireBytes >= cfg.sealTargetBytes / 4
       if (!stopping.get() && (due || ageDue) && worthSealing)
         // async: the cycle's writes run on their own threads; the sealer
         // immediately returns to watching triggers, so the NEXT seal can
@@ -707,10 +743,17 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
     var tAppend = 0L
   }
 
-  /** Block until every cycle in flight at call time has finalized. */
-  private def awaitInflight(): Unit = {
+  /** Block until every cycle in flight at call time has finalized; returns
+    * the first error observed among them (null = all succeeded). */
+  private def awaitInflight(): String = {
+    var err: String = null
     val it = inflight.iterator()
-    while (it.hasNext) it.next().latch.await()
+    while (it.hasNext) {
+      val c = it.next()
+      c.latch.await()
+      if (err == null) err = c.error.get()
+    }
+    err
   }
 
   /** Synchronous seal (flush/stop): waits for THIS cycle and returns its
@@ -727,6 +770,10 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
   private def startSealCycle(trigger: String): SealCycle = {
     sealSlots.acquire()
     val cycle = new SealCycle(trigger)
+    // once any writer thread has started it owns finalization — the catch
+    // below must not finalize a cycle twice (an over-released sealSlots
+    // permit would permanently break the 2-cycle memory bound)
+    var ownedByWriters = false
     try {
       // swaps are serialized so cycles carry disjoint, ordered row ranges
       writerMutex.synchronized {
@@ -736,10 +783,15 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
           Signals.zipWithIndex.map { case (s, i) =>
             val b = buffers(s)
             b.lock.synchronized {
-              val batch = SealBatch(s, b.rows.toIndexedSeq, b.admittedBytes, b.firstUnsealedAtMs)
+              val batch = SealBatch(s, b.rows.toIndexedSeq, b.admittedBytes,
+                b.wireBytes, b.firstUnsealedAtMs,
+                sealId = java.util.UUID.randomUUID().toString,
+                priorSegments = b.priorSegments)
               b.rows = fresh(i)
               b.admittedBytes = 0L
+              b.wireBytes = 0L
               b.firstUnsealedAtMs = -1L
+              b.priorSegments = Nil
               batch
             }
           }
@@ -751,47 +803,92 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
       else {
         val remaining =
           new java.util.concurrent.atomic.AtomicInteger(cycle.toSeal.size)
-        cycle.toSeal.foreach { batch =>
-          val t = new Thread(() => {
-            try {
-              writeOne(batch) match {
-                case None =>
-                  cycle.rowsSealed.addAndGet(batch.rows.size)
-                  cycle.bytesSealed.addAndGet(batch.admittedBytes)
-                  release(batch.admittedBytes)
-                  committedRowsTotal.addAndGet(batch.rows.size)
-                case Some(msg) =>
-                  cycle.error.compareAndSet(null, msg)
-                  restoreBatch(batch)
-              }
-            } catch {
-              // writeOne catches Throwable itself; this guards the
-              // accounting above so the cycle ALWAYS finalizes
-              case e: Throwable =>
-                cycle.error.compareAndSet(null, s"${batch.signal}: ${e.getMessage}")
-            } finally {
-              if (remaining.decrementAndGet() == 0) finalizeCycle(cycle)
-            }
-          }, s"otlp-seal-write-${batch.signal}")
-          t.setDaemon(true)
-          t.start()
+        ownedByWriters = true
+        var started = 0
+        try {
+          cycle.toSeal.foreach { batch =>
+            val t = new Thread(() => runSealWrite(cycle, batch, remaining),
+              s"otlp-seal-write-${batch.signal}")
+            t.setDaemon(true)
+            t.start()
+            started += 1
+          }
+        } catch {
+          // Thread.start failed partway (e.g. OOM): restore the batches
+          // whose thread never ran and remove their finalization slots;
+          // the already-started threads (if any) finish and finalize.
+          case e: Throwable =>
+            cycle.error.compareAndSet(null, s"seal cycle failed: ${e.getMessage}")
+            val unstarted = cycle.toSeal.drop(started)
+            unstarted.foreach(restoreBatch)
+            if (remaining.addAndGet(-unstarted.size) == 0) finalizeCycle(cycle)
         }
       }
     } catch {
-      case e: Throwable =>
+      case e: Throwable if !ownedByWriters =>
         cycle.error.compareAndSet(null, s"seal cycle failed: ${e.getMessage}")
         finalizeCycle(cycle)
     }
     cycle
   }
 
+  /** One writer thread's work: trim rows a prior failed attempt already
+    * committed (catalog idempotence), write, account, and restore on any
+    * failure. The finally ALWAYS finalizes when this is the last writer. */
+  private def runSealWrite(cycle: SealCycle, batch: SealBatch,
+                           remaining: java.util.concurrent.atomic.AtomicInteger): Unit = {
+    var b = batch
+    var settled = false
+    try {
+      if (cfg.target == "catalog" && b.priorSegments.nonEmpty) {
+        // a prior attempt on these head rows failed AFTER its insert may
+        // have committed — ask the table (_seal_id) and drop proven rows
+        val trimmed = writer.dropCommittedPrefix(b)
+        val droppedRows = b.rows.size - trimmed.rows.size
+        if (droppedRows > 0) {
+          val droppedBytes = b.admittedBytes - trimmed.admittedBytes
+          cycle.rowsSealed.addAndGet(droppedRows)
+          cycle.bytesSealed.addAndGet(droppedBytes)
+          release(droppedBytes)
+          committedRowsTotal.addAndGet(droppedRows)
+        }
+        b = trimmed
+      }
+      if (b.rows.isEmpty) settled = true
+      else writeOne(b) match {
+        case None =>
+          settled = true
+          cycle.rowsSealed.addAndGet(b.rows.size)
+          cycle.bytesSealed.addAndGet(b.admittedBytes)
+          release(b.admittedBytes)
+          committedRowsTotal.addAndGet(b.rows.size)
+        case Some(msg) =>
+          cycle.error.compareAndSet(null, msg)
+          restoreBatch(b)
+          settled = true
+      }
+    } catch {
+      // writeOne catches Throwable itself; this guards the trim/accounting
+      // above so rows are never silently lost and the cycle ALWAYS finalizes
+      case e: Throwable =>
+        cycle.error.compareAndSet(null, s"${b.signal}: ${e.getMessage}")
+        if (!settled) try restoreBatch(b) catch { case _: Throwable => () }
+    } finally {
+      if (remaining.decrementAndGet() == 0) finalizeCycle(cycle)
+    }
+  }
+
   /** Restore a failed batch AT THE HEAD of the live buffer: order, bytes,
-    * and true row age preserved for retry (at-least-once). */
+    * and true row age preserved for retry (at-least-once; catalog mode
+    * records the attempt id so the retry can skip rows that DID commit). */
   private def restoreBatch(batch: SealBatch): Unit = {
     val b = buffers(batch.signal)
     b.lock.synchronized {
       b.rows.prependAll(batch.rows)
       b.admittedBytes += batch.admittedBytes
+      b.wireBytes += batch.wireBytes
+      if (cfg.target == "catalog")
+        b.priorSegments = (batch.sealId, batch.rows.size) :: b.priorSegments
       b.firstUnsealedAtMs =
         if (b.firstUnsealedAtMs < 0) batch.firstUnsealedAtMs
         else math.min(b.firstUnsealedAtMs, batch.firstUnsealedAtMs)
@@ -799,44 +896,51 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
   }
 
   private def finalizeCycle(cycle: SealCycle): Unit = {
-    val tCommit = System.currentTimeMillis()
-    val error = cycle.error.get()
-    val rowsSealed = cycle.rowsSealed.get()
-    maintenanceMutex.synchronized { updateIngressEwma() }
-    sealsTotal.incrementAndGet()
-    if (error != null) { sealFailuresTotal.incrementAndGet(); sealLastError = error }
-    else sealLastError = null
-    lastSealAtMs = tCommit
-    val ev = SealEvent(cfg.uri.canonical, sealSeq.incrementAndGet(),
-      success = error == null, error = error, rows = rowsSealed,
-      bytes = cycle.bytesSealed.get(), appendMs = cycle.tAppend - cycle.t0,
-      commitMs = tCommit - cycle.tAppend, trigger = cycle.trigger,
-      signalsSealed = cycle.toSeal.size,
-      sealedRowsTotal = committedRowsTotal.get(), sealsTotal = sealsTotal.get(),
-      sealFailuresTotal = sealFailuresTotal.get(), atMs = tCommit)
-    sealEvents.synchronized {
-      sealEvents.addLast(ev)
-      while (sealEvents.size() > SealHistoryCap) sealEvents.removeFirst()
-    }
-    // views + maintenance run BEFORE the latch drops so a synchronous
-    // flush observes refreshed views and completed compaction on return.
-    // Maintenance runs FIRST: compaction deletes the small files it
-    // rewrote, so a view created before it would pin a listing of
-    // soon-deleted paths and throw FileNotFound until the next seal.
-    if (error == null && rowsSealed > 0) {
-      maintenanceMutex.synchronized { maybeMaintain() }
-      // parquet targets: RE-create the inspection views after every
-      // successful seal — a view captures its file listing at creation, so
-      // a one-shot view would go stale and hide every later seal's rows
-      // (the reference re-globs per query, otlp_server.cpp:1047-1056)
-      if (cfg.target == "parquet") {
-        try writer.createInspectionViews()
-        catch { case _: Exception => () }
+    try {
+      val tCommit = System.currentTimeMillis()
+      val error = cycle.error.get()
+      val rowsSealed = cycle.rowsSealed.get()
+      maintenanceMutex.synchronized { updateIngressEwma() }
+      sealsTotal.incrementAndGet()
+      if (error != null) { sealFailuresTotal.incrementAndGet(); sealLastError = error }
+      else sealLastError = null
+      lastSealAtMs = tCommit
+      val ev = SealEvent(cfg.uri.canonical, sealSeq.incrementAndGet(),
+        success = error == null, error = error, rows = rowsSealed,
+        bytes = cycle.bytesSealed.get(), appendMs = cycle.tAppend - cycle.t0,
+        commitMs = tCommit - cycle.tAppend, trigger = cycle.trigger,
+        signalsSealed = cycle.toSeal.size,
+        sealedRowsTotal = committedRowsTotal.get(), sealsTotal = sealsTotal.get(),
+        sealFailuresTotal = sealFailuresTotal.get(), atMs = tCommit)
+      sealEvents.synchronized {
+        sealEvents.addLast(ev)
+        while (sealEvents.size() > SealHistoryCap) sealEvents.removeFirst()
       }
+      // maintenance runs BEFORE the latch drops so a synchronous flush
+      // observes completed compaction on return. The inspection views are
+      // SQL-text temp views that re-resolve their file listing per query
+      // (reference re-globs per query, otlp_server.cpp:1047-1056), so they
+      // are created ONCE when a signal's data first exists — no O(files)
+      // listing on the seal critical path.
+      if (error == null && rowsSealed > 0) {
+        try maintenanceMutex.synchronized { maybeMaintain() }
+        catch { case e: Throwable =>
+          maintenanceFailures.incrementAndGet()
+          maintenanceLastError = e.getMessage
+        }
+        if (cfg.target == "parquet") {
+          try writer.createInspectionViews()
+          catch { case _: Throwable => () }
+        }
+      }
+    } finally {
+      // the cycle MUST release its slot and latch whatever happens above —
+      // a leaked slot halves seal concurrency forever; a second leak stops
+      // sealing entirely and wedges flush()/stop() on latch.await()
+      inflight.remove(cycle)
+      sealSlots.release()
+      cycle.latch.countDown()
     }
-    inflight.remove(cycle)
-    sealSlots.release()
-    cycle.latch.countDown()
   }
 
   /** One Spark-job write of a sealed batch; returns the error (None = ok).
@@ -853,8 +957,11 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
   private var sealsSinceMaintenance = 0L
   val maintenanceDeferrals = new AtomicLong(0)
 
-  /** Monotone admitted-byte counter + EWMA sample state (sealer thread). */
+  /** Monotone admitted-byte counters (heap-adjusted and raw wire) + EWMA
+    * sample state (sealer thread). */
   private val admittedBytesTotal = new AtomicLong(0)
+  private val admittedWireBytesTotal = new AtomicLong(0)
+  private val retentionDeletedTotal = new AtomicLong(0)
   @volatile private[streaming] var ingressEwmaBytesPerSec: Double = 0.0
   private var lastIngressSampleAtMs = -1L
   private var admittedBytesAtLastSample = 0L
@@ -892,9 +999,12 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
     ingressEwmaBytesPerSec * 60.0 <= 0.5 * headroom
   }
 
-  /** Post-seal compaction, gated by cadence like the reference's
+  /** Post-seal maintenance, gated by cadence like the reference's
     * post-seal CHECKPOINT (≥N row-seals AND ≥interval since last run),
-    * plus the ingress-headroom gate above. */
+    * plus the ingress-headroom gate above. Retention expiry runs FIRST
+    * (files about to age out should not be compacted), then small-file
+    * compaction. Catches Throwable: an Error inside a maintenance Spark
+    * job must not escape into finalizeCycle. */
   private[streaming] def maybeMaintain(): Unit = {
     sealsSinceMaintenance += 1
     val now = System.currentTimeMillis()
@@ -908,11 +1018,14 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
     }
     sealsSinceMaintenance = 0
     try {
-      Signals.foreach(writer.compact)
+      Signals.foreach { s =>
+        retentionDeletedTotal.addAndGet(writer.expire(s))
+        writer.compact(s)
+      }
       maintenanceRuns.incrementAndGet()
       maintenanceLastError = null
     } catch {
-      case e: Exception =>
+      case e: Throwable =>
         maintenanceFailures.incrementAndGet()
         maintenanceLastError = e.getMessage
     } finally lastMaintenanceAtMs = System.currentTimeMillis()

@@ -47,9 +47,17 @@ final class SealWriter(cfg: ServerConfig, spark: SparkSession) {
             throw new IllegalArgumentException(
               s"table $table is not available (create_tables := false)")
           val empty = spark.createDataFrame(
-            java.util.Collections.emptyList[Row](), withPromoted(baseSchema(signal)))
+            java.util.Collections.emptyList[Row](),
+            withSealId(withPromoted(baseSchema(signal))))
           empty.write.saveAsTable(table)
-        } else validateTable(table, signal)
+        } else {
+          validateTable(table, signal)
+          // upgrade pre-existing tables in place: the retry-idempotence
+          // marker is a plain trailing column under the wide-table contract
+          if (!spark.table(table).columns.contains(SealIdColumn))
+            try spark.sql(s"ALTER TABLE $table ADD COLUMNS ($SealIdColumn STRING)")
+            catch { case _: Exception => () } // absent column → at-least-once
+        }
       }
     }
   }
@@ -70,6 +78,55 @@ final class SealWriter(cfg: ServerConfig, spark: SparkSession) {
 
   private def withPromoted(s: StructType): StructType =
     StructType(s.fields ++ promoted.map { case (_, _, c) => StructField(c, StringType) })
+
+  /** Retry-idempotence marker column on catalog tables: every seal attempt
+    * tags its rows with the attempt's UUID, so a retry after a failure in
+    * the post-commit window can ask the table itself whether the insert
+    * landed — the atomic-with-data analog of the reference's cross-table
+    * catalog transaction (otlp_server.cpp:1109-1271), giving catalog mode
+    * effectively-once appends per signal. */
+  val SealIdColumn = "_seal_id"
+
+  private def withSealId(s: StructType): StructType =
+    StructType(s.fields :+ StructField(SealIdColumn, StringType))
+
+  /** Test-only fault injection: runs after a successful catalog insert
+    * commit, before write() returns — the post-commit crash window. */
+  @volatile private[graft] var failAfterCatalogCommit: String => Unit = _
+
+  /** Did a prior attempt's insert land? Footer stats + pushdown make this a
+    * cheap limit-1 probe; it runs only on the retry path. Any failure to
+    * answer degrades to "unknown → re-insert" (at-least-once, never loss). */
+  private def sealCommitted(signal: String, sealId: String): Boolean =
+    try !spark.table(cfg.tableName(signal))
+      .where(col(SealIdColumn) === lit(sealId)).limit(1).isEmpty
+    catch { case _: Exception => false }
+
+  /** Drop head-row segments that a prior FAILED attempt actually committed
+    * (checked via their seal ids against the table). Returns the trimmed
+    * batch with admission/wire bytes reduced by row share; the caller
+    * accounts the dropped rows as durable. */
+  def dropCommittedPrefix(batch: SealBatch): SealBatch = {
+    val total = batch.rows.size
+    if (batch.priorSegments.isEmpty || total == 0)
+      return batch.copy(priorSegments = Nil)
+    val kept = IndexedSeq.newBuilder[Array[Byte]]
+    var off = 0
+    batch.priorSegments.foreach { case (id, n) =>
+      val until = math.min(off + n, total)
+      if (!sealCommitted(batch.signal, id))
+        kept ++= batch.rows.slice(off, until)
+      off = until
+    }
+    kept ++= batch.rows.drop(off) // tail rows never attempted before
+    val keptRows = kept.result()
+    if (keptRows.size == total) batch.copy(priorSegments = Nil)
+    else batch.copy(
+      rows = keptRows,
+      admittedBytes = batch.admittedBytes * keptRows.size / total,
+      wireBytes = batch.wireBytes * keptRows.size / total,
+      priorSegments = Nil)
+  }
 
   /** Seal rows arrive pre-encoded as UnsafeRow byte images (RowBin, built
     * on the HTTP worker threads at ingest). The write reads them through
@@ -109,11 +166,13 @@ final class SealWriter(cfg: ServerConfig, spark: SparkSession) {
   def write(batch: SealBatch): Unit = cfg.target match {
     case "catalog" =>
       tableLocks(batch.signal).synchronized {
-        withHandle(batch) { df =>
+        withHandle(batch) { df0 =>
           // align by name with the live table schema: wide tables may carry
           // extra trailing columns (the promotion / schema-evolution
           // contract) — they NULL-fill, like the reference's column-targeted
-          // INSERT...SELECT
+          // INSERT...SELECT. Every row carries this attempt's seal id so a
+          // retry can prove whether this insert committed.
+          val df = df0.withColumn(SealIdColumn, lit(batch.sealId))
           val table = cfg.tableName(batch.signal)
           val target = spark.table(table).schema
           val aligned = df.select(target.fields.map { f =>
@@ -121,6 +180,8 @@ final class SealWriter(cfg: ServerConfig, spark: SparkSession) {
             else lit(null).cast(f.dataType).as(f.name)
           }.toIndexedSeq: _*)
           aligned.write.mode("append").insertInto(table)
+          val hook = failAfterCatalogCommit
+          if (hook != null) hook(batch.signal)
         }
       }
     case "parquet" => withHandle(batch) { df =>
@@ -194,16 +255,73 @@ final class SealWriter(cfg: ServerConfig, spark: SparkSession) {
 
   /** Inspection views over the parquet export layout (reference creates a
     * view via read_parquet over the recursive table glob after sealing,
-    * otlp_server.cpp:1047-1056, and re-globs per query). Spark captures the
-    * file listing when the DataFrame is created, so the server re-creates
-    * these views after every successful seal — a second seal's rows are
-    * visible through `otlp_<signal>` without a new session. */
+    * otlp_server.cpp:1047-1056, and re-globs per query). These are SQL-text
+    * temp views: Spark re-resolves the path relation — fresh file listing,
+    * fresh partition discovery — on EVERY query against the view, the exact
+    * re-glob-per-query semantics of the reference. So each view is created
+    * ONCE, the first time its signal's data exists; later seals cost
+    * nothing here (the old DataFrame-API views pinned their listing at
+    * creation and had to be rebuilt — an O(files) driver scan per seal on
+    * the seal critical path that grew for the server's whole lifetime). */
+  private val viewCreated =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def createInspectionViews(): Unit = {
     if (cfg.target == "parquet") OtlpSchemas.Signals.foreach { signal =>
-      val dir = new Path(s"${cfg.parquetRoot}/otlp_$signal")
-      if (fs(dir).exists(dir))
-        spark.read.parquet(dir.toString)
-          .createOrReplaceTempView(s"otlp_$signal")
+      if (!viewCreated.contains(signal)) {
+        val dir = new Path(s"${cfg.parquetRoot}/otlp_$signal")
+        if (fs(dir).exists(dir)) {
+          spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW otlp_$signal AS " +
+            s"SELECT * FROM parquet.`${dir.toString}`")
+          viewCreated.add(signal)
+        }
+      }
+    }
+  }
+
+  /** Retention expiry (maintenance): delete data files older than
+    * maintenance_retention_ms, by file modification time, then prune
+    * emptied partition directories. The reference expires lakehouse
+    * snapshots/files past the horizon at maintenance time
+    * (otlp_server.cpp:54-58,1273-1387, expire_older_than /
+    * delete_older_than); plain parquet and managed tables have no snapshot
+    * layer, so the knob is enforced as a data-retention TTL — a
+    * long-running server's storage is bounded by retention × ingest rate
+    * instead of growing forever. mtime (ingest/compaction time), not the
+    * partition's event date, mirrors the reference's file-age semantics;
+    * compaction-rewritten files restart their clock (conservative).
+    * Returns files deleted. */
+  def expire(signal: String): Long = {
+    val horizon = System.currentTimeMillis() - cfg.maintenanceRetentionMs
+    def expireTree(root: Path): Long = {
+      val hfs = fs(root)
+      if (!hfs.exists(root)) return 0L
+      def walk(d: Path, isRoot: Boolean): Long = {
+        var deleted = 0L
+        hfs.listStatus(d).foreach { st =>
+          val name = st.getPath.getName
+          if (st.isDirectory && !name.startsWith(".") && !name.startsWith("_")) {
+            deleted += walk(st.getPath, isRoot = false)
+          } else if (isParquetFile(st) && st.getModificationTime < horizon) {
+            if (hfs.delete(st.getPath, false)) deleted += 1
+          }
+        }
+        if (!isRoot && hfs.listStatus(d).isEmpty) hfs.delete(d, false)
+        deleted
+      }
+      walk(root, isRoot = true)
+    }
+    cfg.target match {
+      case "parquet" =>
+        expireTree(new Path(s"${cfg.parquetRoot}/otlp_$signal"))
+      case "catalog" =>
+        val table = cfg.tableName(signal)
+        val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+        val dir = new Path(spark.sessionState.catalog.getTableMetadata(ident).location)
+        val n = expireTree(dir)
+        if (n > 0) spark.catalog.refreshTable(table)
+        n
+      case _ => 0L
     }
   }
 

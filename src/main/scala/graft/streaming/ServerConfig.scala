@@ -129,8 +129,12 @@ object ServerConfig {
       maxBodyBytes = long("max_body_bytes", DefaultMaxBodyBytes),
       targetFileSize = long("target_file_size", 128L * 1024 * 1024),
       // maps to the reference's lakehouse SNAPSHOT expiry (expire_older_than
-      // / delete_older_than); plain-parquet targets have no snapshots to
-      // expire, so the knob is validated for compatibility but a no-op here
+      // / delete_older_than). Plain parquet / managed tables have no
+      // snapshot layer, so the knob is enforced as a data-retention TTL
+      // during maintenance (SealWriter.expire). The reference's 15-minute
+      // default governs only snapshot METADATA — its current data survives
+      // expiry — so a TTL that aggressive would eat live rows; the default
+      // here is a conservative 7 days instead.
       maintenanceRetentionMs = long("maintenance_retention_ms", 7L * 24 * 3600 * 1000),
       // reference cadence gates: >=32 row-seals AND >=5 min since last run
       maintenanceMinSeals = long("maintenance_min_seals", 32L),

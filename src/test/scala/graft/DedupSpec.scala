@@ -39,6 +39,19 @@ class DedupSpec extends SparkTestBase {
       "x" -> "x", "y" -> "x"), s"got $got")
   }
 
+  test("neardup clusters: 64-node adversarial chain converges in log rounds") {
+    import spark.implicits._
+    // a path graph 0-1-2-…-63 has diameter 63; plain min-label propagation
+    // needs 63 rounds, the pointer-doubling shortcut halves the remaining
+    // label distance per round — maxRounds=12 only passes with log-round
+    // convergence (and exercises the non-convergence guard's headroom)
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.neardupClusters(pairs, maxRounds = 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 64)
+    assert(got.forall(_._2 == 0L), s"all labels must reach 0: ${got.toMap}")
+  }
+
   test("keep-first dedup = keep id == cluster_id") {
     import spark.implicits._
     val pairs = Seq((5L, 3L), (5L, 9L)).toDF("id_a", "id_b")

@@ -222,6 +222,11 @@ class OtlpServeSpec extends SparkTestBase {
       .where(col("listen_uri") === "otlp:127.0.0.1:45821").first()
     assert(listed.getAs[Long]("buffered_rows") == 8L)
     assert(listed.getAs[Long]("total_requests") >= 5L)
+    // admission telemetry: wire bytes tracked separately from the
+    // heap-adjusted reservation; the inflation ratio (heap/wire) shows
+    // when the decoded-size secondary bound is binding (>= 1 by definition)
+    assert(listed.getAs[Long]("buffered_wire_bytes") > 0L)
+    assert(listed.getAs[Double]("admitted_inflation_ratio") >= 1.0)
 
     // flush → rows land in the six catalog tables
     val fl = OtlpServe.otlpFlush(spark, uri).first()

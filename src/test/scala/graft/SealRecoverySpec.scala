@@ -126,6 +126,69 @@ class SealRecoverySpec extends SparkTestBase {
     OtlpServe.otlpStop(spark, uri)
   }
 
+  test("retention expiry deletes files past the horizon, keeps newer ones") {
+    val root = java.nio.file.Files.createTempDirectory("otlp_retention").toString
+    val uri = "otlp:127.0.0.1:45845"
+    OtlpServe.otlpServe(spark, uri, Map(
+      "token" -> Token, "target" -> "parquet", "parquet_root" -> root,
+      "seal_max_age_ms" -> "3600000", "seal_target_bytes" -> "1073741824",
+      "maintenance_retention_ms" -> "1500",
+      "maintenance_min_seals" -> "2", "maintenance_min_interval_ms" -> "1"))
+    val body = fixture("logs_simple.jsonl")
+    // seal 1, then age it past the horizon
+    assert(post(45845, body).statusCode() == 202)
+    assert(OtlpServe.otlpFlush(spark, uri).first().getAs[String]("status") == "sealed")
+    assert(spark.read.parquet(s"$root/otlp_logs").count() == 3)
+    Thread.sleep(2000)
+    // seal 2 trips the maintenance cadence; expiry runs before compaction
+    assert(post(45845, body).statusCode() == 202)
+    assert(OtlpServe.otlpFlush(spark, uri).first().getAs[String]("status") == "sealed")
+    // seal 1's files (older than 1500 ms) are gone; seal 2's survive and
+    // the inspection view still reads them
+    assert(spark.read.parquet(s"$root/otlp_logs").count() == 3)
+    assert(spark.table("otlp_logs").count() == 3)
+    val listed = OtlpServe.serverList(spark)
+      .where(col("listen_uri") === "otlp:127.0.0.1:45845").first()
+    assert(listed.getAs[Long]("retention_deleted_files_total") >= 1L)
+    assert(listed.getAs[Long]("maintenance_runs_total") >= 1L)
+    OtlpServe.otlpStop(spark, uri)
+  }
+
+  test("catalog retry after post-commit failure inserts zero duplicate rows") {
+    val uri = "otlp:127.0.0.1:45846"
+    OtlpServe.otlpServe(spark, uri, Map(
+      "token" -> Token, "schema" -> "otlptest_idem",
+      "seal_max_age_ms" -> "3600000", "seal_target_bytes" -> "1073741824"))
+    val server = OtlpServe.get(uri).get
+    // fail AFTER the insert commits — the crash window where at-least-once
+    // retry would duplicate every row of the batch
+    server.writer.failAfterCatalogCommit =
+      s => throw new RuntimeException(s"injected post-commit failure ($s)")
+    assert(post(45846, fixture("logs_simple.jsonl")).statusCode() == 202)
+    val fl1 = OtlpServe.otlpFlush(spark, uri).first()
+    assert(fl1.getAs[String]("status") == "error")
+    assert(fl1.getAs[String]("error").contains("injected post-commit failure"))
+    // the insert itself landed; the rows were also restored for retry
+    assert(spark.table("otlptest_idem.otlp_logs").count() == 3)
+    val listed = OtlpServe.serverList(spark)
+      .where(col("listen_uri") === "otlp:127.0.0.1:45846").first()
+    assert(listed.getAs[Long]("buffered_rows") == 3L)
+    // retry: the _seal_id probe proves the prior attempt committed and
+    // skips re-inserting — effectively-once, not at-least-once
+    server.writer.failAfterCatalogCommit = null
+    val fl2 = OtlpServe.otlpFlush(spark, uri).first()
+    assert(fl2.getAs[String]("status") == "sealed", fl2.toString)
+    assert(fl2.getAs[Long]("sealed_rows") == 3L)
+    assert(spark.table("otlptest_idem.otlp_logs").count() == 3L)
+    assert(spark.table("otlptest_idem.otlp_logs")
+      .select("_seal_id").distinct().count() == 1L)
+    val after = OtlpServe.serverList(spark)
+      .where(col("listen_uri") === "otlp:127.0.0.1:45846").first()
+    assert(after.getAs[Long]("buffered_rows") == 0L)
+    assert(after.getAs[Long]("committed_rows_total") == 3L)
+    OtlpServe.otlpStop(spark, uri)
+  }
+
   test("catalog-mode maintenance compacts the managed table's seal files") {
     val uri = "otlp:127.0.0.1:45844"
     OtlpServe.otlpServe(spark, uri, Map(
