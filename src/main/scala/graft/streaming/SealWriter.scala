@@ -163,7 +163,20 @@ final class SealWriter(cfg: ServerConfig, spark: SparkSession) {
   private val tableLocks: Map[String, Object] =
     OtlpSchemas.Signals.map(s => s -> new Object).toMap
 
-  def write(batch: SealBatch): Unit = cfg.target match {
+  /** Seal jobs run in their own scheduler pool: under FIFO they are plain
+    * jobs like any other, but a deployment that enables FAIR scheduling
+    * (spark.scheduler.mode=FAIR) gets seal drains round-robined against
+    * interactive query jobs instead of queued behind them — heavy query
+    * load can no longer starve ingest durability. Pool assignment is a
+    * thread-local property, set on the per-signal writer threads. */
+  private def inSealPool[A](fn: => A): A = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.scheduler.pool")
+    sc.setLocalProperty("spark.scheduler.pool", "graft-seals")
+    try fn finally sc.setLocalProperty("spark.scheduler.pool", prev)
+  }
+
+  def write(batch: SealBatch): Unit = inSealPool { cfg.target match {
     case "catalog" =>
       tableLocks(batch.signal).synchronized {
         withHandle(batch) { df0 =>
@@ -222,7 +235,7 @@ final class SealWriter(cfg: ServerConfig, spark: SparkSession) {
         publishStaged(hfs, staging, tableRoot)
       } finally hfs.delete(staging, true)
     }
-  }
+  } }
 
   /** Move every staged leaf parquet file into the matching live partition
     * dir, preserving Spark's unique part-file names. */

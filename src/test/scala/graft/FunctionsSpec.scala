@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.WinnowingFingerprints
+import org.apache.spark.sql.functions._
+
+/** The native winnowing expression must be value-identical to the SQL
+  * array formulation it replaced (which the DuckDB oracle mirrors):
+  * k-gram md5-prefix hashes, w-window minima, distinct + sorted. */
+class FunctionsSpec extends SparkTestBase {
+
+  private val k = 8
+  private val w = 4
+
+  private def sqlFormulation(df: org.apache.spark.sql.DataFrame) =
+    df.where(length(col("text")) >= k)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .withColumn("hs", expr(
+        s"transform(sequence(1, length(t) - ${k - 1}), p -> substring(md5(substr(t, p, $k)), 1, 8))"))
+      .withColumn("fp", expr(
+        s"""CASE WHEN size(hs) >= $w
+           |THEN sort_array(array_distinct(transform(sequence($w, size(hs)),
+           |  i -> array_min(slice(hs, i - ${w - 1}, $w)))))
+           |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      .select(col("doc_id"), col("fp"))
+
+  private def nativeFormulation(df: org.apache.spark.sql.DataFrame) = {
+    WinnowingFingerprints.register(spark)
+    df.where(length(col("text")) >= k)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .withColumn("fp", expr(s"winnowing_fingerprints(t, $k, $w)"))
+      .select(col("doc_id"), col("fp"))
+  }
+
+  test("winnowing expression ≡ SQL formulation on the documents corpus") {
+    Tables.register(spark, sfDir)
+    val docs = spark.table("documents")
+    val a = sqlFormulation(docs)
+    val b = nativeFormulation(docs)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(b.count() > 0)
+  }
+
+  test("winnowing expression ≡ SQL formulation on unicode + edge inputs") {
+    import spark.implicits._
+    val rows = Seq(
+      1L -> "héllo wörld ünïcode ça va très bien",
+      2L -> "日本語のテキストです。これはテストです。",
+      3L -> "exactly8!",      // barely above k: 1-2 hashes, under w → empty set
+      4L -> "aaaaaaaaaaaaaaaa", // degenerate repeats: one distinct hash
+      5L -> "MiXeD CaSe TeXt WITH lower() FOLDING behaviour 12345")
+      .toDF("doc_id", "text")
+    val a = sqlFormulation(rows).collect().map(r =>
+      r.getLong(0) -> r.getSeq[String](1)).toMap
+    val b = nativeFormulation(rows).collect().map(r =>
+      r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(a == b, s"sql=$a native=$b")
+    assert(b(4L).size == 1)
+    assert(b(3L).isEmpty)
+  }
+
+  test("winnowing expression stays inside whole-stage codegen") {
+    Tables.register(spark, sfDir)
+    val plan = nativeFormulation(spark.table("documents"))
+      .queryExecution.executedPlan.toString
+    // codegen'd stages are starred; the project hosting the expression
+    // must not fall back to interpreted eval
+    assert(plan.contains("*("), plan)
+  }
+}
