@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Corpus-curation operators from the published web-scale pipeline
+  * playbook: C4-style line filtering (Raffel et al. 2020, "Exploring the
+  * Limits of Transfer Learning" appendix), Gopher-style repetition
+  * statistics (Rae et al. 2021, "Scaling Language Models" table A1),
+  * sub-document chunk dedup (RefinedWeb-style), and deterministic
+  * token-budget shard packing for training-batch assembly.
+  *
+  * Scale shapes: the filters are map-only column transforms; repetition
+  * stats and chunk dedup shuffle on uniform keys (doc_id / chunk hash);
+  * shard packing windows within md5-derived groups so the cumulative sum
+  * parallelizes over `nGroups` independent partitions instead of one
+  * global ordering. All hashing is md5 hex and all ratios are rounded to
+  * fixed precision — bit-identical across engines (the DuckDB oracle runs
+  * the same definitions).
+  */
+object CorpusFilters {
+
+  private def wordsOf(textCol: Column): Column =
+    filter(split(lower(textCol), "\\s+"), w => length(w) > 0)
+
+  /** C4 line-level cleaning: keep lines that (after trimming) end in a
+    * terminal punctuation mark (. ! ? or a closing quote), contain at
+    * least 3 words, and do not mention javascript; flag documents with
+    * curly braces (code) or "lorem ipsum" (boilerplate). `keep` is the
+    * document-level verdict (>= 3 surviving lines and no flags). Map-only;
+    * the kept text is returned as an md5 digest so results stay compact
+    * and engine-comparable. */
+  def c4LineFilter(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val lines = transform(split(t, "\n"), l => trim(l))
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]$") &&
+        size(filter(split(l, "\\s+"), w => length(w) > 0)) >= 3 &&
+        !lower(l).contains("javascript"))
+    val hasBrace = t.contains("{")
+    val hasLorem = lower(t).contains("lorem ipsum")
+    docs.select(
+      col("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("kept_lines"),
+      hasBrace.as("has_brace"),
+      hasLorem.as("has_lorem"),
+      (size(kept) >= 3 && !hasBrace && !hasLorem).as("keep"),
+      md5(concat_ws("\n", kept)).as("kept_digest"))
+  }
+
+  /** Gopher repetition statistics: the most frequent word and word 2-gram
+    * per document with their count and fraction (word fraction of total
+    * words; 2-gram fraction of total word characters — the paper's
+    * "fraction of characters in the most frequent n-gram"). Ties break to
+    * the lexicographically smallest term so results are deterministic.
+    * Two count-aggregate + join stages, both keyed by doc_id — uniform
+    * shuffles, same shape as tf-idf. */
+  def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val base = docs.select(col("doc_id"), wordsOf(col(textCol)).as("ws"))
+      .where(size(col("ws")) > 0)
+    val tot = base.select(col("doc_id"),
+      size(col("ws")).cast("long").as("total_words"),
+      aggregate(col("ws"), lit(0L), (a, x) => a + length(x)).as("total_chars"))
+    def top(items: DataFrame, itemCol: String, outTerm: String, outCnt: String) = {
+      val cnt = items.groupBy("doc_id", itemCol).agg(count(lit(1)).as("cnt"))
+      val mx = cnt.groupBy("doc_id").agg(max("cnt").as("mc"))
+      cnt.join(mx, Seq("doc_id")).where(col("cnt") === col("mc"))
+        .groupBy("doc_id")
+        .agg(min(itemCol).as(outTerm), max("mc").as(outCnt))
+    }
+    val wtop = top(base.select(col("doc_id"), explode(col("ws")).as("w")),
+      "w", "top_word", "top_word_cnt")
+    val btop = top(
+      base.select(col("doc_id"), explode(
+        when(size(col("ws")) >= 2,
+          transform(sequence(lit(1), size(col("ws")) - 1), i =>
+            concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("g")),
+      "g", "top_2gram", "top_2gram_cnt")
+    tot.join(wtop, Seq("doc_id"), "left").join(btop, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("total_words"), col("total_chars"),
+        col("top_word"), col("top_word_cnt"),
+        round(col("top_word_cnt").cast("double") / col("total_words"), 4)
+          .as("top_word_frac"),
+        col("top_2gram"), col("top_2gram_cnt"),
+        round(col("top_2gram_cnt") * (length(col("top_2gram")) - 1).cast("double")
+          / col("total_chars"), 4).as("top_2gram_frac"))
+  }
+
+  /** Sub-document dedup: split each document into fixed-size word chunks,
+    * md5 each chunk, and keep only the corpus-wide FIRST occurrence of
+    * every chunk (ordered by doc_id, then chunk position — deterministic).
+    * The single shuffle keys on the chunk hash (uniform by construction);
+    * per-doc kept/dropped counts come back on a doc_id aggregate. This is
+    * the finer-grained sibling of document-level exact dedup — boilerplate
+    * shared across documents dies here while unique content survives. */
+  def chunkDedup(docs: DataFrame, chunkWords: Int = 16,
+                 textCol: String = "text"): DataFrame = {
+    val base = docs.select(col("doc_id"), wordsOf(col(textCol)).as("ws"))
+      .where(size(col("ws")) > 0)
+    val nc = ceil(size(col("ws")).cast("double") / chunkWords).cast("int")
+    val hashes = transform(sequence(lit(1), nc), i =>
+      md5(concat_ws(" ",
+        slice(col("ws"), (i - lit(1)) * chunkWords + lit(1), lit(chunkWords)))))
+    val ch = base.select(col("doc_id"), posexplode(hashes).as(Seq("pos", "h")))
+    val firstWin = Window.partitionBy("h").orderBy("doc_id", "pos")
+    ch.withColumn("rn", row_number().over(firstWin))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("kept_chunks"))
+      .withColumn("dropped_chunks", col("n_chunks") - col("kept_chunks"))
+  }
+
+  /** Deterministic token-budget shard packing: hash documents into
+    * `nGroups` independent groups (md5 of the salted doc id), order each
+    * group by that hash, and cut shards whenever the running token count
+    * crosses the budget (a document's shard is the bin its PRECEDING
+    * cumulative count falls in, so every shard holds >= 1 document and at
+    * most budget + one overflow doc of tokens). The window partitions by
+    * group — parallelism = nGroups, no global sort; reproducible across
+    * engines, partitionings, and runs. */
+  def packShards(docs: DataFrame, budgetTokens: Int = 512, nGroups: Int = 8,
+                 salt: String = "p0", textCol: String = "text"): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      TextAnalysis.wsTokens(col(textCol)).cast("long").as("toks"),
+      md5(concat(lit(salt), col("doc_id").cast("string"))).as("h"))
+      .withColumn("grp",
+        (expr("CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT)") % nGroups)
+          .cast("int"))
+    val win = Window.partitionBy("grp").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.withColumn("cum", sum(col("toks")).over(win))
+      .withColumn("shard", (col("cum") - col("toks")) / lit(budgetTokens.toLong))
+      .withColumn("shard", floor(col("shard")).cast("long"))
+      .select(col("doc_id"), col("toks"), col("grp"), col("shard"))
+  }
+}

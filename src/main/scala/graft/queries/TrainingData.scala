@@ -530,6 +530,117 @@ object TrainingData {
         .groupBy("lang")
         .agg(count(lit(1)).as("kept"), sum(col("doc_id")).as("id_sum"))
         .orderBy("lang")
+    },
+
+    // ---- corpus-curation filters (C4 / Gopher / chunk dedup / packing) ----
+
+    // C4 line filter (Raffel et al. 2020): terminal-punctuation lines with
+    // >= 3 words and no javascript mention; brace/lorem document flags
+    df("ta_c4_filter",
+      """WITH s AS (SELECT doc_id, text,
+        |  list_transform(regexp_split_to_array(text, '\n'), l -> trim(l)) AS lines
+        |  FROM documents),
+        |k AS (SELECT doc_id, text, lines,
+        |  list_filter(lines, l -> regexp_matches(l, '[.!?"]$')
+        |    AND len(list_filter(regexp_split_to_array(l, '\s+'), w -> len(w) > 0)) >= 3
+        |    AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM s)
+        |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS kept_lines,
+        |  contains(text, '{') AS has_brace,
+        |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |  (len(kept) >= 3 AND NOT contains(text, '{')
+        |    AND NOT contains(lower(text), 'lorem ipsum')) AS keep,
+        |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS kept_digest
+        |FROM k ORDER BY doc_id LIMIT 100""".stripMargin) { (s, _) =>
+      graft.operators.CorpusFilters.c4LineFilter(s.table("documents"))
+        .orderBy("doc_id").limit(100)
+    },
+
+    // Gopher repetition stats (Rae et al. 2021): most frequent word /
+    // word 2-gram with deterministic lexicographic tie-break
+    df("ta_repetition",
+      """WITH raw AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |base AS (SELECT doc_id, ws FROM raw WHERE len(ws) > 0),
+        |tot AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS total_words,
+        |  CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS total_chars
+        |  FROM base),
+        |wx AS (SELECT doc_id, unnest(ws) AS w FROM base),
+        |wcnt AS (SELECT doc_id, w, count(*) AS cnt FROM wx GROUP BY 1, 2),
+        |wmax AS (SELECT doc_id, max(cnt) AS mc FROM wcnt GROUP BY 1),
+        |wtop AS (SELECT c.doc_id, min(c.w) AS top_word,
+        |  CAST(max(c.cnt) AS BIGINT) AS top_word_cnt
+        |  FROM wcnt c JOIN wmax m ON c.doc_id = m.doc_id AND c.cnt = m.mc
+        |  GROUP BY c.doc_id),
+        |bx AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+        |  THEN list_transform(generate_series(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i + 1])
+        |  ELSE CAST([] AS VARCHAR[]) END) AS g FROM base),
+        |bcnt AS (SELECT doc_id, g, count(*) AS cnt FROM bx GROUP BY 1, 2),
+        |bmax AS (SELECT doc_id, max(cnt) AS mc FROM bcnt GROUP BY 1),
+        |btop AS (SELECT c.doc_id, min(c.g) AS top_2gram,
+        |  CAST(max(c.cnt) AS BIGINT) AS top_2gram_cnt
+        |  FROM bcnt c JOIN bmax m ON c.doc_id = m.doc_id AND c.cnt = m.mc
+        |  GROUP BY c.doc_id)
+        |SELECT t.doc_id, total_words, total_chars, top_word, top_word_cnt,
+        |  round(CAST(top_word_cnt AS DOUBLE) / total_words, 4) AS top_word_frac,
+        |  top_2gram, top_2gram_cnt,
+        |  round(top_2gram_cnt * CAST(len(top_2gram) - 1 AS DOUBLE) / total_chars, 4)
+        |    AS top_2gram_frac
+        |FROM tot t LEFT JOIN wtop USING (doc_id) LEFT JOIN btop USING (doc_id)
+        |ORDER BY doc_id LIMIT 100""".stripMargin) { (s, _) =>
+      graft.operators.CorpusFilters.repetitionStats(s.table("documents"))
+        .orderBy("doc_id").limit(100)
+    },
+
+    // sub-document dedup: 16-word chunks, corpus-wide keep-first by
+    // (doc_id, position) — the RefinedWeb-style boilerplate killer
+    df("dd_chunk_dedup",
+      """WITH raw AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |base AS (SELECT doc_id, ws FROM raw WHERE len(ws) > 0),
+        |cx AS (SELECT doc_id, ws,
+        |  unnest(generate_series(1, CAST(ceil(len(ws) / 16.0) AS INT))) AS idx
+        |  FROM base),
+        |ch AS (SELECT doc_id, idx,
+        |  md5(array_to_string(list_slice(ws, (idx - 1) * 16 + 1, idx * 16), ' ')) AS h
+        |  FROM cx),
+        |rn AS (SELECT doc_id, idx,
+        |  row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn FROM ch)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+        |  CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dropped_chunks
+        |FROM rn GROUP BY doc_id ORDER BY doc_id LIMIT 100""".stripMargin) { (s, _) =>
+      graft.operators.CorpusFilters.chunkDedup(s.table("documents"))
+        .orderBy("doc_id").limit(100)
+    },
+
+    // deterministic token-budget shard packing summary (per-group running
+    // token count cut at 512-token boundaries; md5-ordered, reproducible)
+    df("ta_pack_shards",
+      """WITH base AS (SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |    w -> len(w) > 0)) AS BIGINT) AS toks,
+        |  md5('p0' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |g AS (SELECT doc_id, toks, h,
+        |  CAST(CAST(list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef', substring(h, i, 1)) - 1)
+        |      * 16.0 ** (8 - i))) AS BIGINT) % 8 AS INT) AS grp FROM base),
+        |c AS (SELECT grp, toks, CAST(sum(toks) OVER (PARTITION BY grp
+        |  ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS BIGINT) AS cum FROM g),
+        |s AS (SELECT grp, toks,
+        |  CAST(floor((cum - toks) / 512) AS BIGINT) AS shard FROM c)
+        |SELECT grp, shard, count(*) AS docs, CAST(sum(toks) AS BIGINT) AS tokens
+        |FROM s GROUP BY grp, shard ORDER BY grp, shard""".stripMargin) { (s, _) =>
+      graft.operators.CorpusFilters.packShards(s.table("documents"))
+        .groupBy("grp", "shard")
+        .agg(count(lit(1)).as("docs"), sum(col("toks")).as("tokens"))
+        .orderBy("grp", "shard")
     }
   )
 }

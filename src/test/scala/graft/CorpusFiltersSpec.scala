@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.CorpusFilters
+import org.apache.spark.sql.functions._
+
+/** Behavior tests for the corpus-curation filters on inputs with real
+  * structure (the synthetic documents table is single-line word salad, so
+  * the oracle checks values but not the interesting branches). */
+class CorpusFiltersSpec extends SparkTestBase {
+
+  test("c4 filter: keeps punctuated prose lines, drops short/code/boilerplate") {
+    import spark.implicits._
+    val docs = Seq(
+      // 3 good lines -> keep
+      1L -> "This is a clean sentence.\nAnother proper line ends here!\nDoes this also survive the filter?",
+      // terminal punctuation but < 3 words, and a javascript line -> drop
+      2L -> "Too short.\nPlease enable javascript to continue reading this page.",
+      // brace flag kills the document even with good lines
+      3L -> "A perfectly good sentence lives here.\nfunction f() { return 1; }\nAnother good sentence ends properly.\nAnd a third one ends here too.",
+      // lorem ipsum flag
+      4L -> "Lorem ipsum dolor sit amet consectetur.\nA real sentence follows the boilerplate.\nAnd yet another real one ends here.")
+      .toDF("doc_id", "text")
+    val got = CorpusFilters.c4LineFilter(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("kept_lines"), r.getAs[Boolean]("keep")))).toMap
+    assert(got(1L) == ((3L, true)))
+    assert(got(2L) == ((0L, false)))
+    assert(got(3L)._2 == false) // brace flag
+    assert(got(3L)._1 == 3L)    // the code line itself was also dropped
+    assert(got(4L)._2 == false) // lorem flag
+  }
+
+  test("repetition stats: finds the dominant word and 2-gram deterministically") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "spam spam spam spam eggs",
+      // tie between 'a b' and 'b a' bigram counts -> lexicographically first
+      2L -> "a b a b a")
+      .toDF("doc_id", "text")
+    val got = CorpusFilters.repetitionStats(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[String]("top_word") == "spam")
+    assert(got(1L).getAs[Long]("top_word_cnt") == 4L)
+    assert(got(1L).getAs[Double]("top_word_frac") == 0.8)
+    assert(got(1L).getAs[String]("top_2gram") == "spam spam")
+    assert(got(2L).getAs[String]("top_word") == "a")
+    assert(got(2L).getAs[String]("top_2gram") == "a b")
+  }
+
+  test("chunk dedup: shared chunks keep only their first occurrence") {
+    import spark.implicits._
+    val boiler = (1 to 16).map(i => s"boiler$i").mkString(" ")
+    val docs = Seq(
+      1L -> (boiler + " " + (1 to 16).map(i => s"uniqA$i").mkString(" ")),
+      2L -> (boiler + " " + (1 to 16).map(i => s"uniqB$i").mkString(" ")),
+      3L -> boiler)
+      .toDF("doc_id", "text")
+    val got = CorpusFilters.chunkDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("kept_chunks")))).toMap
+    assert(got(1L) == ((2L, 2L))) // first occurrence of the boilerplate
+    assert(got(2L) == ((2L, 1L))) // boilerplate chunk deduplicated away
+    assert(got(3L) == ((1L, 0L)))
+  }
+
+  test("shard packing: deterministic, complete, and budget-bounded") {
+    Tables.register(spark, sfDir)
+    val docs = spark.table("documents")
+    val a = CorpusFilters.packShards(docs, budgetTokens = 64)
+    val b = CorpusFilters.packShards(docs.repartition(7), budgetTokens = 64)
+    // reproducible under any input partitioning
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // every document assigned exactly once
+    assert(a.count() == docs.count())
+    // each shard's token load stays under budget + its final document
+    // (a doc is placed by its PRECEDING cumulative count)
+    val maxToks = docs.select(max(graft.operators.TextAnalysis
+      .wsTokens(col("text")).cast("long"))).first().getLong(0)
+    val over = a.groupBy("grp", "shard").agg(sum("toks").as("t"))
+      .where(col("t") >= lit(64L) + maxToks).count()
+    assert(over == 0L)
+  }
+}
