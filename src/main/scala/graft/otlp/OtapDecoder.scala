@@ -810,16 +810,39 @@ final class OtapStreamDecoder(nsAsLong: Boolean) extends AutoCloseable {
     } catch { case _: Exception => false }
 
   /** Decode one BatchArrowRecords message; returns only ITS rows. Ids and
-    * parent_ids join within a message, so assembly runs per message while
-    * the Arrow dictionary/schema state persists across messages. */
+    * parent_ids join within one JOIN SCOPE: normally the whole message,
+    * but a concatenated batch file (proto concatenation of .bar files —
+    * the reference's own multi-segment reading, read_otap.cpp) carries
+    * several self-contained segments whose ids each RESTART from zero, so
+    * rows are assembled per segment and concatenated — otherwise segment
+    * 2's attributes would join against segment 1's row ids (silent
+    * attribute loss/mixup). A new segment is detected when a payload key
+    * already fed in the current scope re-announces a Schema, or a payload
+    * type reappears under a different schema id. Arrow dictionary/schema
+    * reader state still persists across messages per (schema_id, type). */
   def decode(message: Array[Byte]): OtlpJsonParser.ParsedFile = {
     val ps = OtapDecoder.payloads(message)
     if (ps.isEmpty)
       throw new OtlpParseException("no Arrow payloads in OTAP input")
-    val acc = mutable.LinkedHashMap[Int, (ArrayBuffer[ARow], Map[String, String])]()
+    var acc = mutable.LinkedHashMap[Int, (ArrayBuffer[ARow], Map[String, String])]()
+    val fedKeys = mutable.Set[(String, Int)]()
+    val fedTypes = mutable.Map[Int, String]()
+    val parts = ArrayBuffer[OtlpJsonParser.ParsedFile]()
+    def flushSegment(): Unit = if (acc.nonEmpty) {
+      parts += OtapDecoder.assemble(
+        acc.iterator.map { case (t, (r, m)) => t -> (r.toIndexedSeq, m) }.toMap,
+        nsAsLong)
+      acc = mutable.LinkedHashMap[Int, (ArrayBuffer[ARow], Map[String, String])]()
+      fedKeys.clear()
+      fedTypes.clear()
+    }
     ps.foreach { case (schemaId, ptype, record) =>
       val key = (schemaId, ptype)
-      if (streams.contains(key) && startsWithSchema(record)) {
+      val fresh = startsWithSchema(record)
+      if ((fresh && fedKeys.contains(key)) ||
+          fedTypes.get(ptype).exists(_ != schemaId))
+        flushSegment()
+      if (streams.contains(key) && fresh) {
         // a fresh self-contained segment on an open key: replace the state
         val old = streams.remove(key).get
         try old.close() catch { case _: Exception => () }
@@ -838,10 +861,17 @@ final class OtapStreamDecoder(nsAsLong: Boolean) extends AutoCloseable {
         }
       val slot = acc.getOrElseUpdate(ptype, (ArrayBuffer[ARow](), meta))
       slot._1 ++= rows
+      fedKeys += key
+      fedTypes(ptype) = schemaId
     }
-    OtapDecoder.assemble(
-      acc.iterator.map { case (t, (r, m)) => t -> (r.toIndexedSeq, m) }.toMap,
-      nsAsLong)
+    flushSegment()
+    if (parts.size == 1) parts.head
+    else OtlpJsonParser.ParsedFile(
+      OtlpSchemas.Signals.map(s =>
+        s -> parts.iterator.map(_.signal(s)).reduce(_ ++ _)).toMap,
+      OtlpJsonParser.Skipped(
+        parts.iterator.map(_.skipped.summaryPoints).sum,
+        parts.iterator.map(_.skipped.invalidPoints).sum))
   }
 
   override def close(): Unit = {

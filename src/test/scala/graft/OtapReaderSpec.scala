@@ -148,6 +148,13 @@ class OtapReaderSpec extends SparkTestBase {
       assert(logs.count() == 6)
       assert(logs.select("service_name").distinct().first().getString(0)
         == "fixture-service")
+      // FULL-ROW parity, not just counts: each segment's ids restart from
+      // zero, so attrs must join within their own segment — without
+      // per-segment assembly the second segment's log/resource attributes
+      // silently attach to the wrong rows (or to none)
+      val single = Otlp.readOtapLogs(spark, s"$corpus/logs-initial.bar")
+      val twice = single.unionAll(single)
+      assert(logs.exceptAll(twice).isEmpty && twice.exceptAll(logs).isEmpty)
     } finally java.nio.file.Files.delete(tmp)
   }
 
