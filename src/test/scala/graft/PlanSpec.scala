@@ -102,4 +102,23 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 4, p)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
+
+  test("shard packing windows per group, never a single global partition") {
+    Tables.register(spark, sfDir)
+    val p = plan(graft.operators.CorpusFilters.packShards(spark.table("documents")))
+    // the cumulative sum must hash-partition on grp — a SinglePartition
+    // exchange would serialize the whole corpus through one task
+    assert(p.contains("hashpartitioning(grp"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("chunk dedup shuffles once on the chunk hash before the doc rollup") {
+    Tables.register(spark, sfDir)
+    val p = plan(graft.operators.CorpusFilters.chunkDedup(spark.table("documents")))
+    // window keyed by chunk hash + final doc_id aggregate: both exchanges
+    // hash-partition on uniform keys; nothing range-partitions globally
+    assert(p.contains("hashpartitioning(h"), p)
+    assert(p.contains("hashpartitioning(doc_id"), p)
+    assert(!p.contains("rangepartitioning") && !p.contains("SinglePartition"), p)
+  }
 }
