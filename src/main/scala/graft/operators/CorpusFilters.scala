@@ -113,6 +113,37 @@ object CorpusFilters {
       .withColumn("dropped_chunks", col("n_chunks") - col("kept_chunks"))
   }
 
+  /** PII patterns shared by the operator and its oracle — RE2-safe (no
+    * lookaround), so the same strings run in Java regex and DuckDB. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\+?\\d{9,15}"
+
+  /** PII scrubbing: count and redact emails, IPv4 addresses, and long
+    * phone-like digit runs (replaced in that order, so an IP is never
+    * double-counted as a phone). Map-only; the redacted text is returned
+    * as an md5 digest for compact cross-engine comparison — callers
+    * wanting the text itself use `redactedText`. */
+  def redactedText(textCol: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(textCol, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(t, lit(EmailPattern), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(Ipv4Pattern), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(
+        regexp_replace(regexp_replace(t, EmailPattern, "<EMAIL>"),
+          Ipv4Pattern, "<IP>"),
+        lit(PhonePattern), lit(0))).cast("long").as("n_phones"),
+      md5(redactedText(t)).as("redacted_digest"))
+  }
+
   /** Deterministic token-budget shard packing: hash documents into
     * `nGroups` independent groups (md5 of the salted doc id), order each
     * group by that hash, and cut shards whenever the running token count

@@ -619,6 +619,38 @@ object TrainingData {
         .orderBy("doc_id").limit(100)
     },
 
+    // PII redaction over text with deterministic synthetic PII appended in
+    // the query itself (the corpus is clean), so counts and the redacted
+    // digest are non-degenerate on BOTH engines
+    df("ta_redact_pii",
+      """WITH d AS (SELECT doc_id,
+        |  text || ' reach me: user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |    || '.7 tel +4915112345678' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d{9,15}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d{9,15}', '<PHONE>', 'g')) AS redacted_digest
+        |FROM d ORDER BY doc_id LIMIT 100""".stripMargin) { (s, _) =>
+      graft.operators.CorpusFilters.redactPii(
+        s.table("documents").withColumn("text",
+          concat(col("text"), lit(" reach me: user"), col("doc_id").cast("string"),
+            lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7 tel +4915112345678"))))
+        .orderBy("doc_id").limit(100)
+    },
+
     // deterministic token-budget shard packing summary (per-group running
     // token count cut at 512-token boundaries; md5-ordered, reproducible)
     df("ta_pack_shards",

@@ -63,6 +63,25 @@ class CorpusFiltersSpec extends SparkTestBase {
     assert(got(3L) == ((1L, 0L)))
   }
 
+  test("pii redaction: counts and replaces emails, ips, phones in order") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "mail a.user+tag@sub.example.org and b@x.io, host 192.168.1.1, call +4915112345678 now",
+      2L -> "clean text with short digits 123 and a dotless 1234 inside")
+      .toDF("doc_id", "text")
+    val got = CorpusFilters.redactPii(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Long]("n_emails") == 2L)
+    assert(got(1L).getAs[Long]("n_ips") == 1L)
+    // the IP was replaced before phone counting — its octets never count
+    assert(got(1L).getAs[Long]("n_phones") == 1L)
+    assert(got(2L).getAs[Long]("n_emails") == 0L)
+    assert(got(2L).getAs[Long]("n_phones") == 0L)
+    val red = docs.where($"doc_id" === 1L)
+      .select(CorpusFilters.redactedText(col("text"))).first().getString(0)
+    assert(red == "mail <EMAIL> and <EMAIL>, host <IP>, call <PHONE> now", red)
+  }
+
   test("shard packing: deterministic, complete, and budget-bounded") {
     Tables.register(spark, sfDir)
     val docs = spark.table("documents")
