@@ -31,6 +31,39 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Matryoshka truncation (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning"): keep the first `dims` coordinates and
+    * L2-renormalize — the nested-prefix trick for progressively cheaper
+    * ANN over the same embeddings. Map-only column transform; a zero
+    * prefix stays zero rather than dividing by its zero norm. */
+  def matryoshkaTruncate(emb: DataFrame, dims: Int,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val v = slice(asDouble(col(vecCol)), 1, dims)
+    val n = norm(v)
+    emb.select(col(idCol),
+      when(n > 0, transform(v, x => x / n)).otherwise(v).as("vec_trunc"),
+      n.as("norm_trunc"))
+  }
+
+  /** Symmetric per-vector int8 quantization (max-abs scaling) — the
+    * standard embedding-compression step for ANN serving (4x smaller than
+    * fp32, inner products survive to ~1%). Map-only; quantized values are
+    * computed as round(x * 127 / maxAbs) in one double expression chain so
+    * the integers are bit-reproducible across engines (no intermediate
+    * rounded scale). Returns (id, max_abs, q: array of long in [-127,127]);
+    * the serving-side scale is max_abs / 127. */
+  def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val maxAbs = aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x)))
+    val q = when(maxAbs > 0, transform(v, x =>
+      greatest(lit(-127L), least(lit(127L),
+        round(x * 127.0 / maxAbs, 0).cast("long")))))
+      .otherwise(transform(v, _ => lit(0L)))
+    emb.select(col(idCol), maxAbs.as("max_abs"), q.as("q"))
+  }
+
   /** Exact top-k by cosine similarity against the single query row
     * `idCol == queryId`. The query side is one row — Spark broadcasts it, so
     * this is a map-only scan + global top-k (no shuffle of the corpus). */

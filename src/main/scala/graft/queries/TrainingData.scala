@@ -532,6 +532,51 @@ object TrainingData {
         .orderBy("lang")
     },
 
+    // ---- embedding compression ------------------------------------------
+
+    // matryoshka prefix truncation + renormalize: scalar rollups (sum of
+    // renormalized coords, prefix norm) keep the check float-portable
+    df("ss_matryoshka",
+      """WITH v AS (SELECT vec_id,
+        |  list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS t
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, t,
+        |  sqrt(list_sum(list_transform(t, x -> x * x))) AS nrm FROM v)
+        |SELECT vec_id, round(nrm, 4) AS norm_trunc,
+        |  round(CASE WHEN nrm > 0
+        |    THEN list_sum(list_transform(t, x -> x / nrm))
+        |    ELSE 0.0 END, 4) AS elem_sum
+        |FROM n ORDER BY vec_id LIMIT 100""".stripMargin) { (s, _) =>
+      Similarity.matryoshkaTruncate(s.table("embeddings"), dims = 16)
+        .select(col("vec_id"), round(col("norm_trunc"), 4).as("norm_trunc"),
+          round(aggregate(col("vec_trunc"), lit(0.0), (a, x) => a + x), 4)
+            .as("elem_sum"))
+        .orderBy("vec_id").limit(100)
+    },
+
+    // symmetric int8 quantization: integer rollups are exact cross-engine
+    df("ss_quant_int8",
+      """WITH v AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS t
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, t,
+        |  list_max(list_transform(t, x -> abs(x))) AS ma FROM v),
+        |q AS (SELECT vec_id, ma, CASE WHEN ma > 0
+        |  THEN list_transform(t, x ->
+        |    greatest(-127, least(127, CAST(round(x * 127.0 / ma) AS BIGINT))))
+        |  ELSE list_transform(t, x -> CAST(0 AS BIGINT)) END AS qv FROM m)
+        |SELECT vec_id, round(ma / 127.0, 6) AS scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max,
+        |  CAST(list_min(qv) AS BIGINT) AS q_min
+        |FROM q ORDER BY vec_id LIMIT 100""".stripMargin) { (s, _) =>
+      Similarity.quantizeInt8(s.table("embeddings"))
+        .select(col("vec_id"), round(col("max_abs") / 127.0, 6).as("scale"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_max(col("q")).as("q_max"), array_min(col("q")).as("q_min"))
+        .orderBy("vec_id").limit(100)
+    },
+
     // ---- corpus-curation filters (C4 / Gopher / chunk dedup / packing) ----
 
     // C4 line filter (Raffel et al. 2020): terminal-punctuation lines with

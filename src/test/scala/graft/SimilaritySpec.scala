@@ -82,4 +82,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows.forall(_.getString(0).matches("[01]{8}")))
     assert(rows.map(_.getLong(1)).sum == emb.count())
   }
+
+  test("matryoshka truncation renormalizes the kept prefix to unit length") {
+    val t = Similarity.matryoshkaTruncate(emb, dims = 16)
+    val norms = t.select(Similarity.norm(col("vec_trunc")).as("n"))
+      .collect().map(_.getDouble(0))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-9), norms.take(3).toSeq)
+    assert(t.first().getSeq[Double](1).size == 16)
+  }
+
+  test("int8 quantization roundtrips within half-step error") {
+    val q = Similarity.quantizeInt8(emb)
+    val err = q.select(col("vec_id"), col("max_abs"),
+        Similarity.asDouble(col("q")).as("qd"))
+      .join(emb.select(col("vec_id").as("eid"),
+        Similarity.asDouble(col("embedding")).as("v")),
+        col("vec_id") === col("eid"))
+      .select(aggregate(
+        zip_with(col("v"), col("qd"), (x, qv) =>
+          abs(x - qv * col("max_abs") / 127.0)),
+        lit(0.0), (a, x) => greatest(a, x)).as("maxerr"), col("max_abs"))
+      .collect()
+    // |x - dequant(x)| <= scale/2 everywhere (plus fp noise)
+    err.foreach(r => assert(
+      r.getDouble(0) <= r.getDouble(1) / 127.0 / 2.0 + 1e-9, r.toString))
+    // quantized values live in [-127, 127]
+    val bounds = q.select(array_max(col("q")), array_min(col("q"))).collect()
+    assert(bounds.forall(r => r.getLong(0) <= 127L && r.getLong(1) >= -127L))
+  }
 }
