@@ -113,6 +113,48 @@ object CorpusFilters {
       .withColumn("dropped_chunks", col("n_chunks") - col("kept_chunks"))
   }
 
+  /** Content-defined chunking dedup: chunk boundaries come from the CONTENT
+    * (a word is a chunk end when the md5 of the 4-word window ending at it
+    * starts with hex '0' — 1/16 odds, ~16-word mean chunks), so an
+    * insertion near the start of a copied document shifts only its local
+    * chunk instead of re-aligning every fixed-size chunk after it — the
+    * property that makes CDC the standard sub-document dedup in
+    * storage/corpus systems where `chunkDedup`'s fixed windows would miss
+    * shifted copies. Fully relational: posexplode words with index →
+    * map-side boundary flag → per-doc running-sum window (keyed by doc_id,
+    * uniform) → chunk hash → corpus-wide keep-first exactly like
+    * chunkDedup. Returns per-doc (n_chunks, kept_chunks, dropped_chunks). */
+  def cdcChunkDedup(docs: DataFrame, window: Int = 4,
+                    textCol: String = "text"): DataFrame = {
+    val base = docs.select(col("doc_id"), wordsOf(col(textCol)).as("ws"))
+      .where(size(col("ws")) > 0)
+    val w = base.select(col("doc_id"), col("ws"),
+      posexplode(col("ws")).as(Seq("pos", "word")))
+    val idx = col("pos") + 1 // 1-based, matches SQL list indexing
+    val flagged = w.withColumn("flag",
+      when(idx >= window &&
+        substring(md5(concat_ws(" ",
+          slice(col("ws"), idx - (window - 1), lit(window)))), 1, 1) === "0", 1L)
+        .otherwise(0L))
+      .select(col("doc_id"), col("pos"), col("word"), col("flag"))
+    val chunkWin = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = flagged
+      .withColumn("chunk", coalesce(sum(col("flag")).over(chunkWin), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk"))
+      // collect_list order is NOT guaranteed post-shuffle: collect (pos,
+      // word) pairs and sort by position before hashing the chunk text
+      .agg(md5(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+          s => s.getField("word")))).as("h"))
+    val firstWin = Window.partitionBy("h").orderBy("doc_id", "chunk")
+    chunks.withColumn("rn", row_number().over(firstWin))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("kept_chunks"))
+      .withColumn("dropped_chunks", col("n_chunks") - col("kept_chunks"))
+  }
+
   /** PII patterns shared by the operator and its oracle — RE2-safe (no
     * lookaround), so the same strings run in Java regex and DuckDB. */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

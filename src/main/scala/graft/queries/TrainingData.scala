@@ -664,6 +664,38 @@ object TrainingData {
         .orderBy("doc_id").limit(100)
     },
 
+    // content-defined chunking dedup: boundaries from the md5 of a 4-word
+    // rolling window (hex prefix '0' → ~16-word mean chunks), so chunk
+    // alignment survives insertions; corpus-wide keep-first like dd_chunk
+    df("dd_cdc_dedup",
+      """WITH raw AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |base AS (SELECT doc_id, ws FROM raw WHERE len(ws) > 0),
+        |wx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS idx
+        |  FROM base),
+        |fx AS (SELECT doc_id, idx, ws[idx] AS word,
+        |  CASE WHEN idx >= 4 AND substring(md5(array_to_string(
+        |    list_slice(ws, idx - 3, idx), ' ')), 1, 1) = '0'
+        |  THEN 1 ELSE 0 END AS flag FROM wx),
+        |cx AS (SELECT doc_id, idx, word,
+        |  coalesce(CAST(sum(flag) OVER (PARTITION BY doc_id ORDER BY idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |    AS chunk FROM fx),
+        |ch AS (SELECT doc_id, chunk,
+        |  md5(string_agg(word, ' ' ORDER BY idx)) AS h
+        |  FROM cx GROUP BY doc_id, chunk),
+        |rn AS (SELECT doc_id, chunk,
+        |  row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk) AS rn FROM ch)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+        |  CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dropped_chunks
+        |FROM rn GROUP BY doc_id ORDER BY doc_id LIMIT 100""".stripMargin) { (s, _) =>
+      graft.operators.CorpusFilters.cdcChunkDedup(s.table("documents"))
+        .orderBy("doc_id").limit(100)
+    },
+
     // PII redaction over text with deterministic synthetic PII appended in
     // the query itself (the corpus is clean), so counts and the redacted
     // digest are non-degenerate on BOTH engines

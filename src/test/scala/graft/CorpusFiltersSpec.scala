@@ -63,6 +63,25 @@ class CorpusFiltersSpec extends SparkTestBase {
     assert(got(3L) == ((1L, 0L)))
   }
 
+  test("cdc dedup: chunk alignment survives an insertion (fixed chunks don't)") {
+    import spark.implicits._
+    // doc 2 = doc 1 with ONE word prepended: every fixed 16-word chunk
+    // misaligns, but content-defined boundaries re-sync at the first
+    // boundary after the insertion, so most of doc 2's chunks dedup away
+    val words = (0 until 240).map(i => s"w${i * 7 % 241}")
+    val docs = Seq(
+      1L -> words.mkString(" "),
+      2L -> ("inserted " + words.mkString(" ")))
+      .toDF("doc_id", "text")
+    val cdc = CorpusFilters.cdcChunkDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dropped_chunks")).toMap
+    val fixed = CorpusFilters.chunkDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dropped_chunks")).toMap
+    assert(cdc(1L) == 0L)
+    assert(cdc(2L) >= 1L, s"cdc should re-sync after the insertion: $cdc")
+    assert(fixed(2L) == 0L, s"fixed chunks misalign entirely: $fixed")
+  }
+
   test("pii redaction: counts and replaces emails, ips, phones in order") {
     import spark.implicits._
     val docs = Seq(
