@@ -49,11 +49,13 @@ object Bench {
 
     val (accepted, durable) =
       try ingestBench(spark) catch { case _: Throwable => (0.0, 0.0) }
+    val catalogDurable =
+      try ingestBenchCatalog(spark) catch { case _: Throwable => 0.0 }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_accepted_rows_per_sec":${accepted.round},"ingest_logs_rows_per_sec":${durable.round},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_accepted_rows_per_sec":${accepted.round},"ingest_logs_rows_per_sec":${durable.round},"ingest_catalog_rows_per_sec":${catalogDurable.round},"sf":"$sfDir"}""")
     spark.stop()
     sys.exit(0)
   }
@@ -63,20 +65,46 @@ object Bench {
     * the reference's capacity bench shape (concurrent HTTP producers,
     * group-commit sealing included). */
   private def ingestBench(spark: SparkSession): (Double, Double) = {
-    import graft.streaming.OtlpServe
-    val uri = "otlp:127.0.0.1:46900"
     val root = java.nio.file.Files.createTempDirectory("bench_ingest").toString
+    loadTest(spark, "otlp:127.0.0.1:46900",
+      Map("target" -> "parquet", "parquet_root" -> root,
+        "seal_max_age_ms" -> "2000"), runMs = 6000L)
+  }
+
+  /** Same load against the CATALOG target (managed tables + per-signal
+    * insert + _seal_id idempotence column) — the reference's
+    * catalog-ingest sweep reports durable rows/s on this path. */
+  private def ingestBenchCatalog(spark: SparkSession): Double = {
+    // managed-table locations outlive the in-memory catalog: a stale
+    // warehouse dir from an earlier bench run would fail saveAsTable
+    val wh = new java.io.File("spark-warehouse")
+    Option(wh.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("benchcat"))
+      .foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+        }
+        rm(d)
+      }
+    spark.sql("DROP DATABASE IF EXISTS benchcat CASCADE")
+    loadTest(spark, "otlp:127.0.0.1:46901",
+      Map("schema" -> "benchcat", "seal_max_age_ms" -> "2000"),
+      runMs = 4000L)._2
+  }
+
+  private def loadTest(spark: SparkSession, uri: String,
+                       extraParams: Map[String, String],
+                       runMs: Long): (Double, Double) = {
+    import graft.streaming.OtlpServe
     val token = "bench-token-0123456789abcdef"
-    OtlpServe.otlpServe(spark, uri, Map(
-      "token" -> token, "target" -> "parquet", "parquet_root" -> root,
-      "seal_max_age_ms" -> "2000"))
+    val port = graft.streaming.OtlpUri.parse(uri).port
+    OtlpServe.otlpServe(spark, uri, Map("token" -> token) ++ extraParams)
     // one envelope per line, ~300 bytes/record, 500 records per request
     val line = """{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"bench-service"}},{"key":"host.name","value":{"stringValue":"bench-host"}}]},"scopeLogs":[{"scope":{"name":"bench-logger"},"logRecords":[{"timeUnixNano":"1640000000000000000","severityNumber":9,"severityText":"INFO","body":{"stringValue":"benchmark log record with a reasonably sized message body"},"attributes":[{"key":"thread.id","value":{"intValue":"42"}}]}]}]}]}"""
     val body = Array.fill(500)(line).mkString("\n").getBytes("UTF-8")
     // the sync JDK HttpClient adds ~ms per call, so saturating the server
     // needs many producer threads spread over several client instances
     val threads = 32
-    val runMs = 6000L
     val clients = Array.fill(8)(java.net.http.HttpClient.newHttpClient())
     val sent = new java.util.concurrent.atomic.AtomicLong(0)
     val deadline = System.currentTimeMillis() + runMs
@@ -86,7 +114,7 @@ object Bench {
         val client = clients(i % clients.length)
         while (System.currentTimeMillis() < deadline) {
           val req = java.net.http.HttpRequest.newBuilder(
-              java.net.URI.create("http://127.0.0.1:46900/v1/logs"))
+              java.net.URI.create(s"http://127.0.0.1:$port/v1/logs"))
             .header("Content-Type", "application/x-ndjson")
             .header("Authorization", s"Bearer $token")
             .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
