@@ -52,16 +52,23 @@ object Dedup {
     * digest (h_i = substr(h || h, 4i+1, 16)) — each fragment is a distinct
     * 64-bit projection of the 128-bit digest, independent enough for
     * min-wise hashing at 1/k the hash cost. Signature column mh_i = min
-    * over the doc's shingles. One wide aggregate — a single shuffle keyed
-    * by doc_id. */
+    * over the doc's shingles.
+    *
+    * MAP-ONLY: the whole signature is one native expression call per
+    * document (graft.functions.MinhashSignature — value-identical to the
+    * explode + min-aggregate formulation the DuckDB oracle still runs, but
+    * with no per-shingle rows and NO shuffle; at scale the shingle shuffle
+    * was the dedup pipeline's dominant data movement). */
   def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 8): DataFrame = {
     require(k <= 8, "at most 8 64-bit fragments fit one md5 digest")
-    val sh = shingles(docs, n)
-      .withColumn("h", md5(col("shingle")))
-      .withColumn("h2", concat(col("h"), col("h")))
-    val aggs = (0 until k).map(i =>
-      min(substring(col("h2"), 4 * i + 1, 16)).as(s"mh$i"))
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    graft.functions.MinhashSignature.register(docs.sparkSession)
+    val cols = col("doc_id") +:
+      (0 until k).map(i => element_at(col("sig"), i + 1).as(s"mh$i"))
+    docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("doc_id"),
+        expr(s"${graft.functions.MinhashSignature.FunctionName}(w, $n, $k)").as("sig"))
+      .select(cols: _*)
   }
 
   /** LSH banding over a minhash signature: k hashes, r rows per band, so

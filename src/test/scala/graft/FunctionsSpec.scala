@@ -58,6 +58,42 @@ class FunctionsSpec extends SparkTestBase {
     assert(b(3L).isEmpty)
   }
 
+  test("minhash expression ≡ explode + min-aggregate formulation") {
+    Tables.register(spark, sfDir)
+    val docs = spark.table("documents")
+    // the relational formulation the native expression replaced (and the
+    // DuckDB oracle still runs): one md5 per shingle, k doubled-digest
+    // fragment minima behind a doc_id aggregate
+    val sh = graft.operators.Dedup.shingles(docs, 3)
+      .withColumn("h", md5(col("shingle")))
+      .withColumn("h2", concat(col("h"), col("h")))
+    val aggs = (0 until 8).map(i =>
+      min(substring(col("h2"), 4 * i + 1, 16)).as(s"mh$i"))
+    val relational = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val native = graft.operators.Dedup.minhashSignatures(docs)
+    assert(native.exceptAll(relational).isEmpty &&
+      relational.exceptAll(native).isEmpty)
+    // and the native path is map-only — the shingle shuffle is gone
+    assert(!native.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("minhash expression handles unicode and short docs like the SQL") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "héllo wörld ünïcode tokens here",
+      2L -> "a b",          // fewer than n words -> filtered out
+      3L -> "x y z")        // exactly one shingle
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.minhashSignatures(docs).collect()
+    assert(got.map(_.getLong(0)).toSet == Set(1L, 3L))
+    val one = got.find(_.getLong(0) == 3L).get
+    // one shingle: every fragment is a substring of md5("x y z") doubled
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest("x y z".getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val h2 = h + h
+    (0 until 8).foreach(i => assert(one.getString(i + 1) == h2.substring(4 * i, 4 * i + 16)))
+  }
+
   test("winnowing expression stays inside whole-stage codegen") {
     Tables.register(spark, sfDir)
     val plan = nativeFormulation(spark.table("documents"))
