@@ -99,24 +99,17 @@ object Dedup {
     * order, MSB-first within each nibble) votes +1/-1; the fingerprint sets
     * bit j when the vote is positive.
     *
-    * Plan shape: one explode (tokens) then ONE map-side-combinable aggregate
-    * with 32 conditional sums — a single shuffle keyed by doc_id, no 32x row
-    * expansion. (The DuckDB oracle keeps the explicit bits formulation; the
+    * MAP-ONLY: one native expression call per document
+    * (graft.functions.SimhashFingerprint) — no token explode, no doc_id
+    * shuffle. (The DuckDB oracle keeps the explicit bits formulation; the
     * two are value-identical by the bit identity above.) */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("t"))
-      .where(length(col("t")) > 0)
-      // 32-bit token hash: first 8 hex chars of md5 as a big-endian value
-      .withColumn("v", expr("CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)"))
-    val votes = (0 until 32).map(j =>
-      sum(expr(s"shiftright(v, ${31 - j}) & 1") * 2 - 1).as(s"vote$j"))
-    val fingerprint = (0 until 32).map(j =>
-      expr(s"CASE WHEN vote$j > 0 THEN shiftleft(CAST(1 AS BIGINT), $j) ELSE CAST(0 AS BIGINT) END"))
-      .reduce(_ + _)
-    toks.groupBy(col(idCol))
-      .agg(votes.head, votes.tail: _*)
-      .select(col(idCol), fingerprint.as("simhash"))
+    graft.functions.SimhashFingerprint.register(docs.sparkSession)
+    docs.select(col(idCol), tokens(col(textCol)).as("w"))
+      .where(size(col("w")) > 0)
+      .select(col(idCol),
+        expr(s"${graft.functions.SimhashFingerprint.FunctionName}(w)").as("simhash"))
   }
 
   /** Near-duplicate CLUSTERS from a candidate-pair list: connected

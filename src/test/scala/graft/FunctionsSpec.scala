@@ -94,6 +94,27 @@ class FunctionsSpec extends SparkTestBase {
     (0 until 8).foreach(i => assert(one.getString(i + 1) == h2.substring(4 * i, 4 * i + 16)))
   }
 
+  test("simhash expression ≡ explode + vote-aggregate formulation") {
+    Tables.register(spark, sfDir)
+    val docs = spark.table("documents")
+    val toks = docs.select(col("doc_id"),
+        explode(graft.operators.Dedup.tokens(col("text"))).as("t"))
+      .where(length(col("t")) > 0)
+      .withColumn("v", expr("CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)"))
+    val votes = (0 until 32).map(j =>
+      sum(expr(s"shiftright(v, ${31 - j}) & 1") * 2 - 1).as(s"vote$j"))
+    val fingerprint = (0 until 32).map(j =>
+      expr(s"CASE WHEN vote$j > 0 THEN shiftleft(CAST(1 AS BIGINT), $j) ELSE CAST(0 AS BIGINT) END"))
+      .reduce(_ + _)
+    val relational = toks.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fingerprint.as("simhash"))
+    val native = graft.operators.Dedup.simhash(docs)
+    assert(native.exceptAll(relational).isEmpty &&
+      relational.exceptAll(native).isEmpty)
+    assert(!native.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("winnowing expression stays inside whole-stage codegen") {
     Tables.register(spark, sfDir)
     val plan = nativeFormulation(spark.table("documents"))
