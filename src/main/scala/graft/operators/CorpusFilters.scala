@@ -56,7 +56,15 @@ object CorpusFilters {
     * "fraction of characters in the most frequent n-gram"). Ties break to
     * the lexicographically smallest term so results are deterministic.
     * Two count-aggregate + join stages, both keyed by doc_id — uniform
-    * shuffles, same shape as tf-idf. */
+    * shuffles, same shape as tf-idf.
+    *
+    * Deliberately RELATIONAL, unlike minhash/simhash/winnowing which are
+    * native per-row expressions: those carry O(k)-bounded per-document
+    * state, while a per-doc n-gram frequency map is unbounded (a
+    * pathological giant document would hold its whole distinct-gram set in
+    * one task's heap). The explode + partial-agg form lets Spark spread a
+    * single document's grams across the cluster — the safer shape at
+    * 100 TB. */
   def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val base = docs.select(col("doc_id"), wordsOf(col(textCol)).as("ws"))
       .where(size(col("ws")) > 0)
