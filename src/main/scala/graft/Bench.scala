@@ -38,13 +38,18 @@ object Bench {
     val results: Seq[(String, Double)] =
       (if (skipQueries) Nil else SparkEntry.queries.toSeq.sortBy(_._1)).map {
         case (name, fn) =>
+          // a failed run must never win the min: a transient 0.1s failure
+          // would silently replace a real 10s timing. Failures count as
+          // +inf; two failures report the explicit -1 error marker.
           def once(): Double = {
             val t0 = System.nanoTime()
-            try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            catch { case _: Throwable => }
-            (System.nanoTime() - t0) / 1e9
+            try {
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9
+            } catch { case _: Throwable => Double.PositiveInfinity }
           }
-          name -> math.min(once(), once())
+          val best = math.min(once(), once())
+          name -> (if (best.isInfinity) -1.0 else best)
       }
 
     val (accepted, durable) =

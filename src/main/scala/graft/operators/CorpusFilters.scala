@@ -21,8 +21,22 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object CorpusFilters {
 
-  private def wordsOf(textCol: Column): Column =
-    filter(split(lower(textCol), "\\s+"), w => length(w) > 0)
+  // one tokenization contract for the whole dedup/curation family (and
+  // its DuckDB oracles) — see Dedup.tokens
+  private def wordsOf(textCol: Column): Column = Dedup.tokens(textCol)
+
+  /** Corpus-wide keep-first over (hash h, owner doc_id, position pos):
+    * min(struct(doc_id, pos)) per hash — map-side combinable, so a
+    * boilerplate hash appearing in 10% of the corpus collapses to one row
+    * per map partition BEFORE the shuffle (a row_number window would haul
+    * every occurrence of the hot hash into a single sort partition — the
+    * straggler this operator exists to remove). Returns per-doc kept
+    * counts keyed by doc_id. */
+  private def keptPerDoc(ch: DataFrame): DataFrame =
+    ch.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("kept_chunks"))
 
   /** C4 line-level cleaning: keep lines that (after trimming) end in a
     * terminal punctuation mark (. ! ? or a closing quote), contain at
@@ -99,10 +113,9 @@ object CorpusFilters {
 
   /** Sub-document dedup: split each document into fixed-size word chunks,
     * md5 each chunk, and keep only the corpus-wide FIRST occurrence of
-    * every chunk (ordered by doc_id, then chunk position — deterministic).
-    * The single shuffle keys on the chunk hash (uniform by construction);
-    * per-doc kept/dropped counts come back on a doc_id aggregate. This is
-    * the finer-grained sibling of document-level exact dedup — boilerplate
+    * every chunk (ordered by doc_id, then chunk position — deterministic,
+    * via the skew-safe `keptPerDoc` min-struct aggregate). This is the
+    * finer-grained sibling of document-level exact dedup — boilerplate
     * shared across documents dies here while unique content survives. */
   def chunkDedup(docs: DataFrame, chunkWords: Int = 16,
                  textCol: String = "text"): DataFrame = {
@@ -113,11 +126,10 @@ object CorpusFilters {
       md5(concat_ws(" ",
         slice(col("ws"), (i - lit(1)) * chunkWords + lit(1), lit(chunkWords)))))
     val ch = base.select(col("doc_id"), posexplode(hashes).as(Seq("pos", "h")))
-    val firstWin = Window.partitionBy("h").orderBy("doc_id", "pos")
-    ch.withColumn("rn", row_number().over(firstWin))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("kept_chunks"))
+    val counts = base.select(col("doc_id"), nc.cast("long").as("n_chunks"))
+    counts.join(keptPerDoc(ch), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"))
       .withColumn("dropped_chunks", col("n_chunks") - col("kept_chunks"))
   }
 
@@ -155,11 +167,11 @@ object CorpusFilters {
       .agg(md5(concat_ws(" ",
         transform(array_sort(collect_list(struct(col("pos"), col("word")))),
           s => s.getField("word")))).as("h"))
-    val firstWin = Window.partitionBy("h").orderBy("doc_id", "chunk")
-    chunks.withColumn("rn", row_number().over(firstWin))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("kept_chunks"))
+    val ch = chunks.select(col("doc_id"), col("chunk").as("pos"), col("h"))
+    val counts = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    counts.join(keptPerDoc(ch), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"))
       .withColumn("dropped_chunks", col("n_chunks") - col("kept_chunks"))
   }
 

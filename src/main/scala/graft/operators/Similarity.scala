@@ -41,9 +41,14 @@ object Similarity {
                          vecCol: String = "embedding"): DataFrame = {
     val v = slice(asDouble(col(vecCol)), 1, dims)
     val n = norm(v)
-    emb.select(col(idCol),
-      when(n > 0, transform(v, x => x / n)).otherwise(v).as("vec_trunc"),
-      n.as("norm_trunc"))
+    // the scalar norm rides along as an array_repeat argument so it is
+    // evaluated ONCE per row — referencing `n` directly inside the lambda
+    // would re-run the whole O(dims) norm aggregate per element (Spark
+    // higher-order lambdas are interpreted with no loop-invariant
+    // hoisting, and CollapseProject inlines single-use aliases back in)
+    val scaled = zip_with(v, array_repeat(n, size(v)),
+      (x, nn) => when(nn > 0, x / nn).otherwise(x))
+    emb.select(col(idCol), scaled.as("vec_trunc"), n.as("norm_trunc"))
   }
 
   /** Symmetric per-vector int8 quantization (max-abs scaling) — the
@@ -57,10 +62,11 @@ object Similarity {
                    vecCol: String = "embedding"): DataFrame = {
     val v = asDouble(col(vecCol))
     val maxAbs = aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x)))
-    val q = when(maxAbs > 0, transform(v, x =>
-      greatest(lit(-127L), least(lit(127L),
-        round(x * 127.0 / maxAbs, 0).cast("long")))))
-      .otherwise(transform(v, _ => lit(0L)))
+    // max_abs rides along as an array_repeat argument — one evaluation per
+    // row instead of one per element (see matryoshkaTruncate)
+    val q = zip_with(v, array_repeat(maxAbs, size(v)), (x, ma) =>
+      when(ma > 0, greatest(lit(-127L), least(lit(127L),
+        round(x * 127.0 / ma, 0).cast("long")))).otherwise(lit(0L)))
     emb.select(col(idCol), maxAbs.as("max_abs"), q.as("q"))
   }
 

@@ -686,8 +686,18 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
     totalRows
   }
 
+  /** Size trigger fires on wire bytes (the configured target's semantics);
+    * the admission-pressure clause covers high-inflation streams — a ~8x
+    * gzip stream can exhaust the heap-based admission budget at a fraction
+    * of the wire target, and without this clause nothing would drain until
+    * the age trigger (a raised seal_max_age_ms would mean a full ingest
+    * stall at 503). */
+  private def sealPressure: Boolean =
+    bufferedWireBytes >= cfg.sealTargetBytes ||
+      bufferedBytes >= cfg.maxBufferedBytes / 2
+
   private def maybeRequestSeal(): Unit = {
-    if (bufferedWireBytes >= cfg.sealTargetBytes)
+    if (sealPressure)
       sealMonitor.synchronized { sealRequested = true; sealMonitor.notifyAll() }
   }
 
@@ -705,8 +715,10 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
       // a size request can go stale when a concurrent cycle drained the
       // buffers between the signal and this wakeup — a near-empty seal
       // still pays full Spark job overhead, so require a quarter-target
-      // floor unless the age trigger binds. Wire bytes, like the trigger.
-      val worthSealing = ageDue || bufferedWireBytes >= cfg.sealTargetBytes / 4
+      // floor unless the age trigger or admission pressure binds
+      val worthSealing = ageDue ||
+        bufferedWireBytes >= cfg.sealTargetBytes / 4 ||
+        bufferedBytes >= cfg.maxBufferedBytes / 2
       if (!stopping.get() && (due || ageDue) && worthSealing)
         // async: the cycle's writes run on their own threads; the sealer
         // immediately returns to watching triggers, so the NEXT seal can

@@ -310,6 +310,8 @@ final class SealWriter(cfg: ServerConfig, spark: SparkSession) {
       val hfs = fs(root)
       if (!hfs.exists(root)) return 0L
       def walk(d: Path, isRoot: Boolean): Long = {
+        // mtime BEFORE touching children: deleting files bumps it to now
+        val dirMtime = hfs.getFileStatus(d).getModificationTime
         var deleted = 0L
         hfs.listStatus(d).foreach { st =>
           val name = st.getPath.getName
@@ -319,7 +321,13 @@ final class SealWriter(cfg: ServerConfig, spark: SparkSession) {
             if (hfs.delete(st.getPath, false)) deleted += 1
           }
         }
-        if (!isRoot && hfs.listStatus(d).isEmpty) hfs.delete(d, false)
+        // prune an emptied partition dir ONLY when the dir itself was past
+        // the horizon: a concurrent seal's publishStaged may have just
+        // mkdirs'd a partition dir and be about to rename into it — the
+        // fresh mtime marks that window and the prune is skipped (it
+        // retries at the next maintenance pass)
+        if (!isRoot && dirMtime < horizon && hfs.listStatus(d).isEmpty)
+          hfs.delete(d, false)
         deleted
       }
       walk(root, isRoot = true)

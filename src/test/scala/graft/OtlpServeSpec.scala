@@ -313,6 +313,35 @@ class OtlpServeSpec extends SparkTestBase {
     OtlpServe.otlpStop(spark, uri)
   }
 
+  test("admission pressure seals without waiting for the age trigger") {
+    val uri = "otlp:127.0.0.1:45832"
+    // wire target and age are both unreachable; only the admission-pressure
+    // clause (buffered heap >= cap/2) can drain — without it a
+    // high-inflation stream would sit at 503 until seal_max_age_ms
+    OtlpServe.otlpServe(spark, uri,
+      Map("token" -> Token, "target" -> "parquet",
+        "parquet_root" -> java.nio.file.Files.createTempDirectory("otlp_pressure").toString,
+        "max_buffered_bytes" -> "60000",
+        "seal_target_bytes" -> "1073741824",
+        "seal_max_age_ms" -> "3600000"))
+    val url = OtlpServe.serverList(spark)
+      .where(col("listen_uri") === "otlp:127.0.0.1:45832").first()
+      .getAs[String]("listen_url")
+    val line = """{"resourceLogs":[{"resource":{},"scopeLogs":[{"scope":{},"logRecords":[{"timeUnixNano":"1640000000000000000","severityNumber":9,"severityText":"INFO","body":{"stringValue":"pressure-seal record body with some length to it"}}]}]}]}"""
+    val body = Array.fill(180)(line).mkString("\n").getBytes(StandardCharsets.UTF_8)
+    assert(body.length > 30000 && body.length < 60000, body.length.toString)
+    assert(post(url, "/v1/logs",  body,
+      Map("Content-Type" -> "application/x-ndjson",
+        "Authorization" -> s"Bearer $Token")).statusCode() == 202)
+    // no flush: the pressure-requested seal must drain on its own
+    val server = OtlpServe.get(uri).get
+    val deadline = System.currentTimeMillis() + 15000
+    while (server.committedRowsTotal.get() < 180 &&
+      System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(server.committedRowsTotal.get() == 180L)
+    OtlpServe.otlpStop(spark, uri)
+  }
+
   test("admission binds on decoded size, not wire size (gzip bomb)") {
     val uri = "otlp:127.0.0.1:45831"
     OtlpServe.otlpServe(spark, uri,
@@ -336,10 +365,14 @@ class OtlpServeSpec extends SparkTestBase {
       "Content-Encoding" -> "gzip", "Authorization" -> s"Bearer $Token")
     // the bomb itself is admitted (its wire reserve passed the check)…
     assert(post(url, "/v1/logs", gzBody, hdrs).statusCode() == 202)
-    // …but the decoded-size top-up now holds the reservation over the cap,
-    // so the next request 503s even though total WIRE bytes are tiny
+    // …and the decoded-size top-up holds the reservation over the cap:
+    // the next request 503s UNLESS the admission-pressure seal already
+    // drained the buffers (which releases the reservation) — both are
+    // correct; what must never happen is a 202 with nothing drained
+    val server = OtlpServe.get(uri).get
     val second = post(url, "/v1/logs", gzBody, hdrs)
-    assert(second.statusCode() == 503, s"${second.statusCode()} ${second.body()}")
+    assert(second.statusCode() == 503 || server.committedRowsTotal.get() > 0,
+      s"${second.statusCode()} ${second.body()}")
     // sealing releases the decoded-size reservation and ingest resumes
     assert(OtlpServe.otlpFlush(spark, uri).first().getAs[String]("status") == "sealed")
     assert(post(url, "/v1/logs", gzBody, hdrs).statusCode() == 202)
