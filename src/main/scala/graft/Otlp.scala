@@ -39,6 +39,39 @@ object Otlp {
   def readMetricsSummary(spark: SparkSession, path: String): DataFrame =
     read(spark, "metrics_summary", path, Map.empty)
 
+  /** Read a signal back from the otlp_serve PARQUET EXPORT layout
+    * (`root/otlp_<signal>/year=/month=/day=`), optionally pruned to a UTC
+    * time range. The y/m/d partition columns derive from event time, so
+    * the range predicate on them is evaluated against partition VALUES at
+    * planning — a one-day query over a year of exports lists and reads
+    * only that day's directories (PartitionFilters in the scan; the
+    * mechanism behind the reference's time-scoped query pruning). The
+    * precise-timestamp predicate still applies inside the surviving
+    * partitions (timestamps are µs here; export partitions traces on
+    * start time, everything else on time_unix_nano). */
+  def readExport(spark: SparkSession, root: String, signal: String,
+                 fromUtc: java.time.Instant = null,
+                 toUtc: java.time.Instant = null): DataFrame = {
+    import org.apache.spark.sql.functions._
+    var df = spark.read.parquet(s"$root/otlp_$signal")
+    if (fromUtc == null && toUtc == null) return df
+    val tsCol =
+      if (signal == "traces") "start_time_unix_nano" else "time_unix_nano"
+    // partition discovery types y/m/d as ints; make_date avoids any
+    // string-format dependence in the pruning predicate
+    val day = make_date(col("year").cast("int"), col("month").cast("int"),
+      col("day").cast("int"))
+    def utcDay(i: java.time.Instant) =
+      java.sql.Date.valueOf(i.atZone(java.time.ZoneOffset.UTC).toLocalDate)
+    if (fromUtc != null)
+      df = df.where(day >= lit(utcDay(fromUtc)) &&
+        col(tsCol) >= lit(java.sql.Timestamp.from(fromUtc)))
+    if (toUtc != null)
+      df = df.where(day <= lit(utcDay(toUtc)) &&
+        col(tsCol) <= lit(java.sql.Timestamp.from(toUtc)))
+    df
+  }
+
   /** OTAP (OTel-Arrow) twins: same schemas, Arrow IPC input. */
   def readOtapLogs(spark: SparkSession, path: String): DataFrame =
     read(spark, "logs", path, Map("format" -> "otap"))

@@ -189,6 +189,35 @@ class SealRecoverySpec extends SparkTestBase {
     OtlpServe.otlpStop(spark, uri)
   }
 
+  test("readExport prunes partitions for a time-ranged query") {
+    val root = java.nio.file.Files.createTempDirectory("otlp_export").toString
+    val uri = "otlp:127.0.0.1:45847"
+    OtlpServe.otlpServe(spark, uri, Map(
+      "token" -> Token, "target" -> "parquet", "parquet_root" -> root,
+      "seal_max_age_ms" -> "3600000", "seal_target_bytes" -> "1073741824"))
+    def rec(ns: Long, body: String) =
+      s"""{"resourceLogs":[{"resource":{},"scopeLogs":[{"scope":{},"logRecords":[{"timeUnixNano":"$ns","severityNumber":9,"severityText":"INFO","body":{"stringValue":"$body"}}]}]}]}"""
+    // two event DAYS: 2021-12-20T12:00Z and 2021-12-21T12:00Z
+    val body = (rec(1640001600000000000L, "day one") + "\n" +
+      rec(1640088000000000000L, "day two")).getBytes("UTF-8")
+    assert(post(45847, body).statusCode() == 202)
+    assert(OtlpServe.otlpFlush(spark, uri).first().getAs[String]("status") == "sealed")
+    assert(new java.io.File(s"$root/otlp_logs/year=2021/month=12/day=20").isDirectory)
+    assert(new java.io.File(s"$root/otlp_logs/year=2021/month=12/day=21").isDirectory)
+    // range covering only day two
+    val df = Otlp.readExport(spark, root, "logs",
+      fromUtc = java.time.Instant.parse("2021-12-21T00:00:00Z"),
+      toUtc = java.time.Instant.parse("2021-12-21T23:59:59Z"))
+    assert(df.count() == 1)
+    assert(df.first().getAs[String]("body") == "day two")
+    // the day predicate must reach the scan as a PARTITION filter — only
+    // day=21's directory is listed and read
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      !plan.contains("PartitionFilters: []"), plan)
+    OtlpServe.otlpStop(spark, uri)
+  }
+
   test("catalog-mode maintenance compacts the managed table's seal files") {
     val uri = "otlp:127.0.0.1:45844"
     OtlpServe.otlpServe(spark, uri, Map(
