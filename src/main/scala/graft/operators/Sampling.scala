@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable sampling for training-data pipelines.
@@ -36,5 +37,35 @@ object Sampling {
       when(col(strataCol) === stratum, lit(r)).otherwise(acc)
     }
     df.where(hashUnit(col(idCol), salt) < rate)
+  }
+
+  /** Exact top-k rows per stratum by `scoreCol` (descending), ties broken
+    * deterministically by `idCol` ascending — the curation primitive between
+    * sampling (keep a rate) and packing (keep everything, order it): keep
+    * the k BEST of each stratum, reproducibly.
+    *
+    * Runs in two window passes so one giant stratum cannot pin a single
+    * task: pass 1 prunes within (stratum, salt-bucket) — a row in the
+    * stratum's global top-k is necessarily in its bucket's top-k, so
+    * pruning is lossless — and pass 2 ranks the <= buckets*k survivors per
+    * stratum. The heavy sort is over buckets-way parallel slices of the
+    * data; the final sort sees k*buckets rows per stratum regardless of
+    * stratum size. Output carries `rank_in_stratum` (1-based, dense in the
+    * row_number sense). */
+  def stratumTopK(df: DataFrame, strataCol: String, scoreCol: Column, k: Int,
+                  idCol: String = "doc_id", buckets: Int = 32): DataFrame = {
+    require(k > 0 && buckets > 0, "k and buckets must be positive")
+    // crc32 of the id is deterministic across runs/partitionings (unlike
+    // spark_partition_id) — same row, same bucket, same survivors
+    val salt = pmod(crc32(col(idCol).cast("string")), lit(buckets))
+    val local = Window.partitionBy(col(strataCol), salt)
+      .orderBy(scoreCol.desc, col(idCol).asc)
+    val global = Window.partitionBy(col(strataCol))
+      .orderBy(scoreCol.desc, col(idCol).asc)
+    df.withColumn("_bucket_rank", row_number().over(local))
+      .where(col("_bucket_rank") <= k)
+      .drop("_bucket_rank")
+      .withColumn("rank_in_stratum", row_number().over(global))
+      .where(col("rank_in_stratum") <= k)
   }
 }

@@ -532,6 +532,25 @@ object TrainingData {
         .orderBy("lang")
     },
 
+    // exact top-k per stratum (k best docs per language by length,
+    // deterministic doc_id tiebreak): two window passes Spark-side — a
+    // salt-bucketed prune then the global rank — so one giant stratum
+    // cannot pin a single task; the oracle states the single-window truth
+    // the two-phase plan must equal
+    df("ta_stratum_topk",
+      """WITH r AS (SELECT lang, doc_id, n_chars,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rank_in_stratum
+        |  FROM documents)
+        |SELECT lang, doc_id, n_chars, rank_in_stratum FROM r
+        |WHERE rank_in_stratum <= 3
+        |ORDER BY lang, rank_in_stratum""".stripMargin) { (s, _) =>
+      graft.operators.Sampling.stratumTopK(s.table("documents"), "lang",
+          col("n_chars"), k = 3)
+        .select("lang", "doc_id", "n_chars", "rank_in_stratum")
+        .orderBy("lang", "rank_in_stratum")
+    },
+
     // ---- embedding compression ------------------------------------------
 
     // matryoshka prefix truncation + renormalize: scalar rollups (sum of

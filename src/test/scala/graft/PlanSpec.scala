@@ -112,6 +112,20 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("stratum top-k prunes in salted buckets before the per-stratum rank") {
+    Tables.register(spark, sfDir)
+    val df = graft.operators.Sampling.stratumTopK(
+      spark.table("documents"), "lang", col("n_chars"), k = 3)
+    val p = plan(df)
+    // pass 1 partitions on (lang, crc32-salt) — a giant stratum spreads
+    // over `buckets` tasks; pass 2 partitions on lang alone but only ever
+    // sees k*buckets survivors per stratum. Two window exchanges, no
+    // global range partition.
+    assert("Window".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("hashpartitioning(lang"), p)
+    assert(!p.contains("rangepartitioning") && !p.contains("SinglePartition"), p)
+  }
+
   test("chunk dedup shuffles once on the chunk hash before the doc rollup") {
     Tables.register(spark, sfDir)
     val p = plan(graft.operators.CorpusFilters.chunkDedup(spark.table("documents")))
