@@ -141,11 +141,23 @@ object CorpusFilters {
     * property that makes CDC the standard sub-document dedup in
     * storage/corpus systems where `chunkDedup`'s fixed windows would miss
     * shifted copies. Fully relational: posexplode words with index →
-    * map-side boundary flag → per-doc running-sum window (keyed by doc_id,
-    * uniform) → chunk hash → corpus-wide keep-first exactly like
-    * chunkDedup. Returns per-doc (n_chunks, kept_chunks, dropped_chunks). */
+    * map-side boundary flag → BLOCK-LOCAL prefix sum (see below) → chunk
+    * hash → corpus-wide keep-first exactly like chunkDedup. Returns
+    * per-doc (n_chunks, kept_chunks, dropped_chunks).
+    *
+    * The running boundary count is computed as a block-local prefix sum,
+    * not a per-document window: words hash into `blockWords`-sized blocks,
+    * the window runs within (doc_id, block), and per-block flag totals
+    * roll up into block offsets. A per-document window would serialize a
+    * document's entire word list through one task — nothing for web docs,
+    * a straggler for one multi-GB document; with blocks, the heavy sort is
+    * over (doc_id, block) slices and the only per-document stage is the
+    * one-row-per-block offset roll-up (a 1e9-word document is ~250k block
+    * rows, not 1e9 word rows). Chunk numbering is bit-identical to the
+    * single-window formulation. */
   def cdcChunkDedup(docs: DataFrame, window: Int = 4,
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text",
+                    blockWords: Int = 4096): DataFrame = {
     val base = docs.select(col("doc_id"), wordsOf(col(textCol)).as("ws"))
       .where(size(col("ws")) > 0)
     val w = base.select(col("doc_id"), col("ws"),
@@ -157,10 +169,22 @@ object CorpusFilters {
           slice(col("ws"), idx - (window - 1), lit(window)))), 1, 1) === "0", 1L)
         .otherwise(0L))
       .select(col("doc_id"), col("pos"), col("word"), col("flag"))
-    val chunkWin = Window.partitionBy("doc_id").orderBy("pos")
+      .withColumn("blk", (col("pos") / blockWords).cast("long"))
+    // exclusive prefix sum of flags at pos' < pos, decomposed:
+    //   chunk(pos) = boff(block)   [flags in earlier blocks of this doc]
+    //              + lsum(pos)     [flags earlier within this block]
+    val localWin = Window.partitionBy("doc_id", "blk").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
+    val offWin = Window.partitionBy("doc_id").orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blockOffsets = flagged.groupBy("doc_id", "blk")
+      .agg(sum("flag").as("btot"))
+      .withColumn("boff", coalesce(sum(col("btot")).over(offWin), lit(0L)))
+      .select(col("doc_id"), col("blk"), col("boff"))
     val chunks = flagged
-      .withColumn("chunk", coalesce(sum(col("flag")).over(chunkWin), lit(0L)))
+      .withColumn("lsum", coalesce(sum(col("flag")).over(localWin), lit(0L)))
+      .join(blockOffsets, Seq("doc_id", "blk"))
+      .withColumn("chunk", col("boff") + col("lsum"))
       .groupBy(col("doc_id"), col("chunk"))
       // collect_list order is NOT guaranteed post-shuffle: collect (pos,
       // word) pairs and sort by position before hashing the chunk text

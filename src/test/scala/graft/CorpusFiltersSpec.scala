@@ -82,6 +82,32 @@ class CorpusFiltersSpec extends SparkTestBase {
     assert(fixed(2L) == 0L, s"fixed chunks misalign entirely: $fixed")
   }
 
+  test("cdc dedup: block-local prefix sum equals the single-window truth " +
+      "and spreads a giant document over many blocks") {
+    import spark.implicits._
+    // a "giant" document relative to a tiny block size: with blockWords=8
+    // the 500-word doc spans ~63 blocks, so the prefix-sum decomposition
+    // (local window within (doc_id, block) + block-offset roll-up) is
+    // genuinely exercised; blockWords >> doc length degenerates to the
+    // original one-window-per-doc formulation
+    val words = (0 until 500).map(i => s"g${i * 13 % 997}")
+    val docs = Seq(
+      1L -> words.mkString(" "),
+      2L -> words.take(100).mkString(" "),
+      3L -> ("x " + words.mkString(" ")))
+      .toDF("doc_id", "text")
+    def rows(blockWords: Int) =
+      CorpusFilters.cdcChunkDedup(docs, blockWords = blockWords).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chunks"),
+          r.getAs[Long]("kept_chunks"))).toSet
+    assert(rows(8) == rows(1 << 20), "chunk numbering must not depend on block size")
+    // the plan's heavy window partitions on (doc_id, blk), never doc_id alone
+    val p = CorpusFilters.cdcChunkDedup(docs, blockWords = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(doc_id"), p)
+    assert(p.contains("blk"), p)
+  }
+
   test("pii redaction: counts and replaces emails, ips, phones in order") {
     import spark.implicits._
     val docs = Seq(
