@@ -36,17 +36,33 @@ import scala.collection.JavaConverters._
   *     instead of µs TimestampType (exact-ns fidelity; SURVEY.md §7.3 #1).
   *   - `max_file_bytes` (default 100 MB): whole-file materialization cap,
   *     kept for behavioral parity with the reference's prototype reader.
+  *     Range-split NDJSON reads stream line-by-line and are exempt.
+  *   - `split_bytes` (default 32 MiB): byte-range split size for NDJSON
+  *     files; 0 disables splitting (reference one-partition-per-file
+  *     behavior).
   *
   * Execution model: the glob expands at table resolution (error when no file
   * matches, like the reference's bind step); each matched file becomes one
-  * `InputPartition` — identical parallelism to the reference's
-  * one-thread-per-file scan, but distributed across executors. Projection
+  * `InputPartition`, EXCEPT large NDJSON files, which split into byte
+  * ranges (`split_bytes`, default 32 MiB) — the reference caps scan
+  * parallelism at file count (one thread per file), so one 10 GB JSONL
+  * export serializes there; here it becomes ~320 parallel range reads.
+  * A file is range-split only when the planner's probe confirms its first
+  * line parses as a standalone OTLP envelope (single multi-line JSON
+  * documents, protobuf, and OTAP stay whole-file). Ranges cut at line
+  * boundaries with the standard handoff rule: a range owns every line that
+  * STARTS strictly inside it (the range at offset 0 also owns the first
+  * line), reads past its end to finish a straddling last line, and a
+  * non-zero range discards bytes up to its first newline — every line is
+  * read exactly once, no coordination between tasks. UTF-8-safe: no
+  * multi-byte sequence contains the 0x0A byte. Projection
   * pushdown prunes the emitted columns; filter pushdown is deliberately
   * omitted (reference declares filter_pushdown=false) — Catalyst still
   * evaluates filters above the scan.
   *
-  * Scale: at 100 TB the unit of work stays one file per task, so input
-  * layout (many medium files) drives parallelism; readers stream bytes via
+  * Scale: at 100 TB the unit of work is min(file, split_bytes), so
+  * parallelism survives both many-medium-file layouts and the
+  * few-giant-JSONL-files layout; readers stream bytes via
   * the Hadoop FS API (s3a/abfs/gs work unchanged) and emit pruned rows.
   */
 class OtlpDataSource extends TableProvider with DataSourceRegister {
@@ -64,6 +80,41 @@ class OtlpDataSource extends TableProvider with DataSourceRegister {
 
 object OtlpDataSource {
   val DefaultMaxFileBytes: Long = 100L * 1024 * 1024
+  val DefaultSplitBytes: Long = 32L * 1024 * 1024
+
+  /** True when the file's first line parses as a standalone OTLP envelope —
+    * the NDJSON signal that makes byte-range splitting safe (the same
+    * signal the streaming reader uses before falling back to whole-file).
+    * Reads at most `probeBytes`; a first line longer than the probe window
+    * means "don't split" (one giant line gains nothing from ranges). */
+  def probeNdjson(fs: FileSystem, path: Path, probeBytes: Int = 1 << 20): Boolean = {
+    val in = fs.open(path)
+    try {
+      val buf = new Array[Byte](8192)
+      val line = new java.io.ByteArrayOutputStream()
+      var done = false
+      var sawNewline = false
+      while (!done && line.size() < probeBytes) {
+        val n = in.read(buf)
+        if (n < 0) done = true
+        else {
+          val nl = buf.indexWhere(_ == '\n', 0) match {
+            case i if i >= 0 && i < n => i
+            case _ => -1
+          }
+          if (nl >= 0) { line.write(buf, 0, nl); sawNewline = true; done = true }
+          else line.write(buf, 0, n)
+        }
+      }
+      // a trailing-newline-less single-line file is fine unsplit; only a
+      // file with MORE content after the first line benefits from ranges
+      if (!sawNewline) return false
+      val first = new String(line.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim
+      first.nonEmpty && first.startsWith("{") &&
+        (try { graft.otlp.OtlpJsonParser.parseLine(first); true }
+         catch { case _: OtlpParseException => false })
+    } finally in.close()
+  }
 
   /** Expand `path`/`paths` options through the Hadoop FS glob; error when a
     * pattern matches nothing (reference bind-time contract). */
@@ -220,8 +271,28 @@ class OtlpScan(fullSchema: StructType, required: StructType,
       OptionalLong.of(files.map(_._2).sum)
     override def numRows(): OptionalLong = OptionalLong.empty()
   }
-  override def planInputPartitions(): Array[InputPartition] =
-    files.map { case (p, len) => OtlpInputPartition(p, len) }.toArray
+  private val splitBytes =
+    options.getLong("split_bytes", OtlpDataSource.DefaultSplitBytes)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val jsonish = format == "json" || format == "otlp" || format == "auto"
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    files.flatMap { case (p, len) =>
+      if (jsonish && splitBytes > 0 && len > splitBytes && {
+            val hp = new Path(p)
+            OtlpDataSource.probeNdjson(hp.getFileSystem(conf), hp)
+          }) {
+        // one cheap head read per LARGE file at planning confirmed NDJSON;
+        // cut fixed ranges — the last one absorbs the sub-split tail
+        val n = (len / splitBytes).toInt
+        (0 until n).map { i =>
+          val start = i.toLong * splitBytes
+          val end = if (i == n - 1) len else start + splitBytes
+          OtlpInputPartition(p, len, start, end - start, ndjson = true)
+        }
+      } else Seq(OtlpInputPartition(p, len))
+    }.toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory = {
     // ship the driver's Hadoop conf entries to executors (s3a/abfs/gs
     // credentials and endpoints live there; Configuration isn't
@@ -238,7 +309,13 @@ class OtlpScan(fullSchema: StructType, required: StructType,
   }
 }
 
-case class OtlpInputPartition(path: String, length: Long) extends InputPartition
+/** One unit of scan work: a whole file (`start=0, len=length`) or, for
+  * planner-confirmed NDJSON, a byte range of one (`ndjson=true`). */
+case class OtlpInputPartition(path: String, length: Long, start: Long = 0L,
+                              len: Long = -1L, ndjson: Boolean = false)
+    extends InputPartition {
+  def rangeLen: Long = if (len < 0) length else len
+}
 
 class OtlpReaderFactory(signal: String, fullSchema: StructType,
                         required: StructType, nsAsLong: Boolean,
@@ -268,9 +345,13 @@ class OtlpPartitionReader(partition: OtlpInputPartition, signal: String,
     fullSchema.fieldNames.zipWithIndex.toMap
 
   private var openReader: java.io.BufferedReader = _
+  private var openCloseable: () => Unit = _
 
   private lazy val rows: Iterator[Array[Any]] = {
-    if (partition.length > maxBytes)
+    // the cap bounds WHOLE-FILE materialization (reference parity);
+    // planner-confirmed NDJSON ranges stream line-by-line and are exempt —
+    // that is exactly how this reader beats the reference on big JSONL
+    if (!partition.ndjson && partition.length > maxBytes)
       throw new IOException(
         s"File ${partition.path} is ${partition.length} bytes which exceeds " +
           s"the ${maxBytes} byte limit")
@@ -284,7 +365,8 @@ class OtlpPartitionReader(partition: OtlpInputPartition, signal: String,
     // One open serves both paths: the byte probe seeks back, and the
     // whole-file read is positioned (no second fs.open round-trip — on
     // object stores that is a GET per file on the scan hot path).
-    if (partition.length == 0) wholeFileRows(fs.open(path))
+    if (partition.ndjson) rangedJsonRows(fs.open(path))
+    else if (partition.length == 0) wholeFileRows(fs.open(path))
     else {
       val in = fs.open(path)
       val jsonCertain = format == "json" ||
@@ -296,6 +378,61 @@ class OtlpPartitionReader(partition: OtlpInputPartition, signal: String,
       if (jsonCertain) streamedJsonRows(in)
       else wholeFileRows(in)
     }
+  }
+
+  /** Byte-range NDJSON path (planner-confirmed): owns every line that
+    * starts strictly inside (start, start+len], plus the first line when
+    * start=0; a non-zero range discards bytes through its first newline
+    * (the tail of the previous range's straddling line — or a whole line
+    * when the range boundary falls exactly on a line start, which the
+    * PREVIOUS range read because its position reached the boundary before
+    * failing the loop guard). Hadoop's LineReader counts consumed BYTES per
+    * line, which is what makes the ownership rule exact. */
+  private def rangedJsonRows(in: org.apache.hadoop.fs.FSDataInputStream): Iterator[Array[Any]] = {
+    in.seek(partition.start)
+    val lr = new org.apache.hadoop.util.LineReader(in)
+    openCloseable = () => { lr.close() } // closes the stream too
+    val end = partition.start + partition.rangeLen
+    var pos = partition.start
+    val text = new org.apache.hadoop.io.Text()
+    if (partition.start > 0) pos += lr.readLine(text)
+    val needed = required.fieldNames.toSet
+    def wrap[A](body: => A): A =
+      try body
+      catch {
+        case e: OtlpParseException =>
+          throw new IOException(
+            s"OTLP parse error on ${partition.path}: ${e.getMessage}")
+      }
+    val lines = new Iterator[String] {
+      private var nextLine: String = null
+      private var finished = false
+      private def advance(): Unit =
+        while (nextLine == null && !finished) {
+          if (pos > end) { finished = true }
+          else {
+            val n = lr.readLine(text)
+            if (n == 0) finished = true
+            else {
+              pos += n
+              val s = new String(text.getBytes, 0, text.getLength,
+                java.nio.charset.StandardCharsets.UTF_8).trim
+              if (s.nonEmpty) nextLine = s
+            }
+          }
+        }
+      override def hasNext: Boolean = { advance(); nextLine != null }
+      override def next(): String = {
+        advance()
+        if (nextLine == null) throw new NoSuchElementException
+        val r = nextLine; nextLine = null; r
+      }
+    }
+    lines.flatMap(line => wrap(
+      graft.otlp.OtlpJsonParser
+        .parseEnvelopes(Iterator.single(OtlpJsonParser.parseLine(line)),
+          nsAsLong, needed.contains)
+        .signal(signal)))
   }
 
   /** Whole-file path (protobuf/OTAP/multi-line JSON): consumes and closes
@@ -387,11 +524,16 @@ class OtlpPartitionReader(partition: OtlpInputPartition, signal: String,
     false
   }
   override def get(): InternalRow = current
-  override def close(): Unit =
+  override def close(): Unit = {
     if (openReader != null) {
       try openReader.close() catch { case _: java.io.IOException => () }
       openReader = null
     }
+    if (openCloseable != null) {
+      try openCloseable() catch { case _: java.io.IOException => () }
+      openCloseable = null
+    }
+  }
 }
 
 object OtlpPartitionReader {

@@ -291,6 +291,73 @@ class OtlpReaderSpec extends SparkTestBase {
     finally java.nio.file.Files.delete(tmp)
   }
 
+  test("ndjson byte-range splits: >1 partition, row set identical to the " +
+      "single-partition read (mid-line and exact-boundary cuts)") {
+    def line(i: Int) =
+      s"""{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"svc$i"}}]},"scopeLogs":[{"scope":{"name":"s"},"logRecords":[{"timeUnixNano":"${1640000000000000000L + i}","severityNumber":9,"severityText":"INFO","body":{"stringValue":"row $i é✓ ${"x" * (i % 37)}"}}]}]}]}"""
+    val tmp = java.nio.file.Files.createTempFile("split_logs", ".jsonl")
+    java.nio.file.Files.writeString(tmp,
+      (0 until 2000).map(line).mkString("\n") + "\n")
+    try {
+      val whole = Otlp.readLogs(spark, tmp.toString, Map("split_bytes" -> "0"))
+      assert(whole.rdd.getNumPartitions == 1)
+      // mid-line cuts: variable-length lines (the x-padding and multibyte
+      // é✓ make boundaries land inside lines and inside UTF-8 sequences)
+      val split = Otlp.readLogs(spark, tmp.toString, Map("split_bytes" -> "50000"))
+      assert(split.rdd.getNumPartitions > 1, "large NDJSON must range-split")
+      assert(split.count() == 2000)
+      assert(split.exceptAll(whole).isEmpty && whole.exceptAll(split).isEmpty,
+        "range-split read must equal the whole-file read")
+      // exact-boundary cuts: every line the same byte length, split size a
+      // multiple of it — a range boundary falls exactly ON a line start,
+      // exercising the previous-range-owns-it / next-range-discards rule
+      val fixed = java.nio.file.Files.createTempFile("split_fixed", ".jsonl")
+      val base = line(0)
+      java.nio.file.Files.writeString(fixed,
+        (0 until 400).map(_ => base).mkString("\n") + "\n")
+      try {
+        val lineBytes = base.getBytes("UTF-8").length + 1
+        val sf = Otlp.readLogs(spark, fixed.toString,
+          Map("split_bytes" -> (lineBytes * 40).toString))
+        assert(sf.rdd.getNumPartitions == 10)
+        assert(sf.count() == 400)
+      } finally java.nio.file.Files.delete(fixed)
+    } finally java.nio.file.Files.delete(tmp)
+  }
+
+  test("ndjson splits: a single multi-line JSON document never splits") {
+    val tmp = java.nio.file.Files.createTempFile("pretty_logs", ".json")
+    // pretty-printed = first line is just "{" — the planner probe rejects
+    // it and the whole-file fallback parses the document
+    val pretty = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$fx/logs_simple.jsonl")).linesIterator.next()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(pretty)
+    java.nio.file.Files.writeString(tmp,
+      node.toPrettyString)
+    try {
+      val df = Otlp.readLogs(spark, tmp.toString, Map("split_bytes" -> "64"))
+      assert(df.rdd.getNumPartitions == 1, "multi-line doc must stay whole-file")
+      assert(df.count() == 1) // line 1 of the fixture carries one record
+    } finally java.nio.file.Files.delete(tmp)
+  }
+
+  test("ndjson splits are exempt from the whole-file cap (beats the " +
+      "reference's one-thread-per-file + cap model)") {
+    def line(i: Int) =
+      s"""{"resourceLogs":[{"scopeLogs":[{"logRecords":[{"timeUnixNano":"${i}","body":{"stringValue":"r$i"}}]}]}]}"""
+    val tmp = java.nio.file.Files.createTempFile("cap_logs", ".jsonl")
+    java.nio.file.Files.writeString(tmp,
+      (0 until 100).map(line).mkString("\n") + "\n")
+    try {
+      val opts = Map("max_file_bytes" -> "1000", "split_bytes" -> "2000")
+      assert(Otlp.readLogs(spark, tmp.toString, opts).count() == 100)
+      intercept[Exception] { // unsplit, the same cap still errors (parity)
+        Otlp.readLogs(spark, tmp.toString,
+          Map("max_file_bytes" -> "1000", "split_bytes" -> "0")).count()
+      }
+    } finally java.nio.file.Files.delete(tmp)
+  }
+
   test("opt-in filter pushdown: identical results, filters reach the scan") {
     val base = Otlp.readLogs(spark, s"$fx/logs_simple.jsonl")
     val fp = Otlp.readLogs(spark, s"$fx/logs_simple.jsonl",
