@@ -819,7 +819,23 @@ final class OtapStreamDecoder(nsAsLong: Boolean) extends AutoCloseable {
     * attribute loss/mixup). A new segment is detected when a payload key
     * already fed in the current scope re-announces a Schema, or a payload
     * type reappears under a different schema id. Arrow dictionary/schema
-    * reader state still persists across messages per (schema_id, type). */
+    * reader state still persists across messages per (schema_id, type).
+    *
+    * SEGMENT RULE (decided against otel-arrow semantics): a conforming
+    * BatchArrowRecords carries AT MOST ONE payload per payload type, and
+    * id/parent_id values are scoped to that one batch — so a REAPPEARING
+    * payload type always means a new batch boundary (new id scope), and
+    * splitting there is required, not an over-split. This holds even for
+    * the session-mix concatenation [logs@A][logs@B][logs@A]: schema ids
+    * may legitimately repeat across segments (different producer sessions
+    * reuse id strings), and each reappearance still opens a fresh scope.
+    * The one input this rule cannot decode is a file INTERLEAVING two
+    * segments' payloads (e.g. logs@A, logs@B, log_attrs@A): no conforming
+    * encoder can produce it, and silently joining attrs against
+    * another scope's restarted ids would corrupt rows — so when a flush
+    * would strand a scope holding only child payloads (attrs / data
+    * points with no logs/spans/metrics root), the decode fails loudly
+    * instead. */
   def decode(message: Array[Byte]): OtlpJsonParser.ParsedFile = {
     val ps = OtapDecoder.payloads(message)
     if (ps.isEmpty)
@@ -829,6 +845,14 @@ final class OtapStreamDecoder(nsAsLong: Boolean) extends AutoCloseable {
     val fedTypes = mutable.Map[Int, String]()
     val parts = ArrayBuffer[OtlpJsonParser.ParsedFile]()
     def flushSegment(): Unit = if (acc.nonEmpty) {
+      // roots: 10 metrics, 30 logs, 40 spans (12 = summary points, skipped
+      // but root-like for the orphan check — a summary-only batch is legal)
+      if (!acc.keysIterator.exists(t => t == 10 || t == 12 || t == 30 || t == 40))
+        throw new OtlpParseException(
+          s"OTAP segment holds only child payload types " +
+            s"[${acc.keysIterator.mkString(",")}] — attribute/data-point " +
+            "payloads separated from their root table (an interleaved " +
+            "multi-segment file is not valid OTAP)")
       parts += OtapDecoder.assemble(
         acc.iterator.map { case (t, (r, m)) => t -> (r.toIndexedSeq, m) }.toMap,
         nsAsLong)

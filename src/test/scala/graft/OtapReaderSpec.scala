@@ -158,6 +158,63 @@ class OtapReaderSpec extends SparkTestBase {
     } finally java.nio.file.Files.delete(tmp)
   }
 
+  test("segment rule: schema ids may repeat across segments (A-B-A session mix)") {
+    assume(available)
+    // three concatenated self-contained segments where the MIDDLE one uses
+    // a different schema id and the third REUSES the first's id — a legal
+    // concatenation of files from different producer sessions. Each
+    // reappearance of the logs type opens a fresh id scope (otel-arrow ids
+    // are batch-scoped), so this must decode as 3 full segments.
+    val one = fileBytes(s"$corpus/logs-initial.bar")
+    val ps = graft.otlp.OtapTestProto.parsePayloads(one)
+    assert(ps.nonEmpty && ps.forall(_._1.nonEmpty), "fixture uses string schema ids")
+    val relabeled = graft.otlp.OtapTestProto.buildMessage(
+      ps.map { case (sid, t, r) => (sid + "-sessB", t, r) })
+    val mixed = one ++ relabeled ++ one
+    val tmp = java.nio.file.Files.createTempFile("logs-aba", ".bar")
+    java.nio.file.Files.write(tmp, mixed)
+    try {
+      val logs = Otlp.readOtapLogs(spark, tmp.toString)
+      assert(logs.count() == 9)
+      val single = Otlp.readOtapLogs(spark, s"$corpus/logs-initial.bar")
+      val thrice = single.unionAll(single).unionAll(single)
+      assert(logs.exceptAll(thrice).isEmpty && thrice.exceptAll(logs).isEmpty,
+        "A-B-A segments must each assemble within their own id scope")
+    } finally java.nio.file.Files.delete(tmp)
+  }
+
+  test("segment rule: an interleaved multi-segment file fails loudly " +
+      "instead of joining attrs across id scopes") {
+    assume(available)
+    // Hand-crafted NON-CONFORMING input: the payloads of two segments
+    // interleaved — logs@A, logs@B, then A's child payloads, then B's.
+    // No conforming encoder emits two payloads of one type in one batch
+    // (ids are batch-scoped), so the decoder cannot know which restarted
+    // ids the late children refer to; the decided contract is a parse
+    // error (the orphan child-only tail), never silent mis-joins.
+    val one = fileBytes(s"$corpus/logs-initial.bar")
+    val ps = graft.otlp.OtapTestProto.parsePayloads(one)
+    val roots = ps.filter(_._2 == 30)
+    val children = ps.filter(_._2 != 30)
+    assert(roots.size == 1 && children.nonEmpty, "fixture shape")
+    val interleaved = graft.otlp.OtapTestProto.buildMessage(
+      roots ++
+        roots.map { case (sid, t, r) => (sid + "-evolved", t, r) } ++
+        children ++
+        children.map { case (sid, t, r) => (sid + "-evolved", t, r) })
+    val tmp = java.nio.file.Files.createTempFile("logs-interleaved", ".bar")
+    java.nio.file.Files.write(tmp, interleaved)
+    try {
+      val e = intercept[Exception] {
+        Otlp.readOtapLogs(spark, tmp.toString).count()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("child payload types")),
+        msgs(e).mkString("|"))
+    } finally java.nio.file.Files.delete(tmp)
+  }
+
   test("stateful session poisons cleanly on a bad message") {
     assume(available)
     val d = new graft.otlp.OtapStreamDecoder(nsAsLong = false)
