@@ -105,6 +105,73 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
   private val SealHistoryCap = 4096
   private val sealSeq = new AtomicLong(0)
 
+  // ---- MicroBatchStream seal retention (sources/OtlpSealStream) -----------
+  // Committed seals retained in driver memory, keyed by a per-signal
+  // monotonic sequence: the streaming source's offsets ARE these sequence
+  // numbers. Spark's checkpoint WAL may replay a planned range after a
+  // query restart, so a seal stays retained until the query COMMITS past
+  // it (streamCommit); the cap bounds a slow consumer — evicting past an
+  // uncommitted offset surfaces as a loud gap error on the next plan, the
+  // Kafka-retention contract, never silent loss.
+  private final class RetainedSeals {
+    val lock = new Object
+    var lastSeq = 0L  // highest assigned
+    var floor = 0L    // everything <= floor has been evicted
+    val seals = new java.util.TreeMap[Long, IndexedSeq[Array[Byte]]]()
+  }
+  private val retained: Map[String, RetainedSeals] =
+    Signals.map(s => s -> new RetainedSeals).toMap
+
+  private def retainForStreams(signal: String, rows: IndexedSeq[Array[Byte]]): Unit =
+    if (cfg.streamRetainSeals > 0 && rows.nonEmpty) {
+      val r = retained(signal)
+      r.lock.synchronized {
+        r.lastSeq += 1
+        r.seals.put(r.lastSeq, rows)
+        while (r.seals.size > cfg.streamRetainSeals) {
+          val evicted = r.seals.pollFirstEntry().getKey
+          r.floor = math.max(r.floor, evicted)
+        }
+      }
+    }
+
+  /** Highest retained-seal sequence assigned so far (stream latestOffset). */
+  def streamLatest(signal: String): Long =
+    retained(signal).lock.synchronized(retained(signal).lastSeq)
+
+  /** Highest evicted sequence — the stream's earliest usable start offset. */
+  def streamFloor(signal: String): Long =
+    retained(signal).lock.synchronized(retained(signal).floor)
+
+  /** Row chunks of the seals in (fromExclusive, toInclusive]. Throws when
+    * part of the range was already evicted (consumer fell behind the
+    * retention cap) — the stream fails loudly instead of skipping rows. */
+  def streamRange(signal: String, fromExclusive: Long,
+                  toInclusive: Long): Seq[IndexedSeq[Array[Byte]]] = {
+    val r = retained(signal)
+    r.lock.synchronized {
+      if (fromExclusive < r.floor)
+        throw new IllegalStateException(
+          s"otlp-seals stream fell behind retention: offsets " +
+            s"($fromExclusive, ${r.floor}] were evicted (stream_retain_seals=" +
+            s"${cfg.streamRetainSeals}); restart the query from a fresh " +
+            "checkpoint or raise stream_retain_seals")
+      import scala.collection.JavaConverters._
+      r.seals.subMap(fromExclusive, false, toInclusive, true)
+        .values.asScala.toSeq
+    }
+  }
+
+  /** The streaming query durably completed everything <= upTo: evict. */
+  def streamCommit(signal: String, upTo: Long): Unit = {
+    val r = retained(signal)
+    r.lock.synchronized {
+      val it = r.seals.headMap(upTo, true).keySet.iterator()
+      while (it.hasNext) { it.next(); it.remove() }
+      r.floor = math.max(r.floor, upTo)
+    }
+  }
+
   private[graft] val writer = new SealWriter(cfg, spark)
   private val sealMonitor = new Object
   private var flushRequested = false
@@ -863,6 +930,9 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
           cycle.bytesSealed.addAndGet(droppedBytes)
           release(droppedBytes)
           committedRowsTotal.addAndGet(droppedRows)
+          // these head rows DID commit (during the failed earlier attempt,
+          // which never retains) — retain them here or the stream loses them
+          retainForStreams(b.signal, b.rows.take(droppedRows))
         }
         b = trimmed
       }
@@ -874,6 +944,7 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
           cycle.bytesSealed.addAndGet(b.admittedBytes)
           release(b.admittedBytes)
           committedRowsTotal.addAndGet(b.rows.size)
+          retainForStreams(b.signal, b.rows)
         case Some(msg) =>
           cycle.error.compareAndSet(null, msg)
           restoreBatch(b)

@@ -23,6 +23,7 @@ final case class ServerConfig(
     maintenanceMinSeals: Long,
     maintenanceMinIntervalMs: Long,
     httpThreads: Int,
+    streamRetainSeals: Int,
     promoteResourceAttributes: Seq[String],
     promoteScopeAttributes: Seq[String]) {
   def tableName(signal: String): String = s"$schema.otlp_$signal"
@@ -43,6 +44,7 @@ object ServerConfig {
     "seal_target_bytes", "seal_max_age_ms", "max_buffered_bytes",
     "max_body_bytes", "target_file_size", "maintenance_retention_ms",
     "maintenance_min_seals", "maintenance_min_interval_ms",
+    "stream_retain_seals",
     "promote_resource_attributes", "promote_scope_attributes")
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
@@ -140,6 +142,13 @@ object ServerConfig {
       maintenanceMinSeals = long("maintenance_min_seals", 32L),
       maintenanceMinIntervalMs = long("maintenance_min_interval_ms", 5L * 60 * 1000),
       httpThreads = httpThreads,
+      // committed seals retained in driver memory for MicroBatchStream
+      // consumers (sources/OtlpSealStream); 0 = retention off
+      streamRetainSeals = {
+        val v = params.get("stream_retain_seals").map(_.toInt).getOrElse(0)
+        if (v < 0) fail("stream_retain_seals must not be negative")
+        v
+      },
       promoteResourceAttributes = params.get("promote_resource_attributes")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty),
       promoteScopeAttributes = params.get("promote_scope_attributes")

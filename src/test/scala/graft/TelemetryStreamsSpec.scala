@@ -68,6 +68,51 @@ class TelemetryStreamsSpec extends SparkTestBase {
     assert(spark.table("dedup").count() == 3)
   }
 
+  test("otlp-seals MicroBatchStream: offsets are seal ids; kill + restart " +
+      "resumes from the checkpoint with no loss and no dups") {
+    val uri = "otlp:127.0.0.1:45853"
+    val sealRoot = java.nio.file.Files.createTempDirectory("ms_root").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ms_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ms_ckpt").toString
+    OtlpServe.otlpServe(spark, uri, Map(
+      "token" -> Token, "target" -> "parquet", "parquet_root" -> sealRoot,
+      "seal_max_age_ms" -> "3600000", "seal_target_bytes" -> "1073741824",
+      "stream_retain_seals" -> "64"))
+    def postLogs(base: Long, n: Int): Unit = {
+      val body = (0 until n).map { i =>
+        s"""{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"ms-svc"}}]},"scopeLogs":[{"scope":{"name":"s"},"logRecords":[{"timeUnixNano":"${1640000000000000000L + base + i}","severityNumber":9,"severityText":"INFO","body":{"stringValue":"row ${base + i}"}}]}]}]}"""
+      }.mkString("\n").getBytes("UTF-8")
+      val code = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:45853/v1/logs"))
+          .header("Content-Type", "application/x-ndjson")
+          .header("Authorization", s"Bearer $Token")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode()
+      assert(code == 202)
+    }
+    // one query "incarnation": drain everything available, then terminate —
+    // two incarnations over ONE checkpoint are exactly a kill + restart
+    def drainOnce(): Unit = {
+      val q = spark.readStream.format("otlp-seals")
+        .option("uri", uri).option("signal", "logs").load()
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    postLogs(0, 5)
+    OtlpServe.otlpFlush(spark, uri) // seal 1
+    drainOnce()
+    postLogs(100, 7)
+    OtlpServe.otlpFlush(spark, uri) // seal 2
+    drainOnce() // restart: must deliver ONLY seal 2
+    drainOnce() // restart with nothing new: must deliver nothing
+    val rows = spark.read.parquet(outDir)
+    assert(rows.count() == 12, "every sealed row exactly once across restarts")
+    assert(rows.select("body").distinct().count() == 12, "no duplicates")
+    OtlpServe.otlpStop(spark, uri)
+  }
+
   test("per-trace rollup with flatMapGroupsWithState") {
     val q = TelemetryStreams.traceRollup(
         TelemetryStreams.traceStream(spark, root))
