@@ -29,19 +29,23 @@ object Bench {
     Tables.register(spark, sfDir)
     spark.table("lineitem").limit(1).count()
 
+    val skipQueries = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("ingest")
+    // queries-only mode: larger-scale corpus points (SCALE.md sf1 table)
+    // re-measure the query registry without paying the three ingest passes
+    val skipIngest = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("queries")
+
     // STEADY ingest pass: runs FIRST, in the clean post-warmup JVM — the
     // same conditions as a standalone SPARK_GRAFT_BENCH_ONLY=ingest run.
     // The post-query contended pass below swings ~2-3x with the query
     // phase's GC debris and host weather; this one is the low-variance
     // capacity number the docs quote, and putting it in the artifact of
     // record makes the published claim falsifiable (VERDICT r4 #1).
-    val steadyDurable = {
+    val steadyDurable = if (skipIngest) 0.0 else {
       def run() = try ingestBench(spark) catch { case _: Throwable => (0.0, 0.0) }
       val a = run(); System.gc(); val b = run()
       math.max(a._2, b._2)
     }
 
-    val skipQueries = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("ingest")
     // deterministic sorted order + best-of-2 per query: Map iteration order
     // reshuffled whenever a query was added, and the single shared warmup
     // left whichever query ran first paying JIT/codegen warmup — a 7x
@@ -73,13 +77,14 @@ object Bench {
     // best-of-2 like the queries: host contention on this shared guest
     // swings a single 6 s window by 2x; the better pass is the capacity
     // measurement, the worse one is the weather
-    val (accepted, durable) = {
+    val (accepted, durable) = if (skipIngest) (0.0, 0.0) else {
       def run() = try ingestBench(spark) catch { case _: Throwable => (0.0, 0.0) }
       val a = run(); System.gc(); val b = run()
       if (a._2 >= b._2) a else b
     }
     val catalogDurable =
-      try ingestBenchCatalog(spark) catch { case _: Throwable => 0.0 }
+      if (skipIngest) 0.0
+      else try ingestBenchCatalog(spark) catch { case _: Throwable => 0.0 }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
