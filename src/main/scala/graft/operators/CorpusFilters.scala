@@ -199,6 +199,88 @@ object CorpusFilters {
       .withColumn("dropped_chunks", col("n_chunks") - col("kept_chunks"))
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing word n-grams
+    * with an evaluation set (Brown et al. 2020 §C ran 13-gram overlap; n is
+    * a parameter because short synthetic docs need shorter grams). Returns
+    * per-doc (n_grams, matched_grams, contaminated).
+    *
+    * Shape at 100 TB: the eval set is benchmarks — thousands of documents,
+    * kilobytes of distinct gram hashes — so its distinct-gram side is
+    * BROADCAST and the corpus side stays a map-only explode + partial-agg
+    * rollup keyed by doc_id; the corpus is never shuffled by gram. The
+    * gram hash is md5 of the space-joined window (the dedup family's
+    * shared contract), so the DuckDB oracle runs the same bytes. */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, n: Int = 5,
+                    textCol: String = "text"): DataFrame = {
+    def grams(d: DataFrame) = {
+      val ws = wordsOf(col(textCol))
+      d.select(col("doc_id"), ws.as("ws"))
+        .where(size(col("ws")) >= n)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(1), size(col("ws")) - (n - 1)), i =>
+            md5(concat_ws(" ", slice(col("ws"), i, lit(n)))))).as("gh"))
+    }
+    val evalGrams = grams(evalDocs).select("gh").distinct()
+    val counts = docs.select(col("doc_id"),
+      greatest(size(wordsOf(col(textCol))) - (n - 1), lit(0))
+        .cast("long").as("n_grams"))
+    val matched = grams(docs)
+      .join(broadcast(evalGrams), Seq("gh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("matched_grams"))
+    counts.join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("matched_grams"), lit(0L)).as("matched_grams"))
+      .withColumn("contaminated", col("matched_grams") > 0)
+  }
+
+  /** Gopher document-quality filter (Rae et al. 2021 table A1): the full
+    * rule set as one map-only verdict — word count in [minWords, maxWords],
+    * mean word length in [3, 10], symbol-to-word ratio (# or ...) <= 0.1,
+    * <= 90% of lines starting with a bullet, <= 30% ending with an
+    * ellipsis, >= 80% of words containing an alphabetic character, and at
+    * least 2 of the common English stop words. Returns the per-rule
+    * measurements plus the combined `keep` verdict, so a pipeline can
+    * re-weight individual rules without re-reading the corpus. */
+  def gopherFilter(docs: DataFrame, minWords: Int = 50,
+                   maxWords: Int = 100000, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val ws = wordsOf(t)
+    val lines = filter(transform(split(t, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val nWords = size(ws).cast("long")
+    val meanLen = round(
+      aggregate(ws, lit(0L), (a, w) => a + length(w)).cast("double") /
+        greatest(nWords, lit(1L)), 4)
+    val symbolWords = size(filter(ws, w =>
+      w.contains("#") || w.contains("...")))
+    val bulletLines = size(filter(lines, l =>
+      l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
+    val ellipsisLines = size(filter(lines, l => l.endsWith("...")))
+    val alphaWords = size(filter(ws, w => w.rlike("[a-z]")))
+    val stops = Array("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = stops.map(s =>
+      when(array_contains(ws, s), 1).otherwise(0): Column)
+      .reduce(_ + _)
+    val nLines = greatest(size(lines), lit(1))
+    docs.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      round(symbolWords.cast("double") / greatest(nWords, lit(1L)), 4)
+        .as("symbol_ratio"),
+      round(bulletLines.cast("double") / nLines, 4).as("bullet_ratio"),
+      round(ellipsisLines.cast("double") / nLines, 4).as("ellipsis_ratio"),
+      round(alphaWords.cast("double") / greatest(nWords, lit(1L)), 4)
+        .as("alpha_ratio"),
+      stopHits.cast("long").as("stop_hits"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_ratio") <= 0.9 && col("ellipsis_ratio") <= 0.3 &&
+          col("alpha_ratio") >= 0.8 && col("stop_hits") >= 2)
+  }
+
   /** PII patterns shared by the operator and its oracle — RE2-safe (no
     * lookaround), so the same strings run in Java regex and DuckDB. */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -70,6 +70,56 @@ object Similarity {
     emb.select(col(idCol), maxAbs.as("max_abs"), q.as("q"))
   }
 
+  /** Sign-bit binary quantization: one bit per dimension (x >= 0), packed
+    * 32 bits per BIGINT word (bit d of word w = sign of dimension
+    * 32w + d) — 32× smaller than fp32 conceptually, the coarsest tier of
+    * the embedding compression ladder (int8 → matryoshka → binary).
+    * 32-bit words rather than 64: every packed value stays positive and
+    * exactly representable in both engines (bit 63 would flip a BIGINT's
+    * sign, where cross-engine shift/overflow semantics diverge). Map-only;
+    * Hamming distance between two packed vectors is
+    * sum(bit_count(xor(word_i, word_i'))) — see `annTopKHamming`. */
+  def quantizeBinary(emb: DataFrame, dims: Int, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val nWords = (dims + 31) / 32
+    val words = array((0 until nWords).map { w =>
+      val lo = w * 32
+      val hi = math.min(lo + 32, dims)
+      (lo until hi).map { d =>
+        // element_at is 1-based; literal powers of two build the word
+        // without a lambda (per-element lambdas are interpreted — see
+        // matryoshkaTruncate)
+        when(element_at(v, d + 1) >= 0,
+          lit(1L << (d - lo))).otherwise(lit(0L)): Column
+      }.reduce(_ + _)
+    }: _*)
+    emb.select(col(idCol), words.as("bits"))
+  }
+
+  /** Approximate top-k by Hamming distance over sign-bit quantized vectors:
+    * the query row broadcasts, the corpus side is a map-only
+    * xor + bit_count scan + global top-k (TakeOrderedAndProject) — the
+    * cheapest rerank-stage-one at 100 TB (32× less data moved than fp32
+    * cosine, no corpus shuffle). Ties break on id for determinism. */
+  def annTopKHamming(emb: DataFrame, dims: Int, queryId: Long, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val packed = quantizeBinary(emb, dims, idCol, vecCol)
+    val q = broadcast(
+      packed.where(col(idCol) === queryId).select(col("bits").as("qbits")))
+    val nWords = (dims + 31) / 32
+    val dist = (0 until nWords).map(i =>
+      bit_count(element_at(col("bits"), i + 1)
+        .bitwiseXOR(element_at(col("qbits"), i + 1))): Column)
+      .reduce(_ + _)
+    packed.where(col(idCol) =!= queryId)
+      .crossJoin(q)
+      .select(col(idCol), dist.cast("long").as("hamming"))
+      .orderBy(col("hamming").asc, col(idCol))
+      .limit(k)
+  }
+
   /** Exact top-k by cosine similarity against the single query row
     * `idCol == queryId`. The query side is one row — Spark broadcasts it, so
     * this is a map-only scan + global top-k (no shuffle of the corpus). */

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QSpec
 import graft.QSpec._
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{CorpusFilters, Dedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators (dedup, similarity search, text
@@ -530,6 +530,117 @@ object TrainingData {
         .groupBy("lang")
         .agg(count(lit(1)).as("kept"), sum(col("doc_id")).as("id_sum"))
         .orderBy("lang")
+    },
+
+    // benchmark decontamination: docs outside src0 checked for 5-gram
+    // overlap against the src0 "eval set" — the broadcast-eval-grams shape
+    // (the corpus is never shuffled by gram, only rolled up per doc)
+    df("ta_decontaminate",
+      """WITH t AS (SELECT doc_id, source,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS w FROM documents),
+        |eg AS (SELECT DISTINCT gh FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(w) - 4),
+        |    i -> md5(array_to_string(w[i:i+4], ' ')))) AS gh
+        |  FROM t WHERE source = 'src0' AND len(w) >= 5) x),
+        |dg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 4),
+        |    i -> md5(array_to_string(w[i:i+4], ' ')))) AS gh
+        |  FROM t WHERE source <> 'src0' AND len(w) >= 5),
+        |m AS (SELECT doc_id, count(*) AS matched_grams
+        |  FROM dg JOIN eg USING (gh) GROUP BY doc_id),
+        |c AS (SELECT doc_id, CAST(greatest(len(w) - 4, 0) AS BIGINT) AS n_grams
+        |  FROM t WHERE source <> 'src0')
+        |SELECT c.doc_id, c.n_grams,
+        |  CAST(coalesce(m.matched_grams, 0) AS BIGINT) AS matched_grams,
+        |  coalesce(m.matched_grams, 0) > 0 AS contaminated
+        |FROM c LEFT JOIN m ON m.doc_id = c.doc_id
+        |ORDER BY c.doc_id LIMIT 100""".stripMargin) { (s, _) =>
+      val d = s.table("documents")
+      CorpusFilters.decontaminate(
+          d.where(col("source") =!= "src0"), d.where(col("source") === "src0"),
+          n = 5)
+        .orderBy("doc_id").limit(100)
+    },
+
+    // Gopher document-quality rules, each measurement exposed plus the
+    // combined verdict (round-before-compare keeps the float thresholds
+    // engine-portable)
+    df("ta_gopher_filter",
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS w,
+        |  list_filter(list_transform(string_split(text, chr(10)),
+        |    l -> trim(l)), l -> len(l) > 0) AS ls FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_words,
+        |  round(CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+        |    / greatest(len(w), 1), 4) AS mean_word_len,
+        |  round(CAST(len(list_filter(w, x -> contains(x, '#')
+        |      OR contains(x, '...'))) AS DOUBLE)
+        |    / greatest(len(w), 1), 4) AS symbol_ratio,
+        |  round(CAST(len(list_filter(ls, l -> substring(l, 1, 1) IN
+        |      ('-', '*', chr(8226)))) AS DOUBLE)
+        |    / greatest(len(ls), 1), 4) AS bullet_ratio,
+        |  round(CAST(len(list_filter(ls, l -> l LIKE '%...')) AS DOUBLE)
+        |    / greatest(len(ls), 1), 4) AS ellipsis_ratio,
+        |  round(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+        |      AS DOUBLE) / greatest(len(w), 1), 4) AS alpha_ratio,
+        |  CAST((CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS stop_hits
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+        |  ellipsis_ratio, alpha_ratio, stop_hits,
+        |  (n_words >= 50 AND n_words <= 100000
+        |    AND mean_word_len >= 3 AND mean_word_len <= 10
+        |    AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+        |    AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+        |    AND stop_hits >= 2) AS keep
+        |FROM s ORDER BY doc_id LIMIT 100""".stripMargin) { (s, _) =>
+      CorpusFilters.gopherFilter(s.table("documents"))
+        .orderBy("doc_id").limit(100)
+    },
+
+    // sign-bit binary quantization (32 bits per BIGINT word — exact,
+    // positive, engine-portable integers)
+    df("ss_quant_binary",
+      """WITH b AS (SELECT vec_id,
+        |  list_transform(generate_series(0, 1), wd ->
+        |    CAST(list_sum(list_transform(generate_series(1, 32), d ->
+        |      CASE WHEN embedding[wd * 32 + d] >= 0
+        |        THEN (CAST(1 AS BIGINT) << (d - 1)) ELSE 0 END)) AS BIGINT))
+        |  AS bits FROM embeddings)
+        |SELECT vec_id, bits[1] AS w0, bits[2] AS w1
+        |FROM b ORDER BY vec_id LIMIT 100""".stripMargin) { (s, _) =>
+      Similarity.quantizeBinary(s.table("embeddings"), dims = 64)
+        .select(col("vec_id"), element_at(col("bits"), 1).as("w0"),
+          element_at(col("bits"), 2).as("w1"))
+        .orderBy("vec_id").limit(100)
+    },
+
+    // Hamming top-k over the packed sign bits: broadcast query row,
+    // map-only xor+bit_count scan, deterministic id tiebreak
+    df("ss_ann_hamming",
+      """WITH b AS (SELECT vec_id,
+        |  list_transform(generate_series(0, 1), wd ->
+        |    CAST(list_sum(list_transform(generate_series(1, 32), d ->
+        |      CASE WHEN embedding[wd * 32 + d] >= 0
+        |        THEN (CAST(1 AS BIGINT) << (d - 1)) ELSE 0 END)) AS BIGINT))
+        |  AS bits FROM embeddings),
+        |q AS (SELECT bits AS qbits FROM b WHERE vec_id = 7)
+        |SELECT vec_id,
+        |  CAST(bit_count(xor(bits[1], qbits[1]))
+        |    + bit_count(xor(bits[2], qbits[2])) AS BIGINT) AS hamming
+        |FROM b, q WHERE vec_id <> 7
+        |ORDER BY hamming, vec_id LIMIT 10""".stripMargin) { (s, _) =>
+      Similarity.annTopKHamming(s.table("embeddings"), dims = 64,
+        queryId = 7, k = 10)
     },
 
     // exact top-k per stratum (k best docs per language by length,

@@ -108,6 +108,42 @@ class CorpusFiltersSpec extends SparkTestBase {
     assert(p.contains("blk"), p)
   }
 
+  test("decontamination: docs sharing eval 5-grams are flagged, others not") {
+    import spark.implicits._
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta"
+    val evalDocs = Seq(100L -> evalText).toDF("doc_id", "text")
+    val docs = Seq(
+      // carries the eval run "beta gamma delta epsilon zeta" → contaminated
+      1L -> "intro words then beta gamma delta epsilon zeta closing remark",
+      2L -> "completely unrelated content with many distinct words here now",
+      3L -> "short text")
+      .toDF("doc_id", "text")
+    val got = CorpusFilters.decontaminate(docs, evalDocs, n = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("matched_grams"), r.getAs[Boolean]("contaminated")))).toMap
+    assert(got(1L)._2 && got(1L)._1 >= 1L)
+    assert(got(2L) == ((0L, false)))
+    assert(got(3L) == ((0L, false))) // fewer than 5 words → zero grams
+  }
+
+  test("gopher filter: rule measurements and combined verdict") {
+    import spark.implicits._
+    val good = (("the quick brown fox jumps over lazy dogs and then " * 6) +
+      "that have with be of to end").trim
+    val docs = Seq(
+      1L -> good,                       // >= 50 words, stopwords present
+      2L -> "too short to keep",        // fails minWords
+      3L -> (("#tag " * 60).trim))      // symbol ratio 1.0, no stopwords
+      .toDF("doc_id", "text")
+    val got = CorpusFilters.gopherFilter(docs, minWords = 50).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Boolean]("keep"), got(1L).toString)
+    assert(got(1L).getAs[Long]("stop_hits") >= 2L)
+    assert(!got(2L).getAs[Boolean]("keep"))
+    assert(!got(3L).getAs[Boolean]("keep"))
+    assert(got(3L).getAs[Double]("symbol_ratio") == 1.0)
+  }
+
   test("pii redaction: counts and replaces emails, ips, phones in order") {
     import spark.implicits._
     val docs = Seq(

@@ -126,6 +126,29 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("rangepartitioning") && !p.contains("SinglePartition"), p)
   }
 
+  test("decontamination broadcasts the eval grams; the corpus never " +
+      "shuffles by gram") {
+    Tables.register(spark, sfDir)
+    val d = spark.table("documents")
+    val df = graft.operators.CorpusFilters.decontaminate(
+      d.where(col("source") =!= "src0"), d.where(col("source") === "src0"))
+    val p = plan(df)
+    // the gram join must build on the broadcast eval side (the eval set's
+    // own distinct() may hash-partition its kilobytes of grams — fine);
+    // the corpus side's only aggregation key is doc_id
+    assert(p.contains("BroadcastHashJoin [gh"), p)
+    assert(p.contains("hashpartitioning(doc_id"), p)
+  }
+
+  test("hamming ann is a broadcast-query map scan with global top-k") {
+    Tables.register(spark, sfDir)
+    val df = graft.operators.Similarity.annTopKHamming(
+      spark.table("embeddings"), dims = 64, queryId = 7, k = 10)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("chunk dedup shuffles once on the chunk hash before the doc rollup") {
     Tables.register(spark, sfDir)
     val p = plan(graft.operators.CorpusFilters.chunkDedup(spark.table("documents")))

@@ -110,4 +110,30 @@ class SimilaritySpec extends SparkTestBase {
     val bounds = q.select(array_max(col("q")), array_min(col("q"))).collect()
     assert(bounds.forall(r => r.getLong(0) <= 127L && r.getLong(1) >= -127L))
   }
+
+  test("binary quantization packs sign bits exactly; hamming ranks by " +
+      "xor popcount with deterministic ties") {
+    import spark.implicits._
+    // 64 dims: dim d positive iff d is even → word bits 0101.. pattern
+    val known = Seq((999L, (0 until 64).map(d =>
+      if (d % 2 == 0) 1.0f else -1.0f).toArray)).toDF("vec_id", "embedding")
+    val bits = Similarity.quantizeBinary(known, dims = 64)
+      .first().getSeq[Long](1)
+    assert(bits == Seq(0x55555555L, 0x55555555L), bits)
+
+    // hamming against the real corpus: spot-verify the distance of the
+    // top hit by recomputing sign-bit disagreement from the raw vectors
+    val top = Similarity.annTopKHamming(emb, dims = 64, queryId = 7, k = 3)
+      .collect()
+    assert(top.length == 3)
+    assert(top.map(_.getAs[Long]("hamming")).toSeq.sorted ==
+      top.map(_.getAs[Long]("hamming")).toSeq, "ascending distance")
+    val best = top.head
+    val vecs = emb.where(col("vec_id").isin(7L, best.getAs[Long]("vec_id")))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding"))).toMap
+    val expect = vecs(7L).zip(vecs(best.getAs[Long]("vec_id")))
+      .count { case (a, b) => (a >= 0) != (b >= 0) }
+    assert(best.getAs[Long]("hamming") == expect.toLong)
+  }
 }
