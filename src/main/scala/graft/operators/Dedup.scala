@@ -197,6 +197,29 @@ object Dedup {
     * (pairs: id_a, id_b). Relational formulation — distinct shingle sets,
     * pair-join on shingle equality — so it runs on candidates only, never
     * all-pairs. */
+  /** One representative per near-dup cluster: the member with the highest
+    * `scoreCol` (quality, length, recency — caller's choice), ties broken
+    * to the smallest id. `clusters` is `neardupClusters` output
+    * (id, cluster_id). Returns (cluster_id, keeper_id, best_score,
+    * cluster_size) — the "keep the best copy, not the first copy" closing
+    * step of a dedup pipeline.
+    *
+    * Portable + skew-safe shape: per-cluster max then a filtered min —
+    * plain aggregates over uniform cluster keys, no struct-ordering
+    * comparisons (engines disagree), no window over the corpus. */
+  def clusterKeepBest(docs: DataFrame, clusters: DataFrame, scoreCol: Column,
+                      idCol: String = "doc_id"): DataFrame = {
+    val members = docs.select(col(idCol).as("id"), scoreCol.as("score"))
+      .join(clusters, Seq("id"))
+    val best = members.groupBy("cluster_id")
+      .agg(max("score").as("best_score"), count(lit(1)).as("cluster_size"))
+    members.join(best, Seq("cluster_id"))
+      .where(col("score") === col("best_score"))
+      .groupBy("cluster_id")
+      .agg(min("id").as("keeper_id"), max("score").as("best_score"),
+        max("cluster_size").as("cluster_size"))
+  }
+
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, n: Int = 2): DataFrame = {
     val sh = shingles(docs, n).distinct()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))

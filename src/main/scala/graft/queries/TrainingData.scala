@@ -159,6 +159,61 @@ object TrainingData {
       Dedup.neardupClusters(pairs).orderBy("id").limit(200)
     },
 
+    // full dedup pipeline close-out: shingle-join candidates → exact
+    // jaccard >= 0.5 → connected components → ONE representative per
+    // cluster (best n_chars, tie to min id). "Keep the best copy, not the
+    // first copy" — at scale the candidate stage is the LSH band join
+    // (identical shape); the exact shingle join here keeps the oracle's
+    // recall at 100%
+    df("dd_cluster_keep_best",
+      s"""WITH RECURSIVE
+         |$duckWords,
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+         |    i -> concat_ws(' ', w[i], w[i+1]))) AS shingle
+         |  FROM toks WHERE len(w) >= 2) x),
+         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |cand AS (SELECT DISTINCT sa.doc_id AS id_a, sb.doc_id AS id_b
+         |  FROM sh sa JOIN sh sb
+         |  ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id),
+         |inter AS (SELECT id_a, id_b, count(*) AS i
+         |  FROM cand JOIN sh sa ON sa.doc_id = id_a
+         |  JOIN sh sb ON sb.doc_id = id_b AND sb.shingle = sa.shingle
+         |  GROUP BY id_a, id_b),
+         |pr AS (SELECT id_a, id_b FROM inter
+         |  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+         |  WHERE round(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 4) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+         |  UNION SELECT id_b, id_a FROM pr),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON e2.src = r.dst),
+         |cl AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |m AS (SELECT cl.cluster_id, cl.id, d.n_chars AS score
+         |  FROM cl JOIN documents d ON d.doc_id = cl.id),
+         |b AS (SELECT cluster_id, max(score) AS best_score,
+         |  count(*) AS cluster_size FROM m GROUP BY cluster_id)
+         |SELECT m.cluster_id, min(m.id) AS keeper_id,
+         |  CAST(max(m.score) AS BIGINT) AS best_score,
+         |  CAST(max(b.cluster_size) AS BIGINT) AS cluster_size
+         |FROM m JOIN b USING (cluster_id) WHERE m.score = b.best_score
+         |GROUP BY m.cluster_id ORDER BY m.cluster_id""".stripMargin) { (s, _) =>
+      val docs = s.table("documents")
+      val sh = Dedup.shingles(docs, 2).distinct()
+      val cand = sh.as("a").join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val pairs = Dedup.ngramJaccard(docs, cand, n = 2)
+        .where(col("jaccard") >= 0.5)
+      val clusters = Dedup.neardupClusters(pairs.select("id_a", "id_b"))
+      Dedup.clusterKeepBest(docs, clusters, col("n_chars"))
+        .orderBy("cluster_id")
+    },
+
     // ---- similarity search ------------------------------------------------
 
     df("ss_cosine_topk",

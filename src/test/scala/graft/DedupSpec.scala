@@ -60,6 +60,24 @@ class DedupSpec extends SparkTestBase {
     assert(keepers == Set(3L))
   }
 
+  test("cluster keep-best: highest score wins, ties break to smallest id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L), // cluster 1: tie at 30 → keeper 2
+      (10L, 5L), (11L, 9L),            // cluster 10: keeper 11 (score 9)
+      (99L, 100L))                     // unclustered: not in output
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = Dedup.neardupClusters(pairs)
+    val got = Dedup.clusterKeepBest(docs, clusters, col("score")).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("keeper_id"), r.getAs[Long]("best_score"),
+          r.getAs[Long]("cluster_size")))).toMap
+    assert(got == Map(
+      1L -> ((2L, 30L, 3L)),
+      10L -> ((11L, 9L, 2L))), s"got $got")
+  }
+
   test("hash sampling is deterministic and partitioning-invariant") {
     Tables.register(spark, sfDir)
     val docs = spark.table("documents")
