@@ -159,26 +159,32 @@ object TrainingData {
       Dedup.neardupClusters(pairs).orderBy("id").limit(200)
     },
 
-    // full dedup pipeline close-out: shingle-join candidates → exact
+    // full dedup pipeline close-out: LSH banded candidates → exact
     // jaccard >= 0.5 → connected components → ONE representative per
     // cluster (best n_chars, tie to min id). "Keep the best copy, not the
-    // first copy" — at scale the candidate stage is the LSH band join
-    // (identical shape); the exact shingle join here keeps the oracle's
-    // recall at 100%
+    // first copy". Candidates come from the MinHash LSH band join — the
+    // production-scale path (a raw shared-shingle self-join is quadratic
+    // in hot shingles: 153 s at sf0.1 vs ~2 s banded) — and the banding is
+    // bit-identical in both engines, so the oracle checks the REAL plan
     df("dd_cluster_keep_best",
       s"""WITH RECURSIVE
-         |$duckWords,
-         |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+         |$duckMinhashSig,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, md5(concat(mh0, mh1)) AS bkey FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(concat(mh2, mh3)) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(concat(mh4, mh5)) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(concat(mh6, mh7)) FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |sh2 AS (SELECT DISTINCT doc_id, shingle FROM (
          |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
          |    i -> concat_ws(' ', w[i], w[i+1]))) AS shingle
          |  FROM toks WHERE len(w) >= 2) x),
-         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
-         |cand AS (SELECT DISTINCT sa.doc_id AS id_a, sb.doc_id AS id_b
-         |  FROM sh sa JOIN sh sb
-         |  ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS c FROM sh2 GROUP BY doc_id),
          |inter AS (SELECT id_a, id_b, count(*) AS i
-         |  FROM cand JOIN sh sa ON sa.doc_id = id_a
-         |  JOIN sh sb ON sb.doc_id = id_b AND sb.shingle = sa.shingle
+         |  FROM cand JOIN sh2 sa ON sa.doc_id = id_a
+         |  JOIN sh2 sb ON sb.doc_id = id_b AND sb.shingle = sa.shingle
          |  GROUP BY id_a, id_b),
          |pr AS (SELECT id_a, id_b FROM inter
          |  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
@@ -201,12 +207,7 @@ object TrainingData {
          |FROM m JOIN b USING (cluster_id) WHERE m.score = b.best_score
          |GROUP BY m.cluster_id ORDER BY m.cluster_id""".stripMargin) { (s, _) =>
       val docs = s.table("documents")
-      val sh = Dedup.shingles(docs, 2).distinct()
-      val cand = sh.as("a").join(sh.as("b"),
-          col("a.shingle") === col("b.shingle") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
+      val cand = Dedup.lshCandidatePairs(docs, n = 3, k = 8, r = 2)
       val pairs = Dedup.ngramJaccard(docs, cand, n = 2)
         .where(col("jaccard") >= 0.5)
       val clusters = Dedup.neardupClusters(pairs.select("id_a", "id_b"))
