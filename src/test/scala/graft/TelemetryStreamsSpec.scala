@@ -110,6 +110,29 @@ class TelemetryStreamsSpec extends SparkTestBase {
     val rows = spark.read.parquet(outDir)
     assert(rows.count() == 12, "every sealed row exactly once across restarts")
     assert(rows.select("body").distinct().count() == 12, "no duplicates")
+
+    // second signal through the same server: the source is signal-generic
+    // (schema + retention domain keyed per signal)
+    val tOut = java.nio.file.Files.createTempDirectory("ms_tout").toString
+    val tCkpt = java.nio.file.Files.createTempDirectory("ms_tckpt").toString
+    val traceCode = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:45853/v1/traces"))
+        .header("Content-Type", "application/x-ndjson")
+        .header("Authorization", s"Bearer $Token")
+        .POST(HttpRequest.BodyPublishers.ofByteArray(
+          fixture("traces_simple.jsonl"))).build(),
+      HttpResponse.BodyHandlers.ofString()).statusCode()
+    assert(traceCode == 202)
+    OtlpServe.otlpFlush(spark, uri)
+    val tq = spark.readStream.format("otlp-seals")
+      .option("uri", uri).option("signal", "traces").load()
+      .writeStream.format("parquet")
+      .option("path", tOut).option("checkpointLocation", tCkpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    tq.awaitTermination(60000)
+    val spans = spark.read.parquet(tOut)
+    assert(spans.count() == 3)
+    assert(spans.columns.contains("duration_time_unix_nano"))
     OtlpServe.otlpStop(spark, uri)
   }
 
