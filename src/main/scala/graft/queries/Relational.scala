@@ -24,9 +24,12 @@ object Relational {
 
   val all: Seq[QSpec] = Seq(
     // Q1 projection
+    // ORDER BY covers every projected column: (orderkey, linenumber) is
+    // not unique at sf0.1, and a LIMIT under a non-total order lets each
+    // engine break ties with different physical rows
     sameSql("q01_projection",
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin),
+        |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100""".stripMargin),
     // Q2 filter: range + equality + AND
     sameSql("q02_filter_range",
       "SELECT count(*) AS cnt FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'"),
