@@ -136,6 +136,36 @@ class TelemetryStreamsSpec extends SparkTestBase {
     OtlpServe.otlpStop(spark, uri)
   }
 
+  test("otlp-seals composes with the watermark analytics layer " +
+      "(windowed severity rate over live seals, no storage round-trip)") {
+    val uri = "otlp:127.0.0.1:45854"
+    val sealRoot = java.nio.file.Files.createTempDirectory("msw_root").toString
+    OtlpServe.otlpServe(spark, uri, Map(
+      "token" -> Token, "target" -> "parquet", "parquet_root" -> sealRoot,
+      "seal_max_age_ms" -> "3600000", "seal_target_bytes" -> "1073741824",
+      "stream_retain_seals" -> "16"))
+    val code = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:45854/v1/logs"))
+        .header("Content-Type", "application/x-ndjson")
+        .header("Authorization", s"Bearer $Token")
+        .POST(HttpRequest.BodyPublishers.ofByteArray(
+          fixture("logs_simple.jsonl"))).build(),
+      HttpResponse.BodyHandlers.ofString()).statusCode()
+    assert(code == 202)
+    OtlpServe.otlpFlush(spark, uri)
+    val live = spark.readStream.format("otlp-seals")
+      .option("uri", uri).option("signal", "logs").load()
+    val q = TelemetryStreams.severityRate(live)
+      .writeStream.format("memory").queryName("livesev")
+      .outputMode("complete").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("livesev")
+    assert(rows.agg(sum("cnt")).first().getLong(0) == 3L)
+    assert(rows.where(col("severity_text") === "ERROR").count() == 1)
+    OtlpServe.otlpStop(spark, uri)
+  }
+
   test("per-trace rollup with flatMapGroupsWithState") {
     val q = TelemetryStreams.traceRollup(
         TelemetryStreams.traceStream(spark, root))
