@@ -120,6 +120,82 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- product quantization ----------------------------------------------
+
+  /** Deterministic PQ seed codebooks: m subvectors × k codes × subDims,
+    * from the same md5-nibble family as the IVF/LSH seeds (distinct
+    * namespace so the three never collide). */
+  def pqSeedCodebooks(m: Int, k: Int, subDims: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m, k, subDims)((s, c, d) => planeComponent(s * 100 + c + 2000, d))
+
+  /** Per-code squared-L2 distance array of one subvector slice against one
+    * codebook (plan literal — same compact-literal trick as the LSH
+    * planes). */
+  private def pqDists(sub: Column, codes: Array[Array[Double]]): Column = {
+    val codesLit = array(codes.map(c => array(c.map(lit(_)): _*)).toIndexedSeq: _*)
+    transform(sequence(lit(0), lit(codes.length - 1)), c =>
+      aggregate(zip_with(sub, element_at(codesLit, c + 1),
+          (x, cc) => (x - cc) * (x - cc)),
+        lit(0.0), (a, x) => a + x))
+  }
+
+  /** 0-based code of one subvector (first-min wins ties — identical rule
+    * in any engine). */
+  private def pqArgmin(sub: Column, codes: Array[Array[Double]]): Column = {
+    val d = pqDists(sub, codes)
+    (array_position(d, array_min(d)) - 1).cast("long")
+  }
+
+  /** Product-quantization code assignment (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the vector splits into
+    * `m` contiguous subvectors, each assigned to its nearest codebook
+    * entry by squared L2 — m·log2(k) bits per vector (m=8, k=16 ⇒ 4
+    * bytes, 64× smaller than fp32). Map-only; output columns c0..c{m-1}.
+    * ADC search then sums per-subvector query→code lookup tables — the
+    * standard IVF+PQ serving pair (IVF cells already exist above). */
+  def pqCodesWith(emb: DataFrame, books: Array[Array[Array[Double]]],
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val subDims = books(0)(0).length
+    val codeCols = books.indices.map { s =>
+      pqArgmin(slice(v, s * subDims + 1, subDims), books(s)).as(s"c$s")
+    }
+    emb.select(col(idCol) +: codeCols: _*)
+  }
+
+  /** One seeded, SAMPLED training iteration for every subvector codebook
+    * in a single job (explode over subvectors → code → per-dim mean,
+    * round(4) for engine portability exactly like `ivfCentroidsTrained`;
+    * a code with no sample keeps its seed). Ships back m×k×subDims
+    * doubles — kilobytes — from a scan of only the sample. */
+  def pqCodebooksTrained(emb: DataFrame, m: Int = 8, k: Int = 16,
+                         subDims: Int = 8, sampleMod: Int = 5,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val books = pqSeedCodebooks(m, k, subDims)
+    val v = asDouble(col(vecCol))
+    val perS = (0 until m).map { s =>
+      val sub = slice(v, s * subDims + 1, subDims)
+      struct(lit(s).as("s"), pqArgmin(sub, books(s)).as("code"), sub.as("sub"))
+    }
+    emb.where(col(idCol) % sampleMod === 0)
+      .select(explode(array(perS: _*)).as("e"))
+      .select(col("e.s"), col("e.code"), posexplode(col("e.sub")))
+      .groupBy("s", "code", "pos").agg(round(avg("col"), 4).as("cd"))
+      .collect()
+      .foreach(r => books(r.getInt(0))(r.getLong(1).toInt)(r.getInt(2)) =
+        r.getDouble(3))
+    books
+  }
+
+  /** Trained-codebook PQ codes: train on the sample, assign everything. */
+  def pqCodes(emb: DataFrame, m: Int = 8, k: Int = 16, subDims: Int = 8,
+              sampleMod: Int = 5, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame =
+    pqCodesWith(emb, pqCodebooksTrained(emb, m, k, subDims, sampleMod,
+      idCol, vecCol), idCol, vecCol)
+
   /** Exact top-k by cosine similarity against the single query row
     * `idCol == queryId`. The query side is one row — Spark broadcasts it, so
     * this is a map-only scan + global top-k (no shuffle of the corpus). */

@@ -699,6 +699,58 @@ object TrainingData {
         queryId = 7, k = 10)
     },
 
+    // product quantization: trained per-subvector codebooks (one sampled
+    // k-means pass, round(4) means — the ivf_cells_trained recipe per
+    // subvector), then nearest-code assignment by squared L2; 8 codes of
+    // 4 bits each = 64x compression. first-min ties both engines
+    df("ss_pq_codes",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |seed AS (SELECT s, c, list_transform(generate_series(1, 8),
+        |    d -> (strpos('0123456789abcdef', substring(md5(concat(
+        |      s * 100 + c + 2000, '_', d - 1)), 1, 1)) - 8.5)) AS cent
+        |  FROM generate_series(0, 7) ts(s)
+        |  CROSS JOIN generate_series(0, 15) tc(c)),
+        |sub AS (SELECT vec_id, s,
+        |    list_transform(generate_series(1, 8), d -> v[s * 8 + d]) AS sv
+        |  FROM e CROSS JOIN generate_series(0, 7) ts(s)),
+        |s0 AS (SELECT vec_id, s, list(list_sum(list_transform(
+        |    generate_series(1, 8),
+        |    i -> (sv[i] - cent[i]) * (sv[i] - cent[i]))) ORDER BY c) AS dists
+        |  FROM sub JOIN seed USING (s) WHERE vec_id % 5 = 0
+        |  GROUP BY vec_id, s),
+        |a0 AS (SELECT vec_id, s,
+        |    list_position(dists, list_aggregate(dists, 'min')) - 1 AS code
+        |  FROM s0),
+        |tr AS (SELECT s, code, d, round(avg(sv[d]), 4) AS cd
+        |  FROM a0 JOIN sub USING (vec_id, s)
+        |  CROSS JOIN generate_series(1, 8) t(d)
+        |  GROUP BY s, code, d),
+        |tl AS (SELECT s, code, list(cd ORDER BY d) AS cent FROM tr
+        |  GROUP BY s, code),
+        |bk AS (SELECT seed.s, seed.c, coalesce(tl.cent, seed.cent) AS cent
+        |  FROM seed LEFT JOIN tl ON tl.s = seed.s AND tl.code = seed.c),
+        |fs AS (SELECT vec_id, s, list(list_sum(list_transform(
+        |    generate_series(1, 8),
+        |    i -> (sv[i] - cent[i]) * (sv[i] - cent[i]))) ORDER BY c) AS dists
+        |  FROM sub JOIN bk USING (s) GROUP BY vec_id, s),
+        |codes AS (SELECT vec_id, s,
+        |    list_position(dists, list_aggregate(dists, 'min')) - 1 AS code
+        |  FROM fs)
+        |SELECT vec_id,
+        |  CAST(max(CASE WHEN s = 0 THEN code END) AS BIGINT) AS c0,
+        |  CAST(max(CASE WHEN s = 1 THEN code END) AS BIGINT) AS c1,
+        |  CAST(max(CASE WHEN s = 2 THEN code END) AS BIGINT) AS c2,
+        |  CAST(max(CASE WHEN s = 3 THEN code END) AS BIGINT) AS c3,
+        |  CAST(max(CASE WHEN s = 4 THEN code END) AS BIGINT) AS c4,
+        |  CAST(max(CASE WHEN s = 5 THEN code END) AS BIGINT) AS c5,
+        |  CAST(max(CASE WHEN s = 6 THEN code END) AS BIGINT) AS c6,
+        |  CAST(max(CASE WHEN s = 7 THEN code END) AS BIGINT) AS c7
+        |FROM codes GROUP BY vec_id ORDER BY vec_id LIMIT 100""".stripMargin) {
+      (s, _) =>
+        Similarity.pqCodes(s.table("embeddings"))
+          .orderBy("vec_id").limit(100)
+    },
+
     // exact top-k per stratum (k best docs per language by length,
     // deterministic doc_id tiebreak): two window passes Spark-side — a
     // salt-bucketed prune then the global rank — so one giant stratum

@@ -111,6 +111,38 @@ class SimilaritySpec extends SparkTestBase {
     assert(bounds.forall(r => r.getLong(0) <= 127L && r.getLong(1) >= -127L))
   }
 
+  test("pq codes: valid range, deterministic, and training tightens " +
+      "reconstruction error vs the seed codebooks") {
+    val books = Similarity.pqCodebooksTrained(emb)
+    val codes = Similarity.pqCodesWith(emb, books)
+    val rows = codes.collect()
+    assert(rows.nonEmpty)
+    (0 until 8).foreach { s =>
+      val vals = rows.map(_.getAs[Long](s"c$s"))
+      assert(vals.forall(c => c >= 0 && c < 16), s"c$s out of range")
+    }
+    // determinism: a second train+assign produces identical codes
+    val again = Similarity.pqCodes(emb).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // the trained books should reconstruct the corpus at least as well as
+    // the untrained seeds (k-means never increases within-cluster SSE on
+    // the sample; spot-check the full corpus mean here)
+    def sse(bs: Array[Array[Array[Double]]]): Double = {
+      val cs = Similarity.pqCodesWith(emb, bs).collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          (0 until 8).map(s => r.getAs[Long](s"c$s").toInt)).toMap
+      emb.collect().map { r =>
+        val id = r.getAs[Long]("vec_id")
+        val v = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble)
+        (0 until 8).flatMap { s =>
+          val cent = bs(s)(cs(id)(s))
+          (0 until 8).map(d => math.pow(v(s * 8 + d) - cent(d), 2))
+        }.sum
+      }.sum
+    }
+    assert(sse(books) <= sse(Similarity.pqSeedCodebooks(8, 16, 8)) + 1e-6)
+  }
+
   test("binary quantization packs sign bits exactly; hamming ranks by " +
       "xor popcount with deterministic ties") {
     import spark.implicits._

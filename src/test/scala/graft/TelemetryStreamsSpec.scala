@@ -136,6 +136,47 @@ class TelemetryStreamsSpec extends SparkTestBase {
     OtlpServe.otlpStop(spark, uri)
   }
 
+  test("otlp-seals: a consumer behind the retention cap fails loudly, " +
+      "never skips silently") {
+    val uri = "otlp:127.0.0.1:45855"
+    val sealRoot = java.nio.file.Files.createTempDirectory("msg_root").toString
+    val outDir = java.nio.file.Files.createTempDirectory("msg_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("msg_ckpt").toString
+    OtlpServe.otlpServe(spark, uri, Map(
+      "token" -> Token, "target" -> "parquet", "parquet_root" -> sealRoot,
+      "seal_max_age_ms" -> "3600000", "seal_target_bytes" -> "1073741824",
+      "stream_retain_seals" -> "2"))
+    def oneSeal(i: Int): Unit = {
+      val body =
+        s"""{"resourceLogs":[{"scopeLogs":[{"logRecords":[{"timeUnixNano":"${1640000000000000000L + i}","body":{"stringValue":"g$i"}}]}]}]}"""
+          .getBytes("UTF-8")
+      val code = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:45855/v1/logs"))
+          .header("Content-Type", "application/x-ndjson")
+          .header("Authorization", s"Bearer $Token")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode()
+      assert(code == 202)
+      OtlpServe.otlpFlush(spark, uri)
+    }
+    def drain(): Unit = {
+      val q = spark.readStream.format("otlp-seals")
+        .option("uri", uri).option("signal", "logs").load()
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    oneSeal(1)
+    drain() // checkpoint committed through seal 1
+    (2 to 5).foreach(oneSeal) // cap 2 retains {4,5}, evicts 2,3 → floor 3
+    val e = intercept[Exception] { drain() } // restart asks for (1, 5] — gone
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("fell behind retention")), msgs(e).mkString("|"))
+    OtlpServe.otlpStop(spark, uri)
+  }
+
   test("otlp-seals composes with the watermark analytics layer " +
       "(windowed severity rate over live seals, no storage round-trip)") {
     val uri = "otlp:127.0.0.1:45854"
