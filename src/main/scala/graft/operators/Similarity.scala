@@ -196,6 +196,38 @@ object Similarity {
     pqCodesWith(emb, pqCodebooksTrained(emb, m, k, subDims, sampleMod,
       idCol, vecCol), idCol, vecCol)
 
+  /** PQ/ADC approximate top-k: distance(query, x) ≈ Σ_s ‖q_s − cent_s(c_s)‖²
+    * — the asymmetric-distance serving path over PQ codes (Jégou et al.
+    * 2011 §IV). The query row broadcasts; each corpus row's distance is m
+    * codebook LOOKUPS (element_at into the plan-literal codebooks, indexed
+    * by the row's own code) + subDims-length squared diffs against the raw
+    * query subvector — no raw corpus vectors read at all, which is the
+    * point: at 100 TB the scan touches 4-byte codes, not 256-byte floats.
+    * round(4) before ordering + id tiebreak keep the top-k engine-stable. */
+  def annTopKPq(emb: DataFrame, queryId: Long, topK: Int, m: Int = 8,
+                k: Int = 16, subDims: Int = 8, sampleMod: Int = 5,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val books = pqCodebooksTrained(emb, m, k, subDims, sampleMod, idCol, vecCol)
+    val codes = pqCodesWith(emb, books, idCol, vecCol)
+    val q = broadcast(
+      emb.where(col(idCol) === queryId)
+        .select(asDouble(col(vecCol)).as("qv")))
+    val dist = (0 until m).map { s =>
+      val qsub = slice(col("qv"), s * subDims + 1, subDims)
+      val booksLit = array(books(s).map(c =>
+        array(c.map(lit(_)): _*)).toIndexedSeq: _*)
+      val cent = element_at(booksLit, col(s"c$s").cast("int") + 1)
+      aggregate(zip_with(qsub, cent, (x, cc) => (x - cc) * (x - cc)),
+        lit(0.0), (a, x) => a + x): Column
+    }.reduce(_ + _)
+    codes.where(col(idCol) =!= queryId)
+      .crossJoin(q)
+      .select(col(idCol), round(dist, 4).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol))
+      .limit(topK)
+  }
+
   /** Exact top-k by cosine similarity against the single query row
     * `idCol == queryId`. The query side is one row — Spark broadcasts it, so
     * this is a map-only scan + global top-k (no shuffle of the corpus). */

@@ -751,6 +751,53 @@ object TrainingData {
           .orderBy("vec_id").limit(100)
     },
 
+    // PQ/ADC top-k: the serving-side pair of ss_pq_codes — query-to-code
+    // lookup sums over the trained codebooks, no raw corpus vectors read
+    df("ss_ann_pq",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |seed AS (SELECT s, c, list_transform(generate_series(1, 8),
+        |    d -> (strpos('0123456789abcdef', substring(md5(concat(
+        |      s * 100 + c + 2000, '_', d - 1)), 1, 1)) - 8.5)) AS cent
+        |  FROM generate_series(0, 7) ts(s)
+        |  CROSS JOIN generate_series(0, 15) tc(c)),
+        |sub AS (SELECT vec_id, s,
+        |    list_transform(generate_series(1, 8), d -> v[s * 8 + d]) AS sv
+        |  FROM e CROSS JOIN generate_series(0, 7) ts(s)),
+        |s0 AS (SELECT vec_id, s, list(list_sum(list_transform(
+        |    generate_series(1, 8),
+        |    i -> (sv[i] - cent[i]) * (sv[i] - cent[i]))) ORDER BY c) AS dists
+        |  FROM sub JOIN seed USING (s) WHERE vec_id % 5 = 0
+        |  GROUP BY vec_id, s),
+        |a0 AS (SELECT vec_id, s,
+        |    list_position(dists, list_aggregate(dists, 'min')) - 1 AS code
+        |  FROM s0),
+        |tr AS (SELECT s, code, d, round(avg(sv[d]), 4) AS cd
+        |  FROM a0 JOIN sub USING (vec_id, s)
+        |  CROSS JOIN generate_series(1, 8) t(d)
+        |  GROUP BY s, code, d),
+        |tl AS (SELECT s, code, list(cd ORDER BY d) AS cent FROM tr
+        |  GROUP BY s, code),
+        |bk AS (SELECT seed.s, seed.c, coalesce(tl.cent, seed.cent) AS cent
+        |  FROM seed LEFT JOIN tl ON tl.s = seed.s AND tl.code = seed.c),
+        |fs AS (SELECT vec_id, s, list(list_sum(list_transform(
+        |    generate_series(1, 8),
+        |    i -> (sv[i] - cent[i]) * (sv[i] - cent[i]))) ORDER BY c) AS dists
+        |  FROM sub JOIN bk USING (s) GROUP BY vec_id, s),
+        |codes AS (SELECT vec_id, s,
+        |    list_position(dists, list_aggregate(dists, 'min')) - 1 AS code
+        |  FROM fs),
+        |q AS (SELECT s, sv AS qs FROM sub WHERE vec_id = 7),
+        |ad AS (SELECT codes.vec_id, list_sum(list_transform(
+        |    generate_series(1, 8),
+        |    i -> (qs[i] - cent[i]) * (qs[i] - cent[i]))) AS ds
+        |  FROM codes JOIN bk ON bk.s = codes.s AND bk.c = codes.code
+        |  JOIN q ON q.s = codes.s)
+        |SELECT vec_id, round(sum(ds), 4) AS adc_dist
+        |FROM ad WHERE vec_id <> 7 GROUP BY vec_id
+        |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin) { (s, _) =>
+      Similarity.annTopKPq(s.table("embeddings"), queryId = 7, topK = 10)
+    },
+
     // exact top-k per stratum (k best docs per language by length,
     // deterministic doc_id tiebreak): two window passes Spark-side — a
     // salt-bucketed prune then the global rank — so one giant stratum

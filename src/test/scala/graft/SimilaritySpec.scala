@@ -143,6 +143,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(sse(books) <= sse(Similarity.pqSeedCodebooks(8, 16, 8)) + 1e-6)
   }
 
+  test("pq/adc top-k: distances match a scala recomputation from codes " +
+      "and codebooks, ascending with id tiebreak") {
+    val top = Similarity.annTopKPq(emb, queryId = 7, topK = 5).collect()
+    assert(top.length == 5)
+    val ds = top.map(_.getAs[Double]("adc_dist")).toSeq
+    assert(ds == ds.sorted, "ascending ADC distance")
+    // recompute the winner's ADC distance directly
+    val books = Similarity.pqCodebooksTrained(emb)
+    val codes = Similarity.pqCodesWith(emb, books).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (0 until 8).map(s => r.getAs[Long](s"c$s").toInt)).toMap
+    val qv = emb.where(col("vec_id") === 7)
+      .collect().head.getSeq[Float](1).map(_.toDouble)
+    val bestId = top.head.getAs[Long]("vec_id")
+    val expect = (0 until 8).map { s =>
+      val cent = books(s)(codes(bestId)(s))
+      (0 until 8).map(d => math.pow(qv(s * 8 + d) - cent(d), 2)).sum
+    }.sum
+    assert(math.abs(top.head.getAs[Double]("adc_dist") - expect) < 1e-3,
+      s"got ${top.head.getAs[Double]("adc_dist")} want $expect")
+  }
+
   test("binary quantization packs sign bits exactly; hamming ranks by " +
       "xor popcount with deterministic ties") {
     import spark.implicits._
