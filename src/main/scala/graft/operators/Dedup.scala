@@ -220,6 +220,68 @@ object Dedup {
         max("cluster_size").as("cluster_size"))
   }
 
+  /** Exact-substring dedup (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better"): remove every duplicated run of at
+    * least `l` words, keeping only the corpus-wide FIRST occurrence. The
+    * paper builds a suffix array over the byte stream; the relational
+    * re-expression hashes every length-`l` word window (stride 1) — a run
+    * of m >= l words duplicated elsewhere has ALL of its windows
+    * duplicated, so marking words covered by any non-first duplicate
+    * window removes exactly the duplicated runs of length >= l, at word
+    * (not byte) granularity. Returns per-doc
+    * (n_words, removed_words, kept_words, kept_digest) where kept_digest
+    * is md5 of the space-joined surviving words — a byte-exact oracle
+    * check of WHICH words were cut, not just how many.
+    *
+    * Shape at 100 TB: windows explode to one row per word (the same rate
+    * as cdcChunkDedup) and shuffle once by md5 window hash — uniform keys,
+    * and the per-hash first-occurrence is a min(struct) aggregate, so a
+    * boilerplate window appearing in 10% of the corpus collapses per map
+    * partition BEFORE the shuffle (never a row_number window over a hot
+    * hash). Covered-word expansion multiplies only the DUPLICATE windows
+    * by l; the surviving-text rebuild groups words by doc_id (uniform).
+    * No stage is quadratic and nothing collects to the driver. */
+  def substringDedup(docs: DataFrame, l: Int = 8, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ws"))
+      .where(size(col("ws")) > 0)
+    // every length-l window, 1-based start pos, md5 of the joined words
+    val wins = base.where(size(col("ws")) >= l)
+      .select(col("doc_id"), posexplode(
+        expr(s"transform(sequence(1, size(ws) - ${l - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(ws, i, $l))))")).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+    // canonical first occurrence per hash (map-side-combinable min-struct)
+    val firsts = wins.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"),
+        count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+    // non-first occurrences of duplicated windows -> covered word indexes
+    val covered = wins.join(firsts, Seq("h"))
+      .where(struct(col("doc_id"), col("pos")) =!= col("f"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (l - 1))).as("idx"))
+      .distinct()
+    // rebuild the surviving text relationally (no per-word lambda scans):
+    // word rows anti-joined against covered indexes, re-assembled in order
+    val words = base.select(col("doc_id"),
+      posexplode(col("ws")).as(Seq("p0", "word")))
+      .select(col("doc_id"), (col("p0") + 1).as("idx"), col("word"))
+    val kept = words.join(covered, Seq("doc_id", "idx"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_words"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("idx"), col("word")))),
+            s => s.getField("word")))).as("kept_digest"))
+    base.select(col("doc_id"), size(col("ws")).cast("long").as("n_words"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") - coalesce(col("kept_words"), lit(0L)))
+          .as("removed_words"),
+        coalesce(col("kept_words"), lit(0L)).as("kept_words"),
+        coalesce(col("kept_digest"), md5(lit(""))).as("kept_digest"))
+  }
+
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, n: Int = 2): DataFrame = {
     val sh = shingles(docs, n).distinct()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))

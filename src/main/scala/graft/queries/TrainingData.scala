@@ -981,6 +981,38 @@ object TrainingData {
         .orderBy("doc_id").limit(100)
     },
 
+    // exact-substring dedup (Lee et al. 2021): every duplicated run of >= 8
+    // words is cut, corpus-wide first occurrence kept; kept_digest is the
+    // md5 of the surviving text — byte-exact check of WHICH words were cut
+    df("dd_substring_dedup",
+      """WITH raw AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |base AS (SELECT doc_id, ws FROM raw WHERE len(ws) > 0),
+        |wx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS pos
+        |  FROM base WHERE len(ws) >= 8),
+        |wins AS (SELECT doc_id, pos,
+        |  md5(array_to_string(list_slice(ws, pos, pos + 7), ' ')) AS h FROM wx),
+        |rn AS (SELECT doc_id, pos,
+        |  row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+        |  count(*) OVER (PARTITION BY h) AS cnt FROM wins),
+        |cv AS (SELECT doc_id, pos, unnest(generate_series(0, 7)) AS d
+        |  FROM rn WHERE cnt > 1 AND rn > 1),
+        |cov AS (SELECT DISTINCT doc_id, pos + d AS idx FROM cv),
+        |rm AS (SELECT doc_id, list(idx) AS rml FROM cov GROUP BY doc_id),
+        |j AS (SELECT base.doc_id, ws, coalesce(rml, []) AS rml
+        |  FROM base LEFT JOIN rm ON base.doc_id = rm.doc_id)
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(len(rml) AS BIGINT) AS removed_words,
+        |  CAST(len(ws) - len(rml) AS BIGINT) AS kept_words,
+        |  md5(coalesce(array_to_string(
+        |    list_filter(ws, (w, i) -> NOT list_contains(rml, i)), ' '), ''))
+        |    AS kept_digest
+        |FROM j ORDER BY doc_id LIMIT 100""".stripMargin) { (s, _) =>
+      Dedup.substringDedup(s.table("documents"))
+        .orderBy("doc_id").limit(100)
+    },
+
     // PII redaction over text with deterministic synthetic PII appended in
     // the query itself (the corpus is clean), so counts and the redacted
     // digest are non-degenerate on BOTH engines

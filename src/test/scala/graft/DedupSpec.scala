@@ -107,4 +107,31 @@ class DedupSpec extends SparkTestBase {
     assert(enShare < 0.35, s"en kept share $enShare should be near 0.1")
     assert(deShare > 0.6, s"de kept share $deShare should be near 0.9")
   }
+
+  test("substring dedup removes duplicated runs >= l, keeps first occurrence") {
+    import spark.implicits._
+    val run = (1 to 10).map(i => s"run$i").mkString(" ") // 10 shared words
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, run + " tail1 tail2 tail3"),       // first occurrence of the run
+      (2L, "lead1 lead2 " + run),             // later copy of the run
+      (3L, run),                              // exact copy, nothing survives
+      (4L, "only seven words live here now ok") // < l: no windows at all
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(docs, l = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    // doc 0 unique, doc 1 is the canonical first occurrence: untouched
+    assert(got(0L) == ((10L, 0L, 10L, got(0L)._4)))
+    assert(got(1L)._2 == 0L && got(1L)._3 == 13L)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 2: exactly the 10 run words cut, the 2 lead words survive
+    assert(got(2L) == ((12L, 10L, 2L, md5hex("lead1 lead2"))))
+    // doc 3: every word covered -> empty survivor digest
+    assert(got(3L) == ((10L, 10L, 0L, md5hex(""))))
+    // doc 4: too short to window, fully kept
+    assert(got(4L)._2 == 0L && got(4L)._3 == 7L)
+  }
 }
