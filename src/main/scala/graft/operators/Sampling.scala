@@ -68,4 +68,66 @@ object Sampling {
       .withColumn("rank_in_stratum", row_number().over(global))
       .where(col("rank_in_stratum") <= k)
   }
+
+  /** Per-stratum keep rates for token-budget mixture sampling: stratum s
+    * keeps rate_s = min(1, budget * weight(s) / tokens_s), so the sampled
+    * token mass approaches the target mixture `budget * weight` per
+    * stratum (the "data mixing" step of corpus curation — rebalance
+    * languages/sources to target shares under a total token budget).
+    * Strata without a listed weight get rate 0 (excluded). Rate is
+    * rounded to 6 decimals BEFORE the keep comparison so both engines
+    * threshold the identical value. */
+  def mixtureRates(docs: DataFrame, weights: Map[String, Double],
+                   budgetTokens: Long, strataCol: String = "lang",
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val weight = weights.foldLeft(lit(0.0)) { case (acc, (s, w)) =>
+      when(col(strataCol) === s, lit(w)).otherwise(acc)
+    }
+    docs.select(col(strataCol),
+        size(Dedup.tokens(col(textCol))).cast("long").as("tok"))
+      .groupBy(strataCol)
+      .agg(count(lit(1)).as("total_docs"), sum("tok").as("total_tokens"))
+      .withColumn("weight", weight)
+      .withColumn("rate", least(lit(1.0),
+        round(lit(budgetTokens.toDouble) * col("weight")
+          / col("total_tokens"), 6)))
+  }
+
+  /** The mixture-sampled corpus: `docs` filtered to rows whose md5-derived
+    * unit value falls under their stratum's rate.
+    *
+    * Shape at 100 TB: one partial-agg pass computes per-stratum token
+    * totals (a stratum-count-sized frame, broadcast back), then the keep
+    * decision is a pure map-side md5 filter — same row, same verdict, any
+    * engine, any partitioning. The corpus itself never shuffles. */
+  def mixtureSample(docs: DataFrame, weights: Map[String, Double],
+                    budgetTokens: Long, strataCol: String = "lang",
+                    salt: String = "mix", idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val rates = mixtureRates(docs, weights, budgetTokens, strataCol, idCol,
+      textCol).select(col(strataCol), col("rate"))
+    docs.join(broadcast(rates), Seq(strataCol))
+      .where(hashUnit(col(idCol), salt) < col("rate"))
+      .drop("rate")
+  }
+
+  /** Per-stratum audit report of the mixture sample: totals, weight, rate,
+    * and what the deterministic sample actually kept (docs + tokens) —
+    * the table a curation run publishes next to the sampled corpus. */
+  def mixtureReport(docs: DataFrame, weights: Map[String, Double],
+                    budgetTokens: Long, strataCol: String = "lang",
+                    salt: String = "mix", idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val rates = mixtureRates(docs, weights, budgetTokens, strataCol, idCol,
+      textCol)
+    docs.select(col(strataCol), col(idCol),
+        size(Dedup.tokens(col(textCol))).cast("long").as("tok"))
+      .join(broadcast(rates), Seq(strataCol))
+      .withColumn("kept", hashUnit(col(idCol), salt) < col("rate"))
+      .groupBy(col(strataCol), col("total_docs"), col("total_tokens"),
+        col("weight"), col("rate"))
+      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("sampled_docs"),
+        sum(when(col("kept"), col("tok")).otherwise(0L)).as("sampled_tokens"))
+  }
 }

@@ -588,6 +588,40 @@ object TrainingData {
         .orderBy("lang")
     },
 
+    // token-budget mixture sampling: per-language keep rates min(1,
+    // budget*w/tokens) so sampled token mass tracks the target mixture;
+    // the keep decision is the shared md5 unit hash (salt 'mix')
+    df("ta_mixture_sample",
+      """WITH toks AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS tok FROM documents),
+        |tot AS (SELECT lang, count(*) AS total_docs,
+        |  CAST(sum(tok) AS BIGINT) AS total_tokens FROM toks GROUP BY lang),
+        |wt AS (SELECT lang, total_docs, total_tokens,
+        |  CAST(CASE lang WHEN 'en' THEN 0.35 WHEN 'de' THEN 0.2
+        |    WHEN 'es' THEN 0.2 WHEN 'fr' THEN 0.15 ELSE 0.0 END AS DOUBLE)
+        |    AS weight FROM tot),
+        |rt AS (SELECT *, least(1.0,
+        |  round(10000.0 * weight / total_tokens, 6)) AS rate FROM wt),
+        |j AS (SELECT t.lang, t.tok, r.total_docs, r.total_tokens, r.weight,
+        |  r.rate,
+        |  CAST(list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |      substring(md5(concat('mix', CAST(t.doc_id AS VARCHAR))), i, 1)) - 1)
+        |      * 16.0 ** (8 - i))) AS DOUBLE) / 4294967296.0 < r.rate AS kept
+        |  FROM toks t JOIN rt r USING (lang))
+        |SELECT lang, total_docs, total_tokens, weight, rate,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs,
+        |  CAST(sum(CASE WHEN kept THEN tok ELSE 0 END) AS BIGINT)
+        |    AS sampled_tokens
+        |FROM j GROUP BY lang, total_docs, total_tokens, weight, rate
+        |ORDER BY lang""".stripMargin) { (s, _) =>
+      graft.operators.Sampling.mixtureReport(s.table("documents"),
+          weights = Map("en" -> 0.35, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.15),
+          budgetTokens = 10000L)
+        .orderBy("lang")
+    },
+
     // benchmark decontamination: docs outside src0 checked for 5-gram
     // overlap against the src0 "eval set" — the broadcast-eval-grams shape
     // (the corpus is never shuffled by gram, only rolled up per doc)

@@ -108,6 +108,38 @@ class DedupSpec extends SparkTestBase {
     assert(deShare > 0.6, s"de kept share $deShare should be near 0.9")
   }
 
+  test("mixture sampling: rates hit the token budget, unlisted strata drop") {
+    import spark.implicits._
+    // 100 docs of 10 words per lang -> 1000 tokens per stratum
+    val docs = (0 until 300).map { i =>
+      (i.toLong, Seq("a", "b", "c")(i % 3), ("w " * 10).trim)
+    }.toDF("doc_id", "lang", "text")
+    val report = Sampling.mixtureReport(docs,
+        weights = Map("a" -> 0.8, "b" -> 0.2), budgetTokens = 500L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // rate_a = min(1, 500*0.8/1000) = 0.4; rate_b = 0.1; c unlisted -> 0
+    assert(report("a").getAs[Double]("rate") == 0.4)
+    assert(report("b").getAs[Double]("rate") == 0.1)
+    assert(report("c").getAs[Double]("rate") == 0.0)
+    assert(report("c").getAs[Long]("sampled_docs") == 0L)
+    // sampled tokens = 10 * sampled docs, and the sampled-docs view agrees
+    val sampled = Sampling.mixtureSample(docs,
+        weights = Map("a" -> 0.8, "b" -> 0.2), budgetTokens = 500L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("a", "b").foreach { l =>
+      assert(report(l).getAs[Long]("sampled_tokens") ==
+        10 * report(l).getAs[Long]("sampled_docs"))
+      assert(sampled(l) == report(l).getAs[Long]("sampled_docs"))
+    }
+    assert(!sampled.contains("c"))
+    // a big enough budget keeps everything (rate caps at 1)
+    val full = Sampling.mixtureReport(docs, Map("a" -> 1.0), 100000L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(full("a").getAs[Double]("rate") == 1.0)
+    assert(full("a").getAs[Long]("sampled_docs") == 100L)
+  }
+
   test("substring dedup removes duplicated runs >= l, keeps first occurrence") {
     import spark.implicits._
     val run = (1 to 10).map(i => s"run$i").mkString(" ") // 10 shared words
