@@ -123,8 +123,10 @@ final class SealWriter(cfg: ServerConfig, spark: SparkSession) {
     if (keptRows.size == total) batch.copy(priorSegments = Nil)
     else batch.copy(
       rows = keptRows,
-      admittedBytes = batch.admittedBytes * keptRows.size / total,
-      wireBytes = batch.wireBytes * keptRows.size / total,
+      // ceil, not floor: the kept batch must never under-hold admission
+      // bytes (the early release for dropped rows is the floored remainder)
+      admittedBytes = (batch.admittedBytes * keptRows.size + total - 1) / total,
+      wireBytes = (batch.wireBytes * keptRows.size + total - 1) / total,
       priorSegments = Nil)
   }
 
