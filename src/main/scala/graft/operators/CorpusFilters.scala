@@ -133,6 +133,43 @@ object CorpusFilters {
       .withColumn("dropped_chunks", col("n_chunks") - col("kept_chunks"))
   }
 
+  /** Line-level corpus dedup (the CCNet/RefinedWeb boilerplate strip —
+    * Wenzek et al. 2020 §3.1, Penedo et al. 2023): a trimmed non-empty
+    * line appearing in at least `minDocs` DISTINCT documents is removed
+    * from EVERY document (nav bars, cookie banners, license footers). This
+    * differs from `chunkDedup` on purpose: chunk dedup keeps the first
+    * copy of duplicated content; boilerplate lines are noise in all their
+    * copies, so none survives. Returns per-doc (n_lines, removed_lines,
+    * kept_lines, kept_digest) where kept_digest is md5 of the surviving
+    * trimmed lines newline-joined in original order — a byte-exact check
+    * of WHICH lines were cut.
+    *
+    * Shape at 100 TB: one explode to line rows, one distinct-doc count per
+    * line hash (Spark plans partial distinct aggregation, so a banner in
+    * 10% of the corpus collapses per map partition before the shuffle),
+    * one uniform hash join back, one per-doc rollup. No window over the
+    * corpus, nothing on the driver. */
+  def lineDedup(docs: DataFrame, minDocs: Int = 2,
+                textCol: String = "text"): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      posexplode(transform(split(col(textCol), "\n"), l => trim(l)))
+        .as(Seq("pos", "line")))
+      .where(length(col("line")) > 0)
+    val lines = base.withColumn("h", md5(col("line")))
+    val freq = lines.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("dcnt"))
+    val flagged = lines.join(freq, Seq("h"))
+      .withColumn("removed", col("dcnt") >= minDocs)
+    flagged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("removed_lines"),
+        sum(when(!col("removed"), 1L).otherwise(0L)).as("kept_lines"),
+        md5(coalesce(concat_ws("\n",
+          transform(array_sort(collect_list(
+            when(!col("removed"), struct(col("pos"), col("line"))))),
+            s => s.getField("line"))), lit(""))).as("kept_digest"))
+  }
+
   /** Content-defined chunking dedup: chunk boundaries come from the CONTENT
     * (a word is a chunk end when the md5 of the 4-word window ending at it
     * starts with hex '0' — 1/16 odds, ~16-word mean chunks), so an

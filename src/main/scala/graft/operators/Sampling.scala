@@ -112,6 +112,46 @@ object Sampling {
       .drop("rate")
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw document
+    * by how target-like its hashed unigram distribution is. Words hash
+    * into `buckets` buckets (md5-derived — engine/partitioning-portable);
+    * the weight is the mean over a document's tokens of
+    * ln(p_target(bucket)/p_raw(bucket)) with add-one smoothing, round(4)ed
+    * — positive means the doc's vocabulary leans toward the target corpus,
+    * the signal DSIR resamples on (the paper sums log-ratios; the mean is
+    * the length-normalized variant so long docs aren't auto-extreme).
+    *
+    * Shape at 100 TB: two partial-agg passes produce `buckets`-row count
+    * tables (kilobytes, broadcast back as a log-ratio lookup); scoring is
+    * then explode → broadcast join → per-doc rollup. The corpora shuffle
+    * only on uniform keys (bucket id, doc id); nothing touches the driver. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, buckets: Int = 64,
+                  salt: String = "dsir", idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def tokenBuckets(df: DataFrame) = df
+      .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("term"))
+      .withColumn("bucket", floor(hashUnit(col("term"), salt) * buckets))
+    def bucketCounts(tb: DataFrame) =
+      tb.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val rawToks = tokenBuckets(raw)
+    val allBuckets = raw.sparkSession.range(buckets).select(col("id").as("bucket"))
+    def dist(tb: DataFrame, cntName: String, totName: String) = allBuckets
+      .join(bucketCounts(tb), Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("cnt"), lit(0L)).as(cntName))
+      .crossJoin(broadcast(tb.agg(count(lit(1)).cast("double").as(totName))))
+    val ratio = dist(tokenBuckets(target), "ct", "tt")
+      .join(dist(rawToks, "cr", "tr"), Seq("bucket"))
+      .select(col("bucket"),
+        (log((col("ct") + 1).cast("double") / (col("tt") + buckets)) -
+          log((col("cr") + 1).cast("double") / (col("tr") + buckets))).as("lr"))
+    rawToks.join(broadcast(ratio), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg("lr"), 4).as("dsir_weight"))
+  }
+
   /** Per-stratum audit report of the mixture sample: totals, weight, rate,
     * and what the deterministic sample actually kept (docs + tokens) —
     * the table a curation run publishes next to the sampled corpus. */

@@ -385,6 +385,71 @@ object Similarity {
       .limit(k)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster embeddings with
+    * the trained coarse quantizer, then WITHIN each cluster mark every
+    * vector that has an earlier (smaller-id) cluster-mate at cosine >=
+    * `threshold` as a semantic duplicate. Returns (id, cell, dropped) for
+    * every vector — survivors are `!dropped`.
+    *
+    * Shape at 100 TB: the clustering step is exactly what bounds the
+    * quadratic — the pairwise join runs per cell (shuffle keyed by cell,
+    * O(sum cell_size^2) not O(n^2)), which is the paper's own design: pick
+    * k ~ n/target_cell_size so cells stay bounded and the join never sees
+    * two vectors from different cells. The similarity is round(4)ed before
+    * the threshold so an engine-ulp difference cannot flip a verdict. */
+  def semDedup(emb: DataFrame, centroids: Int, dims: Int, threshold: Double,
+               sampleMod: Int = 5, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    // the pairwise pass runs millions of 64-dim dots; the interpreted
+    // zip_with/aggregate lambdas cost ~6 dispatches per dimension PER PAIR
+    // (dd_semdedup: 237 s -> ~2 s at sf0.1). Native array_dot + norms
+    // hoisted to one per ROW keep the pair kernel a single codegen'd call;
+    // sum order is unchanged, so round(4) values are bit-identical
+    graft.functions.ArrayDot.register(emb.sparkSession)
+    val cells = ivfCellsTrained(emb, centroids, dims, sampleMod, idCol, vecCol)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"), col("cell"))
+      .withColumn("nrm", norm(col("v")))
+    val dups = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .where(round(expr("array_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm")),
+        4) >= threshold)
+      .select(col("b.id").as("id")).distinct()
+    cells.join(dups.withColumn("dropped", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cell"),
+        coalesce(col("dropped"), lit(false)).as("dropped"))
+  }
+
+  /** Prototypicality pruning signal (Sorscher et al. 2022, "Beyond neural
+    * scaling laws: beating power law scaling via data pruning"): each
+    * vector's cosine to its OWN label's centroid, ranked within the label
+    * (rank 1 = most prototypical; ties break to the smaller id). Data
+    * pruning keeps the hard/unusual tail and drops redundant prototypes —
+    * this emits the per-label ordering that decision reads from.
+    *
+    * Shape at 100 TB: the centroid pass is a per-dimension partial
+    * aggregate producing a (labels × dims)-row frame — kilobytes —
+    * broadcast back; scoring is map-only; the only window partitions by
+    * label (balanced strata; for a single monster label, feed this
+    * through the stratumTopK two-pass shape instead). Centroids and
+    * similarities are round(4)ed so both engines agree bit-for-bit. */
+  def prototypicality(emb: DataFrame, dims: Int, idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      labelCol: String = "label"): DataFrame = {
+    val cents = emb
+      .select(col(labelCol), posexplode(asDouble(col(vecCol))))
+      .groupBy(labelCol, "pos").agg(round(avg("col"), 4).as("cd"))
+      .groupBy(labelCol)
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cd")))),
+        s => s.getField("cd")).as("cent"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(labelCol).orderBy(col("proto_sim").desc, col(idCol))
+    emb.join(broadcast(cents), Seq(labelCol))
+      .select(col(idCol), col(labelCol),
+        round(cosine(asDouble(col(vecCol)), col("cent")), 4).as("proto_sim"))
+      .withColumn("rank_in_label", row_number().over(w))
+  }
+
   /** Near-duplicate detection by embedding cosine over an explicit pair list
     * (id_a, id_b): returns pairs with similarity >= threshold. */
   def embeddingNearDups(emb: DataFrame, pairs: DataFrame, threshold: Double,

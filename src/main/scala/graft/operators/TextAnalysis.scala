@@ -133,6 +133,63 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"), round(avg("nll"), 4).as("surprisal"))
   }
 
+  /** Per-stratum quality-median filter: keep documents whose quality score
+    * clears their own stratum's (e.g. language's) exact median — the
+    * per-language thresholding that avoids one language's score scale
+    * starving another (a single global cutoff would). Returns every doc
+    * with its stratum median and the keep verdict; median and quality are
+    * rounded so the comparison is engine-exact.
+    *
+    * Shape at 100 TB: quality is map-only; the exact per-stratum
+    * percentile aggregates a strata-count-sized frame (broadcast back);
+    * the verdict is a map-side comparison. The corpus never sorts
+    * globally — only the tiny per-stratum aggregate does. */
+  def qualityAboveMedian(docs: DataFrame, strataCol: String = "lang",
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val q = qualityScore(docs, textCol)
+      .select(col(idCol), col("quality"))
+      .join(docs.select(col(idCol), col(strataCol)), Seq(idCol))
+    val med = q.groupBy(strataCol)
+      .agg(round(expr("percentile(quality, 0.5)"), 4).as("stratum_median"))
+    q.join(broadcast(med), Seq(strataCol))
+      .select(col(idCol), col(strataCol), col("quality"),
+        col("stratum_median"),
+        (col("quality") >= col("stratum_median")).as("keep"))
+  }
+
+  /** Mean BIGRAM surprisal under the corpus bigram LM with add-one
+    * smoothing — the KenLM-style step up from `unigramSurprisal`:
+    * -ln((c(prev,cur)+1)/(c(prev)+V)) averaged over a document's bigrams.
+    * Fluent text scores low (its word transitions are common corpus-wide);
+    * shuffled or templated word salad scores high even when its unigrams
+    * are ordinary — exactly the signal the unigram model cannot see.
+    * Plan: one bigram explode, bigram/unigram frequency partial aggs,
+    * joins on uniform (prev,cur)/(prev) keys, broadcast 1-row vocab stat,
+    * per-doc rollup. Rounded to 4 decimals for engine-portable ln. */
+  def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol),
+      filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0).as("ws"))
+    val toks = base.select(col(idCol), explode(col("ws")).as("term"))
+    val bg = base.where(size(col("ws")) >= 2)
+      .select(col(idCol), explode(
+        transform(sequence(lit(1), size(col("ws")) - 1), i =>
+          struct(element_at(col("ws"), i).as("prev"),
+            element_at(col("ws"), i + 1).as("cur")))).as("b"))
+      .select(col(idCol), col("b.prev"), col("b.cur"))
+    val bfreq = bg.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+    val ufreq = toks.groupBy("term").agg(count(lit(1)).as("cu"))
+    val stats = broadcast(ufreq.agg(count(lit(1)).cast("double").as("vocab")))
+    bg.join(bfreq, Seq("prev", "cur"))
+      .join(ufreq.withColumnRenamed("term", "prev"), Seq("prev"))
+      .crossJoin(stats)
+      .withColumn("nll",
+        -log((col("cb") + 1).cast("double") / (col("cu") + col("vocab"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg("nll"), 4).as("surprisal"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al.): hash every character
     * `k`-gram (rolling window over the text; hash = first 8 hex chars of
     * md5), then keep the minimum hash of every `w`-hash window — the

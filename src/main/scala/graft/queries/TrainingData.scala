@@ -1101,6 +1101,194 @@ object TrainingData {
         .groupBy("grp", "shard")
         .agg(count(lit(1)).as("docs"), sum(col("toks")).as("tokens"))
         .orderBy("grp", "shard")
+    },
+
+    // SemDeDup (Abbas et al. 2023): trained-IVF clustering bounds the
+    // pairwise cosine pass per cell; a vector with an earlier cluster-mate
+    // at round(cos,4) >= 0.3 is a semantic duplicate. The oracle recomputes
+    // the full train→assign→within-cell-pairs chain
+    df("dd_semdedup",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cn AS (SELECT p, c, sqrt(list_sum(list_transform(generate_series(1, 64), i -> c[i] * c[i]))) AS nc
+        |  FROM (SELECT p, list_transform(generate_series(1, 64),
+        |    d -> (strpos('0123456789abcdef', substring(md5(concat(p + 1000, '_', d - 1)), 1, 1)) - 8.5)) AS c
+        |  FROM generate_series(0, 7) t(p)) x),
+        |s0 AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN cn WHERE vec_id % 5 = 0 GROUP BY vec_id),
+        |c0 AS (SELECT vec_id, list_position(scores, list_aggregate(scores, 'max')) - 1 AS cell FROM s0),
+        |tr AS (SELECT cell, d, round(avg(v[d]), 4) AS cd
+        |  FROM c0 JOIN e USING (vec_id) CROSS JOIN generate_series(1, 64) t(d)
+        |  GROUP BY cell, d),
+        |tl AS (SELECT cell, list(cd ORDER BY d) AS c FROM tr GROUP BY cell),
+        |tc AS (SELECT cn.p, coalesce(tl.c, cn.c) AS c,
+        |  sqrt(list_sum(list_transform(generate_series(1, 64),
+        |    i -> coalesce(tl.c, cn.c)[i] * coalesce(tl.c, cn.c)[i]))) AS nc
+        |  FROM cn LEFT JOIN tl ON tl.cell = cn.p),
+        |scored AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN tc GROUP BY vec_id),
+        |cells AS (SELECT s.vec_id, e.v,
+        |  list_position(s.scores, list_aggregate(s.scores, 'max')) - 1 AS cell
+        |  FROM scored s JOIN e ON e.vec_id = s.vec_id),
+        |dup AS (SELECT DISTINCT b.vec_id AS id
+        |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(
+        |    list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * a.v[i]))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.v[i] * b.v[i])))), 4) >= 0.3)
+        |SELECT c.vec_id, c.cell, (d.id IS NOT NULL) AS dropped
+        |FROM cells c LEFT JOIN dup d ON d.id = c.vec_id
+        |ORDER BY c.vec_id LIMIT 200""".stripMargin) { (s, _) =>
+      Similarity.semDedup(s.table("embeddings"), centroids = 8, dims = 64,
+          threshold = 0.3)
+        .orderBy("vec_id").limit(200)
+    },
+
+    // line-level corpus dedup (CCNet/RefinedWeb boilerplate strip): a
+    // trimmed line in >= 2 distinct docs is removed from ALL docs (unlike
+    // chunk dedup's keep-first); kept_digest proves WHICH lines survive.
+    // The corpus is single-line, so the query itself appends deterministic
+    // boilerplate (one line shared by all docs, one by even docs) plus a
+    // unique ref line — same synthetic-fixture trick as ta_redact_pii
+    df("dd_line_dedup",
+      """WITH d AS (SELECT doc_id,
+        |  text || chr(10) || 'subscribe to our newsletter today' || chr(10)
+        |    || CASE WHEN doc_id % 2 = 0
+        |         THEN 'all rights reserved' || chr(10) ELSE '' END
+        |    || 'ref ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents),
+        |raw AS (SELECT doc_id,
+        |  list_transform(regexp_split_to_array(text, '\n'), l -> trim(l)) AS ls
+        |  FROM d),
+        |lx AS (SELECT doc_id, unnest(ls) AS line,
+        |  generate_subscripts(ls, 1) AS pos FROM raw),
+        |nz AS (SELECT doc_id, pos, line, md5(line) AS h FROM lx
+        |  WHERE len(line) > 0),
+        |fq AS (SELECT h, count(DISTINCT doc_id) AS dcnt FROM nz GROUP BY h),
+        |fl AS (SELECT nz.doc_id, nz.pos, nz.line, fq.dcnt >= 2 AS removed
+        |  FROM nz JOIN fq USING (h))
+        |SELECT doc_id, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS removed_lines,
+        |  CAST(sum(CASE WHEN NOT removed THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines,
+        |  md5(coalesce(string_agg(CASE WHEN NOT removed THEN line END,
+        |    chr(10) ORDER BY pos), '')) AS kept_digest
+        |FROM fl GROUP BY doc_id ORDER BY doc_id LIMIT 100""".stripMargin) { (s, _) =>
+      graft.operators.CorpusFilters.lineDedup(
+          s.table("documents").withColumn("text",
+            concat(col("text"), lit("\nsubscribe to our newsletter today\n"),
+              when(col("doc_id") % 2 === 0, lit("all rights reserved\n"))
+                .otherwise(lit("")),
+              lit("ref "), col("doc_id").cast("string"))))
+        .orderBy("doc_id").limit(100)
+    },
+
+    // bigram-LM surprisal (KenLM-style): -ln((c(prev,cur)+1)/(c(prev)+V))
+    // averaged per doc — word-order-aware fluency the unigram LM can't see
+    df("ta_bigram_surprisal",
+      """WITH toks AS (SELECT doc_id, list_filter(
+        |  regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |bg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS prev,
+        |  unnest(w[2:len(w)]) AS cur FROM toks WHERE len(w) >= 2),
+        |bf AS (SELECT prev, cur, count(*) AS cb FROM bg GROUP BY prev, cur),
+        |uf AS (SELECT t AS term, count(*) AS cu FROM (
+        |  SELECT unnest(w) AS t FROM toks) x GROUP BY t),
+        |vv AS (SELECT CAST(count(*) AS DOUBLE) AS vocab FROM uf),
+        |n AS (SELECT doc_id, -ln((cb + 1) / (cu + vocab)) AS nll
+        |  FROM bg JOIN bf USING (prev, cur)
+        |  JOIN uf ON uf.term = bg.prev CROSS JOIN vv)
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 4) AS surprisal
+        |FROM n GROUP BY doc_id ORDER BY doc_id LIMIT 100""".stripMargin) { (s, _) =>
+      TextAnalysis.bigramSurprisal(s.table("documents"))
+        .orderBy("doc_id").limit(100)
+    },
+
+    // prototypicality (Sorscher et al. 2022): cosine to the OWN label's
+    // centroid, ranked within label — the data-pruning order (drop
+    // redundant prototypes, keep the informative tail)
+    df("ss_prototypicality",
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |cd AS (SELECT label, d, round(avg(v[d]), 4) AS c
+        |  FROM e CROSS JOIN generate_series(1, 64) t(d) GROUP BY label, d),
+        |cl AS (SELECT label, list(c ORDER BY d) AS cent FROM cd GROUP BY label),
+        |s AS (SELECT e.vec_id, e.label,
+        |  round(list_sum(list_transform(generate_series(1, 64), i -> v[i] * cent[i])) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64), i -> v[i] * v[i]))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64), i -> cent[i] * cent[i])))), 4) AS proto_sim
+        |  FROM e JOIN cl USING (label)),
+        |r AS (SELECT vec_id, label, proto_sim,
+        |  CAST(row_number() OVER (PARTITION BY label
+        |    ORDER BY proto_sim DESC, vec_id) AS INTEGER) AS rank_in_label
+        |  FROM s)
+        |SELECT vec_id, label, proto_sim, rank_in_label FROM r
+        |ORDER BY label, rank_in_label LIMIT 200""".stripMargin) { (s, _) =>
+      Similarity.prototypicality(s.table("embeddings"), dims = 64)
+        .orderBy("label", "rank_in_label").limit(200)
+    },
+
+    // per-stratum quality-median filter: keep docs at/above their own
+    // language's exact median quality (percentile_cont ≡ Spark percentile;
+    // quality is quarter-valued so every median is binary-exact)
+    df("ta_quality_above_median",
+      """WITH w AS (SELECT doc_id, lang, text,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS words
+        |  FROM documents),
+        |f AS (SELECT doc_id, lang,
+        |  CAST(len(words) AS BIGINT) AS word_cnt,
+        |  round(CAST(len(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(words), 4) AS mean_word_len,
+        |  round(CAST(len(list_filter(words, x -> x IN ('the','a','an','and','of','to','in','is'))) AS DOUBLE) / len(words), 4) AS stop_ratio,
+        |  round(CAST(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / greatest(len(text), 1), 4) AS punct_ratio
+        |  FROM w),
+        |q AS (SELECT doc_id, lang,
+        |  round((CASE WHEN word_cnt BETWEEN 5 AND 100000 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN stop_ratio > 0.01 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN punct_ratio < 0.2 THEN 0.25 ELSE 0.0 END), 2) AS quality
+        |  FROM f),
+        |m AS (SELECT lang, round(percentile_cont(0.5)
+        |  WITHIN GROUP (ORDER BY quality), 4) AS stratum_median
+        |  FROM q GROUP BY lang)
+        |SELECT doc_id, lang, quality, stratum_median,
+        |  quality >= stratum_median AS keep
+        |FROM q JOIN m USING (lang)
+        |ORDER BY doc_id LIMIT 200""".stripMargin) { (s, _) =>
+      TextAnalysis.qualityAboveMedian(s.table("documents"))
+        .orderBy("doc_id").limit(200)
+    },
+
+    // DSIR importance weights (Xie et al. 2023): hashed-unigram log-ratio
+    // of target (src0) vs raw distributions, mean per doc; the bucket hash
+    // is the shared md5 unit-hash scaled to 64 buckets
+    df("ta_dsir_weight",
+      """WITH toks AS (SELECT doc_id, source, list_filter(
+        |  regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |tx AS (SELECT doc_id, source, unnest(w) AS t FROM toks),
+        |bx AS (SELECT doc_id, source,
+        |  CAST(floor(CAST(list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |      substring(md5(concat('dsir', t)), i, 1)) - 1)
+        |      * 16.0 ** (8 - i))) AS DOUBLE) / 4294967296.0 * 64) AS BIGINT)
+        |    AS bucket FROM tx),
+        |tc AS (SELECT bucket, count(*) AS ct FROM bx WHERE source = 'src0'
+        |  GROUP BY bucket),
+        |ttot AS (SELECT CAST(count(*) AS DOUBLE) AS tt FROM bx
+        |  WHERE source = 'src0'),
+        |rc AS (SELECT bucket, count(*) AS cr FROM bx GROUP BY bucket),
+        |rtot AS (SELECT CAST(count(*) AS DOUBLE) AS tr FROM bx),
+        |ab AS (SELECT CAST(b AS BIGINT) AS bucket FROM generate_series(0, 63) t(b)),
+        |lr AS (SELECT ab.bucket,
+        |  ln((coalesce(tc.ct, 0) + 1) / (ttot.tt + 64))
+        |    - ln((coalesce(rc.cr, 0) + 1) / (rtot.tr + 64)) AS lr
+        |  FROM ab LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+        |  CROSS JOIN ttot CROSS JOIN rtot)
+        |SELECT doc_id, count(*) AS n_tokens, round(avg(l.lr), 4) AS dsir_weight
+        |FROM bx JOIN lr l USING (bucket)
+        |GROUP BY doc_id ORDER BY doc_id LIMIT 100""".stripMargin) { (s, _) =>
+      val d = s.table("documents")
+      graft.operators.Sampling.dsirWeights(d, d.where(col("source") === "src0"))
+        .orderBy("doc_id").limit(100)
     }
   )
 }

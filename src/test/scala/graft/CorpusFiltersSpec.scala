@@ -180,4 +180,62 @@ class CorpusFiltersSpec extends SparkTestBase {
       .where(col("t") >= lit(64L) + maxToks).count()
     assert(over == 0L)
   }
+
+  test("line dedup removes boilerplate from ALL docs (no keep-first), " +
+    "trims before matching, and digests the survivors") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Seq(
+      1L -> "unique first line.\nSubscribe now!\ncontent of doc one",
+      2L -> "Subscribe now!\ncontent of doc two",
+      // trimmed match + empty lines ignored
+      3L -> "  Subscribe now!  \n\nclosing line of doc three")
+      .toDF("doc_id", "text")
+    val got = CorpusFilters.lineDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("removed_lines"),
+          r.getAs[Long]("kept_lines"), r.getAs[String]("kept_digest")))).toMap
+    // 'Subscribe now!' is in 3 distinct docs -> removed EVERYWHERE,
+    // including its first occurrence
+    assert(got(1L) == ((3L, 1L, 2L,
+      md5hex("unique first line.\ncontent of doc one"))))
+    assert(got(2L) == ((2L, 1L, 1L, md5hex("content of doc two"))))
+    // the empty line never counts; the trimmed boilerplate still matches
+    assert(got(3L) == ((2L, 1L, 1L, md5hex("closing line of doc three"))))
+  }
+
+  test("quality-above-median: kept iff quality clears the OWN stratum's " +
+    "median; at least half of every stratum is kept") {
+    Tables.register(spark, sfDir)
+    val rows = graft.operators.TextAnalysis
+      .qualityAboveMedian(spark.table("documents")).collect()
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val med = rs.head.getAs[Double]("stratum_median")
+      assert(rs.forall(_.getAs[Double]("stratum_median") == med))
+      rs.foreach { r =>
+        assert(r.getAs[Boolean]("keep") ==
+          (r.getAs[Double]("quality") >= med), s"$lang keep flag")
+      }
+      val kept = rs.count(_.getAs[Boolean]("keep"))
+      assert(kept * 2 >= rs.length, s"$lang: median property keeps >= half")
+    }
+  }
+
+  test("bigram surprisal: hand-computed add-one values; frequent " +
+    "transitions score below rare ones") {
+    import spark.implicits._
+    // corpus: unigrams a:3 b:2 x:1 y:1 -> V=4
+    // doc 1 bigrams: (a,b)x2 (b,a)x2, cb(ab)=2 cb(ba)=2, cu(a)=3 cu(b)=2
+    //   nll(ab) = -ln(3/7), nll(ba) = -ln(3/6); mean = 0.7702
+    // doc 2: (x,y) once -> -ln(2/5) = 0.9163
+    val docs = Seq(1L -> "a b a b a", 2L -> "x y").toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.bigramSurprisal(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("surprisal")))).toMap
+    assert(got(1L) == ((4L, 0.7702)))
+    assert(got(2L) == ((1L, 0.9163)))
+    assert(got(1L)._2 < got(2L)._2)
+  }
 }

@@ -166,4 +166,25 @@ class DedupSpec extends SparkTestBase {
     // doc 4: too short to window, fully kept
     assert(got(4L)._2 == 0L && got(4L)._3 == 7L)
   }
+
+  test("dsir weights: target-vocabulary docs score above off-target docs") {
+    import spark.implicits._
+    val target = Seq(
+      100L -> "alpha beams align and alpha arrays bloom in alpha fields",
+      101L -> "alpha light and alpha shade cover the alpha meadow")
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      1L -> "alpha beams align and alpha arrays bloom in alpha fields",
+      2L -> "zug vex quorp mizzle drang krell fosh wumble parn jex")
+      .toDF("doc_id", "text")
+    val got = Sampling.dsirWeights(raw, target).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_weight")).toMap
+    assert(got(1L) > got(2L),
+      s"target-like doc must outweigh off-target doc: $got")
+    assert(got(1L) > 0.0, "doc drawn from the target leans positive")
+    // deterministic: the same call yields the same weights
+    val again = Sampling.dsirWeights(raw, target).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_weight")).toMap
+    assert(again == got)
+  }
 }

@@ -123,4 +123,27 @@ class FunctionsSpec extends SparkTestBase {
     // must not fall back to interpreted eval
     assert(plan.contains("*("), plan)
   }
+
+  test("array_dot ≡ the zip_with/aggregate lambda dot, bit-for-bit") {
+    Tables.register(spark, sfDir)
+    graft.functions.ArrayDot.register(spark)
+    import org.apache.spark.sql.functions._
+    val e = spark.table("embeddings")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x.cast("double")).as("v"))
+    // self-pairs and shifted pairs exercise unequal vectors
+    val pairs = e.as("a").join(e.as("b"),
+      col("a.vec_id") === col("b.vec_id") ||
+        col("a.vec_id") + 1 === col("b.vec_id"))
+    val diff = pairs.select(
+      expr("array_dot(a.v, b.v)").as("nat"),
+      aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("lam"))
+      .where(col("nat") =!= col("lam")) // exact, not approximate
+    assert(diff.isEmpty, "identical summation order must give identical doubles")
+    // and it must stay inside whole-stage codegen
+    val plan = e.select(expr("array_dot(v, v)"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan)
+  }
 }

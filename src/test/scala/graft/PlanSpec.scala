@@ -158,4 +158,38 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("hashpartitioning(doc_id"), p)
     assert(!p.contains("rangepartitioning") && !p.contains("SinglePartition"), p)
   }
+
+  test("semdedup pairs join on the cell key, never an all-pairs product") {
+    Tables.register(spark, sfDir)
+    val p = plan(graft.operators.Similarity.semDedup(
+      spark.table("embeddings"), centroids = 8, dims = 64, threshold = 0.3))
+    // the within-cell self-join must key its join on cell equality — an
+    // equi-join (hash or sort-merge), NOT a nested-loop over all pairs
+    assert(p.contains("SortMergeJoin [cell") ||
+      p.contains("ShuffledHashJoin [cell") ||
+      p.contains("BroadcastHashJoin [cell"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dsir scoring broadcasts the bucket log-ratio lookup; the corpus " +
+      "never shuffles by bucket") {
+    Tables.register(spark, sfDir)
+    val d = spark.table("documents")
+    val p = plan(graft.operators.Sampling.dsirWeights(
+      d, d.where(col("source") === "src0")))
+    // final scoring join: corpus tokens x 64-row ratio table -> broadcast
+    assert(p.contains("BroadcastHashJoin [bucket"), p)
+    // the only corpus-keyed aggregation is the per-doc rollup
+    assert(p.contains("hashpartitioning(doc_id"), p)
+  }
+
+  test("line dedup aggregates partially before the line-hash shuffle") {
+    Tables.register(spark, sfDir)
+    val p = plan(graft.operators.CorpusFilters.lineDedup(spark.table("documents")))
+    // distinct-doc count per line hash: partial + final HashAggregate
+    // around a hashpartitioning(h) exchange; doc rollup keyed by doc_id
+    assert(p.contains("hashpartitioning(h"), p)
+    assert(p.contains("hashpartitioning(doc_id"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
 }

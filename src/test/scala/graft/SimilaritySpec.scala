@@ -190,4 +190,72 @@ class SimilaritySpec extends SparkTestBase {
       .count { case (a, b) => (a >= 0) != (b >= 0) }
     assert(best.getAs[Long]("hamming") == expect.toLong)
   }
+
+  test("prototypicality: rank 1 is the centroid-nearest member; ties " +
+    "break to the smaller id; ranks are contiguous per label") {
+    import spark.implicits._
+    // label 0: two unit vectors symmetric about the centroid -> equal sims,
+    // tie broken by id; label 1: a lone vector is its own centroid (sim 1)
+    val vecs = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0f, 1f), 0),
+      (2L, Array(0.6f, 0.8f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.prototypicality(vecs, dims = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Double]("proto_sim"), r.getAs[Int]("rank_in_label")))).toMap
+    assert(got(0L)._1 == got(1L)._1, "symmetric members tie on sim")
+    assert(got(0L)._2 == 1 && got(1L)._2 == 2, "tie breaks to smaller id")
+    assert(got(2L) == ((1.0, 1)), "singleton label: own centroid, rank 1")
+  }
+
+  test("prototypicality on the corpus: per-label ranks are a permutation " +
+    "ordered by descending sim") {
+    val rows = Similarity.prototypicality(emb, dims = 64).collect()
+    rows.groupBy(_.getAs[Int]("label")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank_in_label"))
+      assert(sorted.map(_.getAs[Int]("rank_in_label")).toSeq ==
+        (1 to rs.length).toSeq, "contiguous ranks")
+      val sims = sorted.map(_.getAs[Double]("proto_sim")).toSeq
+      assert(sims == sims.sorted.reverse, "descending sim order")
+    }
+  }
+
+  test("semdedup: an exact duplicate is dropped, its earlier twin and " +
+    "distant vectors survive") {
+    import spark.implicits._
+    // v0 == v1 (cos 1.0 -> the LATER id is the duplicate); v2/v3 point the
+    // other way (cos -1 vs v0, far below any threshold)
+    val vecs = Seq(
+      0L -> Array(1f, 0f, 0f, 0f), 1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(-1f, 0.1f, 0f, 0f), 3L -> Array(-1f, 0f, 0.2f, 0f))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(vecs, centroids = 2, dims = 4,
+        threshold = 0.99).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("dropped")).toMap
+    assert(!got(0L), "first copy survives")
+    assert(got(1L), "identical later copy is a semantic duplicate")
+    assert(!got(2L) && !got(3L), "far vectors survive a 0.99 threshold")
+    // full output: one verdict per input vector
+    assert(got.size == 4)
+  }
+
+  test("semdedup on the corpus: dropped implies an earlier same-cell mate " +
+    "at/above the threshold") {
+    val out = Similarity.semDedup(emb, centroids = 8, dims = 64,
+      threshold = 0.3).collect()
+    val cells = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val vs = emb.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dp = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = dp / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    out.filter(_.getAs[Boolean]("dropped")).take(20).foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val mate = cells.exists { case (o, c) =>
+        o < id && c == cells(id) && cos(vs(o), vs(id)) >= 0.3 }
+      assert(mate, s"dropped $id must have an earlier same-cell near-mate")
+    }
+  }
 }
