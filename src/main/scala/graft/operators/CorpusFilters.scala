@@ -133,6 +133,39 @@ object CorpusFilters {
       .withColumn("dropped_chunks", col("n_chunks") - col("kept_chunks"))
   }
 
+  /** Cross-corpus chunk dedup: drop every fixed-size chunk of `docs` whose
+    * md5 already occurs in `ref` — dedup NEW data against an
+    * already-released corpus (the incremental-crawl / train-set-refresh
+    * primitive; within-batch duplicates in `docs` are chunkDedup's job,
+    * not this one's). Returns per-doc (n_chunks, dropped_chunks,
+    * kept_chunks, fully_dup) where fully_dup marks documents with no
+    * surviving chunk.
+    *
+    * Shape at 100 TB: the ref side reduces to DISTINCT chunk hashes
+    * (partial agg) and the probe is a left-anti-style hash join on the
+    * uniform md5 key — at a 10:1 ref:new ratio the new batch streams
+    * against the ref hash set without ever materializing pairs. */
+  def crossChunkDedup(docs: DataFrame, ref: DataFrame, chunkWords: Int = 16,
+                      textCol: String = "text"): DataFrame = {
+    def chunksOf(d: DataFrame) = {
+      val base = d.select(col("doc_id"), wordsOf(col(textCol)).as("ws"))
+        .where(size(col("ws")) > 0)
+      val nc = ceil(size(col("ws")).cast("double") / chunkWords).cast("int")
+      base.select(col("doc_id"), explode(transform(sequence(lit(1), nc), i =>
+        md5(concat_ws(" ",
+          slice(col("ws"), (i - lit(1)) * chunkWords + lit(1), lit(chunkWords))))))
+        .as("h"))
+    }
+    val refHashes = chunksOf(ref).select("h").distinct()
+    val flagged = chunksOf(docs)
+      .join(refHashes.withColumn("dup", lit(true)), Seq("h"), "left")
+    flagged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("dropped_chunks"),
+        sum(when(col("dup").isNull, 1L).otherwise(0L)).as("kept_chunks"))
+      .withColumn("fully_dup", col("kept_chunks") === 0L)
+  }
+
   /** Line-level corpus dedup (the CCNet/RefinedWeb boilerplate strip —
     * Wenzek et al. 2020 §3.1, Penedo et al. 2023): a trimmed non-empty
     * line appearing in at least `minDocs` DISTINCT documents is removed

@@ -133,6 +133,100 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"), round(avg("nll"), 4).as("surprisal"))
   }
 
+  /** BPE vocabulary induction over the corpus (Sennrich et al. 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units"): the
+    * classic tokenizer-training loop — count adjacent symbol pairs over
+    * the word-frequency table, merge the most frequent pair everywhere
+    * (ties to the lexicographically smallest pair), repeat. Returns the
+    * learned merge table (round, left_sym, right_sym, cnt) — the artifact
+    * a BPE tokenizer ships.
+    *
+    * Symbols live in a delimiter-encoded string (`|l| |o| |w|`) and a
+    * merge is one global regexp_replace: regex global replace is
+    * left-to-right and non-overlapping in BOTH Java regex and RE2, which
+    * makes the greedy merge semantics ("aaa" + (a,a) -> "aa","a")
+    * bit-identical to the DuckDB oracle. Pre-tokenization keeps only
+    * [a-z]+ runs (the standard alphabetic pre-split), so symbols never
+    * collide with the delimiter or regex metachars.
+    *
+    * Shape at 100 TB: one corpus pass builds the DISTINCT-WORD frequency
+    * frame (the classic BPE scale trick — all further rounds run on the
+    * vocabulary, orders of magnitude smaller than the corpus, persisted
+    * across rounds); each round is a uniform-key pair count whose single
+    * argmax row ships to the driver — train-then-apply exactly like
+    * `ivfCentroidsTrained`. */
+  def bpeMerges(docs: DataFrame, merges: Int,
+                textCol: String = "text"): DataFrame = {
+    require(merges >= 1, "merges must be positive")
+    val spark = docs.sparkSession
+    val wf = docs.select(explode(
+        expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    var enc = wf.select(col("word"), col("wc"),
+      concat(lit("|"), concat_ws("| |", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")),
+        lit("|")).as("enc"))
+      .persist()
+    val learned = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to merges) {
+      val syms = enc.withColumn("syms",
+        expr("regexp_extract_all(enc, '\\\\|([a-z]+)\\\\|', 1)"))
+      val best = syms.where(size(col("syms")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> " +
+            "struct(element_at(syms, i) AS pa, element_at(syms, i + 1) AS pb))"))
+          .as("p"))
+        .groupBy("p.pa", "p.pb").agg(sum("wc").as("cnt"))
+        .orderBy(col("cnt").desc, col("pa"), col("pb")).limit(1).collect()
+      if (best.nonEmpty) {
+        val (pa, pb, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        learned += ((r, pa, pb, cnt))
+        val prev = enc
+        enc = enc.withColumn("enc", regexp_replace(col("enc"),
+          "\\|" + pa + "\\| \\|" + pb + "\\|", "|" + pa + pb + "|")).persist()
+        enc.count() // materialize before dropping the previous round
+        prev.unpersist()
+      }
+    }
+    enc.unpersist()
+    import spark.implicits._
+    learned.toSeq.toDF("round", "left_sym", "right_sym", "cnt")
+  }
+
+  /** Deterministic hashed bag-of-words document embedding (the "hashing
+    * trick", Weinberger et al. 2009): every token adds ±1 to one of `dims`
+    * slots — slot and sign both md5-derived — and the counts vector is
+    * L2-normalized, round(4)ed. No model, no training pass: the same
+    * document embeds identically in any engine, which makes the embedding
+    * operators (SemDeDup, ANN, prototypicality) applicable to corpora that
+    * ship as raw text. Not a semantic embedding — it is the deterministic
+    * lexical stand-in (docs sharing vocabulary land close).
+    *
+    * Shape at 100 TB: explode → (doc, slot) partial agg → per-doc array
+    * assembly via map_from_entries — uniform keys, no broadcast needed,
+    * nothing on the driver. */
+  def hashEmbedding(docs: DataFrame, dims: Int = 64, salt: String = "he",
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(Dedup.tokens(col(textCol))).as("term"))
+    val slots = toks.select(col(idCol),
+        floor(Sampling.hashUnit(col("term"), salt) * dims).cast("int").as("slot"),
+        when(Sampling.hashUnit(col("term"), salt + "s") < 0.5, lit(1.0))
+          .otherwise(lit(-1.0)).as("sgn"))
+      .groupBy(idCol, "slot").agg(sum("sgn").as("s"))
+    val vec = slots.groupBy(idCol)
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("s")))).as("m"))
+      .select(col(idCol), transform(sequence(lit(0), lit(dims - 1)),
+        d => coalesce(element_at(col("m"), d), lit(0.0))).as("raw"))
+    vec.withColumn("nrm", sqrt(Similarity.dot(col("raw"), col("raw"))))
+      .select(col(idCol),
+        transform(col("raw"), x =>
+          when(col("nrm") > 0, round(x / col("nrm"), 4)).otherwise(lit(0.0)))
+          .as("embedding"))
+  }
+
   /** Per-stratum quality-median filter: keep documents whose quality score
     * clears their own stratum's (e.g. language's) exact median — the
     * per-language thresholding that avoids one language's score scale

@@ -1204,6 +1204,116 @@ object TrainingData {
         .orderBy("doc_id").limit(100)
     },
 
+    // BPE vocabulary induction (Sennrich et al. 2016): 3 merge rounds over
+    // the word-frequency table; greedy merge application is one global
+    // regexp_replace on delimiter-encoded symbols — left-to-right
+    // non-overlapping in both Java regex and RE2, so the learned merge
+    // table is bit-identical across engines
+    df("ta_bpe_merges",
+      """WITH wf AS (SELECT w AS word, count(*) AS wc FROM (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |  FROM documents) x GROUP BY w),
+        |e0 AS (SELECT word, wc,
+        |  '|' || array_to_string(list_transform(generate_series(1, len(word)),
+        |    i -> word[i]), '| |') || '|' AS enc FROM wf),
+        |s1 AS (SELECT word, wc, regexp_extract_all(enc, '\|([a-z]+)\|', 1) AS syms FROM e0),
+        |p1 AS (SELECT unnest(syms[1:len(syms)-1]) AS pa, unnest(syms[2:len(syms)]) AS pb, wc
+        |  FROM s1 WHERE len(syms) >= 2),
+        |c1 AS (SELECT pa, pb, CAST(sum(wc) AS BIGINT) AS cnt FROM p1 GROUP BY pa, pb),
+        |b1 AS (SELECT pa, pb, cnt FROM c1 ORDER BY cnt DESC, pa, pb LIMIT 1),
+        |e1 AS (SELECT word, wc, regexp_replace(enc,
+        |  '\|' || b1.pa || '\| \|' || b1.pb || '\|', '|' || b1.pa || b1.pb || '|', 'g') AS enc
+        |  FROM e0 CROSS JOIN b1),
+        |s2 AS (SELECT word, wc, regexp_extract_all(enc, '\|([a-z]+)\|', 1) AS syms FROM e1),
+        |p2 AS (SELECT unnest(syms[1:len(syms)-1]) AS pa, unnest(syms[2:len(syms)]) AS pb, wc
+        |  FROM s2 WHERE len(syms) >= 2),
+        |c2 AS (SELECT pa, pb, CAST(sum(wc) AS BIGINT) AS cnt FROM p2 GROUP BY pa, pb),
+        |b2 AS (SELECT pa, pb, cnt FROM c2 ORDER BY cnt DESC, pa, pb LIMIT 1),
+        |e2 AS (SELECT word, wc, regexp_replace(enc,
+        |  '\|' || b2.pa || '\| \|' || b2.pb || '\|', '|' || b2.pa || b2.pb || '|', 'g') AS enc
+        |  FROM e1 CROSS JOIN b2),
+        |s3 AS (SELECT word, wc, regexp_extract_all(enc, '\|([a-z]+)\|', 1) AS syms FROM e2),
+        |p3 AS (SELECT unnest(syms[1:len(syms)-1]) AS pa, unnest(syms[2:len(syms)]) AS pb, wc
+        |  FROM s3 WHERE len(syms) >= 2),
+        |c3 AS (SELECT pa, pb, CAST(sum(wc) AS BIGINT) AS cnt FROM p3 GROUP BY pa, pb),
+        |b3 AS (SELECT pa, pb, cnt FROM c3 ORDER BY cnt DESC, pa, pb LIMIT 1)
+        |SELECT 1 AS round, pa AS left_sym, pb AS right_sym, cnt FROM b1
+        |UNION ALL SELECT 2, pa, pb, cnt FROM b2
+        |UNION ALL SELECT 3, pa, pb, cnt FROM b3
+        |ORDER BY round""".stripMargin) { (s, _) =>
+      TextAnalysis.bpeMerges(s.table("documents"), merges = 3)
+        .orderBy("round")
+    },
+
+    // hashed bag-of-words document embedding (the hashing trick): md5-derived
+    // slot and sign per token, L2-normalized round(4) — the deterministic
+    // text->vector bridge that lets SemDeDup/ANN run on raw-text corpora
+    df("ta_hash_embedding",
+      """WITH toks AS (SELECT doc_id, list_filter(
+        |  regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |tx AS (SELECT doc_id, unnest(w) AS t FROM toks),
+        |sx AS (SELECT doc_id,
+        |  CAST(floor(CAST(list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |      substring(md5(concat('he', t)), i, 1)) - 1)
+        |      * 16.0 ** (8 - i))) AS DOUBLE) / 4294967296.0 * 64) AS INT) AS slot,
+        |  CASE WHEN CAST(list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |      substring(md5(concat('hes', t)), i, 1)) - 1)
+        |      * 16.0 ** (8 - i))) AS DOUBLE) / 4294967296.0 < 0.5
+        |    THEN 1.0 ELSE -1.0 END AS sgn FROM tx),
+        |cnt AS (SELECT doc_id, slot, sum(sgn) AS s FROM sx GROUP BY doc_id, slot),
+        |ds AS (SELECT DISTINCT doc_id FROM cnt),
+        |grid AS (SELECT doc_id, d FROM ds CROSS JOIN generate_series(0, 63) t(d)),
+        |rawv AS (SELECT g.doc_id, list(coalesce(c.s, 0.0) ORDER BY g.d) AS raw
+        |  FROM grid g LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.slot = g.d
+        |  GROUP BY g.doc_id),
+        |n AS (SELECT doc_id, raw,
+        |  sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm FROM rawv)
+        |SELECT doc_id, CASE WHEN nrm > 0
+        |  THEN list_transform(raw, x -> round(x / nrm, 4))
+        |  ELSE list_transform(raw, x -> 0.0) END AS embedding
+        |FROM n ORDER BY doc_id LIMIT 100""".stripMargin) { (s, _) =>
+      TextAnalysis.hashEmbedding(s.table("documents"))
+        .orderBy("doc_id").limit(100)
+    },
+
+    // cross-corpus chunk dedup: new-batch docs (non-src0) probed against an
+    // already-released reference (src0 plus every doc_id % 7 = 0 — the
+    // synthetic "previously released" overlap); chunks seen in the ref are
+    // dropped, fully_dup marks docs with nothing left
+    df("dd_cross_dedup",
+      """WITH rawd AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents WHERE source <> 'src0'),
+        |refd AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents WHERE source = 'src0' OR doc_id % 7 = 0),
+        |rb AS (SELECT doc_id, ws FROM rawd WHERE len(ws) > 0),
+        |rc AS (SELECT doc_id, idx,
+        |  md5(array_to_string(list_slice(ws, (idx - 1) * 16 + 1, idx * 16), ' ')) AS h
+        |  FROM (SELECT doc_id, ws,
+        |    unnest(generate_series(1, CAST(ceil(len(ws) / 16.0) AS INT))) AS idx
+        |  FROM rb) x),
+        |refc AS (SELECT DISTINCT
+        |  md5(array_to_string(list_slice(ws, (idx - 1) * 16 + 1, idx * 16), ' ')) AS h
+        |  FROM (SELECT doc_id, ws,
+        |    unnest(generate_series(1, CAST(ceil(len(ws) / 16.0) AS INT))) AS idx
+        |  FROM refd WHERE len(ws) > 0) x)
+        |SELECT rc.doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN refc.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dropped_chunks,
+        |  CAST(sum(CASE WHEN refc.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+        |  sum(CASE WHEN refc.h IS NULL THEN 1 ELSE 0 END) = 0 AS fully_dup
+        |FROM rc LEFT JOIN refc ON refc.h = rc.h
+        |GROUP BY rc.doc_id ORDER BY rc.doc_id LIMIT 100""".stripMargin) { (s, _) =>
+      val d = s.table("documents")
+      graft.operators.CorpusFilters.crossChunkDedup(
+          d.where(col("source") =!= "src0"),
+          d.where(col("source") === "src0" || col("doc_id") % 7 === 0))
+        .orderBy("doc_id").limit(100)
+    },
+
     // prototypicality (Sorscher et al. 2022): cosine to the OWN label's
     // centroid, ranked within label — the data-pruning order (drop
     // redundant prototypes, keep the informative tail)

@@ -223,6 +223,80 @@ class CorpusFiltersSpec extends SparkTestBase {
     }
   }
 
+  test("bpe merges: hand-computed greedy rounds on the classic corpus") {
+    import spark.implicits._
+    // words: low x3, lower x2, newest x4
+    // r1 pair counts: we = 2(lower) + 4(newest) = 6 wins
+    // r2: lo = 3(low) + 2(lower) = 5 wins
+    // r3: four pairs tie at 4 -> lexicographically smallest (e, we)
+    val docs = Seq(
+      1L -> "low low low lower lower",
+      2L -> "newest newest newest newest")
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.bpeMerges(docs, merges = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[Long]("cnt"))).toSeq
+    assert(got == Seq((1, "w", "e", 6L), (2, "l", "o", 5L), (3, "e", "we", 4L)))
+  }
+
+  test("bpe merges: greedy left-to-right application (aaaa -> aa,aa)") {
+    import spark.implicits._
+    // r1 counts overlapping pairs like classic get_stats: (a,a) = 3 per
+    // 'aaaa' x3 = 9. The APPLICATION is greedy non-overlapping, so round 2
+    // must see 'aaaa' as [aa, aa] — pair (aa,aa) x3 — not [aa, a, a]
+    val docs = Seq(1L -> "aaaa aaaa aaaa xy").toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.bpeMerges(docs, merges = 2)
+      .orderBy("round").collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[Long]("cnt"))).toSeq
+    assert(got == Seq((1, "a", "a", 9L), (2, "aa", "aa", 3L)))
+  }
+
+  test("cross-corpus chunk dedup: ref-seen chunks dropped, batch-internal " +
+    "duplicates untouched, fully_dup flags empty survivors") {
+    import spark.implicits._
+    val boiler = (1 to 16).map(i => s"boiler$i").mkString(" ")
+    val ref = Seq(10L -> boiler).toDF("doc_id", "text")
+    val raw = Seq(
+      1L -> (boiler + " " + (1 to 16).map(i => s"uniqA$i").mkString(" ")),
+      2L -> boiler, // nothing left
+      3L -> (1 to 16).map(i => s"uniqC$i").mkString(" "),
+      // same unique chunk as doc 3: within-batch dup is NOT this op's job
+      4L -> (1 to 16).map(i => s"uniqC$i").mkString(" "))
+      .toDF("doc_id", "text")
+    val got = CorpusFilters.crossChunkDedup(raw, ref).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("dropped_chunks"), r.getAs[Long]("kept_chunks"),
+          r.getAs[Boolean]("fully_dup")))).toMap
+    assert(got(1L) == ((1L, 1L, false)))
+    assert(got(2L) == ((1L, 0L, true)))
+    assert(got(3L) == ((0L, 1L, false)))
+    assert(got(4L) == ((0L, 1L, false)), "batch-internal dup survives")
+  }
+
+  test("hash embedding: unit norm, content-determined, vocabulary overlap " +
+    "orders cosine") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "alpha beta gamma delta epsilon", // identical text
+      3L -> "alpha beta gamma delta zeta",    // 4/5 shared
+      4L -> "omicron rho sigma tau phi")      // disjoint
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.hashEmbedding(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[Double](r.fieldIndex("embedding"))).toMap
+    assert(got(1L) == got(2L), "same text, same embedding")
+    got.values.foreach { v =>
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 0.01, "unit norm")
+    }
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(cos(got(1L), got(3L)) > cos(got(1L), got(4L)),
+      "shared vocabulary must beat disjoint vocabulary")
+  }
+
   test("bigram surprisal: hand-computed add-one values; frequent " +
     "transitions score below rare ones") {
     import spark.implicits._
