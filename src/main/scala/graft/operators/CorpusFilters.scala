@@ -313,7 +313,39 @@ object CorpusFilters {
     * re-weight individual rules without re-reading the corpus. */
   def gopherFilter(docs: DataFrame, minWords: Int = 50,
                    maxWords: Int = 100000, textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
+    val m = gopherMeasurements(col(textCol))
+    docs.select((col("doc_id") +: m.map { case (n, c) => c.as(n) }): _*)
+      .withColumn("keep", gopherVerdict(minWords, maxWords))
+  }
+
+  /** The document-level Gopher verdict as one map-only boolean column —
+    * usable as a streaming-safe gate (`docs.where(gopherKeep(col("text")))`
+    * keeps the caller's columns and attaches to a streaming plan
+    * unchanged, where a join against gopherFilter's output would be a
+    * stream-stream join). Identical rules to `gopherFilter`. */
+  def gopherKeep(textCol: Column, minWords: Int = 50,
+                 maxWords: Int = 100000): Column = {
+    val m = gopherMeasurements(textCol).toMap
+    verdictOf(m, minWords, maxWords)
+  }
+
+  private def gopherVerdict(minWords: Int, maxWords: Int): Column =
+    verdictOf(Map(
+      "n_words" -> col("n_words"), "mean_word_len" -> col("mean_word_len"),
+      "symbol_ratio" -> col("symbol_ratio"), "bullet_ratio" -> col("bullet_ratio"),
+      "ellipsis_ratio" -> col("ellipsis_ratio"), "alpha_ratio" -> col("alpha_ratio"),
+      "stop_hits" -> col("stop_hits")), minWords, maxWords)
+
+  private def verdictOf(m: Map[String, Column], minWords: Int,
+                        maxWords: Int): Column =
+    m("n_words") >= minWords && m("n_words") <= maxWords &&
+      m("mean_word_len") >= 3 && m("mean_word_len") <= 10 &&
+      m("symbol_ratio") <= 0.1 &&
+      m("bullet_ratio") <= 0.9 && m("ellipsis_ratio") <= 0.3 &&
+      m("alpha_ratio") >= 0.8 && m("stop_hits") >= 2
+
+  /** The seven Gopher rule measurements as named map-only columns. */
+  private def gopherMeasurements(t: Column): Seq[(String, Column)] = {
     val ws = wordsOf(t)
     val lines = filter(transform(split(t, "\n"), l => trim(l)),
       l => length(l) > 0)
@@ -332,23 +364,16 @@ object CorpusFilters {
       when(array_contains(ws, s), 1).otherwise(0): Column)
       .reduce(_ + _)
     val nLines = greatest(size(lines), lit(1))
-    docs.select(
-      col("doc_id"),
-      nWords.as("n_words"),
-      meanLen.as("mean_word_len"),
-      round(symbolWords.cast("double") / greatest(nWords, lit(1L)), 4)
-        .as("symbol_ratio"),
-      round(bulletLines.cast("double") / nLines, 4).as("bullet_ratio"),
-      round(ellipsisLines.cast("double") / nLines, 4).as("ellipsis_ratio"),
-      round(alphaWords.cast("double") / greatest(nWords, lit(1L)), 4)
-        .as("alpha_ratio"),
-      stopHits.cast("long").as("stop_hits"))
-      .withColumn("keep",
-        col("n_words") >= minWords && col("n_words") <= maxWords &&
-          col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
-          col("symbol_ratio") <= 0.1 &&
-          col("bullet_ratio") <= 0.9 && col("ellipsis_ratio") <= 0.3 &&
-          col("alpha_ratio") >= 0.8 && col("stop_hits") >= 2)
+    Seq(
+      "n_words" -> nWords,
+      "mean_word_len" -> meanLen,
+      "symbol_ratio" ->
+        round(symbolWords.cast("double") / greatest(nWords, lit(1L)), 4),
+      "bullet_ratio" -> round(bulletLines.cast("double") / nLines, 4),
+      "ellipsis_ratio" -> round(ellipsisLines.cast("double") / nLines, 4),
+      "alpha_ratio" ->
+        round(alphaWords.cast("double") / greatest(nWords, lit(1L)), 4),
+      "stop_hits" -> stopHits.cast("long"))
   }
 
   /** PII patterns shared by the operator and its oracle — RE2-safe (no

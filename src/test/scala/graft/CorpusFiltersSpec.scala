@@ -297,6 +297,23 @@ class CorpusFiltersSpec extends SparkTestBase {
       "shared vocabulary must beat disjoint vocabulary")
   }
 
+  test("composition: hashEmbedding feeds semDedup — duplicate raw-text " +
+    "docs are caught without any model embeddings") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> "the quick brown fox jumps over the lazy dog tonight", // dup
+      3L -> "completely different vocabulary discussing spark catalyst internals")
+      .toDF("doc_id", "text")
+    val emb = graft.operators.TextAnalysis.hashEmbedding(docs)
+      .withColumnRenamed("doc_id", "vec_id")
+    val got = graft.operators.Similarity.semDedup(emb, centroids = 2,
+        dims = 64, threshold = 0.99, sampleMod = 1).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("dropped")).toMap
+    assert(!got(1L) && got(2L), "identical text -> identical hash embedding -> dropped")
+    assert(!got(3L), "distinct vocabulary survives")
+  }
+
   test("bigram surprisal: hand-computed add-one values; frequent " +
     "transitions score below rare ones") {
     import spark.implicits._

@@ -1,0 +1,82 @@
+package graft
+
+import graft.streaming.CorpusStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import java.sql.Timestamp
+
+/** Streaming corpus curation: cross-batch dedup state, the map-only
+  * quality gate on a streaming plan, and windowed corpus telemetry. */
+class CorpusStreamsSpec extends SparkTestBase {
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+
+  // >= 50 words, mean word length in [3,10], >= 2 stop words, alphabetic
+  private val goodText = Array.fill(10)(
+    "the quick brown foxes have jumped over that lazy sleeping dog")
+    .mkString(" ")
+
+  test("streaming doc dedup: replays across micro-batches are suppressed " +
+    "within the watermark") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = CorpusStreams.dedupDocStream(
+        in.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("docdedup")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    in.addData((1L, ts(0), "alpha body"), (2L, ts(1), "beta body"))
+    in.addData((3L, ts(2), "alpha body"), (4L, ts(3), "gamma body"))
+    val run = q.start(); run.awaitTermination(60000)
+    val kept = spark.table("docdedup").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    // doc 3 replays doc 1's body inside the 10-minute watermark -> dropped
+    assert(kept == Set(1L, 2L, 4L), s"got $kept")
+  }
+
+  test("quality gate is a map-only streaming WHERE: passing docs flow, " +
+    "junk is dropped, caller columns survive") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = CorpusStreams.qualityGate(in.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("qgate")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    in.addData(
+      (1L, ts(0), goodText),
+      (2L, ts(0), "tiny doc"),                        // too few words
+      (3L, ts(0), Array.fill(60)("#tag...").mkString(" "))) // symbol junk
+    val run = q.start(); run.awaitTermination(60000)
+    val rows = spark.table("qgate")
+    assert(rows.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(rows.columns.toSeq == Seq("doc_id", "ts", "text"),
+      "gate must preserve the caller's schema")
+  }
+
+  test("windowed corpus stats: per-(window, lang) docs and token mass") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String, String)]
+    val q = CorpusStreams.corpusStats(
+        in.toDF().toDF("doc_id", "ts", "lang", "text"))
+      .writeStream.format("memory").queryName("cstats")
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+    in.addData(
+      (1L, ts(0), "en", "one two three"),
+      (2L, ts(0), "en", "four five"),
+      (3L, ts(0), "de", "eins zwei"),
+      (4L, ts(5), "en", "six"))
+    val run = q.start(); run.awaitTermination(60000)
+    val rows = spark.table("cstats").collect()
+      .map(r => (r.getAs[String]("lang"),
+        r.getAs[Timestamp]("window_start").toString,
+        r.getAs[Long]("docs"), r.getAs[Long]("tokens"))).toSet
+    assert(rows == Set(
+      ("en", "2026-01-01 10:00:00.0", 2L, 5L),
+      ("de", "2026-01-01 10:00:00.0", 1L, 2L),
+      ("en", "2026-01-01 10:05:00.0", 1L, 1L)), s"got $rows")
+  }
+}
