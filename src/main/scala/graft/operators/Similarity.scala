@@ -295,24 +295,36 @@ object Similarity {
   def ivfSeedCentroids(centroids: Int, dims: Int): Array[Array[Double]] =
     Array.tabulate(centroids, dims)((p, d) => ivfCentroid(p, d))
 
-  /** Per-centroid cos-score array for an explicit centroid matrix. */
-  private def cellScores(v: Column, cents: Array[Array[Double]]): Column = {
-    val centsLit = array(cents.map(c => array(c.map(lit(_)): _*)).toIndexedSeq: _*)
-    val norms = array(cents.map(c =>
-      lit(math.sqrt(c.foldLeft(0.0)((acc, x) => acc + x * x)))).toIndexedSeq: _*)
-    transform(sequence(lit(0), lit(cents.length - 1)), p =>
-      dot(v, element_at(centsLit, p + 1)) / element_at(norms, p + 1))
+  /** Per-centroid cos-score array for an explicit centroid matrix over a
+    * NAMED double-array column. Each centroid's score is one native
+    * `array_dot` call against the centroid rendered as an array literal —
+    * the k×dims interpreted-lambda loop this replaces dominated IVF
+    * assignment once k grows (the SemDeDup k≈n/cell guidance makes k
+    * large by design). Sum order is unchanged, so scores, argmax cells,
+    * and every downstream oracle value are bit-identical. */
+  private def cellScores(vName: String, cents: Array[Array[Double]]): Column = {
+    // Double.toString round-trips exactly; the D suffix keeps the SQL
+    // literal a DOUBLE (a bare decimal would parse as DECIMAL)
+    val scores = cents.map { c =>
+      val nc = math.sqrt(c.foldLeft(0.0)((acc, x) => acc + x * x))
+      (expr(s"array_dot($vName, array(${c.map(d => s"${d}D").mkString(",")}))")
+        / lit(nc)): Column
+    }
+    array(scores.toIndexedSeq: _*)
   }
 
   /** vec_id, embedding, score array, assigned cell for an explicit centroid
     * matrix (0-based; first-max wins on ties). Map-only. */
   def ivfCellsWith(emb: DataFrame, cents: Array[Array[Double]],
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    emb.select(col(idCol), col(vecCol),
-        cellScores(asDouble(col(vecCol)), cents).as("cell_scores"))
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.ArrayDot.register(emb.sparkSession)
+    emb.select(col(idCol), col(vecCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("cell_scores", cellScores("__v", cents))
       .withColumn("cell",
         (array_position(col("cell_scores"), array_max(col("cell_scores"))) - 1)
           .cast("int"))
+      .drop("__v")
+  }
 
   /** vec_id, embedding, per-centroid score array, assigned cell (0-based;
     * first-max wins on ties). Map-only. */
