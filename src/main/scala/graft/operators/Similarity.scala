@@ -131,12 +131,32 @@ object Similarity {
   /** Per-code squared-L2 distance array of one subvector slice against one
     * codebook (plan literal — same compact-literal trick as the LSH
     * planes). */
+  /** Lambda-form per-code squared distances — kept for the TRAINING path
+    * only (it scans just the id%N sample, where interpreted lambdas are
+    * immaterial and the struct-explode shape has no named sub column).
+    * The full-corpus assignment/serving paths use the native
+    * `array_sqdist` variants below — identical summation order. */
   private def pqDists(sub: Column, codes: Array[Array[Double]]): Column = {
     val codesLit = array(codes.map(c => array(c.map(lit(_)): _*)).toIndexedSeq: _*)
     transform(sequence(lit(0), lit(codes.length - 1)), c =>
       aggregate(zip_with(sub, element_at(codesLit, c + 1),
           (x, cc) => (x - cc) * (x - cc)),
         lit(0.0), (a, x) => a + x))
+  }
+
+  /** Native per-code squared distances over a NAMED sub-vector column:
+    * one codegen'd array_sqdist call per code against the codebook row
+    * rendered as a literal (see cellScores for the pattern and ArraySqDist
+    * for why the summation order is preserved verbatim). */
+  private def pqDistsNamed(subName: String, codes: Array[Array[Double]]): Column =
+    array(codes.map { c =>
+      (expr(s"array_sqdist($subName, " +
+        s"array(${c.map(d => s"${d}D").mkString(",")}))")): Column
+    }.toIndexedSeq: _*)
+
+  private def pqArgminNamed(subName: String, codes: Array[Array[Double]]): Column = {
+    val d = pqDistsNamed(subName, codes)
+    (array_position(d, array_min(d)) - 1).cast("long")
   }
 
   /** 0-based code of one subvector (first-min wins ties — identical rule
@@ -156,12 +176,15 @@ object Similarity {
   def pqCodesWith(emb: DataFrame, books: Array[Array[Array[Double]]],
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
-    val v = asDouble(col(vecCol))
+    graft.functions.ArraySqDist.register(emb.sparkSession)
     val subDims = books(0)(0).length
-    val codeCols = books.indices.map { s =>
-      pqArgmin(slice(v, s * subDims + 1, subDims), books(s)).as(s"c$s")
+    val withSubs = books.indices.foldLeft(
+      emb.select(col(idCol), asDouble(col(vecCol)).as("__v"))) { (d, s) =>
+      d.withColumn(s"__sub$s", slice(col("__v"), s * subDims + 1, subDims))
     }
-    emb.select(col(idCol) +: codeCols: _*)
+    val codeCols = books.indices.map(s =>
+      pqArgminNamed(s"__sub$s", books(s)).as(s"c$s"))
+    withSubs.select(col(idCol) +: codeCols: _*)
   }
 
   /** One seeded, SAMPLED training iteration for every subvector codebook
@@ -210,19 +233,21 @@ object Similarity {
                 vecCol: String = "embedding"): DataFrame = {
     val books = pqCodebooksTrained(emb, m, k, subDims, sampleMod, idCol, vecCol)
     val codes = pqCodesWith(emb, books, idCol, vecCol)
+    graft.functions.ArraySqDist.register(emb.sparkSession)
     val q = broadcast(
       emb.where(col(idCol) === queryId)
         .select(asDouble(col(vecCol)).as("qv")))
-    val dist = (0 until m).map { s =>
-      val qsub = slice(col("qv"), s * subDims + 1, subDims)
+    val withParts = (0 until m).foldLeft(
+      codes.where(col(idCol) =!= queryId).crossJoin(q)) { (d, s) =>
       val booksLit = array(books(s).map(c =>
         array(c.map(lit(_)): _*)).toIndexedSeq: _*)
-      val cent = element_at(booksLit, col(s"c$s").cast("int") + 1)
-      aggregate(zip_with(qsub, cent, (x, cc) => (x - cc) * (x - cc)),
-        lit(0.0), (a, x) => a + x): Column
-    }.reduce(_ + _)
-    codes.where(col(idCol) =!= queryId)
-      .crossJoin(q)
+      d.withColumn(s"__q$s", slice(col("qv"), s * subDims + 1, subDims))
+        .withColumn(s"__cent$s",
+          element_at(booksLit, col(s"c$s").cast("int") + 1))
+    }
+    val dist = (0 until m).map(s =>
+      (expr(s"array_sqdist(__q$s, __cent$s)")): Column).reduce(_ + _)
+    withParts
       .select(col(idCol), round(dist, 4).as("adc_dist"))
       .orderBy(col("adc_dist").asc, col(idCol))
       .limit(topK)

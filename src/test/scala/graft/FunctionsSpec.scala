@@ -124,6 +124,23 @@ class FunctionsSpec extends SparkTestBase {
     assert(plan.contains("*("), plan)
   }
 
+  test("array_sqdist ≡ the zip_with/aggregate lambda squared-L2, bit-for-bit") {
+    Tables.register(spark, sfDir)
+    graft.functions.ArraySqDist.register(spark)
+    import org.apache.spark.sql.functions._
+    val e = spark.table("embeddings")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x.cast("double")).as("v"))
+    val pairs = e.as("a").join(e.as("b"),
+      col("a.vec_id") + 1 === col("b.vec_id"))
+    val diff = pairs.select(
+      expr("array_sqdist(a.v, b.v)").as("nat"),
+      aggregate(zip_with(col("a.v"), col("b.v"), (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, x) => acc + x).as("lam"))
+      .where(col("nat") =!= col("lam"))
+    assert(diff.isEmpty, "identical summation order must give identical doubles")
+  }
+
   test("array_dot ≡ the zip_with/aggregate lambda dot, bit-for-bit") {
     Tables.register(spark, sfDir)
     graft.functions.ArrayDot.register(spark)
