@@ -23,6 +23,18 @@ object Similarity {
   /** embedding cast to DOUBLE elements (fp determinism + no float drift). */
   def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Cosine of two NAMED double-array columns on the native `array_dot`
+    * kernel — structurally identical to the lambda `cosine` (dot / norms,
+    * each dot left-to-right), so values are bit-identical; the lambda form
+    * pays ~6 interpreted dispatches per element per evaluation, which
+    * dominates full-corpus and candidate-set scans (see ArrayDot). Caller
+    * must have registered ArrayDot and have both columns addressable by
+    * name (qualified `a.v` names work). */
+  private def nativeCosine(aName: String, bName: String): Column =
+    expr(s"array_dot($aName, $bName)") /
+      (sqrt(expr(s"array_dot($aName, $aName)")) *
+        sqrt(expr(s"array_dot($bName, $bName)")))
+
   /** Left-to-right dot product of two equally-sized double arrays. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
@@ -258,12 +270,14 @@ object Similarity {
     * this is a map-only scan + global top-k (no shuffle of the corpus). */
   def cosineTopK(emb: DataFrame, queryId: Long, k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.ArrayDot.register(emb.sparkSession)
     val q = broadcast(
       emb.where(col(idCol) === queryId)
         .select(asDouble(col(vecCol)).as("qv")))
     emb.where(col(idCol) =!= queryId)
+      .select(col(idCol), asDouble(col(vecCol)).as("__v"))
       .crossJoin(q)
-      .select(col(idCol), round(cosine(asDouble(col(vecCol)), col("qv")), 4).as("sim"))
+      .select(col(idCol), round(nativeCosine("__v", "qv"), 4).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
@@ -298,13 +312,15 @@ object Similarity {
     * ~corpus/2^planes rows. */
   def annTopKLsh(emb: DataFrame, queryId: Long, k: Int, planes: Int, dims: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.ArrayDot.register(emb.sparkSession)
     val bucketed = lshBuckets(emb, planes, dims, idCol, vecCol)
     val q = broadcast(
       bucketed.where(col(idCol) === queryId)
         .select(asDouble(col(vecCol)).as("qv"), col("bucket").as("qbucket")))
     bucketed.where(col(idCol) =!= queryId)
       .join(q, col("bucket") === col("qbucket"))
-      .select(col(idCol), round(cosine(asDouble(col(vecCol)), col("qv")), 4).as("sim"))
+      .withColumn("__v", asDouble(col(vecCol)))
+      .select(col(idCol), round(nativeCosine("__v", "qv"), 4).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
@@ -409,6 +425,7 @@ object Similarity {
   private def annTopKInCells(cells: DataFrame, queryId: Long, k: Int,
                              nprobe: Int, idCol: String,
                              vecCol: String): DataFrame = {
+    graft.functions.ArrayDot.register(cells.sparkSession)
     val q = broadcast(
       cells.where(col(idCol) === queryId)
         .select(asDouble(col(vecCol)).as("qv"),
@@ -417,7 +434,8 @@ object Similarity {
     cells.where(col(idCol) =!= queryId)
       .crossJoin(q)
       .where(expr("element_at(qscores, cell + 1) >= thr"))
-      .select(col(idCol), round(cosine(asDouble(col(vecCol)), col("qv")), 4).as("sim"))
+      .withColumn("__v", asDouble(col(vecCol)))
+      .select(col(idCol), round(nativeCosine("__v", "qv"), 4).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
@@ -491,12 +509,13 @@ object Similarity {
     * (id_a, id_b): returns pairs with similarity >= threshold. */
   def embeddingNearDups(emb: DataFrame, pairs: DataFrame, threshold: Double,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.ArrayDot.register(emb.sparkSession)
     val e = emb.select(col(idCol), asDouble(col(vecCol)).as("v"))
     pairs
       .join(e.as("ea"), col("id_a") === col(s"ea.$idCol"))
       .join(e.as("eb"), col("id_b") === col(s"eb.$idCol"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("ea.v"), col("eb.v")), 4).as("sim"))
+        round(nativeCosine("ea.v", "eb.v"), 4).as("sim"))
       .where(col("sim") >= threshold)
   }
 }
