@@ -51,12 +51,12 @@ object Bench {
     // left whichever query ran first paying JIT/codegen warmup — a 7x
     // timing swing with zero code change (VERDICT r3). Two timed runs,
     // report the min.
-    // dev-loop aid: SPARK_GRAFT_BENCH_FILTER=<substring> times only the
-    // matching queries (the driver leaves it unset -> full registry)
+    // dev-loop aid: SPARK_GRAFT_BENCH_FILTER=<prefix,prefix,...> times only
+    // the matching queries (the driver leaves it unset -> full registry)
     val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
     val results: Seq[(String, Double)] =
       (if (skipQueries) Nil else SparkEntry.queries.toSeq.sortBy(_._1))
-        .filter { case (n, _) => nameFilter.forall(n.contains) }.map {
+        .filter { case (n, _) => QSpec.nameMatches(nameFilter, n) }.map {
         case (name, fn) =>
           // a failed run must never win the min: a transient 0.1s failure
           // would silently replace a real 10s timing. Failures count as

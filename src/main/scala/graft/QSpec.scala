@@ -15,6 +15,18 @@ final case class QSpec(
 }
 
 object QSpec {
+  /** Dev-loop name filter for `SPARK_GRAFT_BENCH_FILTER` /
+    * `SPARK_GRAFT_VERIFY_FILTER`: a comma-separated list of name PREFIXES
+    * (an exact name is its own prefix). Anchored matching — plain
+    * substring made `ss_` select `dd_cro·ss_·dedup` (observed in a judge
+    * run); a prefix cannot cross the family underscore. None = no filter
+    * (the driver's full-registry mode). */
+  def nameMatches(filter: Option[String], name: String): Boolean =
+    filter.forall { f =>
+      val prefixes = f.split(',').map(_.trim).filter(_.nonEmpty)
+      prefixes.isEmpty || prefixes.exists(name.startsWith)
+    }
+
   /** SQL that is valid and result-identical in both Spark SQL and DuckDB. */
   def sameSql(name: String, sql: String): QSpec =
     QSpec(name, (s, dir) => { Tables.register(s, dir); s.sql(sql) }, Some(sql))

@@ -17,12 +17,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // dev-loop aid: SPARK_GRAFT_VERIFY_FILTER=<substring> dumps only the
-    // matching queries (the driver leaves it unset -> full registry; the
+    // dev-loop aid: SPARK_GRAFT_VERIFY_FILTER=<prefix,prefix,...> dumps only
+    // the matching queries (the driver leaves it unset -> full registry; the
     // oracle json always carries every entry so compare.py stays usable)
     val nameFilter = sys.env.get("SPARK_GRAFT_VERIFY_FILTER")
     SparkEntry.queries
-      .filter { case (name, _) => nameFilter.forall(name.contains) }
+      .filter { case (name, _) => QSpec.nameMatches(nameFilter, name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -462,9 +462,16 @@ object Similarity {
     // hoisted to one per ROW keep the pair kernel a single codegen'd call;
     // sum order is unchanged, so round(4) values are bit-identical
     graft.functions.ArrayDot.register(emb.sparkSession)
+    // the assignment frame feeds BOTH sides of the self-join AND the final
+    // verdict join — without materialization the trained-IVF assignment
+    // (incl. the k-dot cellScores scan) recomputes 3x per run. An eager
+    // localCheckpoint pays the scan once and severs lineage; its blocks are
+    // released by the ContextCleaner when the frame is GC'd, so no explicit
+    // unpersist is owed by the (lazy) returned DataFrame
     val cells = ivfCellsTrained(emb, centroids, dims, sampleMod, idCol, vecCol)
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"), col("cell"))
       .withColumn("nrm", norm(col("v")))
+      .localCheckpoint()
     val dups = cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .where(round(expr("array_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm")),

@@ -168,28 +168,41 @@ object TextAnalysis {
         lit("|")).as("enc"))
       .persist()
     val learned = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
-    for (r <- 1 to merges) {
-      val syms = enc.withColumn("syms",
-        expr("regexp_extract_all(enc, '\\\\|([a-z]+)\\\\|', 1)"))
-      val best = syms.where(size(col("syms")) >= 2)
-        .select(col("wc"), explode(expr(
-          "transform(sequence(1, size(syms) - 1), i -> " +
-            "struct(element_at(syms, i) AS pa, element_at(syms, i + 1) AS pb))"))
-          .as("p"))
-        .groupBy("p.pa", "p.pb").agg(sum("wc").as("cnt"))
-        .orderBy(col("cnt").desc, col("pa"), col("pb")).limit(1).collect()
-      if (best.nonEmpty) {
-        val (pa, pb, cnt) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        learned += ((r, pa, pb, cnt))
-        val prev = enc
-        enc = enc.withColumn("enc", regexp_replace(col("enc"),
-          "\\|" + pa + "\\| \\|" + pb + "\\|", "|" + pa + pb + "|")).persist()
-        enc.count() // materialize before dropping the previous round
-        prev.unpersist()
+    // the loop owns exactly one live persisted frame at a time; the
+    // try/finally guarantees it is dropped even when a per-round job
+    // throws mid-training (otherwise the vocabulary frame would pin
+    // storage memory for the rest of the session)
+    try {
+      var exhausted = false
+      for (r <- 1 to merges if !exhausted) {
+        val syms = enc.withColumn("syms",
+          expr("regexp_extract_all(enc, '\\\\|([a-z]+)\\\\|', 1)"))
+        val best = syms.where(size(col("syms")) >= 2)
+          .select(col("wc"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), i -> " +
+              "struct(element_at(syms, i) AS pa, element_at(syms, i + 1) AS pb))"))
+            .as("p"))
+          .groupBy("p.pa", "p.pb").agg(sum("wc").as("cnt"))
+          .orderBy(col("cnt").desc, col("pa"), col("pb")).limit(1).collect()
+        if (best.isEmpty) {
+          // no adjacent pair left anywhere: merging only ever removes
+          // pairs, so later rounds cannot find one either — stop early.
+          // Degenerate corpora therefore return FEWER than `merges` rows
+          // (the learned-merge table ends where the vocabulary ran out),
+          // matching what a BPE trainer ships.
+          exhausted = true
+        } else {
+          val (pa, pb, cnt) =
+            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          learned += ((r, pa, pb, cnt))
+          val prev = enc
+          enc = enc.withColumn("enc", regexp_replace(col("enc"),
+            "\\|" + pa + "\\| \\|" + pb + "\\|", "|" + pa + pb + "|")).persist()
+          enc.count() // materialize before dropping the previous round
+          prev.unpersist()
+        }
       }
-    }
-    enc.unpersist()
+    } finally enc.unpersist()
     import spark.implicits._
     learned.toSeq.toDF("round", "left_sym", "right_sym", "cnt")
   }

@@ -1247,7 +1247,10 @@ object TrainingData {
 
     // hashed bag-of-words document embedding (the hashing trick): md5-derived
     // slot and sign per token, L2-normalized round(4) — the deterministic
-    // text->vector bridge that lets SemDeDup/ANN run on raw-text corpora
+    // text->vector bridge that lets SemDeDup/ANN run on raw-text corpora.
+    // Emitted exploded to (doc_id, d, val) rows — the driver's pandas
+    // comparator cannot sort an array-valued column, so the oracle shape is
+    // scalar per row (the ss_label_centroids pattern).
     df("ta_hash_embedding",
       """WITH toks AS (SELECT doc_id, list_filter(
         |  regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS w
@@ -1270,13 +1273,19 @@ object TrainingData {
         |  FROM grid g LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.slot = g.d
         |  GROUP BY g.doc_id),
         |n AS (SELECT doc_id, raw,
-        |  sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm FROM rawv)
-        |SELECT doc_id, CASE WHEN nrm > 0
+        |  sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm FROM rawv),
+        |emb AS (SELECT doc_id, CASE WHEN nrm > 0
         |  THEN list_transform(raw, x -> round(x / nrm, 4))
         |  ELSE list_transform(raw, x -> 0.0) END AS embedding
-        |FROM n ORDER BY doc_id LIMIT 100""".stripMargin) { (s, _) =>
+        |FROM n ORDER BY doc_id LIMIT 100)
+        |SELECT doc_id, generate_subscripts(embedding, 1) AS d,
+        |  unnest(embedding) AS val
+        |FROM emb ORDER BY doc_id, d""".stripMargin) { (s, _) =>
       TextAnalysis.hashEmbedding(s.table("documents"))
         .orderBy("doc_id").limit(100)
+        .select(col("doc_id"), posexplode(col("embedding")))
+        .select(col("doc_id"), (col("pos") + 1).as("d"), col("col").as("val"))
+        .orderBy("doc_id", "d")
     },
 
     // cross-corpus chunk dedup: new-batch docs (non-src0) probed against an

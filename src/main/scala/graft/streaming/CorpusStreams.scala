@@ -35,6 +35,9 @@ object CorpusStreams {
       .withColumn("text_hash", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("text_hash")
+      // the state key is internal — callers get their own schema back,
+      // the same contract qualityGate keeps
+      .drop("text_hash")
 
   /** Quality gate on the stream: Gopher document rules as one map-only
     * WHERE (`CorpusFilters.gopherKeep`), keeping the caller's columns —

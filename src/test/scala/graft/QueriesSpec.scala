@@ -17,6 +17,22 @@ class QueriesSpec extends SparkTestBase {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qk))
   }
 
+  test("bench/verify name filter anchors on prefixes, not substrings") {
+    // the footgun this pins down: a substring filter of "ss_" used to
+    // select dd_cro·ss_·dedup and mi·ss_·anything along with the ss_ family
+    assert(QSpec.nameMatches(None, "anything"))
+    assert(QSpec.nameMatches(Some("ss_"), "ss_ann_pq"))
+    assert(!QSpec.nameMatches(Some("ss_"), "dd_cross_dedup"))
+    assert(QSpec.nameMatches(Some("ta_vocab"), "ta_vocab")) // exact name
+    assert(!QSpec.nameMatches(Some("ta_vocab"), "ta_voc"))  // prefix of filter != match
+    assert(QSpec.nameMatches(Some("dd_,ss_ann"), "ss_ann_ivf")) // comma list
+    assert(QSpec.nameMatches(Some("dd_, ss_ann"), "dd_semdedup"))
+    assert(!QSpec.nameMatches(Some("dd_,ss_ann"), "ss_cosine_topk"))
+    // a blank filter has no usable tokens — treated as unfiltered
+    assert(QSpec.nameMatches(Some(""), "anything"))
+    assert(QSpec.nameMatches(Some(" , "), "anything"))
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
