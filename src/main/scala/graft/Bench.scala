@@ -46,31 +46,41 @@ object Bench {
       math.max(a._2, b._2)
     }
 
-    // deterministic sorted order + best-of-2 per query: Map iteration order
-    // reshuffled whenever a query was added, and the single shared warmup
-    // left whichever query ran first paying JIT/codegen warmup — a 7x
-    // timing swing with zero code change (VERDICT r3). Two timed runs,
-    // report the min.
+    // deterministic sorted order: Map iteration order reshuffled whenever a
+    // query was added, and the single shared warmup left whichever query ran
+    // first paying JIT/codegen warmup — a 7x timing swing with zero code
+    // change (VERDICT r3).
+    // TWO FULL SWEEPS of the registry, per-query min ACROSS sweeps: the
+    // host is a shared guest whose load comes in multi-second bursts, so
+    // back-to-back best-of-2 put both samples of a query inside the same
+    // contended window and poisoned BOTH (VERDICT r5: ss_ann_pq recorded
+    // 155 s vs 2.0 s isolated). Separating the two samples of each query
+    // by a whole sweep (~minutes) decorrelates them from any one burst —
+    // a query's min is bad only if the host was bad for the entire run.
     // dev-loop aid: SPARK_GRAFT_BENCH_FILTER=<prefix,prefix,...> times only
     // the matching queries (the driver leaves it unset -> full registry)
     val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
-    val results: Seq[(String, Double)] =
+    val selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       (if (skipQueries) Nil else SparkEntry.queries.toSeq.sortBy(_._1))
-        .filter { case (n, _) => QSpec.nameMatches(nameFilter, n) }.map {
-        case (name, fn) =>
-          // a failed run must never win the min: a transient 0.1s failure
-          // would silently replace a real 10s timing. Failures count as
-          // +inf; two failures report the explicit -1 error marker.
-          def once(): Double = {
-            val t0 = System.nanoTime()
-            try {
-              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-              (System.nanoTime() - t0) / 1e9
-            } catch { case _: Throwable => Double.PositiveInfinity }
-          }
-          val best = math.min(once(), once())
-          name -> (if (best.isInfinity) -1.0 else best)
-      }
+        .filter { case (n, _) => QSpec.nameMatches(nameFilter, n) }
+    // a failed run must never win the min: a transient 0.1s failure would
+    // silently replace a real 10s timing. Failures count as +inf; two
+    // failures report the explicit -1 error marker.
+    def sweep(): Map[String, Double] = selected.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val t = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => Double.PositiveInfinity }
+      name -> t
+    }.toMap
+    val (sweep1, sweep2) =
+      if (selected.isEmpty) (Map.empty[String, Double], Map.empty[String, Double])
+      else { val a = sweep(); System.gc(); val b = sweep(); (a, b) }
+    val results: Seq[(String, Double)] = selected.map { case (name, _) =>
+      val best = math.min(sweep1(name), sweep2(name))
+      name -> (if (best.isInfinity) -1.0 else best)
+    }
 
     // the query phase leaves cached checkpoint blocks and an old gen full
     // of shuffle garbage; without a sweep the ingest phase pays its GC
@@ -79,7 +89,7 @@ object Bench {
     System.gc()
 
     // best-of-2 like the queries: host contention on this shared guest
-    // swings a single 6 s window by 2x; the better pass is the capacity
+    // swings a single short window by 2x; the better pass is the capacity
     // measurement, the worse one is the weather
     val (accepted, durable) = if (skipIngest) (0.0, 0.0) else {
       def run() = try ingestBench(spark) catch { case _: Throwable => (0.0, 0.0) }
@@ -106,8 +116,15 @@ object Bench {
     val root = java.nio.file.Files.createTempDirectory("bench_ingest").toString
     loadTest(spark, "otlp:127.0.0.1:46900",
       Map("target" -> "parquet", "parquet_root" -> root,
-        "seal_max_age_ms" -> "2000"), runMs = 6000L)
+        "seal_max_age_ms" -> "2000"), runMs = IngestWindowMs)
   }
+
+  /** Measured ingest window. 15 s (was 6 s): on this shared-guest host a
+    * single 6 s window sat entirely inside one contention burst and
+    * recorded the round's LOWEST number as the "steady" metric
+    * (VERDICT r5 — 16,350 vs 88,769 re-run). A 15 s window spans bursts,
+    * so the averaged rate regresses toward capacity instead of weather. */
+  private val IngestWindowMs = 15000L
 
   /** Same load against the CATALOG target (managed tables + per-signal
     * insert + _seal_id idempotence column) — the reference's
@@ -128,7 +145,7 @@ object Bench {
     System.gc() // sweep the parquet phase's garbage before timing (see main)
     loadTest(spark, "otlp:127.0.0.1:46901",
       Map("schema" -> "benchcat", "seal_max_age_ms" -> "2000"),
-      runMs = 6000L)._2
+      runMs = IngestWindowMs)._2
   }
 
   private def loadTest(spark: SparkSession, uri: String,
