@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.{CorpusFilters, Dedup}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Structured-Streaming corpus curation: the training-data operators
@@ -38,6 +38,44 @@ object CorpusStreams {
       // the state key is internal — callers get their own schema back,
       // the same contract qualityGate keeps
       .drop("text_hash")
+
+  /** Sealed OTLP log rows reshaped to the curation document contract
+    * (doc_id, ts, text): body is the document text, event time is the
+    * curation timestamp, and the producer carries its document id as a
+    * `doc_id` log attribute (rendered by AttrJson as a JSON number).
+    * Map-only — works identically on a batch frame of sealed rows and on
+    * the live `otlp-seals` stream, which is what lets the capstone spec
+    * assert stream-vs-batch equivalence on the same sealed data. */
+  def docsFromLogs(logs: DataFrame): DataFrame =
+    logs.select(
+      get_json_object(col("log_attributes"), "$.doc_id").cast("long")
+        .as("doc_id"),
+      col("time_unix_nano").as("ts"),
+      col("body").as("text"))
+
+  /** The live-to-training-shards composition, end to end: a running ingest
+    * server's seal stream (`format("otlp-seals")` — checkpointed, exactly
+    * once) reshaped to documents, watermark-bounded exact dedup, Gopher
+    * quality gate. The output is the curated APPEND stream a pipeline
+    * writes to its curated-corpus table; shard packing
+    * (`CorpusFilters.packShards`) then runs as the batch finalization over
+    * that table — packing needs a per-group running token sum, which is a
+    * settled-data operation by design (shards are cut when a corpus
+    * snapshot ships, not per micro-batch).
+    *
+    * Scale: every stage is the streaming-native shape — the source reads
+    * retained seal buffers zero-copy, dedup state is bounded by the
+    * watermark horizon, the gate is a map-only WHERE. One such pipeline
+    * runs per ingest endpoint; consumers shard exactly like servers. */
+  def curateFromSeals(spark: SparkSession, uri: String,
+                      watermark: String = "10 minutes",
+                      minWords: Int = 50): DataFrame =
+    qualityGate(
+      dedupDocStream(docsFromLogs(
+        spark.readStream.format("otlp-seals")
+          .option("uri", uri).option("signal", "logs").load()),
+        watermark = watermark),
+      minWords = minWords)
 
   /** Quality gate on the stream: Gopher document rules as one map-only
     * WHERE (`CorpusFilters.gopherKeep`), keeping the caller's columns —
