@@ -20,8 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** embedding cast to DOUBLE elements (fp determinism + no float drift). */
-  def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  /** embedding cast to DOUBLE elements (fp determinism + no float drift).
+    * A native array-to-array Cast, not a transform lambda: Cast is
+    * codegen'd, the lambda form is interpreted — and every float widens
+    * to double exactly, so the values are identical either way. */
+  def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Cosine of two NAMED double-array columns on the native `array_dot`
     * kernel — structurally identical to the lambda `cosine` (dot / norms,
@@ -295,16 +298,23 @@ object Similarity {
 
   /** Sign-random-projection LSH: `planes` hyperplanes; bucket = the string of
     * sign bits of the dot products. Map-only (no shuffle); dot products sum
-    * left-to-right over dims, matching a sequential engine bit-for-bit. */
+    * left-to-right over dims, matching a sequential engine bit-for-bit.
+    * Each plane's projection is one native `array_dot` call against the
+    * plane rendered as a plan-literal array (the cellScores pattern) —
+    * the interpreted transform/aggregate lambda this replaces cost ~6
+    * dispatches per dimension per row; sum order is unchanged, so buckets
+    * are bit-identical. */
   def lshBuckets(emb: DataFrame, planes: Int, dims: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = asDouble(col(vecCol))
-    val planesLit = array((0 until planes).map(p =>
-      array((0 until dims).map(d => lit(planeComponent(p, d))): _*)): _*)
-    val bucket = array_join(
-      transform(planesLit, p =>
-        when(dot(v, p) > 0, lit("1")).otherwise(lit("0"))), "")
-    emb.select(col(idCol), col(vecCol), bucket.as("bucket"))
+    graft.functions.ArrayDot.register(emb.sparkSession)
+    val bits = (0 until planes).map { p =>
+      val arr = (0 until dims).map(d => s"${planeComponent(p, d)}D").mkString(",")
+      when(expr(s"array_dot(__v, array($arr))") > 0, lit("1"))
+        .otherwise(lit("0")): Column
+    }
+    emb.select(col(idCol), col(vecCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("bucket", concat(bits: _*))
+      .drop("__v")
   }
 
   /** ANN top-k: exact cosine ranking restricted to the query's LSH bucket

@@ -93,6 +93,19 @@ class PlanSpec extends SparkTestBase {
     assert(!plan(df).contains("Exchange"), plan(df))
   }
 
+  test("LSH bucketing is exchange-free on the native array_dot kernel " +
+      "(no interpreted lambda in the projection)") {
+    Tables.register(spark, sfDir)
+    val df = graft.operators.Similarity.lshBuckets(
+      spark.table("embeddings"), planes = 8, dims = 64)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("array_dot"), p)
+    // the plane projection must not fall back to the interpreted
+    // higher-order-function path (transform/aggregate lambdas)
+    assert(!p.contains("lambdafunction"), p)
+  }
+
   test("tf-idf aggregates partially before each shuffle") {
     Tables.register(spark, sfDir)
     val df = graft.operators.TextAnalysis.tfidfTopTerms(
