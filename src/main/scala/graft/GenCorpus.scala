@@ -68,9 +68,22 @@ object GenCorpus {
 
     val vecs = spark.range(nVecs).map { boxed =>
       val id: Long = boxed
-      val rnd = new java.util.Random(seed * 9000007L + id)
-      val emb = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
-      (id, emb, rnd.nextInt(10))
+      // planted neighbor families (~10% of the corpus): ids with
+      // id % 100 in 1..9 perturb their family base (id - id%100), so ANN
+      // recall has TRUE near neighbors to find and the embedding-dedup
+      // operators have real work — the vector-side mirror of the near-dup
+      // doc population above. Everything still derives from (seed, id).
+      val famPos = id % 100
+      val isFam = famPos >= 1 && famPos <= 9
+      val baseId = if (isFam) id - famPos else id
+      val rnd = new java.util.Random(seed * 9000007L + baseId)
+      val base = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+      val emb = if (isFam) {
+        val nr = new java.util.Random(seed * 11000059L + id)
+        base.map(x => x + (nr.nextFloat() * 2f - 1f) * 0.05f)
+      } else base
+      val lr = new java.util.Random(seed * 13000027L + id)
+      (id, emb, lr.nextInt(10))
     }.toDF("vec_id", "embedding", "label")
     vecs.repartition(4).write.mode("overwrite")
       .parquet(s"$outDir/embeddings.parquet")

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** ANN quality measurement: mean recall@10 of each approximate index vs
+  * the brute-force cosine ranking, over a deterministic spread of query
+  * vectors. Recall is a property of the (deterministic) index math and the
+  * data — unlike timings it is host-weather-independent, so the printed
+  * numbers are directly publishable (SCALE.md carries the committed
+  * table; SimilaritySpec asserts floors so a regression fails CI).
+  *
+  * Usage: runMain graft.RecallBench [sfDir] [nQueries]
+  */
+object RecallBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nQueries = args.lift(1).map(_.toInt).getOrElse(8)
+    // "uniform": queries spread evenly over the id space (on unstructured
+    // random vectors this measures the probe-coverage/noise baseline).
+    // "family": queries are GenCorpus planted-family bases (id % 100 == 0,
+    // family members at +1..+9) — true-neighbor recall, the number that
+    // actually differentiates the index structures.
+    val mode = args.lift(2).getOrElse("uniform")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.register(spark, sfDir)
+    val emb = spark.table("embeddings")
+
+    // deterministic query spread: every (n/nQueries)-th id of the sorted
+    // candidate list — ids only on the driver, never vectors
+    val all = emb.select("vec_id").orderBy("vec_id")
+      .collect().map(_.getLong(0))
+    val ids = if (mode == "family") all.filter(_ % 100 == 0) else all
+    // uniform queries sit at stride MIDPOINTS: with consecutive ids a
+    // stride that divides the corpus would land every query on an
+    // id % 100 == 0 family base and silently measure family recall
+    val off = if (mode == "family") 0 else ids.length / (2 * nQueries)
+    val queryIds = (0 until nQueries)
+      .map(i => ids((((i.toLong * ids.length) / nQueries).toInt + off)
+        .min(ids.length - 1)))
+
+    def topIds(df: DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+
+    val k = 10
+    val methods: Seq[(String, Long => DataFrame)] = Seq(
+      "lsh_p8" -> (q => Similarity.annTopKLsh(emb, q, k, planes = 8, dims = 64)),
+      "ivf_seed_np2" -> (q => Similarity.annTopKIvf(emb, q, k, centroids = 8,
+        nprobe = 2, dims = 64)),
+      "ivf_trained_np2" -> (q => Similarity.annTopKIvfTrained(emb, q, k,
+        centroids = 8, nprobe = 2, dims = 64)),
+      "pq_m8k16" -> (q => Similarity.annTopKPq(emb, q, k)),
+      "hamming_64" -> (q => Similarity.annTopKHamming(emb, dims = 64,
+        queryId = q, k = k)))
+
+    val recalls = methods.map { case (name, fn) =>
+      val perQuery = queryIds.map { q =>
+        val brute = topIds(Similarity.cosineTopK(emb, q, k))
+        val ann = topIds(fn(q))
+        (ann & brute).size.toDouble / k
+      }
+      name -> perQuery.sum / perQuery.size
+    }
+
+    val json = recalls
+      .map { case (n, r) => s""""$n":${math.round(r * 1000) / 1000.0}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"recall_at_10","sf":"$sfDir","n_queries":$nQueries,"mode":"$mode","recall":$json}""")
+    spark.stop()
+    sys.exit(0)
+  }
+}

@@ -76,6 +76,52 @@ class SimilaritySpec extends SparkTestBase {
     ann.foreach(r => assert(brute(r.getLong(0)) == r.getDouble(1)))
   }
 
+  test("ann recall floors on a planted-neighbor corpus: every index " +
+      "structure finds true neighbors (SCALE.md recall table's contract)") {
+    import spark.implicits._
+    // 20 families x 10 members: member = base + small deterministic noise,
+    // so each family base's true top-10 is its 9 mates (cosine ~0.99) —
+    // the structured-recall protocol RecallBench runs at sf1 scale
+    val rows = (0 until 20).flatMap { f =>
+      val rnd = new java.util.Random(1000L + f)
+      val base = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+      (0 until 10).map { m =>
+        val nr = new java.util.Random(5000L + f * 10 + m)
+        val e = if (m == 0) base
+                else base.map(x => x + (nr.nextFloat() * 2f - 1f) * 0.05f)
+        (f * 10L + m, e, f % 10)
+      }
+    }
+    val vecs = rows.toDF("vec_id", "embedding", "label")
+    val queries = Seq(0L, 30L, 70L, 110L, 150L, 190L) // family bases
+    def recall(fn: Long => org.apache.spark.sql.DataFrame): Double = {
+      val per = queries.map { q =>
+        val brute = Similarity.cosineTopK(vecs, q, 10)
+          .collect().map(_.getLong(0)).toSet
+        val ann = fn(q).collect().map(_.getLong(0)).toSet
+        (ann & brute).size.toDouble / 10
+      }
+      per.sum / per.size
+    }
+    // deterministic data + deterministic index math -> exact values; the
+    // floors sit just below so only a real regression can trip them
+    val r = Map(
+      "lsh" -> recall(q => Similarity.annTopKLsh(vecs, q, 10, 8, 64)
+        .select("vec_id")),
+      "ivf_trained" -> recall(q =>
+        Similarity.annTopKIvfTrained(vecs, q, 10, 8, 2, 64, 5)
+          .select("vec_id")),
+      "pq" -> recall(q => Similarity.annTopKPq(vecs, q, 10).select("vec_id")),
+      "hamming" -> recall(q =>
+        Similarity.annTopKHamming(vecs, dims = 64, queryId = q, k = 10)
+          .select("vec_id")))
+    info(s"planted-neighbor recall@10: $r")
+    assert(r("ivf_trained") >= 0.85, r)
+    assert(r("hamming") >= 0.85, r)
+    assert(r("lsh") >= 0.6, r)
+    assert(r("pq") >= 0.5, r)
+  }
+
   test("lsh bucket ids are valid bit strings partitioning the corpus") {
     val rows = Similarity.lshBuckets(emb, planes = 8, dims = 64)
       .groupBy("bucket").agg(count(lit(1)).as("cnt")).collect()
