@@ -1145,6 +1145,55 @@ object TrainingData {
         .orderBy("vec_id").limit(200)
     },
 
+    // SemDeDup at the PAPER's cell budget: k = max(8, ceil(n/250)) — the
+    // k ~ n/target_cell_size rule that keeps the within-cell pairwise
+    // stage O(n * cell) instead of O(n^2/k) as the corpus grows. This
+    // entry exists so the k-scaling contract is CONTINUOUSLY measured
+    // (bench + SCALE.md sf1 point), not just argued in prose; both sides
+    // compute k from the data, so the same entry is oracle-exact at any
+    // scale (DuckDB: scalar generate_series accepts the subquery-derived
+    // bound table functions reject)
+    df("dd_semdedup_scaled",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |kk AS (SELECT CAST(greatest(8, ceil(count(*) / 250.0)) AS INT) AS k FROM embeddings),
+        |ps AS (SELECT unnest(generate_series(0, k - 1)) AS p FROM kk),
+        |cn AS (SELECT p, c, sqrt(list_sum(list_transform(generate_series(1, 64), i -> c[i] * c[i]))) AS nc
+        |  FROM (SELECT p, list_transform(generate_series(1, 64),
+        |    d -> (strpos('0123456789abcdef', substring(md5(concat(p + 1000, '_', d - 1)), 1, 1)) - 8.5)) AS c
+        |  FROM ps) x),
+        |s0 AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN cn WHERE vec_id % 5 = 0 GROUP BY vec_id),
+        |c0 AS (SELECT vec_id, list_position(scores, list_aggregate(scores, 'max')) - 1 AS cell FROM s0),
+        |tr AS (SELECT cell, d, round(avg(v[d]), 4) AS cd
+        |  FROM c0 JOIN e USING (vec_id) CROSS JOIN generate_series(1, 64) t(d)
+        |  GROUP BY cell, d),
+        |tl AS (SELECT cell, list(cd ORDER BY d) AS c FROM tr GROUP BY cell),
+        |tc AS (SELECT cn.p, coalesce(tl.c, cn.c) AS c,
+        |  sqrt(list_sum(list_transform(generate_series(1, 64),
+        |    i -> coalesce(tl.c, cn.c)[i] * coalesce(tl.c, cn.c)[i]))) AS nc
+        |  FROM cn LEFT JOIN tl ON tl.cell = cn.p),
+        |scored AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN tc GROUP BY vec_id),
+        |cells AS (SELECT s.vec_id, e.v,
+        |  list_position(s.scores, list_aggregate(s.scores, 'max')) - 1 AS cell
+        |  FROM scored s JOIN e ON e.vec_id = s.vec_id),
+        |dup AS (SELECT DISTINCT b.vec_id AS id
+        |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(
+        |    list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * a.v[i]))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.v[i] * b.v[i])))), 4) >= 0.3)
+        |SELECT c.vec_id, c.cell, (d.id IS NOT NULL) AS dropped
+        |FROM cells c LEFT JOIN dup d ON d.id = c.vec_id
+        |ORDER BY c.vec_id LIMIT 200""".stripMargin) { (s, _) =>
+      val emb = s.table("embeddings")
+      val k = math.max(8, math.ceil(emb.count() / 250.0).toInt)
+      Similarity.semDedup(emb, centroids = k, dims = 64, threshold = 0.3)
+        .orderBy("vec_id").limit(200)
+    },
+
     // line-level corpus dedup (CCNet/RefinedWeb boilerplate strip): a
     // trimmed line in >= 2 distinct docs is removed from ALL docs (unlike
     // chunk dedup's keep-first); kept_digest proves WHICH lines survive.
