@@ -207,6 +207,57 @@ object TextAnalysis {
     learned.toSeq.toDF("round", "left_sym", "right_sym", "cnt")
   }
 
+  /** Apply a learned BPE merge table to the corpus — the tokenization pass
+    * a training pipeline runs over every document once the tokenizer is
+    * trained (`bpeMerges` is train, this is apply). Returns one row per doc:
+    * (idCol, n_bpe_tokens, tok_digest) where tok_digest is the md5 of the
+    * space-joined token sequence in document order — WHICH tokens, not just
+    * how many.
+    *
+    * The merge table is collected to the driver (a tokenizer vocabulary is
+    * kilobytes — same train-then-apply shape as the PQ codebooks) and folded
+    * into the plan as a chain of literal `regexp_replace` calls, applied in
+    * merge order: greedy BPE application IS "replace each merge pair
+    * globally, in the order learned" (Sennrich et al. 2016), and global
+    * regex replace is left-to-right non-overlapping in both Java regex and
+    * DuckDB's RE2, so token sequences are bit-identical cross-engine.
+    *
+    * Shape at 100 TB: encoding runs once per DISTINCT word (the same
+    * vocabulary-memoization trick training uses), map-only over the
+    * distinct-word frame; the corpus then hash-joins that frame on the
+    * uniform word key and re-aggregates per doc (order restored by
+    * array_sort on the carried position — collect_list order is not
+    * guaranteed post-shuffle). No driver-side row data, no broadcast of
+    * anything corpus-sized. */
+  def bpeEncode(docs: DataFrame, merges: DataFrame,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    // (round, left, right) in learned order; kilobytes by construction
+    val ms = merges.select(col("round"), col("left_sym"), col("right_sym"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    val words = docs.select(col(idCol),
+      posexplode(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"))
+        .as(Seq("pos", "word")))
+    val enc0 = concat(lit("|"), concat_ws("| |", expr(
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1))")),
+      lit("|"))
+    val encN = ms.foldLeft(enc0) { case (e, (pa, pb)) =>
+      regexp_replace(e, "\\|" + pa + "\\| \\|" + pb + "\\|", "|" + pa + pb + "|")
+    }
+    val vocab = words.select("word").distinct()
+      .select(col("word"), regexp_extract_all(encN,
+        lit("\\|([a-z]+)\\|"), lit(1)).as("toks"))
+    val joined = words.join(vocab, Seq("word"))
+      .select(col(idCol), col("pos"), size(col("toks")).as("n"),
+        array_join(col("toks"), " ").as("ts"))
+    joined.groupBy(idCol)
+      .agg(sum("n").as("n_bpe_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("ts")))),
+          s => s.getField("ts")), " ")).as("tok_digest"))
+  }
+
   /** Deterministic hashed bag-of-words document embedding (the "hashing
     * trick", Weinberger et al. 2009): every token adds ±1 to one of `dims`
     * slots — slot and sign both md5-derived — and the counts vector is

@@ -1294,6 +1294,58 @@ object TrainingData {
         .orderBy("round")
     },
 
+    // BPE tokenization (apply the learned merges to every document — the
+    // pass a training pipeline runs over the whole corpus): train on the
+    // word-frequency table (same 3 rounds as ta_bpe_merges), encode each
+    // DISTINCT word once, hash-join back on the word key, reassemble per
+    // doc in document order. tok_digest pins WHICH token sequence each doc
+    // produced, not just the count
+    df("ta_bpe_encode",
+      """WITH wf AS (SELECT w AS word, count(*) AS wc FROM (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |  FROM documents) x GROUP BY w),
+        |e0 AS (SELECT word, wc,
+        |  '|' || array_to_string(list_transform(generate_series(1, len(word)),
+        |    i -> word[i]), '| |') || '|' AS enc FROM wf),
+        |s1 AS (SELECT word, wc, regexp_extract_all(enc, '\|([a-z]+)\|', 1) AS syms FROM e0),
+        |p1 AS (SELECT unnest(syms[1:len(syms)-1]) AS pa, unnest(syms[2:len(syms)]) AS pb, wc
+        |  FROM s1 WHERE len(syms) >= 2),
+        |c1 AS (SELECT pa, pb, CAST(sum(wc) AS BIGINT) AS cnt FROM p1 GROUP BY pa, pb),
+        |b1 AS (SELECT pa, pb FROM c1 ORDER BY cnt DESC, pa, pb LIMIT 1),
+        |e1 AS (SELECT word, wc, regexp_replace(enc,
+        |  '\|' || b1.pa || '\| \|' || b1.pb || '\|', '|' || b1.pa || b1.pb || '|', 'g') AS enc
+        |  FROM e0 CROSS JOIN b1),
+        |s2 AS (SELECT word, wc, regexp_extract_all(enc, '\|([a-z]+)\|', 1) AS syms FROM e1),
+        |p2 AS (SELECT unnest(syms[1:len(syms)-1]) AS pa, unnest(syms[2:len(syms)]) AS pb, wc
+        |  FROM s2 WHERE len(syms) >= 2),
+        |c2 AS (SELECT pa, pb, CAST(sum(wc) AS BIGINT) AS cnt FROM p2 GROUP BY pa, pb),
+        |b2 AS (SELECT pa, pb FROM c2 ORDER BY cnt DESC, pa, pb LIMIT 1),
+        |e2 AS (SELECT word, wc, regexp_replace(enc,
+        |  '\|' || b2.pa || '\| \|' || b2.pb || '\|', '|' || b2.pa || b2.pb || '|', 'g') AS enc
+        |  FROM e1 CROSS JOIN b2),
+        |s3 AS (SELECT word, wc, regexp_extract_all(enc, '\|([a-z]+)\|', 1) AS syms FROM e2),
+        |p3 AS (SELECT unnest(syms[1:len(syms)-1]) AS pa, unnest(syms[2:len(syms)]) AS pb, wc
+        |  FROM s3 WHERE len(syms) >= 2),
+        |c3 AS (SELECT pa, pb, CAST(sum(wc) AS BIGINT) AS cnt FROM p3 GROUP BY pa, pb),
+        |b3 AS (SELECT pa, pb FROM c3 ORDER BY cnt DESC, pa, pb LIMIT 1),
+        |e3 AS (SELECT word, regexp_replace(enc,
+        |  '\|' || b3.pa || '\| \|' || b3.pb || '\|', '|' || b3.pa || b3.pb || '|', 'g') AS enc
+        |  FROM e2 CROSS JOIN b3),
+        |tk AS (SELECT word, regexp_extract_all(enc, '\|([a-z]+)\|', 1) AS toks FROM e3),
+        |dw AS (SELECT doc_id, unnest(ww) AS word,
+        |  unnest(generate_series(1, len(ww))) AS pos
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ww
+        |    FROM documents) x),
+        |j AS (SELECT doc_id, pos, len(toks) AS n,
+        |  array_to_string(toks, ' ') AS ts FROM dw JOIN tk USING (word))
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bpe_tokens,
+        |  md5(string_agg(ts, ' ' ORDER BY pos)) AS tok_digest
+        |FROM j GROUP BY doc_id ORDER BY doc_id LIMIT 100""".stripMargin) { (s, _) =>
+      val docs = s.table("documents")
+      TextAnalysis.bpeEncode(docs, TextAnalysis.bpeMerges(docs, merges = 3))
+        .orderBy("doc_id").limit(100)
+    },
+
     // hashed bag-of-words document embedding (the hashing trick): md5-derived
     // slot and sign per token, L2-normalized round(4) — the deterministic
     // text->vector bridge that lets SemDeDup/ANN run on raw-text corpora.

@@ -253,6 +253,27 @@ class CorpusFiltersSpec extends SparkTestBase {
     assert(got == Seq((1, "a", "a", 9L), (2, "aa", "aa", 3L)))
   }
 
+  test("bpe encode: learned merges applied in order, tokens in doc order") {
+    import spark.implicits._
+    // merges on this corpus (hand-computed above): (w,e), (l,o), (e,we).
+    // low -> [lo w]; lower -> [lo we r]; newest -> [n ewe s t]
+    val docs = Seq(
+      1L -> "low low low lower lower",
+      2L -> "newest newest newest newest")
+      .toDF("doc_id", "text")
+    val merges = graft.operators.TextAnalysis.bpeMerges(docs, merges = 3)
+    val got = graft.operators.TextAnalysis.bpeEncode(docs, merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bpe_tokens"),
+        r.getAs[String]("tok_digest"))).toSeq
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d1 = md5hex("lo w lo w lo w lo we r lo we r")
+    val d2 = md5hex("n ewe s t n ewe s t n ewe s t n ewe s t")
+    assert(got == Seq((1L, 12L, d1), (2L, 16L, d2)))
+  }
+
   test("cross-corpus chunk dedup: ref-seen chunks dropped, batch-internal " +
     "duplicates untouched, fully_dup flags empty survivors") {
     import spark.implicits._
