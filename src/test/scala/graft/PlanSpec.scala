@@ -205,4 +205,27 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("hashpartitioning(doc_id"), p)
     assert(!p.contains("SinglePartition"), p)
   }
+
+  test("bpe encode joins the corpus to the vocab on the uniform word key " +
+      "and folds the merge chain into a map-only projection") {
+    import spark.implicits._
+    val docs = Seq(1L -> "low low lower newest", 2L -> "newest widest")
+      .toDF("doc_id", "text")
+    val merges = graft.operators.TextAnalysis.bpeMerges(docs, merges = 2)
+    val enc = graft.operators.TextAnalysis.bpeEncode(docs, merges)
+    val p = plan(enc)
+    // corpus-to-vocabulary lookup is an equi-join on the word key — never
+    // a nested loop — and the per-doc reassembly shuffles on doc_id
+    assert(p.contains("Join") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("hashpartitioning(word") ||
+      p.contains("BroadcastHashJoin [word"), p)
+    assert(p.contains("hashpartitioning(doc_id"), p)
+    // the learned merges are plan literals: one regexp_replace per merge
+    // round, no per-row UDF (the physical string elides expressions once
+    // they fold into an aggregate's result projection, so the literal
+    // chain is pinned on the optimized logical plan)
+    val lp = enc.queryExecution.optimizedPlan.toString
+    assert("regexp_replace".r.findAllIn(lp).size >= 2, lp)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
 }
