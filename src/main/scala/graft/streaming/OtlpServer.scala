@@ -38,6 +38,39 @@ final case class SealEvent(listenUri: String, seq: Long, success: Boolean,
                            sealsTotal: Long, sealFailuresTotal: Long,
                            atMs: Long)
 
+/** Outcome of one transport-agnostic ingest (`OtlpServer.ingestBody`);
+  * each transport maps these onto its own status space (HTTP 202/400/413/
+  * 503, gRPC OK/INVALID_ARGUMENT/RESOURCE_EXHAUSTED). */
+private[streaming] sealed trait IngestOutcome
+private[streaming] object IngestOutcome {
+  final case class Buffered(rows: Long, batches: Int,
+                            skippedSummary: Long,
+                            skippedInvalid: Long) extends IngestOutcome
+  case object Overloaded extends IngestOutcome
+  case object BodyTooLarge extends IngestOutcome
+  final case class DecompressFailed(msg: String) extends IngestOutcome
+  final case class Malformed(msg: String) extends IngestOutcome
+  final case class EncodeFailed(msg: String) extends IngestOutcome
+}
+
+/** Outcome of one OTAP streaming-session message
+  * (`OtlpServer.otapMessage`). `Nack.streamDead` tells the transport
+  * whether the decoder was poisoned (decode/encode failure — the stream
+  * must close) or the message merely bounced (backpressure — the stream
+  * stays open and the client may replay). */
+private[streaming] sealed trait OtapOutcome
+private[streaming] object OtapOutcome {
+  final case class Ok(batchId: Long, rows: Long) extends OtapOutcome
+  final case class Nack(statusCode: Int, batchId: Long, msg: String,
+                        streamDead: Boolean) extends OtapOutcome
+  /** A message arrived for a stream an earlier failure already closed. */
+  case object AlreadyClosed extends OtapOutcome
+  case object Stopping extends OtapOutcome
+  case object TooManyStreams extends OtapOutcome
+  case object BodyTooLarge extends OtapOutcome
+  final case class DecompressFailed(msg: String) extends OtapOutcome
+}
+
 /** The live OTLP/HTTP ingest server: admission → parse → stage →
   * commit-to-buffer → (async) seal. The Spark-native re-expression of the
   * reference's otlp_serve pipeline (src/otlp_server.cpp; SURVEY.md §2.3):
@@ -179,18 +212,28 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
   private val stopping = new AtomicBoolean(false)
 
   private var http: HttpServer = _
+  private var grpc: GrpcTransport = _
   private var sealerThread: Thread = _
 
   // ---- lifecycle ----------------------------------------------------------
 
   def start(): Unit = {
     writer.prepareTables()
-    http = HttpServer.create(new InetSocketAddress(cfg.uri.host, cfg.uri.port), 64)
-    http.createContext("/", (ex: HttpExchange) => handle(ex))
-    http.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
-      if (cfg.httpThreads > 0) cfg.httpThreads
-      else math.min(32, math.max(4, 4 * Runtime.getRuntime.availableProcessors()))))
-    http.start()
+    if (cfg.transport == "grpc") {
+      // a gRPC listener serves ONLY its gRPC service family — no HTTP
+      // endpoints, matching the reference ("an otap: server exposes no
+      // HTTP endpoints", serve.md); the control plane (flush/stop/list)
+      // is the in-process OtlpServe API either way
+      grpc = new GrpcTransport(this, cfg)
+      grpc.start()
+    } else {
+      http = HttpServer.create(new InetSocketAddress(cfg.uri.host, cfg.uri.port), 64)
+      http.createContext("/", (ex: HttpExchange) => handle(ex))
+      http.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
+        if (cfg.httpThreads > 0) cfg.httpThreads
+        else math.min(32, math.max(4, 4 * Runtime.getRuntime.availableProcessors()))))
+      http.start()
+    }
     isListening = true
     sealerThread = new Thread(() => sealerLoop(), s"otlp-sealer-${cfg.uri.canonical}")
     sealerThread.setDaemon(true)
@@ -202,6 +245,7 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
     stopping.set(true)
     isListening = false
     if (http != null) http.stop(0)
+    if (grpc != null) grpc.stop()
     var attempts = 0
     while (attempts < 3 && bufferedRows > 0) {
       sealOnce("stop")
@@ -299,11 +343,20 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
   }
 
   private def authorized(ex: HttpExchange): Boolean = {
-    if (!cfg.authEnabled) return true
     val h = ex.getRequestHeaders
-    val bearer = Option(h.getFirst("Authorization"))
+    authorizedToken(Option(h.getFirst("Authorization")),
+      Option(h.getFirst("x-api-key")))
+  }
+
+  /** Transport-agnostic auth: `authorization` carries `Bearer <token>` on
+    * both HTTP and gRPC (gRPC metadata — reference `CheckGrpcAuth`,
+    * `otlp_server_grpc.cpp:49-53`); x-api-key is HTTP-only, so the gRPC
+    * caller passes None. */
+  private[streaming] def authorizedToken(authorization: Option[String],
+                                         apiKey: Option[String]): Boolean = {
+    if (!cfg.authEnabled) return true
+    val bearer = authorization
       .filter(_.startsWith("Bearer ")).map(_.substring(7))
-    val apiKey = Option(h.getFirst("x-api-key"))
     def eq(a: String): Boolean = MessageDigest.isEqual(
       a.getBytes(StandardCharsets.UTF_8), cfg.token.getBytes(StandardCharsets.UTF_8))
     bearer.exists(eq) || apiKey.exists(eq)
@@ -345,76 +398,88 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
           ingestOtapStream(ex, streamId.get, rawBytes, encoding)
           return
         }
-        // admission BEFORE parse: CAS-reserve against max_buffered_bytes
-        val reserve = math.max(rawBytes.length.toLong, 1024L)
-        if (!tryReserve(reserve)) {
-          respond(ex, 503, """{"error":"ingest buffer over capacity"}"""); return
+        ingestBody(family, fmt, rawBytes, encoding) match {
+          case IngestOutcome.Overloaded =>
+            respond(ex, 503, """{"error":"ingest buffer over capacity"}""")
+          case IngestOutcome.BodyTooLarge =>
+            respond(ex, 413, """{"error":"decompressed body too large"}""")
+          case IngestOutcome.DecompressFailed(m) =>
+            respond(ex, 400, s"""{"error":"decompress failed: ${esc(m)}"}""")
+          case IngestOutcome.Malformed(m) =>
+            respond(ex, 400, s"""{"error":"${esc(m)}"}""")
+          case IngestOutcome.EncodeFailed(m) =>
+            respond(ex, 400, s"""{"error":"row encode failed: ${esc(m)}"}""")
+          case IngestOutcome.Buffered(rows, batches, sk, si) =>
+            val skippedJson =
+              if (sk + si > 0) s""","skipped":{"summary":$sk,"invalid":$si}"""
+              else ""
+            respond(ex, 202,
+              s"""{"status":"buffered","rows":$rows,"batches":$batches$skippedJson}""")
         }
-        var reserveTransferred = false
-        // exactly-once release: the error paths below release-then-respond,
-        // and respond can itself throw (client gone mid-write) landing in
-        // the outer catch — a second release there would drift reservedBytes
-        // negative and silently inflate admission capacity
-        var reserveReleased = false
-        def releaseOnce(): Unit =
-          if (!reserveReleased) { reserveReleased = true; release(reserve) }
-        try {
-          val body =
-            try decode(rawBytes, encoding)
-            catch {
-              case _: DecompressedTooLarge =>
-                releaseOnce()
-                respond(ex, 413, """{"error":"decompressed body too large"}""")
-                return
-              case e: Exception =>
-                releaseOnce()
-                respond(ex, 400, s"""{"error":"decompress failed: ${esc(e.getMessage)}"}""")
-                return
-            }
-          val parsed =
-            try fmt match {
-              case "json"     => OtlpJsonParser.parse(body)
-              case "protobuf" => OtlpProtoParser.parse(body, family, nsAsLong = false)
-              case "otap"     => graft.otlp.OtapDecoder.parse(body, nsAsLong = false)
-            } catch {
-              case e: OtlpParseException =>
-                releaseOnce()
-                respond(ex, 400, s"""{"error":"${esc(e.getMessage)}"}""")
-                return
-            }
-          val batches = countBatches(body, fmt)
-          // encode to UnsafeRow images HERE, on the (many) worker threads,
-          // so the single sealer thread ships ready bytes — this is where
-          // the seal pipeline's per-row conversion cost is paid, 32-wide
-          val encoded =
-            try Signals.map(s => s -> {
-              val bin = RowBin.forSignal(s)
-              parsed.signal(s).map(bin.toBytes)
-            }).filter(_._2.nonEmpty)
-            catch {
-              case e: Exception =>
-                releaseOnce()
-                respond(ex, 400, s"""{"error":"row encode failed: ${esc(e.getMessage)}"}""")
-                return
-            }
-          val rows = commitStaged(encoded, reserve)
-          reserveTransferred = true // buffers own the reservation now
-          skippedSummary.addAndGet(parsed.skipped.summaryPoints)
-          skippedInvalid.addAndGet(parsed.skipped.invalidPoints)
-          val skipped = parsed.skipped.summaryPoints + parsed.skipped.invalidPoints
-          val skippedJson =
-            if (skipped > 0)
-              s""","skipped":{"summary":${parsed.skipped.summaryPoints},"invalid":${parsed.skipped.invalidPoints}}"""
-            else ""
-          respond(ex, 202,
-            s"""{"status":"buffered","rows":$rows,"batches":$batches$skippedJson}""")
-        } catch {
+    }
+  }
+
+  /** Transport-agnostic ingest of one request body (HTTP POST or gRPC
+    * unary Export message — the reference routes both through the same
+    * buffering helpers, `otlp_server_grpc.cpp:16-46`): admission-reserve
+    * the wire size BEFORE decompress/parse, then parse → UnsafeRow-encode
+    * on the calling (transport worker) thread → buffer commit. The caller
+    * maps the outcome onto its transport's status space. */
+  private[streaming] def ingestBody(family: String, fmt: String,
+                                    rawBytes: Array[Byte],
+                                    encoding: String): IngestOutcome = {
+    // admission BEFORE parse: CAS-reserve against max_buffered_bytes
+    val reserve = math.max(rawBytes.length.toLong, 1024L)
+    if (!tryReserve(reserve)) return IngestOutcome.Overloaded
+    var reserveTransferred = false
+    // exactly-once release: error paths release-then-return, and the outer
+    // catch must not release a second time — a double release would drift
+    // reservedBytes negative and silently inflate admission capacity
+    var reserveReleased = false
+    def releaseOnce(): Unit =
+      if (!reserveReleased) { reserveReleased = true; release(reserve) }
+    try {
+      val body =
+        try decode(rawBytes, encoding)
+        catch {
+          case _: DecompressedTooLarge =>
+            releaseOnce(); return IngestOutcome.BodyTooLarge
           case e: Exception =>
-            // only release if the reservation wasn't handed to the buffers
-            // (a respond() failure after commit must not double-release)
-            if (!reserveTransferred) releaseOnce()
-            throw e
+            releaseOnce(); return IngestOutcome.DecompressFailed(e.getMessage)
         }
+      val parsed =
+        try fmt match {
+          case "json"     => OtlpJsonParser.parse(body)
+          case "protobuf" => OtlpProtoParser.parse(body, family, nsAsLong = false)
+          case "otap"     => graft.otlp.OtapDecoder.parse(body, nsAsLong = false)
+        } catch {
+          case e: OtlpParseException =>
+            releaseOnce(); return IngestOutcome.Malformed(e.getMessage)
+        }
+      val batches = countBatches(body, fmt)
+      // encode to UnsafeRow images HERE, on the (many) worker threads,
+      // so the single sealer thread ships ready bytes — this is where
+      // the seal pipeline's per-row conversion cost is paid, 32-wide
+      val encoded =
+        try Signals.map(s => s -> {
+          val bin = RowBin.forSignal(s)
+          parsed.signal(s).map(bin.toBytes)
+        }).filter(_._2.nonEmpty)
+        catch {
+          case e: Exception =>
+            releaseOnce(); return IngestOutcome.EncodeFailed(e.getMessage)
+        }
+      val rows = commitStaged(encoded, reserve)
+      reserveTransferred = true // buffers own the reservation now
+      skippedSummary.addAndGet(parsed.skipped.summaryPoints)
+      skippedInvalid.addAndGet(parsed.skipped.invalidPoints)
+      IngestOutcome.Buffered(rows, batches,
+        parsed.skipped.summaryPoints, parsed.skipped.invalidPoints)
+    } catch {
+      case e: Exception =>
+        // only release if the reservation wasn't handed to the buffers
+        if (!reserveTransferred) releaseOnce()
+        throw e
     }
   }
 
@@ -508,20 +573,51 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
   }
 
   private def ingestOtapStream(ex: HttpExchange, sid: String,
-                               rawBytes: Array[Byte], encoding: String): Unit = {
+                               rawBytes: Array[Byte], encoding: String): Unit =
+    otapMessage(sid, rawBytes, encoding) match {
+      case OtapOutcome.Stopping =>
+        respond(ex, 503, """{"error":"server stopping"}""")
+      case OtapOutcome.TooManyStreams =>
+        respond(ex, 503, """{"error":"too many open OTAP streams"}""")
+      case OtapOutcome.AlreadyClosed =>
+        respond(ex, 409, batchStatus(3, -1L,
+          ""","error":"stream closed by an earlier decode failure""""))
+      case OtapOutcome.BodyTooLarge =>
+        respond(ex, 413, """{"error":"decompressed body too large"}""")
+      case OtapOutcome.DecompressFailed(m) =>
+        respond(ex, 400, s"""{"error":"decompress failed: ${esc(m)}"}""")
+      case OtapOutcome.Nack(code, batchId, msg, _) =>
+        val http = code match {
+          case 8 => 503 // backpressure
+          case 13 => 500 // encode failure
+          case _ => 400 // decode failure
+        }
+        respond(ex, http, batchStatus(code, batchId, s""","error":"${esc(msg)}""""))
+      case OtapOutcome.Ok(batchId, rows) =>
+        respond(ex, 202, batchStatus(0, batchId, s""","rows":$rows"""))
+    }
+
+  /** Transport-agnostic OTAP streaming-session message: one stateful
+    * decoder per stream id (dictionary/schema reuse across messages), one
+    * message at a time per stream. Both framings route here — the HTTP
+    * x-otap-stream facade and the canonical gRPC `Arrow*Service` stream
+    * (sid = connection+stream id). The reference's status semantics
+    * (serve.md "gRPC transport"): decode failure nacks with
+    * INVALID_ARGUMENT and closes/poisons the stream; backpressure nacks
+    * with RESOURCE_EXHAUSTED and leaves it open. */
+  private[streaming] def otapMessage(sid: String, rawBytes: Array[Byte],
+                                     encoding: String): OtapOutcome = {
     // acquire a live session: the idle sweep may close one between lookup
     // and lock, so revalidate `closed` under the lock and retry
     var sess: OtapSession = null
     var acquired = false
     while (!acquired) {
-      if (stopping.get()) {
-        respond(ex, 503, """{"error":"server stopping"}"""); return
-      }
+      if (stopping.get()) return OtapOutcome.Stopping
       val found = otapSessions.get(sid)
       val candidate =
         if (found != null) found
         else if (otapSessions.size() >= OtapSessionCap) {
-          respond(ex, 503, """{"error":"too many open OTAP streams"}"""); return
+          return OtapOutcome.TooManyStreams
         } else otapSessions.computeIfAbsent(sid, _ => new OtapSession)
       candidate.lock.lock()
       if (candidate.closed) {
@@ -538,16 +634,11 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
         sess.closed = true
         otapSessions.remove(sid, sess)
         try sess.decoder.close() catch { case _: Exception => () }
-        respond(ex, 503, """{"error":"server stopping"}""")
-        return
+        return OtapOutcome.Stopping
       }
       // poisoned check FIRST, without refreshing lastUsedMs — retries on a
       // dead stream id must not keep it alive past the idle sweep
-      if (sess.poisoned) {
-        respond(ex, 409, batchStatus(3, -1L,
-          ""","error":"stream closed by an earlier decode failure""""))
-        return
-      }
+      if (sess.poisoned) return OtapOutcome.AlreadyClosed
       sess.lastUsedMs = System.currentTimeMillis()
       // admission BEFORE decompress+decode, like the non-stream path: a
       // nacked message holds no decompressed bytes on the heap and never
@@ -557,9 +648,8 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
       // without materializing the body.
       val reserve = math.max(rawBytes.length.toLong, 1024L)
       if (!tryReserve(reserve)) {
-        respond(ex, 503, batchStatus(8, peekBatchId(rawBytes, encoding),
-          ""","error":"ingest buffer over capacity""""))
-        return
+        return OtapOutcome.Nack(8, peekBatchId(rawBytes, encoding),
+          "ingest buffer over capacity", streamDead = false)
       }
       var reserveTransferred = false
       var reserveReleased = false
@@ -570,13 +660,9 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
           try decode(rawBytes, encoding)
           catch {
             case _: DecompressedTooLarge =>
-              releaseOnce()
-              respond(ex, 413, """{"error":"decompressed body too large"}""")
-              return
+              releaseOnce(); return OtapOutcome.BodyTooLarge
             case e: Exception =>
-              releaseOnce()
-              respond(ex, 400, s"""{"error":"decompress failed: ${esc(e.getMessage)}"}""")
-              return
+              releaseOnce(); return OtapOutcome.DecompressFailed(e.getMessage)
           }
         val batchId = otapBatchId(body)
         val parsed =
@@ -587,9 +673,7 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
               // partially advanced and cannot be trusted for later messages
               poisonSession(sess)
               releaseOnce()
-              respond(ex, 400, batchStatus(3, batchId,
-                s""","error":"${esc(e.getMessage)}""""))
-              return
+              return OtapOutcome.Nack(3, batchId, e.getMessage, streamDead = true)
           }
         val encoded =
           try Signals.map(s => s -> {
@@ -602,21 +686,36 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
               // double-apply dictionary deltas — poison, like the reference
               poisonSession(sess)
               releaseOnce()
-              respond(ex, 500, batchStatus(13, batchId,
-                s""","error":"row encode failed: ${esc(e.getMessage)}""""))
-              return
+              return OtapOutcome.Nack(13, batchId,
+                s"row encode failed: ${e.getMessage}", streamDead = true)
           }
         val rows = commitStaged(encoded, reserve)
         reserveTransferred = true
         skippedSummary.addAndGet(parsed.skipped.summaryPoints)
         skippedInvalid.addAndGet(parsed.skipped.invalidPoints)
-        respond(ex, 202, batchStatus(0, batchId, s""","rows":$rows"""))
+        OtapOutcome.Ok(batchId, rows)
       } catch {
         case e: Exception =>
           if (!reserveTransferred) releaseOnce()
           throw e
       }
     } finally sess.lock.unlock()
+  }
+
+  /** Explicitly close an OTAP session (gRPC stream teardown: the client
+    * half-closed, the connection dropped, or an earlier nack poisoned the
+    * stream). Frees the decoder's Arrow buffers without waiting for the
+    * idle sweep. */
+  private[streaming] def closeOtapSession(sid: String): Unit = {
+    val sess = otapSessions.get(sid)
+    if (sess != null) {
+      sess.lock.lock()
+      try {
+        sess.closed = true
+        otapSessions.remove(sid, sess)
+        try sess.decoder.close() catch { case _: Exception => () }
+      } finally sess.lock.unlock()
+    }
   }
 
   /** Close idle streams (sealer thread). tryLock skips sessions with an

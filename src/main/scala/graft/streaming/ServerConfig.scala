@@ -85,14 +85,17 @@ object ServerConfig {
     }
     val schema = params.getOrElse("schema", "otlp")
     if (schema.isEmpty) fail("schema must not be empty")
-    // No gRPC runtime ships in this environment, so both schemes listen over
-    // HTTP: otap: accepts OTAP BatchArrowRecords as POST bodies (documented
-    // transport divergence — the decode path and control plane are identical).
+    // transport := 'http' (default) serves OTLP/HTTP — or, for the otap:
+    // scheme, the documented HTTP facade of the OTAP stream (x-otap-stream
+    // POSTs). transport := 'grpc' serves the reference's canonical gRPC
+    // wire: OTLP/gRPC unary Export on otlp:, OTAP/Arrow bidirectional
+    // streaming on otap: — implemented on Spark's own netty-codec-http2
+    // (GrpcTransport.scala), no gRPC runtime needed. A gRPC listener
+    // exposes no HTTP endpoints (serve.md), so the two are exclusive per
+    // listener; both feed the same buffering/seal core.
     val transport = params.getOrElse("transport", "http")
-    if (transport == "grpc")
-      throw new UnsupportedOperationException(
-        "gRPC transport is not available in this build (no gRPC runtime on " +
-          "the classpath); OTAP payloads are accepted over HTTP POST instead")
+    if (transport != "http" && transport != "grpc")
+      fail(s"transport must be 'http' or 'grpc', got '$transport'")
     // parquet_export_path is the reference's canonical parameter name; the
     // target/parquet_root pair is kept as an accepted spelling of the same
     // thing. A non-empty export path IS the parquet target and is mutually
