@@ -85,15 +85,17 @@ object ServerConfig {
     }
     val schema = params.getOrElse("schema", "otlp")
     if (schema.isEmpty) fail("schema must not be empty")
-    // transport := 'http' (default) serves OTLP/HTTP — or, for the otap:
-    // scheme, the documented HTTP facade of the OTAP stream (x-otap-stream
-    // POSTs). transport := 'grpc' serves the reference's canonical gRPC
-    // wire: OTLP/gRPC unary Export on otlp:, OTAP/Arrow bidirectional
-    // streaming on otap: — implemented on Spark's own netty-codec-http2
-    // (GrpcTransport.scala), no gRPC runtime needed. A gRPC listener
-    // exposes no HTTP endpoints (serve.md), so the two are exclusive per
-    // listener; both feed the same buffering/seal core.
-    val transport = params.getOrElse("transport", "http")
+    // otlp_serve defaults to OTLP/HTTP with transport := 'grpc' selecting
+    // OTLP/gRPC unary Export; otap_serve defaults to the canonical
+    // OTAP/Arrow gRPC stream ("otap_serve is gRPC-only — transport must
+    // be 'grpc' or omitted", serve.md), with transport := 'http' kept as
+    // a documented extension: the x-otap-stream POST facade for
+    // HTTP-only clients. The gRPC wire runs on Spark's own
+    // netty-codec-http2 (GrpcTransport.scala) — no gRPC runtime needed.
+    // A gRPC listener exposes no HTTP endpoints (serve.md), so the two
+    // are exclusive per listener; both feed the same buffering/seal core.
+    val transport = params.getOrElse("transport",
+      if (fn == "otap_serve") "grpc" else "http")
     if (transport != "http" && transport != "grpc")
       fail(s"transport must be 'http' or 'grpc', got '$transport'")
     // parquet_export_path is the reference's canonical parameter name; the

@@ -120,9 +120,9 @@ class OtlpGrpcSpec extends SparkTestBase {
     def bar(name: String) = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$corpus/$name"))
     val uri = "otap:127.0.0.1:45842"
+    // no transport param: gRPC is otap_serve's DEFAULT wire (serve.md)
     OtlpServe.otapServe(spark, uri,
-      Map("token" -> Token, "transport" -> "grpc",
-        "schema" -> "otlptest_grpcotap",
+      Map("token" -> Token, "schema" -> "otlptest_grpcotap",
         "seal_target_bytes" -> "1073741824", "seal_max_age_ms" -> "3600000"))
     val cli = new GrpcClient("127.0.0.1", 45842)
     try {

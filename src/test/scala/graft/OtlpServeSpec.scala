@@ -389,8 +389,12 @@ class OtlpServeSpec extends SparkTestBase {
     def bar(name: String) = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$corpus/$name"))
     val uri = "otap:127.0.0.1:45830"
+    // transport := 'http' selects the x-otap-stream POST facade this test
+    // exercises (the default otap transport is the canonical gRPC stream,
+    // covered by OtlpGrpcSpec)
     val r = OtlpServe.otapServe(spark, uri,
       Map("token" -> Token, "schema" -> "otlptest_otapstream",
+        "transport" -> "http",
         "max_buffered_bytes" -> "25000",
         "seal_target_bytes" -> "1073741824",
         "seal_max_age_ms" -> "3600000")).first()
