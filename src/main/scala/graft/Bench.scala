@@ -148,13 +148,65 @@ object Bench {
       runMs = IngestWindowMs)._2
   }
 
+  /** ExportLogsServiceRequest with `n` copies of the bench log record —
+    * the protobuf twin of the NDJSON body (OtlpProtoSpec pins pb ≡ json),
+    * for the SPARK_GRAFT_BENCH_TRANSPORT=grpc ingest variant. */
+  private def grpcLogsBody(n: Int): Array[Byte] = {
+    import java.io.ByteArrayOutputStream
+    def vi(o: ByteArrayOutputStream, v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { o.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      o.write(v.toInt)
+    }
+    def tag(o: ByteArrayOutputStream, f: Int, w: Int): Unit = vi(o, (f.toLong << 3) | w)
+    def raw(o: ByteArrayOutputStream, f: Int, b: Array[Byte]): Unit = {
+      tag(o, f, 2); vi(o, b.length.toLong); o.write(b, 0, b.length)
+    }
+    def str(o: ByteArrayOutputStream, f: Int, s: String): Unit = raw(o, f, s.getBytes("UTF-8"))
+    def msgB(build: ByteArrayOutputStream => Unit): Array[Byte] = {
+      val o = new ByteArrayOutputStream(); build(o); o.toByteArray
+    }
+    def strAttr(k: String, v: String) =
+      msgB { o => str(o, 1, k); raw(o, 2, msgB(x => str(x, 1, v))) }
+    val rec = msgB { o =>
+      tag(o, 1, 1)
+      val t = 1640000000000000000L
+      (0 until 8).foreach(i => o.write(((t >>> (8 * i)) & 0xff).toInt))
+      tag(o, 2, 0); vi(o, 9)
+      str(o, 3, "INFO")
+      raw(o, 5, msgB(x =>
+        str(x, 1, "benchmark log record with a reasonably sized message body")))
+      raw(o, 6, msgB { x =>
+        str(x, 1, "thread.id")
+        raw(x, 2, msgB(y => { tag(y, 3, 0); vi(y, 42L) }))
+      })
+    }
+    val resourceLogs = msgB { o =>
+      raw(o, 1, msgB { x =>
+        raw(x, 1, strAttr("service.name", "bench-service"))
+        raw(x, 1, strAttr("host.name", "bench-host"))
+      })
+      raw(o, 2, msgB { x =>
+        raw(x, 1, msgB(y => str(y, 1, "bench-logger")))
+        raw(x, 2, rec)
+      })
+    }
+    msgB(o => (0 until n).foreach(_ => raw(o, 1, resourceLogs)))
+  }
+
   private def loadTest(spark: SparkSession, uri: String,
                        extraParams: Map[String, String],
                        runMs: Long): (Double, Double) = {
     import graft.streaming.OtlpServe
     val token = "bench-token-0123456789abcdef"
     val port = graft.streaming.OtlpUri.parse(uri).port
-    OtlpServe.otlpServe(spark, uri, Map("token" -> token) ++ extraParams)
+    // SPARK_GRAFT_BENCH_TRANSPORT=grpc measures the gRPC unary Export
+    // wire instead of OTLP/HTTP (dev aid; the artifact of record uses
+    // HTTP, the reference's own headline path — BASELINE.md)
+    val grpcWire = sys.env.get("SPARK_GRAFT_BENCH_TRANSPORT").contains("grpc")
+    OtlpServe.otlpServe(spark, uri, Map("token" -> token) ++
+      (if (grpcWire) Map("transport" -> "grpc") else Map.empty) ++ extraParams)
+    if (grpcWire) return grpcLoadTest(spark, uri, port, token, runMs)
     // one envelope per line, ~300 bytes/record, 500 records per request
     val line = """{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"bench-service"}},{"key":"host.name","value":{"stringValue":"bench-host"}}]},"scopeLogs":[{"scope":{"name":"bench-logger"},"logRecords":[{"timeUnixNano":"1640000000000000000","severityNumber":9,"severityText":"INFO","body":{"stringValue":"benchmark log record with a reasonably sized message body"},"attributes":[{"key":"thread.id","value":{"intValue":"42"}}]}]}]}]}"""
     val body = Array.fill(500)(line).mkString("\n").getBytes("UTF-8")
@@ -190,6 +242,40 @@ object Bench {
     if (sys.env.contains("SPARK_GRAFT_BENCH_SEALS"))
       OtlpServe.get(uri).foreach(_.sealHistory.foreach(ev => System.err.println(
         s"[seal] trigger=${ev.trigger} rows=${ev.rows} appendMs=${ev.appendMs} commitMs=${ev.commitMs}")))
+    OtlpServe.otlpStop(spark, uri)
+    (sent.get() / acceptElapsed, durable / elapsed)
+  }
+
+  /** gRPC twin of the HTTP producer loop: concurrent unary Exports of the
+    * equivalent protobuf body over h2c (multiplexed streams on 8 shared
+    * connections). */
+  private def grpcLoadTest(spark: SparkSession, uri: String, port: Int,
+                           token: String, runMs: Long): (Double, Double) = {
+    import graft.streaming.{GrpcClient, OtlpServe}
+    val path = "/opentelemetry.proto.collector.logs.v1.LogsService/Export"
+    val body = grpcLogsBody(500)
+    val threads = 32
+    val clients = Array.fill(8)(new GrpcClient("127.0.0.1", port))
+    val sent = new java.util.concurrent.atomic.AtomicLong(0)
+    val deadline = System.currentTimeMillis() + runMs
+    val t0 = System.nanoTime()
+    val pool = (0 until threads).map { i =>
+      val t = new Thread(() => {
+        val cli = clients(i % clients.length)
+        while (System.currentTimeMillis() < deadline) {
+          val (st, _, _) = cli.unary(path, body, Some(token))
+          if (st == 0) sent.addAndGet(500)
+          else Thread.sleep(20) // backpressure
+        }
+      })
+      t.start(); t
+    }
+    pool.foreach(_.join())
+    val acceptElapsed = (System.nanoTime() - t0) / 1e9
+    OtlpServe.otlpFlush(spark, uri)
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val durable = OtlpServe.get(uri).map(_.committedRowsTotal.get()).getOrElse(0L)
+    clients.foreach(_.close())
     OtlpServe.otlpStop(spark, uri)
     (sent.get() / acceptElapsed, durable / elapsed)
   }

@@ -120,9 +120,12 @@ class OtlpGrpcSpec extends SparkTestBase {
     def bar(name: String) = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$corpus/$name"))
     val uri = "otap:127.0.0.1:45842"
-    // no transport param: gRPC is otap_serve's DEFAULT wire (serve.md)
+    // no transport param: gRPC is otap_serve's DEFAULT wire (serve.md).
+    // max_buffered_bytes is sized so ONE .bar message fits but two do
+    // not — the backpressure leg below relies on it
     OtlpServe.otapServe(spark, uri,
       Map("token" -> Token, "schema" -> "otlptest_grpcotap",
+        "max_buffered_bytes" -> "25000",
         "seal_target_bytes" -> "1073741824", "seal_max_age_ms" -> "3600000"))
     val cli = new GrpcClient("127.0.0.1", 45842)
     try {
@@ -137,6 +140,16 @@ class OtlpGrpcSpec extends SparkTestBase {
       val ack1 = GrpcWire.parseBatchStatus(call.nextMessage().get)
       assert(ack1._2 == 0, s"ack1 $ack1")
       assert(ack1._3.contains("rows=3"), ack1._3)
+
+      // message 2 while message 1 is buffered: backpressure nack (8) —
+      // the STREAM STAYS OPEN and the decoder never saw the message
+      call.send(bar("logs-reuse.bar"))
+      val nack8 = GrpcWire.parseBatchStatus(call.nextMessage().get)
+      assert(nack8._2 == 8, s"backpressure ack $nack8")
+      // drain, then REPLAY on the same stream: the reuse message decodes
+      // only through dictionaries message 1 established, so this ack
+      // proves the nack left per-stream state intact
+      OtlpServe.otlpFlush(spark, uri)
       call.send(bar("logs-reuse.bar"))
       val ack2 = GrpcWire.parseBatchStatus(call.nextMessage().get)
       assert(ack2._2 == 0, s"ack2 $ack2")
