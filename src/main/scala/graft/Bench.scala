@@ -150,48 +150,34 @@ object Bench {
 
   /** ExportLogsServiceRequest with `n` copies of the bench log record —
     * the protobuf twin of the NDJSON body (OtlpProtoSpec pins pb ≡ json),
-    * for the SPARK_GRAFT_BENCH_TRANSPORT=grpc ingest variant. */
+    * for the SPARK_GRAFT_BENCH_TRANSPORT=grpc ingest variant. Built on
+    * the transport's own Pb writer so the encodings cannot drift. */
   private def grpcLogsBody(n: Int): Array[Byte] = {
-    import java.io.ByteArrayOutputStream
-    def vi(o: ByteArrayOutputStream, v0: Long): Unit = {
-      var v = v0
-      while ((v & ~0x7fL) != 0) { o.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
-      o.write(v.toInt)
-    }
-    def tag(o: ByteArrayOutputStream, f: Int, w: Int): Unit = vi(o, (f.toLong << 3) | w)
-    def raw(o: ByteArrayOutputStream, f: Int, b: Array[Byte]): Unit = {
-      tag(o, f, 2); vi(o, b.length.toLong); o.write(b, 0, b.length)
-    }
-    def str(o: ByteArrayOutputStream, f: Int, s: String): Unit = raw(o, f, s.getBytes("UTF-8"))
-    def msgB(build: ByteArrayOutputStream => Unit): Array[Byte] = {
-      val o = new ByteArrayOutputStream(); build(o); o.toByteArray
-    }
+    import graft.streaming.GrpcWire.Pb
     def strAttr(k: String, v: String) =
-      msgB { o => str(o, 1, k); raw(o, 2, msgB(x => str(x, 1, v))) }
-    val rec = msgB { o =>
-      tag(o, 1, 1)
-      val t = 1640000000000000000L
-      (0 until 8).foreach(i => o.write(((t >>> (8 * i)) & 0xff).toInt))
-      tag(o, 2, 0); vi(o, 9)
-      str(o, 3, "INFO")
-      raw(o, 5, msgB(x =>
-        str(x, 1, "benchmark log record with a reasonably sized message body")))
-      raw(o, 6, msgB { x =>
-        str(x, 1, "thread.id")
-        raw(x, 2, msgB(y => { tag(y, 3, 0); vi(y, 42L) }))
+      Pb.msg { o => Pb.string(o, 1, k); Pb.lenDelim(o, 2, Pb.msg(x => Pb.string(x, 1, v))) }
+    val rec = Pb.msg { o =>
+      Pb.fixed64(o, 1, 1640000000000000000L)
+      Pb.vint(o, 2, 9)
+      Pb.string(o, 3, "INFO")
+      Pb.lenDelim(o, 5, Pb.msg(x =>
+        Pb.string(x, 1, "benchmark log record with a reasonably sized message body")))
+      Pb.lenDelim(o, 6, Pb.msg { x =>
+        Pb.string(x, 1, "thread.id")
+        Pb.lenDelim(x, 2, Pb.msg(y => Pb.vint(y, 3, 42L)))
       })
     }
-    val resourceLogs = msgB { o =>
-      raw(o, 1, msgB { x =>
-        raw(x, 1, strAttr("service.name", "bench-service"))
-        raw(x, 1, strAttr("host.name", "bench-host"))
+    val resourceLogs = Pb.msg { o =>
+      Pb.lenDelim(o, 1, Pb.msg { x =>
+        Pb.lenDelim(x, 1, strAttr("service.name", "bench-service"))
+        Pb.lenDelim(x, 1, strAttr("host.name", "bench-host"))
       })
-      raw(o, 2, msgB { x =>
-        raw(x, 1, msgB(y => str(y, 1, "bench-logger")))
-        raw(x, 2, rec)
+      Pb.lenDelim(o, 2, Pb.msg { x =>
+        Pb.lenDelim(x, 1, Pb.msg(y => Pb.string(y, 1, "bench-logger")))
+        Pb.lenDelim(x, 2, rec)
       })
     }
-    msgB(o => (0 until n).foreach(_ => raw(o, 1, resourceLogs)))
+    Pb.msg(o => (0 until n).foreach(_ => Pb.lenDelim(o, 1, resourceLogs)))
   }
 
   private def loadTest(spark: SparkSession, uri: String,

@@ -1312,25 +1312,25 @@ object TrainingData {
         |  FROM s1 WHERE len(syms) >= 2),
         |c1 AS (SELECT pa, pb, CAST(sum(wc) AS BIGINT) AS cnt FROM p1 GROUP BY pa, pb),
         |b1 AS (SELECT pa, pb FROM c1 ORDER BY cnt DESC, pa, pb LIMIT 1),
-        |e1 AS (SELECT word, wc, regexp_replace(enc,
-        |  '\|' || b1.pa || '\| \|' || b1.pb || '\|', '|' || b1.pa || b1.pb || '|', 'g') AS enc
-        |  FROM e0 CROSS JOIN b1),
+        |e1 AS (SELECT word, wc, CASE WHEN b1.pa IS NULL THEN enc ELSE regexp_replace(enc,
+        |  '\|' || b1.pa || '\| \|' || b1.pb || '\|', '|' || b1.pa || b1.pb || '|', 'g') END AS enc
+        |  FROM e0 LEFT JOIN b1 ON TRUE),
         |s2 AS (SELECT word, wc, regexp_extract_all(enc, '\|([a-z]+)\|', 1) AS syms FROM e1),
         |p2 AS (SELECT unnest(syms[1:len(syms)-1]) AS pa, unnest(syms[2:len(syms)]) AS pb, wc
         |  FROM s2 WHERE len(syms) >= 2),
         |c2 AS (SELECT pa, pb, CAST(sum(wc) AS BIGINT) AS cnt FROM p2 GROUP BY pa, pb),
         |b2 AS (SELECT pa, pb FROM c2 ORDER BY cnt DESC, pa, pb LIMIT 1),
-        |e2 AS (SELECT word, wc, regexp_replace(enc,
-        |  '\|' || b2.pa || '\| \|' || b2.pb || '\|', '|' || b2.pa || b2.pb || '|', 'g') AS enc
-        |  FROM e1 CROSS JOIN b2),
+        |e2 AS (SELECT word, wc, CASE WHEN b2.pa IS NULL THEN enc ELSE regexp_replace(enc,
+        |  '\|' || b2.pa || '\| \|' || b2.pb || '\|', '|' || b2.pa || b2.pb || '|', 'g') END AS enc
+        |  FROM e1 LEFT JOIN b2 ON TRUE),
         |s3 AS (SELECT word, wc, regexp_extract_all(enc, '\|([a-z]+)\|', 1) AS syms FROM e2),
         |p3 AS (SELECT unnest(syms[1:len(syms)-1]) AS pa, unnest(syms[2:len(syms)]) AS pb, wc
         |  FROM s3 WHERE len(syms) >= 2),
         |c3 AS (SELECT pa, pb, CAST(sum(wc) AS BIGINT) AS cnt FROM p3 GROUP BY pa, pb),
         |b3 AS (SELECT pa, pb FROM c3 ORDER BY cnt DESC, pa, pb LIMIT 1),
-        |e3 AS (SELECT word, regexp_replace(enc,
-        |  '\|' || b3.pa || '\| \|' || b3.pb || '\|', '|' || b3.pa || b3.pb || '|', 'g') AS enc
-        |  FROM e2 CROSS JOIN b3),
+        |e3 AS (SELECT word, CASE WHEN b3.pa IS NULL THEN enc ELSE regexp_replace(enc,
+        |  '\|' || b3.pa || '\| \|' || b3.pb || '\|', '|' || b3.pa || b3.pb || '|', 'g') END AS enc
+        |  FROM e2 LEFT JOIN b3 ON TRUE),
         |tk AS (SELECT word, regexp_extract_all(enc, '\|([a-z]+)\|', 1) AS toks FROM e3),
         |dw AS (SELECT doc_id, unnest(ww) AS word,
         |  unnest(generate_series(1, len(ww))) AS pos

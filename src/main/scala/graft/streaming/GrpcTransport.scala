@@ -94,6 +94,13 @@ final class GrpcTransport(server: OtlpServer, cfg: ServerConfig) {
 
     private def onHeaders(ctx: ChannelHandlerContext, h: Http2HeadersFrame): Unit = {
       if (finished) return
+      if (mode != 0) {
+        // a second HEADERS frame on an accepted stream is the client's
+        // trailers (a legal way to half-close); it must not re-enter
+        // routing or double-count the call
+        if (h.isEndStream) onEndStream(ctx)
+        return
+      }
       server.totalRequests.incrementAndGet()
       server.activeRequests.incrementAndGet()
       counted = true
@@ -256,9 +263,14 @@ final class GrpcTransport(server: OtlpServer, cfg: ServerConfig) {
     }
 
     /** Error before any response content: a single trailers-only HEADERS
-      * frame carrying the grpc-status, per the gRPC over-HTTP/2 spec. */
+      * frame carrying the grpc-status, per the gRPC over-HTTP/2 spec.
+      * Once response HEADERS have gone out, a frame with `:status` would
+      * be malformed trailers (pseudo-headers are forbidden there — RFC
+      * 9113 §8.1; grpc-java resets the stream on sight), so mid-stream
+      * errors degrade to plain trailers. */
     private def trailersOnly(ctx: ChannelHandlerContext, status: Int,
                              message: String): Unit = {
+      if (headersSent) { sendTrailers(ctx, status, message); return }
       val h = new DefaultHttp2Headers().status("200")
       h.set("content-type", "application/grpc")
       h.set("grpc-status", status.toString)

@@ -60,9 +60,17 @@ object GrpcWire {
     * chunks, take complete (compressedFlag, message) pairs out. Bounds the
     * declared message length so a hostile 4 GiB length prefix cannot
     * reserve a buffer (`maxMessageBytes` mirrors the HTTP body cap —
-    * reference caps a single gRPC message at `max_body_bytes` too). */
+    * reference caps a single gRPC message at `max_body_bytes` too).
+    * Each wire byte is copied exactly once (the message buffer is sized
+    * from the length prefix after the cap check) — reassembly of a large
+    * message from many small DATA frames is linear, never quadratic, and
+    * this runs on the netty event loop. */
   final class Deframer(maxMessageBytes: Long) {
-    private val buf = new ByteArrayOutputStream()
+    private val header = new Array[Byte](5)
+    private var headerFill = 0
+    private var message: Array[Byte] = null
+    private var messageFill = 0
+    private var compressed = false
     private var err: String = null
 
     def error: Option[String] = Option(err)
@@ -70,52 +78,83 @@ object GrpcWire {
     /** Append wire bytes; returns every message completed by this chunk. */
     def feed(chunk: Array[Byte]): Seq[(Boolean, Array[Byte])] = {
       if (err != null) return Nil
-      buf.write(chunk, 0, chunk.length)
-      val all = buf.toByteArray
-      var off = 0
       val out = Seq.newBuilder[(Boolean, Array[Byte])]
-      var done = false
-      while (!done && all.length - off >= 5) {
-        val len = ((all(off + 1) & 0xffL) << 24) | ((all(off + 2) & 0xffL) << 16) |
-          ((all(off + 3) & 0xffL) << 8) | (all(off + 4) & 0xffL)
-        if (len > maxMessageBytes) {
-          err = s"gRPC message of $len bytes exceeds the $maxMessageBytes-byte cap"
-          done = true
-        } else if (all.length - off - 5 >= len) {
-          val msg = java.util.Arrays.copyOfRange(all, off + 5, off + 5 + len.toInt)
-          out += ((all(off) != 0, msg))
-          off += 5 + len.toInt
-        } else done = true
+      var off = 0
+      while (off < chunk.length && err == null) {
+        if (message == null) {
+          val take = math.min(5 - headerFill, chunk.length - off)
+          System.arraycopy(chunk, off, header, headerFill, take)
+          headerFill += take; off += take
+          if (headerFill == 5) {
+            val len = ((header(1) & 0xffL) << 24) | ((header(2) & 0xffL) << 16) |
+              ((header(3) & 0xffL) << 8) | (header(4) & 0xffL)
+            if (len > maxMessageBytes) {
+              err = s"gRPC message of $len bytes exceeds the $maxMessageBytes-byte cap"
+            } else {
+              compressed = header(0) != 0
+              headerFill = 0
+              if (len == 0) out += ((compressed, Array.emptyByteArray))
+              else { message = new Array[Byte](len.toInt); messageFill = 0 }
+            }
+          }
+        } else {
+          val take = math.min(message.length - messageFill, chunk.length - off)
+          System.arraycopy(chunk, off, message, messageFill, take)
+          messageFill += take; off += take
+          if (messageFill == message.length) {
+            out += ((compressed, message)); message = null
+          }
+        }
       }
-      buf.reset()
-      if (err == null && off < all.length) buf.write(all, off, all.length - off)
       out.result()
     }
 
     /** Bytes buffered but not yet forming a complete message. */
-    def pendingBytes: Int = buf.size()
+    def pendingBytes: Int =
+      headerFill + (if (message == null) 0 else messageFill)
   }
 
   // ---- minimal protobuf writing -------------------------------------------
 
-  private def varint(out: ByteArrayOutputStream, value: Long): Unit = {
-    var v = value
-    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
-    out.write(v.toInt)
+  /** Minimal protobuf wire writer — enough fields for the transport's
+    * response messages and the bench's generated Export bodies, kept in
+    * ONE place so the wire encodings cannot drift apart. (The richer
+    * test-side builder in OtlpProtoSpec exists to construct adversarial
+    * fixtures and stays test-scoped.) */
+  object Pb {
+    def varint(out: ByteArrayOutputStream, value: Long): Unit = {
+      var v = value
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    def tag(out: ByteArrayOutputStream, field: Int, wire: Int): Unit =
+      varint(out, (field.toLong << 3) | wire)
+    def vint(out: ByteArrayOutputStream, field: Int, v: Long): Unit = {
+      tag(out, field, 0); varint(out, v)
+    }
+    def fixed64(out: ByteArrayOutputStream, field: Int, v: Long): Unit = {
+      tag(out, field, 1)
+      (0 until 8).foreach(i => out.write(((v >>> (8 * i)) & 0xff).toInt))
+    }
+    def lenDelim(out: ByteArrayOutputStream, field: Int, b: Array[Byte]): Unit = {
+      tag(out, field, 2); varint(out, b.length.toLong); out.write(b, 0, b.length)
+    }
+    def string(out: ByteArrayOutputStream, field: Int, s: String): Unit =
+      lenDelim(out, field, s.getBytes("UTF-8"))
+    /** Build a nested message's bytes. */
+    def msg(build: ByteArrayOutputStream => Unit): Array[Byte] = {
+      val o = new ByteArrayOutputStream(); build(o); o.toByteArray
+    }
   }
 
   /** OTel-Arrow `BatchStatus{int64 batch_id=1, StatusCode status_code=2,
     * string status_message=3}` — the per-message ack of the OTAP stream. */
-  def batchStatus(batchId: Long, statusCode: Int, statusMessage: String): Array[Byte] = {
-    val out = new ByteArrayOutputStream()
-    if (batchId != 0L) { varint(out, (1L << 3) | 0); varint(out, batchId) }
-    if (statusCode != 0) { varint(out, (2L << 3) | 0); varint(out, statusCode.toLong) }
-    if (statusMessage.nonEmpty) {
-      val b = statusMessage.getBytes("UTF-8")
-      varint(out, (3L << 3) | 2); varint(out, b.length.toLong); out.write(b, 0, b.length)
+  def batchStatus(batchId: Long, statusCode: Int, statusMessage: String): Array[Byte] =
+    Pb.msg { out =>
+      if (batchId != 0L) Pb.vint(out, 1, batchId)
+      if (statusCode != 0) Pb.vint(out, 2, statusCode.toLong)
+      if (statusMessage.nonEmpty) Pb.string(out, 3, statusMessage)
     }
-    out.toByteArray
-  }
 
   /** `Export{Logs,Trace,Metrics}ServiceResponse` with no partial_success:
     * the canonical empty message. */

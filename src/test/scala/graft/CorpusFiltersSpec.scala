@@ -272,6 +272,18 @@ class CorpusFiltersSpec extends SparkTestBase {
     val d1 = md5hex("lo w lo w lo w lo we r lo we r")
     val d2 = md5hex("n ewe s t n ewe s t n ewe s t n ewe s t")
     assert(got == Seq((1L, 12L, d1), (2L, 16L, d2)))
+
+    // degenerate corpus: vocabulary exhausts before the requested rounds
+    // (merges = 3 but only 2 are learnable) — bpeMerges stops early and
+    // bpeEncode applies the short table; digests match the DuckDB
+    // oracle's LEFT JOIN no-op rounds (ta_bpe_encode)
+    val tiny = Seq(1L -> "aa aa aa", 2L -> "aa bb").toDF("doc_id", "text")
+    val tinyGot = graft.operators.TextAnalysis.bpeEncode(tiny,
+        graft.operators.TextAnalysis.bpeMerges(tiny, merges = 3))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bpe_tokens"),
+        r.getAs[String]("tok_digest"))).toSeq
+    assert(tinyGot == Seq((1L, 3L, md5hex("aa aa aa")), (2L, 2L, md5hex("aa bb"))))
   }
 
   test("cross-corpus chunk dedup: ref-seen chunks dropped, batch-internal " +

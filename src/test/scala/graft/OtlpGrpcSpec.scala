@@ -77,6 +77,13 @@ class OtlpGrpcSpec extends SparkTestBase {
     val hostile = new GrpcWire.Deframer(1024)
     hostile.feed(Array[Byte](0, 0x7f.toByte, -1, -1, -1))
     assert(hostile.error.exists(_.contains("cap")))
+    // byte-at-a-time reassembly (worst-case fragmentation) and the
+    // zero-length message (unary empty response) both come through
+    val trickle = new GrpcWire.Deframer(1024)
+    val wire = GrpcWire.frame(Array[Byte](9, 8, 7)) ++ GrpcWire.frame(Array.emptyByteArray)
+    val seen = wire.toSeq.flatMap(b => trickle.feed(Array(b)))
+    assert(seen.map(_._2.toSeq) == Seq(Seq[Byte](9, 8, 7), Seq.empty[Byte]))
+    assert(trickle.pendingBytes == 0 && trickle.error.isEmpty)
   }
 
   test("gRPC unary Export: status codes and rows sealed to catalog") {
