@@ -432,6 +432,60 @@ object Similarity {
     annTopKInCells(ivfCellsTrained(emb, centroids, dims, sampleMod, idCol, vecCol),
       queryId, k, nprobe, idCol, vecCol)
 
+  /** IVF-PQ serving (Jégou et al. 2011 §V — the canonical FAISS `IVFx,PQy`
+    * composition): the trained coarse quantizer prunes the candidate set to
+    * the query's `nprobe` best cells, and candidates are scored by PQ/ADC
+    * lookups over their codes — the scan never touches a raw corpus vector.
+    * Codes here quantize the raw vectors (not residuals): with round(4)
+    * centroids the residual trick's extra precision is below the rounding
+    * floor, and raw-vector codes keep ONE codebook serving both the pure-PQ
+    * and IVF-PQ paths.
+    *
+    * Shape at 100 TB: cell AND codes are assigned in one map-only pass
+    * (no id self-join between an IVF frame and a PQ frame); the query row
+    * broadcasts; the probe predicate drops (centroids − nprobe)/centroids
+    * of the corpus before any distance math; each survivor costs m literal
+    * codebook lookups + m subDims-length squared diffs. Stored
+    * bucketBy(cell), the probe reads only its cells' files. */
+  def annTopKIvfPq(emb: DataFrame, queryId: Long, k: Int, centroids: Int,
+                   nprobe: Int, dims: Int, m: Int = 8, kCodes: Int = 16,
+                   subDims: Int = 8, sampleMod: Int = 5,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    graft.functions.ArraySqDist.register(emb.sparkSession)
+    val cents = ivfCentroidsTrained(emb, centroids, dims, sampleMod, idCol, vecCol)
+    val books = pqCodebooksTrained(emb, m, kCodes, subDims, sampleMod, idCol, vecCol)
+    val cells = ivfCellsWith(emb, cents, idCol, vecCol)
+    val withSubs = (0 until m).foldLeft(
+      cells.withColumn("__v", asDouble(col(vecCol)))) { (d, s) =>
+      d.withColumn(s"__sub$s", slice(col("__v"), s * subDims + 1, subDims))
+    }
+    val coded = withSubs.select(
+      col(idCol) +: col("cell") +: col("cell_scores") +:
+        (0 until m).map(s => pqArgminNamed(s"__sub$s", books(s)).as(s"c$s")): _*)
+    val q = broadcast(
+      cells.where(col(idCol) === queryId)
+        .select(asDouble(col(vecCol)).as("qv"),
+          col("cell_scores").as("qscores"))
+        .withColumn("thr", expr(s"sort_array(qscores, false)[${nprobe - 1}]")))
+    val cand = coded.where(col(idCol) =!= queryId)
+      .crossJoin(q)
+      .where(expr("element_at(qscores, cell + 1) >= thr"))
+    val withCents = (0 until m).foldLeft(cand) { (d, s) =>
+      val booksLit = array(books(s).map(c =>
+        array(c.map(lit(_)): _*)).toIndexedSeq: _*)
+      d.withColumn(s"__q$s", slice(col("qv"), s * subDims + 1, subDims))
+        .withColumn(s"__cent$s",
+          element_at(booksLit, col(s"c$s").cast("int") + 1))
+    }
+    val dist = (0 until m).map(s =>
+      (expr(s"array_sqdist(__q$s, __cent$s)")): Column).reduce(_ + _)
+    withCents
+      .select(col(idCol), round(dist, 4).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol))
+      .limit(k)
+  }
+
   private def annTopKInCells(cells: DataFrame, queryId: Long, k: Int,
                              nprobe: Int, idCol: String,
                              vecCol: String): DataFrame = {

@@ -316,6 +316,35 @@ object TextAnalysis {
         (col("quality") >= col("stratum_median")).as("keep"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    * score every document by LM perplexity (here: mean unigram surprisal,
+    * the engine's corpus-intrinsic stand-in for CCNet's pretrained KenLM),
+    * then split the corpus into head / middle / tail terciles — head is
+    * the fluent third that web-scale pipelines keep, tail the third they
+    * drop or down-weight.
+    *
+    * Shape at 100 TB: the scoring pass is `unigramSurprisal` (uniform-key
+    * frequency joins + per-doc rollup); the two tercile thresholds are ONE
+    * exact-percentile aggregate of the doc-level (not token-level) frame,
+    * broadcast back; the bucket verdict is a map-side comparison. The
+    * corpus never sorts globally — no ntile window over all docs, which
+    * would funnel 100 TB through a single task. Thresholds and scores are
+    * round(4)ed before comparison so an interpolation ulp cannot flip a
+    * boundary doc's bucket across engines. */
+  def perplexityBuckets(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val s = unigramSurprisal(docs, idCol, textCol)
+    val thr = broadcast(s.agg(
+      round(expr("percentile(surprisal, 0.3333333333333333D)"), 4).as("t1"),
+      round(expr("percentile(surprisal, 0.6666666666666666D)"), 4).as("t2")))
+    s.crossJoin(thr)
+      .select(col(idCol), col("surprisal"), col("t1"), col("t2"),
+        when(col("surprisal") <= col("t1"), "head")
+          .when(col("surprisal") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Mean BIGRAM surprisal under the corpus bigram LM with add-one
     * smoothing — the KenLM-style step up from `unigramSurprisal`:
     * -ln((c(prev,cur)+1)/(c(prev)+V)) averaged over a document's bigrams.

@@ -569,6 +569,42 @@ object TrainingData {
         .orderBy("doc_id").limit(100)
     },
 
+    // CCNet head/middle/tail perplexity terciles over the per-doc unigram
+    // surprisal: exact-percentile thresholds (percentile ≡ percentile_cont,
+    // both linear-interpolating), round(4) on scores AND thresholds before
+    // the comparison; the rollup covers every doc so the whole assignment
+    // is oracle-checked, not a LIMITed prefix
+    df("ta_perplexity_buckets",
+      s"""WITH $duckWords,
+         |t AS (SELECT doc_id, unnest(w) AS term FROM toks),
+         |freq AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+         |st AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+         |  CAST(count(*) AS DOUBLE) AS vocab FROM freq),
+         |n AS (SELECT doc_id, -ln((cnt + 1) / (total + vocab)) AS nll
+         |  FROM t JOIN freq USING (term) CROSS JOIN st),
+         |s AS (SELECT doc_id, round(avg(nll), 4) AS surprisal
+         |  FROM n GROUP BY doc_id),
+         |thr AS (SELECT
+         |  round(percentile_cont(0.3333333333333333) WITHIN GROUP (ORDER BY surprisal), 4) AS t1,
+         |  round(percentile_cont(0.6666666666666666) WITHIN GROUP (ORDER BY surprisal), 4) AS t2
+         |  FROM s),
+         |b AS (SELECT doc_id, surprisal,
+         |  CASE WHEN surprisal <= t1 THEN 'head'
+         |       WHEN surprisal <= t2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |  FROM s CROSS JOIN thr)
+         |SELECT bucket, count(*) AS docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  round(min(surprisal), 4) AS min_surprisal,
+         |  round(max(surprisal), 4) AS max_surprisal
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, _) =>
+      TextAnalysis.perplexityBuckets(s.table("documents"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("docs"), sum("doc_id").as("id_sum"),
+          round(min("surprisal"), 4).as("min_surprisal"),
+          round(max("surprisal"), 4).as("max_surprisal"))
+        .orderBy("bucket")
+    },
+
     // deterministic hash-based stratified sampling (downsample 'en' to 25%,
     // keep 75% elsewhere): the keep/drop decision derives from md5 of the
     // doc id, so the SAME rows are kept in any engine / partitioning / run
@@ -830,6 +866,83 @@ object TrainingData {
         |FROM ad WHERE vec_id <> 7 GROUP BY vec_id
         |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin) { (s, _) =>
       Similarity.annTopKPq(s.table("embeddings"), queryId = 7, topK = 10)
+    },
+
+    // IVF-PQ: the canonical FAISS composition — trained IVF cells prune
+    // candidates to the query's nprobe best cells, PQ/ADC lookups score
+    // the survivors. The oracle re-states BOTH training recipes (trained
+    // centroids ≡ ss_ivf_cells_trained, trained codebooks ≡ ss_pq_codes)
+    // and intersects probe set with ADC distances
+    df("ss_ann_ivfpq",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cn AS (SELECT p, c, sqrt(list_sum(list_transform(generate_series(1, 64), i -> c[i] * c[i]))) AS nc
+        |  FROM (SELECT p, list_transform(generate_series(1, 64),
+        |    d -> (strpos('0123456789abcdef', substring(md5(concat(p + 1000, '_', d - 1)), 1, 1)) - 8.5)) AS c
+        |  FROM generate_series(0, 7) t(p)) x),
+        |i0 AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN cn WHERE vec_id % 5 = 0 GROUP BY vec_id),
+        |ic0 AS (SELECT vec_id, list_position(scores, list_aggregate(scores, 'max')) - 1 AS cell FROM i0),
+        |itr AS (SELECT cell, d, round(avg(v[d]), 4) AS cd
+        |  FROM ic0 JOIN e USING (vec_id) CROSS JOIN generate_series(1, 64) t(d)
+        |  GROUP BY cell, d),
+        |itl AS (SELECT cell, list(cd ORDER BY d) AS c FROM itr GROUP BY cell),
+        |tc AS (SELECT cn.p, coalesce(itl.c, cn.c) AS c,
+        |  sqrt(list_sum(list_transform(generate_series(1, 64),
+        |    i -> coalesce(itl.c, cn.c)[i] * coalesce(itl.c, cn.c)[i]))) AS nc
+        |  FROM cn LEFT JOIN itl ON itl.cell = cn.p),
+        |scored AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN tc GROUP BY vec_id),
+        |cells AS (SELECT vec_id, scores,
+        |  list_position(scores, list_aggregate(scores, 'max')) - 1 AS cell FROM scored),
+        |seed AS (SELECT s, c, list_transform(generate_series(1, 8),
+        |    d -> (strpos('0123456789abcdef', substring(md5(concat(
+        |      s * 100 + c + 2000, '_', d - 1)), 1, 1)) - 8.5)) AS cent
+        |  FROM generate_series(0, 7) ts(s)
+        |  CROSS JOIN generate_series(0, 15) tc2(c)),
+        |sub AS (SELECT vec_id, s,
+        |    list_transform(generate_series(1, 8), d -> v[s * 8 + d]) AS sv
+        |  FROM e CROSS JOIN generate_series(0, 7) ts(s)),
+        |p0 AS (SELECT vec_id, s, list(list_sum(list_transform(
+        |    generate_series(1, 8),
+        |    i -> (sv[i] - cent[i]) * (sv[i] - cent[i]))) ORDER BY c) AS dists
+        |  FROM sub JOIN seed USING (s) WHERE vec_id % 5 = 0
+        |  GROUP BY vec_id, s),
+        |pa0 AS (SELECT vec_id, s,
+        |    list_position(dists, list_aggregate(dists, 'min')) - 1 AS code
+        |  FROM p0),
+        |ptr AS (SELECT s, code, d, round(avg(sv[d]), 4) AS cd
+        |  FROM pa0 JOIN sub USING (vec_id, s)
+        |  CROSS JOIN generate_series(1, 8) t(d)
+        |  GROUP BY s, code, d),
+        |ptl AS (SELECT s, code, list(cd ORDER BY d) AS cent FROM ptr
+        |  GROUP BY s, code),
+        |bk AS (SELECT seed.s, seed.c, coalesce(ptl.cent, seed.cent) AS cent
+        |  FROM seed LEFT JOIN ptl ON ptl.s = seed.s AND ptl.code = seed.c),
+        |fs AS (SELECT vec_id, s, list(list_sum(list_transform(
+        |    generate_series(1, 8),
+        |    i -> (sv[i] - cent[i]) * (sv[i] - cent[i]))) ORDER BY c) AS dists
+        |  FROM sub JOIN bk USING (s) GROUP BY vec_id, s),
+        |codes AS (SELECT vec_id, s,
+        |    list_position(dists, list_aggregate(dists, 'min')) - 1 AS code
+        |  FROM fs),
+        |q AS (SELECT scores AS qscores, list_sort(scores, 'DESC')[2] AS thr
+        |  FROM cells WHERE vec_id = 7),
+        |cand AS (SELECT c.vec_id FROM cells c CROSS JOIN q
+        |  WHERE c.vec_id <> 7 AND q.qscores[c.cell + 1] >= q.thr),
+        |qs AS (SELECT s, sv AS qsv FROM sub WHERE vec_id = 7),
+        |ad AS (SELECT codes.vec_id, list_sum(list_transform(
+        |    generate_series(1, 8),
+        |    i -> (qsv[i] - cent[i]) * (qsv[i] - cent[i]))) AS ds
+        |  FROM codes JOIN cand USING (vec_id)
+        |  JOIN bk ON bk.s = codes.s AND bk.c = codes.code
+        |  JOIN qs ON qs.s = codes.s)
+        |SELECT vec_id, round(sum(ds), 4) AS adc_dist
+        |FROM ad GROUP BY vec_id
+        |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin) { (s, _) =>
+      Similarity.annTopKIvfPq(s.table("embeddings"), queryId = 7, k = 10,
+        centroids = 8, nprobe = 2, dims = 64)
     },
 
     // exact top-k per stratum (k best docs per language by length,

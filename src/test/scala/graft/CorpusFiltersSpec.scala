@@ -223,6 +223,28 @@ class CorpusFiltersSpec extends SparkTestBase {
     }
   }
 
+  test("perplexity buckets: a tercile partition ordered head < middle < " +
+    "tail by surprisal, thresholds shared by every row") {
+    Tables.register(spark, sfDir)
+    val rows = graft.operators.TextAnalysis
+      .perplexityBuckets(spark.table("documents")).collect()
+    assert(rows.length == spark.table("documents").count())
+    val t1 = rows.head.getAs[Double]("t1")
+    val t2 = rows.head.getAs[Double]("t2")
+    assert(t1 <= t2)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("t1") == t1 && r.getAs[Double]("t2") == t2)
+      val s = r.getAs[Double]("surprisal")
+      val want = if (s <= t1) "head" else if (s <= t2) "middle" else "tail"
+      assert(r.getAs[String]("bucket") == want)
+    }
+    // terciles: no bucket takes more than half the corpus (exact thirds
+    // only when no threshold ties), and all three are non-empty
+    val sizes = rows.groupBy(_.getAs[String]("bucket")).view.mapValues(_.length)
+    assert(Set("head", "middle", "tail").subsetOf(sizes.keys.toSet))
+    sizes.values.foreach(n => assert(n * 2 <= rows.length + 1))
+  }
+
   test("bpe merges: hand-computed greedy rounds on the classic corpus") {
     import spark.implicits._
     // words: low x3, lower x2, newest x4

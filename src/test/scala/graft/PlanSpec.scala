@@ -162,6 +162,23 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("ivf-pq serving is a broadcast-query scan over codes: no corpus " +
+      "exchange before the top-k, no interpreted lambda in the hot path") {
+    Tables.register(spark, sfDir)
+    val df = graft.operators.Similarity.annTopKIvfPq(
+      spark.table("embeddings"), queryId = 7, k = 10,
+      centroids = 8, nprobe = 2, dims = 64)
+    val p = plan(df)
+    // the only join is the broadcast of the 1-row query; the corpus side
+    // reaches TakeOrderedAndProject without a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("ShuffleExchange"), p)
+    // cell scoring + code assignment + ADC all run on the native kernels
+    assert(p.contains("array_dot") && p.contains("array_sqdist"), p)
+    assert(!p.contains("lambdafunction"), p)
+  }
+
   test("chunk dedup shuffles once on the chunk hash before the doc rollup") {
     Tables.register(spark, sfDir)
     val p = plan(graft.operators.CorpusFilters.chunkDedup(spark.table("documents")))

@@ -211,6 +211,39 @@ class SimilaritySpec extends SparkTestBase {
       s"got ${top.head.getAs[Double]("adc_dist")} want $expect")
   }
 
+  test("ivf-pq: candidates only from probed cells, adc distances equal " +
+      "pure pq's, probing every cell degenerates to pure pq") {
+    val n = emb.count().toInt
+    val fullPq = Similarity.annTopKPq(emb, queryId = 7, topK = n).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("adc_dist")).toMap
+    val ann = Similarity.annTopKIvfPq(emb, queryId = 7, k = 10,
+      centroids = 8, nprobe = 2, dims = 64).collect()
+    assert(ann.length == 10)
+    // same codebooks serve both paths: distances agree exactly
+    ann.foreach(r =>
+      assert(fullPq(r.getAs[Long]("vec_id")) == r.getAs[Double]("adc_dist")))
+    val ds = ann.map(_.getAs[Double]("adc_dist")).toSeq
+    assert(ds == ds.sorted, "ascending ADC distance")
+    // the probe predicate really pruned: every hit sits in one of the
+    // query's 2 best trained cells (ties widen identically to the operator)
+    val cells = Similarity.ivfCellsTrained(emb, centroids = 8, dims = 64,
+      sampleMod = 5)
+    val qScores = cells.where(col("vec_id") === 7)
+      .select("cell_scores").collect().head.getSeq[Double](0)
+    val thr = qScores.sorted.reverse(1)
+    val probed = qScores.zipWithIndex.filter(_._1 >= thr).map(_._2).toSet
+    val cellOf = cells.select("vec_id", "cell").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    ann.foreach(r => assert(probed.contains(cellOf(r.getAs[Long]("vec_id")))))
+    // nprobe = centroids prunes nothing: exactly the pure-PQ top-k
+    val allCells = Similarity.annTopKIvfPq(emb, queryId = 7, k = 10,
+      centroids = 8, nprobe = 8, dims = 64).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("adc_dist"))).toSeq
+    val pq = Similarity.annTopKPq(emb, queryId = 7, topK = 10).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("adc_dist"))).toSeq
+    assert(allCells == pq)
+  }
+
   test("binary quantization packs sign bits exactly; hamming ranks by " +
       "xor popcount with deterministic ties") {
     import spark.implicits._
