@@ -58,6 +58,8 @@ object RecallBench {
       "ivf_trained_np2" -> (q => Similarity.annTopKIvfTrained(emb, q, k,
         centroids = 8, nprobe = 2, dims = 64)),
       "pq_m8k16" -> (q => Similarity.annTopKPq(emb, q, k)),
+      "ivfpq_np2" -> (q => Similarity.annTopKIvfPq(emb, q, k, centroids = 8,
+        nprobe = 2, dims = 64)),
       "hamming_64" -> (q => Similarity.annTopKHamming(emb, dims = 64,
         queryId = q, k = k)))
 

@@ -112,6 +112,9 @@ class SimilaritySpec extends SparkTestBase {
         Similarity.annTopKIvfTrained(vecs, q, 10, 8, 2, 64, 5)
           .select("vec_id")),
       "pq" -> recall(q => Similarity.annTopKPq(vecs, q, 10).select("vec_id")),
+      "ivfpq" -> recall(q =>
+        Similarity.annTopKIvfPq(vecs, q, 10, centroids = 8, nprobe = 2,
+          dims = 64).select("vec_id")),
       "hamming" -> recall(q =>
         Similarity.annTopKHamming(vecs, dims = 64, queryId = q, k = 10)
           .select("vec_id")))
@@ -120,6 +123,9 @@ class SimilaritySpec extends SparkTestBase {
     assert(r("hamming") >= 0.85, r)
     assert(r("lsh") >= 0.6, r)
     assert(r("pq") >= 0.5, r)
+    // the coarse prune can only drop PQ candidates; on planted families a
+    // family shares a cell, so the floor tracks pq's
+    assert(r("ivfpq") >= 0.5, r)
   }
 
   test("lsh bucket ids are valid bit strings partitioning the corpus") {
