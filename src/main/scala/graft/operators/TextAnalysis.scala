@@ -316,6 +316,28 @@ object TextAnalysis {
         (col("quality") >= col("stratum_median")).as("keep"))
   }
 
+  /** The trained artifact behind `unigramSurprisal`/`perplexityBuckets`,
+    * packaged for SERVING: a (term, nll) frame of per-term add-one NLLs
+    * over THIS corpus, plus the out-of-vocabulary NLL (count 0) — exactly
+    * the numbers the batch pass computes, but materialized so a live
+    * stream or a different corpus can be scored under this corpus's LM
+    * without re-aggregating it (the CCNet deployment split: train the LM
+    * offline, score documents online). Vocab-sized, so it broadcasts;
+    * the two scalars ship with one tiny aggregate. */
+  def unigramModel(docs: DataFrame,
+                   textCol: String = "text"): (DataFrame, Double) = {
+    val toks = docs.select(
+      explode(filter(split(lower(col(textCol)), "\\s+"),
+        t => length(t) > 0)).as("term"))
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val stats = freq.agg(sum("cnt").cast("double"),
+      count(lit(1)).cast("double")).collect().head
+    val denom = stats.getDouble(0) + stats.getDouble(1)
+    val model = freq.select(col("term"),
+      (-log((col("cnt") + 1).cast("double") / lit(denom))).as("nll"))
+    (model, -math.log(1.0 / denom))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
     * score every document by LM perplexity (here: mean unigram surprisal,

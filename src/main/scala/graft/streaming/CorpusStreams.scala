@@ -85,6 +85,40 @@ object CorpusStreams {
                   minWords: Int = 50): DataFrame =
     docs.where(CorpusFilters.gopherKeep(col(textCol), minWords = minWords))
 
+  /** CCNet serving on a live feed: each arriving document scored by mean
+    * unigram surprisal under a model trained OFFLINE
+    * (`TextAnalysis.unigramModel`) and bucketed head/middle/tail against
+    * batch-derived tercile thresholds (`perplexityBuckets`' t1/t2) —
+    * the deployment split CCNet itself uses (Wenzek et al. 2020): the LM
+    * and the thresholds come from a settled reference corpus, the stream
+    * only pays a lookup per token. Terms the model never saw cost
+    * `oovNll` (the model's count-0 surprisal), so novel junk scores high
+    * and lands in `tail` instead of silently dropping out.
+    *
+    * Shape: explode → stream-STATIC broadcast join (the model is
+    * vocab-sized and static — no stream-stream state) → watermarked
+    * per-(window, doc) rollup (state bounded by the horizon, keyed by the
+    * maximally-uniform doc id) → map-side bucket verdict. */
+  def surprisalBucketStream(docs: DataFrame, model: DataFrame,
+                            oovNll: Double, t1: Double, t2: Double,
+                            tsCol: String = "ts", idCol: String = "doc_id",
+                            textCol: String = "text",
+                            watermark: String = "10 minutes",
+                            windowLen: String = "1 minute"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol),
+        explode(filter(split(lower(col(textCol)), "\\s+"),
+          t => length(t) > 0)).as("term"))
+      .join(broadcast(model), Seq("term"), "left")
+      .withColumn("nll", coalesce(col("nll"), lit(oovNll)))
+      .groupBy(window(col(tsCol), windowLen), col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), round(avg("nll"), 4).as("surprisal"))
+      .select(col(idCol), col("n_tokens"), col("surprisal"),
+        when(col("surprisal") <= t1, "head")
+          .when(col("surprisal") <= t2, "middle")
+          .otherwise("tail").as("bucket"))
+
   /** Event-time windowed corpus telemetry per stratum: docs, tokens, and
     * mean quality per (window, stratum) — the live dashboard a curation
     * pipeline publishes while filling shards. Append-mode compatible

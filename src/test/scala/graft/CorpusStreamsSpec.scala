@@ -79,4 +79,43 @@ class CorpusStreamsSpec extends SparkTestBase {
       ("de", "2026-01-01 10:00:00.0", 1L, 2L),
       ("en", "2026-01-01 10:05:00.0", 1L, 1L)), s"got $rows")
   }
+
+  test("ccnet serving: the stream scored under the batch-trained LM " +
+    "reproduces the batch tercile assignment; unseen terms land in tail") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    Tables.register(spark, sfDir)
+    val docs = spark.table("documents")
+    val batch = graft.operators.TextAnalysis.perplexityBuckets(docs)
+      .collect()
+    val t1 = batch.head.getAs[Double]("t1")
+    val t2 = batch.head.getAs[Double]("t2")
+    val want = batch.map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Double]("surprisal"), r.getAs[String]("bucket")))).toMap
+    val (model, oov) = graft.operators.TextAnalysis.unigramModel(docs)
+
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = CorpusStreams.surprisalBucketStream(
+        in.toDF().toDF("doc_id", "ts", "text"), model, oov, t1, t2)
+      .writeStream.format("memory").queryName("ccnetserve")
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+    val feed = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), ts(0), r.getString(1)))
+    in.addData(feed.toIndexedSeq: _*)
+    // a doc of terms the LM never saw: every token costs oovNll -> the
+    // maximum possible surprisal -> tail
+    in.addData((-1L, ts(0), "zzqx qqzv xvqz zqxv"))
+    val run = q.start(); run.awaitTermination(120000)
+    val got = spark.table("ccnetserve").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("surprisal"), r.getAs[String]("bucket")))).toMap
+    assert(got.size == want.size + 1)
+    want.foreach { case (id, sb) =>
+      assert(got(id) == sb, s"doc $id: stream ${got(id)} != batch $sb")
+    }
+    val (oovSurprisal, oovBucket) = got(-1L)
+    assert(oovBucket == "tail")
+    assert(math.abs(oovSurprisal - oov) < 1e-3,
+      s"all-OOV doc surprisal $oovSurprisal != oov nll $oov")
+  }
 }
