@@ -152,6 +152,31 @@ object Sampling {
         round(avg("lr"), 4).as("dsir_weight"))
   }
 
+  /** DSIR importance RESAMPLING (Xie et al. 2023 §2.3 — the sampling half
+    * that `dsirWeights` only scores): draw `n` docs without replacement
+    * with probability ∝ exp(dsir_weight) via the Gumbel top-k trick —
+    * key_i = weight_i + G_i with G_i = -ln(-ln(u_i)) and u_i the
+    * deterministic md5 unit hash — which turns the paper's sequential
+    * weighted draw into ONE distributed pass: keys are map-side column
+    * math, the sample is the global top-n (TakeOrderedAndProject; no full
+    * sort materializes). u gets a half-ulp-of-the-hash offset so it is
+    * strictly inside (0,1) — ln(0) is an error in some engines, and the
+    * shifted value stays bit-exact in any engine. Deterministic: same
+    * corpus + salt → the same sample under any partitioning; round(4)
+    * keys + id tiebreak keep the cut engine-stable. */
+  def dsirSample(raw: DataFrame, target: DataFrame, n: Int,
+                 buckets: Int = 64, salt: String = "dsirs",
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(n > 0, "n must be positive")
+    val u = hashUnit(col(idCol), salt) + lit(0.5 / 4294967296.0)
+    dsirWeights(raw, target, buckets, "dsir", idCol, textCol)
+      .withColumn("skey", round(col("dsir_weight") - log(-log(u)), 4))
+      .orderBy(col("skey").desc, col(idCol))
+      .limit(n)
+      .select(col(idCol), col("dsir_weight"), col("skey"))
+  }
+
   /** Per-stratum audit report of the mixture sample: totals, weight, rate,
     * and what the deterministic sample actually kept (docs + tokens) —
     * the table a curation run publishes next to the sampled corpus. */

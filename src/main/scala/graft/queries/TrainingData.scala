@@ -1622,6 +1622,49 @@ object TrainingData {
       val d = s.table("documents")
       graft.operators.Sampling.dsirWeights(d, d.where(col("source") === "src0"))
         .orderBy("doc_id").limit(100)
+    },
+
+    // DSIR importance resampling: Gumbel top-k over the weights — the
+    // paper's sequential weighted draw as one distributed pass. u is the
+    // shared md5 unit hash shifted half a hash-ulp into (0,1) (ln(0) is
+    // an engine error); keys round(4) before the cut, doc_id tiebreak
+    df("ta_dsir_sample",
+      """WITH toks AS (SELECT doc_id, source, list_filter(
+        |  regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |tx AS (SELECT doc_id, source, unnest(w) AS t FROM toks),
+        |bx AS (SELECT doc_id, source,
+        |  CAST(floor(CAST(list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |      substring(md5(concat('dsir', t)), i, 1)) - 1)
+        |      * 16.0 ** (8 - i))) AS DOUBLE) / 4294967296.0 * 64) AS BIGINT)
+        |    AS bucket FROM tx),
+        |tc AS (SELECT bucket, count(*) AS ct FROM bx WHERE source = 'src0'
+        |  GROUP BY bucket),
+        |ttot AS (SELECT CAST(count(*) AS DOUBLE) AS tt FROM bx
+        |  WHERE source = 'src0'),
+        |rc AS (SELECT bucket, count(*) AS cr FROM bx GROUP BY bucket),
+        |rtot AS (SELECT CAST(count(*) AS DOUBLE) AS tr FROM bx),
+        |ab AS (SELECT CAST(b AS BIGINT) AS bucket FROM generate_series(0, 63) t(b)),
+        |lr AS (SELECT ab.bucket,
+        |  ln((coalesce(tc.ct, 0) + 1) / (ttot.tt + 64))
+        |    - ln((coalesce(rc.cr, 0) + 1) / (rtot.tr + 64)) AS lr
+        |  FROM ab LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+        |  CROSS JOIN ttot CROSS JOIN rtot),
+        |wt AS (SELECT doc_id, round(avg(l.lr), 4) AS dsir_weight
+        |  FROM bx JOIN lr l USING (bucket) GROUP BY doc_id),
+        |g AS (SELECT doc_id, dsir_weight,
+        |  round(dsir_weight - ln(-ln(
+        |    (CAST(list_sum(list_transform(generate_series(1, 8),
+        |      i -> (strpos('0123456789abcdef',
+        |        substring(md5(concat('dsirs', CAST(doc_id AS VARCHAR))), i, 1)) - 1)
+        |        * 16.0 ** (8 - i))) AS DOUBLE) + 0.5) / 4294967296.0)), 4) AS skey
+        |  FROM wt)
+        |SELECT doc_id, dsir_weight, skey FROM g
+        |ORDER BY skey DESC, doc_id LIMIT 200""".stripMargin) { (s, _) =>
+      val d = s.table("documents")
+      graft.operators.Sampling.dsirSample(d,
+        d.where(col("source") === "src0"), n = 200)
     }
   )
 }

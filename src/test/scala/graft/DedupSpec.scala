@@ -187,4 +187,31 @@ class DedupSpec extends SparkTestBase {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_weight")).toMap
     assert(again == got)
   }
+
+  test("dsir resampling: exact-n without replacement, deterministic, and " +
+    "the sample's mean weight sits above the corpus mean (importance pull)") {
+    Tables.register(spark, sfDir)
+    val docs = spark.table("documents")
+    val target = docs.where(col("source") === "src0")
+    val n = 50
+    val sample = Sampling.dsirSample(docs, target, n).collect()
+    assert(sample.length == n)
+    val ids = sample.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == n, "without replacement")
+    // keys are the selection order: descending, id tiebreak
+    val keys = sample.map(r => (-r.getAs[Double]("skey"), r.getAs[Long]("doc_id"))).toSeq
+    assert(keys == keys.sorted, "descending key with id tiebreak")
+    // the Gumbel draw is weighted BY the importance weight: the sampled
+    // docs' mean weight must exceed the all-corpus mean (deterministic
+    // data + salt -> a fixed, checkable margin rather than a flaky one)
+    val corpusMean = Sampling.dsirWeights(docs, target)
+      .agg(avg("dsir_weight")).collect().head.getDouble(0)
+    val sampleMean = sample.map(_.getAs[Double]("dsir_weight")).sum / n
+    assert(sampleMean > corpusMean,
+      s"importance pull: sample mean $sampleMean <= corpus mean $corpusMean")
+    // deterministic across runs
+    val again = Sampling.dsirSample(docs, target, n).collect()
+      .map(_.getAs[Long]("doc_id"))
+    assert(again.toSeq == ids.toSeq)
+  }
 }
