@@ -589,4 +589,32 @@ object Similarity {
         round(nativeCosine("ea.v", "eb.v"), 4).as("sim"))
       .where(col("sim") >= threshold)
   }
+
+  /** Embedding-space decontamination — the semantic sibling of the n-gram
+    * `CorpusFilters.decontaminate`: a corpus vector is contaminated when
+    * its max cosine to ANY eval-set vector reaches `threshold` (catches
+    * paraphrased or reformatted benchmark leakage that shares no 5-gram).
+    * Returns (id, max_eval_sim, contaminated) for every corpus row.
+    *
+    * Shape at 100 TB: the eval set is benchmark-sized — it BROADCASTS;
+    * per-row norms are hoisted before the join so each (corpus, eval)
+    * pair costs one native array_dot; the per-row max partial-aggregates
+    * map-side, so the only shuffle carries |corpus| rows, not
+    * |corpus|×|eval|. The corpus is scanned exactly once. */
+  def embeddingDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+                             threshold: Double, idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    graft.functions.ArrayDot.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__nv", sqrt(expr("array_dot(__v, __v)")))
+    val ev = broadcast(
+      evalSet.select(asDouble(col(vecCol)).as("__ev"))
+        .withColumn("__nev", sqrt(expr("array_dot(__ev, __ev)"))))
+    c.crossJoin(ev)
+      .withColumn("__sim",
+        expr("array_dot(__v, __ev)") / (col("__nv") * col("__nev")))
+      .groupBy(col(idCol))
+      .agg(round(max("__sim"), 4).as("max_eval_sim"))
+      .withColumn("contaminated", col("max_eval_sim") >= threshold)
+  }
 }

@@ -945,6 +945,31 @@ object TrainingData {
         centroids = 8, nprobe = 2, dims = 64)
     },
 
+    // embedding-space decontamination: max cosine of every corpus vector
+    // to a broadcast eval set (label 0, id%5 sample), flagged at 0.35 —
+    // dots/norms are bit-identical sequential sums in both engines, so
+    // the max is exact and only the final round(4) guards the compare
+    df("ss_decontaminate_embed",
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |  sqrt(list_sum(list_transform(generate_series(1, 64), i -> v[i] * v[i]))) AS nv
+        |  FROM e),
+        |ev AS (SELECT v AS evv, nv AS nev FROM n
+        |  WHERE label = 0 AND vec_id % 5 = 0),
+        |m AS (SELECT c.vec_id,
+        |  round(max(list_sum(list_transform(generate_series(1, 64),
+        |    i -> c.v[i] * evv[i])) / (c.nv * nev)), 4) AS max_eval_sim
+        |  FROM n c CROSS JOIN ev WHERE c.label <> 0 GROUP BY c.vec_id)
+        |SELECT vec_id, max_eval_sim, max_eval_sim >= 0.35 AS contaminated
+        |FROM m ORDER BY vec_id LIMIT 100""".stripMargin) { (s, _) =>
+      val emb = s.table("embeddings")
+      Similarity.embeddingDecontaminate(
+          emb.where(col("label") =!= 0),
+          emb.where(col("label") === 0 && col("vec_id") % 5 === 0),
+          threshold = 0.35)
+        .orderBy("vec_id").limit(100)
+    },
+
     // exact top-k per stratum (k best docs per language by length,
     // deterministic doc_id tiebreak): two window passes Spark-side — a
     // salt-bucketed prune then the global rank — so one giant stratum

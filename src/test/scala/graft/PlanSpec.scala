@@ -179,6 +179,21 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("lambdafunction"), p)
   }
 
+  test("embedding decontamination broadcasts the eval set; the per-row " +
+      "max partial-aggregates so the one shuffle carries corpus rows only") {
+    Tables.register(spark, sfDir)
+    val emb = spark.table("embeddings")
+    val df = graft.operators.Similarity.embeddingDecontaminate(
+      emb.where(col("label") =!= 0), emb.where(col("label") === 0),
+      threshold = 0.35)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // partial + final HashAggregate around a single uniform-key Exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("array_dot"), p)
+    assert(!p.contains("lambdafunction"), p)
+  }
+
   test("chunk dedup shuffles once on the chunk hash before the doc rollup") {
     Tables.register(spark, sfDir)
     val p = plan(graft.operators.CorpusFilters.chunkDedup(spark.table("documents")))

@@ -250,6 +250,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(allCells == pq)
   }
 
+  test("embedding decontamination: a vector parallel to an eval vector is " +
+      "flagged at sim 1.0, an orthogonal one passes at 0.0") {
+    import spark.implicits._
+    def unit(axis: Int, scale: Float): Array[Float] =
+      Array.tabulate(64)(i => if (i == axis) scale else 0f)
+    val evalSet = Seq((100L, unit(0, 1f)), (101L, unit(1, 1f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, unit(0, 2f)),  // parallel to eval 100 (scaled): cosine exactly 1
+      (2L, unit(2, 1f)))  // orthogonal to both eval vectors: cosine 0
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embeddingDecontaminate(corpus, evalSet, threshold = 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Double]("max_eval_sim"), r.getAs[Boolean]("contaminated"))))
+      .toMap
+    assert(got(1L) == ((1.0, true)), got)
+    assert(got(2L) == ((0.0, false)), got)
+  }
+
   test("binary quantization packs sign bits exactly; hamming ranks by " +
       "xor popcount with deterministic ties") {
     import spark.implicits._
