@@ -291,6 +291,53 @@ object TextAnalysis {
           .as("embedding"))
   }
 
+  /** Learned quality classifier trained IN the engine — the fastText-style
+    * filter step of the DCLM / FineWeb-Edu pipelines: logistic regression
+    * over the deterministic hashed doc embeddings, positives defined by a
+    * caller predicate (e.g. `source === "src0"`, docs from a trusted
+    * corpus), full-batch gradient descent. Weights round to 4 decimals
+    * after EVERY update — the `ivfCentroidsTrained` trick — so the trained
+    * model is bit-reproducible in any engine and an oracle can recompute
+    * it exactly. Returns every doc with its σ(w·x) score and the keep
+    * verdict at `threshold`.
+    *
+    * Shape at 100 TB: features materialize once (eager localCheckpoint —
+    * the per-iteration scans would otherwise recompute the hash-embedding
+    * aggregation each pass; blocks release when the frame is GC'd); each
+    * GD iteration is ONE distributed pass whose output is a dims-row
+    * gradient frame (collected — bytes, the train-then-apply shape);
+    * scoring is a map-only scan against the plan-literal weight vector. */
+  def qualityClassifier(docs: DataFrame, positive: Column, iters: Int = 3,
+                        lr: Double = 1.0, dims: Int = 64,
+                        threshold: Double = 0.5, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    graft.functions.ArrayDot.register(docs.sparkSession)
+    val feat = hashEmbedding(docs, dims, "he", idCol, textCol)
+      .join(docs.select(col(idCol),
+        when(positive, 1.0).otherwise(0.0).as("y")), Seq(idCol))
+      .localCheckpoint()
+    val w = Array.fill(dims)(0.0)
+    def wLit = s"array(${w.map(x => s"${x}D").mkString(",")})"
+    for (_ <- 0 until iters) {
+      val sig = lit(1.0) /
+        (lit(1.0) + exp(-expr(s"array_dot(embedding, $wLit)")))
+      feat.withColumn("sig", sig)
+        .select(col("y"), col("sig"), posexplode(col("embedding")))
+        .select((col("pos") + 1).cast("int").as("d"), col("col").as("xv"),
+          col("y"), col("sig"))
+        .groupBy("d")
+        .agg(round(element_at(expr(wLit), col("d")) -
+          lit(lr) * avg((col("sig") - col("y")) * col("xv")), 4).as("wn"))
+        .collect()
+        .foreach(r => w(r.getAs[Int]("d") - 1) = r.getAs[Double]("wn"))
+    }
+    feat.withColumn("score",
+        round(lit(1.0) /
+          (lit(1.0) + exp(-expr(s"array_dot(embedding, $wLit)"))), 4))
+      .select(col(idCol), col("score"), (col("score") >= threshold).as("keep"))
+  }
+
   /** Per-stratum quality-median filter: keep documents whose quality score
     * clears their own stratum's (e.g. language's) exact median — the
     * per-language thresholding that avoids one language's score scale

@@ -245,6 +245,46 @@ class CorpusFiltersSpec extends SparkTestBase {
     sizes.values.foreach(n => assert(n * 2 <= rows.length + 1))
   }
 
+  test("quality classifier: on a separable corpus GD separates — positive " +
+    "mean score above negative, margin widening with iterations") {
+    import spark.implicits._
+    // two disjoint vocabularies -> disjoint hash slots -> linearly separable
+    val docs = ((0 until 20).map { i =>
+      (i.toLong, "good", "alpha beams align and alpha arrays bloom in alpha fields")
+    } ++ (20 until 40).map { i =>
+      (i.toLong, "junk", "zug vex quorp mizzle drang krell fosh wumble parn jex")
+    }).toDF("doc_id", "source", "text")
+    def meanGap(iters: Int): Double = {
+      val m = graft.operators.TextAnalysis
+        .qualityClassifier(docs, positive = col("source") === "good",
+          iters = iters)
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .groupBy(col("source") === "good").agg(avg("score"))
+        .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+      m(true) - m(false)
+    }
+    val gap1 = meanGap(1)
+    val gap3 = meanGap(3)
+    assert(gap1 > 0.0, s"one step must already lean positive: $gap1")
+    assert(gap3 > gap1, s"training must widen the margin: $gap3 <= $gap1")
+    // and every doc lands on its own side at 3 iters
+    val scored = graft.operators.TextAnalysis
+      .qualityClassifier(docs, col("source") === "good").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    (0 until 20).foreach(i => assert(scored(i.toLong), s"doc $i"))
+    (20 until 40).foreach(i => assert(!scored(i.toLong), s"doc $i"))
+    // deterministic on the real corpus: retraining reproduces every score
+    Tables.register(spark, sfDir)
+    val real = spark.table("documents")
+    val s1 = graft.operators.TextAnalysis
+      .qualityClassifier(real, col("source") === "src0").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val s2 = graft.operators.TextAnalysis
+      .qualityClassifier(real, col("source") === "src0").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(s1 == s2)
+  }
+
   test("bpe merges: hand-computed greedy rounds on the classic corpus") {
     import spark.implicits._
     // words: low x3, lower x2, newest x4
