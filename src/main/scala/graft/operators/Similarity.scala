@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate / exact nearest-neighbor search over an embedding column
@@ -588,6 +589,36 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(nativeCosine("ea.v", "eb.v"), 4).as("sim"))
       .where(col("sim") >= threshold)
+  }
+
+  /** Within-cell k-NN graph: each vector's `k` nearest cluster-mates by
+    * cosine — the adjacency a pipeline feeds to graph-based dedup
+    * (connected components over near-dup edges), label propagation, or
+    * k-center diversity sampling. The trained coarse quantizer bounds the
+    * pairwise stage exactly as in SemDeDup: edges never cross cells, so
+    * the join is O(Σ cell²) with k ~ n/target_cell_size, not O(n²).
+    *
+    * Shape at 100 TB: one shuffle keyed by cell for the pair join (norms
+    * hoisted, native array_dot per pair), then the per-source top-k is a
+    * window over the maximally-uniform src key — no global sort.
+    * Similarities round(4) before ranking, dst tiebreak, so the graph is
+    * engine-exact. */
+  def knnGraph(emb: DataFrame, k: Int, centroids: Int, dims: Int,
+               sampleMod: Int = 5, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    graft.functions.ArrayDot.register(emb.sparkSession)
+    val cells = ivfCellsTrained(emb, centroids, dims, sampleMod, idCol, vecCol)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"), col("cell"))
+      .withColumn("nrm", norm(col("v")))
+      .localCheckpoint()
+    val pairs = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("src"), col("b.id").as("dst"),
+        round(expr("array_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm")), 4)
+          .as("sim"))
+    val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
+    pairs.withColumn("rnk", row_number().over(w).cast("int"))
+      .where(col("rnk") <= k)
   }
 
   /** Embedding-space decontamination — the semantic sibling of the n-gram

@@ -945,6 +945,48 @@ object TrainingData {
         centroids = 8, nprobe = 2, dims = 64)
     },
 
+    // within-cell k-NN graph under the trained quantizer: directed top-3
+    // neighbor edges per vector, cells bound the pairwise stage; sims
+    // round(4) before the rank, dst tiebreak
+    df("ss_knn_graph",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cn AS (SELECT p, c, sqrt(list_sum(list_transform(generate_series(1, 64), i -> c[i] * c[i]))) AS nc
+        |  FROM (SELECT p, list_transform(generate_series(1, 64),
+        |    d -> (strpos('0123456789abcdef', substring(md5(concat(p + 1000, '_', d - 1)), 1, 1)) - 8.5)) AS c
+        |  FROM generate_series(0, 7) t(p)) x),
+        |i0 AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN cn WHERE vec_id % 5 = 0 GROUP BY vec_id),
+        |ic0 AS (SELECT vec_id, list_position(scores, list_aggregate(scores, 'max')) - 1 AS cell FROM i0),
+        |itr AS (SELECT cell, d, round(avg(v[d]), 4) AS cd
+        |  FROM ic0 JOIN e USING (vec_id) CROSS JOIN generate_series(1, 64) t(d)
+        |  GROUP BY cell, d),
+        |itl AS (SELECT cell, list(cd ORDER BY d) AS c FROM itr GROUP BY cell),
+        |tc AS (SELECT cn.p, coalesce(itl.c, cn.c) AS c,
+        |  sqrt(list_sum(list_transform(generate_series(1, 64),
+        |    i -> coalesce(itl.c, cn.c)[i] * coalesce(itl.c, cn.c)[i]))) AS nc
+        |  FROM cn LEFT JOIN itl ON itl.cell = cn.p),
+        |scored AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN tc GROUP BY vec_id),
+        |cells AS (SELECT s.vec_id, e.v,
+        |  sqrt(list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * e.v[i]))) AS nrm,
+        |  list_position(s.scores, list_aggregate(s.scores, 'max')) - 1 AS cell
+        |  FROM scored s JOIN e ON e.vec_id = s.vec_id),
+        |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |  round(list_sum(list_transform(generate_series(1, 64),
+        |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS sim
+        |  FROM cells a JOIN cells b
+        |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |r AS (SELECT src, dst, sim, CAST(row_number() OVER (
+        |  PARTITION BY src ORDER BY sim DESC, dst) AS INT) AS rnk FROM p)
+        |SELECT src, dst, sim, rnk FROM r WHERE rnk <= 3
+        |ORDER BY src, rnk LIMIT 300""".stripMargin) { (s, _) =>
+      Similarity.knnGraph(s.table("embeddings"), k = 3, centroids = 8,
+          dims = 64)
+        .orderBy("src", "rnk").limit(300)
+    },
+
     // embedding-space decontamination: max cosine of every corpus vector
     // to a broadcast eval set (label 0, id%5 sample), flagged at 0.35 —
     // dots/norms are bit-identical sequential sums in both engines, so

@@ -250,6 +250,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(allCells == pq)
   }
 
+  test("knn graph: edges stay within the trained cell, ranks are 1..k per " +
+      "source, and every sim equals the brute-force cosine") {
+    val g = Similarity.knnGraph(emb, k = 3, centroids = 8, dims = 64).collect()
+    val cellOf = Similarity.ivfCellsTrained(emb, 8, 64, 5)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    g.foreach { r =>
+      assert(cellOf(r.getAs[Long]("src")) == cellOf(r.getAs[Long]("dst")),
+        "edge crosses a cell")
+    }
+    val bySrc = g.groupBy(_.getAs[Long]("src"))
+    bySrc.foreach { case (src, edges) =>
+      val ranks = edges.map(_.getAs[Int]("rnk")).sorted.toSeq
+      assert(ranks == (1 to edges.length), s"src $src ranks $ranks")
+      // descending sim in rank order, dst tiebreak
+      val ordered = edges.sortBy(_.getAs[Int]("rnk"))
+        .map(r => (-r.getAs[Double]("sim"), r.getAs[Long]("dst"))).toSeq
+      assert(ordered == ordered.sorted, s"src $src not rank-ordered")
+    }
+    // spot-check sims against the brute-force cosine for one source
+    val src = g.head.getAs[Long]("src")
+    val brute = Similarity.cosineTopK(emb, src, k = emb.count().toInt)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    g.filter(_.getAs[Long]("src") == src).foreach(r =>
+      assert(brute(r.getAs[Long]("dst")) == r.getAs[Double]("sim")))
+  }
+
   test("embedding decontamination: a vector parallel to an eval vector is " +
       "flagged at sim 1.0, an orthogonal one passes at 0.0") {
     import spark.implicits._
