@@ -60,6 +60,8 @@ object RecallBench {
       "pq_m8k16" -> (q => Similarity.annTopKPq(emb, q, k)),
       "ivfpq_np2" -> (q => Similarity.annTopKIvfPq(emb, q, k, centroids = 8,
         nprobe = 2, dims = 64)),
+      "mrl_p16_f50" -> (q => Similarity.annTopKMatryoshka(emb, q, k,
+        prefilterK = 50, prefixDims = 16).select("vec_id", "sim")),
       "hamming_64" -> (q => Similarity.annTopKHamming(emb, dims = 64,
         queryId = q, k = k)))
 

@@ -591,6 +591,45 @@ object Similarity {
       .where(col("sim") >= threshold)
   }
 
+  /** Matryoshka adaptive retrieval (Kusupati et al. 2022's serving
+    * pattern): a cheap first pass ranks by cosine over the leading
+    * `prefixDims` coordinates only — reading a quarter of each vector —
+    * and the exact full-dimension cosine reranks just the `prefilterK`
+    * survivors. With MRL-trained embeddings the prefix preserves the
+    * coarse geometry, so the funnel keeps recall while the scan cost
+    * drops by dims/prefixDims.
+    *
+    * Shape at 100 TB: both stages are broadcast-query map scans with
+    * global top-k (TakeOrderedAndProject); the rerank input is
+    * prefilterK rows — driver-bounded, not corpus-bounded. With vectors
+    * stored column-truncated (the ss_matryoshka layout) the first pass
+    * reads only the prefix bytes. round(4) + id tiebreaks at BOTH cuts
+    * keep the funnel engine-exact. */
+  def annTopKMatryoshka(emb: DataFrame, queryId: Long, k: Int,
+                        prefilterK: Int, prefixDims: Int,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    graft.functions.ArrayDot.register(emb.sparkSession)
+    val q = broadcast(
+      emb.where(col(idCol) === queryId)
+        .select(asDouble(col(vecCol)).as("qv"))
+        .withColumn("qp", slice(col("qv"), 1, prefixDims)))
+    val cand = emb.where(col(idCol) =!= queryId)
+      .crossJoin(q)
+      .withColumn("__v", asDouble(col(vecCol)))
+      .withColumn("__p", slice(col("__v"), 1, prefixDims))
+      .withColumn("psim", round(expr("array_dot(__p, qp)") /
+        (sqrt(expr("array_dot(__p, __p)")) * sqrt(expr("array_dot(qp, qp)"))), 4))
+      .orderBy(col("psim").desc, col(idCol))
+      .limit(prefilterK)
+    cand
+      .withColumn("sim", round(expr("array_dot(__v, qv)") /
+        (sqrt(expr("array_dot(__v, __v)")) * sqrt(expr("array_dot(qv, qv)"))), 4))
+      .select(col(idCol), col("psim"), col("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Within-cell k-NN graph: each vector's `k` nearest cluster-mates by
     * cosine — the adjacency a pipeline feeds to graph-based dedup
     * (connected components over near-dup edges), label propagation, or

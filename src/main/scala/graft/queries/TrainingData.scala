@@ -945,6 +945,33 @@ object TrainingData {
         centroids = 8, nprobe = 2, dims = 64)
     },
 
+    // matryoshka adaptive retrieval: 16-dim-prefix cosine funnels to 50
+    // candidates, exact 64-dim cosine reranks to 10; round(4) + id
+    // tiebreaks at both cuts
+    df("ss_ann_matryoshka",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv, v[1:16] AS qp FROM e WHERE vec_id = 7),
+        |p AS (SELECT vec_id, v,
+        |  round(list_sum(list_transform(generate_series(1, 16),
+        |    i -> v[i] * qp[i])) /
+        |   (sqrt(list_sum(list_transform(generate_series(1, 16), i -> v[i] * v[i]))) *
+        |    sqrt(list_sum(list_transform(generate_series(1, 16), i -> qp[i] * qp[i])))), 4)
+        |    AS psim, qv
+        |  FROM e CROSS JOIN q WHERE vec_id <> 7),
+        |cand AS (SELECT * FROM p ORDER BY psim DESC, vec_id LIMIT 50),
+        |r AS (SELECT vec_id, psim,
+        |  round(list_sum(list_transform(generate_series(1, 64),
+        |    i -> v[i] * qv[i])) /
+        |   (sqrt(list_sum(list_transform(generate_series(1, 64), i -> v[i] * v[i]))) *
+        |    sqrt(list_sum(list_transform(generate_series(1, 64), i -> qv[i] * qv[i])))), 4)
+        |    AS sim
+        |  FROM cand)
+        |SELECT vec_id, psim, sim FROM r
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) { (s, _) =>
+      Similarity.annTopKMatryoshka(s.table("embeddings"), queryId = 7,
+        k = 10, prefilterK = 50, prefixDims = 16)
+    },
+
     // within-cell k-NN graph under the trained quantizer: directed top-3
     // neighbor edges per vector, cells bound the pairwise stage; sims
     // round(4) before the rank, dst tiebreak

@@ -250,6 +250,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(allCells == pq)
   }
 
+  test("matryoshka funnel: reported sims are exact cosines, and a full-" +
+      "width prefilter degenerates to the brute-force top-k") {
+    val n = emb.count().toInt
+    val brute = Similarity.cosineTopK(emb, queryId = 7, k = n).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ann = Similarity.annTopKMatryoshka(emb, queryId = 7, k = 10,
+      prefilterK = 50, prefixDims = 16).collect()
+    assert(ann.length == 10)
+    ann.foreach(r =>
+      assert(brute(r.getAs[Long]("vec_id")) == r.getAs[Double]("sim"),
+        "rerank sim must be the exact full-dim cosine"))
+    val sims = ann.map(_.getAs[Double]("sim")).toSeq
+    assert(sims == sims.sorted.reverse)
+    // prefilterK = corpus size -> the funnel drops nothing: exact top-k
+    val full = Similarity.annTopKMatryoshka(emb, queryId = 7, k = 10,
+      prefilterK = n, prefixDims = 16).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+    val exact = Similarity.cosineTopK(emb, queryId = 7, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == exact)
+  }
+
   test("knn graph: edges stay within the trained cell, ranks are 1..k per " +
       "source, and every sim equals the brute-force cosine") {
     val g = Similarity.knnGraph(emb, k = 3, centroids = 8, dims = 64).collect()
