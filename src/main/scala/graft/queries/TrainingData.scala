@@ -945,6 +945,59 @@ object TrainingData {
         centroids = 8, nprobe = 2, dims = 64)
     },
 
+    // semantic clustering: connected components over the thresholded
+    // k-NN-graph edges — SemDeDup's drop-verdict generalized to whole
+    // cluster structure (keeper selection, diversity caps). Same trained
+    // cells; the recursive CTE states the transitive-closure truth the
+    // iterative min-label propagation must reach
+    df("dd_semantic_clusters",
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cn AS (SELECT p, c, sqrt(list_sum(list_transform(generate_series(1, 64), i -> c[i] * c[i]))) AS nc
+        |  FROM (SELECT p, list_transform(generate_series(1, 64),
+        |    d -> (strpos('0123456789abcdef', substring(md5(concat(p + 1000, '_', d - 1)), 1, 1)) - 8.5)) AS c
+        |  FROM generate_series(0, 7) t(p)) x),
+        |i0 AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN cn WHERE vec_id % 5 = 0 GROUP BY vec_id),
+        |ic0 AS (SELECT vec_id, list_position(scores, list_aggregate(scores, 'max')) - 1 AS cell FROM i0),
+        |itr AS (SELECT cell, d, round(avg(v[d]), 4) AS cd
+        |  FROM ic0 JOIN e USING (vec_id) CROSS JOIN generate_series(1, 64) t(d)
+        |  GROUP BY cell, d),
+        |itl AS (SELECT cell, list(cd ORDER BY d) AS c FROM itr GROUP BY cell),
+        |tc AS (SELECT cn.p, coalesce(itl.c, cn.c) AS c,
+        |  sqrt(list_sum(list_transform(generate_series(1, 64),
+        |    i -> coalesce(itl.c, cn.c)[i] * coalesce(itl.c, cn.c)[i]))) AS nc
+        |  FROM cn LEFT JOIN itl ON itl.cell = cn.p),
+        |scored AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN tc GROUP BY vec_id),
+        |cells AS (SELECT s.vec_id, e.v,
+        |  sqrt(list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * e.v[i]))) AS nrm,
+        |  list_position(s.scores, list_aggregate(s.scores, 'max')) - 1 AS cell
+        |  FROM scored s JOIN e ON e.vec_id = s.vec_id),
+        |pp AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |  round(list_sum(list_transform(generate_series(1, 64),
+        |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS sim
+        |  FROM cells a JOIN cells b
+        |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |rk AS (SELECT src, dst, sim, row_number() OVER (
+        |  PARTITION BY src ORDER BY sim DESC, dst) AS rnk FROM pp),
+        |pr AS (SELECT src, dst FROM rk WHERE rnk <= 3 AND sim >= 0.3),
+        |edges AS (SELECT src, dst FROM pr UNION SELECT dst, src FROM pr),
+        |reach(a, b) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r2.a, e2.dst FROM reach r2 JOIN edges e2 ON e2.src = r2.b)
+        |SELECT a AS id, least(a, min(b)) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY id LIMIT 200""".stripMargin) { (s, _) =>
+      val emb = s.table("embeddings")
+      val edges = Similarity.knnGraph(emb, k = 3, centroids = 8, dims = 64)
+        .where(col("sim") >= 0.3)
+        .select(col("src").as("id_a"), col("dst").as("id_b"))
+      Dedup.neardupClusters(edges).orderBy("id").limit(200)
+    },
+
     // matryoshka adaptive retrieval: 16-dim-prefix cosine funnels to 50
     // candidates, exact 64-dim cosine reranks to 10; round(4) + id
     // tiebreaks at both cuts
