@@ -8,7 +8,18 @@ import org.apache.spark.sql.SparkSession
   * headline metric (~100-175k logs/s on 4 vCPU — BASELINE.md). Prints ONE
   * JSON line. */
 object Bench {
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit =
+    try mainImpl(args)
+    catch { case e: Throwable =>
+      // the driver keeps only the LAST lines of output, so re-print the
+      // root-cause message at the very end — a failed BENCH_r{N}.json must
+      // be diagnosable on its own face (ADVICE r6: the r6 artifact stored
+      // mid-stack frames with the exception message truncated away)
+      System.err.println(s"BENCH_ERROR: ${e.getClass.getName}: ${e.getMessage}")
+      sys.exit(1)
+    }
+
+  private def mainImpl(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

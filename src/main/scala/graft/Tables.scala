@@ -5,14 +5,17 @@ import org.apache.spark.sql.functions._
 
 /** Registers the driver-provided parquet tables (TESTDATA.md) as temp views.
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS,false), which Spark's parquet reader
-  * rejects natively. We read it with `spark.sql.legacy.parquet.nanosAsLong`
-  * and expose BOTH representations, mirroring the nanosecond-timestamp policy
-  * of the reference engine (SURVEY.md §1.3; reference
-  * site/src/content/docs/reference/schemas.md:182 — live-ingest tables are
-  * µs TIMESTAMP, file readers keep exact ns):
-  *   - `ts`    TIMESTAMP (µs, ns truncated toward negative infinity)
-  *   - `ts_ns` BIGINT raw nanoseconds since epoch (exact-ns shadow column)
+  * `events.ts` has shipped as either parquet TIMESTAMP(NANOS,false) (older
+  * fixtures; Spark's parquet reader rejects it natively, so we read with
+  * `spark.sql.legacy.parquet.nanosAsLong` and it surfaces as BIGINT ns) or
+  * plain TIMESTAMP(MICROS) (current fixtures). We branch on the read schema
+  * and expose BOTH representations either way, mirroring the
+  * nanosecond-timestamp policy of the reference engine (SURVEY.md §1.3;
+  * reference site/src/content/docs/reference/schemas.md:182 — live-ingest
+  * tables are µs TIMESTAMP, file readers keep exact ns):
+  *   - `ts`    TIMESTAMP (µs; when source is ns, truncated toward −∞)
+  *   - `ts_ns` BIGINT nanoseconds since epoch (exact when source is ns,
+  *             µs·1000 when source is µs)
   */
 object Tables {
   val plainTables: Seq[String] = Seq(
@@ -37,8 +40,21 @@ object Tables {
   /** The events table with `ts` (µs timestamp) and `ts_ns` (raw ns long). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // TIMESTAMP(NANOS) fixture read as raw ns longs
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _: org.apache.spark.sql.types.TimestampType |
+           _: org.apache.spark.sql.types.TimestampNTZType =>
+        // Normalize to TimestampType (session TZ is UTC in every entrypoint)
+        // so downstream queries see the same type the ns fixture produced.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported parquet type $other (expected ns-long or timestamp)")
+    }
   }
 }
