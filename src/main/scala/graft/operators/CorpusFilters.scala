@@ -303,6 +303,39 @@ object CorpusFilters {
       .withColumn("contaminated", col("matched_grams") > 0)
   }
 
+  /** Fuzzy (near-duplicate) decontamination — the MinHash sibling of the
+    * exact n-gram `decontaminate`: a corpus document is flagged when any
+    * of its LSH bands collides with a band of ANY eval-set document, i.e.
+    * when it is a *near*-duplicate of benchmark text (catches lightly
+    * edited leakage — a changed date or name — that breaks every exact
+    * 5-gram but leaves most shingles intact). Completes the
+    * decontamination family: exact n-gram (`decontaminate`), semantic
+    * (`Similarity.embeddingDecontaminate`), and fuzzy lexical (this).
+    * Returns (doc_id, matched_bands, contaminated) for every corpus doc
+    * that has a signature (>= n words — the same domain as
+    * `Dedup.minhashSignatures`).
+    *
+    * Shape at 100 TB: the eval side is benchmark-sized, so its distinct
+    * (band, key) set — kilobytes — is BROADCAST; the corpus side is one
+    * map-only native-minhash scan (no shingle explode) into k/r band rows
+    * per doc, and the only shuffle is the doc_id-keyed partial-agg count.
+    * The corpus is never joined to itself and never shuffled by band. */
+  def decontaminateFuzzy(docs: DataFrame, evalDocs: DataFrame, n: Int = 3,
+                         k: Int = 8, r: Int = 2): DataFrame = {
+    val evalKeys = broadcast(
+      Dedup.lshBands(Dedup.minhashSignatures(evalDocs, n, k), k, r)
+        .select(col("band"), col("bkey")).distinct()
+        .withColumn("__hit", lit(1)))
+    // one row per (doc, band); evalKeys is distinct on (band, bkey) so the
+    // left join matches at most once per row and count(__hit) counts
+    // distinct colliding bands without a countDistinct expansion
+    Dedup.lshBands(Dedup.minhashSignatures(docs, n, k), k, r)
+      .join(evalKeys, Seq("band", "bkey"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("__hit")).as("matched_bands"))
+      .withColumn("contaminated", col("matched_bands") > 0)
+  }
+
   /** Gopher document-quality filter (Rae et al. 2021 table A1): the full
     * rule set as one map-only verdict — word count in [minWords, maxWords],
     * mean word length in [3, 10], symbol-to-word ratio (# or ...) <= 0.1,

@@ -660,6 +660,108 @@ object Similarity {
       .where(col("rnk") <= k)
   }
 
+  /** Semi-supervised label propagation over the within-cell k-NN graph
+    * (Zhu & Ghahramani 2002 shape, hard labels): vectors with
+    * `id % seedMod == 0` keep their trusted `label` as immutable seeds;
+    * every other vector takes, each synchronous round, the MAJORITY label
+    * among its out-neighbors' current labels (count desc, then smaller
+    * label — deterministic), keeping its previous label when no neighbor
+    * is labeled yet. This is the cheap way to extend a small trusted
+    * labeling (human-audited quality/topic tags) across a web-scale
+    * corpus without training a model.
+    *
+    * Shape at 100 TB: the edge list is built once (knnGraph's cell-bounded
+    * pairwise join) and checkpointed; each round is one join of edges to
+    * the current label frame (both keyed by vector id — uniform), a
+    * partial-aggregated (src, label) count, and a per-src argmax window
+    * over at most k rows per src. Rounds are O(iters) sequential jobs,
+    * lineage truncated per round like `Dedup.neardupClusters`. */
+  def labelPropagation(emb: DataFrame, k: Int, centroids: Int, dims: Int,
+                       iters: Int = 2, seedMod: Int = 5,
+                       sampleMod: Int = 5, idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       labelCol: String = "label"): DataFrame = {
+    val edges = knnGraph(emb, k, centroids, dims, sampleMod, idCol, vecCol)
+      .select(col("src"), col("dst")).localCheckpoint()
+    var labels = emb.select(col(idCol).as("id"),
+      when(col(idCol) % seedMod === 0, col(labelCol)).as("lbl"),
+      (col(idCol) % seedMod === 0).as("seed"))
+    for (_ <- 1 to iters) {
+      val votes = edges
+        .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), "dst")
+        .where(col("nlbl").isNotNull)
+        .groupBy("src", "nlbl").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("src").orderBy(col("c").desc, col("nlbl"))
+      val winner = votes.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("src").as("id"), col("nlbl").as("vote"))
+      labels = labels.join(winner, Seq("id"), "left")
+        .select(col("id"),
+          when(col("seed"), col("lbl"))
+            .otherwise(coalesce(col("vote"), col("lbl"))).as("lbl"),
+          col("seed"))
+        .localCheckpoint()
+    }
+    labels.select(col("id").as(idCol), col("lbl").as("label_prop"),
+      col("seed"))
+  }
+
+  /** D4 pruning (Tirumala et al. 2023, "D4: Improving LLM Pretraining via
+    * Document De-Duplication and Diversification"): SemDeDup first drops
+    * semantic near-duplicates, then SSL-prototype pruning (Sorscher et al.
+    * 2022) drops the most PROTOTYPICAL `dropFrac` of each cluster's
+    * survivors — near-dups are redundant copies, prototypes are redundant
+    * structure, and what remains is the diverse tail that moves the loss.
+    * Returns one row per input vector: (id, cell, proto_sim, verdict)
+    * with verdict in {'dup', 'proto', 'kept'} (proto_sim NULL for dups —
+    * they never reach the prototype stage).
+    *
+    * Divergence from the paper, documented: the paper applies one GLOBAL
+    * prototypicality threshold chosen to hit the target fraction; this
+    * applies the fraction PER CELL (floor(dropFrac·|cell survivors|)) so
+    * the decision is a window over the cell key — no global sort, no
+    * driver-side quantile. At 100 TB the global variant is one
+    * approx_percentile over proto_sim if a pipeline needs the paper's
+    * exact semantics.
+    *
+    * Shape at 100 TB: inherits semDedup's cell-bounded pairwise contract
+    * (k ~ n/cell_target); the centroid pass is a (cells × dims)-row
+    * partial aggregate broadcast back; scoring is map-only on the native
+    * `array_dot`; the rank/count windows partition by cell. */
+  def d4Prune(emb: DataFrame, centroids: Int, dims: Int, threshold: Double,
+              dropFrac: Double, sampleMod: Int = 5, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    graft.functions.ArrayDot.register(emb.sparkSession)
+    // (id, cell, dropped) — reused for survivors AND the final verdict join
+    val sd = semDedup(emb, centroids, dims, threshold, sampleMod, idCol, vecCol)
+      .localCheckpoint()
+    val keep = sd.where(!col("dropped"))
+      .join(emb.select(col(idCol), asDouble(col(vecCol)).as("__v")), idCol)
+      .select(col(idCol), col("cell"), col("__v"))
+    val cents = keep
+      .select(col("cell"), posexplode(col("__v")))
+      .groupBy("cell", "pos").agg(round(avg("col"), 4).as("cd"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cd")))),
+        s => s.getField("cd")).as("cent"))
+    val w = Window.partitionBy("cell").orderBy(col("proto_sim").desc, col(idCol))
+    val ranked = keep.join(broadcast(cents), Seq("cell"))
+      .select(col(idCol), col("cell"),
+        round(expr("array_dot(__v, cent)") /
+          (sqrt(expr("array_dot(__v, __v)")) * sqrt(expr("array_dot(cent, cent)"))), 4)
+          .as("proto_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("cell")))
+      .withColumn("proto_drop",
+        col("rnk") <= floor(lit(dropFrac) * col("cnt")).cast("int"))
+    sd.join(ranked.select(col(idCol), col("proto_sim"), col("proto_drop")),
+        Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("proto_sim"),
+        when(col("dropped"), lit("dup"))
+          .when(col("proto_drop"), lit("proto"))
+          .otherwise(lit("kept")).as("verdict"))
+  }
+
   /** Embedding-space decontamination — the semantic sibling of the n-gram
     * `CorpusFilters.decontaminate`: a corpus vector is contaminated when
     * its max cosine to ANY eval-set vector reaches `threshold` (catches

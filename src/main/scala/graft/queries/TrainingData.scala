@@ -37,6 +37,30 @@ object TrainingData {
        |  FROM sh GROUP BY doc_id)""".stripMargin
   }
 
+  /** Parameterized variant of `duckMinhashSig`: the full words → shingles →
+    * 8-column minhash → 4 LSH bands chain over an arbitrary source CTE,
+    * with every CTE name prefixed (so two corpora can carry independent
+    * chains in one query — the fuzzy-decontamination oracle needs the
+    * corpus AND the eval set banded). */
+  private def duckBandsOver(src: String, pfx: String): String = {
+    val mhCols = (0 until 8)
+      .map(i => s"min(substring(h2, ${4 * i + 1}, 16)) AS mh$i").mkString(",\n  ")
+    s"""${pfx}w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |  x -> len(x) > 0) AS w FROM $src),
+       |${pfx}sh AS (SELECT doc_id, concat(md5(shingle), md5(shingle)) AS h2 FROM (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
+       |    i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+       |  FROM ${pfx}w WHERE len(w) >= 3) x),
+       |${pfx}sig AS (SELECT doc_id,
+       |  $mhCols
+       |  FROM ${pfx}sh GROUP BY doc_id),
+       |${pfx}bands AS (
+       |  SELECT doc_id, 0 AS band, md5(concat(mh0, mh1)) AS bkey FROM ${pfx}sig
+       |  UNION ALL SELECT doc_id, 1, md5(concat(mh2, mh3)) FROM ${pfx}sig
+       |  UNION ALL SELECT doc_id, 2, md5(concat(mh4, mh5)) FROM ${pfx}sig
+       |  UNION ALL SELECT doc_id, 3, md5(concat(mh6, mh7)) FROM ${pfx}sig)""".stripMargin
+  }
+
   val all: Seq[QSpec] = Seq(
 
     // ---- deduplication ----------------------------------------------------
@@ -688,6 +712,34 @@ object TrainingData {
         .orderBy("doc_id").limit(100)
     },
 
+    // fuzzy MinHash decontamination: eval set = every 7th doc; the corpus
+    // is the rest PLUS planted near-copies of eval docs (id+1000000, one
+    // word appended — same synthetic-fixture trick as ta_redact_pii) so
+    // band collisions are guaranteed non-degenerate on both engines
+    df("ta_decontaminate_fuzzy",
+      s"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+         |corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+         |  UNION ALL SELECT doc_id + 1000000, text || ' postscript'
+         |  FROM ev WHERE doc_id % 3 = 0),
+         |${duckBandsOver("ev", "e")},
+         |${duckBandsOver("corp", "c")},
+         |ek AS (SELECT DISTINCT band, bkey FROM ebands),
+         |m AS (SELECT doc_id, count(*) AS matched_bands
+         |  FROM cbands JOIN ek USING (band, bkey) GROUP BY doc_id),
+         |ids AS (SELECT DISTINCT doc_id FROM cbands)
+         |SELECT i.doc_id, CAST(coalesce(m.matched_bands, 0) AS BIGINT) AS matched_bands,
+         |  coalesce(m.matched_bands, 0) > 0 AS contaminated
+         |FROM ids i LEFT JOIN m ON m.doc_id = i.doc_id
+         |ORDER BY i.doc_id""".stripMargin) { (s, _) =>
+      val d = s.table("documents")
+      val ev = d.where(col("doc_id") % 7 === 0).select("doc_id", "text")
+      val corp = d.where(col("doc_id") % 7 =!= 0).select("doc_id", "text")
+        .unionByName(ev.where(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" postscript")).as("text")))
+      CorpusFilters.decontaminateFuzzy(corp, ev).orderBy("doc_id")
+    },
+
     // Gopher document-quality rules, each measurement exposed plus the
     // combined verdict (round-before-compare keeps the float thresholds
     // engine-portable)
@@ -1065,6 +1117,70 @@ object TrainingData {
       Similarity.knnGraph(s.table("embeddings"), k = 3, centroids = 8,
           dims = 64)
         .orderBy("src", "rnk").limit(300)
+    },
+
+    // label propagation over the k-NN graph: 20% seeds (vec_id % 5 = 0)
+    // keep their trusted label; everyone else takes the majority label of
+    // their k=3 out-neighbors for 2 synchronous rounds (count desc, label
+    // asc tiebreak). The oracle recomputes the full trained-cells kNN
+    // chain plus both rounds
+    df("ss_label_prop",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cn AS (SELECT p, c, sqrt(list_sum(list_transform(generate_series(1, 64), i -> c[i] * c[i]))) AS nc
+        |  FROM (SELECT p, list_transform(generate_series(1, 64),
+        |    d -> (strpos('0123456789abcdef', substring(md5(concat(p + 1000, '_', d - 1)), 1, 1)) - 8.5)) AS c
+        |  FROM generate_series(0, 7) t(p)) x),
+        |i0 AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN cn WHERE vec_id % 5 = 0 GROUP BY vec_id),
+        |ic0 AS (SELECT vec_id, list_position(scores, list_aggregate(scores, 'max')) - 1 AS cell FROM i0),
+        |itr AS (SELECT cell, d, round(avg(v[d]), 4) AS cd
+        |  FROM ic0 JOIN e USING (vec_id) CROSS JOIN generate_series(1, 64) t(d)
+        |  GROUP BY cell, d),
+        |itl AS (SELECT cell, list(cd ORDER BY d) AS c FROM itr GROUP BY cell),
+        |tc AS (SELECT cn.p, coalesce(itl.c, cn.c) AS c,
+        |  sqrt(list_sum(list_transform(generate_series(1, 64),
+        |    i -> coalesce(itl.c, cn.c)[i] * coalesce(itl.c, cn.c)[i]))) AS nc
+        |  FROM cn LEFT JOIN itl ON itl.cell = cn.p),
+        |scored AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN tc GROUP BY vec_id),
+        |cells AS (SELECT s.vec_id, e.v,
+        |  sqrt(list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * e.v[i]))) AS nrm,
+        |  list_position(s.scores, list_aggregate(s.scores, 'max')) - 1 AS cell
+        |  FROM scored s JOIN e ON e.vec_id = s.vec_id),
+        |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |  round(list_sum(list_transform(generate_series(1, 64),
+        |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS sim
+        |  FROM cells a JOIN cells b
+        |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |r AS (SELECT src, dst, sim, CAST(row_number() OVER (
+        |  PARTITION BY src ORDER BY sim DESC, dst) AS INT) AS rnk FROM p),
+        |knn AS (SELECT src, dst FROM r WHERE rnk <= 3),
+        |l0 AS (SELECT vec_id AS id,
+        |  CASE WHEN vec_id % 5 = 0 THEN label END AS lbl,
+        |  vec_id % 5 = 0 AS seed FROM embeddings),
+        |v1 AS (SELECT src, nlbl FROM (
+        |  SELECT src, nlbl, row_number() OVER (PARTITION BY src ORDER BY c DESC, nlbl) AS rn
+        |  FROM (SELECT g.src, l.lbl AS nlbl, count(*) AS c FROM knn g
+        |        JOIN l0 l ON l.id = g.dst WHERE l.lbl IS NOT NULL
+        |        GROUP BY g.src, l.lbl) x) y WHERE rn = 1),
+        |l1 AS (SELECT l0.id, CASE WHEN l0.seed THEN l0.lbl
+        |    ELSE coalesce(v1.nlbl, l0.lbl) END AS lbl, l0.seed
+        |  FROM l0 LEFT JOIN v1 ON v1.src = l0.id),
+        |v2 AS (SELECT src, nlbl FROM (
+        |  SELECT src, nlbl, row_number() OVER (PARTITION BY src ORDER BY c DESC, nlbl) AS rn
+        |  FROM (SELECT g.src, l.lbl AS nlbl, count(*) AS c FROM knn g
+        |        JOIN l1 l ON l.id = g.dst WHERE l.lbl IS NOT NULL
+        |        GROUP BY g.src, l.lbl) x) y WHERE rn = 1),
+        |l2 AS (SELECT l1.id, CASE WHEN l1.seed THEN l1.lbl
+        |    ELSE coalesce(v2.nlbl, l1.lbl) END AS lbl, l1.seed
+        |  FROM l1 LEFT JOIN v2 ON v2.src = l1.id)
+        |SELECT id AS vec_id, lbl AS label_prop, seed FROM l2
+        |ORDER BY vec_id LIMIT 300""".stripMargin) { (s, _) =>
+      Similarity.labelPropagation(s.table("embeddings"), k = 3, centroids = 8,
+          dims = 64, iters = 2, seedMod = 5)
+        .orderBy("vec_id").limit(300)
     },
 
     // embedding-space decontamination: max cosine of every corpus vector
@@ -1451,6 +1567,65 @@ object TrainingData {
       val emb = s.table("embeddings")
       val k = math.max(8, math.ceil(emb.count() / 250.0).toInt)
       Similarity.semDedup(emb, centroids = k, dims = 64, threshold = 0.3)
+        .orderBy("vec_id").limit(200)
+    },
+
+    // D4 (Tirumala et al. 2023): SemDeDup survivors ranked by cosine to
+    // their cell's survivor-centroid; the most prototypical 25% of each
+    // cell is dropped on top of the near-dup drops. The oracle extends the
+    // dd_semdedup chain with the centroid/rank stage
+    df("dd_d4_prune",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cn AS (SELECT p, c, sqrt(list_sum(list_transform(generate_series(1, 64), i -> c[i] * c[i]))) AS nc
+        |  FROM (SELECT p, list_transform(generate_series(1, 64),
+        |    d -> (strpos('0123456789abcdef', substring(md5(concat(p + 1000, '_', d - 1)), 1, 1)) - 8.5)) AS c
+        |  FROM generate_series(0, 7) t(p)) x),
+        |s0 AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN cn WHERE vec_id % 5 = 0 GROUP BY vec_id),
+        |c0 AS (SELECT vec_id, list_position(scores, list_aggregate(scores, 'max')) - 1 AS cell FROM s0),
+        |tr AS (SELECT cell, d, round(avg(v[d]), 4) AS cd
+        |  FROM c0 JOIN e USING (vec_id) CROSS JOIN generate_series(1, 64) t(d)
+        |  GROUP BY cell, d),
+        |tl AS (SELECT cell, list(cd ORDER BY d) AS c FROM tr GROUP BY cell),
+        |tc AS (SELECT cn.p, coalesce(tl.c, cn.c) AS c,
+        |  sqrt(list_sum(list_transform(generate_series(1, 64),
+        |    i -> coalesce(tl.c, cn.c)[i] * coalesce(tl.c, cn.c)[i]))) AS nc
+        |  FROM cn LEFT JOIN tl ON tl.cell = cn.p),
+        |scored AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN tc GROUP BY vec_id),
+        |cells AS (SELECT s.vec_id, e.v,
+        |  list_position(s.scores, list_aggregate(s.scores, 'max')) - 1 AS cell
+        |  FROM scored s JOIN e ON e.vec_id = s.vec_id),
+        |dup AS (SELECT DISTINCT b.vec_id AS id
+        |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(
+        |    list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * a.v[i]))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.v[i] * b.v[i])))), 4) >= 0.3),
+        |keep AS (SELECT c.vec_id, c.cell, c.v FROM cells c
+        |  LEFT JOIN dup d ON d.id = c.vec_id WHERE d.id IS NULL),
+        |kc AS (SELECT cell, dd, round(avg(v[dd]), 4) AS cd
+        |  FROM keep CROSS JOIN generate_series(1, 64) t(dd) GROUP BY cell, dd),
+        |kl AS (SELECT cell, list(cd ORDER BY dd) AS cent FROM kc GROUP BY cell),
+        |sc AS (SELECT k.vec_id, k.cell,
+        |  round(list_sum(list_transform(generate_series(1, 64), i -> k.v[i] * cent[i])) /
+        |    (sqrt(list_sum(list_transform(generate_series(1, 64), i -> k.v[i] * k.v[i]))) *
+        |     sqrt(list_sum(list_transform(generate_series(1, 64), i -> cent[i] * cent[i])))), 4) AS proto_sim
+        |  FROM keep k JOIN kl USING (cell)),
+        |rk AS (SELECT vec_id, cell, proto_sim,
+        |  CAST(row_number() OVER (PARTITION BY cell ORDER BY proto_sim DESC, vec_id) AS INT) AS rnk,
+        |  count(*) OVER (PARTITION BY cell) AS cnt FROM sc)
+        |SELECT c.vec_id, c.cell, rk.proto_sim,
+        |  CASE WHEN d.id IS NOT NULL THEN 'dup'
+        |       WHEN rk.rnk <= CAST(floor(0.25 * rk.cnt) AS INT) THEN 'proto'
+        |       ELSE 'kept' END AS verdict
+        |FROM cells c LEFT JOIN dup d ON d.id = c.vec_id
+        |LEFT JOIN rk ON rk.vec_id = c.vec_id
+        |ORDER BY c.vec_id LIMIT 200""".stripMargin) { (s, _) =>
+      Similarity.d4Prune(s.table("embeddings"), centroids = 8, dims = 64,
+          threshold = 0.3, dropFrac = 0.25)
         .orderBy("vec_id").limit(200)
     },
 

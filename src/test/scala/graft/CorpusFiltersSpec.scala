@@ -424,4 +424,25 @@ class CorpusFiltersSpec extends SparkTestBase {
     assert(got(2L) == ((1L, 0.9163)))
     assert(got(1L)._2 < got(2L)._2)
   }
+
+  test("fuzzy decontamination: exact eval copy collides on all bands, " +
+    "disjoint text on none") {
+    import spark.implicits._
+    val benchmark = "the quick brown fox jumps over the lazy dog while " +
+      "seven wizards brew strange potions under a pale winter moon tonight"
+    val evalDocs = Seq(100L -> benchmark).toDF("doc_id", "text")
+    val corpus = Seq(
+      1L -> benchmark, // verbatim leak: identical signature, all 4 bands hit
+      2L -> ("completely different vocabulary here about gardening tips " +
+        "and soil acidity measurements for tomato growers everywhere today"),
+      3L -> "too short") // < 3 words: no signature, no row
+      .toDF("doc_id", "text")
+    val got = CorpusFilters.decontaminateFuzzy(corpus, evalDocs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("matched_bands"), r.getAs[Boolean]("contaminated"))))
+      .toMap
+    assert(got(1L) == ((4L, true)), "verbatim copy collides on every band")
+    assert(got(2L) == ((0L, false)), "disjoint shingles share no band")
+    assert(!got.contains(3L), "sub-shingle docs have no signature")
+  }
 }

@@ -411,4 +411,54 @@ class SimilaritySpec extends SparkTestBase {
       assert(mate, s"dropped $id must have an earlier same-cell near-mate")
     }
   }
+
+  test("label propagation: seeds immutable, non-seed labels come from the " +
+    "label alphabet, coverage grows with rounds") {
+    val labels = emb.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val r1 = Similarity.labelPropagation(emb, k = 3, centroids = 8,
+      dims = 64, iters = 1).collect()
+    val r2 = Similarity.labelPropagation(emb, k = 3, centroids = 8,
+      dims = 64, iters = 2).collect()
+    def asMap(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      r.getAs[Long]("vec_id") ->
+        ((if (r.isNullAt(r.fieldIndex("label_prop"))) None
+          else Some(r.getAs[Int]("label_prop"))), r.getAs[Boolean]("seed"))
+    }.toMap
+    val m1 = asMap(r1); val m2 = asMap(r2)
+    assert(m2.size == labels.size, "one verdict per vector")
+    val alphabet = labels.values.toSet
+    m2.foreach { case (id, (lbl, seed)) =>
+      if (seed) assert(lbl.contains(labels(id)), s"seed $id keeps its label")
+      else lbl.foreach(l => assert(alphabet.contains(l)))
+    }
+    val c1 = m1.values.count(_._1.isDefined)
+    val c2 = m2.values.count(_._1.isDefined)
+    assert(c1 > m1.values.count(_._2), "round 1 labels some non-seeds")
+    assert(c2 >= c1, "coverage is monotone in rounds")
+  }
+
+  test("d4 prune: dup set equals semdedup's, per-cell proto drops are " +
+    "exactly floor(frac * survivors), proto_sim null iff dup") {
+    val frac = 0.25
+    val out = Similarity.d4Prune(emb, centroids = 8, dims = 64,
+      threshold = 0.3, dropFrac = frac).collect()
+    val sd = Similarity.semDedup(emb, centroids = 8, dims = 64,
+      threshold = 0.3).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("dropped")).toMap
+    assert(out.length == sd.size, "one verdict per vector")
+    out.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val verdict = r.getAs[String]("verdict")
+      assert((verdict == "dup") == sd(id), s"dup verdicts match semDedup ($id)")
+      assert(r.isNullAt(r.fieldIndex("proto_sim")) == (verdict == "dup"),
+        s"proto_sim is null exactly for dups ($id)")
+    }
+    out.groupBy(_.getAs[Int]("cell")).foreach { case (cell, rows) =>
+      val survivors = rows.count(_.getAs[String]("verdict") != "dup")
+      val protoDrops = rows.count(_.getAs[String]("verdict") == "proto")
+      assert(protoDrops == math.floor(frac * survivors).toInt,
+        s"cell $cell drops floor($frac * $survivors)")
+    }
+  }
 }
