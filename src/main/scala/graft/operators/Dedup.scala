@@ -73,14 +73,19 @@ object Dedup {
 
   /** LSH banding over a minhash signature: k hashes, r rows per band, so
     * k/r bands; band key = md5 of the concatenated row hashes. Docs sharing
-    * any band key are candidate near-duplicates. */
+    * any band key are candidate near-duplicates.
+    *
+    * ONE scan: the band keys explode out of a per-row array, so the
+    * (expensive, text-hashing) signature upstream computes once per doc —
+    * the earlier union-of-projections formulation re-scanned the corpus
+    * and re-ran the native minhash expression once PER BAND. */
   def lshBands(sigs: DataFrame, k: Int = 8, r: Int = 2): DataFrame = {
     require(k % r == 0, "k must be divisible by r")
-    val bands = (0 until k / r).map { b =>
-      val key = md5(concat((b * r until (b + 1) * r).map(i => col(s"mh$i")): _*))
-      sigs.select(col("doc_id"), lit(b).as("band"), key.as("bkey"))
+    val keys = (0 until k / r).map { b =>
+      md5(concat((b * r until (b + 1) * r).map(i => col(s"mh$i")): _*))
     }
-    bands.reduce(_ unionAll _)
+    sigs.select(col("doc_id"), posexplode(array(keys: _*)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
   }
 
   /** Distinct candidate pairs (id_a < id_b) from the banded self-join. */

@@ -260,4 +260,39 @@ class PlanSpec extends SparkTestBase {
     assert("regexp_replace".r.findAllIn(lp).size >= 2, lp)
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }
+
+  test("fuzzy decontamination broadcasts the eval band keys; the corpus " +
+      "shuffles only on doc_id") {
+    Tables.register(spark, sfDir)
+    val d = spark.table("documents")
+    val df = graft.operators.CorpusFilters.decontaminateFuzzy(
+      d.where(col("doc_id") % 7 =!= 0), d.where(col("doc_id") % 7 === 0))
+    val p = plan(df)
+    // the band-key lookup builds on the broadcast eval side (whose own
+    // distinct() may hash-partition its kilobytes — fine); the corpus
+    // side's only shuffle key is the final doc_id rollup, and each side
+    // is ONE scan — the band rows explode from a single signature pass,
+    // never a union of per-band re-scans
+    assert(p.contains("BroadcastHashJoin [band"), p)
+    assert(p.contains("hashpartitioning(doc_id"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("FileScan".r.findAllIn(p).size == 2, p)
+  }
+
+  test("d4 prune broadcasts the survivor centroids; rank and count " +
+      "windows share the cell partitioning") {
+    Tables.register(spark, sfDir)
+    val df = graft.operators.Similarity.d4Prune(
+      spark.table("embeddings"), centroids = 8, dims = 64,
+      threshold = 0.3, dropFrac = 0.25)
+    val p = plan(df)
+    // the (cells x dims) centroid frame is kilobytes - it must build a
+    // broadcast join against the survivor rows, and the prototype
+    // decision must stay a cell-key window (no global single-partition
+    // sort, no cartesian product)
+    assert(p.contains("BroadcastHashJoin [cell"), p)
+    assert(p.contains("hashpartitioning(cell"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
 }
