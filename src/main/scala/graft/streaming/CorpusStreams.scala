@@ -85,6 +85,45 @@ object CorpusStreams {
                   minWords: Int = 50): DataFrame =
     docs.where(CorpusFilters.gopherKeep(col(textCol), minWords = minWords))
 
+  /** Decontamination gate on the stream: documents whose MinHash LSH bands
+    * collide with a benchmark eval set are dropped BEFORE they reach the
+    * curated corpus — the streaming face of
+    * `CorpusFilters.decontaminateFuzzy`, for pipelines that must never
+    * persist leaked benchmark text in the first place.
+    *
+    * The eval set is static and benchmark-sized, so its distinct band
+    * keys — kilobytes — are collected ONCE at composition time and baked
+    * into the plan as a literal array (the PQ-codebook pattern): the gate
+    * itself is a map-only WHERE (native minhash signature → k/r band keys
+    * → arrays_overlap against the literal), no stream-static join, no
+    * state, attaches to any streaming plan and keeps the caller's
+    * schema. Documents below the n-word shingle floor have no signature
+    * and pass (they cannot carry an n-gram of benchmark text). */
+  def decontaminationGate(docs: DataFrame, evalDocs: DataFrame, n: Int = 3,
+                          k: Int = 8, r: Int = 2,
+                          textCol: String = "text"): DataFrame = {
+    graft.functions.MinhashSignature.register(docs.sparkSession)
+    val evalKeys: Array[String] =
+      Dedup.lshBands(Dedup.minhashSignatures(evalDocs, n, k), k, r)
+        .select(concat_ws(":", col("band"), col("bkey")).as("key"))
+        .distinct().collect().map(_.getString(0))
+    val bands = (0 until k / r).map { b =>
+      concat_ws(":", lit(b), md5(concat(
+        (b * r until (b + 1) * r).map(i =>
+          element_at(col("__sig"), i + 1)): _*)))
+    }
+    docs
+      .withColumn("__w", Dedup.tokens(col(textCol)))
+      // sub-shingle docs get a NULL signature (not the expression's empty
+      // array) so the element_at band lookups below never index an empty
+      // array — their band keys degrade to 'b:' strings that match no key
+      .withColumn("__sig", when(size(col("__w")) >= n,
+        expr(s"${graft.functions.MinhashSignature.FunctionName}(__w, $n, $k)")))
+      .where(col("__sig").isNull ||
+        !arrays_overlap(array(bands: _*), lit(evalKeys)))
+      .drop("__w", "__sig")
+  }
+
   /** CCNet serving on a live feed: each arriving document scored by mean
     * unigram surprisal under a model trained OFFLINE
     * (`TextAnalysis.unigramModel`) and bucketed head/middle/tail against

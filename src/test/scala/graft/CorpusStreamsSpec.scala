@@ -118,4 +118,30 @@ class CorpusStreamsSpec extends SparkTestBase {
     assert(math.abs(oovSurprisal - oov) < 1e-3,
       s"all-OOV doc surprisal $oovSurprisal != oov nll $oov")
   }
+
+  test("decontamination gate: verbatim benchmark leaks never reach the " +
+    "sink, clean and sub-shingle docs flow, schema preserved") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val benchmark = "the quick brown fox jumps over the lazy dog while " +
+      "seven wizards brew strange potions under a pale winter moon tonight"
+    val evalDocs = Seq(900L -> benchmark).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val gated = CorpusStreams.decontaminationGate(
+      in.toDF().toDF("doc_id", "ts", "text"), evalDocs)
+    // the gate must stay append-compatible: no aggregation, no state
+    val q = gated.writeStream.format("memory").queryName("decongate")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    in.addData(
+      (1L, ts(0), benchmark), // verbatim leak -> all bands collide -> drop
+      (2L, ts(1), "completely different prose about gardening tips and " +
+        "soil acidity measurements for tomato growers everywhere today"),
+      (3L, ts(2), "too short")) // sub-shingle: no signature, passes
+    val run = q.start(); run.awaitTermination(60000)
+    val rows = spark.table("decongate")
+    assert(rows.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L), "leak dropped, clean + sub-shingle kept")
+    assert(rows.columns.toSeq == Seq("doc_id", "ts", "text"),
+      "gate must preserve the caller's schema")
+  }
 }
