@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-off scale-point harness (dev tool, not part of the driver
+  * contract): times a single operator configuration so SCALE.md's
+  * fixed-k vs paper-scaled-k comparisons are reproducible commands
+  * instead of ad-hoc console sessions.
+  *
+  * Usage: runMain graft.ScaleProbe <sfDir> <op> <centroids>
+  * ops: label_prop | d4 | knn | semdedup
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, op, kStr) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    emb.limit(1).count() // JVM/codegen warmup outside the timing
+    val k = kStr.toInt
+    import graft.operators.Similarity
+    def run(): Double = {
+      val t0 = System.nanoTime()
+      val df = op match {
+        case "label_prop" =>
+          Similarity.labelPropagation(emb, k = 3, centroids = k, dims = 64)
+        case "d4" =>
+          Similarity.d4Prune(emb, centroids = k, dims = 64,
+            threshold = 0.3, dropFrac = 0.25)
+        case "knn" => Similarity.knnGraph(emb, k = 3, centroids = k, dims = 64)
+        case "semdedup" =>
+          Similarity.semDedup(emb, centroids = k, dims = 64, threshold = 0.3)
+        case other => throw new IllegalArgumentException(s"unknown op $other")
+      }
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val a = run(); System.gc(); val b = run()
+    println(f"[scaleprobe] op=$op sfDir=$sfDir centroids=$k best=${math.min(a, b)}%.2f s (runs $a%.2f / $b%.2f)")
+    spark.stop()
+  }
+}
