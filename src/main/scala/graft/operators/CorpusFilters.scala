@@ -203,6 +203,40 @@ object CorpusFilters {
             s => s.getField("line"))), lit(""))).as("kept_digest"))
   }
 
+  /** Intra-document repetition removal (the within-doc half of
+    * RefinedWeb/CCNet line filtering, distinct from `lineDedup`'s
+    * corpus-wide frequency rule): inside EACH document, a repeated
+    * trimmed line keeps only its first occurrence — navigation chrome,
+    * repeated headers, and copy-paste stutter collapse without looking at
+    * any other document. Returns per-doc (n_lines, kept_lines,
+    * kept_digest over the surviving lines in order).
+    *
+    * Shape at 100 TB: MAP-ONLY — the whole decision lives inside one row
+    * (array_position over the doc's own trimmed lines marks first
+    * occurrences), so there is NO shuffle, no state, and the operator
+    * composes with streaming plans unchanged. Per-doc cost is O(L²) over
+    * line COUNT (not bytes) with L typically < 10³; a pathological
+    * million-line single document belongs to the explode-based shapes,
+    * not this one. */
+  def intraDocDedup(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // staged projections: the trimmed-lines and survivors arrays are
+    // expensive lambda trees referenced more than once downstream, so
+    // each gets its own Project — CollapseProject keeps them single
+    // evaluations (a one-select formulation re-split the text once per
+    // output column; PlanSpec pins the single split)
+    val trimmed = filter(
+      transform(split(col(textCol), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    docs.select(col("doc_id"), trimmed.as("__tl"))
+      .select(col("doc_id"), size(col("__tl")).cast("long").as("n_lines"),
+        filter(col("__tl"), (l, i) =>
+          array_position(col("__tl"), l) === (i + 1).cast("long"))
+          .as("__kept"))
+      .select(col("doc_id"), col("n_lines"),
+        size(col("__kept")).cast("long").as("kept_lines"),
+        md5(concat_ws("\n", col("__kept"))).as("kept_digest"))
+  }
+
   /** Content-defined chunking dedup: chunk boundaries come from the CONTENT
     * (a word is a chunk end when the md5 of the 4-word window ending at it
     * starts with hex '0' — 1/16 odds, ~16-word mean chunks), so an

@@ -1667,6 +1667,31 @@ object TrainingData {
         .orderBy("doc_id").limit(100)
     },
 
+    // intra-document repetition removal: a line repeated WITHIN one doc
+    // keeps only its first occurrence (map-only — no other doc consulted;
+    // contrast dd_line_dedup's corpus-frequency rule). The corpus is
+    // single-line, so the query plants a line that repeats inside each doc
+    df("dd_intradoc_dedup",
+      """WITH d AS (SELECT doc_id, text || chr(10)
+        |  || 'repeated boilerplate line' || chr(10)
+        |  || 'unique line ' || CAST(doc_id AS VARCHAR) || chr(10)
+        |  || 'repeated boilerplate line' AS text FROM documents),
+        |t AS (SELECT doc_id, list_filter(list_transform(
+        |  string_split(text, chr(10)), x -> trim(x)), x -> len(x) > 0) AS tl
+        |  FROM d),
+        |k AS (SELECT doc_id, CAST(len(tl) AS BIGINT) AS n_lines,
+        |  list_filter(tl, (x, i) -> list_position(tl, x) = i) AS kept FROM t)
+        |SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS kept_lines,
+        |  md5(array_to_string(kept, chr(10))) AS kept_digest
+        |FROM k ORDER BY doc_id LIMIT 100""".stripMargin) { (s, _) =>
+      CorpusFilters.intraDocDedup(
+          s.table("documents").withColumn("text",
+            concat(col("text"), lit("\nrepeated boilerplate line\nunique line "),
+              col("doc_id").cast("string"),
+              lit("\nrepeated boilerplate line"))))
+        .orderBy("doc_id").limit(100)
+    },
+
     // bigram-LM surprisal (KenLM-style): -ln((c(prev,cur)+1)/(c(prev)+V))
     // averaged per doc — word-order-aware fluency the unigram LM can't see
     df("ta_bigram_surprisal",

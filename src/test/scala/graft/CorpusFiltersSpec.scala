@@ -425,6 +425,28 @@ class CorpusFiltersSpec extends SparkTestBase {
     assert(got(1L)._2 < got(2L)._2)
   }
 
+  test("intra-doc dedup: repeated lines collapse to first occurrence in " +
+    "order, other docs never consulted") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "alpha line\nbeta line\nalpha line\n  beta line  \ngamma line",
+      2L -> "alpha line", // same line as doc 1 — must NOT be removed here
+      3L -> "\n\n  \n")   // nothing but blanks
+      .toDF("doc_id", "text")
+    val got = CorpusFilters.intraDocDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("kept_lines"),
+          r.getAs[String]("kept_digest")))).toMap
+    // doc 1: 5 nonblank lines, trimmed dup of beta also collapses
+    assert(got(1L)._1 == 5L && got(1L)._2 == 3L)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha line\nbeta line\ngamma line".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got(1L)._3 == digest, "survivors keep document order")
+    assert(got(2L) == ((1L, 1L, got(2L)._3)), "cross-doc repeats untouched")
+    assert(got(3L)._1 == 0L && got(3L)._2 == 0L)
+  }
+
   test("fuzzy decontamination: exact eval copy collides on all bands, " +
     "disjoint text on none") {
     import spark.implicits._

@@ -261,6 +261,19 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }
 
+  test("intra-doc dedup is map-only and splits the text exactly once") {
+    Tables.register(spark, sfDir)
+    val df = graft.operators.CorpusFilters.intraDocDedup(
+      spark.table("documents"))
+    val p = plan(df)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("HashAggregate"), p)
+    // the staged projections must survive the optimizer: one split/trim
+    // pass per row, not one per output column (higher-order lambdas are
+    // interpreted, so duplicating them multiplies real per-row cost)
+    assert("split\\(".r.findAllIn(p).size == 1, p)
+  }
+
   test("fuzzy decontamination broadcasts the eval band keys; the corpus " +
       "shuffles only on doc_id") {
     Tables.register(spark, sfDir)
