@@ -785,6 +785,107 @@ object TrainingData {
         .orderBy("doc_id").limit(100)
     },
 
+    // the batch curation FUNNEL, end to end in one query: raw corpus ->
+    // Gopher quality gate -> exact dedup (keep-first) -> n-gram
+    // decontamination vs the src0 eval slice, reported as (stage, docs,
+    // tokens) — the per-stage accounting a pipeline publishes with every
+    // corpus release. Composes the already-verified operators; the oracle
+    // restates the full chain. The synthetic corpus defeats every stage
+    // as-is (no stop words, no exact dups, no eval overlap), so the query
+    // plants each effect: a stop-word tail on corpus docs (quality stage
+    // becomes the word-count rule), exact copies of every 10th doc
+    // (dedup stage), and suffixed src0 texts as leaked docs whose
+    // interior 5-grams still match the eval set (decontamination stage)
+    df("ta_curation_funnel",
+      """WITH corp AS (
+        |  SELECT doc_id, text || ' with the rest of that have be to and' AS text
+        |  FROM documents WHERE source <> 'src0'
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' with the rest of that have be to and'
+        |  FROM documents WHERE source <> 'src0' AND doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text || ' with the rest of that have be to and'
+        |  FROM documents WHERE source = 'src0'),
+        |ev AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+        |t AS (SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS w,
+        |  list_filter(list_transform(string_split(text, chr(10)),
+        |    l -> trim(l)), l -> len(l) > 0) AS ls FROM corp),
+        |g AS (SELECT doc_id, text, w FROM t
+        |  WHERE len(w) >= 50 AND len(w) <= 100000
+        |  AND round(CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+        |    / greatest(len(w), 1), 4) BETWEEN 3 AND 10
+        |  AND round(CAST(len(list_filter(w, x -> contains(x, '#')
+        |      OR contains(x, '...'))) AS DOUBLE)
+        |    / greatest(len(w), 1), 4) <= 0.1
+        |  AND round(CAST(len(list_filter(ls, l -> substring(l, 1, 1) IN
+        |      ('-', '*', chr(8226)))) AS DOUBLE)
+        |    / greatest(len(ls), 1), 4) <= 0.9
+        |  AND round(CAST(len(list_filter(ls, l -> l LIKE '%...')) AS DOUBLE)
+        |    / greatest(len(ls), 1), 4) <= 0.3
+        |  AND round(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+        |      AS DOUBLE) / greatest(len(w), 1), 4) >= 0.8
+        |  AND (CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END) >= 2),
+        |k AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)),
+        |d2 AS (SELECT g.* FROM g JOIN k USING (doc_id)),
+        |eg AS (SELECT DISTINCT gh FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(w) - 4),
+        |    i -> md5(array_to_string(w[i:i+4], ' ')))) AS gh FROM (
+        |    SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS w FROM ev) x WHERE len(w) >= 5) y),
+        |dg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 4),
+        |    i -> md5(array_to_string(w[i:i+4], ' ')))) AS gh
+        |  FROM d2 WHERE len(w) >= 5),
+        |cont AS (SELECT DISTINCT doc_id FROM dg JOIN eg USING (gh)),
+        |d3 AS (SELECT * FROM d2
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+        |SELECT stage, docs, tokens FROM (
+        |  SELECT '0_raw' AS stage, count(*) AS docs,
+        |    CAST(coalesce(sum(len(w)), 0) AS BIGINT) AS tokens FROM t
+        |  UNION ALL SELECT '1_quality', count(*),
+        |    CAST(coalesce(sum(len(w)), 0) AS BIGINT) FROM g
+        |  UNION ALL SELECT '2_dedup', count(*),
+        |    CAST(coalesce(sum(len(w)), 0) AS BIGINT) FROM d2
+        |  UNION ALL SELECT '3_decontaminated', count(*),
+        |    CAST(coalesce(sum(len(w)), 0) AS BIGINT) FROM d3) z
+        |ORDER BY stage""".stripMargin) { (s, _) =>
+      val d = s.table("documents")
+      val suffix = lit(" with the rest of that have be to and")
+      val base = d.where(col("source") =!= "src0")
+      val corpus = base
+        .select(col("doc_id"), concat(col("text"), suffix).as("text"))
+        .unionByName(base.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), suffix).as("text")))
+        .unionByName(d.where(col("source") === "src0")
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(col("text"), suffix).as("text")))
+      val ev = d.where(col("source") === "src0").select("doc_id", "text")
+      val toks = size(Dedup.tokens(col("text"))).cast("long")
+      val q = corpus.where(CorpusFilters.gopherKeep(col("text")))
+      val keepers = q.groupBy(md5(col("text"))).agg(min("doc_id").as("doc_id"))
+      val d2 = q.join(keepers.select("doc_id"), "doc_id")
+      val d3 = d2.join(
+        CorpusFilters.decontaminate(d2, ev, n = 5)
+          .where(!col("contaminated")).select("doc_id"), "doc_id")
+      def stage(name: String, f: org.apache.spark.sql.DataFrame) =
+        f.agg(count(lit(1)).as("docs"),
+            coalesce(sum(toks), lit(0L)).as("tokens"))
+          .select(lit(name).as("stage"), col("docs"), col("tokens"))
+      stage("0_raw", corpus).unionByName(stage("1_quality", q))
+        .unionByName(stage("2_dedup", d2))
+        .unionByName(stage("3_decontaminated", d3))
+        .orderBy("stage")
+    },
+
     // sign-bit binary quantization (32 bits per BIGINT word — exact,
     // positive, engine-portable integers)
     df("ss_quant_binary",
