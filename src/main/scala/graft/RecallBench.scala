@@ -78,6 +78,29 @@ object RecallBench {
       .map { case (n, r) => s""""$n":${math.round(r * 1000) / 1000.0}""" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"recall_at_10","sf":"$sfDir","n_queries":$nQueries,"mode":"$mode","recall":$json}""")
+
+    // family mode also has LABEL ground truth: member vec f*100+m (m=1..9)
+    // belongs to family f, so label propagation seeded ONLY at the family
+    // bases (id % 100 == 0) carries a measurable accuracy — the quality
+    // number next to labelPropagation's speed number, like recall is for
+    // the ANN family. Accuracy = propagated == family over the planted
+    // members; coverage = fraction of members labeled after 2 rounds.
+    if (mode == "family") {
+      import org.apache.spark.sql.functions._
+      val fam = expr("CAST(vec_id DIV 100 AS INT)")
+      val seeded = emb.withColumn("label", fam)
+      val cents = math.max(8, math.ceil(all.length / 250.0).toInt)
+      val lp = Similarity.labelPropagation(seeded, k = 3, centroids = cents,
+        dims = 64, iters = 2, seedMod = 100)
+      val m = lp.where(col("vec_id") % 100 >= 1 && col("vec_id") % 100 <= 9)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("label_prop").isNotNull, 1L).otherwise(0L)).as("cov"),
+          sum(when(col("label_prop") === fam, 1L).otherwise(0L)).as("ok"))
+        .head()
+      val (n, cov, ok) = (m.getLong(0), m.getLong(1), m.getLong(2))
+      def r3(x: Double) = math.round(x * 1000) / 1000.0
+      println(s"""{"metric":"label_prop","sf":"$sfDir","members":$n,"centroids":$cents,"coverage":${r3(cov.toDouble / n)},"accuracy_covered":${r3(if (cov == 0) 0 else ok.toDouble / cov)}}""")
+    }
     spark.stop()
     sys.exit(0)
   }

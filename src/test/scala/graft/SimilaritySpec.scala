@@ -412,6 +412,36 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("label propagation accuracy on the planted-family corpus: every " +
+    "propagated member label is its family's (RecallBench's quality floor)") {
+    import spark.implicits._
+    // same 20x10 family construction as the recall-floor test, but the
+    // label IS the family id and only bases (m == 0, id % 10 == 0) seed
+    val rows = (0 until 20).flatMap { f =>
+      val rnd = new java.util.Random(1000L + f)
+      val base = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+      (0 until 10).map { m =>
+        val nr = new java.util.Random(5000L + f * 10 + m)
+        val e = if (m == 0) base
+                else base.map(x => x + (nr.nextFloat() * 2f - 1f) * 0.05f)
+        (f * 10L + m, e, f)
+      }
+    }
+    val vecs = rows.toDF("vec_id", "embedding", "label")
+    val lp = Similarity.labelPropagation(vecs, k = 3, centroids = 8,
+      dims = 64, iters = 2, seedMod = 10).collect()
+    val members = lp.filter(r => r.getAs[Long]("vec_id") % 10 != 0)
+    val covered = members.filter(!_.isNullAt(1))
+    val correct = covered.count(r =>
+      r.getAs[Int]("label_prop") == (r.getAs[Long]("vec_id") / 10).toInt)
+    info(s"coverage ${covered.length}/${members.length}, correct $correct")
+    assert(correct == covered.length,
+      "a propagated member label must be its own family's — cross-family " +
+        "votes cannot win at cosine ~0.99 vs ~0")
+    assert(covered.length.toDouble / members.length >= 0.6,
+      s"2 rounds from 10% seeds must label most members (got ${covered.length}/${members.length})")
+  }
+
   test("label propagation: seeds immutable, non-seed labels come from the " +
     "label alphabet, coverage grows with rounds") {
     val labels = emb.collect().map(r =>
