@@ -870,9 +870,14 @@ object TrainingData {
             concat(col("text"), suffix).as("text")))
       val ev = d.where(col("source") === "src0").select("doc_id", "text")
       val toks = size(Dedup.tokens(col("text"))).cast("long")
+      // each funnel stage feeds BOTH its own aggregate and the next
+      // stage; without materialization the (interpreted-lambda-heavy)
+      // Gopher gate re-evaluates once per downstream branch — checkpoint
+      // the two reused frames so the gate and the dedup join run once
       val q = corpus.where(CorpusFilters.gopherKeep(col("text")))
+        .localCheckpoint()
       val keepers = q.groupBy(md5(col("text"))).agg(min("doc_id").as("doc_id"))
-      val d2 = q.join(keepers.select("doc_id"), "doc_id")
+      val d2 = q.join(keepers.select("doc_id"), "doc_id").localCheckpoint()
       val d3 = d2.join(
         CorpusFilters.decontaminate(d2, ev, n = 5)
           .where(!col("contaminated")).select("doc_id"), "doc_id")
