@@ -69,13 +69,18 @@ object CorpusStreams {
     * runs per ingest endpoint; consumers shard exactly like servers. */
   def curateFromSeals(spark: SparkSession, uri: String,
                       watermark: String = "10 minutes",
-                      minWords: Int = 50): DataFrame =
-    qualityGate(
-      dedupDocStream(docsFromLogs(
-        spark.readStream.format("otlp-seals")
-          .option("uri", uri).option("signal", "logs").load()),
-        watermark = watermark),
-      minWords = minWords)
+                      minWords: Int = 50,
+                      evalDocs: Option[DataFrame] = None): DataFrame = {
+    val deduped = dedupDocStream(docsFromLogs(
+      spark.readStream.format("otlp-seals")
+        .option("uri", uri).option("signal", "logs").load()),
+      watermark = watermark)
+    // optional benchmark-leak gate between dedup and quality: eval band
+    // keys are plan literals, so this stays a stateless map-only stage
+    val decontaminated =
+      evalDocs.map(ev => decontaminationGate(deduped, ev)).getOrElse(deduped)
+    qualityGate(decontaminated, minWords = minWords)
+  }
 
   /** Quality gate on the stream: Gopher document rules as one map-only
     * WHERE (`CorpusFilters.gopherKeep`), keeping the caller's columns —

@@ -30,6 +30,13 @@ class CurationPipelineSpec extends SparkTestBase {
       s"the quick brown foxes have jumped over that lazy sleeping $animal")
       .mkString(" ")
 
+  // passes the Gopher gate like goodText, but is the planted BENCHMARK
+  // text: any stream doc carrying it must be stopped by the
+  // decontamination gate before it can reach the curated table
+  private val benchText =
+    Array.fill(10)("when those wizards have mixed a strange potion with " +
+      "the silver moonlight over sleeping harbors tonight").mkString(" ")
+
   private val BaseNs = 1640000000000000000L
   private def tsNs(minute: Int): Long = BaseNs + minute * 60000000000L
 
@@ -60,8 +67,11 @@ class CurationPipelineSpec extends SparkTestBase {
     }
     // one incarnation of the curation stream: drain available seals into
     // the curated parquet table, then stop (kill+restart over one ckpt)
+    import spark.implicits._
+    val evalDocs = Seq(900L -> benchText).toDF("doc_id", "text")
     def drainOnce(): Unit = {
-      val q = CorpusStreams.curateFromSeals(spark, uri)
+      val q = CorpusStreams.curateFromSeals(spark, uri,
+          evalDocs = Some(evalDocs))
         .writeStream.format("parquet")
         .option("path", curatedDir).option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
@@ -86,14 +96,18 @@ class CurationPipelineSpec extends SparkTestBase {
       docLine(6, 5, goodText("wolf")),
       docLine(7, 6, goodText("bear")),
       docLine(8, 7, "more tiny junk"),
-      docLine(9, 8, goodText("dog"))))
+      docLine(9, 8, goodText("dog")),
+      // doc 10 is a verbatim benchmark leak: quality-clean, dedup-clean —
+      // only the decontamination gate can stop it
+      docLine(10, 9, benchText)))
     OtlpServe.otlpFlush(spark, uri)
     drainOnce()
 
     val curated = spark.read.parquet(curatedDir)
     assert(curated.select("doc_id").collect().map(_.getLong(0)).toSet ==
       Set(1L, 2L, 3L, 4L, 6L, 7L),
-      "survivors = good docs minus the replay and the cross-seal text dup")
+      "survivors = good docs minus the replay, the cross-seal text dup, " +
+        "and the benchmark leak")
     val streamShards = CorpusFilters.packShards(
       curated, budgetTokens = 150, nGroups = 2)
 
@@ -109,8 +123,11 @@ class CurationPipelineSpec extends SparkTestBase {
       .withColumn("rn", row_number().over(
         Window.partitionBy("text").orderBy("ts", "doc_id")))
       .where(col("rn") === 1).drop("rn")
-    val batchCurated =
-      firstArrival.where(CorpusFilters.gopherKeep(col("text")))
+    val leaked = CorpusFilters.decontaminateFuzzy(firstArrival, evalDocs)
+      .where(col("contaminated")).select("doc_id")
+    val batchCurated = firstArrival
+      .join(leaked, Seq("doc_id"), "left_anti")
+      .where(CorpusFilters.gopherKeep(col("text")))
     val batchShards = CorpusFilters.packShards(
       batchCurated, budgetTokens = 150, nGroups = 2)
 
