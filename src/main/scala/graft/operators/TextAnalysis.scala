@@ -471,4 +471,49 @@ object TextAnalysis {
         size(col("fingerprints")).cast("long").as("n_fingerprints"),
         md5(concat_ws(",", col("fingerprints"))).as("fp_digest"))
   }
+
+  /** Per-stratum vocabulary drift: Jensen–Shannon divergence of each
+    * stratum's unigram distribution P vs the whole corpus's Q — the
+    * corpus-release health metric that catches a source whose language
+    * shifted (crawler change, contamination, template churn) before it
+    * shifts the trained model. JSD = ½Σ[p·ln(p/m) + q·ln(q/m)], m=(p+q)/2;
+    * 0 = identical distribution, ln 2 = disjoint vocabularies.
+    *
+    * The absent-term mass needs no |vocab|×|strata| expansion: a term with
+    * p = 0 contributes exactly ½·q·ln 2, so those terms fold into the
+    * closed form ½·ln 2·(1 − Σ_present q). Returns
+    * (stratum, n_terms, n_tokens, js_divergence).
+    *
+    * Shape at 100 TB: explode → (stratum, term) partial-agg counts → term
+    * totals by one more uniform-key aggregate → equi-join back on the
+    * term key (both sides already hash-partitioned by term) → per-stratum
+    * rollup over strata-count rows; the 1-row corpus total and the
+    * strata-row totals frame broadcast. No window, no skew key (terms are
+    * Zipfian but the join is count-to-count, one row per (stratum, term)).
+    * Rounded to 4 decimals so per-stratum float-sum order across engines
+    * cannot flip the report. */
+  def vocabDrift(docs: DataFrame, strataCol: String = "source",
+                 textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(strataCol).as("stratum"),
+      explode(Dedup.tokens(col(textCol))).as("term"))
+    val sc = toks.groupBy("stratum", "term").agg(count(lit(1)).as("c"))
+    val stot = sc.groupBy("stratum").agg(sum("c").as("n"))
+    val gc = sc.groupBy("term").agg(sum("c").as("g"))
+    val gtot = gc.agg(sum("g").as("gt"))
+    val joined = sc.join(gc, Seq("term"))
+      .join(broadcast(stot), Seq("stratum"))
+      .crossJoin(broadcast(gtot))
+      .withColumn("p", col("c").cast("double") / col("n"))
+      .withColumn("q", col("g").cast("double") / col("gt"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .withColumn("contrib",
+        (col("p") * log(col("p") / col("m")) +
+         col("q") * log(col("q") / col("m"))) / 2)
+    joined.groupBy("stratum")
+      .agg(count(lit(1)).as("n_terms"),
+        max(col("n")).as("n_tokens"),
+        round(sum(col("contrib")) +
+          lit(math.log(2) / 2) * (lit(1.0) - sum(col("q"))), 4)
+          .as("js_divergence"))
+  }
 }

@@ -547,6 +547,29 @@ object TrainingData {
         |    x -> len(x) > 0)) AS w
         |  FROM documents) t""".stripMargin),
 
+    // per-source vocabulary drift: JS divergence of each source's unigram
+    // distribution vs the whole corpus — the corpus-release health metric;
+    // absent-term mass folds into the closed form 0.5*ln(2)*(1 - sum q)
+    df("ta_vocab_drift",
+      """WITH toks AS (SELECT source AS stratum,
+        |  unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS term FROM documents),
+        |sc AS (SELECT stratum, term, count(*) AS c FROM toks GROUP BY stratum, term),
+        |stot AS (SELECT stratum, CAST(sum(c) AS BIGINT) AS n FROM sc GROUP BY stratum),
+        |gc AS (SELECT term, CAST(sum(c) AS BIGINT) AS g FROM sc GROUP BY term),
+        |gt AS (SELECT CAST(sum(g) AS BIGINT) AS gt FROM gc),
+        |j AS (SELECT sc.stratum, stot.n,
+        |  sc.c / CAST(stot.n AS DOUBLE) AS p,
+        |  gc.g / CAST(gt.gt AS DOUBLE) AS q
+        |  FROM sc JOIN gc USING (term) JOIN stot USING (stratum) CROSS JOIN gt)
+        |SELECT stratum, count(*) AS n_terms, max(n) AS n_tokens,
+        |  round(sum((p * ln(p / ((p + q) / 2))
+        |      + q * ln(q / ((p + q) / 2))) / 2)
+        |    + 0.5 * ln(2) * (1 - sum(q)), 4) AS js_divergence
+        |FROM j GROUP BY stratum ORDER BY stratum""".stripMargin) { (s, _) =>
+      TextAnalysis.vocabDrift(s.table("documents")).orderBy("stratum")
+    },
+
     df("ta_fingerprint_collisions",
       """SELECT count(DISTINCT md5(array_to_string(list_sort(list_distinct(
         |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0))), ' '))) AS distinct_fp,

@@ -425,6 +425,25 @@ class CorpusFiltersSpec extends SparkTestBase {
     assert(got(1L)._2 < got(2L)._2)
   }
 
+  test("vocab drift: identical distributions score 0, hand-computed JSD " +
+    "for disjoint vocabularies") {
+    import spark.implicits._
+    // same: both strata are the distribution {x:2/3, y:1/3} -> JSD 0
+    val same = Seq(("a", "x x y"), ("b", "x x y")).toDF("source", "text")
+    val gotSame = graft.operators.TextAnalysis.vocabDrift(same).collect()
+      .map(r => r.getAs[String]("stratum") ->
+        r.getAs[Double]("js_divergence")).toMap
+    assert(gotSame == Map("a" -> 0.0, "b" -> 0.0))
+    // disjoint: A={a:1}, corpus Q={a:.5,b:.5}; present term a:
+    // (1*ln(1/.75) + .5*ln(.5/.75))/2 = 0.042475; absent mass:
+    // .5*ln2*(1-.5) = 0.173287 -> 0.2158 (symmetric for B)
+    val disj = Seq(("a", "aa aa"), ("b", "bb bb")).toDF("source", "text")
+    val gotDisj = graft.operators.TextAnalysis.vocabDrift(disj).collect()
+      .map(r => r.getAs[String]("stratum") ->
+        r.getAs[Double]("js_divergence")).toMap
+    assert(gotDisj == Map("a" -> 0.2158, "b" -> 0.2158))
+  }
+
   test("intra-doc dedup: repeated lines collapse to first occurrence in " +
     "order, other docs never consulted") {
     import spark.implicits._
