@@ -261,6 +261,22 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }
 
+  test("vocab drift partial-aggregates each term shuffle and broadcasts " +
+      "the totals frames") {
+    Tables.register(spark, sfDir)
+    val df = graft.operators.TextAnalysis.vocabDrift(
+      spark.table("documents"))
+    val p = plan(df)
+    // every aggregate must combine map-side (term keys are corpus-sized);
+    // the strata-row and 1-row totals ride broadcasts, never a shuffle
+    // of the count frames; nothing in the plan is a real cartesian (the
+    // 1-row cross join is a broadcast loop by construction)
+    assert("HashAggregate".r.findAllIn(p).size >= 6, p)
+    assert(p.contains("BroadcastHashJoin [stratum"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("intra-doc dedup is map-only and splits the text exactly once") {
     Tables.register(spark, sfDir)
     val df = graft.operators.CorpusFilters.intraDocDedup(
