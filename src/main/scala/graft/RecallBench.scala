@@ -92,10 +92,15 @@ object RecallBench {
       val cents = math.max(8, math.ceil(all.length / 250.0).toInt)
       val lp = Similarity.labelPropagation(seeded, k = 3, centroids = cents,
         dims = 64, iters = 2, seedMod = 100)
+      // coalesce: on a fixture with no planted family members the sums
+      // aggregate zero rows to NULL and getLong would NPE after the recall
+      // JSON already printed
       val m = lp.where(col("vec_id") % 100 >= 1 && col("vec_id") % 100 <= 9)
         .agg(count(lit(1)).as("n"),
-          sum(when(col("label_prop").isNotNull, 1L).otherwise(0L)).as("cov"),
-          sum(when(col("label_prop") === fam, 1L).otherwise(0L)).as("ok"))
+          coalesce(sum(when(col("label_prop").isNotNull, 1L).otherwise(0L)),
+            lit(0L)).as("cov"),
+          coalesce(sum(when(col("label_prop") === fam, 1L).otherwise(0L)),
+            lit(0L)).as("ok"))
         .head()
       val (n, cov, ok) = (m.getLong(0), m.getLong(1), m.getLong(2))
       def r3(x: Double) = math.round(x * 1000) / 1000.0

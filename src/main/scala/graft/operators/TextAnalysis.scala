@@ -490,8 +490,10 @@ object TextAnalysis {
     * rollup over strata-count rows; the 1-row corpus total and the
     * strata-row totals frame broadcast. No window, no skew key (terms are
     * Zipfian but the join is count-to-count, one row per (stratum, term)).
-    * Rounded to 4 decimals so per-stratum float-sum order across engines
-    * cannot flip the report. */
+    * Per-term contributions are rounded to 12 decimals and summed as exact
+    * DECIMALs, so the aggregate is order-insensitive: neither Spark's
+    * partial-agg order nor DuckDB's sequential order can flip the 4-decimal
+    * report (a plain double sum could, even rounded afterwards). */
   def vocabDrift(docs: DataFrame, strataCol: String = "source",
                  textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(strataCol).as("stratum"),
@@ -507,13 +509,14 @@ object TextAnalysis {
       .withColumn("q", col("g").cast("double") / col("gt"))
       .withColumn("m", (col("p") + col("q")) / 2)
       .withColumn("contrib",
-        (col("p") * log(col("p") / col("m")) +
-         col("q") * log(col("q") / col("m"))) / 2)
+        round((col("p") * log(col("p") / col("m")) +
+         col("q") * log(col("q") / col("m"))) / 2, 12).cast("decimal(28,14)"))
+      .withColumn("qd", round(col("q"), 12).cast("decimal(28,14)"))
     joined.groupBy("stratum")
       .agg(count(lit(1)).as("n_terms"),
         max(col("n")).as("n_tokens"),
-        round(sum(col("contrib")) +
-          lit(math.log(2) / 2) * (lit(1.0) - sum(col("q"))), 4)
+        round(sum(col("contrib")).cast("double") +
+          lit(math.log(2) / 2) * (lit(1.0) - sum(col("qd")).cast("double")), 4)
           .as("js_divergence"))
   }
 }

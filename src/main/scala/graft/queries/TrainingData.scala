@@ -563,9 +563,10 @@ object TrainingData {
         |  gc.g / CAST(gt.gt AS DOUBLE) AS q
         |  FROM sc JOIN gc USING (term) JOIN stot USING (stratum) CROSS JOIN gt)
         |SELECT stratum, count(*) AS n_terms, max(n) AS n_tokens,
-        |  round(sum((p * ln(p / ((p + q) / 2))
-        |      + q * ln(q / ((p + q) / 2))) / 2)
-        |    + 0.5 * ln(2) * (1 - sum(q)), 4) AS js_divergence
+        |  round(CAST(sum(CAST(round((p * ln(p / ((p + q) / 2))
+        |      + q * ln(q / ((p + q) / 2))) / 2, 12) AS DECIMAL(28,14))) AS DOUBLE)
+        |    + 0.5 * ln(2) * (1 - CAST(sum(CAST(round(q, 12)
+        |      AS DECIMAL(28,14))) AS DOUBLE)), 4) AS js_divergence
         |FROM j GROUP BY stratum ORDER BY stratum""".stripMargin) { (s, _) =>
       TextAnalysis.vocabDrift(s.table("documents")).orderBy("stratum")
     },
@@ -736,13 +737,14 @@ object TrainingData {
     },
 
     // fuzzy MinHash decontamination: eval set = every 7th doc; the corpus
-    // is the rest PLUS planted near-copies of eval docs (id+1000000, one
-    // word appended — same synthetic-fixture trick as ta_redact_pii) so
-    // band collisions are guaranteed non-degenerate on both engines
+    // is the rest PLUS planted near-copies of eval docs (negative id space
+    // -(doc_id+1), disjoint from the generator's non-negative ids at ANY
+    // scale factor; one word appended — same synthetic-fixture trick as
+    // ta_redact_pii) so band collisions are guaranteed non-degenerate
     df("ta_decontaminate_fuzzy",
       s"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
          |corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
-         |  UNION ALL SELECT doc_id + 1000000, text || ' postscript'
+         |  UNION ALL SELECT -(doc_id + 1), text || ' postscript'
          |  FROM ev WHERE doc_id % 3 = 0),
          |${duckBandsOver("ev", "e")},
          |${duckBandsOver("corp", "c")},
@@ -758,7 +760,7 @@ object TrainingData {
       val ev = d.where(col("doc_id") % 7 === 0).select("doc_id", "text")
       val corp = d.where(col("doc_id") % 7 =!= 0).select("doc_id", "text")
         .unionByName(ev.where(col("doc_id") % 3 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"),
+          .select((-(col("doc_id") + 1L)).as("doc_id"),
             concat(col("text"), lit(" postscript")).as("text")))
       CorpusFilters.decontaminateFuzzy(corp, ev).orderBy("doc_id")
     },
@@ -824,10 +826,10 @@ object TrainingData {
         |  SELECT doc_id, text || ' with the rest of that have be to and' AS text
         |  FROM documents WHERE source <> 'src0'
         |  UNION ALL
-        |  SELECT doc_id + 2000000, text || ' with the rest of that have be to and'
+        |  SELECT -(2 * doc_id + 1), text || ' with the rest of that have be to and'
         |  FROM documents WHERE source <> 'src0' AND doc_id % 10 = 0
         |  UNION ALL
-        |  SELECT doc_id + 3000000, text || ' with the rest of that have be to and'
+        |  SELECT -(2 * doc_id + 2), text || ' with the rest of that have be to and'
         |  FROM documents WHERE source = 'src0'),
         |ev AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
         |t AS (SELECT doc_id, text,
@@ -883,13 +885,16 @@ object TrainingData {
       val d = s.table("documents")
       val suffix = lit(" with the rest of that have be to and")
       val base = d.where(col("source") =!= "src0")
+      // planted rows live in the negative id space (odd = dup copies,
+      // even = leaked src0 docs) — disjoint from real non-negative doc_ids
+      // and from each other at any scale factor (ADVICE r7)
       val corpus = base
         .select(col("doc_id"), concat(col("text"), suffix).as("text"))
         .unionByName(base.where(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 2000000L).as("doc_id"),
+          .select((-(col("doc_id") * 2L + 1L)).as("doc_id"),
             concat(col("text"), suffix).as("text")))
         .unionByName(d.where(col("source") === "src0")
-          .select((col("doc_id") + 3000000L).as("doc_id"),
+          .select((-(col("doc_id") * 2L + 2L)).as("doc_id"),
             concat(col("text"), suffix).as("text")))
       val ev = d.where(col("source") === "src0").select("doc_id", "text")
       val toks = size(Dedup.tokens(col("text"))).cast("long")

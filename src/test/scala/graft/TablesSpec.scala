@@ -46,8 +46,11 @@ class TablesSpec extends SparkTestBase {
     val ev = Tables.events(spark, sfDir)
     assert(ev.schema("ts").dataType == TimestampType)
     assert(ev.schema("ts_ns").dataType == LongType)
+    // integer `div`, not `/`: double division of ns-magnitude longs
+    // (~1.6e18 > 2^53) rounds by up to ~128ns and can fail on a true
+    // nanosecond fixture — the exact shape this disjunct exists to tolerate
     val n = ev.filter(col("ts_ns") === unix_micros(col("ts")) * 1000L ||
-      col("ts_ns") / 1000L === unix_micros(col("ts"))).count()
+      expr("ts_ns div 1000") === unix_micros(col("ts"))).count()
     assert(n == ev.count() && n > 0)
   }
 }
