@@ -205,7 +205,9 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
     }
   }
 
-  private[graft] val writer = new SealWriter(cfg, spark)
+  private[graft] val writer: SealTarget =
+    if (cfg.target == "snapshot") new SnapshotTarget(cfg, spark)
+    else new SealWriter(cfg, spark)
   private val sealMonitor = new Object
   private var flushRequested = false
   private var sealRequested = false
@@ -1110,7 +1112,7 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
           maintenanceFailures.incrementAndGet()
           maintenanceLastError = e.getMessage
         }
-        if (cfg.target == "parquet") {
+        if (cfg.target != "catalog") {
           try writer.createInspectionViews()
           catch { case _: Throwable => () }
         }

@@ -25,14 +25,10 @@ import org.apache.spark.sql.types._
   * seal time from the resource_attributes JSON; the JSON blob is kept.
   * The read pattern is COALESCE(resource_attr_k, get_json_object(...)) —
   * at 100 TB the promoted column is what gives parquet min/max pruning. */
-final class SealWriter(cfg: ServerConfig, spark: SparkSession) {
+final class SealWriter(cfg: ServerConfig, spark: SparkSession) extends SealTarget {
 
   /** (source JSON column, attribute key, promoted column name). */
-  private def promoted: Seq[(String, String, String)] =
-    cfg.promoteResourceAttributes.map(k =>
-      ("resource_attributes", k, ServerConfig.promotedColumn(k))) ++
-    cfg.promoteScopeAttributes.map(k =>
-      ("scope_attributes", k, ServerConfig.promotedScopeColumn(k)))
+  private def promoted: Seq[(String, String, String)] = SealFrames.promoted(cfg)
 
   /** External (Row-compatible) schema of a signal's seal DataFrame. */
   private def baseSchema(signal: String): StructType = OtlpSchemas.forSignal(signal)
@@ -90,69 +86,19 @@ final class SealWriter(cfg: ServerConfig, spark: SparkSession) {
   private def withSealId(s: StructType): StructType =
     StructType(s.fields :+ StructField(SealIdColumn, StringType))
 
-  /** Test-only fault injection: runs after a successful catalog insert
-    * commit, before write() returns — the post-commit crash window. */
-  @volatile private[graft] var failAfterCatalogCommit: String => Unit = _
-
   /** Did a prior attempt's insert land? Footer stats + pushdown make this a
     * cheap limit-1 probe; it runs only on the retry path. Any failure to
-    * answer degrades to "unknown → re-insert" (at-least-once, never loss). */
-  private def sealCommitted(signal: String, sealId: String): Boolean =
-    try !spark.table(cfg.tableName(signal))
-      .where(col(SealIdColumn) === lit(sealId)).limit(1).isEmpty
-    catch { case _: Exception => false }
+    * answer degrades to "unknown → re-insert" (at-least-once, never loss).
+    * (The parquet target has no idempotence marker — publish is documented
+    * at-least-once — so it keeps the always-false default.) */
+  override protected def sealCommitted(signal: String, sealId: String): Boolean =
+    cfg.target == "catalog" &&
+      (try !spark.table(cfg.tableName(signal))
+        .where(col(SealIdColumn) === lit(sealId)).limit(1).isEmpty
+      catch { case _: Exception => false })
 
-  /** Drop head-row segments that a prior FAILED attempt actually committed
-    * (checked via their seal ids against the table). Returns the trimmed
-    * batch with admission/wire bytes reduced by row share; the caller
-    * accounts the dropped rows as durable. */
-  def dropCommittedPrefix(batch: SealBatch): SealBatch = {
-    val total = batch.rows.size
-    if (batch.priorSegments.isEmpty || total == 0)
-      return batch.copy(priorSegments = Nil)
-    val kept = IndexedSeq.newBuilder[Array[Byte]]
-    var off = 0
-    batch.priorSegments.foreach { case (id, n) =>
-      val until = math.min(off + n, total)
-      if (!sealCommitted(batch.signal, id))
-        kept ++= batch.rows.slice(off, until)
-      off = until
-    }
-    kept ++= batch.rows.drop(off) // tail rows never attempted before
-    val keptRows = kept.result()
-    if (keptRows.size == total) batch.copy(priorSegments = Nil)
-    else batch.copy(
-      rows = keptRows,
-      // ceil, not floor: the kept batch must never under-hold admission
-      // bytes (the early release for dropped rows is the floored remainder)
-      admittedBytes = (batch.admittedBytes * keptRows.size + total - 1) / total,
-      wireBytes = (batch.wireBytes * keptRows.size + total - 1) / total,
-      priorSegments = Nil)
-  }
-
-  /** Seal rows arrive pre-encoded as UnsafeRow byte images (RowBin, built
-    * on the HTTP worker threads at ingest). The write reads them through
-    * the in-memory DSv2 source, so the only per-seal driver work is
-    * chunking an array of references — conversion cost was already paid
-    * 32-wide at admission, and tasks receive plain byte arrays. */
-  private def chunked(rows: IndexedSeq[Array[Byte]]): Array[Array[Array[Byte]]] = {
-    val slices = math.max(1, math.min(
-      spark.sparkContext.defaultParallelism, rows.size / 10000))
-    val per = math.max(1, (rows.size + slices - 1) / slices)
-    rows.grouped(per).map(_.toArray).toArray
-  }
-
-  private def withHandle[A](batch: SealBatch)(fn: DataFrame => A): A = {
-    val handle = graft.sources.SealRowSource.register(
-      baseSchema(batch.signal), chunked(batch.rows))
-    try {
-      var df = graft.sources.SealRowSource.dataFrame(spark, handle)
-      promoted.foreach { case (src, key, colName) =>
-        df = df.withColumn(colName, get_json_object(col(src), s"$$['$key']"))
-      }
-      fn(df)
-    } finally graft.sources.SealRowSource.unregister(handle)
-  }
+  private def withHandle[A](batch: SealBatch)(fn: DataFrame => A): A =
+    SealFrames.withBatch(spark, cfg, batch)(fn)
 
   /** Build the seal DataFrame for one batch (base cols + promoted cols).
     * NOTE: valid only inside the callback — the row handle is freed after. */
@@ -200,64 +146,22 @@ final class SealWriter(cfg: ServerConfig, spark: SparkSession) {
         }
       }
     case "parquet" => withHandle(batch) { df =>
-      val tsCol =
-        if (batch.signal == "traces") "start_time_unix_nano" else "time_unix_nano"
       // Physical-layout accelerators the reference measured as "tier 2"
       // future work (benchmark/otlp-query-probe: ~3.2x scan-cost win from
       // (service, time) clustering; ~8x bytes-scanned win from a trace_id
       // bloom filter on point lookups): cluster rows inside each seal file
       // and attach parquet blooms where a trace_id column exists.
-      // The partition columns LEAD the sort: FileFormatWriter requires rows
-      // ordered by partition cols and would otherwise insert its own sort
-      // on top, sorting every seal twice and destroying the clustering.
-      var out = df
-        .withColumn("year", date_format(col(tsCol), "yyyy"))
-        .withColumn("month", date_format(col(tsCol), "MM"))
-        .withColumn("day", date_format(col(tsCol), "dd"))
-        .sortWithinPartitions(col("year"), col("month"), col("day"),
-          col("service_name"), col(tsCol))
-        .write.mode("overwrite")
-        .partitionBy("year", "month", "day")
-        .option("compression", "zstd")
-      // (parquet-mr only materializes the bloom when a chunk is not fully
-      // dictionary-encoded — tiny test seals won't show one; large seals do)
-      if (df.columns.contains("trace_id"))
-        out = out.option("parquet.bloom.filter.enabled#trace_id", "true")
       // Isolated staging per seal, then per-file rename into the live
       // layout: concurrent seal cycles on the SAME signal would otherwise
       // share the path's _temporary dir (FileOutputCommitter) and clobber
-      // each other's staged files. Renames are metadata-only on file:/hdfs:
-      // and same-bucket copies on object stores. Publish is at-least-once
-      // (a crash mid-publish re-seals the batch), the documented contract.
-      val tableRoot = new Path(s"${cfg.parquetRoot}/otlp_${batch.signal}")
-      val staging = new Path(tableRoot, s".seal-staging-${java.util.UUID.randomUUID()}")
-      val hfs = fs(tableRoot)
-      try {
-        out.parquet(staging.toString)
-        publishStaged(hfs, staging, tableRoot)
-      } finally hfs.delete(staging, true)
+      // each other's staged files. Publish is at-least-once (a crash
+      // mid-publish re-seals the batch), the documented contract.
+      // (SealFrames.stageAndPublish carries the mechanics, shared with the
+      // snapshot target whose commit additionally records the file list.)
+      SealFrames.stageAndPublish(spark, batch, df,
+        new Path(s"${cfg.parquetRoot}/otlp_${batch.signal}"))
     }
   } }
-
-  /** Move every staged leaf parquet file into the matching live partition
-    * dir, preserving Spark's unique part-file names. */
-  private def publishStaged(hfs: FileSystem, staging: Path, tableRoot: Path): Unit = {
-    def walk(dir: Path, rel: String): Unit =
-      hfs.listStatus(dir).foreach { st =>
-        val name = st.getPath.getName
-        if (st.isDirectory) {
-          if (!name.startsWith(".") && !name.startsWith("_"))
-            walk(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
-        } else if (isParquetFile(st)) {
-          val destDir = if (rel.isEmpty) tableRoot else new Path(tableRoot, rel)
-          hfs.mkdirs(destDir)
-          val dest = new Path(destDir, name)
-          if (!hfs.rename(st.getPath, dest))
-            throw new java.io.IOException(s"publish rename ${st.getPath} -> $dest failed")
-        }
-      }
-    walk(staging, "")
-  }
 
   // ---- maintenance (Hadoop FS API: works on file:, hdfs:, s3a:, abfs:) ----
 
@@ -265,8 +169,7 @@ final class SealWriter(cfg: ServerConfig, spark: SparkSession) {
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
   private def isParquetFile(st: FileStatus): Boolean =
-    st.isFile && st.getPath.getName.endsWith(".parquet") &&
-      !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_")
+    SealFrames.isParquetFile(st)
 
   /** Inspection views over the parquet export layout (reference creates a
     * view via read_parquet over the recursive table glob after sealing,

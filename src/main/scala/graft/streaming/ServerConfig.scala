@@ -109,13 +109,15 @@ object ServerConfig {
     val target =
       if (exportPath.nonEmpty) "parquet"
       else params.getOrElse("target", "catalog")
-    if (target != "catalog" && target != "parquet")
-      fail(s"target must be 'catalog' or 'parquet', got '$target'")
+    // 'snapshot' = the lakehouse layout (SnapshotTarget): snapshot-committed
+    // seals over the same parquet_root, retention as snapshot expiry
+    if (target != "catalog" && target != "parquet" && target != "snapshot")
+      fail(s"target must be 'catalog', 'parquet' or 'snapshot', got '$target'")
     val parquetRoot =
       if (exportPath.nonEmpty) exportPath
       else params.getOrElse("parquet_root", "")
-    if (target == "parquet" && parquetRoot.isEmpty)
-      fail("parquet_root is required when target := 'parquet'")
+    if (target != "catalog" && parquetRoot.isEmpty)
+      fail(s"parquet_root is required when target := '$target'")
     val httpThreads = params.get("http_threads").map(_.toInt).getOrElse(0)
     if (params.contains("http_threads") && httpThreads <= 0)
       fail("http_threads must be greater than zero")

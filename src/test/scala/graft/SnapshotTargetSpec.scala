@@ -1,0 +1,162 @@
+package graft
+
+import graft.streaming._
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** Contract tests for the lakehouse seal target (`target := 'snapshot'`,
+  * reference `otlp_server.cpp:54-58` expire_older_than / delete_older_than /
+  * target_file_size; architecture.md storage layouts): atomic snapshot
+  * commits through the live server, snapshot-level retention where CURRENT
+  * data survives expiry regardless of age (the semantic the parquet
+  * target's file-mtime TTL cannot give), compaction as a new commit with
+  * replaced files retained for time travel, and the snapshot-level seal-id
+  * idempotence probe. */
+class SnapshotTargetSpec extends SparkTestBase {
+
+  private val fx = "src/test/resources/otlp"
+  private val client = HttpClient.newHttpClient()
+  private val Token = "dev-token-1234567890"
+
+  private def post(port: Int, body: Array[Byte]): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/v1/logs"))
+      .header("Content-Type", "application/x-ndjson")
+      .header("Authorization", s"Bearer $Token")
+      .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def fixture(name: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$fx/$name"))
+
+  override def afterAll(): Unit = {
+    OtlpServe.stopAll(spark)
+    super.afterAll()
+  }
+
+  /** Age every committed snapshot's timestamp and every data file's mtime
+    * to `atMs` (the clock crank for retention tests). */
+  private def ageEverything(root: String, atMs: Long): Unit = {
+    def walk(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
+      f.setLastModified(atMs)
+    }
+    walk(new java.io.File(root))
+    // snapshot metadata carries its own commit-time; rewrite it in place
+    val snaps = new java.io.File(root)
+    def rewrite(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rewrite)
+      else if (f.getName.endsWith(".snap")) {
+        val lines = java.nio.file.Files.readAllLines(f.toPath)
+        val h = lines.get(0).split(" ", 4)
+        lines.set(0, s"v1 ${h(1)} $atMs ${if (h.length > 3) h(3) else ""}".trim)
+        java.nio.file.Files.write(f.toPath, lines)
+        // the rewrite invalidates LocalFileSystem's checksum sidecar
+        new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
+        f.setLastModified(atMs)
+      }
+    }
+    rewrite(snaps)
+  }
+
+  test("snapshot lifecycle: seals commit, expiry keeps live data, compaction time-travels") {
+    val root = java.nio.file.Files.createTempDirectory("snap_target").toString
+    val uri = "otlp:127.0.0.1:45951"
+    val params = Map(
+      "token" -> Token, "target" -> "snapshot", "parquet_root" -> root,
+      "seal_max_age_ms" -> "3600000", "seal_target_bytes" -> "1073741824",
+      // maintenance runs manually below; gate it off during sealing
+      "maintenance_min_seals" -> "1000000",
+      "maintenance_retention_ms" -> s"${60L * 60 * 1000}")
+    OtlpServe.otlpServe(spark, uri, params)
+
+    // five seals -> five snapshots, each appending one file to the live set
+    (1 to 5).foreach { i =>
+      assert(post(45951, fixture("logs_simple.jsonl")).statusCode() == 202)
+      val fl = OtlpServe.otlpFlush(spark, uri).first()
+      assert(fl.getAs[String]("status") == "sealed", s"seal $i: $fl")
+    }
+
+    val target = new SnapshotTarget(
+      ServerConfig("otlp_serve", uri, params - "token" + ("disable_auth" -> "true")),
+      spark)
+    val afterSeals = target.snapshots("logs")
+    assert(afterSeals.map(_.seq) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(afterSeals.last.files.size == 5)
+    assert(afterSeals.head.files.size == 1)
+    // every seal recorded its seal id -> the idempotence probe answers
+    assert(afterSeals.forall(_.sealId.nonEmpty))
+    assert(target.readAt("logs").count() == 15)
+
+    // a half-published seal is invisible: an orphan parquet file in a live
+    // partition dir is NOT part of any snapshot and readers never see it
+    val day = new java.io.File(root, "otlp_logs").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("year=")).head
+    def leafDir(f: java.io.File): java.io.File =
+      Option(f.listFiles()).getOrElse(Array.empty).find(_.isDirectory)
+        .map(leafDir).getOrElse(f)
+    val leaf = leafDir(day)
+    val orphanSrc = leaf.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val orphan = new java.io.File(leaf, "orphan-copy.parquet")
+    java.nio.file.Files.copy(orphanSrc.toPath, orphan.toPath)
+    assert(target.readAt("logs").count() == 15, "orphan must stay invisible")
+
+    // retry-idempotence: a prior segment whose seal id IS committed gets
+    // trimmed; an unknown id's rows are kept (at-least-once, never loss)
+    val committedId = afterSeals.head.sealId
+    val rows = IndexedSeq(Array[Byte](1), Array[Byte](2), Array[Byte](3))
+    val trimmed = target.dropCommittedPrefix(SealBatch("logs", rows,
+      admittedBytes = 300, wireBytes = 300, firstUnsealedAtMs = 0,
+      sealId = "retry", priorSegments = List(committedId -> 2, "unknown-id" -> 1)))
+    assert(trimmed.rows.size == 1, "committed prefix must be dropped")
+
+    // stop the server; maintenance continues against the store directly
+    OtlpServe.otlpStop(spark, uri)
+
+    // compaction: 5 small files -> 1, committed as snapshot 6; the five
+    // originals remain on disk for snapshots 1..5 (time travel)
+    assert(target.compact("logs") == 5)
+    val afterCompact = target.head("logs").get
+    assert(afterCompact.seq == 6L && afterCompact.files.size == 1)
+    assert(afterCompact.sealId.startsWith("compaction-"))
+    assert(target.readAt("logs").count() == 15)
+    assert(target.readAt("logs", Some(3L)).count() == 9, "time travel to seq 3")
+    assert(target.expire("logs") == 0L, "nothing is past the horizon yet")
+
+    // age EVERYTHING 10 days past a 1-hour horizon. Snapshot expiry must:
+    // drop snapshots 1..5 (metadata), NEVER the current snapshot, delete
+    // the 5 unreferenced originals + the orphan, and KEEP the compacted
+    // file even though its mtime is ancient — live data survives expiry
+    // (the file-mtime TTL would have eaten it).
+    ageEverything(root, System.currentTimeMillis() - 10L * 24 * 3600 * 1000)
+    val deleted = target.expire("logs")
+    assert(deleted == 6L, s"5 replaced + 1 orphan, got $deleted")
+    assert(target.snapshots("logs").map(_.seq) == Seq(6L))
+    assert(target.readAt("logs").count() == 15, "current data must survive expiry")
+    intercept[IllegalArgumentException](target.readAt("logs", Some(3L)))
+  }
+
+  test("inspection views resolve the current snapshot after each seal") {
+    val root = java.nio.file.Files.createTempDirectory("snap_views").toString
+    val uri = "otlp:127.0.0.1:45952"
+    OtlpServe.otlpServe(spark, uri, Map(
+      "token" -> Token, "target" -> "snapshot", "parquet_root" -> root,
+      "seal_max_age_ms" -> "3600000", "seal_target_bytes" -> "1073741824"))
+    assert(post(45952, fixture("logs_simple.jsonl")).statusCode() == 202)
+    OtlpServe.otlpFlush(spark, uri)
+    assert(spark.table("otlp_logs").count() == 3)
+    assert(post(45952, fixture("logs_simple.jsonl")).statusCode() == 202)
+    OtlpServe.otlpFlush(spark, uri)
+    assert(spark.table("otlp_logs").count() == 6)
+    // the view carries the partition columns of the export layout
+    assert(spark.table("otlp_logs").columns.contains("year"))
+    OtlpServe.otlpStop(spark, uri)
+  }
+
+  test("serve validation: snapshot target requires parquet_root") {
+    val msg = intercept[IllegalArgumentException](
+      OtlpServe.otlpServe(spark, "otlp:127.0.0.1:45953",
+        Map("token" -> Token, "target" -> "snapshot"))).getMessage
+    assert(msg.contains("parquet_root is required"))
+  }
+}
