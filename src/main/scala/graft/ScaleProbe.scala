@@ -7,8 +7,8 @@ import org.apache.spark.sql.SparkSession
   * fixed-k vs paper-scaled-k comparisons are reproducible commands
   * instead of ad-hoc console sessions.
   *
-  * Usage: runMain graft.ScaleProbe <sfDir> <op> <centroids>
-  * ops: label_prop | d4 | knn | semdedup
+  * Usage: runMain graft.ScaleProbe <sfDir> <op> <k>
+  * ops: label_prop | d4 | knn | semdedup (k = centroids) | bpe (k = merges)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -24,7 +24,7 @@ object ScaleProbe {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     emb.limit(1).count() // JVM/codegen warmup outside the timing
     val k = kStr.toInt
-    import graft.operators.Similarity
+    import graft.operators.{Similarity, TextAnalysis}
     def run(): Double = {
       val t0 = System.nanoTime()
       val df = op match {
@@ -36,6 +36,9 @@ object ScaleProbe {
         case "knn" => Similarity.knnGraph(emb, k = 3, centroids = k, dims = 64)
         case "semdedup" =>
           Similarity.semDedup(emb, centroids = k, dims = 64, threshold = 0.3)
+        case "bpe" =>
+          TextAnalysis.bpeMerges(
+            spark.read.parquet(s"$sfDir/documents.parquet"), merges = k)
         case other => throw new IllegalArgumentException(s"unknown op $other")
       }
       df.write.format("noop").mode("overwrite").save()

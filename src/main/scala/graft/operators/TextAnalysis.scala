@@ -139,70 +139,107 @@ object TextAnalysis {
     * the word-frequency table, merge the most frequent pair everywhere
     * (ties to the lexicographically smallest pair), repeat. Returns the
     * learned merge table (round, left_sym, right_sym, cnt) — the artifact
-    * a BPE tokenizer ships.
+    * a BPE tokenizer ships. Pre-tokenization keeps only [a-z]+ runs (the
+    * standard alphabetic pre-split). Greedy merge application is
+    * left-to-right non-overlapping ("aaa" + (a,a) -> "aa","a"), identical
+    * to a global regex replace — which is how the DuckDB oracle and
+    * `bpeEncode`'s plan-literal replace chain express the same semantics.
     *
-    * Symbols live in a delimiter-encoded string (`|l| |o| |w|`) and a
-    * merge is one global regexp_replace: regex global replace is
-    * left-to-right and non-overlapping in BOTH Java regex and RE2, which
-    * makes the greedy merge semantics ("aaa" + (a,a) -> "aa","a")
-    * bit-identical to the DuckDB oracle. Pre-tokenization keeps only
-    * [a-z]+ runs (the standard alphabetic pre-split), so symbols never
-    * collide with the delimiter or regex metachars.
-    *
-    * Shape at 100 TB: one corpus pass builds the DISTINCT-WORD frequency
-    * frame (the classic BPE scale trick — all further rounds run on the
-    * vocabulary, orders of magnitude smaller than the corpus, persisted
-    * across rounds); each round is a uniform-key pair count whose single
-    * argmax row ships to the driver — train-then-apply exactly like
-    * `ivfCentroidsTrained`. */
-  def bpeMerges(docs: DataFrame, merges: Int,
-                textCol: String = "text"): DataFrame = {
+    * Shape at 100 TB: ONE distributed corpus pass builds the DISTINCT-WORD
+    * frequency table (the classic BPE scale trick — everything after runs
+    * on the vocabulary, orders of magnitude smaller than the corpus); the
+    * merge loop itself runs on the driver over that artifact with
+    * incremental pair-count maintenance — a lazy-deletion heap of pair
+    * counts plus a pair→words index, so each round touches only the words
+    * containing the merged pair. This is how production trainers work
+    * (Sennrich's own reference implementation; HF tokenizers), and it is
+    * the fix for the round-7 watch-item: a 32k-merge vocabulary is 32k
+    * heap operations, not 32k sequential Spark jobs. Exact below
+    * `maxVocabWords` (driver-memory guard for extreme word cardinalities —
+    * beyond it the most frequent words train the tokenizer, the standard
+    * min-frequency truncation; a vocabulary frame is megabytes where the
+    * corpus is terabytes). */
+  def bpeMerges(docs: DataFrame, merges: Int, textCol: String = "text",
+                maxVocabWords: Int = 1 << 22): DataFrame = {
     require(merges >= 1, "merges must be positive")
     val spark = docs.sparkSession
+    // the only distributed work: word frequencies (uniform-key partial agg)
     val wf = docs.select(explode(
         expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wc"))
-    var enc = wf.select(col("word"), col("wc"),
-      concat(lit("|"), concat_ws("| |", expr(
-        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")),
-        lit("|")).as("enc"))
-      .persist()
-    val learned = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
-    // the loop owns exactly one live persisted frame at a time; the
-    // try/finally guarantees it is dropped even when a per-round job
-    // throws mid-training (otherwise the vocabulary frame would pin
-    // storage memory for the rest of the session)
-    try {
-      var exhausted = false
-      for (r <- 1 to merges if !exhausted) {
-        val syms = enc.withColumn("syms",
-          expr("regexp_extract_all(enc, '\\\\|([a-z]+)\\\\|', 1)"))
-        val best = syms.where(size(col("syms")) >= 2)
-          .select(col("wc"), explode(expr(
-            "transform(sequence(1, size(syms) - 1), i -> " +
-              "struct(element_at(syms, i) AS pa, element_at(syms, i + 1) AS pb))"))
-            .as("p"))
-          .groupBy("p.pa", "p.pb").agg(sum("wc").as("cnt"))
-          .orderBy(col("cnt").desc, col("pa"), col("pb")).limit(1).collect()
-        if (best.isEmpty) {
-          // no adjacent pair left anywhere: merging only ever removes
-          // pairs, so later rounds cannot find one either — stop early.
-          // Degenerate corpora therefore return FEWER than `merges` rows
-          // (the learned-merge table ends where the vocabulary ran out),
-          // matching what a BPE trainer ships.
-          exhausted = true
-        } else {
-          val (pa, pb, cnt) =
-            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-          learned += ((r, pa, pb, cnt))
-          val prev = enc
-          enc = enc.withColumn("enc", regexp_replace(col("enc"),
-            "\\|" + pa + "\\| \\|" + pb + "\\|", "|" + pa + pb + "|")).persist()
-          enc.count() // materialize before dropping the previous round
-          prev.unpersist()
-        }
+      .orderBy(col("wc").desc, col("word")).limit(maxVocabWords)
+      .collect()
+
+    val syms: Array[Array[String]] = wf.map(_.getString(0).split(""))
+    val wcs: Array[Long] = wf.map(_.getLong(1))
+    val pairCount = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val pairWords = scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.BitSet]
+
+    def eachPair(s: Array[String])(f: ((String, String)) => Unit): Unit = {
+      var i = 0
+      while (i + 1 < s.length) { f((s(i), s(i + 1))); i += 1 }
+    }
+    syms.indices.foreach { w =>
+      eachPair(syms(w)) { p =>
+        pairCount.update(p, pairCount.getOrElse(p, 0L) + wcs(w))
+        pairWords.getOrElseUpdate(p, scala.collection.mutable.BitSet.empty) += w
       }
-    } finally enc.unpersist()
+    }
+    // max-heap: highest count first, then lexicographically smallest pair
+    // (the argmax tie-break of the per-round distributed formulation).
+    // Entries go stale when counts change; dequeue validates against the
+    // live count and discards mismatches (classic lazy deletion).
+    val ord: Ordering[(Long, String, String)] =
+      (x: (Long, String, String), y: (Long, String, String)) => {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else { val a = y._2.compareTo(x._2); if (a != 0) a else y._3.compareTo(x._3) }
+      }
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    pairCount.foreach { case ((a, b), c) => heap.enqueue((c, a, b)) }
+
+    def applyMerge(s: Array[String], pa: String, pb: String): Array[String] = {
+      val out = Array.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == pa && s(i + 1) == pb) { out += pa + pb; i += 2 }
+        else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+
+    val learned = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    while (r <= merges && heap.nonEmpty) {
+      val (cnt, pa, pb) = heap.dequeue()
+      if (cnt > 0 && pairCount.get((pa, pb)).contains(cnt)) {
+        learned += ((r, pa, pb, cnt))
+        val touched = scala.collection.mutable.HashSet.empty[(String, String)]
+        // only the words actually containing (pa,pb) are re-encoded
+        pairWords.get((pa, pb)).map(_.toArray).getOrElse(Array.empty).foreach { w =>
+          val before = syms(w)
+          eachPair(before) { p =>
+            pairCount.update(p, pairCount(p) - wcs(w))
+            touched += p
+            pairWords.get(p).foreach(_ -= w)
+          }
+          val after = applyMerge(before, pa, pb)
+          syms(w) = after
+          eachPair(after) { p =>
+            pairCount.update(p, pairCount.getOrElse(p, 0L) + wcs(w))
+            touched += p
+            pairWords.getOrElseUpdate(p, scala.collection.mutable.BitSet.empty) += w
+          }
+        }
+        touched.foreach { p =>
+          val c = pairCount.getOrElse(p, 0L)
+          if (c > 0) heap.enqueue((c, p._1, p._2))
+          else { pairCount.remove(p); pairWords.remove(p) }
+        }
+        r += 1
+      }
+      // stale or zeroed entry: discard and pop again in the same round
+    }
     import spark.implicits._
     learned.toSeq.toDF("round", "left_sym", "right_sym", "cnt")
   }
