@@ -67,6 +67,21 @@ object Relational {
     // Q8b exact median
     sameSql("q08_median",
       "SELECT round(CAST(median(l_extendedprice) AS DOUBLE), 2) AS med_price FROM lineitem"),
+    // Q8c/Q8d — the 100 TB production path for Q8's exact ordered-set
+    // aggregates (SCALE.md §2, VERDICT r7 #6): approx_percentile is a
+    // mergeable quantile sketch, aggregated map-side in full partial
+    // aggregation — no single-group global collection of every value.
+    // The sketch state is engine-specific, so there is no DuckDB value
+    // oracle (rows-only check); QueriesSpec asserts closeness to the
+    // exact q08 values and PlanSpec pins the partial-agg plan shape.
+    noOracle("q08_percentile_approx") { (s, _) =>
+      s.sql("""SELECT round(approx_percentile(l_extendedprice, 0.95, 10000), 4)
+              |  AS p95_price_approx FROM lineitem""".stripMargin)
+    },
+    noOracle("q08_median_approx") { (s, _) =>
+      s.sql("""SELECT round(approx_percentile(l_extendedprice, 0.5, 10000), 2)
+              |  AS med_price_approx FROM lineitem""".stripMargin)
+    },
     // Q9 count(DISTINCT)
     sameSql("q09_count_distinct",
       "SELECT count(DISTINCT c_nationkey) AS n_nations FROM customer"),

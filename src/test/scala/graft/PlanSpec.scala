@@ -41,6 +41,17 @@ class PlanSpec extends SparkTestBase {
     assert("Exchange".r.findAllIn(p).size == 1, p)
   }
 
+  test("approx percentile partial-aggregates the sketch (q08's scale path)") {
+    Tables.register(spark, sfDir)
+    val df = spark.sql(
+      "SELECT approx_percentile(l_extendedprice, 0.95, 10000) FROM lineitem")
+    val p = plan(df)
+    // mergeable sketch: partial aggregate per task, merge at the final —
+    // the exact percentile_cont instead ships every value to one group
+    assert(p.contains("partial_approx_percentile"), p)
+    assert(!p.contains("Sort"), "no global sort in the sketch path: " + p)
+  }
+
   test("whole-stage codegen covers the scan->filter->project pipeline") {
     Tables.register(spark, sfDir)
     val df = spark.table("orders")

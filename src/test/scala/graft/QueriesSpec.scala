@@ -37,6 +37,17 @@ class QueriesSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q08 approx variants land within sketch tolerance of the exact values") {
+    // the production scale path must be CLOSE, not just runnable: the
+    // 10000-accuracy sketch is far tighter than 1% on this distribution
+    def one(name: String): Double = SparkEntry.specs.find(_.name == name).get
+      .spark(spark, sfDir).head().getDouble(0)
+    val (exactP95, approxP95) = (one("q08_percentile"), one("q08_percentile_approx"))
+    val (exactMed, approxMed) = (one("q08_median"), one("q08_median_approx"))
+    assert(math.abs(approxP95 - exactP95) / exactP95 < 0.01, s"$approxP95 vs $exactP95")
+    assert(math.abs(approxMed - exactMed) / exactMed < 0.01, s"$approxMed vs $exactMed")
+  }
+
   for (q <- SparkEntry.specs) {
     test(s"${q.name} runs and is deterministic") {
       val r1 = q.spark(spark, sfDir).collect()
