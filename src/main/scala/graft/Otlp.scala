@@ -72,6 +72,34 @@ object Otlp {
     df
   }
 
+  /** The promoted-attribute read pattern (reference serve.md "Attribute
+    * promotion": rows sealed BEFORE a key was promoted read back NULL in
+    * its column, so portable queries across old and new data use
+    * `COALESCE(resource_attr_k, json_extract_string(resource_attributes,
+    * '$."k"'))`). `promotedCol("deployment.environment")` returns exactly
+    * that column against any table/DataFrame carrying the serve layout —
+    * typed to the promoted VARCHAR contract. When the promoted column
+    * exists and is non-null the read never touches the JSON blob, so
+    * min/max pruning and dictionary filters on the real column still
+    * apply; only legacy rows pay the JSON extraction.
+    *
+    * `promotedScopeCol` is the scope_attributes twin. Column naming
+    * matches promotion exactly (ServerConfig.promotedColumn — non-
+    * alphanumerics become '_'). */
+  def promotedCol(key: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    coalesce(
+      col(graft.streaming.ServerConfig.promotedColumn(key)),
+      get_json_object(col("resource_attributes"), s"$$['$key']"))
+  }
+
+  def promotedScopeCol(key: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    coalesce(
+      col(graft.streaming.ServerConfig.promotedScopeColumn(key)),
+      get_json_object(col("scope_attributes"), s"$$['$key']"))
+  }
+
   /** OTAP (OTel-Arrow) twins: same schemas, Arrow IPC input. */
   def readOtapLogs(spark: SparkSession, path: String): DataFrame =
     read(spark, "logs", path, Map("format" -> "otap"))

@@ -500,6 +500,21 @@ class OtlpServeSpec extends SparkTestBase {
     assert(t.columns.contains("scope_attr_telemetry_sdk_name"))
     assert(t.where(col("scope_attr_telemetry_sdk_name") === "graft-sdk").count() == 1)
     assert(t.where(col("scope_attr_telemetry_sdk_name").isNull).count() == 3)
+    // the documented cross-era read helper (reference serve.md COALESCE
+    // pattern): answers from the promoted column here
+    assert(t.where(Otlp.promotedCol("service.name") === "test-service").count() == 4)
+    assert(t.where(Otlp.promotedScopeCol("telemetry.sdk.name") === "graft-sdk").count() == 1)
+    // legacy-row golden: a row sealed BEFORE promotion has NULL in the
+    // column and the key only in the blob — promotedCol still reads it;
+    // a post-promotion row answers from the real column (authoritative)
+    // so pruning-friendly reads never touch its JSON
+    import spark.implicits._
+    val legacy = Seq(
+      (null.asInstanceOf[String], """{"service.name":"legacy-svc"}"""),
+      ("new-svc", """{"service.name":"stale-blob"}"""))
+      .toDF("resource_attr_service_name", "resource_attributes")
+    assert(legacy.select(Otlp.promotedCol("service.name"))
+      .collect().map(_.getString(0)).toSeq == Seq("legacy-svc", "new-svc"))
     OtlpServe.otlpStop(spark, uri)
   }
 
