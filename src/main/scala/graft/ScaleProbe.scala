@@ -9,6 +9,8 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: runMain graft.ScaleProbe <sfDir> <op> <k>
   * ops: label_prop | d4 | knn | semdedup (k = centroids) | bpe (k = merges)
+  *      hardneg (k = centroids) | kmeans (k = clusters) |
+  *      shuffle (k = hex digits) | increm | bloom (k unused)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -39,6 +41,25 @@ object ScaleProbe {
         case "bpe" =>
           TextAnalysis.bpeMerges(
             spark.read.parquet(s"$sfDir/documents.parquet"), merges = k)
+        case "hardneg" =>
+          Similarity.hardNegatives(emb, k = 3, centroids = k, dims = 64)
+        case "kmeans" =>
+          Similarity.kmeansClusters(emb, k = k, dims = 64, iters = 2)
+        case "shuffle" =>
+          operators.Sampling.shuffleOrder(
+            spark.read.parquet(s"$sfDir/documents.parquet"), hexDigits = k)
+        case "increm" =>
+          val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          operators.Dedup.incrementalDedup(
+            d.where(org.apache.spark.sql.functions.col("doc_id") % 10 === 0),
+            d.where(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0))
+        case "bloom" =>
+          val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          val corpus = d.where(
+            org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0)
+          operators.Dedup.bloomDedup(
+            d.where(org.apache.spark.sql.functions.col("doc_id") % 10 === 0),
+            corpus, expectedItems = corpus.count())
         case other => throw new IllegalArgumentException(s"unknown op $other")
       }
       df.write.format("noop").mode("overwrite").save()

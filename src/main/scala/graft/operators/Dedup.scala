@@ -47,6 +47,58 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("group_size"))
 
+  /** Incremental (new-batch-vs-corpus) exact dedup — the 100 TB production
+    * shape: an already-released corpus is never re-deduplicated; each new
+    * crawl batch is (1) anti-joined against the corpus' distinct text
+    * hashes, then (2) keep-first deduplicated within itself. Returns the
+    * surviving rows of `newBatch` with their original columns.
+    *
+    * Scale: both joins shuffle on uniform md5 keys (no skew); the corpus
+    * side reduces to DISTINCT hashes — 16 bytes + overhead per unique doc —
+    * which at the billions-of-docs scale is the smallest faithful
+    * representation an exact check can use. For a membership test that
+    * avoids shuffling the batch at all, see [[bloomDedup]] (approximate:
+    * zero false negatives, tunable false-positive rate). */
+  def incrementalDedup(newBatch: DataFrame, corpus: DataFrame,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val seen = corpus.select(md5(col(textCol)).as("seen_hash")).distinct()
+    val keyed = newBatch.withColumn("text_hash", md5(col(textCol)))
+    val fresh = keyed.join(seen, keyed("text_hash") === seen("seen_hash"),
+      "left_anti")
+    val keeper = fresh.groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as("ikeeper"))
+    fresh.join(keeper, Seq("text_hash"))
+      .where(col(idCol) === col("ikeeper"))
+      .drop("text_hash", "ikeeper")
+  }
+
+  /** Bloom-filter membership variant of [[incrementalDedup]]'s corpus
+    * check: builds a Bloom filter over the corpus' text hashes (distributed
+    * treeAggregate build; the driver holds only the finished bitmap) and
+    * drops batch rows the filter claims to have seen — a MAP-ONLY filter on
+    * the batch side, no shuffle of either input at apply time.
+    *
+    * Guarantees: no false negatives (every true duplicate of a corpus doc
+    * is dropped); false positives drop extra rows at ≤ `fpp` of the batch.
+    * Sizing: 1e9 corpus docs at fpp=0.01 is a ~1.2 GB bitmap — broadcast-
+    * able to big-memory executors; beyond that, fall back to the exact
+    * anti-join (or shard the filter by a hash prefix). The UDF probe is
+    * justified: Spark exposes no public bloom-probe function, and the probe
+    * is O(1) per row against broadcast-resident bits.
+    *
+    * In-batch keep-first is NOT applied here (that needs the hash shuffle
+    * the bloom path exists to avoid); chain [[exactGroups]] when needed. */
+  def bloomDedup(newBatch: DataFrame, corpus: DataFrame,
+                 expectedItems: Long, fpp: Double = 0.01,
+                 textCol: String = "text"): DataFrame = {
+    val bf = corpus.select(md5(col(textCol)).as("h"))
+      .stat.bloomFilter("h", math.max(expectedItems, 1L), fpp)
+    val bcast = newBatch.sparkSession.sparkContext.broadcast(bf)
+    val probe = udf((h: String) => bcast.value.mightContainString(h))
+    newBatch.where(!probe(md5(col(textCol))))
+  }
+
   /** MinHash signature: ONE md5 per shingle, with the k hash functions
     * taken as k overlapping 16-hex-char (64-bit) fragments of the doubled
     * digest (h_i = substr(h || h, 4i+1, 16)) — each fragment is a distinct

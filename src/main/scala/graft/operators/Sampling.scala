@@ -177,6 +177,34 @@ object Sampling {
       .select(col(idCol), col("dsir_weight"), col("skey"))
   }
 
+  /** Deterministic global training-order shuffle WITHOUT a global sort:
+    * every row gets a pseudorandom md5 sort key, the first `hexDigits` hex
+    * chars pick one of 16^hexDigits shards, and `pos` ranks the row inside
+    * its shard by the remaining key. The total order (shard, pos) is a
+    * seeded permutation of the corpus — re-runs reproduce it bit-exactly,
+    * and changing `seed` gives an independent epoch order.
+    *
+    * Shape at 100 TB: one uniform hash shuffle keyed by shard, then a sort
+    * WITHIN each shard (the window never crosses shards). Pick hexDigits so
+    * a shard fits an executor: 4 hex digits = 65,536 shards ≈ 1.5 GB per
+    * shard at 100 TB. No stage ever sees a global ordering — a training
+    * loader streams shards in shard order (or any seeded shard permutation)
+    * and each shard is already internally shuffled. */
+  def shuffleOrder(docs: DataFrame, hexDigits: Int = 1, seed: String = "s0",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(hexDigits >= 1 && hexDigits <= 8, s"hexDigits out of range: $hexDigits")
+    val shardExpr = (1 to hexDigits)
+      .map(i => s"(locate(substring(skey, $i, 1), '0123456789abcdef') - 1)" +
+        s" * ${math.pow(16, hexDigits - i).toLong}")
+      .mkString(" + ")
+    val keyed = docs
+      .withColumn("skey",
+        md5(concat_ws("_", lit(seed), col(idCol).cast("string"))))
+      .withColumn("shard", expr(shardExpr).cast("int"))
+    val w = Window.partitionBy("shard").orderBy(col("skey"), col(idCol))
+    keyed.withColumn("pos", (row_number().over(w) - 1).cast("long"))
+  }
+
   /** Per-stratum audit report of the mixture sample: totals, weight, rate,
     * and what the deterministic sample actually kept (docs + tokens) —
     * the table a curation run publishes next to the sampled corpus. */

@@ -414,6 +414,56 @@ object Similarity {
       ivfCentroidsTrained(emb, centroids, dims, sampleMod, idCol, vecCol),
       idCol, vecCol)
 
+  /** Multi-iteration sampled spherical k-means (Lloyd's): starting from the
+    * deterministic seed matrix, each iteration assigns the `id % sampleMod`
+    * sample to its best (cosine) centroid and replaces every non-empty
+    * centroid with its sample mean, rounded to 4 decimals per dimension so
+    * the trained matrix is engine-portable (same contract as
+    * [[ivfCentroidsTrained]], which is the iters=1 case). Ships k×dims
+    * doubles to the driver per iteration — kilobytes — from scans of only
+    * the sample. */
+  def kmeansCentroids(emb: DataFrame, k: Int, dims: Int, iters: Int = 2,
+                      sampleMod: Int = 5, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Array[Array[Double]] = {
+    var cents = ivfSeedCentroids(k, dims)
+    val sample = emb.where(col(idCol) % sampleMod === 0)
+    for (_ <- 1 to iters) {
+      val fresh = cents.map(_.clone())
+      ivfCellsWith(sample, cents, idCol, vecCol)
+        .select(col("cell"), posexplode(asDouble(col(vecCol))))
+        .groupBy("cell", "pos").agg(round(avg("col"), 4).as("cd"))
+        .collect()
+        .foreach(r => fresh(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = fresh
+    }
+    cents
+  }
+
+  /** Topic/domain clustering for data curation: assign EVERY vector to its
+    * trained k-means centroid and report the per-row squared distance to
+    * that centroid (round(4) — the portable per-row contribution an
+    * inertia aggregate can sum exactly as DECIMAL). Train-then-assign:
+    * the iterations scan only the sample; the full-corpus pass is map-only
+    * against the plan-literal centroid matrix. Returns (id, cluster, sqd). */
+  def kmeansClusters(emb: DataFrame, k: Int, dims: Int, iters: Int = 2,
+                     sampleMod: Int = 5, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    graft.functions.ArrayDot.register(emb.sparkSession)
+    graft.functions.ArraySqDist.register(emb.sparkSession)
+    val cents = kmeansCentroids(emb, k, dims, iters, sampleMod, idCol, vecCol)
+    val matrix = cents
+      .map(c => s"array(${c.map(d => s"${d}D").mkString(",")})")
+      .mkString("array(", ",", ")")
+    emb.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("cell_scores", cellScores("__v", cents))
+      .withColumn("cluster",
+        (array_position(col("cell_scores"), array_max(col("cell_scores"))) - 1)
+          .cast("int"))
+      .withColumn("sqd",
+        round(expr(s"array_sqdist(__v, element_at($matrix, cluster + 1))"), 4))
+      .select(col(idCol), col("cluster"), col("sqd"))
+  }
+
   /** IVF ANN top-k: probe the query's `nprobe` best cells (every cell whose
     * query score reaches the nprobe-th largest — ties widen the probe set
     * identically in any engine), exact cosine within probed cells. The cell
@@ -653,6 +703,44 @@ object Similarity {
     val pairs = cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("src"), col("b.id").as("dst"),
+        round(expr("array_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm")), 4)
+          .as("sim"))
+    val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
+    pairs.withColumn("rnk", row_number().over(w).cast("int"))
+      .where(col("rnk") <= k)
+  }
+
+  /** Hard-negative mining for contrastive training: for every vector, the
+    * top-k most-similar vectors carrying a DIFFERENT label — the pairs a
+    * contrastive objective learns most from (InfoNCE/DPR-style training
+    * wants negatives that are nearly positives). Same trained-IVF
+    * cell-bounded candidate stage as [[knnGraph]] (never all-pairs), with
+    * the label inequality applied AT the pair join so cross-label pairs are
+    * the only rows the join emits. Returns src, dst, neg_label, sim, rnk.
+    *
+    * Shape at 100 TB: identical to knnGraph — one cell-keyed shuffle for
+    * the pair join, per-src top-k as a window over the uniform src key; the
+    * label adds one small column to the shuffle, not a stage. */
+  def hardNegatives(emb: DataFrame, k: Int, centroids: Int, dims: Int,
+                    sampleMod: Int = 5, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    graft.functions.ArrayDot.register(emb.sparkSession)
+    val cents = ivfCentroidsTrained(emb, centroids, dims, sampleMod, idCol, vecCol)
+    val cells = emb.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("cell_scores", cellScores("v", cents))
+      .withColumn("cell",
+        (array_position(col("cell_scores"), array_max(col("cell_scores"))) - 1)
+          .cast("int"))
+      .drop("cell_scores")
+      .withColumn("nrm", norm(col("v")))
+      .localCheckpoint()
+    val pairs = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id") &&
+          col("a.lbl") =!= col("b.lbl"))
+      .select(col("a.id").as("src"), col("b.id").as("dst"),
+        col("b.lbl").as("neg_label"),
         round(expr("array_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm")), 4)
           .as("sim"))
     val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))

@@ -61,6 +61,23 @@ object TrainingData {
        |  UNION ALL SELECT doc_id, 3, md5(concat(mh6, mh7)) FROM ${pfx}sig)""".stripMargin
   }
 
+  /** One spherical-k-means oracle iteration (mirrors
+    * Similarity.kmeansCentroids): from centroid CTE `prev` (p, c, nc) over
+    * the sample CTE `es`, emit CTE `cur` with the re-trained round(4)
+    * centroids; empty cells keep their previous centroid. */
+  private def duckKmeansIter(prev: String, cur: String, tag: String): String =
+    s"""a$tag AS (SELECT vec_id, list_position(scores, list_aggregate(scores, 'max')) - 1 AS cell FROM (
+       |  SELECT vec_id, list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+       |  FROM es CROSS JOIN $prev GROUP BY vec_id) x),
+       |t$tag AS (SELECT cell, d, round(avg(v[d]), 4) AS cd
+       |  FROM a$tag JOIN es USING (vec_id) CROSS JOIN generate_series(1, 64) t(d)
+       |  GROUP BY cell, d),
+       |l$tag AS (SELECT cell, list(cd ORDER BY d) AS c FROM t$tag GROUP BY cell),
+       |$cur AS (SELECT $prev.p, coalesce(l$tag.c, $prev.c) AS c,
+       |  sqrt(list_sum(list_transform(generate_series(1, 64),
+       |    i -> coalesce(l$tag.c, $prev.c)[i] * coalesce(l$tag.c, $prev.c)[i]))) AS nc
+       |  FROM $prev LEFT JOIN l$tag ON l$tag.cell = $prev.p)""".stripMargin
+
   val all: Seq[QSpec] = Seq(
 
     // ---- deduplication ----------------------------------------------------
@@ -73,6 +90,40 @@ object TrainingData {
       Dedup.exactGroups(s.table("documents"))
         .agg(count(lit(1)).as("kept"), sum(col("keeper")).as("keeper_id_sum"),
           sum(col("group_size")).as("total_rows"))
+    },
+
+    // incremental (batch-vs-corpus) dedup: docs with doc_id % 10 = 0 play
+    // the "new crawl batch", the rest the already-released corpus — batch
+    // rows whose text the corpus has seen are dropped, then keep-first
+    // within the batch
+    df("dd_incremental_dedup",
+      """WITH corpus AS (SELECT DISTINCT md5(text) AS h FROM documents
+        |  WHERE doc_id % 10 <> 0),
+        |b AS (SELECT doc_id, n_chars, md5(text) AS h FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |fresh AS (SELECT b.* FROM b LEFT JOIN corpus c ON b.h = c.h
+        |  WHERE c.h IS NULL),
+        |keep AS (SELECT h, min(doc_id) AS keeper FROM fresh GROUP BY h)
+        |SELECT count(*) AS kept, CAST(sum(f.doc_id) AS BIGINT) AS kept_id_sum,
+        |  CAST(sum(f.n_chars) AS BIGINT) AS kept_chars
+        |FROM fresh f JOIN keep k ON f.h = k.h AND f.doc_id = k.keeper""".stripMargin) { (s, _) =>
+      val docs = s.table("documents")
+      Dedup.incrementalDedup(docs.where(col("doc_id") % 10 === 0),
+          docs.where(col("doc_id") % 10 =!= 0))
+        .agg(count(lit(1)).as("kept"), sum(col("doc_id")).as("kept_id_sum"),
+          sum(col("n_chars")).as("kept_chars"))
+    },
+
+    // bloom-membership scale path of the same batch-vs-corpus check: the
+    // filter is probabilistic (no false negatives, fpp extra drops), so no
+    // value oracle — DedupSpec pins the containment + fpp bound, PlanSpec
+    // pins the map-only apply
+    noOracle("dd_bloom_dedup") { (s, _) =>
+      val docs = s.table("documents")
+      val corpus = docs.where(col("doc_id") % 10 =!= 0)
+      Dedup.bloomDedup(docs.where(col("doc_id") % 10 === 0), corpus,
+          expectedItems = corpus.count(), fpp = 0.01)
+        .agg(count(lit(1)).as("kept_approx"))
     },
 
     df("dd_minhash_signature",
@@ -672,6 +723,24 @@ object TrainingData {
         .orderBy("lang")
     },
 
+    // deterministic global training-order shuffle: seeded md5 sort key,
+    // first hex char -> 16 shards, rank within shard = pos. (shard, pos)
+    // is a reproducible permutation with no global sort anywhere.
+    df("ta_shuffle_order",
+      """WITH k AS (SELECT doc_id,
+        |  md5(concat('s0', '_', CAST(doc_id AS VARCHAR))) AS skey
+        |  FROM documents),
+        |s AS (SELECT doc_id, skey,
+        |  CAST(strpos('0123456789abcdef', substring(skey, 1, 1)) - 1 AS INT) AS shard
+        |  FROM k)
+        |SELECT doc_id, shard, CAST(row_number() OVER (
+        |  PARTITION BY shard ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos LIMIT 500""".stripMargin) { (s, _) =>
+      graft.operators.Sampling.shuffleOrder(s.table("documents"))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos").limit(500)
+    },
+
     // token-budget mixture sampling: per-language keep rates min(1,
     // budget*w/tokens) so sampled token mass tracks the target mixture;
     // the keep decision is the shared md5 unit hash (salt 'mix')
@@ -1251,6 +1320,80 @@ object TrainingData {
       Similarity.knnGraph(s.table("embeddings"), k = 3, centroids = 8,
           dims = 64)
         .orderBy("src", "rnk").limit(300)
+    },
+
+    // hard-negative mining: top-3 most-similar DIFFERENT-label vectors per
+    // vector — the contrastive-training pair generator. Same trained-cells
+    // chain as ss_knn_graph with the label inequality at the pair join.
+    df("ss_hard_negatives",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cn AS (SELECT p, c, sqrt(list_sum(list_transform(generate_series(1, 64), i -> c[i] * c[i]))) AS nc
+        |  FROM (SELECT p, list_transform(generate_series(1, 64),
+        |    d -> (strpos('0123456789abcdef', substring(md5(concat(p + 1000, '_', d - 1)), 1, 1)) - 8.5)) AS c
+        |  FROM generate_series(0, 7) t(p)) x),
+        |i0 AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN cn WHERE vec_id % 5 = 0 GROUP BY vec_id),
+        |ic0 AS (SELECT vec_id, list_position(scores, list_aggregate(scores, 'max')) - 1 AS cell FROM i0),
+        |itr AS (SELECT cell, d, round(avg(v[d]), 4) AS cd
+        |  FROM ic0 JOIN e USING (vec_id) CROSS JOIN generate_series(1, 64) t(d)
+        |  GROUP BY cell, d),
+        |itl AS (SELECT cell, list(cd ORDER BY d) AS c FROM itr GROUP BY cell),
+        |tc AS (SELECT cn.p, coalesce(itl.c, cn.c) AS c,
+        |  sqrt(list_sum(list_transform(generate_series(1, 64),
+        |    i -> coalesce(itl.c, cn.c)[i] * coalesce(itl.c, cn.c)[i]))) AS nc
+        |  FROM cn LEFT JOIN itl ON itl.cell = cn.p),
+        |scored AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN tc GROUP BY vec_id),
+        |cells AS (SELECT s.vec_id, e.v, emb.label AS lbl,
+        |  sqrt(list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * e.v[i]))) AS nrm,
+        |  list_position(s.scores, list_aggregate(s.scores, 'max')) - 1 AS cell
+        |  FROM scored s JOIN e ON e.vec_id = s.vec_id
+        |  JOIN embeddings emb ON emb.vec_id = s.vec_id),
+        |p AS (SELECT a.vec_id AS src, b.vec_id AS dst, b.lbl AS neg_label,
+        |  round(list_sum(list_transform(generate_series(1, 64),
+        |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS sim
+        |  FROM cells a JOIN cells b
+        |    ON a.cell = b.cell AND a.vec_id <> b.vec_id AND a.lbl <> b.lbl),
+        |r AS (SELECT src, dst, neg_label, sim, CAST(row_number() OVER (
+        |  PARTITION BY src ORDER BY sim DESC, dst) AS INT) AS rnk FROM p)
+        |SELECT src, dst, neg_label, sim, rnk FROM r WHERE rnk <= 3
+        |ORDER BY src, rnk LIMIT 300""".stripMargin) { (s, _) =>
+      Similarity.hardNegatives(s.table("embeddings"), k = 3, centroids = 8,
+          dims = 64)
+        .orderBy("src", "rnk").limit(300)
+    },
+
+    // topic/domain clustering: 2 Lloyd iterations of sampled spherical
+    // k-means from the deterministic seed matrix, then every vector is
+    // assigned map-only and per-cluster inertia sums the round(4) per-row
+    // squared distances exactly (DECIMAL), cast to DOUBLE for the report
+    df("ss_kmeans_topics",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |es AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+        |cn0 AS (SELECT p, c, sqrt(list_sum(list_transform(generate_series(1, 64), i -> c[i] * c[i]))) AS nc
+        |  FROM (SELECT p, list_transform(generate_series(1, 64),
+        |    d -> (strpos('0123456789abcdef', substring(md5(concat(p + 1000, '_', d - 1)), 1, 1)) - 8.5)) AS c
+        |  FROM generate_series(0, 7) t(p)) x),
+        |${duckKmeansIter("cn0", "cn1", "1")},
+        |${duckKmeansIter("cn1", "cn2", "2")},
+        |fin AS (SELECT vec_id, list_position(scores, list_aggregate(scores, 'max')) - 1 AS cluster FROM (
+        |  SELECT vec_id, list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN cn2 GROUP BY vec_id) x),
+        |sq AS (SELECT f.vec_id, f.cluster,
+        |  round(list_sum(list_transform(generate_series(1, 64),
+        |    i -> (e.v[i] - c2.c[i]) * (e.v[i] - c2.c[i]))), 4) AS sqd
+        |  FROM fin f JOIN e ON e.vec_id = f.vec_id JOIN cn2 c2 ON c2.p = f.cluster)
+        |SELECT cluster, count(*) AS n, CAST(sum(vec_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(CAST(sqd AS DECIMAL(20,4))) AS DOUBLE) AS inertia
+        |FROM sq GROUP BY cluster ORDER BY cluster""".stripMargin) { (s, _) =>
+      Similarity.kmeansClusters(s.table("embeddings"), k = 8, dims = 64,
+          iters = 2)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"), sum("vec_id").as("id_sum"),
+          sum(col("sqd").cast("decimal(20,4)")).cast("double").as("inertia"))
+        .orderBy("cluster")
     },
 
     // label propagation over the k-NN graph: 20% seeds (vec_id % 5 = 0)

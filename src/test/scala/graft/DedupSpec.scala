@@ -188,6 +188,69 @@ class DedupSpec extends SparkTestBase {
     assert(again == got)
   }
 
+  test("shuffle order: a deterministic permutation — dense pos per shard, " +
+    "reproducible, seed-sensitive") {
+    Tables.register(spark, sfDir)
+    val docs = spark.table("documents")
+    val out = Sampling.shuffleOrder(docs)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.length == docs.count(), "every row appears exactly once")
+    assert(out.map(_._1).distinct.length == out.length)
+    // pos is dense 0..n-1 within each shard
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      val ps = rows.map(_._3).sorted.toSeq
+      assert(ps == (0L until rows.length).toSeq, s"shard $shard pos not dense")
+    }
+    // reproducible bit-exactly; a different seed permutes differently
+    val again = Sampling.shuffleOrder(docs)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+    val other = Sampling.shuffleOrder(docs, seed = "s1")
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(other.sortBy(_._1).toSeq != out.sortBy(_._1).toSeq,
+      "seed must change the permutation")
+    // two hex digits widen to 256 shards and stay a permutation
+    val wide = Sampling.shuffleOrder(docs, hexDigits = 2)
+    assert(wide.select("shard").distinct().count() > 16)
+    assert(wide.count() == out.length)
+  }
+
+  test("incremental dedup: corpus duplicates dropped, then keep-first " +
+    "within the batch, original columns preserved") {
+    import spark.implicits._
+    val corpus = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "aa"),  // duplicate of corpus doc 1 -> dropped
+      (11L, "cc"),  // fresh, first occurrence -> kept
+      (12L, "cc"),  // in-batch duplicate of 11 -> dropped
+      (13L, "dd"),  // fresh -> kept
+      (14L, "bb")   // duplicate of corpus doc 2 -> dropped
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(batch, corpus)
+    assert(out.columns.toSeq == Seq("doc_id", "text"))
+    val got = out.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(11L, 13L), s"got $got")
+  }
+
+  test("bloom dedup: zero false negatives; extra drops bounded by fpp") {
+    import spark.implicits._
+    val corpus = (0 until 500).map(i => (i.toLong, s"corpus doc $i"))
+      .toDF("doc_id", "text")
+    val batch = ((0 until 200).map(i => (1000L + i, s"corpus doc $i")) ++
+      (0 until 300).map(i => (2000L + i, s"fresh doc $i")))
+      .toDF("doc_id", "text")
+    val kept = Dedup.bloomDedup(batch, corpus, expectedItems = 500,
+      fpp = 0.01).select("doc_id").as[Long].collect().toSet
+    // containment guarantee: every true duplicate of a corpus doc is gone
+    assert(kept.forall(_ >= 2000L), s"false negative survived: $kept")
+    // false positives: expected 3 of the 300 fresh rows at fpp=0.01; a
+    // deterministic bitmap makes this exact-per-seed, bound with slack
+    assert(kept.size >= 285, s"kept only ${kept.size} of 300 fresh rows")
+  }
+
   test("dsir resampling: exact-n without replacement, deterministic, and " +
     "the sample's mean weight sits above the corpus mean (importance pull)") {
     Tables.register(spark, sfDir)

@@ -301,6 +301,49 @@ class PlanSpec extends SparkTestBase {
     assert("split\\(".r.findAllIn(p).size == 1, p)
   }
 
+  test("hard negatives: pair join stays cell-keyed (no cartesian, no " +
+      "single partition); top-k is a src window") {
+    Tables.register(spark, sfDir)
+    val df = graft.operators.Similarity.hardNegatives(
+      spark.table("embeddings"), k = 3, centroids = 8, dims = 64)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin [cell") ||
+      p.contains("hashpartitioning(cell"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("kmeans assignment is map-only against the plan-literal centroid " +
+      "matrix (no Exchange, no join)") {
+    Tables.register(spark, sfDir)
+    val df = graft.operators.Similarity.kmeansClusters(
+      spark.table("embeddings"), k = 8, dims = 64, iters = 1)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("shuffle order: one shard-keyed exchange, never a global sort") {
+    Tables.register(spark, sfDir)
+    val df = graft.operators.Sampling.shuffleOrder(spark.table("documents"))
+    val p = plan(df)
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
+  test("bloom dedup applies as a map-only filter over the batch scan " +
+      "(no Exchange, no join)") {
+    Tables.register(spark, sfDir)
+    val docs = spark.table("documents")
+    val df = graft.operators.Dedup.bloomDedup(
+      docs.where(col("doc_id") % 10 === 0),
+      docs.where(col("doc_id") % 10 =!= 0), expectedItems = 1000)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("fuzzy decontamination broadcasts the eval band keys; the corpus " +
       "shuffles only on doc_id") {
     Tables.register(spark, sfDir)
