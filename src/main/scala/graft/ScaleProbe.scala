@@ -10,8 +10,9 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.ScaleProbe <sfDir> <op> <k>
   * ops: label_prop | d4 | knn | semdedup (k = centroids) | bpe (k = merges)
   *      hardneg (k = centroids) | kmeans (k = clusters) |
-  *      shuffle (k = hex digits) | increm | bloom (k unused)
-  */
+  *      shuffle (k = hex digits) | increm | bloom (k unused) |
+  *      cdc (k = blockWords)
+  * env SPARK_GRAFT_PROBE_EXPLAIN=1 prints the executed plan once. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, op, kStr) = args
@@ -60,8 +61,12 @@ object ScaleProbe {
           operators.Dedup.bloomDedup(
             d.where(org.apache.spark.sql.functions.col("doc_id") % 10 === 0),
             corpus, expectedItems = corpus.count())
+        case "cdc" =>
+          operators.CorpusFilters.cdcChunkDedup(
+            spark.read.parquet(s"$sfDir/documents.parquet"), blockWords = k)
         case other => throw new IllegalArgumentException(s"unknown op $other")
       }
+      if (sys.env.contains("SPARK_GRAFT_PROBE_EXPLAIN")) df.explain("formatted")
       df.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }

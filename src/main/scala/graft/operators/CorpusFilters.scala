@@ -258,10 +258,34 @@ object CorpusFilters {
     * over (doc_id, block) slices and the only per-document stage is the
     * one-row-per-block offset roll-up (a 1e9-word document is ~250k block
     * rows, not 1e9 word rows). Chunk numbering is bit-identical to the
-    * single-window formulation. */
+    * single-window formulation.
+    *
+    * Scan budget (the expensive stage is the word explode + per-word md5):
+    * the chunk-level frame is localCheckpoint'ed before the two per-doc
+    * rollups read it — the un-checkpointed form re-ran the whole explode
+    * pipeline FOUR times (once per rollup branch × once per offsets/prefix
+    * branch); checkpointing caps it at the two structural scans, and the
+    * offsets scan shuffles only block-level rows (words/4096). */
   def cdcChunkDedup(docs: DataFrame, window: Int = 4,
                     textCol: String = "text",
                     blockWords: Int = 4096): DataFrame = {
+    // chunk rows feed TWO rollups (per-doc counts + corpus keep-first):
+    // checkpoint so the explode pipeline runs once, not once per branch
+    val ch = cdcChunks(docs, window, textCol, blockWords).localCheckpoint()
+    val counts = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    counts.join(keptPerDoc(ch), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"))
+      .withColumn("dropped_chunks", col("n_chunks") - col("kept_chunks"))
+  }
+
+  /** The CDC chunk-hash frame (doc_id, pos, h) of [[cdcChunkDedup]] — one
+    * row per content-defined chunk, un-checkpointed (PlanSpec pins its
+    * one-corpus-scan shape; callers wanting a reusable frame should
+    * checkpoint/persist like cdcChunkDedup does). */
+  def cdcChunks(docs: DataFrame, window: Int = 4,
+                textCol: String = "text",
+                blockWords: Int = 4096): DataFrame = {
     val base = docs.select(col("doc_id"), wordsOf(col(textCol)).as("ws"))
       .where(size(col("ws")) > 0)
     val w = base.select(col("doc_id"), col("ws"),
@@ -281,6 +305,12 @@ object CorpusFilters {
       .rowsBetween(Window.unboundedPreceding, -1)
     val offWin = Window.partitionBy("doc_id").orderBy("blk")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // the offsets branch partial-aggregates flags map-side: only BLOCK-level
+    // rows (words/4096) ever shuffle here, so the branch's second corpus
+    // scan costs map work but no shuffle volume. (A shared-exchange variant
+    // computing btot as a second window was measured SLOWER: per-branch
+    // column pruning below the exchange defeats ReusedExchange, and it
+    // turned this tiny shuffle into a second full word-level one.)
     val blockOffsets = flagged.groupBy("doc_id", "blk")
       .agg(sum("flag").as("btot"))
       .withColumn("boff", coalesce(sum(col("btot")).over(offWin), lit(0L)))
@@ -295,12 +325,7 @@ object CorpusFilters {
       .agg(md5(concat_ws(" ",
         transform(array_sort(collect_list(struct(col("pos"), col("word")))),
           s => s.getField("word")))).as("h"))
-    val ch = chunks.select(col("doc_id"), col("chunk").as("pos"), col("h"))
-    val counts = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
-    counts.join(keptPerDoc(ch), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_chunks"),
-        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"))
-      .withColumn("dropped_chunks", col("n_chunks") - col("kept_chunks"))
+    chunks.select(col("doc_id"), col("chunk").as("pos"), col("h"))
   }
 
   /** Benchmark decontamination: flag corpus documents sharing word n-grams

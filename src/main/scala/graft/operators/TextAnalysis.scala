@@ -111,6 +111,56 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"), col("rnk"))
   }
 
+  /** BM25 retrieval for a LITERAL query term set — the standard way to pull
+    * topic-targeted training data out of a web-scale corpus ("give me the
+    * top-k docs about X" as a selection stage). Okapi BM25 with the Lucene
+    * idf form: score(d) = Σ_t ln(1 + (N − df + ½)/(df + ½)) ·
+    * tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
+    *
+    * Determinism contract: dl and the corpus dl-sum are integer-valued
+    * doubles (exact below 2^53), so avgdl is engine-identical; each
+    * per-term contribution rounds to 6 decimals and the per-doc sum runs
+    * as exact DECIMAL (partial-agg order cannot flip it), then rounds to 4
+    * for ranking with a doc-id tiebreak.
+    *
+    * Shape at 100 TB: tokens are filtered to the query's own terms BEFORE
+    * the explode leaves the map side — the (doc, term) aggregate only ever
+    * sees matching rows; df reduces to a query-sized frame (broadcast);
+    * corpus stats are one broadcast row; the final top-k is
+    * TakeOrderedAndProject, never a global sort. */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val qlit = array(queryTerms.map(lit): _*)
+    val base = docs.select(col(idCol),
+        filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0).as("ws"))
+      .where(size(col("ws")) > 0)
+    val stats = broadcast(base
+      .agg(count(lit(1)).as("n_docs"),
+        avg(size(col("ws")).cast("double")).as("avgdl")))
+    val tf = base
+      .select(col(idCol), size(col("ws")).cast("double").as("dl"),
+        explode(filter(col("ws"), w => array_contains(qlit, w))).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = broadcast(tf.groupBy("term").agg(count(lit(1)).as("df")))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    // evaluation order mirrors the oracle exactly: (1-b) + ((b*dl)/avgdl),
+    // then k1 * that — multiplication associativity is not free to change
+    val norm = col("tf") +
+      lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))
+    tf.join(dfreq, "term")
+      .crossJoin(stats)
+      .withColumn("w",
+        round(idf * col("tf") * (k1 + 1) / norm, 6).cast("decimal(18,6)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("matched_terms"),
+        round(sum(col("w")), 4).cast("double").as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Mean token surprisal under the corpus unigram LM with add-one
     * smoothing: -ln((cnt+1)/(total+vocab)) averaged per doc — the cheap
     * perplexity-style quality signal (high = rare/garbled tokens, low =

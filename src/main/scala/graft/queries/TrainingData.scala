@@ -651,6 +651,31 @@ object TrainingData {
         .orderBy("doc_id", "rnk").limit(300)
     },
 
+    // BM25 topic retrieval for a literal query term set (Lucene idf form,
+    // k1=1.2 b=0.75): per-term contributions round(6), per-doc sum as
+    // exact DECIMAL, rank on round(4) with doc_id tiebreak
+    df("ta_bm25_topk",
+      """WITH base AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |b AS (SELECT doc_id, ws, CAST(len(ws) AS DOUBLE) AS dl FROM base WHERE len(ws) > 0),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM b),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(ws) AS term FROM b) x
+        |  WHERE term IN ('vector', 'merge', 'spark') GROUP BY doc_id, dl, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |c AS (SELECT tf.doc_id,
+        |  CAST(round(ln(1 + (s.n_docs - df + 0.5) / (df + 0.5))
+        |    * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)), 6)
+        |    AS DECIMAL(18,6)) AS w
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s)
+        |SELECT doc_id, count(*) AS matched_terms,
+        |  CAST(round(sum(w), 4) AS DOUBLE) AS score
+        |FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, _) =>
+      TextAnalysis.bm25TopK(s.table("documents"),
+        Seq("vector", "merge", "spark"), k = 20)
+    },
+
     // perplexity-style quality: mean token surprisal under the corpus
     // unigram LM (add-one smoothing), round(4) before compare so ln-ulp
     // differences between engines cannot surface

@@ -101,8 +101,10 @@ class CorpusFiltersSpec extends SparkTestBase {
         .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chunks"),
           r.getAs[Long]("kept_chunks"))).toSet
     assert(rows(8) == rows(1 << 20), "chunk numbering must not depend on block size")
-    // the plan's heavy window partitions on (doc_id, blk), never doc_id alone
-    val p = CorpusFilters.cdcChunkDedup(docs, blockWords = 8)
+    // the plan's heavy window partitions on (doc_id, blk), never doc_id
+    // alone — asserted on the pre-checkpoint chunk frame (cdcChunkDedup
+    // checkpoints it, which hides the upstream plan behind an RDD scan)
+    val p = CorpusFilters.cdcChunks(docs, blockWords = 8)
       .queryExecution.executedPlan.toString
     assert(p.contains("hashpartitioning(doc_id"), p)
     assert(p.contains("blk"), p)

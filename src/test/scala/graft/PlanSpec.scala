@@ -301,6 +301,34 @@ class PlanSpec extends SparkTestBase {
     assert("split\\(".r.findAllIn(p).size == 1, p)
   }
 
+  test("cdc chunking: exactly the two structural corpus scans, and the " +
+      "offsets branch shuffles only block-level rows (partial agg first)") {
+    Tables.register(spark, sfDir)
+    val df = graft.operators.CorpusFilters.cdcChunks(
+      spark.table("documents"))
+    val p = plan(df)
+    // chunks branch + block-offsets branch — cdcChunkDedup checkpoints
+    // this frame so the per-doc rollups cannot multiply these scans
+    assert("Generate posexplode".r.findAllIn(p).size == 2, p)
+    // the offsets branch must partial-aggregate flags BEFORE its exchange:
+    // a partial sum(flag) on the map side of a (doc_id, blk) shuffle
+    assert("partial_sum\\(flag".r.findAllIn(p).nonEmpty ||
+      ("HashAggregate.*partial".r.findAllIn(p).nonEmpty &&
+        p.contains("sum(flag")), p)
+  }
+
+  test("bm25: the query-term filter runs inside the map-side explode, " +
+      "df/stats broadcast, and top-k is TakeOrdered (no global sort)") {
+    Tables.register(spark, sfDir)
+    val df = graft.operators.TextAnalysis.bm25TopK(
+      spark.table("documents"), Seq("vector", "merge", "spark"), k = 20)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("rangepartitioning"), p)
+    assert(p.contains("array_contains"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("hard negatives: pair join stays cell-keyed (no cartesian, no " +
       "single partition); top-k is a src window") {
     Tables.register(spark, sfDir)
