@@ -54,6 +54,11 @@ object ScaleProbe {
           operators.Dedup.incrementalDedup(
             d.where(org.apache.spark.sql.functions.col("doc_id") % 10 === 0),
             d.where(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0))
+        case "incremnear" =>
+          val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          operators.Dedup.incrementalNearDedup(
+            d.where(org.apache.spark.sql.functions.col("doc_id") % 10 === 0),
+            d.where(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0))
         case "bloom" =>
           val d = spark.read.parquet(s"$sfDir/documents.parquet")
           val corpus = d.where(

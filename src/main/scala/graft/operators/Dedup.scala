@@ -355,4 +355,51 @@ object Dedup {
         round(coalesce(col("i"), lit(0)) / (col("ca.c") + col("cb.c") - coalesce(col("i"), lit(0))), 4)
           .as("jaccard"))
   }
+
+  /** Incremental NEAR-duplicate dedup — the fuzzy counterpart of
+    * [[incrementalDedup]]: a new crawl batch is deduplicated against the
+    * already-released corpus at MinHash/LSH granularity, so a re-crawled
+    * page with a tweaked footer still dies. Candidates are batch×corpus
+    * pairs sharing ANY LSH band; each candidate is verified with exact
+    * word n-gram Jaccard, and batch docs with a verified match
+    * (round(4) jaccard ≥ threshold) are dropped. Docs under n words have
+    * no shingles, hence no bands — they pass by contract.
+    *
+    * Shape at 100 TB: both sides are minhashed MAP-ONLY (native
+    * expression), the only pair generator is the band-key equi-join
+    * (uniform 32-byte keys — never all-pairs, AQE absorbs hot bands), and
+    * the Jaccard verification joins run on candidates only, keyed by doc
+    * id and (id, shingle). Neither corpus ever self-joins, and nothing
+    * needs to fit in a broadcast — this is the big-big sibling of
+    * CorpusFilters.decontaminateFuzzy's broadcast-eval shape. */
+  def incrementalNearDedup(newBatch: DataFrame, corpus: DataFrame,
+                           n: Int = 3, k: Int = 8, r: Int = 2,
+                           threshold: Double = 0.5): DataFrame = {
+    val bb = lshBands(minhashSignatures(newBatch, n, k), k, r)
+    val cb = lshBands(minhashSignatures(corpus, n, k), k, r)
+    val cand = bb.as("a").join(cb.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sa = shingles(newBatch, n).distinct()
+    val sb = shingles(corpus, n).distinct()
+    val ca = sa.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val cbc = sb.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val inter = cand
+      .join(sa.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sb.as("sb"), col("id_b") === col("sb.doc_id") &&
+        col("sa.shingle") === col("sb.shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    val jac = cand
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(ca.as("ca"), col("id_a") === col("ca.doc_id"))
+      .join(cbc.as("cb"), col("id_b") === col("cb.doc_id"))
+      .select(col("id_a"),
+        round(coalesce(col("i"), lit(0L)).cast("double") /
+          (col("ca.c") + col("cb.c") - coalesce(col("i"), lit(0L))), 4)
+          .as("j"))
+    val drops = jac.where(col("j") >= threshold)
+      .select(col("id_a").as("doc_id")).distinct()
+    newBatch.join(drops, Seq("doc_id"), "left_anti")
+  }
 }

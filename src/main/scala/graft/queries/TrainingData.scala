@@ -114,6 +114,49 @@ object TrainingData {
           sum(col("n_chars")).as("kept_chars"))
     },
 
+    // incremental NEAR-dup dedup: the fuzzy sibling of dd_incremental_dedup
+    // — planted batch rows (negative ids) are corpus docs with a tweaked
+    // tail; LSH candidates verified by exact 3-gram Jaccard >= 0.5 die
+    df("dd_incremental_neardup",
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+         |b0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT -(doc_id + 1), text || ' extra tail'
+         |  FROM corpus WHERE doc_id % 9 = 1),
+         |${duckBandsOver("b0", "b")},
+         |${duckBandsOver("corpus", "c")},
+         |cand AS (SELECT DISTINCT bbands.doc_id AS id_a, cbands.doc_id AS id_b
+         |  FROM bbands JOIN cbands USING (band, bkey)),
+         |sa AS (SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
+         |    i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+         |  FROM bw WHERE len(w) >= 3) x),
+         |sb AS (SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
+         |    i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+         |  FROM cw WHERE len(w) >= 3) x),
+         |ca AS (SELECT doc_id, count(*) AS c FROM sa GROUP BY doc_id),
+         |cb2 AS (SELECT doc_id, count(*) AS c FROM sb GROUP BY doc_id),
+         |iv AS (SELECT id_a, id_b, count(*) AS i FROM cand
+         |  JOIN sa ON sa.doc_id = cand.id_a
+         |  JOIN sb ON sb.doc_id = cand.id_b AND sb.shingle = sa.shingle
+         |  GROUP BY id_a, id_b),
+         |jac AS (SELECT cand.id_a,
+         |  round(CAST(coalesce(iv.i, 0) AS DOUBLE) / (ca.c + cb2.c - coalesce(iv.i, 0)), 4) AS j
+         |  FROM cand LEFT JOIN iv ON iv.id_a = cand.id_a AND iv.id_b = cand.id_b
+         |  JOIN ca ON ca.doc_id = cand.id_a JOIN cb2 ON cb2.doc_id = cand.id_b),
+         |drops AS (SELECT DISTINCT id_a FROM jac WHERE j >= 0.5)
+         |SELECT count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+         |FROM b0 WHERE doc_id NOT IN (SELECT id_a FROM drops)""".stripMargin) { (s, _) =>
+      val d = s.table("documents")
+      val corpus = d.where(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+      val batch = d.where(col("doc_id") % 10 === 0).select("doc_id", "text")
+        .unionByName(corpus.where(col("doc_id") % 9 === 1)
+          .select((-(col("doc_id") + 1L)).as("doc_id"),
+            concat(col("text"), lit(" extra tail")).as("text")))
+      Dedup.incrementalNearDedup(batch, corpus)
+        .agg(count(lit(1)).as("kept"), sum(col("doc_id")).as("kept_id_sum"))
+    },
+
     // bloom-membership scale path of the same batch-vs-corpus check: the
     // filter is probabilistic (no false negatives, fpp extra drops), so no
     // value oracle — DedupSpec pins the containment + fpp bound, PlanSpec

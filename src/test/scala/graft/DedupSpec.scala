@@ -235,6 +235,21 @@ class DedupSpec extends SparkTestBase {
     assert(got == Seq(11L, 13L), s"got $got")
   }
 
+  test("incremental near-dedup: a tweaked re-crawl dies on the Jaccard " +
+    "verify; fresh and sub-shingle docs survive") {
+    import spark.implicits._
+    val corpusText = (1 to 60).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((1L, corpusText)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, corpusText + " tweaked footer"), // near-dup of corpus doc 1
+      (11L, (100 to 160).map(i => s"v$i").mkString(" ")), // fresh
+      (12L, "too short") // 2 words: no shingles, no bands — passes
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDedup(batch, corpus)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(11L, 12L), s"got $got")
+  }
+
   test("bloom dedup: zero false negatives; extra drops bounded by fpp") {
     import spark.implicits._
     val corpus = (0 until 500).map(i => (i.toLong, s"corpus doc $i"))

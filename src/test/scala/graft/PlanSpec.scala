@@ -317,6 +317,17 @@ class PlanSpec extends SparkTestBase {
         p.contains("sum(flag")), p)
   }
 
+  test("incremental near-dedup: the only pair generator is the band-key " +
+      "equi-join — no cartesian product anywhere") {
+    Tables.register(spark, sfDir)
+    val d = spark.table("documents")
+    val df = graft.operators.Dedup.incrementalNearDedup(
+      d.where(col("doc_id") % 10 === 0), d.where(col("doc_id") % 10 =!= 0))
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("bm25: the query-term filter runs inside the map-side explode, " +
       "df/stats broadcast, and top-k is TakeOrdered (no global sort)") {
     Tables.register(spark, sfDir)
