@@ -902,6 +902,34 @@ object TrainingData {
       CorpusFilters.decontaminateFuzzy(corp, ev).orderBy("doc_id")
     },
 
+    // the corpus "data card": the one-row release-notes summary a corpus
+    // drop publishes (docs, token mass, language/source spread, exact-dup
+    // rate, mean length). One scan + partial-aggregated count-distincts.
+    df("ta_data_card",
+      """WITH t AS (SELECT lang, source, md5(text) AS h,
+        |  len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    w -> len(w) > 0)) AS nw
+        |  FROM documents)
+        |SELECT count(*) AS n_docs,
+        |  CAST(sum(nw) AS BIGINT) AS n_tokens,
+        |  count(DISTINCT lang) AS n_langs,
+        |  count(DISTINCT source) AS n_sources,
+        |  count(DISTINCT h) AS n_unique_texts,
+        |  round(1 - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 4) AS dup_rate,
+        |  round(CAST(sum(nw) AS DOUBLE) / count(*), 4) AS mean_words
+        |FROM t""".stripMargin) { (s, _) =>
+      s.table("documents")
+        .select(col("lang"), col("source"), md5(col("text")).as("h"),
+          size(Dedup.tokens(col("text"))).cast("long").as("nw"))
+        .agg(count(lit(1)).as("n_docs"), sum("nw").as("n_tokens"),
+          countDistinct("lang").as("n_langs"),
+          countDistinct("source").as("n_sources"),
+          countDistinct("h").as("n_unique_texts"),
+          round(lit(1) - countDistinct("h").cast("double") / count(lit(1)), 4)
+            .as("dup_rate"),
+          round(sum("nw").cast("double") / count(lit(1)), 4).as("mean_words"))
+    },
+
     // Gopher document-quality rules, each measurement exposed plus the
     // combined verdict (round-before-compare keeps the float thresholds
     // engine-portable)

@@ -129,6 +129,28 @@ object CorpusStreams {
       .drop("__w", "__sig")
   }
 
+  /** Streaming incremental dedup gate: drop live documents whose exact
+    * text the RELEASED corpus already contains — the stream-static twin of
+    * `Dedup.incrementalDedup`'s corpus check, completing the incremental
+    * story for live ingest (within-stream duplicates are
+    * [[dedupDocStream]]'s watermarked state; this gate handles the
+    * batch-released history without any state at all).
+    *
+    * Shape: a stream-static LEFT ANTI join against the corpus' DISTINCT
+    * md5 keys. Stateless on the stream side (append-compatible, no
+    * watermark needed); the static side re-resolves per micro-batch, so a
+    * corpus table that grows between batches is picked up. At 100 TB the
+    * static side is the corpus' hash projection — at that scale back it
+    * with a bucketed-by-hash table so each micro-batch join prunes to
+    * matching buckets instead of rescanning. */
+  def corpusDedupGate(docs: DataFrame, corpus: DataFrame,
+                      textCol: String = "text"): DataFrame = {
+    val seen = corpus.select(md5(col(textCol)).as("__seen_hash")).distinct()
+    docs.withColumn("__h", md5(col(textCol)))
+      .join(seen, col("__h") === col("__seen_hash"), "left_anti")
+      .drop("__h")
+  }
+
   /** CCNet serving on a live feed: each arriving document scored by mean
     * unigram surprisal under a model trained OFFLINE
     * (`TextAnalysis.unigramModel`) and bucketed head/middle/tail against

@@ -119,6 +119,30 @@ class CorpusStreamsSpec extends SparkTestBase {
       s"all-OOV doc surprisal $oovSurprisal != oov nll $oov")
   }
 
+  test("corpus dedup gate: docs the released corpus already holds never " +
+    "reach the sink; fresh docs flow; schema preserved; stateless") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val released = "a document the last corpus release already shipped " +
+      "with plenty of words to make it realistic"
+    val corpus = Seq(800L -> released).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val gated = CorpusStreams.corpusDedupGate(
+      in.toDF().toDF("doc_id", "ts", "text"), corpus)
+    val q = gated.writeStream.format("memory").queryName("corpusgate")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    in.addData(
+      (1L, ts(0), released), // exact re-crawl of released text -> drop
+      (2L, ts(1), "genuinely new material nobody has released before"),
+      (3L, ts(2), released)) // second copy also dies (no state needed)
+    val run = q.start(); run.awaitTermination(60000)
+    val rows = spark.table("corpusgate")
+    assert(rows.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(2L), "released dups dropped, fresh kept")
+    assert(rows.columns.toSeq == Seq("doc_id", "ts", "text"),
+      "gate must preserve the caller's schema")
+  }
+
   test("decontamination gate: verbatim benchmark leaks never reach the " +
     "sink, clean and sub-shingle docs flow, schema preserved") {
     import spark.implicits._
