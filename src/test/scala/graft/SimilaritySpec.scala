@@ -497,4 +497,55 @@ class SimilaritySpec extends SparkTestBase {
         s"cell $cell drops floor($frac * $survivors)")
     }
   }
+
+  test("hard negatives: every edge crosses labels inside its cell, and " +
+      "matches the brute-force cross-label top-k for a spot-checked source") {
+    val hn = Similarity.hardNegatives(emb, k = 3, centroids = 8, dims = 64)
+      .collect()
+    val cellOf = Similarity.ivfCellsTrained(emb, 8, 64, 5)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    hn.foreach { r =>
+      val s = r.getAs[Long]("src"); val d = r.getAs[Long]("dst")
+      assert(cellOf(s) == cellOf(d), "edge crosses a cell")
+      assert(labels(s) != labels(d), "negative shares the source label")
+      assert(labels(d) == r.getAs[Int]("neg_label"))
+    }
+    hn.groupBy(_.getAs[Long]("src")).foreach { case (src, edges) =>
+      assert(edges.map(_.getAs[Int]("rnk")).sorted.toSeq ==
+        (1 to edges.length), s"src $src ranks")
+    }
+    // spot-check one source against brute-force cosine over its
+    // cross-label cell-mates (both sides round(4), dst-asc tiebreak)
+    val src = hn.head.getAs[Long]("src")
+    val brute = Similarity.cosineTopK(emb, src, k = emb.count().toInt)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expect = cellOf.collect { case (id, c)
+        if id != src && c == cellOf(src) && labels(id) != labels(src) =>
+      (-brute(id), id) }.toSeq.sorted.take(3).map(_._2)
+    val got = hn.filter(_.getAs[Long]("src") == src)
+      .sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("dst")).toSeq
+    assert(got == expect, s"src $src got $got want $expect")
+  }
+
+  test("kmeans: iters=1 equals the trained-ivf assignment; 2 Lloyd " +
+      "iterations tighten total inertia vs the seed matrix") {
+    val trained = Similarity.kmeansClusters(emb, k = 8, dims = 64, iters = 2)
+    val seed = Similarity.kmeansClusters(emb, k = 8, dims = 64, iters = 0)
+    def inertia(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(sum("sqd")).collect().head.getDouble(0)
+    assert(inertia(trained) < inertia(seed),
+      "training must tighten the clustering")
+    val cl = trained.select("cluster").distinct().collect().map(_.getInt(0))
+    assert(cl.forall(c => c >= 0 && c < 8))
+    val a1 = Similarity.kmeansClusters(emb, 8, 64, iters = 1)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a2 = Similarity.ivfCellsTrained(emb, 8, 64, 5)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 == a2, "one k-means iteration IS the trained-ivf assignment")
+  }
 }
