@@ -464,6 +464,44 @@ object Similarity {
       .select(col(idCol), col("cluster"), col("sqd"))
   }
 
+  /** Zero-shot domain/topic tagging by nearest LABEL centroid: the trusted
+    * seed slice (`id % seedMod == 0`) defines one centroid per label
+    * (per-dim mean, round(4) — engine-portable); every vector is then
+    * assigned to the label whose centroid it is most cosine-similar to
+    * (first-max wins in ascending label order). The cheap way to extend a
+    * small human-audited domain labeling across a corpus WITHOUT training
+    * a model — and, scored against held-out true labels, a continuously
+    * measured classifier-accuracy artifact.
+    *
+    * Shape at 100 TB: the centroid matrix is labels×dims doubles
+    * (kilobytes) shipped to the driver and re-entering the plan as a
+    * literal — the full-corpus assignment is MAP-ONLY native `array_dot`
+    * calls, no join, no shuffle. Returns (id, label, pred_label, score). */
+  def centroidClassify(emb: DataFrame, dims: Int, seedMod: Int = 5,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       labelCol: String = "label"): DataFrame = {
+    graft.functions.ArrayDot.register(emb.sparkSession)
+    val rows = emb.where(col(idCol) % seedMod === 0)
+      .select(col(labelCol).cast("int").as("lbl"),
+        posexplode(asDouble(col(vecCol))))
+      .groupBy("lbl", "pos").agg(round(avg("col"), 4).as("cd"))
+      .collect()
+    val cents: Array[(Int, Array[Double])] = rows.groupBy(_.getInt(0))
+      .map { case (l, rs) =>
+        val a = new Array[Double](dims)
+        rs.foreach(r => a(r.getInt(1)) = r.getDouble(2))
+        (l, a)
+      }.toArray.sortBy(_._1)
+    val lblArr = s"array(${cents.map(_._1).mkString(",")})"
+    emb.select(col(idCol), col(labelCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__scores", cellScores("__v", cents.map(_._2)))
+      .withColumn("pred_label", expr(s"element_at($lblArr, " +
+        "cast(array_position(__scores, array_max(__scores)) as int))"))
+      .withColumn("score", round(array_max(col("__scores")), 4))
+      .select(col(idCol), col(labelCol), col("pred_label"), col("score"))
+  }
+
   /** IVF ANN top-k: probe the query's `nprobe` best cells (every cell whose
     * query score reaches the nprobe-th largest — ties widen the probe set
     * identically in any engine), exact cosine within probed cells. The cell

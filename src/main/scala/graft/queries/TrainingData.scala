@@ -1461,6 +1461,33 @@ object TrainingData {
         .orderBy("src", "rnk").limit(300)
     },
 
+    // zero-shot domain tagging: nearest-label-centroid classification from
+    // the trusted seed slice (vec_id % 5 = 0), reported as the full
+    // confusion matrix (true label x predicted label x count)
+    df("ss_centroid_classify",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sc AS (SELECT em.label AS lbl, d, round(avg(e.v[d]), 4) AS cd
+        |  FROM e JOIN embeddings em ON em.vec_id = e.vec_id
+        |  CROSS JOIN generate_series(1, 64) t(d)
+        |  WHERE e.vec_id % 5 = 0 GROUP BY lbl, d),
+        |lcl AS (SELECT lbl, list(cd ORDER BY d) AS c FROM sc GROUP BY lbl),
+        |lcn AS (SELECT lbl, c, sqrt(list_sum(list_transform(generate_series(1, 64), i -> c[i] * c[i]))) AS nc FROM lcl),
+        |scored AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY lbl) AS scores,
+        |  list(lbl ORDER BY lbl) AS lbls
+        |  FROM e CROSS JOIN lcn GROUP BY vec_id),
+        |pred AS (SELECT vec_id,
+        |  lbls[list_position(scores, list_aggregate(scores, 'max'))] AS pred_label
+        |  FROM scored)
+        |SELECT em.label, p.pred_label, count(*) AS n
+        |FROM pred p JOIN embeddings em ON em.vec_id = p.vec_id
+        |GROUP BY em.label, p.pred_label
+        |ORDER BY em.label, p.pred_label""".stripMargin) { (s, _) =>
+      Similarity.centroidClassify(s.table("embeddings"), dims = 64)
+        .groupBy("label", "pred_label").agg(count(lit(1)).as("n"))
+        .orderBy("label", "pred_label")
+    },
+
     // topic/domain clustering: 2 Lloyd iterations of sampled spherical
     // k-means from the deterministic seed matrix, then every vector is
     // assigned map-only and per-cluster inertia sums the round(4) per-row

@@ -530,6 +530,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == expect, s"src $src got $got want $expect")
   }
 
+  test("centroid classify: valid predictions, deterministic, accuracy on " +
+      "the planted-family corpus beats majority-class chance") {
+    val out = Similarity.centroidClassify(emb, dims = 64).collect()
+    assert(out.length == emb.count())
+    val labelSet = emb.select("label").distinct().collect()
+      .map(_.getInt(0)).toSet
+    out.foreach(r => assert(labelSet.contains(r.getAs[Int]("pred_label"))))
+    val acc = out.count(r =>
+      r.getAs[Int]("label") == r.getAs[Int]("pred_label")).toDouble / out.length
+    val majority = emb.groupBy("label").count()
+      .agg(max("count")).collect().head.getLong(0).toDouble / out.length
+    assert(acc > majority,
+      s"accuracy $acc must beat majority-class chance $majority")
+    val again = Similarity.centroidClassify(emb, dims = 64).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("pred_label")).toMap
+    out.foreach(r =>
+      assert(again(r.getAs[Long]("vec_id")) == r.getAs[Int]("pred_label")))
+  }
+
   test("kmeans: iters=1 equals the trained-ivf assignment; 2 Lloyd " +
       "iterations tighten total inertia vs the seed matrix") {
     val trained = Similarity.kmeansClusters(emb, k = 8, dims = 64, iters = 2)
