@@ -345,6 +345,29 @@ object TextAnalysis {
           s => s.getField("ts")), " ")).as("tok_digest"))
   }
 
+  /** Tokenizer fertility report: BPE tokens emitted per word, by stratum
+    * (language/source) — the standard tokenizer-evaluation metric. A
+    * vocabulary trained on a majority language over-segments the others;
+    * this report is how a curation run catches that before training. Pure
+    * composition: [[bpeEncode]]'s per-doc token counts joined to the
+    * map-only word counts and rolled up per stratum (uniform keys
+    * everywhere; the rollup is strata-sized). */
+  def bpeFertility(docs: DataFrame, merges: DataFrame,
+                   strataCol: String = "lang", idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val enc = bpeEncode(docs, merges, idCol, textCol)
+      .select(col(idCol), col("n_bpe_tokens"))
+    val base = docs.select(col(idCol), col(strataCol),
+      size(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"))
+        .cast("long").as("n_words"))
+    base.join(enc, Seq(idCol), "left")
+      .groupBy(strataCol)
+      .agg(sum("n_words").as("n_words"),
+        sum(coalesce(col("n_bpe_tokens"), lit(0L))).as("n_bpe_tokens"),
+        round(sum(coalesce(col("n_bpe_tokens"), lit(0L))).cast("double") /
+          greatest(sum("n_words"), lit(1L)), 4).as("fertility"))
+  }
+
   /** Deterministic hashed bag-of-words document embedding (the "hashing
     * trick", Weinberger et al. 2009): every token adds ±1 to one of `dims`
     * slots — slot and sign both md5-derived — and the counts vector is

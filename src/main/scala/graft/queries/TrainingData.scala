@@ -2206,6 +2206,57 @@ object TrainingData {
         .orderBy("doc_id").limit(100)
     },
 
+    // tokenizer fertility: BPE tokens per word by language under the
+    // 3-merge vocabulary — the over-segmentation report a curation run
+    // publishes before committing a tokenizer
+    df("ta_bpe_fertility",
+      """WITH wf AS (SELECT w AS word, count(*) AS wc FROM (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |  FROM documents) x GROUP BY w),
+        |e0 AS (SELECT word, wc,
+        |  '|' || array_to_string(list_transform(generate_series(1, len(word)),
+        |    i -> word[i]), '| |') || '|' AS enc FROM wf),
+        |s1 AS (SELECT word, wc, regexp_extract_all(enc, '\|([a-z]+)\|', 1) AS syms FROM e0),
+        |p1 AS (SELECT unnest(syms[1:len(syms)-1]) AS pa, unnest(syms[2:len(syms)]) AS pb, wc
+        |  FROM s1 WHERE len(syms) >= 2),
+        |c1 AS (SELECT pa, pb, CAST(sum(wc) AS BIGINT) AS cnt FROM p1 GROUP BY pa, pb),
+        |b1 AS (SELECT pa, pb FROM c1 ORDER BY cnt DESC, pa, pb LIMIT 1),
+        |e1 AS (SELECT word, wc, CASE WHEN b1.pa IS NULL THEN enc ELSE regexp_replace(enc,
+        |  '\|' || b1.pa || '\| \|' || b1.pb || '\|', '|' || b1.pa || b1.pb || '|', 'g') END AS enc
+        |  FROM e0 LEFT JOIN b1 ON TRUE),
+        |s2 AS (SELECT word, wc, regexp_extract_all(enc, '\|([a-z]+)\|', 1) AS syms FROM e1),
+        |p2 AS (SELECT unnest(syms[1:len(syms)-1]) AS pa, unnest(syms[2:len(syms)]) AS pb, wc
+        |  FROM s2 WHERE len(syms) >= 2),
+        |c2 AS (SELECT pa, pb, CAST(sum(wc) AS BIGINT) AS cnt FROM p2 GROUP BY pa, pb),
+        |b2 AS (SELECT pa, pb FROM c2 ORDER BY cnt DESC, pa, pb LIMIT 1),
+        |e2 AS (SELECT word, wc, CASE WHEN b2.pa IS NULL THEN enc ELSE regexp_replace(enc,
+        |  '\|' || b2.pa || '\| \|' || b2.pb || '\|', '|' || b2.pa || b2.pb || '|', 'g') END AS enc
+        |  FROM e1 LEFT JOIN b2 ON TRUE),
+        |s3 AS (SELECT word, wc, regexp_extract_all(enc, '\|([a-z]+)\|', 1) AS syms FROM e2),
+        |p3 AS (SELECT unnest(syms[1:len(syms)-1]) AS pa, unnest(syms[2:len(syms)]) AS pb, wc
+        |  FROM s3 WHERE len(syms) >= 2),
+        |c3 AS (SELECT pa, pb, CAST(sum(wc) AS BIGINT) AS cnt FROM p3 GROUP BY pa, pb),
+        |b3 AS (SELECT pa, pb FROM c3 ORDER BY cnt DESC, pa, pb LIMIT 1),
+        |e3 AS (SELECT word, CASE WHEN b3.pa IS NULL THEN enc ELSE regexp_replace(enc,
+        |  '\|' || b3.pa || '\| \|' || b3.pb || '\|', '|' || b3.pa || b3.pb || '|', 'g') END AS enc
+        |  FROM e2 LEFT JOIN b3 ON TRUE),
+        |tk AS (SELECT word, len(regexp_extract_all(enc, '\|([a-z]+)\|', 1)) AS n FROM e3),
+        |dw AS (SELECT doc_id, unnest(ww) AS word FROM (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ww
+        |  FROM documents) x),
+        |ag AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS nb, count(*) AS nw
+        |  FROM dw JOIN tk USING (word) GROUP BY doc_id)
+        |SELECT d.lang, CAST(sum(coalesce(a.nw, 0)) AS BIGINT) AS n_words,
+        |  CAST(sum(coalesce(a.nb, 0)) AS BIGINT) AS n_bpe_tokens,
+        |  round(CAST(sum(coalesce(a.nb, 0)) AS DOUBLE)
+        |    / greatest(sum(coalesce(a.nw, 0)), 1), 4) AS fertility
+        |FROM documents d LEFT JOIN ag a USING (doc_id)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, _) =>
+      val docs = s.table("documents")
+      TextAnalysis.bpeFertility(docs, TextAnalysis.bpeMerges(docs, merges = 3))
+        .orderBy("lang")
+    },
+
     // hashed bag-of-words document embedding (the hashing trick): md5-derived
     // slot and sign per token, L2-normalized round(4) — the deterministic
     // text->vector bridge that lets SemDeDup/ANN run on raw-text corpora.
