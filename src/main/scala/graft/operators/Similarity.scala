@@ -464,6 +464,23 @@ object Similarity {
       .select(col(idCol), col("cluster"), col("sqd"))
   }
 
+  /** Persist the IVF-assigned corpus partitioned BY CELL — the serving
+    * half of the IVF contract the scale notes promise: written
+    * `partitionBy(cell)`, a probe's `cell = c` predicate prunes the scan
+    * to that cell's directory (PartitionFilters in the plan; the spec
+    * asserts the probe's inputFiles all live under its own cell=
+    * directory), so an ANN query against a 100 TB corpus reads
+    * ~1/centroids of the files. Directory layout serves probes; for
+    * co-located cell joins write the same frame `bucketBy(cell)` into a
+    * catalog table instead. The stored index keeps (id, vector, cell). */
+  def writeIvfIndex(emb: DataFrame, path: String, centroids: Int,
+                    dims: Int, sampleMod: Int = 5,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit =
+    ivfCellsTrained(emb, centroids, dims, sampleMod, idCol, vecCol)
+      .select(col(idCol), col(vecCol), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
   /** Zero-shot domain/topic tagging by nearest LABEL centroid: the trusted
     * seed slice (`id % seedMod == 0`) defines one centroid per label
     * (per-dim mean, round(4) — engine-portable); every vector is then

@@ -530,6 +530,44 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == expect, s"src $src got $got want $expect")
   }
 
+  test("persisted ivf index: a cell probe scans ONLY its bucket, and " +
+      "serving from the table reproduces the in-memory ANN result") {
+    val path = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.writeIvfIndex(emb, path, centroids = 8, dims = 64)
+    try {
+      val idx = spark.read.parquet(path)
+      assert(idx.count() == emb.count())
+      // partition pruning: the probe must touch ONLY its cell's directory
+      val probe = idx.where(col("cell") === 3)
+      val p = probe.queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters") && p.contains("(cell"), p)
+      // hard evidence from the executed scan's metrics: of the 8 cell
+      // directories on disk, the probe read exactly one file (inputFiles
+      // is pre-pruning, so the metric is the proof)
+      probe.collect()
+      val scan = probe.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      assert(scan.metrics("numFiles").value == 1,
+        s"probe read ${scan.metrics("numFiles").value} files")
+      // end-to-end: exact cosine top-k inside the query's own probed cell,
+      // served from the bucketed table, equals the in-memory IVF ANN
+      val qid = 7L
+      val qCell = idx.where(col("vec_id") === qid)
+        .select("cell").collect().head.getInt(0)
+      val served = Similarity.cosineTopK(
+          idx.where(col("cell") === qCell).drop("cell"), qid, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val mem = Similarity.annTopKIvfTrained(emb, qid, k = 5, centroids = 8,
+          nprobe = 1, dims = 64)
+        .select("vec_id", "sim").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(served == mem, s"served $served vs in-memory $mem")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
+
   test("centroid classify: valid predictions, deterministic, accuracy on " +
       "the planted-family corpus beats majority-class chance") {
     val out = Similarity.centroidClassify(emb, dims = 64).collect()
