@@ -362,6 +362,37 @@ object CorpusFilters {
       .withColumn("contaminated", col("matched_grams") > 0)
   }
 
+  /** Multi-suite decontamination: a release screens against MANY
+    * benchmark suites at once (MMLU, GSM8K, …) and reports leakage PER
+    * SUITE — a single "contaminated" bit is not actionable when each
+    * suite has its own owner and removal policy. `evalDocs` carries a
+    * `suiteCol` tag; the result is one row per (corpus doc, suite) with
+    * the matched-gram count for every doc that leaks that suite.
+    *
+    * Shape at 100 TB: identical to [[decontaminate]] — ALL suites'
+    * distinct (suite, gram) hashes ride ONE broadcast (benchmarks are
+    * kilobytes; K suites are K kilobytes), the corpus side is one
+    * map-only gram explode and one (doc, suite)-keyed partial-agg rollup.
+    * Adding a suite costs broadcast bytes, not a scan. */
+  def decontaminateSuites(docs: DataFrame, evalDocs: DataFrame, n: Int = 5,
+                          suiteCol: String = "suite",
+                          textCol: String = "text"): DataFrame = {
+    def grams(d: DataFrame, keep: Seq[String]) = {
+      val ws = wordsOf(col(textCol))
+      d.select(keep.map(col) :+ ws.as("ws"): _*)
+        .where(size(col("ws")) >= n)
+        .select(keep.map(col) :+ explode(
+          transform(sequence(lit(1), size(col("ws")) - (n - 1)), i =>
+            md5(concat_ws(" ", slice(col("ws"), i, lit(n)))))).as("gh"): _*)
+    }
+    val evalGrams = broadcast(
+      grams(evalDocs, Seq(suiteCol)).select(col(suiteCol), col("gh")).distinct())
+    grams(docs, Seq("doc_id"))
+      .join(evalGrams, Seq("gh"))
+      .groupBy(col("doc_id"), col(suiteCol))
+      .agg(count(lit(1)).as("matched_grams"))
+  }
+
   /** Fuzzy (near-duplicate) decontamination — the MinHash sibling of the
     * exact n-gram `decontaminate`: a corpus document is flagged when any
     * of its LSH bands collides with a band of ANY eval-set document, i.e.

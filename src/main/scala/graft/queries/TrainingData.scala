@@ -846,6 +846,38 @@ object TrainingData {
     // benchmark decontamination: docs outside src0 checked for 5-gram
     // overlap against the src0 "eval set" — the broadcast-eval-grams shape
     // (the corpus is never shuffled by gram, only rolled up per doc)
+    // multi-suite decontamination: the src0 docs play K benchmark suites
+    // (keyed by lang); leakage reported per (doc, suite) — one broadcast
+    // carries every suite's grams, adding a suite costs bytes not a scan
+    df("ta_decontaminate_suites",
+      """WITH t AS (SELECT doc_id, source, lang,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS w FROM documents),
+        |eg AS (SELECT DISTINCT lang, gh FROM (
+        |  SELECT lang, unnest(list_transform(generate_series(1, len(w) - 4),
+        |    i -> md5(array_to_string(w[i:i+4], ' ')))) AS gh
+        |  FROM t WHERE source = 'src0' AND len(w) >= 5) x),
+        |c0 AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'
+        |  UNION ALL SELECT -(doc_id + 1), 'planted prefix ' || text
+        |  FROM documents WHERE source = 'src0' AND doc_id % 3 = 0),
+        |tc AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |  x -> len(x) > 0) AS w FROM c0),
+        |dg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 4),
+        |    i -> md5(array_to_string(w[i:i+4], ' ')))) AS gh
+        |  FROM tc WHERE len(w) >= 5)
+        |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS matched_grams
+        |FROM dg JOIN eg USING (gh) GROUP BY doc_id, lang
+        |ORDER BY doc_id, lang LIMIT 200""".stripMargin) { (s, _) =>
+      val d = s.table("documents")
+      val ev = d.where(col("source") === "src0")
+      val corpus = d.where(col("source") =!= "src0").select("doc_id", "text")
+        .unionByName(ev.where(col("doc_id") % 3 === 0)
+          .select((-(col("doc_id") + 1L)).as("doc_id"),
+            concat(lit("planted prefix "), col("text")).as("text")))
+      CorpusFilters.decontaminateSuites(corpus, ev, suiteCol = "lang")
+        .orderBy("doc_id", "lang").limit(200)
+    },
+
     df("ta_decontaminate",
       """WITH t AS (SELECT doc_id, source,
         |  list_filter(regexp_split_to_array(lower(text), '\s+'),
