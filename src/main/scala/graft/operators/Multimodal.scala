@@ -87,6 +87,28 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: rewrites the fake 4-byte dimension header to the target
+    * (width, height) and keeps the remaining bytes — so the contract
+    * `decodeStub(resizeStub(m, w, h))` reports exactly (w, h) with
+    * channels/type/length preserved, which is what the spec pins. A real
+    * implementation replaces the body with an image-library scale (and
+    * shrinks the payload); the map-only per-partition shape and the
+    * decode-after-resize contract are the real parts. */
+  def resizeStub(media: Dataset[MediaItem], w: Int, h: Int): Dataset[MediaItem] = {
+    import media.sparkSession.implicits._
+    require(w > 0 && w < 65536 && h > 0 && h < 65536, "dims must fit u16")
+    media.mapPartitions { it =>
+      it.map { m =>
+        val out = m.content.clone()
+        if (out.length >= 4) {
+          out(0) = (w / 256).toByte; out(1) = (w % 256).toByte
+          out(2) = (h / 256).toByte; out(3) = (h % 256).toByte
+        }
+        MediaItem(m.media_id, m.media_type, out)
+      }
+    }
+  }
+
   /** STUB frame sampler: every video yields `n` "frames", each an 8-byte
     * slice of the content starting at frame_idx*4 (wrapping). Real frame
     * extraction replaces the slice with a codec call; the flatMap shape

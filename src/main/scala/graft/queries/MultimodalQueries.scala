@@ -44,6 +44,22 @@ object MultimodalQueries {
         .toDF().orderBy("media_id").limit(100)
     },
 
+    // resize then decode: the stub rewrites the fake dimension header, so
+    // decode reports exactly the target dims with channels/length intact
+    df("mm_resize_stub",
+      s"""WITH m AS (SELECT doc_id AS media_id,
+         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         |  md5(text) AS h FROM documents)
+         |SELECT media_id, media_type,
+         |  64 AS width, 48 AS height,
+         |  1 + (${byteAt("4")} % 4) AS channels,
+         |  CAST(32 AS BIGINT) AS n_bytes
+         |FROM m ORDER BY media_id LIMIT 100""".stripMargin) { (s, _) =>
+      Multimodal.decodeStub(Multimodal.resizeStub(Multimodal.asItems(
+          Multimodal.fromDocuments(s.table("documents"))), w = 64, h = 48))
+        .toDF().orderBy("media_id").limit(100)
+    },
+
     // feature vector exploded to (media_id, dim, v) rows: the driver's
     // comparator sorts + hashes cell values and cannot handle top-level
     // arrays, and per-cell doubles get its float normalization for free

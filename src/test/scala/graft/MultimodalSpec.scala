@@ -55,6 +55,23 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(3L) > 0L)
   }
 
+  test("resizeStub: decode-after-resize reports the target dims with " +
+    "type, channels, and byte length preserved; map-only") {
+    val items = Multimodal.asItems(media)
+    val before = Multimodal.decodeStub(items).collect()
+      .map(m => m.media_id -> m).toMap
+    val resized = Multimodal.resizeStub(items, w = 320, h = 200)
+    assert(!resized.queryExecution.executedPlan.toString.contains("Exchange"))
+    val after = Multimodal.decodeStub(resized).collect()
+    assert(after.nonEmpty)
+    after.foreach { m =>
+      assert(m.width == 320 && m.height == 200, s"dims ${m.width}x${m.height}")
+      val b = before(m.media_id)
+      assert(m.media_type == b.media_type && m.channels == b.channels &&
+        m.n_bytes == b.n_bytes, "resize must only change the dimensions")
+    }
+  }
+
   test("frameSampleStub yields n frames per video only") {
     val frames = Multimodal.frameSampleStub(Multimodal.asItems(media), n = 4)
     val videos = media.where(col("media_type") === "video").count()
