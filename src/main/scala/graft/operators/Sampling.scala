@@ -192,7 +192,8 @@ object Sampling {
     * and each shard is already internally shuffled. */
   def shuffleOrder(docs: DataFrame, hexDigits: Int = 1, seed: String = "s0",
                    idCol: String = "doc_id"): DataFrame = {
-    require(hexDigits >= 1 && hexDigits <= 8, s"hexDigits out of range: $hexDigits")
+    // 7 digits = 268M shards (16^8 - 1 would overflow the Int32 shard)
+    require(hexDigits >= 1 && hexDigits <= 7, s"hexDigits out of range: $hexDigits")
     val shardExpr = (1 to hexDigits)
       .map(i => s"(locate(substring(skey, $i, 1), '0123456789abcdef') - 1)" +
         s" * ${math.pow(16, hexDigits - i).toLong}")

@@ -216,6 +216,12 @@ class DedupSpec extends SparkTestBase {
     val wide = Sampling.shuffleOrder(docs, hexDigits = 2)
     assert(wide.select("shard").distinct().count() > 16)
     assert(wide.count() == out.length)
+    // 7 digits is the Int32-safe ceiling: shards stay non-negative
+    val max7 = Sampling.shuffleOrder(docs, hexDigits = 7)
+      .agg(min("shard"), max("shard")).collect().head
+    assert(max7.getInt(0) >= 0 && max7.getInt(1) < 268435456)
+    intercept[IllegalArgumentException](
+      Sampling.shuffleOrder(docs, hexDigits = 8))
   }
 
   test("incremental dedup: corpus duplicates dropped, then keep-first " +
