@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.ScaleProbe <sfDir> <op> <k>
   * ops: label_prop | d4 | knn | semdedup (k = centroids) | bpe (k = merges)
   *      hardneg (k = centroids) | kmeans (k = clusters) |
-  *      shuffle (k = hex digits) | increm | bloom (k unused) |
+  *      shuffle (k = hex digits) | increm | incremnear | bloom (k unused) |
   *      cdc (k = blockWords)
   * env SPARK_GRAFT_PROBE_EXPLAIN=1 prints the executed plan once. */
 object ScaleProbe {

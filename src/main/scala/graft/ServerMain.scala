@@ -19,7 +19,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Environment (reference spellings with the engine's prefix; main.cpp
   * PrintUsage:292-319):
-  *   GRAFT_MODE=catalog|parquet             target kind (default catalog)
+  *   GRAFT_MODE=catalog|parquet|snapshot    target kind (default catalog)
   *   OTEL_HTTP_ADDR=host:port               bind address (default localhost:4318)
   *   GRAFT_OTLP_LISTEN_URI=otlp:...|otap:...  full URI override of OTEL_HTTP_ADDR
   *   GRAFT_OTLP_TOKEN=...                   bearer token (>=16 chars; minted+warned if unset)
@@ -62,9 +62,9 @@ object ServerMain {
     val addr = env("OTEL_HTTP_ADDR").getOrElse("localhost:4318")
     val listenUri = env("GRAFT_OTLP_LISTEN_URI").getOrElse(s"otlp:$addr")
     val mode = env("GRAFT_MODE").getOrElse("catalog")
-    if (mode != "catalog" && mode != "parquet")
+    if (mode != "catalog" && mode != "parquet" && mode != "snapshot")
       throw new IllegalArgumentException(
-        s"GRAFT_MODE must be catalog|parquet, got '$mode'")
+        s"GRAFT_MODE must be catalog|parquet|snapshot, got '$mode'")
     val disableAuth = truthy("GRAFT_OTLP_DISABLE_AUTH")
     val tokenEnv = env("GRAFT_OTLP_TOKEN").filter(_.nonEmpty)
     val tokenMinted = tokenEnv.isEmpty && !disableAuth
@@ -78,14 +78,17 @@ object ServerMain {
       "GRAFT_OTLP_TARGET_FILE_SIZE" -> "target_file_size",
       "GRAFT_OTLP_MAINTENANCE_RETENTION_MS" -> "maintenance_retention_ms",
       "GRAFT_OTLP_HTTP_THREADS" -> "http_threads")
-      .flatMap { case (e, p) => env(e).map(p -> _) }.toMap
+      .flatMap { case (e, p) => env(e)
+        // documented: GRAFT_OTLP_HTTP_THREADS=auto = the server default
+        .filterNot(v => p == "http_threads" && v.equalsIgnoreCase("auto"))
+        .map(p -> _) }.toMap
 
     val modeParams =
-      if (mode == "parquet") {
+      if (mode == "parquet" || mode == "snapshot") {
         val root = env("GRAFT_PARQUET_ROOT").filter(_.nonEmpty).getOrElse(
           throw new IllegalArgumentException(
-            "GRAFT_PARQUET_ROOT is required when GRAFT_MODE=parquet"))
-        Map("target" -> "parquet", "parquet_root" -> root)
+            s"GRAFT_PARQUET_ROOT is required when GRAFT_MODE=$mode"))
+        Map("target" -> mode, "parquet_root" -> root)
       } else env("GRAFT_OTLP_SCHEMA").filter(_.nonEmpty)
         .map(s => Map("schema" -> s)).getOrElse(Map.empty)
 
@@ -138,7 +141,10 @@ object ServerMain {
   /** `healthcheck` argument entry: probe the configured listener's actual
     * transport (gRPC = TCP connect, HTTP = /readyz). 0 healthy, 1 not. */
   def runHealthCheck(env: String => Option[String]): Int = {
-    val cfg = configFromEnv(env)
+    val cfg = try configFromEnv(env) catch {
+      case e: Exception =>
+        System.err.println(s"ERROR: ${e.getMessage}"); return 2
+    }
     val uri = OtlpUri.parse(cfg.listenUri)
     val grpc = uri.scheme == "otap" ||
       cfg.serveParams.get("transport").contains("grpc")
@@ -156,7 +162,13 @@ object ServerMain {
     * readiness probe (in-process tests ingest there). */
   def run(env: String => Option[String],
           onReady: (SparkSession, DaemonConfig) => Unit = (_, _) => ()): Int = {
-    val cfg = configFromEnv(env)
+    // config errors exit with the clean one-line contract, not a stack trace
+    val cfg = try configFromEnv(env) catch {
+      case e: IllegalArgumentException =>
+        System.err.println(s"ERROR: ${e.getMessage}"); return 2
+      case e: NumberFormatException =>
+        System.err.println(s"ERROR: bad numeric setting: ${e.getMessage}"); return 2
+    }
     val uri = OtlpUri.parse(cfg.listenUri)
 
     println("Starting graft otlp server\n")
@@ -287,9 +299,10 @@ object ServerMain {
       |
       |  graft.ServerMain [help|healthcheck]
       |
-      |Required for parquet mode:
+      |Required for parquet / snapshot (lakehouse) modes:
       |
       |  GRAFT_MODE=parquet GRAFT_PARQUET_ROOT=/data/otlp
+      |  GRAFT_MODE=snapshot GRAFT_PARQUET_ROOT=/data/otlp
       |
       |Useful common settings:
       |
@@ -333,8 +346,15 @@ object ServerMain {
       Signal.handle(new Signal("TERM"), h)
       Signal.handle(new Signal("INT"), h)
     } catch { case _: Throwable =>
-      // last-resort fallback: at least drain before the JVM dies
-      Runtime.getRuntime.addShutdownHook(new Thread(() => requestShutdown()))
+      // last-resort fallback: flip the flag, then BLOCK the hook on the
+      // main thread so the JVM cannot halt before the drain completes
+      // (a hook that returns immediately would lose buffered rows; the
+      // exit-code contract is still weaker than the signal path)
+      val mainThread = Thread.currentThread()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        requestShutdown()
+        try mainThread.join(120000L) catch { case _: InterruptedException => () }
+      }))
     }
 
   def main(args: Array[String]): Unit = {

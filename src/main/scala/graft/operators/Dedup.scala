@@ -62,8 +62,12 @@ object Dedup {
   def incrementalDedup(newBatch: DataFrame, corpus: DataFrame,
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
-    val seen = corpus.select(md5(col(textCol)).as("seen_hash")).distinct()
-    val keyed = newBatch.withColumn("text_hash", md5(col(textCol)))
+    // null text is a normal dedup group (exactGroups semantics): coalesce
+    // the hash so the anti-join and keep-first joins never silently drop
+    // null-key rows ('0' cannot collide with an md5 hex digest)
+    val h = coalesce(md5(col(textCol)), lit("0"))
+    val seen = corpus.select(h.as("seen_hash")).distinct()
+    val keyed = newBatch.withColumn("text_hash", h)
     val fresh = keyed.join(seen, keyed("text_hash") === seen("seen_hash"),
       "left_anti")
     val keeper = fresh.groupBy(col("text_hash"))
@@ -92,11 +96,13 @@ object Dedup {
   def bloomDedup(newBatch: DataFrame, corpus: DataFrame,
                  expectedItems: Long, fpp: Double = 0.01,
                  textCol: String = "text"): DataFrame = {
-    val bf = corpus.select(md5(col(textCol)).as("h"))
+    val bf = corpus.select(coalesce(md5(col(textCol)), lit("0")).as("h"))
       .stat.bloomFilter("h", math.max(expectedItems, 1L), fpp)
     val bcast = newBatch.sparkSession.sparkContext.broadcast(bf)
-    val probe = udf((h: String) => bcast.value.mightContainString(h))
-    newBatch.where(!probe(md5(col(textCol))))
+    // null-safe: the hash is coalesced on BOTH sides (null text dedups as
+    // its own group, same as incrementalDedup) and the probe never sees null
+    val probe = udf((h: String) => h != null && bcast.value.mightContainString(h))
+    newBatch.where(!probe(coalesce(md5(col(textCol)), lit("0"))))
   }
 
   /** MinHash signature: ONE md5 per shingle, with the k hash functions

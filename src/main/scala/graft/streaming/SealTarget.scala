@@ -77,6 +77,17 @@ trait SealTarget {
 /** Shared seal-batch plumbing used by every target implementation. */
 private[streaming] object SealFrames {
 
+  /** Run seal-critical Spark jobs in the dedicated 'graft-seals' FAIR pool
+    * so interactive query jobs cannot starve durability (shared by
+    * SealWriter and SnapshotTarget — the starvation protection must hold
+    * for every target). */
+  def inSealPool[A](spark: SparkSession)(fn: => A): A = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.scheduler.pool")
+    sc.setLocalProperty("spark.scheduler.pool", "graft-seals")
+    try fn finally sc.setLocalProperty("spark.scheduler.pool", prev)
+  }
+
   /** Seal rows arrive pre-encoded as UnsafeRow byte images (RowBin, built
     * on the HTTP worker threads at ingest). Chunk the reference array for
     * the in-memory DSv2 source — conversion cost was already paid 32-wide

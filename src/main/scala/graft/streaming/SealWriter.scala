@@ -117,12 +117,8 @@ final class SealWriter(cfg: ServerConfig, spark: SparkSession) extends SealTarge
     * interactive query jobs instead of queued behind them — heavy query
     * load can no longer starve ingest durability. Pool assignment is a
     * thread-local property, set on the per-signal writer threads. */
-  private def inSealPool[A](fn: => A): A = {
-    val sc = spark.sparkContext
-    val prev = sc.getLocalProperty("spark.scheduler.pool")
-    sc.setLocalProperty("spark.scheduler.pool", "graft-seals")
-    try fn finally sc.setLocalProperty("spark.scheduler.pool", prev)
-  }
+  private def inSealPool[A](fn: => A): A =
+    SealFrames.inSealPool(spark)(fn)
 
   def write(batch: SealBatch): Unit = inSealPool { cfg.target match {
     case "catalog" =>

@@ -108,7 +108,7 @@ final class SnapshotTarget(cfg: ServerConfig, spark: SparkSession) extends SealT
 
   // ---- seal ---------------------------------------------------------------
 
-  def write(batch: SealBatch): Unit =
+  def write(batch: SealBatch): Unit = SealFrames.inSealPool(spark) {
     SealFrames.withBatch(spark, cfg, batch) { df =>
       val root = tableRoot(batch.signal)
       val published = SealFrames.stageAndPublish(spark, batch, df, root)
@@ -123,6 +123,7 @@ final class SnapshotTarget(cfg: ServerConfig, spark: SparkSession) extends SealT
       val hook = failAfterCatalogCommit
       if (hook != null) hook(batch.signal)
     }
+  }
 
   /** A seal is committed iff a retained snapshot recorded its seal id —
     * the snapshot-level twin of the catalog `_seal_id` probe. Published
@@ -177,7 +178,8 @@ final class SnapshotTarget(cfg: ServerConfig, spark: SparkSession) extends SealT
   /** Bin-pack small files partition-by-partition into one compacted file
     * and COMMIT the replacement as a new snapshot; replaced files remain
     * for older snapshots until expiry. Returns files replaced. */
-  def compact(signal: String): Long = commitLocks(signal).synchronized {
+  def compact(signal: String): Long =
+      SealFrames.inSealPool(spark) { commitLocks(signal).synchronized {
     head(signal) match {
       case None => 0L
       case Some(h) =>
@@ -213,7 +215,7 @@ final class SnapshotTarget(cfg: ServerConfig, spark: SparkSession) extends SealT
             s"compaction-${java.util.UUID.randomUUID()}", files))
         replaced
     }
-  }
+  } }
 
   // ---- reads --------------------------------------------------------------
 

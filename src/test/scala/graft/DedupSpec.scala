@@ -256,6 +256,27 @@ class DedupSpec extends SparkTestBase {
     assert(got == Seq(11L, 12L), s"got $got")
   }
 
+  test("incremental + bloom dedup treat null text as a normal dedup group " +
+    "(no NPE, no silent drop of null-key rows)") {
+    import spark.implicits._
+    val corpus = Seq((1L, null.asInstanceOf[String]), (2L, "bb"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, null.asInstanceOf[String]), (11L, "cc"),
+      (12L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    // corpus holds a null-text doc -> batch nulls are duplicates of it
+    val got = Dedup.incrementalDedup(batch, corpus)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(11L), s"got $got")
+    val keptB = Dedup.bloomDedup(batch, corpus, expectedItems = 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptB == Seq(11L), s"bloom got $keptB")
+    // corpus WITHOUT nulls: batch nulls are fresh; keep-first keeps ONE
+    val got2 = Dedup.incrementalDedup(batch,
+        Seq((2L, "bb")).toDF("doc_id", "text"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got2 == Seq(10L, 11L), s"got $got2")
+  }
+
   test("bloom dedup: zero false negatives; extra drops bounded by fpp") {
     import spark.implicits._
     val corpus = (0 until 500).map(i => (i.toLong, s"corpus doc $i"))
