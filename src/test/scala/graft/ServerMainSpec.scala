@@ -54,6 +54,19 @@ class ServerMainSpec extends SparkTestBase {
     assert(minted.tokenMinted && minted.serveParams("token").length >= 16)
     val set = ServerMain.configFromEnv(env(Map("GRAFT_OTLP_TOKEN" -> Token)))
     assert(!set.tokenMinted && set.serveParams("token") == Token)
+    // snapshot (lakehouse) mode reaches the target and needs a root
+    intercept[IllegalArgumentException](
+      ServerMain.configFromEnv(env(Map("GRAFT_MODE" -> "snapshot"))))
+    val snap = ServerMain.configFromEnv(env(Map(
+      "GRAFT_MODE" -> "snapshot", "GRAFT_PARQUET_ROOT" -> "/tmp/snaproot")))
+    assert(snap.serveParams("target") == "snapshot" &&
+      snap.serveParams("parquet_root") == "/tmp/snaproot")
+    // documented GRAFT_OTLP_HTTP_THREADS=auto = server default (no param)
+    val auto = ServerMain.configFromEnv(env(Map(
+      "GRAFT_OTLP_HTTP_THREADS" -> "auto")))
+    assert(!auto.serveParams.contains("http_threads"))
+    // config errors exit with the clean code-2 contract, not a stack trace
+    assert(ServerMain.run(env(Map("GRAFT_MODE" -> "iceberg"))) == 2)
   }
 
   test("full lifecycle: start, ready, ingest, drain on shutdown, exit 0") {
