@@ -112,6 +112,49 @@ class ServerMainSpec extends SparkTestBase {
       "server must be unregistered after drain")
   }
 
+  test("snapshot-mode lifecycle: drain commits a snapshot and readAt " +
+    "serves the sealed rows") {
+    ServerMain.reset()
+    val root = java.nio.file.Files.createTempDirectory("daemon_snap").toString
+    val port = 46981
+    val e = Map(
+      "GRAFT_MODE" -> "snapshot",
+      "GRAFT_PARQUET_ROOT" -> root,
+      "OTEL_HTTP_ADDR" -> s"127.0.0.1:$port",
+      "GRAFT_OTLP_TOKEN" -> Token,
+      "GRAFT_OTLP_SEAL_MAX_AGE_MS" -> "300000",
+      "GRAFT_OTLP_STARTUP_TIMEOUT" -> "30")
+    val body = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/otlp/logs_simple.jsonl"))
+    @volatile var postedOk = false
+    val exit = new java.util.concurrent.CompletableFuture[Integer]()
+    val t = new Thread(() => exit.complete(ServerMain.run(env(e), (_, _) => {
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/v1/logs"))
+          .header("Content-Type", "application/x-ndjson")
+          .header("Authorization", s"Bearer $Token")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      postedOk = resp.statusCode() == 202
+      ServerMain.requestShutdown()
+    })))
+    t.start()
+    val code = exit.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    t.join()
+    assert(postedOk, "ingest POST should be accepted")
+    assert(code == 0, "clean drain must exit 0")
+    // the drain's seal went through the snapshot commit: a snapshot exists
+    // and time-travel-reading its head serves every sealed row
+    val target = new graft.streaming.SnapshotTarget(
+      graft.streaming.ServerConfig("otlp_serve", s"otlp:127.0.0.1:$port",
+        Map("target" -> "snapshot", "parquet_root" -> root,
+          "disable_auth" -> "true", "allow_other_hostname" -> "true")),
+      spark)
+    val snaps = target.snapshots("logs")
+    assert(snaps.nonEmpty, "drain must commit a snapshot")
+    assert(target.readAt("logs").count() > 0)
+  }
+
   test("shutdown requested before startup exits 0 without serving") {
     ServerMain.requestShutdown()
     try {
