@@ -156,6 +156,81 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash calibration — estimated vs TRUE Jaccard on the LSH candidate
+    * pairs: `est = (matching signature components) / k` against the exact
+    * shingle-set Jaccard, with the absolute error per pair. The
+    * measure-don't-guess artifact for the near-dup pipeline: before trusting
+    * a (k, r, threshold) configuration at corpus scale, run this on a
+    * hash-sample and read the error distribution (E[est] = J and
+    * sd ≈ sqrt(J(1-J)/k) — k=8 is a coarse estimator; the report shows
+    * exactly how coarse).
+    *
+    * Shape at 100 TB: a QA operator meant for a `Sampling.hashSample` of
+    * the corpus, not the full corpus — the signature frame (k longs/doc) is
+    * localCheckpoint'ed so its three uses (banding, both pair sides) cost
+    * one text pass; the true-Jaccard stage is ngramJaccard's candidate-only
+    * shingle join, never all-pairs. */
+  def minhashCalibration(docs: DataFrame, n: Int = 3, k: Int = 8,
+                         r: Int = 2): DataFrame = {
+    val sigs = minhashSignatures(docs, n, k).localCheckpoint()
+    val pairs = {
+      val bands = lshBands(sigs, k, r)
+      val a = bands.as("a"); val b = bands.as("b")
+      a.join(b, col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+    }
+    val sa = sigs.select(col("doc_id").as("id_a") +:
+      (0 until k).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val sb = sigs.select(col("doc_id").as("id_b") +:
+      (0 until k).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val matches = (0 until k)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = pairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(matches.cast("double") / k, 4).as("est_jaccard"))
+    ngramJaccard(docs, pairs, n).join(est, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"),
+        round(abs(col("est_jaccard") - col("jaccard")), 4).as("abs_err"))
+  }
+
+  /** Edit-distance verification of the LSH candidate pairs — the standard
+    * second stage of a near-dup pipeline (band collisions are a recall
+    * device; precision comes from re-checking each candidate with a real
+    * string metric). `edit_sim = 1 - lev(a,b) / max(|a|,|b|)`, rounded to
+    * 4 decimals; pairs below `threshold` are dropped.
+    *
+    * Levenshtein is O(|a|·|b|) per pair, so the comparison runs on the
+    * first `prefixChars` characters — the prefix bound is what makes the
+    * stage affordable on book-length documents (near-dups that agree on a
+    * 2k prefix and share MinHash bands are near-dups; the reference
+    * pipelines truncate the same way). Null text compares as "".
+    *
+    * Shape at 100 TB: pair generation is the banded join (never all-pairs);
+    * the verify is two uniform id-keyed shuffle joins to attach the
+    * prefixes, then a map-side metric. Pair count — not corpus size —
+    * drives the cost. */
+  def editDistVerify(docs: DataFrame, threshold: Double = 0.3, n: Int = 3,
+                     k: Int = 8, r: Int = 2, prefixChars: Int = 2000,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(prefixChars > 0, "prefixChars must be positive")
+    val pref = docs.select(col(idCol).as("pid"),
+      substring(coalesce(col(textCol), lit("")), 1, prefixChars).as("pt"))
+    lshCandidatePairs(docs, n, k, r)
+      .join(pref.withColumnRenamed("pid", "id_a").withColumnRenamed("pt", "ta"),
+        Seq("id_a"))
+      .join(pref.withColumnRenamed("pid", "id_b").withColumnRenamed("pt", "tb"),
+        Seq("id_b"))
+      .withColumn("edit_sim", round(lit(1.0) -
+        levenshtein(col("ta"), col("tb")).cast("double") /
+          greatest(length(col("ta")), length(col("tb")), lit(1)), 4))
+      .where(col("edit_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("edit_sim"))
+  }
+
   /** 32-bit SimHash over word unigrams (with multiplicity). Per token the
     * hash is the 32-bit value of the first 8 hex chars of md5(token); bit j
     * (j = 0..31, where bit j is bit 31-j of that value — i.e. hex chars in

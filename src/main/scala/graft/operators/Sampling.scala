@@ -112,6 +112,75 @@ object Sampling {
       .drop("rate")
   }
 
+  /** Temperature-scaled source mixing (mT5 §3.1 / XLM-R): the sampling
+    * share of stratum s is p_s ∝ n_s^alpha, which flattens the natural
+    * size distribution toward uniform as alpha → 0 — the standard way a
+    * multilingual/multi-source pretraining mix up-samples small sources
+    * without hand-tuned weights. Returns one row per stratum with the
+    * natural share, the temperature share, and the deterministic keep
+    * rate that hits `budgetDocs` in expectation (capped at 1).
+    *
+    * Determinism across engines: n_s^alpha is rounded to 6 decimals and
+    * summed as exact DECIMAL (order-insensitive — the repo's
+    * round-before-sum pattern), so the shares cannot flip with partial-agg
+    * order; the natural share divides exact longs.
+    *
+    * Shape at 100 TB: one partial-agg count pass collapses the corpus to a
+    * stratum-count-sized frame; everything after is arithmetic on that
+    * tiny frame. */
+  def temperatureRates(docs: DataFrame, alpha: Double, budgetDocs: Long,
+                       strataCol: String = "lang",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha out of (0,1]: $alpha")
+    require(budgetDocs > 0, "budgetDocs must be positive")
+    val counts = docs.groupBy(strataCol).agg(count(lit(1)).as("total_docs"))
+    val powered = counts.withColumn("pw",
+      round(pow(col("total_docs").cast("double"), alpha), 6)
+        .cast("decimal(38,6)"))
+    val denom = powered.agg(
+      sum(col("pw")).as("pw_sum"),
+      sum(col("total_docs")).as("n_total"))
+    powered.crossJoin(broadcast(denom))
+      .withColumn("nat_share",
+        round(col("total_docs").cast("double") / col("n_total"), 6))
+      .withColumn("temp_share",
+        round(col("pw").cast("double") / col("pw_sum").cast("double"), 6))
+      .withColumn("rate", least(lit(1.0),
+        round(lit(budgetDocs.toDouble) * col("temp_share")
+          / col("total_docs"), 6)))
+      .select(col(strataCol), col("total_docs"), col("nat_share"),
+        col("temp_share"), col("rate"))
+  }
+
+  /** The temperature-sampled corpus: docs kept where their md5 unit value
+    * falls under the stratum's temperature rate — a pure map-side filter
+    * after the broadcast of the stratum-sized rate table. */
+  def temperatureSample(docs: DataFrame, alpha: Double, budgetDocs: Long,
+                        strataCol: String = "lang", salt: String = "tmix",
+                        idCol: String = "doc_id"): DataFrame = {
+    val rates = temperatureRates(docs, alpha, budgetDocs, strataCol, idCol)
+      .select(col(strataCol), col("rate"))
+    docs.join(broadcast(rates), Seq(strataCol))
+      .where(hashUnit(col(idCol), salt) < col("rate"))
+      .drop("rate")
+  }
+
+  /** Per-stratum audit report of the temperature sample: totals, shares,
+    * rate, plus what the deterministic sample actually kept (docs + an
+    * id_sum so two engines must agree on the exact membership). */
+  def temperatureReport(docs: DataFrame, alpha: Double, budgetDocs: Long,
+                        strataCol: String = "lang", salt: String = "tmix",
+                        idCol: String = "doc_id"): DataFrame = {
+    val rates = temperatureRates(docs, alpha, budgetDocs, strataCol, idCol)
+    docs.select(col(strataCol), col(idCol))
+      .join(broadcast(rates), Seq(strataCol))
+      .withColumn("kept", hashUnit(col(idCol), salt) < col("rate"))
+      .groupBy(col(strataCol), col("total_docs"), col("nat_share"),
+        col("temp_share"), col("rate"))
+      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("sampled_docs"),
+        sum(when(col("kept"), col(idCol)).otherwise(0L)).as("id_sum"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw document
     * by how target-like its hashed unigram distribution is. Words hash

@@ -604,6 +604,33 @@ object TextAnalysis {
     * DECIMALs, so the aggregate is order-insensitive: neither Spark's
     * partial-agg order nor DuckDB's sequential order can flip the 4-decimal
     * report (a plain double sum could, even rounded afterwards). */
+  /** Most-duplicated word n-grams across the corpus — the boilerplate
+    * report (C4's "most common 13-gram" analysis, MassiveText's repeated-
+    * passage audit): grams that recur in many documents are headers,
+    * license banners, navigation chrome — the stuff sub-document dedup
+    * should be removing. One row per gram with how many distinct documents
+    * carry it and total occurrences; grams seen in a single document are
+    * dropped (they're content, not boilerplate).
+    *
+    * Shape at 100 TB: explode is map-side; the (gram, doc) collapse and the
+    * per-gram rollup are partial-agg shuffles on uniform gram keys (a
+    * boilerplate gram appearing a million times collapses map-side before
+    * the exchange); the final top-k is TakeOrderedAndProject over the
+    * (already tiny) n_docs>1 survivors — no global sort materializes. */
+  def dupNgrams(docs: DataFrame, n: Int = 5, topK: Int = 50,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(n >= 2 && topK > 0, "need n >= 2 and topK > 0")
+    val perDoc = Dedup.shingles(docs, n, idCol, textCol)
+      .groupBy(col("shingle").as("gram"), col(idCol))
+      .agg(count(lit(1)).as("occ"))
+    perDoc.groupBy("gram")
+      .agg(count(lit(1)).as("n_docs"), sum("occ").as("n_occurrences"))
+      .where(col("n_docs") > 1)
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("gram"))
+      .limit(topK)
+  }
+
   def vocabDrift(docs: DataFrame, strataCol: String = "source",
                  textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(strataCol).as("stratum"),

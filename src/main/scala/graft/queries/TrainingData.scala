@@ -2560,6 +2560,122 @@ object TrainingData {
       val d = s.table("documents")
       graft.operators.Sampling.dsirSample(d,
         d.where(col("source") === "src0"), n = 200)
+    },
+
+    // temperature-scaled source mixing (mT5 §3.1): share ∝ n_docs^0.3,
+    // deterministic md5 keep decision (salt 'tmix'); n^alpha rounds to 6
+    // decimals and sums as exact DECIMAL so partial-agg order can't flip
+    // the shares (the round-before-sum pattern)
+    df("ta_temperature_mix",
+      """WITH c AS (SELECT lang, count(*) AS total_docs FROM documents
+        |  GROUP BY lang),
+        |p AS (SELECT lang, total_docs,
+        |  CAST(round(power(total_docs, 0.3), 6) AS DECIMAL(38,6)) AS pw FROM c),
+        |d AS (SELECT sum(pw) AS pw_sum,
+        |  CAST(sum(total_docs) AS BIGINT) AS n_total FROM p),
+        |r AS (SELECT lang, total_docs,
+        |  round(CAST(total_docs AS DOUBLE) / n_total, 6) AS nat_share,
+        |  round(CAST(pw AS DOUBLE) / CAST(pw_sum AS DOUBLE), 6) AS temp_share
+        |  FROM p CROSS JOIN d),
+        |rt AS (SELECT *, least(1.0,
+        |  round(200.0 * temp_share / total_docs, 6)) AS rate FROM r),
+        |j AS (SELECT doc_id, lang, total_docs, nat_share, temp_share, rate,
+        |  CAST(list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |      substring(md5(concat('tmix', CAST(doc_id AS VARCHAR))), i, 1)) - 1)
+        |      * 16.0 ** (8 - i))) AS DOUBLE) / 4294967296.0 < rate AS kept
+        |  FROM documents JOIN rt USING (lang))
+        |SELECT lang, total_docs, nat_share, temp_share, rate,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs,
+        |  CAST(sum(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT) AS id_sum
+        |FROM j GROUP BY lang, total_docs, nat_share, temp_share, rate
+        |ORDER BY lang""".stripMargin) { (s, _) =>
+      graft.operators.Sampling.temperatureReport(s.table("documents"),
+          alpha = 0.3, budgetDocs = 200L)
+        .orderBy("lang")
+    },
+
+    // near-dup verification: LSH candidate pairs re-checked with a real
+    // string metric (edit similarity on the 2k prefix) — the precision
+    // stage after the banded recall stage
+    df("dd_editdist_verify",
+      s"""WITH $duckMinhashSig,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, md5(concat(mh0, mh1)) AS bkey FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(concat(mh2, mh3)) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(concat(mh4, mh5)) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(concat(mh6, mh7)) FROM sig),
+         |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |tt AS (SELECT doc_id,
+         |  substring(coalesce(text, ''), 1, 2000) AS t FROM documents),
+         |v AS (SELECT id_a, id_b, round(1.0 -
+         |    CAST(levenshtein(ta.t, tb.t) AS DOUBLE) /
+         |      greatest(len(ta.t), len(tb.t), 1), 4) AS edit_sim
+         |  FROM p JOIN tt ta ON ta.doc_id = id_a
+         |  JOIN tt tb ON tb.doc_id = id_b)
+         |SELECT id_a, id_b, edit_sim FROM v WHERE edit_sim >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin) { (s, _) =>
+      Dedup.editDistVerify(s.table("documents"), threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    },
+
+    // minhash calibration: estimated (signature-match) vs true Jaccard per
+    // LSH candidate pair — the QA artifact that sizes k before a corpus run
+    df("dd_minhash_calibration",
+      s"""WITH $duckMinhashSig,
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, md5(concat(mh0, mh1)) AS bkey FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(concat(mh2, mh3)) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(concat(mh4, mh5)) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(concat(mh6, mh7)) FROM sig),
+         |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |e AS (SELECT id_a, id_b, round((
+         |    ${(0 until 8).map(i =>
+                  s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+                  .mkString(" +\n         |    ")}) / 8.0, 4) AS est_jaccard
+         |  FROM p JOIN sig sa ON sa.doc_id = id_a
+         |  JOIN sig sb ON sb.doc_id = id_b),
+         |s3 AS (SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
+         |    i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shingle
+         |  FROM toks WHERE len(w) >= 3) x),
+         |cnt AS (SELECT doc_id, count(*) AS c FROM s3 GROUP BY doc_id),
+         |inter AS (SELECT id_a, id_b, count(*) AS i FROM p
+         |  JOIN s3 sa ON sa.doc_id = id_a
+         |  JOIN s3 sb ON sb.doc_id = id_b AND sb.shingle = sa.shingle
+         |  GROUP BY id_a, id_b),
+         |tj AS (SELECT p.id_a, p.id_b,
+         |  round(coalesce(i.i, 0) / (ca.c + cb.c - coalesce(i.i, 0)), 4)
+         |    AS jaccard
+         |  FROM p LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+         |  JOIN cnt ca ON ca.doc_id = p.id_a
+         |  JOIN cnt cb ON cb.doc_id = p.id_b)
+         |SELECT e.id_a, e.id_b, est_jaccard, jaccard,
+         |  round(abs(est_jaccard - jaccard), 4) AS abs_err
+         |FROM e JOIN tj ON tj.id_a = e.id_a AND tj.id_b = e.id_b
+         |ORDER BY e.id_a, e.id_b""".stripMargin) { (s, _) =>
+      Dedup.minhashCalibration(s.table("documents"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // boilerplate report: word n-grams shared across documents, by reach
+    df("ta_dup_ngrams",
+      s"""WITH $duckWords,
+         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+         |    i -> array_to_string(w[i:i+2], ' '))) AS gram
+         |  FROM toks WHERE len(w) >= 3),
+         |pd AS (SELECT gram, doc_id, count(*) AS occ FROM g GROUP BY gram, doc_id),
+         |a AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(occ) AS BIGINT) AS n_occurrences FROM pd GROUP BY gram)
+         |SELECT gram, n_docs, n_occurrences FROM a WHERE n_docs > 1
+         |ORDER BY n_docs DESC, n_occurrences DESC, gram
+         |LIMIT 50""".stripMargin) { (s, _) =>
+      graft.operators.TextAnalysis.dupNgrams(s.table("documents"),
+        n = 3, topK = 50)
     }
   )
 }

@@ -151,6 +151,35 @@ object CorpusStreams {
       .drop("__h")
   }
 
+  /** Temperature-mix gate on the stream: per-stratum keep rates derived
+    * ONCE from a settled reference corpus (`Sampling.temperatureRates` —
+    * share ∝ n^alpha) and baked into the plan as a literal CASE chain, so
+    * a live crawler feed downsamples its dominant sources at exactly the
+    * shares a batch run over the reference corpus would keep. The keep
+    * decision is the shared md5 unit hash (same salt ⇒ a document admitted
+    * here is the same document the batch sample keeps — stream and batch
+    * curation stay membership-consistent).
+    *
+    * Stateless map-only WHERE (the rate table is strata-sized, kilobytes,
+    * collected at composition time — the PQ-codebook / eval-band-key
+    * pattern); attaches to any streaming plan in append mode. Strata the
+    * reference corpus never saw rate 0 — an unknown-source document does
+    * not pass an audited mixing gate. */
+  def temperatureGate(docs: DataFrame, corpus: DataFrame, alpha: Double,
+                      budgetDocs: Long, strataCol: String = "lang",
+                      salt: String = "tmix",
+                      idCol: String = "doc_id"): DataFrame = {
+    val rates = graft.operators.Sampling
+      .temperatureRates(corpus, alpha, budgetDocs, strataCol, idCol)
+      .select(col(strataCol), col("rate")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    val rateExpr = rates.foldLeft(lit(0.0)) { case (acc, (s, rt)) =>
+      when(col(strataCol) === s, lit(rt)).otherwise(acc)
+    }
+    docs.where(
+      graft.operators.Sampling.hashUnit(col(idCol), salt) < rateExpr)
+  }
+
   /** CCNet serving on a live feed: each arriving document scored by mean
     * unigram surprisal under a model trained OFFLINE
     * (`TextAnalysis.unigramModel`) and bucketed head/middle/tail against

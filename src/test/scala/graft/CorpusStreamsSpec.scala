@@ -168,4 +168,33 @@ class CorpusStreamsSpec extends SparkTestBase {
     assert(rows.columns.toSeq == Seq("doc_id", "ts", "text"),
       "gate must preserve the caller's schema")
   }
+
+  test("temperature gate: stream membership matches the batch sample " +
+    "exactly; unknown strata never pass") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // reference corpus: 90 'big' docs, 10 'small' docs
+    val corpus = ((0 until 90).map(i => (i.toLong, "big")) ++
+      (90 until 100).map(i => (i.toLong, "small"))).toDF("doc_id", "lang")
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val gated = CorpusStreams.temperatureGate(
+      in.toDF().toDF("doc_id", "ts", "lang"), corpus,
+      alpha = 0.3, budgetDocs = 30L)
+    val q = gated.writeStream.format("memory").queryName("tempgate")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    // live feed re-plays the corpus ids plus an unknown stratum
+    in.addData((0 until 100).map(i =>
+      (i.toLong, ts(i), if (i < 90) "big" else "small")) :+
+      (500L, ts(100), "mystery"): _*)
+    val run = q.start(); run.awaitTermination(60000)
+    val streamed = spark.table("tempgate").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // batch twin over the same rows, same salt -> identical membership
+    val batch = graft.operators.Sampling.temperatureSample(
+        corpus, alpha = 0.3, budgetDocs = 30L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(!streamed.contains(500L), "unknown stratum must not pass")
+    assert(streamed.nonEmpty, "gate should admit the sampled share")
+  }
 }

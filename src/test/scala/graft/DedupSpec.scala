@@ -319,4 +319,132 @@ class DedupSpec extends SparkTestBase {
       .map(_.getAs[Long]("doc_id"))
     assert(again.toSeq == ids.toSeq)
   }
+
+  test("temperature mixing flattens the source distribution toward uniform") {
+    import spark.implicits._
+    // 900 / 90 / 10 docs: a 90:9:1 natural mix
+    val docs = ((0 until 900).map(i => (i.toLong, "big")) ++
+      (900 until 990).map(i => (i.toLong, "mid")) ++
+      (990 until 1000).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "lang")
+    val r = Sampling.temperatureRates(docs, alpha = 0.3, budgetDocs = 100L)
+      .collect().map(x => x.getString(0) -> x).toMap
+    // alpha < 1 up-samples the tail: small's share rises, big's falls
+    assert(r("small").getAs[Double]("temp_share") >
+      r("small").getAs[Double]("nat_share"))
+    assert(r("big").getAs[Double]("temp_share") <
+      r("big").getAs[Double]("nat_share"))
+    // shares are probability distributions (to rounding)
+    def tot(c: String) = r.values.map(_.getAs[Double](c)).sum
+    assert(math.abs(tot("nat_share") - 1.0) < 1e-4, tot("nat_share"))
+    assert(math.abs(tot("temp_share") - 1.0) < 1e-4, tot("temp_share"))
+    // ordering never inverts: bigger stratum, >= temp share
+    assert(r("big").getAs[Double]("temp_share") >
+      r("mid").getAs[Double]("temp_share"))
+    // alpha = 1 reproduces the natural distribution exactly
+    val nat = Sampling.temperatureRates(docs, alpha = 1.0, budgetDocs = 100L)
+      .collect()
+    nat.foreach { x =>
+      assert(x.getAs[Double]("temp_share") == x.getAs[Double]("nat_share"), x)
+    }
+    // a budget >= corpus caps every rate at 1 and the sample keeps all
+    val full = Sampling.temperatureReport(docs, 0.3, 10000L)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(full.values.forall(_.getAs[Double]("rate") == 1.0))
+    assert(full("big").getAs[Long]("sampled_docs") == 900L)
+    // report membership == sample membership, and re-runs reproduce it
+    val sampled = Sampling.temperatureSample(docs, 0.3, 100L)
+      .groupBy("lang").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    val rep = Sampling.temperatureReport(docs, 0.3, 100L)
+      .collect().map(x => x.getString(0) -> x.getAs[Long]("sampled_docs")).toMap
+    assert(sampled == rep.filter(_._2 > 0))
+  }
+
+  test("edit-distance verify: LSH recall stage + string-metric precision " +
+    "stage") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, base),                       // original
+      (1L, base),                       // exact duplicate
+      (2L, base + " lambda"),           // near duplicate (tail append)
+      (3L, "one two three four five six seven eight nine ten"), // unrelated
+      (4L, null.asInstanceOf[String])   // null text: must not crash
+    ).toDF("doc_id", "text")
+    val all = Dedup.editDistVerify(docs, threshold = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("edit_sim"))
+      .toMap
+    // identical docs band together and score 1.0
+    assert(all((0L, 1L)) == 1.0, all)
+    // the tail-append near-dup is found and scores high
+    assert(all.contains((0L, 2L)) && all((0L, 2L)) > 0.85, all)
+    // the unrelated doc never pairs with the base family
+    assert(!all.keys.exists { case (a, b) => a == 3L || b == 3L }, all)
+    // the threshold drops sub-par pairs: only the exact dup survives 0.999
+    val strict = Dedup.editDistVerify(docs, threshold = 0.999).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict.contains((0L, 1L)) && !strict.contains((0L, 2L)), strict)
+    // the prefix cap bounds the comparison: under a 5-char prefix the
+    // near-dup compares equal (both prefixes are "alpha")
+    val capped = Dedup.editDistVerify(docs, threshold = 0.0, prefixChars = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped((0L, 2L)) == 1.0, capped)
+  }
+
+  test("minhash calibration: exact duplicates read est = true = 1, and " +
+    "every estimate is a valid k-quantized probability") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, base), (1L, base),          // exact pair: J = 1, est = 1
+      (2L, base + " lambda mu nu"),    // near pair vs 0/1
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.minhashCalibration(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (e01, j01, err01) = rows((0L, 1L))
+    assert(e01 == 1.0 && j01 == 1.0 && err01 == 0.0, rows)
+    // estimates are multiples of 1/k in [0,1]; err = |est - true| rounded
+    rows.values.foreach { case (e, j, err) =>
+      assert(e >= 0.0 && e <= 1.0 && math.abs(e * 8 - math.round(e * 8)) < 1e-9)
+      assert(math.abs(err - math.abs(e - j)) < 1e-3, (e, j, err))
+    }
+    // the near pair's true Jaccard is sub-1 (8 shared / 13 total trigrams)
+    rows.get((0L, 2L)).foreach { case (_, j, _) =>
+      assert(j > 0.5 && j < 1.0, j)
+    }
+    // deterministic across runs (localCheckpoint does not inject RNG)
+    val again = Dedup.minhashCalibration(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(again == rows.map { case (k, v) => k -> v._3 })
+  }
+
+  test("dup-ngrams report surfaces cross-document boilerplate only") {
+    import spark.implicits._
+    val boiler = "all rights reserved"
+    val docs = Seq(
+      (0L, s"unique words here $boiler"),
+      (1L, s"other content entirely $boiler"),
+      (2L, s"third body text $boiler and more"),
+      (3L, "nothing shared with anyone at all")
+    ).toDF("doc_id", "text")
+    val top = graft.operators.TextAnalysis.dupNgrams(docs, n = 3, topK = 10)
+      .collect()
+    // the planted banner is the top gram, counted once per document
+    assert(top.head.getString(0) == boiler, top.mkString("; "))
+    assert(top.head.getAs[Long]("n_docs") == 3L)
+    assert(top.head.getAs[Long]("n_occurrences") == 3L)
+    // single-document grams never appear
+    assert(top.forall(_.getAs[Long]("n_docs") > 1), top.mkString("; "))
+    assert(!top.exists(_.getString(0).contains("nothing")), top.mkString("; "))
+    // within-doc repetition counts occurrences but not documents
+    val rep = Seq((0L, s"$boiler $boiler x"), (1L, s"y $boiler"))
+      .toDF("doc_id", "text")
+    val r2 = graft.operators.TextAnalysis.dupNgrams(rep, n = 3, topK = 10)
+      .collect().filter(_.getString(0) == boiler).head
+    assert(r2.getAs[Long]("n_docs") == 2L)
+    assert(r2.getAs[Long]("n_occurrences") == 3L)
+  }
 }

@@ -417,4 +417,43 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("SinglePartition"), p)
   }
+
+  test("temperature mixing broadcasts the stratum rate table; the corpus " +
+      "partial-aggregates before every exchange") {
+    Tables.register(spark, sfDir)
+    val df = graft.operators.Sampling.temperatureReport(
+      spark.table("documents"), alpha = 0.3, budgetDocs = 100L)
+    val p = plan(df)
+    // the rate frame is stratum-count-sized: it must come back as a
+    // broadcast, never a shuffle join against the corpus
+    assert(p.contains("BroadcastHashJoin [lang"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // every corpus aggregation is partial+final around its exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("edit-distance verify: the only pair generator is the band equijoin " +
+      "(no cartesian), and text attaches by uniform id keys") {
+    Tables.register(spark, sfDir)
+    val df = graft.operators.Dedup.editDistVerify(spark.table("documents"))
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // bands pair on (band, bkey); prefixes attach on the id columns
+    assert(p.contains("hashpartitioning(band") ||
+      p.contains("BroadcastHashJoin [band"), p)
+    assert(p.contains("id_a") && p.contains("id_b"), p)
+  }
+
+  test("dup-ngrams: both rollups partial-aggregate, and the top-k is a " +
+      "TakeOrdered (no global sort exchange)") {
+    Tables.register(spark, sfDir)
+    val df = graft.operators.TextAnalysis.dupNgrams(spark.table("documents"))
+    val p = plan(df)
+    // (gram, doc) collapse + per-gram rollup: 2 exchanges, each wrapped by
+    // partial+final HashAggregate pairs
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
 }
