@@ -11,7 +11,8 @@ import org.apache.spark.sql.SparkSession
   * ops: label_prop | d4 | knn | semdedup (k = centroids) | bpe (k = merges)
   *      hardneg (k = centroids) | kmeans (k = clusters) |
   *      shuffle (k = hex digits) | increm | incremnear | bloom (k unused) |
-  *      cdc (k = blockWords)
+  *      cdc (k = blockWords) | editdist (k = prefixChars) | mhcal |
+  *      dupngrams (k = n) | tempmix (k = budgetDocs) | qualcal (k = bins)
   * env SPARK_GRAFT_PROBE_EXPLAIN=1 prints the executed plan once. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -69,6 +70,24 @@ object ScaleProbe {
         case "cdc" =>
           operators.CorpusFilters.cdcChunkDedup(
             spark.read.parquet(s"$sfDir/documents.parquet"), blockWords = k)
+        case "editdist" =>
+          operators.Dedup.editDistVerify(
+            spark.read.parquet(s"$sfDir/documents.parquet"), prefixChars = k)
+        case "mhcal" =>
+          operators.Dedup.minhashCalibration(
+            spark.read.parquet(s"$sfDir/documents.parquet"))
+        case "dupngrams" =>
+          TextAnalysis.dupNgrams(
+            spark.read.parquet(s"$sfDir/documents.parquet"), n = k)
+        case "tempmix" =>
+          operators.Sampling.temperatureReport(
+            spark.read.parquet(s"$sfDir/documents.parquet"),
+            alpha = 0.3, budgetDocs = k.toLong)
+        case "qualcal" =>
+          TextAnalysis.qualityCalibration(
+            spark.read.parquet(s"$sfDir/documents.parquet"),
+            positive = org.apache.spark.sql.functions.col("source") === "src0",
+            bins = k)
         case other => throw new IllegalArgumentException(s"unknown op $other")
       }
       if (sys.env.contains("SPARK_GRAFT_PROBE_EXPLAIN")) df.explain("formatted")

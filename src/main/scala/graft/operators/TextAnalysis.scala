@@ -604,6 +604,42 @@ object TextAnalysis {
     * DECIMALs, so the aggregate is order-insensitive: neither Spark's
     * partial-agg order nor DuckDB's sequential order can flip the 4-decimal
     * report (a plain double sum could, even rounded afterwards). */
+  /** Calibration report of the learned quality filter against the
+    * heuristic: documents bucketed by classifier-probability decile, each
+    * decile reporting its size, mean classifier score, mean Gopher-style
+    * heuristic quality, and the actual positive count — the reliability
+    * diagram a curation run reads before trusting a learned threshold
+    * (well-calibrated ⇒ positives/n_docs tracks mean_score per bin; the
+    * heuristic column shows where the two filters disagree).
+    *
+    * Determinism: per-bin means sum round(4)/round(2) scores as exact
+    * DECIMAL (order-insensitive) with ONE final double division, so
+    * partial-agg order cannot flip a reported mean.
+    *
+    * Shape at 100 TB: inherits the classifier's train-then-apply contract
+    * (each GD round ships a dims-row gradient); the report itself is two
+    * uniform doc-keyed joins and one 10-row partial agg. */
+  def qualityCalibration(docs: DataFrame, positive: Column, bins: Int = 10,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(bins > 1, "bins must be > 1")
+    val clf = qualityClassifier(docs, positive, idCol = idCol,
+      textCol = textCol).select(col(idCol), col("score"))
+    val heur = qualityScore(docs, textCol).select(col(idCol), col("quality"))
+    val y = docs.select(col(idCol),
+      when(positive, 1L).otherwise(0L).as("pos"))
+    clf.join(heur, Seq(idCol)).join(y, Seq(idCol))
+      .withColumn("bin",
+        least(floor(col("score") * bins), lit(bins - 1)).cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("score").cast("decimal(18,4)")).cast("double")
+          / count(lit(1)), 4).as("mean_score"),
+        round(sum(col("quality").cast("decimal(18,4)")).cast("double")
+          / count(lit(1)), 4).as("mean_quality"),
+        sum(col("pos")).as("positives"))
+  }
+
   /** Most-duplicated word n-grams across the corpus — the boilerplate
     * report (C4's "most common 13-gram" analysis, MassiveText's repeated-
     * passage audit): grams that recur in many documents are headers,

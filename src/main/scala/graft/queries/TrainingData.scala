@@ -78,6 +78,66 @@ object TrainingData {
        |    i -> coalesce(l$tag.c, $prev.c)[i] * coalesce(l$tag.c, $prev.c)[i]))) AS nc
        |  FROM $prev LEFT JOIN l$tag ON l$tag.cell = $prev.p)""".stripMargin
 
+  /** The full learned-quality-classifier chain (hashed embedding →
+    * 3 unrolled GD rounds → per-doc score) as a reusable CTE list
+    * ending at `clf(doc_id, score)` — shared by the classifier query
+    * and the calibration report. */
+  private val duckClassifierChain =
+    """toks AS (SELECT doc_id, list_filter(
+        |  regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |tx AS (SELECT doc_id, unnest(w) AS t FROM toks),
+        |sx AS (SELECT doc_id,
+        |  CAST(floor(CAST(list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |      substring(md5(concat('he', t)), i, 1)) - 1)
+        |      * 16.0 ** (8 - i))) AS DOUBLE) / 4294967296.0 * 64) AS INT) AS slot,
+        |  CASE WHEN CAST(list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |      substring(md5(concat('hes', t)), i, 1)) - 1)
+        |      * 16.0 ** (8 - i))) AS DOUBLE) / 4294967296.0 < 0.5
+        |    THEN 1.0 ELSE -1.0 END AS sgn FROM tx),
+        |cnt AS (SELECT doc_id, slot, sum(sgn) AS s FROM sx GROUP BY doc_id, slot),
+        |ds AS (SELECT DISTINCT doc_id FROM cnt),
+        |grid AS (SELECT doc_id, d FROM ds CROSS JOIN generate_series(0, 63) t(d)),
+        |rawv AS (SELECT g.doc_id, list(coalesce(c.s, 0.0) ORDER BY g.d) AS raw
+        |  FROM grid g LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.slot = g.d
+        |  GROUP BY g.doc_id),
+        |nn AS (SELECT doc_id, raw,
+        |  sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm FROM rawv),
+        |emba AS (SELECT doc_id, CASE WHEN nrm > 0
+        |  THEN list_transform(raw, x -> round(x / nrm, 4))
+        |  ELSE list_transform(raw, x -> 0.0) END AS embedding FROM nn),
+        |yy AS (SELECT doc_id, CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END
+        |  AS y FROM documents),
+        |feat AS (SELECT e.doc_id, yy.y,
+        |  CAST(generate_subscripts(e.embedding, 1) AS INT) AS d,
+        |  unnest(e.embedding) AS val
+        |  FROM emba e JOIN yy USING (doc_id)),
+        |w0 AS (SELECT CAST(d AS INT) AS d, 0.0 AS w FROM generate_series(1, 64) t(d)),
+        |z1 AS (SELECT doc_id, y, sum(w * val) AS z
+        |  FROM feat JOIN w0 USING (d) GROUP BY doc_id, y),
+        |s1 AS (SELECT feat.d, feat.val, z1.y, 1.0/(1.0 + exp(-z1.z)) AS sig
+        |  FROM feat JOIN z1 USING (doc_id)),
+        |g1 AS (SELECT d, avg((sig - y) * val) AS g FROM s1 GROUP BY d),
+        |w1 AS (SELECT d, round(w - 1.0 * g, 4) AS w FROM g1 JOIN w0 USING (d)),
+        |z2 AS (SELECT doc_id, y, sum(w * val) AS z
+        |  FROM feat JOIN w1 USING (d) GROUP BY doc_id, y),
+        |s2 AS (SELECT feat.d, feat.val, z2.y, 1.0/(1.0 + exp(-z2.z)) AS sig
+        |  FROM feat JOIN z2 USING (doc_id)),
+        |g2 AS (SELECT d, avg((sig - y) * val) AS g FROM s2 GROUP BY d),
+        |w2 AS (SELECT d, round(w - 1.0 * g, 4) AS w FROM g2 JOIN w1 USING (d)),
+        |z3 AS (SELECT doc_id, y, sum(w * val) AS z
+        |  FROM feat JOIN w2 USING (d) GROUP BY doc_id, y),
+        |s3 AS (SELECT feat.d, feat.val, z3.y, 1.0/(1.0 + exp(-z3.z)) AS sig
+        |  FROM feat JOIN z3 USING (doc_id)),
+        |g3 AS (SELECT d, avg((sig - y) * val) AS g FROM s3 GROUP BY d),
+        |w3 AS (SELECT d, round(w - 1.0 * g, 4) AS w FROM g3 JOIN w2 USING (d)),
+        |zf AS (SELECT doc_id, sum(w * val) AS z
+        |  FROM feat JOIN w3 USING (d) GROUP BY doc_id),
+        |clf AS (SELECT doc_id, round(1.0/(1.0 + exp(-z)), 4) AS score
+        |  FROM zf)""".stripMargin
+
   val all: Seq[QSpec] = Seq(
 
     // ---- deduplication ----------------------------------------------------
@@ -2459,65 +2519,56 @@ object TrainingData {
     // weights after every update (the trained-centroid trick) — the
     // oracle retrains the model from scratch and rescores every doc
     df("ta_quality_classifier",
-      """WITH toks AS (SELECT doc_id, list_filter(
-        |  regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS w
-        |  FROM documents),
-        |tx AS (SELECT doc_id, unnest(w) AS t FROM toks),
-        |sx AS (SELECT doc_id,
-        |  CAST(floor(CAST(list_sum(list_transform(generate_series(1, 8),
-        |    i -> (strpos('0123456789abcdef',
-        |      substring(md5(concat('he', t)), i, 1)) - 1)
-        |      * 16.0 ** (8 - i))) AS DOUBLE) / 4294967296.0 * 64) AS INT) AS slot,
-        |  CASE WHEN CAST(list_sum(list_transform(generate_series(1, 8),
-        |    i -> (strpos('0123456789abcdef',
-        |      substring(md5(concat('hes', t)), i, 1)) - 1)
-        |      * 16.0 ** (8 - i))) AS DOUBLE) / 4294967296.0 < 0.5
-        |    THEN 1.0 ELSE -1.0 END AS sgn FROM tx),
-        |cnt AS (SELECT doc_id, slot, sum(sgn) AS s FROM sx GROUP BY doc_id, slot),
-        |ds AS (SELECT DISTINCT doc_id FROM cnt),
-        |grid AS (SELECT doc_id, d FROM ds CROSS JOIN generate_series(0, 63) t(d)),
-        |rawv AS (SELECT g.doc_id, list(coalesce(c.s, 0.0) ORDER BY g.d) AS raw
-        |  FROM grid g LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.slot = g.d
-        |  GROUP BY g.doc_id),
-        |nn AS (SELECT doc_id, raw,
-        |  sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm FROM rawv),
-        |emba AS (SELECT doc_id, CASE WHEN nrm > 0
-        |  THEN list_transform(raw, x -> round(x / nrm, 4))
-        |  ELSE list_transform(raw, x -> 0.0) END AS embedding FROM nn),
-        |yy AS (SELECT doc_id, CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END
-        |  AS y FROM documents),
-        |feat AS (SELECT e.doc_id, yy.y,
-        |  CAST(generate_subscripts(e.embedding, 1) AS INT) AS d,
-        |  unnest(e.embedding) AS val
-        |  FROM emba e JOIN yy USING (doc_id)),
-        |w0 AS (SELECT CAST(d AS INT) AS d, 0.0 AS w FROM generate_series(1, 64) t(d)),
-        |z1 AS (SELECT doc_id, y, sum(w * val) AS z
-        |  FROM feat JOIN w0 USING (d) GROUP BY doc_id, y),
-        |s1 AS (SELECT feat.d, feat.val, z1.y, 1.0/(1.0 + exp(-z1.z)) AS sig
-        |  FROM feat JOIN z1 USING (doc_id)),
-        |g1 AS (SELECT d, avg((sig - y) * val) AS g FROM s1 GROUP BY d),
-        |w1 AS (SELECT d, round(w - 1.0 * g, 4) AS w FROM g1 JOIN w0 USING (d)),
-        |z2 AS (SELECT doc_id, y, sum(w * val) AS z
-        |  FROM feat JOIN w1 USING (d) GROUP BY doc_id, y),
-        |s2 AS (SELECT feat.d, feat.val, z2.y, 1.0/(1.0 + exp(-z2.z)) AS sig
-        |  FROM feat JOIN z2 USING (doc_id)),
-        |g2 AS (SELECT d, avg((sig - y) * val) AS g FROM s2 GROUP BY d),
-        |w2 AS (SELECT d, round(w - 1.0 * g, 4) AS w FROM g2 JOIN w1 USING (d)),
-        |z3 AS (SELECT doc_id, y, sum(w * val) AS z
-        |  FROM feat JOIN w2 USING (d) GROUP BY doc_id, y),
-        |s3 AS (SELECT feat.d, feat.val, z3.y, 1.0/(1.0 + exp(-z3.z)) AS sig
-        |  FROM feat JOIN z3 USING (doc_id)),
-        |g3 AS (SELECT d, avg((sig - y) * val) AS g FROM s3 GROUP BY d),
-        |w3 AS (SELECT d, round(w - 1.0 * g, 4) AS w FROM g3 JOIN w2 USING (d)),
-        |zf AS (SELECT doc_id, sum(w * val) AS z
-        |  FROM feat JOIN w3 USING (d) GROUP BY doc_id)
-        |SELECT doc_id, round(1.0/(1.0 + exp(-z)), 4) AS score,
-        |  round(1.0/(1.0 + exp(-z)), 4) >= 0.5 AS keep
-        |FROM zf ORDER BY doc_id LIMIT 100""".stripMargin) { (s, _) =>
+      s"""WITH $duckClassifierChain
+        |SELECT doc_id, score, score >= 0.5 AS keep
+        |FROM clf ORDER BY doc_id LIMIT 100""".stripMargin) { (s, _) =>
       TextAnalysis.qualityClassifier(s.table("documents"),
           positive = col("source") === "src0")
         .orderBy("doc_id").limit(100)
     },
+
+    // calibration of the learned filter against the heuristic: classifier-
+    // probability deciles vs mean Gopher-style quality + actual positive
+    // count per decile — the reliability diagram a curation run reads
+    // before trusting the learned threshold (DECIMAL-exact bin sums, one
+    // final division, so partial-agg order cannot flip a mean)
+    df("ta_quality_calibration",
+      s"""WITH $duckClassifierChain,
+        |qw AS (SELECT doc_id, text, list_filter(
+        |  regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)
+        |  AS words FROM documents),
+        |qf AS (SELECT doc_id,
+        |  CAST(len(words) AS BIGINT) AS word_cnt,
+        |  round(CAST(len(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+        |    / len(words), 4) AS mean_word_len,
+        |  round(CAST(len(list_filter(words, x -> x IN
+        |    ('the','a','an','and','of','to','in','is'))) AS DOUBLE)
+        |    / len(words), 4) AS stop_ratio,
+        |  round(CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+        |    AS DOUBLE) / greatest(len(text), 1), 4) AS punct_ratio
+        |  FROM qw),
+        |q AS (SELECT doc_id,
+        |  round((CASE WHEN word_cnt BETWEEN 5 AND 100000 THEN 0.25 ELSE 0.0 END)
+        |    + (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
+        |    + (CASE WHEN stop_ratio > 0.01 THEN 0.25 ELSE 0.0 END)
+        |    + (CASE WHEN punct_ratio < 0.2 THEN 0.25 ELSE 0.0 END), 2)
+        |    AS quality FROM qf),
+        |j AS (SELECT clf.doc_id,
+        |  least(CAST(floor(score * 10) AS INT), 9) AS bin, score, quality,
+        |  CAST(yy.y AS BIGINT) AS pos
+        |  FROM clf JOIN q USING (doc_id) JOIN yy USING (doc_id))
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(CAST(sum(CAST(score AS DECIMAL(18,4))) AS DOUBLE)
+        |    / count(*), 4) AS mean_score,
+        |  round(CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE)
+        |    / count(*), 4) AS mean_quality,
+        |  CAST(sum(pos) AS BIGINT) AS positives
+        |FROM j GROUP BY bin ORDER BY bin""".stripMargin) { (s, _) =>
+      TextAnalysis.qualityCalibration(s.table("documents"),
+          positive = col("source") === "src0")
+        .orderBy("bin")
+    },
+
 
     // DSIR importance resampling: Gumbel top-k over the weights — the
     // paper's sequential weighted draw as one distributed pass. u is the

@@ -287,6 +287,39 @@ class CorpusFiltersSpec extends SparkTestBase {
     assert(s1 == s2)
   }
 
+  test("quality calibration: bins partition the corpus, positives " +
+    "concentrate in high-score bins on a separable corpus") {
+    import spark.implicits._
+    val docs = ((0 until 20).map { i =>
+      (i.toLong, "good", "alpha beams align and alpha arrays bloom in alpha fields")
+    } ++ (20 until 40).map { i =>
+      (i.toLong, "junk", "zug vex quorp mizzle drang krell fosh wumble parn jex")
+    }).toDF("doc_id", "source", "text")
+    val cal = graft.operators.TextAnalysis
+      .qualityCalibration(docs, positive = col("source") === "good")
+      .collect().sortBy(_.getAs[Int]("bin"))
+    // bins partition the corpus exactly
+    assert(cal.map(_.getAs[Long]("n_docs")).sum == 40L, cal.mkString("; "))
+    assert(cal.forall(r => r.getAs[Int]("bin") >= 0 &&
+      r.getAs[Int]("bin") <= 9))
+    // positives total the positive class and live strictly above the
+    // negatives' bins on a separable corpus
+    assert(cal.map(_.getAs[Long]("positives")).sum == 20L)
+    val posBins = cal.filter(_.getAs[Long]("positives") > 0)
+      .map(_.getAs[Int]("bin"))
+    val negBins = cal.filter(r =>
+      r.getAs[Long]("positives") < r.getAs[Long]("n_docs"))
+      .map(_.getAs[Int]("bin"))
+    assert(posBins.min > negBins.max,
+      s"pos bins $posBins must sit above neg bins $negBins")
+    // mean_score stays inside its bin's [bin/10, bin/10 + 0.1) band
+    cal.foreach { r =>
+      val b = r.getAs[Int]("bin"); val m = r.getAs[Double]("mean_score")
+      assert(m >= b / 10.0 - 1e-9 && (b == 9 || m < (b + 1) / 10.0 + 1e-9),
+        s"bin $b mean $m")
+    }
+  }
+
   test("bpe merges: hand-computed greedy rounds on the classic corpus") {
     import spark.implicits._
     // words: low x3, lower x2, newest x4
