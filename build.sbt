@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// pass the forked main's stdout through UNPREFIXED: the driver parses
+// Bench's one-line JSON from stdout, and sbt's default LoggedOutput
+// would wrap it as "[info] {...}" (every BENCH_r*.json so far records
+// parsed: null)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
