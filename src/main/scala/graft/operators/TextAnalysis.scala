@@ -667,6 +667,32 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Per-document n-gram novelty: the fraction of a document's word
+    * n-grams (with multiplicity) that appear in NO other document — the
+    * corpus-level novelty/memorization metric of the dedup literature
+    * (Lee et al. 2022 measure exactly this to show what dedup removes):
+    * low novelty = the document is mostly text the corpus already has.
+    * Documents below the n-word floor carry no n-gram and are omitted.
+    *
+    * Shape at 100 TB: gram reach (distinct-doc count per gram) is two
+    * partial-agg shuffles on uniform gram keys; the join back is big-big
+    * but both sides hash-partition by the same gram key, and the per-doc
+    * rollup shuffles doc-keyed partials. No broadcast of anything
+    * corpus-sized, no window, no all-pairs. */
+  def noveltyScore(docs: DataFrame, n: Int = 5, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(n >= 2, "need n >= 2")
+    val grams = Dedup.shingles(docs, n, idCol, textCol)
+    val reach = grams.select(col(idCol), col("shingle")).distinct()
+      .groupBy("shingle").agg(count(lit(1)).as("n_docs"))
+    grams.join(reach, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs") === 1, 1L).otherwise(0L)).as("novel_grams"))
+      .withColumn("novelty",
+        round(col("novel_grams").cast("double") / col("n_grams"), 4))
+  }
+
   def vocabDrift(docs: DataFrame, strataCol: String = "source",
                  textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(strataCol).as("stratum"),

@@ -2713,6 +2713,26 @@ object TrainingData {
         .orderBy("id_a", "id_b")
     },
 
+    // per-doc n-gram novelty: fraction of a doc's bigrams no other doc
+    // carries — what exact/sub-doc dedup would leave behind
+    df("ta_novelty",
+      s"""WITH $duckWords,
+         |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+         |    i -> concat_ws(' ', w[i], w[i+1]))) AS shingle
+         |  FROM toks WHERE len(w) >= 2),
+         |r AS (SELECT shingle, count(*) AS n_docs FROM (
+         |  SELECT DISTINCT doc_id, shingle FROM g) x GROUP BY shingle)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS novel_grams,
+         |  round(CAST(sum(CASE WHEN n_docs = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 4) AS novelty
+         |FROM g JOIN r USING (shingle)
+         |GROUP BY doc_id ORDER BY doc_id LIMIT 100""".stripMargin) { (s, _) =>
+      graft.operators.TextAnalysis.noveltyScore(s.table("documents"), n = 2)
+        .orderBy("doc_id").limit(100)
+    },
+
     // boilerplate report: word n-grams shared across documents, by reach
     df("ta_dup_ngrams",
       s"""WITH $duckWords,

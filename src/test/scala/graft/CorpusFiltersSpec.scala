@@ -320,6 +320,32 @@ class CorpusFiltersSpec extends SparkTestBase {
     }
   }
 
+  test("novelty: exact duplicates score 0, unique docs 1, overlaps by hand") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "red fish blue fish"),       // dup of 1 -> novelty 0
+      (1L, "red fish blue fish"),
+      (2L, "green moss grows slowly"),  // fully unique -> novelty 1
+      // bigrams: (red fish) shared with 0/1; (fish swims) (swims away) novel
+      (3L, "red fish swims away")
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.noveltyScore(docs, n = 2).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_grams"), x.getAs[Long]("novel_grams"),
+          x.getAs[Double]("novelty"))).toMap
+    assert(r(0L) == ((3L, 0L, 0.0)), r)
+    assert(r(1L) == ((3L, 0L, 0.0)), r)
+    assert(r(2L) == ((3L, 3L, 1.0)), r)
+    assert(r(3L) == ((3L, 2L, 0.6667)), r)
+    // within-doc repetition of an otherwise-unique gram stays novel
+    // (reach counts DISTINCT docs), and multiplicity counts in n_grams
+    val rep = Seq((0L, "odd pair odd pair odd")).toDF("doc_id", "text")
+    val rr = graft.operators.TextAnalysis.noveltyScore(rep, n = 2)
+      .collect().head
+    assert(rr.getAs[Long]("n_grams") == 4L &&
+      rr.getAs[Double]("novelty") == 1.0, rr)
+  }
+
   test("bpe merges: hand-computed greedy rounds on the classic corpus") {
     import spark.implicits._
     // words: low x3, lower x2, newest x4
