@@ -156,6 +156,50 @@ object Dedup {
       .distinct()
   }
 
+  /** Write the released corpus as a hash-BUCKETED catalog table: rows
+    * bucketed (and sorted) by `md5(text)`, so every later text-keyed
+    * operation — the incremental-dedup anti-join, exact-dup grouping, the
+    * streaming corpus-dedup gate's static side — reads the corpus
+    * PRE-PARTITIONED on its join key and never shuffles it again. This is
+    * the executable form of the "bucket-by-hash the corpus table at scale"
+    * contract the dedup scale notes promise: at 100 TB the corpus-side
+    * shuffle is the dominant cost of every release-vs-batch check, and
+    * bucketing pays it once at write time instead of per run.
+    *
+    * Null text hashes to '0' (the shared null-as-a-normal-group
+    * convention), so null-text rows land in a deterministic bucket too. */
+  def writeCorpusBucketed(docs: DataFrame, table: String, buckets: Int = 32,
+                          textCol: String = "text"): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    docs.withColumn("text_hash", coalesce(md5(col(textCol)), lit("0")))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "text_hash").sortBy("text_hash")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** [[incrementalDedup]] against a [[writeCorpusBucketed]] table: same
+    * semantics (corpus-known texts dropped, then keep-first within the
+    * batch), but the corpus side of the anti-join is the bucketed scan —
+    * its output partitioning IS the join partitioning, so only the (small)
+    * new batch shuffles; the released corpus is read in place. The
+    * in-batch keeper stages then reuse the batch's text_hash partitioning,
+    * so only batch-sized data ever shuffles — the terabyte side is read in place. */
+  def incrementalDedupBucketed(newBatch: DataFrame, corpusTable: String,
+                               idCol: String = "doc_id",
+                               textCol: String = "text"): DataFrame = {
+    val corpus = newBatch.sparkSession.table(corpusTable)
+      .select(col("text_hash"))
+    val keyed = newBatch.withColumn("text_hash",
+      coalesce(md5(col(textCol)), lit("0")))
+    val fresh = keyed.join(corpus,
+      keyed("text_hash") === corpus("text_hash"), "left_anti")
+    val keeper = fresh.groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as("ikeeper"))
+    fresh.join(keeper, Seq("text_hash"))
+      .where(col(idCol) === col("ikeeper"))
+      .drop("text_hash", "ikeeper")
+  }
+
   /** MinHash calibration — estimated vs TRUE Jaccard on the LSH candidate
     * pairs: `est = (matching signature components) / k` against the exact
     * shingle-set Jaccard, with the absolute error per pair. The

@@ -392,6 +392,72 @@ class DedupSpec extends SparkTestBase {
     assert(capped((0L, 2L)) == 1.0, capped)
   }
 
+  test("bucketed corpus dedup: same verdicts as the plain anti-join, the " +
+    "corpus side never re-shuffles, and null text still dedups") {
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "released body one"), (101L, "released body two"),
+      (102L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (0L, "released body one"),     // corpus dup -> drop
+      (1L, "fresh body"), (2L, "fresh body"),  // keep-first within batch
+      (3L, null.asInstanceOf[String]),         // corpus holds a null -> drop
+      (4L, "another fresh")
+    ).toDF("doc_id", "text")
+    val table = "graft_test_corpus_bucketed"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    Dedup.writeCorpusBucketed(corpus, table, buckets = 4)
+    try {
+      val bucketed = Dedup.incrementalDedupBucketed(batch, table)
+      val plain = Dedup.incrementalDedup(batch, corpus)
+      val got = bucketed.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 4L), got)
+      assert(got == plain.select("doc_id").collect().map(_.getLong(0)).toSet)
+      // the scale contract, from the executed plan: the corpus scan is
+      // bucketed, and its output partitioning replaces the corpus-side
+      // shuffle. Tiny test frames would broadcast (hiding the shuffles
+      // being compared) and AQE would re-plan them, so pin both off for
+      // the shape comparison — at corpus scale neither side broadcasts.
+      val conf = spark.conf
+      val (bcast0, aqe0) = (conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        conf.get("spark.sql.adaptive.enabled"))
+      try {
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        val planB = Dedup.incrementalDedupBucketed(batch, table)
+          .queryExecution.executedPlan
+        val planP = Dedup.incrementalDedup(batch,
+            spark.table(table).drop("text_hash"))
+          .queryExecution.executedPlan
+        assert(planB.toString.contains("Bucketed: true"), planB.toString)
+        val shuffles = "Exchange hashpartitioning".r
+        val (nB, nP) = (shuffles.findAllIn(planB.toString).size,
+          shuffles.findAllIn(planP.toString).size)
+        assert(nB < nP, s"bucketed $nB shuffles vs plain $nP\n$planB")
+        // the structural claim: the anti-join's corpus (right) side carries
+        // NO shuffle in the bucketed plan — the bucket layout IS the join
+        // partitioning — while the plain formulation must exchange the
+        // corpus keys before the same join
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        def antiRightShuffled(p: org.apache.spark.sql.execution.SparkPlan) =
+          p.collect {
+            case j: SortMergeJoinExec if j.joinType.sql == "LEFT ANTI" =>
+              j.right.find(_.isInstanceOf[ShuffleExchangeExec]).isDefined
+          }
+        assert(antiRightShuffled(planB).nonEmpty &&
+          antiRightShuffled(planB).forall(_ == false),
+          s"corpus side shuffled:\n$planB")
+        assert(antiRightShuffled(planP).exists(_ == true),
+          "plain variant should shuffle the corpus keys")
+      } finally {
+        conf.set("spark.sql.autoBroadcastJoinThreshold", bcast0)
+        conf.set("spark.sql.adaptive.enabled", aqe0)
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("minhash calibration: exact duplicates read est = true = 1, and " +
     "every estimate is a valid k-quantized probability") {
     import spark.implicits._
