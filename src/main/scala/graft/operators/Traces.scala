@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Trace-structure analytics over the span tables the OTLP readers and the
+  * seal export produce — the queries an operator actually asks of traces
+  * beyond row-level scans: how deep is this trace, is it a single tree or
+  * a forest, and where did the time go.
+  *
+  * Reference anchor: the flattened span schema (trace_id, span_id,
+  * parent_span_id, duration) is the reference's traces table
+  * (/root/reference/src/include/otlp_schema.hpp traces columns); the tree
+  * rollup itself is beyond-reference surface, built the Spark way.
+  */
+object Traces {
+
+  /** Per-trace span-tree rollup: walks every span to its root and reports
+    * one row per trace — span count, root count (a healthy trace has 1;
+    * spans whose parent id is missing from the trace count as roots too,
+    * the standard orphan convention), max depth, the critical path (the
+    * largest root-to-span sum of span durations — where the latency
+    * lives), and total span time.
+    *
+    * The ancestor walk is pointer doubling (label(x) ← label(label(x))),
+    * the same O(log depth) machinery as [[Dedup.neardupClusters]]: each
+    * round a span's known-ancestor pointer jumps twice as far while
+    * accumulating hop count and path duration, so `rounds = 6` resolves
+    * any trace up to 2^6 = 64 deep in six uniform-key joins — depth-k
+    * chains never cost k sequential joins.
+    *
+    * Shape at 100 TB: every join and aggregate is keyed by
+    * (trace_id, span_id) — maximally uniform; per-round state is one row
+    * per span with four small columns, localCheckpoint'ed so lineage stays
+    * flat; nothing ever materializes a whole trace in one place, so a
+    * million-span trace is as distributable as a million one-span traces. */
+  def traceTree(spans: DataFrame, rounds: Int = 6,
+                idCol: String = "span_id",
+                parentCol: String = "parent_span_id",
+                traceCol: String = "trace_id",
+                durCol: String = "duration_time_unix_nano"): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds out of range: $rounds")
+    val base = spans.select(col(traceCol).as("t"), col(idCol).as("s"),
+      col(parentCol).as("p"), col(durCol).cast("long").as("dur"))
+    // normalize dangling parents (id absent from the trace) to null so the
+    // walk's invariant holds: a non-null ancestor pointer ALWAYS resolves
+    val ids = base.select(col("t").as("it"), col("s").as("is"))
+    var st = base.join(ids,
+        col("t") === col("it") && col("p") === col("is"), "left")
+      .select(col("t"), col("s"),
+        when(col("is").isNull, lit(null)).otherwise(col("p")).as("anc"),
+        when(col("is").isNull, 0).otherwise(1).cast("int").as("d"),
+        col("dur").as("w"),
+        col("is").isNull.as("is_root"), col("dur"))
+      .localCheckpoint()
+    // invariant: anc is an ancestor of s (or null = s reached its root);
+    // d = edges s→anc; w = Σ dur over s..anc EXCLUSIVE of anc (when anc is
+    // null: w covers the whole root path inclusive)
+    for (_ <- 1 to rounds) {
+      val hop = st.select(col("t").as("t2"), col("s").as("s2"),
+        col("anc").as("anc2"), col("d").as("d2"), col("w").as("w2"))
+      st = st.join(hop,
+          col("t") === col("t2") && col("anc") === col("s2"), "left")
+        .select(col("t"), col("s"),
+          when(col("s2").isNull, col("anc")).otherwise(col("anc2")).as("anc"),
+          when(col("s2").isNull, col("d"))
+            .otherwise(col("d") + col("d2")).cast("int").as("d"),
+          when(col("s2").isNull, col("w"))
+            .otherwise(col("w") + col("w2")).as("w"),
+          col("is_root"), col("dur"))
+        .localCheckpoint()
+    }
+    st.groupBy(col("t").as("trace_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("is_root"), 1L).otherwise(0L)).as("n_roots"),
+        max(col("d")).as("max_depth"),
+        max(col("w")).as("critical_path_ns"),
+        sum(col("dur")).as("total_span_ns"))
+  }
+}

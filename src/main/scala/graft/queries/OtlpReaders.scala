@@ -210,6 +210,46 @@ object OtlpReaders {
         .groupBy("service_name", "severity_text")
         .agg(count(lit(1)).as("cnt"))
         .orderBy("service_name", "severity_text")
+    },
+
+    // per-trace span-tree rollup (beyond-reference surface): depth, forest
+    // detection, critical path — the Spark side walks ancestors with
+    // pointer doubling, the oracle with an exact recursive CTE
+    df("otlp_trace_tree",
+      s"""WITH RECURSIVE rec AS (
+         |  SELECT sp.* FROM read_json('$fx/traces_tree.jsonl',
+         |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
+         |    unnest(resourceSpans) AS a(rs),
+         |    unnest(rs.scopeSpans) AS b(ss),
+         |    unnest(ss.spans) AS c(sp)),
+         |sp AS (SELECT lower(traceId) AS t, lower(spanId) AS s,
+         |  lower(parentSpanId) AS p,
+         |  CAST(endTimeUnixNano AS BIGINT) - CAST(startTimeUnixNano AS BIGINT)
+         |    AS dur FROM rec),
+         |norm AS (SELECT sp.t, sp.s,
+         |  CASE WHEN q.s IS NULL THEN NULL ELSE sp.p END AS np, sp.dur,
+         |  q.s IS NULL AS is_root
+         |  FROM sp LEFT JOIN sp q ON q.t = sp.t AND q.s = sp.p),
+         |walk AS (
+         |  SELECT t, s, np AS anc,
+         |    CASE WHEN np IS NULL THEN 0 ELSE 1 END AS d, dur AS w FROM norm
+         |  UNION ALL
+         |  SELECT w.t, w.s, n2.np,
+         |    w.d + CASE WHEN n2.np IS NULL THEN 0 ELSE 1 END, w.w + n2.dur
+         |  FROM walk w JOIN norm n2 ON n2.t = w.t AND n2.s = w.anc),
+         |fin AS (SELECT t, s, d, w FROM walk WHERE anc IS NULL),
+         |r AS (SELECT t,
+         |  CAST(sum(CASE WHEN is_root THEN 1 ELSE 0 END) AS BIGINT) AS n_roots,
+         |  CAST(sum(dur) AS BIGINT) AS total_span_ns FROM norm GROUP BY t),
+         |f AS (SELECT t, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(max(d) AS INT) AS max_depth,
+         |  CAST(max(w) AS BIGINT) AS critical_path_ns FROM fin GROUP BY t)
+         |SELECT f.t AS trace_id, n_spans, n_roots, max_depth,
+         |  critical_path_ns, total_span_ns
+         |FROM f JOIN r ON r.t = f.t ORDER BY trace_id""".stripMargin) { (s, _) =>
+      graft.operators.Traces.traceTree(
+          Otlp.readTraces(s, s"$fx/traces_tree.jsonl"))
+        .orderBy("trace_id")
     }
   )
 }

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Traces
+import org.apache.spark.sql.functions._
+
+/** Span-tree rollup semantics: depth/forest/critical-path by hand, orphan
+  * convention, and pointer-doubling convergence on chains much deeper than
+  * one round covers. */
+class TracesSpec extends SparkTestBase {
+
+  test("trace tree on the fixture: hand-computed depth, roots, critical path") {
+    val got = Traces.traceTree(
+        Otlp.readTraces(spark, "/root/repo/src/test/resources/otlp/traces_tree.jsonl"))
+      .collect().map(r => r.getString(0).take(2) ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_roots"),
+          r.getAs[Int]("max_depth"), r.getAs[Long]("critical_path_ns"),
+          r.getAs[Long]("total_span_ns"))).toMap
+    // t1: A(10) -> {B(20) -> D(40), C(30)}: critical A+B+D
+    assert(got("aa") == ((4L, 1L, 2, 70L, 100L)), got)
+    // t2: forest — E(5)->F(7) plus orphan G(9) whose parent is dangling
+    assert(got("bb") == ((3L, 2L, 1, 12L, 21L)), got)
+    // t3: 6-chain, durations 1..6: depth 5, critical = 21
+    assert(got("cc") == ((6L, 1L, 5, 21L, 21L)), got)
+  }
+
+  test("pointer doubling resolves chains far deeper than one round: " +
+    "depth-40 chain needs ceil(log2) rounds, not 40 joins") {
+    import spark.implicits._
+    val n = 41 // depth 40 < 2^6
+    val spans = (0 until n).map { i =>
+      ("t1", f"s$i%03d", if (i == 0) null else f"s${i - 1}%03d", (i + 1).toLong)
+    }.toDF("trace_id", "span_id", "parent_span_id", "duration_time_unix_nano")
+    val r = Traces.traceTree(spans).collect().head
+    assert(r.getAs[Long]("n_spans") == n)
+    assert(r.getAs[Long]("n_roots") == 1L)
+    assert(r.getAs[Int]("max_depth") == n - 1)
+    // critical path = full chain sum 1+..+41
+    assert(r.getAs[Long]("critical_path_ns") == n.toLong * (n + 1) / 2)
+    // and an insufficient round budget underreports (proves the rounds
+    // parameter is really what resolves depth — 2 rounds cover depth 4)
+    val shallow = Traces.traceTree(spans, rounds = 2).collect().head
+    assert(shallow.getAs[Int]("max_depth") < n - 1)
+  }
+
+  test("span ids repeated across DIFFERENT traces never cross-link") {
+    import spark.implicits._
+    val spans = Seq(
+      ("ta", "x", null, 1L), ("ta", "y", "x", 2L),
+      ("tb", "x", null, 10L), ("tb", "y", "x", 20L), ("tb", "z", "y", 30L)
+    ).toDF("trace_id", "span_id", "parent_span_id", "duration_time_unix_nano")
+    val got = Traces.traceTree(spans).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_spans"),
+        r.getAs[Int]("max_depth"), r.getAs[Long]("critical_path_ns"))).toMap
+    assert(got("ta") == ((2L, 1, 3L)), got)
+    assert(got("tb") == ((3L, 2, 60L)), got)
+  }
+}
