@@ -77,4 +77,31 @@ object Traces {
         max(col("w")).as("critical_path_ns"),
         sum(col("dur")).as("total_span_ns"))
   }
+
+  /** Service dependency graph: one row per (caller service, callee
+    * service) edge observed anywhere in the span table — call count and
+    * total callee time. The map a tracing UI draws, as a table: an edge
+    * exists where a span's resolved parent lives in another (or the same)
+    * service; root/orphan spans contribute no edge.
+    *
+    * Shape at 100 TB: ONE self-join on the uniform (trace_id, span_id)
+    * key — the per-trace parent resolution — followed by a partial agg to
+    * a services²-bounded frame (tiny). Never materializes a trace, never
+    * shuffles by service (the hot key) until the rows are already
+    * edge-aggregated partials. */
+  def serviceGraph(spans: DataFrame,
+                   idCol: String = "span_id",
+                   parentCol: String = "parent_span_id",
+                   traceCol: String = "trace_id",
+                   serviceCol: String = "service_name",
+                   durCol: String = "duration_time_unix_nano"): DataFrame = {
+    val child = spans.select(col(traceCol).as("t"), col(parentCol).as("p"),
+      col(serviceCol).as("callee_service"), col(durCol).cast("long").as("dur"))
+    val parent = spans.select(col(traceCol).as("pt"), col(idCol).as("ps"),
+      col(serviceCol).as("caller_service"))
+    child.join(parent, col("t") === col("pt") && col("p") === col("ps"))
+      .groupBy("caller_service", "callee_service")
+      .agg(count(lit(1)).as("n_calls"),
+        sum(col("dur")).as("total_callee_ns"))
+  }
 }

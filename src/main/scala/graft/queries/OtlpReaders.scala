@@ -250,6 +250,31 @@ object OtlpReaders {
       graft.operators.Traces.traceTree(
           Otlp.readTraces(s, s"$fx/traces_tree.jsonl"))
         .orderBy("trace_id")
+    },
+
+    // service dependency graph (beyond-reference surface): the tracing-UI
+    // map as a table — parent-resolved cross/same-service call edges
+    df("otlp_service_graph",
+      s"""WITH rec AS (
+         |  SELECT rs.resource AS res, sp.* FROM read_json('$fx/traces_services.jsonl',
+         |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
+         |    unnest(resourceSpans) AS a(rs),
+         |    unnest(rs.scopeSpans) AS b(ss),
+         |    unnest(ss.spans) AS c(sp)),
+         |sp AS (SELECT lower(traceId) AS t, lower(spanId) AS s,
+         |  lower(parentSpanId) AS p, ${duckService("res.attributes")} AS svc,
+         |  CAST(endTimeUnixNano AS BIGINT) - CAST(startTimeUnixNano AS BIGINT)
+         |    AS dur FROM rec),
+         |e AS (SELECT pa.svc AS caller_service, ch.svc AS callee_service,
+         |  ch.dur FROM sp ch JOIN sp pa ON pa.t = ch.t AND pa.s = ch.p)
+         |SELECT caller_service, callee_service,
+         |  CAST(count(*) AS BIGINT) AS n_calls,
+         |  CAST(sum(dur) AS BIGINT) AS total_callee_ns
+         |FROM e GROUP BY caller_service, callee_service
+         |ORDER BY caller_service, callee_service""".stripMargin) { (s, _) =>
+      graft.operators.Traces.serviceGraph(
+          Otlp.readTraces(s, s"$fx/traces_services.jsonl"))
+        .orderBy("caller_service", "callee_service")
     }
   )
 }

@@ -42,6 +42,22 @@ class TracesSpec extends SparkTestBase {
     assert(shallow.getAs[Int]("max_depth") < n - 1)
   }
 
+  test("service graph: hand-computed edges, roots/orphans contribute none") {
+    val got = Traces.serviceGraph(
+        Otlp.readTraces(spark, "/root/repo/src/test/resources/otlp/traces_services.jsonl"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_calls"), r.getAs[Long]("total_callee_ns"))).toMap
+    assert(got == Map(
+      ("svc-front", "svc-front") -> ((1L, 20L)),  // auth under GET /
+      ("svc-front", "svc-back") -> ((1L, 30L)),   // rpc under auth
+      ("svc-back", "svc-back") -> ((1L, 40L)),    // plan under rpc
+      ("svc-back", "svc-db") -> ((2L, 110L)),     // q1+q2 under plan
+      ("svc-front", "svc-db") -> ((1L, 15L))      // q3 under GET /x (trace 2)
+    ), got)
+    // the two roots (no parent) appear in no edge: 8 spans - 2 roots
+    assert(got.values.map(_._1).sum == 6L)
+  }
+
   test("span ids repeated across DIFFERENT traces never cross-link") {
     import spark.implicits._
     val spans = Seq(
