@@ -104,4 +104,54 @@ object Traces {
       .agg(count(lit(1)).as("n_calls"),
         sum(col("dur")).as("total_callee_ns"))
   }
+
+  /** RED metrics per (service, span name): Rate (span count), Errors
+    * (status code 2), Duration (total + max ns) — the operational rollup
+    * every span table feeds a dashboard.
+    *
+    * Shape: one partial-agg groupBy on the (service, name) key — hot
+    * endpoints collapse map-side before the exchange. */
+  def redMetrics(spans: DataFrame,
+                 serviceCol: String = "service_name",
+                 nameCol: String = "name",
+                 statusCol: String = "status_code",
+                 durCol: String = "duration_time_unix_nano"): DataFrame =
+    spans.groupBy(col(serviceCol).as("service_name"),
+        col(nameCol).as("span_name"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col(statusCol) === 2, 1L).otherwise(0L)).as("n_errors"),
+        sum(col(durCol).cast("long")).as("total_ns"),
+        max(col(durCol).cast("long")).as("max_ns"))
+
+  /** Tail-based trace sampling — the collector policy, as a batch/stream
+    * operator: keep EVERY span of a trace when the trace (a) contains an
+    * error span, or (b) has any span at or above `slowNs`, or (c) falls in
+    * a deterministic `sampleRate` hash sample of the remainder; drop the
+    * rest wholesale. Each kept span carries `keep_reason`
+    * ('error' > 'slow' > 'sampled' precedence) so downstream storage can
+    * account for the policy. The md5-derived sample decision is the
+    * engine/partitioning-portable one every sampler here uses — re-runs
+    * and replicas keep exactly the same traces.
+    *
+    * Shape at 100 TB: one partial-agg verdict pass collapses spans to a
+    * trace-keyed verdict frame (orders of magnitude smaller), then one
+    * uniform trace-keyed join fans the verdict back. No window, no
+    * per-trace materialization. */
+  def tailSample(spans: DataFrame, slowNs: Long, sampleRate: Double,
+                 salt: String = "tail",
+                 traceCol: String = "trace_id",
+                 statusCol: String = "status_code",
+                 durCol: String = "duration_time_unix_nano"): DataFrame = {
+    require(sampleRate >= 0.0 && sampleRate <= 1.0, s"bad rate $sampleRate")
+    val verdict = spans.groupBy(col(traceCol))
+      .agg(max(when(col(statusCol) === 2, 1).otherwise(0)).as("has_err"),
+        max(col(durCol).cast("long")).as("max_ns"))
+      .withColumn("keep_reason",
+        when(col("has_err") === 1, "error")
+          .when(col("max_ns") >= slowNs, "slow")
+          .when(Sampling.hashUnit(col(traceCol), salt) < sampleRate, "sampled"))
+      .where(col("keep_reason").isNotNull)
+      .select(col(traceCol), col("keep_reason"))
+    spans.join(verdict, Seq(traceCol))
+  }
 }

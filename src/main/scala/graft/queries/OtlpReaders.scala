@@ -275,6 +275,63 @@ object OtlpReaders {
       graft.operators.Traces.serviceGraph(
           Otlp.readTraces(s, s"$fx/traces_services.jsonl"))
         .orderBy("caller_service", "callee_service")
+    },
+
+    // RED rollup per (service, span name): rate / errors / duration
+    df("otlp_red_metrics",
+      s"""WITH rec AS (
+         |  SELECT rs.resource AS res, sp.* FROM read_json('$fx/traces_red.jsonl',
+         |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
+         |    unnest(resourceSpans) AS a(rs),
+         |    unnest(rs.scopeSpans) AS b(ss),
+         |    unnest(ss.spans) AS c(sp)),
+         |sp AS (SELECT ${duckService("res.attributes")} AS svc, "name" AS nm,
+         |  status.code AS code,
+         |  CAST(endTimeUnixNano AS BIGINT) - CAST(startTimeUnixNano AS BIGINT)
+         |    AS dur FROM rec)
+         |SELECT svc AS service_name, nm AS span_name,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN code = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+         |  CAST(sum(dur) AS BIGINT) AS total_ns,
+         |  CAST(max(dur) AS BIGINT) AS max_ns
+         |FROM sp GROUP BY svc, nm ORDER BY service_name, span_name""".stripMargin) {
+      (s, _) =>
+        graft.operators.Traces.redMetrics(
+            Otlp.readTraces(s, s"$fx/traces_red.jsonl"))
+          .orderBy("service_name", "span_name")
+    },
+
+    // tail-based trace sampling: error traces always kept, slow traces
+    // kept, a deterministic hash sample of the clean remainder
+    df("otlp_tail_sample",
+      s"""WITH rec AS (
+         |  SELECT sp.* FROM read_json('$fx/traces_red.jsonl',
+         |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
+         |    unnest(resourceSpans) AS a(rs),
+         |    unnest(rs.scopeSpans) AS b(ss),
+         |    unnest(ss.spans) AS c(sp)),
+         |sp AS (SELECT lower(traceId) AS t, lower(spanId) AS s,
+         |  status.code AS code,
+         |  CAST(endTimeUnixNano AS BIGINT) - CAST(startTimeUnixNano AS BIGINT)
+         |    AS dur FROM rec),
+         |v AS (SELECT t, max(CASE WHEN code = 2 THEN 1 ELSE 0 END) AS he,
+         |  max(dur) AS mx FROM sp GROUP BY t),
+         |k AS (SELECT t, CASE WHEN he = 1 THEN 'error'
+         |  WHEN mx >= 1000 THEN 'slow'
+         |  WHEN CAST(list_sum(list_transform(generate_series(1, 8),
+         |    i -> (strpos('0123456789abcdef',
+         |      substring(md5(concat('tail', t)), i, 1)) - 1)
+         |      * 16.0 ** (8 - i))) AS DOUBLE) / 4294967296.0 < 0.5
+         |    THEN 'sampled' END AS keep_reason FROM v),
+         |kk AS (SELECT t, keep_reason FROM k WHERE keep_reason IS NOT NULL)
+         |SELECT sp.t AS trace_id, sp.s AS span_id, kk.keep_reason
+         |FROM sp JOIN kk ON kk.t = sp.t
+         |ORDER BY trace_id, span_id""".stripMargin) { (s, _) =>
+      graft.operators.Traces.tailSample(
+          Otlp.readTraces(s, s"$fx/traces_red.jsonl"),
+          slowNs = 1000L, sampleRate = 0.5)
+        .select(col("trace_id"), col("span_id"), col("keep_reason"))
+        .orderBy("trace_id", "span_id")
     }
   )
 }

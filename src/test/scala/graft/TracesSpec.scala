@@ -58,6 +58,40 @@ class TracesSpec extends SparkTestBase {
     assert(got.values.map(_._1).sum == 6L)
   }
 
+  test("red metrics + tail sampling on the red fixture: hand-computed " +
+    "rollup; error/slow always kept, clean traces only by hash") {
+    val spans = Otlp.readTraces(spark,
+      "/root/repo/src/test/resources/otlp/traces_red.jsonl")
+    val red = Traces.redMetrics(spans).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_errors"),
+          r.getAs[Long]("total_ns"), r.getAs[Long]("max_ns"))).toMap
+    assert(red(("svc-front", "GET /a")) == ((2L, 0L, 140L, 100L)), red)
+    assert(red(("svc-front", "call")) == ((2L, 1L, 70L, 50L)), red)
+    assert(red(("svc-back", "work")) == ((2L, 0L, 1530L, 1500L)), red)
+    assert(red(("svc-front", "GET /b")) == ((1L, 0L, 2000L, 2000L)), red)
+    // tail sampling: the error trace and the slow trace are ALWAYS kept,
+    // whole-trace, regardless of the hash; rate 0 drops every clean trace
+    val kept0 = Traces.tailSample(spans, slowNs = 1000L, sampleRate = 0.0)
+      .select("trace_id", "keep_reason").distinct().collect()
+      .map(r => r.getString(0).takeRight(1) -> r.getString(1)).toMap
+    assert(kept0 == Map("1" -> "error", "2" -> "slow"), kept0)
+    // rate 1 keeps the clean trace too, as 'sampled', with ALL its spans
+    val kept1 = Traces.tailSample(spans, slowNs = 1000L, sampleRate = 1.0)
+    assert(kept1.count() == spans.count())
+    assert(kept1.where(col("trace_id").endsWith("3"))
+      .select("keep_reason").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("sampled"))
+    // reason precedence: an error trace that is also slow reads 'error'
+    val both = Traces.tailSample(
+      spans.withColumn("status_code",
+        when(col("trace_id").endsWith("2"), 2).otherwise(col("status_code"))),
+      slowNs = 1000L, sampleRate = 0.0)
+    assert(both.where(col("trace_id").endsWith("2"))
+      .select("keep_reason").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("error"))
+  }
+
   test("span ids repeated across DIFFERENT traces never cross-link") {
     import spark.implicits._
     val spans = Seq(
