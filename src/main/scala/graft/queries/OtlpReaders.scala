@@ -217,7 +217,7 @@ object OtlpReaders {
     // pointer doubling, the oracle with an exact recursive CTE
     df("otlp_trace_tree",
       s"""WITH RECURSIVE rec AS (
-         |  SELECT sp.* FROM read_json('$fx/traces_tree.jsonl',
+         |  SELECT sp.* FROM read_json('$fx/tree_traces.jsonl',
          |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
          |    unnest(resourceSpans) AS a(rs),
          |    unnest(rs.scopeSpans) AS b(ss),
@@ -248,7 +248,7 @@ object OtlpReaders {
          |  critical_path_ns, total_span_ns
          |FROM f JOIN r ON r.t = f.t ORDER BY trace_id""".stripMargin) { (s, _) =>
       graft.operators.Traces.traceTree(
-          Otlp.readTraces(s, s"$fx/traces_tree.jsonl"))
+          Otlp.readTraces(s, s"$fx/tree_traces.jsonl"))
         .orderBy("trace_id")
     },
 
@@ -256,7 +256,7 @@ object OtlpReaders {
     // map as a table — parent-resolved cross/same-service call edges
     df("otlp_service_graph",
       s"""WITH rec AS (
-         |  SELECT rs.resource AS res, sp.* FROM read_json('$fx/traces_services.jsonl',
+         |  SELECT rs.resource AS res, sp.* FROM read_json('$fx/services_traces.jsonl',
          |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
          |    unnest(resourceSpans) AS a(rs),
          |    unnest(rs.scopeSpans) AS b(ss),
@@ -273,14 +273,14 @@ object OtlpReaders {
          |FROM e GROUP BY caller_service, callee_service
          |ORDER BY caller_service, callee_service""".stripMargin) { (s, _) =>
       graft.operators.Traces.serviceGraph(
-          Otlp.readTraces(s, s"$fx/traces_services.jsonl"))
+          Otlp.readTraces(s, s"$fx/services_traces.jsonl"))
         .orderBy("caller_service", "callee_service")
     },
 
     // RED rollup per (service, span name): rate / errors / duration
     df("otlp_red_metrics",
       s"""WITH rec AS (
-         |  SELECT rs.resource AS res, sp.* FROM read_json('$fx/traces_red.jsonl',
+         |  SELECT rs.resource AS res, sp.* FROM read_json('$fx/red_traces.jsonl',
          |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
          |    unnest(resourceSpans) AS a(rs),
          |    unnest(rs.scopeSpans) AS b(ss),
@@ -297,7 +297,7 @@ object OtlpReaders {
          |FROM sp GROUP BY svc, nm ORDER BY service_name, span_name""".stripMargin) {
       (s, _) =>
         graft.operators.Traces.redMetrics(
-            Otlp.readTraces(s, s"$fx/traces_red.jsonl"))
+            Otlp.readTraces(s, s"$fx/red_traces.jsonl"))
           .orderBy("service_name", "span_name")
     },
 
@@ -305,7 +305,7 @@ object OtlpReaders {
     // kept, a deterministic hash sample of the clean remainder
     df("otlp_tail_sample",
       s"""WITH rec AS (
-         |  SELECT sp.* FROM read_json('$fx/traces_red.jsonl',
+         |  SELECT sp.* FROM read_json('$fx/red_traces.jsonl',
          |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
          |    unnest(resourceSpans) AS a(rs),
          |    unnest(rs.scopeSpans) AS b(ss),
@@ -328,7 +328,7 @@ object OtlpReaders {
          |FROM sp JOIN kk ON kk.t = sp.t
          |ORDER BY trace_id, span_id""".stripMargin) { (s, _) =>
       graft.operators.Traces.tailSample(
-          Otlp.readTraces(s, s"$fx/traces_red.jsonl"),
+          Otlp.readTraces(s, s"$fx/red_traces.jsonl"),
           slowNs = 1000L, sampleRate = 0.5)
         .select(col("trace_id"), col("span_id"), col("keep_reason"))
         .orderBy("trace_id", "span_id")

@@ -55,6 +55,26 @@ object TelemetryStreams {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("service_name"), col("severity_text"), col("cnt"))
 
+  /** Windowed RED metrics on the span stream — the live face of
+    * `operators.Traces.redMetrics`: per (window, service, span name) the
+    * span rate, error count (status code 2), and total/max duration. The
+    * operational dashboard feed, watermark-bounded like every windowed
+    * stream here. */
+  def redRate(spans: DataFrame, windowLen: String = "1 minute",
+              watermark: String = "2 minutes"): DataFrame =
+    spans
+      .withWatermark("start_time_unix_nano", watermark)
+      .groupBy(
+        window(col("start_time_unix_nano"), windowLen).as("w"),
+        col("service_name"), col("name"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("status_code") === 2, 1L).otherwise(0L)).as("n_errors"),
+        sum(col("duration_time_unix_nano").cast("long")).as("total_ns"),
+        max(col("duration_time_unix_nano").cast("long")).as("max_ns"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("service_name"), col("name").as("span_name"),
+        col("n_spans"), col("n_errors"), col("total_ns"), col("max_ns"))
+
   /** Exact-duplicate suppression on the stream (trace_id+span_id within the
     * watermark horizon) — the dedup the reference documents as a downstream
     * responsibility for its at-least-once parquet path. */

@@ -57,6 +57,24 @@ class TelemetryStreamsSpec extends SparkTestBase {
     assert(rows.select("service_name").distinct().first().getString(0) == "test-service")
   }
 
+  test("windowed RED metrics over the sealed span stream: rate, errors, " +
+    "durations per (service, span name)") {
+    val q = TelemetryStreams.redRate(
+        TelemetryStreams.traceStream(spark, root))
+      .writeStream.format("memory").queryName("redrate")
+      .outputMode("complete").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("redrate").collect()
+      .map(r => r.getAs[String]("span_name") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_errors"),
+          r.getAs[Long]("max_ns"))).toMap
+    // the seed posts traces_simple twice (at-least-once): every span x2
+    assert(rows("GET /users") == ((2L, 0L, 100000000L)), rows)
+    assert(rows("SELECT users") == ((2L, 0L, 40000000L)), rows)
+    assert(rows("process batch") == ((2L, 2L, 1000000000L)), rows)
+  }
+
   test("streaming dedup drops at-least-once duplicates within the watermark") {
     val q = TelemetryStreams.dedupSpans(
         TelemetryStreams.traceStream(spark, root))

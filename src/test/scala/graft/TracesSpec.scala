@@ -10,7 +10,7 @@ class TracesSpec extends SparkTestBase {
 
   test("trace tree on the fixture: hand-computed depth, roots, critical path") {
     val got = Traces.traceTree(
-        Otlp.readTraces(spark, "/root/repo/src/test/resources/otlp/traces_tree.jsonl"))
+        Otlp.readTraces(spark, "/root/repo/src/test/resources/otlp/tree_traces.jsonl"))
       .collect().map(r => r.getString(0).take(2) ->
         (r.getAs[Long]("n_spans"), r.getAs[Long]("n_roots"),
           r.getAs[Int]("max_depth"), r.getAs[Long]("critical_path_ns"),
@@ -44,7 +44,7 @@ class TracesSpec extends SparkTestBase {
 
   test("service graph: hand-computed edges, roots/orphans contribute none") {
     val got = Traces.serviceGraph(
-        Otlp.readTraces(spark, "/root/repo/src/test/resources/otlp/traces_services.jsonl"))
+        Otlp.readTraces(spark, "/root/repo/src/test/resources/otlp/services_traces.jsonl"))
       .collect().map(r => (r.getString(0), r.getString(1)) ->
         (r.getAs[Long]("n_calls"), r.getAs[Long]("total_callee_ns"))).toMap
     assert(got == Map(
@@ -61,7 +61,7 @@ class TracesSpec extends SparkTestBase {
   test("red metrics + tail sampling on the red fixture: hand-computed " +
     "rollup; error/slow always kept, clean traces only by hash") {
     val spans = Otlp.readTraces(spark,
-      "/root/repo/src/test/resources/otlp/traces_red.jsonl")
+      "/root/repo/src/test/resources/otlp/red_traces.jsonl")
     val red = Traces.redMetrics(spans).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         (r.getAs[Long]("n_spans"), r.getAs[Long]("n_errors"),
