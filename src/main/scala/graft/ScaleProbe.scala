@@ -88,6 +88,9 @@ object ScaleProbe {
             spark.read.parquet(s"$sfDir/documents.parquet"),
             positive = org.apache.spark.sql.functions.col("source") === "src0",
             bins = k)
+        case "novelty" =>
+          TextAnalysis.noveltyScore(
+            spark.read.parquet(s"$sfDir/documents.parquet"), n = k)
         case other => throw new IllegalArgumentException(s"unknown op $other")
       }
       if (sys.env.contains("SPARK_GRAFT_PROBE_EXPLAIN")) df.explain("formatted")

@@ -165,6 +165,34 @@ object Sampling {
       .drop("rate")
   }
 
+  /** Deterministic train/val/test split: each row's md5 unit value places
+    * it in exactly one split (`u < testRate` → test, `< testRate+valRate`
+    * → val, else train). Because the decision depends only on the row's
+    * OWN id, membership is stable under corpus growth, filtering, and
+    * re-partitioning — a document never migrates between splits across
+    * releases, which is what keeps a held-out set actually held out.
+    * Map-only; adds a `split` column. */
+  def heldoutSplit(df: DataFrame, valRate: Double, testRate: Double,
+                   salt: String = "split",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(valRate >= 0 && testRate >= 0 && valRate + testRate < 1,
+      s"bad rates: val=$valRate test=$testRate")
+    val u = hashUnit(col(idCol), salt)
+    df.withColumn("split",
+      when(u < testRate, "test")
+        .when(u < testRate + valRate, "val")
+        .otherwise("train"))
+  }
+
+  /** The split's audit row per partition label: count + id_sum (so two
+    * engines must agree on exact membership, not just sizes). */
+  def heldoutReport(df: DataFrame, valRate: Double, testRate: Double,
+                    salt: String = "split",
+                    idCol: String = "doc_id"): DataFrame =
+    heldoutSplit(df, valRate, testRate, salt, idCol)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col(idCol)).as("id_sum"))
+
   /** Per-stratum audit report of the temperature sample: totals, shares,
     * rate, plus what the deterministic sample actually kept (docs + an
     * id_sum so two engines must agree on the exact membership). */

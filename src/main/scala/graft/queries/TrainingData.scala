@@ -2713,6 +2713,25 @@ object TrainingData {
         .orderBy("id_a", "id_b")
     },
 
+    // deterministic held-out split: a doc's split depends only on its own
+    // id hash, so membership survives growth/filtering/re-partitioning
+    df("ta_heldout_split",
+      """WITH u AS (SELECT doc_id,
+        |  CAST(list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |      substring(md5(concat('split', CAST(doc_id AS VARCHAR))), i, 1)) - 1)
+        |      * 16.0 ** (8 - i))) AS DOUBLE) / 4294967296.0 AS u
+        |  FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN u < 0.1 THEN 'test'
+        |  WHEN u < 0.2 THEN 'val' ELSE 'train' END AS split FROM u)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM s GROUP BY split ORDER BY split""".stripMargin) { (s, _) =>
+      graft.operators.Sampling.heldoutReport(s.table("documents"),
+          valRate = 0.1, testRate = 0.1)
+        .orderBy("split")
+    },
+
     // per-doc n-gram novelty: fraction of a doc's bigrams no other doc
     // carries — what exact/sub-doc dedup would leave behind
     df("ta_novelty",

@@ -392,6 +392,32 @@ class DedupSpec extends SparkTestBase {
     assert(capped((0L, 2L)) == 1.0, capped)
   }
 
+  test("held-out split: disjoint-exhaustive, subset-invariant, stable " +
+    "under growth") {
+    import spark.implicits._
+    val docs = (0 until 1000).map(i => Tuple1(i.toLong)).toDF("doc_id")
+    val s = Sampling.heldoutSplit(docs, valRate = 0.1, testRate = 0.1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every doc in exactly one split; rough rate sanity
+    assert(s.size == 1000)
+    val byS = s.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byS("train") > 700 && byS("val") > 50 && byS("test") > 50, byS)
+    // subset invariance: filtering the corpus changes NO remaining doc
+    val sub = Sampling.heldoutSplit(
+        docs.where(col("doc_id") % 3 === 0), 0.1, 0.1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    sub.foreach { case (id, sp) => assert(s(id) == sp, id) }
+    // growth invariance: adding docs changes no existing assignment
+    val grown = Sampling.heldoutSplit(
+        (0 until 2000).map(i => Tuple1(i.toLong)).toDF("doc_id"), 0.1, 0.1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    s.foreach { case (id, sp) => assert(grown(id) == sp, id) }
+    // a different salt is an independent split
+    val other = Sampling.heldoutSplit(docs, 0.1, 0.1, salt = "split2")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s.exists { case (id, sp) => other(id) != sp })
+  }
+
   test("bucketed corpus dedup: same verdicts as the plain anti-join, the " +
     "corpus side never re-shuffles, and null text still dedups") {
     import spark.implicits._
