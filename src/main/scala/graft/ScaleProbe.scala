@@ -12,7 +12,8 @@ import org.apache.spark.sql.SparkSession
   *      hardneg (k = centroids) | kmeans (k = clusters) |
   *      shuffle (k = hex digits) | increm | incremnear | bloom (k unused) |
   *      cdc (k = blockWords) | editdist (k = prefixChars) | mhcal |
-  *      dupngrams (k = n) | tempmix (k = budgetDocs) | qualcal (k = bins)
+  *      dupngrams (k = n) | tempmix (k = budgetDocs) | qualcal (k = bins) |
+  *      novelty (k = n-gram order)
   * env SPARK_GRAFT_PROBE_EXPLAIN=1 prints the executed plan once. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {

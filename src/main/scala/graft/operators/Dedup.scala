@@ -147,8 +147,16 @@ object Dedup {
   }
 
   /** Distinct candidate pairs (id_a < id_b) from the banded self-join. */
-  def lshCandidatePairs(docs: DataFrame, n: Int = 3, k: Int = 8, r: Int = 2): DataFrame = {
-    val bands = lshBands(minhashSignatures(docs, n, k), k, r)
+  def lshCandidatePairs(docs: DataFrame, n: Int = 3, k: Int = 8, r: Int = 2): DataFrame =
+    lshCandidatePairsFromSigs(minhashSignatures(docs, n, k), k, r)
+
+  /** [[lshCandidatePairs]] over an ALREADY-computed signature frame — the
+    * overload for callers that reuse one (checkpointed) signature pass
+    * across several stages, so the pair contract lives in exactly one
+    * place. */
+  def lshCandidatePairsFromSigs(sigs: DataFrame, k: Int = 8,
+                                r: Int = 2): DataFrame = {
+    val bands = lshBands(sigs, k, r)
     val a = bands.as("a"); val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -217,14 +225,7 @@ object Dedup {
   def minhashCalibration(docs: DataFrame, n: Int = 3, k: Int = 8,
                          r: Int = 2): DataFrame = {
     val sigs = minhashSignatures(docs, n, k).localCheckpoint()
-    val pairs = {
-      val bands = lshBands(sigs, k, r)
-      val a = bands.as("a"); val b = bands.as("b")
-      a.join(b, col("a.band") === col("b.band") &&
-          col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
-    }
+    val pairs = lshCandidatePairsFromSigs(sigs, k, r)
     val sa = sigs.select(col("doc_id").as("id_a") +:
       (0 until k).map(i => col(s"mh$i").as(s"a$i")): _*)
     val sb = sigs.select(col("doc_id").as("id_b") +:

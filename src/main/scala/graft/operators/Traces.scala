@@ -40,8 +40,12 @@ object Traces {
                 traceCol: String = "trace_id",
                 durCol: String = "duration_time_unix_nano"): DataFrame = {
     require(rounds >= 1 && rounds <= 20, s"rounds out of range: $rounds")
+    // the seal export is at-least-once: replayed span rows are byte-equal,
+    // so a distinct() drops them deterministically — without it a
+    // duplicated ancestor multiplies state rows in EVERY doubling hop
     val base = spans.select(col(traceCol).as("t"), col(idCol).as("s"),
       col(parentCol).as("p"), col(durCol).cast("long").as("dur"))
+      .distinct()
     // normalize dangling parents (id absent from the trace) to null so the
     // walk's invariant holds: a non-null ancestor pointer ALWAYS resolves
     val ids = base.select(col("t").as("it"), col("s").as("is"))
@@ -95,10 +99,15 @@ object Traces {
                    traceCol: String = "trace_id",
                    serviceCol: String = "service_name",
                    durCol: String = "duration_time_unix_nano"): DataFrame = {
-    val child = spans.select(col(traceCol).as("t"), col(parentCol).as("p"),
-      col(serviceCol).as("callee_service"), col(durCol).cast("long").as("dur"))
+    // span id rides along so the at-least-once distinct() collapses only
+    // byte-equal replays, never two real calls that happen to look alike
+    val child = spans.select(col(traceCol).as("t"), col(idCol).as("s"),
+        col(parentCol).as("p"), col(serviceCol).as("callee_service"),
+        col(durCol).cast("long").as("dur"))
+      .distinct()
     val parent = spans.select(col(traceCol).as("pt"), col(idCol).as("ps"),
-      col(serviceCol).as("caller_service"))
+        col(serviceCol).as("caller_service"))
+      .distinct()
     child.join(parent, col("t") === col("pt") && col("p") === col("ps"))
       .groupBy("caller_service", "callee_service")
       .agg(count(lit(1)).as("n_calls"),

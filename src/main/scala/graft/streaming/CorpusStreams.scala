@@ -145,8 +145,12 @@ object CorpusStreams {
     * matching buckets instead of rescanning. */
   def corpusDedupGate(docs: DataFrame, corpus: DataFrame,
                       textCol: String = "text"): DataFrame = {
-    val seen = corpus.select(md5(col(textCol)).as("__seen_hash")).distinct()
-    docs.withColumn("__h", md5(col(textCol)))
+    // null text is a normal dedup group (the incrementalDedup convention):
+    // coalesce BOTH sides or md5(null)=null never equi-joins and null-text
+    // stream docs bypass the gate its batch twin would close
+    val h = coalesce(md5(col(textCol)), lit("0"))
+    val seen = corpus.select(h.as("__seen_hash")).distinct()
+    docs.withColumn("__h", h)
       .join(seen, col("__h") === col("__seen_hash"), "left_anti")
       .drop("__h")
   }

@@ -208,6 +208,11 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
   private[graft] val writer: SealTarget =
     if (cfg.target == "snapshot") new SnapshotTarget(cfg, spark)
     else new SealWriter(cfg, spark)
+  /** Targets whose sealCommitted can answer "did a prior attempt land?" —
+    * the retry-idempotence trim only makes sense for them (plain parquet
+    * publish is documented at-least-once, no marker to probe). */
+  private val idempotentTarget =
+    cfg.target == "catalog" || cfg.target == "snapshot"
   private val sealMonitor = new Object
   private var flushRequested = false
   private var sealRequested = false
@@ -1020,9 +1025,10 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
     var b = batch
     var settled = false
     try {
-      if (cfg.target == "catalog" && b.priorSegments.nonEmpty) {
-        // a prior attempt on these head rows failed AFTER its insert may
-        // have committed — ask the table (_seal_id) and drop proven rows
+      if (idempotentTarget && b.priorSegments.nonEmpty) {
+        // a prior attempt on these head rows failed AFTER its commit may
+        // have landed — ask the store (catalog _seal_id column / snapshot
+        // seal-id record) and drop proven rows
         val trimmed = writer.dropCommittedPrefix(b)
         val droppedRows = b.rows.size - trimmed.rows.size
         if (droppedRows > 0) {
@@ -1071,7 +1077,7 @@ final class OtlpServer(val cfg: ServerConfig, spark: SparkSession) {
       b.rows.prependAll(batch.rows)
       b.admittedBytes += batch.admittedBytes
       b.wireBytes += batch.wireBytes
-      if (cfg.target == "catalog")
+      if (idempotentTarget)
         b.priorSegments = (batch.sealId, batch.rows.size) :: b.priorSegments
       b.firstUnsealedAtMs =
         if (b.firstUnsealedAtMs < 0) batch.firstUnsealedAtMs

@@ -69,7 +69,21 @@ final class SnapshotTarget(cfg: ServerConfig, spark: SparkSession) extends SealT
       .sortBy(_.seq)
   }
 
-  def head(signal: String): Option[Snapshot] = snapshots(signal).lastOption
+  /** Current snapshot WITHOUT parsing the whole log: the sequence is the
+    * file NAME (%012d), so picking the max name and parsing that one file
+    * keeps the per-seal commit path O(1) parses instead of O(snapshots) —
+    * a server sealing every few seconds accumulates thousands of snaps
+    * before retention expires them, and each one holds the full cumulative
+    * file list. */
+  def head(signal: String): Option[Snapshot] = {
+    val dir = snapDir(signal)
+    val hfs = fs(dir)
+    if (!hfs.exists(dir)) return None
+    hfs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".snap"))
+      .sortBy(_.getPath.getName)
+      .lastOption.map(st => readSnapshot(hfs, st.getPath))
+  }
 
   private def readSnapshot(hfs: FileSystem, p: Path): Snapshot = {
     val in = hfs.open(p)

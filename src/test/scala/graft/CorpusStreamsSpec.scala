@@ -141,6 +141,21 @@ class CorpusStreamsSpec extends SparkTestBase {
       Set(2L), "released dups dropped, fresh kept")
     assert(rows.columns.toSeq == Seq("doc_id", "ts", "text"),
       "gate must preserve the caller's schema")
+    // null text is a normal dedup group (the incrementalDedup convention):
+    // a corpus null-text row closes the gate for null-text stream docs too
+    val corpusWithNull = corpus
+      .unionByName(Seq((801L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val in2 = MemoryStream[(Long, Timestamp, String)]
+    val q2 = CorpusStreams.corpusDedupGate(
+        in2.toDF().toDF("doc_id", "ts", "text"), corpusWithNull)
+      .writeStream.format("memory").queryName("corpusgatenull")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    in2.addData((10L, ts(3), null.asInstanceOf[String]),
+      (11L, ts(4), "fresh text that should still flow"))
+    val run2 = q2.start(); run2.awaitTermination(60000)
+    assert(spark.table("corpusgatenull").select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(11L),
+      "null-text stream doc must die against the corpus' null-text group")
   }
 
   test("decontamination gate: verbatim benchmark leaks never reach the " +

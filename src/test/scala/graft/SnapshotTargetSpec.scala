@@ -153,6 +153,40 @@ class SnapshotTargetSpec extends SparkTestBase {
     OtlpServe.otlpStop(spark, uri)
   }
 
+  test("snapshot retry after post-commit failure republishes zero rows " +
+    "(the seal-id probe engages for the snapshot target too)") {
+    val root = java.nio.file.Files.createTempDirectory("snap_idem").toString
+    val uri = "otlp:127.0.0.1:45954"
+    OtlpServe.otlpServe(spark, uri, Map(
+      "token" -> Token, "target" -> "snapshot", "parquet_root" -> root,
+      "seal_max_age_ms" -> "3600000", "seal_target_bytes" -> "1073741824"))
+    val server = OtlpServe.get(uri).get
+    // fail AFTER commitSnapshot succeeds — the crash window where an
+    // at-least-once retry would re-publish and re-commit every row
+    server.writer.failAfterCatalogCommit =
+      s => throw new RuntimeException(s"injected post-commit failure ($s)")
+    assert(post(45954, fixture("logs_simple.jsonl")).statusCode() == 202)
+    val fl1 = OtlpServe.otlpFlush(spark, uri).first()
+    assert(fl1.getAs[String]("status") == "error")
+    // the snapshot DID commit; the rows were also restored for retry
+    val target = server.writer.asInstanceOf[SnapshotTarget]
+    assert(target.head("logs").map(_.seq) == Some(1L))
+    // retry: sealCommitted finds the prior seal id in the snapshot log and
+    // the trim drops every restored row — no second snapshot, no dup rows
+    server.writer.failAfterCatalogCommit = null
+    val fl2 = OtlpServe.otlpFlush(spark, uri).first()
+    assert(fl2.getAs[String]("status") == "sealed", fl2.toString)
+    assert(fl2.getAs[Long]("sealed_rows") == 3L)
+    assert(target.head("logs").map(_.seq) == Some(1L),
+      "retry must not commit a second snapshot")
+    assert(target.readAt("logs").count() == 3L)
+    val after = OtlpServe.serverList(spark)
+      .where(org.apache.spark.sql.functions.col("listen_uri") === uri).first()
+    assert(after.getAs[Long]("buffered_rows") == 0L)
+    assert(after.getAs[Long]("committed_rows_total") == 3L)
+    OtlpServe.otlpStop(spark, uri)
+  }
+
   test("serve validation: snapshot target requires parquet_root") {
     val msg = intercept[IllegalArgumentException](
       OtlpServe.otlpServe(spark, "otlp:127.0.0.1:45953",

@@ -92,6 +92,33 @@ class TracesSpec extends SparkTestBase {
       .map(_.getString(0)).toSeq == Seq("error"))
   }
 
+  test("at-least-once replayed span rows change nothing: tree and graph " +
+    "results equal the dedup'd input's") {
+    import spark.implicits._
+    val once = Seq(
+      ("t1", "a", null, "svc-x", 10L),
+      ("t1", "b", "a", "svc-x", 20L),
+      ("t1", "c", "b", "svc-y", 30L)
+    ).toDF("trace_id", "span_id", "parent_span_id", "service_name",
+      "duration_time_unix_nano")
+    // the seal export's at-least-once: the PARENT row replays 3 times —
+    // without the distinct this multiplies state in every doubling hop
+    val replayed = once.unionAll(once.where(col("span_id") === "a"))
+      .unionAll(once.where(col("span_id") === "a"))
+    val t1 = Traces.traceTree(once).collect().head
+    val t2 = Traces.traceTree(replayed).collect().head
+    assert(t1.getAs[Long]("n_spans") == 3L && t2.getAs[Long]("n_spans") == 3L)
+    assert(t1.getAs[Long]("total_span_ns") == 60L &&
+      t2.getAs[Long]("total_span_ns") == 60L)
+    assert(t2.getAs[Long]("critical_path_ns") == 60L)
+    val g1 = Traces.serviceGraph(once).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_calls")).toMap
+    val g2 = Traces.serviceGraph(replayed).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_calls")).toMap
+    assert(g1 == g2 && g1 == Map(
+      ("svc-x", "svc-x") -> 1L, ("svc-x", "svc-y") -> 1L), (g1, g2))
+  }
+
   test("span ids repeated across DIFFERENT traces never cross-link") {
     import spark.implicits._
     val spans = Seq(
