@@ -21,6 +21,17 @@ object Sampling {
     conv(substring(md5(concat(lit(salt), idCol.cast("string"))), 1, 8), 16, 10)
       .cast("double") / lit(4294967296.0)
 
+  /** Scala-side twin of [[hashUnit]] — bit-identical by construction (the
+    * first 4 md5 bytes big-endian over 2^32), for state-ful streaming
+    * operators whose keep decision runs in executor code rather than a
+    * Column expression. Pinned equal to the SQL form in DedupSpec. */
+  def hashUnitLocal(id: String, salt: String): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest((salt + id).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)).toDouble / 4294967296.0
+  }
+
   /** Deterministic Bernoulli sample at `rate`. */
   def hashSample(df: DataFrame, rate: Double, salt: String = "s0",
                  idCol: String = "doc_id"): DataFrame =

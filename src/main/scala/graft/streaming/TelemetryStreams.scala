@@ -93,6 +93,67 @@ object TelemetryStreams {
                       parent_span_id: Option[String], name: String,
                       status_code: Int, duration_ns: Long)
 
+  /** Buffered per-trace state for the streaming tail sampler. */
+  case class TailBuf(spans: List[SpanLite])
+
+  /** A span the tail sampler decided to keep, tagged with why. */
+  case class KeptSpan(trace_id: String, span_id: String, name: String,
+                      status_code: Int, duration_ns: Long,
+                      keep_reason: String)
+
+  /** Tail-based trace sampling on the LIVE stream — the collector policy
+    * `operators.Traces.tailSample` applies to settled tables, as custom
+    * state: spans buffer per trace until the trace goes idle for
+    * `decisionWaitMs` (the collector's decision wait), then the WHOLE
+    * trace either emits — error spans present → 'error'; any span ≥
+    * `slowNs` → 'slow'; else a deterministic md5 hash draw at
+    * `sampleRate` → 'sampled' — or drops wholesale. The hash is
+    * [[graft.operators.Sampling.hashUnitLocal]], bit-identical to the
+    * batch operator's column form, so stream and batch keep EXACTLY the
+    * same clean traces (same salt).
+    *
+    * State is one buffered span list per in-flight trace, keyed by the
+    * uniform trace id and bounded by the decision window — the same
+    * contract as [[traceRollup]]; a span arriving after its trace's
+    * decision re-opens state and is judged (and possibly dropped) alone,
+    * the standard late-span caveat of every tail sampler. */
+  def tailSampleStream(spans: DataFrame, slowNs: Long, sampleRate: Double,
+                       decisionWaitMs: Long = 10000,
+                       salt: String = "tail"): Dataset[KeptSpan] = {
+    val spark = spans.sparkSession
+    import spark.implicits._
+    require(sampleRate >= 0.0 && sampleRate <= 1.0, s"bad rate $sampleRate")
+    val lite = spans.select(
+        col("trace_id"), col("span_id"), col("parent_span_id"),
+        col("name"), col("status_code"),
+        col("duration_time_unix_nano").as("duration_ns"))
+      .where(col("trace_id").isNotNull)
+      .as[SpanLite]
+    lite.groupByKey(_.trace_id)
+      .flatMapGroupsWithState[TailBuf, KeptSpan](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (traceId, it, state: GroupState[TailBuf]) =>
+          if (state.hasTimedOut) {
+            val buf = state.getOption.getOrElse(TailBuf(Nil))
+            state.remove()
+            val reason =
+              if (buf.spans.exists(_.status_code == 2)) "error"
+              else if (buf.spans.exists(_.duration_ns >= slowNs)) "slow"
+              else if (graft.operators.Sampling
+                .hashUnitLocal(traceId, salt) < sampleRate) "sampled"
+              else null
+            if (reason == null) Iterator.empty
+            else buf.spans.reverseIterator.map(s => KeptSpan(traceId,
+              s.span_id, s.name, s.status_code, s.duration_ns, reason))
+          } else {
+            val buf = state.getOption.getOrElse(TailBuf(Nil))
+            state.update(TailBuf(it.foldLeft(buf.spans)((acc, s) => s :: acc)))
+            state.setTimeoutDuration(decisionWaitMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Custom-state operator: accumulate per-trace span counts / error counts
     * / root span name, emitting the running rollup on every update and
     * expiring idle traces via a processing-time timeout. */

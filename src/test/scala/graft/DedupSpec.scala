@@ -392,6 +392,18 @@ class DedupSpec extends SparkTestBase {
     assert(capped((0L, 2L)) == 1.0, capped)
   }
 
+  test("hashUnitLocal is bit-identical to the SQL hashUnit column") {
+    import spark.implicits._
+    val ids = (0 until 500).map(_.toString) ++
+      Seq("terr", "tslow", "tca", "deadbeef00112233")
+    val viaSql = ids.toDF("id")
+      .select(col("id"), Sampling.hashUnit(col("id"), "tail").as("u"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    ids.foreach { id =>
+      assert(Sampling.hashUnitLocal(id, "tail") == viaSql(id), id)
+    }
+  }
+
   test("held-out split: disjoint-exhaustive, subset-invariant, stable " +
     "under growth") {
     import spark.implicits._

@@ -75,6 +75,48 @@ class TelemetryStreamsSpec extends SparkTestBase {
     assert(rows("process batch") == ((2L, 2L, 1000000000L)), rows)
   }
 
+  test("streaming tail sampler: whole traces emit after the decision " +
+    "window with batch-identical membership and reasons") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String, String, String, Int, Long)]
+    val cols = Seq("trace_id", "span_id", "parent_span_id", "name",
+      "status_code", "duration_time_unix_nano")
+    val batch1 = Seq(
+      ("terr", "s1", null, "root", 1, 10L),
+      ("terr", "s2", "s1", "boom", 2, 20L),     // error span
+      ("tslow", "s1", null, "root", 1, 5000L),  // >= slowNs
+      ("tca", "s1", null, "root", 1, 10L),      // clean -> hash decides
+      ("tcb", "s1", null, "root", 1, 10L))      // clean -> hash decides
+    // batch twin over the same rows: the stream must reach identical
+    // membership + reasons once every trace's decision window lapses
+    val expect = graft.operators.Traces.tailSample(
+        batch1.toDF(cols: _*), slowNs = 1000L, sampleRate = 0.5)
+      .collect().map(r => (r.getAs[String]("trace_id"),
+        r.getAs[String]("span_id")) -> r.getAs[String]("keep_reason")).toMap
+    val q = TelemetryStreams.tailSampleStream(
+        in.toDF().toDF(cols: _*), slowNs = 1000L, sampleRate = 0.5,
+        decisionWaitMs = 2000L)
+      .writeStream.format("memory").queryName("tailstream")
+      .outputMode("append").start()
+    // NOTE: no processAllAvailable here — with a processing-time timeout
+    // the engine keeps scheduling (empty) batches to fire expirations, so
+    // "all available" never settles; poll the sink for the decided rows
+    in.addData(batch1: _*)
+    val deadline = System.currentTimeMillis() + 120000
+    while (spark.table("tailstream").count() < expect.size &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(250)
+    q.stop()
+    val got = spark.table("tailstream").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(5)).toMap
+    assert(got == expect, s"stream $got vs batch $expect")
+    // the error trace emits BOTH its spans (whole-trace keep)
+    assert(got((("terr", "s1"))) == "error" && got((("terr", "s2"))) == "error")
+    assert(got((("tslow", "s1"))) == "slow")
+  }
+
   test("streaming dedup drops at-least-once duplicates within the watermark") {
     val q = TelemetryStreams.dedupSpans(
         TelemetryStreams.traceStream(spark, root))
