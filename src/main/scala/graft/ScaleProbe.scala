@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   *      shuffle (k = hex digits) | increm | incremnear | bloom (k unused) |
   *      cdc (k = blockWords) | editdist (k = prefixChars) | mhcal |
   *      dupngrams (k = n) | tempmix (k = budgetDocs) | qualcal (k = bins) |
-  *      novelty (k = n-gram order)
+  *      novelty (k = n-gram order) | tracetree (k = chain depth; 1M synthetic spans)
   * env SPARK_GRAFT_PROBE_EXPLAIN=1 prints the executed plan once. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -92,6 +92,19 @@ object ScaleProbe {
         case "novelty" =>
           TextAnalysis.noveltyScore(
             spark.read.parquet(s"$sfDir/documents.parquet"), n = k)
+        case "tracetree" =>
+          // synthetic span table: 1M spans in chains of depth k — the
+          // documents corpus has no spans, and the walk's cost depends on
+          // span count x rounds, both captured here deterministically
+          import org.apache.spark.sql.functions._
+          val n = 1000000L
+          val spans = spark.range(n).select(
+            (col("id") / k).cast("long").cast("string").as("trace_id"),
+            col("id").cast("string").as("span_id"),
+            when(col("id") % k === 0, lit(null))
+              .otherwise((col("id") - 1).cast("string")).as("parent_span_id"),
+            (col("id") % 100 + 1).as("duration_time_unix_nano"))
+          operators.Traces.traceTree(spans)
         case other => throw new IllegalArgumentException(s"unknown op $other")
       }
       if (sys.env.contains("SPARK_GRAFT_PROBE_EXPLAIN")) df.explain("formatted")

@@ -418,6 +418,29 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("novelty: at corpus scale (broadcast off) the gram-reach join is " +
+      "co-partitioned on the gram key, partial aggs on every shuffle") {
+    Tables.register(spark, sfDir)
+    // on test-sized data AQE rightly broadcasts the reach frame; the
+    // 100 TB shape is what must hold when it CANNOT — pin that one
+    val conf = spark.conf
+    val bcast0 = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.operators.TextAnalysis.noveltyScore(
+        spark.table("documents"), n = 2)
+      val p = plan(df)
+      // reach (distinct + count) and the per-doc rollup: each exchange is
+      // wrapped by partial+final aggregate pairs
+      assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+      // both join sides hash-partition on the shared gram key — never a
+      // cartesian, never a single partition
+      assert(p.contains("hashpartitioning(shingle"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("SinglePartition"), p)
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", bcast0)
+  }
+
   test("temperature mixing broadcasts the stratum rate table; the corpus " +
       "partial-aggregates before every exchange") {
     Tables.register(spark, sfDir)
