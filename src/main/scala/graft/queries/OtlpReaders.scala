@@ -277,6 +277,35 @@ object OtlpReaders {
         .orderBy("caller_service", "callee_service")
     },
 
+    // delta -> cumulative temporality conversion for sum metrics: running
+    // sums per series in time order; cumulative points pass through
+    df("otlp_delta_to_cumulative",
+      s"""WITH m AS (${metricsFlat(s"$fx/delta_metrics.jsonl")}),
+         |pts AS (SELECT ${duckTs("dp.timeUnixNano")} AS t,
+         |  m."name" AS "name", CAST(dp.asInt AS BIGINT) AS iv,
+         |  dp.asDouble AS dv,
+         |  m."sum".aggregationTemporality AS at,
+         |  m."sum".isMonotonic AS mono
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp))
+         |SELECT t AS time_unix_nano, "name",
+         |  CASE WHEN at = 1 THEN CAST(sum(iv) OVER (PARTITION BY "name", at
+         |    ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    ELSE iv END AS int_value,
+         |  CASE WHEN at = 1 THEN sum(dv) OVER (PARTITION BY "name", at
+         |    ORDER BY t ROWS UNBOUNDED PRECEDING)
+         |    ELSE dv END AS double_value,
+         |  CASE WHEN at = 1 THEN 2 ELSE at END AS aggregation_temporality,
+         |  mono AS is_monotonic
+         |FROM pts ORDER BY "name", t""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.deltaToCumulative(
+          Otlp.readMetricsSum(s, s"$fx/delta_metrics.jsonl"))
+        .select(
+          date_format(col("time_unix_nano"), TsFmtSpark).as("time_unix_nano"),
+          col("name"), col("int_value"), col("double_value"),
+          col("aggregation_temporality"), col("is_monotonic"))
+        .orderBy("name", "time_unix_nano")
+    },
+
     // RED rollup per (service, span name): rate / errors / duration
     df("otlp_red_metrics",
       s"""WITH rec AS (

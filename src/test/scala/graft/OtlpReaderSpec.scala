@@ -399,6 +399,44 @@ class OtlpReaderSpec extends SparkTestBase {
     }
   }
 
+  test("delta->cumulative: running sums per series in time order, " +
+    "cumulative points pass through, temporality reports 2") {
+    import org.apache.spark.sql.functions.col
+    val got = graft.operators.Metrics.deltaToCumulative(
+        Otlp.readMetricsSum(spark, s"$fx/delta_metrics.jsonl"))
+      .orderBy("name", "time_unix_nano").collect()
+      .map(r => (r.getAs[String]("name"),
+        Option(r.getAs[Any]("int_value")),
+        Option(r.getAs[Any]("double_value")),
+        r.getAs[Int]("aggregation_temporality")))
+    val byName = got.groupBy(_._1)
+    // int delta series 5, 3, -2 -> 5, 8, 6 (non-monotonic deltas legal)
+    assert(byName("orders.delta").map(_._2) ===
+      Seq(Some(5L), Some(8L), Some(6L)))
+    // double delta series 1.5, 2.25 -> 1.5, 3.75
+    assert(byName("latency.delta").map(_._3) ===
+      Seq(Some(1.5), Some(3.75)))
+    // already-cumulative series byte-unchanged, temporality kept
+    assert(byName("total.cumulative").map(_._2) ===
+      Seq(Some(100L), Some(110L)))
+    // every delta row reports temporality 2 after conversion
+    assert(got.forall(_._4 == 2), got.mkString("; "))
+    // a same-named series with different attributes never mixes: tag one
+    val tagged = Otlp.readMetricsSum(spark, s"$fx/delta_metrics.jsonl")
+      .withColumn("metric_attributes",
+        org.apache.spark.sql.functions.when(
+          col("name") === "orders.delta" &&
+            col("time_unix_nano") === org.apache.spark.sql.functions
+              .to_timestamp(org.apache.spark.sql.functions.lit("2021-12-20 11:33:20")),
+          "{\"k\":\"v\"}").otherwise(col("metric_attributes")))
+    val t2 = graft.operators.Metrics.deltaToCumulative(tagged)
+      .where(col("name") === "orders.delta")
+      .orderBy("time_unix_nano").collect()
+      .map(_.getAs[Long]("int_value"))
+    // first point now its own series: remaining run is 3, 1 — not 8, 6
+    assert(t2.toSeq == Seq(5L, 3L, 1L), t2.toSeq)
+  }
+
   test("SQL view over the reader works end-to-end (minimum slice)") {
     Otlp.readLogs(spark, s"$fx/logs_simple.jsonl").createOrReplaceTempView("otlp_logs_v")
     val rows = spark.sql(
