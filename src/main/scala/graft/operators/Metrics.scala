@@ -40,4 +40,31 @@ object Metrics {
       .withColumn("aggregation_temporality",
         when(isDelta, lit(2)).otherwise(col("aggregation_temporality")))
   }
+
+  /** Per-second rate from cumulative sum points — PromQL's core primitive
+    * over the flattened table: within each series in time order,
+    * `rate = increase / seconds-elapsed`, where a MONOTONIC counter whose
+    * value dropped below its predecessor is a counter RESET (process
+    * restart) and the increase is the new value itself (counter restarted
+    * from zero — the Prometheus convention); non-monotonic sums just
+    * difference. The first point of a series has no predecessor and
+    * reports a null rate. Values round(6) for engine portability.
+    *
+    * Shape at 100 TB: the same one-window-per-series contract as
+    * [[deltaToCumulative]] — uniform high-cardinality partitions, each
+    * holding one series' retention of points. */
+  def rate(sums: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(col("name"), col("service_name"),
+        col("metric_attributes"))
+      .orderBy(col("time_unix_nano"))
+    val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    val tUs = unix_micros(col("time_unix_nano"))
+    val prevV = lag(v, 1).over(w)
+    val dtSec = (tUs - lag(tUs, 1).over(w)).cast("double") / lit(1e6)
+    val increase =
+      when(col("is_monotonic") && v < prevV, v).otherwise(v - prevV)
+    sums.withColumn("value", v)
+      .withColumn("rate_per_sec", round(increase / dtSec, 6))
+  }
 }

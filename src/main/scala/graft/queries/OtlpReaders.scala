@@ -306,6 +306,31 @@ object OtlpReaders {
         .orderBy("name", "time_unix_nano")
     },
 
+    // per-second rate from cumulative sums, with Prometheus counter-reset
+    // handling (a monotonic drop = restart; increase = the new value)
+    df("otlp_metric_rate",
+      s"""WITH m AS (${metricsFlat(s"$fx/rate_metrics.jsonl")}),
+         |pts AS (SELECT CAST(dp.timeUnixNano AS BIGINT) AS tns,
+         |  ${duckTs("dp.timeUnixNano")} AS t, m."name" AS "name",
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v,
+         |  m."sum".isMonotonic AS mono
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp)),
+         |lagd AS (SELECT *,
+         |  lag(v) OVER (PARTITION BY "name" ORDER BY tns) AS pv,
+         |  lag(tns) OVER (PARTITION BY "name" ORDER BY tns) AS pt
+         |  FROM pts)
+         |SELECT t AS time_unix_nano, "name", v AS "value",
+         |  round((CASE WHEN mono AND v < pv THEN v ELSE v - pv END) /
+         |    ((tns // 1000 - pt // 1000) / 1000000.0), 6) AS rate_per_sec
+         |FROM lagd ORDER BY "name", tns""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.rate(
+          Otlp.readMetricsSum(s, s"$fx/rate_metrics.jsonl"))
+        .select(
+          date_format(col("time_unix_nano"), TsFmtSpark).as("time_unix_nano"),
+          col("name"), col("value"), col("rate_per_sec"))
+        .orderBy("name", "time_unix_nano")
+    },
+
     // RED rollup per (service, span name): rate / errors / duration
     df("otlp_red_metrics",
       s"""WITH rec AS (

@@ -437,6 +437,22 @@ class OtlpReaderSpec extends SparkTestBase {
     assert(t2.toSeq == Seq(5L, 3L, 1L), t2.toSeq)
   }
 
+  test("metric rate: per-second increases, counter reset restarts from " +
+    "the new value, non-monotonic sums difference plainly") {
+    val got = graft.operators.Metrics.rate(
+        Otlp.readMetricsSum(spark, s"$fx/rate_metrics.jsonl"))
+      .orderBy("name", "time_unix_nano").collect()
+      .map(r => r.getAs[String]("name") ->
+        Option(r.getAs[Any]("rate_per_sec")))
+    val byName = got.groupBy(_._1)
+    // 100, 190, RESET->30, 90 over 60s steps: null, 1.5, 0.5 (reset!), 1.0
+    assert(byName("requests.total").map(_._2) ===
+      Seq(None, Some(1.5), Some(0.5), Some(1.0)))
+    // 10, 4, 13 non-monotonic: null, -0.1, 0.15 (negative rates legal)
+    assert(byName("queue.size").map(_._2) ===
+      Seq(None, Some(-0.1), Some(0.15)))
+  }
+
   test("SQL view over the reader works end-to-end (minimum slice)") {
     Otlp.readLogs(spark, s"$fx/logs_simple.jsonl").createOrReplaceTempView("otlp_logs_v")
     val rows = spark.sql(
