@@ -67,4 +67,43 @@ object Metrics {
     sums.withColumn("value", v)
       .withColumn("rate_per_sec", round(increase / dtSec, 6))
   }
+
+  /** Histogram quantile per data point (PromQL `histogram_quantile` over
+    * one point): linear interpolation within the first bucket whose
+    * cumulative count reaches q·total, with the Prometheus conventions —
+    * the first bucket interpolates from 0, and a quantile landing in the
+    * +Inf bucket reports the highest finite bound. Empty histograms
+    * report null. round(6) for engine portability.
+    *
+    * MAP-ONLY: the whole walk is array expressions over the row's own
+    * bucket_counts/explicit_bounds (bucket counts are small — the O(n²)
+    * cumulative build is ~dozens of adds per point); no shuffle, no
+    * state, streaming-composable. Staged projections keep each lambda
+    * tree a single evaluation. */
+  def histogramQuantile(hists: DataFrame, q: Double,
+                        outCol: String = "quantile"): DataFrame = {
+    require(q > 0.0 && q <= 1.0, s"quantile out of (0,1]: $q")
+    val b = col("explicit_bounds")
+    val idx = col("__idx")
+    val lo = when(idx === 1, lit(0.0)).otherwise(element_at(b, idx - 1))
+    val hi = element_at(b, idx)
+    val cumPrev = when(idx === 1, lit(0.0))
+      .otherwise(element_at(col("__cums"), idx - 1))
+    val cnt = element_at(col("bucket_counts"), idx).cast("double")
+    hists
+      .withColumn("__cums", expr(
+        """transform(sequence(1, size(bucket_counts)),
+          |  i -> aggregate(slice(bucket_counts, 1, i),
+          |    CAST(0 AS DOUBLE), (a, x) -> a + x))""".stripMargin))
+      .withColumn("__total", expr("element_at(__cums, size(__cums))"))
+      .withColumn("__target", col("__total") * lit(q))
+      .withColumn("__idx",
+        expr("size(filter(__cums, x -> x < __target))") + 1)
+      .withColumn(outCol,
+        when(col("bucket_counts").isNull || col("__total") <= 0, lit(null))
+          .when(idx > size(b), element_at(b, size(b)))
+          .otherwise(round(
+            lo + (hi - lo) * (col("__target") - cumPrev) / cnt, 6)))
+      .drop("__cums", "__total", "__target", "__idx")
+  }
 }

@@ -331,6 +331,36 @@ object OtlpReaders {
         .orderBy("name", "time_unix_nano")
     },
 
+    // histogram_quantile over each data point: first-bucket-from-0 and
+    // +Inf-bucket-reports-max-finite-bound, the Prometheus conventions
+    df("otlp_hist_quantile",
+      s"""WITH m AS (${metricsFlat(s"$fx/hist_metrics.jsonl")}),
+         |pts AS (SELECT ${duckTs("dp.timeUnixNano")} AS t,
+         |  m."name" AS "name", dp.bucketCounts AS c, dp.explicitBounds AS b
+         |  FROM m, unnest(m.histogram.dataPoints) AS d(dp)),
+         |st AS (SELECT t, "name", c, b,
+         |  list_transform(generate_series(1, len(c)),
+         |    i -> CAST(list_sum(c[1:i]) AS DOUBLE)) AS cums FROM pts),
+         |st2 AS (SELECT *, cums[len(cums)] AS total,
+         |  cums[len(cums)] * 0.5 AS target FROM st),
+         |st3 AS (SELECT *,
+         |  len(list_filter(cums, x -> x < target)) + 1 AS idx FROM st2)
+         |SELECT t AS time_unix_nano, "name",
+         |  CASE WHEN total <= 0 THEN NULL
+         |    WHEN idx > len(b) THEN b[len(b)]
+         |    ELSE round((CASE WHEN idx = 1 THEN 0.0 ELSE b[idx-1] END)
+         |      + (b[idx] - (CASE WHEN idx = 1 THEN 0.0 ELSE b[idx-1] END))
+         |        * (target - (CASE WHEN idx = 1 THEN 0.0 ELSE cums[idx-1] END))
+         |        / CAST(c[idx] AS DOUBLE), 6) END AS quantile
+         |FROM st3 ORDER BY time_unix_nano""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.histogramQuantile(
+          Otlp.readMetricsHistogram(s, s"$fx/hist_metrics.jsonl"), q = 0.5)
+        .select(
+          date_format(col("time_unix_nano"), TsFmtSpark).as("time_unix_nano"),
+          col("name"), col("quantile"))
+        .orderBy("time_unix_nano")
+    },
+
     // RED rollup per (service, span name): rate / errors / duration
     df("otlp_red_metrics",
       s"""WITH rec AS (

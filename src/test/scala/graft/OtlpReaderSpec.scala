@@ -453,6 +453,24 @@ class OtlpReaderSpec extends SparkTestBase {
       Seq(None, Some(-0.1), Some(0.15)))
   }
 
+  test("histogram quantile: interpolated median, first-bucket-from-0, " +
+    "+Inf bucket reports the max finite bound, quantiles ordered") {
+    val hists = Otlp.readMetricsHistogram(spark, s"$fx/hist_metrics.jsonl")
+    def qs(q: Double): Seq[Double] = graft.operators.Metrics
+      .histogramQuantile(hists, q)
+      .orderBy("time_unix_nano").collect()
+      .map(_.getAs[Double]("quantile")).toSeq
+    // counts [2,3,4,1] bounds [10,50,100]: target 5 lands at cum 5 ->
+    // bucket 2 exactly: 10 + 40*(5-2)/3 = 50; [8,1,0,1]: 10*5/8 = 6.25;
+    // [0,0,0,5]: all mass in +Inf -> max finite bound
+    assert(qs(0.5) == Seq(50.0, 6.25, 100.0), qs(0.5))
+    // q=0.25 of [2,3,4,1]: target 2.5 -> bucket 2: 10 + 40*0.5/3
+    assert(qs(0.25).head == 16.666667, qs(0.25))
+    // quantiles are monotone in q for every point
+    val (q1, q9) = (qs(0.1), qs(0.9))
+    q1.zip(q9).foreach { case (a, b) => assert(a <= b, (a, b)) }
+  }
+
   test("SQL view over the reader works end-to-end (minimum slice)") {
     Otlp.readLogs(spark, s"$fx/logs_simple.jsonl").createOrReplaceTempView("otlp_logs_v")
     val rows = spark.sql(
