@@ -106,4 +106,49 @@ object Metrics {
             lo + (hi - lo) * (col("__target") - cumPrev) / cnt, 6)))
       .drop("__cums", "__total", "__target", "__idx")
   }
+
+  /** Quantile over EXPONENTIAL histogram points (OTel base-2 buckets:
+    * bucket j covers (base^j, base^(j+1)] with base = 2^(2^-scale)):
+    * rank q·total over zero bucket + positive buckets, interpolating
+    * log-linearly — the exponent interpolates inside the hit bucket, so
+    * value = 2^((offset + i + frac) / 2^scale), which respects the
+    * buckets' uniform-in-log-space design. A target inside the zero
+    * bucket reports 0; empty histograms null; points carrying NEGATIVE
+    * bucket mass report null (documented divergence: sign-aware quantile
+    * walks are out of scope — telemetry latency/size histograms carry
+    * none). round(6).
+    *
+    * MAP-ONLY, like [[histogramQuantile]]. */
+  def expHistogramQuantile(hists: DataFrame, q: Double,
+                           outCol: String = "quantile"): DataFrame = {
+    require(q > 0.0 && q <= 1.0, s"quantile out of (0,1]: $q")
+    val zero = coalesce(col("zero_count"), lit(0L)).cast("double")
+    val idx = col("__idx")
+    val cumPrev = zero +
+      when(idx === 1, lit(0.0)).otherwise(element_at(col("__cums"), idx - 1))
+    val cnt = element_at(col("positive_bucket_counts"), idx).cast("double")
+    val exponent = col("positive_offset") + (idx - 1).cast("double") +
+      (col("__target") - cumPrev) / cnt
+    val negMass = coalesce(
+      expr("aggregate(negative_bucket_counts, CAST(0 AS DOUBLE), (a, x) -> a + x)"),
+      lit(0.0))
+    hists
+      .withColumn("__cums", expr(
+        """transform(sequence(1, size(positive_bucket_counts)),
+          |  i -> aggregate(slice(positive_bucket_counts, 1, i),
+          |    CAST(0 AS DOUBLE), (a, x) -> a + x))""".stripMargin))
+      .withColumn("__total", zero + coalesce(expr(
+        "aggregate(positive_bucket_counts, CAST(0 AS DOUBLE), (a, x) -> a + x)"),
+        lit(0.0)))
+      .withColumn("__target", col("__total") * lit(q))
+      .withColumn("__idx",
+        expr("""size(filter(__cums, x -> x < __target -
+          |  coalesce(CAST(zero_count AS DOUBLE), CAST(0 AS DOUBLE))))""".stripMargin) + 1)
+      .withColumn(outCol,
+        when(col("__total") <= 0 || negMass > 0, lit(null))
+          .when(col("__target") <= zero, lit(0.0))
+          .otherwise(round(
+            pow(lit(2.0), exponent / pow(lit(2.0), col("scale"))), 6)))
+      .drop("__cums", "__total", "__target", "__idx")
+  }
 }

@@ -361,6 +361,41 @@ object OtlpReaders {
         .orderBy("time_unix_nano")
     },
 
+    // quantile over exponential histograms (base-2 buckets, log-linear
+    // interpolation); zero-bucket hits report 0, negative mass -> null
+    df("otlp_exphist_quantile",
+      s"""WITH m AS (${metricsFlat(s"$fx/exp_metrics.jsonl")}),
+         |pts AS (SELECT ${duckTs("dp.timeUnixNano")} AS t,
+         |  m."name" AS "name", dp.scale AS sc,
+         |  CAST(dp.zeroCount AS DOUBLE) AS z,
+         |  dp.positive."offset" AS poff,
+         |  list_transform(dp.positive.bucketCounts,
+         |    x -> CAST(x AS DOUBLE)) AS pc,
+         |  coalesce(list_sum(list_transform(dp.negative.bucketCounts,
+         |    x -> CAST(x AS DOUBLE))), 0) AS negmass
+         |  FROM m, unnest(m.exponentialHistogram.dataPoints) AS d(dp)),
+         |st AS (SELECT *, list_transform(generate_series(1, len(pc)),
+         |    i -> CAST(list_sum(pc[1:i]) AS DOUBLE)) AS cums,
+         |  z + coalesce(list_sum(pc), 0) AS total FROM pts),
+         |st2 AS (SELECT *, total * 0.5 AS target FROM st),
+         |st3 AS (SELECT *,
+         |  len(list_filter(cums, x -> x < target - z)) + 1 AS idx FROM st2)
+         |SELECT t AS time_unix_nano, "name",
+         |  CASE WHEN total <= 0 OR negmass > 0 THEN NULL
+         |    WHEN target <= z THEN 0.0
+         |    ELSE round(pow(2.0, (poff + (idx - 1)
+         |      + (target - (z + CASE WHEN idx = 1 THEN 0.0
+         |          ELSE cums[idx-1] END)) / pc[idx])
+         |      / pow(2.0, sc)), 6) END AS quantile
+         |FROM st3 ORDER BY time_unix_nano""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.expHistogramQuantile(
+          Otlp.readMetricsExpHistogram(s, s"$fx/exp_metrics.jsonl"), q = 0.5)
+        .select(
+          date_format(col("time_unix_nano"), TsFmtSpark).as("time_unix_nano"),
+          col("name"), col("quantile"))
+        .orderBy("time_unix_nano")
+    },
+
     // RED rollup per (service, span name): rate / errors / duration
     df("otlp_red_metrics",
       s"""WITH rec AS (

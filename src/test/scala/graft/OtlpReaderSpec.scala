@@ -471,6 +471,26 @@ class OtlpReaderSpec extends SparkTestBase {
     q1.zip(q9).foreach { case (a, b) => assert(a <= b, (a, b)) }
   }
 
+  test("exp-histogram quantile: log-linear interpolation in base-2 " +
+    "buckets, zero-bucket hit -> 0, negative mass -> null") {
+    val hists = Otlp.readMetricsExpHistogram(spark, s"$fx/exp_metrics.jsonl")
+    val got = graft.operators.Metrics.expHistogramQuantile(hists, q = 0.5)
+      .orderBy("time_unix_nano").collect()
+      .map(r => Option(r.getAs[Any]("quantile")))
+    // scale 0, zero 2, offset 1, counts [2,4,2]: target 5 -> exponent
+    // 1 + 1 + (5-4)/4 = 2.25 -> 2^2.25; all-zero-mass point -> 0;
+    // negative mass -> null; scale 1, offset 4, [4,4]: 2^(5/2)
+    assert(got === Seq(Some(4.756828), Some(0.0), None, Some(5.656854)), got)
+    // monotone in q where defined
+    val q9 = graft.operators.Metrics.expHistogramQuantile(hists, q = 0.9)
+      .orderBy("time_unix_nano").collect()
+      .map(r => Option(r.getAs[Any]("quantile")))
+    got.zip(q9).foreach {
+      case (Some(a: Double), Some(b: Double)) => assert(a <= b, (a, b))
+      case (a, b) => assert(a.isDefined == b.isDefined, (a, b))
+    }
+  }
+
   test("SQL view over the reader works end-to-end (minimum slice)") {
     Otlp.readLogs(spark, s"$fx/logs_simple.jsonl").createOrReplaceTempView("otlp_logs_v")
     val rows = spark.sql(
