@@ -93,6 +93,79 @@ object TelemetryStreams {
                       parent_span_id: Option[String], name: String,
                       status_code: Int, duration_ns: Long)
 
+  /** Narrow sum-point projection for the streaming rate (public for
+    * Catalyst's deserializer, like SpanLite). */
+  case class SumPoint(ts: java.sql.Timestamp, name: String,
+                      service_name: Option[String],
+                      metric_attributes: Option[String], t_us: Long,
+                      value: Double, is_monotonic: Boolean)
+
+  /** Last seen point per series — the whole state of the streaming rate. */
+  case class SeriesLast(last_v: Double, last_t_us: Long)
+
+  /** A rate observation: the point plus its per-second rate (None for a
+    * series' first point and for late/out-of-order arrivals). */
+  case class RatePoint(name: String, service_name: Option[String],
+                       metric_attributes: Option[String], t_us: Long,
+                       value: Double, rate_per_sec: Option[Double])
+
+  /** Per-second rate on the LIVE cumulative-sum stream — the streaming
+    * face of `operators.Metrics.rate`, whose lag-window form cannot run in
+    * append mode: state is ONE (value, time) pair per series, each
+    * arriving point emits its rate against the stored predecessor (same
+    * counter-reset rule, same round(6)), and the first point of a series
+    * — or a point at/behind the stored time (late data) — emits a null
+    * rate without rewinding state. Series idle past `staleness` expire via
+    * the event-time timeout (watermark-driven — no processing-time
+    * polling), so state is bounded by the LIVE series set and a restarted
+    * series just re-primes with one null. */
+  def rateStream(sums: DataFrame, stalenessMs: Long = 3600000L)
+      : Dataset[RatePoint] = {
+    val spark = sums.sparkSession
+    import spark.implicits._
+    require(stalenessMs > 0, "stalenessMs must be positive")
+    // the watermarked event-time column must survive projection all the
+    // way into the stateful operator or EventTimeTimeout refuses to bind
+    val lite = sums
+      .withWatermark("time_unix_nano", s"$stalenessMs milliseconds")
+      .select(col("time_unix_nano").as("ts"),
+        col("name"), col("service_name"), col("metric_attributes"),
+        unix_micros(col("time_unix_nano")).as("t_us"),
+        coalesce(col("double_value"), col("int_value").cast("double"))
+          .as("value"),
+        coalesce(col("is_monotonic"), lit(false)).as("is_monotonic"))
+      .where(col("name").isNotNull && col("value").isNotNull)
+      .as[SumPoint]
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    lite.groupByKey(p => (p.name, p.service_name, p.metric_attributes))
+      .flatMapGroupsWithState[SeriesLast, RatePoint](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, _, state: GroupState[SeriesLast]) if state.hasTimedOut =>
+          state.remove(); Iterator.empty
+        case (_, it, state: GroupState[SeriesLast]) =>
+          val pts = it.toIndexedSeq.sortBy(_.t_us)
+          var st = state.getOption
+          val out = pts.map { p =>
+            val rate = st.collect {
+              case s if p.t_us > s.last_t_us =>
+                val inc = if (p.is_monotonic && p.value < s.last_v) p.value
+                          else p.value - s.last_v
+                round6(inc / ((p.t_us - s.last_t_us) / 1e6))
+            }
+            if (st.forall(_.last_t_us < p.t_us))
+              st = Some(SeriesLast(p.value, p.t_us))
+            RatePoint(p.name, p.service_name, p.metric_attributes,
+              p.t_us, p.value, rate)
+          }
+          st.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp(s.last_t_us / 1000 + stalenessMs)
+          }
+          out.iterator
+      }
+  }
+
   /** Buffered per-trace state for the streaming tail sampler. */
   case class TailBuf(spans: List[SpanLite])
 

@@ -1,10 +1,12 @@
 package graft
 
 import graft.streaming._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.sql.Timestamp
 
 /** End-to-end: live HTTP ingest seals parquet; Structured Streaming picks
   * the layout up as micro-batches (windowed aggregation with watermark,
@@ -115,6 +117,56 @@ class TelemetryStreamsSpec extends SparkTestBase {
     // the error trace emits BOTH its spans (whole-trace keep)
     assert(got((("terr", "s1"))) == "error" && got((("terr", "s2"))) == "error")
     assert(got((("tslow", "s1"))) == "slow")
+  }
+
+  test("streaming rate matches the batch operator across micro-batch " +
+    "splits, including the counter reset; late points emit null without " +
+    "rewinding state") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val fxPath = s"$fx/rate_metrics.jsonl"
+    val batchRows = Otlp.readMetricsSum(spark, fxPath)
+      .select("time_unix_nano", "name", "service_name", "metric_attributes",
+        "int_value", "double_value", "is_monotonic")
+      .collect().sortBy(_.getAs[Timestamp]("time_unix_nano").getTime)
+      .map(r => (r.getAs[Timestamp]("time_unix_nano"), r.getAs[String]("name"),
+        r.getAs[String]("service_name"), r.getAs[String]("metric_attributes"),
+        Option(r.getAs[Any]("int_value")).map(_.asInstanceOf[Long]),
+        Option(r.getAs[Any]("double_value")).map(_.asInstanceOf[Double]),
+        r.getAs[Boolean]("is_monotonic")))
+    val in = MemoryStream[(Timestamp, String, String, String,
+      Option[Long], Option[Double], Boolean)]
+    // default trigger + processAllAvailable (event-time timeouts are
+    // data-driven, so unlike the tail sampler this settles); ONE query run
+    // so state must carry across the mid-series micro-batch split
+    val run = TelemetryStreams.rateStream(in.toDF().toDF("time_unix_nano",
+        "name", "service_name", "metric_attributes", "int_value",
+        "double_value", "is_monotonic"))
+      .writeStream.format("memory").queryName("ratestream")
+      .outputMode("append").start()
+    val (b1, b2) = batchRows.splitAt(3)
+    in.addData(b1.toIndexedSeq: _*); run.processAllAvailable()
+    in.addData(b2.toIndexedSeq: _*); run.processAllAvailable()
+    val got = spark.table("ratestream").collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("t_us")) ->
+        Option(r.getAs[Any]("rate_per_sec"))).toMap
+    val expect = graft.operators.Metrics.rate(
+        Otlp.readMetricsSum(spark, fxPath))
+      .select(col("name"),
+        unix_micros(col("time_unix_nano")).as("t_us"), col("rate_per_sec"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        Option(r.getAs[Any]("rate_per_sec"))).toMap
+    assert(got == expect, s"stream $got vs batch $expect")
+    // a LATE point (behind the stored head) emits null and does not
+    // rewind: replaying the first requests.total point yields null rate
+    val late = batchRows.find(_._2 == "requests.total").get
+    in.addData(late); run.processAllAvailable()
+    run.stop()
+    val lateRows = spark.table("ratestream").collect()
+      .filter(r => r.getAs[String]("name") == "requests.total" &&
+        r.getAs[Long]("t_us") == late._1.getTime * 1000)
+    assert(lateRows.length == 2, lateRows.mkString("; "))
+    assert(lateRows.count(r => r.getAs[Any]("rate_per_sec") == null) >= 1)
   }
 
   test("streaming dedup drops at-least-once duplicates within the watermark") {
