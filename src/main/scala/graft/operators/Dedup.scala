@@ -208,6 +208,32 @@ object Dedup {
       .drop("text_hash", "ikeeper")
   }
 
+  /** Cross-source overlap matrix: for each ordered source pair, how many
+    * of source A's DISTINCT texts also appear verbatim in source B, and
+    * what fraction of A that is — the provenance-overlap report a corpus
+    * release publishes (how much of crawl X is already in dump Y decides
+    * dedup order and mixture accounting). Null text participates as its
+    * usual single group.
+    *
+    * Shape at 100 TB: per-source text sets reduce to DISTINCT
+    * (source, md5) rows (partial agg); the pair join is hash-keyed on the
+    * uniform digest, and the output is sources²-bounded. Never all-pairs
+    * on documents — only on (source, hash) distinct rows. */
+  def sourceOverlap(docs: DataFrame, strataCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    val h = docs.select(col(strataCol).as("src"),
+      coalesce(md5(col(textCol)), lit("0")).as("h")).distinct()
+    val totals = h.groupBy("src").agg(count(lit(1)).as("total_a"))
+    h.as("a").join(h.as("b"),
+        col("a.h") === col("b.h") && col("a.src") =!= col("b.src"))
+      .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .agg(count(lit(1)).as("shared_texts"))
+      .join(broadcast(totals.withColumnRenamed("src", "source_a")),
+        Seq("source_a"))
+      .withColumn("overlap_frac",
+        round(col("shared_texts").cast("double") / col("total_a"), 4))
+  }
+
   /** MinHash calibration — estimated vs TRUE Jaccard on the LSH candidate
     * pairs: `est = (matching signature components) / k` against the exact
     * shingle-set Jaccard, with the absolute error per pair. The

@@ -2732,6 +2732,34 @@ object TrainingData {
         .orderBy("split")
     },
 
+    // cross-source overlap matrix: the provenance report (how much of
+    // crawl X already sits in dump Y); cross-source copies planted from
+    // src0 into a synthetic re-release, disjoint negative id space
+    df("dd_source_overlap",
+      """WITH c AS (SELECT doc_id, source, text FROM documents
+        |  UNION ALL SELECT -(doc_id + 1), 'rerelease', text
+        |  FROM documents WHERE source = 'src0' AND doc_id % 7 = 0),
+        |h AS (SELECT DISTINCT source AS src,
+        |  coalesce(md5(text), '0') AS h FROM c),
+        |tot AS (SELECT src, CAST(count(*) AS BIGINT) AS total_a
+        |  FROM h GROUP BY src),
+        |pairs AS (SELECT a.src AS source_a, b.src AS source_b,
+        |  CAST(count(*) AS BIGINT) AS shared_texts
+        |  FROM h a JOIN h b ON a.h = b.h AND a.src <> b.src
+        |  GROUP BY a.src, b.src)
+        |SELECT source_a, source_b, shared_texts, total_a,
+        |  round(CAST(shared_texts AS DOUBLE) / total_a, 4) AS overlap_frac
+        |FROM pairs JOIN tot ON tot.src = pairs.source_a
+        |ORDER BY source_a, source_b""".stripMargin) { (s, _) =>
+      val d = s.table("documents")
+      val corpus = d.select("doc_id", "source", "text")
+        .unionByName(d.where(col("source") === "src0" && col("doc_id") % 7 === 0)
+          .select((-(col("doc_id") + 1L)).as("doc_id"),
+            lit("rerelease").as("source"), col("text")))
+      Dedup.sourceOverlap(corpus)
+        .orderBy("source_a", "source_b")
+    },
+
     // per-doc n-gram novelty: fraction of a doc's bigrams no other doc
     // carries — what exact/sub-doc dedup would leave behind
     df("ta_novelty",

@@ -496,6 +496,30 @@ class DedupSpec extends SparkTestBase {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("source overlap matrix: asymmetric fractions, distinct-text " +
+    "granularity, null text counts as a shared group, no-overlap pairs " +
+    "absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "A", "t one"), (2L, "A", "t two"), (3L, "A", "t three"),
+      (4L, "A", null.asInstanceOf[String]),
+      (5L, "A", "t two"), // within-source dup: distinct-text granularity
+      (10L, "B", "t two"), (11L, "B", "t three"), (12L, "B", "t four"),
+      (13L, "B", null.asInstanceOf[String]),
+      (20L, "C", "t five")
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("shared_texts"), r.getAs[Long]("total_a"),
+          r.getAs[Double]("overlap_frac"))).toMap
+    // A holds 4 distinct texts (two, three, one, null); shares 3 with B
+    assert(got(("A", "B")) == ((3L, 4L, 0.75)), got)
+    assert(got(("B", "A")) == ((3L, 4L, 0.75)), got)
+    // C overlaps nobody: its pairs never appear
+    assert(!got.keys.exists { case (a, b) => a == "C" || b == "C" }, got)
+    assert(got.size == 2)
+  }
+
   test("minhash calibration: exact duplicates read est = true = 1, and " +
     "every estimate is a valid k-quantized probability") {
     import spark.implicits._
