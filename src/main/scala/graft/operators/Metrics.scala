@@ -6,8 +6,22 @@ import org.apache.spark.sql.functions._
 
 /** Metric-stream transforms over the flattened sum table the OTLP readers
   * produce — collector-side conversions the storage layer (reference:
-  * store-what-arrives) leaves to the query engine. */
+  * store-what-arrives) leaves to the query engine.
+  *
+  * Series identity everywhere below is the FULL producer identity —
+  * (name, service incl. namespace + instance id, resource attributes,
+  * scope, metric attributes) — because two replicas of one service export
+  * the same metric name with the same labels, and merging them corrupts
+  * running sums and fakes counter resets. Inputs are distinct()'d first:
+  * the seal export is at-least-once and a byte-equal replayed point must
+  * not double into a cumulative sum (the traceTree convention). */
 object Metrics {
+
+  /** The full series identity: every column that distinguishes one
+    * producer's stream of points from another's. */
+  private val seriesKey = Seq("name", "service_name", "service_namespace",
+    "service_instance_id", "resource_attributes", "scope_name",
+    "metric_attributes").map(col)
 
   /** DELTA → CUMULATIVE temporality conversion for sum metrics (the OTel
     * collector's cumulativetodelta processor, inverted): within each
@@ -25,12 +39,14 @@ object Metrics {
     * same-named series. */
   def deltaToCumulative(sums: DataFrame): DataFrame = {
     val w = Window
-      .partitionBy(col("name"), col("service_name"),
-        col("metric_attributes"), col("aggregation_temporality"))
-      .orderBy(col("time_unix_nano"))
+      .partitionBy(seriesKey :+ col("aggregation_temporality"): _*)
+      // value as tiebreaker: same-timestamp distinct points otherwise get
+      // run-dependent intermediate running sums
+      .orderBy(col("time_unix_nano"),
+        coalesce(col("double_value"), col("int_value").cast("double")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val isDelta = col("aggregation_temporality") === 1
-    sums
+    sums.distinct()
       .withColumn("int_value",
         when(isDelta, sum(col("int_value")).over(w))
           .otherwise(col("int_value")))
@@ -54,26 +70,33 @@ object Metrics {
     * [[deltaToCumulative]] — uniform high-cardinality partitions, each
     * holding one series' retention of points. */
   def rate(sums: DataFrame): DataFrame = {
-    val w = Window
-      .partitionBy(col("name"), col("service_name"),
-        col("metric_attributes"))
-      .orderBy(col("time_unix_nano"))
     val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    val w = Window
+      .partitionBy(seriesKey: _*)
+      .orderBy(col("time_unix_nano"), v)
     val tUs = unix_micros(col("time_unix_nano"))
     val prevV = lag(v, 1).over(w)
     val dtSec = (tUs - lag(tUs, 1).over(w)).cast("double") / lit(1e6)
     val increase =
       when(col("is_monotonic") && v < prevV, v).otherwise(v - prevV)
-    sums.withColumn("value", v)
-      .withColumn("rate_per_sec", round(increase / dtSec, 6))
+    // no-recorded-value points carry nothing to difference: skip them so
+    // the lag spans the gap (Prometheus staleness behavior; keeps the
+    // streaming twin's membership identical); dt > 0 guard: a distinct
+    // same-microsecond pair must yield null, not an ANSI divide-by-zero
+    sums.distinct()
+      .where(v.isNotNull)
+      .withColumn("value", v)
+      .withColumn("rate_per_sec",
+        when(dtSec > 0, round(increase / dtSec, 6)))
   }
 
   /** Histogram quantile per data point (PromQL `histogram_quantile` over
     * one point): linear interpolation within the first bucket whose
     * cumulative count reaches q·total, with the Prometheus conventions —
     * the first bucket interpolates from 0, and a quantile landing in the
-    * +Inf bucket reports the highest finite bound. Empty histograms
-    * report null. round(6) for engine portability.
+    * +Inf bucket reports the highest finite bound. Empty histograms and
+    * single-bucket histograms (no finite bound to report) return null.
+    * round(6) for engine portability.
     *
     * MAP-ONLY: the whole walk is array expressions over the row's own
     * bucket_counts/explicit_bounds (bucket counts are small — the O(n²)
@@ -95,12 +118,19 @@ object Metrics {
         """transform(sequence(1, size(bucket_counts)),
           |  i -> aggregate(slice(bucket_counts, 1, i),
           |    CAST(0 AS DOUBLE), (a, x) -> a + x))""".stripMargin))
-      .withColumn("__total", expr("element_at(__cums, size(__cums))"))
+      // aggregate, not element_at(cums, size): an EMPTY bucket array would
+      // make that element_at(arr, 0) — an ANSI-mode runtime error
+      .withColumn("__total", coalesce(expr(
+        "aggregate(bucket_counts, CAST(0 AS DOUBLE), (a, x) -> a + x)"),
+        lit(0.0)))
       .withColumn("__target", col("__total") * lit(q))
       .withColumn("__idx",
         expr("size(filter(__cums, x -> x < __target))") + 1)
       .withColumn(outCol,
         when(col("bucket_counts").isNull || col("__total") <= 0, lit(null))
+          // a single-bucket histogram (no finite bound at all) has no
+          // quantile to report — and element_at(b, 0) would throw
+          .when(size(b) === 0, lit(null))
           .when(idx > size(b), element_at(b, size(b)))
           .otherwise(round(
             lo + (hi - lo) * (col("__target") - cumPrev) / cnt, 6)))

@@ -97,6 +97,10 @@ object TelemetryStreams {
     * Catalyst's deserializer, like SpanLite). */
   case class SumPoint(ts: java.sql.Timestamp, name: String,
                       service_name: Option[String],
+                      service_namespace: Option[String],
+                      service_instance_id: Option[String],
+                      resource_attributes: Option[String],
+                      scope_name: Option[String],
                       metric_attributes: Option[String], t_us: Long,
                       value: Double, is_monotonic: Boolean)
 
@@ -106,6 +110,7 @@ object TelemetryStreams {
   /** A rate observation: the point plus its per-second rate (None for a
     * series' first point and for late/out-of-order arrivals). */
   case class RatePoint(name: String, service_name: Option[String],
+                       service_instance_id: Option[String],
                        metric_attributes: Option[String], t_us: Long,
                        value: Double, rate_per_sec: Option[Double])
 
@@ -113,12 +118,16 @@ object TelemetryStreams {
     * face of `operators.Metrics.rate`, whose lag-window form cannot run in
     * append mode: state is ONE (value, time) pair per series, each
     * arriving point emits its rate against the stored predecessor (same
-    * counter-reset rule, same round(6)), and the first point of a series
-    * — or a point at/behind the stored time (late data) — emits a null
-    * rate without rewinding state. Series idle past `staleness` expire via
-    * the event-time timeout (watermark-driven — no processing-time
-    * polling), so state is bounded by the LIVE series set and a restarted
-    * series just re-primes with one null. */
+    * counter-reset rule, same round(6), same FULL producer-identity
+    * series key — two replicas of one service never merge), and the first
+    * point of a series — or a point at/behind the stored time — emits a
+    * null rate without rewinding state. Points later than the watermark
+    * itself (more than `stalenessMs` behind the stream's max event time)
+    * are dropped by the engine's standard late-data filter and emit
+    * nothing. Series idle past the staleness horizon expire via the
+    * event-time timeout (watermark-driven — no processing-time polling),
+    * so state is bounded by the LIVE series set and a restarted series
+    * just re-primes with one null. */
   def rateStream(sums: DataFrame, stalenessMs: Long = 3600000L)
       : Dataset[RatePoint] = {
     val spark = sums.sparkSession
@@ -129,7 +138,9 @@ object TelemetryStreams {
     val lite = sums
       .withWatermark("time_unix_nano", s"$stalenessMs milliseconds")
       .select(col("time_unix_nano").as("ts"),
-        col("name"), col("service_name"), col("metric_attributes"),
+        col("name"), col("service_name"), col("service_namespace"),
+        col("service_instance_id"), col("resource_attributes"),
+        col("scope_name"), col("metric_attributes"),
         unix_micros(col("time_unix_nano")).as("t_us"),
         coalesce(col("double_value"), col("int_value").cast("double"))
           .as("value"),
@@ -138,7 +149,9 @@ object TelemetryStreams {
       .as[SumPoint]
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    lite.groupByKey(p => (p.name, p.service_name, p.metric_attributes))
+    lite.groupByKey(p => (p.name, p.service_name, p.service_namespace,
+        p.service_instance_id, p.resource_attributes, p.scope_name,
+        p.metric_attributes))
       .flatMapGroupsWithState[SeriesLast, RatePoint](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (_, _, state: GroupState[SeriesLast]) if state.hasTimedOut =>
@@ -155,8 +168,8 @@ object TelemetryStreams {
             }
             if (st.forall(_.last_t_us < p.t_us))
               st = Some(SeriesLast(p.value, p.t_us))
-            RatePoint(p.name, p.service_name, p.metric_attributes,
-              p.t_us, p.value, rate)
+            RatePoint(p.name, p.service_name, p.service_instance_id,
+              p.metric_attributes, p.t_us, p.value, rate)
           }
           st.foreach { s =>
             state.update(s)

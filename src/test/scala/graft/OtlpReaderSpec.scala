@@ -451,6 +451,31 @@ class OtlpReaderSpec extends SparkTestBase {
     // 10, 4, 13 non-monotonic: null, -0.1, 0.15 (negative rates legal)
     assert(byName("queue.size").map(_._2) ===
       Seq(None, Some(-0.1), Some(0.15)))
+    // review-finding regressions: (a) an at-least-once byte-equal replay
+    // changes nothing; (b) two distinct points at one microsecond yield
+    // null rates, not an ANSI divide-by-zero; (c) two producer INSTANCES
+    // of one series never merge (no fake counter resets)
+    val sums = Otlp.readMetricsSum(spark, s"$fx/rate_metrics.jsonl")
+    val replayed = graft.operators.Metrics.rate(sums.unionAll(sums.limit(1)))
+      .orderBy("name", "time_unix_nano").collect()
+      .map(r => Option(r.getAs[Any]("rate_per_sec")))
+    assert(replayed.length == got.length, "replay must collapse")
+    val sameTs = sums.where(org.apache.spark.sql.functions.col("name") === "queue.size")
+      .limit(1)
+    val tsPair = graft.operators.Metrics.rate(
+        sums.unionAll(sameTs.withColumn("double_value",
+          org.apache.spark.sql.functions.col("double_value") + 1.0)))
+      .where(org.apache.spark.sql.functions.col("name") === "queue.size")
+      .collect()
+    assert(tsPair.length == 4, tsPair.mkString("; "))
+    val twoInstances = sums.unionAll(sums.withColumn("service_instance_id",
+      org.apache.spark.sql.functions.lit("pod-2")))
+    val perInst = graft.operators.Metrics.rate(twoInstances)
+      .where(org.apache.spark.sql.functions.col("name") === "requests.total")
+      .collect().map(r => Option(r.getAs[Any]("rate_per_sec")))
+    // each instance reproduces the single-series rates — nothing merges
+    assert(perInst.count(_.isEmpty) == 2, perInst.mkString("; "))
+    assert(perInst.count(_.contains(1.5)) == 2, perInst.mkString("; "))
   }
 
   test("histogram quantile: interpolated median, first-bucket-from-0, " +
@@ -481,6 +506,14 @@ class OtlpReaderSpec extends SparkTestBase {
     // 1 + 1 + (5-4)/4 = 2.25 -> 2^2.25; all-zero-mass point -> 0;
     // negative mass -> null; scale 1, offset 4, [4,4]: 2^(5/2)
     assert(got === Seq(Some(4.756828), Some(0.0), None, Some(5.656854)), got)
+    // a single-bucket histogram (no finite bound) reports null instead of
+    // an element_at(b, 0) runtime error (review-finding regression)
+    import spark.implicits._
+    val single = Seq((Seq(5L), Seq.empty[Double]))
+      .toDF("bucket_counts", "explicit_bounds")
+    val sq = graft.operators.Metrics.histogramQuantile(single, q = 0.5)
+      .collect().head
+    assert(sq.getAs[Any]("quantile") == null, sq)
     // monotone in q where defined
     val q9 = graft.operators.Metrics.expHistogramQuantile(hists, q = 0.9)
       .orderBy("time_unix_nano").collect()

@@ -139,9 +139,14 @@ class TelemetryStreamsSpec extends SparkTestBase {
     // default trigger + processAllAvailable (event-time timeouts are
     // data-driven, so unlike the tail sampler this settles); ONE query run
     // so state must carry across the mid-series micro-batch split
-    val run = TelemetryStreams.rateStream(in.toDF().toDF("time_unix_nano",
+    val streamIn = in.toDF().toDF("time_unix_nano",
         "name", "service_name", "metric_attributes", "int_value",
-        "double_value", "is_monotonic"))
+        "double_value", "is_monotonic")
+      .withColumn("service_namespace", lit(null).cast("string"))
+      .withColumn("service_instance_id", lit(null).cast("string"))
+      .withColumn("resource_attributes", lit(null).cast("string"))
+      .withColumn("scope_name", lit(null).cast("string"))
+    val run = TelemetryStreams.rateStream(streamIn)
       .writeStream.format("memory").queryName("ratestream")
       .outputMode("append").start()
     val (b1, b2) = batchRows.splitAt(3)
