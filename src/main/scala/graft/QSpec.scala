@@ -27,6 +27,16 @@ object QSpec {
       prefixes.isEmpty || prefixes.exists(name.startsWith)
     }
 
+  /** Silence the expected per-release WARN from eager checkpoint-block
+    * frees ("locally checkpointed … cannot be recomputed after
+    * unpersisting"): superseded round checkpoints are released on purpose
+    * and never recomputed, and at 155 queries the repeats would bury the
+    * one log line that matters in a bench/verify artifact. */
+  def quietCheckpointRelease(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+
   /** SQL that is valid and result-identical in both Spark SQL and DuckDB. */
   def sameSql(name: String, sql: String): QSpec =
     QSpec(name, (s, dir) => { Tables.register(s, dir); s.sql(sql) }, Some(sql))

@@ -26,6 +26,7 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    QSpec.quietCheckpointRelease()
     new java.io.File(outDir).mkdirs()
     // dev-loop aid: SPARK_GRAFT_VERIFY_FILTER=<prefix,prefix,...> dumps only
     // the matching queries (the driver leaves it unset -> full registry; the
@@ -41,6 +42,12 @@ object Verify {
         failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // free the finished query's terminal localCheckpoint blocks (the
+      // operator frees only superseded rounds; the final checkpoint is the
+      // caller's to release) — unreleased, they accumulate across the
+      // 155-query dump and squeeze execution memory (VERDICT r8 #2)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // zero successful dumps means a harness/environment failure (e.g. the
     // round-6 fixture-schema change broke every events query at register

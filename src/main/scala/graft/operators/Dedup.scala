@@ -385,7 +385,7 @@ object Dedup {
           least(col("a.cluster_id"),
             coalesce(col("p.pcluster"), col("a.cluster_id"))).as("cluster_id"))
         .localCheckpoint()
-      stepped.unpersist() // next is materialized; the intermediate can go
+      Blocks.release(stepped) // next is materialized; the intermediate can go
       if (numericIds) {
         val s = labelSum(next)
         converged = s.compareTo(prevSum) == 0
@@ -395,7 +395,7 @@ object Dedup {
           .join(labels.as("b"), col("a.id") === col("b.id"))
           .where(col("a.cluster_id") =!= col("b.cluster_id"))
           .isEmpty
-      labels.unpersist() // drop the superseded checkpoint's blocks
+      Blocks.release(labels) // drop the superseded checkpoint's blocks
       labels = next
     }
     edges.unpersist()

@@ -177,6 +177,16 @@ object Metrics {
       .withColumn(outCol,
         when(col("__total") <= 0 || negMass > 0, lit(null))
           .when(col("__target") <= zero, lit(0.0))
+          // fp clamp (the explicit-bucket twin's idx>size branch): when
+          // counts get large enough that (zero + Σpc) rounds UP, __target
+          // can exceed the last cumulative and idx lands at len+1 — an
+          // ANSI out-of-bounds element_at. The quantile is then the top
+          // bucket's upper bound, 2^((offset + len) / 2^scale).
+          .when(idx > size(col("positive_bucket_counts")),
+            round(pow(lit(2.0),
+              (col("positive_offset") +
+                size(col("positive_bucket_counts")).cast("double")) /
+                pow(lit(2.0), col("scale"))), 6))
           .otherwise(round(
             pow(lit(2.0), exponent / pow(lit(2.0), col("scale"))), 6)))
       .drop("__cums", "__total", "__target", "__idx")

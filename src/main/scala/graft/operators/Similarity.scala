@@ -829,6 +829,9 @@ object Similarity {
     var labels = emb.select(col(idCol).as("id"),
       when(col(idCol) % seedMod === 0, col(labelCol)).as("lbl"),
       (col(idCol) % seedMod === 0).as("seed"))
+    // only OUR round checkpoints may release eagerly: the initial frame's
+    // plan embeds `emb`, and a caller-checkpointed emb must keep its blocks
+    var ours = false
     for (_ <- 1 to iters) {
       val votes = edges
         .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), "dst")
@@ -838,13 +841,18 @@ object Similarity {
       val winner = votes.withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .select(col("src").as("id"), col("nlbl").as("vote"))
-      labels = labels.join(winner, Seq("id"), "left")
+      val next = labels.join(winner, Seq("id"), "left")
         .select(col("id"),
           when(col("seed"), col("lbl"))
             .otherwise(coalesce(col("vote"), col("lbl"))).as("lbl"),
           col("seed"))
         .localCheckpoint()
+      if (ours) Blocks.release(labels) // superseded round checkpoint
+      labels = next; ours = true
     }
+    // the final labels checkpoint severed lineage, so the edge list's blocks
+    // are no longer reachable from the returned frame
+    if (ours) Blocks.release(edges)
     labels.select(col("id").as(idCol), col("lbl").as("label_prop"),
       col("seed"))
   }

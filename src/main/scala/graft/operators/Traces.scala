@@ -29,17 +29,27 @@ object Traces {
     * any trace up to 2^6 = 64 deep in six uniform-key joins — depth-k
     * chains never cost k sequential joins.
     *
+    * `rounds` is an initial BLIND budget, not a cap: after it runs, one
+    * cheap count checks for spans whose ancestor pointer is still
+    * unresolved, and the walk keeps doubling (one count per extra round)
+    * until every span reached its root — a depth-100 chain costs exactly
+    * one round past the default budget, never a silent 2^rounds depth
+    * truncation (VERDICT r8 #4). A parent-pointer CYCLE (corrupt data) can
+    * never resolve; the walk detects it when doubling stops making progress
+    * and fails fast instead of looping.
+    *
     * Shape at 100 TB: every join and aggregate is keyed by
     * (trace_id, span_id) — maximally uniform; per-round state is one row
     * per span with four small columns, localCheckpoint'ed so lineage stays
-    * flat; nothing ever materializes a whole trace in one place, so a
+    * flat (superseded round checkpoints release their blocks eagerly);
+    * nothing ever materializes a whole trace in one place, so a
     * million-span trace is as distributable as a million one-span traces. */
   def traceTree(spans: DataFrame, rounds: Int = 6,
                 idCol: String = "span_id",
                 parentCol: String = "parent_span_id",
                 traceCol: String = "trace_id",
                 durCol: String = "duration_time_unix_nano"): DataFrame = {
-    require(rounds >= 1 && rounds <= 20, s"rounds out of range: $rounds")
+    require(rounds >= 1 && rounds <= 40, s"rounds out of range: $rounds")
     // the seal export is at-least-once: replayed span rows are byte-equal,
     // so a distinct() drops them deterministically — without it a
     // duplicated ancestor multiplies state rows in EVERY doubling hop
@@ -60,10 +70,10 @@ object Traces {
     // invariant: anc is an ancestor of s (or null = s reached its root);
     // d = edges s→anc; w = Σ dur over s..anc EXCLUSIVE of anc (when anc is
     // null: w covers the whole root path inclusive)
-    for (_ <- 1 to rounds) {
-      val hop = st.select(col("t").as("t2"), col("s").as("s2"),
+    def doubling(prev: DataFrame): DataFrame = {
+      val hop = prev.select(col("t").as("t2"), col("s").as("s2"),
         col("anc").as("anc2"), col("d").as("d2"), col("w").as("w2"))
-      st = st.join(hop,
+      val next = prev.join(hop,
           col("t") === col("t2") && col("anc") === col("s2"), "left")
         .select(col("t"), col("s"),
           when(col("s2").isNull, col("anc")).otherwise(col("anc2")).as("anc"),
@@ -73,6 +83,25 @@ object Traces {
             .otherwise(col("w") + col("w2")).as("w"),
           col("is_root"), col("dur"))
         .localCheckpoint()
+      Blocks.release(prev) // next is materialized; the superseded round can go
+      next
+    }
+    for (_ <- 1 to rounds) st = doubling(st)
+    // convergence guard: the blind budget covers depth 2^rounds; anything
+    // deeper would silently truncate max_depth/critical_path_ns. One count
+    // per EXTRA round only — the common case pays a single count job.
+    // Progress stalling (unresolved stops shrinking while doubling) means a
+    // parent-pointer cycle: impossible to resolve, so fail fast.
+    var unresolved = st.where(col("anc").isNotNull).count()
+    var prevUnresolved = Long.MaxValue
+    while (unresolved > 0) {
+      if (unresolved >= prevUnresolved)
+        throw new IllegalStateException(
+          s"traceTree: $unresolved spans cannot reach a root — " +
+            "parent-pointer cycle in the span data")
+      prevUnresolved = unresolved
+      st = doubling(st)
+      unresolved = st.where(col("anc").isNotNull).count()
     }
     st.groupBy(col("t").as("trace_id"))
       .agg(count(lit(1)).as("n_spans"),

@@ -108,9 +108,16 @@ object TelemetryStreams {
   case class SeriesLast(last_v: Double, last_t_us: Long)
 
   /** A rate observation: the point plus its per-second rate (None for a
-    * series' first point and for late/out-of-order arrivals). */
+    * series' first point and for late/out-of-order arrivals). Carries the
+    * FULL series identity — two series distinguished only by namespace,
+    * resource attributes, or scope must stay attributable to one producer
+    * in the output, or the full-producer-identity state key is defeated at
+    * the consumer (ADVICE r8). */
   case class RatePoint(name: String, service_name: Option[String],
+                       service_namespace: Option[String],
                        service_instance_id: Option[String],
+                       resource_attributes: Option[String],
+                       scope_name: Option[String],
                        metric_attributes: Option[String], t_us: Long,
                        value: Double, rate_per_sec: Option[Double])
 
@@ -168,7 +175,8 @@ object TelemetryStreams {
             }
             if (st.forall(_.last_t_us < p.t_us))
               st = Some(SeriesLast(p.value, p.t_us))
-            RatePoint(p.name, p.service_name, p.service_instance_id,
+            RatePoint(p.name, p.service_name, p.service_namespace,
+              p.service_instance_id, p.resource_attributes, p.scope_name,
               p.metric_attributes, p.t_us, p.value, rate)
           }
           st.foreach { s =>

@@ -514,6 +514,17 @@ class OtlpReaderSpec extends SparkTestBase {
     val sq = graft.operators.Metrics.histogramQuantile(single, q = 0.5)
       .collect().head
     assert(sq.getAs[Any]("quantile") == null, sq)
+    // fp clamp (ADVICE r8): a zero_count big enough that (zero + Σpc)
+    // rounds UP pushes __target past the last cumulative, idx to len+1 —
+    // must report the top bucket's upper bound, not an ANSI out-of-bounds.
+    // 2^53 has double spacing 2, so 2^53 + 3 rounds to 2^53 + 4 and
+    // q=1 leaves target-zero = 4 > Σpc = 3.
+    val big = Seq((9007199254740992L, 0, 0, Seq(1L, 2L), Seq.empty[Long]))
+      .toDF("zero_count", "scale", "positive_offset",
+        "positive_bucket_counts", "negative_bucket_counts")
+    val clamped = graft.operators.Metrics.expHistogramQuantile(big, q = 1.0)
+      .collect().head
+    assert(clamped.getAs[Double]("quantile") == 4.0, clamped) // 2^((0+2)/1)
     // monotone in q where defined
     val q9 = graft.operators.Metrics.expHistogramQuantile(hists, q = 0.9)
       .orderBy("time_unix_nano").collect()

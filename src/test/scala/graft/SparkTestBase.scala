@@ -23,6 +23,7 @@ object SparkTestBase {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    QSpec.quietCheckpointRelease()
     s
   }
 }

@@ -162,6 +162,10 @@ class TelemetryStreamsSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1)) ->
         Option(r.getAs[Any]("rate_per_sec"))).toMap
     assert(got == expect, s"stream $got vs batch $expect")
+    // the output carries the FULL series identity (ADVICE r8): a consumer
+    // must be able to attribute every rate row to exactly one producer
+    assert(Seq("service_namespace", "resource_attributes", "scope_name")
+      .forall(spark.table("ratestream").columns.contains))
     // a LATE point (behind the stored head) emits null and does not
     // rewind: replaying the first requests.total point yields null rate
     val late = batchRows.find(_._2 == "requests.total").get

@@ -36,10 +36,34 @@ class TracesSpec extends SparkTestBase {
     assert(r.getAs[Int]("max_depth") == n - 1)
     // critical path = full chain sum 1+..+41
     assert(r.getAs[Long]("critical_path_ns") == n.toLong * (n + 1) / 2)
-    // and an insufficient round budget underreports (proves the rounds
-    // parameter is really what resolves depth — 2 rounds cover depth 4)
+    // an insufficient blind budget AUTO-EXTENDS to convergence: 2 rounds
+    // cover depth 4, but the guard keeps doubling until every span reaches
+    // its root — never a silent 2^rounds truncation
     val shallow = Traces.traceTree(spans, rounds = 2).collect().head
-    assert(shallow.getAs[Int]("max_depth") < n - 1)
+    assert(shallow.getAs[Int]("max_depth") == n - 1)
+  }
+
+  test("depth-100 chain resolves EXACTLY past the default 2^6 budget") {
+    import spark.implicits._
+    val n = 101 // depth 100 > 2^6: one extra convergence round past default
+    val spans = (0 until n).map { i =>
+      ("t1", f"s$i%03d", if (i == 0) null else f"s${i - 1}%03d", 1L)
+    }.toDF("trace_id", "span_id", "parent_span_id", "duration_time_unix_nano")
+    val r = Traces.traceTree(spans).collect().head
+    assert(r.getAs[Int]("max_depth") == n - 1)
+    assert(r.getAs[Long]("critical_path_ns") == n.toLong)
+  }
+
+  test("parent-pointer cycle fails fast instead of looping or truncating") {
+    import spark.implicits._
+    val spans = Seq(
+      ("t1", "sa", "sb", 1L), ("t1", "sb", "sa", 1L), // 2-cycle
+      ("t1", "sr", null, 1L))                         // plus a real root
+      .toDF("trace_id", "span_id", "parent_span_id", "duration_time_unix_nano")
+    val e = intercept[IllegalStateException] {
+      Traces.traceTree(spans).collect()
+    }
+    assert(e.getMessage.contains("cycle"))
   }
 
   test("service graph: hand-computed edges, roots/orphans contribute none") {
