@@ -12,6 +12,12 @@ case class MediaItem(media_id: Long, media_type: String, content: Array[Byte])
 case class MediaMeta(media_id: Long, media_type: String, width: Int,
                      height: Int, channels: Int, n_bytes: Long)
 
+/** REAL decoded image metadata + per-channel pixel means (the statistic an
+  * oracle can recompute when the pixels are formula-generated). */
+case class ImageMeta(media_id: Long, media_type: String, width: Int,
+                     height: Int, channels: Int, avg_r: Double,
+                     avg_g: Double, avg_b: Double)
+
 /** Extracted (stubbed) feature vector for a media object. */
 case class MediaFeature(media_id: Long, feature: Array[Float])
 
@@ -24,12 +30,20 @@ case class MediaFrame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
   * analog of `mapInPandas` — one iterator per partition, so a real decoder
   * would amortize library init per partition, not per row).
   *
-  * STUB NOTICE: this container has no image/audio codecs, so `decodeStub`,
+  * IMAGE operators are REAL: `decodeImage` and `resizeImage` run
+  * javax.imageio (pure-JDK PNG/JPEG codecs — no external library needed)
+  * inside the same mapPartitions contract, and `pngFromDocuments` generates
+  * genuine PNG bytes whose pixels follow a doc_id-arithmetic formula, so a
+  * SQL oracle can value-check the DECODED pixel statistics (PNG is
+  * lossless). The resample is explicit nearest-neighbor — bit-reproducible
+  * in any engine, unlike a library's filtered scaler.
+  *
+  * STUB NOTICE (audio/video only): the JDK has no audio/video codecs, so
   * `featureStub` and `frameSampleStub` compute deterministic fakes from the
   * bytes (documented below). The Spark-side plumbing — schema, encoders,
   * partition-preserving iterators, batch shape — is real and is what the
-  * tests cover; swapping a fake for javax.imageio/ffmpeg changes only the
-  * function body marked STUB.
+  * tests cover; swapping a fake for ffmpeg changes only the function body
+  * marked STUB.
   *
   * Scale notes (100 TB): all operators are map-only (no shuffle); binary
   * columns ride Parquet's byte-array encoding and the decode stage streams
@@ -51,9 +65,116 @@ object Multimodal {
       unhex(concat(md5(col("text")), md5(concat(lit("2:"), col("text")))))
         .as("content"))
 
+  /** Pixel formula for the generated test images — plain modular arithmetic
+    * in (doc_id, x, y) so a SQL oracle recomputes any decoded-pixel
+    * statistic exactly. */
+  private[graft] def pxR(id: Long, x: Int, y: Int): Int = ((id * 7 + x * 5 + y * 3) % 256).toInt
+  private[graft] def pxG(id: Long, x: Int, y: Int): Int = ((id * 11 + x * 3 + y * 7) % 256).toInt
+  private[graft] def pxB(id: Long, x: Int, y: Int): Int = ((id * 13 + x + y * 5) % 256).toInt
+
+  /** Media source with REAL image bytes: one RGB PNG per document, encoded
+    * by the JDK's own PNG writer. Dimensions w = 4 + id%13, h = 3 + id%11;
+    * pixel (x,y) follows [[pxR]]/[[pxG]]/[[pxB]] — all doc_id arithmetic,
+    * so the DECODED image is oracle-checkable end to end. */
+  def pngFromDocuments(docs: DataFrame): Dataset[MediaItem] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition init, once
+      it.map { id =>
+        val w = (4 + id % 13).toInt; val h = (3 + id % 11).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y,
+              (pxR(id, x, y) << 16) | (pxG(id, x, y) << 8) | pxB(id, x, y))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaItem(id, "image", bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL image decode (javax.imageio — PNG, JPEG, GIF, BMP auto-detected
+    * from the bytes): reports dimensions, channel count, and per-channel
+    * pixel means rounded to 4 decimals (grayscale images report the single
+    * band in all three). Undecodable bytes fail loudly — a corrupt image in
+    * a curation pipeline is a data bug, not a row to silently skip. */
+  def decodeImage(media: Dataset[MediaItem]): Dataset[ImageMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition init, once
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.content))
+        require(img != null, s"media_id=${m.media_id}: undecodable image bytes")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val bands = raster.getNumBands
+        val sums = new Array[Long](bands)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < bands) { sums(b) += raster.getSample(x, y, b); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        def avg(b: Int): Double = {
+          val v = sums(math.min(b, bands - 1)).toDouble / (w.toLong * h)
+          BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        ImageMeta(m.media_id, m.media_type, w, h, bands, avg(0), avg(1), avg(2))
+      }
+    }
+  }
+
+  /** REAL image resize: decode (javax.imageio), NEAREST-NEIGHBOR resample
+    * to (w, h) — src pixel (floor(x·w0/w), floor(y·h0/h)), the one scaling
+    * rule that is bit-reproducible in any engine — and re-encode as PNG.
+    * `decodeImage(resizeImage(m, w, h))` therefore reports exactly (w, h)
+    * with channel means computable from the source formula. */
+  def resizeImage(media: Dataset[MediaItem], w: Int, h: Int): Dataset[MediaItem] = {
+    import media.sparkSession.implicits._
+    require(w > 0 && h > 0 && w <= 16384 && h <= 16384, "bad target dims")
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val src = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.content))
+        require(src != null, s"media_id=${m.media_id}: undecodable image bytes")
+        val (w0, h0) = (src.getWidth, src.getHeight)
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          val sy = (y.toLong * h0 / h).toInt
+          var x = 0
+          while (x < w) {
+            out.setRGB(x, y, src.getRGB((x.toLong * w0 / w).toInt, sy))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        MediaItem(m.media_id, m.media_type, bos.toByteArray)
+      }
+    }
+  }
+
   /** STUB decode: reads a fake header from the first bytes instead of a real
     * codec. width = b0*256+b1, height = b2*256+b3, channels = 1 + (b4 % 4).
-    * Deterministic in the bytes; real decode would replace the body only. */
+    * Deterministic in the bytes; kept for the NON-image media types the JDK
+    * cannot decode (see decodeImage for the real PNG/JPEG path). */
   def decodeStub(media: Dataset[MediaItem]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
@@ -83,28 +204,6 @@ object Multimodal {
         val v = Array.tabulate(dims)(d =>
           if (cnts(d) == 0) 0f else (sums(d).toFloat / cnts(d) / 256f))
         MediaFeature(m.media_id, v)
-      }
-    }
-  }
-
-  /** STUB resize: rewrites the fake 4-byte dimension header to the target
-    * (width, height) and keeps the remaining bytes — so the contract
-    * `decodeStub(resizeStub(m, w, h))` reports exactly (w, h) with
-    * channels/type/length preserved, which is what the spec pins. A real
-    * implementation replaces the body with an image-library scale (and
-    * shrinks the payload); the map-only per-partition shape and the
-    * decode-after-resize contract are the real parts. */
-  def resizeStub(media: Dataset[MediaItem], w: Int, h: Int): Dataset[MediaItem] = {
-    import media.sparkSession.implicits._
-    require(w > 0 && w < 65536 && h > 0 && h < 65536, "dims must fit u16")
-    media.mapPartitions { it =>
-      it.map { m =>
-        val out = m.content.clone()
-        if (out.length >= 4) {
-          out(0) = (w / 256).toByte; out(1) = (w % 256).toByte
-          out(2) = (h / 256).toByte; out(3) = (h % 256).toByte
-        }
-        MediaItem(m.media_id, m.media_type, out)
       }
     }
   }

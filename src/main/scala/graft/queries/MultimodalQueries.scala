@@ -5,10 +5,12 @@ import graft.QSpec._
 import graft.operators.Multimodal
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column pipeline as oracle-checked queries. The binary content
-  * is a deterministic md5-derived fake (no codecs in this environment), so
-  * even the stubbed decode/feature/frame operators are value-checkable in
-  * DuckDB by recomputing the same arithmetic on the hex text. */
+/** Multimodal-column pipeline as oracle-checked queries. Image decode and
+  * resize are REAL (javax.imageio over generated formula-pixel PNGs —
+  * lossless, so DuckDB value-checks the decoded pixel statistics by
+  * recomputing the arithmetic). Audio/video feature/frame operators remain
+  * deterministic md5-derived fakes (the JDK ships no such codecs), equally
+  * value-checkable by replaying the arithmetic on the hex text. */
 object MultimodalQueries {
 
   /** DuckDB: value of hex digit k (1-based) of string h. */
@@ -29,35 +31,52 @@ object MultimodalQueries {
         .orderBy("media_id").limit(100)
     },
 
-    df("mm_decode_stub",
-      s"""WITH m AS (SELECT doc_id AS media_id,
-         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-         |  md5(text) AS h FROM documents)
-         |SELECT media_id, media_type,
-         |  ${byteAt("0")} * 256 + ${byteAt("1")} AS width,
-         |  ${byteAt("2")} * 256 + ${byteAt("3")} AS height,
-         |  1 + (${byteAt("4")} % 4) AS channels,
-         |  CAST(32 AS BIGINT) AS n_bytes
-         |FROM m ORDER BY media_id LIMIT 100""".stripMargin) { (s, _) =>
-      Multimodal.decodeStub(Multimodal.asItems(
-          Multimodal.fromDocuments(s.table("documents"))))
-        .toDF().orderBy("media_id").limit(100)
+    // REAL image decode: the source generates genuine PNGs whose pixels are
+    // doc_id arithmetic, so the oracle value-checks what javax.imageio
+    // actually DECODED — dims, channel count, and per-channel pixel means
+    // (PNG is lossless, so decode must reproduce the formula exactly)
+    df("mm_decode",
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+        |  FROM documents ORDER BY media_id LIMIT 100),
+        |px AS (SELECT media_id, w, h, x, y,
+        |    (media_id * 7 + x * 5 + y * 3) % 256 AS r,
+        |    (media_id * 11 + x * 3 + y * 7) % 256 AS g,
+        |    (media_id * 13 + x + y * 5) % 256 AS b
+        |  FROM m CROSS JOIN generate_series(0, 16) tx(x)
+        |         CROSS JOIN generate_series(0, 13) ty(y)
+        |  WHERE x < w AND y < h)
+        |SELECT media_id, 'image' AS media_type, w AS width, h AS height,
+        |  3 AS channels, round(avg(r), 4) AS avg_r,
+        |  round(avg(g), 4) AS avg_g, round(avg(b), 4) AS avg_b
+        |FROM px GROUP BY media_id, w, h ORDER BY media_id""".stripMargin) { (s, _) =>
+      Multimodal.decodeImage(Multimodal.pngFromDocuments(
+          s.table("documents").orderBy("doc_id").limit(100)))
+        .toDF().orderBy("media_id")
     },
 
-    // resize then decode: the stub rewrites the fake dimension header, so
-    // decode reports exactly the target dims with channels/length intact
-    df("mm_resize_stub",
-      s"""WITH m AS (SELECT doc_id AS media_id,
-         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-         |  md5(text) AS h FROM documents)
-         |SELECT media_id, media_type,
-         |  64 AS width, 48 AS height,
-         |  1 + (${byteAt("4")} % 4) AS channels,
-         |  CAST(32 AS BIGINT) AS n_bytes
-         |FROM m ORDER BY media_id LIMIT 100""".stripMargin) { (s, _) =>
-      Multimodal.decodeStub(Multimodal.resizeStub(Multimodal.asItems(
-          Multimodal.fromDocuments(s.table("documents"))), w = 64, h = 48))
-        .toDF().orderBy("media_id").limit(100)
+    // REAL resize: decode → nearest-neighbor resample to 8x6 → PNG
+    // re-encode → decode again; the oracle replays the NN source-pixel
+    // mapping floor(x·w0/8), floor(y·h0/6) on the formula pixels
+    df("mm_resize",
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    4 + doc_id % 13 AS w0, 3 + doc_id % 11 AS h0
+        |  FROM documents ORDER BY media_id LIMIT 100),
+        |px AS (SELECT media_id,
+        |    CAST(floor(x * w0 / 8.0) AS BIGINT) AS sx,
+        |    CAST(floor(y * h0 / 6.0) AS BIGINT) AS sy
+        |  FROM m CROSS JOIN generate_series(0, 7) tx(x)
+        |         CROSS JOIN generate_series(0, 5) ty(y))
+        |SELECT media_id, 'image' AS media_type, 8 AS width, 6 AS height,
+        |  3 AS channels,
+        |  round(avg((media_id * 7 + sx * 5 + sy * 3) % 256), 4) AS avg_r,
+        |  round(avg((media_id * 11 + sx * 3 + sy * 7) % 256), 4) AS avg_g,
+        |  round(avg((media_id * 13 + sx + sy * 5) % 256), 4) AS avg_b
+        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin) { (s, _) =>
+      Multimodal.decodeImage(Multimodal.resizeImage(
+          Multimodal.pngFromDocuments(
+            s.table("documents").orderBy("doc_id").limit(100)), w = 8, h = 6))
+        .toDF().orderBy("media_id")
     },
 
     // feature vector exploded to (media_id, dim, v) rows: the driver's

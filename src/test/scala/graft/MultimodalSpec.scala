@@ -55,21 +55,84 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(3L) > 0L)
   }
 
-  test("resizeStub: decode-after-resize reports the target dims with " +
-    "type, channels, and byte length preserved; map-only") {
-    val items = Multimodal.asItems(media)
-    val before = Multimodal.decodeStub(items).collect()
-      .map(m => m.media_id -> m).toMap
-    val resized = Multimodal.resizeStub(items, w = 320, h = 200)
-    assert(!resized.queryExecution.executedPlan.toString.contains("Exchange"))
-    val after = Multimodal.decodeStub(resized).collect()
-    assert(after.nonEmpty)
-    after.foreach { m =>
-      assert(m.width == 320 && m.height == 200, s"dims ${m.width}x${m.height}")
-      val b = before(m.media_id)
-      assert(m.media_type == b.media_type && m.channels == b.channels &&
-        m.n_bytes == b.n_bytes, "resize must only change the dimensions")
+  test("pngFromDocuments emits REAL PNGs; decodeImage reproduces the " +
+    "pixel formula exactly (lossless round-trip); map-only") {
+    Tables.register(spark, sfDir)
+    val docs = spark.table("documents").orderBy("doc_id").limit(20)
+    val pngs = Multimodal.pngFromDocuments(docs)
+    // genuine PNG magic bytes
+    pngs.collect().foreach { m =>
+      assert(m.content.take(8).map(_ & 0xff).toSeq ==
+        Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a),
+        s"media_id=${m.media_id}: not a PNG")
     }
+    val decoded = Multimodal.decodeImage(pngs)
+    assert(!decoded.queryExecution.executedPlan.toString.contains("Exchange"))
+    decoded.collect().foreach { m =>
+      val (w, h) = ((4 + m.media_id % 13).toInt, (3 + m.media_id % 11).toInt)
+      assert(m.width == w && m.height == h && m.channels == 3, m)
+      def mean(px: (Long, Int, Int) => Int): Double = {
+        val s = (for (x <- 0 until w; y <- 0 until h)
+          yield px(m.media_id, x, y).toLong).sum
+        BigDecimal(s.toDouble / (w * h))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      assert(m.avg_r == mean(Multimodal.pxR), s"avg_r ${m.media_id}")
+      assert(m.avg_g == mean(Multimodal.pxG), s"avg_g ${m.media_id}")
+      assert(m.avg_b == mean(Multimodal.pxB), s"avg_b ${m.media_id}")
+    }
+  }
+
+  test("decodeImage goldens: hand-built RGB PNG, JPEG auto-detect, grayscale") {
+    import spark.implicits._
+    def png(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos); bos.toByteArray
+    }
+    val rgb = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    rgb.setRGB(0, 0, 0xff0000); rgb.setRGB(1, 0, 0x00ff00)
+    val gray = new java.awt.image.BufferedImage(
+      3, 1, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    gray.getRaster.setSample(0, 0, 0, 10)
+    gray.getRaster.setSample(1, 0, 0, 20)
+    gray.getRaster.setSample(2, 0, 0, 60)
+    val items = Seq(
+      MediaItem(1L, "image", png(rgb, "png")),
+      MediaItem(2L, "image", png(rgb, "jpg")), // format auto-detected
+      MediaItem(3L, "image", png(gray, "png"))).toDS()
+    val got = Multimodal.decodeImage(items).collect()
+      .map(m => m.media_id -> m).toMap
+    // PNG is lossless: exact channel means
+    assert(got(1L).width == 2 && got(1L).height == 1 && got(1L).channels == 3)
+    assert((got(1L).avg_r, got(1L).avg_g, got(1L).avg_b) == ((127.5, 127.5, 0.0)))
+    // JPEG: lossy pixels, but dims/channels are exact
+    assert(got(2L).width == 2 && got(2L).height == 1 && got(2L).channels == 3)
+    // grayscale: one band, reported in all three means
+    assert(got(3L).channels == 1)
+    assert((got(3L).avg_r, got(3L).avg_g, got(3L).avg_b) == ((30.0, 30.0, 30.0)))
+  }
+
+  test("resizeImage: nearest-neighbor golden up- and down-scale, " +
+    "decode-after-resize reports target dims; map-only") {
+    import spark.implicits._
+    val src = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    src.setRGB(0, 0, 0xff0000); src.setRGB(1, 0, 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", bos)
+    val items = Seq(MediaItem(7L, "image", bos.toByteArray)).toDS()
+    // upscale 2x1 -> 4x2: NN mapping floor(x*2/4) duplicates each column
+    val up = Multimodal.resizeImage(items, w = 4, h = 2)
+    assert(!up.queryExecution.executedPlan.toString.contains("Exchange"))
+    val upMeta = Multimodal.decodeImage(up).collect().head
+    assert(upMeta.width == 4 && upMeta.height == 2)
+    assert((upMeta.avg_r, upMeta.avg_g, upMeta.avg_b) == ((127.5, 0.0, 127.5)))
+    // downscale 2x1 -> 1x1: NN keeps pixel (floor(0*2/1)=0, 0) = pure red
+    val downMeta = Multimodal.decodeImage(
+      Multimodal.resizeImage(items, w = 1, h = 1)).collect().head
+    assert(downMeta.width == 1 && downMeta.height == 1)
+    assert((downMeta.avg_r, downMeta.avg_g, downMeta.avg_b) == ((255.0, 0.0, 0.0)))
   }
 
   test("frameSampleStub yields n frames per video only") {
