@@ -219,14 +219,25 @@ object TrainingData {
 
     // bloom-membership scale path of the same batch-vs-corpus check: the
     // filter is probabilistic (no false negatives, fpp extra drops), so no
-    // value oracle — DedupSpec pins the containment + fpp bound, PlanSpec
-    // pins the map-only apply
+    // value oracle — but the row carries its own bound-check inputs
+    // (batch_size and the EXACT duplicate count), pinning
+    // kept_approx ∈ [batch − dups − fpp·batch, batch − dups] in DedupSpec
+    // and any future driver range check; DedupSpec also pins containment,
+    // PlanSpec the map-only apply
     noOracle("dd_bloom_dedup") { (s, _) =>
       val docs = s.table("documents")
       val corpus = docs.where(col("doc_id") % 10 =!= 0)
-      Dedup.bloomDedup(docs.where(col("doc_id") % 10 === 0), corpus,
+      val batch = docs.where(col("doc_id") % 10 === 0)
+      val kept = Dedup.bloomDedup(batch, corpus,
           expectedItems = corpus.count(), fpp = 0.01)
         .agg(count(lit(1)).as("kept_approx"))
+      val stats = batch
+        .withColumn("h", coalesce(md5(col("text")), lit("0")))
+        .join(corpus.select(coalesce(md5(col("text")), lit("0")).as("sh"))
+          .distinct(), col("h") === col("sh"), "left")
+        .agg(count(lit(1)).as("batch_size"),
+          sum(when(col("sh").isNotNull, 1L).otherwise(0L)).as("true_dup_count"))
+      kept.crossJoin(broadcast(stats))
     },
 
     df("dd_minhash_signature",

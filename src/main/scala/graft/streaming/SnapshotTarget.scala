@@ -38,14 +38,38 @@ import java.nio.charset.StandardCharsets
   *   - **Time travel.** `readAt(signal, seq)` reads any retained
   *     snapshot's exact file set.
   *
-  * Snapshot log format (`_snapshots/<%012d seq>.snap`, text):
-  * line 1 `v1 <seq> <atMs> <sealId>`, then one table-root-relative data
-  * file path per line. Commits are serialized per signal in-process (the
-  * server's seal cycles run in one JVM); the rename is the publish point.
+  * Snapshot log format (`_snapshots/<%012d seq>.snap`, text, v2):
+  * line 1 `v2 <seq> <atMs> <sealId> <nFiles>`, then one MANIFEST line per
+  * data file `<length> <crc32-hex> <table-root-relative path>` (the
+  * Iceberg-manifest analog: per-file size + integrity stats recorded at
+  * commit time), and a final `end <crc32-hex>` trailer over every
+  * preceding byte. A reader REFUSES a log whose trailer is missing or
+  * wrong, or whose manifest line count disagrees with the header — a
+  * truncated or bit-flipped snapshot fails loudly instead of serving a
+  * partial file list. Legacy `v1` logs (header + bare paths, no trailer)
+  * stay readable with unknown length/crc. Commits are serialized per
+  * signal in-process (the server's seal cycles run in one JVM); the
+  * rename is the publish point.
+  *
+  * Mapping to Iceberg concepts: one `.snap` file plays the roles of both
+  * the snapshot entry in `metadata.json` (seq, timestamp, operation id)
+  * and a fully-merged manifest list (every live data file with stats);
+  * `expire` is `expireSnapshots` + `deleteOrphanFiles`, `compact` is a
+  * rewrite-data-files commit, `readAt` is snapshot-id time travel. What a
+  * real Iceberg catalog adds beyond this is schema/partition-spec
+  * evolution metadata and external-reader compatibility.
   */
 final class SnapshotTarget(cfg: ServerConfig, spark: SparkSession) extends SealTarget {
 
-  final case class Snapshot(seq: Long, atMs: Long, sealId: String, files: Seq[String])
+  /** One live data file: table-root-relative path + the integrity stats
+    * recorded when the file entered a snapshot (len/crc = -1/0 when
+    * inherited from a legacy v1 log). */
+  final case class FileEntry(path: String, len: Long, crc: Long)
+
+  final case class Snapshot(seq: Long, atMs: Long, sealId: String,
+                            entries: Seq[FileEntry]) {
+    def files: Seq[String] = entries.map(_.path)
+  }
 
   private def tableRoot(signal: String) = new Path(s"${cfg.parquetRoot}/otlp_$signal")
   private def snapDir(signal: String) = new Path(tableRoot(signal), "_snapshots")
@@ -85,20 +109,75 @@ final class SnapshotTarget(cfg: ServerConfig, spark: SparkSession) extends SealT
       .lastOption.map(st => readSnapshot(hfs, st.getPath))
   }
 
-  private def readSnapshot(hfs: FileSystem, p: Path): Snapshot = {
+  private def readAll(hfs: FileSystem, p: Path): Array[Byte] = {
     val in = hfs.open(p)
-    val text = try {
+    try {
       val buf = new java.io.ByteArrayOutputStream()
       val chunk = new Array[Byte](8192)
       var n = in.read(chunk)
       while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      new String(buf.toByteArray, StandardCharsets.UTF_8)
+      buf.toByteArray
     } finally in.close()
+  }
+
+  private def crc32(bytes: Array[Byte], len: Int): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(bytes, 0, len); c.getValue
+  }
+
+  private def readSnapshot(hfs: FileSystem, p: Path): Snapshot = {
+    val bytes = readAll(hfs, p)
+    val text = new String(bytes, StandardCharsets.UTF_8)
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
-    val h = lines.head.split(" ", 4)
-    require(h(0) == "v1", s"unknown snapshot format in $p: ${h(0)}")
-    Snapshot(h(1).toLong, h(2).toLong, if (h.length > 3) h(3) else "",
-      lines.tail)
+    require(lines.nonEmpty, s"empty snapshot log $p")
+    val h = lines.head.split(" ", 5)
+    h(0) match {
+      case "v1" => // legacy: bare paths, no integrity stats, no trailer
+        Snapshot(h(1).toLong, h(2).toLong, if (h.length > 3) h(3) else "",
+          lines.tail.map(FileEntry(_, -1L, 0L)))
+      case "v2" =>
+        // trailer first: nothing from a truncated/corrupted log is served
+        val last = lines.last
+        if (!last.startsWith("end "))
+          throw new java.io.IOException(
+            s"corrupted snapshot log $p: missing 'end' trailer (truncated?)")
+        val trailerStart = text.lastIndexOf(last)
+        val want = java.lang.Long.parseLong(last.drop(4).trim, 16)
+        val got = crc32(bytes,
+          text.substring(0, trailerStart).getBytes(StandardCharsets.UTF_8).length)
+        if (got != want)
+          throw new java.io.IOException(
+            s"corrupted snapshot log $p: crc ${got.toHexString} != recorded ${want.toHexString}")
+        val nFiles = h(4).toInt
+        val manifest = lines.slice(1, lines.length - 1)
+        if (manifest.length != nFiles)
+          throw new java.io.IOException(
+            s"corrupted snapshot log $p: header declares $nFiles files, " +
+              s"manifest holds ${manifest.length}")
+        Snapshot(h(1).toLong, h(2).toLong, h(3),
+          manifest.map { line =>
+            val f = line.split(" ", 3)
+            FileEntry(f(2), f(0).toLong, java.lang.Long.parseLong(f(1), 16))
+          })
+      case other =>
+        throw new java.io.IOException(s"unknown snapshot format in $p: $other")
+    }
+  }
+
+  /** Header-only read: seq/atMs/sealId from the FIRST line, never the
+    * cumulative file list — the seal-id probe and head-seq lookups must
+    * stay O(1) bytes per snapshot, not O(files). */
+  private def readHeader(hfs: FileSystem, p: Path): (Long, Long, String) = {
+    val in = hfs.open(p)
+    val line = try {
+      val buf = new StringBuilder
+      var c = in.read()
+      while (c >= 0 && c != '\n') { buf.append(c.toChar); c = in.read() }
+      buf.toString
+    } finally in.close()
+    val h = line.split(" ", 5)
+    require(h(0) == "v1" || h(0) == "v2", s"unknown snapshot format in $p: ${h(0)}")
+    (h(1).toLong, h(2).toLong, if (h.length > 3) h(3) else "")
   }
 
   /** Rename-committed snapshot write; the temp file is invisible (dot
@@ -108,16 +187,80 @@ final class SnapshotTarget(cfg: ServerConfig, spark: SparkSession) extends SealT
     val hfs = fs(dir)
     hfs.mkdirs(dir)
     val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
+    val body = s"v2 ${snap.seq} ${snap.atMs} ${snap.sealId} ${snap.entries.length}\n" +
+      snap.entries.map(e => s"${e.len} ${e.crc.toHexString} ${e.path}\n").mkString
+    val bodyBytes = body.getBytes(StandardCharsets.UTF_8)
     val out = hfs.create(tmp, false)
-    try out.write(
-      (s"v1 ${snap.seq} ${snap.atMs} ${snap.sealId}\n" +
-        snap.files.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    try {
+      out.write(bodyBytes)
+      out.write(s"end ${crc32(bodyBytes, bodyBytes.length).toHexString}\n"
+        .getBytes(StandardCharsets.UTF_8))
+    } finally out.close()
     val dest = new Path(dir, f"${snap.seq}%012d.snap")
     if (!hfs.rename(tmp, dest)) {
       hfs.delete(tmp, false)
       throw new java.io.IOException(s"snapshot commit rename to $dest failed")
     }
+    committedIds(signal).add(snap.sealId)
+  }
+
+  /** Stat + checksum freshly published files for their manifest entries —
+    * O(new seal) once per commit; existing entries are inherited from the
+    * parent snapshot, never recomputed. */
+  private def manifestEntries(signal: String, paths: Seq[String]): Seq[FileEntry] = {
+    val root = tableRoot(signal)
+    val hfs = fs(root)
+    paths.map { rel =>
+      val p = new Path(root, rel)
+      val len = hfs.getFileStatus(p).getLen
+      val c = new java.util.zip.CRC32()
+      val in = hfs.open(p)
+      try {
+        val chunk = new Array[Byte](65536)
+        var n = in.read(chunk)
+        while (n >= 0) { c.update(chunk, 0, n); n = in.read(chunk) }
+      } finally in.close()
+      FileEntry(rel, len, c.getValue)
+    }
+  }
+
+  /** Audit one snapshot's manifest against the store: every referenced
+    * file must exist with the recorded length and crc (legacy v1 entries
+    * check existence only). Throws on the first mismatch; returns files
+    * verified. The maintenance-time answer to silent data-file corruption
+    * under a catalog whose commits are only metadata. */
+  def verifyManifest(signal: String, seq: Option[Long] = None): Long = {
+    val snap = seq match {
+      case Some(n) => snapshots(signal).find(_.seq == n).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot $n for $signal"))
+      case None => head(signal).getOrElse(
+        throw new IllegalArgumentException(s"no snapshots for $signal"))
+    }
+    val root = tableRoot(signal)
+    val hfs = fs(root)
+    snap.entries.foreach { e =>
+      val p = new Path(root, e.path)
+      if (!hfs.exists(p))
+        throw new java.io.IOException(s"manifest violation: ${e.path} missing")
+      if (e.len >= 0) {
+        val st = hfs.getFileStatus(p)
+        if (st.getLen != e.len)
+          throw new java.io.IOException(
+            s"manifest violation: ${e.path} length ${st.getLen} != recorded ${e.len}")
+        val c = new java.util.zip.CRC32()
+        val in = hfs.open(p)
+        try {
+          val chunk = new Array[Byte](65536)
+          var n = in.read(chunk)
+          while (n >= 0) { c.update(chunk, 0, n); n = in.read(chunk) }
+        } finally in.close()
+        if (c.getValue != e.crc)
+          throw new java.io.IOException(
+            s"manifest violation: ${e.path} crc ${c.getValue.toHexString} " +
+              s"!= recorded ${e.crc.toHexString}")
+      }
+    }
+    snap.entries.length.toLong
   }
 
   // ---- seal ---------------------------------------------------------------
@@ -126,26 +269,51 @@ final class SnapshotTarget(cfg: ServerConfig, spark: SparkSession) extends SealT
     SealFrames.withBatch(spark, cfg, batch) { df =>
       val root = tableRoot(batch.signal)
       val published = SealFrames.stageAndPublish(spark, batch, df, root)
+      // stat + crc the NEW files only; parent entries are inherited
+      val newEntries = manifestEntries(batch.signal, published)
       commitLocks(batch.signal).synchronized {
         val parent = head(batch.signal)
         commitSnapshot(batch.signal, Snapshot(
           seq = parent.map(_.seq + 1).getOrElse(1L),
           atMs = System.currentTimeMillis(),
           sealId = batch.sealId,
-          files = parent.map(_.files).getOrElse(Seq.empty) ++ published))
+          entries = parent.map(_.entries).getOrElse(Seq.empty) ++ newEntries))
       }
       val hook = failAfterCatalogCommit
       if (hook != null) hook(batch.signal)
     }
   }
 
-  /** A seal is committed iff a retained snapshot recorded its seal id —
-    * the snapshot-level twin of the catalog `_seal_id` probe. Published
-    * files WITHOUT a snapshot are invisible orphans, so a crash between
-    * publish and commit re-seals safely (the orphans age out via the
-    * delete_older_than sweep). */
+  /** Seal ids ever observed committed, per signal: initialized once from
+    * the snapshot HEADERS on disk (first line each — never the cumulative
+    * file lists) and appended on every commit. Commits are serialized per
+    * signal in-process, so the cache stays coherent; ids are never evicted
+    * because a committed seal stays committed even after its snapshot's
+    * metadata expires (the data lives on in the current snapshot). */
+  private val sealIdCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[String]]()
+  private def committedIds(signal: String): java.util.Set[String] =
+    sealIdCache.computeIfAbsent(signal, s => {
+      val set = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val dir = snapDir(s)
+      val hfs = fs(dir)
+      if (hfs.exists(dir))
+        hfs.listStatus(dir).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".snap"))
+          .foreach(st => set.add(readHeader(hfs, st.getPath)._3))
+      set
+    })
+
+  /** A seal is committed iff a snapshot recorded its seal id — the
+    * snapshot-level twin of the catalog `_seal_id` probe. Published files
+    * WITHOUT a snapshot are invisible orphans, so a crash between publish
+    * and commit re-seals safely (the orphans age out via the
+    * delete_older_than sweep). Answered from the header-fed id cache: the
+    * retry path after a transient failure probes once per prior segment,
+    * and each probe must not re-parse every snapshot's cumulative file
+    * list (ADVICE r8). */
   override protected def sealCommitted(signal: String, sealId: String): Boolean =
-    try snapshots(signal).exists(_.sealId == sealId)
+    try committedIds(signal).contains(sealId)
     catch { case _: Exception => false }
 
   // ---- maintenance --------------------------------------------------------
@@ -199,17 +367,17 @@ final class SnapshotTarget(cfg: ServerConfig, spark: SparkSession) extends SealT
       case Some(h) =>
         val root = tableRoot(signal)
         val hfs = fs(root)
-        val byDir = h.files.groupBy(f =>
-          f.lastIndexOf('/') match { case -1 => ""; case i => f.substring(0, i) })
+        val byDir = h.entries.groupBy(e =>
+          e.path.lastIndexOf('/') match { case -1 => ""; case i => e.path.substring(0, i) })
         var replaced = 0L
-        var files = h.files
+        var entries = h.entries
         byDir.foreach { case (rel, members) =>
-          val sts = members.map(m => hfs.getFileStatus(new Path(root, m)))
+          val sts = members.map(m => hfs.getFileStatus(new Path(root, m.path)))
           if (members.length > 4 && sts.map(_.getLen).sum < cfg.targetFileSize) {
             val dirPath = if (rel.isEmpty) root else new Path(root, rel)
             val tmp = new Path(dirPath, s".compact-tmp-${java.util.UUID.randomUUID()}")
             try {
-              spark.read.parquet(members.map(m => new Path(root, m).toString): _*)
+              spark.read.parquet(members.map(m => new Path(root, m.path).toString): _*)
                 .coalesce(1).write.mode("overwrite")
                 .option("compression", "zstd").parquet(tmp.toString)
               val parts = hfs.listStatus(tmp).filter(SealFrames.isParquetFile)
@@ -219,14 +387,16 @@ final class SnapshotTarget(cfg: ServerConfig, spark: SparkSession) extends SealT
                   throw new java.io.IOException(s"compaction rename $name failed")
                 if (rel.isEmpty) name else s"$rel/$name"
               }.toSeq
-              files = files.filterNot(members.contains) ++ outNames
+              val memberPaths = members.map(_.path).toSet
+              entries = entries.filterNot(e => memberPaths.contains(e.path)) ++
+                manifestEntries(signal, outNames)
               replaced += members.length
             } finally hfs.delete(tmp, true)
           }
         }
         if (replaced > 0)
           commitSnapshot(signal, Snapshot(h.seq + 1, System.currentTimeMillis(),
-            s"compaction-${java.util.UUID.randomUUID()}", files))
+            s"compaction-${java.util.UUID.randomUUID()}", entries))
         replaced
     }
   } }

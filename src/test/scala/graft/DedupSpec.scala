@@ -293,6 +293,21 @@ class DedupSpec extends SparkTestBase {
     assert(kept.size >= 285, s"kept only ${kept.size} of 300 fresh rows")
   }
 
+  test("dd_bloom_dedup registry row carries its own bound check: " +
+    "kept ∈ [batch − dups − fpp·batch·slack, batch − dups]") {
+    val row = graft.queries.Registry.all.find(_.name == "dd_bloom_dedup").get
+      .spark(spark, sfDir).first()
+    val kept = row.getAs[Long]("kept_approx")
+    val n = row.getAs[Long]("batch_size")
+    val dups = row.getAs[Long]("true_dup_count")
+    assert(n > 0, "batch must be non-empty for the bound to mean anything")
+    // no false negatives: every true duplicate is dropped
+    assert(kept <= n - dups, s"kept=$kept n=$n dups=$dups")
+    // false positives bounded by fpp (0.01) with 5x statistical slack + 2
+    assert(kept >= n - dups - (0.05 * n).toLong - 2,
+      s"kept=$kept n=$n dups=$dups — bloom dropped far more than fpp allows")
+  }
+
   test("dsir resampling: exact-n without replacement, deterministic, and " +
     "the sample's mean weight sits above the corpus mean (importance pull)") {
     Tables.register(spark, sfDir)

@@ -48,8 +48,18 @@ class SnapshotTargetSpec extends SparkTestBase {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rewrite)
       else if (f.getName.endsWith(".snap")) {
         val lines = java.nio.file.Files.readAllLines(f.toPath)
-        val h = lines.get(0).split(" ", 4)
-        lines.set(0, s"v1 ${h(1)} $atMs ${if (h.length > 3) h(3) else ""}".trim)
+        val h = lines.get(0).split(" ", 5)
+        if (h(0) == "v2") {
+          lines.set(0, s"v2 ${h(1)} $atMs ${h(3)} ${h(4)}")
+          // the header rewrite invalidates the log's own integrity trailer;
+          // recompute it over everything before the trailer line
+          val sb = new StringBuilder
+          (0 until lines.size - 1).foreach(i => sb.append(lines.get(i)).append('\n'))
+          val c = new java.util.zip.CRC32()
+          c.update(sb.toString.getBytes("UTF-8"))
+          lines.set(lines.size - 1, s"end ${c.getValue.toHexString}")
+        } else
+          lines.set(0, s"v1 ${h(1)} $atMs ${if (h.length > 3) h(3) else ""}".trim)
         java.nio.file.Files.write(f.toPath, lines)
         // the rewrite invalidates LocalFileSystem's checksum sidecar
         new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
@@ -185,6 +195,64 @@ class SnapshotTargetSpec extends SparkTestBase {
     assert(after.getAs[Long]("buffered_rows") == 0L)
     assert(after.getAs[Long]("committed_rows_total") == 3L)
     OtlpServe.otlpStop(spark, uri)
+  }
+
+  test("snapshot log integrity: truncation fails loudly, manifest catches " +
+    "data-file corruption, v1 logs stay readable") {
+    val root = java.nio.file.Files.createTempDirectory("snap_crc").toString
+    val uri = "otlp:127.0.0.1:45955"
+    val params = Map(
+      "token" -> Token, "target" -> "snapshot", "parquet_root" -> root,
+      "seal_max_age_ms" -> "3600000", "seal_target_bytes" -> "1073741824")
+    OtlpServe.otlpServe(spark, uri, params)
+    (1 to 2).foreach { _ =>
+      assert(post(45955, fixture("logs_simple.jsonl")).statusCode() == 202)
+      assert(OtlpServe.otlpFlush(spark, uri).first()
+        .getAs[String]("status") == "sealed")
+    }
+    OtlpServe.otlpStop(spark, uri)
+    val target = new SnapshotTarget(
+      ServerConfig("otlp_serve", uri, params - "token" + ("disable_auth" -> "true")),
+      spark)
+    // v2 manifests carry real per-file length + crc, and the store audits clean
+    val snap2 = target.head("logs").get
+    assert(snap2.entries.length == 2)
+    assert(snap2.entries.forall(e => e.len > 0 && e.crc != 0L))
+    assert(target.verifyManifest("logs") == 2L)
+
+    // corrupt ONE byte of a referenced data file: the audit names the file
+    val victim = new java.io.File(new java.io.File(root, "otlp_logs"),
+      snap2.entries.head.path)
+    val bytes = java.nio.file.Files.readAllBytes(victim.toPath)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x7f).toByte
+    java.nio.file.Files.write(victim.toPath, bytes)
+    new java.io.File(victim.getParentFile, s".${victim.getName}.crc").delete()
+    val err = intercept[java.io.IOException](target.verifyManifest("logs"))
+    assert(err.getMessage.contains("manifest violation"), err.getMessage)
+    assert(err.getMessage.contains(snap2.entries.head.path), err.getMessage)
+
+    // truncate the CURRENT snapshot log mid-manifest: reads refuse it
+    // loudly instead of serving a partial file list
+    val snapFile = new java.io.File(
+      new java.io.File(new java.io.File(root, "otlp_logs"), "_snapshots"),
+      f"${snap2.seq}%012d.snap")
+    val logBytes = java.nio.file.Files.readAllBytes(snapFile.toPath)
+    java.nio.file.Files.write(snapFile.toPath,
+      java.util.Arrays.copyOf(logBytes, logBytes.length * 2 / 3))
+    new java.io.File(snapFile.getParentFile, s".${snapFile.getName}.crc").delete()
+    val trunc = intercept[java.io.IOException](target.readAt("logs"))
+    assert(trunc.getMessage.contains("corrupted snapshot log"), trunc.getMessage)
+
+    // a legacy v1 log (bare paths, no trailer) still reads: entries carry
+    // unknown len/crc and verifyManifest checks existence only
+    val v1 = new java.io.File(snapFile.getParentFile, f"${snap2.seq + 1}%012d.snap")
+    java.nio.file.Files.write(v1.toPath,
+      (s"v1 ${snap2.seq + 1} ${System.currentTimeMillis()} legacy-seal\n" +
+        snap2.entries.last.path + "\n").getBytes("UTF-8"))
+    val legacy = target.head("logs").get
+    assert(legacy.sealId == "legacy-seal")
+    assert(legacy.entries == Seq(target.FileEntry(snap2.entries.last.path, -1L, 0L)))
+    assert(target.verifyManifest("logs") == 1L)
   }
 
   test("serve validation: snapshot target requires parquet_root") {
