@@ -14,6 +14,9 @@ import org.apache.spark.sql.SparkSession
   *      cdc (k = blockWords) | editdist (k = prefixChars) | mhcal |
   *      dupngrams (k = n) | tempmix (k = budgetDocs) | qualcal (k = bins) |
   *      novelty (k = n-gram order) | tracetree (k = chain depth; 1M synthetic spans)
+  *      metricrate | deltacum | histq | exphistq (k = points in units of
+  *        100k; synthetic series tables, ~100 points/series — the corpus
+  *        has no metric points, and row count x cardinality is the cost)
   * env SPARK_GRAFT_PROBE_EXPLAIN=1 prints the executed plan once. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -105,6 +108,46 @@ object ScaleProbe {
               .otherwise((col("id") - 1).cast("string")).as("parent_span_id"),
             (col("id") % 100 + 1).as("duration_time_unix_nano"))
           operators.Traces.traceTree(spans)
+        case "metricrate" | "deltacum" =>
+          import org.apache.spark.sql.functions._
+          val n = k * 100000L
+          val series = math.max(1L, n / 100) // ~100 points per series
+          val pts = spark.range(n).select(
+            concat(lit("metric_"), (col("id") % series).cast("string")).as("name"),
+            lit("svc").as("service_name"),
+            lit(null).cast("string").as("service_namespace"),
+            (col("id") % series).cast("string").as("service_instance_id"),
+            lit(null).cast("string").as("resource_attributes"),
+            lit("scope").as("scope_name"),
+            lit("{}").as("metric_attributes"),
+            timestamp_micros(lit(1700000000000000L) +
+              expr(s"id div $series") * 10000000L).as("time_unix_nano"),
+            (col("id") % 7 === 0).cast("boolean").as("is_monotonic"),
+            (col("id").cast("double") / series).as("double_value"),
+            lit(null).cast("long").as("int_value"),
+            when(col("id") % 2 === 0, 1).otherwise(2).as("aggregation_temporality"))
+          if (op == "metricrate") operators.Metrics.rate(pts)
+          else operators.Metrics.deltaToCumulative(pts)
+        case "histq" =>
+          import org.apache.spark.sql.functions._
+          val n = k * 100000L
+          spark.range(n).select(
+            expr("array(id % 5 + 1, id % 11 + 2, id % 17 + 1, id % 3)")
+              .as("bucket_counts"),
+            expr("array(CAST(10 AS DOUBLE), CAST(50 AS DOUBLE), CAST(100 AS DOUBLE))")
+              .as("explicit_bounds"))
+            .transform(df => operators.Metrics.histogramQuantile(df, 0.9))
+        case "exphistq" =>
+          import org.apache.spark.sql.functions._
+          val n = k * 100000L
+          spark.range(n).select(
+            (col("id") % 4).as("zero_count"),
+            lit(0).as("scale"),
+            (col("id") % 5 - 2).cast("int").as("positive_offset"),
+            expr("array(id % 5 + 1, id % 11 + 2, id % 17 + 1)")
+              .as("positive_bucket_counts"),
+            expr("array()").cast("array<bigint>").as("negative_bucket_counts"))
+            .transform(df => operators.Metrics.expHistogramQuantile(df, 0.9))
         case other => throw new IllegalArgumentException(s"unknown op $other")
       }
       if (sys.env.contains("SPARK_GRAFT_PROBE_EXPLAIN")) df.explain("formatted")
