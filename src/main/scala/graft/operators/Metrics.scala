@@ -90,6 +90,26 @@ object Metrics {
         when(dtSec > 0, round(increase / dtSec, 6)))
   }
 
+  /** PromQL-style cross-series aggregation (`sum by (<labels>)`): collapse
+    * every series of a metric down to the label set in `by`, summing
+    * values at each timestamp and reporting how many series contributed.
+    * The dashboard primitive for "total QPS across replicas". Inputs are
+    * distinct()'d (at-least-once replay convention); value = double_value
+    * with int fallback, round(6) for engine portability.
+    *
+    * Shape at 100 TB: ONE partial-aggregated groupBy on
+    * (kept labels, timestamp) — replicas of one metric collapse map-side
+    * before the exchange, and the output cardinality is the RETAINED label
+    * space × time, not the series space. No window, no state. */
+  def sumBy(sums: DataFrame, by: Seq[String] = Seq("name")): DataFrame = {
+    require(by.nonEmpty, "sumBy needs at least one label to keep")
+    val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    sums.distinct()
+      .where(v.isNotNull)
+      .groupBy(by.map(col) :+ col("time_unix_nano"): _*)
+      .agg(round(sum(v), 6).as("value"), count(lit(1)).as("n_series"))
+  }
+
   /** Histogram quantile per data point (PromQL `histogram_quantile` over
     * one point): linear interpolation within the first bucket whose
     * cumulative count reaches q·total, with the Prometheus conventions —

@@ -161,6 +161,34 @@ object Traces {
         sum(col(durCol).cast("long")).as("total_ns"),
         max(col(durCol).cast("long")).as("max_ns"))
 
+  /** Span-duration latency profile per service: exact p50/p95/p99 (linear
+    * interpolation — the percentile definition DuckDB's quantile_cont and
+    * Spark's percentile share) plus span count and max, round(4) for
+    * engine portability. The latency panel next to [[redMetrics]]'s rate
+    * and error panels.
+    *
+    * Shape at 100 TB: exact per-group percentiles sort WITHIN each
+    * service's rows only (partial-aggregated percentile state, no global
+    * sort); the output is services-bounded. A service with a monster span
+    * count still holds one group — route that through an approx-percentile
+    * or stratum two-pass variant if a single service exceeds a task (the
+    * q08_percentile_approx pattern). */
+  def spanPercentiles(spans: DataFrame,
+                      serviceCol: String = "service_name",
+                      idCol: String = "span_id",
+                      traceCol: String = "trace_id",
+                      durCol: String = "duration_time_unix_nano"): DataFrame =
+    spans.select(col(traceCol), col(idCol),
+        col(serviceCol).as("service_name"),
+        col(durCol).cast("long").as("dur"))
+      .distinct() // at-least-once replay convention
+      .groupBy("service_name")
+      .agg(count(lit(1)).as("n_spans"),
+        round(expr("percentile(dur, 0.5)"), 4).as("p50_ns"),
+        round(expr("percentile(dur, 0.95)"), 4).as("p95_ns"),
+        round(expr("percentile(dur, 0.99)"), 4).as("p99_ns"),
+        max(col("dur")).as("max_ns"))
+
   /** Tail-based trace sampling — the collector policy, as a batch/stream
     * operator: keep EVERY span of a trace when the trace (a) contains an
     * error span, or (b) has any span at or above `slowNs`, or (c) falls in

@@ -451,6 +451,104 @@ object OtlpReaders {
           slowNs = 1000L, sampleRate = 0.5)
         .select(col("trace_id"), col("span_id"), col("keep_reason"))
         .orderBy("trace_id", "span_id")
+    },
+
+    // Drain-style log template mining (beyond-reference surface): one row
+    // per message shape — a position is a parameter slot when its distinct
+    // token count (within the same-token-count group) exceeds the budget
+    df("otlp_log_templates",
+      s"""WITH rec AS (${logsFlat(s"$fx/template_logs.jsonl")}),
+         |b AS (SELECT row_number() OVER () AS rid,
+         |  string_split_regex(trim(body.stringValue), '\\s+') AS toks
+         |  FROM rec WHERE body.stringValue IS NOT NULL
+         |    AND trim(body.stringValue) <> ''),
+         |t AS (SELECT rid, toks, len(toks) AS n FROM b),
+         |px AS (SELECT rid, n, i AS pos, toks[i] AS tok
+         |  FROM t, unnest(generate_series(1, n)) AS g(i)),
+         |card AS (SELECT n, pos FROM px GROUP BY n, pos
+         |  HAVING count(DISTINCT tok) > 3),
+         |tm AS (SELECT rid, px.n,
+         |  string_agg(CASE WHEN card.pos IS NOT NULL THEN '<*>' ELSE tok END,
+         |    ' ' ORDER BY px.pos) AS template
+         |  FROM px LEFT JOIN card ON card.n = px.n AND card.pos = px.pos
+         |  GROUP BY rid, px.n)
+         |SELECT template, CAST(n AS INT) AS n_tokens,
+         |  count(*) AS n_logs
+         |FROM tm GROUP BY 1, 2 ORDER BY template""".stripMargin) { (s, _) =>
+      graft.operators.Logs.logTemplates(
+          Otlp.readLogs(s, s"$fx/template_logs.jsonl"), maxDistinct = 3)
+        .orderBy("template")
+    },
+
+    // stateless template classification (the batch-mines/stream-classifies
+    // split): bodies against a known template set, most specific arm first
+    df("otlp_template_match",
+      s"""WITH rec AS (${logsFlat(s"$fx/template_logs.jsonl")}),
+         |c AS (SELECT ${duckService("res.attributes")} AS service_name,
+         |  CASE
+         |    WHEN regexp_matches(body.stringValue,
+         |      '^Accepted connection from \\S+ port 443$$')
+         |      THEN 'Accepted connection from <*> port 443'
+         |    WHEN regexp_matches(body.stringValue,
+         |      '^Accepted connection from \\S+ port \\S+$$')
+         |      THEN 'Accepted connection from <*> port <*>'
+         |    WHEN regexp_matches(body.stringValue,
+         |      '^Disk usage at \\S+ percent$$')
+         |      THEN 'Disk usage at <*> percent'
+         |    WHEN body.stringValue = 'Service started' THEN 'Service started'
+         |  END AS template FROM rec)
+         |SELECT service_name, template, count(*) AS n_logs
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, _) =>
+      graft.operators.Logs.matchTemplates(
+          Otlp.readLogs(s, s"$fx/template_logs.jsonl"), Seq(
+            "Accepted connection from <*> port <*>",
+            "Accepted connection from <*> port 443",
+            "Disk usage at <*> percent",
+            "Service started"))
+        .groupBy("service_name", "template")
+        .agg(count(lit(1)).as("n_logs"))
+        .orderBy("service_name", "template")
+    },
+
+    // PromQL `sum by (name)`: replicas of one metric collapse to a single
+    // per-timestamp total with the contributing-series count
+    df("otlp_sum_by",
+      s"""WITH m AS (${metricsFlat(s"$fx/rate_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name", ${duckTs("dp.timeUnixNano")} AS t,
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp))
+         |SELECT "name", t AS time_unix_nano, round(sum(v), 6) AS "value",
+         |  count(*) AS n_series
+         |FROM pts WHERE v IS NOT NULL GROUP BY "name", t
+         |ORDER BY "name", t""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.sumBy(
+          Otlp.readMetricsSum(s, s"$fx/rate_metrics.jsonl"), by = Seq("name"))
+        .select(col("name"),
+          date_format(col("time_unix_nano"), TsFmtSpark).as("time_unix_nano"),
+          col("value"), col("n_series"))
+        .orderBy("name", "time_unix_nano")
+    },
+
+    // per-service span latency profile: exact interpolated p50/p95/p99
+    df("otlp_span_percentiles",
+      s"""WITH rec AS (
+         |  SELECT rs.resource AS res, sp.* FROM read_json('$fx/services_traces.jsonl',
+         |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
+         |    unnest(resourceSpans) AS a(rs),
+         |    unnest(rs.scopeSpans) AS b(ss),
+         |    unnest(ss.spans) AS c(sp)),
+         |sp AS (SELECT ${duckService("res.attributes")} AS service_name,
+         |  CAST(CAST(endTimeUnixNano AS BIGINT) -
+         |       CAST(startTimeUnixNano AS BIGINT) AS DOUBLE) AS dur FROM rec)
+         |SELECT service_name, count(*) AS n_spans,
+         |  round(quantile_cont(dur, 0.5), 4) AS p50_ns,
+         |  round(quantile_cont(dur, 0.95), 4) AS p95_ns,
+         |  round(quantile_cont(dur, 0.99), 4) AS p99_ns,
+         |  CAST(max(dur) AS BIGINT) AS max_ns
+         |FROM sp GROUP BY service_name ORDER BY service_name""".stripMargin) { (s, _) =>
+      graft.operators.Traces.spanPercentiles(
+          Otlp.readTraces(s, s"$fx/services_traces.jsonl"))
+        .orderBy("service_name")
     }
   )
 }

@@ -1,0 +1,153 @@
+package graft
+
+import graft.operators.{Logs, Metrics, Traces}
+import org.apache.spark.sql.functions._
+
+/** Log-template mining, cross-series metric aggregation, and span latency
+  * percentiles: hand-computed goldens + shape assertions. */
+class LogsSpec extends SparkTestBase {
+
+  private val fx = "src/test/resources/otlp"
+
+  test("logTemplates: parameter positions mask at the distinct budget, " +
+    "hand-computed templates and counts") {
+    import spark.implicits._
+    val logs = Seq(
+      "Accepted connection from 10.0.0.1 port 443",
+      "Accepted connection from 10.0.0.2 port 8080",
+      "Accepted connection from 10.0.0.3 port 443",
+      "Accepted connection from 10.0.0.4 port 9000",
+      "Accepted connection from 10.0.0.5 port 22",
+      "Disk usage at 91 percent",
+      "Disk usage at 92 percent",
+      "Disk usage at 93 percent",
+      "Disk usage at 97 percent",
+      "Service started", "Service started", "Service started",
+      "   ", // whitespace-only: filtered
+      null).map(Tuple1(_)).toDF("body")
+    val got = Logs.logTemplates(logs, maxDistinct = 3).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(got == Map(
+      "Accepted connection from <*> port <*>" -> ((6, 5L)),
+      "Disk usage at <*> percent" -> ((5, 4L)),
+      "Service started" -> ((2, 3L))), got)
+  }
+
+  test("logTemplates: a position at EXACTLY the budget stays constant " +
+    "(> not >=), and token-count groups never mix") {
+    import spark.implicits._
+    val logs = Seq(
+      "job a done", "job b done", "job c done",          // 3 distinct = budget
+      "job a done now", "job b done now", "job c done now",
+      "job d done now", "job e done now")                 // 5 distinct > budget
+      .map(Tuple1(_)).toDF("body")
+    val got = Logs.logTemplates(logs, maxDistinct = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // n=3 group: position 2 has 3 distinct = budget -> NOT masked
+    assert(got("job a done") == 1L && got("job b done") == 1L)
+    // n=4 group: 5 distinct > budget -> masked; groups independent
+    assert(got("job <*> done now") == 5L, got)
+  }
+
+  test("logTemplates plan: corpus is never self-joined; the variable-" +
+    "position table broadcasts") {
+    import spark.implicits._
+    val logs = (0 until 100).map(i => s"evt $i fired").map(Tuple1(_)).toDF("body")
+    val plan = Logs.logTemplates(logs).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"corpus-sized join:\n$plan")
+  }
+
+  test("templateParams: slot values + counts for one template") {
+    import spark.implicits._
+    val logs = Seq(
+      "Accepted connection from 10.0.0.1 port 443",
+      "Accepted connection from 10.0.0.2 port 443",
+      "Accepted connection from 10.0.0.1 port 22",
+      "Rejected connection from 10.0.0.9 port 443", // different template
+      "Accepted connection from 10.0.0.1").map(Tuple1(_)).toDF("body")
+    val got = Logs.templateParams(logs,
+        "Accepted connection from <*> port <*>").collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (3, "10.0.0.1") -> 2L, (3, "10.0.0.2") -> 1L,
+      (5, "443") -> 2L, (5, "22") -> 1L), got)
+  }
+
+  test("matchTemplates: most-specific wins, novel shapes null, " +
+    "map-only, and attaches to a STREAM in append mode") {
+    import spark.implicits._
+    val templates = Seq(
+      "Accepted connection from <*> port <*>",
+      "Accepted connection from <*> port 443", // more specific: 1 slot
+      "Disk usage at <*> percent")
+    val logs = Seq(
+      "Accepted connection from 10.0.0.1 port 443",  // specific arm wins
+      "Accepted connection from 10.0.0.2 port 8080", // general arm
+      "Disk usage at 93 percent",
+      "totally novel shape").map(Tuple1(_)).toDF("body")
+    val got = Logs.matchTemplates(logs, templates).collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("Accepted connection from 10.0.0.1 port 443")
+      .contains("Accepted connection from <*> port 443"))
+    assert(got("Accepted connection from 10.0.0.2 port 8080")
+      .contains("Accepted connection from <*> port <*>"))
+    assert(got("Disk usage at 93 percent")
+      .contains("Disk usage at <*> percent"))
+    assert(got("totally novel shape").isEmpty)
+    val plan = Logs.matchTemplates(logs, templates)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"classification must be map-only:\n$plan")
+    // stateless => valid on an unaggregated APPEND-mode stream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = Logs.matchTemplates(in.toDF().toDF("body"), templates)
+      .writeStream.format("memory").queryName("tmplmatch")
+      .outputMode("append").start()
+    in.addData("Disk usage at 97 percent", "noise")
+    q.processAllAvailable(); q.stop()
+    val sRows = spark.table("tmplmatch").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(sRows("Disk usage at 97 percent").contains("Disk usage at <*> percent"))
+    assert(sRows("noise").isEmpty)
+  }
+
+  test("sumBy collapses replica series per timestamp; replayed rows drop") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ts2 = java.sql.Timestamp.valueOf("2024-01-01 00:00:10")
+    val rows = Seq(
+      ("qps", "a", ts, Some(1.5), None: Option[Long]),
+      ("qps", "b", ts, Some(2.5), None),
+      ("qps", "b", ts, Some(2.5), None), // byte-equal replay: dropped
+      ("qps", "a", ts2, None, Some(4L)), // int fallback
+      ("errs", "a", ts, Some(1.0), None))
+      .toDF("name", "service_instance_id", "time_unix_nano",
+        "double_value", "int_value")
+    val got = Metrics.sumBy(rows).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(got == Map(
+      ("qps", ts) -> ((4.0, 2L)),
+      ("qps", ts2) -> ((4.0, 1L)),
+      ("errs", ts) -> ((1.0, 1L))), got)
+  }
+
+  test("spanPercentiles: interpolated p50/p95/p99 per service, replay-safe") {
+    import spark.implicits._
+    val spans = (1 to 4).map(i =>
+      ("t1", s"s$i", "svc", i.toLong * 100)) ++ Seq(
+      ("t1", "s1", "svc", 100L)) // replay of s1
+    val df = spans.toDF("trace_id", "span_id", "service_name",
+      "duration_time_unix_nano")
+    val r = Traces.spanPercentiles(df).collect().head
+    assert(r.getAs[Long]("n_spans") == 4L)
+    // durations 100,200,300,400: p50 = 250, p95 = 385, p99 = 397
+    assert(r.getAs[Double]("p50_ns") == 250.0, r)
+    assert(r.getAs[Double]("p95_ns") == 385.0, r)
+    assert(r.getAs[Double]("p99_ns") == 397.0, r)
+    assert(r.getAs[Long]("max_ns") == 400L)
+  }
+}
