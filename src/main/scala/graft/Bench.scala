@@ -87,18 +87,22 @@ object Bench {
     // failures report the explicit -1 error marker.
     def sweep(): Map[String, Double] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val t = try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => Double.PositiveInfinity }
       // release the terminal localCheckpoint blocks the finished query's
-      // returned frame owned (the operator can only free SUPERSEDED rounds;
-      // the final checkpoint outlives it by design, so the caller frees it).
-      // Left to GC + ContextCleaner, those blocks piled up across the
+      // returned frame owns (the operator can only free SUPERSEDED rounds;
+      // the final checkpoint outlives it by design, so the caller frees
+      // it). Left to GC + ContextCleaner, those blocks piled up across the
       // 155-query sweep and squeezed execution memory — the r8 bench tail
       // recorded 2-14x regressions with zero code change (VERDICT r8 #2).
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // Released through the frame's OWN plan leaves, not a global
+      // unpersist-everything sweep that would also eat any future
+      // long-lived cached state.
+      var df: org.apache.spark.sql.DataFrame = null
+      val t = try {
+        df = fn(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => Double.PositiveInfinity }
+      finally if (df != null) graft.operators.Blocks.release(df)
       name -> t
     }.toMap
     // steady ingest windows B and C interleave with the sweeps (see above);

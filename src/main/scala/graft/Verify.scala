@@ -36,18 +36,19 @@ object Verify {
       .filter { case (name, _) => QSpec.nameMatches(nameFilter, name) }
     var failed = List.empty[String]
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      // free the finished query's terminal localCheckpoint blocks through
+      // the frame's own plan leaves (the operator frees only superseded
+      // rounds; the final checkpoint is the caller's to release) —
+      // unreleased, they accumulate across the 155-query dump and squeeze
+      // execution memory (VERDICT r8 #2)
+      var df: org.apache.spark.sql.DataFrame = null
+      try {
+        df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      // free the finished query's terminal localCheckpoint blocks (the
-      // operator frees only superseded rounds; the final checkpoint is the
-      // caller's to release) — unreleased, they accumulate across the
-      // 155-query dump and squeeze execution memory (VERDICT r8 #2)
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      } finally if (df != null) graft.operators.Blocks.release(df)
     }
     // zero successful dumps means a harness/environment failure (e.g. the
     // round-6 fixture-schema change broke every events query at register

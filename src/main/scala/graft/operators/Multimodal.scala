@@ -102,10 +102,15 @@ object Multimodal {
   }
 
   /** REAL image decode (javax.imageio — PNG, JPEG, GIF, BMP auto-detected
-    * from the bytes): reports dimensions, channel count, and per-channel
-    * pixel means rounded to 4 decimals (grayscale images report the single
-    * band in all three). Undecodable bytes fail loudly — a corrupt image in
-    * a curation pipeline is a data bug, not a row to silently skip. */
+    * from the bytes): reports dimensions, channel count (color components
+    * + alpha if present), and per-channel COLOR means rounded to 4
+    * decimals. Single-color-component (grayscale) images report that band
+    * in all three means; everything else — including palette-indexed GIFs
+    * and alpha-carrying PNGs — is resolved through the color model to RGB
+    * first, so the means are always pixel intensities, never palette
+    * indices or an alpha band. Undecodable bytes fail loudly — a corrupt
+    * image in a curation pipeline is a data bug, not a row to silently
+    * skip. */
   def decodeImage(media: Dataset[MediaItem]): Dataset[ImageMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
@@ -115,24 +120,47 @@ object Multimodal {
           new java.io.ByteArrayInputStream(m.content))
         require(img != null, s"media_id=${m.media_id}: undecodable image bytes")
         val (w, h) = (img.getWidth, img.getHeight)
-        val raster = img.getRaster
-        val bands = raster.getNumBands
-        val sums = new Array[Long](bands)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            var b = 0
-            while (b < bands) { sums(b) += raster.getSample(x, y, b); b += 1 }
-            x += 1
+        val cm = img.getColorModel
+        val channels =
+          cm.getNumColorComponents + (if (cm.hasAlpha) 1 else 0)
+        val sums = new Array[Long](3)
+        if (cm.getNumColorComponents == 1 &&
+            !cm.isInstanceOf[java.awt.image.IndexColorModel]) {
+          // true grayscale: the single gray band (alpha, if any, ignored)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = raster.getSample(x, y, 0)
+              sums(0) += v; sums(1) += v; sums(2) += v
+              x += 1
+            }
+            y += 1
           }
-          y += 1
+        } else {
+          // everything else through getRGB: the color model resolves
+          // palettes/alpha/exotic layouts to sRGB — raw raster bands would
+          // report palette INDICES for a GIF and the alpha band as avg_b
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sums(0) += (rgb >> 16) & 0xff
+              sums(1) += (rgb >> 8) & 0xff
+              sums(2) += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
         }
         def avg(b: Int): Double = {
-          val v = sums(math.min(b, bands - 1)).toDouble / (w.toLong * h)
+          val v = sums(b).toDouble / (w.toLong * h)
           BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
         }
-        ImageMeta(m.media_id, m.media_type, w, h, bands, avg(0), avg(1), avg(2))
+        ImageMeta(m.media_id, m.media_type, w, h, channels,
+          avg(0), avg(1), avg(2))
       }
     }
   }

@@ -36,7 +36,12 @@ object Traces {
     * one round past the default budget, never a silent 2^rounds depth
     * truncation (VERDICT r8 #4). A parent-pointer CYCLE (corrupt data) can
     * never resolve; the walk detects it when doubling stops making progress
-    * and fails fast instead of looping.
+    * (in acyclic data the unresolved count strictly shrinks every round)
+    * and DEGRADES PER TRACE: affected traces report `converged = false`
+    * (treat their depth/critical-path as untrustworthy — a cycle has no
+    * root distance), while every healthy trace in the batch still reports
+    * exact numbers with `converged = true`. One corrupt trace in a 100 TB
+    * span table must not abort the rollup of the millions of healthy ones.
     *
     * Shape at 100 TB: every join and aggregate is keyed by
     * (trace_id, span_id) — maximally uniform; per-round state is one row
@@ -91,14 +96,11 @@ object Traces {
     // deeper would silently truncate max_depth/critical_path_ns. One count
     // per EXTRA round only — the common case pays a single count job.
     // Progress stalling (unresolved stops shrinking while doubling) means a
-    // parent-pointer cycle: impossible to resolve, so fail fast.
+    // parent-pointer cycle: impossible to resolve, so stop doubling and
+    // flag the affected traces instead of looping or aborting the batch.
     var unresolved = st.where(col("anc").isNotNull).count()
     var prevUnresolved = Long.MaxValue
-    while (unresolved > 0) {
-      if (unresolved >= prevUnresolved)
-        throw new IllegalStateException(
-          s"traceTree: $unresolved spans cannot reach a root — " +
-            "parent-pointer cycle in the span data")
+    while (unresolved > 0 && unresolved < prevUnresolved) {
       prevUnresolved = unresolved
       st = doubling(st)
       unresolved = st.where(col("anc").isNotNull).count()
@@ -108,7 +110,9 @@ object Traces {
         sum(when(col("is_root"), 1L).otherwise(0L)).as("n_roots"),
         max(col("d")).as("max_depth"),
         max(col("w")).as("critical_path_ns"),
-        sum(col("dur")).as("total_span_ns"))
+        sum(col("dur")).as("total_span_ns"),
+        (sum(when(col("anc").isNotNull, 1L).otherwise(0L)) === 0)
+          .as("converged"))
   }
 
   /** Service dependency graph: one row per (caller service, callee

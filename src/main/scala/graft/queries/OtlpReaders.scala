@@ -245,7 +245,7 @@ object OtlpReaders {
          |  CAST(max(d) AS INT) AS max_depth,
          |  CAST(max(w) AS BIGINT) AS critical_path_ns FROM fin GROUP BY t)
          |SELECT f.t AS trace_id, n_spans, n_roots, max_depth,
-         |  critical_path_ns, total_span_ns
+         |  critical_path_ns, total_span_ns, TRUE AS converged
          |FROM f JOIN r ON r.t = f.t ORDER BY trace_id""".stripMargin) { (s, _) =>
       graft.operators.Traces.traceTree(
           Otlp.readTraces(s, s"$fx/tree_traces.jsonl"))
@@ -496,6 +496,7 @@ object OtlpReaders {
          |      '^Disk usage at \\S+ percent$$')
          |      THEN 'Disk usage at <*> percent'
          |    WHEN body.stringValue = 'Service started' THEN 'Service started'
+         |    ELSE '<novel>'
          |  END AS template FROM rec)
          |SELECT service_name, template, count(*) AS n_logs
          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, _) =>
@@ -505,6 +506,10 @@ object OtlpReaders {
             "Accepted connection from <*> port 443",
             "Disk usage at <*> percent",
             "Service started"))
+        // '<novel>' instead of null: Spark sorts NULLS FIRST, DuckDB NULLS
+        // LAST, and the driver compares rows positionally — a null group
+        // would misalign the two orderings into a false FAIL
+        .withColumn("template", coalesce(col("template"), lit("<novel>")))
         .groupBy("service_name", "template")
         .agg(count(lit(1)).as("n_logs"))
         .orderBy("service_name", "template")

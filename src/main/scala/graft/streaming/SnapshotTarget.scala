@@ -164,22 +164,6 @@ final class SnapshotTarget(cfg: ServerConfig, spark: SparkSession) extends SealT
     }
   }
 
-  /** Header-only read: seq/atMs/sealId from the FIRST line, never the
-    * cumulative file list — the seal-id probe and head-seq lookups must
-    * stay O(1) bytes per snapshot, not O(files). */
-  private def readHeader(hfs: FileSystem, p: Path): (Long, Long, String) = {
-    val in = hfs.open(p)
-    val line = try {
-      val buf = new StringBuilder
-      var c = in.read()
-      while (c >= 0 && c != '\n') { buf.append(c.toChar); c = in.read() }
-      buf.toString
-    } finally in.close()
-    val h = line.split(" ", 5)
-    require(h(0) == "v1" || h(0) == "v2", s"unknown snapshot format in $p: ${h(0)}")
-    (h(1).toLong, h(2).toLong, if (h.length > 3) h(3) else "")
-  }
-
   /** Rename-committed snapshot write; the temp file is invisible (dot
     * prefix) and the rename is the atomic publish point. */
   private def commitSnapshot(signal: String, snap: Snapshot): Unit = {
@@ -204,6 +188,20 @@ final class SnapshotTarget(cfg: ServerConfig, spark: SparkSession) extends SealT
     committedIds(signal).add(snap.sealId)
   }
 
+  /** Stream one stored file through CRC32 — shared by the commit path
+    * (manifestEntries) and the audit path (verifyManifest) so the recorded
+    * and recomputed checksums can never disagree on method. */
+  private def fileCrc(hfs: FileSystem, p: Path): Long = {
+    val c = new java.util.zip.CRC32()
+    val in = hfs.open(p)
+    try {
+      val chunk = new Array[Byte](65536)
+      var n = in.read(chunk)
+      while (n >= 0) { c.update(chunk, 0, n); n = in.read(chunk) }
+    } finally in.close()
+    c.getValue
+  }
+
   /** Stat + checksum freshly published files for their manifest entries —
     * O(new seal) once per commit; existing entries are inherited from the
     * parent snapshot, never recomputed. */
@@ -212,15 +210,7 @@ final class SnapshotTarget(cfg: ServerConfig, spark: SparkSession) extends SealT
     val hfs = fs(root)
     paths.map { rel =>
       val p = new Path(root, rel)
-      val len = hfs.getFileStatus(p).getLen
-      val c = new java.util.zip.CRC32()
-      val in = hfs.open(p)
-      try {
-        val chunk = new Array[Byte](65536)
-        var n = in.read(chunk)
-        while (n >= 0) { c.update(chunk, 0, n); n = in.read(chunk) }
-      } finally in.close()
-      FileEntry(rel, len, c.getValue)
+      FileEntry(rel, hfs.getFileStatus(p).getLen, fileCrc(hfs, p))
     }
   }
 
@@ -247,16 +237,10 @@ final class SnapshotTarget(cfg: ServerConfig, spark: SparkSession) extends SealT
         if (st.getLen != e.len)
           throw new java.io.IOException(
             s"manifest violation: ${e.path} length ${st.getLen} != recorded ${e.len}")
-        val c = new java.util.zip.CRC32()
-        val in = hfs.open(p)
-        try {
-          val chunk = new Array[Byte](65536)
-          var n = in.read(chunk)
-          while (n >= 0) { c.update(chunk, 0, n); n = in.read(chunk) }
-        } finally in.close()
-        if (c.getValue != e.crc)
+        val got = fileCrc(hfs, p)
+        if (got != e.crc)
           throw new java.io.IOException(
-            s"manifest violation: ${e.path} crc ${c.getValue.toHexString} " +
+            s"manifest violation: ${e.path} crc ${got.toHexString} " +
               s"!= recorded ${e.crc.toHexString}")
       }
     }
@@ -284,12 +268,18 @@ final class SnapshotTarget(cfg: ServerConfig, spark: SparkSession) extends SealT
     }
   }
 
-  /** Seal ids ever observed committed, per signal: initialized once from
-    * the snapshot HEADERS on disk (first line each — never the cumulative
-    * file lists) and appended on every commit. Commits are serialized per
-    * signal in-process, so the cache stays coherent; ids are never evicted
-    * because a committed seal stays committed even after its snapshot's
-    * metadata expires (the data lives on in the current snapshot). */
+  /** Seal ids ever observed committed, per signal: initialized ONCE from a
+    * fully VALIDATED parse of each snapshot log (trailer crc + manifest
+    * count — a corrupt/truncated log's seal id must NOT register as
+    * committed, or a crashed seal would never retry: silent loss; skipping
+    * it re-seals, which at worst duplicates — the at-least-once contract),
+    * then appended on every commit. The full parse runs once per process
+    * per signal; every later probe is a set lookup, so the per-segment
+    * retry path never re-reads the logs (ADVICE r8). Commits are
+    * serialized per signal in-process, so the cache stays coherent; ids
+    * are never evicted because a committed seal stays committed even after
+    * its snapshot's metadata expires (the data lives on in the current
+    * snapshot). */
   private val sealIdCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[String]]()
   private def committedIds(signal: String): java.util.Set[String] =
@@ -300,7 +290,13 @@ final class SnapshotTarget(cfg: ServerConfig, spark: SparkSession) extends SealT
       if (hfs.exists(dir))
         hfs.listStatus(dir).toSeq
           .filter(st => st.isFile && st.getPath.getName.endsWith(".snap"))
-          .foreach(st => set.add(readHeader(hfs, st.getPath)._3))
+          .foreach { st =>
+            try set.add(readSnapshot(hfs, st.getPath).sealId)
+            catch { case e: Exception =>
+              System.err.println(s"[snapshot] skipping unreadable log " +
+                s"${st.getPath} during seal-id cache init: ${e.getMessage}")
+            }
+          }
       set
     })
 

@@ -113,6 +113,36 @@ class MultimodalSpec extends SparkTestBase {
     assert((got(3L).avg_r, got(3L).avg_g, got(3L).avg_b) == ((30.0, 30.0, 30.0)))
   }
 
+  test("decodeImage resolves palettes and alpha through the color model: " +
+    "GIF means are pixel intensities (not palette indices), RGBA reports " +
+    "color means (not the alpha band)") {
+    import spark.implicits._
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos); bos.toByteArray
+    }
+    // GIF forces an indexed palette: raw raster samples would be indices
+    val rgb = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    rgb.setRGB(0, 0, 0xff0000); rgb.setRGB(1, 0, 0x00ff00)
+    // RGBA: band 3 is alpha — naive band sampling reported it as avg_b
+    val rgba = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    rgba.setRGB(0, 0, 0xffff0000); rgba.setRGB(1, 0, 0xff00ff00)
+    val items = Seq(
+      MediaItem(1L, "image", enc(rgb, "gif")),
+      MediaItem(2L, "image", enc(rgba, "png"))).toDS()
+    val got = Multimodal.decodeImage(items).collect()
+      .map(m => m.media_id -> m).toMap
+    // palette preserves the two exact colors; means match the RGB source
+    assert(got(1L).channels >= 3, got(1L))
+    assert((got(1L).avg_r, got(1L).avg_g, got(1L).avg_b) == ((127.5, 127.5, 0.0)),
+      got(1L))
+    assert(got(2L).channels == 4, got(2L))
+    assert((got(2L).avg_r, got(2L).avg_g, got(2L).avg_b) == ((127.5, 127.5, 0.0)),
+      got(2L))
+  }
+
   test("resizeImage: nearest-neighbor golden up- and down-scale, " +
     "decode-after-resize reports target dims; map-only") {
     import spark.implicits._

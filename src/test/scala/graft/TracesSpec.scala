@@ -54,16 +54,24 @@ class TracesSpec extends SparkTestBase {
     assert(r.getAs[Long]("critical_path_ns") == n.toLong)
   }
 
-  test("parent-pointer cycle fails fast instead of looping or truncating") {
+  test("parent-pointer cycle degrades PER TRACE: the cyclic trace flags " +
+    "converged=false, healthy traces in the same batch stay exact") {
     import spark.implicits._
     val spans = Seq(
       ("t1", "sa", "sb", 1L), ("t1", "sb", "sa", 1L), // 2-cycle
-      ("t1", "sr", null, 1L))                         // plus a real root
+      ("t1", "sr", null, 1L),                         // plus a real root
+      ("t2", "sx", null, 5L), ("t2", "sy", "sx", 7L)) // healthy trace
       .toDF("trace_id", "span_id", "parent_span_id", "duration_time_unix_nano")
-    val e = intercept[IllegalStateException] {
-      Traces.traceTree(spans).collect()
-    }
-    assert(e.getMessage.contains("cycle"))
+    val got = Traces.traceTree(spans).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(!got("t1").getAs[Boolean]("converged"),
+      "cyclic trace must be flagged")
+    val t2 = got("t2")
+    assert(t2.getAs[Boolean]("converged"))
+    assert(t2.getAs[Long]("n_spans") == 2L &&
+      t2.getAs[Int]("max_depth") == 1 &&
+      t2.getAs[Long]("critical_path_ns") == 12L,
+      s"healthy trace must stay exact: $t2")
   }
 
   test("service graph: hand-computed edges, roots/orphans contribute none") {
