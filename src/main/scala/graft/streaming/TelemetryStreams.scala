@@ -75,6 +75,27 @@ object TelemetryStreams {
         col("service_name"), col("name").as("span_name"),
         col("n_spans"), col("n_errors"), col("total_ns"), col("max_ns"))
 
+  /** Windowed cross-series aggregation on the live sum-metric stream — the
+    * streaming face of `operators.Metrics.sumBy` (PromQL `sum by (name)`
+    * over time windows): per (window, name) the summed value and the point
+    * count across every replica series. The batch form sums at exact
+    * timestamps; a stream cannot wait for same-instant alignment, so the
+    * window IS the alignment — the standard dashboard semantics.
+    * Watermark-bounded state like every windowed stream here. */
+  def sumByStream(sums: DataFrame, windowLen: String = "1 minute",
+                  watermark: String = "2 minutes"): DataFrame = {
+    val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    sums
+      .withWatermark("time_unix_nano", watermark)
+      .where(v.isNotNull)
+      .withColumn("__v", v)
+      .groupBy(window(col("time_unix_nano"), windowLen).as("w"), col("name"))
+      .agg(round(sum(col("__v")), 6).as("value"),
+        count(lit(1)).as("n_points"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("name"), col("value"), col("n_points"))
+  }
+
   /** Exact-duplicate suppression on the stream (trace_id+span_id within the
     * watermark horizon) — the dedup the reference documents as a downstream
     * responsibility for its at-least-once parquet path. */

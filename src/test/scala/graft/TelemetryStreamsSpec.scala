@@ -178,6 +178,36 @@ class TelemetryStreamsSpec extends SparkTestBase {
     assert(lateRows.count(r => r.getAs[Any]("rate_per_sec") == null) >= 1)
   }
 
+  test("streaming sum-by: windowed cross-series totals, null values " +
+    "filtered, int fallback — hand-computed golden") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, String, Option[Double], Option[Long])]
+    val df = in.toDF()
+      .toDF("time_unix_nano", "name", "double_value", "int_value")
+    val q = TelemetryStreams.sumByStream(df)
+      .writeStream.format("memory").queryName("sumbystream")
+      .outputMode("complete").start()
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:10")
+    val t1 = Timestamp.valueOf("2024-01-01 00:00:40") // same window as t0
+    val t2 = Timestamp.valueOf("2024-01-01 00:01:10") // next window
+    in.addData(
+      (t0, "qps", Some(1.5), None), (t1, "qps", Some(2.5), None),
+      (t2, "qps", None, Some(4L)),  // int fallback
+      (t0, "errs", Some(1.0), None),
+      (t1, "nul", None, None))      // no recorded value: filtered
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sumbystream").collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Timestamp]("window_start")) ->
+        ((r.getAs[Double]("value"), r.getAs[Long]("n_points")))).toMap
+    val w0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val w1 = Timestamp.valueOf("2024-01-01 00:01:00")
+    assert(got == Map(
+      ("qps", w0) -> ((4.0, 2L)), ("qps", w1) -> ((4.0, 1L)),
+      ("errs", w0) -> ((1.0, 1L))), got)
+  }
+
   test("streaming dedup drops at-least-once duplicates within the watermark") {
     val q = TelemetryStreams.dedupSpans(
         TelemetryStreams.traceStream(spark, root))
