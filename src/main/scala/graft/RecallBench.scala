@@ -60,6 +60,14 @@ object RecallBench {
       "pq_m8k16" -> (q => Similarity.annTopKPq(emb, q, k)),
       "ivfpq_np2" -> (q => Similarity.annTopKIvfPq(emb, q, k, centroids = 8,
         nprobe = 2, dims = 64)),
+      "ivfpq_res_np2" -> (q => Similarity.annTopKIvfPqResidual(emb, q, k,
+        centroids = 8, nprobe = 2, dims = 64)),
+      // finer coarse grid at the same 1/4 probe coverage: the config where
+      // residual coding's within-cell range shrink actually bites
+      "ivfpq_c32_np8" -> (q => Similarity.annTopKIvfPq(emb, q, k,
+        centroids = 32, nprobe = 8, dims = 64)),
+      "ivfpq_res_c32_np8" -> (q => Similarity.annTopKIvfPqResidual(emb, q, k,
+        centroids = 32, nprobe = 8, dims = 64)),
       "mrl_p16_f50" -> (q => Similarity.annTopKMatryoshka(emb, q, k,
         prefilterK = 50, prefixDims = 16).select("vec_id", "sim")),
       "hamming_64" -> (q => Similarity.annTopKHamming(emb, dims = 64,

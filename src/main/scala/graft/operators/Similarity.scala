@@ -592,6 +592,67 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ with RESIDUAL coding — the canonical IVFADC composition
+    * (Jégou et al. 2011 §V): codes quantize r(x) = x − centroid(cell(x))
+    * rather than the raw vector, so the codebook's few bits per subvector
+    * spend on the WITHIN-cell spread instead of the whole corpus spread —
+    * recall improves at identical code size (measured in SCALE.md's recall
+    * table). ADC per candidate scores ‖(q − centroid(cell(x))) − code‖²:
+    * the query residual is a plan-literal centroid lookup per PROBED CELL,
+    * never a per-vector recompute.
+    *
+    * Kept ALONGSIDE [[annTopKIvfPq]]'s raw-coding form, not replacing it:
+    * raw codes share one codebook with the pure-PQ path (a storage
+    * simplification worth having), residual codes buy recall when cells
+    * carry real structure — the FAISS IVFx,PQy default. Same 100 TB shape:
+    * map-only assignment, broadcast query, probe predicate before any
+    * distance math, codes-not-vectors scan. */
+  def annTopKIvfPqResidual(emb: DataFrame, queryId: Long, k: Int,
+                           centroids: Int, nprobe: Int, dims: Int,
+                           m: Int = 8, kCodes: Int = 16, subDims: Int = 8,
+                           sampleMod: Int = 5, idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    graft.functions.ArraySqDist.register(emb.sparkSession)
+    val cents = ivfCentroidsTrained(emb, centroids, dims, sampleMod, idCol, vecCol)
+    val centsLit = array(cents.map(c =>
+      array(c.map(lit(_)): _*)).toIndexedSeq: _*)
+    val cells = ivfCellsWith(emb, cents, idCol, vecCol)
+      .withColumn("__v", asDouble(col(vecCol)))
+      .withColumn("__r", zip_with(col("__v"),
+        element_at(centsLit, col("cell").cast("int") + 1), (x, c) => x - c))
+    val books = pqCodebooksTrained(cells, m, kCodes, subDims, sampleMod,
+      idCol, "__r")
+    val withSubs = (0 until m).foldLeft(cells) { (d, s) =>
+      d.withColumn(s"__sub$s", slice(col("__r"), s * subDims + 1, subDims))
+    }
+    val coded = withSubs.select(
+      col(idCol) +: col("cell") +: col("cell_scores") +:
+        (0 until m).map(s => pqArgminNamed(s"__sub$s", books(s)).as(s"c$s")): _*)
+    val q = broadcast(
+      cells.where(col(idCol) === queryId)
+        .select(col("__v").as("qv"), col("cell_scores").as("qscores"))
+        .withColumn("thr", expr(s"sort_array(qscores, false)[${nprobe - 1}]")))
+    val cand = coded.where(col(idCol) =!= queryId)
+      .crossJoin(q)
+      .where(expr("element_at(qscores, cell + 1) >= thr"))
+      // query residual w.r.t. the CANDIDATE's cell
+      .withColumn("__qr", zip_with(col("qv"),
+        element_at(centsLit, col("cell").cast("int") + 1), (x, c) => x - c))
+    val withCents = (0 until m).foldLeft(cand) { (d, s) =>
+      val booksLit = array(books(s).map(c =>
+        array(c.map(lit(_)): _*)).toIndexedSeq: _*)
+      d.withColumn(s"__q$s", slice(col("__qr"), s * subDims + 1, subDims))
+        .withColumn(s"__cent$s",
+          element_at(booksLit, col(s"c$s").cast("int") + 1))
+    }
+    val dist = (0 until m).map(s =>
+      (expr(s"array_sqdist(__q$s, __cent$s)")): Column).reduce(_ + _)
+    withCents
+      .select(col(idCol), round(dist, 4).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol))
+      .limit(k)
+  }
+
   private def annTopKInCells(cells: DataFrame, queryId: Long, k: Int,
                              nprobe: Int, idCol: String,
                              vecCol: String): DataFrame = {

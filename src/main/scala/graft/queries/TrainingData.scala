@@ -1399,6 +1399,87 @@ object TrainingData {
         centroids = 8, nprobe = 2, dims = 64)
     },
 
+    // IVF-PQ with RESIDUAL coding (the FAISS IVFADC default): codebooks
+    // train on v − centroid(cell(v)) and ADC scores against the query's
+    // per-cell residual — same oracle chain with the residual substitution
+    df("ss_ann_ivfpq_res",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cn AS (SELECT p, c, sqrt(list_sum(list_transform(generate_series(1, 64), i -> c[i] * c[i]))) AS nc
+        |  FROM (SELECT p, list_transform(generate_series(1, 64),
+        |    d -> (strpos('0123456789abcdef', substring(md5(concat(p + 1000, '_', d - 1)), 1, 1)) - 8.5)) AS c
+        |  FROM generate_series(0, 7) t(p)) x),
+        |i0 AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN cn WHERE vec_id % 5 = 0 GROUP BY vec_id),
+        |ic0 AS (SELECT vec_id, list_position(scores, list_aggregate(scores, 'max')) - 1 AS cell FROM i0),
+        |itr AS (SELECT cell, d, round(avg(v[d]), 4) AS cd
+        |  FROM ic0 JOIN e USING (vec_id) CROSS JOIN generate_series(1, 64) t(d)
+        |  GROUP BY cell, d),
+        |itl AS (SELECT cell, list(cd ORDER BY d) AS c FROM itr GROUP BY cell),
+        |tc AS (SELECT cn.p, coalesce(itl.c, cn.c) AS c,
+        |  sqrt(list_sum(list_transform(generate_series(1, 64),
+        |    i -> coalesce(itl.c, cn.c)[i] * coalesce(itl.c, cn.c)[i]))) AS nc
+        |  FROM cn LEFT JOIN itl ON itl.cell = cn.p),
+        |scored AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN tc GROUP BY vec_id),
+        |cells AS (SELECT vec_id, scores,
+        |  list_position(scores, list_aggregate(scores, 'max')) - 1 AS cell FROM scored),
+        |seed AS (SELECT s, c, list_transform(generate_series(1, 8),
+        |    d -> (strpos('0123456789abcdef', substring(md5(concat(
+        |      s * 100 + c + 2000, '_', d - 1)), 1, 1)) - 8.5)) AS cent
+        |  FROM generate_series(0, 7) ts(s)
+        |  CROSS JOIN generate_series(0, 15) tc2(c)),
+        |rz AS (SELECT e.vec_id, cells.cell,
+        |    list_transform(generate_series(1, 64), i -> e.v[i] - tc.c[i]) AS rv
+        |  FROM e JOIN cells USING (vec_id) JOIN tc ON tc.p = cells.cell),
+        |sub AS (SELECT vec_id, s,
+        |    list_transform(generate_series(1, 8), d -> rv[s * 8 + d]) AS sv
+        |  FROM rz CROSS JOIN generate_series(0, 7) ts(s)),
+        |p0 AS (SELECT vec_id, s, list(list_sum(list_transform(
+        |    generate_series(1, 8),
+        |    i -> (sv[i] - cent[i]) * (sv[i] - cent[i]))) ORDER BY c) AS dists
+        |  FROM sub JOIN seed USING (s) WHERE vec_id % 5 = 0
+        |  GROUP BY vec_id, s),
+        |pa0 AS (SELECT vec_id, s,
+        |    list_position(dists, list_aggregate(dists, 'min')) - 1 AS code
+        |  FROM p0),
+        |ptr AS (SELECT s, code, d, round(avg(sv[d]), 4) AS cd
+        |  FROM pa0 JOIN sub USING (vec_id, s)
+        |  CROSS JOIN generate_series(1, 8) t(d)
+        |  GROUP BY s, code, d),
+        |ptl AS (SELECT s, code, list(cd ORDER BY d) AS cent FROM ptr
+        |  GROUP BY s, code),
+        |bk AS (SELECT seed.s, seed.c, coalesce(ptl.cent, seed.cent) AS cent
+        |  FROM seed LEFT JOIN ptl ON ptl.s = seed.s AND ptl.code = seed.c),
+        |fs AS (SELECT vec_id, s, list(list_sum(list_transform(
+        |    generate_series(1, 8),
+        |    i -> (sv[i] - cent[i]) * (sv[i] - cent[i]))) ORDER BY c) AS dists
+        |  FROM sub JOIN bk USING (s) GROUP BY vec_id, s),
+        |codes AS (SELECT vec_id, s,
+        |    list_position(dists, list_aggregate(dists, 'min')) - 1 AS code
+        |  FROM fs),
+        |q AS (SELECT scores AS qscores, list_sort(scores, 'DESC')[2] AS thr
+        |  FROM cells WHERE vec_id = 7),
+        |cand AS (SELECT c.vec_id, c.cell FROM cells c CROSS JOIN q
+        |  WHERE c.vec_id <> 7 AND q.qscores[c.cell + 1] >= q.thr),
+        |qvv AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+        |qr AS (SELECT tc.p AS cell, s, list_transform(generate_series(1, 8),
+        |    d -> qv[s * 8 + d] - tc.c[s * 8 + d]) AS qsv
+        |  FROM qvv CROSS JOIN tc CROSS JOIN generate_series(0, 7) ts(s)),
+        |ad AS (SELECT codes.vec_id, list_sum(list_transform(
+        |    generate_series(1, 8),
+        |    i -> (qsv[i] - cent[i]) * (qsv[i] - cent[i]))) AS ds
+        |  FROM codes JOIN cand USING (vec_id)
+        |  JOIN bk ON bk.s = codes.s AND bk.c = codes.code
+        |  JOIN qr ON qr.s = codes.s AND qr.cell = cand.cell)
+        |SELECT vec_id, round(sum(ds), 4) AS adc_dist
+        |FROM ad GROUP BY vec_id
+        |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin) { (s, _) =>
+      Similarity.annTopKIvfPqResidual(s.table("embeddings"), queryId = 7,
+        k = 10, centroids = 8, nprobe = 2, dims = 64)
+    },
+
     // semantic clustering: connected components over the thresholded
     // k-NN-graph edges — SemDeDup's drop-verdict generalized to whole
     // cluster structure (keeper selection, diversity caps). Same trained

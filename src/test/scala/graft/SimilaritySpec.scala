@@ -115,6 +115,9 @@ class SimilaritySpec extends SparkTestBase {
       "ivfpq" -> recall(q =>
         Similarity.annTopKIvfPq(vecs, q, 10, centroids = 8, nprobe = 2,
           dims = 64).select("vec_id")),
+      "ivfpq_res" -> recall(q =>
+        Similarity.annTopKIvfPqResidual(vecs, q, 10, centroids = 8,
+          nprobe = 2, dims = 64).select("vec_id")),
       "matryoshka" -> recall(q =>
         Similarity.annTopKMatryoshka(vecs, q, 10, prefilterK = 50,
           prefixDims = 16).select("vec_id")),
@@ -129,6 +132,9 @@ class SimilaritySpec extends SparkTestBase {
     // the coarse prune can only drop PQ candidates; on planted families a
     // family shares a cell, so the floor tracks pq's
     assert(r("ivfpq") >= 0.5, r)
+    // residual coding spends the codebook bits on within-cell spread: on
+    // family data it must at least match raw-vector coding (IVFADC's point)
+    assert(r("ivfpq_res") >= r("ivfpq"), r)
     // family geometry survives the 16-dim prefix (the MRL premise), so
     // the funnel tracks the exact-rerank ceiling like the sf1 table's 0.94
     assert(r("matryoshka") >= 0.85, r)
