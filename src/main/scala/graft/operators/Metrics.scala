@@ -110,6 +110,33 @@ object Metrics {
       .agg(round(sum(v), 6).as("value"), count(lit(1)).as("n_series"))
   }
 
+  /** Aggregate explicit-bucket histogram points ACROSS series/time before
+    * taking a quantile — PromQL's `histogram_quantile(sum by (le) (...))`
+    * shape: bucket counts sum ELEMENTWISE within each (kept labels,
+    * bucket-layout) group, so the quantile describes the whole group's
+    * distribution, not one point's. Grouping includes `explicit_bounds`
+    * itself: histograms with different bucket layouts must never merge
+    * (their counts are not addable) — each layout aggregates separately,
+    * which is also Prometheus's behavior when `le` label sets differ.
+    * Feed the result to [[histogramQuantile]].
+    *
+    * Shape at 100 TB: ONE partial-agg groupBy — the posexplode collapses
+    * map-side onto (labels, bounds, bucket index) keys before the
+    * exchange, and output cardinality is labels × layouts, not points. */
+  def aggregateHistograms(hists: DataFrame,
+                          by: Seq[String] = Seq("name")): DataFrame = {
+    require(by.nonEmpty, "aggregateHistograms needs at least one label")
+    val keys = by.map(col) :+ col("explicit_bounds")
+    hists.distinct() // at-least-once replay convention
+      .select(keys :+ posexplode(col("bucket_counts")).as(Seq("pos", "cnt")): _*)
+      .groupBy(keys :+ col("pos"): _*)
+      .agg(sum(col("cnt")).as("csum"), count(lit(1)).as("n_points"))
+      .groupBy(keys: _*)
+      .agg(expr("transform(array_sort(collect_list(struct(pos, csum))), " +
+        "x -> x.csum)").as("bucket_counts"),
+        max(col("n_points")).as("n_points"))
+  }
+
   /** Histogram quantile per data point (PromQL `histogram_quantile` over
     * one point): linear interpolation within the first bucket whose
     * cumulative count reaches q·total, with the Prometheus conventions —

@@ -165,6 +165,40 @@ object Traces {
         sum(col(durCol).cast("long")).as("total_ns"),
         max(col(durCol).cast("long")).as("max_ns"))
 
+  /** Per-service EXCLUSIVE (self) time — the flame-graph aggregation:
+    * self(span) = duration − Σ duration(direct children), so a service
+    * that merely WAITS on downstream calls stops looking expensive and
+    * the service actually burning the time surfaces. Reports per service
+    * the span count, total self time, and total (inclusive) time.
+    * Self time can be negative for a span whose children overlap
+    * concurrently — reported as-is (standard profiler convention; clamping
+    * would silently hide fan-out parallelism).
+    *
+    * Shape at 100 TB: ONE child→parent partial-agg (children collapse to
+    * one row per parent on the uniform (trace_id, span_id) key) + one
+    * equi-join back + a services-bounded rollup. Never walks the tree —
+    * self time only needs DIRECT children. */
+  def selfTime(spans: DataFrame,
+               idCol: String = "span_id",
+               parentCol: String = "parent_span_id",
+               traceCol: String = "trace_id",
+               serviceCol: String = "service_name",
+               durCol: String = "duration_time_unix_nano"): DataFrame = {
+    val base = spans.select(col(traceCol).as("t"), col(idCol).as("s"),
+        col(parentCol).as("p"), col(serviceCol).as("service_name"),
+        col(durCol).cast("long").as("dur"))
+      .distinct() // at-least-once replay convention
+    val childSum = base.groupBy(col("t").as("ct"), col("p").as("cp"))
+      .agg(sum(col("dur")).as("child_ns"))
+    base.join(childSum,
+        col("t") === col("ct") && col("s") === col("cp"), "left")
+      .withColumn("self_ns", col("dur") - coalesce(col("child_ns"), lit(0L)))
+      .groupBy("service_name")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("self_ns")).as("self_ns"),
+        sum(col("dur")).as("total_ns"))
+  }
+
   /** Span-duration latency profile per service: exact p50/p95/p99 (linear
     * interpolation — the percentile definition DuckDB's quantile_cont and
     * Spark's percentile share) plus span count and max, round(4) for

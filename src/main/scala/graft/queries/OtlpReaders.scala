@@ -554,6 +554,70 @@ object OtlpReaders {
       graft.operators.Traces.spanPercentiles(
           Otlp.readTraces(s, s"$fx/services_traces.jsonl"))
         .orderBy("service_name")
+    },
+
+    // per-service EXCLUSIVE (self) time — the flame-graph aggregation:
+    // duration minus direct children's durations, rolled up by service
+    df("otlp_self_time",
+      s"""WITH rec AS (
+         |  SELECT rs.resource AS res, sp.* FROM read_json('$fx/services_traces.jsonl',
+         |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
+         |    unnest(resourceSpans) AS a(rs),
+         |    unnest(rs.scopeSpans) AS b(ss),
+         |    unnest(ss.spans) AS c(sp)),
+         |sp AS (SELECT lower(traceId) AS t, lower(spanId) AS s,
+         |  lower(parentSpanId) AS p, ${duckService("res.attributes")} AS svc,
+         |  CAST(endTimeUnixNano AS BIGINT) - CAST(startTimeUnixNano AS BIGINT)
+         |    AS dur FROM rec),
+         |cs AS (SELECT t, p, sum(dur) AS child_ns FROM sp GROUP BY t, p)
+         |SELECT svc AS service_name, count(*) AS n_spans,
+         |  CAST(sum(sp.dur - coalesce(cs.child_ns, 0)) AS BIGINT) AS self_ns,
+         |  CAST(sum(sp.dur) AS BIGINT) AS total_ns
+         |FROM sp LEFT JOIN cs ON cs.t = sp.t AND cs.p = sp.s
+         |GROUP BY svc ORDER BY svc""".stripMargin) { (s, _) =>
+      graft.operators.Traces.selfTime(
+          Otlp.readTraces(s, s"$fx/services_traces.jsonl"))
+        .orderBy("service_name")
+    },
+
+    // aggregate-then-quantile: bucket counts sum elementwise per (name,
+    // bucket layout) across all points, THEN one interpolated median —
+    // PromQL's histogram_quantile(sum by (le) (...)) shape
+    df("otlp_hist_agg_quantile",
+      s"""WITH m AS (${metricsFlat(s"$fx/hist_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name", dp.bucketCounts AS bc,
+         |  dp.explicitBounds AS b
+         |  FROM m, unnest(m.histogram.dataPoints) AS d(dp)),
+         |px AS (SELECT "name", b, i AS pos, bc[i] AS cnt
+         |  FROM pts, unnest(generate_series(1, len(bc))) AS g(i)),
+         |ag AS (SELECT "name", b, pos, sum(cnt) AS csum, count(*) AS np
+         |  FROM px GROUP BY "name", b, pos),
+         |agg AS (SELECT "name", b, list(csum ORDER BY pos) AS c,
+         |  max(np) AS n_points FROM ag GROUP BY "name", b),
+         |st AS (SELECT "name", c, b, n_points,
+         |  list_transform(generate_series(1, len(c)),
+         |    i -> CAST(list_sum(c[1:i]) AS DOUBLE)) AS cums FROM agg),
+         |st2 AS (SELECT *, cums[len(cums)] AS total,
+         |  cums[len(cums)] * 0.5 AS target FROM st),
+         |st3 AS (SELECT *,
+         |  len(list_filter(cums, x -> x < target)) + 1 AS idx FROM st2)
+         |SELECT "name", array_to_string(c, ',') AS bucket_counts, n_points,
+         |  CASE WHEN total <= 0 THEN NULL
+         |    WHEN idx > len(b) THEN b[len(b)]
+         |    ELSE round((CASE WHEN idx = 1 THEN 0.0 ELSE b[idx-1] END)
+         |      + (b[idx] - (CASE WHEN idx = 1 THEN 0.0 ELSE b[idx-1] END))
+         |        * (target - (CASE WHEN idx = 1 THEN 0.0 ELSE cums[idx-1] END))
+         |        / CAST(c[idx] AS DOUBLE), 6) END AS quantile
+         |FROM st3 ORDER BY "name"""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.histogramQuantile(
+          graft.operators.Metrics.aggregateHistograms(
+            Otlp.readMetricsHistogram(s, s"$fx/hist_metrics.jsonl"),
+            by = Seq("name")), q = 0.5)
+        .select(col("name"),
+          array_join(col("bucket_counts").cast("array<string>"), ",")
+            .as("bucket_counts"),
+          col("n_points"), col("quantile"))
+        .orderBy("name")
     }
   )
 }

@@ -496,6 +496,31 @@ class OtlpReaderSpec extends SparkTestBase {
     q1.zip(q9).foreach { case (a, b) => assert(a <= b, (a, b)) }
   }
 
+  test("aggregate-then-quantile: bucket counts sum elementwise per " +
+    "layout group; different layouts never merge; replay rows drop") {
+    import spark.implicits._
+    val hists = Seq(
+      ("lat", Seq(2L, 3L, 4L, 1L), Seq(10.0, 50.0, 100.0)),
+      ("lat", Seq(8L, 1L, 0L, 1L), Seq(10.0, 50.0, 100.0)),
+      ("lat", Seq(8L, 1L, 0L, 1L), Seq(10.0, 50.0, 100.0)), // replay
+      ("lat", Seq(5L, 5L), Seq(7.0)))                       // other layout
+      .toDF("name", "bucket_counts", "explicit_bounds")
+    val agg = graft.operators.Metrics.aggregateHistograms(hists, Seq("name"))
+      .collect().map(r => r.getAs[Seq[Double]]("explicit_bounds") ->
+        (r.getAs[Seq[Long]]("bucket_counts"), r.getAs[Long]("n_points"))).toMap
+    // [2,3,4,1] + [8,1,0,1] elementwise (replay dropped)
+    assert(agg(Seq(10.0, 50.0, 100.0)) == ((Seq(10L, 4L, 4L, 2L), 2L)), agg)
+    assert(agg(Seq(7.0)) == ((Seq(5L, 5L), 1L)), agg)
+    // quantile over the AGGREGATE: total 20, target 10 -> cum hits 10 at
+    // bucket 1 exactly: 10 * 10/10 = 10.0
+    val q = graft.operators.Metrics.histogramQuantile(
+        graft.operators.Metrics.aggregateHistograms(hists, Seq("name")), 0.5)
+      .where(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("explicit_bounds")) === 3)
+      .collect().head
+    assert(q.getAs[Double]("quantile") == 10.0, q)
+  }
+
   test("exp-histogram quantile: log-linear interpolation in base-2 " +
     "buckets, zero-bucket hit -> 0, negative mass -> null") {
     val hists = Otlp.readMetricsExpHistogram(spark, s"$fx/exp_metrics.jsonl")

@@ -74,6 +74,29 @@ class TracesSpec extends SparkTestBase {
       s"healthy trace must stay exact: $t2")
   }
 
+  test("self time: duration minus DIRECT children only; concurrent " +
+    "children may drive a span's self time negative (reported as-is)") {
+    import spark.implicits._
+    // t1: A(100) -> {B(30) -> D(10), C(20)}: self A=50, B=20, C=20, D=10
+    // t2: E(10) -> {F(7), G(8)} concurrent: self E = 10-15 = -5
+    val spans = Seq(
+      ("t1", "a", null, "front", 100L), ("t1", "b", "a", "back", 30L),
+      ("t1", "c", "a", "back", 20L), ("t1", "d", "b", "db", 10L),
+      ("t2", "e", null, "front", 10L), ("t2", "f", "e", "db", 7L),
+      ("t2", "g", "e", "db", 8L),
+      ("t1", "a", null, "front", 100L)) // at-least-once replay: dropped
+      .toDF("trace_id", "span_id", "parent_span_id", "service_name",
+        "duration_time_unix_nano")
+    val got = Traces.selfTime(spans).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("self_ns"),
+          r.getAs[Long]("total_ns"))).toMap
+    assert(got == Map(
+      "front" -> ((2L, 45L, 110L)), // A self 50 + E self -5
+      "back" -> ((2L, 40L, 50L)),
+      "db" -> ((3L, 25L, 25L))), got)
+  }
+
   test("service graph: hand-computed edges, roots/orphans contribute none") {
     val got = Traces.serviceGraph(
         Otlp.readTraces(spark, "/root/repo/src/test/resources/otlp/services_traces.jsonl"))
