@@ -102,7 +102,16 @@ object Bench {
         df.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => Double.PositiveInfinity }
-      finally if (df != null) graft.operators.Blocks.release(df)
+      finally {
+        if (df != null) graft.operators.Blocks.release(df)
+        // fn() threw during CONSTRUCTION: operators with eager internal
+        // checkpoints (traceTree, neardupClusters, semDedup rounds) may
+        // already hold blocks no frame references — the global sweep is
+        // the only handle left, and on this failure path nothing
+        // long-lived can be cached mid-query
+        else spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
       name -> t
     }.toMap
     // steady ingest windows B and C interleave with the sweeps (see above);

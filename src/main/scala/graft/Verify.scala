@@ -48,7 +48,13 @@ object Verify {
       } catch { case e: Throwable =>
         failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally if (df != null) graft.operators.Blocks.release(df)
+      } finally {
+        if (df != null) graft.operators.Blocks.release(df)
+        // construction failure: orphaned eager checkpoints have no frame
+        // to release through — the global sweep is the remaining handle
+        else spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     }
     // zero successful dumps means a harness/environment failure (e.g. the
     // round-6 fixture-schema change broke every events query at register

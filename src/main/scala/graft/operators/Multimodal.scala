@@ -124,9 +124,17 @@ object Multimodal {
         val channels =
           cm.getNumColorComponents + (if (cm.hasAlpha) 1 else 0)
         val sums = new Array[Long](3)
+        // scale factor bringing the accumulated sums onto the 0-255 scale
+        // every caller sees, whatever the source bit depth
+        var scale = 1.0
         if (cm.getNumColorComponents == 1 &&
             !cm.isInstanceOf[java.awt.image.IndexColorModel]) {
-          // true grayscale: the single gray band (alpha, if any, ignored)
+          // true grayscale: the single gray band (alpha, if any, ignored),
+          // normalized by the band's bit depth — a 16-bit gray PNG must
+          // report the same mean as its 8-bit re-encode, not values ~256x
+          // larger than every other image's 0-255 means
+          val maxVal = (1L << cm.getComponentSize(0)) - 1
+          scale = 255.0 / maxVal
           val raster = img.getRaster
           var y = 0
           while (y < h) {
@@ -139,24 +147,23 @@ object Multimodal {
             y += 1
           }
         } else {
-          // everything else through getRGB: the color model resolves
-          // palettes/alpha/exotic layouts to sRGB — raw raster bands would
-          // report palette INDICES for a GIF and the alpha band as avg_b
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              sums(0) += (rgb >> 16) & 0xff
-              sums(1) += (rgb >> 8) & 0xff
-              sums(2) += rgb & 0xff
-              x += 1
-            }
-            y += 1
+          // everything else through bulk getRGB: the color model resolves
+          // palettes/alpha/exotic layouts to 8-bit sRGB — raw raster bands
+          // would report palette INDICES for a GIF and the alpha band as
+          // avg_b; the bulk row-major form avoids a per-pixel conversion
+          // call on megapixel inputs
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          var i = 0
+          while (i < px.length) {
+            val rgb = px(i)
+            sums(0) += (rgb >> 16) & 0xff
+            sums(1) += (rgb >> 8) & 0xff
+            sums(2) += rgb & 0xff
+            i += 1
           }
         }
         def avg(b: Int): Double = {
-          val v = sums(b).toDouble / (w.toLong * h)
+          val v = sums(b).toDouble * scale / (w.toLong * h)
           BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
         }
         ImageMeta(m.media_id, m.media_type, w, h, channels,

@@ -567,7 +567,10 @@ object Similarity {
       d.withColumn(s"__sub$s", slice(col("__v"), s * subDims + 1, subDims))
     }
     val coded = withSubs.select(
-      col(idCol) +: col("cell") +: col("cell_scores") +:
+      // cell rides along for the probe predicate; cell_scores does NOT —
+      // the probe compares the BROADCAST query's scores, and carrying a
+      // centroids-length array per candidate row is dead weight
+      col(idCol) +: col("cell") +:
         (0 until m).map(s => pqArgminNamed(s"__sub$s", books(s)).as(s"c$s")): _*)
     val q = broadcast(
       cells.where(col(idCol) === queryId)
@@ -626,7 +629,10 @@ object Similarity {
       d.withColumn(s"__sub$s", slice(col("__r"), s * subDims + 1, subDims))
     }
     val coded = withSubs.select(
-      col(idCol) +: col("cell") +: col("cell_scores") +:
+      // cell rides along for the probe predicate; cell_scores does NOT —
+      // the probe compares the BROADCAST query's scores, and carrying a
+      // centroids-length array per candidate row is dead weight
+      col(idCol) +: col("cell") +:
         (0 until m).map(s => pqArgminNamed(s"__sub$s", books(s)).as(s"c$s")): _*)
     val q = broadcast(
       cells.where(col(idCol) === queryId)

@@ -608,7 +608,7 @@ object OtlpReaders {
          |      + (b[idx] - (CASE WHEN idx = 1 THEN 0.0 ELSE b[idx-1] END))
          |        * (target - (CASE WHEN idx = 1 THEN 0.0 ELSE cums[idx-1] END))
          |        / CAST(c[idx] AS DOUBLE), 6) END AS quantile
-         |FROM st3 ORDER BY "name"""".stripMargin) { (s, _) =>
+         |FROM st3 ORDER BY "name", bucket_counts""".stripMargin) { (s, _) =>
       graft.operators.Metrics.histogramQuantile(
           graft.operators.Metrics.aggregateHistograms(
             Otlp.readMetricsHistogram(s, s"$fx/hist_metrics.jsonl"),
@@ -617,7 +617,10 @@ object OtlpReaders {
           array_join(col("bucket_counts").cast("array<string>"), ",")
             .as("bucket_counts"),
           col("n_points"), col("quantile"))
-        .orderBy("name")
+        // bucket_counts tiebreaker: one row per (name, LAYOUT) — same-name
+        // rows would otherwise sit in engine-dependent relative order and
+        // trip the positional comparator
+        .orderBy("name", "bucket_counts")
     }
   )
 }

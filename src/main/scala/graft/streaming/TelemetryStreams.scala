@@ -87,6 +87,10 @@ object TelemetryStreams {
     val v = coalesce(col("double_value"), col("int_value").cast("double"))
     sums
       .withWatermark("time_unix_nano", watermark)
+      // the seal export is at-least-once: a byte-equal replayed point must
+      // not double into the window sum (the batch twin distinct()s; the
+      // stream dedups on the full point identity within the watermark)
+      .dropDuplicatesWithinWatermark()
       .where(v.isNotNull)
       .withColumn("__v", v)
       .groupBy(window(col("time_unix_nano"), windowLen).as("w"), col("name"))

@@ -141,6 +141,16 @@ class MultimodalSpec extends SparkTestBase {
     assert(got(2L).channels == 4, got(2L))
     assert((got(2L).avg_r, got(2L).avg_g, got(2L).avg_b) == ((127.5, 127.5, 0.0)),
       got(2L))
+    // 16-bit grayscale normalizes to the 0-255 scale every other image
+    // reports on: samples {0, 65535} must mean 127.5, not ~32768
+    val g16 = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    g16.getRaster.setSample(0, 0, 0, 0)
+    g16.getRaster.setSample(1, 0, 0, 65535)
+    val m16 = Multimodal.decodeImage(
+      Seq(MediaItem(3L, "image", enc(g16, "png"))).toDS()).collect().head
+    assert(m16.channels == 1, m16)
+    assert((m16.avg_r, m16.avg_g, m16.avg_b) == ((127.5, 127.5, 127.5)), m16)
   }
 
   test("resizeImage: nearest-neighbor golden up- and down-scale, " +

@@ -194,6 +194,7 @@ class TelemetryStreamsSpec extends SparkTestBase {
     val t2 = Timestamp.valueOf("2024-01-01 00:01:10") // next window
     in.addData(
       (t0, "qps", Some(1.5), None), (t1, "qps", Some(2.5), None),
+      (t1, "qps", Some(2.5), None), // at-least-once replay: must not double
       (t2, "qps", None, Some(4L)),  // int fallback
       (t0, "errs", Some(1.0), None),
       (t1, "nul", None, None))      // no recorded value: filtered
