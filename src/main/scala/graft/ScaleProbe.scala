@@ -17,6 +17,7 @@ import org.apache.spark.sql.SparkSession
   *      metricrate | deltacum | histq | exphistq (k = points in units of
   *        100k; synthetic series tables, ~100 points/series — the corpus
   *        has no metric points, and row count x cardinality is the cost)
+  *      logtmpl (k = maxDistinct budget; documents.text as log bodies)
   * env SPARK_GRAFT_PROBE_EXPLAIN=1 prints the executed plan once. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -108,6 +109,10 @@ object ScaleProbe {
               .otherwise((col("id") - 1).cast("string")).as("parent_span_id"),
             (col("id") % 100 + 1).as("duration_time_unix_nano"))
           operators.Traces.traceTree(spans)
+        case "logtmpl" =>
+          operators.Logs.logTemplates(
+            spark.read.parquet(s"$sfDir/documents.parquet")
+              .selectExpr("text AS body"), maxDistinct = k)
         case "metricrate" | "deltacum" =>
           import org.apache.spark.sql.functions._
           val n = k * 100000L
