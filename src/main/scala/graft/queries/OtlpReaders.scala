@@ -515,6 +515,26 @@ object OtlpReaders {
         .orderBy("service_name", "template")
     },
 
+    // parameter drill-down for one mined template: which values filled
+    // each <*> slot, with counts
+    df("otlp_template_params",
+      s"""WITH rec AS (${logsFlat(s"$fx/template_logs.jsonl")}),
+         |b AS (SELECT string_split_regex(trim(body.stringValue), '\\s+') AS toks
+         |  FROM rec WHERE body.stringValue IS NOT NULL
+         |    AND trim(body.stringValue) <> ''),
+         |f AS (SELECT toks FROM b WHERE len(toks) = 6
+         |  AND toks[1] = 'Accepted' AND toks[2] = 'connection'
+         |  AND toks[3] = 'from' AND toks[5] = 'port')
+         |SELECT s.slot, CASE s.slot WHEN 3 THEN toks[4] ELSE toks[6] END AS "value",
+         |  count(*) AS n
+         |FROM f CROSS JOIN (VALUES (3), (5)) s(slot)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, _) =>
+      graft.operators.Logs.templateParams(
+          Otlp.readLogs(s, s"$fx/template_logs.jsonl"),
+          "Accepted connection from <*> port <*>")
+        .orderBy("slot", "value")
+    },
+
     // PromQL `sum by (name)`: replicas of one metric collapse to a single
     // per-timestamp total with the contributing-series count
     df("otlp_sum_by",
