@@ -165,6 +165,44 @@ object Traces {
         sum(col(durCol).cast("long")).as("total_ns"),
         max(col(durCol).cast("long")).as("max_ns"))
 
+  /** Exception report from span EVENTS — OpenTelemetry records exceptions
+    * as span events named "exception" carrying `exception.type` /
+    * `exception.message` attributes (the semantic convention every SDK
+    * follows). One row per (service, exception type): event count,
+    * affected span and trace counts, and the lexicographically-first
+    * message as a deterministic sample. Events with no type report
+    * 'unknown'.
+    *
+    * Shape at 100 TB: map-only from_json + explode of each row's OWN
+    * events array (spans carry few events), then one partial-agg groupBy
+    * on (service, type) — hot exception types collapse map-side; the
+    * count-distinct span/trace state shuffles uniform composite keys. */
+  def exceptionReport(spans: DataFrame,
+                      idCol: String = "span_id",
+                      traceCol: String = "trace_id",
+                      serviceCol: String = "service_name",
+                      eventsCol: String = "events_json"): DataFrame = {
+    val evType = "array<struct<time_unix_nano:bigint,name:string," +
+      "attributes:map<string,string>>>"
+    spans.select(col(traceCol).as("t"), col(idCol).as("s"),
+        col(serviceCol).as("service_name"), col(eventsCol).as("ej"))
+      .where(col("ej").isNotNull)
+      .distinct() // at-least-once replay convention
+      .select(col("t"), col("s"), col("service_name"),
+        explode(from_json(col("ej"), org.apache.spark.sql.types.DataType
+          .fromDDL(evType).asInstanceOf[org.apache.spark.sql.types.ArrayType])
+        ).as("e"))
+      .where(col("e.name") === "exception")
+      .groupBy(col("service_name"),
+        coalesce(element_at(col("e.attributes"), "exception.type"),
+          lit("unknown")).as("exception_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("t"), col("s")).as("n_spans"),
+        countDistinct(col("t")).as("n_traces"),
+        min(element_at(col("e.attributes"), "exception.message"))
+          .as("sample_message"))
+  }
+
   /** Per-service EXCLUSIVE (self) time — the flame-graph aggregation:
     * self(span) = duration − Σ duration(direct children), so a service
     * that merely WAITS on downstream calls stops looking expensive and

@@ -68,6 +68,15 @@ object OtlpReaders {
        |      endTimeUnixNano VARCHAR, attributes $AttrsT,
        |      status STRUCT(code INTEGER, message VARCHAR))[])[])[]""".stripMargin
 
+  /** Span record type WITH events (the exception-report query's fixture
+    * carries span events; the shared spansRecT omits them). */
+  private val spansEvT =
+    s"""STRUCT(resource STRUCT(attributes $AttrsT),
+       |  scopeSpans STRUCT("scope" STRUCT("name" VARCHAR),
+       |    spans STRUCT(traceId VARCHAR, spanId VARCHAR, "name" VARCHAR,
+       |      events STRUCT(timeUnixNano VARCHAR, "name" VARCHAR,
+       |        attributes $AttrsT)[])[])[])[]""".stripMargin
+
   private val metricsRecT =
     s"""STRUCT(resource STRUCT(attributes $AttrsT),
        |  scopeMetrics STRUCT("scope" STRUCT("name" VARCHAR),
@@ -513,6 +522,36 @@ object OtlpReaders {
         .groupBy("service_name", "template")
         .agg(count(lit(1)).as("n_logs"))
         .orderBy("service_name", "template")
+    },
+
+    // exception report from span EVENTS (the OTel semantic convention:
+    // event name 'exception' + exception.type/message attributes)
+    df("otlp_exception_report",
+      s"""WITH rec AS (
+         |  SELECT rs.resource AS res, sp.* FROM read_json('$fx/exception_traces.jsonl',
+         |      format='newline_delimited', columns={resourceSpans: '$spansEvT'}),
+         |    unnest(resourceSpans) AS a(rs),
+         |    unnest(rs.scopeSpans) AS b(ss),
+         |    unnest(ss.spans) AS c(sp)),
+         |sp AS (SELECT DISTINCT lower(traceId) AS t, lower(spanId) AS s,
+         |  ${duckService("res.attributes")} AS svc, events
+         |  FROM rec WHERE events IS NOT NULL),
+         |ex AS (SELECT t, s, svc, ev
+         |  FROM sp, unnest(events) AS d(ev) WHERE ev."name" = 'exception')
+         |SELECT svc AS service_name,
+         |  coalesce((list_filter(ev.attributes,
+         |    a -> a."key" = 'exception.type')[1])."value".stringValue,
+         |    'unknown') AS exception_type,
+         |  count(*) AS n_events,
+         |  count(DISTINCT t || '/' || s) AS n_spans,
+         |  count(DISTINCT t) AS n_traces,
+         |  min((list_filter(ev.attributes,
+         |    a -> a."key" = 'exception.message')[1])."value".stringValue)
+         |    AS sample_message
+         |FROM ex GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, _) =>
+      graft.operators.Traces.exceptionReport(
+          Otlp.readTraces(s, s"$fx/exception_traces.jsonl"))
+        .orderBy("service_name", "exception_type")
     },
 
     // parameter drill-down for one mined template: which values filled

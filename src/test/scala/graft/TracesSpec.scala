@@ -74,6 +74,20 @@ class TracesSpec extends SparkTestBase {
       s"healthy trace must stay exact: $t2")
   }
 
+  test("exception report: events named 'exception' only, replay-safe, " +
+    "typed + counted per service — hand-computed golden") {
+    val got = Traces.exceptionReport(
+        Otlp.readTraces(spark, "src/test/resources/otlp/exception_traces.jsonl"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_spans"),
+          r.getAs[Long]("n_traces"), r.getAs[String]("sample_message"))).toMap
+    assert(got == Map(
+      // replayed span (fixture line 3) must not double boom1's counts;
+      // the 'retry' event never reports
+      ("svc-api", "java.lang.IllegalStateException") -> ((2L, 2L, 1L, "boom1")),
+      ("svc-db", "TimeoutError") -> ((2L, 1L, 1L, "slow"))), got)
+  }
+
   test("self time: duration minus DIRECT children only; concurrent " +
     "children may drive a span's self time negative (reported as-is)") {
     import spark.implicits._
