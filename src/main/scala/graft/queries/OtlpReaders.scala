@@ -524,6 +524,41 @@ object OtlpReaders {
         .orderBy("service_name", "template")
     },
 
+    // the canonical PromQL composition sum by (name) (rate(...)): per-series
+    // rates (full producer identity, counter resets handled) summed across
+    // replicas at each timestamp — operator COMPOSITION, not a new operator
+    df("otlp_sum_rate",
+      s"""WITH m AS (${metricsFlat(s"$fx/replica_metrics.jsonl")}),
+         |pts AS (SELECT CAST(dp.timeUnixNano AS BIGINT) AS tns,
+         |  ${duckTs("dp.timeUnixNano")} AS t, m."name" AS "name",
+         |  (list_filter(res.attributes,
+         |    a -> a."key" = 'service.instance.id')[1])."value".stringValue AS inst,
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v,
+         |  m."sum".isMonotonic AS mono
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp)),
+         |lagd AS (SELECT *,
+         |  lag(v) OVER (PARTITION BY "name", inst ORDER BY tns) AS pv,
+         |  lag(tns) OVER (PARTITION BY "name", inst ORDER BY tns) AS pt
+         |  FROM pts),
+         |rr AS (SELECT t, "name",
+         |  round((CASE WHEN mono AND v < pv THEN v ELSE v - pv END) /
+         |    ((tns // 1000 - pt // 1000) / 1000000.0), 6) AS r
+         |  FROM lagd WHERE pv IS NOT NULL)
+         |SELECT "name", t AS time_unix_nano, round(sum(r), 6) AS rate_sum,
+         |  count(*) AS n_series
+         |FROM rr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.rate(
+          Otlp.readMetricsSum(s, s"$fx/replica_metrics.jsonl"))
+        .where(col("rate_per_sec").isNotNull)
+        .groupBy("name", "time_unix_nano")
+        .agg(round(sum("rate_per_sec"), 6).as("rate_sum"),
+          count(lit(1)).as("n_series"))
+        .select(col("name"),
+          date_format(col("time_unix_nano"), TsFmtSpark).as("time_unix_nano"),
+          col("rate_sum"), col("n_series"))
+        .orderBy("name", "time_unix_nano")
+    },
+
     // exception report from span EVENTS (the OTel semantic convention:
     // event name 'exception' + exception.type/message attributes)
     df("otlp_exception_report",
