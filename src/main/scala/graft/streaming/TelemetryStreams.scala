@@ -75,6 +75,34 @@ object TelemetryStreams {
         col("service_name"), col("name").as("span_name"),
         col("n_spans"), col("n_errors"), col("total_ns"), col("max_ns"))
 
+  /** Windowed exception counts on the live span stream — the streaming
+    * face of `operators.Traces.exceptionReport`: span events named
+    * 'exception' (the OTel semantic convention) roll up per (window,
+    * service, exception type). The from_json + explode of each row's own
+    * events array is stateless, so only the windowed aggregation holds
+    * state, watermark-bounded like every windowed stream here. */
+  def exceptionRate(spans: DataFrame, windowLen: String = "1 minute",
+                    watermark: String = "2 minutes"): DataFrame = {
+    val evType = org.apache.spark.sql.types.DataType.fromDDL(
+      "array<struct<time_unix_nano:bigint,name:string," +
+        "attributes:map<string,string>>>")
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    spans
+      .withWatermark("start_time_unix_nano", watermark)
+      .where(col("events_json").isNotNull)
+      .select(col("start_time_unix_nano"), col("service_name"),
+        explode(from_json(col("events_json"), evType)).as("e"))
+      .where(col("e.name") === "exception")
+      .groupBy(
+        window(col("start_time_unix_nano"), windowLen).as("w"),
+        col("service_name"),
+        coalesce(element_at(col("e.attributes"), "exception.type"),
+          lit("unknown")).as("exception_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("service_name"), col("exception_type"), col("n_events"))
+  }
+
   /** Windowed cross-series aggregation on the live sum-metric stream — the
     * streaming face of `operators.Metrics.sumBy` (PromQL `sum by (name)`
     * over time windows): per (window, name) the summed value and the point

@@ -178,6 +178,33 @@ class TelemetryStreamsSpec extends SparkTestBase {
     assert(lateRows.count(r => r.getAs[Any]("rate_per_sec") == null) >= 1)
   }
 
+  test("streaming exception rate: span events named 'exception' roll up " +
+    "per (window, service, type); others and event-less spans drop") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, String, String)]
+    val df = in.toDF()
+      .toDF("start_time_unix_nano", "service_name", "events_json")
+    val q = TelemetryStreams.exceptionRate(df)
+      .writeStream.format("memory").queryName("excrate")
+      .outputMode("complete").start()
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:10")
+    def ev(tpe: String, msg: String) =
+      s"""[{"time_unix_nano":1,"name":"exception","attributes":{"exception.type":"$tpe","exception.message":"$msg"}}]"""
+    in.addData(
+      (t0, "api", ev("Boom", "a")),
+      (t0, "api", ev("Boom", "b")),
+      (t0, "db", ev("Timeout", "c")),
+      (t0, "api", """[{"time_unix_nano":2,"name":"retry","attributes":{}}]"""),
+      (t0, "api", null))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("excrate").collect()
+      .map(r => (r.getAs[String]("service_name"),
+        r.getAs[String]("exception_type")) -> r.getAs[Long]("n_events")).toMap
+    assert(got == Map(("api", "Boom") -> 2L, ("db", "Timeout") -> 1L), got)
+  }
+
   test("streaming sum-by: windowed cross-series totals, null values " +
     "filtered, int fallback — hand-computed golden") {
     import spark.implicits._
