@@ -479,4 +479,44 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("rangepartitioning"), p)
   }
+
+  test("self time: the child rollup partial-aggregates before its exchange " +
+      "and joins back on the uniform (trace, span) key — no cartesian, " +
+      "no tree walk (exactly one join)") {
+    import spark.implicits._
+    val spans = (0 until 200).map(i => ("t" + i % 20, "s" + i,
+        if (i % 5 == 0) null else "s" + (i - 1), "svc" + i % 3, i.toLong))
+      .toDF("trace_id", "span_id", "parent_span_id", "service_name",
+        "duration_time_unix_nano")
+    val p = plan(graft.operators.Traces.selfTime(spans))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("Join".r.findAllIn(p).size >= 1, p)
+    // child collapse: partial+final HashAggregate around its exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("log template mining: the corpus never self-joins — the variable-" +
+      "position table (kilobytes) broadcasts back") {
+    Tables.register(spark, sfDir)
+    val p = plan(graft.operators.Logs.logTemplates(
+      spark.table("documents").selectExpr("text AS body")))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("histogram aggregate-then-quantile: partial aggregation around " +
+      "each exchange; the quantile walk itself adds NO shuffle") {
+    import spark.implicits._
+    val hists = (0 until 100).map(i =>
+        ("m" + i % 4, Seq(i.toLong, 2L, 1L), Seq(10.0, 50.0, 100.0)))
+      .toDF("name", "bucket_counts", "explicit_bounds")
+    val agg = graft.operators.Metrics.aggregateHistograms(hists, Seq("name"))
+    val exchangesAgg = "Exchange".r.findAllIn(plan(agg)).size
+    val p = plan(graft.operators.Metrics.histogramQuantile(agg, 0.9))
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    assert("Exchange".r.findAllIn(p).size == exchangesAgg,
+      s"quantile walk must be map-only on top of the aggregate:\n$p")
+  }
 }
