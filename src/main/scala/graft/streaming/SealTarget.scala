@@ -75,7 +75,7 @@ trait SealTarget {
 }
 
 /** Shared seal-batch plumbing used by every target implementation. */
-private[streaming] object SealFrames {
+private[graft] object SealFrames {
 
   /** Run seal-critical Spark jobs in the dedicated 'graft-seals' FAIR pool
     * so interactive query jobs cannot starve durability (shared by
@@ -149,9 +149,22 @@ private[streaming] object SealFrames {
       .partitionBy("year", "month", "day")
       .option("compression", "zstd")
     // (parquet-mr only materializes the bloom when a chunk is not fully
-    // dictionary-encoded — tiny test seals won't show one; large seals do)
+    // dictionary-encoded — tiny test seals won't show one; large seals do.)
+    // Adaptive sizing is essential: without it parquet-mr allocates every
+    // bloom at parquet.bloom.filter.max.bytes (1 MiB) regardless of the
+    // chunk's NDV, so a small seal file becomes mostly bloom bytes and the
+    // read side pays a megabyte per row group just to CHECK the filter —
+    // measured in TierTwoReadSpec, bloom-on point lookups read 12x MORE
+    // than bloom-off before this. Adaptive keeps the smallest candidate
+    // that still meets the target fpp for the observed NDV.
     if (df.columns.contains("trace_id"))
-      out = out.option("parquet.bloom.filter.enabled#trace_id", "true")
+      out = out
+        .option("parquet.bloom.filter.enabled#trace_id", "true")
+        .option("parquet.bloom.filter.adaptive.enabled", "true")
+        // candidates span max.bytes down by halves; 9 of them puts the
+        // smallest at 4 KiB so a small row group's bloom costs kilobytes
+        // while a 128 MB production row group still gets the full 1 MiB
+        .option("parquet.bloom.filter.candidates.number#trace_id", "9")
     val staging = new Path(tableRoot, s".seal-staging-${java.util.UUID.randomUUID()}")
     val hfs = tableRoot.getFileSystem(spark.sessionState.newHadoopConf())
     try {
