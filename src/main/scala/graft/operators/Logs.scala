@@ -65,19 +65,33 @@ object Logs {
     * templates match, the most specific (fewest `<*>` slots, then lexical)
     * wins, deterministically.
     *
-    * MAP-ONLY AND STATELESS: the template set compiles into a plan-literal
-    * CASE cascade (templates are a mined artifact — hundreds, not
-    * millions), so this attaches to any STREAMING plan in append mode with
-    * no state store — the batch-mines/stream-classifies split that makes
-    * template analytics deployable on a live log stream. */
+    * Two physical strategies, same semantics (equivalence is spec-pinned):
+    *
+    *   - ≤ `cascadeLimit` templates: a plan-literal CASE cascade — zero
+    *     joins, stateless, attaches to an append-mode STREAM with no state
+    *     store. The cap exists because whole-stage codegen hits Janino's
+    *     64 KB method limit somewhere in the low thousands of arms and
+    *     silently falls back to interpreted eval; 200 is comfortably
+    *     codegen'd.
+    *   - larger sets: a broadcast-join classify. A mined template IS the
+    *     masked form of its messages, so masking a log body with its token
+    *     count's wildcard layout yields a deterministic equi-join key:
+    *     LEFT broadcast-hash-join on (token count, masked body) — hash
+    *     probes instead of per-row predicate crawls, no row explosion, no
+    *     shuffle (plan-pinned). [[logTemplates]] mines ONE wildcard layout
+    *     per token count, so this is one join; a merged/heterogeneous set
+    *     needs one join per extra layout (capped at 16 — a shape no mined
+    *     set has). Stream-static broadcast joins are append-mode legal, so
+    *     even this path attaches to a live stream. */
   def matchTemplates(logs: DataFrame, templates: Seq[String],
-                     bodyCol: String = "body"): DataFrame = {
+                     bodyCol: String = "body",
+                     cascadeLimit: Int = 200): DataFrame = {
     require(templates.nonEmpty, "empty template set")
-    require(templates.size <= 10000,
-      "template set too large for a plan-literal cascade; shard it")
-    val toks = split(trim(col(bodyCol)), "\\s+")
     val ordered = templates.distinct
       .sortBy(t => (t.trim.split("\\s+").count(_ == "<*>"), t))
+    if (ordered.size > cascadeLimit)
+      return matchTemplatesJoin(logs, ordered, bodyCol)
+    val toks = split(trim(col(bodyCol)), "\\s+")
     val arms = ordered.map { t =>
       val tt = t.trim.split("\\s+")
       // try_element_at: ANSI mode makes plain element_at a runtime error
@@ -91,6 +105,66 @@ object Logs {
     }
     logs.withColumn("template",
       coalesce(arms :+ lit(null).cast("string"): _*))
+  }
+
+  /** Join-based classify for large template sets (see [[matchTemplates]]).
+    * One broadcast left join per wildcard LAYOUT SLOT: templates are
+    * grouped by (token count, wildcard position set); per token count the
+    * layouts are ordered most-specific-first and slot j holds each count's
+    * j-th layout. The log side masks its tokens with slot j's positions
+    * for its token count (a kilobyte plan literal) and joins on the masked
+    * string. Ties across slots resolve by (wildcard count, template) via
+    * array_min over candidate structs — byte-identical precedence to the
+    * cascade. */
+  private def matchTemplatesJoin(logs: DataFrame, ordered: Seq[String],
+                                 bodyCol: String): DataFrame = {
+    val spark = logs.sparkSession
+    import spark.implicits._
+    val parsed = ordered.map { t =>
+      val tt = t.trim.split("\\s+").toSeq
+      (tt.length, tt.zipWithIndex.collect { case ("<*>", i) => i }, t)
+    }
+    val layoutsByN: Map[Int, Seq[Seq[Int]]] = parsed.groupBy(_._1)
+      .map { case (n, ps) =>
+        n -> ps.map(_._2).distinct.sortBy(s => (s.size, s.mkString(",")))
+      }
+    val maxSlots = layoutsByN.values.map(_.size).max
+    require(maxSlots <= 16,
+      s"$maxSlots wildcard layouts share one token count; a mined " +
+        "template set has exactly 1 per count — shard or re-mine the set")
+
+    var out = logs
+      .withColumn("_gt_toks", split(trim(col(bodyCol)), "\\s+"))
+      .withColumn("_gt_n", size(col("_gt_toks")))
+    (0 until maxSlots).foreach { j =>
+      val posMap = typedlit(layoutsByN.collect {
+        case (n, ls) if ls.size > j => n -> ls(j)
+      })
+      val vp = element_at(posMap, col("_gt_n"))
+      val masked = when(vp.isNotNull, concat_ws(" ",
+        transform(col("_gt_toks"),
+          (t, i) => when(array_contains(vp, i), lit("<*>")).otherwise(t))))
+      val tmpl = parsed.collect {
+        case (n, ps, t) if layoutsByN(n).indexOf(ps) == j =>
+          (n, t, ps.size)
+      }.toDF(s"_gt_tn$j", s"_gt_t$j", s"_gt_w$j")
+      out = out
+        .withColumn(s"_gt_m$j", masked)
+        .join(broadcast(tmpl),
+          out("_gt_n") === tmpl(s"_gt_tn$j") &&
+            col(s"_gt_m$j") === tmpl(s"_gt_t$j"), "left")
+        .drop(s"_gt_tn$j", s"_gt_m$j")
+    }
+    val cands = (0 until maxSlots).map { j =>
+      when(col(s"_gt_t$j").isNotNull,
+        struct(col(s"_gt_w$j").as("wc"), col(s"_gt_t$j").as("t")))
+    }
+    val dropCols = Seq("_gt_toks", "_gt_n") ++
+      (0 until maxSlots).flatMap(j => Seq(s"_gt_t$j", s"_gt_w$j"))
+    out
+      .withColumn("template",
+        array_min(array_compact(array(cands: _*))).getField("t"))
+      .drop(dropCols: _*)
   }
 
   /** Parameter extraction for one template: the values that filled each

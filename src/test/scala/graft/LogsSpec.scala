@@ -114,6 +114,63 @@ class LogsSpec extends SparkTestBase {
     assert(sRows("noise").isEmpty)
   }
 
+  test("matchTemplates cutover: join path gives byte-identical results to " +
+    "the cascade, including cross-layout tie-breaks") {
+    import spark.implicits._
+    val templates = Seq(
+      "Accepted connection from <*> port <*>",
+      "Accepted connection from <*> port 443",
+      "Disk usage at <*> percent",
+      // two layouts sharing token count 3 — tie on wildcard count for
+      // "fixed fixed x"; lexical min template must win on BOTH paths
+      "fixed <*> x",
+      "<*> fixed x")
+    val logs = Seq(
+      "Accepted connection from 10.0.0.1 port 443",
+      "Accepted connection from 10.0.0.2 port 8080",
+      "Disk usage at 93 percent",
+      "fixed fixed x",
+      "fixed zzz x",
+      "aaa fixed x",
+      "totally novel shape",
+      "").map(Tuple1(_)).toDF("body")
+    def run(limit: Int) = Logs.matchTemplates(logs, templates,
+        cascadeLimit = limit).collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    val cascade = run(limit = 10000)
+    val joined = run(limit = 0)
+    assert(cascade == joined, s"paths diverge:\n$cascade\n$joined")
+    assert(joined("fixed fixed x").contains("<*> fixed x")) // lexical min
+    assert(joined("fixed zzz x").contains("fixed <*> x"))
+    assert(joined("totally novel shape").isEmpty)
+  }
+
+  test("matchTemplates large sets: broadcast-hash-join classify, " +
+    "one join for a mined (single-layout) set, no shuffle") {
+    import spark.implicits._
+    // mined shape: every template shares its token count's wildcard layout
+    val templates = (0 until 1200).map(i => s"evt$i code <*> from host <*>")
+    val logs = ((0 until 5000).map(i =>
+        s"evt${i % 1200} code ${i % 7} from host web-${i % 13}") ++
+      Seq("unmined shape entirely", "evt3 code x from HOST y"))
+      .map(Tuple1(_)).toDF("body")
+    val out = Logs.matchTemplates(logs, templates)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"large-set classify must be a broadcast hash join:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 1,
+      "a single-layout template set must compile to exactly one join")
+    assert(!plan.replace("BroadcastExchange", "BX").contains("Exchange"),
+      s"classify must not shuffle the corpus:\n$plan")
+    val rows = out.collect()
+    assert(rows.length == 5002)
+    val got = rows.map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("evt7 code 0 from host web-7")
+      .contains("evt7 code <*> from host <*>"))
+    assert(got("unmined shape entirely").isEmpty)
+    assert(got("evt3 code x from HOST y").isEmpty) // constant pos differs
+  }
+
   test("sumBy collapses replica series per timestamp; replayed rows drop") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
