@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   * (name, service incl. namespace + instance id, resource attributes,
   * scope, metric attributes) — because two replicas of one service export
   * the same metric name with the same labels, and merging them corrupts
-  * running sums and fakes counter resets. Inputs are distinct()'d first:
+  * running sums and fakes counter resets. Inputs are replay-deduped first:
   * the seal export is at-least-once and a byte-equal replayed point must
-  * not double into a cumulative sum (the traceTree convention). */
+  * not double into a cumulative sum (the traceTree convention). The dedup
+  * is [[Replay.dedupWithin]] keyed by each operator's own shuffle keys, so
+  * it costs NO exchange beyond the one the aggregation needs (plan-pinned;
+  * a bare distinct() added a second corpus-wide exchange keyed by every
+  * column including the wide attribute JSONs). */
 object Metrics {
 
   /** The full series identity: every column that distinguishes one
@@ -46,7 +50,7 @@ object Metrics {
         coalesce(col("double_value"), col("int_value").cast("double")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val isDelta = col("aggregation_temporality") === 1
-    sums.distinct()
+    Replay.dedupWithin(sums, seriesKey :+ col("aggregation_temporality"))
       .withColumn("int_value",
         when(isDelta, sum(col("int_value")).over(w))
           .otherwise(col("int_value")))
@@ -81,9 +85,9 @@ object Metrics {
       when(col("is_monotonic") && v < prevV, v).otherwise(v - prevV)
     // no-recorded-value points carry nothing to difference: skip them so
     // the lag spans the gap (Prometheus staleness behavior; keeps the
-    // streaming twin's membership identical); dt > 0 guard: a distinct
+    // streaming twin's membership identical); dt > 0 guard: a deduped
     // same-microsecond pair must yield null, not an ANSI divide-by-zero
-    sums.distinct()
+    Replay.dedupWithin(sums, seriesKey)
       .where(v.isNotNull)
       .withColumn("value", v)
       .withColumn("rate_per_sec",
@@ -104,7 +108,7 @@ object Metrics {
   def sumBy(sums: DataFrame, by: Seq[String] = Seq("name")): DataFrame = {
     require(by.nonEmpty, "sumBy needs at least one label to keep")
     val v = coalesce(col("double_value"), col("int_value").cast("double"))
-    sums.distinct()
+    Replay.dedupWithin(sums, by.map(col) :+ col("time_unix_nano"))
       .where(v.isNotNull)
       .groupBy(by.map(col) :+ col("time_unix_nano"): _*)
       .agg(round(sum(v), 6).as("value"), count(lit(1)).as("n_series"))
@@ -127,7 +131,16 @@ object Metrics {
                           by: Seq[String] = Seq("name")): DataFrame = {
     require(by.nonEmpty, "aggregateHistograms needs at least one label")
     val keys = by.map(col) :+ col("explicit_bounds")
-    hists.distinct() // at-least-once replay convention
+    // dedup keys carry time_unix_nano (when the frame has it): a
+    // (name, bounds) partition alone would hold one metric's whole
+    // retention in a single task; with time the partitions stay uniform
+    // and the exploded partial aggs re-key on exchanges sized by OUTPUT
+    // cardinality (labels x layouts x buckets)
+    val dedupKeys =
+      if (hists.columns.contains("time_unix_nano"))
+        keys :+ col("time_unix_nano")
+      else keys
+    Replay.dedupWithin(hists, dedupKeys)
       .select(keys :+ posexplode(col("bucket_counts")).as(Seq("pos", "cnt")): _*)
       .groupBy(keys :+ col("pos"): _*)
       .agg(sum(col("cnt")).as("csum"), count(lit(1)).as("n_points"))

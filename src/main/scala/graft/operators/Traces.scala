@@ -184,10 +184,13 @@ object Traces {
                       eventsCol: String = "events_json"): DataFrame = {
     val evType = "array<struct<time_unix_nano:bigint,name:string," +
       "attributes:map<string,string>>>"
-    spans.select(col(traceCol).as("t"), col(idCol).as("s"),
-        col(serviceCol).as("service_name"), col(eventsCol).as("ej"))
-      .where(col("ej").isNotNull)
-      .distinct() // at-least-once replay convention
+    Replay.dedupWithin(
+        spans.select(col(traceCol).as("t"), col(idCol).as("s"),
+            col(serviceCol).as("service_name"), col(eventsCol).as("ej"))
+          .where(col("ej").isNotNull),
+        // replay dedup keyed by span identity, not the wide events JSON:
+        // the string rides as data, never as a shuffle key
+        Seq(col("t"), col("s")))
       .select(col("t"), col("s"), col("service_name"),
         explode(from_json(col("ej"), org.apache.spark.sql.types.DataType
           .fromDDL(evType).asInstanceOf[org.apache.spark.sql.types.ArrayType])
@@ -222,10 +225,12 @@ object Traces {
                traceCol: String = "trace_id",
                serviceCol: String = "service_name",
                durCol: String = "duration_time_unix_nano"): DataFrame = {
-    val base = spans.select(col(traceCol).as("t"), col(idCol).as("s"),
+    // replay dedup on the span-identity key — the same (t, s) the join
+    // below probes on, so the deduped side arrives pre-partitioned for it
+    val base = Replay.dedupWithin(
+      spans.select(col(traceCol).as("t"), col(idCol).as("s"),
         col(parentCol).as("p"), col(serviceCol).as("service_name"),
-        col(durCol).cast("long").as("dur"))
-      .distinct() // at-least-once replay convention
+        col(durCol).cast("long").as("dur")), Seq(col("t"), col("s")))
     val childSum = base.groupBy(col("t").as("ct"), col("p").as("cp"))
       .agg(sum(col("dur")).as("child_ns"))
     base.join(childSum,
@@ -254,10 +259,13 @@ object Traces {
                       idCol: String = "span_id",
                       traceCol: String = "trace_id",
                       durCol: String = "duration_time_unix_nano"): DataFrame =
-    spans.select(col(traceCol), col(idCol),
-        col(serviceCol).as("service_name"),
-        col(durCol).cast("long").as("dur"))
-      .distinct() // at-least-once replay convention
+    // dedup keyed by the aggregation's own service key: ONE exchange
+    // total (the percentile's one-group-per-service bound documented
+    // above applies to the dedup window identically)
+    Replay.dedupWithin(
+        spans.select(col(traceCol), col(idCol),
+          col(serviceCol).as("service_name"),
+          col(durCol).cast("long").as("dur")), Seq(col("service_name")))
       .groupBy("service_name")
       .agg(count(lit(1)).as("n_spans"),
         round(expr("percentile(dur, 0.5)"), 4).as("p50_ns"),

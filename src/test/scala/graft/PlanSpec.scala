@@ -506,6 +506,35 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("replay dedup rides the aggregation's own shuffle: metric and span " +
+      "operators keep ONE corpus exchange (dedup adds none)") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val sums = Seq(
+      ("qps", "svc", null: String, "i1", "{}", "sc", "{}", ts,
+        true, Some(1.0), None: Option[Long], 2),
+      ("qps", "svc", null: String, "i2", "{}", "sc", "{}", ts,
+        true, Some(2.0), None: Option[Long], 2))
+      .toDF("name", "service_name", "service_namespace",
+        "service_instance_id", "resource_attributes", "scope_name",
+        "metric_attributes", "time_unix_nano", "is_monotonic",
+        "double_value", "int_value", "aggregation_temporality")
+    for ((label, df) <- Seq(
+        "rate" -> graft.operators.Metrics.rate(sums),
+        "sumBy" -> graft.operators.Metrics.sumBy(sums),
+        "deltaToCumulative" ->
+          graft.operators.Metrics.deltaToCumulative(sums))) {
+      val p = plan(df)
+      assert("Exchange".r.findAllIn(p).size == 1,
+        s"$label: dedup must reuse the operator's own exchange:\n$p")
+    }
+    val spans = Seq(("t1", "s1", "svc", 100L), ("t1", "s2", "svc", 200L))
+      .toDF("trace_id", "span_id", "service_name", "duration_time_unix_nano")
+    val pP = plan(graft.operators.Traces.spanPercentiles(spans))
+    assert("Exchange".r.findAllIn(pP).size == 1,
+      s"spanPercentiles: dedup must ride the service exchange:\n$pP")
+  }
+
   test("histogram aggregate-then-quantile: partial aggregation around " +
       "each exchange; the quantile walk itself adds NO shuffle") {
     import spark.implicits._
