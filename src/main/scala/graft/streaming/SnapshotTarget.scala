@@ -317,13 +317,43 @@ final class SnapshotTarget(cfg: ServerConfig, spark: SparkSession) extends SealT
   /** `expire_older_than` + `delete_older_than`: drop snapshot metadata past
     * the horizon (never the current snapshot), then delete data files that
     * no retained snapshot references and whose mtime is past the horizon.
-    * Returns DATA files deleted. */
+    * Returns DATA files deleted.
+    *
+    * Corrupt NON-CURRENT logs are quarantined here (renamed `.corrupt`,
+    * out of the `.snap` namespace) instead of propagating the parse
+    * failure: snap commits are tmp+rename atomic, so an unreadable visible
+    * log is bit rot, and letting it throw would wedge maintenance — and
+    * `snapshots()`/`readAt` — forever (ADVICE r9). Time travel TO that
+    * snapshot was already broken; its uniquely-referenced files age out
+    * via the mtime sweep, and quarantined corpses are deleted once past
+    * the horizon. The CURRENT log stays fail-loud: serving data from a
+    * store whose head is unreadable must not be papered over. */
   def expire(signal: String): Long = commitLocks(signal).synchronized {
     val horizon = System.currentTimeMillis() - cfg.maintenanceRetentionMs
     val root = tableRoot(signal)
     val hfs = fs(root)
     if (!hfs.exists(root)) return 0L
-    val all = snapshots(signal)
+    val dir = snapDir(signal)
+    val snapFiles = if (hfs.exists(dir)) hfs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".snap"))
+      .sortBy(_.getPath.getName) else Seq.empty
+    if (snapFiles.isEmpty) return 0L
+    val currentPath = snapFiles.last.getPath
+    val all = snapFiles.flatMap { st =>
+      try Some(readSnapshot(hfs, st.getPath))
+      catch {
+        case e: Exception if st.getPath != currentPath =>
+          val q = new Path(st.getPath.getParent, st.getPath.getName + ".corrupt")
+          System.err.println(s"[snapshot] quarantining unreadable log " +
+            s"${st.getPath}: ${e.getMessage}")
+          if (!hfs.rename(st.getPath, q)) hfs.delete(st.getPath, false)
+          None
+      }
+    }
+    hfs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".corrupt") &&
+        st.getModificationTime < horizon)
+      .foreach(st => hfs.delete(st.getPath, false))
     if (all.isEmpty) return 0L
     val current = all.last
     val (kept, dropped) = all.partition(s => s.atMs >= horizon || s.seq == current.seq)

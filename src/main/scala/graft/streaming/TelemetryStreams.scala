@@ -79,8 +79,12 @@ object TelemetryStreams {
     * face of `operators.Traces.exceptionReport`: span events named
     * 'exception' (the OTel semantic convention) roll up per (window,
     * service, exception type). The from_json + explode of each row's own
-    * events array is stateless, so only the windowed aggregation holds
-    * state, watermark-bounded like every windowed stream here. */
+    * events array is stateless, so the windowed aggregation and the
+    * replay dedup are the only state, watermark-bounded like every
+    * windowed stream here. The seal export is at-least-once: a replayed
+    * span must not double its exception counts, so spans dedup on
+    * (trace_id, span_id) within the watermark — the batch twin's
+    * convention, applied before the explode. */
   def exceptionRate(spans: DataFrame, windowLen: String = "1 minute",
                     watermark: String = "2 minutes"): DataFrame = {
     val evType = org.apache.spark.sql.types.DataType.fromDDL(
@@ -89,6 +93,7 @@ object TelemetryStreams {
       .asInstanceOf[org.apache.spark.sql.types.ArrayType]
     spans
       .withWatermark("start_time_unix_nano", watermark)
+      .dropDuplicatesWithinWatermark("trace_id", "span_id")
       .where(col("events_json").isNotNull)
       .select(col("start_time_unix_nano"), col("service_name"),
         explode(from_json(col("events_json"), evType)).as("e"))

@@ -255,6 +255,56 @@ class SnapshotTargetSpec extends SparkTestBase {
     assert(target.verifyManifest("logs") == 1L)
   }
 
+  test("expire quarantines a corrupt non-current snapshot log instead of " +
+    "wedging maintenance; the current log stays fail-loud") {
+    val root = java.nio.file.Files.createTempDirectory("snap_corrupt").toString
+    val uri = "otlp:127.0.0.1:45957"
+    val params = Map(
+      "token" -> Token, "target" -> "snapshot", "parquet_root" -> root,
+      "seal_max_age_ms" -> "3600000", "seal_target_bytes" -> "1073741824")
+    OtlpServe.otlpServe(spark, uri, params)
+    (1 to 2).foreach { _ =>
+      assert(post(45957, fixture("logs_simple.jsonl")).statusCode() == 202)
+      assert(OtlpServe.otlpFlush(spark, uri).first()
+        .getAs[String]("status") == "sealed")
+    }
+    OtlpServe.otlpStop(spark, uri)
+    val target = new SnapshotTarget(
+      ServerConfig("otlp_serve", uri,
+        params - "token" + ("disable_auth" -> "true")), spark)
+    val snaps = target.snapshots("logs")
+    assert(snaps.length == 2)
+    val snapDir = new java.io.File(
+      new java.io.File(root, "otlp_logs"), "_snapshots")
+    val older = new java.io.File(snapDir, f"${snaps.head.seq}%012d.snap")
+    java.nio.file.Files.write(older.toPath,
+      "v2 garbage not a snapshot".getBytes("UTF-8"))
+    new java.io.File(snapDir, s".${older.getName}.crc").delete()
+    // the wedge the fix removes: every snapshot-listing read now throws
+    intercept[Exception](target.snapshots("logs"))
+    // expire: no throw, corrupt log leaves the .snap namespace
+    target.expire("logs")
+    assert(!older.exists(), "corrupt non-current log must be quarantined")
+    assert(new java.io.File(snapDir, older.getName + ".corrupt").exists())
+    // the store serves again: current snapshot intact, reads work
+    val after = target.snapshots("logs")
+    assert(after.map(_.seq) == Seq(snaps.last.seq))
+    assert(target.readAt("logs").count() > 0)
+    // quarantined corpse is itself retention-managed: a short-horizon
+    // expire deletes it (mtime survives the rename, so it is already old)
+    Thread.sleep(5)
+    new SnapshotTarget(
+      ServerConfig("otlp_serve", uri, params - "token" +
+        ("disable_auth" -> "true") + ("maintenance_retention_ms" -> "1")),
+      spark).expire("logs")
+    assert(!new java.io.File(snapDir, older.getName + ".corrupt").exists())
+    // a corrupt CURRENT log still fails loudly
+    val head = new java.io.File(snapDir, f"${snaps.last.seq}%012d.snap")
+    java.nio.file.Files.write(head.toPath, "v2 garbage".getBytes("UTF-8"))
+    new java.io.File(snapDir, s".${head.getName}.crc").delete()
+    intercept[Exception](target.expire("logs"))
+  }
+
   test("serve validation: snapshot target requires parquet_root") {
     val msg = intercept[IllegalArgumentException](
       OtlpServe.otlpServe(spark, "otlp:127.0.0.1:45953",

@@ -179,13 +179,15 @@ class TelemetryStreamsSpec extends SparkTestBase {
   }
 
   test("streaming exception rate: span events named 'exception' roll up " +
-    "per (window, service, type); others and event-less spans drop") {
+    "per (window, service, type); others and event-less spans drop; a " +
+    "replayed span counts once") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Timestamp, String, String)]
+      .MemoryStream[(Timestamp, String, String, String, String)]
     val df = in.toDF()
-      .toDF("start_time_unix_nano", "service_name", "events_json")
+      .toDF("start_time_unix_nano", "trace_id", "span_id",
+        "service_name", "events_json")
     val q = TelemetryStreams.exceptionRate(df)
       .writeStream.format("memory").queryName("excrate")
       .outputMode("complete").start()
@@ -193,11 +195,13 @@ class TelemetryStreamsSpec extends SparkTestBase {
     def ev(tpe: String, msg: String) =
       s"""[{"time_unix_nano":1,"name":"exception","attributes":{"exception.type":"$tpe","exception.message":"$msg"}}]"""
     in.addData(
-      (t0, "api", ev("Boom", "a")),
-      (t0, "api", ev("Boom", "b")),
-      (t0, "db", ev("Timeout", "c")),
-      (t0, "api", """[{"time_unix_nano":2,"name":"retry","attributes":{}}]"""),
-      (t0, "api", null))
+      (t0, "t1", "s1", "api", ev("Boom", "a")),
+      (t0, "t1", "s1", "api", ev("Boom", "a")), // byte-equal replay: once
+      (t0, "t1", "s2", "api", ev("Boom", "b")),
+      (t0, "t2", "s1", "db", ev("Timeout", "c")),
+      (t0, "t3", "s1", "api",
+        """[{"time_unix_nano":2,"name":"retry","attributes":{}}]"""),
+      (t0, "t4", "s1", "api", null))
     q.processAllAvailable(); q.stop()
     val got = spark.table("excrate").collect()
       .map(r => (r.getAs[String]("service_name"),
