@@ -55,9 +55,12 @@ import java.nio.charset.StandardCharsets
   * the snapshot entry in `metadata.json` (seq, timestamp, operation id)
   * and a fully-merged manifest list (every live data file with stats);
   * `expire` is `expireSnapshots` + `deleteOrphanFiles`, `compact` is a
-  * rewrite-data-files commit, `readAt` is snapshot-id time travel. What a
-  * real Iceberg catalog adds beyond this is schema/partition-spec
-  * evolution metadata and external-reader compatibility.
+  * rewrite-data-files commit, `readAt` is snapshot-id time travel.
+  * External readers get `<seq>.manifest.csv` beside every log — a plain
+  * `path,length,crc32_hex` file list any engine can feed to
+  * `read_parquet` (DuckDB-proven in SnapshotTargetSpec), standing in for
+  * Iceberg's external-reader compatibility; what a real Iceberg catalog
+  * still adds is schema/partition-spec evolution metadata.
   */
 final class SnapshotTarget(cfg: ServerConfig, spark: SparkSession) extends SealTarget {
 
@@ -165,11 +168,40 @@ final class SnapshotTarget(cfg: ServerConfig, spark: SparkSession) extends SealT
   }
 
   /** Rename-committed snapshot write; the temp file is invisible (dot
-    * prefix) and the rename is the atomic publish point. */
+    * prefix) and the rename is the atomic publish point.
+    *
+    * Each commit ALSO writes `<seq>.manifest.csv` next to the log — an
+    * ENGINE-NEUTRAL copy of the file list (`path,length,crc32_hex`, paths
+    * table-root-relative) so a non-Spark engine can serve a committed
+    * snapshot without parsing the `.snap` format: pick the max-named
+    * manifest (the sequence is the file name, same rule as [[head]]),
+    * read the CSV, hand the paths to `read_parquet` — proven against
+    * DuckDB in SnapshotTargetSpec. The reference's lakehouse target
+    * exists precisely so Trino/DuckDB can read sealed telemetry
+    * (otlp_server.cpp:54-58, architecture.md "Storage layouts"); this is
+    * that contract's spirit without Iceberg jars. The manifest renames
+    * into place BEFORE the `.snap`, so a visible snapshot always has its
+    * manifest; a crash between the two renames leaves an orphan manifest
+    * that the next commit with that seq overwrites and expire() sweeps. */
   private def commitSnapshot(signal: String, snap: Snapshot): Unit = {
     val dir = snapDir(signal)
     val hfs = fs(dir)
     hfs.mkdirs(dir)
+    val mtmp = new Path(dir, s".tmp-m-${java.util.UUID.randomUUID()}")
+    val mout = hfs.create(mtmp, false)
+    try {
+      mout.write("path,length,crc32_hex\n".getBytes(StandardCharsets.UTF_8))
+      snap.entries.foreach { e =>
+        mout.write(s"${e.path},${e.len},${e.crc.toHexString}\n"
+          .getBytes(StandardCharsets.UTF_8))
+      }
+    } finally mout.close()
+    val mdest = new Path(dir, f"${snap.seq}%012d.manifest.csv")
+    hfs.delete(mdest, false) // re-commit after a crashed attempt
+    if (!hfs.rename(mtmp, mdest)) {
+      hfs.delete(mtmp, false)
+      throw new java.io.IOException(s"manifest rename to $mdest failed")
+    }
     val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
     val body = s"v2 ${snap.seq} ${snap.atMs} ${snap.sealId} ${snap.entries.length}\n" +
       snap.entries.map(e => s"${e.len} ${e.crc.toHexString} ${e.path}\n").mkString
@@ -347,18 +379,27 @@ final class SnapshotTarget(cfg: ServerConfig, spark: SparkSession) extends SealT
           System.err.println(s"[snapshot] quarantining unreadable log " +
             s"${st.getPath}: ${e.getMessage}")
           if (!hfs.rename(st.getPath, q)) hfs.delete(st.getPath, false)
+          hfs.delete(new Path(st.getPath.getParent,
+            st.getPath.getName.stripSuffix(".snap") + ".manifest.csv"), false)
           None
       }
     }
     hfs.listStatus(dir).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".corrupt") &&
-        st.getModificationTime < horizon)
+      .filter(st => st.isFile && st.getModificationTime < horizon &&
+        (st.getPath.getName.endsWith(".corrupt") ||
+          // orphan manifest: its .snap never committed (crash window) or
+          // was removed outside this sweep
+          (st.getPath.getName.endsWith(".manifest.csv") && !hfs.exists(
+            new Path(dir, st.getPath.getName
+              .stripSuffix(".manifest.csv") + ".snap")))))
       .foreach(st => hfs.delete(st.getPath, false))
     if (all.isEmpty) return 0L
     val current = all.last
     val (kept, dropped) = all.partition(s => s.atMs >= horizon || s.seq == current.seq)
-    dropped.foreach(s =>
-      hfs.delete(new Path(snapDir(signal), f"${s.seq}%012d.snap"), false))
+    dropped.foreach { s =>
+      hfs.delete(new Path(snapDir(signal), f"${s.seq}%012d.snap"), false)
+      hfs.delete(new Path(snapDir(signal), f"${s.seq}%012d.manifest.csv"), false)
+    }
     val referenced = kept.flatMap(_.files).toSet
     var deleted = 0L
     def walk(d: Path, rel: String): Unit = {

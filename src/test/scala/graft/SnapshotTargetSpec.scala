@@ -255,6 +255,72 @@ class SnapshotTargetSpec extends SparkTestBase {
     assert(target.verifyManifest("logs") == 1L)
   }
 
+  test("external reader: DuckDB serves a committed snapshot from its " +
+    "manifest.csv — counts match readAt, time travel included") {
+    val root = java.nio.file.Files.createTempDirectory("snap_ext").toString
+    val uri = "otlp:127.0.0.1:45958"
+    val params = Map(
+      "token" -> Token, "target" -> "snapshot", "parquet_root" -> root,
+      "seal_max_age_ms" -> "3600000", "seal_target_bytes" -> "1073741824")
+    OtlpServe.otlpServe(spark, uri, params)
+    (1 to 2).foreach { _ =>
+      assert(post(45958, fixture("logs_simple.jsonl")).statusCode() == 202)
+      assert(OtlpServe.otlpFlush(spark, uri).first()
+        .getAs[String]("status") == "sealed")
+    }
+    OtlpServe.otlpStop(spark, uri)
+    val target = new SnapshotTarget(
+      ServerConfig("otlp_serve", uri,
+        params - "token" + ("disable_auth" -> "true")), spark)
+    val snaps = target.snapshots("logs")
+    assert(snaps.length == 2)
+    val snapDir = new java.io.File(
+      new java.io.File(root, "otlp_logs"), "_snapshots")
+    // every committed snapshot carries an engine-neutral manifest
+    snaps.foreach { s =>
+      assert(new java.io.File(snapDir, f"${s.seq}%012d.manifest.csv").exists(),
+        s"missing manifest for snapshot ${s.seq}")
+    }
+    // a non-Spark engine (DuckDB, the oracle's engine) resolves the
+    // CURRENT snapshot by max manifest name and serves it; an explicit
+    // seq serves the older snapshot (time travel) — counts + a value
+    // aggregate must match Spark's readAt
+    def duckdb(seq: Long): (Long, Long) = {
+      val script =
+        s"""
+           |import csv, glob, os
+           |import duckdb
+           |d = r"${snapDir.getAbsolutePath}"
+           |root = r"${new java.io.File(root, "otlp_logs").getAbsolutePath}"
+           |m = os.path.join(d, "%012d.manifest.csv" % $seq)
+           |rows = list(csv.DictReader(open(m)))
+           |assert all(int(r["length"]) > 0 for r in rows), rows
+           |files = [os.path.join(root, r["path"]) for r in rows]
+           |n, sev = duckdb.sql(
+           |    "SELECT count(*), sum(severity_number) FROM read_parquet(" +
+           |    repr(files) + ")").fetchone()
+           |print(int(n), int(sev))
+           |""".stripMargin
+      val out = new StringBuilder
+      val p = new ProcessBuilder("python3", "-c", script)
+        .redirectErrorStream(true).start()
+      val src = scala.io.Source.fromInputStream(p.getInputStream)
+      try out ++= src.mkString finally src.close()
+      assert(p.waitFor() == 0, s"duckdb read failed:\n$out")
+      val Array(n, sev) = out.toString.trim.split(" ").map(_.toLong)
+      (n, sev)
+    }
+    import org.apache.spark.sql.functions._
+    def sparkSide(seq: Option[Long]): (Long, Long) = {
+      val r = target.readAt("logs", seq)
+        .agg(count(lit(1)), sum(col("severity_number"))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(duckdb(snaps.last.seq) == sparkSide(None))
+    assert(duckdb(snaps.head.seq) == sparkSide(Some(snaps.head.seq)))
+    assert(duckdb(snaps.head.seq)._1 < duckdb(snaps.last.seq)._1)
+  }
+
   test("expire quarantines a corrupt non-current snapshot log instead of " +
     "wedging maintenance; the current log stays fail-loud") {
     val root = java.nio.file.Files.createTempDirectory("snap_corrupt").toString
