@@ -18,6 +18,13 @@ case class ImageMeta(media_id: Long, media_type: String, width: Int,
                      height: Int, channels: Int, avg_r: Double,
                      avg_g: Double, avg_b: Double)
 
+/** REAL decoded audio metadata + per-channel RMS (the statistic an oracle
+  * can recompute when the waveform is formula-generated). Mono reports its
+  * single channel's RMS in both rms columns (the grayscale convention). */
+case class AudioMeta(media_id: Long, media_type: String, sample_rate: Int,
+                     channels: Int, bits: Int, n_frames: Long,
+                     duration_s: Double, rms_c0: Double, rms_c1: Double)
+
 /** Extracted (stubbed) feature vector for a media object. */
 case class MediaFeature(media_id: Long, feature: Array[Float])
 
@@ -38,12 +45,20 @@ case class MediaFrame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
   * lossless). The resample is explicit nearest-neighbor — bit-reproducible
   * in any engine, unlike a library's filtered scaler.
   *
-  * STUB NOTICE (audio/video only): the JDK has no audio/video codecs, so
-  * `featureStub` and `frameSampleStub` compute deterministic fakes from the
-  * bytes (documented below). The Spark-side plumbing — schema, encoders,
-  * partition-preserving iterators, batch shape — is real and is what the
-  * tests cover; swapping a fake for ffmpeg changes only the function body
-  * marked STUB.
+  * AUDIO operators are REAL too: `decodeAudio` runs javax.sound.sampled
+  * (pure-JDK WAV/AIFF/AU parsing — PCM needs no external codec) and
+  * `wavFromDocuments` generates genuine 16-bit PCM WAV bytes whose samples
+  * follow a doc_id-arithmetic formula, so the decoded sample-rate /
+  * duration / per-channel RMS are SQL-oracle-checkable end to end (PCM is
+  * lossless).
+  *
+  * STUB NOTICE (embedding + video-codec stages only): the JDK ships no
+  * embedding model and no video codec, so `featureStub` (a stand-in for an
+  * embedding model over any media type) and `frameSampleStub` compute
+  * deterministic fakes from the bytes (documented below). The Spark-side
+  * plumbing — schema, encoders, partition-preserving iterators, batch
+  * shape — is real and is what the tests cover; swapping a fake for
+  * ffmpeg/an encoder changes only the function body marked STUB.
   *
   * Scale notes (100 TB): all operators are map-only (no shuffle); binary
   * columns ride Parquet's byte-array encoding and the decode stage streams
@@ -202,6 +217,111 @@ object Multimodal {
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(out, "png", bos)
         MediaItem(m.media_id, m.media_type, bos.toByteArray)
+      }
+    }
+  }
+
+  /** Sample formula for the generated test WAVs — modular arithmetic in
+    * (doc_id, channel, frame) with values in [-1000, 1000], so a SQL
+    * oracle recomputes any decoded-sample statistic exactly. */
+  private[graft] def pcmSample(id: Long, c: Int, s: Int): Int =
+    (((id * 7 + c.toLong * 13 + s.toLong * 31) % 2001) - 1000).toInt
+
+  /** Media source with REAL audio bytes: one 16-bit PCM WAV per document,
+    * encoded by the JDK's own WAV writer (javax.sound.sampled). Layout is
+    * doc_id arithmetic — sample rate 8000 + (id%3)·4000 Hz, channels
+    * 1 + id%2, frames 50 + id%101 — and frame s of channel c follows
+    * [[pcmSample]], so the DECODED audio is oracle-checkable end to end. */
+  def wavFromDocuments(docs: DataFrame): Dataset[MediaItem] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val ch = (1 + id % 2).toInt
+        val frames = (50 + id % 101).toInt
+        val raw = new Array[Byte](frames * ch * 2)
+        var s = 0
+        while (s < frames) {
+          var c = 0
+          while (c < ch) {
+            val v = pcmSample(id, c, s)
+            val off = (s * ch + c) * 2
+            raw(off) = (v & 0xff).toByte            // little-endian PCM
+            raw(off + 1) = ((v >> 8) & 0xff).toByte
+            c += 1
+          }
+          s += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          rate.toFloat, 16, ch, true, false)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(raw), fmt, frames.toLong),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaItem(id, "audio", bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL audio decode (javax.sound.sampled — WAV/AIFF/AU containers,
+    * 8/16-bit integer PCM): reports the header facts every audio pipeline
+    * keys on (sample rate, channels, bit depth, frame count, duration in
+    * seconds round(6)) plus per-channel RMS amplitude round(4) — the
+    * loudness statistic quality filters threshold on. Only the first two
+    * channels report RMS (>2-channel audio keeps its header facts); mono
+    * mirrors its single channel into both columns. Undecodable bytes fail
+    * loudly — a corrupt clip in a curation pipeline is a data bug, not a
+    * row to silently skip. */
+  def decodeAudio(media: Dataset[MediaItem]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.content))
+        val fmt = ais.getFormat
+        val bits = fmt.getSampleSizeInBits
+        require(fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            (bits == 8 || bits == 16),
+          s"media_id=${m.media_id}: only 8/16-bit signed PCM is decoded " +
+            s"(got ${fmt.getEncoding}/$bits-bit)")
+        val ch = fmt.getChannels
+        val bytes = {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](8192)
+          var n = ais.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = ais.read(chunk) }
+          buf.toByteArray
+        }
+        val bps = bits / 8
+        val frames = bytes.length / (bps * ch)
+        val sumSq = new Array[Double](math.min(ch, 2))
+        var s = 0
+        while (s < frames) {
+          var c = 0
+          while (c < math.min(ch, 2)) {
+            val off = (s * ch + c) * bps
+            val v =
+              if (bits == 8) bytes(off).toInt
+              else if (fmt.isBigEndian)
+                (bytes(off) << 8) | (bytes(off + 1) & 0xff)
+              else (bytes(off + 1) << 8) | (bytes(off) & 0xff)
+            sumSq(c) += v.toDouble * v
+            c += 1
+          }
+          s += 1
+        }
+        def rms(c: Int): Double = {
+          val i = math.min(c, sumSq.length - 1) // mono mirrors channel 0
+          val v = math.sqrt(sumSq(i) / math.max(1, frames))
+          BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        val rate = math.round(fmt.getSampleRate)
+        val dur = BigDecimal(frames.toDouble / rate)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        AudioMeta(m.media_id, m.media_type, rate, ch, bits,
+          frames.toLong, dur, rms(0), rms(1))
       }
     }
   }

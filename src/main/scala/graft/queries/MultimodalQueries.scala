@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column pipeline as oracle-checked queries. Image decode and
   * resize are REAL (javax.imageio over generated formula-pixel PNGs —
   * lossless, so DuckDB value-checks the decoded pixel statistics by
-  * recomputing the arithmetic). Audio/video feature/frame operators remain
-  * deterministic md5-derived fakes (the JDK ships no such codecs), equally
-  * value-checkable by replaying the arithmetic on the hex text. */
+  * recomputing the arithmetic), and audio decode is REAL too
+  * (javax.sound.sampled over generated formula-waveform 16-bit PCM WAVs —
+  * the oracle recomputes rate/duration/per-channel RMS exactly). The
+  * embedding-feature and video-frame operators remain deterministic
+  * md5-derived fakes (the JDK ships no embedding model or video codec),
+  * equally value-checkable by replaying the arithmetic on the hex text. */
 object MultimodalQueries {
 
   /** DuckDB: value of hex digit k (1-based) of string h. */
@@ -76,6 +79,38 @@ object MultimodalQueries {
       Multimodal.decodeImage(Multimodal.resizeImage(
           Multimodal.pngFromDocuments(
             s.table("documents").orderBy("doc_id").limit(100)), w = 8, h = 6))
+        .toDF().orderBy("media_id")
+    },
+
+    // REAL audio decode: the source generates genuine 16-bit PCM WAVs
+    // whose samples are doc_id arithmetic, so the oracle value-checks what
+    // javax.sound.sampled actually DECODED — rate, channels, frame count,
+    // duration, and per-channel RMS (PCM is lossless: decode must
+    // reproduce the formula exactly)
+    df("mm_audio_decode",
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    8000 + (doc_id % 3) * 4000 AS rate,
+        |    CAST(1 + doc_id % 2 AS INT) AS ch,
+        |    50 + doc_id % 101 AS frames
+        |  FROM documents ORDER BY media_id LIMIT 100),
+        |sm AS (SELECT media_id, c,
+        |    CAST((media_id * 7 + c * 13 + s * 31) % 2001 - 1000 AS DOUBLE) AS v
+        |  FROM m CROSS JOIN generate_series(0, 149) ts(s)
+        |         CROSS JOIN generate_series(0, 1) tc(c)
+        |  WHERE s < frames AND c < ch),
+        |r AS (SELECT media_id, c, round(sqrt(avg(v * v)), 4) AS rms
+        |  FROM sm GROUP BY media_id, c)
+        |SELECT m.media_id, 'audio' AS media_type, rate AS sample_rate,
+        |  ch AS channels, 16 AS bits, frames AS n_frames,
+        |  round(frames / CAST(rate AS DOUBLE), 6) AS duration_s,
+        |  max(CASE WHEN c = 0 THEN rms END) AS rms_c0,
+        |  coalesce(max(CASE WHEN c = 1 THEN rms END),
+        |           max(CASE WHEN c = 0 THEN rms END)) AS rms_c1
+        |FROM m JOIN r ON m.media_id = r.media_id
+        |GROUP BY m.media_id, rate, ch, frames
+        |ORDER BY m.media_id""".stripMargin) { (s, _) =>
+      Multimodal.decodeAudio(Multimodal.wavFromDocuments(
+          s.table("documents").orderBy("doc_id").limit(100)))
         .toDF().orderBy("media_id")
     },
 

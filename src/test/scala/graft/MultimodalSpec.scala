@@ -175,6 +175,66 @@ class MultimodalSpec extends SparkTestBase {
     assert((downMeta.avg_r, downMeta.avg_g, downMeta.avg_b) == ((255.0, 0.0, 0.0)))
   }
 
+  test("wavFromDocuments emits REAL WAVs; decodeAudio reproduces the " +
+    "sample formula's rate, duration, and per-channel RMS exactly") {
+    val docs = spark.range(0, 30).selectExpr("id AS doc_id")
+    val got = Multimodal.decodeAudio(Multimodal.wavFromDocuments(docs))
+      .collect().map(a => a.media_id -> a).toMap
+    assert(got.size == 30)
+    (0L until 30L).foreach { id =>
+      val a = got(id)
+      val rate = (8000 + (id % 3) * 4000).toInt
+      val ch = (1 + id % 2).toInt
+      val frames = (50 + id % 101).toInt
+      assert(a.sample_rate == rate && a.channels == ch && a.bits == 16 &&
+        a.n_frames == frames, a)
+      assert(a.duration_s == BigDecimal(frames.toDouble / rate)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, a)
+      def rms(c: Int): Double = {
+        val ss = (0 until frames).map { s =>
+          val v = Multimodal.pcmSample(id, c, s).toDouble; v * v
+        }.sum
+        BigDecimal(math.sqrt(ss / frames))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      assert(a.rms_c0 == rms(0), a)
+      assert(a.rms_c1 == (if (ch == 2) rms(1) else rms(0)), a)
+    }
+  }
+
+  test("decodeAudio goldens: big-endian AIFF container, and garbage bytes " +
+    "fail loudly") {
+    import spark.implicits._
+    // hand-built stereo clip through the JDK's AIFF writer (16-bit
+    // big-endian PCM) — covers the endianness branch the WAV path doesn't
+    val samples = Seq((1000, -1000), (500, 250), (-750, 125), (0, -125))
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, true)
+    val raw = new Array[Byte](samples.length * 4)
+    samples.zipWithIndex.foreach { case ((l, r), i) =>
+      raw(i * 4) = ((l >> 8) & 0xff).toByte
+      raw(i * 4 + 1) = (l & 0xff).toByte
+      raw(i * 4 + 2) = ((r >> 8) & 0xff).toByte
+      raw(i * 4 + 3) = (r & 0xff).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val meta = Multimodal.decodeAudio(
+      Seq(MediaItem(7L, "audio", bos.toByteArray)).toDS()).collect().head
+    assert(meta.sample_rate == 8000 && meta.channels == 2 &&
+      meta.bits == 16 && meta.n_frames == 4, meta)
+    def rms(vs: Seq[Int]): Double = BigDecimal(
+        math.sqrt(vs.map(v => v.toDouble * v).sum / vs.length))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(meta.rms_c0 == rms(samples.map(_._1)), meta)
+    assert(meta.rms_c1 == rms(samples.map(_._2)), meta)
+    val garbage = Seq(MediaItem(8L, "audio",
+      Array.tabulate[Byte](64)(i => (i * 37).toByte))).toDS()
+    intercept[Exception](Multimodal.decodeAudio(garbage).collect())
+  }
+
   test("frameSampleStub yields n frames per video only") {
     val frames = Multimodal.frameSampleStub(Multimodal.asItems(media), n = 4)
     val videos = media.where(col("media_type") === "video").count()
