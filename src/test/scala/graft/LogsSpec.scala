@@ -171,6 +171,24 @@ class LogsSpec extends SparkTestBase {
     assert(got("evt3 code x from HOST y").isEmpty) // constant pos differs
   }
 
+  test("matchTemplates join path attaches to an APPEND-mode stream " +
+    "(stream-static broadcast join, no state store)") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val templates = (0 until 300).map(i => s"evt$i code <*> from host <*>")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = Logs.matchTemplates(in.toDF().toDF("body"), templates)
+      .writeStream.format("memory").queryName("tmpljoinstream")
+      .outputMode("append").start()
+    in.addData("evt42 code 500 from host web-1", "noise")
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("tmpljoinstream").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("evt42 code 500 from host web-1")
+      .contains("evt42 code <*> from host <*>"), got)
+    assert(got("noise").isEmpty)
+  }
+
   test("sumBy collapses replica series per timestamp; replayed rows drop") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
