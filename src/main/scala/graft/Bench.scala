@@ -149,6 +149,11 @@ object Bench {
     val catalogDurable =
       if (skipIngest) 0.0
       else try ingestBenchCatalog(spark) catch { case _: Throwable => 0.0 }
+    // the gRPC transport's window rides in the artifact of record too
+    // (VERDICT r9 #8: the dev-run number never landed machine-readable)
+    val (grpcAccepted, grpcDurable) =
+      if (skipIngest) (0.0, 0.0)
+      else try ingestBenchGrpc(spark) catch { case _: Throwable => (0.0, 0.0) }
 
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -173,7 +178,7 @@ object Bench {
     val resultMap = results.toMap
     val hqs = headlineNames.flatMap(n => resultMap.get(n).map(v => "\"" + n + "\":" + v))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","query_count":${results.size},"queries":$hqs,"ingest_steady_rows_per_sec":${steadyDurable.round},"ingest_accepted_rows_per_sec":${accepted.round},"ingest_logs_rows_per_sec":${durable.round},"ingest_catalog_rows_per_sec":${catalogDurable.round},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","query_count":${results.size},"queries":$hqs,"ingest_steady_rows_per_sec":${steadyDurable.round},"ingest_accepted_rows_per_sec":${accepted.round},"ingest_logs_rows_per_sec":${durable.round},"ingest_catalog_rows_per_sec":${catalogDurable.round},"grpc_steady_rows_per_sec":${grpcDurable.round},"grpc_accepted_rows_per_sec":${grpcAccepted.round},"sf":"$sfDir"}""")
     spark.stop()
     sys.exit(0)
   }
@@ -196,6 +201,19 @@ object Bench {
     * (VERDICT r5 — 16,350 vs 88,769 re-run). A 15 s window spans bursts,
     * so the averaged rate regresses toward capacity instead of weather. */
   private val IngestWindowMs = 15000L
+
+  /** The gRPC unary-Export wire against the parquet target — same seal
+    * core, protobuf twin of the NDJSON body, h2c multiplexed producers.
+    * Reported as grpc_*_rows_per_sec in the headline so the transport's
+    * throughput is a per-round artifact, not a dev-run anecdote. */
+  private def ingestBenchGrpc(spark: SparkSession): (Double, Double) = {
+    val root = java.nio.file.Files.createTempDirectory("bench_grpc").toString
+    System.gc() // sweep the prior window's garbage before timing
+    loadTest(spark, "otlp:127.0.0.1:46902",
+      Map("target" -> "parquet", "parquet_root" -> root,
+        "seal_max_age_ms" -> "2000"),
+      runMs = IngestWindowMs, forceGrpc = true)
+  }
 
   /** Same load against the CATALOG target (managed tables + per-signal
     * insert + _seal_id idempotence column) — the reference's
@@ -253,14 +271,16 @@ object Bench {
 
   private def loadTest(spark: SparkSession, uri: String,
                        extraParams: Map[String, String],
-                       runMs: Long): (Double, Double) = {
+                       runMs: Long, forceGrpc: Boolean = false): (Double, Double) = {
     import graft.streaming.OtlpServe
     val token = "bench-token-0123456789abcdef"
     val port = graft.streaming.OtlpUri.parse(uri).port
-    // SPARK_GRAFT_BENCH_TRANSPORT=grpc measures the gRPC unary Export
-    // wire instead of OTLP/HTTP (dev aid; the artifact of record uses
-    // HTTP, the reference's own headline path — BASELINE.md)
-    val grpcWire = sys.env.get("SPARK_GRAFT_BENCH_TRANSPORT").contains("grpc")
+    // the dedicated grpc window sets forceGrpc; SPARK_GRAFT_BENCH_TRANSPORT
+    // =grpc additionally flips the MAIN ingest windows to the gRPC wire
+    // (dev aid; the headline ingest metric of record stays HTTP, the
+    // reference's own headline path — BASELINE.md)
+    val grpcWire = forceGrpc ||
+      sys.env.get("SPARK_GRAFT_BENCH_TRANSPORT").contains("grpc")
     OtlpServe.otlpServe(spark, uri, Map("token" -> token) ++
       (if (grpcWire) Map("transport" -> "grpc") else Map.empty) ++ extraParams)
     if (grpcWire) return grpcLoadTest(spark, uri, port, token, runMs)

@@ -78,6 +78,27 @@ object ScaleProbe {
         case "editdist" =>
           operators.Dedup.editDistVerify(
             spark.read.parquet(s"$sfDir/documents.parquet"), prefixChars = k)
+        case "semclusters" =>
+          // dd_semantic_clusters: cell-bounded kNN edges -> pointer-doubling
+          val edges = Similarity.knnGraph(emb, k = 3, centroids = k, dims = 64)
+            .where(org.apache.spark.sql.functions.col("sim") >= 0.3)
+            .select(org.apache.spark.sql.functions.col("src").as("id_a"),
+              org.apache.spark.sql.functions.col("dst").as("id_b"))
+          operators.Dedup.neardupClusters(edges)
+        case "keepbest" =>
+          // dd_cluster_keep_best: LSH bands -> jaccard verify -> clusters
+          // -> best-doc-per-cluster
+          import org.apache.spark.sql.functions.col
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          val cand = operators.Dedup.lshCandidatePairs(docs, n = 3, k = 8, r = 2)
+          val pairs = operators.Dedup.ngramJaccard(docs, cand, n = 2)
+            .where(col("jaccard") >= 0.5)
+          val clusters = operators.Dedup.neardupClusters(
+            pairs.select("id_a", "id_b"))
+          operators.Dedup.clusterKeepBest(docs, clusters, col("n_chars"))
+        case "substr" =>
+          operators.Dedup.substringDedup(
+            spark.read.parquet(s"$sfDir/documents.parquet"), l = k)
         case "mhcal" =>
           operators.Dedup.minhashCalibration(
             spark.read.parquet(s"$sfDir/documents.parquet"))
