@@ -35,11 +35,23 @@ object Logs {
     * (no second explode); the final rollup shuffles template-keyed
     * partials. The corpus is never joined to itself. */
   def logTemplates(logs: DataFrame, maxDistinct: Int = 8,
-                   bodyCol: String = "body"): DataFrame = {
+                   bodyCol: String = "body"): DataFrame =
+    assignTemplates(logs, maxDistinct, bodyCol, keep = Seq.empty)
+      .groupBy(col("template"), col("n").as("n_tokens"))
+      .agg(count(lit(1)).as("n_logs"))
+
+  /** The mining core shared by [[logTemplates]] and [[templateDrift]]:
+    * one row PER MESSAGE with its mined template and token count (plus
+    * `keep` passthrough columns), under the batch-deterministic Drain
+    * rule described on [[logTemplates]]. The variable-position table is
+    * kilobytes and broadcasts; assembly is map-only. */
+  private def assignTemplates(logs: DataFrame, maxDistinct: Int,
+                              bodyCol: String, keep: Seq[String]): DataFrame = {
     require(maxDistinct >= 1, "maxDistinct must be positive")
     val toks = logs
       .where(col(bodyCol).isNotNull && trim(col(bodyCol)) =!= "")
-      .select(split(trim(col(bodyCol)), "\\s+").as("toks"))
+      .select(split(trim(col(bodyCol)), "\\s+").as("toks") +:
+        keep.map(col): _*)
       .withColumn("n", size(col("toks")))
     // distinct tokens per (token count, position): tiny, uniform keys
     val varPos = toks
@@ -54,8 +66,43 @@ object Logs {
       .withColumn("template", concat_ws(" ",
         expr("transform(toks, (t, i) -> " +
           "IF(array_contains(vp, CAST(i AS INT)), '<*>', t))")))
+  }
+
+  /** Template DRIFT between two log corpora (yesterday's baseline vs
+    * today's, or service A vs service B): templates are mined ONCE over
+    * the UNION — one rule, so the same message shape maps to the same
+    * template on both sides — then each side's template frequency
+    * distribution is compared per template: counts, probabilities, and
+    * the template's Jensen-Shannon divergence contribution (natural log;
+    * the total JS is the sum of `js_contrib`). A template surging from
+    * rare to dominant — the incident signature log analytics exists to
+    * catch — surfaces as the top contribution.
+    *
+    * Shape at 100 TB: the mining core's one low-cardinality shuffle +
+    * map-only assembly over the union, a (template, side) partial agg,
+    * and a kilobyte totals broadcast. The corpora never self-join. */
+  def templateDrift(logsA: DataFrame, logsB: DataFrame,
+                    maxDistinct: Int = 8,
+                    bodyCol: String = "body"): DataFrame = {
+    val union = logsA.select(col(bodyCol)).withColumn("side", lit("a"))
+      .unionByName(logsB.select(col(bodyCol)).withColumn("side", lit("b")))
+    val counts = assignTemplates(union, maxDistinct, bodyCol,
+        keep = Seq("side"))
       .groupBy(col("template"), col("n").as("n_tokens"))
-      .agg(count(lit(1)).as("n_logs"))
+      .agg(sum(when(col("side") === "a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("side") === "b", 1L).otherwise(0L)).as("n_b"))
+    val totals = counts.agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))
+    val p = col("n_a").cast("double") / col("tot_a")
+    val q = col("n_b").cast("double") / col("tot_b")
+    val m = (p + q) / 2
+    // 0·ln(0/m) = 0 (the JS limit): absent-on-one-side templates
+    // contribute only the present side's term
+    def term(x: org.apache.spark.sql.Column) =
+      when(x > 0, x * log(x / m)).otherwise(lit(0.0))
+    counts.crossJoin(broadcast(totals))
+      .select(col("template"), col("n_tokens"), col("n_a"), col("n_b"),
+        round(p, 6).as("p_a"), round(q, 6).as("p_b"),
+        round((term(p) + term(q)) / 2, 6).as("js_contrib"))
   }
 
   /** Classify log bodies against a KNOWN template set (the output of

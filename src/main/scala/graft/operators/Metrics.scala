@@ -114,6 +114,41 @@ object Metrics {
       .agg(round(sum(v), 6).as("value"), count(lit(1)).as("n_series"))
   }
 
+  /** PromQL range-vector aggregation (`avg_over_time` / `min_over_time` /
+    * `max_over_time` / `last_over_time` / `count_over_time` in one pass):
+    * per SERIES (full producer identity) and aligned time window of
+    * `windowSec`, the window's point statistics. The recording-rule
+    * primitive that downsamples a raw series into dashboard resolution —
+    * the conversion every long-retention metric store runs at ingest.
+    * `last_value` is the value at the window's max timestamp (ties break
+    * on value — deterministic in any engine). avg rounds (6) for engine
+    * portability; min/max/last are input values, reported exactly.
+    *
+    * Shape at 100 TB: ONE partial-agg groupBy on (series, window) —
+    * points collapse map-side onto their window before the exchange, and
+    * the output cardinality is series × retention/window, the downsampled
+    * size. Replay dedup rides the same exchange ([[Replay.dedupWithin]]).
+    * Windowed and stateless per group, so the same dataflow attaches to a
+    * stream with a watermark. */
+  def overTime(sums: DataFrame, windowSec: Long = 60): DataFrame = {
+    require(windowSec > 0, "windowSec must be positive")
+    val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    val wStart = timestamp_seconds(
+      floor(unix_micros(col("time_unix_nano")) / lit(windowSec * 1000000L))
+        .cast("long") * windowSec)
+    Replay.dedupWithin(
+        sums.where(v.isNotNull).withColumn("window_start", wStart),
+        seriesKey :+ col("window_start"))
+      .withColumn("__v", v)
+      .groupBy(seriesKey :+ col("window_start"): _*)
+      .agg(round(avg(col("__v")), 6).as("avg_value"),
+        min(col("__v")).as("min_value"),
+        max(col("__v")).as("max_value"),
+        max(struct(col("time_unix_nano").as("t"), col("__v").as("v")))
+          .getField("v").as("last_value"),
+        count(lit(1)).as("n_points"))
+  }
+
   /** Aggregate explicit-bucket histogram points ACROSS series/time before
     * taking a quantile — PromQL's `histogram_quantile(sum by (le) (...))`
     * shape: bucket counts sum ELEMENTWISE within each (kept labels,

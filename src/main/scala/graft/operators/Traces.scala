@@ -304,4 +304,24 @@ object Traces {
       .select(col(traceCol), col("keep_reason"))
     spans.join(verdict, Seq(traceCol))
   }
+
+  /** HEAD-based probabilistic sampling — the OTel collector's
+    * probabilisticsampler policy as a batch/stream operator, and
+    * [[tailSample]]'s cheap sibling: keep a span iff its TRACE id hashes
+    * under `rate`, so every span of a trace gets the same verdict with no
+    * trace-level aggregation at all (the decision needs only the id the
+    * span already carries — that is what makes it a HEAD decision).
+    * Deterministic via the corpus-wide md5 hash-unit convention
+    * ([[Sampling.hashUnit]]), so any engine reproduces the kept set
+    * exactly; `salt` rotates the sample without touching the rate.
+    *
+    * MAP-ONLY: a per-row filter, no shuffle, no state — attaches to a raw
+    * span stream in append mode as-is. The standard deployment pairs both
+    * samplers: head sampling bounds ingest volume, tail sampling rescues
+    * errors/slow traces from the dropped mass. */
+  def headSample(spans: DataFrame, rate: Double, salt: String = "head",
+                 traceCol: String = "trace_id"): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"bad rate $rate")
+    spans.where(Sampling.hashUnit(col(traceCol), salt) < rate)
+  }
 }

@@ -462,6 +462,102 @@ object OtlpReaders {
         .orderBy("trace_id", "span_id")
     },
 
+    // HEAD-based probabilistic sampling (the OTel collector policy,
+    // tailSample's cheap sibling): a span keeps iff its TRACE id hashes
+    // under the rate — per-row filter, no trace aggregation, every span
+    // of a trace decided identically
+    df("otlp_head_sample",
+      s"""WITH rec AS (
+         |  SELECT sp.* FROM read_json('$fx/red_traces.jsonl',
+         |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
+         |    unnest(resourceSpans) AS a(rs),
+         |    unnest(rs.scopeSpans) AS b(ss),
+         |    unnest(ss.spans) AS c(sp)),
+         |sp AS (SELECT lower(traceId) AS t, lower(spanId) AS s FROM rec)
+         |SELECT t AS trace_id, s AS span_id
+         |FROM sp
+         |WHERE CAST(list_sum(list_transform(generate_series(1, 8),
+         |    i -> (strpos('0123456789abcdef',
+         |      substring(md5(concat('head', t)), i, 1)) - 1)
+         |      * 16.0 ** (8 - i))) AS DOUBLE) / 4294967296.0 < 0.5
+         |ORDER BY trace_id, span_id""".stripMargin) { (s, _) =>
+      graft.operators.Traces.headSample(
+          Otlp.readTraces(s, s"$fx/red_traces.jsonl"), rate = 0.5)
+        .select(col("trace_id"), col("span_id"))
+        .orderBy("trace_id", "span_id")
+    },
+
+    // PromQL range-vector aggregation: per (series, aligned 120 s window)
+    // avg/min/max/last/count — the recording-rule downsampling primitive
+    df("otlp_over_time",
+      s"""WITH m AS (${metricsFlat(s"$fx/rate_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name",
+         |  CAST(dp.timeUnixNano AS BIGINT) AS tns,
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp)),
+         |w AS (SELECT "name", tns // 120000000000 * 120 AS wsec, tns, v
+         |  FROM pts WHERE v IS NOT NULL),
+         |l AS (SELECT *, row_number() OVER (
+         |  PARTITION BY "name", wsec ORDER BY tns DESC, v DESC) AS rn FROM w)
+         |SELECT "name",
+         |  strftime(make_timestamp(wsec * 1000000), '$TsFmtDuck')
+         |    AS window_start,
+         |  round(avg(v), 6) AS avg_value, min(v) AS min_value,
+         |  max(v) AS max_value, max(CASE WHEN rn = 1 THEN v END) AS last_value,
+         |  count(*) AS n_points
+         |FROM l GROUP BY "name", wsec
+         |ORDER BY "name", wsec""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.overTime(
+          Otlp.readMetricsSum(s, s"$fx/rate_metrics.jsonl"), windowSec = 120)
+        .select(col("name"),
+          date_format(col("window_start"), TsFmtSpark).as("window_start"),
+          col("avg_value"), col("min_value"), col("max_value"),
+          col("last_value"), col("n_points"))
+        .orderBy("name", "window_start")
+    },
+
+    // template DRIFT between two corpora (gateway vs the rest): one
+    // union-mined rule, per-template frequencies and JS contributions
+    df("otlp_template_drift",
+      s"""WITH rec AS (${logsFlat(s"$fx/template_logs.jsonl")}),
+         |b AS (SELECT row_number() OVER () AS rid,
+         |  CASE WHEN ${duckService("res.attributes")} = 'gateway'
+         |    THEN 'a' ELSE 'b' END AS side,
+         |  string_split_regex(trim(body.stringValue), '\\s+') AS toks
+         |  FROM rec WHERE body.stringValue IS NOT NULL
+         |    AND trim(body.stringValue) <> ''),
+         |t AS (SELECT rid, side, toks, len(toks) AS n FROM b),
+         |px AS (SELECT rid, n, i AS pos, toks[i] AS tok
+         |  FROM t, unnest(generate_series(1, n)) AS g(i)),
+         |card AS (SELECT n, pos FROM px GROUP BY n, pos
+         |  HAVING count(DISTINCT tok) > 3),
+         |tm AS (SELECT rid, px.n,
+         |  string_agg(CASE WHEN card.pos IS NOT NULL THEN '<*>' ELSE tok END,
+         |    ' ' ORDER BY px.pos) AS template
+         |  FROM px LEFT JOIN card ON card.n = px.n AND card.pos = px.pos
+         |  GROUP BY rid, px.n),
+         |tms AS (SELECT tm.template, tm.n, t.side
+         |  FROM tm JOIN t ON t.rid = tm.rid),
+         |cnt AS (SELECT template, n,
+         |  CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |  CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+         |  FROM tms GROUP BY template, n),
+         |tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM cnt)
+         |SELECT template, CAST(n AS INT) AS n_tokens, n_a, n_b,
+         |  round(n_a / ta, 6) AS p_a, round(n_b / tb, 6) AS p_b,
+         |  round((CASE WHEN n_a > 0 THEN (n_a / ta) *
+         |      ln((n_a / ta) / ((n_a / ta + n_b / tb) / 2)) ELSE 0 END +
+         |    CASE WHEN n_b > 0 THEN (n_b / tb) *
+         |      ln((n_b / tb) / ((n_a / ta + n_b / tb) / 2)) ELSE 0 END) / 2, 6)
+         |    AS js_contrib
+         |FROM cnt CROSS JOIN tot ORDER BY template""".stripMargin) { (s, _) =>
+      val logs = Otlp.readLogs(s, s"$fx/template_logs.jsonl")
+      graft.operators.Logs.templateDrift(
+          logs.where(col("service_name") === "gateway"),
+          logs.where(col("service_name") =!= "gateway"), maxDistinct = 3)
+        .orderBy("template")
+    },
+
     // Drain-style log template mining (beyond-reference surface): one row
     // per message shape — a position is a parameter slot when its distinct
     // token count (within the same-token-count group) exceeds the budget

@@ -189,6 +189,34 @@ class LogsSpec extends SparkTestBase {
     assert(got("noise").isEmpty)
   }
 
+  test("templateDrift: union-mined rule, per-side frequencies, JS " +
+    "contributions — hand-computed golden") {
+    import spark.implicits._
+    // 3 distinct values at position 3 within the n=4 group => parameter
+    // slot under maxDistinct=2; the n=2 shape stays fully constant
+    val a = Seq("job started on host1", "job started on host2",
+      "disk full").map(Tuple1(_)).toDF("body")
+    val b = Seq("job started on host3", "disk full", "disk full")
+      .map(Tuple1(_)).toDF("body")
+    val got = Logs.templateDrift(a, b, maxDistinct = 2).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    def js(p: Double, q: Double): Double = {
+      val m = (p + q) / 2
+      def t(x: Double) = if (x > 0) x * math.log(x / m) else 0.0
+      BigDecimal((t(p) + t(q)) / 2)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got == Map(
+      "job started on <*>" ->
+        ((2L, 1L, 0.666667, 0.333333, js(2.0 / 3, 1.0 / 3))),
+      "disk full" ->
+        ((1L, 2L, 0.333333, 0.666667, js(1.0 / 3, 2.0 / 3)))), got)
+    // total JS over the two templates is symmetric and positive
+    assert(got.values.map(_._5).sum > 0)
+  }
+
   test("sumBy collapses replica series per timestamp; replayed rows drop") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
@@ -208,6 +236,43 @@ class LogsSpec extends SparkTestBase {
       ("qps", ts) -> ((4.0, 2L)),
       ("qps", ts2) -> ((4.0, 1L)),
       ("errs", ts) -> ((1.0, 1L))), got)
+  }
+
+  test("overTime: aligned windows, avg/min/max/last/count per series, " +
+    "replay-safe, ONE exchange") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      ("qps", "i1", ts("2024-01-01 00:00:10"), Some(4.0), None: Option[Long]),
+      ("qps", "i1", ts("2024-01-01 00:00:50"), Some(2.0), None),
+      ("qps", "i1", ts("2024-01-01 00:00:50"), Some(2.0), None), // replay
+      ("qps", "i1", ts("2024-01-01 00:01:10"), None, Some(9L)),  // next win
+      ("qps", "i2", ts("2024-01-01 00:00:20"), Some(7.0), None), // other series
+      ("qps", "i1", ts("2024-01-01 00:00:30"), None, None))      // no value
+      .toDF("name", "service_instance_id", "time_unix_nano",
+        "double_value", "int_value")
+      .selectExpr("name", "'svc' AS service_name",
+        "CAST(NULL AS STRING) AS service_namespace", "service_instance_id",
+        "'{}' AS resource_attributes", "'sc' AS scope_name",
+        "'{}' AS metric_attributes", "time_unix_nano", "double_value",
+        "int_value")
+    val df = Metrics.overTime(rows, windowSec = 60)
+    // capture pre-execution: after an action AQE prints initial+final plan
+    // sections and every node string appears twice
+    val p = df.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"overTime: dedup must ride the aggregation's exchange:\n$p")
+    val got = df.collect().map(r =>
+      (r.getAs[String]("name"), r.getAs[String]("service_instance_id"),
+        r.getAs[java.sql.Timestamp]("window_start").toString) ->
+        (r.getAs[Double]("avg_value"), r.getAs[Double]("min_value"),
+          r.getAs[Double]("max_value"), r.getAs[Double]("last_value"),
+          r.getAs[Long]("n_points"))).toMap
+    assert(got == Map(
+      ("qps", "i1", "2024-01-01 00:00:00.0") -> ((3.0, 2.0, 4.0, 2.0, 2L)),
+      ("qps", "i1", "2024-01-01 00:01:00.0") -> ((9.0, 9.0, 9.0, 9.0, 1L)),
+      ("qps", "i2", "2024-01-01 00:00:00.0") -> ((7.0, 7.0, 7.0, 7.0, 1L))),
+      got)
   }
 
   test("spanPercentiles: interpolated p50/p95/p99 per service, replay-safe") {

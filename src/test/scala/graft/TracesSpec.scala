@@ -161,6 +161,31 @@ class TracesSpec extends SparkTestBase {
       .map(_.getString(0)).toSeq == Seq("error"))
   }
 
+  test("headSample: whole-trace hash verdict, map-only, rates 0/1 exact, " +
+    "matches hashUnitLocal") {
+    val spans = Otlp.readTraces(spark,
+      "/root/repo/src/test/resources/otlp/red_traces.jsonl")
+    assert(Traces.headSample(spans, rate = 0.0).count() == 0)
+    assert(Traces.headSample(spans, rate = 1.0).count() == spans.count())
+    val kept = Traces.headSample(spans, rate = 0.5)
+    // every span of a trace gets the same verdict, and the verdict is the
+    // shared md5 hash-unit convention (bit-identical to the local twin)
+    val keptTraces = kept.select("trace_id").distinct().collect()
+      .map(_.getString(0)).toSet
+    val allTraces = spans.select("trace_id").distinct().collect()
+      .map(_.getString(0)).toSet
+    allTraces.foreach { t =>
+      val expect = operators.Sampling.hashUnitLocal(t, "head") < 0.5
+      assert(keptTraces.contains(t) == expect, s"trace $t")
+      val nKept = kept.where(col("trace_id") === t).count()
+      val nAll = spans.where(col("trace_id") === t).count()
+      assert(nKept == (if (expect) nAll else 0L), s"partial trace $t")
+    }
+    val p = kept.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"head sampling must be a map-only filter:\n$p")
+  }
+
   test("at-least-once replayed span rows change nothing: tree and graph " +
     "results equal the dedup'd input's") {
     import spark.implicits._
