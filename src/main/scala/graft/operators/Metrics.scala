@@ -149,6 +149,66 @@ object Metrics {
         count(lit(1)).as("n_points"))
   }
 
+  /** PromQL `increase()` over aligned windows: per series, the sum of
+    * positive point-to-point deltas whose LATER point lands in the
+    * window, with the Prometheus counter-reset rule — a MONOTONIC series
+    * whose value dropped restarts from zero, so the reset pair
+    * contributes the new value itself; non-monotonic sums difference
+    * plainly (negative deltas pass through — a gauge-like sum's decrease
+    * is real). First point of a series pairs with nothing. round(6).
+    *
+    * The alerting primitive "how much did this counter actually grow
+    * this window", robust to restarts — `rate()` × windowSec only when
+    * points are evenly spaced; this is exact per-pair.
+    *
+    * Shape at 100 TB: the [[rate]] lag window and a (series, window)
+    * partial agg share ONE series-keyed exchange ([[Replay.dedupWithin]]
+    * rides it too); output cardinality is the downsampled size. */
+  def increase(sums: DataFrame, windowSec: Long = 60): DataFrame = {
+    require(windowSec > 0, "windowSec must be positive")
+    val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    val w = Window.partitionBy(seriesKey: _*)
+      .orderBy(col("time_unix_nano"), v)
+    val prevV = lag(v, 1).over(w)
+    val delta =
+      when(prevV.isNull, lit(null))
+        .when(col("is_monotonic") && v < prevV, v)
+        .otherwise(v - prevV)
+    val wStart = timestamp_seconds(
+      floor(unix_micros(col("time_unix_nano")) / lit(windowSec * 1000000L))
+        .cast("long") * windowSec)
+    Replay.dedupWithin(sums, seriesKey)
+      .where(v.isNotNull)
+      .withColumn("__d", delta)
+      .withColumn("window_start", wStart)
+      .where(col("__d").isNotNull)
+      .groupBy(seriesKey :+ col("window_start"): _*)
+      .agg(round(sum(col("__d")), 6).as("increase"),
+        count(lit(1)).as("n_pairs"))
+  }
+
+  /** PromQL quantile aggregation (`quantile by (<labels>)(q, metric)`):
+    * at each timestamp, the exact q-quantile of the values ACROSS every
+    * series that collapses to the kept label set — "p90 of per-replica
+    * QPS right now". Linear interpolation (percentile/quantile_cont
+    * semantics, like [[graft.operators.Traces.spanPercentiles]]).
+    * round(6); reports contributing-series count like [[sumBy]].
+    *
+    * Shape at 100 TB: one partial-aggregated groupBy on (labels, time);
+    * each group holds the replica count, not the corpus. */
+  def quantileBy(sums: DataFrame, q: Double,
+                 by: Seq[String] = Seq("name")): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile out of [0,1]: $q")
+    require(by.nonEmpty, "quantileBy needs at least one label to keep")
+    val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    Replay.dedupWithin(sums, by.map(col) :+ col("time_unix_nano"))
+      .where(v.isNotNull)
+      .withColumn("__v", v)
+      .groupBy(by.map(col) :+ col("time_unix_nano"): _*)
+      .agg(round(expr(s"percentile(__v, $q)"), 6).as("value"),
+        count(lit(1)).as("n_series"))
+  }
+
   /** Aggregate explicit-bucket histogram points ACROSS series/time before
     * taking a quantile — PromQL's `histogram_quantile(sum by (le) (...))`
     * shape: bucket counts sum ELEMENTWISE within each (kept labels,

@@ -693,6 +693,34 @@ object TextAnalysis {
         round(col("novel_grams").cast("double") / col("n_grams"), 4))
   }
 
+  /** Zipf's-law fit over the corpus unigram distribution — the corpus
+    * health report next to [[vocabDrift]]: least-squares fit of
+    * ln(freq) ~ ln(rank) (ranked by frequency desc, term asc for a
+    * deterministic tiebreak). Natural-language corpora fit slope ≈ −1
+    * with high r²; a slope collapsing toward 0 or an r² crater flags
+    * boilerplate/spam/templated text taking over the distribution.
+    * Reports n_terms, n_tokens, slope/intercept/r2 round(4).
+    *
+    * Shape at 100 TB: the term-frequency agg is the [[vocabDrift]]
+    * partial-agg pass; the ranked regression runs on the VOCABULARY
+    * frame (bounded, millions of rows at web scale — the ta_vocab
+    * argument), so the global rank window sorts the vocab, never the
+    * corpus. */
+  def zipfFit(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val freq = docs
+      .select(explode(Dedup.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val ranked = freq.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("term"))))
+    ranked.agg(
+      count(lit(1)).as("n_terms"),
+      sum(col("c")).as("n_tokens"),
+      round(regr_slope(log(col("c")), log(col("rank"))), 4).as("slope"),
+      round(regr_intercept(log(col("c")), log(col("rank"))), 4).as("intercept"),
+      round(regr_r2(log(col("c")), log(col("rank"))), 4).as("r2"))
+  }
+
   def vocabDrift(docs: DataFrame, strataCol: String = "source",
                  textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(strataCol).as("stratum"),

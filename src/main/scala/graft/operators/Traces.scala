@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Trace-structure analytics over the span tables the OTLP readers and the
@@ -323,5 +324,34 @@ object Traces {
                  traceCol: String = "trace_id"): DataFrame = {
     require(rate >= 0.0 && rate <= 1.0, s"bad rate $rate")
     spans.where(Sampling.hashUnit(col(traceCol), salt) < rate)
+  }
+
+  /** Top-k slowest spans PER SERVICE — the exemplar panel next to
+    * [[spanPercentiles]]'s aggregate profile: the percentile tells you
+    * p99 regressed, these are the actual spans to open. Rank by duration
+    * descending with a deterministic (trace_id, span_id) tiebreak.
+    *
+    * Shape at 100 TB: replay dedup and the rank window share ONE
+    * service-keyed exchange; the filter keeps k rows per service before
+    * anything else runs. A single-service monster group bounds a task
+    * (the spanPercentiles caveat) — route through a per-service
+    * pre-aggregated top-k (stratum-topk pattern) if one service exceeds
+    * a task. */
+  def topSlowSpans(spans: DataFrame, k: Int = 10,
+                   serviceCol: String = "service_name",
+                   idCol: String = "span_id",
+                   traceCol: String = "trace_id",
+                   nameCol: String = "name",
+                   durCol: String = "duration_time_unix_nano"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val base = Replay.dedupWithin(
+      spans.select(col(serviceCol).as("service_name"),
+        col(traceCol).as("trace_id"), col(idCol).as("span_id"),
+        col(nameCol).as("span_name"), col(durCol).cast("long").as("dur_ns")),
+      Seq(col("service_name")))
+    val w = Window.partitionBy(col("service_name"))
+      .orderBy(col("dur_ns").desc, col("trace_id"), col("span_id"))
+    base.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
   }
 }

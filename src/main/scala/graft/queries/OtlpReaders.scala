@@ -516,6 +516,79 @@ object OtlpReaders {
         .orderBy("name", "window_start")
     },
 
+    // PromQL increase(): per (series, aligned 120 s window) the sum of
+    // positive point deltas, counter resets restarting from the new value
+    df("otlp_increase",
+      s"""WITH m AS (${metricsFlat(s"$fx/rate_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name",
+         |  CAST(dp.timeUnixNano AS BIGINT) AS tns,
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v,
+         |  m."sum".isMonotonic AS mono
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp)),
+         |lagd AS (SELECT *, lag(v) OVER (PARTITION BY "name"
+         |    ORDER BY tns, v) AS pv
+         |  FROM pts WHERE v IS NOT NULL),
+         |d AS (SELECT "name", tns // 120000000000 * 120 AS wsec,
+         |  CASE WHEN pv IS NULL THEN NULL
+         |    WHEN mono AND v < pv THEN v ELSE v - pv END AS delta
+         |  FROM lagd)
+         |SELECT "name",
+         |  strftime(make_timestamp(wsec * 1000000), '$TsFmtDuck')
+         |    AS window_start,
+         |  round(sum(delta), 6) AS increase, count(*) AS n_pairs
+         |FROM d WHERE delta IS NOT NULL
+         |GROUP BY "name", wsec ORDER BY "name", wsec""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.increase(
+          Otlp.readMetricsSum(s, s"$fx/rate_metrics.jsonl"), windowSec = 120)
+        .select(col("name"),
+          date_format(col("window_start"), TsFmtSpark).as("window_start"),
+          col("increase"), col("n_pairs"))
+        .orderBy("name", "window_start")
+    },
+
+    // PromQL quantile by (name): exact cross-replica quantile at each
+    // timestamp — "p50 of per-instance QPS right now"
+    df("otlp_quantile_by",
+      s"""WITH m AS (${metricsFlat(s"$fx/replica_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name", ${duckTs("dp.timeUnixNano")} AS t,
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp))
+         |SELECT "name", t AS time_unix_nano,
+         |  round(quantile_cont(v, 0.5), 6) AS "value", count(*) AS n_series
+         |FROM pts WHERE v IS NOT NULL
+         |GROUP BY "name", t ORDER BY "name", t""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.quantileBy(
+          Otlp.readMetricsSum(s, s"$fx/replica_metrics.jsonl"), q = 0.5)
+        .select(col("name"),
+          date_format(col("time_unix_nano"), TsFmtSpark).as("time_unix_nano"),
+          col("value"), col("n_series"))
+        .orderBy("name", "time_unix_nano")
+    },
+
+    // top-k slowest spans per service: the exemplar panel next to the
+    // percentile profile — rank by duration desc, deterministic tiebreak
+    df("otlp_top_slow",
+      s"""WITH rec AS (
+         |  SELECT rs.resource AS res, sp.* FROM read_json('$fx/services_traces.jsonl',
+         |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
+         |    unnest(resourceSpans) AS a(rs),
+         |    unnest(rs.scopeSpans) AS b(ss),
+         |    unnest(ss.spans) AS c(sp)),
+         |sp AS (SELECT ${duckService("res.attributes")} AS service_name,
+         |  lower(traceId) AS trace_id, lower(spanId) AS span_id,
+         |  "name" AS span_name,
+         |  CAST(endTimeUnixNano AS BIGINT) - CAST(startTimeUnixNano AS BIGINT)
+         |    AS dur_ns FROM rec),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY service_name
+         |  ORDER BY dur_ns DESC, trace_id, span_id) AS INT) AS rnk FROM sp)
+         |SELECT service_name, trace_id, span_id, span_name, dur_ns, rnk
+         |FROM r WHERE rnk <= 2
+         |ORDER BY service_name, rnk""".stripMargin) { (s, _) =>
+      graft.operators.Traces.topSlowSpans(
+          Otlp.readTraces(s, s"$fx/services_traces.jsonl"), k = 2)
+        .orderBy("service_name", "rnk")
+    },
+
     // template DRIFT between two corpora (gateway vs the rest): one
     // union-mined rule, per-template frequencies and JS contributions
     df("otlp_template_drift",

@@ -712,6 +712,24 @@ object TrainingData {
         |    x -> len(x) > 0)) AS w
         |  FROM documents) t""".stripMargin),
 
+    // Zipf's-law fit over the unigram distribution: ln(freq) ~ ln(rank)
+    // least squares — slope ≈ -1 with high r² marks natural language; a
+    // flattening slope flags boilerplate/templated text taking over
+    df("ta_zipf",
+      """WITH toks AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS term FROM documents),
+        |f AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rank
+        |  FROM f)
+        |SELECT count(*) AS n_terms, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  round(regr_slope(ln(c), ln(rank)), 4) AS slope,
+        |  round(regr_intercept(ln(c), ln(rank)), 4) AS intercept,
+        |  round(regr_r2(ln(c), ln(rank)), 4) AS r2
+        |FROM r""".stripMargin) { (s, _) =>
+      TextAnalysis.zipfFit(s.table("documents"))
+    },
+
     // per-source vocabulary drift: JS divergence of each source's unigram
     // distribution vs the whole corpus — the corpus-release health metric;
     // absent-term mass folds into the closed form 0.5*ln(2)*(1 - sum q)

@@ -505,6 +505,22 @@ class CorpusFiltersSpec extends SparkTestBase {
     assert(gotDisj == Map("a" -> 0.2158, "b" -> 0.2158))
   }
 
+  test("zipfFit: exact least-squares fit on a constructed distribution; " +
+    "a perfect zipf corpus reports slope -1, r2 1") {
+    import spark.implicits._
+    // freq(a)=4 at rank 1, freq(b)=2 at rank 2: exactly freq = 4/rank,
+    // so the log-log fit is slope -1, intercept ln 4, r2 = 1
+    val docs = Seq((1L, "a a a a b b")).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.zipfFit(docs).collect().head
+    assert(r.getAs[Long]("n_terms") == 2L &&
+      r.getAs[Long]("n_tokens") == 6L, r)
+    assert(r.getAs[Double]("slope") == -1.0, r)
+    assert(r.getAs[Double]("intercept") ==
+      BigDecimal(math.log(4)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, r)
+    assert(r.getAs[Double]("r2") == 1.0, r)
+  }
+
   test("intra-doc dedup: repeated lines collapse to first occurrence in " +
     "order, other docs never consulted") {
     import spark.implicits._

@@ -275,6 +275,52 @@ class LogsSpec extends SparkTestBase {
       got)
   }
 
+  test("increase: counter resets restart from the new value; gauge sums " +
+    "difference plainly; first point pairs with nothing") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      // monotonic counter: 100 -> 190 (+90), reset to 30 (+30), 50 (+20)
+      ("ctr", ts("2024-01-01 00:00:00"), 100.0, true),
+      ("ctr", ts("2024-01-01 00:00:40"), 190.0, true),
+      ("ctr", ts("2024-01-01 00:01:20"), 30.0, true),
+      ("ctr", ts("2024-01-01 00:01:50"), 50.0, true),
+      // gauge-like sum: decrease is a real negative delta
+      ("gauge", ts("2024-01-01 00:00:10"), 10.0, false),
+      ("gauge", ts("2024-01-01 00:00:30"), 4.0, false))
+      .toDF("name", "time_unix_nano", "double_value", "is_monotonic")
+      .selectExpr("name", "'svc' AS service_name",
+        "CAST(NULL AS STRING) AS service_namespace", "'i1' AS service_instance_id",
+        "'{}' AS resource_attributes", "'sc' AS scope_name",
+        "'{}' AS metric_attributes", "time_unix_nano",
+        "double_value", "CAST(NULL AS BIGINT) AS int_value", "is_monotonic")
+    val got = Metrics.increase(rows, windowSec = 60).collect()
+      .map(r => (r.getAs[String]("name"),
+        r.getAs[java.sql.Timestamp]("window_start").toString) ->
+        (r.getAs[Double]("increase"), r.getAs[Long]("n_pairs"))).toMap
+    assert(got == Map(
+      ("ctr", "2024-01-01 00:00:00.0") -> ((90.0, 1L)),
+      ("ctr", "2024-01-01 00:01:00.0") -> ((50.0, 2L)),
+      ("gauge", "2024-01-01 00:00:00.0") -> ((-6.0, 1L))), got)
+  }
+
+  test("quantileBy: exact interpolated cross-replica quantile per timestamp") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = Seq(("qps", "i1", 10.0), ("qps", "i2", 20.0),
+      ("qps", "i3", 40.0), ("qps", "i4", 100.0))
+      .toDF("name", "service_instance_id", "double_value")
+      .selectExpr("name", "service_instance_id", "double_value",
+        "CAST(NULL AS BIGINT) AS int_value",
+        s"TIMESTAMP '2024-01-01 00:00:00' AS time_unix_nano")
+    val r = Metrics.quantileBy(rows, q = 0.5).collect().head
+    // quantile_cont over (10,20,40,100): p50 = 30 (midpoint interpolation)
+    assert(r.getAs[String]("name") == "qps" &&
+      r.getAs[java.sql.Timestamp]("time_unix_nano") == ts0 &&
+      r.getAs[Double]("value") == 30.0 &&
+      r.getAs[Long]("n_series") == 4L, r)
+  }
+
   test("spanPercentiles: interpolated p50/p95/p99 per service, replay-safe") {
     import spark.implicits._
     val spans = (1 to 4).map(i =>

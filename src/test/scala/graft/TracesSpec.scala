@@ -186,6 +186,27 @@ class TracesSpec extends SparkTestBase {
       s"head sampling must be a map-only filter:\n$p")
   }
 
+  test("topSlowSpans: k per service, duration-desc with deterministic " +
+    "tiebreak, replayed span counted once") {
+    import spark.implicits._
+    val spans = Seq(
+      ("t1", "s1", "svc", "a", 300L),
+      ("t1", "s2", "svc", "b", 500L),
+      ("t1", "s2", "svc", "b", 500L), // byte-equal replay
+      ("t2", "s1", "svc", "c", 500L), // ties 500: t1<t2 wins rank 1
+      ("t2", "s2", "other", "d", 50L))
+      .toDF("trace_id", "span_id", "service_name", "name",
+        "duration_time_unix_nano")
+    val got = Traces.topSlowSpans(spans, k = 2).collect()
+      .map(r => (r.getAs[String]("service_name"), r.getAs[Int]("rnk")) ->
+        (r.getAs[String]("trace_id"), r.getAs[String]("span_id"),
+          r.getAs[Long]("dur_ns"))).toMap
+    assert(got == Map(
+      ("svc", 1) -> (("t1", "s2", 500L)),
+      ("svc", 2) -> (("t2", "s1", 500L)),
+      ("other", 1) -> (("t2", "s2", 50L))), got)
+  }
+
   test("at-least-once replayed span rows change nothing: tree and graph " +
     "results equal the dedup'd input's") {
     import spark.implicits._
