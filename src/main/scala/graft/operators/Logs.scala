@@ -214,6 +214,48 @@ object Logs {
       .drop(dropCols: _*)
   }
 
+  /** Logs → metrics bridge — the OTel collector's COUNT CONNECTOR as a
+    * batch/stream operator: log records roll up to delta sum-metric
+    * points named `log.record.count`, one per (service, severity,
+    * aligned window), shaped like the metrics_sum table so the output
+    * COMPOSES with every metric transform here
+    * ([[Metrics.deltaToCumulative]], [[Metrics.sumBy]],
+    * [[Metrics.overTime]] — composition is spec-pinned). Severity rides
+    * in `metric_attributes` as the connector emits it.
+    *
+    * Shape at 100 TB: one partial-agg groupBy on (service, severity,
+    * window) — the downsampled cardinality; map-side combine collapses
+    * the log volume before the exchange. Stateless per group, so the
+    * same dataflow attaches to a log stream with a watermark. */
+  def logCountMetric(logs: DataFrame, windowSec: Long = 60,
+                     serviceCol: String = "service_name",
+                     severityCol: String = "severity_text",
+                     timeCol: String = "time_unix_nano"): DataFrame = {
+    require(windowSec > 0, "windowSec must be positive")
+    val wStart = timestamp_seconds(
+      floor(unix_micros(col(timeCol)) / lit(windowSec * 1000000L))
+        .cast("long") * windowSec)
+    logs
+      .withColumn("window_start", wStart)
+      .groupBy(col(serviceCol).as("service_name"),
+        coalesce(col(severityCol), lit("UNSPECIFIED")).as("__sev"),
+        col("window_start"))
+      .agg(count(lit(1)).as("int_value"))
+      .select(lit("log.record.count").as("name"),
+        col("service_name"),
+        lit(null).cast("string").as("service_namespace"),
+        lit(null).cast("string").as("service_instance_id"),
+        lit(null).cast("string").as("resource_attributes"),
+        lit("graft.count_connector").as("scope_name"),
+        concat(lit("""{"severity_text":""""), col("__sev"), lit("\"}"))
+          .as("metric_attributes"),
+        col("window_start").as("time_unix_nano"),
+        lit(true).as("is_monotonic"),
+        lit(null).cast("double").as("double_value"),
+        col("int_value"),
+        lit(1).as("aggregation_temporality"))
+  }
+
   /** Parameter extraction for one template: the values that filled each
     * `<*>` slot, with occurrence counts — the drill-down a template view
     * links to. MAP-ONLY filter on the template's shape (token count +

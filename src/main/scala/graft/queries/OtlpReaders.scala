@@ -589,6 +589,34 @@ object OtlpReaders {
         .orderBy("service_name", "rnk")
     },
 
+    // logs -> metrics bridge (the OTel count connector): log records roll
+    // up to delta sum points shaped like the metrics table, composable
+    // with every metric transform
+    df("otlp_log_count_metric",
+      s"""WITH rec AS (${logsFlat(s"$fx/template_logs.jsonl")}),
+         |w AS (SELECT ${duckService("res.attributes")} AS service_name,
+         |  coalesce(severityText, 'UNSPECIFIED') AS sev,
+         |  CAST(timeUnixNano AS BIGINT) // 10000000000 * 10 AS wsec
+         |  FROM rec)
+         |SELECT 'log.record.count' AS "name", service_name,
+         |  CAST(NULL AS VARCHAR) AS service_namespace,
+         |  CAST(NULL AS VARCHAR) AS service_instance_id,
+         |  CAST(NULL AS VARCHAR) AS resource_attributes,
+         |  'graft.count_connector' AS scope_name,
+         |  concat('{"severity_text":"', sev, '"}') AS metric_attributes,
+         |  strftime(make_timestamp(wsec * 1000000), '$TsFmtDuck')
+         |    AS time_unix_nano,
+         |  true AS is_monotonic, CAST(NULL AS DOUBLE) AS double_value,
+         |  count(*) AS int_value, 1 AS aggregation_temporality
+         |FROM w GROUP BY service_name, sev, wsec
+         |ORDER BY service_name, metric_attributes, time_unix_nano""".stripMargin) { (s, _) =>
+      graft.operators.Logs.logCountMetric(
+          Otlp.readLogs(s, s"$fx/template_logs.jsonl"), windowSec = 10)
+        .withColumn("time_unix_nano",
+          date_format(col("time_unix_nano"), TsFmtSpark))
+        .orderBy("service_name", "metric_attributes", "time_unix_nano")
+    },
+
     // template DRIFT between two corpora (gateway vs the rest): one
     // union-mined rule, per-template frequencies and JS contributions
     df("otlp_template_drift",

@@ -189,6 +189,46 @@ class LogsSpec extends SparkTestBase {
     assert(got("noise").isEmpty)
   }
 
+  test("logCountMetric: count-connector points in the metrics_sum shape, " +
+    "composable with deltaToCumulative and sumBy") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val logs = Seq(
+      ("api", "INFO", ts("2024-01-01 00:00:01")),
+      ("api", "INFO", ts("2024-01-01 00:00:09")),
+      ("api", "WARN", ts("2024-01-01 00:00:05")),
+      ("api", "INFO", ts("2024-01-01 00:00:12")), // next 10 s window
+      ("db", null: String, ts("2024-01-01 00:00:03")))
+      .toDF("service_name", "severity_text", "time_unix_nano")
+    val pts = Logs.logCountMetric(logs, windowSec = 10)
+    val got = pts.collect().map(r =>
+      (r.getAs[String]("service_name"), r.getAs[String]("metric_attributes"),
+        r.getAs[java.sql.Timestamp]("time_unix_nano").toString) ->
+        r.getAs[Long]("int_value")).toMap
+    assert(got == Map(
+      ("api", """{"severity_text":"INFO"}""", "2024-01-01 00:00:00.0") -> 2L,
+      ("api", """{"severity_text":"INFO"}""", "2024-01-01 00:00:10.0") -> 1L,
+      ("api", """{"severity_text":"WARN"}""", "2024-01-01 00:00:00.0") -> 1L,
+      ("db", """{"severity_text":"UNSPECIFIED"}""", "2024-01-01 00:00:00.0")
+        -> 1L), got)
+    // composition: the emitted delta points convert to running sums and
+    // collapse across severities like any metrics_sum frame
+    val cum = Metrics.deltaToCumulative(pts).collect()
+      .filter(r => r.getAs[String]("metric_attributes").contains("INFO") &&
+        r.getAs[String]("service_name") == "api")
+      .sortBy(_.getAs[java.sql.Timestamp]("time_unix_nano").getTime)
+      .map(_.getAs[Long]("int_value")).toSeq
+    assert(cum == Seq(2L, 3L), cum)
+    val sums = Metrics.sumBy(pts, by = Seq("name", "service_name")).collect()
+      .map(r => (r.getAs[String]("service_name"),
+        r.getAs[java.sql.Timestamp]("time_unix_nano").toString) ->
+        r.getAs[Double]("value")).toMap
+    assert(sums == Map(
+      ("api", "2024-01-01 00:00:00.0") -> 3.0,
+      ("api", "2024-01-01 00:00:10.0") -> 1.0,
+      ("db", "2024-01-01 00:00:00.0") -> 1.0), sums)
+  }
+
   test("templateDrift: union-mined rule, per-side frequencies, JS " +
     "contributions — hand-computed golden") {
     import spark.implicits._

@@ -240,6 +240,42 @@ class TelemetryStreamsSpec extends SparkTestBase {
       ("errs", w0) -> ((1.0, 1L))), got)
   }
 
+  test("streaming over-time: windowed per-series avg/min/max/last, " +
+    "replay dropped — hand-computed golden") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, String, String, Option[Double], Option[Long])]
+    val df = in.toDF().toDF("time_unix_nano", "name", "service_instance_id",
+      "double_value", "int_value")
+    val q = TelemetryStreams.overTimeStream(df)
+      .writeStream.format("memory").queryName("overtimestream")
+      .outputMode("complete").start()
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:10")
+    val t1 = Timestamp.valueOf("2024-01-01 00:00:40") // same window
+    val t2 = Timestamp.valueOf("2024-01-01 00:01:10") // next window
+    in.addData(
+      (t0, "qps", "i1", Some(4.0), None),
+      (t1, "qps", "i1", Some(2.0), None),
+      (t1, "qps", "i1", Some(2.0), None), // replay: must not double
+      (t2, "qps", "i1", None, Some(9L)),  // int fallback
+      (t0, "qps", "i2", Some(7.0), None)) // second series
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("overtimestream").collect()
+      .map(r => (r.getAs[String]("name"),
+        r.getAs[String]("service_instance_id"),
+        r.getAs[Timestamp]("window_start")) ->
+        ((r.getAs[Double]("avg_value"), r.getAs[Double]("min_value"),
+          r.getAs[Double]("max_value"), r.getAs[Double]("last_value"),
+          r.getAs[Long]("n_points")))).toMap
+    val w0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val w1 = Timestamp.valueOf("2024-01-01 00:01:00")
+    assert(got == Map(
+      ("qps", "i1", w0) -> ((3.0, 2.0, 4.0, 2.0, 2L)),
+      ("qps", "i1", w1) -> ((9.0, 9.0, 9.0, 9.0, 1L)),
+      ("qps", "i2", w0) -> ((7.0, 7.0, 7.0, 7.0, 1L))), got)
+  }
+
   test("streaming dedup drops at-least-once duplicates within the watermark") {
     val q = TelemetryStreams.dedupSpans(
         TelemetryStreams.traceStream(spark, root))
