@@ -256,6 +256,41 @@ object Logs {
         lit(1).as("aggregation_temporality"))
   }
 
+  /** Log-volume anomaly report: per (service, aligned window) the log
+    * count's z-score against THAT SERVICE's own across-window mean and
+    * sample stddev — the log-storm / log-silence detector (silence shows
+    * as missing windows only if the service logged at all; storms are the
+    * high-z rows). Services with fewer than 2 windows, or zero variance,
+    * report null z (no baseline to deviate from). round(4).
+    *
+    * Shape at 100 TB: one (service, window) partial-agg count — the
+    * downsampled cardinality — then a services-sized stats frame
+    * broadcast back onto it. The log corpus shuffles once. */
+  def volumeAnomaly(logs: DataFrame, windowSec: Long = 60,
+                    zThreshold: Double = 3.0,
+                    serviceCol: String = "service_name",
+                    timeCol: String = "time_unix_nano"): DataFrame = {
+    require(windowSec > 0, "windowSec must be positive")
+    val wStart = timestamp_seconds(
+      floor(unix_micros(col(timeCol)) / lit(windowSec * 1000000L))
+        .cast("long") * windowSec)
+    val counts = logs
+      .withColumn("window_start", wStart)
+      .groupBy(col(serviceCol).as("service_name"), col("window_start"))
+      .agg(count(lit(1)).as("n_logs"))
+    val stats = counts.groupBy("service_name")
+      .agg(avg(col("n_logs")).as("svc_mean"),
+        stddev_samp(col("n_logs")).as("svc_sd"),
+        count(lit(1)).as("n_windows"))
+    counts.join(broadcast(stats), Seq("service_name"))
+      .withColumn("z", when(col("n_windows") >= 2 && col("svc_sd") > 0,
+        round((col("n_logs") - col("svc_mean")) / col("svc_sd"), 4)))
+      .withColumn("anomaly", coalesce(abs(col("z")) >= zThreshold, lit(false)))
+      .select(col("service_name"), col("window_start"), col("n_logs"),
+        round(col("svc_mean"), 4).as("svc_mean"),
+        round(col("svc_sd"), 4).as("svc_sd"), col("z"), col("anomaly"))
+  }
+
   /** Parameter extraction for one template: the values that filled each
     * `<*>` slot, with occurrence counts — the drill-down a template view
     * links to. MAP-ONLY filter on the template's shape (token count +

@@ -209,6 +209,34 @@ object Metrics {
         count(lit(1)).as("n_series"))
   }
 
+  /** Staleness / absence report (PromQL `absent()` as a table): series
+    * whose LAST point is older than `stalenessSec` before `asOf` — the
+    * scrape-died / exporter-wedged detector. Reports each stale series'
+    * full identity, last timestamp and value, point count, and age in
+    * seconds at `asOf`. The max aggregates are replay-insensitive but
+    * n_points is not, so the replay dedup rides the one series-keyed
+    * exchange like every operator here.
+    *
+    * Shape at 100 TB: ONE partial-agg groupBy on the series key — the
+    * scan collapses map-side to one row per series; output is the
+    * (stale) series space. */
+  def staleSeries(sums: DataFrame, asOf: java.sql.Timestamp,
+                  stalenessSec: Long = 300): DataFrame = {
+    require(stalenessSec > 0, "stalenessSec must be positive")
+    val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    Replay.dedupWithin(sums, seriesKey)
+      .withColumn("__v", v)
+      .groupBy(seriesKey: _*)
+      .agg(max(col("time_unix_nano")).as("last_time"),
+        max(struct(col("time_unix_nano").as("t"), col("__v").as("v")))
+          .getField("v").as("last_value"),
+        count(lit(1)).as("n_points"))
+      .withColumn("age_s",
+        floor((unix_micros(lit(asOf)) - unix_micros(col("last_time"))) /
+          lit(1000000L)).cast("long"))
+      .where(col("age_s") > stalenessSec)
+  }
+
   /** Aggregate explicit-bucket histogram points ACROSS series/time before
     * taking a quantile — PromQL's `histogram_quantile(sum by (le) (...))`
     * shape: bucket counts sum ELEMENTWISE within each (kept labels,

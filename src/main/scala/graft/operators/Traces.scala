@@ -326,6 +326,41 @@ object Traces {
     spans.where(Sampling.hashUnit(col(traceCol), salt) < rate)
   }
 
+  /** Latency OUTLIER spans: spans whose duration reaches their own
+    * (service, span name) group's exact q-quantile — the per-endpoint
+    * anomaly list, baseline-relative where [[topSlowSpans]] is absolute
+    * (a slow endpoint's normal spans stop drowning a fast endpoint's
+    * regressions). Groups with fewer than `minSpans` spans are skipped
+    * (no stable baseline). Reports the span, its group's threshold, and
+    * the exceedance ratio round(4).
+    *
+    * Shape at 100 TB: the quantile pass is a (service, name)-keyed
+    * partial agg to an endpoints-sized frame that BROADCASTS back; the
+    * verdict is a map-side filter over the span scan — the corpus
+    * shuffles once for the replay dedup, never for the baseline. */
+  def slowOutliers(spans: DataFrame, q: Double = 0.99, minSpans: Long = 10,
+                   serviceCol: String = "service_name",
+                   idCol: String = "span_id",
+                   traceCol: String = "trace_id",
+                   nameCol: String = "name",
+                   durCol: String = "duration_time_unix_nano"): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"quantile out of (0,1): $q")
+    require(minSpans >= 2, "minSpans must be at least 2")
+    val base = Replay.dedupWithin(
+      spans.select(col(serviceCol).as("service_name"),
+        col(nameCol).as("span_name"), col(traceCol).as("trace_id"),
+        col(idCol).as("span_id"), col(durCol).cast("long").as("dur_ns")),
+      Seq(col("service_name"), col("span_name")))
+    val thresholds = base.groupBy("service_name", "span_name")
+      .agg(expr(s"percentile(dur_ns, $q)").as("threshold_ns"),
+        count(lit(1)).as("n_group"))
+      .where(col("n_group") >= minSpans)
+    base.join(broadcast(thresholds), Seq("service_name", "span_name"))
+      .where(col("dur_ns") >= col("threshold_ns"))
+      .withColumn("exceedance",
+        round(col("dur_ns") / col("threshold_ns"), 4))
+  }
+
   /** Top-k slowest spans PER SERVICE — the exemplar panel next to
     * [[spanPercentiles]]'s aggregate profile: the percentile tells you
     * p99 regressed, these are the actual spans to open. Rank by duration

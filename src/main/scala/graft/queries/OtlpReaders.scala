@@ -589,6 +589,90 @@ object OtlpReaders {
         .orderBy("service_name", "rnk")
     },
 
+    // staleness report (PromQL absent() as a table): series whose last
+    // point is older than the horizon at a fixed as-of instant
+    df("otlp_stale_series",
+      s"""WITH m AS (${metricsFlat(s"$fx/rate_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name",
+         |  CAST(dp.timeUnixNano AS BIGINT) AS tns,
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY "name"
+         |  ORDER BY tns DESC, v DESC) AS rn FROM pts),
+         |g AS (SELECT "name", max(tns) AS lt,
+         |  max(CASE WHEN rn = 1 THEN v END) AS last_value,
+         |  count(*) AS n_points FROM r GROUP BY "name")
+         |SELECT "name",
+         |  strftime(make_timestamp(lt // 1000), '$TsFmtDuck') AS last_time,
+         |  last_value, n_points,
+         |  (1640000600000000 - lt // 1000) // 1000000 AS age_s
+         |FROM g WHERE (1640000600000000 - lt // 1000) // 1000000 > 450
+         |ORDER BY "name"""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.staleSeries(
+          Otlp.readMetricsSum(s, s"$fx/rate_metrics.jsonl"),
+          asOf = new java.sql.Timestamp(1640000600L * 1000),
+          stalenessSec = 450)
+        .select(col("name"),
+          date_format(col("last_time"), TsFmtSpark).as("last_time"),
+          col("last_value"), col("n_points"), col("age_s"))
+        .orderBy("name")
+    },
+
+    // latency outliers: spans at or above their own (service, span name)
+    // group's exact quantile — baseline-relative, unlike top-k absolute
+    df("otlp_slow_outliers",
+      s"""WITH rec AS (
+         |  SELECT rs.resource AS res, sp.* FROM read_json('$fx/red_traces.jsonl',
+         |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
+         |    unnest(resourceSpans) AS a(rs),
+         |    unnest(rs.scopeSpans) AS b(ss),
+         |    unnest(ss.spans) AS c(sp)),
+         |sp AS (SELECT ${duckService("res.attributes")} AS service_name,
+         |  "name" AS span_name, lower(traceId) AS trace_id,
+         |  lower(spanId) AS span_id,
+         |  CAST(endTimeUnixNano AS BIGINT) - CAST(startTimeUnixNano AS BIGINT)
+         |    AS dur_ns FROM rec),
+         |th AS (SELECT service_name, span_name,
+         |  quantile_cont(dur_ns, 0.5) AS threshold_ns, count(*) AS n_group
+         |  FROM sp GROUP BY service_name, span_name HAVING count(*) >= 2)
+         |SELECT sp.service_name, sp.span_name, trace_id, span_id, dur_ns,
+         |  threshold_ns, n_group, round(dur_ns / threshold_ns, 4) AS exceedance
+         |FROM sp JOIN th USING (service_name, span_name)
+         |WHERE dur_ns >= threshold_ns
+         |ORDER BY service_name, span_name, trace_id, span_id""".stripMargin) { (s, _) =>
+      graft.operators.Traces.slowOutliers(
+          Otlp.readTraces(s, s"$fx/red_traces.jsonl"), q = 0.5, minSpans = 2)
+        .orderBy("service_name", "span_name", "trace_id", "span_id")
+    },
+
+    // log-volume anomaly: per (service, window) count z-scored against the
+    // service's own across-window mean/stddev — the log-storm detector
+    df("otlp_volume_anomaly",
+      s"""WITH rec AS (${logsFlat(s"$fx/template_logs.jsonl")}),
+         |w AS (SELECT ${duckService("res.attributes")} AS service_name,
+         |  CAST(timeUnixNano AS BIGINT) // 10000000000 * 10 AS wsec,
+         |  count(*) AS n_logs
+         |  FROM rec GROUP BY 1, 2),
+         |st AS (SELECT service_name, avg(n_logs) AS m, stddev_samp(n_logs) AS sd,
+         |  count(*) AS nw FROM w GROUP BY service_name),
+         |z AS (SELECT w.service_name, wsec, n_logs, m, sd,
+         |  CASE WHEN nw >= 2 AND sd > 0
+         |    THEN round((n_logs - m) / sd, 4) END AS z
+         |  FROM w JOIN st USING (service_name))
+         |SELECT service_name,
+         |  strftime(make_timestamp(wsec * 1000000), '$TsFmtDuck')
+         |    AS window_start,
+         |  n_logs, round(m, 4) AS svc_mean, round(sd, 4) AS svc_sd, z,
+         |  coalesce(abs(z) >= 1.0, false) AS anomaly
+         |FROM z ORDER BY service_name, wsec""".stripMargin) { (s, _) =>
+      graft.operators.Logs.volumeAnomaly(
+          Otlp.readLogs(s, s"$fx/template_logs.jsonl"), windowSec = 10,
+          zThreshold = 1.0)
+        .withColumn("window_start",
+          date_format(col("window_start"), TsFmtSpark))
+        .orderBy("service_name", "window_start")
+    },
+
     // logs -> metrics bridge (the OTel count connector): log records roll
     // up to delta sum points shaped like the metrics table, composable
     // with every metric transform

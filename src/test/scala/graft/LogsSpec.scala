@@ -361,6 +361,56 @@ class LogsSpec extends SparkTestBase {
       r.getAs[Long]("n_series") == 4L, r)
   }
 
+  test("staleSeries: last-point age vs a fixed as-of; fresh series and " +
+    "replays excluded") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      ("fresh", ts("2024-01-01 00:09:00"), 5.0),
+      ("stale", ts("2024-01-01 00:01:00"), 7.0),
+      ("stale", ts("2024-01-01 00:01:00"), 7.0), // replay: n_points once
+      ("stale", ts("2024-01-01 00:00:30"), 3.0))
+      .toDF("name", "time_unix_nano", "double_value")
+      .selectExpr("name", "'svc' AS service_name",
+        "CAST(NULL AS STRING) AS service_namespace", "'i1' AS service_instance_id",
+        "'{}' AS resource_attributes", "'sc' AS scope_name",
+        "'{}' AS metric_attributes", "time_unix_nano", "double_value",
+        "CAST(NULL AS BIGINT) AS int_value")
+    val got = Metrics.staleSeries(rows,
+        asOf = java.sql.Timestamp.valueOf("2024-01-01 00:10:00"),
+        stalenessSec = 300).collect()
+    assert(got.length == 1, got.mkString("; "))
+    val r = got.head
+    assert(r.getAs[String]("name") == "stale" &&
+      r.getAs[Double]("last_value") == 7.0 &&
+      r.getAs[Long]("n_points") == 2L &&
+      r.getAs[Long]("age_s") == 540L, r)
+  }
+
+  test("volumeAnomaly: per-service across-window z-scores; single-window " +
+    "services report null z, never anomalies") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val logs = (Seq.fill(1)(ts("2024-01-01 00:00:05")) ++
+      Seq.fill(1)(ts("2024-01-01 00:01:05")) ++
+      Seq.fill(4)(ts("2024-01-01 00:02:05"))).map(("a", _)) ++
+      Seq(("b", ts("2024-01-01 00:00:30")))
+    val df = Logs.volumeAnomaly(
+      logs.toDF("service_name", "time_unix_nano"), windowSec = 60,
+      zThreshold = 1.0)
+    val got = df.collect().map(r =>
+      (r.getAs[String]("service_name"),
+        r.getAs[java.sql.Timestamp]("window_start").toString) ->
+        (r.getAs[Long]("n_logs"), Option(r.getAs[Any]("z")),
+          r.getAs[Boolean]("anomaly"))).toMap
+    // svc a counts 1,1,4: mean 2, sample sd sqrt(3)=1.7321
+    assert(got == Map(
+      ("a", "2024-01-01 00:00:00.0") -> ((1L, Some(-0.5774), false)),
+      ("a", "2024-01-01 00:01:00.0") -> ((1L, Some(-0.5774), false)),
+      ("a", "2024-01-01 00:02:00.0") -> ((4L, Some(1.1547), true)),
+      ("b", "2024-01-01 00:00:00.0") -> ((1L, None, false))), got)
+  }
+
   test("spanPercentiles: interpolated p50/p95/p99 per service, replay-safe") {
     import spark.implicits._
     val spans = (1 to 4).map(i =>

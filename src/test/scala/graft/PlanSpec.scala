@@ -523,7 +523,9 @@ class PlanSpec extends SparkTestBase {
         "rate" -> graft.operators.Metrics.rate(sums),
         "sumBy" -> graft.operators.Metrics.sumBy(sums),
         "deltaToCumulative" ->
-          graft.operators.Metrics.deltaToCumulative(sums))) {
+          graft.operators.Metrics.deltaToCumulative(sums),
+        "increase" -> graft.operators.Metrics.increase(sums),
+        "quantileBy" -> graft.operators.Metrics.quantileBy(sums, 0.5))) {
       val p = plan(df)
       assert("Exchange".r.findAllIn(p).size == 1,
         s"$label: dedup must reuse the operator's own exchange:\n$p")

@@ -207,6 +207,28 @@ class TracesSpec extends SparkTestBase {
       ("other", 1) -> (("t2", "s2", 50L))), got)
   }
 
+  test("slowOutliers: baseline-relative per-endpoint quantile, small " +
+    "groups skipped, broadcast verdict") {
+    import spark.implicits._
+    val spans = ((1 to 5).map(i => ("t1", s"s$i", "svc", "GET /", i * 100L))
+      :+ (("t2", "s1", "svc", "rare", 9999L))) // 1-span group: no baseline
+      .toDF("trace_id", "span_id", "service_name", "name",
+        "duration_time_unix_nano")
+    val df = Traces.slowOutliers(spans, q = 0.5, minSpans = 2)
+    val got = df.collect()
+      .map(r => r.getAs[String]("span_id") ->
+        (r.getAs[Long]("dur_ns"), r.getAs[Double]("threshold_ns"),
+          r.getAs[Double]("exceedance"))).toMap
+    // durations 100..500: q=0.5 interpolates to 300; outliers 300,400,500
+    assert(got == Map(
+      "s3" -> ((300L, 300.0, 1.0)),
+      "s4" -> ((400L, 300.0, 1.3333)),
+      "s5" -> ((500L, 300.0, 1.6667))), got)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"baseline must broadcast back, never shuffle the corpus for it:\n$p")
+  }
+
   test("at-least-once replayed span rows change nothing: tree and graph " +
     "results equal the dedup'd input's") {
     import spark.implicits._
