@@ -134,7 +134,7 @@ object ScaleProbe {
           operators.Logs.logTemplates(
             spark.read.parquet(s"$sfDir/documents.parquet")
               .selectExpr("text AS body"), maxDistinct = k)
-        case "metricrate" | "deltacum" =>
+        case "metricrate" | "deltacum" | "overtime" | "increase" | "quantby" =>
           import org.apache.spark.sql.functions._
           val n = k * 100000L
           val series = math.max(1L, n / 100) // ~100 points per series
@@ -152,8 +152,13 @@ object ScaleProbe {
             (col("id").cast("double") / series).as("double_value"),
             lit(null).cast("long").as("int_value"),
             when(col("id") % 2 === 0, 1).otherwise(2).as("aggregation_temporality"))
-          if (op == "metricrate") operators.Metrics.rate(pts)
-          else operators.Metrics.deltaToCumulative(pts)
+          op match {
+            case "metricrate" => operators.Metrics.rate(pts)
+            case "deltacum" => operators.Metrics.deltaToCumulative(pts)
+            case "overtime" => operators.Metrics.overTime(pts, windowSec = 60)
+            case "increase" => operators.Metrics.increase(pts, windowSec = 60)
+            case _ => operators.Metrics.quantileBy(pts, q = 0.9)
+          }
         case "histq" =>
           import org.apache.spark.sql.functions._
           val n = k * 100000L

@@ -1,19 +1,14 @@
 package graft
 
-import graft.streaming.{SealBatch, SealFrames}
+import graft.Tier2Layout._
 
-import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import scala.jdk.CollectionConverters._
-
-/** Scale probe for the tier-2 physical-layout read path (see
-  * TierTwoReadSpec for the correctness-gated version of the same
-  * assertions at toy scale). Seals a multi-million-span corpus through the
-  * production write path (SealFrames.stageAndPublish: (service, time)
-  * clustering + adaptive trace_id blooms), then measures what Spark's
-  * parquet read side actually fetches:
+/** Scale probe for the tier-2 physical-layout read path — the same
+  * measurements as TierTwoReadSpec (generator, seal write, and
+  * byte-counting read shared via [[Tier2Layout]]) at multi-million-span
+  * scale:
   *
   *   - trace_id point lookup, bloom filtering on vs off (reference
   *     measured ~8x bytes: benchmark/otlp-compaction-probe/README.md)
@@ -22,9 +17,7 @@ import scala.jdk.CollectionConverters._
   *     benchmark/otlp-query-probe/README.md)
   *
   * Usage: runMain graft.Tier2Probe [spansInMillions] (default 2)
-  * Prints one [tier2] line per measurement; ratios land in SCALE.md.
-  * Measured reads disable parquet.hadoop.vectored.io (it bypasses the FS
-  * statistics counters — fetch mechanics change, needed ranges don't). */
+  * Prints one [tier2] line per measurement; ratios land in SCALE.md. */
 object Tier2Probe {
   def main(args: Array[String]): Unit = {
     val millions = if (args.nonEmpty) args(0).toDouble else 2.0
@@ -43,15 +36,6 @@ object Tier2Probe {
     val clustered = s"${base.getAbsolutePath}/clustered"
     val unclustered = s"${base.getAbsolutePath}/unclustered"
 
-    def spans(from: Long, count: Long): DataFrame =
-      spark.range(from, from + count).select(
-        timestamp_micros(lit(1699920000000000L) + (col("id") % 86400L) * 1000000L)
-          .as("start_time_unix_nano"),
-        (col("id") % 1000 + 1).as("duration_time_unix_nano"),
-        md5(concat(lit("t"), col("id"))).as("trace_id"),
-        col("id").cast("string").as("span_id"),
-        format_string("svc%02d", col("id") % 20).as("service_name"))
-
     // Moderate row groups (8 MB) so each multi-hundred-MB-equivalent file
     // has the many-row-group shape a production 128 MB-group seal has.
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -59,20 +43,19 @@ object Tier2Probe {
 
     // One file per seal (coalesce(1)): a production seal file is hundreds
     // of MB with many row groups; at probe scale the equivalent shape is a
-    // ~500k-row file with ~4 row groups of the 8 MB size set above. The
-    // earlier many-tiny-files shape (16 files x 15k rows per seal) has one
-    // row group per file spanning all 20 services — nothing for clustering
-    // to prune, and not what a large deployment's layout looks like.
+    // ~500k-row file with ~4 row groups of the 8 MB size set above. A
+    // many-tiny-files shape (16 files x 15k rows per seal) has one row
+    // group per file spanning all 20 services — nothing for clustering to
+    // prune, and not what a large deployment's layout looks like.
     val seals = 4
     val per = n / seals
     val t0 = System.nanoTime()
     (0 until seals).foreach { i =>
-      SealFrames.stageAndPublish(spark,
-        SealBatch("traces", IndexedSeq.empty, 0L, 0L, 0L, s"t2-$i", Nil),
-        spans(i * per, per).coalesce(1), new Path(clustered))
+      seal(spark, spans(spark, i * per, per, services = 20).coalesce(1),
+        clustered, s"t2-$i")
     }
     val sealSec = (System.nanoTime() - t0) / 1e9
-    spans(0L, n)
+    spans(spark, 0L, n, services = 20)
       .withColumn("year", date_format(col("start_time_unix_nano"), "yyyy"))
       .withColumn("month", date_format(col("start_time_unix_nano"), "MM"))
       .withColumn("day", date_format(col("start_time_unix_nano"), "dd"))
@@ -81,26 +64,16 @@ object Tier2Probe {
       .option("compression", "zstd").parquet(unclustered)
     println(f"[tier2] sealed n=$n in $sealSec%.1f s")
 
-    def bytesAndTime[A](fn: => A): (Long, Double) = {
-      FileSystem.clearStatistics()
+    def timedBytes[A](fn: => A): (Long, Double) = {
       val s = System.nanoTime()
-      fn
-      val sec = (System.nanoTime() - s) / 1e9
-      (FileSystem.getAllStatistics.asScala.map(_.getBytesRead).sum, sec)
-    }
-    def read(opts: (String, String)*) = {
-      var r = spark.read.option("parquet.hadoop.vectored.io.enabled", "false")
-      opts.foreach { case (k, v) => r = r.option(k, v) }
-      r
+      val (_, bytes) = bytesRead(fn)
+      (bytes, (System.nanoTime() - s) / 1e9)
     }
 
-    val target = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"t${n / 2}".getBytes("UTF-8"))
-      d.map("%02x".format(_)).mkString
-    }
-    def lookup(on: Boolean): (Long, Double) = bytesAndTime {
-      val rows = read("parquet.filter.bloom.enabled" -> on.toString)
+    val target = md5Hex(s"t${n / 2}")
+    def lookup(on: Boolean): (Long, Double) = timedBytes {
+      val rows = measuredRead(spark,
+          "parquet.filter.bloom.enabled" -> on.toString)
         .parquet(clustered).where(col("trace_id") === target)
         .select("span_id").collect()
       require(rows.length == 1, s"expected 1 span, got ${rows.length}")
@@ -111,8 +84,9 @@ object Tier2Probe {
     println(f"[tier2] bloom point lookup: on=${bOn / 1024}KB/$tOn%.2fs " +
       f"off=${bOff / 1024}KB/$tOff%.2fs bytes_ratio=${bOff.toDouble / bOn}%.1fx")
 
-    def svcScan(root: String): (Long, Double) = bytesAndTime {
-      val c = read().parquet(root).where(col("service_name") === "svc07")
+    def svcScan(root: String): (Long, Double) = timedBytes {
+      val c = measuredRead(spark).parquet(root)
+        .where(col("service_name") === "svc07")
         .select("trace_id").collect().length
       require(c == n / 20, s"expected ${n / 20} rows, got $c")
     }

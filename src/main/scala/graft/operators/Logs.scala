@@ -125,18 +125,30 @@ object Logs {
     *     count's wildcard layout yields a deterministic equi-join key:
     *     LEFT broadcast-hash-join on (token count, masked body) — hash
     *     probes instead of per-row predicate crawls, no row explosion, no
-    *     shuffle (plan-pinned). [[logTemplates]] mines ONE wildcard layout
-    *     per token count, so this is one join; a merged/heterogeneous set
-    *     needs one join per extra layout (capped at 16 — a shape no mined
-    *     set has). Stream-static broadcast joins are append-mode legal, so
-    *     even this path attaches to a live stream. */
+    *     shuffle (plan-pinned). The join key is the template's
+    *     SPACE-NORMALIZED token form (matching the cascade's token-wise
+    *     compare — a tab-separated template still matches); the emitted
+    *     template is the original string, like the cascade's.
+    *     [[logTemplates]] mines ONE wildcard layout per token count, so
+    *     this is one join; a merged/heterogeneous set needs one join per
+    *     extra layout. A pathological set where >16 layouts share one
+    *     token count (no mined set has this) falls back to the cascade
+    *     regardless of size, so every previously-accepted set still
+    *     classifies. Stream-static broadcast joins are append-mode legal,
+    *     so even this path attaches to a live stream. */
   def matchTemplates(logs: DataFrame, templates: Seq[String],
                      bodyCol: String = "body",
                      cascadeLimit: Int = 200): DataFrame = {
     require(templates.nonEmpty, "empty template set")
+    require(templates.size <= 100000, "template set too large")
     val ordered = templates.distinct
       .sortBy(t => (t.trim.split("\\s+").count(_ == "<*>"), t))
-    if (ordered.size > cascadeLimit)
+    val maxSlots = ordered.map(_.trim.split("\\s+").toSeq)
+      .groupBy(_.length)
+      .map { case (_, tts) =>
+        tts.map(_.zipWithIndex.collect { case ("<*>", i) => i }).distinct.size
+      }.max
+    if (ordered.size > cascadeLimit && maxSlots <= 16)
       return matchTemplatesJoin(logs, ordered, bodyCol)
     val toks = split(trim(col(bodyCol)), "\\s+")
     val arms = ordered.map { t =>
@@ -167,18 +179,20 @@ object Logs {
                                  bodyCol: String): DataFrame = {
     val spark = logs.sparkSession
     import spark.implicits._
+    // (token count, wildcard positions, SPACE-NORMALIZED join key,
+    // original template): the masked body is single-space joined, so the
+    // key must be too — a tab-separated template still matches, like the
+    // cascade's token-wise compare
     val parsed = ordered.map { t =>
       val tt = t.trim.split("\\s+").toSeq
-      (tt.length, tt.zipWithIndex.collect { case ("<*>", i) => i }, t)
+      (tt.length, tt.zipWithIndex.collect { case ("<*>", i) => i },
+        tt.mkString(" "), t)
     }
     val layoutsByN: Map[Int, Seq[Seq[Int]]] = parsed.groupBy(_._1)
       .map { case (n, ps) =>
         n -> ps.map(_._2).distinct.sortBy(s => (s.size, s.mkString(",")))
       }
     val maxSlots = layoutsByN.values.map(_.size).max
-    require(maxSlots <= 16,
-      s"$maxSlots wildcard layouts share one token count; a mined " +
-        "template set has exactly 1 per count — shard or re-mine the set")
 
     var out = logs
       .withColumn("_gt_toks", split(trim(col(bodyCol)), "\\s+"))
@@ -191,16 +205,25 @@ object Logs {
       val masked = when(vp.isNotNull, concat_ws(" ",
         transform(col("_gt_toks"),
           (t, i) => when(array_contains(vp, i), lit("<*>")).otherwise(t))))
+      // two original templates can normalize to one key (whitespace-only
+      // difference): keep the lexically-min original — the cascade's own
+      // first-match precedence — so the join stays at-most-one-match and
+      // never duplicates log rows
       val tmpl = parsed.collect {
-        case (n, ps, t) if layoutsByN(n).indexOf(ps) == j =>
-          (n, t, ps.size)
-      }.toDF(s"_gt_tn$j", s"_gt_t$j", s"_gt_w$j")
+        case (n, ps, key, t) if layoutsByN(n).indexOf(ps) == j =>
+          ((n, key), (t, ps.size))
+      }.groupBy(_._1)
+        .map { case ((n, key), ts) =>
+          val (t, wc) = ts.map(_._2).minBy(_._1)
+          (n, key, t, wc)
+        }.toSeq
+        .toDF(s"_gt_tn$j", s"_gt_k$j", s"_gt_t$j", s"_gt_w$j")
       out = out
         .withColumn(s"_gt_m$j", masked)
         .join(broadcast(tmpl),
           out("_gt_n") === tmpl(s"_gt_tn$j") &&
-            col(s"_gt_m$j") === tmpl(s"_gt_t$j"), "left")
-        .drop(s"_gt_tn$j", s"_gt_m$j")
+            col(s"_gt_m$j") === tmpl(s"_gt_k$j"), "left")
+        .drop(s"_gt_tn$j", s"_gt_k$j", s"_gt_m$j")
     }
     val cands = (0 until maxSlots).map { j =>
       when(col(s"_gt_t$j").isNotNull,
@@ -232,9 +255,7 @@ object Logs {
                      severityCol: String = "severity_text",
                      timeCol: String = "time_unix_nano"): DataFrame = {
     require(windowSec > 0, "windowSec must be positive")
-    val wStart = timestamp_seconds(
-      floor(unix_micros(col(timeCol)) / lit(windowSec * 1000000L))
-        .cast("long") * windowSec)
+    val wStart = Replay.windowStart(col(timeCol), windowSec)
     logs
       .withColumn("window_start", wStart)
       .groupBy(col(serviceCol).as("service_name"),
@@ -247,7 +268,9 @@ object Logs {
         lit(null).cast("string").as("service_instance_id"),
         lit(null).cast("string").as("resource_attributes"),
         lit("graft.count_connector").as("scope_name"),
-        concat(lit("""{"severity_text":""""), col("__sev"), lit("\"}"))
+        // to_json, not string concat: a severity carrying a quote or
+        // backslash must still yield valid JSON downstream parsers accept
+        to_json(map(lit("severity_text"), col("__sev")))
           .as("metric_attributes"),
         col("window_start").as("time_unix_nano"),
         lit(true).as("is_monotonic"),
@@ -271,9 +294,7 @@ object Logs {
                     serviceCol: String = "service_name",
                     timeCol: String = "time_unix_nano"): DataFrame = {
     require(windowSec > 0, "windowSec must be positive")
-    val wStart = timestamp_seconds(
-      floor(unix_micros(col(timeCol)) / lit(windowSec * 1000000L))
-        .cast("long") * windowSec)
+    val wStart = Replay.windowStart(col(timeCol), windowSec)
     val counts = logs
       .withColumn("window_start", wStart)
       .groupBy(col(serviceCol).as("service_name"), col("window_start"))

@@ -22,10 +22,11 @@ import org.apache.spark.sql.functions._
 object Metrics {
 
   /** The full series identity: every column that distinguishes one
-    * producer's stream of points from another's. */
-  private val seriesKey = Seq("name", "service_name", "service_namespace",
-    "service_instance_id", "resource_attributes", "scope_name",
-    "metric_attributes").map(col)
+    * producer's stream of points from another's (shared with the
+    * streaming twins — batch and stream must key series identically). */
+  private[graft] val seriesKey = Seq("name", "service_name",
+    "service_namespace", "service_instance_id", "resource_attributes",
+    "scope_name", "metric_attributes").map(col)
 
   /** DELTA → CUMULATIVE temporality conversion for sum metrics (the OTel
     * collector's cumulativetodelta processor, inverted): within each
@@ -133,9 +134,7 @@ object Metrics {
   def overTime(sums: DataFrame, windowSec: Long = 60): DataFrame = {
     require(windowSec > 0, "windowSec must be positive")
     val v = coalesce(col("double_value"), col("int_value").cast("double"))
-    val wStart = timestamp_seconds(
-      floor(unix_micros(col("time_unix_nano")) / lit(windowSec * 1000000L))
-        .cast("long") * windowSec)
+    val wStart = Replay.windowStart(col("time_unix_nano"), windowSec)
     Replay.dedupWithin(
         sums.where(v.isNotNull).withColumn("window_start", wStart),
         seriesKey :+ col("window_start"))
@@ -174,9 +173,7 @@ object Metrics {
       when(prevV.isNull, lit(null))
         .when(col("is_monotonic") && v < prevV, v)
         .otherwise(v - prevV)
-    val wStart = timestamp_seconds(
-      floor(unix_micros(col("time_unix_nano")) / lit(windowSec * 1000000L))
-        .cast("long") * windowSec)
+    val wStart = Replay.windowStart(col("time_unix_nano"), windowSec)
     Replay.dedupWithin(sums, seriesKey)
       .where(v.isNotNull)
       .withColumn("__d", delta)

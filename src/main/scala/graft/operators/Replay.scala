@@ -39,4 +39,13 @@ private[graft] object Replay {
       .where(!(col("__replay_prev") <=> struct(all: _*)))
       .drop("__replay_prev")
   }
+
+  /** Aligned window start: the timestamp floored to a `windowSec` grid.
+    * ONE shared definition — operators that window on time must align
+    * identically or their outputs stop composing (logCountMetric's
+    * points feed overTime; a drifted copy would mis-bucket silently). */
+  def windowStart(timeCol: Column, windowSec: Long): Column =
+    timestamp_seconds(
+      floor(unix_micros(timeCol) / lit(windowSec * 1000000L))
+        .cast("long") * windowSec)
 }

@@ -180,28 +180,17 @@ final class SnapshotTarget(cfg: ServerConfig, spark: SparkSession) extends SealT
     * exists precisely so Trino/DuckDB can read sealed telemetry
     * (otlp_server.cpp:54-58, architecture.md "Storage layouts"); this is
     * that contract's spirit without Iceberg jars. The manifest renames
-    * into place BEFORE the `.snap`, so a visible snapshot always has its
-    * manifest; a crash between the two renames leaves an orphan manifest
-    * that the next commit with that seq overwrites and expire() sweeps. */
+    * into place AFTER the `.snap` — the fail-safe order: a crash between
+    * the two leaves the newest snapshot briefly manifest-less, so an
+    * external reader picking the max-named MANIFEST serves the previous
+    * committed snapshot (correct, just one seal behind) instead of a
+    * snapshot that never committed. The .snap log stays the engine's own
+    * source of truth either way; the gap closes at the next commit, and
+    * expire() sweeps manifests whose snapshot is gone. */
   private def commitSnapshot(signal: String, snap: Snapshot): Unit = {
     val dir = snapDir(signal)
     val hfs = fs(dir)
     hfs.mkdirs(dir)
-    val mtmp = new Path(dir, s".tmp-m-${java.util.UUID.randomUUID()}")
-    val mout = hfs.create(mtmp, false)
-    try {
-      mout.write("path,length,crc32_hex\n".getBytes(StandardCharsets.UTF_8))
-      snap.entries.foreach { e =>
-        mout.write(s"${e.path},${e.len},${e.crc.toHexString}\n"
-          .getBytes(StandardCharsets.UTF_8))
-      }
-    } finally mout.close()
-    val mdest = new Path(dir, f"${snap.seq}%012d.manifest.csv")
-    hfs.delete(mdest, false) // re-commit after a crashed attempt
-    if (!hfs.rename(mtmp, mdest)) {
-      hfs.delete(mtmp, false)
-      throw new java.io.IOException(s"manifest rename to $mdest failed")
-    }
     val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
     val body = s"v2 ${snap.seq} ${snap.atMs} ${snap.sealId} ${snap.entries.length}\n" +
       snap.entries.map(e => s"${e.len} ${e.crc.toHexString} ${e.path}\n").mkString
@@ -218,6 +207,21 @@ final class SnapshotTarget(cfg: ServerConfig, spark: SparkSession) extends SealT
       throw new java.io.IOException(s"snapshot commit rename to $dest failed")
     }
     committedIds(signal).add(snap.sealId)
+    val mtmp = new Path(dir, s".tmp-m-${java.util.UUID.randomUUID()}")
+    val mout = hfs.create(mtmp, false)
+    try {
+      mout.write("path,length,crc32_hex\n".getBytes(StandardCharsets.UTF_8))
+      snap.entries.foreach { e =>
+        mout.write(s"${e.path},${e.len},${e.crc.toHexString}\n"
+          .getBytes(StandardCharsets.UTF_8))
+      }
+    } finally mout.close()
+    val mdest = new Path(dir, f"${snap.seq}%012d.manifest.csv")
+    hfs.delete(mdest, false) // re-commit after a crashed attempt
+    if (!hfs.rename(mtmp, mdest)) {
+      hfs.delete(mtmp, false)
+      throw new java.io.IOException(s"manifest rename to $mdest failed")
+    }
   }
 
   /** Stream one stored file through CRC32 — shared by the commit path

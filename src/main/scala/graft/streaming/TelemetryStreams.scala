@@ -93,8 +93,11 @@ object TelemetryStreams {
       .asInstanceOf[org.apache.spark.sql.types.ArrayType]
     spans
       .withWatermark("start_time_unix_nano", watermark)
-      .dropDuplicatesWithinWatermark("trace_id", "span_id")
+      // filter BEFORE the dedup: replays are byte-equal, so dropping
+      // event-less spans first is semantically identical and bounds the
+      // dedup state by the (rare) event-bearing spans, not span volume
       .where(col("events_json").isNotNull)
+      .dropDuplicatesWithinWatermark("trace_id", "span_id")
       .select(col("start_time_unix_nano"), col("service_name"),
         explode(from_json(col("events_json"), evType)).as("e"))
       .where(col("e.name") === "exception")
@@ -135,32 +138,35 @@ object TelemetryStreams {
 
   /** Windowed range-vector aggregation on the live sum-metric stream —
     * the streaming face of `operators.Metrics.overTime`: per (window,
-    * name, instance) the window's avg/min/max/last/count. The
-    * recording-rule downsampler running AT ingest instead of over the
-    * stored table; `last_value` takes the window's max event time (value
-    * tiebreak), deterministic like the batch twin. Replay dedup on full
-    * point identity within the watermark (the sumByStream convention);
-    * watermark-bounded window state, nothing else. */
+    * FULL series identity — the batch twin's exact key, so two services
+    * sharing a metric name, or one exporter emitting distinct
+    * metric_attributes label sets, never merge) the window's
+    * avg/min/max/last/count. The recording-rule downsampler running AT
+    * ingest instead of over the stored table; `last_value` takes the
+    * window's max event time (value tiebreak), deterministic like the
+    * batch twin. Replay dedup on full point identity within the
+    * watermark (the sumByStream convention); watermark-bounded window
+    * state, nothing else. */
   def overTimeStream(sums: DataFrame, windowLen: String = "1 minute",
                      watermark: String = "2 minutes"): DataFrame = {
     val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    val series = graft.operators.Metrics.seriesKey
     sums
       .withWatermark("time_unix_nano", watermark)
       .dropDuplicatesWithinWatermark()
       .where(v.isNotNull)
       .withColumn("__v", v)
-      .groupBy(window(col("time_unix_nano"), windowLen).as("w"),
-        col("name"), col("service_instance_id"))
+      .groupBy(window(col("time_unix_nano"), windowLen).as("w") +: series: _*)
       .agg(round(avg(col("__v")), 6).as("avg_value"),
         min(col("__v")).as("min_value"),
         max(col("__v")).as("max_value"),
         max(struct(col("time_unix_nano").as("t"), col("__v").as("v")))
           .getField("v").as("last_value"),
         count(lit(1)).as("n_points"))
-      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
-        col("name"), col("service_instance_id"), col("avg_value"),
-        col("min_value"), col("max_value"), col("last_value"),
-        col("n_points"))
+      .select(col("w.start").as("window_start") +:
+        col("w.end").as("window_end") +: series :+ col("avg_value") :+
+        col("min_value") :+ col("max_value") :+ col("last_value") :+
+        col("n_points"): _*)
   }
 
   /** Exact-duplicate suppression on the stream (trace_id+span_id within the

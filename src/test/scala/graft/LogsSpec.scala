@@ -143,6 +143,27 @@ class LogsSpec extends SparkTestBase {
     assert(joined("fixed fixed x").contains("<*> fixed x")) // lexical min
     assert(joined("fixed zzz x").contains("fixed <*> x"))
     assert(joined("totally novel shape").isEmpty)
+    // a template whose whitespace is not single spaces still matches on
+    // the join path (token-wise, like the cascade) and emits its ORIGINAL
+    // string
+    val tabTmpl = "disk\tusage <*> percent"
+    val tabbed = Logs.matchTemplates(
+        Seq("disk usage 93 percent").map(Tuple1(_)).toDF("body"),
+        Seq(tabTmpl), cascadeLimit = 0).collect()
+      .map(r => Option(r.getString(1))).head
+    assert(tabbed.contains(tabTmpl), tabbed)
+    // a pathological layout spread (>16 wildcard layouts sharing one token
+    // count) falls back to the cascade instead of throwing, whatever the
+    // set size — classification still works
+    val manyLayouts = (0 until 17).map { p =>
+      (0 until 20).map(i => if (i == p) "<*>" else s"w$i").mkString(" ")
+    }
+    val body20 = (0 until 20).map(i => if (i == 3) "XX" else s"w$i")
+      .mkString(" ")
+    val fb = Logs.matchTemplates(
+        Seq(body20).map(Tuple1(_)).toDF("body"), manyLayouts,
+        cascadeLimit = 0).collect().map(r => Option(r.getString(1))).head
+    assert(fb.contains(manyLayouts(3)), fb)
   }
 
   test("matchTemplates large sets: broadcast-hash-join classify, " +

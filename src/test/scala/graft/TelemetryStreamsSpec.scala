@@ -247,7 +247,11 @@ class TelemetryStreamsSpec extends SparkTestBase {
     val in = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Timestamp, String, String, Option[Double], Option[Long])]
     val df = in.toDF().toDF("time_unix_nano", "name", "service_instance_id",
-      "double_value", "int_value")
+        "double_value", "int_value")
+      .selectExpr("time_unix_nano", "name", "'svc' AS service_name",
+        "CAST(NULL AS STRING) AS service_namespace", "service_instance_id",
+        "'{}' AS resource_attributes", "'sc' AS scope_name",
+        "'{}' AS metric_attributes", "double_value", "int_value")
     val q = TelemetryStreams.overTimeStream(df)
       .writeStream.format("memory").queryName("overtimestream")
       .outputMode("complete").start()

@@ -1,13 +1,11 @@
 package graft
 
-import graft.streaming.{SealBatch, SealFrames}
+import graft.Tier2Layout._
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.Binary
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import scala.jdk.CollectionConverters._
@@ -30,10 +28,11 @@ import scala.jdk.CollectionConverters._
   *     and a single-service scan over the clustered layout reads a
   *     fraction of the bytes of the identical rows written unclustered.
   *
-  * Bytes are measured at the Hadoop FileSystem statistics layer — the
-  * same counters Spark's task input metrics read — so "bytes" means real
-  * bytes fetched from storage, footers and bloom bytes included.
-  * Tier2Probe runs the same layout at 2M rows for SCALE.md numbers.
+  * The generator, seal write, and byte-counting read live in
+  * [[Tier2Layout]], SHARED with Tier2Probe — the spec's assertions and
+  * SCALE.md's probe numbers measure the same thing by construction.
+  * "Bytes" means real bytes fetched from storage (Hadoop FS statistics —
+  * the counters behind task inputMetrics), footers and blooms included.
   */
 class TierTwoReadSpec extends SparkTestBase {
 
@@ -43,62 +42,6 @@ class TierTwoReadSpec extends SparkTestBase {
     d.getAbsolutePath
   }
 
-  /** Synthetic spans shaped like the sealed traces table: one UTC day,
-    * `services` distinct services, unique 32-hex trace ids. */
-  private def spans(from: Long, n: Long, services: Int): DataFrame =
-    spark.range(from, from + n).select(
-      timestamp_micros(lit(1700000000000000L) + (col("id") % 86400L) * 1000000L)
-        .as("start_time_unix_nano"),
-      (col("id") % 1000 + 1).as("duration_time_unix_nano"),
-      md5(concat(lit("t"), col("id"))).as("trace_id"),
-      col("id").cast("string").as("span_id"),
-      format_string("svc%02d", col("id") % services).as("service_name"))
-
-  private def seal(df: DataFrame, root: String, sealId: String): Unit =
-    SealFrames.stageAndPublish(spark,
-      SealBatch("traces", IndexedSeq.empty, 0L, 0L, 0L, sealId, Nil),
-      df, new Path(root))
-
-  /** Bytes fetched from the local FS while running `fn` (all reads are
-    * in-JVM under local[*], so scheme-level FS statistics see every
-    * executor thread — the same counters feeding Spark's inputMetrics). */
-  private def bytesRead[A](fn: => A): (A, Long) = {
-    FileSystem.clearStatistics()
-    val r = fn
-    val total = FileSystem.getAllStatistics.asScala.map(_.getBytesRead).sum
-    (r, total)
-  }
-
-  /** Measured parquet reads disable Hadoop vectored IO: parquet-mr 1.16's
-    * readVectored path on the local FS bypasses the FileSystem statistics
-    * counters (task inputMetrics show the same gap), silently dropping the
-    * data-page bytes from the measurement. Turning it off changes only the
-    * fetch mechanism — the set of byte ranges a query NEEDS, which is what
-    * these tests grade, is identical. */
-  private def measuredRead(options: (String, String)*) = {
-    var r = spark.read.option("parquet.hadoop.vectored.io.enabled", "false")
-    options.foreach { case (k, v) => r = r.option(k, v) }
-    r
-  }
-
-  private def parquetFiles(root: String): Seq[Path] = {
-    val p = new Path(root)
-    val fs = p.getFileSystem(new Configuration())
-    val it = fs.listFiles(p, true)
-    val out = Seq.newBuilder[Path]
-    while (it.hasNext) {
-      val st = it.next()
-      if (SealFrames.isParquetFile(st)) out += st.getPath
-    }
-    out.result()
-  }
-
-  private def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(
-      s.getBytes("UTF-8"))
-    d.map("%02x".format(_)).mkString
-  }
-
   test("sealed files carry a real trace_id bloom and the point lookup " +
        "skips non-matching files' data (bytes, bloom on vs off)") {
     val root = tmpDir("graft-tier2-bloom")
@@ -106,7 +49,8 @@ class TierTwoReadSpec extends SparkTestBase {
     // full dictionary encoding on trace_id (the precondition for actually
     // materializing the bloom — a fully dict-encoded chunk gets none).
     (0 until 4).foreach { i =>
-      seal(spans(i * 50000L, 50000L, services = 20), root, s"bloom-$i")
+      seal(spark, spans(spark, i * 50000L, 50000L, services = 20),
+        root, s"bloom-$i")
     }
     val files = parquetFiles(root)
     assert(files.size >= 4, s"expected >=4 sealed files, got ${files.size}")
@@ -140,7 +84,8 @@ class TierTwoReadSpec extends SparkTestBase {
 
     def lookup(bloomOn: Boolean): (Array[String], Long) = {
       val (rows, bytes) = bytesRead {
-        measuredRead("parquet.filter.bloom.enabled" -> bloomOn.toString)
+        measuredRead(spark,
+            "parquet.filter.bloom.enabled" -> bloomOn.toString)
           .parquet(root)
           .where(col("trace_id") === target)
           .select("span_id").collect().map(_.getString(0))
@@ -167,8 +112,8 @@ class TierTwoReadSpec extends SparkTestBase {
     val clustered = tmpDir("graft-tier2-clustered")
     val unclustered = tmpDir("graft-tier2-unclustered")
     try {
-      val df = spans(0L, 200000L, services = 20)
-      seal(df, clustered, "cluster-0") // production path: sorted (svc, time)
+      val df = spans(spark, 0L, 200000L, services = 20)
+      seal(spark, df, clustered, "cluster-0") // production: (svc, time) sort
       // identical rows, same y/m/d layout, but hash-scattered row order —
       // what a writer that skips the clustering sort would produce
       df.withColumn("year", date_format(col("start_time_unix_nano"), "yyyy"))
@@ -195,9 +140,8 @@ class TierTwoReadSpec extends SparkTestBase {
             .find(_.getPath.toDotString == "service_name").get
           val st = cc.getStatistics
           total += 1
-          val min = st.minAsString()
-          val max = st.maxAsString()
-          if (min > "svc07" || max < "svc07") prunable += 1
+          if (st.minAsString() > "svc07" || st.maxAsString() < "svc07")
+            prunable += 1
         } finally reader.close()
       }
       (prunable, total)
@@ -216,7 +160,7 @@ class TierTwoReadSpec extends SparkTestBase {
     // bytes from the clustered layout (stats filtering is parquet-mr's
     // default; no special read conf needed).
     def scan(root: String): (Long, Long) = bytesRead {
-      val r = measuredRead().parquet(root)
+      val r = measuredRead(spark).parquet(root)
         .where(col("service_name") === "svc07")
         .select("trace_id").collect()
       r.length.toLong
