@@ -361,6 +361,72 @@ object Traces {
         round(col("dur_ns") / col("threshold_ns"), 4))
   }
 
+  /** Apdex score per service (the Apdex standard: satisfied ≤ T,
+    * tolerating ≤ 4T, frustrated above; score = (satisfied +
+    * tolerating/2) / total) — the one-number user-experience rollup SLO
+    * dashboards lead with. round(4).
+    *
+    * Shape at 100 TB: one partial-agg groupBy on the service key; the
+    * replay dedup rides the same exchange. Output is services-bounded. */
+  def apdex(spans: DataFrame, thresholdNs: Long,
+            serviceCol: String = "service_name",
+            idCol: String = "span_id",
+            traceCol: String = "trace_id",
+            durCol: String = "duration_time_unix_nano"): DataFrame = {
+    require(thresholdNs > 0, "thresholdNs must be positive")
+    val base = Replay.dedupWithin(
+      spans.select(col(serviceCol).as("service_name"),
+        col(traceCol).as("trace_id"), col(idCol).as("span_id"),
+        col(durCol).cast("long").as("dur_ns")),
+      Seq(col("service_name")))
+    base.groupBy("service_name")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("dur_ns") <= thresholdNs, 1L).otherwise(0L))
+          .as("satisfied"),
+        sum(when(col("dur_ns") > thresholdNs &&
+          col("dur_ns") <= 4 * thresholdNs, 1L).otherwise(0L))
+          .as("tolerating"),
+        sum(when(col("dur_ns") > 4 * thresholdNs, 1L).otherwise(0L))
+          .as("frustrated"))
+      .withColumn("apdex", round(
+        (col("satisfied") + col("tolerating").cast("double") / 2) /
+          col("n_spans"), 4))
+  }
+
+  /** SLO error-budget BURN RATE per (service, aligned window): the
+    * multi-window burn-rate alerting input (Google SRE workbook ch. 5) —
+    * burn = observed error rate / allowed error rate (1 − SLO target).
+    * Burn 1.0 spends the budget exactly on schedule; 14.4 is the classic
+    * page-now threshold for a 1 h window on a 30-day 99.9% SLO. Windows
+    * with no spans simply do not appear (no traffic burns no budget).
+    * error_rate round(6), burn round(4).
+    *
+    * Shape at 100 TB: one partial-agg groupBy on (service, window) —
+    * counts collapse map-side; output is the downsampled cardinality. */
+  def burnRate(spans: DataFrame, sloTarget: Double, windowSec: Long = 300,
+               serviceCol: String = "service_name",
+               idCol: String = "span_id",
+               traceCol: String = "trace_id",
+               statusCol: String = "status_code",
+               timeCol: String = "start_time_unix_nano"): DataFrame = {
+    require(sloTarget > 0.0 && sloTarget < 1.0, s"bad SLO target $sloTarget")
+    require(windowSec > 0, "windowSec must be positive")
+    val base = Replay.dedupWithin(
+      spans.select(col(serviceCol).as("service_name"),
+        col(traceCol).as("trace_id"), col(idCol).as("span_id"),
+        col(statusCol).as("status_code"),
+        Replay.windowStart(col(timeCol), windowSec).as("window_start")),
+      Seq(col("service_name"), col("window_start")))
+    base.groupBy("service_name", "window_start")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("status_code") === 2, 1L).otherwise(0L)).as("n_errors"))
+      .withColumn("error_rate",
+        round(col("n_errors").cast("double") / col("n_spans"), 6))
+      .withColumn("burn_rate",
+        round((col("n_errors").cast("double") / col("n_spans")) /
+          lit(1.0 - sloTarget), 4))
+  }
+
   /** Top-k slowest spans PER SERVICE — the exemplar panel next to
     * [[spanPercentiles]]'s aggregate profile: the percentile tells you
     * p99 regressed, these are the actual spans to open. Rank by duration

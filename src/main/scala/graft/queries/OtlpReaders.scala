@@ -589,6 +589,66 @@ object OtlpReaders {
         .orderBy("service_name", "rnk")
     },
 
+    // Apdex per service: satisfied <= T, tolerating <= 4T, frustrated
+    // above; score = (satisfied + tolerating/2) / total
+    df("otlp_apdex",
+      s"""WITH rec AS (
+         |  SELECT rs.resource AS res, sp.* FROM read_json('$fx/red_traces.jsonl',
+         |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
+         |    unnest(resourceSpans) AS a(rs),
+         |    unnest(rs.scopeSpans) AS b(ss),
+         |    unnest(ss.spans) AS c(sp)),
+         |sp AS (SELECT ${duckService("res.attributes")} AS service_name,
+         |  CAST(endTimeUnixNano AS BIGINT) - CAST(startTimeUnixNano AS BIGINT)
+         |    AS dur FROM rec),
+         |g AS (SELECT service_name, count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN dur <= 50 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS satisfied,
+         |  CAST(sum(CASE WHEN dur > 50 AND dur <= 200 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tolerating,
+         |  CAST(sum(CASE WHEN dur > 200 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS frustrated
+         |  FROM sp GROUP BY service_name)
+         |SELECT *, round((satisfied + tolerating / 2.0) / n_spans, 4)
+         |  AS apdex
+         |FROM g ORDER BY service_name""".stripMargin) { (s, _) =>
+      graft.operators.Traces.apdex(
+          Otlp.readTraces(s, s"$fx/red_traces.jsonl"), thresholdNs = 50L)
+        .orderBy("service_name")
+    },
+
+    // SLO error-budget burn rate per (service, aligned window):
+    // observed error rate / allowed error rate (1 - SLO target)
+    df("otlp_burn_rate",
+      s"""WITH rec AS (
+         |  SELECT rs.resource AS res, sp.* FROM read_json('$fx/red_traces.jsonl',
+         |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
+         |    unnest(resourceSpans) AS a(rs),
+         |    unnest(rs.scopeSpans) AS b(ss),
+         |    unnest(ss.spans) AS c(sp)),
+         |sp AS (SELECT ${duckService("res.attributes")} AS service_name,
+         |  CAST(startTimeUnixNano AS BIGINT) // 300000000000 * 300 AS wsec,
+         |  status.code AS code FROM rec),
+         |g AS (SELECT service_name, wsec, count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN code = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_errors
+         |  FROM sp GROUP BY service_name, wsec)
+         |SELECT service_name,
+         |  strftime(make_timestamp(wsec * 1000000), '$TsFmtDuck')
+         |    AS window_start,
+         |  n_spans, n_errors,
+         |  round(n_errors / CAST(n_spans AS DOUBLE), 6) AS error_rate,
+         |  round((n_errors / CAST(n_spans AS DOUBLE)) / 0.01, 4)
+         |    AS burn_rate
+         |FROM g ORDER BY service_name, wsec""".stripMargin) { (s, _) =>
+      graft.operators.Traces.burnRate(
+          Otlp.readTraces(s, s"$fx/red_traces.jsonl"),
+          sloTarget = 0.99, windowSec = 300)
+        .withColumn("window_start",
+          date_format(col("window_start"), TsFmtSpark))
+        .orderBy("service_name", "window_start")
+    },
+
     // staleness report (PromQL absent() as a table): series whose last
     // point is older than the horizon at a fixed as-of instant
     df("otlp_stale_series",

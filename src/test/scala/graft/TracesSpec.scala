@@ -229,6 +229,37 @@ class TracesSpec extends SparkTestBase {
       s"baseline must broadcast back, never shuffle the corpus for it:\n$p")
   }
 
+  test("apdex + burnRate: hand-computed goldens, replay counted once") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val spans = Seq(
+      ("t1", "s1", "svc", 2, 40L, ts("2024-01-01 00:00:10")),   // err, satisfied
+      ("t1", "s2", "svc", 0, 120L, ts("2024-01-01 00:01:10")),  // tolerating
+      ("t1", "s2", "svc", 0, 120L, ts("2024-01-01 00:01:10")),  // replay
+      ("t2", "s1", "svc", 0, 900L, ts("2024-01-01 00:06:10")),  // frustrated, next window
+      ("t3", "s1", "other", 0, 10L, ts("2024-01-01 00:00:20")))
+      .toDF("trace_id", "span_id", "service_name", "status_code",
+        "duration_time_unix_nano", "start_time_unix_nano")
+    val ap = Traces.apdex(spans, thresholdNs = 50L).collect()
+      .map(r => r.getAs[String]("service_name") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("satisfied"),
+          r.getAs[Long]("tolerating"), r.getAs[Long]("frustrated"),
+          r.getAs[Double]("apdex"))).toMap
+    assert(ap == Map(
+      "svc" -> ((3L, 1L, 1L, 1L, 0.5)), // (1 + 0.5) / 3
+      "other" -> ((1L, 1L, 0L, 0L, 1.0))), ap)
+    val br = Traces.burnRate(spans, sloTarget = 0.99, windowSec = 300)
+      .collect()
+      .map(r => (r.getAs[String]("service_name"),
+        r.getAs[java.sql.Timestamp]("window_start").toString) ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_errors"),
+          r.getAs[Double]("burn_rate"))).toMap
+    assert(br == Map(
+      ("svc", "2024-01-01 00:00:00.0") -> ((2L, 1L, 50.0)), // 0.5 / 0.01
+      ("svc", "2024-01-01 00:05:00.0") -> ((1L, 0L, 0.0)),
+      ("other", "2024-01-01 00:00:00.0") -> ((1L, 0L, 0.0))), br)
+  }
+
   test("at-least-once replayed span rows change nothing: tree and graph " +
     "results equal the dedup'd input's") {
     import spark.implicits._
