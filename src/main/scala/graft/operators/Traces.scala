@@ -361,6 +361,42 @@ object Traces {
         round(col("dur_ns") / col("threshold_ns"), 4))
   }
 
+  /** Error ORIGINATION report — where do errors START, not where do they
+    * surface: an error span is an ORIGINATOR when none of its direct
+    * children errored (the deepest error of its propagation chain; a
+    * gateway that merely relays a storage failure stops looking guilty).
+    * Rolls up per (service, span name): error count, originating count,
+    * and the origination ratio round(4) — rank by n_originating to find
+    * the service to page.
+    *
+    * Shape at 100 TB: errors are a thin slice of spans; the child→parent
+    * error aggregation and the originator join run on that slice only
+    * (the [[selfTime]] shape), keyed by uniform (trace, span) ids. */
+  def errorOriginators(spans: DataFrame,
+                       idCol: String = "span_id",
+                       parentCol: String = "parent_span_id",
+                       traceCol: String = "trace_id",
+                       serviceCol: String = "service_name",
+                       nameCol: String = "name",
+                       statusCol: String = "status_code"): DataFrame = {
+    val base = Replay.dedupWithin(
+      spans.select(col(traceCol).as("t"), col(idCol).as("s"),
+        col(parentCol).as("p"), col(serviceCol).as("service_name"),
+        col(nameCol).as("span_name"), col(statusCol).as("status")),
+      Seq(col("t"), col("s")))
+    val errors = base.where(col("status") === 2)
+    val errChild = errors.groupBy(col("t").as("ct"), col("p").as("cp"))
+      .agg(count(lit(1)).as("err_children"))
+    errors.join(errChild,
+        col("t") === col("ct") && col("s") === col("cp"), "left")
+      .withColumn("originating", col("err_children").isNull)
+      .groupBy("service_name", "span_name")
+      .agg(count(lit(1)).as("n_errors"),
+        sum(when(col("originating"), 1L).otherwise(0L)).as("n_originating"))
+      .withColumn("origination_ratio",
+        round(col("n_originating").cast("double") / col("n_errors"), 4))
+  }
+
   /** Apdex score per service (the Apdex standard: satisfied ≤ T,
     * tolerating ≤ 4T, frustrated above; score = (satisfied +
     * tolerating/2) / total) — the one-number user-experience rollup SLO

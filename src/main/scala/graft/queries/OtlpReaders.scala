@@ -589,6 +589,34 @@ object OtlpReaders {
         .orderBy("service_name", "rnk")
     },
 
+    // error ORIGINATION: an error span with no erroring direct child is
+    // where the failure started — the page-this-service report
+    df("otlp_error_originators",
+      s"""WITH rec AS (
+         |  SELECT rs.resource AS res, sp.* FROM read_json('$fx/error_traces.jsonl',
+         |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
+         |    unnest(resourceSpans) AS a(rs),
+         |    unnest(rs.scopeSpans) AS b(ss),
+         |    unnest(ss.spans) AS c(sp)),
+         |sp AS (SELECT ${duckService("res.attributes")} AS service_name,
+         |  "name" AS span_name, lower(traceId) AS t, lower(spanId) AS s,
+         |  lower(parentSpanId) AS p, status.code AS code FROM rec),
+         |err AS (SELECT * FROM sp WHERE code = 2),
+         |ec AS (SELECT t AS ct, p AS cp, count(*) AS n FROM err GROUP BY t, p),
+         |o AS (SELECT err.service_name, err.span_name,
+         |  CASE WHEN ec.n IS NULL THEN 1 ELSE 0 END AS orig
+         |  FROM err LEFT JOIN ec ON ec.ct = err.t AND ec.cp = err.s)
+         |SELECT service_name, span_name, count(*) AS n_errors,
+         |  CAST(sum(orig) AS BIGINT) AS n_originating,
+         |  round(sum(orig) / CAST(count(*) AS DOUBLE), 4)
+         |    AS origination_ratio
+         |FROM o GROUP BY service_name, span_name
+         |ORDER BY service_name, span_name""".stripMargin) { (s, _) =>
+      graft.operators.Traces.errorOriginators(
+          Otlp.readTraces(s, s"$fx/error_traces.jsonl"))
+        .orderBy("service_name", "span_name")
+    },
+
     // Apdex per service: satisfied <= T, tolerating <= 4T, frustrated
     // above; score = (satisfied + tolerating/2) / total
     df("otlp_apdex",

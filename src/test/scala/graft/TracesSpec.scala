@@ -229,6 +229,32 @@ class TracesSpec extends SparkTestBase {
       s"baseline must broadcast back, never shuffle the corpus for it:\n$p")
   }
 
+  test("errorOriginators: the deepest error of a propagation chain " +
+    "originates; relays do not; ok children irrelevant") {
+    import spark.implicits._
+    val spans = Seq(
+      // chain: gw(err) <- be(err) <- db(err originator); ok sibling
+      ("e1", "g1", null: String, "gw", "route", 2),
+      ("e1", "b1", "g1", "be", "handle", 2),
+      ("e1", "b2", "g1", "be", "audit", 1),
+      ("e1", "d1", "b1", "db", "query", 2),
+      // lone error with no children: originator
+      ("e2", "f1", null: String, "fe", "load", 2),
+      ("e2", "f1", null: String, "fe", "load", 2)) // replay
+      .toDF("trace_id", "span_id", "parent_span_id", "service_name",
+        "name", "status_code")
+    val got = Traces.errorOriginators(spans).collect()
+      .map(r => (r.getAs[String]("service_name"),
+        r.getAs[String]("span_name")) ->
+        (r.getAs[Long]("n_errors"), r.getAs[Long]("n_originating"),
+          r.getAs[Double]("origination_ratio"))).toMap
+    assert(got == Map(
+      ("gw", "route") -> ((1L, 0L, 0.0)),
+      ("be", "handle") -> ((1L, 0L, 0.0)),
+      ("db", "query") -> ((1L, 1L, 1.0)),
+      ("fe", "load") -> ((1L, 1L, 1.0))), got)
+  }
+
   test("apdex + burnRate: hand-computed goldens, replay counted once") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
