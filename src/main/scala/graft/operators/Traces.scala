@@ -379,12 +379,16 @@ object Traces {
                        serviceCol: String = "service_name",
                        nameCol: String = "name",
                        statusCol: String = "status_code"): DataFrame = {
-    val base = Replay.dedupWithin(
+    // filter to the error slice BEFORE the dedup window: byte-equal
+    // replays of an error row survive a row-local filter byte-equal, so
+    // the only corpus-wide exchange shuffles ~the error rate of the
+    // corpus, not all spans
+    val errors = Replay.dedupWithin(
       spans.select(col(traceCol).as("t"), col(idCol).as("s"),
-        col(parentCol).as("p"), col(serviceCol).as("service_name"),
-        col(nameCol).as("span_name"), col(statusCol).as("status")),
+          col(parentCol).as("p"), col(serviceCol).as("service_name"),
+          col(nameCol).as("span_name"), col(statusCol).as("status"))
+        .where(col("status") === 2),
       Seq(col("t"), col("s")))
-    val errors = base.where(col("status") === 2)
     val errChild = errors.groupBy(col("t").as("ct"), col("p").as("cp"))
       .agg(count(lit(1)).as("err_children"))
     errors.join(errChild,
@@ -410,11 +414,18 @@ object Traces {
             traceCol: String = "trace_id",
             durCol: String = "duration_time_unix_nano"): DataFrame = {
     require(thresholdNs > 0, "thresholdNs must be positive")
+    // dedup keyed (service, trace): uniform partitions even for one hot
+    // service (the Replay key-choice rule) — the count partials collapse
+    // map-side, so the service-level exchange stays services-sized.
+    // Null-duration spans are excluded: the Apdex standard counts only
+    // measured samples, and a bucket-less row would silently deflate the
+    // score while breaking satisfied+tolerating+frustrated == n_spans.
     val base = Replay.dedupWithin(
       spans.select(col(serviceCol).as("service_name"),
-        col(traceCol).as("trace_id"), col(idCol).as("span_id"),
-        col(durCol).cast("long").as("dur_ns")),
-      Seq(col("service_name")))
+          col(traceCol).as("trace_id"), col(idCol).as("span_id"),
+          col(durCol).cast("long").as("dur_ns"))
+        .where(col("dur_ns").isNotNull),
+      Seq(col("service_name"), col("trace_id")))
     base.groupBy("service_name")
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("dur_ns") <= thresholdNs, 1L).otherwise(0L))

@@ -19,7 +19,8 @@ class ReplaySpec extends SparkTestBase {
     val keyPool = Seq("a", "b", null, "c")
     val valPool = Seq(Some(1.5), Some(2.0), None)
     (1 to 25).foreach { trial =>
-      val nRows = rnd.nextInt(40) + (if (trial == 1) 0 else 1)
+      // trial 1 pins the degenerate EMPTY frame through the window+lag
+      val nRows = if (trial == 1) 0 else rnd.nextInt(40) + 1
       val rows = Seq.fill(nRows)((
         keyPool(rnd.nextInt(keyPool.size)),
         rnd.nextInt(4).toLong,
