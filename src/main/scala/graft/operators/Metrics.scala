@@ -206,6 +206,34 @@ object Metrics {
         count(lit(1)).as("n_series"))
   }
 
+  /** PromQL binary operation between two metrics with label matching
+    * (`sum by (labels)(num) / sum by (labels)(den)` — the error-ratio /
+    * cache-hit-rate / per-request-cost primitive): at each (kept labels,
+    * timestamp) present in BOTH metrics, the ratio of the label-collapsed
+    * sums. Timestamps where the denominator is absent or zero drop (the
+    * PromQL vector-matching convention: no match, no sample — never a
+    * divide-by-zero). round(6).
+    *
+    * Shape at 100 TB: one partial-agg groupBy on (labels, time) with the
+    * two metrics' sums as conditional aggregates in the SAME pass — no
+    * self-join of the metrics table; the replay dedup rides the same
+    * exchange. */
+  def ratioBy(sums: DataFrame, numName: String, denName: String,
+              by: Seq[String] = Seq.empty): DataFrame = {
+    require(numName != denName, "numerator and denominator must differ")
+    val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    val keys = by.map(col) :+ col("time_unix_nano")
+    Replay.dedupWithin(
+        sums.where(col("name").isin(numName, denName) && v.isNotNull),
+        keys)
+      .withColumn("__v", v)
+      .groupBy(keys: _*)
+      .agg(sum(when(col("name") === numName, col("__v"))).as("num"),
+        sum(when(col("name") === denName, col("__v"))).as("den"))
+      .where(col("num").isNotNull && col("den").isNotNull && col("den") =!= 0)
+      .withColumn("ratio", round(col("num") / col("den"), 6))
+  }
+
   /** Staleness / absence report (PromQL `absent()` as a table): series
     * whose LAST point is older than `stalenessSec` before `asOf` — the
     * scrape-died / exporter-wedged detector. Reports each stale series'

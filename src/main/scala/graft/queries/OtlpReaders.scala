@@ -677,6 +677,29 @@ object OtlpReaders {
         .orderBy("service_name", "window_start")
     },
 
+    // PromQL binary op with vector matching: num / den at shared
+    // timestamps only; absent or zero denominators drop, never divide
+    df("otlp_ratio_by",
+      s"""WITH m AS (${metricsFlat(s"$fx/rate_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name", ${duckTs("dp.timeUnixNano")} AS t,
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp)),
+         |g AS (SELECT t,
+         |  sum(CASE WHEN "name" = 'requests.total' THEN v END) AS num,
+         |  sum(CASE WHEN "name" = 'queue.size' THEN v END) AS den
+         |  FROM pts WHERE v IS NOT NULL GROUP BY t)
+         |SELECT t AS time_unix_nano, num, den, round(num / den, 6) AS ratio
+         |FROM g WHERE num IS NOT NULL AND den IS NOT NULL AND den <> 0
+         |ORDER BY t""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.ratioBy(
+          Otlp.readMetricsSum(s, s"$fx/rate_metrics.jsonl"),
+          numName = "requests.total", denName = "queue.size")
+        .select(
+          date_format(col("time_unix_nano"), TsFmtSpark).as("time_unix_nano"),
+          col("num"), col("den"), col("ratio"))
+        .orderBy("time_unix_nano")
+    },
+
     // staleness report (PromQL absent() as a table): series whose last
     // point is older than the horizon at a fixed as-of instant
     df("otlp_stale_series",

@@ -432,6 +432,27 @@ class LogsSpec extends SparkTestBase {
       ("b", "2024-01-01 00:00:00.0") -> ((1L, None, false))), got)
   }
 
+  test("ratioBy: vector matching — shared timestamps only, zero/absent " +
+    "denominators drop, replay counted once") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      ("errs", ts("2024-01-01 00:00:00"), 1.0),
+      ("reqs", ts("2024-01-01 00:00:00"), 4.0),
+      ("reqs", ts("2024-01-01 00:00:00"), 4.0), // replay
+      ("errs", ts("2024-01-01 00:01:00"), 2.0), // no denominator: drops
+      ("reqs", ts("2024-01-01 00:02:00"), 5.0), // no numerator: drops
+      ("errs", ts("2024-01-01 00:03:00"), 1.0),
+      ("reqs", ts("2024-01-01 00:03:00"), 0.0)) // zero denominator: drops
+      .toDF("name", "time_unix_nano", "double_value")
+      .selectExpr("name", "time_unix_nano", "double_value",
+        "CAST(NULL AS BIGINT) AS int_value")
+    val got = Metrics.ratioBy(rows, "errs", "reqs").collect()
+      .map(r => r.getAs[java.sql.Timestamp]("time_unix_nano").toString ->
+        r.getAs[Double]("ratio")).toMap
+    assert(got == Map("2024-01-01 00:00:00.0" -> 0.25), got)
+  }
+
   test("spanPercentiles: interpolated p50/p95/p99 per service, replay-safe") {
     import spark.implicits._
     val spans = (1 to 4).map(i =>
