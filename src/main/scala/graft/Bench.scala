@@ -190,9 +190,14 @@ object Bench {
   private def ingestBench(spark: SparkSession,
                           runMs: Long = IngestWindowMs): (Double, Double) = {
     val root = java.nio.file.Files.createTempDirectory("bench_ingest").toString
-    loadTest(spark, "otlp:127.0.0.1:46900",
+    // delete the seal output after the window (ADVICE r10: the grpc twin
+    // accumulated /tmp seal dirs across runs; all three ingest variants
+    // clean up like Tier2Probe)
+    try loadTest(spark, "otlp:127.0.0.1:46900",
       Map("target" -> "parquet", "parquet_root" -> root,
         "seal_max_age_ms" -> "2000"), runMs = runMs)
+    finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
   }
 
   /** Measured ingest window. 15 s (was 6 s): on this shared-guest host a
@@ -209,10 +214,12 @@ object Bench {
   private def ingestBenchGrpc(spark: SparkSession): (Double, Double) = {
     val root = java.nio.file.Files.createTempDirectory("bench_grpc").toString
     System.gc() // sweep the prior window's garbage before timing
-    loadTest(spark, "otlp:127.0.0.1:46902",
+    try loadTest(spark, "otlp:127.0.0.1:46902",
       Map("target" -> "parquet", "parquet_root" -> root,
         "seal_max_age_ms" -> "2000"),
       runMs = IngestWindowMs, forceGrpc = true)
+    finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
   }
 
   /** Same load against the CATALOG target (managed tables + per-signal

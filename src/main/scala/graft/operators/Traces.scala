@@ -56,22 +56,7 @@ object Traces {
                 traceCol: String = "trace_id",
                 durCol: String = "duration_time_unix_nano"): DataFrame = {
     require(rounds >= 1 && rounds <= 40, s"rounds out of range: $rounds")
-    // the seal export is at-least-once: replayed span rows are byte-equal,
-    // so a distinct() drops them deterministically — without it a
-    // duplicated ancestor multiplies state rows in EVERY doubling hop
-    val base = spans.select(col(traceCol).as("t"), col(idCol).as("s"),
-      col(parentCol).as("p"), col(durCol).cast("long").as("dur"))
-      .distinct()
-    // normalize dangling parents (id absent from the trace) to null so the
-    // walk's invariant holds: a non-null ancestor pointer ALWAYS resolves
-    val ids = base.select(col("t").as("it"), col("s").as("is"))
-    var st = base.join(ids,
-        col("t") === col("it") && col("p") === col("is"), "left")
-      .select(col("t"), col("s"),
-        when(col("is").isNull, lit(null)).otherwise(col("p")).as("anc"),
-        when(col("is").isNull, 0).otherwise(1).cast("int").as("d"),
-        col("dur").as("w"),
-        col("is").isNull.as("is_root"), col("dur"))
+    var st = traceTreeNormalized(spans, idCol, parentCol, traceCol, durCol)
       .localCheckpoint()
     // invariant: anc is an ancestor of s (or null = s reached its root);
     // d = edges s→anc; w = Σ dur over s..anc EXCLUSIVE of anc (when anc is
@@ -116,6 +101,37 @@ object Traces {
           .as("converged"))
   }
 
+  /** [[traceTree]]'s round-0 state: replay-deduped spans with dangling
+    * parent pointers normalized to null. Factored out (and visible to
+    * PlanSpec) so the walk's pre-checkpoint plan shape stays pinned:
+    * the dedup is keyed (trace, span) — the span-identity key the ids
+    * side of the normalization join probes on, so that side arrives
+    * pre-partitioned and the dedup adds no exchange (VERDICT r10 #5; a
+    * full-row distinct() shuffled the corpus a second time keyed by
+    * every column). */
+  private[graft] def traceTreeNormalized(spans: DataFrame,
+      idCol: String = "span_id", parentCol: String = "parent_span_id",
+      traceCol: String = "trace_id",
+      durCol: String = "duration_time_unix_nano"): DataFrame = {
+    // the seal export is at-least-once: replayed span rows are byte-equal,
+    // so the replay dedup drops them deterministically — without it a
+    // duplicated ancestor multiplies state rows in EVERY doubling hop
+    val base = Replay.dedupWithin(
+      spans.select(col(traceCol).as("t"), col(idCol).as("s"),
+        col(parentCol).as("p"), col(durCol).cast("long").as("dur")),
+      Seq(col("t"), col("s")))
+    // normalize dangling parents (id absent from the trace) to null so the
+    // walk's invariant holds: a non-null ancestor pointer ALWAYS resolves
+    val ids = base.select(col("t").as("it"), col("s").as("is"))
+    base.join(ids,
+        col("t") === col("it") && col("p") === col("is"), "left")
+      .select(col("t"), col("s"),
+        when(col("is").isNull, lit(null)).otherwise(col("p")).as("anc"),
+        when(col("is").isNull, 0).otherwise(1).cast("int").as("d"),
+        col("dur").as("w"),
+        col("is").isNull.as("is_root"), col("dur"))
+  }
+
   /** Service dependency graph: one row per (caller service, callee
     * service) edge observed anywhere in the span table — call count and
     * total callee time. The map a tracing UI draws, as a table: an edge
@@ -133,15 +149,23 @@ object Traces {
                    traceCol: String = "trace_id",
                    serviceCol: String = "service_name",
                    durCol: String = "duration_time_unix_nano"): DataFrame = {
-    // span id rides along so the at-least-once distinct() collapses only
-    // byte-equal replays, never two real calls that happen to look alike
-    val child = spans.select(col(traceCol).as("t"), col(idCol).as("s"),
+    // span id rides along so the at-least-once replay dedup collapses only
+    // byte-equal replays, never two real calls that happen to look alike.
+    // Each side's dedup is keyed by ITS OWN join key — (trace, parent) on
+    // the child side, (trace, span) on the parent side — so both arrive at
+    // the parent-resolution join pre-partitioned and the dedup adds no
+    // exchange over the two the join needs anyway (VERDICT r10 #5; a
+    // full-row distinct() shuffled each side a second time keyed by every
+    // column). Plan-pinned in PlanSpec.
+    val child = Replay.dedupWithin(
+      spans.select(col(traceCol).as("t"), col(idCol).as("s"),
         col(parentCol).as("p"), col(serviceCol).as("callee_service"),
-        col(durCol).cast("long").as("dur"))
-      .distinct()
-    val parent = spans.select(col(traceCol).as("pt"), col(idCol).as("ps"),
-        col(serviceCol).as("caller_service"))
-      .distinct()
+        col(durCol).cast("long").as("dur")),
+      Seq(col("t"), col("p")))
+    val parent = Replay.dedupWithin(
+      spans.select(col(traceCol).as("pt"), col(idCol).as("ps"),
+        col(serviceCol).as("caller_service")),
+      Seq(col("pt"), col("ps")))
     child.join(parent, col("t") === col("pt") && col("p") === col("ps"))
       .groupBy("caller_service", "callee_service")
       .agg(count(lit(1)).as("n_calls"),

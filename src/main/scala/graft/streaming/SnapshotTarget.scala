@@ -207,20 +207,33 @@ final class SnapshotTarget(cfg: ServerConfig, spark: SparkSession) extends SealT
       throw new java.io.IOException(s"snapshot commit rename to $dest failed")
     }
     committedIds(signal).add(snap.sealId)
-    val mtmp = new Path(dir, s".tmp-m-${java.util.UUID.randomUUID()}")
-    val mout = hfs.create(mtmp, false)
+    // The .snap rename above IS the commit point; manifest.csv is an
+    // ADVISORY external-reader artifact (an external engine lags one seal
+    // without it, nothing more). A manifest write failure after the real
+    // publish must not surface as a failed commit — the snapshot is
+    // durable, and a retry would re-seal an already-committed batch
+    // (ADVICE r10). Log and continue; expire() sweeps orphaned .tmp-m-*.
     try {
-      mout.write("path,length,crc32_hex\n".getBytes(StandardCharsets.UTF_8))
-      snap.entries.foreach { e =>
-        mout.write(s"${e.path},${e.len},${e.crc.toHexString}\n"
-          .getBytes(StandardCharsets.UTF_8))
+      val mtmp = new Path(dir, s".tmp-m-${java.util.UUID.randomUUID()}")
+      val mout = hfs.create(mtmp, false)
+      try {
+        mout.write("path,length,crc32_hex\n".getBytes(StandardCharsets.UTF_8))
+        snap.entries.foreach { e =>
+          mout.write(s"${e.path},${e.len},${e.crc.toHexString}\n"
+            .getBytes(StandardCharsets.UTF_8))
+        }
+      } finally mout.close()
+      val mdest = new Path(dir, f"${snap.seq}%012d.manifest.csv")
+      hfs.delete(mdest, false) // re-commit after a crashed attempt
+      if (!hfs.rename(mtmp, mdest)) {
+        hfs.delete(mtmp, false)
+        throw new java.io.IOException(s"manifest rename to $mdest failed")
       }
-    } finally mout.close()
-    val mdest = new Path(dir, f"${snap.seq}%012d.manifest.csv")
-    hfs.delete(mdest, false) // re-commit after a crashed attempt
-    if (!hfs.rename(mtmp, mdest)) {
-      hfs.delete(mtmp, false)
-      throw new java.io.IOException(s"manifest rename to $mdest failed")
+    } catch {
+      case e: java.io.IOException =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"advisory manifest write failed for $signal seq ${snap.seq} " +
+            s"(snapshot itself is committed): ${e.getMessage}")
     }
   }
 
@@ -391,6 +404,9 @@ final class SnapshotTarget(cfg: ServerConfig, spark: SparkSession) extends SealT
     hfs.listStatus(dir).toSeq
       .filter(st => st.isFile && st.getModificationTime < horizon &&
         (st.getPath.getName.endsWith(".corrupt") ||
+          // crashed write attempts (.tmp-* snap bodies, .tmp-m-* manifests):
+          // never renamed into the visible namespace, safe once aged
+          st.getPath.getName.startsWith(".tmp-") ||
           // orphan manifest: its .snap never committed (crash window) or
           // was removed outside this sweep
           (st.getPath.getName.endsWith(".manifest.csv") && !hfs.exists(

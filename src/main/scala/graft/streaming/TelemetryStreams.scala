@@ -84,7 +84,16 @@ object TelemetryStreams {
     * windowed stream here. The seal export is at-least-once: a replayed
     * span must not double its exception counts, so spans dedup on
     * (trace_id, span_id) within the watermark — the batch twin's
-    * convention, applied before the explode. */
+    * convention, applied before the explode.
+    *
+    * Known divergence from the batch twin (ADVICE r10): the stream keys
+    * dedup on span identity (first row wins), while the batch
+    * `Replay.dedupWithin` drops only BYTE-EQUAL rows — two rows sharing
+    * (trace_id, span_id) but differing in events_json count once here and
+    * twice in batch. Under the byte-equal-replay contract such rows do not
+    * occur (a replayed seal row is byte-identical); if a producer ever
+    * re-emits a span with amended events, batch counts both emissions and
+    * the stream counts the first. */
   def exceptionRate(spans: DataFrame, windowLen: String = "1 minute",
                     watermark: String = "2 minutes"): DataFrame = {
     val evType = org.apache.spark.sql.types.DataType.fromDDL(

@@ -537,6 +537,51 @@ class PlanSpec extends SparkTestBase {
       s"spanPercentiles: dedup must ride the service exchange:\n$pP")
   }
 
+  test("traceTree + serviceGraph replay dedup rides the joins' own key " +
+      "distribution: no full-row distinct exchange (VERDICT r10 #5)") {
+    import spark.implicits._
+    val spans = Seq(
+      ("t1", "s1", null: String, "svc-a", 100L),
+      ("t1", "s2", "s1", "svc-b", 50L))
+      .toDF("trace_id", "span_id", "parent_span_id", "service_name",
+        "duration_time_unix_nano")
+    val conf = spark.conf
+    val bcast0 = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // every exchange's key-column-name signature (numPartitions dropped):
+      // the claim is that the ONLY distributions in the plan are the joins'
+      // own id keys — the dedup introduces no full-row distribution, and
+      // identical (t, s) exchange subtrees are runtime-reused (ReuseExchange
+      // dedupes canonically-equal stages; the plan STRING prints both)
+      def keySets(p: String): Seq[String] =
+        "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p).map(
+          _.group(1).split(",").map(_.trim).filter(_.contains("#"))
+            .map(_.takeWhile(_ != '#')).mkString(",")).toSeq
+      // walk round-0: dedup keyed (t, s) — the ids side's own key, so its
+      // canonically-identical exchange is a runtime reuse; left side adds
+      // its (t, p) join distribution. NOTHING keyed by the full row.
+      val pT = plan(graft.operators.Traces.traceTreeNormalized(spans))
+      assert(keySets(pT).toSet == Set("t,s", "t,p"),
+        s"traceTree round-0 distributions must be exactly the join ids:\n$pT")
+      assert(keySets(pT).count(_ == "t,s") == 2 &&
+        "Exchange".r.findAllIn(pT).size == 3,
+        s"traceTree: expected two identical (t,s) dedup exchanges (runtime-" +
+          s"reused) + one (t,p):\n$pT")
+      // each side's dedup keyed by its own join key; the parent-resolution
+      // join reuses both, and the only other distribution is the final
+      // services-bounded edge rollup
+      val pG = plan(graft.operators.Traces.serviceGraph(spans))
+      assert(keySets(pG).toSet ==
+        Set("t,p", "pt,ps", "caller_service,callee_service"),
+        s"serviceGraph distributions must be the two join-side ids + the " +
+          s"edge rollup:\n$pG")
+      assert("Exchange".r.findAllIn(pG).size == 3,
+        s"serviceGraph must shuffle 3x (2 dedups riding the join + edge " +
+          s"rollup):\n$pG")
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", bcast0)
+  }
+
   test("histogram aggregate-then-quantile: partial aggregation around " +
       "each exchange; the quantile walk itself adds NO shuffle") {
     import spark.implicits._
