@@ -177,6 +177,7 @@ object ScaleProbe {
             (col("id") % 5 - 2).cast("int").as("positive_offset"),
             expr("array(id % 5 + 1, id % 11 + 2, id % 17 + 1)")
               .as("positive_bucket_counts"),
+            lit(0).as("negative_offset"),
             expr("array()").cast("array<bigint>").as("negative_bucket_counts"))
             .transform(df => operators.Metrics.expHistogramQuantile(df, 0.9))
         case other => throw new IllegalArgumentException(s"unknown op $other")

@@ -346,57 +346,91 @@ object Metrics {
   }
 
   /** Quantile over EXPONENTIAL histogram points (OTel base-2 buckets:
-    * bucket j covers (base^j, base^(j+1)] with base = 2^(2^-scale)):
-    * rank q·total over zero bucket + positive buckets, interpolating
-    * log-linearly — the exponent interpolates inside the hit bucket, so
-    * value = 2^((offset + i + frac) / 2^scale), which respects the
-    * buckets' uniform-in-log-space design. A target inside the zero
-    * bucket reports 0; empty histograms null; points carrying NEGATIVE
-    * bucket mass report null (documented divergence: sign-aware quantile
-    * walks are out of scope — telemetry latency/size histograms carry
-    * none). round(6).
+    * positive bucket j covers (base^j, base^(j+1)] with
+    * base = 2^(2^-scale); negative bucket j covers the mirrored range
+    * [−base^(j+1), −base^j)): rank q·total over negative buckets + zero
+    * bucket + positive buckets in ascending value order — negative
+    * buckets walk from the HIGHEST index down (most negative values
+    * first), then zero, then positive ascending. Interpolation is
+    * log-linear in the exponent on both sides, respecting the buckets'
+    * uniform-in-log-space design: a positive hit reports
+    * 2^((offset + i + frac) / 2^scale); a negative hit mirrors —
+    * the exponent descends through the bucket as rank ascends, so
+    * value = −2^((offset + i + 1 − frac) / 2^scale) (VERDICT r10 #6 —
+    * the former null-for-negative-mass divergence is closed). A target
+    * inside the zero bucket reports 0; empty histograms null. round(6).
     *
     * MAP-ONLY, like [[histogramQuantile]]. */
   def expHistogramQuantile(hists: DataFrame, q: Double,
                            outCol: String = "quantile"): DataFrame = {
     require(q > 0.0 && q <= 1.0, s"quantile out of (0,1]: $q")
     val zero = coalesce(col("zero_count"), lit(0L)).cast("double")
+    val scaleDiv = pow(lit(2.0), col("scale"))
+    val negMass = col("__negmass")
+    // positive walk: rank offset by everything below (neg mass + zero)
     val idx = col("__idx")
-    val cumPrev = zero +
+    val cumPrev = negMass + zero +
       when(idx === 1, lit(0.0)).otherwise(element_at(col("__cums"), idx - 1))
     val cnt = element_at(col("positive_bucket_counts"), idx).cast("double")
     val exponent = col("positive_offset") + (idx - 1).cast("double") +
       (col("__target") - cumPrev) / cnt
-    val negMass = coalesce(
-      expr("aggregate(negative_bucket_counts, CAST(0 AS DOUBLE), (a, x) -> a + x)"),
-      lit(0.0))
+    // negative walk: __rcums cumulates the REVERSED negative array (most
+    // negative bucket first = ascending value order); ridx-th reversed
+    // slot maps back to 1-based array slot n - ridx + 1 (0-based bucket
+    // position i = n - ridx), and the exponent interpolates DOWNWARD from
+    // offset+i+1 to offset+i as rank ascends through the bucket
+    val nNeg = size(col("negative_bucket_counts"))
+    val ridx = col("__ridx")
+    val negCumPrev =
+      when(ridx === 1, lit(0.0)).otherwise(element_at(col("__rcums"), ridx - 1))
+    val negCnt =
+      element_at(col("negative_bucket_counts"), nNeg - ridx + 1).cast("double")
+    val negExponent = col("negative_offset") + (nNeg - ridx).cast("double") +
+      lit(1.0) - (col("__target") - negCumPrev) / negCnt
     hists
+      .withColumn("__negmass", coalesce(expr(
+        "aggregate(negative_bucket_counts, CAST(0 AS DOUBLE), (a, x) -> a + x)"),
+        lit(0.0)))
+      .withColumn("__rcums", expr(
+        """transform(sequence(1, size(negative_bucket_counts)),
+          |  k -> aggregate(slice(reverse(negative_bucket_counts), 1, k),
+          |    CAST(0 AS DOUBLE), (a, x) -> a + x))""".stripMargin))
       .withColumn("__cums", expr(
         """transform(sequence(1, size(positive_bucket_counts)),
           |  i -> aggregate(slice(positive_bucket_counts, 1, i),
           |    CAST(0 AS DOUBLE), (a, x) -> a + x))""".stripMargin))
-      .withColumn("__total", zero + coalesce(expr(
+      .withColumn("__total", col("__negmass") + zero + coalesce(expr(
         "aggregate(positive_bucket_counts, CAST(0 AS DOUBLE), (a, x) -> a + x)"),
         lit(0.0)))
       .withColumn("__target", col("__total") * lit(q))
       .withColumn("__idx",
-        expr("""size(filter(__cums, x -> x < __target -
+        expr("""size(filter(__cums, x -> x < __target - __negmass -
           |  coalesce(CAST(zero_count AS DOUBLE), CAST(0 AS DOUBLE))))""".stripMargin) + 1)
+      .withColumn("__ridx",
+        expr("size(filter(__rcums, x -> x < __target))") + 1)
       .withColumn(outCol,
-        when(col("__total") <= 0 || negMass > 0, lit(null))
-          .when(col("__target") <= zero, lit(0.0))
+        when(col("__total") <= 0, lit(null))
+          // negative fp clamp (mirror of the positive idx>size branch): if
+          // summation rounding pushes __target past the last reversed
+          // cumulative, the quantile is the negative range's least-negative
+          // edge, −2^(offset / 2^scale)
+          .when(col("__target") <= negMass && ridx > nNeg,
+            round(-pow(lit(2.0), col("negative_offset") / scaleDiv), 6))
+          .when(col("__target") <= negMass,
+            round(-pow(lit(2.0), negExponent / scaleDiv), 6))
+          .when(col("__target") <= negMass + zero, lit(0.0))
           // fp clamp (the explicit-bucket twin's idx>size branch): when
-          // counts get large enough that (zero + Σpc) rounds UP, __target
-          // can exceed the last cumulative and idx lands at len+1 — an
-          // ANSI out-of-bounds element_at. The quantile is then the top
-          // bucket's upper bound, 2^((offset + len) / 2^scale).
+          // counts get large enough that (negmass + zero + Σpc) rounds UP,
+          // __target can exceed the last cumulative and idx lands at
+          // len+1 — an ANSI out-of-bounds element_at. The quantile is then
+          // the top bucket's upper bound, 2^((offset + len) / 2^scale).
           .when(idx > size(col("positive_bucket_counts")),
             round(pow(lit(2.0),
               (col("positive_offset") +
                 size(col("positive_bucket_counts")).cast("double")) /
-                pow(lit(2.0), col("scale"))), 6))
-          .otherwise(round(
-            pow(lit(2.0), exponent / pow(lit(2.0), col("scale"))), 6)))
-      .drop("__cums", "__total", "__target", "__idx")
+                scaleDiv), 6))
+          .otherwise(round(pow(lit(2.0), exponent / scaleDiv), 6)))
+      .drop("__negmass", "__rcums", "__cums", "__total", "__target",
+        "__idx", "__ridx")
   }
 }

@@ -371,7 +371,9 @@ object OtlpReaders {
     },
 
     // quantile over exponential histograms (base-2 buckets, log-linear
-    // interpolation); zero-bucket hits report 0, negative mass -> null
+    // interpolation): negative buckets walk highest-index-first (most
+    // negative values rank lowest) with the mirrored exponent
+    // interpolation, zero-bucket hits report 0, then positive ascending
     df("otlp_exphist_quantile",
       s"""WITH m AS (${metricsFlat(s"$fx/exp_metrics.jsonl")}),
          |pts AS (SELECT ${duckTs("dp.timeUnixNano")} AS t,
@@ -380,20 +382,35 @@ object OtlpReaders {
          |  dp.positive."offset" AS poff,
          |  list_transform(dp.positive.bucketCounts,
          |    x -> CAST(x AS DOUBLE)) AS pc,
-         |  coalesce(list_sum(list_transform(dp.negative.bucketCounts,
-         |    x -> CAST(x AS DOUBLE))), 0) AS negmass
+         |  dp.negative."offset" AS noff,
+         |  list_transform(dp.negative.bucketCounts,
+         |    x -> CAST(x AS DOUBLE)) AS nc
          |  FROM m, unnest(m.exponentialHistogram.dataPoints) AS d(dp)),
          |st AS (SELECT *, list_transform(generate_series(1, len(pc)),
          |    i -> CAST(list_sum(pc[1:i]) AS DOUBLE)) AS cums,
-         |  z + coalesce(list_sum(pc), 0) AS total FROM pts),
+         |  list_transform(generate_series(1, len(list_reverse(nc))),
+         |    k -> CAST(list_sum(list_reverse(nc)[1:k]) AS DOUBLE)) AS rcums,
+         |  coalesce(list_sum(nc), 0) AS negmass,
+         |  coalesce(list_sum(nc), 0) + z + coalesce(list_sum(pc), 0) AS total
+         |  FROM pts),
          |st2 AS (SELECT *, total * 0.5 AS target FROM st),
          |st3 AS (SELECT *,
-         |  len(list_filter(cums, x -> x < target - z)) + 1 AS idx FROM st2)
+         |  len(list_filter(cums, x -> x < target - negmass - z)) + 1 AS idx,
+         |  len(list_filter(rcums, x -> x < target)) + 1 AS ridx FROM st2)
          |SELECT t AS time_unix_nano, "name",
-         |  CASE WHEN total <= 0 OR negmass > 0 THEN NULL
-         |    WHEN target <= z THEN 0.0
+         |  CASE WHEN total <= 0 THEN NULL
+         |    WHEN target <= negmass AND ridx > len(nc)
+         |      THEN round(-pow(2.0, noff / pow(2.0, sc)), 6)
+         |    WHEN target <= negmass
+         |      THEN round(-pow(2.0, (noff + (len(nc) - ridx) + 1
+         |        - (target - CASE WHEN ridx = 1 THEN 0.0
+         |            ELSE rcums[ridx-1] END) / nc[len(nc) - ridx + 1])
+         |        / pow(2.0, sc)), 6)
+         |    WHEN target <= negmass + z THEN 0.0
+         |    WHEN idx > len(pc)
+         |      THEN round(pow(2.0, (poff + len(pc)) / pow(2.0, sc)), 6)
          |    ELSE round(pow(2.0, (poff + (idx - 1)
-         |      + (target - (z + CASE WHEN idx = 1 THEN 0.0
+         |      + (target - (negmass + z + CASE WHEN idx = 1 THEN 0.0
          |          ELSE cums[idx-1] END)) / pc[idx])
          |      / pow(2.0, sc)), 6) END AS quantile
          |FROM st3 ORDER BY time_unix_nano""".stripMargin) { (s, _) =>

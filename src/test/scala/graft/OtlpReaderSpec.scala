@@ -522,15 +522,22 @@ class OtlpReaderSpec extends SparkTestBase {
   }
 
   test("exp-histogram quantile: log-linear interpolation in base-2 " +
-    "buckets, zero-bucket hit -> 0, negative mass -> null") {
+    "buckets, zero-bucket hit -> 0, negative buckets walk mirrored") {
     val hists = Otlp.readMetricsExpHistogram(spark, s"$fx/exp_metrics.jsonl")
     val got = graft.operators.Metrics.expHistogramQuantile(hists, q = 0.5)
       .orderBy("time_unix_nano").collect()
       .map(r => Option(r.getAs[Any]("quantile")))
     // scale 0, zero 2, offset 1, counts [2,4,2]: target 5 -> exponent
     // 1 + 1 + (5-4)/4 = 2.25 -> 2^2.25; all-zero-mass point -> 0;
-    // negative mass -> null; scale 1, offset 4, [4,4]: 2^(5/2)
-    assert(got === Seq(Some(4.756828), Some(0.0), None, Some(5.656854)), got)
+    // mixed point (neg [1], zero 1, pos [3]): total 5, target 2.5 lands
+    // in the positive range -> 2^((2.5-2)/3) = 2^(1/6);
+    // scale 1, offset 4, [4,4]: 2^(5/2);
+    // negative-dominant point (noff 1, nc [2,5,1], total 8, target 4):
+    // most-negative-first walk hits the middle bucket (reversed cums
+    // [1,6,8], ridx 2 -> 0-based i=1), exponent descends 3 -> 2 with
+    // frac (4-1)/5 = 0.6: -2^(1+1+1-0.6) = -2^2.4
+    assert(got === Seq(Some(4.756828), Some(0.0), Some(1.122462),
+      Some(5.656854), Some(-5.278032)), got)
     // a single-bucket histogram (no finite bound) reports null instead of
     // an element_at(b, 0) runtime error (review-finding regression)
     import spark.implicits._
@@ -544,9 +551,10 @@ class OtlpReaderSpec extends SparkTestBase {
     // must report the top bucket's upper bound, not an ANSI out-of-bounds.
     // 2^53 has double spacing 2, so 2^53 + 3 rounds to 2^53 + 4 and
     // q=1 leaves target-zero = 4 > Σpc = 3.
-    val big = Seq((9007199254740992L, 0, 0, Seq(1L, 2L), Seq.empty[Long]))
+    val big = Seq((9007199254740992L, 0, 0, Seq(1L, 2L), 0, Seq.empty[Long]))
       .toDF("zero_count", "scale", "positive_offset",
-        "positive_bucket_counts", "negative_bucket_counts")
+        "positive_bucket_counts", "negative_offset",
+        "negative_bucket_counts")
     val clamped = graft.operators.Metrics.expHistogramQuantile(big, q = 1.0)
       .collect().head
     assert(clamped.getAs[Double]("quantile") == 4.0, clamped) // 2^((0+2)/1)
