@@ -152,9 +152,9 @@ class LogsSpec extends SparkTestBase {
         Seq(tabTmpl), cascadeLimit = 0).collect()
       .map(r => Option(r.getString(1))).head
     assert(tabbed.contains(tabTmpl), tabbed)
-    // a pathological layout spread (>16 wildcard layouts sharing one token
-    // count) falls back to the cascade instead of throwing, whatever the
-    // set size — classification still works
+    // a wide layout spread (>16 wildcard layouts sharing one token count)
+    // classifies on the join path too — the old cascade fallback is lifted
+    // (VERDICT r10 #4); one join per layout slot
     val manyLayouts = (0 until 17).map { p =>
       (0 until 20).map(i => if (i == p) "<*>" else s"w$i").mkString(" ")
     }
@@ -164,6 +164,35 @@ class LogsSpec extends SparkTestBase {
         Seq(body20).map(Tuple1(_)).toDF("body"), manyLayouts,
         cascadeLimit = 0).collect().map(r => Option(r.getString(1))).head
     assert(fb.contains(manyLayouts(3)), fb)
+  }
+
+  test("matchTemplates 32-layout 5k-template set: join-only classify " +
+    "(no cascade, one broadcast join per layout slot, no shuffle)") {
+    import spark.implicits._
+    // 32 wildcard layouts sharing ONE token count (33): layout j wildcards
+    // position j; ~156 templates per layout distinguished by a key token
+    val templates = (0 until 5000).map { i =>
+      val j = i % 32
+      (0 until 33).map(p =>
+        if (p == j) "<*>" else if (p == 32) s"k${i / 32}" else s"w$p")
+        .mkString(" ")
+    }
+    val logs = Seq(
+      // matches template i=35 (layout j=3, key k1)
+      (0 until 33).map(p =>
+        if (p == 3) "FILL" else if (p == 32) "k1" else s"w$p").mkString(" "),
+      "unmatched shape").map(Tuple1(_)).toDF("body")
+    val out = Logs.matchTemplates(logs, templates)
+    val plan = out.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 32,
+      s"expected one broadcast join per layout slot:\n${plan.take(4000)}")
+    assert(!plan.replace("BroadcastExchange", "BX").contains("Exchange"),
+      "classify must not shuffle the corpus")
+    val got = out.collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got(logs.collect()(0).getString(0)).contains(templates(35)),
+      got)
+    assert(got("unmatched shape").isEmpty)
   }
 
   test("matchTemplates large sets: broadcast-hash-join classify, " +
