@@ -234,6 +234,62 @@ object Metrics {
       .withColumn("ratio", round(col("num") / col("den"), 6))
   }
 
+  /** The series LABEL columns (the full identity minus the metric name) —
+    * what PromQL's vector matching draws `on()`/`ignoring()` sets from at
+    * this table's column granularity. */
+  private[graft] val labelCols: Seq[String] =
+    Seq("service_name", "service_namespace", "service_instance_id",
+      "resource_attributes", "scope_name", "metric_attributes")
+
+  /** PromQL `ignoring(<labels>)` matching for [[ratioBy]]: match on every
+    * label column EXCEPT the listed ones — the complement form of `on()`.
+    * `num / ignoring(metric_attributes) den` is the common error-ratio
+    * join when only the attribute set differs between the two metrics.
+    * Same one-pass conditional-aggregate shape as [[ratioBy]] (to which
+    * this delegates after complementing the label set). */
+  def ratioIgnoring(sums: DataFrame, numName: String, denName: String,
+                    ignored: Seq[String]): DataFrame = {
+    val bad = ignored.filterNot(labelCols.contains)
+    require(bad.isEmpty, s"not label columns: ${bad.mkString(", ")}")
+    ratioBy(sums, numName, denName, labelCols.filterNot(ignored.contains))
+  }
+
+  /** PromQL one-to-many vector matching
+    * (`num / on(<labels>) group_left den`): the numerator keeps its FULL
+    * series identity — every numerator sample divides by THE denominator
+    * value sharing its `on` labels at its timestamp — while the
+    * denominator collapses to the `on` label set. The real error-ratio
+    * join when the denominator carries fewer labels: per-path error
+    * counts over a per-service request total, each path keeping its own
+    * row. Samples with no matching (or zero) denominator drop, the
+    * PromQL convention; ratio round(6).
+    *
+    * Shape at 100 TB: the denominator aggregates to an (on-labels ×
+    * time)-bounded frame — the dashboard-resolution cardinality — and
+    * BROADCASTS back onto the numerator scan; the numerator side's only
+    * exchange is its replay-dedup window keyed by the same (on, time)
+    * join key. The corpus is read once per side and never self-joins
+    * (plan-pinned in PlanSpec). */
+  def ratioGroupLeft(sums: DataFrame, numName: String, denName: String,
+                     on: Seq[String]): DataFrame = {
+    require(numName != denName, "numerator and denominator must differ")
+    require(on.nonEmpty, "group_left needs at least one on() label")
+    val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    val keys = on.map(col) :+ col("time_unix_nano")
+    val num = Replay.dedupWithin(
+        sums.where(col("name") === numName && v.isNotNull), keys)
+      .withColumn("num", v)
+    val den = Replay.dedupWithin(
+        sums.where(col("name") === denName && v.isNotNull), keys)
+      .withColumn("__v", v)
+      .groupBy(keys: _*)
+      .agg(sum(col("__v")).as("den"))
+      .where(col("den") =!= 0)
+    num.join(broadcast(den), on :+ "time_unix_nano")
+      .select((seriesKey :+ col("time_unix_nano") :+ col("num") :+
+        col("den") :+ round(col("num") / col("den"), 6).as("ratio")): _*)
+  }
+
   /** Staleness / absence report (PromQL `absent()` as a table): series
     * whose LAST point is older than `stalenessSec` before `asOf` — the
     * scrape-died / exporter-wedged detector. Reports each stale series'

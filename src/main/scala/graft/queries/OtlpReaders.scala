@@ -717,6 +717,67 @@ object OtlpReaders {
         .orderBy("time_unix_nano")
     },
 
+    // PromQL on(labels) matching: both metrics collapse to the on() label
+    // set — num / on(service_name) den, per-service error ratio; the
+    // zero/absent-denominator service drops entirely
+    df("otlp_ratio_on",
+      s"""WITH m AS (${metricsFlat(s"$fx/ratio_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name",
+         |  ${duckService("res.attributes")} AS service_name,
+         |  ${duckTs("dp.timeUnixNano")} AS t,
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp)),
+         |g AS (SELECT service_name, t,
+         |  sum(CASE WHEN "name" = 'http.errors' THEN v END) AS num,
+         |  sum(CASE WHEN "name" = 'http.requests' THEN v END) AS den
+         |  FROM pts WHERE v IS NOT NULL GROUP BY 1, 2)
+         |SELECT service_name, t AS time_unix_nano, num, den,
+         |  round(num / den, 6) AS ratio
+         |FROM g WHERE num IS NOT NULL AND den IS NOT NULL AND den <> 0
+         |ORDER BY service_name, t""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.ratioBy(
+          Otlp.readMetricsSum(s, s"$fx/ratio_metrics.jsonl"),
+          numName = "http.errors", denName = "http.requests",
+          by = Seq("service_name"))
+        .select(col("service_name"),
+          date_format(col("time_unix_nano"), TsFmtSpark).as("time_unix_nano"),
+          col("num"), col("den"), col("ratio"))
+        .orderBy("service_name", "time_unix_nano")
+    },
+
+    // PromQL group_left one-to-many matching: per-path error samples keep
+    // their full label set, each divided by THE per-service request total
+    // sharing its on(service_name) labels at its timestamp
+    df("otlp_ratio_group_left",
+      s"""WITH m AS (${metricsFlat(s"$fx/ratio_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name",
+         |  ${duckService("res.attributes")} AS service_name,
+         |  ${duckAttrs("dp.attributes")} AS metric_attributes,
+         |  ${duckTs("dp.timeUnixNano")} AS t,
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp)),
+         |den AS (SELECT service_name, t, sum(v) AS den FROM pts
+         |  WHERE "name" = 'http.requests' AND v IS NOT NULL
+         |  GROUP BY 1, 2 HAVING sum(v) <> 0),
+         |num AS (SELECT service_name, metric_attributes, t, v AS num
+         |  FROM pts WHERE "name" = 'http.errors' AND v IS NOT NULL)
+         |SELECT n.service_name, n.metric_attributes, n.t AS time_unix_nano,
+         |  n.num, d.den, round(n.num / d.den, 6) AS ratio
+         |FROM num n JOIN den d ON d.service_name = n.service_name
+         |  AND d.t = n.t
+         |ORDER BY n.service_name, n.metric_attributes, n.t""".stripMargin) {
+      (s, _) =>
+        graft.operators.Metrics.ratioGroupLeft(
+            Otlp.readMetricsSum(s, s"$fx/ratio_metrics.jsonl"),
+            numName = "http.errors", denName = "http.requests",
+            on = Seq("service_name"))
+          .select(col("service_name"), col("metric_attributes"),
+            date_format(col("time_unix_nano"), TsFmtSpark)
+              .as("time_unix_nano"),
+            col("num"), col("den"), col("ratio"))
+          .orderBy("service_name", "metric_attributes", "time_unix_nano")
+    },
+
     // staleness report (PromQL absent() as a table): series whose last
     // point is older than the horizon at a fixed as-of instant
     df("otlp_stale_series",

@@ -482,6 +482,42 @@ class LogsSpec extends SparkTestBase {
     assert(got == Map("2024-01-01 00:00:00.0" -> 0.25), got)
   }
 
+  test("ratioGroupLeft: numerator keeps its full series, each sample " +
+    "divided by the on()-matched denominator; ignoring() complements") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def row(name: String, svc: String, attrs: String, t: String, v: Double) =
+      (name, svc, null: String, null: String, "{}", "sc", attrs, ts(t), v)
+    val rows = Seq(
+      row("errs", "a", """{"path":"/x"}""", "2024-01-01 00:00:00", 1.0),
+      row("errs", "a", """{"path":"/y"}""", "2024-01-01 00:00:00", 3.0),
+      row("reqs", "a", null, "2024-01-01 00:00:00", 8.0),
+      row("reqs", "a", null, "2024-01-01 00:00:00", 8.0), // replay
+      row("errs", "b", """{"path":"/x"}""", "2024-01-01 00:00:00", 2.0),
+      row("reqs", "b", null, "2024-01-01 00:00:00", 0.0), // zero den: drops
+      row("errs", "a", """{"path":"/x"}""", "2024-01-01 00:01:00", 5.0)) // no den
+      .toDF("name", "service_name", "service_namespace",
+        "service_instance_id", "resource_attributes", "scope_name",
+        "metric_attributes", "time_unix_nano", "double_value")
+      .selectExpr("*", "CAST(NULL AS BIGINT) AS int_value")
+    val got = Metrics.ratioGroupLeft(rows, "errs", "reqs",
+        on = Seq("service_name")).collect()
+      .map(r => (r.getAs[String]("metric_attributes"),
+        r.getAs[Double]("num"), r.getAs[Double]("den"),
+        r.getAs[Double]("ratio"))).toSet
+    assert(got == Set(("""{"path":"/x"}""", 1.0, 8.0, 0.125),
+      ("""{"path":"/y"}""", 3.0, 8.0, 0.375)), got)
+    // ignoring(metric_attributes) = on(every other label column): the two
+    // path series collapse into one numerator sum — (1+3)/8
+    val ign = Metrics.ratioIgnoring(rows, "errs", "reqs",
+        ignored = Seq("metric_attributes")).collect()
+      .map(r => (r.getAs[String]("service_name"), r.getAs[Double]("ratio")))
+    assert(ign.toSeq == Seq(("a", 0.5)), ign.toSeq)
+    intercept[IllegalArgumentException] {
+      Metrics.ratioIgnoring(rows, "errs", "reqs", Seq("not_a_label"))
+    }
+  }
+
   test("spanPercentiles: interpolated p50/p95/p99 per service, replay-safe") {
     import spark.implicits._
     val spans = (1 to 4).map(i =>

@@ -537,6 +537,29 @@ class PlanSpec extends SparkTestBase {
       s"spanPercentiles: dedup must ride the service exchange:\n$pP")
   }
 
+  test("ratioGroupLeft: the denominator frame broadcasts back onto the " +
+      "numerator scan — each side's only shuffle is its dedup window") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val sums = Seq(
+      ("errs", "svc", null: String, "i1", "{}", "sc", "{}", ts,
+        true, Some(1.0), None: Option[Long], 2),
+      ("reqs", "svc", null: String, "i1", "{}", "sc", "{}", ts,
+        true, Some(4.0), None: Option[Long], 2))
+      .toDF("name", "service_name", "service_namespace",
+        "service_instance_id", "resource_attributes", "scope_name",
+        "metric_attributes", "time_unix_nano", "is_monotonic",
+        "double_value", "int_value", "aggregation_temporality")
+    val p = plan(graft.operators.Metrics.ratioGroupLeft(
+      sums, "errs", "reqs", on = Seq("service_name")))
+    assert(p.contains("BroadcastHashJoin"),
+      s"group_left denominator must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert("Exchange".r.findAllIn(
+      p.replace("BroadcastExchange", "BX")).size == 2,
+      s"each side: one dedup-window shuffle only:\n$p")
+  }
+
   test("traceTree + serviceGraph replay dedup rides the joins' own key " +
       "distribution: no full-row distinct exchange (VERDICT r10 #5)") {
     import spark.implicits._
