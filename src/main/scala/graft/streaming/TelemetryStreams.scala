@@ -178,6 +178,101 @@ object TelemetryStreams {
         col("n_points"): _*)
   }
 
+  /** SLO error-budget burn rate on the LIVE span stream — the streaming
+    * face of `operators.Traces.burnRate`, and the operator that is
+    * inherently live: multi-window burn-rate alerting (SRE workbook ch. 5)
+    * pages on the STREAM, not on yesterday's table. Per (window, service):
+    * span count, error count (status code 2), observed error rate, and
+    * burn = error rate / (1 − SLO target). The batch twin's aligned
+    * `windowSec` grid and the stream's `window()` are both epoch-aligned,
+    * so equal window lengths yield identical buckets (stream≡batch
+    * spec-pinned). Replay dedup on span identity within the watermark
+    * (the [[exceptionRate]] convention); windowed-aggregation state only. */
+  def burnRateStream(spans: DataFrame, sloTarget: Double,
+                     windowLen: String = "5 minutes",
+                     watermark: String = "10 minutes"): DataFrame = {
+    require(sloTarget > 0.0 && sloTarget < 1.0, s"bad SLO target $sloTarget")
+    spans
+      .withWatermark("start_time_unix_nano", watermark)
+      .dropDuplicatesWithinWatermark("trace_id", "span_id")
+      .groupBy(
+        window(col("start_time_unix_nano"), windowLen).as("w"),
+        col("service_name"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("status_code") === 2, 1L).otherwise(0L)).as("n_errors"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("service_name"), col("n_spans"), col("n_errors"),
+        round(col("n_errors").cast("double") / col("n_spans"), 6)
+          .as("error_rate"),
+        round((col("n_errors").cast("double") / col("n_spans")) /
+          lit(1.0 - sloTarget), 4).as("burn_rate"))
+  }
+
+  /** Apdex on the LIVE span stream — the streaming face of
+    * `operators.Traces.apdex`, windowed: per (window, service) the
+    * satisfied (≤ T) / tolerating (≤ 4T) / frustrated buckets and the
+    * Apdex score (satisfied + tolerating/2) / total, round(4). The batch
+    * twin scores a settled table in one number; the stream scores each
+    * aligned window — a window whose spans all fall inside it reports the
+    * batch twin's exact score (spec-pinned). Null-duration spans are
+    * excluded like the batch twin (only measured samples count). */
+  def apdexStream(spans: DataFrame, thresholdNs: Long,
+                  windowLen: String = "5 minutes",
+                  watermark: String = "10 minutes"): DataFrame = {
+    require(thresholdNs > 0, "thresholdNs must be positive")
+    spans
+      .withWatermark("start_time_unix_nano", watermark)
+      .dropDuplicatesWithinWatermark("trace_id", "span_id")
+      .where(col("duration_time_unix_nano").isNotNull)
+      .withColumn("__dur", col("duration_time_unix_nano").cast("long"))
+      .groupBy(
+        window(col("start_time_unix_nano"), windowLen).as("w"),
+        col("service_name"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__dur") <= thresholdNs, 1L).otherwise(0L))
+          .as("satisfied"),
+        sum(when(col("__dur") > thresholdNs &&
+          col("__dur") <= 4 * thresholdNs, 1L).otherwise(0L))
+          .as("tolerating"),
+        sum(when(col("__dur") > 4 * thresholdNs, 1L).otherwise(0L))
+          .as("frustrated"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("service_name"), col("n_spans"), col("satisfied"),
+        col("tolerating"), col("frustrated"),
+        round((col("satisfied") + col("tolerating").cast("double") / 2) /
+          col("n_spans"), 4).as("apdex"))
+  }
+
+  /** PromQL binary-op ratio on the LIVE sum-metric stream — the streaming
+    * face of `operators.Metrics.ratioBy`: per (window [, kept labels])
+    * the ratio of the two metrics' summed values. The batch form matches
+    * at exact shared timestamps; a stream cannot wait for same-instant
+    * alignment, so the window IS the alignment (the [[sumByStream]]
+    * convention). Windows where the denominator is absent or zero drop —
+    * no match, no sample, never a divide-by-zero. Replay dedup on full
+    * point identity within the watermark; windowed state only. */
+  def ratioByStream(sums: DataFrame, numName: String, denName: String,
+                    by: Seq[String] = Seq.empty,
+                    windowLen: String = "1 minute",
+                    watermark: String = "2 minutes"): DataFrame = {
+    require(numName != denName, "numerator and denominator must differ")
+    val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    sums
+      .withWatermark("time_unix_nano", watermark)
+      .where(col("name").isin(numName, denName) && v.isNotNull)
+      .dropDuplicatesWithinWatermark()
+      .withColumn("__v", v)
+      .groupBy(window(col("time_unix_nano"), windowLen).as("w") +:
+        by.map(col): _*)
+      .agg(sum(when(col("name") === numName, col("__v"))).as("num"),
+        sum(when(col("name") === denName, col("__v"))).as("den"))
+      .where(col("num").isNotNull && col("den").isNotNull &&
+        col("den") =!= 0)
+      .select(col("w.start").as("window_start") +:
+        col("w.end").as("window_end") +: by.map(col) :+ col("num") :+
+        col("den") :+ round(col("num") / col("den"), 6).as("ratio"): _*)
+  }
+
   /** Exact-duplicate suppression on the stream (trace_id+span_id within the
     * watermark horizon) — the dedup the reference documents as a downstream
     * responsibility for its at-least-once parquet path. */

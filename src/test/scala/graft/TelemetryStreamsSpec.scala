@@ -280,6 +280,118 @@ class TelemetryStreamsSpec extends SparkTestBase {
       ("qps", "i2", w0) -> ((7.0, 7.0, 7.0, 7.0, 1L))), got)
   }
 
+  test("streaming burn rate + apdex: windowed stream matches the batch " +
+    "twins on the same aligned windows (replay dropped, null durations " +
+    "excluded from apdex only)") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, String, String, String, Int, Option[Long])]
+    val df = in.toDF().toDF("start_time_unix_nano", "trace_id", "span_id",
+      "service_name", "status_code", "duration_time_unix_nano")
+    val rows = Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:10"), "t1", "s1", "svc", 0,
+        Some(100L)),
+      (Timestamp.valueOf("2024-01-01 00:01:40"), "t1", "s2", "svc", 2,
+        Some(1000L)),
+      (Timestamp.valueOf("2024-01-01 00:01:40"), "t1", "s2", "svc", 2,
+        Some(1000L)), // at-least-once replay: must not double either twin
+      (Timestamp.valueOf("2024-01-01 00:05:30"), "t2", "s1", "svc", 0,
+        Some(250L)),
+      (Timestamp.valueOf("2024-01-01 00:06:00"), "t2", "s2", "svc", 0,
+        None)) // null duration: burn counts it, apdex excludes it
+    val qB = TelemetryStreams.burnRateStream(df, sloTarget = 0.99,
+        windowLen = "300 seconds")
+      .writeStream.format("memory").queryName("burnstream")
+      .outputMode("complete").start()
+    val qA = TelemetryStreams.apdexStream(df, thresholdNs = 200L,
+        windowLen = "300 seconds")
+      .writeStream.format("memory").queryName("apdexstream")
+      .outputMode("complete").start()
+    in.addData(rows: _*)
+    qB.processAllAvailable(); qB.stop()
+    qA.processAllAvailable(); qA.stop()
+    // batch twin on the SAME rows (replay included — batch drops it too)
+    val batchDf = rows.toDF("start_time_unix_nano", "trace_id", "span_id",
+      "service_name", "status_code", "duration_time_unix_nano")
+    val batchBurn = graft.operators.Traces.burnRate(batchDf,
+        sloTarget = 0.99, windowSec = 300).collect()
+      .map(r => r.getAs[Timestamp]("window_start") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_errors"),
+          r.getAs[Double]("error_rate"), r.getAs[Double]("burn_rate"))))
+      .toMap
+    val streamBurn = spark.table("burnstream").collect()
+      .map(r => r.getAs[Timestamp]("window_start") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_errors"),
+          r.getAs[Double]("error_rate"), r.getAs[Double]("burn_rate"))))
+      .toMap
+    assert(streamBurn == batchBurn && streamBurn.size == 2,
+      s"stream $streamBurn vs batch $batchBurn")
+    assert(streamBurn(Timestamp.valueOf("2024-01-01 00:00:00")) ==
+      ((2L, 1L, 0.5, 50.0)), streamBurn)
+    // apdex: each stream window must equal the batch twin scored on that
+    // window's slice alone
+    val streamApdex = spark.table("apdexstream").collect()
+      .map(r => r.getAs[Timestamp]("window_start") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("satisfied"),
+          r.getAs[Long]("tolerating"), r.getAs[Long]("frustrated"),
+          r.getAs[Double]("apdex")))).toMap
+    for ((wStart, slice) <- Seq(
+        "2024-01-01 00:00:00" -> rows.take(3),
+        "2024-01-01 00:05:00" -> rows.drop(3))) {
+      val b = graft.operators.Traces.apdex(
+        slice.toDF("start_time_unix_nano", "trace_id", "span_id",
+          "service_name", "status_code", "duration_time_unix_nano"),
+        thresholdNs = 200L).collect().head
+      assert(streamApdex(Timestamp.valueOf(wStart)) ==
+        ((b.getAs[Long]("n_spans"), b.getAs[Long]("satisfied"),
+          b.getAs[Long]("tolerating"), b.getAs[Long]("frustrated"),
+          b.getAs[Double]("apdex"))),
+        s"window $wStart: ${streamApdex(Timestamp.valueOf(wStart))} vs $b")
+    }
+    assert(streamApdex(Timestamp.valueOf("2024-01-01 00:00:00"))._5 == 0.5)
+  }
+
+  test("streaming ratio: windowed vector matching matches batch ratioBy " +
+    "when each window holds one timestamp; zero denominators drop") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, String, Option[Double], Option[Long])]
+    val df = in.toDF()
+      .toDF("time_unix_nano", "name", "double_value", "int_value")
+    val rows = Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:10"), "errs", Some(1.0),
+        None: Option[Long]),
+      (Timestamp.valueOf("2024-01-01 00:00:10"), "reqs", Some(4.0), None),
+      (Timestamp.valueOf("2024-01-01 00:00:10"), "reqs", Some(4.0), None),
+      (Timestamp.valueOf("2024-01-01 00:01:10"), "errs", Some(2.0), None),
+      (Timestamp.valueOf("2024-01-01 00:01:10"), "reqs", Some(0.0), None),
+      (Timestamp.valueOf("2024-01-01 00:02:10"), "noise", Some(9.0), None))
+    val q = TelemetryStreams.ratioByStream(df, "errs", "reqs")
+      .writeStream.format("memory").queryName("ratiostream")
+      .outputMode("complete").start()
+    in.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val streamGot = spark.table("ratiostream").collect()
+      .map(r => r.getAs[Timestamp]("window_start") ->
+        ((r.getAs[Double]("num"), r.getAs[Double]("den"),
+          r.getAs[Double]("ratio")))).toMap
+    // batch twin at exact timestamps — one timestamp per window, so the
+    // stream's window floor is the batch row's minute floor
+    val batchGot = graft.operators.Metrics.ratioBy(
+        rows.toDF("time_unix_nano", "name", "double_value", "int_value"),
+        "errs", "reqs").collect()
+      .map(r => Timestamp.valueOf(r.getAs[Timestamp]("time_unix_nano")
+          .toLocalDateTime.withSecond(0).withNano(0)) ->
+        ((r.getAs[Double]("num"), r.getAs[Double]("den"),
+          r.getAs[Double]("ratio")))).toMap
+    assert(streamGot == batchGot && streamGot.size == 1,
+      s"stream $streamGot vs batch $batchGot")
+    assert(streamGot(Timestamp.valueOf("2024-01-01 00:00:00")) ==
+      ((1.0, 4.0, 0.25)), streamGot)
+  }
+
   test("streaming dedup drops at-least-once duplicates within the watermark") {
     val q = TelemetryStreams.dedupSpans(
         TelemetryStreams.traceStream(spark, root))
