@@ -178,7 +178,14 @@ object Bench {
     val resultMap = results.toMap
     val hqs = headlineNames.flatMap(n => resultMap.get(n).map(v => "\"" + n + "\":" + v))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","query_count":${results.size},"queries":$hqs,"ingest_steady_rows_per_sec":${steadyDurable.round},"ingest_accepted_rows_per_sec":${accepted.round},"ingest_logs_rows_per_sec":${durable.round},"ingest_catalog_rows_per_sec":${catalogDurable.round},"grpc_steady_rows_per_sec":${grpcDurable.round},"grpc_accepted_rows_per_sec":${grpcAccepted.round},"sf":"$sfDir"}""")
+    // per-window samples (VERDICT r10 #1/#8): the steady metric is a max
+    // across windows separated by whole query sweeps — publishing each
+    // window's durable/accepted rate lets a reader separate host weather
+    // (one bad window) from regression (all windows down) without
+    // archaeology. Order: A = pre-sweep, B = between sweeps, C = post-sweep.
+    val windowsJson = steadySamples.map(_._2.round).mkString("[", ",", "]")
+    val acceptedJson = steadySamples.map(_._1.round).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","query_count":${results.size},"queries":$hqs,"ingest_steady_rows_per_sec":${steadyDurable.round},"ingest_accepted_rows_per_sec":${accepted.round},"ingest_logs_rows_per_sec":${durable.round},"ingest_windows":$windowsJson,"ingest_accepted_windows":$acceptedJson,"ingest_catalog_rows_per_sec":${catalogDurable.round},"grpc_steady_rows_per_sec":${grpcDurable.round},"grpc_accepted_rows_per_sec":${grpcAccepted.round},"sf":"$sfDir"}""")
     spark.stop()
     sys.exit(0)
   }

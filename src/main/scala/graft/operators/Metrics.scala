@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -234,6 +234,130 @@ object Metrics {
       .withColumn("ratio", round(col("num") / col("den"), 6))
   }
 
+  /** Shared lag-then-window pair aggregation for [[resets]]/[[changes]]:
+    * per series in time order, tag each consecutive point pair with
+    * `tag(prev, current)`, then count tagged pairs per (series, aligned
+    * window of the LATER point). One series-keyed exchange (the
+    * [[increase]] shape): the lag window and the (series, window) partial
+    * agg share it, and the replay dedup rides it too. */
+  private def pairCounts(sums: DataFrame, windowSec: Long,
+                         outCol: String)(
+                         tag: (Column, Column) => Column): DataFrame = {
+    require(windowSec > 0, "windowSec must be positive")
+    val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    val w = Window.partitionBy(seriesKey: _*)
+      .orderBy(col("time_unix_nano"), v)
+    val prevV = lag(v, 1).over(w)
+    val flag = when(prevV.isNull, lit(null)).otherwise(tag(prevV, v))
+    Replay.dedupWithin(sums, seriesKey)
+      .where(v.isNotNull)
+      .withColumn("__f", flag)
+      .withColumn("window_start",
+        Replay.windowStart(col("time_unix_nano"), windowSec))
+      .where(col("__f").isNotNull)
+      .groupBy(seriesKey :+ col("window_start"): _*)
+      .agg(sum(col("__f")).as(outCol), count(lit(1)).as("n_pairs"))
+  }
+
+  /** PromQL `resets()` over aligned windows: per (series, window) the
+    * number of counter resets — consecutive point pairs whose later value
+    * DROPPED (the PromQL definition: any decrease is a reset, the
+    * monotonicity flag notwithstanding — a flapping counter is exactly
+    * what this detects). The restart/crash-loop detector next to
+    * [[increase]]'s growth number. */
+  def resets(sums: DataFrame, windowSec: Long = 300): DataFrame =
+    pairCounts(sums, windowSec, "resets")(
+      (prev, v) => when(v < prev, 1L).otherwise(0L))
+
+  /** PromQL `changes()` over aligned windows: per (series, window) how
+    * many times the value CHANGED between consecutive points — the
+    * config-flap / state-thrash detector (a gauge that changes every
+    * scrape vs one that holds steady). Same one-pass shape as
+    * [[resets]]. */
+  def changes(sums: DataFrame, windowSec: Long = 300): DataFrame =
+    pairCounts(sums, windowSec, "changes")(
+      (prev, v) => when(v =!= prev, 1L).otherwise(0L))
+
+  /** PromQL `deriv()` over aligned windows: per (series, window) the
+    * least-squares slope of value over time in per-second units — simple
+    * linear regression, exactly PromQL's definition. Windows with fewer
+    * than 2 points (or zero time variance) report null. round(6).
+    *
+    * Shape at 100 TB: regr_slope is a partial-aggregable moment sketch
+    * (sums of t, v, t·v, t²) — ONE (series, window) partial-agg groupBy
+    * with map-side combine, the replay dedup riding the same exchange. */
+  def deriv(sums: DataFrame, windowSec: Long = 300): DataFrame = {
+    require(windowSec > 0, "windowSec must be positive")
+    val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    val wStart = Replay.windowStart(col("time_unix_nano"), windowSec)
+    Replay.dedupWithin(
+        sums.where(v.isNotNull).withColumn("window_start", wStart),
+        seriesKey :+ col("window_start"))
+      .withColumn("__v", v)
+      .withColumn("__t", unix_micros(col("time_unix_nano")).cast("double") /
+        lit(1e6))
+      .groupBy(seriesKey :+ col("window_start"): _*)
+      .agg(round(expr("regr_slope(__v, __t)"), 6).as("deriv_per_sec"),
+        count(lit(1)).as("n_points"))
+  }
+
+  /** PromQL `predict_linear()`: per (series, window) the least-squares
+    * extrapolation of the value `aheadSec` seconds past the WINDOW END —
+    * the disk-full / quota-exhaustion alerting primitive ("will this
+    * gauge hit the ceiling within 4 h"). Same moment-sketch aggregation
+    * as [[deriv]]; windows without a defined slope report null. round(6).
+    *
+    * Evaluated in the CENTERED form v̄ + slope·(t_target − t̄), not
+    * intercept + slope·t: the intercept extrapolates the fit back to the
+    * 1970 epoch, so slope·t carries ~1e9-second magnitudes whose double
+    * rounding (~1e-7 absolute) lands exactly at the round(6) edge —
+    * centering keeps every term at window scale. */
+  def predictLinear(sums: DataFrame, windowSec: Long = 300,
+                    aheadSec: Long = 3600): DataFrame = {
+    require(windowSec > 0, "windowSec must be positive")
+    require(aheadSec >= 0, "aheadSec must be non-negative")
+    val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    val wStart = Replay.windowStart(col("time_unix_nano"), windowSec)
+    Replay.dedupWithin(
+        sums.where(v.isNotNull).withColumn("window_start", wStart),
+        seriesKey :+ col("window_start"))
+      .withColumn("__v", v)
+      .withColumn("__t", unix_micros(col("time_unix_nano")).cast("double") /
+        lit(1e6))
+      .groupBy(seriesKey :+ col("window_start"): _*)
+      .agg(expr("regr_slope(__v, __t)").as("__slope"),
+        avg(col("__v")).as("__vbar"), avg(col("__t")).as("__tbar"),
+        count(lit(1)).as("n_points"))
+      .withColumn("predicted", round(col("__vbar") + col("__slope") *
+        (unix_micros(col("window_start")).cast("double") / lit(1e6) +
+          lit((windowSec + aheadSec).toDouble) - col("__tbar")), 6))
+      .drop("__slope", "__vbar", "__tbar")
+  }
+
+  /** PromQL `topk(k, metric)`: at each timestamp, the k series with the
+    * highest value among every series collapsing to the `partition`
+    * label set (default: per metric name) — rank by value descending
+    * with the full series identity as a deterministic tiebreak. The
+    * "which replicas are hottest right now" panel.
+    *
+    * Shape at 100 TB: ONE window keyed (partition labels, timestamp) —
+    * high-cardinality uniform (each partition holds one instant's
+    * replica set); replay dedup rides the same exchange; the filter
+    * keeps k rows per instant before anything downstream runs. */
+  def topkSeries(sums: DataFrame, k: Int,
+                 partition: Seq[String] = Seq("name")): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(partition.nonEmpty, "topk needs at least one partition label")
+    val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    val keys = partition.map(col) :+ col("time_unix_nano")
+    val w = Window.partitionBy(keys: _*)
+      .orderBy(v.desc +: seriesKey.map(_.asc): _*)
+    Replay.dedupWithin(sums.where(v.isNotNull), keys)
+      .withColumn("value", v)
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+  }
+
   /** The series LABEL columns (the full identity minus the metric name) —
     * what PromQL's vector matching draws `on()`/`ignoring()` sets from at
     * this table's column granularity. */
@@ -399,6 +523,52 @@ object Metrics {
           .otherwise(round(
             lo + (hi - lo) * (col("__target") - cumPrev) / cnt, 6)))
       .drop("__cums", "__total", "__target", "__idx")
+  }
+
+  /** Fraction of observations at or below `x` (PromQL
+    * `histogram_fraction(-Inf, x, ...)` for classic buckets) — the
+    * SLO-compliance complement of [[histogramQuantile]]: "what share of
+    * requests met the 60 ms target" instead of "what is p99". Linear
+    * interpolation inside the bucket containing `x` (first bucket from 0,
+    * the quantile twin's convention); `x` at or past the last finite
+    * bound reports the finite mass's share (the +Inf bucket cannot be
+    * interpolated); empty histograms null. round(6).
+    *
+    * MAP-ONLY like [[histogramQuantile]] — array expressions over each
+    * row's own buckets, no shuffle, streaming-composable. */
+  def histogramFraction(hists: DataFrame, x: Double,
+                        outCol: String = "fraction"): DataFrame = {
+    val b = col("explicit_bounds")
+    val idx = col("__fidx")
+    val lo = when(idx === 1, lit(0.0)).otherwise(element_at(b, idx - 1))
+    val hi = element_at(b, idx)
+    val cumPrev = when(idx === 1, lit(0.0))
+      .otherwise(element_at(col("__cums"), idx - 1))
+    val cnt = element_at(col("bucket_counts"), idx).cast("double")
+    // in-bucket share of x, clamped to [0,1]: an x below the first bound's
+    // zero-anchored range floor contributes nothing; a zero-width edge
+    // (first bound exactly 0) counts as fully covered
+    val fracIn = when(hi === lo, lit(1.0))
+      .otherwise(greatest(lit(0.0), least(lit(1.0),
+        (lit(x) - lo) / (hi - lo))))
+    hists
+      .withColumn("__cums", expr(
+        """transform(sequence(1, size(bucket_counts)),
+          |  i -> aggregate(slice(bucket_counts, 1, i),
+          |    CAST(0 AS DOUBLE), (a, x) -> a + x))""".stripMargin))
+      .withColumn("__total", coalesce(expr(
+        "aggregate(bucket_counts, CAST(0 AS DOUBLE), (a, x) -> a + x)"),
+        lit(0.0)))
+      .withColumn("__fidx",
+        expr(s"size(filter(explicit_bounds, e -> e < ${x}d))") + 1)
+      .withColumn(outCol,
+        when(col("bucket_counts").isNull || col("__total") <= 0, lit(null))
+          .when(size(b) === 0, lit(null))
+          .when(idx > size(b),
+            round(element_at(col("__cums"), size(b)) / col("__total"), 6))
+          .otherwise(round(
+            (cumPrev + cnt * fracIn) / col("__total"), 6)))
+      .drop("__cums", "__total", "__fidx")
   }
 
   /** Quantile over EXPONENTIAL histogram points (OTel base-2 buckets:

@@ -132,11 +132,45 @@ object Traces {
         col("is").isNull.as("is_root"), col("dur"))
   }
 
+  /** Per-trace WALL duration — end-to-end latency as the user saw it:
+    * max(span end) − min(span start) in nanoseconds, which [[traceTree]]'s
+    * critical path (sum of span durations along one root path) and
+    * [[selfTime]]'s totals both differ from whenever spans run
+    * concurrently. Reports per trace the wall time, span count, error
+    * span count, and the earliest start (for time-ranged drill-downs).
+    *
+    * Shape at 100 TB: ONE partial-agg groupBy on the uniform trace key —
+    * min/max/count collapse map-side; replay dedup keyed (trace, span)
+    * would need a second exchange here, so instead the dedup rides the
+    * SAME trace-keyed window (min/max are replay-insensitive; the counts
+    * are not, hence the dedup). Output is the trace space. */
+  def traceDurations(spans: DataFrame,
+                     idCol: String = "span_id",
+                     traceCol: String = "trace_id",
+                     timeCol: String = "start_time_unix_nano",
+                     statusCol: String = "status_code",
+                     durCol: String = "duration_time_unix_nano"): DataFrame = {
+    val startNs = unix_micros(col(timeCol)) * lit(1000L)
+    Replay.dedupWithin(
+        spans.select(col(traceCol).as("trace_id"), col(idCol).as("span_id"),
+          startNs.as("__start_ns"),
+          (startNs + col(durCol).cast("long")).as("__end_ns"),
+          col(statusCol).as("__status")),
+        Seq(col("trace_id")))
+      .groupBy("trace_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__status") === 2, 1L).otherwise(0L)).as("n_errors"),
+        min(col("__start_ns")).as("start_ns"),
+        (max(col("__end_ns")) - min(col("__start_ns"))).as("wall_ns"))
+  }
+
   /** Service dependency graph: one row per (caller service, callee
-    * service) edge observed anywhere in the span table — call count and
-    * total callee time. The map a tracing UI draws, as a table: an edge
-    * exists where a span's resolved parent lives in another (or the same)
-    * service; root/orphan spans contribute no edge.
+    * service) edge observed anywhere in the span table — call count,
+    * CALLEE-ERROR count (status code 2: the edge's health, what a tracing
+    * UI colors the arrow with), and total callee time. The map a tracing
+    * UI draws, as a table: an edge exists where a span's resolved parent
+    * lives in another (or the same) service; root/orphan spans contribute
+    * no edge.
     *
     * Shape at 100 TB: ONE self-join on the uniform (trace_id, span_id)
     * key — the per-trace parent resolution — followed by a partial agg to
@@ -148,7 +182,8 @@ object Traces {
                    parentCol: String = "parent_span_id",
                    traceCol: String = "trace_id",
                    serviceCol: String = "service_name",
-                   durCol: String = "duration_time_unix_nano"): DataFrame = {
+                   durCol: String = "duration_time_unix_nano",
+                   statusCol: String = "status_code"): DataFrame = {
     // span id rides along so the at-least-once replay dedup collapses only
     // byte-equal replays, never two real calls that happen to look alike.
     // Each side's dedup is keyed by ITS OWN join key — (trace, parent) on
@@ -160,7 +195,8 @@ object Traces {
     val child = Replay.dedupWithin(
       spans.select(col(traceCol).as("t"), col(idCol).as("s"),
         col(parentCol).as("p"), col(serviceCol).as("callee_service"),
-        col(durCol).cast("long").as("dur")),
+        col(durCol).cast("long").as("dur"),
+        col(statusCol).as("status")),
       Seq(col("t"), col("p")))
     val parent = Replay.dedupWithin(
       spans.select(col(traceCol).as("pt"), col(idCol).as("ps"),
@@ -169,6 +205,7 @@ object Traces {
     child.join(parent, col("t") === col("pt") && col("p") === col("ps"))
       .groupBy("caller_service", "callee_service")
       .agg(count(lit(1)).as("n_calls"),
+        sum(when(col("status") === 2, 1L).otherwise(0L)).as("n_errors"),
         sum(col("dur")).as("total_callee_ns"))
   }
 

@@ -272,12 +272,16 @@ object OtlpReaders {
          |    unnest(ss.spans) AS c(sp)),
          |sp AS (SELECT lower(traceId) AS t, lower(spanId) AS s,
          |  lower(parentSpanId) AS p, ${duckService("res.attributes")} AS svc,
+         |  status.code AS code,
          |  CAST(endTimeUnixNano AS BIGINT) - CAST(startTimeUnixNano AS BIGINT)
          |    AS dur FROM rec),
          |e AS (SELECT pa.svc AS caller_service, ch.svc AS callee_service,
-         |  ch.dur FROM sp ch JOIN sp pa ON pa.t = ch.t AND pa.s = ch.p)
+         |  ch.code AS code, ch.dur
+         |  FROM sp ch JOIN sp pa ON pa.t = ch.t AND pa.s = ch.p)
          |SELECT caller_service, callee_service,
          |  CAST(count(*) AS BIGINT) AS n_calls,
+         |  CAST(sum(CASE WHEN code = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_errors,
          |  CAST(sum(dur) AS BIGINT) AS total_callee_ns
          |FROM e GROUP BY caller_service, callee_service
          |ORDER BY caller_service, callee_service""".stripMargin) { (s, _) =>
@@ -776,6 +780,207 @@ object OtlpReaders {
               .as("time_unix_nano"),
             col("num"), col("den"), col("ratio"))
           .orderBy("service_name", "metric_attributes", "time_unix_nano")
+    },
+
+    // PromQL resets(): per (series, window) the count of value DROPS
+    // between consecutive points — the restart / flapping-counter detector
+    df("otlp_resets",
+      s"""WITH m AS (${metricsFlat(s"$fx/flap_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name",
+         |  CAST(dp.timeUnixNano AS BIGINT) AS tns,
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp)),
+         |lagd AS (SELECT *, lag(v) OVER (PARTITION BY "name"
+         |    ORDER BY tns, v) AS pv
+         |  FROM pts WHERE v IS NOT NULL),
+         |d AS (SELECT "name", tns // 600000000000 * 600 AS wsec,
+         |  CASE WHEN pv IS NULL THEN NULL
+         |    WHEN v < pv THEN 1 ELSE 0 END AS r FROM lagd)
+         |SELECT "name",
+         |  strftime(make_timestamp(wsec * 1000000), '$TsFmtDuck')
+         |    AS window_start,
+         |  CAST(sum(r) AS BIGINT) AS resets, count(*) AS n_pairs
+         |FROM d WHERE r IS NOT NULL
+         |GROUP BY "name", wsec ORDER BY "name", wsec""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.resets(
+          Otlp.readMetricsSum(s, s"$fx/flap_metrics.jsonl"), windowSec = 600)
+        .select(col("name"),
+          date_format(col("window_start"), TsFmtSpark).as("window_start"),
+          col("resets"), col("n_pairs"))
+        .orderBy("name", "window_start")
+    },
+
+    // PromQL changes(): per (series, window) how many consecutive point
+    // pairs changed value — the state-thrash detector
+    df("otlp_changes",
+      s"""WITH m AS (${metricsFlat(s"$fx/flap_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name",
+         |  CAST(dp.timeUnixNano AS BIGINT) AS tns,
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp)),
+         |lagd AS (SELECT *, lag(v) OVER (PARTITION BY "name"
+         |    ORDER BY tns, v) AS pv
+         |  FROM pts WHERE v IS NOT NULL),
+         |d AS (SELECT "name", tns // 600000000000 * 600 AS wsec,
+         |  CASE WHEN pv IS NULL THEN NULL
+         |    WHEN v <> pv THEN 1 ELSE 0 END AS c FROM lagd)
+         |SELECT "name",
+         |  strftime(make_timestamp(wsec * 1000000), '$TsFmtDuck')
+         |    AS window_start,
+         |  CAST(sum(c) AS BIGINT) AS changes, count(*) AS n_pairs
+         |FROM d WHERE c IS NOT NULL
+         |GROUP BY "name", wsec ORDER BY "name", wsec""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.changes(
+          Otlp.readMetricsSum(s, s"$fx/flap_metrics.jsonl"), windowSec = 600)
+        .select(col("name"),
+          date_format(col("window_start"), TsFmtSpark).as("window_start"),
+          col("changes"), col("n_pairs"))
+        .orderBy("name", "window_start")
+    },
+
+    // PromQL deriv(): per (series, window) the least-squares slope of
+    // value over time, per second — simple linear regression
+    df("otlp_deriv",
+      s"""WITH m AS (${metricsFlat(s"$fx/replica_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name",
+         |  (list_filter(res.attributes,
+         |    a -> a."key" = 'service.instance.id')[1])."value".stringValue
+         |    AS inst,
+         |  CAST(dp.timeUnixNano AS BIGINT) AS tns,
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp))
+         |SELECT "name", inst AS service_instance_id,
+         |  strftime(make_timestamp(tns // 120000000000 * 120 * 1000000),
+         |    '$TsFmtDuck') AS window_start,
+         |  round(regr_slope(v, (tns // 1000) / 1000000.0), 6)
+         |    AS deriv_per_sec,
+         |  count(*) AS n_points
+         |FROM pts WHERE v IS NOT NULL
+         |GROUP BY "name", inst, tns // 120000000000 * 120
+         |ORDER BY "name", service_instance_id, window_start""".stripMargin) {
+      (s, _) =>
+        graft.operators.Metrics.deriv(
+            Otlp.readMetricsSum(s, s"$fx/replica_metrics.jsonl"),
+            windowSec = 120)
+          .select(col("name"), col("service_instance_id"),
+            date_format(col("window_start"), TsFmtSpark).as("window_start"),
+            col("deriv_per_sec"), col("n_points"))
+          .orderBy("name", "service_instance_id", "window_start")
+    },
+
+    // PromQL predict_linear(): least-squares extrapolation 60 s past the
+    // window end — evaluated in the centered form v̄ + slope·(Δt) so both
+    // engines stay at window-scale magnitudes
+    df("otlp_predict_linear",
+      s"""WITH m AS (${metricsFlat(s"$fx/replica_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name",
+         |  (list_filter(res.attributes,
+         |    a -> a."key" = 'service.instance.id')[1])."value".stringValue
+         |    AS inst,
+         |  CAST(dp.timeUnixNano AS BIGINT) AS tns,
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp))
+         |SELECT "name", inst AS service_instance_id,
+         |  strftime(make_timestamp(tns // 120000000000 * 120 * 1000000),
+         |    '$TsFmtDuck') AS window_start,
+         |  round(avg(v) + regr_slope(v, (tns // 1000) / 1000000.0) *
+         |    (tns // 120000000000 * 120 + 120 + 60
+         |      - avg((tns // 1000) / 1000000.0)), 6) AS predicted,
+         |  count(*) AS n_points
+         |FROM pts WHERE v IS NOT NULL
+         |GROUP BY "name", inst, tns // 120000000000 * 120
+         |ORDER BY "name", service_instance_id, window_start""".stripMargin) {
+      (s, _) =>
+        graft.operators.Metrics.predictLinear(
+            Otlp.readMetricsSum(s, s"$fx/replica_metrics.jsonl"),
+            windowSec = 120, aheadSec = 60)
+          .select(col("name"), col("service_instance_id"),
+            date_format(col("window_start"), TsFmtSpark).as("window_start"),
+            col("predicted"), col("n_points"))
+          .orderBy("name", "service_instance_id", "window_start")
+    },
+
+    // PromQL topk(k, metric): at each timestamp the k highest-valued
+    // series, rank attached — "which replicas are hottest right now"
+    df("otlp_topk_series",
+      s"""WITH m AS (${metricsFlat(s"$fx/replica_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name",
+         |  (list_filter(res.attributes,
+         |    a -> a."key" = 'service.instance.id')[1])."value".stringValue
+         |    AS inst,
+         |  ${duckTs("dp.timeUnixNano")} AS t,
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp)),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY "name", t
+         |  ORDER BY v DESC, inst) AS INT) AS rnk
+         |  FROM pts WHERE v IS NOT NULL)
+         |SELECT "name", inst AS service_instance_id, t AS time_unix_nano,
+         |  v AS "value", rnk
+         |FROM r WHERE rnk <= 2
+         |ORDER BY "name", t, rnk""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.topkSeries(
+          Otlp.readMetricsSum(s, s"$fx/replica_metrics.jsonl"), k = 2)
+        .select(col("name"), col("service_instance_id"),
+          date_format(col("time_unix_nano"), TsFmtSpark).as("time_unix_nano"),
+          col("value"), col("rnk"))
+        .orderBy("name", "time_unix_nano", "rnk")
+    },
+
+    // histogram_fraction(-Inf, 60, ...): share of observations at or
+    // below the target — the SLO-compliance complement of the quantile
+    df("otlp_hist_fraction",
+      s"""WITH m AS (${metricsFlat(s"$fx/hist_metrics.jsonl")}),
+         |pts AS (SELECT ${duckTs("dp.timeUnixNano")} AS t,
+         |  m."name" AS "name", dp.bucketCounts AS c, dp.explicitBounds AS b
+         |  FROM m, unnest(m.histogram.dataPoints) AS d(dp)),
+         |st AS (SELECT t, "name", c, b,
+         |  list_transform(generate_series(1, len(c)),
+         |    i -> CAST(list_sum(c[1:i]) AS DOUBLE)) AS cums,
+         |  CAST(list_sum(c) AS DOUBLE) AS total FROM pts),
+         |st2 AS (SELECT *,
+         |  len(list_filter(b, e -> e < 60.0)) + 1 AS idx FROM st),
+         |st3 AS (SELECT *,
+         |  CASE WHEN idx = 1 THEN 0.0 ELSE b[idx-1] END AS lo,
+         |  CASE WHEN idx > len(b) THEN NULL ELSE b[idx] END AS hi
+         |  FROM st2)
+         |SELECT t AS time_unix_nano, "name",
+         |  CASE WHEN total <= 0 THEN NULL
+         |    WHEN idx > len(b) THEN round(cums[len(b)] / total, 6)
+         |    ELSE round(((CASE WHEN idx = 1 THEN 0.0 ELSE cums[idx-1] END)
+         |      + c[idx] * (CASE WHEN hi = lo THEN 1.0
+         |          ELSE greatest(0.0, least(1.0, (60.0 - lo) / (hi - lo)))
+         |          END)) / total, 6) END AS fraction
+         |FROM st3 ORDER BY time_unix_nano""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.histogramFraction(
+          Otlp.readMetricsHistogram(s, s"$fx/hist_metrics.jsonl"), x = 60.0)
+        .select(
+          date_format(col("time_unix_nano"), TsFmtSpark).as("time_unix_nano"),
+          col("name"), col("fraction"))
+        .orderBy("time_unix_nano")
+    },
+
+    // per-trace WALL duration (end-to-end latency as the user saw it) —
+    // distinct from the critical path (sum along one root path) whenever
+    // spans run concurrently
+    df("otlp_trace_durations",
+      s"""WITH rec AS (
+         |  SELECT sp.* FROM read_json('$fx/services_traces.jsonl',
+         |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
+         |    unnest(resourceSpans) AS a(rs),
+         |    unnest(rs.scopeSpans) AS b(ss),
+         |    unnest(ss.spans) AS c(sp)),
+         |sp AS (SELECT lower(traceId) AS t,
+         |  CAST(startTimeUnixNano AS BIGINT) // 1000 * 1000 AS st,
+         |  CAST(endTimeUnixNano AS BIGINT) - CAST(startTimeUnixNano AS BIGINT)
+         |    AS dur, status.code AS code FROM rec)
+         |SELECT t AS trace_id, count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN code = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_errors,
+         |  min(st) AS start_ns, max(st + dur) - min(st) AS wall_ns
+         |FROM sp GROUP BY t ORDER BY trace_id""".stripMargin) { (s, _) =>
+      graft.operators.Traces.traceDurations(
+          Otlp.readTraces(s, s"$fx/services_traces.jsonl"))
+        .orderBy("trace_id")
     },
 
     // staleness report (PromQL absent() as a table): series whose last

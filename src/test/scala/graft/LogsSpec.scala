@@ -518,6 +518,51 @@ class LogsSpec extends SparkTestBase {
     }
   }
 
+  test("deriv/predictLinear/topk/fraction edges: single-point windows " +
+    "report null slope, fraction clamps at bucket edges, ties break on " +
+    "series identity") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def sums(rows: Seq[(String, String, java.sql.Timestamp, Double)]) =
+      rows.toDF("name", "service_instance_id", "time_unix_nano",
+          "double_value")
+        .selectExpr("name", "'svc' AS service_name",
+          "CAST(NULL AS STRING) AS service_namespace", "service_instance_id",
+          "'{}' AS resource_attributes", "'sc' AS scope_name",
+          "'{}' AS metric_attributes", "time_unix_nano", "double_value",
+          "CAST(NULL AS BIGINT) AS int_value")
+    // one point in the window: regression undefined -> null slope/predict
+    val one = sums(Seq(("g", "i1", ts("2024-01-01 00:00:10"), 5.0)))
+    assert(Metrics.deriv(one, 300).collect()
+      .map(r => Option(r.getAs[Any]("deriv_per_sec"))).toSeq == Seq(None))
+    assert(Metrics.predictLinear(one, 300, 60).collect()
+      .map(r => Option(r.getAs[Any]("predicted"))).toSeq == Seq(None))
+    // two points: slope exact, centered extrapolation exact
+    val two = sums(Seq(("g", "i1", ts("2024-01-01 00:00:00"), 10.0),
+      ("g", "i1", ts("2024-01-01 00:01:00"), 40.0)))
+    val p = Metrics.predictLinear(two, 300, 0).collect().head
+    // slope 0.5/s; predict at window end (t0+300): 10 + 0.5*300 = 160
+    assert(p.getAs[Double]("predicted") == 160.0, p)
+    // topk ties: equal values resolve by series identity ascending
+    val tied = sums(Seq(("g", "i2", ts("2024-01-01 00:00:00"), 7.0),
+      ("g", "i1", ts("2024-01-01 00:00:00"), 7.0),
+      ("g", "i3", ts("2024-01-01 00:00:00"), 9.0)))
+    val tk = Metrics.topkSeries(tied, k = 2).collect()
+      .map(r => (r.getAs[Int]("rnk"), r.getAs[String]("service_instance_id")))
+      .sortBy(_._1)
+    assert(tk.toSeq == Seq((1, "i3"), (2, "i1")), tk.toSeq)
+    // fraction: x below the first bound interpolates from the zero anchor;
+    // x past the last finite bound reports the finite mass share
+    val hists = Seq(
+      (Seq(4L, 4L, 2L), Seq(10.0, 20.0))) // +Inf bucket holds 2
+      .toDF("bucket_counts", "explicit_bounds")
+    def frac(x: Double) = Metrics.histogramFraction(hists, x)
+      .collect().head.getAs[Double]("fraction")
+    assert(frac(5.0) == 0.2, frac(5.0))    // half of the first bucket's 4/10
+    assert(frac(15.0) == 0.6, frac(15.0))  // 4 + half of 4, over 10
+    assert(frac(999.0) == 0.8, frac(999.0)) // finite mass 8/10
+  }
+
   test("spanPercentiles: interpolated p50/p95/p99 per service, replay-safe") {
     import spark.implicits._
     val spans = (1 to 4).map(i =>

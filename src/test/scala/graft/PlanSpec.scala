@@ -564,10 +564,10 @@ class PlanSpec extends SparkTestBase {
       "distribution: no full-row distinct exchange (VERDICT r10 #5)") {
     import spark.implicits._
     val spans = Seq(
-      ("t1", "s1", null: String, "svc-a", 100L),
-      ("t1", "s2", "s1", "svc-b", 50L))
+      ("t1", "s1", null: String, "svc-a", 100L, 0),
+      ("t1", "s2", "s1", "svc-b", 50L, 0))
       .toDF("trace_id", "span_id", "parent_span_id", "service_name",
-        "duration_time_unix_nano")
+        "duration_time_unix_nano", "status_code")
     val conf = spark.conf
     val bcast0 = conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {

@@ -290,11 +290,11 @@ class TracesSpec extends SparkTestBase {
     "results equal the dedup'd input's") {
     import spark.implicits._
     val once = Seq(
-      ("t1", "a", null, "svc-x", 10L),
-      ("t1", "b", "a", "svc-x", 20L),
-      ("t1", "c", "b", "svc-y", 30L)
+      ("t1", "a", null, "svc-x", 10L, 0),
+      ("t1", "b", "a", "svc-x", 20L, 0),
+      ("t1", "c", "b", "svc-y", 30L, 2)
     ).toDF("trace_id", "span_id", "parent_span_id", "service_name",
-      "duration_time_unix_nano")
+      "duration_time_unix_nano", "status_code")
     // the seal export's at-least-once: the PARENT row replays 3 times —
     // without the distinct this multiplies state in every doubling hop
     val replayed = once.unionAll(once.where(col("span_id") === "a"))
