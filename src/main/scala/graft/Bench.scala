@@ -211,8 +211,12 @@ object Bench {
     * single 6 s window sat entirely inside one contention burst and
     * recorded the round's LOWEST number as the "steady" metric
     * (VERDICT r5 — 16,350 vs 88,769 re-run). A 15 s window spans bursts,
-    * so the averaged rate regresses toward capacity instead of weather. */
-  private val IngestWindowMs = 15000L
+    * so the averaged rate regresses toward capacity instead of weather.
+    * SPARK_GRAFT_BENCH_INGEST_MS overrides for SUSTAINED scale points
+    * (SCALE.md's minutes-long windows measuring seal cadence and
+    * maintenance interplay) — the driver leaves it unset. */
+  private val IngestWindowMs =
+    sys.env.get("SPARK_GRAFT_BENCH_INGEST_MS").map(_.toLong).getOrElse(15000L)
 
   /** The gRPC unary-Export wire against the parquet target — same seal
     * core, protobuf twin of the NDJSON body, h2c multiplexed producers.
@@ -331,8 +335,13 @@ object Bench {
     val elapsed = (System.nanoTime() - t0) / 1e9
     val durable = OtlpServe.get(uri).map(_.committedRowsTotal.get()).getOrElse(0L)
     if (sys.env.contains("SPARK_GRAFT_BENCH_SEALS"))
-      OtlpServe.get(uri).foreach(_.sealHistory.foreach(ev => System.err.println(
-        s"[seal] trigger=${ev.trigger} rows=${ev.rows} appendMs=${ev.appendMs} commitMs=${ev.commitMs}")))
+      OtlpServe.get(uri).foreach { s =>
+        s.sealHistory.foreach(ev => System.err.println(
+          s"[seal] trigger=${ev.trigger} rows=${ev.rows} appendMs=${ev.appendMs} commitMs=${ev.commitMs}"))
+        System.err.println(s"[seal-summary] seals=${s.sealHistory.size} " +
+          s"elapsedSec=$elapsed maintenanceRuns=${s.maintenanceRuns.get()} " +
+          s"maintenanceFailures=${s.maintenanceFailures.get()}")
+      }
     OtlpServe.otlpStop(spark, uri)
     (sent.get() / acceptElapsed, durable / elapsed)
   }

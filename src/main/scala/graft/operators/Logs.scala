@@ -313,6 +313,42 @@ object Logs {
         round(col("svc_sd"), 4).as("svc_sd"), col("z"), col("anomaly"))
   }
 
+  /** Severity normalization — the OTel log data model's number→name
+    * mapping (spec: 1-4 TRACE, 5-8 DEBUG, 9-12 INFO, 13-16 WARN, 17-20
+    * ERROR, 21-24 FATAL; 0/null unspecified): adds `severity_canonical`
+    * derived from severity_number, falling back to the UPPERCASED text
+    * when the number is unspecified (SDKs disagree on which field they
+    * fill — this is the dashboard's one consistent severity axis), and
+    * `severity_mismatch` flagging records whose text disagrees with
+    * their number's range (a broken exporter mapping). MAP-ONLY. */
+  def normalizeSeverity(logs: DataFrame,
+                        numberCol: String = "severity_number",
+                        textCol: String = "severity_text"): DataFrame = {
+    val n = col(numberCol)
+    val fromNumber =
+      when(n.between(1, 4), "TRACE")
+        .when(n.between(5, 8), "DEBUG")
+        .when(n.between(9, 12), "INFO")
+        .when(n.between(13, 16), "WARN")
+        .when(n.between(17, 20), "ERROR")
+        .when(n.between(21, 24), "FATAL")
+    val canonicalText = Seq("TRACE", "DEBUG", "INFO", "WARN", "ERROR",
+      "FATAL")
+    val textUp = upper(trim(col(textCol)))
+    // common aliases fold onto the canonical six before the mismatch check
+    val textCanon =
+      when(textUp === "WARNING", "WARN")
+        .when(textUp === "ERR", "ERROR")
+        .when(textUp === "CRITICAL", "FATAL")
+        .when(textUp.isin(canonicalText: _*), textUp)
+    logs
+      .withColumn("severity_canonical",
+        coalesce(fromNumber, textCanon, lit("UNSPECIFIED")))
+      .withColumn("severity_mismatch",
+        fromNumber.isNotNull && textCanon.isNotNull &&
+          fromNumber =!= textCanon)
+  }
+
   /** Parameter extraction for one template: the values that filled each
     * `<*>` slot, with occurrence counts — the drill-down a template view
     * links to. MAP-ONLY filter on the template's shape (token count +

@@ -358,6 +358,78 @@ object Metrics {
       .where(col("rnk") <= k)
   }
 
+  /** PromQL `bottomk(k, metric)` — [[topkSeries]]'s mirror: the k LOWEST
+    * valued series at each timestamp (the "which replicas are starved /
+    * idle" panel). Same one-window shape, value ascending with the same
+    * series-identity tiebreak. */
+  def bottomkSeries(sums: DataFrame, k: Int,
+                    partition: Seq[String] = Seq("name")): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(partition.nonEmpty, "bottomk needs at least one partition label")
+    val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    val keys = partition.map(col) :+ col("time_unix_nano")
+    val w = Window.partitionBy(keys: _*)
+      .orderBy(v.asc +: seriesKey.map(_.asc): _*)
+    Replay.dedupWithin(sums.where(v.isNotNull), keys)
+      .withColumn("value", v)
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+  }
+
+  /** PromQL `quantile_over_time(q, ...)`: per (series, aligned window)
+    * the exact q-quantile of the window's points — [[overTime]]'s
+    * quantile sibling (avg/min/max/last live there; the p95-of-a-gauge
+    * recording rule lives here). Linear interpolation (percentile /
+    * quantile_cont semantics), round(6).
+    *
+    * Shape at 100 TB: one (series, window) partial-agg groupBy — the
+    * percentile state sorts within each window's points only, and the
+    * replay dedup rides the same exchange. */
+  def quantileOverTime(sums: DataFrame, q: Double,
+                       windowSec: Long = 60): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile out of [0,1]: $q")
+    require(windowSec > 0, "windowSec must be positive")
+    val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    val wStart = Replay.windowStart(col("time_unix_nano"), windowSec)
+    Replay.dedupWithin(
+        sums.where(v.isNotNull).withColumn("window_start", wStart),
+        seriesKey :+ col("window_start"))
+      .withColumn("__v", v)
+      .groupBy(seriesKey :+ col("window_start"): _*)
+      .agg(round(expr(s"percentile(__v, $q)"), 6).as("quantile"),
+        count(lit(1)).as("n_points"))
+  }
+
+  /** PromQL `count_values(<label>, metric)`: the exact-value histogram —
+    * per (kept labels, observed value) how many (series, point) samples
+    * carried exactly that value. The "how many replicas report version
+    * N / state S" rollup for gauges encoding enums.
+    *
+    * Shape at 100 TB: one partial-agg groupBy on (labels, value) —
+    * hot values collapse map-side; output cardinality is the value
+    * domain × labels, which is what the operator exists to be small. */
+  def countValues(sums: DataFrame,
+                  by: Seq[String] = Seq("name")): DataFrame = {
+    require(by.nonEmpty, "countValues needs at least one label to keep")
+    val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    Replay.dedupWithin(
+        sums.where(v.isNotNull).withColumn("value", v),
+        by.map(col) :+ col("value"))
+      .groupBy(by.map(col) :+ col("value"): _*)
+      .agg(count(lit(1)).as("n_samples"))
+  }
+
+  /** PromQL `histogram_avg`: mean observation per histogram point from
+    * the sum/count the point already carries — MAP-ONLY arithmetic, the
+    * cheap companion to the interpolated quantile walks (no bucket
+    * arithmetic at all). Zero-count points report null, never an ANSI
+    * divide error. round(6). */
+  def histogramAvg(hists: DataFrame,
+                   outCol: String = "avg_value"): DataFrame =
+    hists.withColumn(outCol,
+      when(col("count").isNull || col("count") === 0, lit(null))
+        .otherwise(round(col("sum") / col("count").cast("double"), 6)))
+
   /** The series LABEL columns (the full identity minus the metric name) —
     * what PromQL's vector matching draws `on()`/`ignoring()` sets from at
     * this table's column granularity. */

@@ -983,6 +983,122 @@ object OtlpReaders {
         .orderBy("trace_id")
     },
 
+    // PromQL bottomk(k): the k lowest-valued series at each timestamp —
+    // topk's starved-replica mirror
+    df("otlp_bottomk_series",
+      s"""WITH m AS (${metricsFlat(s"$fx/replica_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name",
+         |  (list_filter(res.attributes,
+         |    a -> a."key" = 'service.instance.id')[1])."value".stringValue
+         |    AS inst,
+         |  ${duckTs("dp.timeUnixNano")} AS t,
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp)),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY "name", t
+         |  ORDER BY v ASC, inst) AS INT) AS rnk
+         |  FROM pts WHERE v IS NOT NULL)
+         |SELECT "name", inst AS service_instance_id, t AS time_unix_nano,
+         |  v AS "value", rnk
+         |FROM r WHERE rnk <= 1
+         |ORDER BY "name", t, rnk""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.bottomkSeries(
+          Otlp.readMetricsSum(s, s"$fx/replica_metrics.jsonl"), k = 1)
+        .select(col("name"), col("service_instance_id"),
+          date_format(col("time_unix_nano"), TsFmtSpark).as("time_unix_nano"),
+          col("value"), col("rnk"))
+        .orderBy("name", "time_unix_nano", "rnk")
+    },
+
+    // PromQL quantile_over_time: per (series, aligned window) the exact
+    // interpolated quantile of the window's points
+    df("otlp_quantile_over_time",
+      s"""WITH m AS (${metricsFlat(s"$fx/rate_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name",
+         |  CAST(dp.timeUnixNano AS BIGINT) AS tns,
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp))
+         |SELECT "name",
+         |  strftime(make_timestamp(tns // 120000000000 * 120 * 1000000),
+         |    '$TsFmtDuck') AS window_start,
+         |  round(quantile_cont(v, 0.5), 6) AS quantile,
+         |  count(*) AS n_points
+         |FROM pts WHERE v IS NOT NULL
+         |GROUP BY "name", tns // 120000000000 * 120
+         |ORDER BY "name", window_start""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.quantileOverTime(
+          Otlp.readMetricsSum(s, s"$fx/rate_metrics.jsonl"), q = 0.5,
+          windowSec = 120)
+        .select(col("name"),
+          date_format(col("window_start"), TsFmtSpark).as("window_start"),
+          col("quantile"), col("n_points"))
+        .orderBy("name", "window_start")
+    },
+
+    // PromQL count_values: the exact-value histogram — how many samples
+    // carried each observed value (enum-gauge rollup)
+    df("otlp_count_values",
+      s"""WITH m AS (${metricsFlat(s"$fx/flap_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name",
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp))
+         |SELECT "name", v AS "value", count(*) AS n_samples
+         |FROM pts WHERE v IS NOT NULL
+         |GROUP BY "name", v ORDER BY "name", "value"""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.countValues(
+          Otlp.readMetricsSum(s, s"$fx/flap_metrics.jsonl"))
+        .orderBy("name", "value")
+    },
+
+    // PromQL histogram_avg: mean observation from each point's own
+    // sum/count — map-only, no bucket walk
+    df("otlp_hist_avg",
+      s"""WITH m AS (${metricsFlat(s"$fx/hist_metrics.jsonl")}),
+         |pts AS (SELECT ${duckTs("dp.timeUnixNano")} AS t,
+         |  m."name" AS "name", dp.count AS cnt, dp."sum" AS s
+         |  FROM m, unnest(m.histogram.dataPoints) AS d(dp))
+         |SELECT t AS time_unix_nano, "name",
+         |  CASE WHEN cnt IS NULL OR cnt = 0 THEN NULL
+         |    ELSE round(s / CAST(cnt AS DOUBLE), 6) END AS avg_value
+         |FROM pts ORDER BY time_unix_nano""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.histogramAvg(
+          Otlp.readMetricsHistogram(s, s"$fx/hist_metrics.jsonl"))
+        .select(
+          date_format(col("time_unix_nano"), TsFmtSpark).as("time_unix_nano"),
+          col("name"), col("avg_value"))
+        .orderBy("time_unix_nano")
+    },
+
+    // severity normalization: the OTel number->name mapping with text
+    // fallback and exporter-mismatch detection
+    df("otlp_severity_normalize",
+      s"""WITH rec AS (${logsFlat(s"$fx/sev_logs.jsonl")}),
+         |n AS (SELECT body.stringValue AS body, severityNumber AS sn,
+         |  severityText AS st FROM rec),
+         |c AS (SELECT body, sn, st,
+         |  CASE WHEN sn BETWEEN 1 AND 4 THEN 'TRACE'
+         |    WHEN sn BETWEEN 5 AND 8 THEN 'DEBUG'
+         |    WHEN sn BETWEEN 9 AND 12 THEN 'INFO'
+         |    WHEN sn BETWEEN 13 AND 16 THEN 'WARN'
+         |    WHEN sn BETWEEN 17 AND 20 THEN 'ERROR'
+         |    WHEN sn BETWEEN 21 AND 24 THEN 'FATAL' END AS fromnum,
+         |  CASE WHEN upper(trim(st)) = 'WARNING' THEN 'WARN'
+         |    WHEN upper(trim(st)) = 'ERR' THEN 'ERROR'
+         |    WHEN upper(trim(st)) = 'CRITICAL' THEN 'FATAL'
+         |    WHEN upper(trim(st)) IN ('TRACE','DEBUG','INFO','WARN',
+         |      'ERROR','FATAL') THEN upper(trim(st)) END AS fromtext
+         |  FROM n)
+         |SELECT body,
+         |  coalesce(fromnum, fromtext, 'UNSPECIFIED') AS severity_canonical,
+         |  (fromnum IS NOT NULL AND fromtext IS NOT NULL
+         |    AND fromnum <> fromtext) AS severity_mismatch
+         |FROM c ORDER BY body""".stripMargin) { (s, _) =>
+      graft.operators.Logs.normalizeSeverity(
+          Otlp.readLogs(s, s"$fx/sev_logs.jsonl"))
+        .select(col("body"), col("severity_canonical"),
+          col("severity_mismatch"))
+        .orderBy("body")
+    },
+
     // staleness report (PromQL absent() as a table): series whose last
     // point is older than the horizon at a fixed as-of instant
     df("otlp_stale_series",
