@@ -197,12 +197,19 @@ object Bench {
   private def ingestBench(spark: SparkSession,
                           runMs: Long = IngestWindowMs): (Double, Double) = {
     val root = java.nio.file.Files.createTempDirectory("bench_ingest").toString
+    // SPARK_GRAFT_BENCH_MAINT_MS: lower the maintenance gate so a
+    // sustained window (SPARK_GRAFT_BENCH_INGEST_MS) can observe
+    // compaction firing MID-LOAD (SCALE.md's ingest scale point; the
+    // default 5 min gate never fires inside a 15 s window). Driver unset.
+    val maint = sys.env.get("SPARK_GRAFT_BENCH_MAINT_MS")
+      .map(ms => Map("maintenance_min_interval_ms" -> ms))
+      .getOrElse(Map.empty)
     // delete the seal output after the window (ADVICE r10: the grpc twin
     // accumulated /tmp seal dirs across runs; all three ingest variants
     // clean up like Tier2Probe)
     try loadTest(spark, "otlp:127.0.0.1:46900",
       Map("target" -> "parquet", "parquet_root" -> root,
-        "seal_max_age_ms" -> "2000"), runMs = runMs)
+        "seal_max_age_ms" -> "2000") ++ maint, runMs = runMs)
     finally org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(root))
   }
@@ -340,6 +347,7 @@ object Bench {
           s"[seal] trigger=${ev.trigger} rows=${ev.rows} appendMs=${ev.appendMs} commitMs=${ev.commitMs}"))
         System.err.println(s"[seal-summary] seals=${s.sealHistory.size} " +
           s"elapsedSec=$elapsed maintenanceRuns=${s.maintenanceRuns.get()} " +
+          s"maintenanceDeferrals=${s.maintenanceDeferrals.get()} " +
           s"maintenanceFailures=${s.maintenanceFailures.get()}")
       }
     OtlpServe.otlpStop(spark, uri)

@@ -550,6 +550,85 @@ object Metrics {
         max(col("n_points")).as("n_points"))
   }
 
+  /** Aggregate EXPONENTIAL histogram points across series/time — the
+    * OTel exponential-histogram merge (data-model spec: to add two
+    * histograms, downscale both to the smaller scale — absolute bucket
+    * index i at scale s becomes floor(i / 2^(s−S)) at target scale S,
+    * because each coarser bucket is the union of exactly 2^(s−S) finer
+    * ones — then sum aligned buckets and zero counts). PromQL's native-
+    * histogram `sum by (...)`, and [[aggregateHistograms]]'s sibling for
+    * the exp shape, where merging never fails on layout: ANY two scales
+    * merge. Output per group: the merged (minimum) scale, summed
+    * zero_count, and DENSE positive/negative bucket arrays with their
+    * offsets — the exact shape [[expHistogramQuantile]] consumes
+    * (composition is oracle-checked).
+    *
+    * Shape at 100 TB: a labels-sized (min-scale, zero-sum) frame
+    * broadcasts back onto the scan; the bucket explode partial-aggregates
+    * on (labels, side, downscaled index) — output-cardinality-sized keys,
+    * map-side combine — and the final assembly groups per label set.
+    * The replay dedup rides the first exchange. */
+  def aggregateExpHistograms(hists: DataFrame,
+                             by: Seq[String] = Seq("name")): DataFrame = {
+    require(by.nonEmpty, "aggregateExpHistograms needs at least one label")
+    val keys = by.map(col)
+    val dedupKeys =
+      if (hists.columns.contains("time_unix_nano"))
+        keys :+ col("time_unix_nano")
+      else keys
+    val base = Replay.dedupWithin(hists, dedupKeys)
+    val scales = base.groupBy(keys: _*)
+      .agg(min(col("scale")).as("__tgt_scale"),
+        sum(coalesce(col("zero_count"), lit(0L))).as("zero_count"),
+        count(lit(1)).as("n_points"))
+    // one combined struct array per point — {side, absolute index, count}
+    // for both bucket polarities — exploded, downscaled (arithmetic floor
+    // division by 2^(scale − target): each coarser bucket is the union of
+    // exactly that many finer ones), and partial-aggregated per index
+    val merged = base.join(broadcast(scales), by)
+      .withColumn("__d", col("scale") - col("__tgt_scale"))
+      .withColumn("__b", expr(
+        """concat(
+          |  coalesce(transform(positive_bucket_counts, (c, i) ->
+          |    struct(1 AS side, positive_offset + i AS idx, c AS cnt)),
+          |    array()),
+          |  coalesce(transform(negative_bucket_counts, (c, i) ->
+          |    struct(-1 AS side, negative_offset + i AS idx, c AS cnt)),
+          |    array()))""".stripMargin))
+      .select((keys :+ explode(col("__b")).as("e") :+ col("__d")): _*)
+      .select((keys :+ col("e.side").as("__side") :+
+        floor(col("e.idx").cast("double") / pow(lit(2.0), col("__d")))
+          .cast("int").as("__idx") :+ col("e.cnt").as("__cnt")): _*)
+      .groupBy(keys :+ col("__side") :+ col("__idx"): _*)
+      .agg(sum(col("__cnt")).as("__csum"))
+    // dense per-side assembly: sparse (index, count) entries become the
+    // offset + contiguous bucket array the exp-histogram readers emit and
+    // expHistogramQuantile consumes (absent indices fill with 0)
+    def denseSide(side: Int, offCol: String, bucketsCol: String) = {
+      def entries(inner: String) = expr(
+        s"transform(filter(__entries, x -> x.side = $side), x -> $inner)")
+      val lo = array_min(entries("x.idx"))
+      val hi = array_max(entries("x.idx"))
+      val m = map_from_entries(entries("struct(x.idx, x.csum)"))
+      (coalesce(lo, lit(0)).as(offCol),
+        when(lo.isNull, expr("array()").cast("array<bigint>"))
+          .otherwise(transform(sequence(lo, hi),
+            i => coalesce(try_element_at(m, i), lit(0L))))
+          .as(bucketsCol))
+    }
+    val assembled = merged
+      .groupBy(keys: _*)
+      .agg(collect_list(struct(col("__side").as("side"),
+        col("__idx").as("idx"), col("__csum").as("csum"))).as("__entries"))
+    val (pOff, pArr) = denseSide(1, "positive_offset",
+      "positive_bucket_counts")
+    val (nOff, nArr) = denseSide(-1, "negative_offset",
+      "negative_bucket_counts")
+    assembled.join(broadcast(scales), by)
+      .select((keys :+ col("__tgt_scale").as("scale") :+ col("zero_count") :+
+        pOff :+ pArr :+ nOff :+ nArr :+ col("n_points")): _*)
+  }
+
   /** Histogram quantile per data point (PromQL `histogram_quantile` over
     * one point): linear interpolation within the first bucket whose
     * cumulative count reaches q·total, with the Prometheus conventions —

@@ -426,6 +426,63 @@ object OtlpReaders {
         .orderBy("time_unix_nano")
     },
 
+    // OTel exponential-histogram MERGE: points at different scales
+    // downscale to the group minimum (bucket i at scale s -> floor(i/2^d))
+    // and sum aligned buckets + zero counts; output rows are the merged
+    // dense arrays exploded back to (side, absolute index, count)
+    df("otlp_exphist_agg",
+      s"""WITH m AS (${metricsFlat(s"$fx/exp_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name", dp.scale AS sc,
+         |  CAST(dp.zeroCount AS BIGINT) AS z,
+         |  dp.positive."offset" AS poff,
+         |  list_transform(dp.positive.bucketCounts,
+         |    x -> CAST(x AS BIGINT)) AS pc,
+         |  dp.negative."offset" AS noff,
+         |  list_transform(dp.negative.bucketCounts,
+         |    x -> CAST(x AS BIGINT)) AS nc
+         |  FROM m, unnest(m.exponentialHistogram.dataPoints) AS d(dp)),
+         |g AS (SELECT "name", min(sc) AS tgt,
+         |  CAST(sum(coalesce(z, 0)) AS BIGINT) AS zero_count,
+         |  count(*) AS n_points FROM pts GROUP BY "name"),
+         |ex AS (
+         |  SELECT p."name", 1 AS side, poff + i - 1 AS idx, pc[i] AS cnt,
+         |    sc FROM pts p, unnest(generate_series(1, len(pc))) t(i)
+         |  UNION ALL
+         |  SELECT p."name", -1, noff + i - 1, nc[i], sc
+         |  FROM pts p, unnest(generate_series(1, len(nc))) t(i)),
+         |ds AS (SELECT ex."name", side,
+         |  CAST(floor(idx / pow(2.0, sc - tgt)) AS INT) AS idx, cnt
+         |  FROM ex JOIN g ON g."name" = ex."name"),
+         |agg AS (SELECT "name", side, idx, CAST(sum(cnt) AS BIGINT) AS cnt
+         |  FROM ds GROUP BY 1, 2, 3),
+         |rng AS (SELECT "name", side, min(idx) AS lo, max(idx) AS hi
+         |  FROM agg GROUP BY 1, 2),
+         |dense AS (SELECT rng."name", rng.side, i AS idx
+         |  FROM rng, unnest(generate_series(lo, hi)) t(i))
+         |SELECT d."name", g.tgt AS scale, g.zero_count, g.n_points,
+         |  d.side, CAST(d.idx AS INT) AS idx,
+         |  CAST(coalesce(a.cnt, 0) AS BIGINT) AS cnt
+         |FROM dense d JOIN g ON g."name" = d."name"
+         |LEFT JOIN agg a ON a."name" = d."name" AND a.side = d.side
+         |  AND a.idx = d.idx
+         |ORDER BY d."name", d.side, d.idx""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.aggregateExpHistograms(
+          Otlp.readMetricsExpHistogram(s, s"$fx/exp_metrics.jsonl"))
+        .select(col("name"), col("scale"), col("zero_count"),
+          col("n_points"),
+          explode(expr(
+            """concat(
+              |  transform(positive_bucket_counts, (c, i) ->
+              |    struct(1 AS side, positive_offset + i AS idx, c AS cnt)),
+              |  transform(negative_bucket_counts, (c, i) ->
+              |    struct(-1 AS side, negative_offset + i AS idx, c AS cnt))
+              |)""".stripMargin)).as("e"))
+        .select(col("name"), col("scale"), col("zero_count"),
+          col("n_points"), col("e.side").as("side"), col("e.idx").as("idx"),
+          col("e.cnt").as("cnt"))
+        .orderBy("name", "side", "idx")
+    },
+
     // RED rollup per (service, span name): rate / errors / duration
     df("otlp_red_metrics",
       s"""WITH rec AS (

@@ -273,6 +273,37 @@ object TelemetryStreams {
         col("den") :+ round(col("num") / col("den"), 6).as("ratio"): _*)
   }
 
+  /** The logs → metrics COUNT CONNECTOR on the live stream — the
+    * streaming face of `operators.Logs.logCountMetric`: per (window,
+    * service, severity) log counts emitted as delta sum-metric points in
+    * the metrics_sum shape, so the output COMPOSES with the metric
+    * streams here ([[sumByStream]], [[overTimeStream]]) exactly like the
+    * batch twin composes with the batch transforms. Same epoch-aligned
+    * windows as the batch `windowSec` grid (stream≡batch spec-pinned);
+    * watermark-bounded windowed state only, append-mode legal. */
+  def logCountStream(logs: DataFrame, windowLen: String = "1 minute",
+                     watermark: String = "2 minutes"): DataFrame =
+    logs
+      .withWatermark("time_unix_nano", watermark)
+      .groupBy(
+        window(col("time_unix_nano"), windowLen).as("w"),
+        col("service_name"),
+        coalesce(col("severity_text"), lit("UNSPECIFIED")).as("__sev"))
+      .agg(count(lit(1)).as("int_value"))
+      .select(lit("log.record.count").as("name"),
+        col("service_name"),
+        lit(null).cast("string").as("service_namespace"),
+        lit(null).cast("string").as("service_instance_id"),
+        lit(null).cast("string").as("resource_attributes"),
+        lit("graft.count_connector").as("scope_name"),
+        to_json(map(lit("severity_text"), col("__sev")))
+          .as("metric_attributes"),
+        col("w.start").as("time_unix_nano"),
+        lit(true).as("is_monotonic"),
+        lit(null).cast("double").as("double_value"),
+        col("int_value"),
+        lit(1).as("aggregation_temporality"))
+
   /** Exact-duplicate suppression on the stream (trace_id+span_id within the
     * watermark horizon) — the dedup the reference documents as a downstream
     * responsibility for its at-least-once parquet path. */

@@ -568,6 +568,32 @@ class OtlpReaderSpec extends SparkTestBase {
     }
   }
 
+  test("exp-histogram merge: cross-scale downscale to the group minimum, " +
+    "dense arrays compose with the quantile walk") {
+    val agg = graft.operators.Metrics.aggregateExpHistograms(
+      Otlp.readMetricsExpHistogram(spark, s"$fx/exp_metrics.jsonl"))
+    val r = agg.collect().head
+    // fixture: scales [0,0,0,1,0]; the scale-1 point (offset 4, [4,4])
+    // downscales to scale 0 as floor(4/2)=floor(5/2)=2 -> 8 at idx 2
+    assert(r.getAs[Int]("scale") == 0, r)
+    assert(r.getAs[Long]("zero_count") == 8L, r)
+    assert(r.getAs[Long]("n_points") == 5L, r)
+    assert(r.getAs[Int]("positive_offset") == 0 &&
+      r.getSeq[Long](r.fieldIndex("positive_bucket_counts")).toSeq ==
+        Seq(3L, 2L, 12L, 2L), r)
+    // negative side merges point 3's (offset 0, [1]) with point 5's
+    // (offset 1, [2,5,1]) -> offset 0, [1, 2, 5, 1]
+    assert(r.getAs[Int]("negative_offset") == 0 &&
+      r.getSeq[Long](r.fieldIndex("negative_bucket_counts")).toSeq ==
+        Seq(1L, 2L, 5L, 1L), r)
+    // composes with expHistogramQuantile: total 36 (neg 9 + zero 8 +
+    // pos 19), target 18 lands in the first positive bucket ->
+    // 2^((18-17)/3) = 2^(1/3)
+    val q = graft.operators.Metrics.expHistogramQuantile(agg, q = 0.5)
+      .collect().head
+    assert(q.getAs[Double]("quantile") == 1.259921, q)
+  }
+
   test("SQL view over the reader works end-to-end (minimum slice)") {
     Otlp.readLogs(spark, s"$fx/logs_simple.jsonl").createOrReplaceTempView("otlp_logs_v")
     val rows = spark.sql(

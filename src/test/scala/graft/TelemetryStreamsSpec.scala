@@ -392,6 +392,44 @@ class TelemetryStreamsSpec extends SparkTestBase {
       ((1.0, 4.0, 0.25)), streamGot)
   }
 
+  test("streaming count connector: log counts land in the metrics_sum " +
+    "shape and match the batch twin row-for-row") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, String, String)]
+    val df = in.toDF().toDF("time_unix_nano", "service_name",
+      "severity_text")
+    val rows = Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:05"), "gw", "INFO"),
+      (Timestamp.valueOf("2024-01-01 00:00:45"), "gw", "INFO"),
+      (Timestamp.valueOf("2024-01-01 00:00:50"), "gw", "ERROR"),
+      (Timestamp.valueOf("2024-01-01 00:01:10"), "gw", "INFO"),
+      (Timestamp.valueOf("2024-01-01 00:00:20"), "db", null: String))
+    val q = TelemetryStreams.logCountStream(df)
+      .writeStream.format("memory").queryName("logcountstream")
+      .outputMode("complete").start()
+    in.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("name"), r.getAs[String]("service_name"),
+        r.getAs[String]("metric_attributes"),
+        r.getAs[Timestamp]("time_unix_nano"), r.getAs[Long]("int_value"),
+        r.getAs[Boolean]("is_monotonic"),
+        r.getAs[Int]("aggregation_temporality"))
+    val stream = spark.table("logcountstream").collect().map(key).toSet
+    val batch = graft.operators.Logs.logCountMetric(
+      rows.toDF("time_unix_nano", "service_name", "severity_text"),
+      windowSec = 60).collect().map(key).toSet
+    assert(stream == batch && stream.size == 4,
+      s"stream $stream vs batch $batch")
+    // composes with the metric stream layer: the connector's output is a
+    // valid sumByStream input shape (schema-level pin)
+    assert(spark.table("logcountstream").columns.toSet
+      .intersect(Set("name", "time_unix_nano", "int_value",
+        "double_value")).size == 4)
+  }
+
   test("streaming dedup drops at-least-once duplicates within the watermark") {
     val q = TelemetryStreams.dedupSpans(
         TelemetryStreams.traceStream(spark, root))
