@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over the events table (event_id, ts/ts_ns,
+  * user_id, event_type, value, props) — the behavioral-funnel queries a
+  * training-data pipeline runs to select users/sessions worth keeping,
+  * next to the gap-based sessionization already in the registry
+  * (ev_sessionize). Beyond-reference surface, built the Spark way.
+  */
+object Events {
+
+  /** Ordered conversion FUNNEL: per user, the earliest occurrence of
+    * step 1 anchors the funnel, and each later step counts only if it
+    * occurs strictly AFTER the previous step's time and within
+    * `windowNs` of the anchor (the classic entry-window funnel, not
+    * per-hop windows). Reports one row per step: users reaching it and
+    * the conversion ratio vs step 1, round(6).
+    *
+    * Shape at 100 TB: one user-keyed partial agg per step over that
+    * step's type slice (uniform keys, map-side combine), each joined to
+    * the previous step's user frame — k steps = k slice-sized joins,
+    * never an events×events self-join; the final counts are single-row
+    * aggregates per step (a ≤k-row frame). */
+  def funnel(events: DataFrame, steps: Seq[String], windowNs: Long,
+             userCol: String = "user_id", typeCol: String = "event_type",
+             tsNsCol: String = "ts_ns"): DataFrame = {
+    require(steps.size >= 2, "funnel needs at least two steps")
+    require(steps.distinct.size == steps.size, "funnel steps must differ")
+    require(windowNs > 0, "windowNs must be positive")
+    val ev = events.select(col(userCol).as("u"), col(typeCol).as("ty"),
+      col(tsNsCol).as("et"))
+    var cur = ev.where(col("ty") === steps.head)
+      .groupBy("u").agg(min(col("et")).as("t"))
+      .withColumn("anchor", col("t"))
+    var frames = List((1, steps.head, cur))
+    steps.zipWithIndex.drop(1).foreach { case (st, k) =>
+      cur = cur.select(col("u"), col("t").as("tp"), col("anchor"))
+        .join(ev.where(col("ty") === st), Seq("u"))
+        .where(col("et") > col("tp") &&
+          col("et") <= col("anchor") + lit(windowNs))
+        .groupBy("u")
+        // anchor is constant per user: min() just carries it through
+        .agg(min(col("et")).as("t"), min(col("anchor")).as("anchor"))
+      frames = frames :+ ((k + 1, st, cur))
+    }
+    val counts = frames.map { case (i, st, f) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).as("step"), lit(st).as("step_type"), col("n_users"))
+    }.reduce(_ unionByName _)
+    // the counts frame is <= steps rows: the whole-frame window is fine
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    counts.withColumn("conversion", round(
+      col("n_users").cast("double") /
+        max(when(col("step") === 1, col("n_users"))).over(w), 6))
+  }
+
+  /** Cohort RETENTION: users cohort by the calendar day of their FIRST
+    * event; for each (cohort day, day offset) the distinct users seen
+    * again at that offset (offset 0 = the cohort day itself, so its
+    * count is the cohort size). The activation/stickiness table every
+    * product dashboard draws — and the sampling frame for
+    * "train only on users retained past day N".
+    *
+    * Shape at 100 TB: one user-keyed partial agg (first day), joined
+    * back user-keyed, then a (cohort, offset) partial agg over DISTINCT
+    * (user, offset) — output is days × offsets, tiny. */
+  def retention(events: DataFrame,
+                userCol: String = "user_id",
+                tsCol: String = "ts"): DataFrame = {
+    val firstDay = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
+      .groupBy("u").agg(min(col("d")).as("cohort_day"))
+    events.select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
+      .join(firstDay, Seq("u"))
+      .select(col("u"), col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).as("day_offset"))
+      .distinct()
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

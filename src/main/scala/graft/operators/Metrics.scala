@@ -24,9 +24,10 @@ object Metrics {
   /** The full series identity: every column that distinguishes one
     * producer's stream of points from another's (shared with the
     * streaming twins — batch and stream must key series identically). */
-  private[graft] val seriesKey = Seq("name", "service_name",
+  private[graft] val seriesKeyNames = Seq("name", "service_name",
     "service_namespace", "service_instance_id", "resource_attributes",
-    "scope_name", "metric_attributes").map(col)
+    "scope_name", "metric_attributes")
+  private[graft] val seriesKey = seriesKeyNames.map(col)
 
   /** DELTA → CUMULATIVE temporality conversion for sum metrics (the OTel
     * collector's cumulativetodelta processor, inverted): within each
@@ -512,6 +513,42 @@ object Metrics {
         floor((unix_micros(lit(asOf)) - unix_micros(col("last_time"))) /
           lit(1000000L)).cast("long"))
       .where(col("age_s") > stalenessSec)
+  }
+
+  /** Scrape-GAP report (PromQL `absent_over_time` as a table): per
+    * series, the aligned windows between its first and last point that
+    * contain NO points — the mid-life scrape-failure detector
+    * complementing [[staleSeries]]'s end-of-life view (a series that
+    * died reports there; a series that BLIPPED reports here). Reports
+    * each missing (series, window_start).
+    *
+    * Shape at 100 TB: one series-keyed partial agg to a series-sized
+    * span frame, whose per-series window sequence explodes to the
+    * expected grid (bounded by retention/windowSec — the downsampled
+    * cardinality), anti-joined to the observed (series, window) set on
+    * uniform composite keys. The corpus never self-joins. */
+  def gapReport(sums: DataFrame, windowSec: Long = 60): DataFrame = {
+    require(windowSec > 0, "windowSec must be positive")
+    val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    val wStart = Replay.windowStart(col("time_unix_nano"), windowSec)
+    val observed = sums.where(v.isNotNull)
+      .select(seriesKey :+ wStart.as("window_start"): _*)
+      .groupBy(seriesKey :+ col("window_start"): _*)
+      .agg(count(lit(1)).as("__n"))
+      .drop("__n")
+    val span = observed.groupBy(seriesKey: _*)
+      .agg(min(col("window_start")).as("__lo"),
+        max(col("window_start")).as("__hi"))
+    val expected = span.select(seriesKey :+ explode(expr(
+        s"sequence(__lo, __hi, interval $windowSec seconds)"))
+        .as("window_start"): _*)
+      .alias("e")
+    // null-SAFE key equality: series label columns are legitimately null
+    // (no namespace, no instance id) and a plain equi-join would never
+    // match them — every window would report "missing"
+    val cond = (seriesKeyNames :+ "window_start")
+      .map(c => col(s"e.$c") <=> col(s"o.$c")).reduce(_ && _)
+    expected.join(observed.alias("o"), cond, "left_anti")
   }
 
   /** Aggregate explicit-bucket histogram points ACROSS series/time before

@@ -535,6 +535,38 @@ object Traces {
           lit(1.0 - sloTarget), 4))
   }
 
+  /** Latency HEATMAP buckets: span counts per (service, power-of-two
+    * duration bucket) — the log2 histogram a latency heatmap panel
+    * renders, with explicit [lo, hi) nanosecond bounds per bucket.
+    * Sub-1 ns (0) durations land in bucket −1 with lo 0. The bucket is
+    * the binary magnitude (length of the binary representation − 1),
+    * computed on the integer — never floor(log2(double)), whose
+    * rounding misbuckets exact powers of two.
+    *
+    * Shape at 100 TB: MAP-ONLY bucketing + one (service, bucket)
+    * partial agg — hot buckets collapse map-side; output is
+    * services × ~64 buckets. Replay dedup rides the same exchange. */
+  def durationHistogram(spans: DataFrame,
+                        serviceCol: String = "service_name",
+                        idCol: String = "span_id",
+                        traceCol: String = "trace_id",
+                        durCol: String = "duration_time_unix_nano"): DataFrame = {
+    val dur = col(durCol).cast("long")
+    val bucket = when(dur <= 0, lit(-1))
+      .otherwise((length(conv(dur, 10, 2)) - 1).cast("int"))
+    Replay.dedupWithin(
+        spans.select(col(serviceCol).as("service_name"),
+          col(traceCol), col(idCol), bucket.as("bucket")),
+        Seq(col("service_name"), col("bucket")))
+      .groupBy("service_name", "bucket")
+      .agg(count(lit(1)).as("n_spans"))
+      .withColumn("bucket_lo_ns",
+        when(col("bucket") === -1, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), bucket)")))
+      .withColumn("bucket_hi_ns",
+        expr("shiftleft(CAST(1 AS BIGINT), bucket + 1)"))
+  }
+
   /** Top-k slowest spans PER SERVICE — the exemplar panel next to
     * [[spanPercentiles]]'s aggregate profile: the percentile tells you
     * p99 regressed, these are the actual spans to open. Rank by duration

@@ -1156,6 +1156,60 @@ object OtlpReaders {
         .orderBy("body")
     },
 
+    // latency heatmap buckets: span counts per (service, power-of-two
+    // duration bucket) with explicit [lo, hi) ns bounds — integer binary
+    // magnitude, never floor(log2(double))
+    df("otlp_duration_histogram",
+      s"""WITH rec AS (
+         |  SELECT rs.resource AS res, sp.* FROM read_json('$fx/services_traces.jsonl',
+         |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
+         |    unnest(resourceSpans) AS a(rs),
+         |    unnest(rs.scopeSpans) AS b(ss),
+         |    unnest(ss.spans) AS c(sp)),
+         |sp AS (SELECT ${duckService("res.attributes")} AS service_name,
+         |  CAST(endTimeUnixNano AS BIGINT) - CAST(startTimeUnixNano AS BIGINT)
+         |    AS dur FROM rec),
+         |b AS (SELECT service_name,
+         |  CASE WHEN dur <= 0 THEN -1
+         |    ELSE CAST(length(bin(dur)) - 1 AS INT) END AS bucket FROM sp)
+         |SELECT service_name, bucket, count(*) AS n_spans,
+         |  CASE WHEN bucket = -1 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(1 AS BIGINT) << bucket END AS bucket_lo_ns,
+         |  CAST(1 AS BIGINT) << (bucket + 1) AS bucket_hi_ns
+         |FROM b GROUP BY service_name, bucket
+         |ORDER BY service_name, bucket""".stripMargin) { (s, _) =>
+      graft.operators.Traces.durationHistogram(
+          Otlp.readTraces(s, s"$fx/services_traces.jsonl"))
+        .orderBy("service_name", "bucket")
+    },
+
+    // scrape-gap report (absent_over_time as a table): aligned windows
+    // between a series' first and last point that hold no points
+    df("otlp_gap_report",
+      s"""WITH m AS (${metricsFlat(s"$fx/flap_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name",
+         |  CAST(dp.timeUnixNano AS BIGINT) AS tns,
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp)),
+         |w AS (SELECT "name", tns // 45000000000 * 45 AS wsec
+         |  FROM pts WHERE v IS NOT NULL GROUP BY 1, 2),
+         |r AS (SELECT "name", min(wsec) AS lo, max(wsec) AS hi
+         |  FROM w GROUP BY "name"),
+         |ex AS (SELECT r."name", g.i AS wsec
+         |  FROM r, unnest(generate_series(lo, hi, 45)) g(i))
+         |SELECT ex."name",
+         |  strftime(make_timestamp(ex.wsec * 1000000), '$TsFmtDuck')
+         |    AS window_start
+         |FROM ex LEFT JOIN w ON w."name" = ex."name" AND w.wsec = ex.wsec
+         |WHERE w."name" IS NULL
+         |ORDER BY ex."name", window_start""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.gapReport(
+          Otlp.readMetricsSum(s, s"$fx/flap_metrics.jsonl"), windowSec = 45)
+        .select(col("name"),
+          date_format(col("window_start"), TsFmtSpark).as("window_start"))
+        .orderBy("name", "window_start")
+    },
+
     // staleness report (PromQL absent() as a table): series whose last
     // point is older than the horizon at a fixed as-of instant
     df("otlp_stale_series",

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QSpec
 import graft.QSpec._
-import graft.operators.{CorpusFilters, Dedup, Similarity, TextAnalysis}
+import graft.operators.{CorpusFilters, Dedup, Events, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators (dedup, similarity search, text
@@ -613,6 +613,53 @@ object TrainingData {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM o2)
         |SELECT user_id, count(DISTINCT session_id) AS sessions, count(*) AS events
         |FROM s GROUP BY user_id ORDER BY user_id LIMIT 100""".stripMargin),
+
+    // ordered conversion funnel (view -> click -> purchase within 7 days
+    // of the first view): per-user earliest-occurrence chaining, counts +
+    // conversion per step
+    df("ev_funnel",
+      """WITH ev AS (SELECT user_id AS u, event_type AS ty,
+        |  epoch_ns(ts) AS et FROM events),
+        |s1 AS (SELECT u, min(et) AS t, min(et) AS anchor FROM ev
+        |  WHERE ty = 'view' GROUP BY u),
+        |s2 AS (SELECT e.u, min(e.et) AS t, min(s1.anchor) AS anchor
+        |  FROM ev e JOIN s1 ON s1.u = e.u
+        |  WHERE e.ty = 'click' AND e.et > s1.t
+        |    AND e.et <= s1.anchor + 604800000000000 GROUP BY e.u),
+        |s3 AS (SELECT e.u, min(e.et) AS t, min(s2.anchor) AS anchor
+        |  FROM ev e JOIN s2 ON s2.u = e.u
+        |  WHERE e.ty = 'purchase' AND e.et > s2.t
+        |    AND e.et <= s2.anchor + 604800000000000 GROUP BY e.u),
+        |c AS (SELECT 1 AS step, 'view' AS step_type, count(*) AS n_users
+        |    FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |SELECT step, step_type, n_users,
+        |  round(n_users / (SELECT n_users FROM c WHERE step = 1), 6)
+        |    AS conversion
+        |FROM c ORDER BY step""".stripMargin) { (s, _) =>
+      Events.funnel(s.table("events"),
+          Seq("view", "click", "purchase"), windowNs = 604800000000000L)
+        .orderBy("step")
+    },
+
+    // cohort retention: users cohort by first-event day; distinct users
+    // seen again per (cohort day, day offset)
+    df("ev_retention",
+      """WITH f AS (SELECT user_id AS u, min(CAST(ts AS DATE)) AS d0
+        |  FROM events GROUP BY u),
+        |r AS (SELECT DISTINCT e.user_id AS u, f.d0,
+        |  date_diff('day', f.d0, CAST(e.ts AS DATE)) AS day_offset
+        |  FROM events e JOIN f ON f.u = e.user_id)
+        |SELECT strftime(d0, '%Y-%m-%d') AS cohort_day, day_offset,
+        |  count(*) AS n_users
+        |FROM r GROUP BY d0, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin) { (s, _) =>
+      Events.retention(s.table("events"))
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset").cast("long").as("day_offset"), col("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
 
     // heavy hitters: top-20 corpus tokens by frequency
     dialect("ta_top_tokens",

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Events
+import org.apache.spark.sql.functions._
+
+/** Hand-computed goldens for the product-analytics event operators —
+  * ordering and windowing edges the sf-table oracle can't isolate. */
+class EventsSpec extends SparkTestBase {
+
+  test("funnel: steps must be ordered in time, the entry window anchors " +
+    "at step 1, out-of-window and out-of-order conversions drop") {
+    import spark.implicits._
+    val ns = 1000000000L
+    val ev = Seq(
+      // u1: full ordered conversion inside the window
+      (1L, "view", 10 * ns), (1L, "click", 20 * ns),
+      (1L, "purchase", 30 * ns),
+      // u2: click BEFORE the first view — not a conversion
+      (2L, "click", 5 * ns), (2L, "view", 10 * ns),
+      // u3: click after view but outside the 50 s entry window
+      (3L, "view", 10 * ns), (3L, "click", 70 * ns),
+      // u4: view only
+      (4L, "view", 10 * ns),
+      // u5: simultaneous view+click (strictly-after rule drops the click)
+      (5L, "view", 10 * ns), (5L, "click", 10 * ns))
+      .toDF("user_id", "event_type", "ts_ns")
+    val got = Events.funnel(ev, Seq("view", "click", "purchase"),
+        windowNs = 50 * ns).collect()
+      .map(r => r.getAs[Int]("step") ->
+        ((r.getAs[String]("step_type"), r.getAs[Long]("n_users"),
+          r.getAs[Double]("conversion")))).toMap
+    assert(got == Map(
+      1 -> (("view", 5L, 1.0)),
+      2 -> (("click", 1L, 0.2)),
+      3 -> (("purchase", 1L, 0.2))), got)
+  }
+
+  test("retention: cohort by first-event day, offset 0 equals cohort " +
+    "size, repeat visits within a day count once") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 08:00:00")), (1L, ts("2024-01-01 19:00:00")),
+      (1L, ts("2024-01-03 09:00:00")),
+      (2L, ts("2024-01-01 12:00:00")),
+      (3L, ts("2024-01-02 07:00:00")), (3L, ts("2024-01-03 07:00:00")))
+      .toDF("user_id", "ts")
+    val got = Events.retention(ev).collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_day").toString,
+        r.getAs[Int]("day_offset")) -> r.getAs[Long]("n_users")).toMap
+    assert(got == Map(
+      ("2024-01-01", 0) -> 2L, ("2024-01-01", 2) -> 1L,
+      ("2024-01-02", 0) -> 1L, ("2024-01-02", 1) -> 1L), got)
+  }
+}
