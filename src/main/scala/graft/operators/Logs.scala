@@ -131,11 +131,14 @@ object Logs {
     *     template is the original string, like the cascade's.
     *     [[logTemplates]] mines ONE wildcard layout per token count, so
     *     this is one join; a merged/heterogeneous set needs one join per
-    *     extra layout — the slot loop generalizes to ANY layout spread
-    *     (VERDICT r10 #4 lifted the old 16-layout cascade fallback; a 5k-
-    *     template, 32-layout set is plan-pinned to classify join-only in
-    *     LogsSpec). Stream-static broadcast joins are append-mode legal,
-    *     so even this path attaches to a live stream.
+    *     extra layout — the slot loop generalizes up to 64 layouts per
+    *     token count (VERDICT r10 #4 lifted the old 16-layout cascade
+    *     fallback; a 5k-template, 32-layout set is plan-pinned to
+    *     classify join-only in LogsSpec; past 64 the plan-size cost of
+    *     per-layout joins exceeds the cascade's and the set falls back,
+    *     fail-loud beyond the cascade's own 10k bound). Stream-static
+    *     broadcast joins are append-mode legal, so even this path
+    *     attaches to a live stream.
     *
     * `cascadeLimit` is capped at 10,000 (ADVICE r10): every arm is a plan
     * literal, and a six-figure CASE cascade is a megabyte plan no engine
@@ -149,8 +152,25 @@ object Logs {
       s"cascadeLimit out of [0, 10000]: $cascadeLimit")
     val ordered = templates.distinct
       .sortBy(t => (t.trim.split("\\s+").count(_ == "<*>"), t))
-    if (ordered.size > cascadeLimit)
-      return matchTemplatesJoin(logs, ordered, bodyCol)
+    if (ordered.size > cascadeLimit) {
+      // the join path adds one broadcast join per wildcard layout slot:
+      // fine for any mined/merged set (slots = layouts per token count,
+      // small), but a pathological set where most templates carry a
+      // DISTINCT layout would build thousands of joins and blow Catalyst
+      // plan size. Those sets fall back to the cascade below, which has
+      // its own plan-literal bound — past both, fail loudly.
+      val maxSlots = ordered.map(_.trim.split("\\s+").toSeq)
+        .groupBy(_.length)
+        .map { case (_, tts) =>
+          tts.map(_.zipWithIndex.collect { case ("<*>", i) => i })
+            .distinct.size
+        }.max
+      if (maxSlots <= 64) return matchTemplatesJoin(logs, ordered, bodyCol)
+      require(ordered.size <= 10000,
+        s"template set too heterogeneous: ${ordered.size} templates with " +
+          s"$maxSlots wildcard layouts at one token count — neither the " +
+          "join path (plan size) nor the cascade (codegen) can hold it")
+    }
     val toks = split(trim(col(bodyCol)), "\\s+")
     val arms = ordered.map { t =>
       val tt = t.trim.split("\\s+")

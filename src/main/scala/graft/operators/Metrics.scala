@@ -406,16 +406,18 @@ object Metrics {
     * carried exactly that value. The "how many replicas report version
     * N / state S" rollup for gauges encoding enums.
     *
-    * Shape at 100 TB: one partial-agg groupBy on (labels, value) —
-    * hot values collapse map-side; output cardinality is the value
-    * domain × labels, which is what the operator exists to be small. */
+    * Shape at 100 TB: the replay dedup keys on (series, time) — uniform
+    * high-cardinality, NOT the skew-prone (labels, value) key (a hot enum
+    * value reported by a whole fleet would funnel into one window task) —
+    * then the (labels, value) rollup partial-aggregates with map-side
+    * combine, so the hot value collapses before its exchange. Two
+    * exchanges, both safe; the output is the value domain × labels. */
   def countValues(sums: DataFrame,
                   by: Seq[String] = Seq("name")): DataFrame = {
     require(by.nonEmpty, "countValues needs at least one label to keep")
     val v = coalesce(col("double_value"), col("int_value").cast("double"))
-    Replay.dedupWithin(
-        sums.where(v.isNotNull).withColumn("value", v),
-        by.map(col) :+ col("value"))
+    Replay.dedupWithin(sums.where(v.isNotNull).withColumn("value", v),
+        seriesKey :+ col("time_unix_nano"))
       .groupBy(by.map(col) :+ col("value"): _*)
       .agg(count(lit(1)).as("n_samples"))
   }
@@ -462,11 +464,14 @@ object Metrics {
     * PromQL convention; ratio round(6).
     *
     * Shape at 100 TB: the denominator aggregates to an (on-labels ×
-    * time)-bounded frame — the dashboard-resolution cardinality — and
-    * BROADCASTS back onto the numerator scan; the numerator side's only
-    * exchange is its replay-dedup window keyed by the same (on, time)
-    * join key. The corpus is read once per side and never self-joins
-    * (plan-pinned in PlanSpec). */
+    * time)-bounded frame — dashboard-resolution in the common case, so
+    * the planner broadcasts it back onto the numerator scan on stats
+    * (plan-pinned in PlanSpec); a months-long high-resolution range whose
+    * denominator outgrows the broadcast threshold degrades to a shuffle
+    * join instead of OOMing a forced broadcast. The numerator side's only
+    * guaranteed exchange is its replay-dedup window keyed by the same
+    * (on, time) join key. The corpus is read once per side and never
+    * self-joins. */
   def ratioGroupLeft(sums: DataFrame, numName: String, denName: String,
                      on: Seq[String]): DataFrame = {
     require(numName != denName, "numerator and denominator must differ")
@@ -482,7 +487,12 @@ object Metrics {
       .groupBy(keys: _*)
       .agg(sum(col("__v")).as("den"))
       .where(col("den") =!= 0)
-    num.join(broadcast(den), on :+ "time_unix_nano")
+    // no broadcast() hint: the denominator is dashboard-resolution sized
+    // in the common case and the planner broadcasts it on stats (pinned
+    // in PlanSpec), but its true cardinality is on-labels × timestamps —
+    // a months-long high-resolution query must be ALLOWED to degrade to
+    // a shuffle join instead of OOMing the driver on a forced broadcast
+    num.join(den, on :+ "time_unix_nano")
       .select((seriesKey :+ col("time_unix_nano") :+ col("num") :+
         col("den") :+ round(col("num") / col("den"), 6).as("ratio")): _*)
   }
@@ -661,7 +671,11 @@ object Metrics {
       "positive_bucket_counts")
     val (nOff, nArr) = denseSide(-1, "negative_offset",
       "negative_bucket_counts")
-    assembled.join(broadcast(scales), by)
+    // LEFT join from scales: a group whose points carry only zero-bucket
+    // mass (no positive/negative entries anywhere) has no `assembled` row
+    // but must still emit its zero_count/scale — denseSide's null handling
+    // yields offset 0 + empty arrays for the bucket-less sides
+    scales.join(assembled, by, "left")
       .select((keys :+ col("__tgt_scale").as("scale") :+ col("zero_count") :+
         pOff :+ pArr :+ nOff :+ nArr :+ col("n_points")): _*)
   }
@@ -726,6 +740,7 @@ object Metrics {
     * row's own buckets, no shuffle, streaming-composable. */
   def histogramFraction(hists: DataFrame, x: Double,
                         outCol: String = "fraction"): DataFrame = {
+    require(!x.isNaN && !x.isInfinity, s"x must be finite: $x")
     val b = col("explicit_bounds")
     val idx = col("__fidx")
     val lo = when(idx === 1, lit(0.0)).otherwise(element_at(b, idx - 1))
@@ -733,10 +748,13 @@ object Metrics {
     val cumPrev = when(idx === 1, lit(0.0))
       .otherwise(element_at(col("__cums"), idx - 1))
     val cnt = element_at(col("bucket_counts"), idx).cast("double")
-    // in-bucket share of x, clamped to [0,1]: an x below the first bound's
-    // zero-anchored range floor contributes nothing; a zero-width edge
-    // (first bound exactly 0) counts as fully covered
-    val fracIn = when(hi === lo, lit(1.0))
+    // in-bucket share of x, clamped to [0,1]: an x below the bucket's
+    // floor (incl. x < 0 under the zero-anchored first bucket) contributes
+    // nothing — checked BEFORE the zero-width rule, which otherwise
+    // credits the full bucket for an x the bucket doesn't reach; a
+    // zero-width edge (first bound exactly 0) at or below x counts fully
+    val fracIn = when(lit(x) < lo, lit(0.0))
+      .when(hi === lo, lit(1.0))
       .otherwise(greatest(lit(0.0), least(lit(1.0),
         (lit(x) - lo) / (hi - lo))))
     hists

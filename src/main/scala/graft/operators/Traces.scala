@@ -543,9 +543,12 @@ object Traces {
     * computed on the integer — never floor(log2(double)), whose
     * rounding misbuckets exact powers of two.
     *
-    * Shape at 100 TB: MAP-ONLY bucketing + one (service, bucket)
-    * partial agg — hot buckets collapse map-side; output is
-    * services × ~64 buckets. Replay dedup rides the same exchange. */
+    * Shape at 100 TB: map-only bucketing; the replay dedup keys on the
+    * uniform (trace, span) identity — NOT (service, bucket), whose modal
+    * latency bucket would funnel a big service's span mass into one
+    * window task — then the (service, bucket) rollup partial-aggregates
+    * with map-side combine, so hot buckets collapse before their
+    * exchange. Output is services × ~64 buckets. */
   def durationHistogram(spans: DataFrame,
                         serviceCol: String = "service_name",
                         idCol: String = "span_id",
@@ -557,7 +560,7 @@ object Traces {
     Replay.dedupWithin(
         spans.select(col(serviceCol).as("service_name"),
           col(traceCol), col(idCol), bucket.as("bucket")),
-        Seq(col("service_name"), col("bucket")))
+        Seq(col(traceCol), col(idCol)))
       .groupBy("service_name", "bucket")
       .agg(count(lit(1)).as("n_spans"))
       .withColumn("bucket_lo_ns",

@@ -561,6 +561,18 @@ class LogsSpec extends SparkTestBase {
     assert(frac(5.0) == 0.2, frac(5.0))    // half of the first bucket's 4/10
     assert(frac(15.0) == 0.6, frac(15.0))  // 4 + half of 4, over 10
     assert(frac(999.0) == 0.8, frac(999.0)) // finite mass 8/10
+    // x below the zero anchor contributes nothing — even when the first
+    // bound is exactly 0 (the zero-width rule must not credit a bucket
+    // x never reaches); x at the zero-width edge covers it fully
+    val zb = Seq((Seq(4L, 4L, 2L), Seq(0.0, 10.0)))
+      .toDF("bucket_counts", "explicit_bounds")
+    def fz(x: Double) = Metrics.histogramFraction(zb, x)
+      .collect().head.getAs[Double]("fraction")
+    assert(fz(-1.0) == 0.0, fz(-1.0))
+    assert(fz(0.0) == 0.4, fz(0.0))
+    intercept[IllegalArgumentException] {
+      Metrics.histogramFraction(zb, Double.PositiveInfinity)
+    }
   }
 
   test("spanPercentiles: interpolated p50/p95/p99 per service, replay-safe") {

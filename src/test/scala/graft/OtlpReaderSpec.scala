@@ -592,6 +592,24 @@ class OtlpReaderSpec extends SparkTestBase {
     val q = graft.operators.Metrics.expHistogramQuantile(agg, q = 0.5)
       .collect().head
     assert(q.getAs[Double]("quantile") == 1.259921, q)
+    // a group whose points carry ONLY zero-bucket mass still emits its
+    // row (review finding: the inner join from bucket entries dropped
+    // it), with empty bucket arrays the quantile walk maps to 0
+    import spark.implicits._
+    val zeroOnly = Seq(("z.hist", 0, 7L, 0, Seq.empty[Long], 0,
+        Seq.empty[Long]))
+      .toDF("name", "scale", "zero_count", "positive_offset",
+        "positive_bucket_counts", "negative_offset",
+        "negative_bucket_counts")
+    val zr = graft.operators.Metrics.aggregateExpHistograms(zeroOnly)
+      .collect().head
+    assert(zr.getAs[Long]("zero_count") == 7L &&
+      zr.getSeq[Long](zr.fieldIndex("positive_bucket_counts")).isEmpty &&
+      zr.getAs[Long]("n_points") == 1L, zr)
+    val zq = graft.operators.Metrics.expHistogramQuantile(
+      graft.operators.Metrics.aggregateExpHistograms(zeroOnly), q = 0.5)
+      .collect().head
+    assert(zq.getAs[Double]("quantile") == 0.0, zq)
   }
 
   test("SQL view over the reader works end-to-end (minimum slice)") {
