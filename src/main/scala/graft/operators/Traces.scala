@@ -535,6 +535,99 @@ object Traces {
           lit(1.0 - sloTarget), 4))
   }
 
+  /** Span-status derivation from HTTP semantic conventions — the OTel
+    * collector/SDK rule for spans whose status arrived UNSET: a CLIENT
+    * span with an http status ≥ 400 is an error; a SERVER span only at
+    * ≥ 500 (4xx is the CALLER's fault on the server side — the spec's
+    * asymmetry); an explicitly-set status is never overridden. Reads
+    * `http.response.status_code` with the legacy `http.status_code`
+    * fallback from the span-attributes JSON. Adds `http_status` and
+    * `status_derived`; MAP-ONLY, stream-composable.
+    *
+    * Kinds per the proto enum: SERVER = 2, CLIENT = 3. */
+  def deriveHttpStatus(spans: DataFrame,
+                       attrsCol: String = "span_attributes",
+                       kindCol: String = "kind",
+                       statusCol: String = "status_code"): DataFrame = {
+    val http = coalesce(
+      get_json_object(col(attrsCol), "$['http.response.status_code']"),
+      get_json_object(col(attrsCol), "$['http.status_code']")).cast("int")
+    val derived =
+      when(col(statusCol) =!= 0, col(statusCol))
+        .when(http.isNull, col(statusCol))
+        .when(col(kindCol) === 3 && http >= 400, lit(2))
+        .when(col(kindCol) === 2 && http >= 500, lit(2))
+        .otherwise(col(statusCol))
+    spans.withColumn("http_status", http)
+      .withColumn("status_derived", derived)
+  }
+
+  /** Rate-limiting sampler — the collector's rate_limiting policy as an
+    * operator: keep at most `n` spans per (service, aligned window),
+    * earliest first with a deterministic (trace, span) tiebreak, and
+    * report each kept span's rank. The ingest-volume circuit breaker
+    * that [[headSample]]'s probabilistic rate cannot guarantee (a burst
+    * still gets through a probability; a limit does not move).
+    *
+    * Shape at 100 TB: replay dedup and the rank window share ONE
+    * (service, window) exchange; a partition holds one service-window's
+    * spans — bounded by the limit's own time horizon, the operator's
+    * natural unit. */
+  def rateLimitSample(spans: DataFrame, n: Int, windowSec: Long = 60,
+                      serviceCol: String = "service_name",
+                      idCol: String = "span_id",
+                      traceCol: String = "trace_id",
+                      timeCol: String = "start_time_unix_nano"): DataFrame = {
+    require(n > 0, "n must be positive")
+    require(windowSec > 0, "windowSec must be positive")
+    val base = Replay.dedupWithin(
+      spans.select(col(serviceCol).as("service_name"),
+        col(traceCol).as("trace_id"), col(idCol).as("span_id"),
+        col(timeCol).as("start_time"),
+        Replay.windowStart(col(timeCol), windowSec).as("window_start")),
+      Seq(col("service_name"), col("window_start")))
+    val w = Window.partitionBy(col("service_name"), col("window_start"))
+      .orderBy(col("start_time"), col("trace_id"), col("span_id"))
+    base.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= n)
+  }
+
+  /** Span-LINK rollup per service: how much batch/fan-in causality the
+    * traces carry — spans with links, total links, and CROSS-TRACE links
+    * (a link into another trace is the batch-processing signature; a
+    * same-trace link is a scatter-gather join). The links_json column is
+    * each row's own array: map-only from_json + size/filter arithmetic,
+    * one services-bounded partial agg; replay dedup keyed by span
+    * identity rides the first exchange. */
+  def linkReport(spans: DataFrame,
+                 serviceCol: String = "service_name",
+                 idCol: String = "span_id",
+                 traceCol: String = "trace_id",
+                 linksCol: String = "links_json"): DataFrame = {
+    val linkType = org.apache.spark.sql.types.DataType.fromDDL(
+      "array<struct<trace_id:string,span_id:string,trace_state:string," +
+        "attributes:map<string,string>>>")
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    // dedup on the raw JSON string (orderable), parse after: a map-typed
+    // parsed column cannot ride the dedup window's total ordering
+    Replay.dedupWithin(
+        spans.select(col(serviceCol).as("service_name"),
+          col(traceCol).as("t"), col(idCol).as("s"),
+          col(linksCol).as("__links_json")),
+        Seq(col("t"), col("s")))
+      .withColumn("__links", from_json(col("__links_json"), linkType))
+      .withColumn("__n_links", coalesce(size(col("__links")), lit(0)))
+      .withColumn("__n_cross", coalesce(size(expr(
+        "filter(__links, l -> l.trace_id IS NOT NULL AND l.trace_id != t)")),
+        lit(0)))
+      .groupBy("service_name")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__n_links") > 0, 1L).otherwise(0L))
+          .as("n_linked_spans"),
+        sum(col("__n_links").cast("long")).as("n_links"),
+        sum(col("__n_cross").cast("long")).as("n_cross_trace_links"))
+  }
+
   /** Latency HEATMAP buckets: span counts per (service, power-of-two
     * duration bucket) — the log2 histogram a latency heatmap panel
     * renders, with explicit [lo, hi) nanosecond bounds per bucket.

@@ -77,6 +77,17 @@ object OtlpReaders {
        |      events STRUCT(timeUnixNano VARCHAR, "name" VARCHAR,
        |        attributes $AttrsT)[])[])[])[]""".stripMargin
 
+  /** Span record type WITH kind/attributes/links (the http_traces
+    * fixture; the shared spansRecT omits links). */
+  private val spansLinksT =
+    s"""STRUCT(resource STRUCT(attributes $AttrsT),
+       |  scopeSpans STRUCT("scope" STRUCT("name" VARCHAR),
+       |    spans STRUCT(traceId VARCHAR, spanId VARCHAR, "name" VARCHAR,
+       |      kind INTEGER, startTimeUnixNano VARCHAR,
+       |      endTimeUnixNano VARCHAR, attributes $AttrsT,
+       |      status STRUCT(code INTEGER),
+       |      links STRUCT(traceId VARCHAR, spanId VARCHAR)[])[])[])[]""".stripMargin
+
   private val metricsRecT =
     s"""STRUCT(resource STRUCT(attributes $AttrsT),
        |  scopeMetrics STRUCT("scope" STRUCT("name" VARCHAR),
@@ -1154,6 +1165,95 @@ object OtlpReaders {
         .select(col("body"), col("severity_canonical"),
           col("severity_mismatch"))
         .orderBy("body")
+    },
+
+    // span status from HTTP semantic conventions: CLIENT >= 400 / SERVER
+    // >= 500 derive error when status arrived unset; set statuses win
+    df("otlp_http_status",
+      s"""WITH rec AS (
+         |  SELECT rs.resource AS res, sp.* FROM read_json('$fx/http_traces.jsonl',
+         |      format='newline_delimited', columns={resourceSpans: '$spansLinksT'}),
+         |    unnest(resourceSpans) AS a(rs),
+         |    unnest(rs.scopeSpans) AS b(ss),
+         |    unnest(ss.spans) AS c(sp)),
+         |sp AS (SELECT lower(traceId) AS trace_id, lower(spanId) AS span_id,
+         |  kind, status.code AS code,
+         |  CAST((list_filter(attributes,
+         |    a -> a."key" = 'http.status_code')[1])."value".intValue AS INT)
+         |    AS http FROM rec)
+         |SELECT trace_id, span_id, kind, code AS status_code,
+         |  http AS http_status,
+         |  CASE WHEN code <> 0 THEN code
+         |    WHEN http IS NULL THEN code
+         |    WHEN kind = 3 AND http >= 400 THEN 2
+         |    WHEN kind = 2 AND http >= 500 THEN 2
+         |    ELSE code END AS status_derived
+         |FROM sp ORDER BY trace_id, span_id""".stripMargin) { (s, _) =>
+      graft.operators.Traces.deriveHttpStatus(
+          Otlp.readTraces(s, s"$fx/http_traces.jsonl"))
+        .select(col("trace_id"), col("span_id"), col("kind"),
+          col("status_code"), col("http_status"), col("status_derived"))
+        .orderBy("trace_id", "span_id")
+    },
+
+    // rate-limiting sampler: at most n spans per (service, window),
+    // earliest first, deterministic tiebreak — the volume circuit breaker
+    df("otlp_rate_limit",
+      s"""WITH rec AS (
+         |  SELECT rs.resource AS res, sp.* FROM read_json('$fx/red_traces.jsonl',
+         |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
+         |    unnest(resourceSpans) AS a(rs),
+         |    unnest(rs.scopeSpans) AS b(ss),
+         |    unnest(ss.spans) AS c(sp)),
+         |sp AS (SELECT ${duckService("res.attributes")} AS service_name,
+         |  lower(traceId) AS trace_id, lower(spanId) AS span_id,
+         |  CAST(startTimeUnixNano AS BIGINT) AS tns FROM rec),
+         |r AS (SELECT service_name, trace_id, span_id,
+         |  tns // 300000000000 * 300 AS wsec,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY service_name, tns // 300000000000 * 300
+         |    ORDER BY tns, trace_id, span_id) AS INT) AS rnk FROM sp)
+         |SELECT service_name,
+         |  strftime(make_timestamp(wsec * 1000000), '$TsFmtDuck')
+         |    AS window_start,
+         |  trace_id, span_id, rnk
+         |FROM r WHERE rnk <= 2
+         |ORDER BY service_name, window_start, rnk""".stripMargin) { (s, _) =>
+      graft.operators.Traces.rateLimitSample(
+          Otlp.readTraces(s, s"$fx/red_traces.jsonl"), n = 2,
+          windowSec = 300)
+        .select(col("service_name"),
+          date_format(col("window_start"), TsFmtSpark).as("window_start"),
+          col("trace_id"), col("span_id"), col("rnk"))
+        .orderBy("service_name", "window_start", "rnk")
+    },
+
+    // span-link rollup: linked spans, total links, cross-trace links —
+    // the batch/fan-in causality signature
+    df("otlp_link_report",
+      s"""WITH rec AS (
+         |  SELECT rs.resource AS res, sp.* FROM read_json('$fx/http_traces.jsonl',
+         |      format='newline_delimited', columns={resourceSpans: '$spansLinksT'}),
+         |    unnest(resourceSpans) AS a(rs),
+         |    unnest(rs.scopeSpans) AS b(ss),
+         |    unnest(ss.spans) AS c(sp)),
+         |sp AS (SELECT ${duckService("res.attributes")} AS service_name,
+         |  lower(traceId) AS t,
+         |  coalesce(len(links), 0) AS nl,
+         |  coalesce(len(list_filter(links,
+         |    l -> l.traceId IS NOT NULL AND lower(l.traceId) <> lower(traceId))),
+         |    0) AS nc
+         |  FROM rec)
+         |SELECT service_name, count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN nl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_linked_spans,
+         |  CAST(sum(nl) AS BIGINT) AS n_links,
+         |  CAST(sum(nc) AS BIGINT) AS n_cross_trace_links
+         |FROM sp GROUP BY service_name ORDER BY service_name""".stripMargin) {
+      (s, _) =>
+        graft.operators.Traces.linkReport(
+            Otlp.readTraces(s, s"$fx/http_traces.jsonl"))
+          .orderBy("service_name")
     },
 
     // latency heatmap buckets: span counts per (service, power-of-two
