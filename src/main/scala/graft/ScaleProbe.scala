@@ -168,6 +168,27 @@ object ScaleProbe {
             expr("array(CAST(10 AS DOUBLE), CAST(50 AS DOUBLE), CAST(100 AS DOUBLE))")
               .as("explicit_bounds"))
             .transform(df => operators.Metrics.histogramQuantile(df, 0.9))
+        case "expagg" =>
+          import org.apache.spark.sql.functions._
+          val n = k * 100000L
+          spark.range(n).select(
+            concat(lit("m"), col("id") % 50).as("name"),
+            lit("svc").as("service_name"),
+            lit(null).cast("string").as("service_namespace"),
+            lit(null).cast("string").as("service_instance_id"),
+            lit("{}").as("resource_attributes"),
+            lit("sc").as("scope_name"),
+            lit("{}").as("metric_attributes"),
+            timestamp_micros(col("id") * 1000000L).as("time_unix_nano"),
+            (col("id") % 3).cast("int").as("scale"),
+            (col("id") % 4).as("zero_count"),
+            (col("id") % 5 - 2).cast("int").as("positive_offset"),
+            expr("array(id % 5 + 1, id % 11 + 2, id % 17 + 1)")
+              .as("positive_bucket_counts"),
+            lit(0).as("negative_offset"),
+            expr("array()").cast("array<bigint>")
+              .as("negative_bucket_counts"))
+            .transform(df => operators.Metrics.aggregateExpHistograms(df))
         case "exphistq" =>
           import org.apache.spark.sql.functions._
           val n = k * 100000L

@@ -5,6 +5,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import java.sql.Timestamp
+
 /** Structured-Streaming analytics over the live-ingest output: the seal
   * pipeline lands telemetry as partitioned parquet (SealWriter), and these
   * streams `readStream` that layout — so the OTLP server's group-commits
@@ -303,6 +305,62 @@ object TelemetryStreams {
         lit(null).cast("double").as("double_value"),
         col("int_value"),
         lit(1).as("aggregation_temporality"))
+
+  /** A span the rate limiter admitted, with its admission rank in its
+    * (service, window) budget. */
+  case class AdmittedSpan(service_name: String, window_start: Timestamp,
+                          trace_id: String, span_id: String, rank: Long)
+
+  /** Per-(service, window) admission state: how many spans passed. */
+  case class LimitState(admitted: Long)
+
+  /** Rate-limiting sampler on the LIVE span stream — the collector's
+    * rate_limiting processor as custom state: at most `n` spans pass per
+    * (service, aligned event-time window); the rest drop. ARRIVAL order
+    * decides (the collector's actual behavior — it cannot wait to sort a
+    * window by event time), which is the documented divergence from the
+    * batch twin `operators.Traces.rateLimitSample`'s earliest-first
+    * deterministic pick: batch audits what SHOULD have passed, the
+    * stream enforces the budget live. State is ONE counter per active
+    * (service, window), expired by event-time timeout once the
+    * watermark passes the window (bounded by services × active
+    * windows). */
+  def rateLimitStream(spans: DataFrame, n: Long,
+                      windowLen: String = "1 minute",
+                      watermark: String = "2 minutes"): Dataset[AdmittedSpan] = {
+    val spark = spans.sparkSession
+    import spark.implicits._
+    require(n > 0, "n must be positive")
+    // the watermarked event-time column must survive projection into the
+    // stateful operator or EventTimeTimeout refuses to bind (the
+    // rateStream contract)
+    val lite = spans
+      .withWatermark("start_time_unix_nano", watermark)
+      .select(col("start_time_unix_nano"),
+        window(col("start_time_unix_nano"), windowLen)
+          .getField("start").as("window_start"),
+        col("service_name"), col("trace_id"), col("span_id"))
+      .as[(Timestamp, Timestamp, String, String, String)]
+    lite.groupByKey { case (_, w, svc, _, _) => (svc, w) }
+      .flatMapGroupsWithState[LimitState, AdmittedSpan](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, _, state: GroupState[LimitState]) if state.hasTimedOut =>
+          state.remove(); Iterator.empty
+        case ((svc, w), it, state: GroupState[LimitState]) =>
+          var admitted = state.getOption.map(_.admitted).getOrElse(0L)
+          val out = it.flatMap { case (_, _, _, t, s) =>
+            if (admitted < n) {
+              admitted += 1
+              Some(AdmittedSpan(svc, w, t, s, admitted))
+            } else None
+          }.toList
+          state.update(LimitState(admitted))
+          // expire once the watermark passes the window end (+1 window of
+          // slack keeps the boundary race away from the admission budget)
+          state.setTimeoutTimestamp(w.getTime, windowLen)
+          out.iterator
+      }
+  }
 
   /** Exact-duplicate suppression on the stream (trace_id+span_id within the
     * watermark horizon) — the dedup the reference documents as a downstream

@@ -537,6 +537,20 @@ class PlanSpec extends SparkTestBase {
       s"spanPercentiles: dedup must ride the service exchange:\n$pP")
   }
 
+  test("event funnel: one user-keyed slice join per step, the events " +
+      "table never self-joins as a product") {
+    Tables.register(spark, sfDir)
+    val df = graft.operators.Events.funnel(spark.table("events"),
+      Seq("view", "click", "purchase"), windowNs = 604800000000000L)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // two chaining joins for three steps (each on the user key), plus
+    // partial+final aggregate pairs around every user-keyed agg
+    assert("Join".r.findAllIn(p).size >= 2, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
   test("ratioGroupLeft: the denominator frame broadcasts back onto the " +
       "numerator scan — each side's only shuffle is its dedup window") {
     import spark.implicits._

@@ -430,6 +430,39 @@ class TelemetryStreamsSpec extends SparkTestBase {
         "double_value")).size == 4)
   }
 
+  test("streaming rate limiter: per-(service, window) budget enforced " +
+    "across micro-batches, excess spans drop") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, String, String, String)]
+    val df = in.toDF().toDF("start_time_unix_nano", "service_name",
+      "trace_id", "span_id")
+    val q = TelemetryStreams.rateLimitStream(df, n = 2)
+      .writeStream.format("memory").queryName("ratelimitstream")
+      .outputMode("append").start()
+    in.addData(
+      (Timestamp.valueOf("2024-01-01 00:00:05"), "gw", "t1", "s1"),
+      (Timestamp.valueOf("2024-01-01 00:00:10"), "gw", "t1", "s2"),
+      (Timestamp.valueOf("2024-01-01 00:00:15"), "gw", "t1", "s3"), // over
+      (Timestamp.valueOf("2024-01-01 00:01:10"), "gw", "t2", "s4")) // next w
+    q.processAllAvailable()
+    // a LATER micro-batch must still see window0's spent budget
+    in.addData(
+      (Timestamp.valueOf("2024-01-01 00:00:20"), "gw", "t1", "s5"), // over
+      (Timestamp.valueOf("2024-01-01 00:00:25"), "db", "t3", "s6")) // other svc
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ratelimitstream").collect()
+      .map(r => (r.getAs[String]("service_name"),
+        r.getAs[Timestamp]("window_start").toString,
+        r.getAs[String]("span_id"), r.getAs[Long]("rank"))).toSet
+    assert(got == Set(
+      ("gw", "2024-01-01 00:00:00.0", "s1", 1L),
+      ("gw", "2024-01-01 00:00:00.0", "s2", 2L),
+      ("gw", "2024-01-01 00:01:00.0", "s4", 1L),
+      ("db", "2024-01-01 00:00:00.0", "s6", 1L)), got)
+  }
+
   test("streaming dedup drops at-least-once duplicates within the watermark") {
     val q = TelemetryStreams.dedupSpans(
         TelemetryStreams.traceStream(spark, root))
