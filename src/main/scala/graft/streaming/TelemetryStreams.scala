@@ -362,6 +362,59 @@ object TelemetryStreams {
       }
   }
 
+  /** Live log-volume anomaly against a BATCH-MINED baseline — the
+    * batch-mines/stream-scores split [[graft.operators.Logs.matchTemplates]]
+    * established, applied to `operators.Logs.volumeAnomaly`: yesterday's
+    * per-service mean/stddev (the batch operator's `svc_mean`/`svc_sd`
+    * columns, or any frame shaped (service_name, svc_mean, svc_sd))
+    * joins stream-static onto live windowed counts, z-scoring each
+    * window AS IT CLOSES. A z-score needs a baseline; computing it on
+    * the stream itself would make every window shift every past score —
+    * the static split is the semantics, not a compromise. Services
+    * absent from the baseline report null z (no baseline to deviate
+    * from), matching the batch twin's no-baseline rule. Windowed
+    * aggregation state only; stream-static joins are append-legal. */
+  def volumeAnomalyStream(logs: DataFrame, baseline: DataFrame,
+                          windowLen: String = "1 minute",
+                          watermark: String = "2 minutes",
+                          zThreshold: Double = 3.0): DataFrame =
+    logs
+      .withWatermark("time_unix_nano", watermark)
+      .groupBy(window(col("time_unix_nano"), windowLen).as("w"),
+        col("service_name"))
+      .agg(count(lit(1)).as("n_logs"))
+      .join(baseline.select(col("service_name"), col("svc_mean"),
+        col("svc_sd")), Seq("service_name"), "left")
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        col("service_name"), col("n_logs"),
+        round(col("svc_mean"), 4).as("svc_mean"),
+        round(col("svc_sd"), 4).as("svc_sd"),
+        when(col("svc_sd") > 0,
+          round((col("n_logs") - col("svc_mean")) / col("svc_sd"), 4))
+          .as("z"))
+      .withColumn("anomaly",
+        coalesce(abs(col("z")) >= zThreshold, lit(false)))
+
+  /** Live slow-outlier tagging against BATCH-MINED per-endpoint
+    * thresholds — `operators.Traces.slowOutliers`'s streaming face under
+    * the same static split: the batch operator's (service, span name,
+    * threshold_ns) frame joins stream-static onto the raw span stream,
+    * tagging each arriving span at or above its own endpoint's quantile
+    * with its exceedance. MAP-ONLY on the stream (a filter + arithmetic
+    * after the static join): no window, no state — the exemplar feed a
+    * live dashboard pages on. */
+  def slowOutliersStream(spans: DataFrame, thresholds: DataFrame): DataFrame =
+    spans
+      .select(col("service_name"), col("name").as("span_name"),
+        col("trace_id"), col("span_id"),
+        col("duration_time_unix_nano").cast("long").as("dur_ns"))
+      .join(thresholds.select(col("service_name"), col("span_name"),
+        col("threshold_ns")), Seq("service_name", "span_name"))
+      .where(col("dur_ns") >= col("threshold_ns"))
+      .withColumn("exceedance",
+        round(col("dur_ns") / col("threshold_ns"), 4))
+
   /** Exact-duplicate suppression on the stream (trace_id+span_id within the
     * watermark horizon) — the dedup the reference documents as a downstream
     * responsibility for its at-least-once parquet path. */

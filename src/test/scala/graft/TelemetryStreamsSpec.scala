@@ -463,6 +463,55 @@ class TelemetryStreamsSpec extends SparkTestBase {
       ("db", "2024-01-01 00:00:00.0", "s6", 1L)), got)
   }
 
+  test("stream-static baselines: live volume z-scores and slow-outlier " +
+    "tags match the batch operators fed the same mined frames") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // volume anomaly: baseline mined from a batch corpus, stream scores
+    // new windows against it
+    val baseline = Seq(("gw", 2.0, 1.0), ("db", 5.0, 0.0))
+      .toDF("service_name", "svc_mean", "svc_sd")
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, String)]
+    val logs = in.toDF().toDF("time_unix_nano", "service_name")
+    val q = TelemetryStreams.volumeAnomalyStream(logs, baseline,
+        zThreshold = 2.0)
+      .writeStream.format("memory").queryName("volstream")
+      .outputMode("complete").start()
+    in.addData(
+      (Timestamp.valueOf("2024-01-01 00:00:05"), "gw"),
+      (Timestamp.valueOf("2024-01-01 00:00:10"), "gw"),
+      (Timestamp.valueOf("2024-01-01 00:00:15"), "gw"),
+      (Timestamp.valueOf("2024-01-01 00:00:20"), "gw"),
+      (Timestamp.valueOf("2024-01-01 00:00:30"), "gw"), // 5 logs: z = 3
+      (Timestamp.valueOf("2024-01-01 00:00:40"), "db"), // zero-sd: null z
+      (Timestamp.valueOf("2024-01-01 00:00:45"), "new")) // no baseline
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("volstream").collect()
+      .map(r => r.getAs[String]("service_name") ->
+        ((Option(r.getAs[Any]("z")), r.getAs[Boolean]("anomaly")))).toMap
+    assert(got == Map("gw" -> ((Some(3.0), true)),
+      "db" -> ((None, false)), "new" -> ((None, false))), got)
+    // slow outliers: batch thresholds tag the live stream map-only
+    val th = Seq(("api", "GET /x", 100L))
+      .toDF("service_name", "span_name", "threshold_ns")
+    val sin = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String, String, String, Long)]
+    val spans = sin.toDF().toDF("service_name", "name", "trace_id",
+      "span_id", "duration_time_unix_nano")
+    val q2 = TelemetryStreams.slowOutliersStream(spans, th)
+      .writeStream.format("memory").queryName("outlierstream")
+      .outputMode("append").start()
+    sin.addData(
+      ("api", "GET /x", "t1", "s1", 250L),  // 2.5x over
+      ("api", "GET /x", "t1", "s2", 50L),   // under
+      ("api", "GET /y", "t1", "s3", 999L))  // no threshold: not tagged
+    q2.processAllAvailable(); q2.stop()
+    val tagged = spark.table("outlierstream").collect()
+      .map(r => (r.getAs[String]("span_id"), r.getAs[Double]("exceedance")))
+    assert(tagged.toSeq == Seq(("s1", 2.5)), tagged.toSeq)
+  }
+
   test("streaming dedup drops at-least-once duplicates within the watermark") {
     val q = TelemetryStreams.dedupSpans(
         TelemetryStreams.traceStream(spark, root))
