@@ -52,9 +52,15 @@ case class MediaFrame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
   * duration / per-channel RMS are SQL-oracle-checkable end to end (PCM is
   * lossless).
   *
+  * IMAGE FEATURES are real as well: `imageColorFeatures` extracts the
+  * classical color-descriptor vector (per-channel intensity histograms +
+  * Rec. 601 mean luminance) from the decoded pixels — genuine features a
+  * curation pipeline clusters/near-dups on today, oracle-checked on the
+  * formula PNGs.
+  *
   * STUB NOTICE (embedding + video-codec stages only): the JDK ships no
-  * embedding model and no video codec, so `featureStub` (a stand-in for an
-  * embedding model over any media type) and `frameSampleStub` compute
+  * embedding model and no video codec, so `featureStub` (a stand-in for a
+  * LEARNED embedding over any media type) and `frameSampleStub` compute
   * deterministic fakes from the bytes (documented below). The Spark-side
   * plumbing — schema, encoders, partition-preserving iterators, batch
   * shape — is real and is what the tests cover; swapping a fake for
@@ -340,6 +346,61 @@ object Multimodal {
         MediaMeta(m.media_id, m.media_type,
           width = u(0) * 256 + u(1), height = u(2) * 256 + u(3),
           channels = 1 + (u(4) % 4), n_bytes = b.length.toLong)
+      }
+    }
+  }
+
+  /** REAL image feature extractor (javax.imageio): the classical
+    * color-descriptor vector — normalized per-channel intensity
+    * histograms (`bins` buckets per R/G/B channel, bucket = value·bins/256
+    * over the color-model-resolved pixels) plus mean luminance (Rec. 601:
+    * 0.299R + 0.587G + 0.114B, scaled to [0,1]) — dims = 3·bins + 1.
+    * NOT a learned embedding (the STUB notice above still covers that
+    * stage); these are genuine decoded-pixel features a curation pipeline
+    * can cluster, near-dup, or stratify on today, oracle-checkable on the
+    * formula-pixel PNGs. Same mapPartitions contract as [[decodeImage]];
+    * undecodable bytes fail loudly. */
+  def imageColorFeatures(media: Dataset[MediaItem],
+                         bins: Int = 4): Dataset[MediaFeature] = {
+    require(bins >= 1 && bins <= 256, s"bins out of [1,256]: $bins")
+    import media.sparkSession.implicits._
+    media.filter(_.media_type == "image").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.content))
+        require(img != null, s"undecodable image bytes: media_id ${m.media_id}")
+        val w = img.getWidth; val h = img.getHeight
+        val hist = Array.ofDim[Long](3, bins)
+        var lumSum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            hist(0)(r * bins / 256) += 1
+            hist(1)(g * bins / 256) += 1
+            hist(2)(b * bins / 256) += 1
+            lumSum += 0.299 * r + 0.587 * g + 0.114 * b
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toDouble
+        val v = new Array[Float](3 * bins + 1)
+        var c = 0
+        while (c < 3) {
+          var k = 0
+          while (k < bins) {
+            v(c * bins + k) = (hist(c)(k) / n).toFloat; k += 1
+          }
+          c += 1
+        }
+        v(3 * bins) = (lumSum / n / 255.0).toFloat
+        MediaFeature(m.media_id, v)
       }
     }
   }

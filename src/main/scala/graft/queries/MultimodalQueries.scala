@@ -114,6 +114,53 @@ object MultimodalQueries {
         .toDF().orderBy("media_id")
     },
 
+    // REAL image features: per-channel 4-bin intensity histograms + mean
+    // luminance over the DECODED formula-pixel PNGs — the oracle replays
+    // the pixel arithmetic (bin = value*4//256, Rec. 601 luminance);
+    // exploded to (media_id, dim, v) rows like every feature query
+    df("mm_image_features",
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+        |  FROM documents ORDER BY media_id LIMIT 100),
+        |px AS (SELECT media_id, w, h,
+        |    (media_id * 7 + x * 5 + y * 3) % 256 AS r,
+        |    (media_id * 11 + x * 3 + y * 7) % 256 AS g,
+        |    (media_id * 13 + x + y * 5) % 256 AS b
+        |  FROM m CROSS JOIN generate_series(0, 16) tx(x)
+        |         CROSS JOIN generate_series(0, 13) ty(y)
+        |  WHERE x < w AND y < h),
+        |hist AS (
+        |  SELECT media_id, 0 AS c, r * 4 // 256 AS k, count(*) AS n
+        |    FROM px GROUP BY 1, 2, 3
+        |  UNION ALL SELECT media_id, 1, g * 4 // 256, count(*)
+        |    FROM px GROUP BY 1, 2, 3
+        |  UNION ALL SELECT media_id, 2, b * 4 // 256, count(*)
+        |    FROM px GROUP BY 1, 2, 3),
+        |tot AS (SELECT media_id, w * h AS n FROM m),
+        |lum AS (SELECT media_id,
+        |    avg(0.299 * r + 0.587 * g + 0.114 * b) / 255 AS v
+        |  FROM px GROUP BY media_id),
+        |dims AS (SELECT media_id, d
+        |  FROM m CROSS JOIN generate_series(0, 12) t(d))
+        |SELECT dims.media_id, dims.d AS dim,
+        |  CAST(CASE WHEN dims.d = 12 THEN lum.v
+        |    ELSE coalesce(hist.n, 0) / CAST(tot.n AS DOUBLE) END AS FLOAT)
+        |    AS v
+        |FROM dims JOIN tot ON tot.media_id = dims.media_id
+        |  JOIN lum ON lum.media_id = dims.media_id
+        |  LEFT JOIN hist ON hist.media_id = dims.media_id
+        |    AND hist.c = dims.d // 4 AND hist.k = dims.d % 4
+        |ORDER BY dims.media_id, dim""".stripMargin) { (s, _) =>
+      // BOTH sides emit float32 of the same double: bit-identical cells
+      // (a double round(6) still diverged where float32 noise straddled
+      // the decimal boundary — 3/1300 cells in the first cut)
+      Multimodal.imageColorFeatures(Multimodal.pngFromDocuments(
+          s.table("documents").orderBy("doc_id").limit(100)), bins = 4)
+        .toDF()
+        .select(col("media_id"), posexplode(col("feature")).as(Seq("dim", "v")))
+        .orderBy("media_id", "dim")
+    },
+
     // feature vector exploded to (media_id, dim, v) rows: the driver's
     // comparator sorts + hashes cell values and cannot handle top-level
     // arrays, and per-cell doubles get its float normalization for free
