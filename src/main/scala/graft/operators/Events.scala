@@ -58,6 +58,44 @@ object Events {
         max(when(col("step") === 1, col("n_users"))).over(w), 6))
   }
 
+  /** Session ENTRY PATHS: the most common first-`k` event-type sequences
+    * of gap-based sessions (same 1-inactivity-gap session rule as the
+    * registry's ev_sessionize) — "how do sessions start", the navigation
+    * funnel-discovery complement to [[funnel]]'s fixed-steps conversion.
+    * One row per observed path with its session count.
+    *
+    * Shape at 100 TB: the session id is a user-keyed running sum (one
+    * window, uniform user partitions bounded by per-user history), the
+    * path assembly collects at most k rows per session, and the rollup
+    * partial-aggregates onto the path space (≤ |event types|^k, tiny). */
+  def sessionPaths(events: DataFrame, gapNs: Long = 3600000000000L,
+                   k: Int = 3,
+                   userCol: String = "user_id",
+                   typeCol: String = "event_type",
+                   tsNsCol: String = "ts_ns",
+                   idCol: String = "event_id"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(gapNs > 0, "gapNs must be positive")
+    val wU = Window.partitionBy(col("u"))
+      .orderBy(col("et"), col("eid"))
+    val newSession = when(lag(col("et"), 1).over(wU).isNull ||
+      col("et") - lag(col("et"), 1).over(wU) > gapNs, 1L).otherwise(0L)
+    val base = events.select(col(userCol).as("u"), col(typeCol).as("ty"),
+        col(tsNsCol).as("et"), col(idCol).as("eid"))
+      .withColumn("sess", sum(newSession).over(
+        wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wS = Window.partitionBy(col("u"), col("sess"))
+      .orderBy(col("et"), col("eid"))
+    base.withColumn("rn", row_number().over(wS))
+      .where(col("rn") <= k)
+      .groupBy("u", "sess")
+      .agg(concat_ws(">", expr(
+        "transform(array_sort(collect_list(struct(rn, ty))), x -> x.ty)"))
+        .as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+  }
+
   /** Cohort RETENTION: users cohort by the calendar day of their FIRST
     * event; for each (cohort day, day offset) the distinct users seen
     * again at that offset (offset 0 = the cohort day itself, so its

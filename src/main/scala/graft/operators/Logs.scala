@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Log-body analytics over the flattened log table the OTLP readers and the
@@ -331,6 +332,42 @@ object Logs {
       .select(col("service_name"), col("window_start"), col("n_logs"),
         round(col("svc_mean"), 4).as("svc_mean"),
         round(col("svc_sd"), 4).as("svc_sd"), col("z"), col("anomaly"))
+  }
+
+  /** Multiline log REASSEMBLY — the collector filelog receiver's
+    * `recombine` operator as a batch/settled-table operator: a record
+    * whose body opens with whitespace or the Java stack-frame `at `
+    * prefix is a CONTINUATION of the closest preceding head record in
+    * its service's time order; continuations newline-append to their
+    * head's body (the shape a line-per-record file tailer shreds stack
+    * traces into). Head records keep their own timestamp/severity; a
+    * leading orphan run with no head reassembles into its own record
+    * (group 0 — data arrived mid-trace, still worth keeping). Returns
+    * (service_name, time of head, body, n_lines).
+    *
+    * Shape at 100 TB: one service-keyed window (running head count =
+    * group id; per-service order by (time, body) — deterministic) and a
+    * (service, group) partial agg; continuation runs are stack-trace
+    * sized, never corpus-sized. */
+  def reassembleMultiline(logs: DataFrame,
+                          serviceCol: String = "service_name",
+                          timeCol: String = "time_unix_nano",
+                          bodyCol: String = "body"): DataFrame = {
+    val isCont = substring(col(bodyCol), 1, 1).isin(" ", "\t") ||
+      substring(col(bodyCol), 1, 3) === "at "
+    val w = Window.partitionBy(col(serviceCol))
+      .orderBy(col(timeCol), col(bodyCol))
+    logs
+      .where(col(bodyCol).isNotNull)
+      .withColumn("__grp", sum(when(isCont, 0L).otherwise(1L)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(serviceCol).as("service_name"), col("__grp"))
+      .agg(min(col(timeCol)).as("time_unix_nano"),
+        concat_ws("\n", expr(
+          s"transform(array_sort(collect_list(struct($timeCol AS t, " +
+            s"$bodyCol AS b))), x -> x.b)")).as("body"),
+        count(lit(1)).as("n_lines"))
+      .drop("__grp")
   }
 
   /** Severity normalization — the OTel log data model's number→name

@@ -1136,6 +1136,33 @@ object OtlpReaders {
         .orderBy("time_unix_nano")
     },
 
+    // multiline reassembly (the filelog recombine operator): whitespace /
+    // 'at '-prefixed continuation records newline-append to their head
+    df("otlp_multiline",
+      s"""WITH rec AS (${logsFlat(s"$fx/stack_logs.jsonl")}),
+         |b AS (SELECT ${duckService("res.attributes")} AS svc,
+         |  CAST(timeUnixNano AS BIGINT) AS tns, body.stringValue AS body
+         |  FROM rec WHERE body.stringValue IS NOT NULL),
+         |g AS (SELECT *, sum(CASE WHEN left(body, 1) IN (' ', chr(9))
+         |    OR left(body, 3) = 'at ' THEN 0 ELSE 1 END)
+         |  OVER (PARTITION BY svc ORDER BY tns, body
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM b)
+         |SELECT svc AS service_name,
+         |  strftime(make_timestamp(min(tns) // 1000), '$TsFmtDuck')
+         |    AS time_unix_nano,
+         |  string_agg(body, chr(10) ORDER BY tns, body) AS body,
+         |  count(*) AS n_lines
+         |FROM g GROUP BY svc, grp
+         |ORDER BY service_name, time_unix_nano""".stripMargin) { (s, _) =>
+      graft.operators.Logs.reassembleMultiline(
+          Otlp.readLogs(s, s"$fx/stack_logs.jsonl"))
+        .select(col("service_name"),
+          date_format(col("time_unix_nano"), TsFmtSpark).as("time_unix_nano"),
+          col("body"), col("n_lines"))
+        .orderBy("service_name", "time_unix_nano")
+    },
+
     // severity normalization: the OTel number->name mapping with text
     // fallback and exporter-mismatch detection
     df("otlp_severity_normalize",

@@ -661,6 +661,28 @@ object TrainingData {
         .orderBy("cohort_day", "day_offset")
     },
 
+    // session entry paths: the most common first-3 event-type sequences
+    // of gap-based sessions (the sessionize rule) — funnel DISCOVERY
+    // where ev_funnel is fixed-steps conversion
+    df("ev_session_paths",
+      """WITH o AS (SELECT user_id AS u, event_type AS ty,
+        |  epoch_ns(ts) AS et, event_id AS eid FROM events),
+        |o2 AS (SELECT *, CASE WHEN (lag(et) OVER w) IS NULL
+        |    OR et - (lag(et) OVER w) > 3600000000000 THEN 1 ELSE 0 END AS ns
+        |  FROM o WINDOW w AS (PARTITION BY u ORDER BY et, eid)),
+        |s AS (SELECT u, ty, et, eid, sum(ns) OVER (PARTITION BY u
+        |  ORDER BY et, eid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS sess FROM o2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY u, sess
+        |  ORDER BY et, eid) AS rn FROM s),
+        |p AS (SELECT u, sess, string_agg(ty, '>' ORDER BY et, eid) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY u, sess)
+        |SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path""".stripMargin) { (s, _) =>
+      Events.sessionPaths(s.table("events"))
+        .orderBy(col("n_sessions").desc, col("path"))
+    },
+
     // heavy hitters: top-20 corpus tokens by frequency
     dialect("ta_top_tokens",
       """SELECT w, count(*) AS cnt FROM (
