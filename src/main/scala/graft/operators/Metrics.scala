@@ -185,6 +185,57 @@ object Metrics {
         count(lit(1)).as("n_pairs"))
   }
 
+  /** PromQL `delta()` for gauges over aligned windows: per (series,
+    * window) the difference between the window's LAST and FIRST values
+    * (time order, value tiebreak — deterministic like [[overTime]]'s
+    * last_value). The gauge counterpart of [[increase]]: no counter-reset
+    * rule, negative deltas are real (temperature dropped). Windows with
+    * one point report 0 (nothing moved within the window). round(6).
+    *
+    * Shape at 100 TB: one (series, window) partial-agg groupBy — the
+    * first/last states are min/max struct sketches that combine
+    * map-side; replay dedup rides the same exchange. */
+  def deltaOverTime(sums: DataFrame, windowSec: Long = 300): DataFrame = {
+    require(windowSec > 0, "windowSec must be positive")
+    val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    val wStart = Replay.windowStart(col("time_unix_nano"), windowSec)
+    Replay.dedupWithin(
+        sums.where(v.isNotNull).withColumn("window_start", wStart),
+        seriesKey :+ col("window_start"))
+      .withColumn("__v", v)
+      .groupBy(seriesKey :+ col("window_start"): _*)
+      .agg(round(
+        max(struct(col("time_unix_nano").as("t"), col("__v").as("v")))
+          .getField("v") -
+        min(struct(col("time_unix_nano").as("t"), col("__v").as("v")))
+          .getField("v"), 6).as("delta"),
+        count(lit(1)).as("n_points"))
+  }
+
+  /** PromQL cross-series aggregation family (`avg/min/max by (<labels>)`):
+    * [[sumBy]]'s generalization — collapse every series of a metric to
+    * the kept label set at each timestamp under the chosen aggregate.
+    * One partial-agg groupBy like sumBy (avg's sum/count state combines
+    * map-side); value round(6) for avg, exact for min/max. */
+  def aggregateBy(sums: DataFrame, op: String,
+                  by: Seq[String] = Seq("name")): DataFrame = {
+    require(by.nonEmpty, "aggregateBy needs at least one label to keep")
+    val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    val agg = op match {
+      case "sum" => round(sum(col("__v")), 6)
+      case "avg" => round(avg(col("__v")), 6)
+      case "min" => min(col("__v"))
+      case "max" => max(col("__v"))
+      case other => throw new IllegalArgumentException(
+        s"unknown aggregate: $other (sum|avg|min|max)")
+    }
+    Replay.dedupWithin(sums, by.map(col) :+ col("time_unix_nano"))
+      .where(v.isNotNull)
+      .withColumn("__v", v)
+      .groupBy(by.map(col) :+ col("time_unix_nano"): _*)
+      .agg(agg.as("value"), count(lit(1)).as("n_series"))
+  }
+
   /** PromQL quantile aggregation (`quantile by (<labels>)(q, metric)`):
     * at each timestamp, the exact q-quantile of the values ACROSS every
     * series that collapses to the kept label set — "p90 of per-replica

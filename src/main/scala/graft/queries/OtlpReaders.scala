@@ -1051,6 +1051,56 @@ object OtlpReaders {
         .orderBy("trace_id")
     },
 
+    // PromQL delta() for gauges: last - first per (series, aligned
+    // window), no reset rule, negative deltas real
+    df("otlp_delta_over_time",
+      s"""WITH m AS (${metricsFlat(s"$fx/rate_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name",
+         |  CAST(dp.timeUnixNano AS BIGINT) AS tns,
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp)),
+         |r AS (SELECT *, tns // 120000000000 * 120 AS wsec,
+         |  row_number() OVER (PARTITION BY "name", tns // 120000000000
+         |    ORDER BY tns DESC, v DESC) AS rl,
+         |  row_number() OVER (PARTITION BY "name", tns // 120000000000
+         |    ORDER BY tns ASC, v ASC) AS rf
+         |  FROM pts WHERE v IS NOT NULL)
+         |SELECT "name",
+         |  strftime(make_timestamp(wsec * 1000000), '$TsFmtDuck')
+         |    AS window_start,
+         |  round(max(CASE WHEN rl = 1 THEN v END)
+         |    - max(CASE WHEN rf = 1 THEN v END), 6) AS delta,
+         |  count(*) AS n_points
+         |FROM r GROUP BY "name", wsec ORDER BY "name", wsec""".stripMargin) {
+      (s, _) =>
+        graft.operators.Metrics.deltaOverTime(
+            Otlp.readMetricsSum(s, s"$fx/rate_metrics.jsonl"),
+            windowSec = 120)
+          .select(col("name"),
+            date_format(col("window_start"), TsFmtSpark).as("window_start"),
+            col("delta"), col("n_points"))
+          .orderBy("name", "window_start")
+    },
+
+    // PromQL avg by (name): the sum-by family generalized — per-timestamp
+    // cross-replica mean
+    df("otlp_avg_by",
+      s"""WITH m AS (${metricsFlat(s"$fx/replica_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name", ${duckTs("dp.timeUnixNano")} AS t,
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp))
+         |SELECT "name", t AS time_unix_nano, round(avg(v), 6) AS "value",
+         |  count(*) AS n_series
+         |FROM pts WHERE v IS NOT NULL GROUP BY "name", t
+         |ORDER BY "name", t""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.aggregateBy(
+          Otlp.readMetricsSum(s, s"$fx/replica_metrics.jsonl"), op = "avg")
+        .select(col("name"),
+          date_format(col("time_unix_nano"), TsFmtSpark).as("time_unix_nano"),
+          col("value"), col("n_series"))
+        .orderBy("name", "time_unix_nano")
+    },
+
     // PromQL bottomk(k): the k lowest-valued series at each timestamp —
     // topk's starved-replica mirror
     df("otlp_bottomk_series",
