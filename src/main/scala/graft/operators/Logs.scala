@@ -363,9 +363,12 @@ object Logs {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(serviceCol).as("service_name"), col("__grp"))
       .agg(min(col(timeCol)).as("time_unix_nano"),
-        concat_ws("\n", expr(
-          s"transform(array_sort(collect_list(struct($timeCol AS t, " +
-            s"$bodyCol AS b))), x -> x.b)")).as("body"),
+        // Column API, not an interpolated SQL string: arbitrary caller
+        // column names (spaces, dots) must not break the expression
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col(timeCol).as("t"),
+            col(bodyCol).as("b")))),
+          x => x.getField("b"))).as("body"),
         count(lit(1)).as("n_lines"))
       .drop("__grp")
   }

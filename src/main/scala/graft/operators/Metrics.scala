@@ -107,14 +107,8 @@ object Metrics {
     * (kept labels, timestamp) — replicas of one metric collapse map-side
     * before the exchange, and the output cardinality is the RETAINED label
     * space × time, not the series space. No window, no state. */
-  def sumBy(sums: DataFrame, by: Seq[String] = Seq("name")): DataFrame = {
-    require(by.nonEmpty, "sumBy needs at least one label to keep")
-    val v = coalesce(col("double_value"), col("int_value").cast("double"))
-    Replay.dedupWithin(sums, by.map(col) :+ col("time_unix_nano"))
-      .where(v.isNotNull)
-      .groupBy(by.map(col) :+ col("time_unix_nano"): _*)
-      .agg(round(sum(v), 6).as("value"), count(lit(1)).as("n_series"))
-  }
+  def sumBy(sums: DataFrame, by: Seq[String] = Seq("name")): DataFrame =
+    aggregateBy(sums, "sum", by) // one definition — see aggregateBy
 
   /** PromQL range-vector aggregation (`avg_over_time` / `min_over_time` /
     * `max_over_time` / `last_over_time` / `count_over_time` in one pass):

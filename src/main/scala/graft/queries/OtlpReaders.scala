@@ -1101,6 +1101,25 @@ object OtlpReaders {
         .orderBy("name", "time_unix_nano")
     },
 
+    // PromQL max by (name): exact branch of the aggregate-by family
+    // (values reported exactly, no rounding)
+    df("otlp_max_by",
+      s"""WITH m AS (${metricsFlat(s"$fx/replica_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name", ${duckTs("dp.timeUnixNano")} AS t,
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp))
+         |SELECT "name", t AS time_unix_nano, max(v) AS "value",
+         |  count(*) AS n_series
+         |FROM pts WHERE v IS NOT NULL GROUP BY "name", t
+         |ORDER BY "name", t""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.aggregateBy(
+          Otlp.readMetricsSum(s, s"$fx/replica_metrics.jsonl"), op = "max")
+        .select(col("name"),
+          date_format(col("time_unix_nano"), TsFmtSpark).as("time_unix_nano"),
+          col("value"), col("n_series"))
+        .orderBy("name", "time_unix_nano")
+    },
+
     // PromQL bottomk(k): the k lowest-valued series at each timestamp —
     // topk's starved-replica mirror
     df("otlp_bottomk_series",

@@ -383,8 +383,13 @@ object TelemetryStreams {
       .groupBy(window(col("time_unix_nano"), windowLen).as("w"),
         col("service_name"))
       .agg(count(lit(1)).as("n_logs"))
+      // dropDuplicates: the batch volumeAnomaly output (the docstring's
+      // blessed baseline) carries one row PER WINDOW with constant
+      // per-service stats — joining it raw would emit each live window
+      // once per baseline row (review finding)
       .join(baseline.select(col("service_name"), col("svc_mean"),
-        col("svc_sd")), Seq("service_name"), "left")
+        col("svc_sd")).dropDuplicates("service_name"),
+        Seq("service_name"), "left")
       .select(col("w.start").as("window_start"),
         col("w.end").as("window_end"),
         col("service_name"), col("n_logs"),
@@ -409,8 +414,12 @@ object TelemetryStreams {
       .select(col("service_name"), col("name").as("span_name"),
         col("trace_id"), col("span_id"),
         col("duration_time_unix_nano").cast("long").as("dur_ns"))
+      // dropDuplicates: batch slowOutliers emits one row per tagged SPAN
+      // (each carrying its endpoint's threshold), not one per endpoint —
+      // joining it raw would tag every live span once per batch outlier
       .join(thresholds.select(col("service_name"), col("span_name"),
-        col("threshold_ns")), Seq("service_name", "span_name"))
+        col("threshold_ns")).dropDuplicates("service_name", "span_name"),
+        Seq("service_name", "span_name"))
       .where(col("dur_ns") >= col("threshold_ns"))
       .withColumn("exceedance",
         round(col("dur_ns") / col("threshold_ns"), 4))

@@ -468,8 +468,10 @@ class TelemetryStreamsSpec extends SparkTestBase {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     // volume anomaly: baseline mined from a batch corpus, stream scores
-    // new windows against it
-    val baseline = Seq(("gw", 2.0, 1.0), ("db", 5.0, 0.0))
+    // new windows against it. The batch operator emits one row PER WINDOW
+    // (constant stats per service) — the duplicate row here pins that the
+    // stream dedups the baseline instead of multiplying live windows
+    val baseline = Seq(("gw", 2.0, 1.0), ("gw", 2.0, 1.0), ("db", 5.0, 0.0))
       .toDF("service_name", "svc_mean", "svc_sd")
     val in = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Timestamp, String)]
@@ -492,8 +494,10 @@ class TelemetryStreamsSpec extends SparkTestBase {
         ((Option(r.getAs[Any]("z")), r.getAs[Boolean]("anomaly")))).toMap
     assert(got == Map("gw" -> ((Some(3.0), true)),
       "db" -> ((None, false)), "new" -> ((None, false))), got)
-    // slow outliers: batch thresholds tag the live stream map-only
-    val th = Seq(("api", "GET /x", 100L))
+    // slow outliers: batch thresholds tag the live stream map-only (the
+    // duplicate row mirrors batch slowOutliers' one-row-per-tagged-span
+    // output — must not double-tag)
+    val th = Seq(("api", "GET /x", 100L), ("api", "GET /x", 100L))
       .toDF("service_name", "span_name", "threshold_ns")
     val sin = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(String, String, String, String, Long)]
