@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Metrics
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Replay-insensitivity sweep for the round-11 metric window operators:
+  * the seal export is at-least-once, so EVERY operator must produce
+  * byte-identical results when fed byte-equal replayed rows — the
+  * contract `Replay.dedupWithin` implements and each operator wires to
+  * its own shuffle keys. A sweep (rather than per-op goldens) pins that
+  * no future operator edit drops the dedup or keys it uselessly. */
+class MetricsReplaySpec extends SparkTestBase {
+
+  private def sums: DataFrame = {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    (0 until 60).map { i =>
+      val inst = s"i${i % 3}"
+      val name = if (i % 2 == 0) "qps" else "errs"
+      val t = new java.sql.Timestamp(ts0.getTime + (i / 6) * 60000L)
+      (name, "svc", null: String, inst, "{}", "sc", "{}", t,
+        true, Some((i % 7).toDouble), None: Option[Long], 2)
+    }.toDF("name", "service_name", "service_namespace",
+      "service_instance_id", "resource_attributes", "scope_name",
+      "metric_attributes", "time_unix_nano", "is_monotonic",
+      "double_value", "int_value", "aggregation_temporality")
+  }
+
+  test("round-11 window operators: replayed byte-equal rows change " +
+    "nothing (every dedup actually wired)") {
+    val once = sums
+    // every 4th row replayed twice more — an aggressive at-least-once mix
+    val replayed = once
+      .unionAll(once.where(pmod(col("service_instance_id").substr(2, 1)
+        .cast("int"), lit(3)) === 0))
+      .unionAll(once.limit(5))
+    val asOf = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "resets" -> (Metrics.resets(_, 300)),
+      "changes" -> (Metrics.changes(_, 300)),
+      "deriv" -> (Metrics.deriv(_, 300)),
+      "predictLinear" -> (Metrics.predictLinear(_, 300, 60)),
+      "quantileOverTime" -> (Metrics.quantileOverTime(_, 0.5, 300)),
+      "deltaOverTime" -> (Metrics.deltaOverTime(_, 300)),
+      "topk" -> (Metrics.topkSeries(_, 2)),
+      "bottomk" -> (Metrics.bottomkSeries(_, 2)),
+      "countValues" -> (Metrics.countValues(_)),
+      "avgBy" -> (Metrics.aggregateBy(_, "avg")),
+      "maxBy" -> (Metrics.aggregateBy(_, "max")),
+      // 45 s windows against 60 s point spacing: real gaps exist, so the
+      // pin is non-vacuous
+      "gapReport" -> (Metrics.gapReport(_, 45)),
+      "ratioGroupLeft" ->
+        (Metrics.ratioGroupLeft(_, "errs", "qps", Seq("service_name"))),
+      "staleSeries" -> (Metrics.staleSeries(_, asOf, 60)))
+    for ((label, op) <- ops) {
+      val a = op(once).collect().map(_.toString).sorted.toSeq
+      val b = op(replayed).collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"$label diverges under replay:\n${
+        a.diff(b).take(3)}\nvs\n${b.diff(a).take(3)}")
+      assert(a.nonEmpty, s"$label produced no rows — vacuous pin")
+    }
+  }
+}
