@@ -168,6 +168,20 @@ object ScaleProbe {
             expr("array(CAST(10 AS DOUBLE), CAST(50 AS DOUBLE), CAST(100 AS DOUBLE))")
               .as("explicit_bounds"))
             .transform(df => operators.Metrics.histogramQuantile(df, 0.9))
+        case "funnel" =>
+          import org.apache.spark.sql.functions._
+          // k*100k synthetic events over k*2k users, ~50 events each, 5
+          // types — the ev_funnel shape at probe scale
+          val n = k * 100000L
+          spark.range(n).select(
+            (col("id") % (k * 2000L)).as("user_id"),
+            element_at(array(lit("view"), lit("click"), lit("purchase"),
+              lit("signup"), lit("error")),
+              (pmod(col("id") * 31L, lit(5L)) + 1).cast("int"))
+              .as("event_type"),
+            (col("id") * 7919L % 86400000000000L).as("ts_ns"))
+            .transform(df => operators.Events.funnel(df,
+              Seq("view", "click", "purchase"), windowNs = 3600000000000L))
         case "expagg" =>
           import org.apache.spark.sql.functions._
           val n = k * 100000L
