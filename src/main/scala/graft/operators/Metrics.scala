@@ -542,6 +542,46 @@ object Metrics {
         col("den") :+ round(col("num") / col("den"), 6).as("ratio")): _*)
   }
 
+  /** PromQL `irate()`: the INSTANT rate — per series, the per-second
+    * rate between its LAST TWO points only (the volatile-counter
+    * dashboard primitive: `rate` averages a window, `irate` shows the
+    * newest movement), with the same counter-reset rule as [[rate]].
+    * Single-point series report null. round(6).
+    *
+    * Shape at 100 TB: one series-keyed window keeps two rows per series
+    * before the per-series rollup — both ride the same exchange with
+    * the replay dedup; output is the series space. */
+  def instantRate(sums: DataFrame): DataFrame = {
+    val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    val w = Window.partitionBy(seriesKey: _*)
+      .orderBy(col("time_unix_nano").desc, v.desc)
+    val base = Replay.dedupWithin(sums, seriesKey)
+      .where(v.isNotNull)
+      .withColumn("__v", v)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= 2)
+    base.groupBy(seriesKey: _*)
+      .agg(
+        max(when(col("__rn") === 1, col("__v"))).as("__v1"),
+        max(when(col("__rn") === 1, unix_micros(col("time_unix_nano"))))
+          .as("__t1"),
+        max(when(col("__rn") === 2, col("__v"))).as("__v2"),
+        max(when(col("__rn") === 2, unix_micros(col("time_unix_nano"))))
+          .as("__t2"),
+        max(when(col("__rn") === 1, col("time_unix_nano"))).as("last_time"),
+        max(coalesce(col("is_monotonic"), lit(false))).as("__mono"))
+      .withColumn("irate_per_sec",
+        // single-point series have no pair; a same-microsecond pair (two
+        // distinct points deduped to adjacent ranks) must yield null,
+        // not a divide-by-zero
+        when(col("__t2").isNull || col("__t1") === col("__t2"), lit(null))
+          .otherwise(round(
+            when(col("__mono") && col("__v1") < col("__v2"), col("__v1"))
+              .otherwise(col("__v1") - col("__v2")) /
+              ((col("__t1") - col("__t2")).cast("double") / lit(1e6)), 6)))
+      .select(seriesKey :+ col("last_time") :+ col("irate_per_sec"): _*)
+  }
+
   /** Staleness / absence report (PromQL `absent()` as a table): series
     * whose LAST point is older than `stalenessSec` before `asOf` — the
     * scrape-died / exporter-wedged detector. Reports each stale series'

@@ -1101,6 +1101,41 @@ object OtlpReaders {
         .orderBy("name", "time_unix_nano")
     },
 
+    // PromQL irate(): per-second rate between each series' LAST TWO
+    // points only — the volatile-counter instant, reset rule included
+    df("otlp_irate",
+      s"""WITH m AS (${metricsFlat(s"$fx/rate_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name",
+         |  CAST(dp.timeUnixNano AS BIGINT) AS tns,
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v,
+         |  coalesce(m."sum".isMonotonic, false) AS mono
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY "name"
+         |  ORDER BY tns DESC, v DESC) AS rn
+         |  FROM pts WHERE v IS NOT NULL),
+         |g AS (SELECT "name",
+         |  max(CASE WHEN rn = 1 THEN v END) AS v1,
+         |  max(CASE WHEN rn = 1 THEN tns // 1000 END) AS t1,
+         |  max(CASE WHEN rn = 2 THEN v END) AS v2,
+         |  max(CASE WHEN rn = 2 THEN tns // 1000 END) AS t2,
+         |  max(CASE WHEN rn = 1 THEN tns END) AS lt,
+         |  bool_or(mono) AS mono
+         |  FROM r WHERE rn <= 2 GROUP BY "name")
+         |SELECT "name",
+         |  strftime(make_timestamp(lt // 1000), '$TsFmtDuck') AS last_time,
+         |  CASE WHEN t2 IS NULL OR t1 = t2 THEN NULL
+         |    ELSE round((CASE WHEN mono AND v1 < v2 THEN v1
+         |      ELSE v1 - v2 END) / ((t1 - t2) / 1000000.0), 6) END
+         |    AS irate_per_sec
+         |FROM g ORDER BY "name"""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.instantRate(
+          Otlp.readMetricsSum(s, s"$fx/rate_metrics.jsonl"))
+        .select(col("name"),
+          date_format(col("last_time"), TsFmtSpark).as("last_time"),
+          col("irate_per_sec"))
+        .orderBy("name")
+    },
+
     // PromQL max by (name): exact branch of the aggregate-by family
     // (values reported exactly, no rounding)
     df("otlp_max_by",
