@@ -53,7 +53,8 @@ class MetricsReplaySpec extends SparkTestBase {
       "gapReport" -> (Metrics.gapReport(_, 45)),
       "ratioGroupLeft" ->
         (Metrics.ratioGroupLeft(_, "errs", "qps", Seq("service_name"))),
-      "staleSeries" -> (Metrics.staleSeries(_, asOf, 60)))
+      "staleSeries" -> (Metrics.staleSeries(_, asOf, 60)),
+      "instantRate" -> (Metrics.instantRate(_)))
     for ((label, op) <- ops) {
       val a = op(once).collect().map(_.toString).sorted.toSeq
       val b = op(replayed).collect().map(_.toString).sorted.toSeq
