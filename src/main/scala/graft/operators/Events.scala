@@ -58,11 +58,34 @@ object Events {
         max(when(col("step") === 1, col("n_users"))).over(w), 6))
   }
 
+  /** Gap-based SESSIONIZATION as an operator (the registry's
+    * ev_sessionize rule, reusable): projects events to
+    * (u, ty, et, eid) and assigns `sess` — a per-user running session
+    * ordinal that increments whenever the inactivity gap to the previous
+    * event exceeds `gapNs`. ONE user-keyed window (uniform partitions
+    * bounded by per-user history); shared by [[sessionPaths]] so the
+    * session rule has one definition. */
+  def sessionize(events: DataFrame, gapNs: Long = 3600000000000L,
+                 userCol: String = "user_id",
+                 typeCol: String = "event_type",
+                 tsNsCol: String = "ts_ns",
+                 idCol: String = "event_id"): DataFrame = {
+    require(gapNs > 0, "gapNs must be positive")
+    val wU = Window.partitionBy(col("u"))
+      .orderBy(col("et"), col("eid"))
+    val newSession = when(lag(col("et"), 1).over(wU).isNull ||
+      col("et") - lag(col("et"), 1).over(wU) > gapNs, 1L).otherwise(0L)
+    events.select(col(userCol).as("u"), col(typeCol).as("ty"),
+        col(tsNsCol).as("et"), col(idCol).as("eid"))
+      .withColumn("sess", sum(newSession).over(
+        wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Session ENTRY PATHS: the most common first-`k` event-type sequences
-    * of gap-based sessions (same 1-inactivity-gap session rule as the
-    * registry's ev_sessionize) — "how do sessions start", the navigation
-    * funnel-discovery complement to [[funnel]]'s fixed-steps conversion.
-    * One row per observed path with its session count.
+    * of gap-based sessions ([[sessionize]]'s rule) — "how do sessions
+    * start", the navigation funnel-discovery complement to [[funnel]]'s
+    * fixed-steps conversion. One row per observed path with its session
+    * count.
     *
     * Shape at 100 TB: the session id is a user-keyed running sum (one
     * window, uniform user partitions bounded by per-user history), the
@@ -75,15 +98,7 @@ object Events {
                    tsNsCol: String = "ts_ns",
                    idCol: String = "event_id"): DataFrame = {
     require(k >= 1, "k must be positive")
-    require(gapNs > 0, "gapNs must be positive")
-    val wU = Window.partitionBy(col("u"))
-      .orderBy(col("et"), col("eid"))
-    val newSession = when(lag(col("et"), 1).over(wU).isNull ||
-      col("et") - lag(col("et"), 1).over(wU) > gapNs, 1L).otherwise(0L)
-    val base = events.select(col(userCol).as("u"), col(typeCol).as("ty"),
-        col(tsNsCol).as("et"), col(idCol).as("eid"))
-      .withColumn("sess", sum(newSession).over(
-        wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val base = sessionize(events, gapNs, userCol, typeCol, tsNsCol, idCol)
     val wS = Window.partitionBy(col("u"), col("sess"))
       .orderBy(col("et"), col("eid"))
     base.withColumn("rn", row_number().over(wS))
