@@ -525,7 +525,17 @@ class PlanSpec extends SparkTestBase {
         "deltaToCumulative" ->
           graft.operators.Metrics.deltaToCumulative(sums),
         "increase" -> graft.operators.Metrics.increase(sums),
-        "quantileBy" -> graft.operators.Metrics.quantileBy(sums, 0.5))) {
+        "quantileBy" -> graft.operators.Metrics.quantileBy(sums, 0.5),
+        "resets" -> graft.operators.Metrics.resets(sums),
+        "changes" -> graft.operators.Metrics.changes(sums),
+        "deriv" -> graft.operators.Metrics.deriv(sums),
+        "predictLinear" -> graft.operators.Metrics.predictLinear(sums),
+        "quantileOverTime" ->
+          graft.operators.Metrics.quantileOverTime(sums, 0.5),
+        "deltaOverTime" -> graft.operators.Metrics.deltaOverTime(sums),
+        "avgBy" -> graft.operators.Metrics.aggregateBy(sums, "avg"),
+        "topk" -> graft.operators.Metrics.topkSeries(sums, 2),
+        "instantRate" -> graft.operators.Metrics.instantRate(sums))) {
       val p = plan(df)
       assert("Exchange".r.findAllIn(p).size == 1,
         s"$label: dedup must reuse the operator's own exchange:\n$p")
