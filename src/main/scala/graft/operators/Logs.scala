@@ -334,6 +334,25 @@ object Logs {
         round(col("svc_sd"), 4).as("svc_sd"), col("z"), col("anomaly"))
   }
 
+  /** Instrumentation-SCOPE inventory: one row per (scope name, scope
+    * version) with record and distinct-service counts — "which
+    * instrumentation libraries are deployed at which versions, and how
+    * widely", the dependency-audit panel every OTel rollout review
+    * starts from (a fleet stuck on an old SDK shows up as a version row
+    * with a high service count). Works over any signal table carrying
+    * the scope columns. Null scopes report 'unknown'/''.
+    *
+    * Shape at 100 TB: one partial-agg groupBy on the tiny (scope,
+    * version) key space; the distinct-service state is bounded by the
+    * service count per scope. */
+  def scopeInventory(records: DataFrame,
+                     serviceCol: String = "service_name"): DataFrame =
+    records.groupBy(
+        coalesce(col("scope_name"), lit("unknown")).as("scope_name"),
+        coalesce(col("scope_version"), lit("")).as("scope_version"))
+      .agg(count(lit(1)).as("n_records"),
+        countDistinct(col(serviceCol)).as("n_services"))
+
   /** Multiline log REASSEMBLY — the collector filelog receiver's
     * `recombine` operator as a batch/settled-table operator: a record
     * whose body opens with whitespace or the Java stack-frame `at `

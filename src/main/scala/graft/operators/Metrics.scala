@@ -542,6 +542,20 @@ object Metrics {
         col("den") :+ round(col("num") / col("den"), 6).as("ratio")): _*)
   }
 
+  /** PromQL `clamp()` / `clamp_min` / `clamp_max`: values bounded to
+    * [lo, hi] (pass null for an open side) — the dashboard-sanitizer
+    * that stops one bogus exporter spike from flattening every panel's
+    * y-axis. MAP-ONLY: adds `value_clamped` next to the original value;
+    * null values stay null. */
+  def clampValues(sums: DataFrame, lo: Option[Double], hi: Option[Double]): DataFrame = {
+    require(lo.nonEmpty || hi.nonEmpty, "clamp needs at least one bound")
+    for (l <- lo; h <- hi) require(l <= h, s"empty clamp range [$l, $h]")
+    val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    val lower = lo.map(l => greatest(v, lit(l))).getOrElse(v)
+    val both = hi.map(h => least(lower, lit(h))).getOrElse(lower)
+    sums.withColumn("value", v).withColumn("value_clamped", both)
+  }
+
   /** PromQL `irate()`: the INSTANT rate — per series, the per-second
     * rate between its LAST TWO points only (the volatile-counter
     * dashboard primitive: `rate` averages a window, `irate` shows the

@@ -1136,6 +1136,43 @@ object OtlpReaders {
         .orderBy("name")
     },
 
+    // instrumentation-scope inventory: which libraries/versions are
+    // deployed, how many records/services each — the SDK rollout audit
+    df("otlp_scope_inventory",
+      s"""WITH rec AS (SELECT sl."scope"."name" AS scope_name,
+         |  ${duckService("rl.resource.attributes")} AS svc
+         |  FROM read_json('$fx/logs_simple.jsonl',
+         |    format='newline_delimited', columns={resourceLogs: '$logsRecT'}),
+         |  unnest(resourceLogs) AS a(rl),
+         |  unnest(rl.scopeLogs) AS b(sl),
+         |  unnest(sl.logRecords) AS c(lr))
+         |SELECT coalesce(scope_name, 'unknown') AS scope_name,
+         |  '' AS scope_version, count(*) AS n_records,
+         |  count(DISTINCT svc) AS n_services
+         |FROM rec GROUP BY 1, 2 ORDER BY scope_name""".stripMargin) { (s, _) =>
+      graft.operators.Logs.scopeInventory(
+          Otlp.readLogs(s, s"$fx/logs_simple.jsonl"))
+        .orderBy("scope_name")
+    },
+
+    // PromQL clamp(): values bounded to [5, 100] — the panel sanitizer
+    df("otlp_clamp",
+      s"""WITH m AS (${metricsFlat(s"$fx/rate_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name", ${duckTs("dp.timeUnixNano")} AS t,
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp))
+         |SELECT "name", t AS time_unix_nano, v AS "value",
+         |  least(greatest(v, 5.0), 100.0) AS value_clamped
+         |FROM pts ORDER BY "name", t""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.clampValues(
+          Otlp.readMetricsSum(s, s"$fx/rate_metrics.jsonl"),
+          lo = Some(5.0), hi = Some(100.0))
+        .select(col("name"),
+          date_format(col("time_unix_nano"), TsFmtSpark).as("time_unix_nano"),
+          col("value"), col("value_clamped"))
+        .orderBy("name", "time_unix_nano")
+    },
+
     // PromQL max by (name): exact branch of the aggregate-by family
     // (values reported exactly, no rounding)
     df("otlp_max_by",
