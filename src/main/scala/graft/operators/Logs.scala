@@ -355,8 +355,10 @@ object Logs {
 
   /** Multiline log REASSEMBLY — the collector filelog receiver's
     * `recombine` operator as a batch/settled-table operator: a record
-    * whose body opens with whitespace or the Java stack-frame `at `
-    * prefix is a CONTINUATION of the closest preceding head record in
+    * whose body opens with whitespace or an unindented Java stack frame
+    * (`at pkg.Class.method(...` — the frame shape, not any English
+    * sentence starting with "at") is a CONTINUATION of the closest
+    * preceding head record in
     * its service's time order; continuations newline-append to their
     * head's body (the shape a line-per-record file tailer shreds stack
     * traces into). Head records keep their own timestamp/severity; a
@@ -372,8 +374,11 @@ object Logs {
                           serviceCol: String = "service_name",
                           timeCol: String = "time_unix_nano",
                           bodyCol: String = "body"): DataFrame = {
+    // a continuation is indented, OR is an unindented stack frame in the
+    // Java shape `at pkg.Class.method(` — a bare English "at ..." head
+    // record ("at capacity, shedding load") keeps its own identity
     val isCont = substring(col(bodyCol), 1, 1).isin(" ", "\t") ||
-      substring(col(bodyCol), 1, 3) === "at "
+      col(bodyCol).rlike("^at \\S+\\(")
     val w = Window.partitionBy(col(serviceCol))
       .orderBy(col(timeCol), col(bodyCol))
     logs

@@ -553,7 +553,10 @@ object Metrics {
     val v = coalesce(col("double_value"), col("int_value").cast("double"))
     val lower = lo.map(l => greatest(v, lit(l))).getOrElse(v)
     val both = hi.map(h => least(lower, lit(h))).getOrElse(lower)
-    sums.withColumn("value", v).withColumn("value_clamped", both)
+    // greatest/least SKIP nulls, so an absent sample would fabricate a
+    // bound value — guard so null in means null out
+    val clamped = when(v.isNull, lit(null).cast("double")).otherwise(both)
+    sums.withColumn("value", v).withColumn("value_clamped", clamped)
   }
 
   /** PromQL `irate()`: the INSTANT rate — per series, the per-second

@@ -1278,14 +1278,14 @@ object OtlpReaders {
     },
 
     // multiline reassembly (the filelog recombine operator): whitespace /
-    // 'at '-prefixed continuation records newline-append to their head
+    // Java-frame-shaped continuation records newline-append to their head
     df("otlp_multiline",
       s"""WITH rec AS (${logsFlat(s"$fx/stack_logs.jsonl")}),
          |b AS (SELECT ${duckService("res.attributes")} AS svc,
          |  CAST(timeUnixNano AS BIGINT) AS tns, body.stringValue AS body
          |  FROM rec WHERE body.stringValue IS NOT NULL),
          |g AS (SELECT *, sum(CASE WHEN left(body, 1) IN (' ', chr(9))
-         |    OR left(body, 3) = 'at ' THEN 0 ELSE 1 END)
+         |    OR regexp_matches(body, '^at \\S+\\(') THEN 0 ELSE 1 END)
          |  OVER (PARTITION BY svc ORDER BY tns, body
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
          |  FROM b)

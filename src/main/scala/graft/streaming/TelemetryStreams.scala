@@ -26,6 +26,17 @@ import java.sql.Timestamp
   */
 object TelemetryStreams {
 
+  /** One window length of extra state-expiry slack, in milliseconds —
+    * parsed from the same duration-string dialect the window()/watermark
+    * options use ("1 minute", "30 seconds", ...). Driver-side, once per
+    * stream start. */
+  private[streaming] def windowSlackMs(windowLen: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(windowLen))
+    require(iv.months == 0, s"window length must be day-scale or finer: $windowLen")
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
+
   /** Stream of sealed log rows from a parquet-export root. */
   def logStream(spark: SparkSession, parquetRoot: String): DataFrame =
     spark.readStream
@@ -355,9 +366,13 @@ object TelemetryStreams {
             } else None
           }.toList
           state.update(LimitState(admitted))
-          // expire once the watermark passes the window end (+1 window of
-          // slack keeps the boundary race away from the admission budget)
-          state.setTimeoutTimestamp(w.getTime, windowLen)
+          // expire one full window PAST the window end (timeout = start
+          // + 2×windowLen): correctness does not depend on the slack —
+          // Spark drops rows below the watermark before this operator
+          // ever sees them — but the slack keeps the budget-reset safe
+          // even if a future edit loosens that filtering
+          state.setTimeoutTimestamp(w.getTime + windowSlackMs(windowLen),
+            windowLen)
           out.iterator
       }
   }

@@ -33,6 +33,23 @@ class LogsSpec extends SparkTestBase {
       "Service started" -> ((2, 3L))), got)
   }
 
+  test("reassembleMultiline: unindented Java frames continue; an English " +
+    "'at ...' head keeps its own record") {
+    import spark.implicits._
+    val logs = Seq(
+      (1L, "boom happened"),
+      (2L, "at com.example.A.b(A.java:1)"), // frame shape, no indent
+      (3L, "  at com.example.C.d(C.java:2)"), // indented frame
+      (4L, "at capacity, shedding load") // English head — NOT a frame
+    ).toDF("time_unix_nano", "body").withColumn("service_name", lit("s"))
+    val out = Logs.reassembleMultiline(logs)
+      .orderBy("time_unix_nano").collect()
+    assert(out.length == 2, out.mkString("\n"))
+    assert(out(0).getAs[Long]("n_lines") == 3)
+    assert(out(1).getAs[String]("body") == "at capacity, shedding load")
+    assert(out(1).getAs[Long]("n_lines") == 1)
+  }
+
   test("logTemplates: a position at EXACTLY the budget stays constant " +
     "(> not >=), and token-count groups never mix") {
     import spark.implicits._

@@ -63,4 +63,20 @@ class MetricsReplaySpec extends SparkTestBase {
       assert(a.nonEmpty, s"$label produced no rows — vacuous pin")
     }
   }
+
+  test("clampValues: null values stay null (no fabricated bound), " +
+    "bounds apply to real values") {
+    val withNull = sums.withColumn("double_value",
+      when(col("service_instance_id") === "i0", lit(null).cast("double"))
+        .otherwise(col("double_value")))
+    val out = Metrics.clampValues(withNull, lo = Some(2.0), hi = Some(5.0))
+      .select("service_instance_id", "value", "value_clamped").collect()
+    val nullRows = out.filter(_.getString(0) == "i0")
+    assert(nullRows.nonEmpty && nullRows.forall(r => r.isNullAt(1) && r.isNullAt(2)),
+      "a null sample must clamp to null, not to a bound")
+    val realRows = out.filter(_.getString(0) != "i0")
+    assert(realRows.nonEmpty && realRows.forall { r =>
+      val c = r.getDouble(2); c >= 2.0 && c <= 5.0
+    })
+  }
 }
