@@ -226,6 +226,31 @@ class OtapReaderSpec extends SparkTestBase {
     } finally d.close()
   }
 
+  test("OtapEncoder round-trip: initial (schema+batch) then batch-only " +
+    "continuations decode through retained reader state") {
+    val (logsInit, logsCont, attrsInit, attrsCont) =
+      graft.otlp.OtapEncoder.logsRecordSlices(n = 7, service = "enc-service")
+    val d = new graft.otlp.OtapStreamDecoder(nsAsLong = true)
+    try {
+      val first = d.decode(
+        graft.otlp.OtapEncoder.batchMessage(1, logsInit, attrsInit))
+      assert(first.signal("logs").size == 7)
+      // continuation messages carry NO schema — every decoded value below
+      // rides the reader state message 1 established
+      (2 to 4).foreach { id =>
+        val next = d.decode(
+          graft.otlp.OtapEncoder.batchMessage(id, logsCont, attrsCont))
+        val rows = next.signal("logs")
+        assert(rows.size == 7, s"continuation $id decoded ${rows.size} rows")
+        // columns: 4=service_name 7=severity_number 10=body
+        assert(rows.forall(_(4) == "enc-service"))
+        assert(rows.forall(_(7) == 9))
+        assert(rows.head(10) ==
+          "benchmark log record with a reasonably sized message body")
+      }
+    } finally d.close()
+  }
+
   test("otap value spot checks") {
     assume(available)
     val logs = Otlp.readOtapLogs(spark, s"$corpus/logs-initial.bar")
