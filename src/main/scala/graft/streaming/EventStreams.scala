@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Streaming twins for the product-analytics operator family
+  * (`operators.Events`) — the live face of the events table, completing
+  * the repo convention that every dashboard operator has a streaming
+  * twin. Built on the same custom-state machinery as the telemetry
+  * twins ([[TelemetryStreams]]). */
+object EventStreams {
+
+  /** One event with its session identity: `session_start_ns` is the
+    * event-time of the session's FIRST event — the session key that is
+    * stable under watermark-bounded state expiry, unlike the batch
+    * operator's per-user running ordinal (an ordinal would have to be
+    * stored forever; a start-time restarts correctly after expiry
+    * because any post-expiry event is by definition > gap away). The
+    * batch rule derives the same identity as min(et) per (u, sess). */
+  case class SessionedEvent(user_id: Long, event_id: Long,
+                            event_type: String, ts_ns: Long,
+                            session_start_ns: Long)
+
+  /** Per-user sessionization state: last event time + current session's
+    * start (both ns, the gap axis) + the last event's WATERMARK-axis
+    * time (epoch ms of the `ts` column — the timeout must be set on the
+    * axis the watermark advances on, which `ts_ns` need not share). */
+  case class SessionState(lastEtNs: Long, sessionStartNs: Long,
+                          lastTsMs: Long)
+
+  /** Gap-based SESSIONIZATION on the LIVE event stream — the registry's
+    * ev_sessionize rule (one definition: `operators.Events.sessionize`,
+    * inactivity gap > `gapNs` opens a session) as per-user custom state:
+    * each arriving event is tagged with its session's start time, state
+    * is one (lastEt, sessionStart) pair per active user, expired by
+    * event-time timeout one gap past the last event (+ the same
+    * explicit-slack rationale as `TelemetryStreams.rateLimitStream` —
+    * after expiry a new event is necessarily > gap away, so the fresh
+    * state assigns the exact session start the retained state would
+    * have).
+    *
+    * Contract (matches the batch twin exactly when honored): events
+    * must arrive per-user in event-time order across micro-batches —
+    * the seal-replay and memory-stream shapes. Rows below the watermark
+    * are dropped by Spark before this operator; an out-of-order event
+    * WITHIN the watermark slack that time-travels behind its user's
+    * last seen event joins the CURRENT session (the collector-side
+    * reorder buffer is the fix, not unbounded state here).
+    *
+    * Input needs (ts TIMESTAMP, ts_ns, user_id, event_id, event_type) —
+    * the events-table layout. Scale: state is two longs per ACTIVE
+    * user (watermark-expired), keyed by the uniform user axis. */
+  def sessionizeStream(events: DataFrame, gapNs: Long = 3600000000000L,
+                       watermark: String = "2 minutes"): Dataset[SessionedEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(gapNs > 0, "gapNs must be positive")
+    val gapMs = math.max(gapNs / 1000000L, 1L)
+    // the watermarked event-time column must survive projection into the
+    // stateful operator (the rateStream contract)
+    val lite = events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("user_id").cast("long").as("u"),
+        col("event_id").cast("long").as("eid"), col("event_type"),
+        col("ts_ns").cast("long").as("et"))
+      .as[(Timestamp, Long, Long, String, Long)]
+    lite.groupByKey(_._2)
+      .flatMapGroupsWithState[SessionState, SessionedEvent](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, _, state: GroupState[SessionState]) if state.hasTimedOut =>
+          state.remove(); Iterator.empty
+        case (u, it, state: GroupState[SessionState]) =>
+          var st = state.getOption.orNull
+          // micro-batch iterators carry no order guarantee; a user's
+          // per-batch slice is session-sized, so the in-memory sort is
+          // bounded (the batch twin's orderBy(et, eid), same tiebreak)
+          val out = it.toSeq.sortBy(e => (e._5, e._3)).map {
+            case (ts, _, eid, ty, et) =>
+              st =
+                if (st == null || et - st.lastEtNs > gapNs)
+                  SessionState(et, et, ts.getTime)
+                else SessionState(et, st.sessionStartNs, ts.getTime)
+              SessionedEvent(u, eid, ty, et, st.sessionStartNs)
+          }
+          state.update(st)
+          state.setTimeoutTimestamp(math.max(
+            st.lastTsMs + 2 * gapMs,
+            state.getCurrentWatermarkMs() + 1))
+          out.iterator
+      }
+  }
+}

@@ -52,4 +52,53 @@ class EventsSpec extends SparkTestBase {
       ("2024-01-01", 0) -> 2L, ("2024-01-01", 2) -> 1L,
       ("2024-01-02", 0) -> 1L, ("2024-01-02", 1) -> 1L), got)
   }
+
+  test("sessionizeStream ≡ batch sessionize across a mid-session " +
+    "micro-batch split; state carries, session identity is the start time") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ns = 1000000000L
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(sec: Long) = new java.sql.Timestamp(base + sec * 1000)
+    // (ts, user_id, event_id, event_type, ts_ns); gap rule = 60 s
+    val rows = Seq(
+      (ts(0), 1L, 101L, "view", 0 * ns),
+      (ts(10), 1L, 102L, "click", 10 * ns),
+      (ts(5), 2L, 201L, "view", 5 * ns),
+      // -- micro-batch boundary SPLITS u1's first session here --
+      (ts(20), 1L, 103L, "purchase", 20 * ns), // still session@0 (gap 10)
+      (ts(100), 1L, 104L, "view", 100 * ns), // gap 80 > 60: new session
+      (ts(70), 2L, 202L, "view", 70 * ns), // gap 65 > 60: new session
+      (ts(90), 2L, 203L, "click", 90 * ns)) // gap 20: same session
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, Long, String, Long)]
+    val streamIn = in.toDF()
+      .toDF("ts", "user_id", "event_id", "event_type", "ts_ns")
+    val run = graft.streaming.EventStreams
+      .sessionizeStream(streamIn, gapNs = 60 * ns)
+      .writeStream.format("memory").queryName("sessstream")
+      .outputMode("append").start()
+    val (b1, b2) = rows.splitAt(3)
+    in.addData(b1: _*); run.processAllAvailable()
+    in.addData(b2: _*); run.processAllAvailable()
+    run.stop()
+    val got = spark.table("sessstream").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+        r.getAs[Long]("session_start_ns")).toMap
+    // batch twin: same rule, session identity derived as min(et) per
+    // (u, sess)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u"), col("sess"))
+    val expect = Events.sessionize(
+        rows.toDF("ts", "user_id", "event_id", "event_type", "ts_ns"),
+        gapNs = 60 * ns)
+      .withColumn("session_start_ns", min(col("et")).over(w))
+      .collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("eid")) ->
+        r.getAs[Long]("session_start_ns")).toMap
+    assert(got == expect, s"stream $got vs batch $expect")
+    // the fixture exercises real session breaks: 3 distinct starts for
+    // the 2 users' 4 sessions
+    assert(got.values.toSet == Set(0L, 5 * ns, 100 * ns, 70 * ns))
+  }
 }
