@@ -100,6 +100,27 @@ object Otlp {
       get_json_object(col("scope_attributes"), s"$$['$key']"))
   }
 
+  /** View-builder form of [[promotedCol]]: overlays the coalesced read
+    * pattern for each key as its promoted column name, so downstream
+    * queries reference `resource_attr_k` uniformly regardless of WHEN
+    * (or whether) the key was promoted. Three table shapes, one call:
+    * a fully-promoted table keeps its real column for non-legacy rows
+    * (min/max pruning still applies there), a mixed table coalesces per
+    * row, and a never-promoted table — where the physical column does
+    * not exist at all, so [[promotedCol]] would fail to resolve — reads
+    * purely from the JSON blob. */
+  def promotedView(df: org.apache.spark.sql.DataFrame,
+                   keys: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    keys.foldLeft(df) { (d, k) =>
+      val name = graft.streaming.ServerConfig.promotedColumn(k)
+      val fromJson = get_json_object(col("resource_attributes"), s"$$['$k']")
+      d.withColumn(name,
+        if (d.columns.contains(name)) coalesce(col(name), fromJson)
+        else fromJson)
+    }
+  }
+
   /** OTAP (OTel-Arrow) twins: same schemas, Arrow IPC input. */
   def readOtapLogs(spark: SparkSession, path: String): DataFrame =
     read(spark, "logs", path, Map("format" -> "otap"))

@@ -131,8 +131,10 @@ object Events {
       .join(firstDay, Seq("u"))
       .select(col("u"), col("cohort_day"),
         datediff(col("d"), col("cohort_day")).as("day_offset"))
-      .distinct()
+      // count(DISTINCT u) rather than a full-frame distinct(): the
+      // dedup rides the (cohort, offset) aggregation's own partial-agg
+      // phases instead of adding a whole-row exchange
       .groupBy("cohort_day", "day_offset")
-      .agg(count(lit(1)).as("n_users"))
+      .agg(countDistinct(col("u")).as("n_users"))
   }
 }

@@ -73,6 +73,27 @@ class EngineOpsSpec extends SparkTestBase {
     assert(merged.columns.toSet == Set("id", "a", "b"))
   }
 
+  test("promotedView: one call covers promoted, mixed, and never-promoted " +
+    "table shapes") {
+    import spark.implicits._
+    // mixed: one legacy row (blob only), one promoted row
+    val mixed = Seq(
+      (null.asInstanceOf[String], """{"service.name":"legacy-svc"}"""),
+      ("new-svc", """{"service.name":"stale-blob"}"""))
+      .toDF("resource_attr_service_name", "resource_attributes")
+    assert(Otlp.promotedView(mixed, Seq("service.name"))
+      .select("resource_attr_service_name")
+      .collect().map(_.getString(0)).toSeq == Seq("legacy-svc", "new-svc"))
+    // never-promoted: the physical column does not exist — the view
+    // still exposes it, reading from the blob
+    val legacyOnly = Seq(
+      Tuple1("""{"service.name":"old-svc","host.name":"h1"}"""))
+      .toDF("resource_attributes")
+    val v = Otlp.promotedView(legacyOnly, Seq("service.name", "host.name"))
+    assert(v.select("resource_attr_service_name", "resource_attr_host_name")
+      .first().toSeq == Seq("old-svc", "h1"))
+  }
+
   test("batch convert pattern: read_otlp -> write parquet -> re-read") {
     val fx = "src/test/resources/otlp"
     val d = tmp()
