@@ -250,8 +250,8 @@ object Bench {
     * report (accepted rows/s, durable rows/s incl. final flush) — mirrors
     * the reference's capacity bench shape (concurrent HTTP producers,
     * group-commit sealing included). */
-  private def ingestBench(spark: SparkSession,
-                          runMs: Long = IngestWindowMs): (Double, Double) = {
+  private[graft] def ingestBench(spark: SparkSession,
+                                 runMs: Long = IngestWindowMs): (Double, Double) = {
     val root = java.nio.file.Files.createTempDirectory("bench_ingest").toString
     // SPARK_GRAFT_BENCH_MAINT_MS: lower the maintenance gate so a
     // sustained window (SPARK_GRAFT_BENCH_INGEST_MS) can observe

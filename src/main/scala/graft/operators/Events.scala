@@ -111,6 +111,31 @@ object Events {
       .agg(count(lit(1)).as("n_sessions"))
   }
 
+  /** Per-session ROLLUP over [[sessionize]]'s rule: one row per (user,
+    * session) with its event count, wall duration, and entry/exit event
+    * types — the session-level feature table behind "keep sessions with
+    * ≥ N meaningful events" training-data selection and every
+    * engagement dashboard.
+    *
+    * Shape at 100 TB: the sessionize window's user-keyed exchange is
+    * the only one — the (u, sess) groupBy is a subset-key partial agg
+    * on the partitioning the window already established; entry/exit
+    * types ride min/max over (et, eid, ty) structs (deterministic
+    * ties), never a per-session sort. */
+  def sessionStats(events: DataFrame, gapNs: Long = 3600000000000L,
+                   userCol: String = "user_id",
+                   typeCol: String = "event_type",
+                   tsNsCol: String = "ts_ns",
+                   idCol: String = "event_id"): DataFrame =
+    sessionize(events, gapNs, userCol, typeCol, tsNsCol, idCol)
+      .groupBy("u", "sess")
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("et")) - min(col("et"))).as("duration_ns"),
+        min(struct(col("et"), col("eid"), col("ty")))
+          .getField("ty").as("entry_type"),
+        max(struct(col("et"), col("eid"), col("ty")))
+          .getField("ty").as("exit_type"))
+
   /** Cohort RETENTION: users cohort by the calendar day of their FIRST
     * event; for each (cohort day, day offset) the distinct users seen
     * again at that offset (offset 0 = the cohort day itself, so its

@@ -458,4 +458,26 @@ object Logs {
       .select(col("p.slot").as("slot"), col("p.value").as("value"))
       .groupBy("slot", "value").agg(count(lit(1)).as("n"))
   }
+
+  /** LOGFMT body parsing — the collector's `logfmt` / key-value parser
+    * operator: `k=v` tokens in the body (values bare or double-quoted)
+    * explode to one (record, key, value) row each, quotes stripped —
+    * the structured-extraction step that turns `level=error code=503
+    * msg="upstream timeout"` into queryable fields without promoting a
+    * schema in advance. Keys are `[A-Za-z_][A-Za-z0-9_.]*`; a body with
+    * no pairs contributes nothing. MAP-ONLY (regexp extraction +
+    * explode); output cardinality is pairs, bounded by body length. */
+  def parseLogfmt(logs: DataFrame,
+                  bodyCol: String = "body"): DataFrame = {
+    val pat = "([A-Za-z_][A-Za-z0-9_.]*)=(\"[^\"]*\"|[^\\s\"]+)"
+    logs.where(col(bodyCol).isNotNull)
+      .select(col("service_name"), col("time_unix_nano"),
+        col(bodyCol).as("__body"))
+      .withColumn("__kv", explode(arrays_zip(
+        regexp_extract_all(col("__body"), lit(pat), lit(1)).as("k"),
+        regexp_extract_all(col("__body"), lit(pat), lit(2)).as("v"))))
+      .select(col("service_name"), col("time_unix_nano"),
+        col("__kv.k").as("key"),
+        regexp_replace(col("__kv.v"), "^\"|\"$", "").as("value"))
+  }
 }

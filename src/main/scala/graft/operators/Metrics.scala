@@ -559,6 +559,66 @@ object Metrics {
     sums.withColumn("value", v).withColumn("value_clamped", clamped)
   }
 
+  /** PromQL `label_replace()`: derive label `dst` by matching label
+    * `src`'s value against `regex` (full-anchored, as PromQL anchors)
+    * and expanding `replacement`'s `$1…$n` backreferences; on no match
+    * the series keeps its EXISTING `dst` value (PromQL leaves the
+    * timeseries untouched). The relabeling primitive behind "extract
+    * the deployment from the pod name". Spark-native shape: the derived
+    * label lands as a COLUMN named `dst` (queries act on columns; the
+    * attribute blob stays byte-unchanged provenance). MAP-ONLY. */
+  def labelReplace(sums: DataFrame, dst: String, replacement: String,
+                   src: String, regex: String): DataFrame = {
+    require(!sums.columns.contains(dst),
+      s"label_replace dst '$dst' collides with an existing column")
+    val anchored = "^(?:" + regex + ")$"
+    val srcV = coalesce(
+      get_json_object(col("metric_attributes"), s"$$['$src']"), lit(""))
+    val cur = get_json_object(col("metric_attributes"), s"$$['$dst']")
+    sums.withColumn(dst,
+      when(srcV.rlike(anchored),
+        regexp_replace(srcV, anchored, replacement)).otherwise(cur))
+  }
+
+  /** PromQL `label_join()`: label `dst` = the values of `srcs` joined
+    * with `sep` (absent labels contribute empty strings, as PromQL
+    * does). Same column-landing shape as [[labelReplace]]. MAP-ONLY. */
+  def labelJoin(sums: DataFrame, dst: String, sep: String,
+                srcs: Seq[String]): DataFrame = {
+    require(srcs.nonEmpty, "label_join needs at least one source label")
+    require(!sums.columns.contains(dst),
+      s"label_join dst '$dst' collides with an existing column")
+    sums.withColumn(dst, concat_ws(sep, srcs.map(s => coalesce(
+      get_json_object(col("metric_attributes"), s"$$['$s']"), lit(""))): _*))
+  }
+
+  /** PromQL `offset` comparison (`v / (v offset 1d)` — the
+    * day-over-day / week-over-week panel): per series and point, the
+    * value exactly `offsetSec` earlier in the SAME series, plus their
+    * ratio (null when the offset sample is absent or zero — no
+    * fabricated baselines, no ANSI divide crash). Exact-alignment
+    * semantics: recording rules emit on a fixed cadence, so the offset
+    * grid is the series' own grid.
+    *
+    * Shape at 100 TB: ONE series-keyed window with a point-range frame
+    * ([−offset, −offset] on the µs axis) — no self-join, no second
+    * exchange; the replay dedup rides the same series partitioning.
+    * Ties (two samples on one µs) collapse via max — deterministic. */
+  def offsetCompare(sums: DataFrame, offsetSec: Long): DataFrame = {
+    require(offsetSec > 0, "offsetSec must be positive")
+    val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    val offUs = offsetSec * 1000000L
+    val w = Window.partitionBy(seriesKey: _*)
+      .orderBy(unix_micros(col("time_unix_nano")))
+      .rangeBetween(-offUs, -offUs)
+    Replay.dedupWithin(sums, seriesKey)
+      .where(v.isNotNull)
+      .withColumn("value", v)
+      .withColumn("offset_value", max(col("value")).over(w))
+      .withColumn("ratio", when(col("offset_value") =!= 0,
+        round(col("value") / col("offset_value"), 6)))
+  }
+
   /** PromQL `irate()`: the INSTANT rate — per series, the per-second
     * rate between its LAST TWO points only (the volatile-counter
     * dashboard primitive: `rate` averages a window, `irate` shows the

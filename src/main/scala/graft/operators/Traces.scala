@@ -132,6 +132,87 @@ object Traces {
         col("is").isNull.as("is_root"), col("dur"))
   }
 
+  /** CRITICAL-PATH blame chain: per trace, the ancestor chain of the
+    * LAST-FINISHING span — "which call path kept the trace open" — as
+    * an ordered `root>…>laggard` name path with its hop count and
+    * summed durations. Walks UP parent pointers from the argmax-end
+    * span (ties break on span id), so a deep laggard is found exactly
+    * (a greedy child-picking walk down would miss a late leaf under an
+    * early-ending middle span). [[traceTree]] reports the critical
+    * path's LENGTH across all root paths; this names the chain that
+    * determined the trace's end. A dangling parent ends the chain
+    * (`reached_root` = false — data arrived mid-trace).
+    *
+    * Shape at 100 TB: the span table partial-aggs to ONE row per trace
+    * (uniform trace keys), and each walk round joins that trace-sized
+    * frame against the span table on (trace, span) — depth-many
+    * slice-sized joins, never a self-join of the corpus; per-round
+    * state is localCheckpoint'ed and superseded rounds release their
+    * blocks ([[traceTree]]'s discipline). Cycles stall the unresolved
+    * count and stop the walk (bounded by `maxDepth`). */
+  def criticalPath(spans: DataFrame, maxDepth: Int = 20,
+                   idCol: String = "span_id",
+                   parentCol: String = "parent_span_id",
+                   traceCol: String = "trace_id",
+                   nameCol: String = "name",
+                   startCol: String = "start_time_unix_nano",
+                   durCol: String = "duration_time_unix_nano"): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 64, s"maxDepth out of range: $maxDepth")
+    val endNs = unix_micros(col(startCol)) * lit(1000L) +
+      col(durCol).cast("long")
+    val base = Replay.dedupWithin(
+      spans.select(col(traceCol).as("t"), col(idCol).as("s"),
+        col(parentCol).as("p"), col(nameCol).as("nm"),
+        endNs.as("e"), col(durCol).cast("long").as("dur")),
+      Seq(col("t"), col("s"))).localCheckpoint()
+    val tgt = base.groupBy("t")
+      .agg(max(struct(col("e"), col("s"), col("nm"), col("dur"), col("p")))
+        .as("m"))
+    var st = tgt.select(col("t"), col("m.p").as("par"),
+        col("m.nm").as("path"), col("m.dur").as("path_dur"),
+        lit(0).as("depth"), lit(false).as("dangling"))
+      .localCheckpoint()
+    val hop = base.select(col("t").as("t2"), col("s").as("s2"),
+      col("p").as("p2"), col("nm").as("nm2"), col("dur").as("dur2"))
+    def round(prev: DataFrame): DataFrame = {
+      val next = prev.join(hop,
+          col("t") === col("t2") && col("par") === col("s2"), "left")
+        .select(col("t"),
+          when(col("s2").isNull, lit(null)).otherwise(col("p2")).as("par"),
+          when(col("s2").isNull, col("path"))
+            .otherwise(concat(col("nm2"), lit(">"), col("path"))).as("path"),
+          when(col("s2").isNull, col("path_dur"))
+            .otherwise(col("path_dur") + col("dur2")).as("path_dur"),
+          when(col("s2").isNull, col("depth"))
+            .otherwise(col("depth") + 1).cast("int").as("depth"),
+          // a missed hop with a live pointer is a DANGLING parent, not a
+          // root — without the flag an orphan chain would claim the root
+          (col("dangling") ||
+            (col("s2").isNull && col("par").isNotNull)).as("dangling"))
+        .localCheckpoint()
+      Blocks.release(prev)
+      next
+    }
+    // walk until every chain reached a root/dangling pointer, capped at
+    // maxDepth rounds. No shrink-stall guard here: state is ONE row per
+    // trace, so a single deep chain keeps the unresolved count flat
+    // while still progressing (a count-based guard truncated exactly
+    // that case); a parent cycle simply burns the bounded rounds and
+    // reports reached_root = false
+    var unresolved = st.where(col("par").isNotNull).count()
+    var r = 0
+    while (unresolved > 0 && r < maxDepth) {
+      st = round(st)
+      unresolved = st.where(col("par").isNotNull).count()
+      r += 1
+    }
+    val out = st.select(col("t").as("trace_id"), col("path"),
+      col("depth").as("n_hops"), col("path_dur").as("path_dur_ns"),
+      (col("par").isNull && !col("dangling")).as("reached_root"))
+    Blocks.release(base)
+    out
+  }
+
   /** Per-trace WALL duration — end-to-end latency as the user saw it:
     * max(span end) − min(span start) in nanoseconds, which [[traceTree]]'s
     * critical path (sum of span durations along one root path) and

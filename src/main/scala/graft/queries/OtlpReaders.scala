@@ -1885,6 +1885,145 @@ object OtlpReaders {
         // rows would otherwise sit in engine-dependent relative order and
         // trip the positional comparator
         .orderBy("name", "bucket_counts")
+    },
+
+    // PromQL label_replace: derive a label from a regex over another
+    // label; no-match keeps the existing label (db-0 keeps preset-db,
+    // the pod-less point keeps null)
+    df("otlp_label_replace",
+      s"""WITH m AS (${metricsFlat(s"$fx/label_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name",
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v,
+         |  coalesce((list_filter(dp.attributes,
+         |    a -> a."key" = 'pod')[1])."value".stringValue, '') AS pod,
+         |  (list_filter(dp.attributes,
+         |    a -> a."key" = 'deployment')[1])."value".stringValue AS dep0
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp))
+         |SELECT "name", v AS "value",
+         |  CASE WHEN regexp_full_match(pod, '([a-z]+)-[0-9a-f]+-.*')
+         |    THEN regexp_replace(pod, '^([a-z]+)-[0-9a-f]+-.*$$', '\\1')
+         |    ELSE dep0 END AS deployment
+         |FROM pts ORDER BY "name", "value"""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.labelReplace(
+          Otlp.readMetricsSum(s, s"$fx/label_metrics.jsonl"),
+          dst = "deployment", replacement = "$1", src = "pod",
+          regex = "([a-z]+)-[0-9a-f]+-.*")
+        .select(col("name"),
+          coalesce(col("double_value"), col("int_value").cast("double"))
+            .as("value"),
+          col("deployment"))
+        .orderBy("name", "value")
+    },
+
+    // PromQL label_join: concatenate label values (absent labels
+    // contribute empty strings, separator always present)
+    df("otlp_label_join",
+      s"""WITH m AS (${metricsFlat(s"$fx/label_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name",
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v,
+         |  coalesce((list_filter(dp.attributes,
+         |    a -> a."key" = 'env')[1])."value".stringValue, '') AS env,
+         |  coalesce((list_filter(dp.attributes,
+         |    a -> a."key" = 'pod')[1])."value".stringValue, '') AS pod
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp))
+         |SELECT "name", v AS "value", env || '/' || pod AS instance_key
+         |FROM pts ORDER BY "name", "value"""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.labelJoin(
+          Otlp.readMetricsSum(s, s"$fx/label_metrics.jsonl"),
+          dst = "instance_key", sep = "/", srcs = Seq("env", "pod"))
+        .select(col("name"),
+          coalesce(col("double_value"), col("int_value").cast("double"))
+            .as("value"),
+          col("instance_key"))
+        .orderBy("name", "value")
+    },
+
+    // PromQL offset comparison (v / v offset 60s): per series, the value
+    // one minute earlier and the day-over-day-style ratio
+    df("otlp_offset_compare",
+      s"""WITH m AS (${metricsFlat(s"$fx/rate_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name",
+         |  CAST(dp.timeUnixNano AS BIGINT) // 1000 AS t_us,
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp)),
+         |o AS (SELECT "name", t_us, v,
+         |  max(v) OVER (PARTITION BY "name" ORDER BY t_us
+         |    RANGE BETWEEN 60000000 PRECEDING AND 60000000 PRECEDING)
+         |    AS offset_value
+         |  FROM pts WHERE v IS NOT NULL)
+         |SELECT "name",
+         |  strftime(make_timestamp(t_us), '$TsFmtDuck') AS time_unix_nano,
+         |  v AS "value", offset_value,
+         |  CASE WHEN offset_value <> 0 THEN round(v / offset_value, 6)
+         |    END AS ratio
+         |FROM o ORDER BY "name", time_unix_nano""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.offsetCompare(
+          Otlp.readMetricsSum(s, s"$fx/rate_metrics.jsonl"), offsetSec = 60)
+        .select(col("name"),
+          date_format(col("time_unix_nano"), TsFmtSpark).as("time_unix_nano"),
+          col("value"), col("offset_value"), col("ratio"))
+        .orderBy("name", "time_unix_nano")
+    },
+
+    // logfmt body parsing (the collector's key-value parser): one row
+    // per extracted k=v pair, quotes stripped
+    df("otlp_logfmt",
+      s"""WITH rec AS (${logsFlat(s"$fx/logfmt_logs.jsonl")}),
+         |b AS (SELECT ${duckService("res.attributes")} AS svc,
+         |  ${duckTs("timeUnixNano")} AS t, body.stringValue AS body
+         |  FROM rec WHERE body.stringValue IS NOT NULL),
+         |x AS (SELECT svc, t, unnest(regexp_extract_all(body,
+         |  '([A-Za-z_][A-Za-z0-9_.]*)=("[^"]*"|[^\\s"]+)')) AS kv FROM b)
+         |SELECT svc AS service_name, t AS time_unix_nano,
+         |  regexp_extract(kv,
+         |    '([A-Za-z_][A-Za-z0-9_.]*)=("[^"]*"|[^\\s"]+)', 1) AS "key",
+         |  regexp_replace(regexp_extract(kv,
+         |    '([A-Za-z_][A-Za-z0-9_.]*)=("[^"]*"|[^\\s"]+)', 2),
+         |    '^"|"$$', '', 'g') AS "value"
+         |FROM x ORDER BY time_unix_nano, "key"""".stripMargin) { (s, _) =>
+      graft.operators.Logs.parseLogfmt(
+          Otlp.readLogs(s, s"$fx/logfmt_logs.jsonl"))
+        .select(col("service_name"),
+          date_format(col("time_unix_nano"), TsFmtSpark).as("time_unix_nano"),
+          col("key"), col("value"))
+        .orderBy("time_unix_nano", "key")
+    },
+
+    // critical-path blame chain: per trace, the ancestor chain of the
+    // last-finishing span as root>...>laggard with hop count + summed ns
+    df("otlp_critical_path",
+      s"""WITH RECURSIVE rec AS (
+         |  SELECT sp.* FROM read_json('$fx/tree_traces.jsonl',
+         |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
+         |    unnest(resourceSpans) AS a(rs),
+         |    unnest(rs.scopeSpans) AS b(ss),
+         |    unnest(ss.spans) AS c(sp)),
+         |sp AS (SELECT lower(traceId) AS t, lower(spanId) AS s,
+         |  lower(parentSpanId) AS p, "name" AS nm,
+         |  CAST(endTimeUnixNano AS BIGINT) AS e,
+         |  CAST(endTimeUnixNano AS BIGINT) - CAST(startTimeUnixNano AS BIGINT)
+         |    AS dur FROM rec),
+         |tgt AS (SELECT t, s, p, nm, dur FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY t
+         |    ORDER BY e DESC, s DESC) AS rn FROM sp) WHERE rn = 1),
+         |walk AS (
+         |  SELECT t, p AS par, nm AS path, dur AS path_dur, 0 AS depth
+         |    FROM tgt
+         |  UNION ALL
+         |  SELECT w.t, c.p, c.nm || '>' || w.path, w.path_dur + c.dur,
+         |    w.depth + 1
+         |  FROM walk w JOIN sp c ON c.t = w.t AND c.s = w.par
+         |  WHERE w.depth < 20),
+         |fin AS (SELECT *, row_number() OVER (PARTITION BY t
+         |  ORDER BY depth DESC) AS rn FROM walk)
+         |SELECT t AS trace_id, path, depth AS n_hops,
+         |  path_dur AS path_dur_ns, (par IS NULL) AS reached_root
+         |FROM fin WHERE rn = 1 ORDER BY trace_id""".stripMargin) { (s, _) =>
+      graft.operators.Traces.criticalPath(
+          Otlp.readTraces(s, s"$fx/tree_traces.jsonl"))
+        .select(col("trace_id"), col("path"), col("n_hops"),
+          col("path_dur_ns"), col("reached_root"))
+        .orderBy("trace_id")
     }
   )
 }

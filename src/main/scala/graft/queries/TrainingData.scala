@@ -683,6 +683,36 @@ object TrainingData {
         .orderBy(col("n_sessions").desc, col("path"))
     },
 
+    // per-session rollup (the sessionize rule): event count, wall
+    // duration, entry/exit event types — the session feature table
+    df("ev_session_stats",
+      """WITH o AS (SELECT user_id AS u, event_type AS ty,
+        |  epoch_ns(ts) AS et, event_id AS eid FROM events),
+        |o2 AS (SELECT *, CASE WHEN (lag(et) OVER w) IS NULL
+        |    OR et - (lag(et) OVER w) > 3600000000000 THEN 1 ELSE 0 END AS ns
+        |  FROM o WINDOW w AS (PARTITION BY u ORDER BY et, eid)),
+        |s AS (SELECT u, ty, et, eid, sum(ns) OVER (PARTITION BY u
+        |  ORDER BY et, eid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS sess FROM o2),
+        |s2 AS (SELECT *,
+        |  first_value(ty) OVER (PARTITION BY u, sess ORDER BY et, eid)
+        |    AS entry_type,
+        |  last_value(ty) OVER (PARTITION BY u, sess ORDER BY et, eid
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS exit_type
+        |  FROM s)
+        |SELECT u AS user_id, sess AS session_id, count(*) AS n_events,
+        |  max(et) - min(et) AS duration_ns,
+        |  min(entry_type) AS entry_type, min(exit_type) AS exit_type
+        |FROM s2 GROUP BY u, sess
+        |ORDER BY user_id, session_id LIMIT 200""".stripMargin) { (s, _) =>
+      Events.sessionStats(s.table("events"))
+        .select(col("u").as("user_id"), col("sess").as("session_id"),
+          col("n_events"), col("duration_ns"),
+          col("entry_type"), col("exit_type"))
+        .orderBy("user_id", "session_id").limit(200)
+    },
+
     // heavy hitters: top-20 corpus tokens by frequency
     dialect("ta_top_tokens",
       """SELECT w, count(*) AS cnt FROM (

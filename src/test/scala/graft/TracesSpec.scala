@@ -74,6 +74,36 @@ class TracesSpec extends SparkTestBase {
       s"healthy trace must stay exact: $t2")
   }
 
+  test("criticalPath: walks UP from the last-finishing span (a greedy " +
+    "walk down would miss a late leaf under an early-ending mid); " +
+    "dangling parents and cycles stay bounded and flagged") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(ms: Long) = new java.sql.Timestamp(t0.getTime + ms)
+    val spans = Seq(
+      // ta: mid ends EARLY (10ms) but its leaf ends last (200ms); the
+      // sibling othr ends at 150ms — the chain must route through mid
+      ("ta", "s1", null, "root", ts(0), 100000000L),
+      ("ta", "s2", "s1", "mid", ts(1), 9000000L),
+      ("ta", "s3", "s2", "leaf", ts(5), 195000000L),
+      ("ta", "s4", "s1", "othr", ts(0), 150000000L),
+      // tb: a parent-pointer cycle — the walk must stop, not loop
+      ("tb", "b1", "b2", "cyc-a", ts(0), 5000000L),
+      ("tb", "b2", "b1", "cyc-b", ts(0), 7000000L),
+      // tc: dangling parent — chain ends, does NOT claim the root
+      ("tc", "c1", "zz", "orph", ts(0), 3000000L))
+      .toDF("trace_id", "span_id", "parent_span_id", "name",
+        "start_time_unix_nano", "duration_time_unix_nano")
+    val got = Traces.criticalPath(spans).collect().map(r =>
+      r.getAs[String]("trace_id") -> ((r.getAs[String]("path"),
+        r.getAs[Int]("n_hops"), r.getAs[Long]("path_dur_ns"),
+        r.getAs[Boolean]("reached_root")))).toMap
+    assert(got("ta") == (("root>mid>leaf", 2, 304000000L, true)), got)
+    val (_, hops, _, rr) = got("tb")
+    assert(!rr && hops <= 20, got("tb"))
+    assert(got("tc") == (("orph", 0, 3000000L, false)), got)
+  }
+
   test("exception report: events named 'exception' only, replay-safe, " +
     "typed + counted per service — hand-computed golden") {
     val got = Traces.exceptionReport(
