@@ -136,6 +136,45 @@ object Events {
         max(struct(col("et"), col("eid"), col("ty")))
           .getField("ty").as("exit_type"))
 
+  /** BOUNCE RATE by entry type — per session entry event-type, how many
+    * sessions start there and what share end after that single event
+    * (the landing-page quality readout; in training-data terms, the
+    * "discard one-event sessions" filter's per-entry accounting).
+    * Composes [[sessionStats]]; output is one row per entry type.
+    * round(6). */
+  def bounceRate(events: DataFrame, gapNs: Long = 3600000000000L,
+                 userCol: String = "user_id",
+                 typeCol: String = "event_type",
+                 tsNsCol: String = "ts_ns",
+                 idCol: String = "event_id"): DataFrame =
+    sessionStats(events, gapNs, userCol, typeCol, tsNsCol, idCol)
+      .groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .withColumn("bounce_rate",
+        round(col("n_bounces").cast("double") / col("n_sessions"), 6))
+
+  /** ENGAGEMENT DECILES: users ranked into `n` equal-count buckets by
+    * their event volume, with each bucket's user count and volume
+    * bounds — the power-user curve ("the top decile produces X% of
+    * events") that drives per-user sampling caps in a training
+    * pipeline. One user-keyed partial agg, then an ntile over the
+    * user-count frame (users, not events — the big side never sorts).
+    * Ties break on user id for a deterministic decile edge. */
+  def engagementDeciles(events: DataFrame, n: Int = 10,
+                        userCol: String = "user_id"): DataFrame = {
+    require(n >= 2, "need at least two buckets")
+    val perUser = events.groupBy(col(userCol).as("u"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.orderBy(col("n_events").desc, col("u"))
+    perUser.withColumn("decile", ntile(n).over(w))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_events")).as("total_events"),
+        max(col("n_events")).as("max_events"),
+        min(col("n_events")).as("min_events"))
+  }
+
   /** Cohort RETENTION: users cohort by the calendar day of their FIRST
     * event; for each (cohort day, day offset) the distinct users seen
     * again at that offset (offset 0 = the cohort day itself, so its

@@ -230,6 +230,65 @@ object Metrics {
       .agg(agg.as("value"), count(lit(1)).as("n_series"))
   }
 
+  /** PromQL `sum/avg/min/max without (<labels>)`: the complement face of
+    * [[aggregateBy]] — collapse series by DROPPING the listed labels
+    * from the metric-attribute set and grouping on everything that
+    * remains (name + the cleaned attribute JSON). The "collapse
+    * replicas but keep every other dimension" aggregation, which `by`
+    * can't express without enumerating the kept labels. Cleaned JSON is
+    * rebuilt from the sorted entry list, so two series differing only
+    * in dropped labels land in one group with a canonical key.
+    *
+    * Shape at 100 TB: the label-drop is MAP-ONLY JSON rewriting; then
+    * one partial-agg groupBy on (name, cleaned attrs, time) — replica
+    * collapse happens map-side, output is the retained label space. */
+  def aggregateWithout(sums: DataFrame, op: String,
+                       without: Seq[String]): DataFrame = {
+    require(without.nonEmpty, "aggregateWithout needs labels to drop")
+    val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    val agg = op match {
+      case "sum" => round(sum(col("__v")), 6)
+      case "avg" => round(avg(col("__v")), 6)
+      case "min" => min(col("__v"))
+      case "max" => max(col("__v"))
+      case other => throw new IllegalArgumentException(
+        s"unknown aggregate: $other (sum|avg|min|max)")
+    }
+    val dropSet = without.map(k => s"'$k'").mkString("array(", ",", ")")
+    // metric_attributes is the canonical sorted-key JSON the parser
+    // emits; filtering its map entries and re-serializing keeps the
+    // (already sorted) order, so equal retained label sets serialize
+    // byte-equal group keys
+    val cleaned = coalesce(to_json(expr(
+      s"map_filter(from_json(metric_attributes, 'map<string,string>'), " +
+        s"(k, x) -> NOT array_contains($dropSet, k))")), lit("{}"))
+    Replay.dedupWithin(
+        sums.withColumn("__attrs", cleaned),
+        Seq(col("name"), col("__attrs"), col("time_unix_nano")))
+      .where(v.isNotNull)
+      .withColumn("__v", v)
+      .groupBy(col("name"), col("__attrs").as("metric_attributes"),
+        col("time_unix_nano"))
+      .agg(agg.as("value"), count(lit(1)).as("n_series"))
+  }
+
+  /** Metric catalog INVENTORY — the `scopeInventory` twin for metrics:
+    * per (metric name, unit), how many distinct series and points exist
+    * and over what time span. The "what is this cluster even exporting"
+    * audit every metrics bill review starts from. One partial-agg
+    * groupBy; n_series counts a canonical concat of the series identity
+    * (null-coalesced — countDistinct over raw columns drops rows where
+    * ANY column is null, and namespace/instance legitimately are). */
+  def metricInventory(sums: DataFrame): DataFrame = {
+    val sid = concat_ws("|", seriesKeyNames.map(c =>
+      coalesce(col(c), lit(""))): _*)
+    sums.groupBy(col("name"), coalesce(col("unit"), lit("")).as("unit"))
+      .agg(countDistinct(sid).as("n_series"),
+        count(lit(1)).as("n_points"),
+        min(col("time_unix_nano")).as("first_time"),
+        max(col("time_unix_nano")).as("last_time"))
+  }
+
   /** PromQL quantile aggregation (`quantile by (<labels>)(q, metric)`):
     * at each timestamp, the exact q-quantile of the values ACROSS every
     * series that collapses to the kept label set — "p90 of per-replica
@@ -887,6 +946,44 @@ object Metrics {
           .otherwise(round(
             lo + (hi - lo) * (col("__target") - cumPrev) / cnt, 6)))
       .drop("__cums", "__total", "__target", "__idx")
+  }
+
+  /** Histogram spread per data point (PromQL `histogram_stddev` /
+    * `histogram_stdvar` for classic buckets): bucket-midpoint moments —
+    * mid of bucket i is (bound[i-1]+bound[i])/2, the first bucket
+    * interpolates from 0 ([[histogramQuantile]]'s convention), the +Inf
+    * bucket uses the last finite bound; mean/variance weight mids by
+    * bucket counts. The "is this latency tight or bimodal-wide" panel
+    * next to the quantile. Empty or bound-less points null; round(6).
+    * MAP-ONLY array expressions, streaming-composable. */
+  def histogramStddev(hists: DataFrame): DataFrame = {
+    val mids = expr(
+      """transform(sequence(1, size(bucket_counts)),
+        |  i -> CASE WHEN i > size(explicit_bounds)
+        |         THEN try_element_at(explicit_bounds, size(explicit_bounds))
+        |       WHEN i = 1 THEN try_element_at(explicit_bounds, 1) / 2
+        |       ELSE (try_element_at(explicit_bounds, i - 1)
+        |             + try_element_at(explicit_bounds, i)) / 2 END)""".stripMargin)
+    val total = coalesce(expr(
+      "aggregate(bucket_counts, CAST(0 AS DOUBLE), (a, x) -> a + x)"),
+      lit(0.0))
+    hists
+      .withColumn("__mids", mids)
+      .withColumn("__total", total)
+      .withColumn("__mean", when(col("__total") > 0, expr(
+        """aggregate(zip_with(bucket_counts, __mids, (c, m) -> c * m),
+          |  CAST(0 AS DOUBLE), (a, x) -> a + x)""".stripMargin) /
+        col("__total")))
+      .withColumn("stdvar",
+        when(col("__total") <= 0 || size(col("explicit_bounds")) === 0,
+          lit(null))
+          .otherwise(round(expr(
+            """aggregate(zip_with(bucket_counts, __mids,
+              |  (c, m) -> c * (m - __mean) * (m - __mean)),
+              |  CAST(0 AS DOUBLE), (a, x) -> a + x)""".stripMargin) /
+            col("__total"), 6)))
+      .withColumn("stddev", round(sqrt(col("stdvar")), 6))
+      .drop("__mids", "__total", "__mean")
   }
 
   /** Fraction of observations at or below `x` (PromQL

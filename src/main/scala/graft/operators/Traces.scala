@@ -132,6 +132,52 @@ object Traces {
         col("is").isNull.as("is_root"), col("dur"))
   }
 
+  /** Span CONCURRENCY profile — per service, the peak number of spans
+    * in flight at once and when it happened: the sweep-line over span
+    * intervals (+1 at start, −1 at end, running sum in time order) that
+    * turns a span table into the capacity-planning readout ("how many
+    * concurrent requests does this service actually carry").
+    * Same-instant ties process ends BEFORE starts (end-exclusive
+    * intervals — back-to-back spans don't overlap), then span id, so
+    * the running sum is deterministic. `peak_time_ns` is the earliest
+    * instant the peak is reached.
+    *
+    * Shape at 100 TB: replay dedup on uniform (service, span) identity,
+    * then one service-keyed ordered scan over 2 events/span. The
+    * per-service prefix scan is inherent to exact concurrency (the
+    * running sum needs the service's full event order) — for a
+    * mega-service whose event stream outgrows one task, pre-slice by a
+    * time partition and feed slices separately (spans crossing the
+    * boundary carry into the next slice's base count); output is one
+    * row per service. */
+  def spanConcurrency(spans: DataFrame,
+                      serviceCol: String = "service_name",
+                      idCol: String = "span_id",
+                      startCol: String = "start_time_unix_nano",
+                      durCol: String = "duration_time_unix_nano"): DataFrame = {
+    val startNs = unix_micros(col(startCol)) * lit(1000L)
+    val base = Replay.dedupWithin(
+      spans.select(col(serviceCol).as("svc"), col(idCol).as("s"),
+        startNs.as("t0"), (startNs + col(durCol).cast("long")).as("t1")),
+      Seq(col("svc"), col("s")))
+    val ev = base.select(col("svc"), col("t0").as("t"), lit(1).as("d"), col("s"))
+      .unionAll(base.select(col("svc"), col("t1").as("t"),
+        lit(-1).as("d"), col("s")))
+    val wRun = Window.partitionBy(col("svc"))
+      .orderBy(col("t"), col("d"), col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the whole-partition peak window reuses the running sum's exchange
+    // (same partitioning) — no extra shuffle
+    val wPeak = Window.partitionBy(col("svc"))
+    ev.withColumn("__run", sum(col("d")).over(wRun))
+      .withColumn("__peak", max(col("__run")).over(wPeak))
+      .groupBy(col("svc").as("service_name"))
+      .agg(max(col("__run")).as("peak_concurrency"),
+        min(when(col("__run") === col("__peak"), col("t")))
+          .as("peak_time_ns"),
+        (count(lit(1)) / 2).cast("long").as("n_spans"))
+  }
+
   /** CRITICAL-PATH blame chain: per trace, the ancestor chain of the
     * LAST-FINISHING span — "which call path kept the trace open" — as
     * an ordered `root>…>laggard` name path with its hop count and

@@ -1989,6 +1989,132 @@ object OtlpReaders {
         .orderBy("time_unix_nano", "key")
     },
 
+    // PromQL sum without(pod): collapse series by DROPPING labels,
+    // grouping on the cleaned attribute set
+    df("otlp_agg_without",
+      s"""WITH m AS (${metricsFlat(s"$fx/label_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name", ${duckTs("dp.timeUnixNano")} AS t,
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v,
+         |  to_json(map_from_entries(list_sort(list_transform(
+         |    list_filter(dp.attributes, a -> a."key" <> 'pod'),
+         |    kv -> {k: kv."key", v: kv."value".stringValue}))))::VARCHAR
+         |    AS attrs
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp))
+         |SELECT "name", attrs AS metric_attributes, t AS time_unix_nano,
+         |  round(sum(v), 6) AS "value", count(*) AS n_series
+         |FROM pts WHERE v IS NOT NULL GROUP BY 1, 2, 3
+         |ORDER BY "name", metric_attributes, time_unix_nano""".stripMargin) {
+      (s, _) =>
+      graft.operators.Metrics.aggregateWithout(
+          Otlp.readMetricsSum(s, s"$fx/label_metrics.jsonl"),
+          op = "sum", without = Seq("pod"))
+        .select(col("name"), col("metric_attributes"),
+          date_format(col("time_unix_nano"), TsFmtSpark).as("time_unix_nano"),
+          col("value"), col("n_series"))
+        .orderBy("name", "metric_attributes", "time_unix_nano")
+    },
+
+    // metric catalog inventory: per (name, unit) the series/point counts
+    // and time span — the scope-inventory twin for metrics
+    df("otlp_metric_inventory",
+      s"""WITH m AS (${metricsFlat(s"$fx/label_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name",
+         |  coalesce(m.unit, '') AS unit,
+         |  CAST(dp.timeUnixNano AS BIGINT) AS tns,
+         |  m."name" || '|' || ${duckService("res.attributes")} || '|' ||
+         |    '||' || ${duckAttrs("res.attributes")} || '|' ||
+         |    coalesce(sl_name, '') || '|' || ${duckAttrs("dp.attributes")}
+         |    AS sid
+         |  FROM (SELECT rm.resource AS res, sm."scope"."name" AS sl_name,
+         |      mt.* FROM read_json('$fx/label_metrics.jsonl',
+         |      format='newline_delimited', columns={resourceMetrics: '$metricsRecT'}),
+         |    unnest(resourceMetrics) AS a(rm),
+         |    unnest(rm.scopeMetrics) AS b(sm),
+         |    unnest(sm.metrics) AS c(mt)) m,
+         |  unnest(m."sum".dataPoints) AS d(dp))
+         |SELECT "name", unit, count(DISTINCT sid) AS n_series,
+         |  count(*) AS n_points,
+         |  strftime(make_timestamp(min(tns) // 1000), '$TsFmtDuck')
+         |    AS first_time,
+         |  strftime(make_timestamp(max(tns) // 1000), '$TsFmtDuck')
+         |    AS last_time
+         |FROM pts GROUP BY 1, 2 ORDER BY "name"""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.metricInventory(
+          Otlp.readMetricsSum(s, s"$fx/label_metrics.jsonl"))
+        .select(col("name"), col("unit"), col("n_series"), col("n_points"),
+          date_format(col("first_time"), TsFmtSpark).as("first_time"),
+          date_format(col("last_time"), TsFmtSpark).as("last_time"))
+        .orderBy("name")
+    },
+
+    // PromQL histogram_stddev/stdvar: bucket-midpoint spread per point
+    df("otlp_hist_stddev",
+      s"""WITH m AS (${metricsFlat(s"$fx/hist_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name", ${duckTs("dp.timeUnixNano")} AS t,
+         |  dp.bucketCounts AS bc, dp.explicitBounds AS b
+         |  FROM m, unnest(m.histogram.dataPoints) AS d(dp)),
+         |mm AS (SELECT "name", t, bc, b,
+         |  list_transform(generate_series(1, len(bc)), i ->
+         |    CASE WHEN i > len(b) THEN b[len(b)]
+         |      WHEN i = 1 THEN b[1] / 2
+         |      ELSE (b[i-1] + b[i]) / 2 END) AS mids,
+         |  CAST(list_sum(bc) AS DOUBLE) AS total FROM pts),
+         |mv AS (SELECT *, CASE WHEN total > 0 THEN
+         |    list_sum(list_transform(generate_series(1, len(bc)),
+         |      i -> bc[i] * mids[i])) / total END AS mean FROM mm)
+         |SELECT "name", t AS time_unix_nano,
+         |  CASE WHEN total <= 0 OR len(b) = 0 THEN NULL
+         |    ELSE round(list_sum(list_transform(generate_series(1, len(bc)),
+         |      i -> bc[i] * (mids[i] - mean) * (mids[i] - mean))) / total, 6)
+         |    END AS stdvar,
+         |  CASE WHEN total <= 0 OR len(b) = 0 THEN NULL
+         |    ELSE round(sqrt(round(list_sum(list_transform(
+         |      generate_series(1, len(bc)),
+         |      i -> bc[i] * (mids[i] - mean) * (mids[i] - mean))) / total,
+         |      6)), 6) END AS stddev
+         |FROM mv ORDER BY "name", time_unix_nano""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.histogramStddev(
+          Otlp.readMetricsHistogram(s, s"$fx/hist_metrics.jsonl"))
+        .select(col("name"),
+          date_format(col("time_unix_nano"), TsFmtSpark).as("time_unix_nano"),
+          col("stdvar"), col("stddev"))
+        .orderBy("name", "time_unix_nano")
+    },
+
+    // span concurrency: per service, peak spans in flight (sweep-line;
+    // ends process before starts at the same instant). Times mirror the
+    // engine's µs timestamp storage: start truncates to µs, end =
+    // truncated start + exact ns duration.
+    df("otlp_span_concurrency",
+      s"""WITH rec AS (
+         |  SELECT rs.resource AS res, sp.* FROM read_json('$fx/red_traces.jsonl',
+         |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
+         |    unnest(resourceSpans) AS a(rs),
+         |    unnest(rs.scopeSpans) AS b(ss),
+         |    unnest(ss.spans) AS c(sp)),
+         |sp AS (SELECT ${duckService("res.attributes")} AS svc,
+         |  lower(spanId) AS s,
+         |  CAST(startTimeUnixNano AS BIGINT) // 1000 * 1000 AS t0,
+         |  CAST(startTimeUnixNano AS BIGINT) // 1000 * 1000
+         |    + (CAST(endTimeUnixNano AS BIGINT)
+         |       - CAST(startTimeUnixNano AS BIGINT)) AS t1
+         |  FROM rec),
+         |ev AS (SELECT svc, t0 AS t, 1 AS d, s FROM sp
+         |  UNION ALL SELECT svc, t1, -1, s FROM sp),
+         |r AS (SELECT *, sum(d) OVER (PARTITION BY svc ORDER BY t, d, s
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM ev),
+         |p AS (SELECT *, max(run) OVER (PARTITION BY svc) AS pk FROM r)
+         |SELECT svc AS service_name, max(run) AS peak_concurrency,
+         |  min(CASE WHEN run = pk THEN t END) AS peak_time_ns,
+         |  CAST(count(*) / 2 AS BIGINT) AS n_spans
+         |FROM p GROUP BY svc ORDER BY service_name""".stripMargin) { (s, _) =>
+      graft.operators.Traces.spanConcurrency(
+          Otlp.readTraces(s, s"$fx/red_traces.jsonl"))
+        .select(col("service_name"),
+          col("peak_concurrency"), col("peak_time_ns"), col("n_spans"))
+        .orderBy("service_name")
+    },
+
     // critical-path blame chain: per trace, the ancestor chain of the
     // last-finishing span as root>...>laggard with hop count + summed ns
     df("otlp_critical_path",

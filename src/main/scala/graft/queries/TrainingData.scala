@@ -713,6 +713,45 @@ object TrainingData {
         .orderBy("user_id", "session_id").limit(200)
     },
 
+    // bounce rate by session entry type: share of sessions ending after
+    // their single first event
+    df("ev_bounce_rate",
+      """WITH o AS (SELECT user_id AS u, event_type AS ty,
+        |  epoch_ns(ts) AS et, event_id AS eid FROM events),
+        |o2 AS (SELECT *, CASE WHEN (lag(et) OVER w) IS NULL
+        |    OR et - (lag(et) OVER w) > 3600000000000 THEN 1 ELSE 0 END AS ns
+        |  FROM o WINDOW w AS (PARTITION BY u ORDER BY et, eid)),
+        |s AS (SELECT u, ty, et, eid, sum(ns) OVER (PARTITION BY u
+        |  ORDER BY et, eid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS sess FROM o2),
+        |s2 AS (SELECT u, sess,
+        |  first_value(ty) OVER (PARTITION BY u, sess ORDER BY et, eid)
+        |    AS entry_type, count(*) OVER (PARTITION BY u, sess) AS ne
+        |  FROM s),
+        |g AS (SELECT DISTINCT u, sess, entry_type, ne FROM s2)
+        |SELECT entry_type, count(*) AS n_sessions,
+        |  sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS n_bounces,
+        |  round(sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 6) AS bounce_rate
+        |FROM g GROUP BY entry_type ORDER BY entry_type""".stripMargin) {
+      (s, _) =>
+      Events.bounceRate(s.table("events")).orderBy("entry_type")
+    },
+
+    // engagement deciles: users bucketed by event volume — the
+    // power-user curve behind per-user sampling caps
+    df("ev_engagement_deciles",
+      """WITH pu AS (SELECT user_id AS u, count(*) AS n_events
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT u, n_events,
+        |  ntile(10) OVER (ORDER BY n_events DESC, u) AS decile FROM pu)
+        |SELECT decile, count(*) AS n_users, sum(n_events) AS total_events,
+        |  max(n_events) AS max_events, min(n_events) AS min_events
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin) { (s, _) =>
+      Events.engagementDeciles(s.table("events"))
+        .orderBy("decile")
+    },
+
     // heavy hitters: top-20 corpus tokens by frequency
     dialect("ta_top_tokens",
       """SELECT w, count(*) AS cnt FROM (

@@ -535,7 +535,10 @@ class PlanSpec extends SparkTestBase {
         "deltaOverTime" -> graft.operators.Metrics.deltaOverTime(sums),
         "avgBy" -> graft.operators.Metrics.aggregateBy(sums, "avg"),
         "topk" -> graft.operators.Metrics.topkSeries(sums, 2),
-        "instantRate" -> graft.operators.Metrics.instantRate(sums))) {
+        "instantRate" -> graft.operators.Metrics.instantRate(sums),
+        "offsetCompare" -> graft.operators.Metrics.offsetCompare(sums, 60),
+        "aggregateWithout" ->
+          graft.operators.Metrics.aggregateWithout(sums, "sum", Seq("pod")))) {
       val p = plan(df)
       assert("Exchange".r.findAllIn(p).size == 1,
         s"$label: dedup must reuse the operator's own exchange:\n$p")
