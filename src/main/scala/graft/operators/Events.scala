@@ -175,6 +175,74 @@ object Events {
         min(col("n_events")).as("min_events"))
   }
 
+  /** ACTIVE USERS: per calendar day, the distinct users active that day
+    * (DAU) and in the trailing `windowDays` window ending that day
+    * (rolling WAU/MAU) — the engagement denominator every per-user
+    * sampling policy normalizes by. Days outside the observed range are
+    * not reported.
+    *
+    * Shape at 100 TB: first collapse events to the (user, day) presence
+    * frame (uniform partial agg — the multiplication below never sees
+    * raw events); then each user-day fans out to the `windowDays` window
+    * ends it covers (map-only ×w explode) and ONE (day) aggregation
+    * counts distinct users per covered day. No self-join over a time
+    * range, no per-day re-scan; cost is w × |user-days|, and the
+    * distinct rides the aggregation's own partial phases. */
+  def activeUsers(events: DataFrame, windowDays: Int = 7,
+                  userCol: String = "user_id",
+                  tsCol: String = "ts"): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    val userDays = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
+      .groupBy("u", "d").agg(count(lit(1)).as("n_events"))
+    val bounds = userDays.agg(max(col("d")).as("max_d"))
+    userDays
+      .select(col("u"), col("d"), col("n_events"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("off"))
+      .select(col("u"), col("d"), col("n_events"),
+        date_add(col("d"), col("off")).as("day"),
+        (col("off") === 0).as("is_day"))
+      // the single-row bounds frame broadcasts; it only trims the
+      // explode's tail past the last observed day
+      .join(broadcast(bounds), col("day") <= col("max_d"))
+      .groupBy("day")
+      .agg(count_distinct(when(col("is_day"), col("u"))).as("dau"),
+        count_distinct(col("u")).as("rolling_active"),
+        sum(when(col("is_day"), col("n_events"))).as("n_events"))
+  }
+
+  /** Conversion ATTRIBUTION: for each conversion event, the event type
+    * of the user's FIRST touch ever and LAST touch immediately before
+    * the conversion (non-conversion events are touches); conversions
+    * with no prior touch attribute to '(direct)'. Output is the
+    * (first_touch, last_touch) matrix with conversion and converter
+    * counts — the "which acquisition path actually converts" table, and
+    * in training-data terms the label joiner for next-event-prediction
+    * slices.
+    *
+    * Shape at 100 TB: ONE user-keyed ordered window computes both
+    * running touches (first/last with ignoreNulls over the preceding
+    * frame — no self-join of conversions against touch history), then a
+    * partial agg onto the tiny type×type matrix. */
+  def attribution(events: DataFrame, conversionType: String,
+                  userCol: String = "user_id",
+                  typeCol: String = "event_type",
+                  tsNsCol: String = "ts_ns",
+                  idCol: String = "event_id"): DataFrame = {
+    val wU = Window.partitionBy(col("u")).orderBy(col("et"), col("eid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("ty") =!= conversionType, col("ty"))
+    events.select(col(userCol).as("u"), col(typeCol).as("ty"),
+        col(tsNsCol).as("et"), col(idCol).as("eid"))
+      .withColumn("__first", first(touch, ignoreNulls = true).over(wU))
+      .withColumn("__last", last(touch, ignoreNulls = true).over(wU))
+      .where(col("ty") === conversionType)
+      .groupBy(coalesce(col("__first"), lit("(direct)")).as("first_touch"),
+        coalesce(col("__last"), lit("(direct)")).as("last_touch"))
+      .agg(count(lit(1)).as("n_conversions"),
+        countDistinct(col("u")).as("n_users"))
+  }
+
   /** Cohort RETENTION: users cohort by the calendar day of their FIRST
     * event; for each (cohort day, day offset) the distinct users seen
     * again at that offset (offset 0 = the cohort day itself, so its

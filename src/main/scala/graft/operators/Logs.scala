@@ -480,4 +480,31 @@ object Logs {
         col("__kv.k").as("key"),
         regexp_replace(col("__kv.v"), "^\"|\"$", "").as("value"))
   }
+
+  /** LOG ↔ SPAN correlation: join trace-context-carrying log records to
+    * their span, so every log line resolves to the operation (and its
+    * duration/status) it was emitted under — the "show me the logs of
+    * this slow request" pivot, here inverted to annotate logs in bulk.
+    * Logs whose span is absent (head-sampled away, retention-expired)
+    * keep null span columns with `matched` false; logs with NO trace
+    * context are excluded (nothing to correlate — count them via
+    * [[scopeInventory]], not a null-key join).
+    *
+    * Shape at 100 TB: the no-context filter happens BEFORE the
+    * exchange, so the join shuffles only correlated logs on uniform
+    * (trace_id, span_id) keys against the span table — no null-key
+    * partition, no skew (ids are random hex). */
+  def spanJoin(logs: DataFrame, spans: DataFrame): DataFrame = {
+    val lg = logs
+      .where(col("trace_id").isNotNull && col("span_id").isNotNull)
+      .select(col("time_unix_nano"), col("service_name"),
+        col("severity_text"), col("body"),
+        col("trace_id"), col("span_id"))
+    val sp = spans.select(col("trace_id"), col("span_id"),
+      col("name").as("span_name"), col("service_name").as("span_service"),
+      col("duration_time_unix_nano").as("span_duration_ns"),
+      col("status_code").as("span_status_code"))
+    lg.join(sp, Seq("trace_id", "span_id"), "left")
+      .withColumn("matched", col("span_name").isNotNull)
+  }
 }

@@ -215,19 +215,31 @@ object Metrics {
                   by: Seq[String] = Seq("name")): DataFrame = {
     require(by.nonEmpty, "aggregateBy needs at least one label to keep")
     val v = coalesce(col("double_value"), col("int_value").cast("double"))
-    val agg = op match {
-      case "sum" => round(sum(col("__v")), 6)
-      case "avg" => round(avg(col("__v")), 6)
-      case "min" => min(col("__v"))
-      case "max" => max(col("__v"))
-      case other => throw new IllegalArgumentException(
-        s"unknown aggregate: $other (sum|avg|min|max)")
-    }
+    val agg = aggOp(op)
     Replay.dedupWithin(sums, by.map(col) :+ col("time_unix_nano"))
       .where(v.isNotNull)
       .withColumn("__v", v)
       .groupBy(by.map(col) :+ col("time_unix_nano"): _*)
       .agg(agg.as("value"), count(lit(1)).as("n_series"))
+  }
+
+  /** Shared cross-series aggregate dispatch for [[aggregateBy]] /
+    * [[aggregateWithout]] — the full PromQL aggregation-operator set over
+    * a value column named `__v`: sum/avg/min/max plus count (present
+    * samples), stddev/stdvar (POPULATION moments, PromQL's definition),
+    * and group (constant 1, the "which label sets exist" collapse).
+    * Every one is a map-side-combinable partial aggregate. */
+  private def aggOp(op: String) = op match {
+    case "sum"    => round(sum(col("__v")), 6)
+    case "avg"    => round(avg(col("__v")), 6)
+    case "min"    => min(col("__v"))
+    case "max"    => max(col("__v"))
+    case "count"  => count(col("__v")).cast("double")
+    case "stddev" => round(stddev_pop(col("__v")), 6)
+    case "stdvar" => round(var_pop(col("__v")), 6)
+    case "group"  => first(lit(1.0))
+    case other => throw new IllegalArgumentException(
+      s"unknown aggregate: $other (sum|avg|min|max|count|stddev|stdvar|group)")
   }
 
   /** PromQL `sum/avg/min/max without (<labels>)`: the complement face of
@@ -246,14 +258,7 @@ object Metrics {
                        without: Seq[String]): DataFrame = {
     require(without.nonEmpty, "aggregateWithout needs labels to drop")
     val v = coalesce(col("double_value"), col("int_value").cast("double"))
-    val agg = op match {
-      case "sum" => round(sum(col("__v")), 6)
-      case "avg" => round(avg(col("__v")), 6)
-      case "min" => min(col("__v"))
-      case "max" => max(col("__v"))
-      case other => throw new IllegalArgumentException(
-        s"unknown aggregate: $other (sum|avg|min|max)")
-    }
+    val agg = aggOp(op)
     val dropSet = without.map(k => s"'$k'").mkString("array(", ",", ")")
     // metric_attributes is the canonical sorted-key JSON the parser
     // emits; filtering its map entries and re-serializing keeps the
@@ -287,6 +292,71 @@ object Metrics {
         count(lit(1)).as("n_points"),
         min(col("time_unix_nano")).as("first_time"),
         max(col("time_unix_nano")).as("last_time"))
+  }
+
+  /** SEASONALITY profile: per metric name, the value distribution by
+    * time-of-day bucket (`hour` of day, `minute` of hour, or `dow`
+    * day-of-week 1=Sunday) — the baseline table behind "is tonight's
+    * value abnormal FOR 3am" anomaly detection, where a flat global
+    * baseline ([[volumeAnomaly]]'s) false-alarms on daily rhythm.
+    * round(6) on the moments.
+    *
+    * Shape at 100 TB: bucket extraction is map-only on the timestamp;
+    * then ONE partial-agg groupBy onto (name, bucket) — ≤ 168 rows per
+    * metric. Replay dedup rides the same exchange. */
+  def seasonality(sums: DataFrame, bucket: String = "hour"): DataFrame = {
+    val b = bucket match {
+      case "hour"   => hour(col("time_unix_nano"))
+      case "minute" => minute(col("time_unix_nano"))
+      case "dow"    => dayofweek(col("time_unix_nano"))
+      case other => throw new IllegalArgumentException(
+        s"unknown bucket: $other (hour|minute|dow)")
+    }
+    val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    Replay.dedupWithin(sums.withColumn("bucket", b),
+        Seq(col("name"), col("bucket")))
+      .where(v.isNotNull)
+      .withColumn("__v", v)
+      .groupBy(col("name"), col("bucket"))
+      .agg(round(avg(col("__v")), 6).as("avg_value"),
+        min(col("__v")).as("min_value"),
+        max(col("__v")).as("max_value"),
+        round(stddev_pop(col("__v")), 6).as("stddev_value"),
+        count(lit(1)).as("n_points"))
+  }
+
+  /** EXEMPLAR → SPAN correlation: explode each data point's sampled
+    * exemplars (the OTLP metrics↔traces bridge — a recorded trace/span
+    * id per sampled observation) and join them to the span table, so
+    * "p99 is bad" resolves to actual slow requests one can open. Keeps
+    * unmatched exemplars (expired/unsampled traces) with null span
+    * columns and `matched` false. Works on any point frame carrying
+    * `exemplars_json` (sums, gauges, histograms).
+    *
+    * Shape at 100 TB: exemplars are a SAMPLED trickle (a few per series
+    * per window) while spans are the big side — the exploded exemplar
+    * frame stays small, and the equi-join shuffles both sides on
+    * uniform (trace_id, span_id) keys; rows without ids are dropped
+    * before the exchange so there is no null-key partition. */
+  def exemplarSpans(points: DataFrame, spans: DataFrame): DataFrame = {
+    val exT = "array<struct<time_unix_nano: bigint, as_int: bigint, " +
+      "as_double: double, trace_id: string, span_id: string, " +
+      "filtered_attributes: map<string,string>>>"
+    val ex = points
+      .where(col("exemplars_json").isNotNull)
+      .select(col("name"), col("time_unix_nano").as("point_time"),
+        explode(from_json(col("exemplars_json"), exT,
+          Map.empty[String, String])).as("ex"))
+      .select(col("name"), col("point_time"),
+        coalesce(col("ex.as_double"), col("ex.as_int").cast("double"))
+          .as("exemplar_value"),
+        col("ex.trace_id").as("trace_id"), col("ex.span_id").as("span_id"))
+      .where(col("trace_id").isNotNull && col("span_id").isNotNull)
+    val sp = spans.select(col("trace_id"), col("span_id"),
+      col("name").as("span_name"), col("service_name").as("span_service"),
+      col("duration_time_unix_nano").as("span_duration_ns"))
+    ex.join(sp, Seq("trace_id", "span_id"), "left")
+      .withColumn("matched", col("span_name").isNotNull)
   }
 
   /** PromQL quantile aggregation (`quantile by (<labels>)(q, metric)`):
@@ -957,9 +1027,13 @@ object Metrics {
     * next to the quantile. Empty or bound-less points null; round(6).
     * MAP-ONLY array expressions, streaming-composable. */
   def histogramStddev(hists: DataFrame): DataFrame = {
+    // the bound-less CASE arm guards the +Inf branch: try_element_at
+    // still throws on index 0, so an empty bounds array needs its own
+    // null arm before any element access
     val mids = expr(
       """transform(sequence(1, size(bucket_counts)),
-        |  i -> CASE WHEN i > size(explicit_bounds)
+        |  i -> CASE WHEN size(explicit_bounds) = 0 THEN NULL
+        |       WHEN i > size(explicit_bounds)
         |         THEN try_element_at(explicit_bounds, size(explicit_bounds))
         |       WHEN i = 1 THEN try_element_at(explicit_bounds, 1) / 2
         |       ELSE (try_element_at(explicit_bounds, i - 1)

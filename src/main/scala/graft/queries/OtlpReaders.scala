@@ -107,6 +107,20 @@ object OtlpReaders {
        |        negative STRUCT("offset" INTEGER, bucketCounts VARCHAR[]))[],
        |        aggregationTemporality INTEGER))[])[])[]""".stripMargin
 
+  /** Histogram metric record type WITH exemplars (the exemplar-spans
+    * query's fixture; the shared metricsRecT omits them). */
+  private val metricsExT =
+    s"""STRUCT(resource STRUCT(attributes $AttrsT),
+       |  scopeMetrics STRUCT("scope" STRUCT("name" VARCHAR),
+       |    metrics STRUCT("name" VARCHAR, unit VARCHAR,
+       |      histogram STRUCT(dataPoints STRUCT(timeUnixNano VARCHAR,
+       |        count VARCHAR, "sum" DOUBLE, bucketCounts VARCHAR[],
+       |        explicitBounds DOUBLE[], attributes $AttrsT,
+       |        exemplars STRUCT(timeUnixNano VARCHAR, asDouble DOUBLE,
+       |          asInt VARCHAR, traceId VARCHAR, spanId VARCHAR,
+       |          filteredAttributes $AttrsT)[])[],
+       |        aggregationTemporality INTEGER))[])[])[]""".stripMargin
+
   private def metricsFlat(path: String): String =
     s"""SELECT rm.resource AS res, mt.*
        |FROM read_json('$path', format='newline_delimited',
@@ -2113,6 +2127,133 @@ object OtlpReaders {
         .select(col("service_name"),
           col("peak_concurrency"), col("peak_time_ns"), col("n_spans"))
         .orderBy("service_name")
+    },
+
+    // PromQL stddev by: population spread across replica series at each
+    // timestamp (the aggregation-operator family's moment face)
+    df("otlp_stddev_by",
+      s"""WITH m AS (${metricsFlat(s"$fx/replica_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name", ${duckTs("dp.timeUnixNano")} AS t,
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp))
+         |SELECT "name", t AS time_unix_nano,
+         |  round(stddev_pop(v), 6) AS "value", count(*) AS n_series
+         |FROM pts WHERE v IS NOT NULL GROUP BY "name", t
+         |ORDER BY "name", t""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.aggregateBy(
+          Otlp.readMetricsSum(s, s"$fx/replica_metrics.jsonl"), op = "stddev")
+        .select(col("name"),
+          date_format(col("time_unix_nano"), TsFmtSpark).as("time_unix_nano"),
+          col("value"), col("n_series"))
+        .orderBy("name", "time_unix_nano")
+    },
+
+    // seasonality profile: per metric the value distribution by
+    // minute-of-hour bucket — the time-of-day anomaly baseline
+    df("otlp_seasonality",
+      s"""WITH m AS (${metricsFlat(s"$fx/rate_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name",
+         |  minute(make_timestamp(CAST(dp.timeUnixNano AS BIGINT) // 1000))
+         |    AS bucket,
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp))
+         |SELECT "name", bucket, round(avg(v), 6) AS avg_value,
+         |  min(v) AS min_value, max(v) AS max_value,
+         |  round(stddev_pop(v), 6) AS stddev_value,
+         |  count(*) AS n_points
+         |FROM pts WHERE v IS NOT NULL GROUP BY 1, 2
+         |ORDER BY "name", bucket""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.seasonality(
+          Otlp.readMetricsSum(s, s"$fx/rate_metrics.jsonl"), bucket = "minute")
+        .select(col("name"), col("bucket"), col("avg_value"),
+          col("min_value"), col("max_value"), col("stddev_value"),
+          col("n_points"))
+        .orderBy("name", "bucket")
+    },
+
+    // exemplar -> span correlation: sampled observations resolved to
+    // the actual spans behind them (metrics <-> traces bridge)
+    df("otlp_exemplar_spans",
+      s"""WITH m AS (
+         |  SELECT rm.resource AS res, mt.* FROM read_json(
+         |      '$fx/exemplar_metrics.jsonl', format='newline_delimited',
+         |      columns={resourceMetrics: '$metricsExT'}),
+         |    unnest(resourceMetrics) AS a(rm),
+         |    unnest(rm.scopeMetrics) AS b(sm),
+         |    unnest(sm.metrics) AS c(mt)),
+         |ex AS (SELECT m."name" AS "name", ${duckTs("dp.timeUnixNano")} AS pt,
+         |  coalesce(e.asDouble, CAST(e.asInt AS DOUBLE)) AS exemplar_value,
+         |  lower(e.traceId) AS trace_id, lower(e.spanId) AS span_id
+         |  FROM m, unnest(m.histogram.dataPoints) AS d(dp),
+         |    unnest(dp.exemplars) AS x(e)
+         |  WHERE e.traceId IS NOT NULL AND e.spanId IS NOT NULL),
+         |rec AS (
+         |  SELECT rs.resource AS res, sp.* FROM read_json('$fx/red_traces.jsonl',
+         |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
+         |    unnest(resourceSpans) AS a(rs),
+         |    unnest(rs.scopeSpans) AS b(ss),
+         |    unnest(ss.spans) AS c(sp)),
+         |sp AS (SELECT lower(traceId) AS trace_id, lower(spanId) AS span_id,
+         |  sp."name" AS span_name, ${duckService("res.attributes")}
+         |    AS span_service,
+         |  CAST(endTimeUnixNano AS BIGINT) - CAST(startTimeUnixNano AS BIGINT)
+         |    AS span_duration_ns
+         |  FROM rec sp)
+         |SELECT ex."name", ex.pt AS point_time, ex.exemplar_value,
+         |  ex.trace_id, ex.span_id, sp.span_name, sp.span_service,
+         |  sp.span_duration_ns, sp.span_name IS NOT NULL AS matched
+         |FROM ex LEFT JOIN sp USING (trace_id, span_id)
+         |ORDER BY "name", trace_id, span_id""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.exemplarSpans(
+          Otlp.readMetricsHistogram(s, s"$fx/exemplar_metrics.jsonl"),
+          Otlp.readTraces(s, s"$fx/red_traces.jsonl"))
+        .select(col("name"),
+          date_format(col("point_time"), TsFmtSpark).as("point_time"),
+          col("exemplar_value"), col("trace_id"), col("span_id"),
+          col("span_name"), col("span_service"), col("span_duration_ns"),
+          col("matched"))
+        .orderBy("name", "trace_id", "span_id")
+    },
+
+    // log <-> span correlation: trace-context logs annotated with the
+    // operation (and duration/status) they were emitted under
+    df("otlp_log_span_join",
+      s"""WITH lrec AS (${logsFlat(s"$fx/corr_logs.jsonl")}),
+         |lg AS (SELECT ${duckTs("timeUnixNano")} AS t,
+         |  ${duckService("res.attributes")} AS service_name,
+         |  severityText AS severity_text, body.stringValue AS body,
+         |  lower(traceId) AS trace_id, lower(spanId) AS span_id
+         |  FROM lrec
+         |  WHERE traceId IS NOT NULL AND spanId IS NOT NULL),
+         |rec AS (
+         |  SELECT rs.resource AS res, sp.* FROM read_json('$fx/red_traces.jsonl',
+         |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
+         |    unnest(resourceSpans) AS a(rs),
+         |    unnest(rs.scopeSpans) AS b(ss),
+         |    unnest(ss.spans) AS c(sp)),
+         |sp AS (SELECT lower(traceId) AS trace_id, lower(spanId) AS span_id,
+         |  sp."name" AS span_name, ${duckService("res.attributes")}
+         |    AS span_service,
+         |  CAST(endTimeUnixNano AS BIGINT) - CAST(startTimeUnixNano AS BIGINT)
+         |    AS span_duration_ns,
+         |  sp.status.code AS span_status_code
+         |  FROM rec sp)
+         |SELECT lg.t AS time_unix_nano, lg.service_name, lg.severity_text,
+         |  lg.body, lg.trace_id, lg.span_id, sp.span_name, sp.span_service,
+         |  sp.span_duration_ns, sp.span_status_code,
+         |  sp.span_name IS NOT NULL AS matched
+         |FROM lg LEFT JOIN sp USING (trace_id, span_id)
+         |ORDER BY time_unix_nano, trace_id""".stripMargin) { (s, _) =>
+      graft.operators.Logs.spanJoin(
+          Otlp.readLogs(s, s"$fx/corr_logs.jsonl"),
+          Otlp.readTraces(s, s"$fx/red_traces.jsonl"))
+        .select(
+          date_format(col("time_unix_nano"), TsFmtSpark).as("time_unix_nano"),
+          col("service_name"), col("severity_text"), col("body"),
+          col("trace_id"), col("span_id"), col("span_name"),
+          col("span_service"), col("span_duration_ns"),
+          col("span_status_code"), col("matched"))
+        .orderBy("time_unix_nano", "trace_id")
     },
 
     // critical-path blame chain: per trace, the ancestor chain of the

@@ -752,6 +752,48 @@ object TrainingData {
         .orderBy("decile")
     },
 
+    // DAU + rolling 7-day active users per day: the engagement
+    // denominator behind per-user sampling caps
+    df("ev_active_users",
+      """WITH ud AS (SELECT user_id AS u, CAST(ts AS DATE) AS d,
+        |  count(*) AS ne FROM events GROUP BY 1, 2),
+        |mx AS (SELECT max(d) AS md FROM ud),
+        |e AS (SELECT u, ne, d + CAST(x AS INTEGER) AS day, x = 0 AS is_day
+        |  FROM ud, unnest(generate_series(0, 6)) AS t(x))
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  count(DISTINCT CASE WHEN is_day THEN u END) AS dau,
+        |  count(DISTINCT u) AS rolling_active,
+        |  CAST(sum(CASE WHEN is_day THEN ne END) AS BIGINT) AS n_events
+        |FROM e, mx WHERE day <= md GROUP BY day ORDER BY day""".stripMargin) {
+      (s, _) =>
+      Events.activeUsers(s.table("events"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("rolling_active"), col("n_events"))
+        .orderBy("day")
+    },
+
+    // conversion attribution: first/last non-conversion touch before
+    // each purchase — the acquisition-path matrix
+    df("ev_attribution",
+      """WITH o AS (SELECT user_id AS u, event_type AS ty,
+        |  epoch_ns(ts) AS et, event_id AS eid FROM events),
+        |t AS (SELECT *,
+        |  first_value(CASE WHEN ty <> 'purchase' THEN ty END IGNORE NULLS)
+        |    OVER (PARTITION BY u ORDER BY et, eid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft,
+        |  last_value(CASE WHEN ty <> 'purchase' THEN ty END IGNORE NULLS)
+        |    OVER (PARTITION BY u ORDER BY et, eid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+        |  FROM o)
+        |SELECT coalesce(ft, '(direct)') AS first_touch,
+        |  coalesce(lt, '(direct)') AS last_touch,
+        |  count(*) AS n_conversions, count(DISTINCT u) AS n_users
+        |FROM t WHERE ty = 'purchase' GROUP BY 1, 2
+        |ORDER BY first_touch, last_touch""".stripMargin) { (s, _) =>
+      Events.attribution(s.table("events"), conversionType = "purchase")
+        .orderBy("first_touch", "last_touch")
+    },
+
     // heavy hitters: top-20 corpus tokens by frequency
     dialect("ta_top_tokens",
       """SELECT w, count(*) AS cnt FROM (

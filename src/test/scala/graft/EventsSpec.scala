@@ -53,6 +53,55 @@ class EventsSpec extends SparkTestBase {
       ("2024-01-02", 0) -> 1L, ("2024-01-02", 1) -> 1L), got)
   }
 
+  test("activeUsers: DAU counts the day itself, rolling window covers " +
+    "the trailing 7 days, the tail past the last observed day is cut") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 08:00:00")), (1L, ts("2024-01-01 09:00:00")),
+      (2L, ts("2024-01-01 12:00:00")),
+      (1L, ts("2024-01-02 10:00:00")),
+      (3L, ts("2024-01-09 07:00:00")))
+      .toDF("user_id", "ts")
+    val got = Events.activeUsers(ev).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        ((r.getAs[Long]("dau"), r.getAs[Long]("rolling_active"),
+          Option(r.getAs[java.lang.Long]("n_events"))))).toMap
+    assert(got == Map(
+      "2024-01-01" -> ((2L, 2L, Some(3L))), // u1 twice + u2
+      "2024-01-02" -> ((1L, 2L, Some(1L))),
+      "2024-01-03" -> ((0L, 2L, None)), "2024-01-04" -> ((0L, 2L, None)),
+      "2024-01-05" -> ((0L, 2L, None)), "2024-01-06" -> ((0L, 2L, None)),
+      "2024-01-07" -> ((0L, 2L, None)), // day-1 users still in window
+      "2024-01-08" -> ((0L, 1L, None)), // only day-2's u1 remains
+      "2024-01-09" -> ((1L, 1L, Some(1L)))), got) // u3; no day 10+ tail
+  }
+
+  test("attribution: first/last touch skip conversions in the history, " +
+    "conversion-first users attribute to (direct)") {
+    import spark.implicits._
+    val ns = 1000000000L
+    val ev = Seq(
+      // u1: view -> click -> purchase: first=view last=click
+      (1L, "view", 10 * ns, 1L), (1L, "click", 20 * ns, 2L),
+      (1L, "purchase", 30 * ns, 3L),
+      // u2: purchase with no prior touch -> (direct)
+      (2L, "purchase", 5 * ns, 4L),
+      // u3: view -> purchase -> purchase: BOTH convs see first=last=view
+      // (the intervening purchase is not a touch)
+      (3L, "view", 10 * ns, 5L), (3L, "purchase", 20 * ns, 6L),
+      (3L, "purchase", 30 * ns, 7L))
+      .toDF("user_id", "event_type", "ts_ns", "event_id")
+    val got = Events.attribution(ev, "purchase").collect()
+      .map(r => (r.getAs[String]("first_touch"),
+        r.getAs[String]("last_touch")) ->
+        ((r.getAs[Long]("n_conversions"), r.getAs[Long]("n_users")))).toMap
+    assert(got == Map(
+      ("view", "click") -> ((1L, 1L)),
+      ("(direct)", "(direct)") -> ((1L, 1L)),
+      ("view", "view") -> ((2L, 1L))), got)
+  }
+
   test("sessionizeStream ≡ batch sessionize across a mid-session " +
     "micro-batch split; state carries, session identity is the start time") {
     import spark.implicits._

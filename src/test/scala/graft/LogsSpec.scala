@@ -607,4 +607,26 @@ class LogsSpec extends SparkTestBase {
     assert(r.getAs[Double]("p99_ns") == 397.0, r)
     assert(r.getAs[Long]("max_ns") == 400L)
   }
+
+  test("spanJoin: context-less logs are excluded before the join, " +
+    "span-less context keeps the log with matched=false") {
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val logs = Seq(
+      (t, "svc", "ERROR", "call failed", "t1", "s1"),
+      (t, "svc", "WARN", "expired trace", "t9", "s9"),
+      (t, "svc", "INFO", "no context", null: String, null: String))
+      .toDF("time_unix_nano", "service_name", "severity_text", "body",
+        "trace_id", "span_id")
+    val spans = Seq(("t1", "s1", "GET /x", "svc-b", 500L, 2))
+      .toDF("trace_id", "span_id", "name", "service_name",
+        "duration_time_unix_nano", "status_code")
+    val got = Logs.spanJoin(logs, spans).collect()
+      .map(r => r.getAs[String]("body") ->
+        ((r.getAs[Boolean]("matched"), Option(r.getAs[String]("span_name")),
+          Option(r.getAs[java.lang.Long]("span_duration_ns"))))).toMap
+    assert(got == Map(
+      "call failed" -> ((true, Some("GET /x"), Some(500L))),
+      "expired trace" -> ((false, None, None))), got)
+  }
 }

@@ -54,7 +54,9 @@ class MetricsReplaySpec extends SparkTestBase {
       "ratioGroupLeft" ->
         (Metrics.ratioGroupLeft(_, "errs", "qps", Seq("service_name"))),
       "staleSeries" -> (Metrics.staleSeries(_, asOf, 60)),
-      "instantRate" -> (Metrics.instantRate(_)))
+      "instantRate" -> (Metrics.instantRate(_)),
+      "stddevBy" -> (Metrics.aggregateBy(_, "stddev")),
+      "seasonality" -> (Metrics.seasonality(_, "minute")))
     for ((label, op) <- ops) {
       val a = op(once).collect().map(_.toString).sorted.toSeq
       val b = op(replayed).collect().map(_.toString).sorted.toSeq
@@ -78,5 +80,63 @@ class MetricsReplaySpec extends SparkTestBase {
     assert(realRows.nonEmpty && realRows.forall { r =>
       val c = r.getDouble(2); c >= 2.0 && c <= 5.0
     })
+  }
+
+  test("aggOp family: count is present-sample count, stddev is the " +
+    "POPULATION moment, group collapses to 1, unknown op fails loud") {
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val pts = Seq(("m", t, Some(10.0)), ("m", t, Some(20.0)),
+        ("m", t, Some(40.0)), ("m", t, None))
+      .toDF("name", "time_unix_nano", "double_value")
+      .withColumn("int_value", lit(null).cast("long"))
+    def one(op: String) = Metrics.aggregateBy(pts, op).collect().head
+    assert(one("count").getAs[Double]("value") == 3.0) // null not a sample
+    // pop stddev of {10,20,40}: mean 70/3, var 1400/9
+    assert(math.abs(one("stddev").getAs[Double]("value") -
+      math.sqrt(1400.0 / 9)) < 1e-5)
+    assert(math.abs(one("stdvar").getAs[Double]("value") - 1400.0 / 9) < 1e-5)
+    assert(one("group").getAs[Double]("value") == 1.0)
+    intercept[IllegalArgumentException] { Metrics.aggregateBy(pts, "median") }
+  }
+
+  test("histogramStddev: midpoint moments; empty points and bound-less " +
+    "points stay null instead of fabricating spread") {
+    import spark.implicits._
+    val pts = Seq(
+      // mids [5,15,20]; mean 12.5; pop var 56.25
+      ("h1", Seq(2L, 0L, 2L), Seq(10.0, 20.0)),
+      ("h2", Seq(0L, 0L, 0L), Seq(10.0, 20.0)), // empty -> null
+      ("h3", Seq(4L), Seq.empty[Double])) // no bounds -> null
+      .toDF("name", "bucket_counts", "explicit_bounds")
+    val got = Metrics.histogramStddev(pts).collect()
+      .map(r => r.getAs[String]("name") ->
+        ((Option(r.getAs[java.lang.Double]("stdvar")),
+          Option(r.getAs[java.lang.Double]("stddev"))))).toMap
+    assert(got("h1") == ((Some(56.25), Some(7.5))), got)
+    assert(got("h2") == ((None, None)), got)
+    assert(got("h3") == ((None, None)), got)
+  }
+
+  test("exemplarSpans: int-valued exemplars coalesce, unmatched " +
+    "exemplars keep the row with matched=false, id-less exemplars drop") {
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val pts = Seq(
+      ("lat", t, """[{"as_double":9.5,"trace_id":"t1","span_id":"s1"},
+        {"as_int":7,"trace_id":"t9","span_id":"s9"},
+        {"as_double":1.0}]""".replaceAll("\n\\s*", "")),
+      ("lat", t, null: String))
+      .toDF("name", "time_unix_nano", "exemplars_json")
+    val spans = Seq(("t1", "s1", "GET /x", "svc", 1234L))
+      .toDF("trace_id", "span_id", "name", "service_name",
+        "duration_time_unix_nano")
+    val got = Metrics.exemplarSpans(pts, spans).collect()
+      .map(r => (r.getAs[String]("trace_id"),
+        r.getAs[Double]("exemplar_value"), r.getAs[Boolean]("matched"),
+        Option(r.getAs[String]("span_name")))).toSet
+    assert(got == Set(
+      ("t1", 9.5, true, Some("GET /x")),
+      ("t9", 7.0, false, None)), got)
   }
 }

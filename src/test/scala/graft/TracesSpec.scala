@@ -343,6 +343,32 @@ class TracesSpec extends SparkTestBase {
       ("svc-x", "svc-x") -> 1L, ("svc-x", "svc-y") -> 1L), (g1, g2))
   }
 
+  test("spanConcurrency: back-to-back spans never overlap (end processes " +
+    "before start at the same instant), peak_time is the earliest peak, " +
+    "replayed rows change nothing") {
+    import spark.implicits._
+    val us = 1640000000000000L
+    val spans = Seq(
+      // s1 [0,100us) and s2 [50us,150us) overlap -> peak 2 at t=50us
+      ("A", "s1", us, 100000L), ("A", "s2", us + 50, 100000L),
+      // s3 starts EXACTLY at s2's end: end-exclusive, stays at peak<=2
+      ("A", "s3", us + 150, 50000L),
+      ("B", "b1", us, 1000L))
+      .toDF("service_name", "span_id", "t_us", "duration_time_unix_nano")
+      .withColumn("start_time_unix_nano", timestamp_micros(col("t_us")))
+      .drop("t_us")
+    val replayed = spans.unionAll(spans.where(col("span_id") === "s1"))
+    for (in <- Seq(spans, replayed)) {
+      val got = Traces.spanConcurrency(in).collect()
+        .map(r => r.getAs[String]("service_name") ->
+          ((r.getAs[Long]("peak_concurrency"), r.getAs[Long]("peak_time_ns"),
+            r.getAs[Long]("n_spans")))).toMap
+      assert(got == Map(
+        "A" -> ((2L, (us + 50) * 1000L, 3L)),
+        "B" -> ((1L, us * 1000L, 1L))), got)
+    }
+  }
+
   test("span ids repeated across DIFFERENT traces never cross-link") {
     import spark.implicits._
     val spans = Seq(
