@@ -111,6 +111,37 @@ object Events {
       .agg(count(lit(1)).as("n_sessions"))
   }
 
+  /** Session TRANSITION matrix: within gap-based sessions
+    * ([[sessionize]]'s rule), the next-event Markov table — for each
+    * observed (from_type → to_type) step its count and the conditional
+    * probability P(to | from), with a session's last event stepping to
+    * the terminal `(end)`. The navigation-model complement to
+    * [[sessionPaths]]' entry prefixes, and in training-data terms the
+    * label prior for next-event-prediction slices. round(6) on p.
+    *
+    * Shape at 100 TB: the sessionize window's user-keyed exchange is the
+    * only corpus-side one — the lead() window partitions by (u, sess), a
+    * superset of the user key the rows already cluster on; the rollup
+    * partial-aggregates onto the ≤ (|types|+1)² matrix, and the
+    * conditional normalization windows over that tiny frame. */
+  def transitions(events: DataFrame, gapNs: Long = 3600000000000L,
+                  userCol: String = "user_id",
+                  typeCol: String = "event_type",
+                  tsNsCol: String = "ts_ns",
+                  idCol: String = "event_id"): DataFrame = {
+    val wS = Window.partitionBy(col("u"), col("sess"))
+      .orderBy(col("et"), col("eid"))
+    val matrix = sessionize(events, gapNs, userCol, typeCol, tsNsCol, idCol)
+      .withColumn("to_type",
+        coalesce(lead(col("ty"), 1).over(wS), lit("(end)")))
+      .groupBy(col("ty").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val wF = Window.partitionBy(col("from_type"))
+    matrix.withColumn("p",
+      round(col("n_transitions") /
+        sum(col("n_transitions")).over(wF), 6))
+  }
+
   /** Per-session ROLLUP over [[sessionize]]'s rule: one row per (user,
     * session) with its event count, wall duration, and entry/exit event
     * types — the session-level feature table behind "keep sessions with

@@ -325,6 +325,93 @@ object Metrics {
         count(lit(1)).as("n_points"))
   }
 
+  /** SEASONAL anomaly detection: score every point against the metric's
+    * OWN time-of-day baseline ([[seasonality]]'s profile — same bucket
+    * rule, same rounded moments, so the flag is reproducible from the
+    * published baseline table) and keep the points whose z-score
+    * |v − avg| / stddev meets `k`. Buckets whose baseline spread is zero
+    * (constant or single-point history) cannot score and are excluded —
+    * a flat line's first wiggle is [[volumeAnomaly]]'s job, not a
+    * seasonal deviation. round(6) on the score.
+    *
+    * Shape at 100 TB: the baseline is ≤ 168 rows per metric name — it
+    * BROADCASTS; the point side is scored map-only after its one
+    * replay-dedup exchange. No corpus-side shuffle beyond that. */
+  def seasonalAnomaly(sums: DataFrame, bucket: String = "hour",
+                      k: Double = 2.0): DataFrame = {
+    require(k >= 0, "k must be non-negative")
+    val base = seasonality(sums, bucket)
+      .where(col("stddev_value") > 0)
+      .select(col("name"), col("bucket"), col("avg_value"),
+        col("stddev_value"))
+    val b = bucket match {
+      case "hour"   => hour(col("time_unix_nano"))
+      case "minute" => minute(col("time_unix_nano"))
+      case "dow"    => dayofweek(col("time_unix_nano"))
+      case other => throw new IllegalArgumentException(
+        s"unknown bucket: $other (hour|minute|dow)")
+    }
+    val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    Replay.dedupWithin(sums.withColumn("bucket", b),
+        Seq(col("name"), col("bucket")))
+      .where(v.isNotNull)
+      .withColumn("value", v)
+      .join(broadcast(base), Seq("name", "bucket"))
+      .withColumn("z_score",
+        round((col("value") - col("avg_value")) / col("stddev_value"), 6))
+      .where(abs(col("z_score")) >= k)
+      .select(col("name"), col("bucket"), col("time_unix_nano"),
+        col("value"), col("avg_value"), col("stddev_value"), col("z_score"))
+  }
+
+  /** PromQL `holt_winters()` (3.x: `double_exponential_smoothing`): per
+    * series, the double-exponentially-smoothed LAST value — level factor
+    * `sf` weighs the newest sample, trend factor `tf` weighs the newest
+    * level movement; the forecasting primitive that tracks a trending
+    * counter where a plain moving average lags. Prometheus's recurrence
+    * exactly: s₀=v₀, b₀=v₁−v₀, sᵢ=sf·vᵢ+(1−sf)(sᵢ₋₁+bᵢ₋₁),
+    * bᵢ=tf·(sᵢ−sᵢ₋₁)+(1−tf)·bᵢ₋₁; series with fewer than two points
+    * report null (PromQL drops them). round(6).
+    *
+    * Shape at 100 TB: the recurrence is inherently ordered, so each
+    * series' points gather ONCE (the same series-keyed exchange the
+    * replay dedup rides) and fold in a single array expression — per-task
+    * state is one series' retention-bounded history, never the corpus,
+    * and there is no window-function second pass. */
+  def holtWinters(sums: DataFrame, sf: Double = 0.5,
+                  tf: Double = 0.3): DataFrame = {
+    require(sf > 0 && sf < 1, s"level factor out of (0,1): $sf")
+    require(tf > 0 && tf < 1, s"trend factor out of (0,1): $tf")
+    val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    Replay.dedupWithin(sums, seriesKey)
+      .where(v.isNotNull)
+      .withColumn("__v", v)
+      .groupBy(seriesKey: _*)
+      .agg(expr("array_sort(collect_list(struct(time_unix_nano AS t, __v AS v)))")
+          .as("__pts"),
+        max(col("time_unix_nano")).as("last_time"),
+        count(lit(1)).as("n_points"))
+      .withColumn("smoothed", expr(
+        // the fold starts at the state AFTER the first recurrence step,
+        // which collapses algebraically to (s=v[1], b=v[1]-v[0])
+        // try_element_at, not [i]: ANSI may evaluate an arm's array access
+        // before the size guard (the round-9 element_at lesson)
+        s"""CASE WHEN size(__pts) < 2 THEN CAST(NULL AS DOUBLE) ELSE
+           |round(aggregate(
+           |  slice(__pts, 3, greatest(size(__pts) - 2, 0)),
+           |  named_struct(
+           |    's', CAST(try_element_at(__pts, 2).v AS DOUBLE),
+           |    'b', CAST(try_element_at(__pts, 2).v
+           |              - try_element_at(__pts, 1).v AS DOUBLE)),
+           |  (acc, p) -> named_struct(
+           |    's', $sf * p.v + (1 - $sf) * (acc.s + acc.b),
+           |    'b', $tf * (($sf * p.v + (1 - $sf) * (acc.s + acc.b)) - acc.s)
+           |         + (1 - $tf) * acc.b),
+           |  acc -> acc.s), 6) END""".stripMargin))
+      .select(seriesKey :+ col("last_time") :+ col("n_points")
+        :+ col("smoothed"): _*)
+  }
+
   /** EXEMPLAR → SPAN correlation: explode each data point's sampled
     * exemplars (the OTLP metrics↔traces bridge — a recorded trace/span
     * id per sampled observation) and join them to the span table, so

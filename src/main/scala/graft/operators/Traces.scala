@@ -462,6 +462,57 @@ object Traces {
         round(expr("percentile(dur, 0.99)"), 4).as("p99_ns"),
         max(col("dur")).as("max_ns"))
 
+  /** Latency SHIFT report — the deployment-diff: per (service, span
+    * name), exact p50/p95 BEFORE vs AT-OR-AFTER `splitTime` (the deploy /
+    * config-change instant) with the p95 delta and ratio — "which
+    * endpoints got slower with the release". Endpoints seen on only one
+    * side report null percentiles for the missing side (a new endpoint
+    * has no before; a deleted one no after) and a null ratio; a zero
+    * before-p95 also nulls the ratio rather than dividing. round(4) on
+    * percentiles (the [[spanPercentiles]] convention), round(6) on the
+    * ratio.
+    *
+    * Shape at 100 TB: ONE (service, name) partial-agg groupBy — the
+    * before/after split is a conditional inside the percentile
+    * aggregates, not a self-join of two time slices; replay dedup rides
+    * the same exchange. Same single-group-per-endpoint bound as
+    * [[spanPercentiles]] (swap in approx percentiles if one endpoint
+    * exceeds a task). */
+  def latencyShift(spans: DataFrame, splitTime: java.sql.Timestamp,
+                   serviceCol: String = "service_name",
+                   nameCol: String = "name",
+                   startCol: String = "start_time_unix_nano",
+                   idCol: String = "span_id",
+                   traceCol: String = "trace_id",
+                   durCol: String = "duration_time_unix_nano"): DataFrame = {
+    Replay.dedupWithin(
+        spans.select(col(traceCol), col(idCol),
+          col(serviceCol).as("service_name"), col(nameCol).as("span_name"),
+          col(startCol).as("start"), col(durCol).cast("long").as("dur")),
+        Seq(col("service_name"), col("span_name")))
+      // the split verdict is a plain column (not an embedded SQL literal,
+      // which would re-parse in session-timezone terms)
+      .withColumn("__before", col("start") < lit(splitTime))
+      .groupBy("service_name", "span_name")
+      .agg(
+        count(when(col("__before"), lit(1))).as("n_before"),
+        count(when(!col("__before"), lit(1))).as("n_after"),
+        round(expr("percentile(CASE WHEN __before THEN dur END, 0.5)"), 4)
+          .as("p50_before"),
+        round(expr("percentile(CASE WHEN NOT __before THEN dur END, 0.5)"), 4)
+          .as("p50_after"),
+        round(expr("percentile(CASE WHEN __before THEN dur END, 0.95)"), 4)
+          .as("p95_before"),
+        round(expr("percentile(CASE WHEN NOT __before THEN dur END, 0.95)"), 4)
+          .as("p95_after"))
+      .withColumn("p95_delta_ns",
+        round(col("p95_after") - col("p95_before"), 4))
+      .withColumn("p95_ratio",
+        when(col("p95_before").isNull || col("p95_after").isNull ||
+          col("p95_before") === 0, lit(null))
+          .otherwise(round(col("p95_after") / col("p95_before"), 6)))
+  }
+
   /** Tail-based trace sampling — the collector policy, as a batch/stream
     * operator: keep EVERY span of a trace when the trace (a) contains an
     * error span, or (b) has any span at or above `slowNs`, or (c) falls in

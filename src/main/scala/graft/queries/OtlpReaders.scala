@@ -2171,6 +2171,103 @@ object OtlpReaders {
         .orderBy("name", "bucket")
     },
 
+    // seasonal anomaly: points scored against the metric's own
+    // time-of-day baseline — |z| >= k vs the (name, bucket) moments
+    df("otlp_seasonal_anomaly",
+      s"""WITH m AS (${metricsFlat(s"$fx/rate_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name",
+         |  hour(make_timestamp(CAST(dp.timeUnixNano AS BIGINT) // 1000))
+         |    AS bucket,
+         |  ${duckTs("dp.timeUnixNano")} AS t,
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp)
+         |  WHERE coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) IS NOT NULL),
+         |base AS (SELECT "name", bucket, round(avg(v), 6) AS avg_value,
+         |  round(stddev_pop(v), 6) AS stddev_value
+         |  FROM pts GROUP BY 1, 2 HAVING stddev_pop(v) > 0)
+         |SELECT p."name" AS "name", p.bucket, p.t AS time_unix_nano,
+         |  p.v AS "value", b.avg_value, b.stddev_value,
+         |  round((p.v - b.avg_value) / b.stddev_value, 6) AS z_score
+         |FROM pts p JOIN base b ON p."name" = b."name" AND p.bucket = b.bucket
+         |WHERE abs(round((p.v - b.avg_value) / b.stddev_value, 6)) >= 1.2
+         |ORDER BY p."name", time_unix_nano""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.seasonalAnomaly(
+          Otlp.readMetricsSum(s, s"$fx/rate_metrics.jsonl"),
+          bucket = "hour", k = 1.2)
+        .select(col("name"), col("bucket"),
+          date_format(col("time_unix_nano"), TsFmtSpark).as("time_unix_nano"),
+          col("value"), col("avg_value"), col("stddev_value"), col("z_score"))
+        .orderBy("name", "time_unix_nano")
+    },
+
+    // PromQL holt_winters (double exponential smoothing): per series the
+    // trend-aware smoothed last value — Prometheus's recurrence exactly
+    df("otlp_holt_winters",
+      s"""WITH RECURSIVE m AS (${metricsFlat(s"$fx/rate_metrics.jsonl")}),
+         |pts0 AS (SELECT m."name" AS "name",
+         |  CAST(dp.timeUnixNano AS BIGINT) AS tns,
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp)),
+         |pts AS (SELECT *, CAST(row_number() OVER (PARTITION BY "name"
+         |  ORDER BY tns, v) AS INT) AS i FROM pts0 WHERE v IS NOT NULL),
+         |n AS (SELECT "name", max(i) AS n, max(tns) AS lt
+         |  FROM pts GROUP BY "name"),
+         |hw AS (
+         |  SELECT p2."name" AS "name", 2 AS i, p2.v AS s, p2.v - p1.v AS b
+         |  FROM pts p1 JOIN pts p2 ON p1."name" = p2."name"
+         |    AND p1.i = 1 AND p2.i = 2
+         |  UNION ALL
+         |  SELECT hw."name", hw.i + 1,
+         |    0.5 * p.v + 0.5 * (hw.s + hw.b),
+         |    0.3 * ((0.5 * p.v + 0.5 * (hw.s + hw.b)) - hw.s) + 0.7 * hw.b
+         |  FROM hw JOIN pts p ON p."name" = hw."name" AND p.i = hw.i + 1)
+         |SELECT n."name" AS "name",
+         |  strftime(make_timestamp(n.lt // 1000), '$TsFmtDuck') AS last_time,
+         |  CAST(n.n AS BIGINT) AS n_points, round(hw.s, 6) AS smoothed
+         |FROM n LEFT JOIN hw ON hw."name" = n."name" AND hw.i = n.n
+         |ORDER BY n."name"""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.holtWinters(
+          Otlp.readMetricsSum(s, s"$fx/rate_metrics.jsonl"),
+          sf = 0.5, tf = 0.3)
+        .select(col("name"),
+          date_format(col("last_time"), TsFmtSpark).as("last_time"),
+          col("n_points"), col("smoothed"))
+        .orderBy("name")
+    },
+
+    // latency shift: per (service, span name) p50/p95 before vs after a
+    // deploy instant — the release-regression diff table
+    df("otlp_latency_shift",
+      s"""WITH rec AS (
+         |  SELECT rs.resource AS res, sp.* FROM read_json('$fx/deploy_traces.jsonl',
+         |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
+         |    unnest(resourceSpans) AS a(rs),
+         |    unnest(rs.scopeSpans) AS b(ss),
+         |    unnest(ss.spans) AS c(sp)),
+         |sp AS (SELECT ${duckService("res.attributes")} AS service_name,
+         |  sp."name" AS span_name,
+         |  CAST(startTimeUnixNano AS BIGINT) < 1640000300000000000 AS bef,
+         |  CAST(CAST(endTimeUnixNano AS BIGINT) -
+         |       CAST(startTimeUnixNano AS BIGINT) AS DOUBLE) AS dur
+         |  FROM rec sp),
+         |g AS (SELECT service_name, span_name,
+         |  count(*) FILTER (WHERE bef) AS n_before,
+         |  count(*) FILTER (WHERE NOT bef) AS n_after,
+         |  round(quantile_cont(dur, 0.5) FILTER (WHERE bef), 4) AS p50_before,
+         |  round(quantile_cont(dur, 0.5) FILTER (WHERE NOT bef), 4) AS p50_after,
+         |  round(quantile_cont(dur, 0.95) FILTER (WHERE bef), 4) AS p95_before,
+         |  round(quantile_cont(dur, 0.95) FILTER (WHERE NOT bef), 4) AS p95_after
+         |  FROM sp GROUP BY 1, 2)
+         |SELECT *, round(p95_after - p95_before, 4) AS p95_delta_ns,
+         |  CASE WHEN p95_before IS NULL OR p95_after IS NULL OR p95_before = 0
+         |    THEN NULL ELSE round(p95_after / p95_before, 6) END AS p95_ratio
+         |FROM g ORDER BY service_name, span_name""".stripMargin) { (s, _) =>
+      graft.operators.Traces.latencyShift(
+          Otlp.readTraces(s, s"$fx/deploy_traces.jsonl"),
+          splitTime = new java.sql.Timestamp(1640000300000L))
+        .orderBy("service_name", "span_name")
+    },
+
     // exemplar -> span correlation: sampled observations resolved to
     // the actual spans behind them (metrics <-> traces bridge)
     df("otlp_exemplar_spans",

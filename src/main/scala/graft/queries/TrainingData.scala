@@ -794,6 +794,51 @@ object TrainingData {
         .orderBy("first_touch", "last_touch")
     },
 
+    // session transition matrix: next-event Markov table within gap
+    // sessions, with P(to | from) and the terminal (end) step
+    df("ev_transitions",
+      """WITH o AS (SELECT user_id AS u, event_type AS ty,
+        |  epoch_ns(ts) AS et, event_id AS eid FROM events),
+        |o2 AS (SELECT *, CASE WHEN (lag(et) OVER w) IS NULL
+        |    OR et - (lag(et) OVER w) > 3600000000000 THEN 1 ELSE 0 END AS ns
+        |  FROM o WINDOW w AS (PARTITION BY u ORDER BY et, eid)),
+        |s AS (SELECT u, ty, et, eid, sum(ns) OVER (PARTITION BY u
+        |  ORDER BY et, eid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS sess FROM o2),
+        |t AS (SELECT ty AS from_type,
+        |  coalesce(lead(ty) OVER (PARTITION BY u, sess ORDER BY et, eid),
+        |    '(end)') AS to_type FROM s),
+        |g AS (SELECT from_type, to_type, count(*) AS n_transitions
+        |  FROM t GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_transitions,
+        |  round(n_transitions /
+        |    sum(n_transitions) OVER (PARTITION BY from_type), 6) AS p
+        |FROM g ORDER BY from_type, to_type""".stripMargin) { (s, _) =>
+      Events.transitions(s.table("events"))
+        .orderBy("from_type", "to_type")
+    },
+
+    // DAU/MAU stickiness: daily active over rolling-28-day active — the
+    // engagement-intensity ratio
+    df("ev_stickiness",
+      """WITH ud AS (SELECT user_id AS u, CAST(ts AS DATE) AS d,
+        |  count(*) AS ne FROM events GROUP BY 1, 2),
+        |mx AS (SELECT max(d) AS md FROM ud),
+        |e AS (SELECT u, d + CAST(x AS INTEGER) AS day, x = 0 AS is_day
+        |  FROM ud, unnest(generate_series(0, 27)) AS t(x)),
+        |g AS (SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  count(DISTINCT CASE WHEN is_day THEN u END) AS dau,
+        |  count(DISTINCT u) AS mau
+        |  FROM e, mx WHERE day <= md GROUP BY day)
+        |SELECT day, dau, mau, round(dau / mau, 6) AS stickiness
+        |FROM g ORDER BY day""".stripMargin) { (s, _) =>
+      Events.activeUsers(s.table("events"), windowDays = 28)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("rolling_active").as("mau"),
+          round(col("dau") / col("rolling_active"), 6).as("stickiness"))
+        .orderBy("day")
+    },
+
     // heavy hitters: top-20 corpus tokens by frequency
     dialect("ta_top_tokens",
       """SELECT w, count(*) AS cnt FROM (

@@ -102,6 +102,28 @@ class EventsSpec extends SparkTestBase {
       ("view", "view") -> ((2L, 1L))), got)
   }
 
+  test("transitions: Markov steps stay inside sessions (a gap breaks " +
+    "the chain into (end) + fresh entry), P conditions on from_type") {
+    import spark.implicits._
+    val h = 3600000000000L // the default gap
+    val ev = Seq(
+      // u1 session 1: view -> click -> view -> (end)
+      (1L, "view", 10L, 1L), (1L, "click", 20L, 2L), (1L, "view", 30L, 3L),
+      // u1 session 2 (gap > 1h): view -> (end) — no click->view bridge
+      (1L, "view", 30L + h + 1, 4L),
+      // u2: click -> (end)
+      (2L, "click", 50L, 5L))
+      .toDF("user_id", "event_type", "ts_ns", "event_id")
+    val got = Events.transitions(ev).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        ((r.getAs[Long]("n_transitions"), r.getAs[Double]("p")))).toMap
+    assert(got == Map(
+      ("view", "click") -> ((1L, 0.333333)),
+      ("view", "(end)") -> ((2L, 0.666667)),
+      ("click", "view") -> ((1L, 0.5)),
+      ("click", "(end)") -> ((1L, 0.5))), got)
+  }
+
   test("sessionizeStream ≡ batch sessionize across a mid-session " +
     "micro-batch split; state carries, session identity is the start time") {
     import spark.implicits._

@@ -56,7 +56,10 @@ class MetricsReplaySpec extends SparkTestBase {
       "staleSeries" -> (Metrics.staleSeries(_, asOf, 60)),
       "instantRate" -> (Metrics.instantRate(_)),
       "stddevBy" -> (Metrics.aggregateBy(_, "stddev")),
-      "seasonality" -> (Metrics.seasonality(_, "minute")))
+      "seasonality" -> (Metrics.seasonality(_, "minute")),
+      // k = 0 keeps every scoreable point, so the pin covers the join
+      "seasonalAnomaly" -> (Metrics.seasonalAnomaly(_, "minute", 0.0)),
+      "holtWinters" -> (Metrics.holtWinters(_)))
     for ((label, op) <- ops) {
       val a = op(once).collect().map(_.toString).sorted.toSeq
       val b = op(replayed).collect().map(_.toString).sorted.toSeq
@@ -116,6 +119,65 @@ class MetricsReplaySpec extends SparkTestBase {
     assert(got("h1") == ((Some(56.25), Some(7.5))), got)
     assert(got("h2") == ((None, None)), got)
     assert(got("h3") == ((None, None)), got)
+  }
+
+  test("holtWinters: Prometheus recurrence hand-computed; " +
+    "single-point series null; two-point series smooth to the newer value") {
+    import spark.implicits._
+    def ts(sec: Int) =
+      new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    val pts = Seq(
+      // 100,190,30,90: s=190,b=90 -> s=155,b=52.5 -> s=148.75
+      ("m4", ts(0), 100.0), ("m4", ts(60), 190.0),
+      ("m4", ts(120), 30.0), ("m4", ts(180), 90.0),
+      ("m2", ts(0), 10.0), ("m2", ts(60), 4.0),
+      ("m1", ts(0), 7.0))
+      .toDF("name", "time_unix_nano", "double_value")
+      .withColumn("service_name", lit("s"))
+      .withColumn("service_namespace", lit(null).cast("string"))
+      .withColumn("service_instance_id", lit("i"))
+      .withColumn("resource_attributes", lit("{}"))
+      .withColumn("scope_name", lit("sc"))
+      .withColumn("metric_attributes", lit("{}"))
+      .withColumn("int_value", lit(null).cast("long"))
+    val got = Metrics.holtWinters(pts, sf = 0.5, tf = 0.3).collect()
+      .map(r => r.getAs[String]("name") ->
+        ((Option(r.getAs[java.lang.Double]("smoothed")),
+          r.getAs[Long]("n_points")))).toMap
+    assert(got == Map(
+      "m4" -> ((Some(148.75), 4L)),
+      "m2" -> ((Some(4.0), 2L)), // first step collapses to v[1]
+      "m1" -> ((None, 1L))), got)
+  }
+
+  test("seasonalAnomaly: z vs the bucket's own moments, zero-spread " +
+    "buckets excluded, threshold is inclusive") {
+    import spark.implicits._
+    def ts(min: Int, sec: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+    // minute 0: {10,4,13} -> mean 9, pop stddev sqrt(14); minute 1:
+    // constant {5,5} -> excluded (zero spread)
+    val pts = Seq(
+      ("q", ts(0, 0), 10.0), ("q", ts(0, 20), 4.0), ("q", ts(0, 40), 13.0),
+      ("q", ts(1, 0), 5.0), ("q", ts(1, 30), 5.0))
+      .toDF("name", "time_unix_nano", "double_value")
+      .withColumn("service_name", lit("s"))
+      .withColumn("service_namespace", lit(null).cast("string"))
+      .withColumn("service_instance_id", lit("i"))
+      .withColumn("resource_attributes", lit("{}"))
+      .withColumn("scope_name", lit("sc"))
+      .withColumn("metric_attributes", lit("{}"))
+      .withColumn("int_value", lit(null).cast("long"))
+    val got = Metrics.seasonalAnomaly(pts, "minute", k = 1.0).collect()
+      .map(r => (r.getAs[Double]("value"), r.getAs[Double]("z_score")))
+      .toSet
+    val sd = BigDecimal(math.sqrt(14.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def z(v: Double) = BigDecimal((v - 9.0) / sd)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // |z(10)| = 0.267 < 1: kept out; 4 and 13 qualify; minute-1 rows
+    // never appear even though k would catch nothing there anyway
+    assert(got == Set((4.0, z(4.0)), (13.0, z(13.0))), got)
   }
 
   test("exemplarSpans: int-valued exemplars coalesce, unmatched " +

@@ -369,6 +369,36 @@ class TracesSpec extends SparkTestBase {
     }
   }
 
+  test("latencyShift: split percentiles hand-computed, one-sided " +
+    "endpoints report nulls (no fabricated ratio), zero-before guards") {
+    import spark.implicits._
+    val us = 1640000000000000L
+    val split = new java.sql.Timestamp(1640000300000L)
+    def sp(id: String, name: String, offSec: Long, durNs: Long) =
+      ("t1", id, "svc", name, us + offSec * 1000000L, durNs)
+    val spans = Seq(
+      sp("s1", "GET /a", 10, 100L), sp("s2", "GET /a", 20, 200L),
+      sp("s3", "GET /a", 30, 300L), sp("s4", "GET /a", 310, 400L),
+      sp("s5", "GET /a", 320, 500L), sp("s6", "GET /a", 330, 600L),
+      sp("s7", "new", 340, 900L), // after only
+      sp("s8", "old", 40, 700L)) // before only
+      .toDF("trace_id", "span_id", "service_name", "name", "t_us",
+        "duration_time_unix_nano")
+      .withColumn("start_time_unix_nano", timestamp_micros(col("t_us")))
+      .drop("t_us")
+    val got = Traces.latencyShift(spans, split).collect()
+      .map(r => r.getAs[String]("span_name") ->
+        ((r.getAs[Long]("n_before"), r.getAs[Long]("n_after"),
+          Option(r.getAs[java.lang.Double]("p95_before")),
+          Option(r.getAs[java.lang.Double]("p95_after")),
+          Option(r.getAs[java.lang.Double]("p95_ratio"))))).toMap
+    // before {100,200,300}: p95 = 200 + 0.9*100 = 290; after: 590
+    assert(got("GET /a") ==
+      ((3L, 3L, Some(290.0), Some(590.0), Some(2.034483))), got)
+    assert(got("new") == ((0L, 1L, None, Some(900.0), None)), got)
+    assert(got("old") == ((1L, 0L, Some(700.0), None, None)), got)
+  }
+
   test("span ids repeated across DIFFERENT traces never cross-link") {
     import spark.implicits._
     val spans = Seq(
