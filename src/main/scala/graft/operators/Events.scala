@@ -111,6 +111,38 @@ object Events {
       .agg(count(lit(1)).as("n_sessions"))
   }
 
+  /** Engagement GINI: the inequality coefficient of events-per-user —
+    * 0 = every user equally active, →1 = a few users generate everything;
+    * the one-number summary behind per-user caps and contributor-skew
+    * dashboards, computed exactly via the Lorenz-curve trapezoid rule
+    * over the grouped count-of-counts. round(6).
+    *
+    * Shape at 100 TB: events collapse to per-user counts (uniform
+    * partial agg), those collapse to the COUNT HISTOGRAM (n → users
+    * with n events) — a frame bounded by the distinct activity levels,
+    * thousands of rows at any corpus size — and only that tiny frame
+    * passes through the ordered cumulative window (single-partition by
+    * construction, bounded, never the user space). */
+  def engagementGini(events: DataFrame,
+                     userCol: String = "user_id"): DataFrame = {
+    val hist = events.groupBy(col(userCol).as("u"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("nu"))
+    val tot = hist.agg(sum(col("nu")).as("tu"),
+      sum(col("n") * col("nu")).as("te"))
+    val wOrd = Window.orderBy(col("n"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.crossJoin(broadcast(tot))
+      .withColumn("p", sum(col("nu")).over(wOrd) / col("tu"))
+      .withColumn("l", sum(col("n") * col("nu")).over(wOrd) / col("te"))
+      .withColumn("p0", lag(col("p"), 1, 0.0).over(Window.orderBy(col("n"))))
+      .withColumn("l0", lag(col("l"), 1, 0.0).over(Window.orderBy(col("n"))))
+      .agg(round(lit(1.0) -
+          sum((col("p") - col("p0")) * (col("l") + col("l0"))), 6)
+          .as("gini"),
+        max(col("tu")).as("n_users"), max(col("te")).as("n_events"))
+  }
+
   /** Session TRANSITION matrix: within gap-based sessions
     * ([[sessionize]]'s rule), the next-event Markov table — for each
     * observed (from_type → to_type) step its count and the conditional

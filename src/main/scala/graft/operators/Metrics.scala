@@ -875,6 +875,34 @@ object Metrics {
       .select(seriesKey :+ col("last_time") :+ col("irate_per_sec"): _*)
   }
 
+  /** PromQL `idelta()`: per series, the raw difference between its LAST
+    * TWO points — [[instantRate]]'s gauge sibling: no per-second
+    * normalization and NO counter-reset rule (a drop is a real gauge
+    * movement, not a restart). Single-point series report null. round(6).
+    *
+    * Shape at 100 TB: identical to [[instantRate]] — one series-keyed
+    * window keeps two rows per series, replay dedup rides the same
+    * exchange, output is the series space. */
+  def idelta(points: DataFrame): DataFrame = {
+    val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    val w = Window.partitionBy(seriesKey: _*)
+      .orderBy(col("time_unix_nano").desc, v.desc)
+    Replay.dedupWithin(points, seriesKey)
+      .where(v.isNotNull)
+      .withColumn("__v", v)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= 2)
+      .groupBy(seriesKey: _*)
+      .agg(
+        max(when(col("__rn") === 1, col("__v"))).as("__v1"),
+        max(when(col("__rn") === 2, col("__v"))).as("__v2"),
+        max(when(col("__rn") === 1, col("time_unix_nano"))).as("last_time"))
+      .withColumn("idelta_value",
+        when(col("__v2").isNull, lit(null))
+          .otherwise(round(col("__v1") - col("__v2"), 6)))
+      .select(seriesKey :+ col("last_time") :+ col("idelta_value"): _*)
+  }
+
   /** Staleness / absence report (PromQL `absent()` as a table): series
     * whose LAST point is older than `stalenessSec` before `asOf` — the
     * scrape-died / exporter-wedged detector. Reports each stale series'

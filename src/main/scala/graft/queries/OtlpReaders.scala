@@ -1150,6 +1150,35 @@ object OtlpReaders {
         .orderBy("name")
     },
 
+    // PromQL idelta(): raw difference of each series' last two points —
+    // the gauge sibling of irate (no per-second scale, no reset rule)
+    df("otlp_idelta",
+      s"""WITH m AS (${metricsFlat(s"$fx/rate_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name",
+         |  CAST(dp.timeUnixNano AS BIGINT) AS tns,
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY "name"
+         |  ORDER BY tns DESC, v DESC) AS rn
+         |  FROM pts WHERE v IS NOT NULL),
+         |g AS (SELECT "name",
+         |  max(CASE WHEN rn = 1 THEN v END) AS v1,
+         |  max(CASE WHEN rn = 2 THEN v END) AS v2,
+         |  max(CASE WHEN rn = 1 THEN tns END) AS lt
+         |  FROM r WHERE rn <= 2 GROUP BY "name")
+         |SELECT "name",
+         |  strftime(make_timestamp(lt // 1000), '$TsFmtDuck') AS last_time,
+         |  CASE WHEN v2 IS NULL THEN NULL ELSE round(v1 - v2, 6) END
+         |    AS idelta_value
+         |FROM g ORDER BY "name"""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.idelta(
+          Otlp.readMetricsSum(s, s"$fx/rate_metrics.jsonl"))
+        .select(col("name"),
+          date_format(col("last_time"), TsFmtSpark).as("last_time"),
+          col("idelta_value"))
+        .orderBy("name")
+    },
+
     // instrumentation-scope inventory: which libraries/versions are
     // deployed, how many records/services each — the SDK rollout audit
     df("otlp_scope_inventory",

@@ -839,6 +839,66 @@ object TrainingData {
         .orderBy("day")
     },
 
+    // engagement Gini: inequality of events-per-user via the exact
+    // Lorenz trapezoid over the count-of-counts histogram
+    df("ev_gini",
+      """WITH pu AS (SELECT user_id AS u, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT n, count(*) AS nu FROM pu GROUP BY 1),
+        |t AS (SELECT sum(nu) AS tu, sum(n * nu) AS te FROM h),
+        |c AS (SELECT n, nu,
+        |  sum(nu) OVER w AS cu, sum(n * nu) OVER w AS ce
+        |  FROM h WINDOW w AS (ORDER BY n
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |l AS (SELECT cu / t.tu AS p, ce / t.te AS lz,
+        |  coalesce(lag(cu / t.tu) OVER (ORDER BY n), 0) AS p0,
+        |  coalesce(lag(ce / t.te) OVER (ORDER BY n), 0) AS lz0
+        |  FROM c, t)
+        |SELECT round(1 - sum((p - p0) * (lz + lz0)), 6) AS gini,
+        |  (SELECT CAST(tu AS BIGINT) FROM t) AS n_users,
+        |  (SELECT CAST(te AS BIGINT) FROM t) AS n_events
+        |FROM l""".stripMargin) { (s, _) =>
+      Events.engagementGini(s.table("events"))
+    },
+
+    // corpus n-gram diversity: distinct-1 / distinct-2 ratios per source
+    // (the generation-diversity metric applied to corpus strata)
+    df("ta_distinct_ngrams",
+      """WITH d AS (SELECT source,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS ws FROM documents),
+        |u AS (SELECT source, count(*) AS n_tokens,
+        |  count(DISTINCT w) AS d_uni
+        |  FROM (SELECT source, unnest(ws) AS w FROM d) GROUP BY source),
+        |b AS (SELECT source, count(*) AS n_bi, count(DISTINCT bg) AS d_bi
+        |  FROM (SELECT source, unnest(CASE WHEN len(ws) < 2 THEN []
+        |    ELSE list_transform(generate_series(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i + 1]) END) AS bg FROM d)
+        |  GROUP BY source)
+        |SELECT u.source, n_tokens, round(d_uni / n_tokens, 6) AS distinct_1,
+        |  round(d_bi / n_bi, 6) AS distinct_2
+        |FROM u JOIN b USING (source) ORDER BY source""".stripMargin) {
+      (s, _) =>
+      val d = s.table("documents").select(col("source"),
+        expr("filter(split(lower(text), '\\\\s+'), x -> length(x) > 0)")
+          .as("ws"))
+      val uni = d.select(col("source"), explode(col("ws")).as("w"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"), countDistinct(col("w")).as("d_uni"))
+      val bi = d.select(col("source"), explode(expr(
+          """CASE WHEN size(ws) < 2 THEN array()
+            |ELSE transform(sequence(1, size(ws) - 1),
+            |  i -> concat(try_element_at(ws, i), ' ',
+            |    try_element_at(ws, i + 1))) END""".stripMargin)).as("bg"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_bi"), countDistinct(col("bg")).as("d_bi"))
+      uni.join(bi, Seq("source"))
+        .select(col("source"), col("n_tokens"),
+          round(col("d_uni") / col("n_tokens"), 6).as("distinct_1"),
+          round(col("d_bi") / col("n_bi"), 6).as("distinct_2"))
+        .orderBy("source")
+    },
+
     // heavy hitters: top-20 corpus tokens by frequency
     dialect("ta_top_tokens",
       """SELECT w, count(*) AS cnt FROM (

@@ -416,6 +416,43 @@ object TelemetryStreams {
       .withColumn("anomaly",
         coalesce(abs(col("z")) >= zThreshold, lit(false)))
 
+  /** Live SEASONAL anomaly scoring against a BATCH-MINED time-of-day
+    * baseline — `operators.Metrics.seasonalAnomaly`'s streaming face
+    * under the same static split: the batch [[graft.operators.Metrics
+    * .seasonality]] profile (name, bucket, avg_value, stddev_value)
+    * joins stream-static onto arriving points, scoring each against its
+    * own hour/minute/day-of-week moments. MAP-ONLY on the stream (bucket
+    * extraction + static join + arithmetic): no window, no state.
+    * Zero-spread and absent buckets drop, |z| < k drops — exactly the
+    * batch operator's output rule, so stream ≡ batch on the same frame. */
+  def seasonalAnomalyStream(points: DataFrame, baseline: DataFrame,
+                            bucket: String = "hour",
+                            k: Double = 2.0): DataFrame = {
+    val b = bucket match {
+      case "hour"   => hour(col("time_unix_nano"))
+      case "minute" => minute(col("time_unix_nano"))
+      case "dow"    => dayofweek(col("time_unix_nano"))
+      case other => throw new IllegalArgumentException(
+        s"unknown bucket: $other (hour|minute|dow)")
+    }
+    val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    points
+      .withColumn("bucket", b)
+      .where(v.isNotNull)
+      .withColumn("value", v)
+      // the batch profile carries one row per (name, bucket) already,
+      // but dedup defensively like every static side here
+      .join(baseline.select(col("name"), col("bucket"), col("avg_value"),
+          col("stddev_value")).where(col("stddev_value") > 0)
+          .dropDuplicates("name", "bucket"),
+        Seq("name", "bucket"))
+      .withColumn("z_score",
+        round((col("value") - col("avg_value")) / col("stddev_value"), 6))
+      .where(abs(col("z_score")) >= k)
+      .select(col("name"), col("bucket"), col("time_unix_nano"),
+        col("value"), col("avg_value"), col("stddev_value"), col("z_score"))
+  }
+
   /** Live slow-outlier tagging against BATCH-MINED per-endpoint
     * thresholds — `operators.Traces.slowOutliers`'s streaming face under
     * the same static split: the batch operator's (service, span name,

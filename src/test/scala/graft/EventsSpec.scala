@@ -124,6 +124,21 @@ class EventsSpec extends SparkTestBase {
       ("click", "(end)") -> ((1L, 0.5))), got)
   }
 
+  test("engagementGini: Lorenz trapezoid equals the pairwise-difference " +
+    "definition on a hand-checked population") {
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // per-user counts [1,1,2,4]: sum|xi-xj| over ordered pairs = 20,
+    // 2*n^2*mean = 64 -> G = 0.3125
+    val ev = (Seq(1L, 2L) ++ Seq.fill(2)(3L) ++ Seq.fill(4)(4L))
+      .zipWithIndex.map { case (u, i) => (u, s"e$i", t) }
+      .toDF("user_id", "event_type", "ts")
+    val r = Events.engagementGini(ev).collect().head
+    assert(r.getAs[Double]("gini") == 0.3125, r)
+    assert(r.getAs[Long]("n_users") == 4L)
+    assert(r.getAs[Long]("n_events") == 8L)
+  }
+
   test("sessionizeStream ≡ batch sessionize across a mid-session " +
     "micro-batch split; state carries, session identity is the start time") {
     import spark.implicits._

@@ -59,7 +59,8 @@ class MetricsReplaySpec extends SparkTestBase {
       "seasonality" -> (Metrics.seasonality(_, "minute")),
       // k = 0 keeps every scoreable point, so the pin covers the join
       "seasonalAnomaly" -> (Metrics.seasonalAnomaly(_, "minute", 0.0)),
-      "holtWinters" -> (Metrics.holtWinters(_)))
+      "holtWinters" -> (Metrics.holtWinters(_)),
+      "idelta" -> (Metrics.idelta(_)))
     for ((label, op) <- ops) {
       val a = op(once).collect().map(_.toString).sorted.toSeq
       val b = op(replayed).collect().map(_.toString).sorted.toSeq
@@ -178,6 +179,26 @@ class MetricsReplaySpec extends SparkTestBase {
     // |z(10)| = 0.267 < 1: kept out; 4 and 13 qualify; minute-1 rows
     // never appear even though k would catch nothing there anyway
     assert(got == Set((4.0, z(4.0)), (13.0, z(13.0))), got)
+  }
+
+  test("idelta: raw last-pair difference — a drop stays negative (no " +
+    "counter-reset rewrite), single-point series null") {
+    import spark.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    val pts = Seq(("g", ts(0), 10.0), ("g", ts(60), 4.0), ("one", ts(0), 7.0))
+      .toDF("name", "time_unix_nano", "double_value")
+      .withColumn("service_name", lit("s"))
+      .withColumn("service_namespace", lit(null).cast("string"))
+      .withColumn("service_instance_id", lit("i"))
+      .withColumn("resource_attributes", lit("{}"))
+      .withColumn("scope_name", lit("sc"))
+      .withColumn("metric_attributes", lit("{}"))
+      .withColumn("int_value", lit(null).cast("long"))
+      .withColumn("is_monotonic", lit(true)) // would flip irate, not idelta
+    val got = Metrics.idelta(pts).collect()
+      .map(r => r.getAs[String]("name") ->
+        Option(r.getAs[java.lang.Double]("idelta_value"))).toMap
+    assert(got == Map("g" -> Some(-6.0), "one" -> None), got)
   }
 
   test("exemplarSpans: int-valued exemplars coalesce, unmatched " +

@@ -516,6 +516,44 @@ class TelemetryStreamsSpec extends SparkTestBase {
     assert(tagged.toSeq == Seq(("s1", 2.5)), tagged.toSeq)
   }
 
+  test("seasonalAnomalyStream ≡ batch seasonalAnomaly on the same frame " +
+    "with the batch-mined seasonality baseline") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int, sec: Int) =
+      Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+    // minute 0 spread {10,4,13}; minute 1 constant {5,5} (zero-spread:
+    // both faces must drop it)
+    val rows = Seq(("q", ts(0, 0), 10.0), ("q", ts(0, 20), 4.0),
+      ("q", ts(0, 40), 13.0), ("q", ts(1, 0), 5.0), ("q", ts(1, 30), 5.0))
+    val batch = rows.toDF("name", "time_unix_nano", "double_value")
+      .withColumn("service_name", lit("s"))
+      .withColumn("service_namespace", lit(null).cast("string"))
+      .withColumn("service_instance_id", lit("i"))
+      .withColumn("resource_attributes", lit("{}"))
+      .withColumn("scope_name", lit("sc"))
+      .withColumn("metric_attributes", lit("{}"))
+      .withColumn("int_value", lit(null).cast("long"))
+    val expected = graft.operators.Metrics
+      .seasonalAnomaly(batch, "minute", k = 1.0).collect()
+      .map(_.toString).sorted.toSeq
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Timestamp, Double)]
+    val pts = in.toDF().toDF("name", "time_unix_nano", "double_value")
+      .withColumn("int_value", lit(null).cast("long"))
+    val q = TelemetryStreams.seasonalAnomalyStream(pts,
+        graft.operators.Metrics.seasonality(batch, "minute"),
+        bucket = "minute", k = 1.0)
+      .writeStream.format("memory").queryName("seasonstream")
+      .outputMode("append").start()
+    in.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("seasonstream").collect()
+      .map(_.toString).sorted.toSeq
+    assert(got == expected, s"stream $got vs batch $expected")
+    assert(got.size == 2, got) // 4 and 13 qualify at k=1; 10 does not
+  }
+
   test("streaming dedup drops at-least-once duplicates within the watermark") {
     val q = TelemetryStreams.dedupSpans(
         TelemetryStreams.traceStream(spark, root))
