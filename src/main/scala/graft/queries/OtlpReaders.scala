@@ -1179,6 +1179,51 @@ object OtlpReaders {
         .orderBy("name")
     },
 
+    // cross-signal resource inventory: per service the record count and
+    // time span of each signal — the "what does this service ship" audit
+    df("otlp_resource_inventory",
+      s"""WITH lrec AS (${logsFlat(s"$fx/logs_simple.jsonl")}),
+         |l AS (SELECT ${duckService("res.attributes")} AS service_name,
+         |  count(*) AS n_logs, min(CAST(timeUnixNano AS BIGINT)) AS lmin,
+         |  max(CAST(timeUnixNano AS BIGINT)) AS lmax
+         |  FROM lrec GROUP BY 1),
+         |srec AS (
+         |  SELECT rs.resource AS res, sp.* FROM read_json('$fx/red_traces.jsonl',
+         |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
+         |    unnest(resourceSpans) AS a(rs),
+         |    unnest(rs.scopeSpans) AS b(ss),
+         |    unnest(ss.spans) AS c(sp)),
+         |s AS (SELECT ${duckService("res.attributes")} AS service_name,
+         |  count(*) AS n_spans, min(CAST(startTimeUnixNano AS BIGINT)) AS smin,
+         |  max(CAST(startTimeUnixNano AS BIGINT)) AS smax
+         |  FROM srec GROUP BY 1),
+         |m AS (${metricsFlat(s"$fx/rate_metrics.jsonl")}),
+         |p AS (SELECT service_name, count(*) AS n_points,
+         |  min(t) AS pmin, max(t) AS pmax FROM (
+         |  SELECT ${duckService("m.res.attributes")} AS service_name,
+         |    CAST(dp.timeUnixNano AS BIGINT) AS t
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp)) GROUP BY 1)
+         |SELECT service_name, coalesce(n_logs, 0) AS n_logs,
+         |  coalesce(n_spans, 0) AS n_spans,
+         |  coalesce(n_points, 0) AS n_points,
+         |  strftime(make_timestamp(least(lmin, smin, pmin) // 1000),
+         |    '$TsFmtDuck') AS first_time,
+         |  strftime(make_timestamp(greatest(lmax, smax, pmax) // 1000),
+         |    '$TsFmtDuck') AS last_time
+         |FROM l FULL JOIN s USING (service_name)
+         |  FULL JOIN p USING (service_name)
+         |ORDER BY service_name""".stripMargin) { (s, _) =>
+      graft.operators.Signals.resourceInventory(
+          Otlp.readLogs(s, s"$fx/logs_simple.jsonl"),
+          Otlp.readTraces(s, s"$fx/red_traces.jsonl"),
+          Otlp.readMetricsSum(s, s"$fx/rate_metrics.jsonl"))
+        .select(col("service_name"), col("n_logs"), col("n_spans"),
+          col("n_points"),
+          date_format(col("first_time"), TsFmtSpark).as("first_time"),
+          date_format(col("last_time"), TsFmtSpark).as("last_time"))
+        .orderBy("service_name")
+    },
+
     // instrumentation-scope inventory: which libraries/versions are
     // deployed, how many records/services each — the SDK rollout audit
     df("otlp_scope_inventory",

@@ -899,6 +899,25 @@ object TrainingData {
         .orderBy("source")
     },
 
+    // event value distribution: exact p50/p90/p99 of the value payload
+    // per event type — the order-value / latency-payload profile
+    df("ev_value_percentiles",
+      """SELECT event_type, count(*) AS n_events,
+        |  round(sum("value"), 4) AS total_value,
+        |  round(quantile_cont("value", 0.5), 6) AS p50,
+        |  round(quantile_cont("value", 0.9), 6) AS p90,
+        |  round(quantile_cont("value", 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, _) =>
+      s.table("events").groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("total_value"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"))
+        .orderBy("event_type")
+    },
+
     // heavy hitters: top-20 corpus tokens by frequency
     dialect("ta_top_tokens",
       """SELECT w, count(*) AS cnt FROM (
