@@ -77,6 +77,12 @@ object InterferenceProbe {
     ingestThread.start()
     while (ingestThread.isAlive) sweepTimes += sweepOnce()
     ingestThread.join()
+    // an ingest-thread crash before the first sweep returns would make
+    // the mean below NaN (unparseable JSON) and report rate 0.0 as if
+    // measured — fail loud instead (review finding)
+    require(sweepTimes.nonEmpty && concurrentIngest > 0,
+      s"concurrent ingest window died before producing a rate " +
+        s"(sweeps=${sweepTimes.size}, rate=$concurrentIngest)")
     // mean across sweeps is the honest contention number (min would
     // cherry-pick the least-contended pass); the final sweep's tail runs
     // past the load window, bounding the estimate slightly LOW — noted,

@@ -493,17 +493,23 @@ object Logs {
     * Shape at 100 TB: the no-context filter happens BEFORE the
     * exchange, so the join shuffles only correlated logs on uniform
     * (trace_id, span_id) keys against the span table — no null-key
-    * partition, no skew (ids are random hex). */
+    * partition, no skew (ids are random hex). Both sides replay-dedup
+    * on the RAW frames with the join's own keys (the seal export is
+    * at-least-once; a replayed span row would otherwise duplicate
+    * every log line of that span). */
   def spanJoin(logs: DataFrame, spans: DataFrame): DataFrame = {
-    val lg = logs
-      .where(col("trace_id").isNotNull && col("span_id").isNotNull)
+    val lg = Replay.dedupWithin(
+        logs.where(col("trace_id").isNotNull && col("span_id").isNotNull),
+        Seq(col("trace_id"), col("span_id")))
       .select(col("time_unix_nano"), col("service_name"),
         col("severity_text"), col("body"),
         col("trace_id"), col("span_id"))
-    val sp = spans.select(col("trace_id"), col("span_id"),
-      col("name").as("span_name"), col("service_name").as("span_service"),
-      col("duration_time_unix_nano").as("span_duration_ns"),
-      col("status_code").as("span_status_code"))
+    val sp = Replay.dedupWithin(spans,
+        Seq(col("trace_id"), col("span_id")))
+      .select(col("trace_id"), col("span_id"),
+        col("name").as("span_name"), col("service_name").as("span_service"),
+        col("duration_time_unix_nano").as("span_duration_ns"),
+        col("status_code").as("span_status_code"))
     lg.join(sp, Seq("trace_id", "span_id"), "left")
       .withColumn("matched", col("span_name").isNotNull)
   }

@@ -259,14 +259,30 @@ object Metrics {
     require(without.nonEmpty, "aggregateWithout needs labels to drop")
     val v = coalesce(col("double_value"), col("int_value").cast("double"))
     val agg = aggOp(op)
-    val dropSet = without.map(k => s"'$k'").mkString("array(", ",", ")")
-    // metric_attributes is the canonical sorted-key JSON the parser
-    // emits; filtering its map entries and re-serializing keeps the
-    // (already sorted) order, so equal retained label sets serialize
-    // byte-equal group keys
-    val cleaned = coalesce(to_json(expr(
-      s"map_filter(from_json(metric_attributes, 'map<string,string>'), " +
-        s"(k, x) -> NOT array_contains($dropSet, k))")), lit("{}"))
+    // metric_attributes is the canonical compact sorted-key JSON the
+    // parser emits (scalar values, standard string escaping). Dropped
+    // keys are removed by tokenizing the TEXT into its top-level
+    // `"k":v` entries and keeping each survivor's original bytes —
+    // NOT by from_json(map<string,string>)+to_json, which re-quotes
+    // numeric values ({"retries":3} became {"retries":"3"}) so the
+    // rebuilt key stopped equi-joining other operators' attribute JSON
+    // and collapsed canonically distinct series (review finding). The
+    // scanner is sound on this canonical form: each value (with any
+    // embedded escaped quotes) is consumed left-to-right before the
+    // matcher could see key-shaped bytes inside it.
+    val entryPat =
+      "\"(?:[^\"\\\\]|\\\\.)*\":(?:\"(?:[^\"\\\\]|\\\\.)*\"|[^,}]*)"
+    val dropArr = array(without.map(lit): _*)
+    val keyOf = (e: Column) => try_element_at(map_keys(from_json(
+      concat(lit("{"), e, lit("}")),
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType))), lit(1))
+    val kept = filter(
+      regexp_extract_all(col("metric_attributes"), lit(entryPat), lit(0)),
+      e => !array_contains(dropArr, keyOf(e)))
+    val cleaned = coalesce(
+      concat(lit("{"), array_join(kept, ","), lit("}")), lit("{}"))
     Replay.dedupWithin(
         sums.withColumn("__attrs", cleaned),
         Seq(col("name"), col("__attrs"), col("time_unix_nano")))
@@ -302,8 +318,12 @@ object Metrics {
     * round(6) on the moments.
     *
     * Shape at 100 TB: bucket extraction is map-only on the timestamp;
-    * then ONE partial-agg groupBy onto (name, bucket) — ≤ 168 rows per
-    * metric. Replay dedup rides the same exchange. */
+    * then one partial-agg groupBy onto (name, bucket) — ≤ 168 rows per
+    * metric. The replay dedup keys by uniform (name, time), NOT the
+    * (name, bucket) output key: ≤ 168 buckets per metric would funnel a
+    * metric's whole retention history for one hour into a single window
+    * task and defeat the map-side combine (the r11 skew-trap lesson) —
+    * the second exchange is the price of a dedup that scales. */
   def seasonality(sums: DataFrame, bucket: String = "hour"): DataFrame = {
     val b = bucket match {
       case "hour"   => hour(col("time_unix_nano"))
@@ -314,7 +334,7 @@ object Metrics {
     }
     val v = coalesce(col("double_value"), col("int_value").cast("double"))
     Replay.dedupWithin(sums.withColumn("bucket", b),
-        Seq(col("name"), col("bucket")))
+        Seq(col("name"), col("time_unix_nano")))
       .where(v.isNotNull)
       .withColumn("__v", v)
       .groupBy(col("name"), col("bucket"))
@@ -336,7 +356,9 @@ object Metrics {
     *
     * Shape at 100 TB: the baseline is ≤ 168 rows per metric name — it
     * BROADCASTS; the point side is scored map-only after its one
-    * replay-dedup exchange. No corpus-side shuffle beyond that. */
+    * replay-dedup exchange (keyed by uniform (name, time), not the
+    * 168-value bucket key — the same skew rule as [[seasonality]]).
+    * No corpus-side shuffle beyond that. */
   def seasonalAnomaly(sums: DataFrame, bucket: String = "hour",
                       k: Double = 2.0): DataFrame = {
     require(k >= 0, "k must be non-negative")
@@ -353,7 +375,7 @@ object Metrics {
     }
     val v = coalesce(col("double_value"), col("int_value").cast("double"))
     Replay.dedupWithin(sums.withColumn("bucket", b),
-        Seq(col("name"), col("bucket")))
+        Seq(col("name"), col("time_unix_nano")))
       .where(v.isNotNull)
       .withColumn("value", v)
       .join(broadcast(base), Seq("name", "bucket"))
@@ -424,13 +446,17 @@ object Metrics {
     * per window) while spans are the big side — the exploded exemplar
     * frame stays small, and the equi-join shuffles both sides on
     * uniform (trace_id, span_id) keys; rows without ids are dropped
-    * before the exchange so there is no null-key partition. */
+    * before the exchange so there is no null-key partition. Both sides
+    * replay-dedup first (a replayed span row would double every
+    * exemplar pointing at it; a replayed point would double its
+    * exemplars). */
   def exemplarSpans(points: DataFrame, spans: DataFrame): DataFrame = {
     val exT = "array<struct<time_unix_nano: bigint, as_int: bigint, " +
       "as_double: double, trace_id: string, span_id: string, " +
       "filtered_attributes: map<string,string>>>"
-    val ex = points
-      .where(col("exemplars_json").isNotNull)
+    val ex = Replay.dedupWithin(
+        points.where(col("exemplars_json").isNotNull),
+        Seq(col("name"), col("time_unix_nano")))
       .select(col("name"), col("time_unix_nano").as("point_time"),
         explode(from_json(col("exemplars_json"), exT,
           Map.empty[String, String])).as("ex"))
@@ -439,9 +465,11 @@ object Metrics {
           .as("exemplar_value"),
         col("ex.trace_id").as("trace_id"), col("ex.span_id").as("span_id"))
       .where(col("trace_id").isNotNull && col("span_id").isNotNull)
-    val sp = spans.select(col("trace_id"), col("span_id"),
-      col("name").as("span_name"), col("service_name").as("span_service"),
-      col("duration_time_unix_nano").as("span_duration_ns"))
+    val sp = Replay.dedupWithin(spans,
+        Seq(col("trace_id"), col("span_id")))
+      .select(col("trace_id"), col("span_id"),
+        col("name").as("span_name"), col("service_name").as("span_service"),
+        col("duration_time_unix_nano").as("span_duration_ns"))
     ex.join(sp, Seq("trace_id", "span_id"), "left")
       .withColumn("matched", col("span_name").isNotNull)
   }
@@ -775,6 +803,14 @@ object Metrics {
     sums.withColumn("value", v).withColumn("value_clamped", clamped)
   }
 
+  /** Label names here splice into `get_json_object` paths (`$['k']`) —
+    * a quote/bracket/backslash would silently alter the path (OTLP
+    * attribute keys are arbitrary strings), so fail loud instead. */
+  private def jsonPathSafe(k: String): Unit =
+    require(!k.exists(c => c == '\'' || c == '"' || c == '[' ||
+      c == ']' || c == '\\'),
+      s"label name not JSONPath-safe (quote/bracket/backslash): '$k'")
+
   /** PromQL `label_replace()`: derive label `dst` by matching label
     * `src`'s value against `regex` (full-anchored, as PromQL anchors)
     * and expanding `replacement`'s `$1…$n` backreferences; on no match
@@ -787,6 +823,7 @@ object Metrics {
                    src: String, regex: String): DataFrame = {
     require(!sums.columns.contains(dst),
       s"label_replace dst '$dst' collides with an existing column")
+    Seq(src, dst).foreach(jsonPathSafe)
     val anchored = "^(?:" + regex + ")$"
     val srcV = coalesce(
       get_json_object(col("metric_attributes"), s"$$['$src']"), lit(""))
@@ -804,6 +841,7 @@ object Metrics {
     require(srcs.nonEmpty, "label_join needs at least one source label")
     require(!sums.columns.contains(dst),
       s"label_join dst '$dst' collides with an existing column")
+    srcs.foreach(jsonPathSafe)
     sums.withColumn(dst, concat_ws(sep, srcs.map(s => coalesce(
       get_json_object(col("metric_attributes"), s"$$['$s']"), lit(""))): _*))
   }

@@ -1203,16 +1203,20 @@ object OtlpReaders {
          |  SELECT ${duckService("m.res.attributes")} AS service_name,
          |    CAST(dp.timeUnixNano AS BIGINT) AS t
          |  FROM m, unnest(m."sum".dataPoints) AS d(dp)) GROUP BY 1)
-         |SELECT service_name, coalesce(n_logs, 0) AS n_logs,
+         |SELECT coalesce(l.service_name, s.service_name, p.service_name)
+         |    AS service_name,
+         |  coalesce(n_logs, 0) AS n_logs,
          |  coalesce(n_spans, 0) AS n_spans,
          |  coalesce(n_points, 0) AS n_points,
          |  strftime(make_timestamp(least(lmin, smin, pmin) // 1000),
          |    '$TsFmtDuck') AS first_time,
          |  strftime(make_timestamp(greatest(lmax, smax, pmax) // 1000),
          |    '$TsFmtDuck') AS last_time
-         |FROM l FULL JOIN s USING (service_name)
-         |  FULL JOIN p USING (service_name)
-         |ORDER BY service_name""".stripMargin) { (s, _) =>
+         |FROM l
+         |  FULL JOIN s ON l.service_name IS NOT DISTINCT FROM s.service_name
+         |  FULL JOIN p ON coalesce(l.service_name, s.service_name)
+         |    IS NOT DISTINCT FROM p.service_name
+         |ORDER BY 1""".stripMargin) { (s, _) =>
       graft.operators.Signals.resourceInventory(
           Otlp.readLogs(s, s"$fx/logs_simple.jsonl"),
           Otlp.readTraces(s, s"$fx/red_traces.jsonl"),
@@ -2083,9 +2087,7 @@ object OtlpReaders {
       s"""WITH m AS (${metricsFlat(s"$fx/label_metrics.jsonl")}),
          |pts AS (SELECT m."name" AS "name", ${duckTs("dp.timeUnixNano")} AS t,
          |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v,
-         |  to_json(map_from_entries(list_sort(list_transform(
-         |    list_filter(dp.attributes, a -> a."key" <> 'pod'),
-         |    kv -> {k: kv."key", v: kv."value".stringValue}))))::VARCHAR
+         |  ${duckAttrs("""list_filter(dp.attributes, a -> a."key" <> 'pod')""")}
          |    AS attrs
          |  FROM m, unnest(m."sum".dataPoints) AS d(dp))
          |SELECT "name", attrs AS metric_attributes, t AS time_unix_nano,
@@ -2258,7 +2260,9 @@ object OtlpReaders {
          |  WHERE coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) IS NOT NULL),
          |base AS (SELECT "name", bucket, round(avg(v), 6) AS avg_value,
          |  round(stddev_pop(v), 6) AS stddev_value
-         |  FROM pts GROUP BY 1, 2 HAVING stddev_pop(v) > 0)
+         |  -- gate on the ROUNDED spread like the Spark side, or a
+         |  -- bucket with true spread under 5e-7 divides by 0.0 here
+         |  FROM pts GROUP BY 1, 2 HAVING round(stddev_pop(v), 6) > 0)
          |SELECT p."name" AS "name", p.bucket, p.t AS time_unix_nano,
          |  p.v AS "value", b.avg_value, b.stddev_value,
          |  round((p.v - b.avg_value) / b.stddev_value, 6) AS z_score
@@ -2414,7 +2418,7 @@ object OtlpReaders {
          |  sp.span_duration_ns, sp.span_status_code,
          |  sp.span_name IS NOT NULL AS matched
          |FROM lg LEFT JOIN sp USING (trace_id, span_id)
-         |ORDER BY time_unix_nano, trace_id""".stripMargin) { (s, _) =>
+         |ORDER BY time_unix_nano, trace_id, span_id""".stripMargin) { (s, _) =>
       graft.operators.Logs.spanJoin(
           Otlp.readLogs(s, s"$fx/corr_logs.jsonl"),
           Otlp.readTraces(s, s"$fx/red_traces.jsonl"))
@@ -2424,7 +2428,9 @@ object OtlpReaders {
           col("trace_id"), col("span_id"), col("span_name"),
           col("span_service"), col("span_duration_ns"),
           col("span_status_code"), col("matched"))
-        .orderBy("time_unix_nano", "trace_id")
+        // (µs time, trace) can tie — two logs of one span's trace in the
+        // same microsecond — so the span id completes the total order
+        .orderBy("time_unix_nano", "trace_id", "span_id")
     },
 
     // critical-path blame chain: per trace, the ancestor chain of the

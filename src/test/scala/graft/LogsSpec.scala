@@ -618,11 +618,15 @@ class LogsSpec extends SparkTestBase {
       (t, "svc", "INFO", "no context", null: String, null: String))
       .toDF("time_unix_nano", "service_name", "severity_text", "body",
         "trace_id", "span_id")
-    val spans = Seq(("t1", "s1", "GET /x", "svc-b", 500L, 2))
+    // the span row replayed: must not duplicate its correlated log line
+    val spans = Seq(("t1", "s1", "GET /x", "svc-b", 500L, 2),
+        ("t1", "s1", "GET /x", "svc-b", 500L, 2))
       .toDF("trace_id", "span_id", "name", "service_name",
         "duration_time_unix_nano", "status_code")
-    val got = Logs.spanJoin(logs, spans).collect()
-      .map(r => r.getAs[String]("body") ->
+    val rows = Logs.spanJoin(logs, spans).collect()
+    assert(rows.length == 2,
+      s"replayed span row duplicated output: ${rows.toSeq}")
+    val got = rows.map(r => r.getAs[String]("body") ->
         ((r.getAs[Boolean]("matched"), Option(r.getAs[String]("span_name")),
           Option(r.getAs[java.lang.Long]("span_duration_ns"))))).toMap
     assert(got == Map(

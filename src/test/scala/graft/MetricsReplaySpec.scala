@@ -122,6 +122,31 @@ class MetricsReplaySpec extends SparkTestBase {
     assert(got("h3") == ((None, None)), got)
   }
 
+  test("aggregateWithout preserves the canonical value bytes: int-typed " +
+    "and string-typed '3' stay DISTINCT series, escapes survive") {
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def pt(attrs: String, v: Double) =
+      ("m", "svc", null: String, "i", "{}", "sc", attrs, t, v)
+    val pts = Seq(
+      pt("""{"pod":"a","retries":3}""", 1.0),
+      pt("""{"pod":"b","retries":3}""", 2.0), // merges with the first
+      pt("""{"pod":"a","retries":"3"}""", 4.0), // string-typed: its own
+      pt("""{"msg":"x,\"y\":z","pod":"c"}""", 8.0)) // escapes+comma keep
+      .toDF("name", "service_name", "service_namespace",
+        "service_instance_id", "resource_attributes", "scope_name",
+        "metric_attributes", "time_unix_nano", "double_value")
+      .withColumn("int_value", lit(null).cast("long"))
+    val got = graft.operators.Metrics
+      .aggregateWithout(pts, "sum", Seq("pod")).collect()
+      .map(r => r.getAs[String]("metric_attributes") ->
+        r.getAs[Double]("value")).toMap
+    assert(got == Map(
+      """{"retries":3}""" -> 3.0,
+      """{"retries":"3"}""" -> 4.0,
+      """{"msg":"x,\"y\":z"}""" -> 8.0), got)
+  }
+
   test("holtWinters: Prometheus recurrence hand-computed; " +
     "single-point series null; two-point series smooth to the newer value") {
     import spark.implicits._
@@ -211,13 +236,17 @@ class MetricsReplaySpec extends SparkTestBase {
         {"as_double":1.0}]""".replaceAll("\n\\s*", "")),
       ("lat", t, null: String))
       .toDF("name", "time_unix_nano", "exemplars_json")
-    val spans = Seq(("t1", "s1", "GET /x", "svc", 1234L))
+    // the span row replayed: must not double the matching exemplar row
+    val spans = Seq(("t1", "s1", "GET /x", "svc", 1234L),
+        ("t1", "s1", "GET /x", "svc", 1234L))
       .toDF("trace_id", "span_id", "name", "service_name",
         "duration_time_unix_nano")
-    val got = Metrics.exemplarSpans(pts, spans).collect()
-      .map(r => (r.getAs[String]("trace_id"),
+    val rows = Metrics.exemplarSpans(pts, spans).collect()
+    val got = rows.map(r => (r.getAs[String]("trace_id"),
         r.getAs[Double]("exemplar_value"), r.getAs[Boolean]("matched"),
         Option(r.getAs[String]("span_name")))).toSet
+    assert(rows.length == 2, // a row count, not the set: dupes must FAIL
+      s"replayed span row duplicated output: ${rows.toSeq}")
     assert(got == Set(
       ("t1", 9.5, true, Some("GET /x")),
       ("t9", 7.0, false, None)), got)

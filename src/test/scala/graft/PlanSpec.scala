@@ -537,6 +537,8 @@ class PlanSpec extends SparkTestBase {
         "topk" -> graft.operators.Metrics.topkSeries(sums, 2),
         "instantRate" -> graft.operators.Metrics.instantRate(sums),
         "offsetCompare" -> graft.operators.Metrics.offsetCompare(sums, 60),
+        "idelta" -> graft.operators.Metrics.idelta(sums),
+        "holtWinters" -> graft.operators.Metrics.holtWinters(sums),
         "aggregateWithout" ->
           graft.operators.Metrics.aggregateWithout(sums, "sum", Seq("pod")))) {
       val p = plan(df)
@@ -548,6 +550,15 @@ class PlanSpec extends SparkTestBase {
     val pP = plan(graft.operators.Traces.spanPercentiles(spans))
     assert("Exchange".r.findAllIn(pP).size == 1,
       s"spanPercentiles: dedup must ride the service exchange:\n$pP")
+    val shiftSpans = Seq(
+      ("t1", "s1", "svc", "GET /", java.sql.Timestamp.valueOf(
+        "2024-01-01 00:00:00"), 100L))
+      .toDF("trace_id", "span_id", "service_name", "name",
+        "start_time_unix_nano", "duration_time_unix_nano")
+    val pS = plan(graft.operators.Traces.latencyShift(shiftSpans,
+      java.sql.Timestamp.valueOf("2024-01-01 00:30:00")))
+    assert("Exchange".r.findAllIn(pS).size == 1,
+      s"latencyShift: dedup must ride the endpoint exchange:\n$pS")
   }
 
   test("event funnel: one user-keyed slice join per step, the events " +

@@ -13,8 +13,11 @@ class SignalsSpec extends SparkTestBase {
         ("a", ts("2024-01-01 00:00:50")),
         (null: String, ts("2024-01-01 00:00:20")))
       .toDF("service_name", "time_unix_nano")
+    // the null-service span must MERGE with the null-service log row
+    // (null-safe join keys), not fragment into a second null row
     val spans = Seq(("a", ts("2024-01-01 00:00:05")),
-        ("b", ts("2024-01-01 00:01:00")))
+        ("b", ts("2024-01-01 00:01:00")),
+        (null: String, ts("2024-01-01 00:00:30")))
       .toDF("service_name", "start_time_unix_nano")
     val points = Seq(("c", ts("2024-01-01 00:02:00")))
       .toDF("service_name", "time_unix_nano")
@@ -32,7 +35,7 @@ class SignalsSpec extends SparkTestBase {
         "2024-01-01 00:01:00.0")),
       Some("c") -> ((0L, 0L, 1L, "2024-01-01 00:02:00.0",
         "2024-01-01 00:02:00.0")),
-      None -> ((1L, 0L, 0L, "2024-01-01 00:00:20.0",
-        "2024-01-01 00:00:20.0"))), got)
+      None -> ((1L, 1L, 0L, "2024-01-01 00:00:20.0",
+        "2024-01-01 00:00:30.0"))), got)
   }
 }
