@@ -182,6 +182,29 @@ object ScaleProbe {
             (col("id") * 7919L % 86400000000000L).as("ts_ns"))
             .transform(df => operators.Events.funnel(df,
               Seq("view", "click", "purchase"), windowNs = 3600000000000L))
+        case "activeusers" | "transitions" | "attribution" | "gini" =>
+          import org.apache.spark.sql.functions._
+          // the funnel generator's shape (k*100k events, k*2k users,
+          // ~50 events each, 5 types) with the timestamp/id columns the
+          // wider family needs
+          val n = k * 100000L
+          val ev = spark.range(n).select(
+            (col("id") % (k * 2000L)).as("user_id"),
+            element_at(array(lit("view"), lit("click"), lit("purchase"),
+              lit("signup"), lit("error")),
+              (pmod(col("id") * 31L, lit(5L)) + 1).cast("int"))
+              .as("event_type"),
+            (col("id") * 7919L % 86400000000000L).as("ts_ns"),
+            col("id").as("event_id"),
+            timestamp_micros(lit(1700000000000000L) +
+              (col("id") * 7919L % (30L * 86400000000L))).as("ts"))
+          op match {
+            case "activeusers" => operators.Events.activeUsers(ev)
+            case "transitions" => operators.Events.transitions(ev)
+            case "attribution" =>
+              operators.Events.attribution(ev, "purchase")
+            case _ => operators.Events.engagementGini(ev)
+          }
         case "expagg" =>
           import org.apache.spark.sql.functions._
           val n = k * 100000L

@@ -31,6 +31,32 @@ object EventStreams {
   case class SessionState(lastEtNs: Long, sessionStartNs: Long,
                           lastTsMs: Long)
 
+  /** LIVE daily-active-users — `operators.Events.activeUsers`'s DAU
+    * face on the stream: per event-time day window, the distinct users
+    * seen, emitted as the window closes. Distinctness is
+    * `dropDuplicatesWithinWatermark` on (user, window) — state is one
+    * row per ACTIVE (user, day), expired by the watermark, so the live
+    * path never holds the user space, only today's. The rolling
+    * WAU/MAU face stays batch (it must re-see w days of history — a
+    * stream would hold w× the state for a number the nightly batch
+    * profile already publishes; the batch-mines/stream-scores split).
+    * Stream ≡ batch dau per day on the same frame (UTC day windows =
+    * to_date's day rule). */
+  def dauStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      // the window struct inherits ts's event-time role; keeping ts too
+      // would leave TWO event-time columns (stream error)
+      .select(col("user_id"), window(col("ts"), "1 day").as("w"))
+      // dropDuplicates (NOT ...WithinWatermark): the window column is
+      // the event-time key, so dedup state lives until the watermark
+      // closes the DAY — WithinWatermark would evict after only the
+      // slack and re-count a morning user seen again that evening
+      .dropDuplicates("user_id", "w")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("dau"))
+      .select(col("w.start").cast("date").as("day"), col("dau"))
+
   /** Gap-based SESSIONIZATION on the LIVE event stream — the registry's
     * ev_sessionize rule (one definition: `operators.Events.sessionize`,
     * inactivity gap > `gapNs` opens a session) as per-user custom state:

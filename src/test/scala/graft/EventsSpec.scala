@@ -139,6 +139,41 @@ class EventsSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_events") == 8L)
   }
 
+  test("dauStream ≡ batch activeUsers dau for closed day windows; a " +
+    "user repeated across micro-batches within one day counts once") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (ts("2024-01-01 08:00:00"), 1L), (ts("2024-01-01 09:00:00"), 1L),
+      (ts("2024-01-01 12:00:00"), 2L),
+      // -- micro-batch boundary: u1 again SAME day (dedup state carries)
+      (ts("2024-01-01 18:00:00"), 1L),
+      (ts("2024-01-02 10:00:00"), 1L))
+    // day-3 nudge advances the watermark past both days' window ends
+    val nudge = (ts("2024-01-03 12:00:00"), 9L)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long)]
+    val run = graft.streaming.EventStreams
+      .dauStream(in.toDF().toDF("ts", "user_id"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("daustream")
+      .outputMode("append").start()
+    val (b1, b2) = rows.splitAt(3)
+    in.addData(b1: _*); run.processAllAvailable()
+    in.addData(b2: _*); run.processAllAvailable()
+    in.addData(nudge); run.processAllAvailable()
+    run.stop()
+    val got = spark.table("daustream").collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        r.getAs[Long]("dau")).toMap
+    val expect = Events.activeUsers(
+        rows.toDF("ts", "user_id"), windowDays = 1).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        r.getAs[Long]("dau")).toMap
+    assert(got == expect, s"stream $got vs batch $expect")
+    assert(got == Map("2024-01-01" -> 2L, "2024-01-02" -> 1L), got)
+  }
+
   test("sessionizeStream ≡ batch sessionize across a mid-session " +
     "micro-batch split; state carries, session identity is the start time") {
     import spark.implicits._
