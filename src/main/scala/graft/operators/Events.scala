@@ -111,6 +111,42 @@ object Events {
       .agg(count(lit(1)).as("n_sessions"))
   }
 
+  /** Cohort VALUE (LTV curve): cohort by first-event day ([[retention]]'s
+    * rule); per (cohort day, day offset) the active users, that day's
+    * summed value, the cohort's CUMULATIVE value, and cumulative value
+    * per cohort user — the lifetime-value curve next to retention's
+    * activity curve. Offset 0 always exists (the first event is on the
+    * cohort day), so the cohort size is the first row's n_active.
+    * round(4) on values, round(6) on the per-user ratio.
+    *
+    * Shape at 100 TB: one user-keyed partial agg (first day) joined
+    * back user-keyed, a (cohort, offset) partial agg, and the running
+    * sum windows over the days × offsets frame — tiny by construction. */
+  def cohortValue(events: DataFrame,
+                  userCol: String = "user_id",
+                  tsCol: String = "ts",
+                  valueCol: String = "value"): DataFrame = {
+    val firstDay = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
+      .groupBy("u").agg(min(col("d")).as("cohort_day"))
+    val byOffset = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"),
+        col(valueCol).as("v"))
+      .join(firstDay, Seq("u"))
+      .select(col("u"), col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).as("day_offset"), col("v"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("u")).as("n_active"),
+        round(sum(col("v")), 4).as("day_value"))
+    val wC = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byOffset
+      .withColumn("cum_value", round(sum(col("day_value")).over(wC), 4))
+      .withColumn("cohort_size", first(col("n_active")).over(wC))
+      .withColumn("ltv_per_user",
+        round(col("cum_value") / col("cohort_size"), 6))
+  }
+
   /** Engagement GINI: the inequality coefficient of events-per-user —
     * 0 = every user equally active, →1 = a few users generate everything;
     * the one-number summary behind per-user caps and contributor-skew

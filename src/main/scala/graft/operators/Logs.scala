@@ -433,6 +433,30 @@ object Logs {
           fromNumber =!= textCanon)
   }
 
+  /** Windowed ERROR share — the "log error rate" panel: per (service,
+    * aligned window) the record count, the ERROR+FATAL count under the
+    * ONE severity rule ([[normalizeSeverity]] — number wins, aliases
+    * fold), and their ratio (a group always has rows, so the division
+    * never sees zero). round(6).
+    *
+    * Shape at 100 TB: severity normalization is map-only; then ONE
+    * (service, window) partial-agg groupBy — both counts are
+    * conditional aggregates of the same pass. */
+  def errorRate(logs: DataFrame, windowSec: Long = 60,
+                serviceCol: String = "service_name",
+                timeCol: String = "time_unix_nano"): DataFrame = {
+    require(windowSec > 0, "windowSec must be positive")
+    val wStart = Replay.windowStart(col(timeCol), windowSec)
+    normalizeSeverity(logs)
+      .withColumn("window_start", wStart)
+      .groupBy(col(serviceCol).as("service_name"), col("window_start"))
+      .agg(count(lit(1)).as("n_logs"),
+        count(when(col("severity_canonical").isin("ERROR", "FATAL"),
+          lit(1))).as("n_errors"))
+      .withColumn("error_ratio",
+        round(col("n_errors") / col("n_logs"), 6))
+  }
+
   /** Parameter extraction for one template: the values that filled each
     * `<*>` slot, with occurrence counts — the drill-down a template view
     * links to. MAP-ONLY filter on the template's shape (token count +

@@ -1398,6 +1398,45 @@ object OtlpReaders {
 
     // severity normalization: the OTel number->name mapping with text
     // fallback and exporter-mismatch detection
+    // windowed log error share per service: ERROR+FATAL under the one
+    // severity rule over total records — the error-rate panel
+    df("otlp_error_ratio",
+      s"""WITH rec AS (${logsFlat(s"$fx/sev_logs.jsonl")}),
+         |n AS (SELECT ${duckService("res.attributes")} AS service_name,
+         |  CAST(timeUnixNano AS BIGINT) AS tns,
+         |  severityNumber AS sn, severityText AS st FROM rec),
+         |c AS (SELECT service_name, tns,
+         |  coalesce(
+         |    CASE WHEN sn BETWEEN 1 AND 4 THEN 'TRACE'
+         |      WHEN sn BETWEEN 5 AND 8 THEN 'DEBUG'
+         |      WHEN sn BETWEEN 9 AND 12 THEN 'INFO'
+         |      WHEN sn BETWEEN 13 AND 16 THEN 'WARN'
+         |      WHEN sn BETWEEN 17 AND 20 THEN 'ERROR'
+         |      WHEN sn BETWEEN 21 AND 24 THEN 'FATAL' END,
+         |    CASE WHEN upper(trim(st)) = 'WARNING' THEN 'WARN'
+         |      WHEN upper(trim(st)) = 'ERR' THEN 'ERROR'
+         |      WHEN upper(trim(st)) = 'CRITICAL' THEN 'FATAL'
+         |      WHEN upper(trim(st)) IN ('TRACE','DEBUG','INFO','WARN',
+         |        'ERROR','FATAL') THEN upper(trim(st)) END,
+         |    'UNSPECIFIED') AS canon
+         |  FROM n)
+         |SELECT service_name,
+         |  strftime(make_timestamp(tns // 60000000000 * 60 * 1000000),
+         |    '$TsFmtDuck') AS window_start,
+         |  count(*) AS n_logs,
+         |  count(*) FILTER (WHERE canon IN ('ERROR', 'FATAL')) AS n_errors,
+         |  round(count(*) FILTER (WHERE canon IN ('ERROR', 'FATAL'))
+         |    / count(*), 6) AS error_ratio
+         |FROM c GROUP BY service_name, tns // 60000000000
+         |ORDER BY service_name, window_start""".stripMargin) { (s, _) =>
+      graft.operators.Logs.errorRate(
+          Otlp.readLogs(s, s"$fx/sev_logs.jsonl"), windowSec = 60)
+        .select(col("service_name"),
+          date_format(col("window_start"), TsFmtSpark).as("window_start"),
+          col("n_logs"), col("n_errors"), col("error_ratio"))
+        .orderBy("service_name", "window_start")
+    },
+
     df("otlp_severity_normalize",
       s"""WITH rec AS (${logsFlat(s"$fx/sev_logs.jsonl")}),
          |n AS (SELECT body.stringValue AS body, severityNumber AS sn,

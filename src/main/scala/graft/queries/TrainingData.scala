@@ -918,6 +918,34 @@ object TrainingData {
         .orderBy("event_type")
     },
 
+    // cohort LTV curve: cumulative value per cohort over day offsets,
+    // plus cumulative value per cohort user — retention's value twin
+    df("ev_cohort_ltv",
+      """WITH f AS (SELECT user_id AS u, min(CAST(ts AS DATE)) AS d0
+        |  FROM events GROUP BY u),
+        |o AS (SELECT e.user_id AS u, f.d0,
+        |  date_diff('day', f.d0, CAST(e.ts AS DATE)) AS day_offset,
+        |  e."value" AS v
+        |  FROM events e JOIN f ON f.u = e.user_id),
+        |g AS (SELECT d0, day_offset, count(DISTINCT u) AS n_active,
+        |  round(sum(v), 4) AS day_value
+        |  FROM o GROUP BY 1, 2),
+        |c AS (SELECT *, round(sum(day_value) OVER w, 4) AS cum_value,
+        |  first_value(n_active) OVER w AS cohort_size
+        |  FROM g WINDOW w AS (PARTITION BY d0 ORDER BY day_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT strftime(d0, '%Y-%m-%d') AS cohort_day, day_offset,
+        |  n_active, day_value, cum_value,
+        |  round(cum_value / cohort_size, 6) AS ltv_per_user
+        |FROM c ORDER BY cohort_day, day_offset""".stripMargin) { (s, _) =>
+      Events.cohortValue(s.table("events"))
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset").cast("long").as("day_offset"),
+          col("n_active"), col("day_value"), col("cum_value"),
+          col("ltv_per_user"))
+        .orderBy("cohort_day", "day_offset")
+    },
+
     // heavy hitters: top-20 corpus tokens by frequency
     dialect("ta_top_tokens",
       """SELECT w, count(*) AS cnt FROM (

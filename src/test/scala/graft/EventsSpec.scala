@@ -139,6 +139,30 @@ class EventsSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_events") == 8L)
   }
 
+  test("cohortValue: cumulative per-cohort value, ltv normalizes by the " +
+    "offset-0 cohort size even as later offsets lose users") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // cohort 01-01: u1 + u2 (size 2); only u1 returns on day 1
+      (1L, ts("2024-01-01 08:00:00"), 10.0),
+      (2L, ts("2024-01-01 09:00:00"), 20.0),
+      (1L, ts("2024-01-02 10:00:00"), 30.0),
+      // cohort 01-03: u3 alone
+      (3L, ts("2024-01-03 11:00:00"), 5.0))
+      .toDF("user_id", "ts", "value")
+    val got = Events.cohortValue(ev).collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_day").toString,
+        r.getAs[Int]("day_offset")) ->
+        ((r.getAs[Long]("n_active"), r.getAs[Double]("day_value"),
+          r.getAs[Double]("cum_value"), r.getAs[Double]("ltv_per_user"))))
+      .toMap
+    assert(got == Map(
+      ("2024-01-01", 0) -> ((2L, 30.0, 30.0, 15.0)),
+      ("2024-01-01", 1) -> ((1L, 30.0, 60.0, 30.0)), // /2, not /1
+      ("2024-01-03", 0) -> ((1L, 5.0, 5.0, 5.0))), got)
+  }
+
   test("dauStream ≡ batch activeUsers dau for closed day windows; a " +
     "user repeated across micro-batches within one day counts once") {
     import spark.implicits._

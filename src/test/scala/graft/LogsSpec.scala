@@ -608,6 +608,28 @@ class LogsSpec extends SparkTestBase {
     assert(r.getAs[Long]("max_ns") == 400L)
   }
 
+  test("errorRate: number wins over a mismatched ERROR text (the 13-WARN " +
+    "case stays out), aliases and FATAL count in, ratio per window") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val logs = Seq(
+      ("svc", ts("2024-01-01 00:00:10"), Some(13), "ERROR"), // WARN by number
+      ("svc", ts("2024-01-01 00:00:20"), None, "err"), // alias -> ERROR
+      ("svc", ts("2024-01-01 00:00:30"), Some(21), null: String), // FATAL
+      ("svc", ts("2024-01-01 00:00:40"), Some(9), "Information"),
+      ("svc", ts("2024-01-01 00:01:30"), None, "strange")) // next window
+      .toDF("service_name", "time_unix_nano", "severity_number",
+        "severity_text")
+      .withColumn("severity_number", col("severity_number").cast("int"))
+    val got = Logs.errorRate(logs, windowSec = 60).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("window_start").toString ->
+        ((r.getAs[Long]("n_logs"), r.getAs[Long]("n_errors"),
+          r.getAs[Double]("error_ratio")))).toMap
+    assert(got == Map(
+      "2024-01-01 00:00:00.0" -> ((4L, 2L, 0.5)),
+      "2024-01-01 00:01:00.0" -> ((1L, 0L, 0.0))), got)
+  }
+
   test("spanJoin: context-less logs are excluded before the join, " +
     "span-less context keeps the log with matched=false") {
     import spark.implicits._
