@@ -310,6 +310,36 @@ object Events {
         sum(when(col("is_day"), col("n_events"))).as("n_events"))
   }
 
+  /** [[activeUsers]]'s SKETCH path: DAU/rolling actives via
+    * `approx_count_distinct` (HyperLogLog++, `rsd` relative error) —
+    * at billions of users the exact path's per-day distinct is a
+    * user-space shuffle per window, while the sketch partial-aggregates
+    * map-side like any sum; this is the variant a 100 TB deployment
+    * actually runs, next to the exact twin the oracle can check.
+    * Same day/window semantics as [[activeUsers]]. */
+  def activeUsersApprox(events: DataFrame, windowDays: Int = 7,
+                        rsd: Double = 0.02,
+                        userCol: String = "user_id",
+                        tsCol: String = "ts"): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    val userDays = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
+      .groupBy("u", "d").agg(count(lit(1)).as("n_events"))
+    val bounds = userDays.agg(max(col("d")).as("max_d"))
+    userDays
+      .select(col("u"), col("d"), col("n_events"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("off"))
+      .select(col("u"), col("d"), col("n_events"),
+        date_add(col("d"), col("off")).as("day"),
+        (col("off") === 0).as("is_day"))
+      .join(broadcast(bounds), col("day") <= col("max_d"))
+      .groupBy("day")
+      .agg(approx_count_distinct(when(col("is_day"), col("u")), rsd)
+          .as("dau_approx"),
+        approx_count_distinct(col("u"), rsd).as("rolling_active_approx"),
+        sum(when(col("is_day"), col("n_events"))).as("n_events"))
+  }
+
   /** Conversion ATTRIBUTION: for each conversion event, the event type
     * of the user's FIRST touch ever and LAST touch immediately before
     * the conversion (non-conversion events are touches); conversions

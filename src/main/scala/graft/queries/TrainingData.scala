@@ -772,6 +772,16 @@ object TrainingData {
         .orderBy("day")
     },
 
+    // sketch-path active users (HLL++): the variant a billion-user
+    // deployment runs; approx counts are engine-specific -> rows-only
+    // check, the error bound is ScalaTest-pinned against the exact twin
+    noOracle("ev_active_users_approx") { (s, _) =>
+      Events.activeUsersApprox(s.table("events"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau_approx"), col("rolling_active_approx"), col("n_events"))
+        .orderBy("day")
+    },
+
     // conversion attribution: first/last non-conversion touch before
     // each purchase — the acquisition-path matrix
     df("ev_attribution",

@@ -139,6 +139,27 @@ class EventsSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_events") == 8L)
   }
 
+  test("activeUsersApprox tracks the exact twin within the sketch's " +
+    "error bound on the driver corpus") {
+    Tables.register(spark, sfDir)
+    val ev = spark.table("events")
+    val exact = Events.activeUsers(ev).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        ((r.getAs[Long]("dau"), r.getAs[Long]("rolling_active")))).toMap
+    val approx = Events.activeUsersApprox(ev, rsd = 0.02).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        ((r.getAs[Long]("dau_approx"),
+          r.getAs[Long]("rolling_active_approx")))).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((day, (d, ra)) <- exact; (da, raa) = approx(day)) {
+      // 5x the 2% rsd: a generous bound that still fails a broken sketch
+      assert(d == 0 && da == 0 || math.abs(da - d) <= math.max(2, 0.1 * d),
+        s"$day dau approx $da vs exact $d")
+      assert(math.abs(raa - ra) <= math.max(2, 0.1 * ra),
+        s"$day rolling approx $raa vs exact $ra")
+    }
+  }
+
   test("cohortValue: cumulative per-cohort value, ltv normalizes by the " +
     "offset-0 cohort size even as later offsets lose users") {
     import spark.implicits._
