@@ -196,8 +196,11 @@ object ScaleProbe {
               .as("event_type"),
             (col("id") * 7919L % 86400000000000L).as("ts_ns"),
             col("id").as("event_id"),
+            // second-resolution spread across a REAL 30 days: a µs-axis
+            // modulus collapsed the frame to ~2 days at probe sizes and
+            // made the 7-day rolling window vacuous (review finding)
             timestamp_micros(lit(1700000000000000L) +
-              (col("id") * 7919L % (30L * 86400000000L))).as("ts"))
+              (col("id") * 7919L % 2592000L) * 1000000L).as("ts"))
           op match {
             case "activeusers" => operators.Events.activeUsers(ev)
             case "transitions" => operators.Events.transitions(ev)

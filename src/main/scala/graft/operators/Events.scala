@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -126,15 +126,8 @@ object Events {
                   userCol: String = "user_id",
                   tsCol: String = "ts",
                   valueCol: String = "value"): DataFrame = {
-    val firstDay = events
-      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
-      .groupBy("u").agg(min(col("d")).as("cohort_day"))
-    val byOffset = events
-      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"),
-        col(valueCol).as("v"))
-      .join(firstDay, Seq("u"))
-      .select(col("u"), col("cohort_day"),
-        datediff(col("d"), col("cohort_day")).as("day_offset"), col("v"))
+    val byOffset =
+      cohortFrame(events, userCol, tsCol, Seq(col(valueCol).as("v")))
       .groupBy("cohort_day", "day_offset")
       .agg(countDistinct(col("u")).as("n_active"),
         round(sum(col("v")), 4).as("day_value"))
@@ -289,7 +282,24 @@ object Events {
     * distinct rides the aggregation's own partial phases. */
   def activeUsers(events: DataFrame, windowDays: Int = 7,
                   userCol: String = "user_id",
-                  tsCol: String = "ts"): DataFrame = {
+                  tsCol: String = "ts"): DataFrame =
+    userDayWindowFrame(events, windowDays, userCol, tsCol)
+      .groupBy("day")
+      .agg(count_distinct(when(col("is_day"), col("u"))).as("dau"),
+        count_distinct(col("u")).as("rolling_active"),
+        sum(when(col("is_day"), col("n_events"))).as("n_events"))
+
+  /** The (user, covered day) fan-out frame [[activeUsers]] and
+    * [[activeUsersApprox]] aggregate — ONE definition of the
+    * collapse-then-explode-then-trim rule so the exact and sketch twins
+    * can never drift: events collapse to (user, day) presence (uniform
+    * partial agg — the ×w multiplication never sees raw events), each
+    * user-day fans out to the `windowDays` window ends it covers
+    * (map-only explode), and the single-row bounds frame broadcasts to
+    * trim the tail past the last observed day. */
+  private def userDayWindowFrame(events: DataFrame, windowDays: Int,
+                                 userCol: String,
+                                 tsCol: String): DataFrame = {
     require(windowDays >= 1, "windowDays must be positive")
     val userDays = events
       .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
@@ -301,13 +311,7 @@ object Events {
       .select(col("u"), col("d"), col("n_events"),
         date_add(col("d"), col("off")).as("day"),
         (col("off") === 0).as("is_day"))
-      // the single-row bounds frame broadcasts; it only trims the
-      // explode's tail past the last observed day
       .join(broadcast(bounds), col("day") <= col("max_d"))
-      .groupBy("day")
-      .agg(count_distinct(when(col("is_day"), col("u"))).as("dau"),
-        count_distinct(col("u")).as("rolling_active"),
-        sum(when(col("is_day"), col("n_events"))).as("n_events"))
   }
 
   /** [[activeUsers]]'s SKETCH path: DAU/rolling actives via
@@ -320,25 +324,13 @@ object Events {
   def activeUsersApprox(events: DataFrame, windowDays: Int = 7,
                         rsd: Double = 0.02,
                         userCol: String = "user_id",
-                        tsCol: String = "ts"): DataFrame = {
-    require(windowDays >= 1, "windowDays must be positive")
-    val userDays = events
-      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
-      .groupBy("u", "d").agg(count(lit(1)).as("n_events"))
-    val bounds = userDays.agg(max(col("d")).as("max_d"))
-    userDays
-      .select(col("u"), col("d"), col("n_events"),
-        explode(sequence(lit(0), lit(windowDays - 1))).as("off"))
-      .select(col("u"), col("d"), col("n_events"),
-        date_add(col("d"), col("off")).as("day"),
-        (col("off") === 0).as("is_day"))
-      .join(broadcast(bounds), col("day") <= col("max_d"))
+                        tsCol: String = "ts"): DataFrame =
+    userDayWindowFrame(events, windowDays, userCol, tsCol)
       .groupBy("day")
       .agg(approx_count_distinct(when(col("is_day"), col("u")), rsd)
           .as("dau_approx"),
         approx_count_distinct(col("u"), rsd).as("rolling_active_approx"),
         sum(when(col("is_day"), col("n_events"))).as("n_events"))
-  }
 
   /** Conversion ATTRIBUTION: for each conversion event, the event type
     * of the user's FIRST touch ever and LAST touch immediately before
@@ -384,18 +376,28 @@ object Events {
     * (user, offset) — output is days × offsets, tiny. */
   def retention(events: DataFrame,
                 userCol: String = "user_id",
-                tsCol: String = "ts"): DataFrame = {
-    val firstDay = events
-      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
-      .groupBy("u").agg(min(col("d")).as("cohort_day"))
-    events.select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
-      .join(firstDay, Seq("u"))
-      .select(col("u"), col("cohort_day"),
-        datediff(col("d"), col("cohort_day")).as("day_offset"))
+                tsCol: String = "ts"): DataFrame =
+    cohortFrame(events, userCol, tsCol)
       // count(DISTINCT u) rather than a full-frame distinct(): the
       // dedup rides the (cohort, offset) aggregation's own partial-agg
       // phases instead of adding a whole-row exchange
       .groupBy("cohort_day", "day_offset")
       .agg(countDistinct(col("u")).as("n_users"))
+
+  /** ONE definition of the cohort rule [[retention]] and [[cohortValue]]
+    * share — cohort by the calendar day of the user's FIRST event, each
+    * event tagged with its (u, cohort_day, day_offset) plus any `extra`
+    * carried columns: one user-keyed partial agg (first day) joined
+    * back on the uniform user key. */
+  private def cohortFrame(events: DataFrame, userCol: String,
+                          tsCol: String,
+                          extra: Seq[Column] = Nil): DataFrame = {
+    val firstDay = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
+      .groupBy("u").agg(min(col("d")).as("cohort_day"))
+    events.select(col(userCol).as("u") +: to_date(col(tsCol)).as("d")
+        +: extra: _*)
+      .join(firstDay, Seq("u"))
+      .withColumn("day_offset", datediff(col("d"), col("cohort_day")))
   }
 }

@@ -33,10 +33,13 @@ object EventStreams {
 
   /** LIVE daily-active-users — `operators.Events.activeUsers`'s DAU
     * face on the stream: per event-time day window, the distinct users
-    * seen, emitted as the window closes. Distinctness is
-    * `dropDuplicatesWithinWatermark` on (user, window) — state is one
-    * row per ACTIVE (user, day), expired by the watermark, so the live
-    * path never holds the user space, only today's. The rolling
+    * seen, emitted as the window closes. Distinctness is plain
+    * `dropDuplicates` on (user, day WINDOW) — the window column is the
+    * event-time key, so state is one row per ACTIVE (user, day) and
+    * lives exactly until the watermark closes the day (see the inline
+    * comment: the WithinWatermark variant would evict after only the
+    * slack and double-count). The live path never holds the user
+    * space, only the open days'. The rolling
     * WAU/MAU face stays batch (it must re-see w days of history — a
     * stream would hold w× the state for a number the nightly batch
     * profile already publishes; the batch-mines/stream-scores split).
