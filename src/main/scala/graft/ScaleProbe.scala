@@ -134,7 +134,8 @@ object ScaleProbe {
           operators.Logs.logTemplates(
             spark.read.parquet(s"$sfDir/documents.parquet")
               .selectExpr("text AS body"), maxDistinct = k)
-        case "metricrate" | "deltacum" | "overtime" | "increase" | "quantby" =>
+        case "metricrate" | "deltacum" | "overtime" | "increase" | "quantby"
+           | "holtwinters" | "seasonal" =>
           import org.apache.spark.sql.functions._
           val n = k * 100000L
           val series = math.max(1L, n / 100) // ~100 points per series
@@ -157,6 +158,9 @@ object ScaleProbe {
             case "deltacum" => operators.Metrics.deltaToCumulative(pts)
             case "overtime" => operators.Metrics.overTime(pts, windowSec = 60)
             case "increase" => operators.Metrics.increase(pts, windowSec = 60)
+            case "holtwinters" => operators.Metrics.holtWinters(pts)
+            case "seasonal" =>
+              operators.Metrics.seasonalAnomaly(pts, "minute", k = 1.0)
             case _ => operators.Metrics.quantileBy(pts, q = 0.9)
           }
         case "histq" =>
