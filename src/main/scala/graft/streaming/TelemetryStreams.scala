@@ -416,6 +416,25 @@ object TelemetryStreams {
       .withColumn("anomaly",
         coalesce(abs(col("z")) >= zThreshold, lit(false)))
 
+  /** Live windowed ERROR share — `operators.Logs.errorRate`'s streaming
+    * face: severity normalization is map-only (the ONE rule,
+    * `Logs.normalizeSeverity`), so the stream just windows the same two
+    * conditional counts; a window always closes with ≥1 row, so the
+    * ratio never divides by zero. Stream ≡ batch on the same frame
+    * (same epoch-aligned grid). Windowed aggregation state only. */
+  def errorRateStream(logs: DataFrame, windowLen: String = "1 minute",
+                      watermark: String = "2 minutes"): DataFrame =
+    graft.operators.Logs.normalizeSeverity(logs)
+      .withWatermark("time_unix_nano", watermark)
+      .groupBy(window(col("time_unix_nano"), windowLen).as("w"),
+        col("service_name"))
+      .agg(count(lit(1)).as("n_logs"),
+        count(when(col("severity_canonical").isin("ERROR", "FATAL"),
+          lit(1))).as("n_errors"))
+      .select(col("w.start").as("window_start"), col("service_name"),
+        col("n_logs"), col("n_errors"),
+        round(col("n_errors") / col("n_logs"), 6).as("error_ratio"))
+
   /** Live SEASONAL anomaly scoring against a BATCH-MINED time-of-day
     * baseline — `operators.Metrics.seasonalAnomaly`'s streaming face
     * under the same static split: the batch [[graft.operators.Metrics

@@ -516,6 +516,45 @@ class TelemetryStreamsSpec extends SparkTestBase {
     assert(tagged.toSeq == Seq(("s1", 2.5)), tagged.toSeq)
   }
 
+  test("errorRateStream ≡ batch errorRate per closed window on the " +
+    "same frame (one severity rule, number wins over text)") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val rows = Seq(
+      ("svc", ts("2024-01-01 00:00:10"), 13, "ERROR"), // WARN by number
+      ("svc", ts("2024-01-01 00:00:20"), 0, "err"), // alias -> ERROR
+      ("svc", ts("2024-01-01 00:00:30"), 21, null: String), // FATAL
+      ("svc", ts("2024-01-01 00:00:40"), 9, "Information"),
+      ("svc", ts("2024-01-01 00:01:30"), 0, "strange"))
+    def frame(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("service_name", "time_unix_nano", "severity_number",
+        "severity_text")
+      .withColumn("severity_number",
+        when(col("severity_number") === 0, lit(null))
+          .otherwise(col("severity_number")).cast("int"))
+    val batch = graft.operators.Logs.errorRate(
+        frame(rows.toDF()), windowSec = 60).collect()
+      .map(r => r.getAs[Timestamp]("window_start").toString ->
+        ((r.getAs[Long]("n_logs"), r.getAs[Long]("n_errors"),
+          r.getAs[Double]("error_ratio")))).toMap
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Timestamp, Int, String)]
+    val q = TelemetryStreams.errorRateStream(frame(in.toDF()))
+      .writeStream.format("memory").queryName("errratestream")
+      .outputMode("append").start()
+    in.addData(rows: _*)
+    // watermark nudge closes both windows
+    in.addData(("svc", ts("2024-01-01 00:10:00"), 9, "INFO"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("errratestream").collect()
+      .map(r => r.getAs[Timestamp]("window_start").toString ->
+        ((r.getAs[Long]("n_logs"), r.getAs[Long]("n_errors"),
+          r.getAs[Double]("error_ratio")))).toMap
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(got("2024-01-01 00:00:00.0") == ((4L, 2L, 0.5)), got)
+  }
+
   test("seasonalAnomalyStream ≡ batch seasonalAnomaly on the same frame " +
     "with the batch-mined seasonality baseline") {
     import spark.implicits._
