@@ -354,11 +354,13 @@ object Metrics {
     * a flat line's first wiggle is [[volumeAnomaly]]'s job, not a
     * seasonal deviation. round(6) on the score.
     *
-    * Shape at 100 TB: the baseline is ≤ 168 rows per metric name — it
-    * BROADCASTS; the point side is scored map-only after its one
-    * replay-dedup exchange (keyed by uniform (name, time), not the
-    * 168-value bucket key — the same skew rule as [[seasonality]]).
-    * No corpus-side shuffle beyond that. */
+    * Shape at 100 TB: the baseline is ≤ 168 rows per metric NAME — tiny
+    * per metric but linear in the catalog, so the join is left to the
+    * planner (AQE broadcasts it while it fits; a million-metric catalog
+    * shuffles both sides on uniform (name, bucket) keys instead of
+    * forcing a driver-sized broadcast). The point side's one
+    * replay-dedup exchange keys by uniform (name, time), not the
+    * 168-value bucket key — the same skew rule as [[seasonality]]. */
   def seasonalAnomaly(sums: DataFrame, bucket: String = "hour",
                       k: Double = 2.0): DataFrame = {
     require(k >= 0, "k must be non-negative")
@@ -378,7 +380,7 @@ object Metrics {
         Seq(col("name"), col("time_unix_nano")))
       .where(v.isNotNull)
       .withColumn("value", v)
-      .join(broadcast(base), Seq("name", "bucket"))
+      .join(base, Seq("name", "bucket"))
       .withColumn("z_score",
         round((col("value") - col("avg_value")) / col("stddev_value"), 6))
       .where(abs(col("z_score")) >= k)
