@@ -943,6 +943,27 @@ object Metrics {
       .select(seriesKey :+ col("last_time") :+ col("idelta_value"): _*)
   }
 
+  /** PromQL `absent()` strict form: of an EXPECTED metric-name list
+    * (the alert rules' domain — PromQL evaluates absent() per rule
+    * expression), the names with NO series at all in the frame, value 1
+    * per PromQL's convention. Complements [[staleSeries]] (series that
+    * died) and [[gapReport]] (series that blipped): this is the metric
+    * that never arrived.
+    *
+    * Shape at 100 TB: observed names collapse to a partial-agg distinct
+    * (name-space-sized); the expected list is a plan literal — the join
+    * is tiny × tiny. */
+  def absentMetrics(points: DataFrame, expected: Seq[String]): DataFrame = {
+    require(expected.nonEmpty, "absentMetrics needs expected names")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val exp = expected.toDF("name")
+    val observed = points.select(col("name")).where(col("name").isNotNull)
+      .distinct()
+    exp.join(observed, Seq("name"), "left_anti")
+      .withColumn("value", lit(1))
+  }
+
   /** Staleness / absence report (PromQL `absent()` as a table): series
     * whose LAST point is older than `stalenessSec` before `asOf` — the
     * scrape-died / exporter-wedged detector. Reports each stale series'

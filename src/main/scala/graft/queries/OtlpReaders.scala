@@ -1150,6 +1150,23 @@ object OtlpReaders {
         .orderBy("name")
     },
 
+    // PromQL absent() strict form: expected metrics with NO series at
+    // all — the never-arrived detector next to stale/gap
+    df("otlp_absent",
+      s"""WITH m AS (${metricsFlat(s"$fx/rate_metrics.jsonl")}),
+         |obs AS (SELECT DISTINCT m."name" AS "name" FROM m),
+         |exp AS (SELECT unnest(['requests.total', 'queue.size',
+         |  'slo.availability', 'cache.hits']) AS "name")
+         |SELECT e."name" AS "name", 1 AS "value" FROM exp e
+         |LEFT JOIN obs o ON e."name" = o."name"
+         |WHERE o."name" IS NULL ORDER BY e."name"""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.absentMetrics(
+          Otlp.readMetricsSum(s, s"$fx/rate_metrics.jsonl"),
+          Seq("requests.total", "queue.size", "slo.availability",
+            "cache.hits"))
+        .orderBy("name")
+    },
+
     // PromQL idelta(): raw difference of each series' last two points —
     // the gauge sibling of irate (no per-second scale, no reset rule)
     df("otlp_idelta",
