@@ -132,6 +132,42 @@ object Traces {
         col("is").isNull.as("is_root"), col("dur"))
   }
 
+  /** Trace COMPLETENESS audit — the ingestion-QA table: per trace, the
+    * span count, declared roots (null/empty parent), and ORPHAN
+    * references (a parent id no span in the trace carries — the
+    * span-got-dropped signature of sampling bugs, exporter crashes, and
+    * context-propagation leaks). `complete` = exactly one root and zero
+    * orphans. Distinct from [[traceTree]] (which FORGIVES dangling
+    * parents by promoting them to roots so the depth walk stays exact):
+    * this operator is the report that says forgiveness was needed.
+    *
+    * Shape at 100 TB: replay dedup on uniform (trace, span) identity,
+    * one (trace, parent→span) anti-join on the same uniform key axis,
+    * and trace-keyed partial aggs. The corpus never self-joins as a
+    * product. */
+  def traceCompleteness(spans: DataFrame,
+                        traceCol: String = "trace_id",
+                        idCol: String = "span_id",
+                        parentCol: String = "parent_span_id"): DataFrame = {
+    val base = Replay.dedupWithin(
+        spans.select(col(traceCol).as("t"), col(idCol).as("s"),
+          col(parentCol).as("p")),
+        Seq(col("t"), col("s")))
+      .withColumn("p", when(col("p") === "", lit(null)).otherwise(col("p")))
+    val ids = base.select(col("t"), col("s").as("p"))
+    val orphans = base.where(col("p").isNotNull)
+      .join(ids, Seq("t", "p"), "left_anti")
+      .groupBy("t").agg(count(lit(1)).as("n_orphans"))
+    base.groupBy("t")
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("p").isNull, lit(1))).as("n_roots"))
+      .join(orphans, Seq("t"), "left")
+      .select(col("t").as("trace_id"), col("n_spans"), col("n_roots"),
+        coalesce(col("n_orphans"), lit(0L)).as("n_orphans"))
+      .withColumn("complete",
+        col("n_roots") === 1 && col("n_orphans") === 0)
+  }
+
   /** Span CONCURRENCY profile — per service, the peak number of spans
     * in flight at once and when it happened: the sweep-line over span
     * intervals (+1 at start, −1 at end, running sum in time order) that

@@ -2489,6 +2489,33 @@ object OtlpReaders {
         .orderBy("time_unix_nano", "trace_id", "span_id")
     },
 
+    // trace completeness audit: spans/roots/orphan-parent counts per
+    // trace — the ingestion-QA report (traceTree forgives; this reports)
+    df("otlp_trace_completeness",
+      s"""WITH rec AS (
+         |  SELECT rs.resource AS res, sp.* FROM read_json('$fx/tree_traces.jsonl',
+         |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
+         |    unnest(resourceSpans) AS a(rs),
+         |    unnest(rs.scopeSpans) AS b(ss),
+         |    unnest(ss.spans) AS c(sp)),
+         |sp AS (SELECT lower(traceId) AS t, lower(spanId) AS s,
+         |  CASE WHEN parentSpanId IS NULL OR parentSpanId = '' THEN NULL
+         |    ELSE lower(parentSpanId) END AS p FROM rec),
+         |orph AS (SELECT r.t, count(*) AS n_orphans
+         |  FROM sp r LEFT JOIN sp i ON r.t = i.t AND r.p = i.s
+         |  WHERE r.p IS NOT NULL AND i.s IS NULL GROUP BY r.t),
+         |g AS (SELECT t, count(*) AS n_spans,
+         |  count(*) FILTER (WHERE p IS NULL) AS n_roots FROM sp GROUP BY t)
+         |SELECT g.t AS trace_id, n_spans, n_roots,
+         |  coalesce(n_orphans, 0) AS n_orphans,
+         |  n_roots = 1 AND coalesce(n_orphans, 0) = 0 AS complete
+         |FROM g LEFT JOIN orph ON g.t = orph.t
+         |ORDER BY trace_id""".stripMargin) { (s, _) =>
+      graft.operators.Traces.traceCompleteness(
+          Otlp.readTraces(s, s"$fx/tree_traces.jsonl"))
+        .orderBy("trace_id")
+    },
+
     // critical-path blame chain: per trace, the ancestor chain of the
     // last-finishing span as root>...>laggard with hop count + summed ns
     df("otlp_critical_path",

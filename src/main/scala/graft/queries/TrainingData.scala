@@ -928,6 +928,33 @@ object TrainingData {
         .orderBy("event_type")
     },
 
+    // time-to-convert: per converting user the first-view -> first-
+    // purchase delay, summarized as exact percentiles
+    df("ev_time_to_convert",
+      """WITH u AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS v0,
+        |  min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS p0
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT CAST(p0 - v0 AS DOUBLE) AS delta_ns FROM u
+        |  WHERE v0 IS NOT NULL AND p0 IS NOT NULL AND p0 > v0)
+        |SELECT count(*) AS n_users,
+        |  round(quantile_cont(delta_ns, 0.5), 4) AS p50_ns,
+        |  round(quantile_cont(delta_ns, 0.9), 4) AS p90_ns,
+        |  CAST(max(delta_ns) AS BIGINT) AS max_ns
+        |FROM d""".stripMargin) { (s, _) =>
+      s.table("events")
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("ts_ns"))).as("v0"),
+          min(when(col("event_type") === "purchase", col("ts_ns"))).as("p0"))
+        .where(col("v0").isNotNull && col("p0").isNotNull &&
+          col("p0") > col("v0"))
+        .select((col("p0") - col("v0")).cast("double").as("delta_ns"))
+        .agg(count(lit(1)).as("n_users"),
+          round(expr("percentile(delta_ns, 0.5)"), 4).as("p50_ns"),
+          round(expr("percentile(delta_ns, 0.9)"), 4).as("p90_ns"),
+          max(col("delta_ns")).cast("long").as("max_ns"))
+    },
+
     // cohort LTV curve: cumulative value per cohort over day offsets,
     // plus cumulative value per cohort user — retention's value twin
     df("ev_cohort_ltv",

@@ -369,6 +369,31 @@ class TracesSpec extends SparkTestBase {
     }
   }
 
+  test("traceCompleteness: orphan parents counted (not forgiven), empty " +
+    "parent is a root, two-root traces flag incomplete, replay-safe") {
+    import spark.implicits._
+    val spans = Seq(
+      // t1: clean tree
+      ("t1", "a", null: String), ("t1", "b", "a"),
+      // t2: orphan parent x + a second root
+      ("t2", "a", ""), ("t2", "b", "x"), ("t2", "c", null: String),
+      // t3: single span pointing at itself's missing parent
+      ("t3", "a", "zz"))
+      .toDF("trace_id", "span_id", "parent_span_id")
+    val replayed = spans.unionAll(spans.limit(2))
+    for (in <- Seq(spans, replayed)) {
+      val got = Traces.traceCompleteness(in).collect()
+        .map(r => r.getAs[String]("trace_id") ->
+          ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_roots"),
+            r.getAs[Long]("n_orphans"), r.getAs[Boolean]("complete"))))
+        .toMap
+      assert(got == Map(
+        "t1" -> ((2L, 1L, 0L, true)),
+        "t2" -> ((3L, 2L, 1L, false)),
+        "t3" -> ((1L, 0L, 1L, false))), got)
+    }
+  }
+
   test("latencyShift: split percentiles hand-computed, one-sided " +
     "endpoints report nulls (no fabricated ratio), zero-before guards") {
     import spark.implicits._
