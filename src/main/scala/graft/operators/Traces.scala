@@ -146,9 +146,9 @@ object Traces {
     * and trace-keyed partial aggs. The corpus never self-joins as a
     * product. */
   def traceCompleteness(spans: DataFrame,
-                        traceCol: String = "trace_id",
                         idCol: String = "span_id",
-                        parentCol: String = "parent_span_id"): DataFrame = {
+                        parentCol: String = "parent_span_id",
+                        traceCol: String = "trace_id"): DataFrame = {
     val base = Replay.dedupWithin(
         spans.select(col(traceCol).as("t"), col(idCol).as("s"),
           col(parentCol).as("p")),

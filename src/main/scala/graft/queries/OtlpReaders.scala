@@ -1154,7 +1154,11 @@ object OtlpReaders {
     // all — the never-arrived detector next to stale/gap
     df("otlp_absent",
       s"""WITH m AS (${metricsFlat(s"$fx/rate_metrics.jsonl")}),
-         |obs AS (SELECT DISTINCT m."name" AS "name" FROM m),
+         |-- observed = names with actual sum DATAPOINTS (PromQL absent()
+         |-- fires on missing samples; a descriptor with zero points IS
+         |-- absent) — matching the Spark side's point-level frame
+         |obs AS (SELECT DISTINCT m."name" AS "name"
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp)),
          |exp AS (SELECT unnest(['requests.total', 'queue.size',
          |  'slo.availability', 'cache.hits']) AS "name")
          |SELECT e."name" AS "name", 1 AS "value" FROM exp e
