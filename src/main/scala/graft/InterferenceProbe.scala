@@ -14,8 +14,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Output: one JSON line with isolated/concurrent ingest rates, isolated/
   * concurrent sweep times, and the two ratios. Usage:
-  *   sbt "runMain graft.InterferenceProbe [sfDir] [ingestMs]"
-  */
+  *   sbt "runMain graft.InterferenceProbe [sfDir] [ingestMs] [subset]"
+  * `subset` = `spread` (default: 18 light queries across cost centers —
+  * the shared-dashboard shape) or `heavy` (the 12 slowest registry
+  * queries by the committed bench tail — a sweep that SATURATES
+  * local[32] on its own, so the fair-share claim is tested under real
+  * contention, not just stated; VERDICT r12 #8). */
 object InterferenceProbe {
   // a spread of the registry's cost centers: scans, joins, window aggs,
   // minhash/banding, ANN, tokenization, OTLP fixture reads
@@ -27,9 +31,25 @@ object InterferenceProbe {
     "otlp_read_logs", "otlp_red_metrics", "otlp_hist_quantile",
     "otlp_service_graph")
 
+  // the 12 slowest registry queries in bench_queries.json (r12 sweep):
+  // banded-join dedup, edit-distance verify, CDC chunking, calibration —
+  // all shuffle-heavy and collectively CPU-saturating at sf0.1
+  private val Heavy = Seq(
+    "dd_semantic_clusters", "dd_cluster_keep_best", "dd_editdist_verify",
+    "dd_substring_dedup", "ta_quality_calibration", "dd_cdc_dedup",
+    "ta_dup_ngrams", "dd_minhash_calibration", "ta_repetition",
+    "dd_neardup_clusters", "ta_curation_funnel", "dd_incremental_neardup")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val ingestMs = args.lift(1).map(_.toLong).getOrElse(60000L)
+    val subsetName = args.lift(2).getOrElse("spread")
+    val subset = subsetName match {
+      case "spread" => Subset
+      case "heavy"  => Heavy
+      case other => throw new IllegalArgumentException(
+        s"unknown subset: $other (spread|heavy)")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -38,13 +58,20 @@ object InterferenceProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.maxPartitionBytes", "4m")
+      // the probe IS the shared-cluster shape, so it runs the scheduler a
+      // shared cluster runs: FAIR, with seal jobs already tagged into
+      // their own 'graft-seals' pool (SealTarget.inSealPool) — queries
+      // and seal drains round-robin instead of queueing FIFO behind a
+      // long sweep stage (override: SPARK_GRAFT_SCHEDULER=FIFO)
+      .config("spark.scheduler.mode",
+        sys.env.getOrElse("SPARK_GRAFT_SCHEDULER", "FAIR"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     QSpec.quietCheckpointRelease()
     Tables.register(spark, sfDir)
     spark.table("lineitem").limit(1).count()
 
-    val queries = SparkEntry.queries.filter(q => Subset.contains(q._1)).toSeq
+    val queries = SparkEntry.queries.filter(q => subset.contains(q._1)).toSeq
       .sortBy(_._1)
     def sweepOnce(): Double = {
       val t0 = System.nanoTime()
@@ -92,7 +119,7 @@ object InterferenceProbe {
     val ingestRatio = if (isolatedIngest > 0) concurrentIngest / isolatedIngest else 0.0
     val sweepRatio = if (isolatedSweepSec > 0) concurrentSweepSec / isolatedSweepSec else 0.0
     val sweepsJs = sweepTimes.map(t => f"$t%.2f").mkString("[", ",", "]")
-    println(f"""{"metric":"interference","unit":"mixed","ingest_ms":$ingestMs,"queries":${queries.size},"isolated_sweep_sec":$isolatedSweepSec%.2f,"concurrent_sweep_sec":$concurrentSweepSec%.2f,"concurrent_sweeps":$sweepsJs,"sweep_slowdown":$sweepRatio%.3f,"isolated_ingest_rows_per_sec":${isolatedIngest.round},"concurrent_ingest_rows_per_sec":${concurrentIngest.round},"ingest_retention":$ingestRatio%.3f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"interference","unit":"mixed","subset":"$subsetName","ingest_ms":$ingestMs,"queries":${queries.size},"isolated_sweep_sec":$isolatedSweepSec%.2f,"concurrent_sweep_sec":$concurrentSweepSec%.2f,"concurrent_sweeps":$sweepsJs,"sweep_slowdown":$sweepRatio%.3f,"isolated_ingest_rows_per_sec":${isolatedIngest.round},"concurrent_ingest_rows_per_sec":${concurrentIngest.round},"ingest_retention":$ingestRatio%.3f,"sf":"$sfDir"}""")
     spark.stop()
     sys.exit(0)
   }

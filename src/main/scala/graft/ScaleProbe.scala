@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
   * instead of ad-hoc console sessions.
   *
   * Usage: runMain graft.ScaleProbe <sfDir> <op> <k>
-  * ops: label_prop | d4 | knn | semdedup (k = centroids) | bpe (k = merges)
+  * ops: label_prop | d4 | knn | semdedup (k = centroids; k=0 = AutoCells,
+  *        the n/250 data-derived default) | bpe (k = merges)
   *      hardneg (k = centroids) | kmeans (k = clusters) |
   *      shuffle (k = hex digits) | increm | incremnear | bloom (k unused) |
   *      cdc (k = blockWords) | editdist (k = prefixChars) | mhcal |

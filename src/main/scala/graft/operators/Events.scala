@@ -259,7 +259,48 @@ object Events {
     val perUser = events.groupBy(col(userCol).as("u"))
       .agg(count(lit(1)).as("n_events"))
     val w = Window.orderBy(col("n_events").desc, col("u"))
-    perUser.withColumn("decile", ntile(n).over(w))
+    // long, matching every SQL engine's BIGINT ntile (oracle parity is
+    // type-sensitive, not just value-sensitive)
+    perUser.withColumn("decile", ntile(n).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_events")).as("total_events"),
+        max(col("n_events")).as("max_events"),
+        min(col("n_events")).as("min_events"))
+  }
+
+  /** ENGAGEMENT DECILES, sketch form — the 100 TB path beside the exact
+    * [[engagementDeciles]] (the `ev_active_users_approx` exact/sketch
+    * split): the exact form's global ntile is a single-task sort over
+    * the whole per-user frame, fine for an oracle harness, fatal at 10⁹
+    * users. Here the decile EDGES come from one `percentile_approx`
+    * partial aggregate (a t-digest-style sketch that merges
+    * associatively — no global sort, no single partition), the one-row
+    * edge frame broadcasts, and bucketing is a map-only array scan per
+    * user. Buckets are value-ranged rather than equal-count: ties at an
+    * edge land together instead of being split by user id, so bucket
+    * populations can differ from ntile's by the tied mass — the error
+    * bound EventsSpec pins.
+    *
+    * Shape at 100 TB: per-user partial agg (uniform user key) → sketch
+    * agg to ONE row → broadcast → map. Nothing global ever sorts. */
+  def engagementDecilesApprox(events: DataFrame, n: Int = 10,
+                              userCol: String = "user_id",
+                              accuracy: Int = 10000): DataFrame = {
+    require(n >= 2, "need at least two buckets")
+    val perUser = events.groupBy(col(userCol).as("u"))
+      .agg(count(lit(1)).as("n_events"))
+    val qs = (1 until n).map(i => lit(i.toDouble / n))
+    val edges = perUser.agg(
+      percentile_approx(col("n_events"), array(qs: _*), lit(accuracy))
+        .as("__edges"))
+    perUser.join(broadcast(edges))
+      // decile 1 = top users, like ntile over (n_events DESC): a user
+      // ABOVE k of the n-1 ascending edges sits k buckets from the
+      // bottom
+      .withColumn("decile",
+        (lit(n) - size(filter(col("__edges"),
+          e => col("n_events") > e))).cast("long"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_users"),
         sum(col("n_events")).as("total_events"),

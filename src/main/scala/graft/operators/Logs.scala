@@ -488,12 +488,20 @@ object Logs {
     * explode to one (record, key, value) row each, quotes stripped —
     * the structured-extraction step that turns `level=error code=503
     * msg="upstream timeout"` into queryable fields without promoting a
-    * schema in advance. Keys are `[A-Za-z_][A-Za-z0-9_.]*`; a body with
-    * no pairs contributes nothing. MAP-ONLY (regexp extraction +
-    * explode); output cardinality is pairs, bounded by body length. */
+    * schema in advance. Keys are `[A-Za-z_][A-Za-z0-9_.]*`; quoted
+    * values may carry logfmt escapes (`\"`, `\\`) which are unescaped
+    * on output (bare values are taken verbatim — a Windows path keeps
+    * its backslashes); a body with no pairs contributes nothing.
+    * MAP-ONLY (regexp extraction + explode); output cardinality is
+    * pairs, bounded by body length. */
   def parseLogfmt(logs: DataFrame,
                   bodyCol: String = "body"): DataFrame = {
-    val pat = "([A-Za-z_][A-Za-z0-9_.]*)=(\"[^\"]*\"|[^\\s\"]+)"
+    val pat = "([A-Za-z_][A-Za-z0-9_.]*)=(\"(?:[^\"\\\\]|\\\\.)*\"|[^\\s\"]+)"
+    val rawV = col("__kv.v")
+    val value = when(rawV.startsWith("\""),
+        regexp_replace(regexp_replace(rawV, "^\"|\"$", ""),
+          "\\\\(.)", "$1"))
+      .otherwise(rawV)
     logs.where(col(bodyCol).isNotNull)
       .select(col("service_name"), col("time_unix_nano"),
         col(bodyCol).as("__body"))
@@ -501,8 +509,7 @@ object Logs {
         regexp_extract_all(col("__body"), lit(pat), lit(1)).as("k"),
         regexp_extract_all(col("__body"), lit(pat), lit(2)).as("v"))))
       .select(col("service_name"), col("time_unix_nano"),
-        col("__kv.k").as("key"),
-        regexp_replace(col("__kv.v"), "^\"|\"$", "").as("value"))
+        col("__kv.k").as("key"), value.as("value"))
   }
 
   /** LOG ↔ SPAN correlation: join trace-context-carrying log records to

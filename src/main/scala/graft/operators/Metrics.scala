@@ -325,13 +325,15 @@ object Metrics {
     * task and defeat the map-side combine (the r11 skew-trap lesson) —
     * the second exchange is the price of a dedup that scales. */
   def seasonality(sums: DataFrame, bucket: String = "hour"): DataFrame = {
-    val b = bucket match {
+    // int64 buckets: SQL engines' hour()/minute() are BIGINT and oracle
+    // parity is type-sensitive
+    val b = (bucket match {
       case "hour"   => hour(col("time_unix_nano"))
       case "minute" => minute(col("time_unix_nano"))
       case "dow"    => dayofweek(col("time_unix_nano"))
       case other => throw new IllegalArgumentException(
         s"unknown bucket: $other (hour|minute|dow)")
-    }
+    }).cast("long")
     val v = coalesce(col("double_value"), col("int_value").cast("double"))
     Replay.dedupWithin(sums.withColumn("bucket", b),
         Seq(col("name"), col("time_unix_nano")))
@@ -368,13 +370,15 @@ object Metrics {
       .where(col("stddev_value") > 0)
       .select(col("name"), col("bucket"), col("avg_value"),
         col("stddev_value"))
-    val b = bucket match {
+    // int64 buckets: SQL engines' hour()/minute() are BIGINT and oracle
+    // parity is type-sensitive
+    val b = (bucket match {
       case "hour"   => hour(col("time_unix_nano"))
       case "minute" => minute(col("time_unix_nano"))
       case "dow"    => dayofweek(col("time_unix_nano"))
       case other => throw new IllegalArgumentException(
         s"unknown bucket: $other (hour|minute|dow)")
-    }
+    }).cast("long")
     val v = coalesce(col("double_value"), col("int_value").cast("double"))
     Replay.dedupWithin(sums.withColumn("bucket", b),
         Seq(col("name"), col("time_unix_nano")))
@@ -1197,7 +1201,10 @@ object Metrics {
   /** Histogram spread per data point (PromQL `histogram_stddev` /
     * `histogram_stdvar` for classic buckets): bucket-midpoint moments —
     * mid of bucket i is (bound[i-1]+bound[i])/2, the first bucket
-    * interpolates from 0 ([[histogramQuantile]]'s convention), the +Inf
+    * interpolates from 0 ([[histogramQuantile]]'s convention) — unless
+    * its bound is NEGATIVE (delta/temperature metrics), where "from 0"
+    * would place the mid ABOVE the bucket's upper edge, so the bound
+    * itself stands in; the +Inf
     * bucket uses the last finite bound; mean/variance weight mids by
     * bucket counts. The "is this latency tight or bimodal-wide" panel
     * next to the quantile. Empty or bound-less points null; round(6).
@@ -1211,7 +1218,10 @@ object Metrics {
         |  i -> CASE WHEN size(explicit_bounds) = 0 THEN NULL
         |       WHEN i > size(explicit_bounds)
         |         THEN try_element_at(explicit_bounds, size(explicit_bounds))
-        |       WHEN i = 1 THEN try_element_at(explicit_bounds, 1) / 2
+        |       WHEN i = 1 THEN CASE
+        |         WHEN try_element_at(explicit_bounds, 1) < 0
+        |           THEN try_element_at(explicit_bounds, 1)
+        |         ELSE try_element_at(explicit_bounds, 1) / 2 END
         |       ELSE (try_element_at(explicit_bounds, i - 1)
         |             + try_element_at(explicit_bounds, i)) / 2 END)""".stripMargin)
     val total = coalesce(expr(

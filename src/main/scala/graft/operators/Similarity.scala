@@ -336,6 +336,29 @@ object Similarity {
       .limit(k)
   }
 
+  /** Sentinel for the `centroids` parameter of the cell-bounded family
+    * ([[semDedup]], [[knnGraph]], [[hardNegatives]], [[labelPropagation]],
+    * [[d4Prune]]): derive the cell count from the corpus size instead of
+    * inheriting a fixed constant. A pinned cell count is quadratic — the
+    * within-cell pair join is O(Σ cell²) = O(n²/k), so a constant k means
+    * 10× data costs 100×/k more pair work (measured: 18.7× for 10× at the
+    * oracle harness's k=8). [[autoCells]] keeps cells at a bounded target
+    * occupancy so the pair stage stays linear in n. */
+  val AutoCells: Int = 0
+
+  /** SemDeDup's own prescription k ≈ n/target_cell_size: cells sized so
+    * the within-cell quadratic is a constant per cell and the total pair
+    * work is linear in n. Costs one count() job at plan time — at 100 TB
+    * a caller that already knows n should pass an explicit cell count. */
+  def autoCells(emb: DataFrame, targetCellSize: Int = 250): Int =
+    math.max(8, math.ceil(
+      emb.count().toDouble / targetCellSize)).toInt
+
+  private def resolveCells(emb: DataFrame, centroids: Int): Int = {
+    require(centroids >= 0, s"centroids must be >= 0, got $centroids")
+    if (centroids > 0) centroids else autoCells(emb)
+  }
+
   /** IVF coarse quantizer with deterministic md5-derived random centroids
     * (seed offset 1000 keeps them independent of the LSH planes): cell =
     * argmax over centroids of cos-score dot(v,c)/|c|. Random centroids give
@@ -690,9 +713,11 @@ object Similarity {
     * k ~ n/target_cell_size so cells stay bounded and the join never sees
     * two vectors from different cells. The similarity is round(4)ed before
     * the threshold so an engine-ulp difference cannot flip a verdict. */
-  def semDedup(emb: DataFrame, centroids: Int, dims: Int, threshold: Double,
+  def semDedup(emb: DataFrame, centroids: Int = AutoCells, dims: Int = 64,
+               threshold: Double = 0.3,
                sampleMod: Int = 5, idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
+    val nCells = resolveCells(emb, centroids)
     // the pairwise pass runs millions of 64-dim dots; the interpreted
     // zip_with/aggregate lambdas cost ~6 dispatches per dimension PER PAIR
     // (dd_semdedup: 237 s -> ~2 s at sf0.1). Native array_dot + norms
@@ -705,7 +730,7 @@ object Similarity {
     // localCheckpoint pays the scan once and severs lineage; its blocks are
     // released by the ContextCleaner when the frame is GC'd, so no explicit
     // unpersist is owed by the (lazy) returned DataFrame
-    val cells = ivfCellsTrained(emb, centroids, dims, sampleMod, idCol, vecCol)
+    val cells = ivfCellsTrained(emb, nCells, dims, sampleMod, idCol, vecCol)
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"), col("cell"))
       .withColumn("nrm", norm(col("v")))
       .localCheckpoint()
@@ -814,11 +839,13 @@ object Similarity {
     * window over the maximally-uniform src key — no global sort.
     * Similarities round(4) before ranking, dst tiebreak, so the graph is
     * engine-exact. */
-  def knnGraph(emb: DataFrame, k: Int, centroids: Int, dims: Int,
+  def knnGraph(emb: DataFrame, k: Int, centroids: Int = AutoCells,
+               dims: Int = 64,
                sampleMod: Int = 5, idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
     graft.functions.ArrayDot.register(emb.sparkSession)
-    val cells = ivfCellsTrained(emb, centroids, dims, sampleMod, idCol, vecCol)
+    val nCells = resolveCells(emb, centroids)
+    val cells = ivfCellsTrained(emb, nCells, dims, sampleMod, idCol, vecCol)
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"), col("cell"))
       .withColumn("nrm", norm(col("v")))
       .localCheckpoint()
@@ -843,12 +870,14 @@ object Similarity {
     * Shape at 100 TB: identical to knnGraph — one cell-keyed shuffle for
     * the pair join, per-src top-k as a window over the uniform src key; the
     * label adds one small column to the shuffle, not a stage. */
-  def hardNegatives(emb: DataFrame, k: Int, centroids: Int, dims: Int,
+  def hardNegatives(emb: DataFrame, k: Int, centroids: Int = AutoCells,
+                    dims: Int = 64,
                     sampleMod: Int = 5, idCol: String = "vec_id",
                     vecCol: String = "embedding",
                     labelCol: String = "label"): DataFrame = {
     graft.functions.ArrayDot.register(emb.sparkSession)
-    val cents = ivfCentroidsTrained(emb, centroids, dims, sampleMod, idCol, vecCol)
+    val nCells = resolveCells(emb, centroids)
+    val cents = ivfCentroidsTrained(emb, nCells, dims, sampleMod, idCol, vecCol)
     val cells = emb.select(col(idCol).as("id"), col(labelCol).as("lbl"),
         asDouble(col(vecCol)).as("v"))
       .withColumn("cell_scores", cellScores("v", cents))
@@ -886,7 +915,8 @@ object Similarity {
     * partial-aggregated (src, label) count, and a per-src argmax window
     * over at most k rows per src. Rounds are O(iters) sequential jobs,
     * lineage truncated per round like `Dedup.neardupClusters`. */
-  def labelPropagation(emb: DataFrame, k: Int, centroids: Int, dims: Int,
+  def labelPropagation(emb: DataFrame, k: Int, centroids: Int = AutoCells,
+                       dims: Int = 64,
                        iters: Int = 2, seedMod: Int = 5,
                        sampleMod: Int = 5, idCol: String = "vec_id",
                        vecCol: String = "embedding",
@@ -946,8 +976,10 @@ object Similarity {
     * (k ~ n/cell_target); the centroid pass is a (cells × dims)-row
     * partial aggregate broadcast back; scoring is map-only on the native
     * `array_dot`; the rank/count windows partition by cell. */
-  def d4Prune(emb: DataFrame, centroids: Int, dims: Int, threshold: Double,
-              dropFrac: Double, sampleMod: Int = 5, idCol: String = "vec_id",
+  def d4Prune(emb: DataFrame, centroids: Int = AutoCells, dims: Int = 64,
+              threshold: Double = 0.3,
+              dropFrac: Double = 0.25, sampleMod: Int = 5,
+              idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     graft.functions.ArrayDot.register(emb.sparkSession)
     // (id, cell, dropped) — reused for survivors AND the final verdict join

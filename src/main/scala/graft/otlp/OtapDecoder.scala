@@ -133,6 +133,53 @@ object OtapDecoder {
     * timestamps/durations → ns Long, binary → Array[Byte]). */
   private[otlp] type ARow = Map[String, Any]
 
+  /** Array-backed ARow: one shared column-name array per record batch
+    * and a values array per row, presenting the full immutable-Map face
+    * the decode passes use (apply/getOrElse/updated/groupBy). Replaces
+    * the per-row LinkedHashMap→toMap double-build that dominated the
+    * IPC-read stage (OtapStages: ~12 hashed inserts + an immutable
+    * rebuild per row, ~6k per 500-row message). Lookups are a linear
+    * scan over ≤ 20 interned-ish names with an eq fast path — faster
+    * than hashing at this width. */
+  private[otlp] final class ARowImpl(names: Array[String], vals: Array[Any])
+      extends scala.collection.immutable.AbstractMap[String, Any] {
+    private def idx(key: String): Int = {
+      var i = 0
+      while (i < names.length) {
+        val n = names(i)
+        if ((n eq key) || n == key) return i
+        i += 1
+      }
+      -1
+    }
+    override def get(key: String): Option[Any] = {
+      val i = idx(key); if (i < 0) None else Some(vals(i))
+    }
+    override def getOrElse[V1 >: Any](key: String, default: => V1): V1 = {
+      val i = idx(key); if (i < 0) default else vals(i)
+    }
+    override def apply(key: String): Any = {
+      val i = idx(key)
+      if (i < 0) throw new NoSuchElementException(key)
+      vals(i)
+    }
+    override def contains(key: String): Boolean = idx(key) >= 0
+    override def updated[V1 >: Any](key: String, value: V1): Map[String, V1] = {
+      val i = idx(key)
+      if (i < 0) Map.from(this).updated(key, value)
+      else {
+        val nv = vals.clone()
+        nv(i) = value
+        new ARowImpl(names, nv)
+      }
+    }
+    override def removed(key: String): Map[String, Any] =
+      Map.from(this).removed(key)
+    override def iterator: Iterator[(String, Any)] =
+      names.iterator.zip(vals.iterator)
+    override def size: Int = names.length
+  }
+
   private[otlp] def extractMeta(
       schema: org.apache.arrow.vector.types.pojo.Schema): Map[String, String] = {
     val meta = mutable.Map[String, String]()
@@ -162,6 +209,96 @@ object OtapDecoder {
           "is not supported by the batch OTAP reader)")
       cellRaw(dict.getVector, idx, dicts)
     } else cellRaw(v, i, dicts)
+  }
+
+  /** Column-major cell extraction: resolves the dictionary and the
+    * vector's concrete type ONCE per column instead of per cell, with
+    * tight monomorphic loops for the types every OTAP payload carries.
+    * Values are exactly [[cell]]'s (the default arm IS cellRaw); only
+    * the dispatch count changes (OtapStages: per-cell dispatch was the
+    * bulk of the IPC-read stage). */
+  private[otlp] def columnValues(v: ValueVector, n: Int,
+      dicts: java.util.Map[java.lang.Long, Dictionary]): Array[Any] = {
+    val out = new Array[Any](n)
+    val encoding = v.getField.getDictionary
+    if (encoding != null) {
+      val dict = dicts.get(encoding.getId)
+      if (dict == null) throw new OtlpParseException(
+        s"missing dictionary ${encoding.getId} (streaming dictionary reuse " +
+          "is not supported by the batch OTAP reader)")
+      val dv = dict.getVector
+      var i = 0
+      while (i < n) {
+        if (!v.isNull(i)) {
+          val idx = v.getObject(i) match {
+            case c: java.lang.Character => c.charValue().toInt
+            case num: Number            => num.intValue()
+          }
+          out(i) = cellRaw(dv, idx, dicts)
+        }
+        i += 1
+      }
+      out
+    } else v match {
+      case x: VarCharVector =>
+        var i = 0
+        while (i < n) {
+          if (!x.isNull(i)) out(i) =
+            new String(x.get(i), java.nio.charset.StandardCharsets.UTF_8)
+          i += 1
+        }
+        out
+      case x: BigIntVector =>
+        var i = 0
+        while (i < n) { if (!x.isNull(i)) out(i) = x.get(i); i += 1 }
+        out
+      case x: IntVector =>
+        var i = 0
+        while (i < n) { if (!x.isNull(i)) out(i) = x.get(i).toLong; i += 1 }
+        out
+      case x: TimeStampVector =>
+        var i = 0
+        while (i < n) { if (!x.isNull(i)) out(i) = x.get(i); i += 1 }
+        out
+      case x: VarBinaryVector =>
+        var i = 0
+        while (i < n) { if (!x.isNull(i)) out(i) = x.get(i); i += 1 }
+        out
+      case x: Float8Vector =>
+        var i = 0
+        while (i < n) { if (!x.isNull(i)) out(i) = x.get(i); i += 1 }
+        out
+      case x: StructVector =>
+        // children extracted column-major once; rows where the struct
+        // itself is null never read them (same cells cellRaw would
+        // produce, one dispatch per CHILD instead of per cell)
+        val children = x.getChildrenFromFields
+        val m = children.size()
+        val cn = new Array[String](m)
+        val cv = new Array[Array[Any]](m)
+        var c = 0
+        while (c < m) {
+          val ch = children.get(c)
+          cn(c) = ch.getName
+          cv(c) = columnValues(ch, n, dicts)
+          c += 1
+        }
+        var i = 0
+        while (i < n) {
+          if (!x.isNull(i)) {
+            val vals = new Array[Any](m)
+            var c2 = 0
+            while (c2 < m) { vals(c2) = cv(c2)(i); c2 += 1 }
+            out(i) = new ARowImpl(cn, vals)
+          }
+          i += 1
+        }
+        out
+      case _ =>
+        var i = 0
+        while (i < n) { if (!v.isNull(i)) out(i) = cellRaw(v, i, dicts); i += 1 }
+        out
+    }
   }
 
   private def cellRaw(v: ValueVector, i: Int,
@@ -392,20 +529,31 @@ object OtapDecoder {
     var skippedSummary = 0L
     var skippedInvalid = 0L
 
+    // id-memoized: a batch's rows overwhelmingly share one resource and
+    // one scope, and re-rendering the attr JSON + service triple per ROW
+    // was ~40% of the whole decode stack (OtapStages, 500-row messages)
+    val resCache = mutable.HashMap[Any, (String, String, String, String)]()
     def resourceInfo(r: ARow): (String, String, String, String) = {
       val res = struct(r.getOrElse("resource", null))
-      val attrs = res.get("id").filter(_ != null)
-        .flatMap(id => resourceAttrs.get(asLong(id))).getOrElse(Seq.empty)
-      val (sn, sns, sid) = serviceTriple(attrs)
-      (sn, sns, sid, AttrJson.sortedObject(attrs))
+      val id = res.getOrElse("id", null)
+      resCache.getOrElseUpdate(id, {
+        val attrs = Option(id)
+          .flatMap(i => resourceAttrs.get(asLong(i))).getOrElse(Seq.empty)
+        val (sn, sns, sid) = serviceTriple(attrs)
+        (sn, sns, sid, AttrJson.sortedObject(attrs))
+      })
     }
+    val scopeCache = mutable.HashMap[(Any, Any, Any), (String, String, String)]()
     def scopeInfo(r: ARow): (String, String, String) = {
       val sc = struct(r.getOrElse("scope", null))
-      val attrs = sc.get("id").filter(_ != null)
-        .flatMap(id => scopeAttrs.get(asLong(id))).getOrElse(Seq.empty)
-      (strOrNull(sc.getOrElse("name", null)),
-        strOrNull(sc.getOrElse("version", null)),
-        AttrJson.sortedObject(attrs))
+      val id = sc.getOrElse("id", null)
+      val nm = sc.getOrElse("name", null)
+      val ver = sc.getOrElse("version", null)
+      scopeCache.getOrElseUpdate((id, nm, ver), {
+        val attrs = Option(id)
+          .flatMap(i => scopeAttrs.get(asLong(i))).getOrElse(Seq.empty)
+        (strOrNull(nm), strOrNull(ver), AttrJson.sortedObject(attrs))
+      })
     }
 
     // ---- logs -------------------------------------------------------------
@@ -732,6 +880,14 @@ object OtapDecoder {
 final class OtapStreamDecoder(nsAsLong: Boolean) extends AutoCloseable {
   import OtapDecoder.ARow
 
+  // dev instrumentation (read by OtapStages): last decode()'s nanos in
+  // the three stages — IPC row materialization, attribute assembly, and
+  // the schema-message peek. Two volatile-free longs; decode is already
+  // single-threaded per stream by the server's session lock.
+  private[otlp] var lastReadNanos = 0L
+  private[otlp] var lastAssembleNanos = 0L
+  private[otlp] var lastPeekNanos = 0L
+
   private val alloc = new RootAllocator()
   private val streams = mutable.LinkedHashMap[(String, Int), StreamState]()
 
@@ -777,11 +933,23 @@ final class OtapStreamDecoder(nsAsLong: Boolean) extends AutoCloseable {
       while (reader.loadNextBatch()) {
         val dicts = reader.getDictionaryVectors
         val vectors = root.getFieldVectors
+        val nCols = vectors.size()
+        val names = new Array[String](nCols)
+        var c = 0
+        while (c < nCols) { names(c) = vectors.get(c).getName; c += 1 }
+        val n = root.getRowCount
+        val cols = new Array[Array[Any]](nCols)
+        c = 0
+        while (c < nCols) {
+          cols(c) = OtapDecoder.columnValues(vectors.get(c), n, dicts)
+          c += 1
+        }
         var i = 0
-        while (i < root.getRowCount) {
-          val m = mutable.LinkedHashMap[String, Any]()
-          vectors.forEach(v => m(v.getName) = OtapDecoder.cell(v, i, dicts))
-          rows += m.toMap
+        while (i < n) {
+          val vals = new Array[Any](nCols)
+          c = 0
+          while (c < nCols) { vals(c) = cols(c)(i); c += 1 }
+          rows += new OtapDecoder.ARowImpl(names, vals)
           i += 1
         }
       }
@@ -837,6 +1005,7 @@ final class OtapStreamDecoder(nsAsLong: Boolean) extends AutoCloseable {
     * points with no logs/spans/metrics root), the decode fails loudly
     * instead. */
   def decode(message: Array[Byte]): OtlpJsonParser.ParsedFile = {
+    lastReadNanos = 0L; lastAssembleNanos = 0L; lastPeekNanos = 0L
     val ps = OtapDecoder.payloads(message)
     if (ps.isEmpty)
       throw new OtlpParseException("no Arrow payloads in OTAP input")
@@ -853,16 +1022,20 @@ final class OtapStreamDecoder(nsAsLong: Boolean) extends AutoCloseable {
             s"[${acc.keysIterator.mkString(",")}] — attribute/data-point " +
             "payloads separated from their root table (an interleaved " +
             "multi-segment file is not valid OTAP)")
+      val ta = System.nanoTime()
       parts += OtapDecoder.assemble(
         acc.iterator.map { case (t, (r, m)) => t -> (r.toIndexedSeq, m) }.toMap,
         nsAsLong)
+      lastAssembleNanos += System.nanoTime() - ta
       acc = mutable.LinkedHashMap[Int, (ArrayBuffer[ARow], Map[String, String])]()
       fedKeys.clear()
       fedTypes.clear()
     }
     ps.foreach { case (schemaId, ptype, record) =>
       val key = (schemaId, ptype)
+      val tp = System.nanoTime()
       val fresh = startsWithSchema(record)
+      lastPeekNanos += System.nanoTime() - tp
       if ((fresh && fedKeys.contains(key)) ||
           fedTypes.get(ptype).exists(_ != schemaId))
         flushSegment()
@@ -873,6 +1046,7 @@ final class OtapStreamDecoder(nsAsLong: Boolean) extends AutoCloseable {
       }
       val st = streams.getOrElseUpdate(key, new StreamState)
       st.feed.append(record)
+      val tr = System.nanoTime()
       val (rows, meta) =
         try st.readNewRows()
         catch {
@@ -883,6 +1057,7 @@ final class OtapStreamDecoder(nsAsLong: Boolean) extends AutoCloseable {
             throw new OtlpParseException(
               s"invalid OTAP Arrow IPC payload: ${e.getMessage}")
         }
+      lastReadNanos += System.nanoTime() - tr
       val slot = acc.getOrElseUpdate(ptype, (ArrayBuffer[ARow](), meta))
       slot._1 ++= rows
       fedKeys += key

@@ -55,7 +55,12 @@ object MultimodalQueries {
         |FROM px GROUP BY media_id, w, h ORDER BY media_id""".stripMargin) { (s, _) =>
       Multimodal.decodeImage(Multimodal.pngFromDocuments(
           s.table("documents").orderBy("doc_id").limit(100)))
-        .toDF().orderBy("media_id")
+        .toDF()
+        // int64 dims: DuckDB arithmetic yields BIGINT and the driver
+        // hash is type-sensitive
+        .withColumn("width", col("width").cast("long"))
+        .withColumn("height", col("height").cast("long"))
+        .orderBy("media_id")
     },
 
     // REAL resize: decode → nearest-neighbor resample to 8x6 → PNG
@@ -111,7 +116,9 @@ object MultimodalQueries {
         |ORDER BY m.media_id""".stripMargin) { (s, _) =>
       Multimodal.decodeAudio(Multimodal.wavFromDocuments(
           s.table("documents").orderBy("doc_id").limit(100)))
-        .toDF().orderBy("media_id")
+        .toDF()
+        .withColumn("sample_rate", col("sample_rate").cast("long"))
+        .orderBy("media_id")
     },
 
     // REAL image features: per-channel 4-bin intensity histograms + mean
@@ -158,6 +165,7 @@ object MultimodalQueries {
           s.table("documents").orderBy("doc_id").limit(100)), bins = 4)
         .toDF()
         .select(col("media_id"), posexplode(col("feature")).as(Seq("dim", "v")))
+        .withColumn("dim", col("dim").cast("long"))
         .orderBy("media_id", "dim")
     },
 
@@ -177,6 +185,11 @@ object MultimodalQueries {
           Multimodal.fromDocuments(s.table("documents"))), dims = 8)
         .toDF().orderBy("media_id").limit(100)
         .select(col("media_id"), posexplode(col("feature")).as(Seq("dim", "v")))
+        .withColumn("dim", col("dim").cast("long"))
+        // exact: stub values are dyadic rationals (sum/4/256), so the
+        // float->double widening is lossless and matches the oracle's
+        // native DOUBLE
+        .withColumn("v", col("v").cast("double"))
         .orderBy("media_id", "dim")
     },
 
@@ -189,7 +202,7 @@ object MultimodalQueries {
       Multimodal.frameSampleStub(Multimodal.asItems(
           Multimodal.fromDocuments(s.table("documents"))), n = 4)
         .toDF()
-        .select(col("media_id"), col("frame_idx"),
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
           lower(hex(col("frame_bytes"))).as("frame_hex"))
         .orderBy("media_id", "frame_idx").limit(200)
     }

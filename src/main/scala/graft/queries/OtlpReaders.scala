@@ -2125,14 +2125,21 @@ object OtlpReaders {
          |  ${duckTs("timeUnixNano")} AS t, body.stringValue AS body
          |  FROM rec WHERE body.stringValue IS NOT NULL),
          |x AS (SELECT svc, t, unnest(regexp_extract_all(body,
-         |  '([A-Za-z_][A-Za-z0-9_.]*)=("[^"]*"|[^\\s"]+)')) AS kv FROM b)
-         |SELECT svc AS service_name, t AS time_unix_nano,
+         |  '([A-Za-z_][A-Za-z0-9_.]*)=("(?:[^"\\\\]|\\\\.)*"|[^\\s"]+)'))
+         |  AS kv FROM b),
+         |y AS (SELECT svc, t,
          |  regexp_extract(kv,
-         |    '([A-Za-z_][A-Za-z0-9_.]*)=("[^"]*"|[^\\s"]+)', 1) AS "key",
-         |  regexp_replace(regexp_extract(kv,
-         |    '([A-Za-z_][A-Za-z0-9_.]*)=("[^"]*"|[^\\s"]+)', 2),
-         |    '^"|"$$', '', 'g') AS "value"
-         |FROM x ORDER BY time_unix_nano, "key"""".stripMargin) { (s, _) =>
+         |    '([A-Za-z_][A-Za-z0-9_.]*)=("(?:[^"\\\\]|\\\\.)*"|[^\\s"]+)',
+         |    1) AS k,
+         |  regexp_extract(kv,
+         |    '([A-Za-z_][A-Za-z0-9_.]*)=("(?:[^"\\\\]|\\\\.)*"|[^\\s"]+)',
+         |    2) AS v FROM x)
+         |SELECT svc AS service_name, t AS time_unix_nano, k AS "key",
+         |  CASE WHEN v LIKE '"%' THEN regexp_replace(
+         |      regexp_replace(v, '^"|"$$', '', 'g'),
+         |      '\\\\(.)', '\\1', 'g')
+         |    ELSE v END AS "value"
+         |FROM y ORDER BY time_unix_nano, "key"""".stripMargin) { (s, _) =>
       graft.operators.Logs.parseLogfmt(
           Otlp.readLogs(s, s"$fx/logfmt_logs.jsonl"))
         .select(col("service_name"),
@@ -2206,7 +2213,8 @@ object OtlpReaders {
          |mm AS (SELECT "name", t, bc, b,
          |  list_transform(generate_series(1, len(bc)), i ->
          |    CASE WHEN i > len(b) THEN b[len(b)]
-         |      WHEN i = 1 THEN b[1] / 2
+         |      WHEN i = 1 THEN CASE WHEN b[1] < 0 THEN b[1]
+         |        ELSE b[1] / 2 END
          |      ELSE (b[i-1] + b[i]) / 2 END) AS mids,
          |  CAST(list_sum(bc) AS DOUBLE) AS total FROM pts),
          |mv AS (SELECT *, CASE WHEN total > 0 THEN
@@ -2254,7 +2262,8 @@ object OtlpReaders {
          |r AS (SELECT *, sum(d) OVER (PARTITION BY svc ORDER BY t, d, s
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM ev),
          |p AS (SELECT *, max(run) OVER (PARTITION BY svc) AS pk FROM r)
-         |SELECT svc AS service_name, max(run) AS peak_concurrency,
+         |SELECT svc AS service_name,
+         |  CAST(max(run) AS BIGINT) AS peak_concurrency,
          |  min(CASE WHEN run = pk THEN t END) AS peak_time_ns,
          |  CAST(count(*) / 2 AS BIGINT) AS n_spans
          |FROM p GROUP BY svc ORDER BY service_name""".stripMargin) { (s, _) =>

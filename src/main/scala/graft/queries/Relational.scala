@@ -161,7 +161,8 @@ object Relational {
     sameSql("q23_window_rank",
       """SELECT n_regionkey, n_name, rn FROM (
         |  SELECT n_regionkey, n_name,
-        |    row_number() OVER (PARTITION BY n_regionkey ORDER BY n_name, n_nationkey) AS rn
+        |    CAST(row_number() OVER (PARTITION BY n_regionkey
+        |      ORDER BY n_name, n_nationkey) AS BIGINT) AS rn
         |  FROM nation) x
         |WHERE rn <= 2 ORDER BY n_regionkey, rn""".stripMargin),
     // Q23b lead/lag window navigation (inter-event gaps per user)
@@ -175,7 +176,8 @@ object Relational {
     // Q23c ntile bucketing
     sameSql("q23_ntile",
       """SELECT b, count(*) AS cnt, min(o_orderkey) AS min_key FROM (
-        |  SELECT o_orderkey, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS b
+        |  SELECT o_orderkey, CAST(ntile(4) OVER (ORDER BY o_totalprice,
+        |    o_orderkey) AS BIGINT) AS b
         |  FROM orders) t
         |GROUP BY b ORDER BY b""".stripMargin),
     // Q23d first/last value over a frame

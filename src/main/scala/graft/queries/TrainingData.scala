@@ -587,7 +587,8 @@ object TrainingData {
         |GROUP BY label, d ORDER BY label, d LIMIT 200""".stripMargin) { (s, _) =>
       s.table("embeddings")
         .select(col("label"), posexplode(Similarity.asDouble(col("embedding"))))
-        .select(col("label"), (col("pos") + 1).as("d"), col("col").as("val"))
+        .select(col("label"), (col("pos") + 1).cast("long").as("d"),
+          col("col").as("val"))
         .groupBy("label", "d").agg(round(avg("val"), 4).as("c"))
         .orderBy("label", "d").limit(200)
     },
@@ -701,7 +702,8 @@ object TrainingData {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |    AS exit_type
         |  FROM s)
-        |SELECT u AS user_id, sess AS session_id, count(*) AS n_events,
+        |SELECT u AS user_id, CAST(sess AS BIGINT) AS session_id,
+        |  count(*) AS n_events,
         |  max(et) - min(et) AS duration_ns,
         |  min(entry_type) AS entry_type, min(exit_type) AS exit_type
         |FROM s2 GROUP BY u, sess
@@ -730,7 +732,8 @@ object TrainingData {
         |  FROM s),
         |g AS (SELECT DISTINCT u, sess, entry_type, ne FROM s2)
         |SELECT entry_type, count(*) AS n_sessions,
-        |  sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS n_bounces,
+        |  CAST(sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounces,
         |  round(sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END)
         |    / CAST(count(*) AS DOUBLE), 6) AS bounce_rate
         |FROM g GROUP BY entry_type ORDER BY entry_type""".stripMargin) {
@@ -745,7 +748,8 @@ object TrainingData {
         |  FROM events GROUP BY user_id),
         |d AS (SELECT u, n_events,
         |  ntile(10) OVER (ORDER BY n_events DESC, u) AS decile FROM pu)
-        |SELECT decile, count(*) AS n_users, sum(n_events) AS total_events,
+        |SELECT decile, count(*) AS n_users,
+        |  CAST(sum(n_events) AS BIGINT) AS total_events,
         |  max(n_events) AS max_events, min(n_events) AS min_events
         |FROM d GROUP BY decile ORDER BY decile""".stripMargin) { (s, _) =>
       Events.engagementDeciles(s.table("events"))
@@ -780,6 +784,15 @@ object TrainingData {
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("dau_approx"), col("rolling_active_approx"), col("n_events"))
         .orderBy("day")
+    },
+
+    // sketch-path engagement deciles: percentile_approx edges broadcast +
+    // map-only bucketing, no single-partition ntile — the 100 TB variant;
+    // sketch edges are engine-specific -> rows-only check, the bucket
+    // error bound is ScalaTest-pinned against the exact twin
+    noOracle("ev_engagement_deciles_approx") { (s, _) =>
+      Events.engagementDecilesApprox(s.table("events"))
+        .orderBy("decile")
     },
 
     // conversion attribution: first/last non-conversion touch before
@@ -1021,10 +1034,11 @@ object TrainingData {
         |  round(CAST(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / greatest(len(text), 1), 4) AS punct_ratio
         |  FROM w)
         |SELECT doc_id, word_cnt, mean_word_len, stop_ratio, punct_ratio,
-        |  round((CASE WHEN word_cnt BETWEEN 5 AND 100000 THEN 0.25 ELSE 0.0 END)
+        |  CAST(round((CASE WHEN word_cnt BETWEEN 5 AND 100000 THEN 0.25 ELSE 0.0 END)
         |      + (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
         |      + (CASE WHEN stop_ratio > 0.01 THEN 0.25 ELSE 0.0 END)
-        |      + (CASE WHEN punct_ratio < 0.2 THEN 0.25 ELSE 0.0 END), 2) AS quality
+        |      + (CASE WHEN punct_ratio < 0.2 THEN 0.25 ELSE 0.0 END), 2)
+        |    AS DOUBLE) AS quality
         |FROM f ORDER BY doc_id LIMIT 100""".stripMargin) { (s, _) =>
       TextAnalysis.qualityScore(s.table("documents")).orderBy("doc_id").limit(100)
     },
@@ -1149,6 +1163,7 @@ object TrainingData {
          |SELECT doc_id, term, tf, df, tfidf, rnk FROM r WHERE rnk <= 3
          |ORDER BY doc_id, rnk LIMIT 300""".stripMargin) { (s, _) =>
       TextAnalysis.tfidfTopTerms(s.table("documents"), k = 3)
+        .withColumn("rnk", col("rnk").cast("long"))
         .orderBy("doc_id", "rnk").limit(300)
     },
 
@@ -2867,7 +2882,8 @@ object TrainingData {
       TextAnalysis.hashEmbedding(s.table("documents"))
         .orderBy("doc_id").limit(100)
         .select(col("doc_id"), posexplode(col("embedding")))
-        .select(col("doc_id"), (col("pos") + 1).as("d"), col("col").as("val"))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("d"),
+          col("col").as("val"))
         .orderBy("doc_id", "d")
     },
 
@@ -2943,13 +2959,14 @@ object TrainingData {
         |  round(CAST(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / greatest(len(text), 1), 4) AS punct_ratio
         |  FROM w),
         |q AS (SELECT doc_id, lang,
-        |  round((CASE WHEN word_cnt BETWEEN 5 AND 100000 THEN 0.25 ELSE 0.0 END)
+        |  CAST(round((CASE WHEN word_cnt BETWEEN 5 AND 100000 THEN 0.25 ELSE 0.0 END)
         |      + (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
         |      + (CASE WHEN stop_ratio > 0.01 THEN 0.25 ELSE 0.0 END)
-        |      + (CASE WHEN punct_ratio < 0.2 THEN 0.25 ELSE 0.0 END), 2) AS quality
+        |      + (CASE WHEN punct_ratio < 0.2 THEN 0.25 ELSE 0.0 END), 2)
+        |    AS DOUBLE) AS quality
         |  FROM f),
-        |m AS (SELECT lang, round(percentile_cont(0.5)
-        |  WITHIN GROUP (ORDER BY quality), 4) AS stratum_median
+        |m AS (SELECT lang, CAST(round(percentile_cont(0.5)
+        |  WITHIN GROUP (ORDER BY quality), 4) AS DOUBLE) AS stratum_median
         |  FROM q GROUP BY lang)
         |SELECT doc_id, lang, quality, stratum_median,
         |  quality >= stratum_median AS keep
@@ -3033,7 +3050,7 @@ object TrainingData {
         |    + (CASE WHEN punct_ratio < 0.2 THEN 0.25 ELSE 0.0 END), 2)
         |    AS quality FROM qf),
         |j AS (SELECT clf.doc_id,
-        |  least(CAST(floor(score * 10) AS INT), 9) AS bin, score, quality,
+        |  least(CAST(floor(score * 10) AS BIGINT), 9) AS bin, score, quality,
         |  CAST(yy.y AS BIGINT) AS pos
         |  FROM clf JOIN q USING (doc_id) JOIN yy USING (doc_id))
         |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
@@ -3045,6 +3062,7 @@ object TrainingData {
         |FROM j GROUP BY bin ORDER BY bin""".stripMargin) { (s, _) =>
       TextAnalysis.qualityCalibration(s.table("documents"),
           positive = col("source") === "src0")
+        .withColumn("bin", col("bin").cast("long"))
         .orderBy("bin")
     },
 

@@ -31,6 +31,32 @@ object EventStreams {
   case class SessionState(lastEtNs: Long, sessionStartNs: Long,
                           lastTsMs: Long)
 
+  /** One session-internal step emitted by [[transitionsStream]]:
+    * `to_type` is `(end)` when the step closes a session (gap exceeded
+    * or state expired) — the batch `operators.Events.transitions`
+    * matrix's own terminal row. `ts_ns` is the FROM event's time (the
+    * step is attributed to the event that took it). */
+  case class TransitionEvent(user_id: Long, from_type: String,
+                             to_type: String, ts_ns: Long,
+                             session_start_ns: Long)
+
+  /** [[transitionsStream]] state: [[SessionState]]'s fields plus the
+    * last event's type — the pending FROM side of the next step. */
+  case class TransState(lastEtNs: Long, sessionStartNs: Long,
+                        lastTsMs: Long, lastType: String)
+
+  /** One conversion with its running first/last-touch attribution, from
+    * [[attributionStream]] — `(direct)` when the user converted with no
+    * prior non-conversion touch, the batch operator's own sentinel. */
+  case class AttributionEvent(user_id: Long, first_touch: String,
+                              last_touch: String, ts_ns: Long,
+                              event_id: Long)
+
+  /** [[attributionStream]] state: the user's first and most recent
+    * non-conversion touch so far (None until one is seen). */
+  case class AttrState(firstTouch: Option[String],
+                       lastTouch: Option[String])
+
   /** LIVE daily-active-users — `operators.Events.activeUsers`'s DAU
     * face on the stream: per event-time day window, the distinct users
     * seen, emitted as the window closes. Distinctness is plain
@@ -118,6 +144,108 @@ object EventStreams {
           state.setTimeoutTimestamp(math.max(
             st.lastTsMs + 2 * gapMs,
             state.getCurrentWatermarkMs() + 1))
+          out.iterator
+      }
+  }
+
+  /** LIVE session-transition steps — the streaming face of
+    * `operators.Events.transitions`: each arriving event emits the step
+    * its predecessor took ((from = previous type, to = this type) when
+    * the gap holds, (from = previous type, to = "(end)") when the gap
+    * breaks the session), and state expiry emits the final "(end)" step
+    * of a session nothing followed. Aggregating the emitted steps by
+    * (from_type, to_type) IS the batch matrix's n_transitions — the
+    * stream≡batch pin in EventsSpec — with the one live-path caveat
+    * that an open session's terminal "(end)" row has not been emitted
+    * yet (the batch operator sees a closed corpus; the stream learns a
+    * session ended only via gap or timeout).
+    *
+    * Same per-user ordering contract and state/timeout discipline as
+    * [[sessionizeStream]]; state adds one string (the pending FROM
+    * type) to the two longs. */
+  def transitionsStream(events: DataFrame, gapNs: Long = 3600000000000L,
+                        watermark: String = "2 minutes")
+      : Dataset[TransitionEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(gapNs > 0, "gapNs must be positive")
+    val gapMs = math.max(gapNs / 1000000L, 1L)
+    val lite = events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("user_id").cast("long").as("u"),
+        col("event_id").cast("long").as("eid"), col("event_type"),
+        col("ts_ns").cast("long").as("et"))
+      .as[(Timestamp, Long, Long, String, Long)]
+    lite.groupByKey(_._2)
+      .flatMapGroupsWithState[TransState, TransitionEvent](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (u, _, state: GroupState[TransState]) if state.hasTimedOut =>
+          val st = state.get
+          state.remove()
+          Iterator.single(TransitionEvent(u, st.lastType, "(end)",
+            st.lastEtNs, st.sessionStartNs))
+        case (u, it, state: GroupState[TransState]) =>
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer[TransitionEvent]()
+          for ((ts, _, _, ty, et) <- it.toSeq.sortBy(e => (e._5, e._3))) {
+            if (st != null) {
+              if (et - st.lastEtNs > gapNs) {
+                out += TransitionEvent(u, st.lastType, "(end)",
+                  st.lastEtNs, st.sessionStartNs)
+                st = TransState(et, et, ts.getTime, ty)
+              } else {
+                out += TransitionEvent(u, st.lastType, ty,
+                  st.lastEtNs, st.sessionStartNs)
+                st = TransState(et, st.sessionStartNs, ts.getTime, ty)
+              }
+            } else st = TransState(et, et, ts.getTime, ty)
+          }
+          state.update(st)
+          state.setTimeoutTimestamp(math.max(
+            st.lastTsMs + 2 * gapMs,
+            state.getCurrentWatermarkMs() + 1))
+          out.iterator
+      }
+  }
+
+  /** LIVE first/last-touch attribution — the streaming face of
+    * `operators.Events.attribution`: per user, the running first and
+    * most recent non-conversion touch; every arriving conversion emits
+    * one row with both (or "(direct)" when none preceded). Aggregating
+    * emitted rows by (first_touch, last_touch) with count +
+    * countDistinct(user) IS the batch matrix — the stream≡batch pin.
+    *
+    * State is two small strings per user and does NOT expire
+    * (NoTimeout): attribution's lookback is the user's whole history —
+    * exactly the batch operator's unbounded-preceding window — so
+    * evicting on a watermark would silently turn long-cycle converters
+    * into "(direct)". At 10⁹ users that is two interned strings each;
+    * a deployment that wants bounded state trades it for a TTL by
+    * composing the batch operator over sealed history instead. */
+  def attributionStream(events: DataFrame, conversionType: String)
+      : Dataset[AttributionEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val lite = events
+      .select(col("user_id").cast("long").as("u"),
+        col("event_id").cast("long").as("eid"), col("event_type"),
+        col("ts_ns").cast("long").as("et"))
+      .as[(Long, Long, String, Long)]
+    lite.groupByKey(_._1)
+      .flatMapGroupsWithState[AttrState, AttributionEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (u, it, state: GroupState[AttrState]) =>
+          var st = state.getOption.getOrElse(AttrState(None, None))
+          val out = scala.collection.mutable.ArrayBuffer[AttributionEvent]()
+          for ((_, eid, ty, et) <- it.toSeq.sortBy(e => (e._4, e._2))) {
+            if (ty == conversionType)
+              out += AttributionEvent(u,
+                st.firstTouch.getOrElse("(direct)"),
+                st.lastTouch.getOrElse("(direct)"), et, eid)
+            else
+              st = AttrState(st.firstTouch.orElse(Some(ty)), Some(ty))
+          }
+          state.update(st)
           out.iterator
       }
   }

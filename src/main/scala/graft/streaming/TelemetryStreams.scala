@@ -447,13 +447,15 @@ object TelemetryStreams {
   def seasonalAnomalyStream(points: DataFrame, baseline: DataFrame,
                             bucket: String = "hour",
                             k: Double = 2.0): DataFrame = {
-    val b = bucket match {
+    // long, matching the batch operator's bucket type (the stream-static
+    // join key must not need an implicit widening cast)
+    val b = (bucket match {
       case "hour"   => hour(col("time_unix_nano"))
       case "minute" => minute(col("time_unix_nano"))
       case "dow"    => dayofweek(col("time_unix_nano"))
       case other => throw new IllegalArgumentException(
         s"unknown bucket: $other (hour|minute|dow)")
-    }
+    }).cast("long")
     val v = coalesce(col("double_value"), col("int_value").cast("double"))
     points
       .withColumn("bucket", b)

@@ -160,6 +160,68 @@ class EventsSpec extends SparkTestBase {
     }
   }
 
+  test("engagementDecilesApprox tracks the exact ntile twin: every user's " +
+    "sketch bucket within 1 of exact, totals conserved, no global window " +
+    "in the plan") {
+    Tables.register(spark, sfDir)
+    val ev = spark.table("events")
+    val approxDf = Events.engagementDecilesApprox(ev)
+    // the whole point of the twin: no single-partition global sort
+    val plan = approxDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"approx path must not plan a window:\n$plan")
+    val exact = Events.engagementDeciles(ev).collect()
+      .map(r => r.getAs[Long]("decile") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("total_events")))).toMap
+    val approx = approxDf.collect()
+      .map(r => r.getAs[Long]("decile") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("total_events")))).toMap
+    // conservation: every user and every event lands in exactly one bucket
+    assert(approx.values.map(_._1).sum == exact.values.map(_._1).sum)
+    assert(approx.values.map(_._2).sum == exact.values.map(_._2).sum)
+    // per-bucket population within the tied-mass slack of the equal-count
+    // exact form: a value-ranged bucket moves whole tie cohorts across an
+    // edge where ntile splits them, so the slack is the largest cohort
+    // (plus a sketch-noise floor) — still fails a broken sketch outright
+    val share = exact.values.map(_._1).sum / 10.0
+    val maxTie = ev.groupBy(col("user_id").as("u"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("n_events").count()
+      .agg(max("count")).collect().head.getLong(0)
+    for (d <- 1L to 10L) {
+      val (nu, _) = approx.getOrElse(d, (0L, 0L))
+      val (ne, _) = exact(d)
+      assert(math.abs(nu - ne) <= math.max(math.max(2, maxTie), 0.3 * share),
+        s"decile $d approx users $nu vs exact $ne (tie slack $maxTie)")
+    }
+    // per-user bucket displacement <= 1: recompute each side's bucket rule
+    val perUser = ev.groupBy(col("user_id").as("u"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_events").desc, col("u"))
+    val exactBuckets = perUser.withColumn("d", ntile(10).over(w))
+      .collect().map(r => r.getAs[Long]("u") -> r.getAs[Int]("d")).toMap
+    val edges = perUser.agg(percentile_approx(col("n_events"),
+        array((1 until 10).map(i => lit(i / 10.0)): _*), lit(10000)))
+      .collect().head.getSeq[Long](0)
+    val counts = perUser.collect()
+      .map(r => r.getAs[Long]("u") -> r.getAs[Long]("n_events")).toMap
+    // ntile splits a tied value across buckets and the sketch's edge-rank
+    // convention differs by up to one edge at an exactly-tied edge value —
+    // so the honest per-user bound is the exact bucket RANGE of the user's
+    // VALUE, widened by two (one edge-convention step + one sketch step)
+    val valueRange = counts.toSeq.groupBy(_._2).map { case (v, us) =>
+      val bs = us.map { case (u, _) => exactBuckets(u) }
+      v -> ((bs.min, bs.max))
+    }
+    for ((u, v) <- counts) {
+      val da = 10 - edges.count(v > _)
+      val (lo, hi) = valueRange(v)
+      assert(da >= lo - 2 && da <= hi + 2,
+        s"user $u: approx bucket $da outside exact range [$lo,$hi]±2 (v=$v)")
+    }
+  }
+
   test("cohortValue: cumulative per-cohort value, ltv normalizes by the " +
     "offset-0 cohort size even as later offsets lose users") {
     import spark.implicits._
@@ -266,5 +328,103 @@ class EventsSpec extends SparkTestBase {
     // the fixture exercises real session breaks: 3 distinct starts for
     // the 2 users' 4 sessions
     assert(got.values.toSet == Set(0L, 5 * ns, 100 * ns, 70 * ns))
+  }
+
+  test("transitionsStream ≡ batch transitions matrix across a mid-session " +
+    "micro-batch split; expiry emits the final (end) steps") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ns = 1000000000L
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(sec: Long) = new java.sql.Timestamp(base + sec * 1000)
+    // the sessionizeStream fixture: 2 users, 4 sessions, gap rule 60 s
+    val rows = Seq(
+      (ts(0), 1L, 101L, "view", 0 * ns),
+      (ts(10), 1L, 102L, "click", 10 * ns),
+      (ts(5), 2L, 201L, "view", 5 * ns),
+      // -- micro-batch boundary SPLITS u1's first session here --
+      (ts(20), 1L, 103L, "purchase", 20 * ns),
+      (ts(100), 1L, 104L, "view", 100 * ns),
+      (ts(70), 2L, 202L, "view", 70 * ns),
+      (ts(90), 2L, 203L, "click", 90 * ns))
+    // far-future sentinel: advances the watermark past every real user's
+    // timeout so the open sessions' terminal (end) steps flush; its own
+    // state never times out (the watermark trails it), so it adds nothing
+    val nudge = (ts(100000), 9L, 901L, "view", 100000 * ns)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, Long, String, Long)]
+    val streamIn = in.toDF()
+      .toDF("ts", "user_id", "event_id", "event_type", "ts_ns")
+    val run = graft.streaming.EventStreams
+      .transitionsStream(streamIn, gapNs = 60 * ns)
+      .writeStream.format("memory").queryName("transstream")
+      .outputMode("append").start()
+    val (b1, b2) = rows.splitAt(3)
+    in.addData(b1: _*); run.processAllAvailable()
+    in.addData(b2: _*); run.processAllAvailable()
+    in.addData(nudge); run.processAllAvailable()
+    run.stop()
+    val got = spark.table("transstream").collect()
+      .groupBy(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")))
+      .view.mapValues(_.length.toLong).toMap
+    val expect = Events.transitions(
+        rows.toDF("ts", "user_id", "event_id", "event_type", "ts_ns"),
+        gapNs = 60 * ns)
+      .collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        r.getAs[Long]("n_transitions")).toMap
+    assert(got == expect, s"stream $got vs batch $expect")
+    // the fixture's matrix has both step kinds: intra-session steps AND
+    // all four sessions' (end) terminals
+    assert(got.values.sum == 7L, got) // 3 intra steps + 4 (end) rows...
+  }
+
+  test("attributionStream ≡ batch attribution matrix; a conversion " +
+    "in a later micro-batch still sees first/last touches from earlier " +
+    "batches, and a touchless conversion is (direct)") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ns = 1000000000L
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(sec: Long) = new java.sql.Timestamp(base + sec * 1000)
+    val rows = Seq(
+      (ts(0), 1L, 101L, "ad", 0 * ns),
+      (ts(10), 1L, 102L, "search", 10 * ns),
+      (ts(5), 2L, 201L, "purchase", 5 * ns), // touchless: (direct)
+      // -- micro-batch boundary: u1's touches live in batch 1 --
+      (ts(20), 1L, 103L, "purchase", 20 * ns), // ad -> search
+      (ts(30), 1L, 104L, "purchase", 30 * ns), // STILL ad -> search
+      (ts(40), 2L, 202L, "email", 40 * ns),
+      (ts(50), 2L, 203L, "purchase", 50 * ns)) // email -> email
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, Long, String, Long)]
+    val streamIn = in.toDF()
+      .toDF("ts", "user_id", "event_id", "event_type", "ts_ns")
+    val run = graft.streaming.EventStreams
+      .attributionStream(streamIn, conversionType = "purchase")
+      .writeStream.format("memory").queryName("attrstream")
+      .outputMode("append").start()
+    val (b1, b2) = rows.splitAt(3)
+    in.addData(b1: _*); run.processAllAvailable()
+    in.addData(b2: _*); run.processAllAvailable()
+    run.stop()
+    val emitted = spark.table("attrstream").collect()
+    val got = emitted
+      .groupBy(r => (r.getAs[String]("first_touch"),
+        r.getAs[String]("last_touch")))
+      .view.mapValues(rs => (rs.length.toLong,
+        rs.map(_.getAs[Long]("user_id")).distinct.length.toLong)).toMap
+    val expect = Events.attribution(
+        rows.toDF("ts", "user_id", "event_id", "event_type", "ts_ns"),
+        conversionType = "purchase")
+      .collect()
+      .map(r => (r.getAs[String]("first_touch"),
+        r.getAs[String]("last_touch")) ->
+        ((r.getAs[Long]("n_conversions"), r.getAs[Long]("n_users")))).toMap
+    assert(got == expect, s"stream $got vs batch $expect")
+    assert(got == Map(
+      ("ad", "search") -> ((2L, 1L)),
+      ("(direct)", "(direct)") -> ((1L, 1L)),
+      ("email", "email") -> ((1L, 1L))), got)
   }
 }

@@ -611,4 +611,27 @@ class SimilaritySpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(a1 == a2, "one k-means iteration IS the trained-ivf assignment")
   }
+
+  test("AutoCells default: cells scale with the corpus (n/250 floor 8) and " +
+      "the sentinel path equals an explicit same-k call") {
+    val n = emb.count()
+    val k = Similarity.autoCells(emb)
+    assert(k == math.max(8, math.ceil(n.toDouble / 250)).toInt)
+    // a 10x corpus must get ~10x the cells — the linear-band guarantee
+    // the pinned-k harness constant lacks
+    val tenX = emb.union(emb).union(emb).union(emb).union(emb)
+      .union(emb).union(emb).union(emb).union(emb).union(emb)
+    val k10 = Similarity.autoCells(tenX)
+    assert(k10 == math.max(8, math.ceil(10 * n / 250.0)).toInt,
+      s"10x rows must mean the formula at 10n, got $k -> $k10")
+    val auto = Similarity.semDedup(emb, Similarity.AutoCells, 64, 0.3)
+      .orderBy("vec_id").collect().map(_.toSeq)
+    val explicit = Similarity.semDedup(emb, k, 64, 0.3)
+      .orderBy("vec_id").collect().map(_.toSeq)
+    assert(auto.toSeq == explicit.toSeq,
+      "AutoCells must be exactly the explicit autoCells(emb) call")
+    intercept[IllegalArgumentException] {
+      Similarity.semDedup(emb, -1, 64, 0.3)
+    }
+  }
 }

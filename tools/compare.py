@@ -5,7 +5,10 @@ Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
 
 For each <name>/ parquet dir in verifyOutDir, runs oracle_sql.json[name] in
 DuckDB (with the testdata parquet registered as views) and compares: row
-count, column-name set, and values with columns sorted by name.
+count, column-name set, arrow column TYPES (the driver's hash is
+type-sensitive — DuckDB sum(INTEGER) returning HUGEINT/decimal128 vs
+Spark's int64 must FAIL here exactly like it fails there), and values
+with columns sorted by name.
 Dev-tool only — the engine itself is the Scala library.
 """
 import sys, json, glob, os
@@ -24,6 +27,26 @@ def norm(v):
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
     return v
+
+def norm_type(t: pa.DataType) -> str:
+    """Canonical type label matching the driver's type-sensitive hash.
+
+    Only representation variants that carry no value semantics are
+    merged (string widths, timestamp tz spelling); integer width vs
+    decimal128 stays distinct — that IS the class this check exists for.
+    """
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return f"timestamp[{t.unit}]"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{norm_type(t.value_type)}>"
+    return str(t)
+
+def table_types(tbl: pa.Table):
+    return {f.name: norm_type(f.type) for f in tbl.schema}
 
 def table_rows(tbl: pa.Table):
     cols = sorted(tbl.column_names)
@@ -67,6 +90,13 @@ def main():
         dc, drows = table_rows(duck_tbl)
         if sc != dc:
             print(f"FAIL {name}: columns spark={sc} duck={dc}")
+            n_fail += 1
+            continue
+        st, dt = table_types(spark_tbl), table_types(duck_tbl)
+        badt = {c: (st[c], dt[c]) for c in sc if st[c] != dt[c]}
+        if badt:
+            print(f"FAIL {name}: column TYPES differ (driver hash is "
+                  f"type-sensitive): {badt}")
             n_fail += 1
             continue
         if len(srows) != len(drows):
