@@ -508,6 +508,35 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** N-gram CONTAINMENT for candidate pairs — the asymmetric twin of
+    * [[ngramJaccard]]: C(A⊂B) = |A∩B| / |A| and C(B⊂A) = |A∩B| / |B|,
+    * the Broder containment that catches SUB-document duplication
+    * (a page 95% quoted inside a bigger page scores ~0.95 here while
+    * its Jaccard drowns under the size mismatch — the classic reason
+    * quote-farms survive Jaccard-thresholded dedup). Same shingle
+    * frames, same candidate-pair contract (never all-pairs), round(4).
+    * Docs under `n` words have no shingles and report null (no
+    * denominator to claim). */
+  def ngramContainment(docs: DataFrame, pairs: DataFrame,
+                       n: Int = 2): DataFrame = {
+    val sh = shingles(docs, n).distinct()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val inter = pairs
+      .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.doc_id") &&
+        col("sa.shingle") === col("sb.shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(cnt.as("ca"), col("id_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("id_b") === col("cb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        round(coalesce(col("i"), lit(0)) / col("ca.c"), 4)
+          .as("containment_a_in_b"),
+        round(coalesce(col("i"), lit(0)) / col("cb.c"), 4)
+          .as("containment_b_in_a"))
+  }
+
   /** Incremental NEAR-duplicate dedup — the fuzzy counterpart of
     * [[incrementalDedup]]: a new crawl batch is deduplicated against the
     * already-released corpus at MinHash/LSH granularity, so a re-crawled

@@ -441,4 +441,131 @@ object Events {
       .join(firstDay, Seq("u"))
       .withColumn("day_offset", datediff(col("d"), col("cohort_day")))
   }
+
+  /** RFM segmentation: per user the classic recency/frequency/monetary
+    * triple — days since last activity (relative to the corpus's last
+    * day), event count, and value sum — each scored 1–4 against the
+    * GLOBAL quartiles of the per-user frame (recency inverted: the most
+    * RECENT quartile scores 4). Segment = the concatenated "rfm" code,
+    * the marketing-analytics user taxonomy behind "win back the 411s".
+    *
+    * Both the per-user values and the quartile edges round(6) before
+    * comparison, so an engine-ulp in a double sum cannot flip a score.
+    *
+    * Shape at 100 TB: one user-keyed partial agg, ONE quartile-edge row
+    * from a percentile aggregate (exact here for oracle parity; swap
+    * percentile_approx at extreme scale — the deciles twin's split),
+    * broadcast back, then map-only scoring. No per-user window. */
+  def rfm(events: DataFrame,
+          userCol: String = "user_id",
+          tsCol: String = "ts",
+          valueCol: String = "value"): DataFrame = {
+    val perUser = events
+      .select(col(userCol).as("user_id"), to_date(col(tsCol)).as("d"),
+        col(valueCol).as("v"))
+      .groupBy("user_id")
+      .agg(max(col("d")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("v")), 6).as("monetary"))
+    val maxDay = perUser.agg(max(col("last_day")).as("corpus_last"))
+    val base = perUser.crossJoin(broadcast(maxDay))
+      .withColumn("recency_days",
+        datediff(col("corpus_last"), col("last_day")).cast("long"))
+      .drop("corpus_last", "last_day")
+    val qs = array(lit(0.25), lit(0.5), lit(0.75))
+    val edges = base.agg(
+      transform(percentile(col("recency_days"), qs), e => round(e, 6))
+        .as("r_edges"),
+      transform(percentile(col("frequency"), qs), e => round(e, 6))
+        .as("f_edges"),
+      transform(percentile(col("monetary"), qs), e => round(e, 6))
+        .as("m_edges"))
+    def above(v: Column, es: Column): Column =
+      size(filter(es, e => v > e)).cast("long")
+    base.crossJoin(broadcast(edges))
+      // recency: fewer days = better; score 4 = at-or-below Q1
+      .withColumn("r_score", lit(4) - above(col("recency_days").cast("double"),
+        col("r_edges")))
+      .withColumn("f_score", lit(1) + above(col("frequency").cast("double"),
+        col("f_edges")))
+      .withColumn("m_score", lit(1) + above(col("monetary"), col("m_edges")))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+  }
+
+  /** CHURN by cohort: per first-event-day cohort, how many users are
+    * INACTIVE for the trailing `inactiveDays` of the corpus (last event
+    * at or before corpus_end − inactiveDays) — the denominator-honest
+    * churn table next to [[retention]]'s activity curve. round(6).
+    *
+    * Shape at 100 TB: ONE user-keyed partial agg (first day AND last
+    * day in the same pass), a broadcast corpus-end row, then a
+    * (cohort_day) partial agg. */
+  def churn(events: DataFrame, inactiveDays: Int = 7,
+            userCol: String = "user_id",
+            tsCol: String = "ts"): DataFrame = {
+    val perUser = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
+      .groupBy("u")
+      .agg(min(col("d")).as("cohort_day"), max(col("d")).as("last_day"))
+    val end = perUser.agg(max(col("last_day")).as("corpus_end"))
+    perUser.crossJoin(broadcast(end))
+      .withColumn("churned",
+        datediff(col("corpus_end"), col("last_day")) >= inactiveDays)
+      .groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_size"),
+        sum(when(col("churned"), 1L).otherwise(0L)).as("n_churned"))
+      .withColumn("churn_rate",
+        round(col("n_churned").cast("double") / col("cohort_size"), 6))
+  }
+
+  /** Activity HEATMAP: events, distinct users, and value by (day-of-week,
+    * hour-of-day) — the load-shape panel behind capacity planning and
+    * send-time optimization. dow is 1=Sunday..7 (Spark's rule; the
+    * oracle shifts DuckDB's 0-based dow to match). One partial agg onto
+    * a ≤168-row frame; countDistinct rides its partial phases. */
+  def hourDowHeatmap(events: DataFrame,
+                     userCol: String = "user_id",
+                     tsCol: String = "ts",
+                     valueCol: String = "value"): DataFrame =
+    events
+      .groupBy(dayofweek(col(tsCol)).cast("long").as("dow"),
+        hour(col(tsCol)).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col(userCol)).as("n_users"),
+        round(sum(col(valueCol)), 6).as("total_value"))
+
+  /** POWER-USER share: what fraction of all events the most-active
+    * `topFrac` of users produce — the one-number skew readout next to
+    * [[engagementGini]], computed over the same COUNT HISTOGRAM so the
+    * ordered walk never touches the user space. The top-K cut (K =
+    * ceil(topFrac × users)) splits mid-level exactly: a partially
+    * included activity level contributes level × remaining-users
+    * events. round(6).
+    *
+    * Shape at 100 TB: identical to Gini — two partial aggs down to the
+    * activity-level histogram, one bounded ordered window, one row out. */
+  def powerUserShare(events: DataFrame, topFrac: Double = 0.01,
+                     userCol: String = "user_id"): DataFrame = {
+    require(topFrac > 0 && topFrac <= 1, s"topFrac in (0,1], got $topFrac")
+    val hist = events.groupBy(col(userCol).as("u"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("nu"))
+    val tot = hist.agg(sum(col("nu")).as("tu"),
+      sum(col("n") * col("nu")).as("te"))
+    val wDesc = Window.orderBy(col("n").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.crossJoin(broadcast(tot))
+      .withColumn("k", ceil(lit(topFrac) * col("tu")).cast("long"))
+      .withColumn("cum_u", sum(col("nu")).over(wDesc))
+      // users of THIS level counted toward the top-K cut
+      .withColumn("take_u",
+        greatest(lit(0L), least(col("nu"), col("k") - (col("cum_u") - col("nu")))))
+      .agg(max(col("tu")).as("n_users"), max(col("te")).as("n_events"),
+        max(col("k")).as("top_k_users"),
+        sum(col("take_u") * col("n")).as("top_events"))
+      .withColumn("top_share",
+        round(col("top_events").cast("double") / col("n_events"), 6))
+  }
 }

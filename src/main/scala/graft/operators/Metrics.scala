@@ -565,6 +565,39 @@ object Metrics {
     pairCounts(sums, windowSec, "resets")(
       (prev, v) => when(v < prev, 1L).otherwise(0L))
 
+  /** Reset-corrected TOTAL increase per series over the whole retained
+    * range — Prometheus's counter semantics without a window: each
+    * consecutive pair contributes `v − prev` when monotone and `v`
+    * after a reset (the counter restarted from ~0, so the new value IS
+    * the increase since), summed per series. The "how many requests did
+    * this instance actually serve" number a raw max−min gets wrong on
+    * every restart. Reports the reset count beside it ([[resets]]'
+    * windowed face, collapsed). Single points report null (no pair —
+    * no increase to claim). round(6).
+    *
+    * Shape at 100 TB: one series-keyed exchange for the lag window,
+    * then a series-keyed partial agg on the same partitioning; replay
+    * dedup keys by uniform (series, time). */
+  def adjustedTotal(sums: DataFrame): DataFrame = {
+    val v = coalesce(col("double_value"), col("int_value").cast("double"))
+    val w = Window.partitionBy(seriesKey: _*)
+      .orderBy(col("time_unix_nano"), col("__v"))
+    Replay.dedupWithin(sums.where(v.isNotNull),
+        seriesKey :+ col("time_unix_nano"))
+      .withColumn("__v", v)
+      .withColumn("__pv", lag(col("__v"), 1).over(w))
+      .withColumn("__d", when(col("__pv").isNull, lit(null))
+        .when(col("__v") < col("__pv"), col("__v"))
+        .otherwise(col("__v") - col("__pv")))
+      .groupBy(seriesKey: _*)
+      .agg(round(sum(col("__d")), 6).as("adjusted_total"),
+        sum(when(col("__pv").isNotNull && col("__v") < col("__pv"), 1L)
+          .otherwise(0L)).as("n_resets"),
+        count(lit(1)).as("n_points"),
+        min(col("time_unix_nano")).as("first_time"),
+        max(col("time_unix_nano")).as("last_time"))
+  }
+
   /** PromQL `changes()` over aligned windows: per (series, window) how
     * many times the value CHANGED between consecutive points — the
     * config-flap / state-thrash detector (a gauge that changes every

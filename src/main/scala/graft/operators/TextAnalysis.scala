@@ -53,6 +53,32 @@ object TextAnalysis {
       stopRatio.as("stop_ratio"), punctRatio.as("punct_ratio"), score.as("quality"))
   }
 
+  /** READABILITY: Flesch reading-ease + Flesch-Kincaid grade level per
+    * document from pure-regexp proxies — words are whitespace tokens
+    * (the corpus-wide rule), sentences are `[.!?]+` runs (floor 1: a
+    * fragment is one sentence), syllables are vowel-group runs
+    * `[aeiouy]+` of the lowercased text (the standard cheap
+    * approximation). The "too dense to train on / too trivial to keep"
+    * band filter next to [[qualityScore]]'s structural heuristics.
+    * Empty docs (0 words) emit null scores instead of a fabricated
+    * constant. round(4). MAP-ONLY. */
+  def readability(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val words = wsTokens(t)
+    val sentences = greatest(lit(1L),
+      size(regexp_extract_all(t, lit("[.!?]+"), lit(0))).cast("long"))
+    val syllables = size(
+      regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0))).cast("long")
+    val wps = words.cast("double") / sentences
+    val spw = syllables.cast("double") / words
+    docs.select(col("doc_id"), words.cast("long").as("n_words"),
+      sentences.as("n_sentences"), syllables.as("n_syllables"),
+      when(words > 0, round(lit(206.835) - lit(1.015) * wps
+        - lit(84.6) * spw, 4)).as("flesch_ease"),
+      when(words > 0, round(lit(0.39) * wps + lit(11.8) * spw
+        - lit(15.59), 4)).as("fk_grade"))
+  }
+
   /** Marker words per language for the n-gram/stopword language-id heuristic. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "is", "a"),

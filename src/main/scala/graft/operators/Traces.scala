@@ -749,6 +749,82 @@ object Traces {
           lit(1.0 - sloTarget), 4))
   }
 
+  /** MULTI-WINDOW burn-rate alert (Google SRE workbook ch. 5, the full
+    * rule [[burnRate]] is the input to): a (service, long-window) row
+    * fires only when the long window's burn ≥ `threshold` AND the burn
+    * over the SHORT window closing the long one also ≥ `threshold` —
+    * the short condition makes the alert CURRENT (a budget spent hours
+    * ago and recovered must not page now). `shortSec` must divide
+    * `longSec`; the short window used is the last aligned one inside
+    * each long window. A long window whose closing slice has no spans
+    * does not fire (no current traffic is not currently burning —
+    * exactly why the rule has the short arm).
+    *
+    * Shape at 100 TB: two aligned partial-agg groupBys over the same
+    * span frame and one (service, window) equi-join of two downsampled
+    * frames. */
+  def multiBurnAlert(spans: DataFrame, sloTarget: Double,
+                     longSec: Long = 300, shortSec: Long = 60,
+                     threshold: Double = 1.0,
+                     serviceCol: String = "service_name",
+                     idCol: String = "span_id",
+                     traceCol: String = "trace_id",
+                     statusCol: String = "status_code",
+                     timeCol: String = "start_time_unix_nano"): DataFrame = {
+    require(longSec > shortSec && longSec % shortSec == 0,
+      s"shortSec must divide longSec (got $shortSec / $longSec)")
+    val longB = burnRate(spans, sloTarget, longSec, serviceCol, idCol,
+        traceCol, statusCol, timeCol)
+      .select(col("service_name"), col("window_start"),
+        col("n_spans"), col("n_errors"),
+        col("burn_rate").as("long_burn"))
+    val shortB = burnRate(spans, sloTarget, shortSec, serviceCol, idCol,
+        traceCol, statusCol, timeCol)
+      .select(col("service_name"),
+        col("window_start").as("__sw"),
+        col("burn_rate").as("short_burn"))
+    val lf = longB.withColumn("__closing",
+      col("window_start") + expr(s"INTERVAL ${longSec - shortSec} SECOND"))
+    lf.join(shortB, lf("service_name") === shortB("service_name") &&
+        lf("__closing") === shortB("__sw"))
+      .select(lf("service_name"), lf("window_start"),
+        lf("n_spans"), lf("n_errors"), col("long_burn"), col("short_burn"))
+      .where(col("long_burn") >= threshold && col("short_burn") >= threshold)
+  }
+
+  /** Trace FANOUT profile: per trace the leaf count, the widest span
+    * (max direct children), and the mean children per internal span —
+    * the tree SHAPE readout next to [[traceTree]]'s depth/critical-path
+    * (a deep chain and a wide scatter-gather have the same span count
+    * and very different backends). Children of DANGLING parents count
+    * as nobody's children ([[traceTree]]'s normalization: an absent
+    * parent makes the child a root, not an edge). round(6) on the mean.
+    *
+    * Shape at 100 TB: one (trace, parent) partial agg joined back on
+    * the uniform (trace, span) key, then a trace-keyed agg. */
+  def traceFanout(spans: DataFrame,
+                  idCol: String = "span_id",
+                  parentCol: String = "parent_span_id",
+                  traceCol: String = "trace_id"): DataFrame = {
+    val base = Replay.dedupWithin(
+      spans.select(col(traceCol).as("t"), col(idCol).as("s"),
+        col(parentCol).as("p")),
+      Seq(col("t"), col("s")))
+    val cc = base.where(col("p").isNotNull && col("p") =!= "")
+      .groupBy(col("t"), col("p").as("s"))
+      .agg(count(lit(1)).as("nc"))
+    base.join(cc, Seq("t", "s"), "left")
+      .na.fill(0L, Seq("nc"))
+      .groupBy(col("t").as("trace_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("nc") === 0, 1L).otherwise(0L)).as("n_leaves"),
+        max(col("nc")).as("max_fanout"),
+        when(sum(when(col("nc") > 0, 1L).otherwise(0L)) > 0,
+          round(sum(col("nc")).cast("double") /
+            sum(when(col("nc") > 0, 1L).otherwise(0L)), 6))
+          .as("avg_fanout"))
+  }
+
   /** Span-status derivation from HTTP semantic conventions — the OTel
     * collector/SDK rule for spans whose status arrived UNSET: a CLIENT
     * span with an http status ≥ 400 is an error; a SERVER span only at

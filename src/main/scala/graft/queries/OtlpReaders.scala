@@ -780,6 +780,127 @@ object OtlpReaders {
         .orderBy("service_name", "window_start")
     },
 
+    // multi-window multi-burn alert (SRE workbook ch.5): long-window burn
+    // AND the closing short window's burn both over threshold — the
+    // short arm makes the page CURRENT
+    df("otlp_multiburn",
+      s"""WITH rec AS (
+         |  SELECT rs.resource AS res, sp.* FROM read_json('$fx/slo_traces.jsonl',
+         |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
+         |    unnest(resourceSpans) AS a(rs),
+         |    unnest(rs.scopeSpans) AS b(ss),
+         |    unnest(ss.spans) AS c(sp)),
+         |sp AS (SELECT ${duckService("res.attributes")} AS service_name,
+         |  CAST(startTimeUnixNano AS BIGINT) AS tns,
+         |  status.code AS code FROM rec),
+         |lg AS (SELECT service_name, tns // 300000000000 * 300 AS lsec,
+         |  count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN code = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_errors
+         |  FROM sp GROUP BY 1, 2),
+         |sh AS (SELECT service_name, tns // 60000000000 * 60 AS ssec,
+         |  round((sum(CASE WHEN code = 2 THEN 1 ELSE 0 END)
+         |    / CAST(count(*) AS DOUBLE)) / 0.01, 4) AS short_burn
+         |  FROM sp GROUP BY 1, 2),
+         |j AS (SELECT lg.service_name, lsec, n_spans, n_errors,
+         |  round((n_errors / CAST(n_spans AS DOUBLE)) / 0.01, 4)
+         |    AS long_burn, short_burn
+         |  FROM lg JOIN sh ON sh.service_name = lg.service_name
+         |    AND sh.ssec = lg.lsec + 240)
+         |SELECT service_name,
+         |  strftime(make_timestamp(lsec * 1000000), '$TsFmtDuck')
+         |    AS window_start,
+         |  n_spans, n_errors, long_burn, short_burn
+         |FROM j WHERE long_burn >= 1.0 AND short_burn >= 1.0
+         |ORDER BY service_name, window_start""".stripMargin) { (s, _) =>
+      graft.operators.Traces.multiBurnAlert(
+          Otlp.readTraces(s, s"$fx/slo_traces.jsonl"),
+          sloTarget = 0.99, longSec = 300, shortSec = 60, threshold = 1.0)
+        .withColumn("window_start",
+          date_format(col("window_start"), TsFmtSpark))
+        .orderBy("service_name", "window_start")
+    },
+
+    // reset-corrected counter total per series: Σ(v−prev | monotone, v |
+    // after reset) — the restart-proof "requests actually served"
+    df("otlp_adjusted_total",
+      s"""WITH m AS (${metricsFlat(s"$fx/flap_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name",
+         |  CAST(dp.timeUnixNano AS BIGINT) AS tns,
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp)),
+         |lagd AS (SELECT *, lag(v) OVER (PARTITION BY "name"
+         |    ORDER BY tns, v) AS pv
+         |  FROM pts WHERE v IS NOT NULL),
+         |d AS (SELECT "name",
+         |  CASE WHEN pv IS NULL THEN NULL
+         |    WHEN v < pv THEN v ELSE v - pv END AS dlt,
+         |  CASE WHEN pv IS NOT NULL AND v < pv THEN 1 ELSE 0 END AS r
+         |  FROM lagd)
+         |SELECT "name", round(sum(dlt), 6) AS adjusted_total,
+         |  CAST(sum(r) AS BIGINT) AS n_resets, count(*) AS n_points
+         |FROM d GROUP BY "name" ORDER BY "name"""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.adjustedTotal(
+          Otlp.readMetricsSum(s, s"$fx/flap_metrics.jsonl"))
+        .select(col("name"), col("adjusted_total"), col("n_resets"),
+          col("n_points"))
+        .orderBy("name")
+    },
+
+    // trace fanout profile: leaves, widest span, mean children per
+    // internal span — the tree-shape readout next to trace_tree's depth
+    df("otlp_trace_fanout",
+      s"""WITH rec AS (
+         |  SELECT sp.* FROM read_json('$fx/tree_traces.jsonl',
+         |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
+         |    unnest(resourceSpans) AS a(rs),
+         |    unnest(rs.scopeSpans) AS b(ss),
+         |    unnest(ss.spans) AS c(sp)),
+         |sp AS (SELECT lower(traceId) AS t, lower(spanId) AS s,
+         |  lower(parentSpanId) AS p FROM rec),
+         |cc AS (SELECT c.t, c.p AS s, CAST(count(*) AS BIGINT) AS nc
+         |  FROM sp c JOIN sp q ON q.t = c.t AND q.s = c.p
+         |  WHERE c.p IS NOT NULL AND c.p <> '' GROUP BY c.t, c.p),
+         |f AS (SELECT sp.t, sp.s, coalesce(cc.nc, 0) AS nc
+         |  FROM sp LEFT JOIN cc ON cc.t = sp.t AND cc.s = sp.s)
+         |SELECT t AS trace_id, count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN nc = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_leaves,
+         |  CAST(max(nc) AS BIGINT) AS max_fanout,
+         |  CASE WHEN sum(CASE WHEN nc > 0 THEN 1 ELSE 0 END) > 0
+         |    THEN round(CAST(sum(nc) AS DOUBLE)
+         |      / sum(CASE WHEN nc > 0 THEN 1 ELSE 0 END), 6) END
+         |    AS avg_fanout
+         |FROM f GROUP BY t ORDER BY trace_id""".stripMargin) { (s, _) =>
+      graft.operators.Traces.traceFanout(
+          Otlp.readTraces(s, s"$fx/tree_traces.jsonl"))
+        .orderBy("trace_id")
+    },
+
+    // seasonality by day-of-week (1=Sunday): the weekly-rhythm face of
+    // the time-of-day profile already registered at minute grain
+    df("otlp_seasonality_dow",
+      s"""WITH m AS (${metricsFlat(s"$fx/rate_metrics.jsonl")}),
+         |pts AS (SELECT m."name" AS "name",
+         |  CAST(dayofweek(make_timestamp(
+         |    CAST(dp.timeUnixNano AS BIGINT) // 1000)) + 1 AS BIGINT)
+         |    AS bucket,
+         |  coalesce(dp.asDouble, CAST(dp.asInt AS DOUBLE)) AS v
+         |  FROM m, unnest(m."sum".dataPoints) AS d(dp))
+         |SELECT "name", bucket, round(avg(v), 6) AS avg_value,
+         |  min(v) AS min_value, max(v) AS max_value,
+         |  round(stddev_pop(v), 6) AS stddev_value,
+         |  count(*) AS n_points
+         |FROM pts WHERE v IS NOT NULL GROUP BY 1, 2
+         |ORDER BY "name", bucket""".stripMargin) { (s, _) =>
+      graft.operators.Metrics.seasonality(
+          Otlp.readMetricsSum(s, s"$fx/rate_metrics.jsonl"), bucket = "dow")
+        .select(col("name"), col("bucket"), col("avg_value"),
+          col("min_value"), col("max_value"), col("stddev_value"),
+          col("n_points"))
+        .orderBy("name", "bucket")
+    },
+
     // PromQL binary op with vector matching: num / den at shared
     // timestamps only; absent or zero denominators drop, never divide
     df("otlp_ratio_by",

@@ -301,6 +301,34 @@ object TrainingData {
       Dedup.ngramJaccard(docs, pairs, n = 2).orderBy("id_a").limit(100)
     },
 
+    // Broder containment (|A∩B|/|A|, both directions): the asymmetric
+    // sub-document-duplication score Jaccard drowns on size mismatch
+    df("dd_containment",
+      s"""WITH $duckWords,
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+         |    i -> concat_ws(' ', w[i], w[i+1]))) AS shingle
+         |  FROM toks WHERE len(w) >= 2) x),
+         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents),
+         |inter AS (SELECT id_a, id_b, count(*) AS i
+         |  FROM pairs JOIN sh sa ON sa.doc_id = id_a
+         |  JOIN sh sb ON sb.doc_id = id_b AND sb.shingle = sa.shingle
+         |  GROUP BY id_a, id_b)
+         |SELECT p.id_a, p.id_b,
+         |  round(coalesce(i.i, 0) / ca.c, 4) AS containment_a_in_b,
+         |  round(coalesce(i.i, 0) / cb.c, 4) AS containment_b_in_a
+         |FROM pairs p
+         |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+         |JOIN cnt ca ON ca.doc_id = p.id_a
+         |JOIN cnt cb ON cb.doc_id = p.id_b
+         |ORDER BY p.id_a LIMIT 100""".stripMargin) { (s, _) =>
+      val docs = s.table("documents")
+      val pairs = docs.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1).as("id_b"))
+      Dedup.ngramContainment(docs, pairs, n = 2).orderBy("id_a").limit(100)
+    },
+
     df("dd_embedding_neardup",
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |pairs AS (SELECT vec_id AS id_a, vec_id + 1 AS id_b FROM embeddings),
@@ -862,6 +890,96 @@ object TrainingData {
         .orderBy("day")
     },
 
+    // RFM segmentation: recency/frequency/monetary per user, each scored
+    // 1-4 against the global quartiles (edges + values round(6) so an
+    // engine-ulp cannot flip a score); recency inverted (recent = 4)
+    df("ev_rfm",
+      """WITH pu AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+        |  CAST(count(*) AS BIGINT) AS frequency,
+        |  round(sum("value"), 6) AS monetary
+        |  FROM events GROUP BY user_id),
+        |mx AS (SELECT max(last_day) AS corpus_last FROM pu),
+        |b AS (SELECT user_id,
+        |  CAST(datediff('day', last_day, corpus_last) AS BIGINT)
+        |    AS recency_days, frequency, monetary FROM pu, mx),
+        |e AS (SELECT
+        |  list_transform(quantile_cont(CAST(recency_days AS DOUBLE),
+        |    [0.25, 0.5, 0.75]), x -> round(x, 6)) AS re,
+        |  list_transform(quantile_cont(CAST(frequency AS DOUBLE),
+        |    [0.25, 0.5, 0.75]), x -> round(x, 6)) AS fe,
+        |  list_transform(quantile_cont(monetary,
+        |    [0.25, 0.5, 0.75]), x -> round(x, 6)) AS me FROM b),
+        |s AS (SELECT user_id, recency_days, frequency, monetary,
+        |  4 - CAST(len(list_filter(re,
+        |    q -> CAST(recency_days AS DOUBLE) > q)) AS BIGINT) AS r_score,
+        |  1 + CAST(len(list_filter(fe,
+        |    q -> CAST(frequency AS DOUBLE) > q)) AS BIGINT) AS f_score,
+        |  1 + CAST(len(list_filter(me, q -> monetary > q)) AS BIGINT)
+        |    AS m_score
+        |  FROM b, e)
+        |SELECT user_id, recency_days, frequency, monetary,
+        |  r_score, f_score, m_score,
+        |  concat(r_score, f_score, m_score) AS segment
+        |FROM s ORDER BY user_id LIMIT 200""".stripMargin) { (s, _) =>
+      Events.rfm(s.table("events")).orderBy("user_id").limit(200)
+    },
+
+    // cohort churn: users inactive for the corpus's trailing week, per
+    // first-event-day cohort
+    df("ev_churn",
+      """WITH pu AS (SELECT user_id AS u, min(CAST(ts AS DATE)) AS cohort_day,
+        |  max(CAST(ts AS DATE)) AS last_day FROM events GROUP BY 1),
+        |mx AS (SELECT max(last_day) AS corpus_end FROM pu),
+        |c AS (SELECT cohort_day,
+        |  CASE WHEN datediff('day', last_day, corpus_end) >= 7
+        |    THEN 1 ELSE 0 END AS churned FROM pu, mx)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  count(*) AS cohort_size,
+        |  CAST(sum(churned) AS BIGINT) AS n_churned,
+        |  round(CAST(sum(churned) AS DOUBLE) / count(*), 6) AS churn_rate
+        |FROM c GROUP BY 1 ORDER BY cohort_day""".stripMargin) { (s, _) =>
+      Events.churn(s.table("events"))
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("cohort_size"), col("n_churned"), col("churn_rate"))
+        .orderBy("cohort_day")
+    },
+
+    // activity heatmap by (day-of-week 1=Sunday, hour): the load-shape
+    // panel; DuckDB's 0-based dow shifts +1 to Spark's rule
+    df("ev_hour_dow",
+      """SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+        |  CAST(hour(ts) AS BIGINT) AS "hour",
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(sum("value"), 6) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY dow, "hour"""".stripMargin) {
+      (s, _) =>
+      Events.hourDowHeatmap(s.table("events")).orderBy("dow", "hour")
+    },
+
+    // power-user share: events produced by the most-active 1% of users,
+    // over the same count histogram as the Gini (mid-level exact split)
+    df("ev_power_share",
+      """WITH pu AS (SELECT user_id AS u, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT n, CAST(count(*) AS BIGINT) AS nu FROM pu GROUP BY 1),
+        |t AS (SELECT CAST(sum(nu) AS BIGINT) AS tu,
+        |  CAST(sum(n * nu) AS BIGINT) AS te FROM h),
+        |w AS (SELECT n, nu, tu, te,
+        |  CAST(ceil(0.01 * tu) AS BIGINT) AS k,
+        |  CAST(sum(nu) OVER (ORDER BY n DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_u FROM h, t),
+        |s AS (SELECT tu, te, k, n,
+        |  greatest(0, least(nu, k - (cum_u - nu))) AS take_u FROM w)
+        |SELECT max(tu) AS n_users, max(te) AS n_events,
+        |  max(k) AS top_k_users,
+        |  CAST(sum(take_u * n) AS BIGINT) AS top_events,
+        |  round(CAST(sum(take_u * n) AS DOUBLE) / max(te), 6) AS top_share
+        |FROM s""".stripMargin) { (s, _) =>
+      Events.powerUserShare(s.table("events"))
+    },
+
     // engagement Gini: inequality of events-per-user via the exact
     // Lorenz trapezoid over the count-of-counts histogram
     df("ev_gini",
@@ -1041,6 +1159,32 @@ object TrainingData {
         |    AS DOUBLE) AS quality
         |FROM f ORDER BY doc_id LIMIT 100""".stripMargin) { (s, _) =>
       TextAnalysis.qualityScore(s.table("documents")).orderBy("doc_id").limit(100)
+    },
+
+    // Flesch reading-ease + FK grade from regexp proxies (ws-token words,
+    // [.!?]+ sentence runs floor 1, vowel-group syllables); identical
+    // left-assoc arithmetic both sides so the round(4) cannot diverge
+    df("ta_readability",
+      """WITH f AS (SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS n_words,
+        |  CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |    AS BIGINT) AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |    AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0 THEN round(206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) END
+        |    AS flesch_ease,
+        |  CASE WHEN n_words > 0 THEN round(0.39
+        |    * (CAST(n_words AS DOUBLE) / n_sentences)
+        |    + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+        |    - 15.59, 4) END AS fk_grade
+        |FROM f ORDER BY doc_id LIMIT 200""".stripMargin) { (s, _) =>
+      TextAnalysis.readability(s.table("documents"))
+        .orderBy("doc_id").limit(200)
     },
 
     df("ta_langid",

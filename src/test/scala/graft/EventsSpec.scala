@@ -222,6 +222,22 @@ class EventsSpec extends SparkTestBase {
     }
   }
 
+  test("powerUserShare: the top-K cut splits a tied activity level " +
+    "exactly (take only the remaining users' events)") {
+    import spark.implicits._
+    // counts: three users at 5 events, one at 1 -> 16 events, 4 users.
+    // topFrac .25 -> K=1: ONE of the three level-5 users is 'top';
+    // share = 5/16, never 15/16
+    val ev = (Seq.fill(5)(1L) ++ Seq.fill(5)(2L) ++ Seq.fill(5)(3L) ++ Seq(4L))
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("event_id", "user_id")
+    val r = Events.powerUserShare(ev, topFrac = 0.25).collect().head
+    assert(r.getAs[Long]("n_users") == 4 && r.getAs[Long]("n_events") == 16)
+    assert(r.getAs[Long]("top_k_users") == 1)
+    assert(r.getAs[Long]("top_events") == 5, r)
+    assert(r.getAs[Double]("top_share") == 0.3125, r)
+  }
+
   test("cohortValue: cumulative per-cohort value, ltv normalizes by the " +
     "offset-0 cohort size even as later offsets lose users") {
     import spark.implicits._

@@ -60,7 +60,8 @@ class MetricsReplaySpec extends SparkTestBase {
       // k = 0 keeps every scoreable point, so the pin covers the join
       "seasonalAnomaly" -> (Metrics.seasonalAnomaly(_, "minute", 0.0)),
       "holtWinters" -> (Metrics.holtWinters(_)),
-      "idelta" -> (Metrics.idelta(_)))
+      "idelta" -> (Metrics.idelta(_)),
+      "adjustedTotal" -> (Metrics.adjustedTotal(_)))
     for ((label, op) <- ops) {
       val a = op(once).collect().map(_.toString).sorted.toSeq
       val b = op(replayed).collect().map(_.toString).sorted.toSeq
@@ -102,6 +103,31 @@ class MetricsReplaySpec extends SparkTestBase {
     assert(math.abs(one("stdvar").getAs[Double]("value") - 1400.0 / 9) < 1e-5)
     assert(one("group").getAs[Double]("value") == 1.0)
     intercept[IllegalArgumentException] { Metrics.aggregateBy(pts, "median") }
+  }
+
+  test("adjustedTotal: a reset contributes the restarted value, not a " +
+    "negative delta; single-point series report null") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(i: Int) = new java.sql.Timestamp(ts0.getTime + i * 1000L)
+    val pts = Seq(
+      // c: 5 -> 8 (+3), 8 -> 2 (reset: +2), 2 -> 6 (+4) = 9, 1 reset
+      ("c", t(0), 5.0), ("c", t(1), 8.0), ("c", t(2), 2.0), ("c", t(3), 6.0),
+      ("lone", t(0), 7.0)) // no pair -> null total
+      .toDF("name", "time_unix_nano", "double_value")
+      .withColumn("service_name", lit("svc"))
+      .withColumn("service_namespace", lit(null: String))
+      .withColumn("service_instance_id", lit("i"))
+      .withColumn("resource_attributes", lit("{}"))
+      .withColumn("scope_name", lit("sc"))
+      .withColumn("metric_attributes", lit("{}"))
+      .withColumn("int_value", lit(null).cast("long"))
+    val got = Metrics.adjustedTotal(pts).collect()
+      .map(r => r.getAs[String]("name") ->
+        ((Option(r.getAs[java.lang.Double]("adjusted_total")),
+          r.getAs[Long]("n_resets"), r.getAs[Long]("n_points")))).toMap
+    assert(got("c") == ((Some(9.0), 1L, 4L)), got)
+    assert(got("lone") == ((None, 0L, 1L)), got)
   }
 
   test("histogramStddev: midpoint moments; empty points and bound-less " +

@@ -424,6 +424,59 @@ class TracesSpec extends SparkTestBase {
     assert(got("old") == ((1L, 0L, Some(700.0), None, None)), got)
   }
 
+  test("traceFanout: leaves/max/avg hand-computed; a dangling parent's " +
+    "children are nobody's children") {
+    import spark.implicits._
+    val spans = Seq(
+      // ta: root r with 3 children, one child has 1 child -> leaves 3,
+      // max fanout 3, internal spans {r:3, c1:1} -> avg (3+1)/2 = 2.0
+      ("ta", "r", null), ("ta", "c1", "r"), ("ta", "c2", "r"),
+      ("ta", "c3", "r"), ("ta", "g1", "c1"),
+      // tb: x's parent 'missing' does not exist -> x is a leaf AND the
+      // missing id gets no fanout row; single span = 1 leaf, max 0
+      ("tb", "x", "missing")
+    ).toDF("trace_id", "span_id", "parent_span_id")
+    val got = Traces.traceFanout(spans).collect()
+      .map(r => r.getAs[String]("trace_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_leaves"),
+          r.getAs[Long]("max_fanout"),
+          Option(r.getAs[java.lang.Double]("avg_fanout"))))).toMap
+    assert(got("ta") == ((5L, 3L, 3L, Some(2.0))), got)
+    assert(got("tb") == ((1L, 1L, 0L, None)), got)
+  }
+
+  test("multiBurnAlert: fires only when the long window AND its closing " +
+    "short slice both burn — an early-burst-then-recovered window stays " +
+    "silent") {
+    import spark.implicits._
+    val ns = 1000000000L
+    val w0 = 1640000100L // 300s-aligned
+    def span(svc: String, id: String, offSec: Long, err: Boolean) =
+      (svc, s"t$id", id, if (err) 2 else 1,
+        new java.sql.Timestamp((w0 + offSec) * 1000))
+    val spans = (
+      // svc-sustained: errors early AND in [240,300)
+      Seq(span("s1", "a1", 10, true), span("s1", "a2", 20, true),
+        span("s1", "a3", 60, false),
+        span("s1", "a4", 250, true), span("s1", "a5", 280, false)) ++
+      // svc-early: same long burn, but closing slice EMPTY
+      Seq(span("s2", "b1", 5, true), span("s2", "b2", 15, true),
+        span("s2", "b3", 50, false))
+    ).toDF("service_name", "trace_id", "span_id", "status_code",
+      "start_time_unix_nano")
+    val got = Traces.multiBurnAlert(spans, sloTarget = 0.99,
+      longSec = 300, shortSec = 60, threshold = 1.0).collect()
+    assert(got.map(_.getAs[String]("service_name")).toSeq == Seq("s1"),
+      got.mkString(";"))
+    val r = got.head
+    // s1: long 3/5 err -> burn 60; closing slice 1/2 err -> burn 50
+    assert(r.getAs[Double]("long_burn") == 60.0, r)
+    assert(r.getAs[Double]("short_burn") == 50.0, r)
+    intercept[IllegalArgumentException] {
+      Traces.multiBurnAlert(spans, 0.99, longSec = 300, shortSec = 77)
+    }
+  }
+
   test("span ids repeated across DIFFERENT traces never cross-link") {
     import spark.implicits._
     val spans = Seq(
