@@ -491,7 +491,20 @@ object Dedup {
         coalesce(col("kept_digest"), md5(lit(""))).as("kept_digest"))
   }
 
-  def ngramJaccard(docs: DataFrame, pairs: DataFrame, n: Int = 2): DataFrame = {
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, n: Int = 2): DataFrame =
+    pairShingleStats(docs, pairs, n)
+      .select(col("id_a"), col("id_b"),
+        round(coalesce(col("i"), lit(0)) /
+          (col("ca") + col("cb") - coalesce(col("i"), lit(0))), 4)
+          .as("jaccard"))
+
+  /** ONE definition of the candidate-pair shingle frame [[ngramJaccard]]
+    * and [[ngramContainment]] share: per (id_a, id_b) the intersection
+    * size `i` (null when empty) and both sides' distinct-shingle counts
+    * `ca` / `cb`. Pairs touching a doc with no shingles (under `n`
+    * words) DROP here — the candidate contract both callers inherit. */
+  private def pairShingleStats(docs: DataFrame, pairs: DataFrame,
+                               n: Int): DataFrame = {
     val sh = shingles(docs, n).distinct()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val inter = pairs
@@ -503,9 +516,8 @@ object Dedup {
       .join(inter, Seq("id_a", "id_b"), "left")
       .join(cnt.as("ca"), col("id_a") === col("ca.doc_id"))
       .join(cnt.as("cb"), col("id_b") === col("cb.doc_id"))
-      .select(col("id_a"), col("id_b"),
-        round(coalesce(col("i"), lit(0)) / (col("ca.c") + col("cb.c") - coalesce(col("i"), lit(0))), 4)
-          .as("jaccard"))
+      .select(col("id_a"), col("id_b"), col("i"),
+        col("ca.c").as("ca"), col("cb.c").as("cb"))
   }
 
   /** N-gram CONTAINMENT for candidate pairs — the asymmetric twin of
@@ -514,28 +526,17 @@ object Dedup {
     * (a page 95% quoted inside a bigger page scores ~0.95 here while
     * its Jaccard drowns under the size mismatch — the classic reason
     * quote-farms survive Jaccard-thresholded dedup). Same shingle
-    * frames, same candidate-pair contract (never all-pairs), round(4).
-    * Docs under `n` words have no shingles and report null (no
-    * denominator to claim). */
+    * frames, same candidate-pair contract as [[ngramJaccard]] (never
+    * all-pairs; a pair touching a doc with no shingles — under `n`
+    * words — DROPS rather than reporting a fabricated score), round(4). */
   def ngramContainment(docs: DataFrame, pairs: DataFrame,
-                       n: Int = 2): DataFrame = {
-    val sh = shingles(docs, n).distinct()
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val inter = pairs
-      .join(sh.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("id_b") === col("sb.doc_id") &&
-        col("sa.shingle") === col("sb.shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
-    pairs
-      .join(inter, Seq("id_a", "id_b"), "left")
-      .join(cnt.as("ca"), col("id_a") === col("ca.doc_id"))
-      .join(cnt.as("cb"), col("id_b") === col("cb.doc_id"))
+                       n: Int = 2): DataFrame =
+    pairShingleStats(docs, pairs, n)
       .select(col("id_a"), col("id_b"),
-        round(coalesce(col("i"), lit(0)) / col("ca.c"), 4)
+        round(coalesce(col("i"), lit(0)) / col("ca"), 4)
           .as("containment_a_in_b"),
-        round(coalesce(col("i"), lit(0)) / col("cb.c"), 4)
+        round(coalesce(col("i"), lit(0)) / col("cb"), 4)
           .as("containment_b_in_a"))
-  }
 
   /** Incremental NEAR-duplicate dedup — the fuzzy counterpart of
     * [[incrementalDedup]]: a new crawl batch is deduplicated against the

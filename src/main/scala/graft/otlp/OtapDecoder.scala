@@ -222,19 +222,21 @@ object OtapDecoder {
     val out = new Array[Any](n)
     val encoding = v.getField.getDictionary
     if (encoding != null) {
+      // resolved once per column but REQUIRED only at the first non-null
+      // cell — an all-null (or empty) dict-encoded column must decode
+      // without its dictionary, exactly like the per-cell path did
       val dict = dicts.get(encoding.getId)
-      if (dict == null) throw new OtlpParseException(
-        s"missing dictionary ${encoding.getId} (streaming dictionary reuse " +
-          "is not supported by the batch OTAP reader)")
-      val dv = dict.getVector
       var i = 0
       while (i < n) {
         if (!v.isNull(i)) {
+          if (dict == null) throw new OtlpParseException(
+            s"missing dictionary ${encoding.getId} (streaming dictionary " +
+              "reuse is not supported by the batch OTAP reader)")
           val idx = v.getObject(i) match {
             case c: java.lang.Character => c.charValue().toInt
             case num: Number            => num.intValue()
           }
-          out(i) = cellRaw(dv, idx, dicts)
+          out(i) = cellRaw(dict.getVector, idx, dicts)
         }
         i += 1
       }
@@ -269,9 +271,12 @@ object OtapDecoder {
         while (i < n) { if (!x.isNull(i)) out(i) = x.get(i); i += 1 }
         out
       case x: StructVector =>
-        // children extracted column-major once; rows where the struct
-        // itself is null never read them (same cells cellRaw would
-        // produce, one dispatch per CHILD instead of per cell)
+        // children extracted column-major once (one dispatch per CHILD
+        // instead of per cell); extraction covers every position — a
+        // parent-null slot's child cells are decoded then discarded by
+        // the null check below, trading wasted work on sparse structs
+        // for the monomorphic child loops (values match cellRaw's:
+        // children carry their own validity bits)
         val children = x.getChildrenFromFields
         val m = children.size()
         val cn = new Array[String](m)

@@ -14,8 +14,11 @@ object OtapStages {
     val init = OtapEncoder.batchMessage(0, logsInit, attrsInit)
     val cont = OtapEncoder.batchMessage(1, logsCont, attrsCont)
 
+    var counting = false
     def time(label: String)(f: => Unit): Unit = {
+      counting = false
       (0 until 200).foreach(_ => f)
+      counting = true
       val t0 = System.nanoTime()
       var i = 0
       while (i < iters) { f; i += 1 }
@@ -26,16 +29,19 @@ object OtapStages {
 
     val dec = new OtapStreamDecoder(nsAsLong = false)
     dec.decode(init)
+    // counters only accumulate in the TIMED phase: the 200 warmup calls
+    // run cold (JIT) and would inflate the per-stage split relative to
+    // the steady-state headline they decompose
     var read = 0L; var asm = 0L; var peek = 0L
     time("full decode()") {
       dec.decode(cont)
-      read += dec.lastReadNanos; asm += dec.lastAssembleNanos
-      peek += dec.lastPeekNanos
+      if (counting) {
+        read += dec.lastReadNanos; asm += dec.lastAssembleNanos
+        peek += dec.lastPeekNanos
+      }
     }
-    // the time() helper warms 200 + times `iters` calls; counters saw all
-    val calls = iters + 200
-    println(f"  of which ipc-read       ${read / 1e3 / calls}%9.1f us/msg")
-    println(f"  of which assemble       ${asm / 1e3 / calls}%9.1f us/msg")
-    println(f"  of which schema-peek    ${peek / 1e3 / calls}%9.1f us/msg")
+    println(f"  of which ipc-read       ${read / 1e3 / iters}%9.1f us/msg")
+    println(f"  of which assemble       ${asm / 1e3 / iters}%9.1f us/msg")
+    println(f"  of which schema-peek    ${peek / 1e3 / iters}%9.1f us/msg")
   }
 }

@@ -134,10 +134,16 @@ object EventStreams {
           // bounded (the batch twin's orderBy(et, eid), same tiebreak)
           val out = it.toSeq.sortBy(e => (e._5, e._3)).map {
             case (ts, _, eid, ty, et) =>
+              // max(): a late event that time-travels behind the user's
+              // last seen one joins the CURRENT session (the documented
+              // contract) WITHOUT rewinding the gap anchor — a rewound
+              // anchor would make the next on-time event look > gap away
+              // and fabricate a session break
               st =
                 if (st == null || et - st.lastEtNs > gapNs)
                   SessionState(et, et, ts.getTime)
-                else SessionState(et, st.sessionStartNs, ts.getTime)
+                else SessionState(math.max(et, st.lastEtNs),
+                  st.sessionStartNs, math.max(ts.getTime, st.lastTsMs))
               SessionedEvent(u, eid, ty, et, st.sessionStartNs)
           }
           state.update(st)
@@ -194,9 +200,14 @@ object EventStreams {
                   st.lastEtNs, st.sessionStartNs)
                 st = TransState(et, et, ts.getTime, ty)
               } else {
+                // max(): a cross-batch late event joins the current
+                // session without rewinding the gap anchor (the
+                // sessionizeStream rule) — a rewound anchor would make
+                // the next on-time event fabricate an (end)
                 out += TransitionEvent(u, st.lastType, ty,
                   st.lastEtNs, st.sessionStartNs)
-                st = TransState(et, st.sessionStartNs, ts.getTime, ty)
+                st = TransState(math.max(et, st.lastEtNs),
+                  st.sessionStartNs, math.max(ts.getTime, st.lastTsMs), ty)
               }
             } else st = TransState(et, et, ts.getTime, ty)
           }
@@ -214,6 +225,14 @@ object EventStreams {
     * one row with both (or "(direct)" when none preceded). Aggregating
     * emitted rows by (first_touch, last_touch) with count +
     * countDistinct(user) IS the batch matrix — the stream≡batch pin.
+    *
+    * Contract (same as [[sessionizeStream]]'s): events must arrive
+    * per-user in event-time order ACROSS micro-batches — the seal-replay
+    * and memory-stream shapes. Within a batch the per-user slice is
+    * sorted here; a touch that time-travels behind an already-processed
+    * conversion cannot retro-attribute it (append mode never retracts),
+    * so out-of-order feeds need the collector-side reorder buffer, not
+    * this operator.
     *
     * State is two small strings per user and does NOT expire
     * (NoTimeout): attribution's lookback is the user's whole history —

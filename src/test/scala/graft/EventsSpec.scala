@@ -395,6 +395,39 @@ class EventsSpec extends SparkTestBase {
     assert(got.values.sum == 7L, got) // 3 intra steps + 4 (end) rows...
   }
 
+  test("transitionsStream: a cross-batch late event joins the current " +
+    "session without rewinding the gap anchor — no fabricated (end)") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ns = 1000000000L
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(sec: Long) = new java.sql.Timestamp(base + sec * 1000)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, Long, String, Long)]
+    val run = graft.streaming.EventStreams
+      .transitionsStream(in.toDF()
+        .toDF("ts", "user_id", "event_id", "event_type", "ts_ns"),
+        gapNs = 60 * ns, watermark = "10 hours")
+      .writeStream.format("memory").queryName("latetrans")
+      .outputMode("append").start()
+    in.addData((ts(100), 1L, 1L, "view", 100 * ns))
+    run.processAllAvailable()
+    // LATE: et=50 time-travels behind 100 (inside the 10h watermark
+    // slack) — joins the current session, anchor must stay at 100
+    in.addData((ts(50), 1L, 2L, "click", 50 * ns))
+    run.processAllAvailable()
+    // 130-100=30 < 60: same session. A rewound anchor (50) would have
+    // seen 80 > 60 and fabricated an (end)
+    in.addData((ts(130), 1L, 3L, "purchase", 130 * ns))
+    run.processAllAvailable()
+    run.stop()
+    val got = spark.table("latetrans").collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")))
+    assert(!got.exists(_._2 == "(end)"),
+      s"late arrival fabricated a session break: ${got.mkString(";")}")
+    assert(got.toSet == Set(("view", "click"), ("click", "purchase")), got)
+  }
+
   test("attributionStream ≡ batch attribution matrix; a conversion " +
     "in a later micro-batch still sees first/last touches from earlier " +
     "batches, and a touchless conversion is (direct)") {
