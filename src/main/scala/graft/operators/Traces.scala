@@ -372,6 +372,49 @@ object Traces {
         sum(col("dur")).as("total_callee_ns"))
   }
 
+  /** QUEUE DELAY per service edge: the child span's start minus its
+    * parent's start — how long a request waited between being issued by
+    * the caller and actually starting at the callee (scheduling/queue/
+    * connection-pool latency, invisible to duration-only dashboards) —
+    * aggregated per (caller_service, callee_service) with exact
+    * p50/p95/max. Same parent-resolution join contract as
+    * [[serviceGraph]] (each side replay-deduped on its own join key).
+    * Negative deltas (clock skew between hosts) are kept and reported
+    * via min_delay_ns — hiding them would hide the skew.
+    *
+    * Shape at 100 TB: the same two pre-partitioned exchanges as the
+    * service graph, then a partial agg onto the service-pair frame;
+    * the exact percentile runs per edge group (bounded by pair
+    * cardinality, not span count, in memory terms swap
+    * percentile_approx at extreme per-edge volume). */
+  def queueDelay(spans: DataFrame,
+                 idCol: String = "span_id",
+                 parentCol: String = "parent_span_id",
+                 traceCol: String = "trace_id",
+                 serviceCol: String = "service_name",
+                 timeCol: String = "start_time_unix_nano"): DataFrame = {
+    val child = Replay.dedupWithin(
+      spans.select(col(traceCol).as("t"), col(idCol).as("s"),
+        col(parentCol).as("p"), col(serviceCol).as("callee_service"),
+        unix_micros(col(timeCol)).as("cst")),
+      Seq(col("t"), col("p")))
+    val parent = Replay.dedupWithin(
+      spans.select(col(traceCol).as("pt"), col(idCol).as("ps"),
+        col(serviceCol).as("caller_service"),
+        unix_micros(col(timeCol)).as("pst")),
+      Seq(col("pt"), col("ps")))
+    child.join(parent, col("t") === col("pt") && col("p") === col("ps"))
+      .withColumn("__d", (col("cst") - col("pst")) * lit(1000L)) // ns
+      .groupBy("caller_service", "callee_service")
+      .agg(count(lit(1)).as("n_calls"),
+        min(col("__d")).as("min_delay_ns"),
+        // doubles, not an int cast: DuckDB rounds double→BIGINT casts
+        // while Spark truncates — round(4) doubles are engine-stable
+        round(percentile(col("__d"), lit(0.5)), 4).as("p50_delay_ns"),
+        round(percentile(col("__d"), lit(0.95)), 4).as("p95_delay_ns"),
+        max(col("__d")).as("max_delay_ns"))
+  }
+
   /** RED metrics per (service, span name): Rate (span count), Errors
     * (status code 2), Duration (total + max ns) — the operational rollup
     * every span table feeds a dashboard.

@@ -315,6 +315,34 @@ object OtlpReaders {
         .orderBy("caller_service", "callee_service")
     },
 
+    // queue delay per service edge: child start − parent start (the wait
+    // a duration-only dashboard can't see), exact p50/p95 per edge
+    df("otlp_queue_delay",
+      s"""WITH rec AS (
+         |  SELECT rs.resource AS res, sp.* FROM read_json('$fx/services_traces.jsonl',
+         |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
+         |    unnest(resourceSpans) AS a(rs),
+         |    unnest(rs.scopeSpans) AS b(ss),
+         |    unnest(ss.spans) AS c(sp)),
+         |sp AS (SELECT lower(traceId) AS t, lower(spanId) AS s,
+         |  lower(parentSpanId) AS p, ${duckService("res.attributes")} AS svc,
+         |  CAST(startTimeUnixNano AS BIGINT) // 1000 * 1000 AS st FROM rec),
+         |e AS (SELECT pa.svc AS caller_service, ch.svc AS callee_service,
+         |  ch.st - pa.st AS d
+         |  FROM sp ch JOIN sp pa ON pa.t = ch.t AND pa.s = ch.p)
+         |SELECT caller_service, callee_service,
+         |  CAST(count(*) AS BIGINT) AS n_calls,
+         |  CAST(min(d) AS BIGINT) AS min_delay_ns,
+         |  round(quantile_cont(CAST(d AS DOUBLE), 0.5), 4) AS p50_delay_ns,
+         |  round(quantile_cont(CAST(d AS DOUBLE), 0.95), 4) AS p95_delay_ns,
+         |  CAST(max(d) AS BIGINT) AS max_delay_ns
+         |FROM e GROUP BY 1, 2
+         |ORDER BY caller_service, callee_service""".stripMargin) { (s, _) =>
+      graft.operators.Traces.queueDelay(
+          Otlp.readTraces(s, s"$fx/services_traces.jsonl"))
+        .orderBy("caller_service", "callee_service")
+    },
+
     // delta -> cumulative temporality conversion for sum metrics: running
     // sums per series in time order; cumulative points pass through
     df("otlp_delta_to_cumulative",

@@ -1208,6 +1208,38 @@ object TrainingData {
       TextAnalysis.langId(s.table("documents")).orderBy("doc_id").limit(200)
     },
 
+    // language purity audit: the labeled lang vs the n-gram prediction as
+    // a per-source confusion matrix — the "is src3 really Spanish"
+    // curation diagnostic (composes langId against the lang column)
+    df("ta_lang_purity",
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS words
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  len(list_filter(words, x -> x IN ('the','and','of','is','a'))) AS c_en,
+        |  len(list_filter(words, x -> x IN ('der','die','und','das','ist'))) AS c_de,
+        |  len(list_filter(words, x -> x IN ('le','la','et','les','est'))) AS c_fr,
+        |  len(list_filter(words, x -> x IN ('el','la','y','los','es'))) AS c_es
+        |  FROM w),
+        |lp AS (SELECT doc_id,
+        |  CASE WHEN c_en = best AND best > 0 THEN 'en'
+        |       WHEN c_de = best AND best > 0 THEN 'de'
+        |       WHEN c_fr = best AND best > 0 THEN 'fr'
+        |       WHEN c_es = best AND best > 0 THEN 'es'
+        |       ELSE 'und' END AS lang_pred
+        |FROM (SELECT *, greatest(c_en, c_de, c_fr, c_es) AS best FROM c) t)
+        |SELECT d.source, d.lang, lp.lang_pred, count(*) AS n_docs
+        |FROM documents d JOIN lp ON lp.doc_id = d.doc_id
+        |GROUP BY 1, 2, 3
+        |ORDER BY source, lang, lang_pred""".stripMargin) { (s, _) =>
+      val docs = s.table("documents")
+      TextAnalysis.langId(docs)
+        .join(docs.select(col("doc_id"), col("source"), col("lang")), "doc_id")
+        .groupBy("source", "lang", "lang_pred")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "lang", "lang_pred")
+    },
+
     df("ta_fingerprint",
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
         |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0))), ' ')) AS fingerprint

@@ -221,6 +221,49 @@ object TelemetryStreams {
           lit(1.0 - sloTarget), 4).as("burn_rate"))
   }
 
+  /** Multi-window multi-burn alert on the LIVE span stream — the
+    * streaming face of `operators.Traces.multiBurnAlert`: ONE windowed
+    * aggregation carries both arms, because closing-slice membership is
+    * a pure map on the event time (`epoch-sec mod longSec ≥ longSec −
+    * shortSec` — the last aligned short window inside each long one,
+    * exactly the batch operator's join partner). A closed (window,
+    * service) row emits only when the long burn AND the closing
+    * slice's burn both reach `threshold`; windows whose closing slice
+    * saw no spans stay silent (the batch join-drop: no current traffic
+    * is not currently burning). Append mode; stream ≡ batch for
+    * windows fully inside the frame (spec-pinned). */
+  def multiBurnStream(spans: DataFrame, sloTarget: Double,
+                      longSec: Long = 300, shortSec: Long = 60,
+                      threshold: Double = 1.0,
+                      watermark: String = "10 minutes"): DataFrame = {
+    require(sloTarget > 0.0 && sloTarget < 1.0, s"bad SLO target $sloTarget")
+    require(longSec > shortSec && longSec % shortSec == 0,
+      s"shortSec must divide longSec (got $shortSec / $longSec)")
+    val closing =
+      pmod(unix_timestamp(col("start_time_unix_nano")), lit(longSec)) >=
+        lit(longSec - shortSec)
+    val err = col("status_code") === 2
+    spans
+      .withWatermark("start_time_unix_nano", watermark)
+      .dropDuplicatesWithinWatermark("trace_id", "span_id")
+      .withColumn("__closing", closing)
+      .groupBy(
+        window(col("start_time_unix_nano"), s"$longSec seconds").as("w"),
+        col("service_name"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(err, 1L).otherwise(0L)).as("n_errors"),
+        sum(when(col("__closing"), 1L).otherwise(0L)).as("__ns"),
+        sum(when(col("__closing") && err, 1L).otherwise(0L)).as("__ne"))
+      .where(col("__ns") > 0)
+      .select(col("w.start").as("window_start"), col("service_name"),
+        col("n_spans"), col("n_errors"),
+        round((col("n_errors").cast("double") / col("n_spans")) /
+          lit(1.0 - sloTarget), 4).as("long_burn"),
+        round((col("__ne").cast("double") / col("__ns")) /
+          lit(1.0 - sloTarget), 4).as("short_burn"))
+      .where(col("long_burn") >= threshold && col("short_burn") >= threshold)
+  }
+
   /** Apdex on the LIVE span stream — the streaming face of
     * `operators.Traces.apdex`, windowed: per (window, service) the
     * satisfied (≤ T) / tolerating (≤ 4T) / frustrated buckets and the

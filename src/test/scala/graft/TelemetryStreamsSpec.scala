@@ -352,6 +352,48 @@ class TelemetryStreamsSpec extends SparkTestBase {
     assert(streamApdex(Timestamp.valueOf("2024-01-01 00:00:00"))._5 == 0.5)
   }
 
+  test("multiBurnStream ≡ batch multiBurnAlert: the sustained-burn " +
+    "service pages, the early-burst-then-recovered one stays silent") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, String, String, String, Int)]
+    val df = in.toDF().toDF("start_time_unix_nano", "trace_id", "span_id",
+      "service_name", "status_code")
+    val rows = Seq(
+      // s1: 3/5 errors in the long window AND 1/2 in [04:00,05:00)
+      (Timestamp.valueOf("2024-01-01 00:00:10"), "t1", "a1", "s1", 2),
+      (Timestamp.valueOf("2024-01-01 00:00:20"), "t1", "a2", "s1", 2),
+      (Timestamp.valueOf("2024-01-01 00:01:00"), "t1", "a3", "s1", 0),
+      (Timestamp.valueOf("2024-01-01 00:04:10"), "t2", "a4", "s1", 2),
+      (Timestamp.valueOf("2024-01-01 00:04:40"), "t2", "a5", "s1", 0),
+      // s2: same long burn, but nothing in the closing slice
+      (Timestamp.valueOf("2024-01-01 00:00:05"), "t3", "b1", "s2", 2),
+      (Timestamp.valueOf("2024-01-01 00:00:15"), "t3", "b2", "s2", 2),
+      (Timestamp.valueOf("2024-01-01 00:00:50"), "t3", "b3", "s2", 0))
+    val q = TelemetryStreams.multiBurnStream(df, sloTarget = 0.99,
+        longSec = 300, shortSec = 60, threshold = 1.0)
+      .writeStream.format("memory").queryName("multiburnstream")
+      .outputMode("complete").start()
+    in.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("service_name"), r.getAs[Timestamp]("window_start"))
+    def vals(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("n_spans"), r.getAs[Long]("n_errors"),
+        r.getAs[Double]("long_burn"), r.getAs[Double]("short_burn"))
+    val stream = spark.table("multiburnstream").collect()
+      .map(r => key(r) -> vals(r)).toMap
+    val batch = graft.operators.Traces.multiBurnAlert(
+        rows.toDF("start_time_unix_nano", "trace_id", "span_id",
+          "service_name", "status_code"),
+        sloTarget = 0.99, longSec = 300, shortSec = 60, threshold = 1.0)
+      .collect().map(r => key(r) -> vals(r)).toMap
+    assert(stream == batch, s"stream $stream vs batch $batch")
+    assert(stream == Map(("s1", Timestamp.valueOf("2024-01-01 00:00:00")) ->
+      ((5L, 3L, 60.0, 50.0))), stream)
+  }
+
   test("streaming ratio: windowed vector matching matches batch ratioBy " +
     "when each window holds one timestamp; zero denominators drop") {
     import spark.implicits._
