@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -347,24 +347,12 @@ object Traces {
                    serviceCol: String = "service_name",
                    durCol: String = "duration_time_unix_nano",
                    statusCol: String = "status_code"): DataFrame = {
-    // span id rides along so the at-least-once replay dedup collapses only
-    // byte-equal replays, never two real calls that happen to look alike.
-    // Each side's dedup is keyed by ITS OWN join key — (trace, parent) on
-    // the child side, (trace, span) on the parent side — so both arrive at
-    // the parent-resolution join pre-partitioned and the dedup adds no
-    // exchange over the two the join needs anyway (VERDICT r10 #5; a
-    // full-row distinct() shuffled each side a second time keyed by every
-    // column). Plan-pinned in PlanSpec.
-    val child = Replay.dedupWithin(
-      spans.select(col(traceCol).as("t"), col(idCol).as("s"),
-        col(parentCol).as("p"), col(serviceCol).as("callee_service"),
+    val (child, parent) = parentResolutionSides(spans,
+      idCol, parentCol, traceCol,
+      childExtra = Seq(col(serviceCol).as("callee_service"),
         col(durCol).cast("long").as("dur"),
         col(statusCol).as("status")),
-      Seq(col("t"), col("p")))
-    val parent = Replay.dedupWithin(
-      spans.select(col(traceCol).as("pt"), col(idCol).as("ps"),
-        col(serviceCol).as("caller_service")),
-      Seq(col("pt"), col("ps")))
+      parentExtra = Seq(col(serviceCol).as("caller_service")))
     child.join(parent, col("t") === col("pt") && col("p") === col("ps"))
       .groupBy("caller_service", "callee_service")
       .agg(count(lit(1)).as("n_calls"),
@@ -393,16 +381,12 @@ object Traces {
                  traceCol: String = "trace_id",
                  serviceCol: String = "service_name",
                  timeCol: String = "start_time_unix_nano"): DataFrame = {
-    val child = Replay.dedupWithin(
-      spans.select(col(traceCol).as("t"), col(idCol).as("s"),
-        col(parentCol).as("p"), col(serviceCol).as("callee_service"),
+    val (child, parent) = parentResolutionSides(spans,
+      idCol, parentCol, traceCol,
+      childExtra = Seq(col(serviceCol).as("callee_service"),
         unix_micros(col(timeCol)).as("cst")),
-      Seq(col("t"), col("p")))
-    val parent = Replay.dedupWithin(
-      spans.select(col(traceCol).as("pt"), col(idCol).as("ps"),
-        col(serviceCol).as("caller_service"),
-        unix_micros(col(timeCol)).as("pst")),
-      Seq(col("pt"), col("ps")))
+      parentExtra = Seq(col(serviceCol).as("caller_service"),
+        unix_micros(col(timeCol)).as("pst")))
     child.join(parent, col("t") === col("pt") && col("p") === col("ps"))
       .withColumn("__d", (col("cst") - col("pst")) * lit(1000L)) // ns
       .groupBy("caller_service", "callee_service")
@@ -413,6 +397,30 @@ object Traces {
         round(percentile(col("__d"), lit(0.5)), 4).as("p50_delay_ns"),
         round(percentile(col("__d"), lit(0.95)), 4).as("p95_delay_ns"),
         max(col("__d")).as("max_delay_ns"))
+  }
+
+  /** ONE definition of the parent-resolution frame pair
+    * [[serviceGraph]] and [[queueDelay]] share: child keyed (t, s, p)
+    * plus its payload columns, parent keyed (pt, ps) plus its payload —
+    * both replay-deduped on their OWN join key ((trace, parent) child
+    * side, (trace, span) parent side), so each arrives at the
+    * resolution join pre-partitioned and the dedup adds no exchange
+    * over the two the join needs anyway (VERDICT r10 #5; a full-row
+    * distinct() shuffled each side a second time keyed by every
+    * column). Plan-pinned in PlanSpec via serviceGraph. */
+  private def parentResolutionSides(spans: DataFrame,
+      idCol: String, parentCol: String, traceCol: String,
+      childExtra: Seq[Column], parentExtra: Seq[Column])
+      : (DataFrame, DataFrame) = {
+    val child = Replay.dedupWithin(
+      spans.select(Seq(col(traceCol).as("t"), col(idCol).as("s"),
+        col(parentCol).as("p")) ++ childExtra: _*),
+      Seq(col("t"), col("p")))
+    val parent = Replay.dedupWithin(
+      spans.select(Seq(col(traceCol).as("pt"), col(idCol).as("ps"))
+        ++ parentExtra: _*),
+      Seq(col("pt"), col("ps")))
+    (child, parent)
   }
 
   /** RED metrics per (service, span name): Rate (span count), Errors

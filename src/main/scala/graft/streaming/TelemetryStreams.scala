@@ -237,8 +237,12 @@ object TelemetryStreams {
                       threshold: Double = 1.0,
                       watermark: String = "10 minutes"): DataFrame = {
     require(sloTarget > 0.0 && sloTarget < 1.0, s"bad SLO target $sloTarget")
-    require(longSec > shortSec && longSec % shortSec == 0,
-      s"shortSec must divide longSec (got $shortSec / $longSec)")
+    // shortSec > 0 explicitly: a negative shortSec passes the divisibility
+    // check but makes the closing predicate vacuously false — the batch
+    // twin throws here, so the stream must too (stream≡batch contract)
+    require(shortSec > 0 && longSec > shortSec && longSec % shortSec == 0,
+      s"shortSec must be positive and divide longSec " +
+        s"(got $shortSec / $longSec)")
     val closing =
       pmod(unix_timestamp(col("start_time_unix_nano")), lit(longSec)) >=
         lit(longSec - shortSec)
