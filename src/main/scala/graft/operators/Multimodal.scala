@@ -25,6 +25,11 @@ case class AudioMeta(media_id: Long, media_type: String, sample_rate: Int,
                      channels: Int, bits: Int, n_frames: Long,
                      duration_s: Double, rms_c0: Double, rms_c1: Double)
 
+/** Per-channel audio features from REAL PCM decode (media_id, channel,
+  * rms, zero-crossing rate, peak amplitude). */
+case class AudioFeatures(media_id: Long, channel: Int, rms: Double,
+                         zcr: Double, peak_abs: Long)
+
 /** Extracted (stubbed) feature vector for a media object. */
 case class MediaFeature(media_id: Long, feature: Array[Float])
 
@@ -328,6 +333,70 @@ object Multimodal {
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         AudioMeta(m.media_id, m.media_type, rate, ch, bits,
           frames.toLong, dur, rms(0), rms(1))
+      }
+    }
+  }
+
+  /** REAL audio feature extraction over `javax.sound` PCM decode — one
+    * row per (media, channel) with RMS, zero-crossing rate (sign flips
+    * between consecutive samples / (frames−1); a strict `product < 0`
+    * rule so zero samples break no crossing — the convention the
+    * oracle replays exactly), and the peak absolute amplitude. The
+    * signal-quality columns ("is this clip silence / clipping /
+    * noise") a speech-data curation pass filters on. rms/zcr round(4).
+    * Single-frame clips report zcr 0 (no pair to cross). Same
+    * mapPartitions batch shape and PCM contract as [[decodeAudio]]. */
+  def audioFeatures(media: Dataset[MediaItem]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.content))
+        val fmt = ais.getFormat
+        val bits = fmt.getSampleSizeInBits
+        require(fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            (bits == 8 || bits == 16),
+          s"media_id=${m.media_id}: only 8/16-bit signed PCM is decoded " +
+            s"(got ${fmt.getEncoding}/$bits-bit)")
+        val ch = fmt.getChannels
+        val bytes = {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](8192)
+          var n = ais.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = ais.read(chunk) }
+          buf.toByteArray
+        }
+        val bps = bits / 8
+        val frames = bytes.length / (bps * ch)
+        def sample(s: Int, c: Int): Int = {
+          val off = (s * ch + c) * bps
+          if (bits == 8) bytes(off).toInt
+          else if (fmt.isBigEndian)
+            (bytes(off) << 8) | (bytes(off + 1) & 0xff)
+          else (bytes(off + 1) << 8) | (bytes(off) & 0xff)
+        }
+        (0 until ch).map { c =>
+          var sumSq = 0.0
+          var flips = 0L
+          var peak = 0L
+          var prev = 0
+          var s = 0
+          while (s < frames) {
+            val v = sample(s, c)
+            sumSq += v.toDouble * v
+            if (math.abs(v.toLong) > peak) peak = math.abs(v.toLong)
+            if (s > 0 && prev.toLong * v < 0) flips += 1
+            prev = v
+            s += 1
+          }
+          def r4(x: Double) = BigDecimal(x)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          AudioFeatures(m.media_id, c,
+            r4(math.sqrt(sumSq / math.max(1, frames))),
+            if (frames > 1) r4(flips.toDouble / (frames - 1)) else 0.0,
+            peak)
+        }
       }
     }
   }

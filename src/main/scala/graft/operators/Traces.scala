@@ -800,6 +800,38 @@ object Traces {
           lit(1.0 - sloTarget), 4))
   }
 
+  /** ERROR-BUDGET accounting per service over the WHOLE frame — the
+    * period-to-date rollup next to [[burnRate]]'s windows: observed
+    * error rate, the share of the SLO's error budget already spent
+    * (rate / (1 − target)), and what remains (negative = blown). The
+    * monthly SLO-review table. error_rate round(6), budget round(4).
+    *
+    * Shape at 100 TB: one service-keyed partial agg; replay dedup on
+    * uniform (service, trace, span) identity. */
+  def errorBudget(spans: DataFrame, sloTarget: Double,
+                  serviceCol: String = "service_name",
+                  idCol: String = "span_id",
+                  traceCol: String = "trace_id",
+                  statusCol: String = "status_code"): DataFrame = {
+    require(sloTarget > 0.0 && sloTarget < 1.0, s"bad SLO target $sloTarget")
+    Replay.dedupWithin(
+        spans.select(col(serviceCol).as("service_name"),
+          col(traceCol).as("trace_id"), col(idCol).as("span_id"),
+          col(statusCol).as("status_code")),
+        Seq(col("service_name"), col("trace_id")))
+      .groupBy("service_name")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("status_code") === 2, 1L).otherwise(0L)).as("n_errors"))
+      .withColumn("error_rate",
+        round(col("n_errors").cast("double") / col("n_spans"), 6))
+      .withColumn("budget_used",
+        round((col("n_errors").cast("double") / col("n_spans")) /
+          lit(1.0 - sloTarget), 4))
+      .withColumn("budget_remaining",
+        round(lit(1.0) - (col("n_errors").cast("double") / col("n_spans")) /
+          lit(1.0 - sloTarget), 4))
+  }
+
   /** MULTI-WINDOW burn-rate alert (Google SRE workbook ch. 5, the full
     * rule [[burnRate]] is the input to): a (service, long-window) row
     * fires only when the long window's burn ≥ `threshold` AND the burn

@@ -121,6 +121,35 @@ object MultimodalQueries {
         .orderBy("media_id")
     },
 
+    // REAL audio features: RMS + zero-crossing rate + peak per channel
+    // over the DECODED PCM; the oracle replays the sample formula with
+    // the identical strict product<0 crossing rule
+    df("mm_audio_features",
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    CAST(1 + doc_id % 2 AS INT) AS ch,
+        |    50 + doc_id % 101 AS frames
+        |  FROM documents ORDER BY media_id LIMIT 100),
+        |sm AS (SELECT media_id, c, s,
+        |    CAST((media_id * 7 + c * 13 + s * 31) % 2001 - 1000 AS DOUBLE) AS v
+        |  FROM m CROSS JOIN generate_series(0, 149) ts(s)
+        |         CROSS JOIN generate_series(0, 1) tc(c)
+        |  WHERE s < frames AND c < ch),
+        |lg AS (SELECT media_id, c, v,
+        |    lag(v) OVER (PARTITION BY media_id, c ORDER BY s) AS pv
+        |  FROM sm),
+        |f AS (SELECT media_id, c,
+        |  round(sqrt(avg(v * v)), 4) AS rms,
+        |  round(CAST(sum(CASE WHEN pv IS NOT NULL AND pv * v < 0
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / (count(*) - 1), 4) AS zcr,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak_abs
+        |  FROM lg GROUP BY 1, 2)
+        |SELECT media_id, CAST(c AS INT) AS channel, rms, zcr, peak_abs
+        |FROM f ORDER BY media_id, channel""".stripMargin) { (s, _) =>
+      Multimodal.audioFeatures(Multimodal.wavFromDocuments(
+          s.table("documents").orderBy("doc_id").limit(100)))
+        .toDF().orderBy("media_id", "channel")
+    },
+
     // REAL image features: per-channel 4-bin intensity histograms + mean
     // luminance over the DECODED formula-pixel PNGs — the oracle replays
     // the pixel arithmetic (bin = value*4//256, Rec. 601 luminance);

@@ -808,6 +808,32 @@ object OtlpReaders {
         .orderBy("service_name", "window_start")
     },
 
+    // error-budget accounting per service over the whole frame: the
+    // period-to-date SLO review table next to the windowed burn rate
+    df("otlp_error_budget",
+      s"""WITH rec AS (
+         |  SELECT rs.resource AS res, sp.* FROM read_json('$fx/red_traces.jsonl',
+         |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
+         |    unnest(resourceSpans) AS a(rs),
+         |    unnest(rs.scopeSpans) AS b(ss),
+         |    unnest(ss.spans) AS c(sp)),
+         |sp AS (SELECT ${duckService("res.attributes")} AS service_name,
+         |  status.code AS code FROM rec),
+         |g AS (SELECT service_name, count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN code = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_errors FROM sp GROUP BY 1)
+         |SELECT service_name, n_spans, n_errors,
+         |  round(n_errors / CAST(n_spans AS DOUBLE), 6) AS error_rate,
+         |  round((n_errors / CAST(n_spans AS DOUBLE)) / 0.01, 4)
+         |    AS budget_used,
+         |  round(1.0 - (n_errors / CAST(n_spans AS DOUBLE)) / 0.01, 4)
+         |    AS budget_remaining
+         |FROM g ORDER BY service_name""".stripMargin) { (s, _) =>
+      graft.operators.Traces.errorBudget(
+          Otlp.readTraces(s, s"$fx/red_traces.jsonl"), sloTarget = 0.99)
+        .orderBy("service_name")
+    },
+
     // multi-window multi-burn alert (SRE workbook ch.5): long-window burn
     // AND the closing short window's burn both over threshold — the
     // short arm makes the page CURRENT

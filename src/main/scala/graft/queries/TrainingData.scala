@@ -847,6 +847,41 @@ object TrainingData {
 
     // session transition matrix: next-event Markov table within gap
     // sessions, with P(to | from) and the terminal (end) step
+    // session wall-duration distribution by entry type: exact p50/p90 of
+    // the sessionize rollup — "landing page X starts long sessions"
+    df("ev_session_duration_pct",
+      """WITH o AS (SELECT user_id AS u, event_type AS ty,
+        |  epoch_ns(ts) AS et, event_id AS eid FROM events),
+        |o2 AS (SELECT *, CASE WHEN (lag(et) OVER w) IS NULL
+        |    OR et - (lag(et) OVER w) > 3600000000000 THEN 1 ELSE 0 END AS ns
+        |  FROM o WINDOW w AS (PARTITION BY u ORDER BY et, eid)),
+        |s AS (SELECT u, ty, et, eid, sum(ns) OVER (PARTITION BY u
+        |  ORDER BY et, eid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS sess FROM o2),
+        |s2 AS (SELECT *,
+        |  first_value(ty) OVER (PARTITION BY u, sess ORDER BY et, eid)
+        |    AS entry_type FROM s),
+        |g AS (SELECT u, sess, min(entry_type) AS entry_type,
+        |  max(et) - min(et) AS duration_ns FROM s2 GROUP BY u, sess)
+        |SELECT entry_type, count(*) AS n_sessions,
+        |  round(quantile_cont(CAST(duration_ns AS DOUBLE), 0.5), 4)
+        |    AS p50_duration_ns,
+        |  round(quantile_cont(CAST(duration_ns AS DOUBLE), 0.9), 4)
+        |    AS p90_duration_ns,
+        |  CAST(max(duration_ns) AS BIGINT) AS max_duration_ns
+        |FROM g GROUP BY entry_type ORDER BY entry_type""".stripMargin) {
+      (s, _) =>
+      Events.sessionStats(s.table("events"))
+        .groupBy("entry_type")
+        .agg(count(lit(1)).as("n_sessions"),
+          round(percentile(col("duration_ns"), lit(0.5)), 4)
+            .as("p50_duration_ns"),
+          round(percentile(col("duration_ns"), lit(0.9)), 4)
+            .as("p90_duration_ns"),
+          max(col("duration_ns")).as("max_duration_ns"))
+        .orderBy("entry_type")
+    },
+
     df("ev_transitions",
       """WITH o AS (SELECT user_id AS u, event_type AS ty,
         |  epoch_ns(ts) AS et, event_id AS eid FROM events),
@@ -1206,6 +1241,25 @@ object TrainingData {
         |FROM (SELECT *, greatest(c_en, c_de, c_fr, c_es) AS best FROM c) t
         |ORDER BY doc_id LIMIT 200""".stripMargin) { (s, _) =>
       TextAnalysis.langId(s.table("documents")).orderBy("doc_id").limit(200)
+    },
+
+    // per-source document-length bands: the truncation/packing policy
+    // input — how long is this source's tail, exactly
+    df("ta_length_bands",
+      """SELECT source, count(*) AS n_docs,
+        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.1), 4) AS p10_chars,
+        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS p50_chars,
+        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 4) AS p90_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) {
+      (s, _) =>
+      s.table("documents").groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(percentile(col("n_chars"), lit(0.1)), 4).as("p10_chars"),
+          round(percentile(col("n_chars"), lit(0.5)), 4).as("p50_chars"),
+          round(percentile(col("n_chars"), lit(0.9)), 4).as("p90_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("source")
     },
 
     // language purity audit: the labeled lang vs the n-gram prediction as
