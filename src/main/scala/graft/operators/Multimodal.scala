@@ -284,40 +284,59 @@ object Multimodal {
     * mirrors its single channel into both columns. Undecodable bytes fail
     * loudly — a corrupt clip in a curation pipeline is a data bug, not a
     * row to silently skip. */
+  /** ONE definition of the PCM decode contract [[decodeAudio]] and
+    * [[audioFeatures]] share: javax.sound stream open, the signed
+    * 8/16-bit PCM requirement, the byte drain, and the endian-aware
+    * per-(frame, channel) sample extractor. */
+  private final case class Pcm(fmt: javax.sound.sampled.AudioFormat,
+                               bits: Int, ch: Int, frames: Int,
+                               sample: (Int, Int) => Int)
+
+  private def decodePcm(m: MediaItem): Pcm = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(m.content))
+    val fmt = ais.getFormat
+    val bits = fmt.getSampleSizeInBits
+    require(fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        (bits == 8 || bits == 16),
+      s"media_id=${m.media_id}: only 8/16-bit signed PCM is decoded " +
+        s"(got ${fmt.getEncoding}/$bits-bit)")
+    val ch = fmt.getChannels
+    val bytes = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = ais.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = ais.read(chunk) }
+      buf.toByteArray
+    }
+    val bps = bits / 8
+    val frames = bytes.length / (bps * ch)
+    def sample(s: Int, c: Int): Int = {
+      val off = (s * ch + c) * bps
+      if (bits == 8) bytes(off).toInt
+      else if (fmt.isBigEndian)
+        (bytes(off) << 8) | (bytes(off + 1) & 0xff)
+      else (bytes(off + 1) << 8) | (bytes(off) & 0xff)
+    }
+    Pcm(fmt, bits, ch, frames, sample)
+  }
+
   def decodeAudio(media: Dataset[MediaItem]): Dataset[AudioMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(m.content))
-        val fmt = ais.getFormat
-        val bits = fmt.getSampleSizeInBits
-        require(fmt.getEncoding ==
-            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-            (bits == 8 || bits == 16),
-          s"media_id=${m.media_id}: only 8/16-bit signed PCM is decoded " +
-            s"(got ${fmt.getEncoding}/$bits-bit)")
-        val ch = fmt.getChannels
-        val bytes = {
-          val buf = new java.io.ByteArrayOutputStream()
-          val chunk = new Array[Byte](8192)
-          var n = ais.read(chunk)
-          while (n >= 0) { buf.write(chunk, 0, n); n = ais.read(chunk) }
-          buf.toByteArray
-        }
-        val bps = bits / 8
-        val frames = bytes.length / (bps * ch)
+        val pcm = decodePcm(m)
+        val fmt = pcm.fmt
+        val bits = pcm.bits
+        val ch = pcm.ch
+        val frames = pcm.frames
         val sumSq = new Array[Double](math.min(ch, 2))
         var s = 0
         while (s < frames) {
           var c = 0
           while (c < math.min(ch, 2)) {
-            val off = (s * ch + c) * bps
-            val v =
-              if (bits == 8) bytes(off).toInt
-              else if (fmt.isBigEndian)
-                (bytes(off) << 8) | (bytes(off + 1) & 0xff)
-              else (bytes(off + 1) << 8) | (bytes(off) & 0xff)
+            val v = pcm.sample(s, c)
             sumSq(c) += v.toDouble * v
             c += 1
           }
@@ -350,32 +369,9 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { m =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(m.content))
-        val fmt = ais.getFormat
-        val bits = fmt.getSampleSizeInBits
-        require(fmt.getEncoding ==
-            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-            (bits == 8 || bits == 16),
-          s"media_id=${m.media_id}: only 8/16-bit signed PCM is decoded " +
-            s"(got ${fmt.getEncoding}/$bits-bit)")
-        val ch = fmt.getChannels
-        val bytes = {
-          val buf = new java.io.ByteArrayOutputStream()
-          val chunk = new Array[Byte](8192)
-          var n = ais.read(chunk)
-          while (n >= 0) { buf.write(chunk, 0, n); n = ais.read(chunk) }
-          buf.toByteArray
-        }
-        val bps = bits / 8
-        val frames = bytes.length / (bps * ch)
-        def sample(s: Int, c: Int): Int = {
-          val off = (s * ch + c) * bps
-          if (bits == 8) bytes(off).toInt
-          else if (fmt.isBigEndian)
-            (bytes(off) << 8) | (bytes(off + 1) & 0xff)
-          else (bytes(off + 1) << 8) | (bytes(off) & 0xff)
-        }
+        val pcm = decodePcm(m)
+        val ch = pcm.ch
+        val frames = pcm.frames
         (0 until ch).map { c =>
           var sumSq = 0.0
           var flips = 0L
@@ -383,7 +379,7 @@ object Multimodal {
           var prev = 0
           var s = 0
           while (s < frames) {
-            val v = sample(s, c)
+            val v = pcm.sample(s, c)
             sumSq += v.toDouble * v
             if (math.abs(v.toLong) > peak) peak = math.abs(v.toLong)
             if (s > 0 && prev.toLong * v < 0) flips += 1

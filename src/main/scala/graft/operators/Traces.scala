@@ -814,6 +814,8 @@ object Traces {
                   traceCol: String = "trace_id",
                   statusCol: String = "status_code"): DataFrame = {
     require(sloTarget > 0.0 && sloTarget < 1.0, s"bad SLO target $sloTarget")
+    val rate = col("n_errors").cast("double") / col("n_spans")
+    val burn = rate / lit(1.0 - sloTarget)
     Replay.dedupWithin(
         spans.select(col(serviceCol).as("service_name"),
           col(traceCol).as("trace_id"), col(idCol).as("span_id"),
@@ -822,14 +824,9 @@ object Traces {
       .groupBy("service_name")
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("status_code") === 2, 1L).otherwise(0L)).as("n_errors"))
-      .withColumn("error_rate",
-        round(col("n_errors").cast("double") / col("n_spans"), 6))
-      .withColumn("budget_used",
-        round((col("n_errors").cast("double") / col("n_spans")) /
-          lit(1.0 - sloTarget), 4))
-      .withColumn("budget_remaining",
-        round(lit(1.0) - (col("n_errors").cast("double") / col("n_spans")) /
-          lit(1.0 - sloTarget), 4))
+      .withColumn("error_rate", round(rate, 6))
+      .withColumn("budget_used", round(burn, 4))
+      .withColumn("budget_remaining", round(lit(1.0) - burn, 4))
   }
 
   /** MULTI-WINDOW burn-rate alert (Google SRE workbook ch. 5, the full

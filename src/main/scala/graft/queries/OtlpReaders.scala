@@ -824,9 +824,12 @@ object OtlpReaders {
          |    AS n_errors FROM sp GROUP BY 1)
          |SELECT service_name, n_spans, n_errors,
          |  round(n_errors / CAST(n_spans AS DOUBLE), 6) AS error_rate,
-         |  round((n_errors / CAST(n_spans AS DOUBLE)) / 0.01, 4)
+         |  -- (1.0 - 0.99), not the literal 0.01: the Spark side computes
+         |  -- 1.0 - sloTarget at runtime and the two constants differ by
+         |  -- ~45 ulps — both sides must divide by the SAME double
+         |  round((n_errors / CAST(n_spans AS DOUBLE)) / (1.0 - 0.99), 4)
          |    AS budget_used,
-         |  round(1.0 - (n_errors / CAST(n_spans AS DOUBLE)) / 0.01, 4)
+         |  round(1.0 - (n_errors / CAST(n_spans AS DOUBLE)) / (1.0 - 0.99), 4)
          |    AS budget_remaining
          |FROM g ORDER BY service_name""".stripMargin) { (s, _) =>
       graft.operators.Traces.errorBudget(

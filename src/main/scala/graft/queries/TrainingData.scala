@@ -845,8 +845,6 @@ object TrainingData {
         .orderBy("first_touch", "last_touch")
     },
 
-    // session transition matrix: next-event Markov table within gap
-    // sessions, with P(to | from) and the terminal (end) step
     // session wall-duration distribution by entry type: exact p50/p90 of
     // the sessionize rollup — "landing page X starts long sessions"
     df("ev_session_duration_pct",
@@ -882,6 +880,8 @@ object TrainingData {
         .orderBy("entry_type")
     },
 
+    // session transition matrix: next-event Markov table within gap
+    // sessions, with P(to | from) and the terminal (end) step
     df("ev_transitions",
       """WITH o AS (SELECT user_id AS u, event_type AS ty,
         |  epoch_ns(ts) AS et, event_id AS eid FROM events),
