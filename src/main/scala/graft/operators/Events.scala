@@ -280,7 +280,11 @@ object Events {
     * user. Buckets are value-ranged rather than equal-count: ties at an
     * edge land together instead of being split by user id, so bucket
     * populations can differ from ntile's by the tied mass — the error
-    * bound EventsSpec pins.
+    * bound EventsSpec pins. The output decile domain is a DENSE 1..n
+    * spine: when tied sketch edges collapse adjacent buckets (heavily
+    * tied distributions), the swallowed deciles still appear with
+    * n_users = total_events = 0 and null min/max, so downstream
+    * consumers expecting n rows never mis-align (ADVICE r13).
     *
     * Shape at 100 TB: per-user partial agg (uniform user key) → sketch
     * agg to ONE row → broadcast → map. Nothing global ever sorts. */
@@ -306,6 +310,15 @@ object Events {
         sum(col("n_events")).as("total_events"),
         max(col("n_events")).as("max_events"),
         min(col("n_events")).as("min_events"))
+      // dense 1..n spine: tied sketch edges can collapse buckets and
+      // leave gaps in the decile numbering — emit the swallowed deciles
+      // as explicit zero rows (≤ n-row frames on both sides)
+      .join(events.sparkSession.range(1, n + 1)
+        .select(col("id").as("decile")), Seq("decile"), "right")
+      .select(col("decile"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"),
+        coalesce(col("total_events"), lit(0L)).as("total_events"),
+        col("max_events"), col("min_events"))
   }
 
   /** ACTIVE USERS: per calendar day, the distinct users active that day

@@ -488,10 +488,13 @@ object Logs {
     * explode to one (record, key, value) row each, quotes stripped —
     * the structured-extraction step that turns `level=error code=503
     * msg="upstream timeout"` into queryable fields without promoting a
-    * schema in advance. Keys are `[A-Za-z_][A-Za-z0-9_.]*`; quoted
-    * values may carry logfmt escapes (`\"`, `\\`) which are unescaped
-    * on output (bare values are taken verbatim — a Windows path keeps
-    * its backslashes); a body with no pairs contributes nothing.
+    * schema in advance. Keys are `[A-Za-z_][A-Za-z0-9_.]*`; inside
+    * quoted values EVERY backslash-escape `\x` collapses to `x` — the
+    * logfmt pairs `\"`→`"` and `\\`→`\`, but also `\n`→`n`, `\t`→`t`
+    * etc. (no C-style control expansion; ADVICE r13 — the oracle
+    * applies the identical rule). Bare values are taken verbatim — a
+    * Windows path keeps its backslashes; a body with no pairs
+    * contributes nothing.
     * MAP-ONLY (regexp extraction + explode); output cardinality is
     * pairs, bounded by body length. */
   def parseLogfmt(logs: DataFrame,

@@ -348,11 +348,38 @@ object Similarity {
 
   /** SemDeDup's own prescription k ≈ n/target_cell_size: cells sized so
     * the within-cell quadratic is a constant per cell and the total pair
-    * work is linear in n. Costs one count() job at plan time — at 100 TB
-    * a caller that already knows n should pass an explicit cell count. */
-  def autoCells(emb: DataFrame, targetCellSize: Int = 250): Int =
-    math.max(8, math.ceil(
-      emb.count().toDouble / targetCellSize)).toInt
+    * work is linear in n. Costs one count() job at plan time (memoized —
+    * see below) — at 100 TB a caller that already knows n should pass an
+    * explicit cell count. */
+  def autoCells(emb: DataFrame, targetCellSize: Int = 250): Int = {
+    val key = emb.queryExecution.analyzed
+    val inner = autoCellsMemo.synchronized {
+      var m = autoCellsMemo.get(key)
+      if (m == null) { m = new java.util.HashMap[Integer, Integer](); autoCellsMemo.put(key, m) }
+      m
+    }
+    inner.synchronized {
+      val cached = inner.get(Integer.valueOf(targetCellSize))
+      if (cached != null) cached.intValue()
+      else {
+        val k = math.max(8, math.ceil(
+          emb.count().toDouble / targetCellSize)).toInt
+        inner.put(Integer.valueOf(targetCellSize), k); k
+      }
+    }
+  }
+
+  /** One count() per distinct (analyzed plan, target size), not one per
+    * cell-bounded operator CALL (ADVICE r13: AutoCells-as-default made a
+    * loop constructing several operators over the same frame pay the
+    * count job each time, an eager surprise in an otherwise lazy API).
+    * Keys are the frames' analyzed plans: structurally-equal plans share
+    * the entry, weak keys let entries die with their plans. The count
+    * still runs at construction time — the cell count shapes the PLAN
+    * (centroid matrix width), so it cannot defer to first action. */
+  private val autoCellsMemo =
+    new java.util.WeakHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      java.util.HashMap[Integer, Integer]]()
 
   private def resolveCells(emb: DataFrame, centroids: Int): Int = {
     require(centroids >= 0, s"centroids must be >= 0, got $centroids")
@@ -712,7 +739,12 @@ object Similarity {
     * O(sum cell_size^2) not O(n^2)), which is the paper's own design: pick
     * k ~ n/target_cell_size so cells stay bounded and the join never sees
     * two vectors from different cells. The similarity is round(4)ed before
-    * the threshold so an engine-ulp difference cannot flip a verdict. */
+    * the threshold so an engine-ulp difference cannot flip a verdict.
+    *
+    * NOTE: the default `centroids = AutoCells` runs a count() job at
+    * CONSTRUCTION time to derive the cell count (memoized per input
+    * plan — see [[autoCells]]); pass an explicit count to stay lazy.
+    */
   def semDedup(emb: DataFrame, centroids: Int = AutoCells, dims: Int = 64,
                threshold: Double = 0.3,
                sampleMod: Int = 5, idCol: String = "vec_id",
@@ -838,7 +870,12 @@ object Similarity {
     * hoisted, native array_dot per pair), then the per-source top-k is a
     * window over the maximally-uniform src key — no global sort.
     * Similarities round(4) before ranking, dst tiebreak, so the graph is
-    * engine-exact. */
+    * engine-exact.
+    *
+    * NOTE: the default `centroids = AutoCells` runs a count() job at
+    * CONSTRUCTION time to derive the cell count (memoized per input
+    * plan — see [[autoCells]]); pass an explicit count to stay lazy.
+    */
   def knnGraph(emb: DataFrame, k: Int, centroids: Int = AutoCells,
                dims: Int = 64,
                sampleMod: Int = 5, idCol: String = "vec_id",
@@ -869,7 +906,12 @@ object Similarity {
     *
     * Shape at 100 TB: identical to knnGraph — one cell-keyed shuffle for
     * the pair join, per-src top-k as a window over the uniform src key; the
-    * label adds one small column to the shuffle, not a stage. */
+    * label adds one small column to the shuffle, not a stage.
+    *
+    * NOTE: the default `centroids = AutoCells` runs a count() job at
+    * CONSTRUCTION time to derive the cell count (memoized per input
+    * plan — see [[autoCells]]); pass an explicit count to stay lazy.
+    */
   def hardNegatives(emb: DataFrame, k: Int, centroids: Int = AutoCells,
                     dims: Int = 64,
                     sampleMod: Int = 5, idCol: String = "vec_id",
@@ -914,7 +956,12 @@ object Similarity {
     * the current label frame (both keyed by vector id — uniform), a
     * partial-aggregated (src, label) count, and a per-src argmax window
     * over at most k rows per src. Rounds are O(iters) sequential jobs,
-    * lineage truncated per round like `Dedup.neardupClusters`. */
+    * lineage truncated per round like `Dedup.neardupClusters`.
+    *
+    * NOTE: the default `centroids = AutoCells` runs a count() job at
+    * CONSTRUCTION time to derive the cell count (memoized per input
+    * plan — see [[autoCells]]); pass an explicit count to stay lazy.
+    */
   def labelPropagation(emb: DataFrame, k: Int, centroids: Int = AutoCells,
                        dims: Int = 64,
                        iters: Int = 2, seedMod: Int = 5,
@@ -975,7 +1022,12 @@ object Similarity {
     * Shape at 100 TB: inherits semDedup's cell-bounded pairwise contract
     * (k ~ n/cell_target); the centroid pass is a (cells × dims)-row
     * partial aggregate broadcast back; scoring is map-only on the native
-    * `array_dot`; the rank/count windows partition by cell. */
+    * `array_dot`; the rank/count windows partition by cell.
+    *
+    * NOTE: the default `centroids = AutoCells` runs a count() job at
+    * CONSTRUCTION time to derive the cell count (memoized per input
+    * plan — see [[autoCells]]); pass an explicit count to stay lazy.
+    */
   def d4Prune(emb: DataFrame, centroids: Int = AutoCells, dims: Int = 64,
               threshold: Double = 0.3,
               dropFrac: Double = 0.25, sampleMod: Int = 5,

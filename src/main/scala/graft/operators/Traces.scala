@@ -370,6 +370,12 @@ object Traces {
     * Negative deltas (clock skew between hosts) are kept and reported
     * via min_delay_ns — hiding them would hide the skew.
     *
+    * RESOLUTION: the `*_delay_ns` columns are nanosecond-UNIT but
+    * microsecond-GRANULAR — start times pass through the reader's
+    * ns→µs truncation (unix_micros × 1000), so sub-microsecond deltas
+    * are zero here by construction (ADVICE r13; the oracle mirrors the
+    * same truncation).
+    *
     * Shape at 100 TB: the same two pre-partitioned exchanges as the
     * service graph, then a partial agg onto the service-pair frame;
     * the exact percentile runs per edge group (bounded by pair

@@ -143,12 +143,17 @@ object OtapDecoder {
     * than hashing at this width. */
   private[otlp] final class ARowImpl(names: Array[String], vals: Array[Any])
       extends scala.collection.immutable.AbstractMap[String, Any] {
+    // scan from the END: the OTAP schemas never emit duplicate field
+    // names, but the pre-rewrite LinkedHashMap→toMap path this replaces
+    // kept the LAST value for a duplicate name — a last-to-first scan
+    // preserves that semantics exactly for any (pathological) batch
+    // rather than silently flipping to first-wins (ADVICE r13)
     private def idx(key: String): Int = {
-      var i = 0
-      while (i < names.length) {
+      var i = names.length - 1
+      while (i >= 0) {
         val n = names(i)
         if ((n eq key) || n == key) return i
-        i += 1
+        i -= 1
       }
       -1
     }
