@@ -138,6 +138,152 @@ object TrainingData {
         |clf AS (SELECT doc_id, round(1.0/(1.0 + exp(-z)), 4) AS score
         |  FROM zf)""".stripMargin
 
+
+  private val ssKnnGraphOracle =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cn AS (SELECT p, c, sqrt(list_sum(list_transform(generate_series(1, 64), i -> c[i] * c[i]))) AS nc
+        |  FROM (SELECT p, list_transform(generate_series(1, 64),
+        |    d -> (strpos('0123456789abcdef', substring(md5(concat(p + 1000, '_', d - 1)), 1, 1)) - 8.5)) AS c
+        |  FROM generate_series(0, 7) t(p)) x),
+        |i0 AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN cn WHERE vec_id % 5 = 0 GROUP BY vec_id),
+        |ic0 AS (SELECT vec_id, list_position(scores, list_aggregate(scores, 'max')) - 1 AS cell FROM i0),
+        |itr AS (SELECT cell, d, round(avg(v[d]), 4) AS cd
+        |  FROM ic0 JOIN e USING (vec_id) CROSS JOIN generate_series(1, 64) t(d)
+        |  GROUP BY cell, d),
+        |itl AS (SELECT cell, list(cd ORDER BY d) AS c FROM itr GROUP BY cell),
+        |tc AS (SELECT cn.p, coalesce(itl.c, cn.c) AS c,
+        |  sqrt(list_sum(list_transform(generate_series(1, 64),
+        |    i -> coalesce(itl.c, cn.c)[i] * coalesce(itl.c, cn.c)[i]))) AS nc
+        |  FROM cn LEFT JOIN itl ON itl.cell = cn.p),
+        |scored AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN tc GROUP BY vec_id),
+        |cells AS (SELECT s.vec_id, e.v,
+        |  sqrt(list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * e.v[i]))) AS nrm,
+        |  list_position(s.scores, list_aggregate(s.scores, 'max')) - 1 AS cell
+        |  FROM scored s JOIN e ON e.vec_id = s.vec_id),
+        |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |  round(list_sum(list_transform(generate_series(1, 64),
+        |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS sim
+        |  FROM cells a JOIN cells b
+        |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |r AS (SELECT src, dst, sim, CAST(row_number() OVER (
+        |  PARTITION BY src ORDER BY sim DESC, dst) AS INT) AS rnk FROM p)
+        |SELECT src, dst, sim, rnk FROM r WHERE rnk <= 3
+        |ORDER BY src, rnk LIMIT 300""".stripMargin
+
+  private val ssHardNegativesOracle =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cn AS (SELECT p, c, sqrt(list_sum(list_transform(generate_series(1, 64), i -> c[i] * c[i]))) AS nc
+        |  FROM (SELECT p, list_transform(generate_series(1, 64),
+        |    d -> (strpos('0123456789abcdef', substring(md5(concat(p + 1000, '_', d - 1)), 1, 1)) - 8.5)) AS c
+        |  FROM generate_series(0, 7) t(p)) x),
+        |i0 AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN cn WHERE vec_id % 5 = 0 GROUP BY vec_id),
+        |ic0 AS (SELECT vec_id, list_position(scores, list_aggregate(scores, 'max')) - 1 AS cell FROM i0),
+        |itr AS (SELECT cell, d, round(avg(v[d]), 4) AS cd
+        |  FROM ic0 JOIN e USING (vec_id) CROSS JOIN generate_series(1, 64) t(d)
+        |  GROUP BY cell, d),
+        |itl AS (SELECT cell, list(cd ORDER BY d) AS c FROM itr GROUP BY cell),
+        |tc AS (SELECT cn.p, coalesce(itl.c, cn.c) AS c,
+        |  sqrt(list_sum(list_transform(generate_series(1, 64),
+        |    i -> coalesce(itl.c, cn.c)[i] * coalesce(itl.c, cn.c)[i]))) AS nc
+        |  FROM cn LEFT JOIN itl ON itl.cell = cn.p),
+        |scored AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN tc GROUP BY vec_id),
+        |cells AS (SELECT s.vec_id, e.v, emb.label AS lbl,
+        |  sqrt(list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * e.v[i]))) AS nrm,
+        |  list_position(s.scores, list_aggregate(s.scores, 'max')) - 1 AS cell
+        |  FROM scored s JOIN e ON e.vec_id = s.vec_id
+        |  JOIN embeddings emb ON emb.vec_id = s.vec_id),
+        |p AS (SELECT a.vec_id AS src, b.vec_id AS dst, b.lbl AS neg_label,
+        |  round(list_sum(list_transform(generate_series(1, 64),
+        |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS sim
+        |  FROM cells a JOIN cells b
+        |    ON a.cell = b.cell AND a.vec_id <> b.vec_id AND a.lbl <> b.lbl),
+        |r AS (SELECT src, dst, neg_label, sim, CAST(row_number() OVER (
+        |  PARTITION BY src ORDER BY sim DESC, dst) AS INT) AS rnk FROM p)
+        |SELECT src, dst, neg_label, sim, rnk FROM r WHERE rnk <= 3
+        |ORDER BY src, rnk LIMIT 300""".stripMargin
+
+  private val ssLabelPropOracle =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cn AS (SELECT p, c, sqrt(list_sum(list_transform(generate_series(1, 64), i -> c[i] * c[i]))) AS nc
+        |  FROM (SELECT p, list_transform(generate_series(1, 64),
+        |    d -> (strpos('0123456789abcdef', substring(md5(concat(p + 1000, '_', d - 1)), 1, 1)) - 8.5)) AS c
+        |  FROM generate_series(0, 7) t(p)) x),
+        |i0 AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN cn WHERE vec_id % 5 = 0 GROUP BY vec_id),
+        |ic0 AS (SELECT vec_id, list_position(scores, list_aggregate(scores, 'max')) - 1 AS cell FROM i0),
+        |itr AS (SELECT cell, d, round(avg(v[d]), 4) AS cd
+        |  FROM ic0 JOIN e USING (vec_id) CROSS JOIN generate_series(1, 64) t(d)
+        |  GROUP BY cell, d),
+        |itl AS (SELECT cell, list(cd ORDER BY d) AS c FROM itr GROUP BY cell),
+        |tc AS (SELECT cn.p, coalesce(itl.c, cn.c) AS c,
+        |  sqrt(list_sum(list_transform(generate_series(1, 64),
+        |    i -> coalesce(itl.c, cn.c)[i] * coalesce(itl.c, cn.c)[i]))) AS nc
+        |  FROM cn LEFT JOIN itl ON itl.cell = cn.p),
+        |scored AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN tc GROUP BY vec_id),
+        |cells AS (SELECT s.vec_id, e.v,
+        |  sqrt(list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * e.v[i]))) AS nrm,
+        |  list_position(s.scores, list_aggregate(s.scores, 'max')) - 1 AS cell
+        |  FROM scored s JOIN e ON e.vec_id = s.vec_id),
+        |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |  round(list_sum(list_transform(generate_series(1, 64),
+        |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS sim
+        |  FROM cells a JOIN cells b
+        |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |r AS (SELECT src, dst, sim, CAST(row_number() OVER (
+        |  PARTITION BY src ORDER BY sim DESC, dst) AS INT) AS rnk FROM p),
+        |knn AS (SELECT src, dst FROM r WHERE rnk <= 3),
+        |l0 AS (SELECT vec_id AS id,
+        |  CASE WHEN vec_id % 5 = 0 THEN label END AS lbl,
+        |  vec_id % 5 = 0 AS seed FROM embeddings),
+        |v1 AS (SELECT src, nlbl FROM (
+        |  SELECT src, nlbl, row_number() OVER (PARTITION BY src ORDER BY c DESC, nlbl) AS rn
+        |  FROM (SELECT g.src, l.lbl AS nlbl, count(*) AS c FROM knn g
+        |        JOIN l0 l ON l.id = g.dst WHERE l.lbl IS NOT NULL
+        |        GROUP BY g.src, l.lbl) x) y WHERE rn = 1),
+        |l1 AS (SELECT l0.id, CASE WHEN l0.seed THEN l0.lbl
+        |    ELSE coalesce(v1.nlbl, l0.lbl) END AS lbl, l0.seed
+        |  FROM l0 LEFT JOIN v1 ON v1.src = l0.id),
+        |v2 AS (SELECT src, nlbl FROM (
+        |  SELECT src, nlbl, row_number() OVER (PARTITION BY src ORDER BY c DESC, nlbl) AS rn
+        |  FROM (SELECT g.src, l.lbl AS nlbl, count(*) AS c FROM knn g
+        |        JOIN l1 l ON l.id = g.dst WHERE l.lbl IS NOT NULL
+        |        GROUP BY g.src, l.lbl) x) y WHERE rn = 1),
+        |l2 AS (SELECT l1.id, CASE WHEN l1.seed THEN l1.lbl
+        |    ELSE coalesce(v2.nlbl, l1.lbl) END AS lbl, l1.seed
+        |  FROM l1 LEFT JOIN v2 ON v2.src = l1.id)
+        |SELECT id AS vec_id, lbl AS label_prop, seed FROM l2
+        |ORDER BY vec_id LIMIT 300""".stripMargin
+
+  /** A pinned-cells ANN oracle chain rewritten to derive the cell count
+    * from the corpus itself — k = max(8, ceil(n/250)), SemDeDup's own
+    * occupancy rule and exactly what [[graft.operators.Similarity.AutoCells]]
+    * resolves to — so the operator DEFAULT (not just the harness-pinned
+    * k=8 form) is driver-gated and sf1-measured every round. DuckDB: a
+    * scalar generate_series bound may be subquery-derived only in scalar
+    * position, hence the kk/ps CTE pair (the dd_semdedup_scaled pattern). */
+  private def scaledCellsOracle(pinned: String): String = {
+    val cn = "cn AS (SELECT p, c, sqrt"
+    val src = "FROM generate_series(0, 7) t(p)) x)"
+    require(pinned.contains(cn) && pinned.contains(src),
+      "unexpected pinned-oracle shape")
+    pinned
+      .replace(cn,
+        "kk AS (SELECT CAST(greatest(8, ceil(count(*) / 250.0)) AS INT) AS k FROM embeddings),\n" +
+        "ps AS (SELECT unnest(generate_series(0, k - 1)) AS p FROM kk),\n" + cn)
+      .replace(src, "FROM ps) x)")
+  }
+
   val all: Seq[QSpec] = Seq(
 
     // ---- deduplication ----------------------------------------------------
@@ -2195,85 +2341,32 @@ object TrainingData {
     // within-cell k-NN graph under the trained quantizer: directed top-3
     // neighbor edges per vector, cells bound the pairwise stage; sims
     // round(4) before the rank, dst tiebreak
-    df("ss_knn_graph",
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |cn AS (SELECT p, c, sqrt(list_sum(list_transform(generate_series(1, 64), i -> c[i] * c[i]))) AS nc
-        |  FROM (SELECT p, list_transform(generate_series(1, 64),
-        |    d -> (strpos('0123456789abcdef', substring(md5(concat(p + 1000, '_', d - 1)), 1, 1)) - 8.5)) AS c
-        |  FROM generate_series(0, 7) t(p)) x),
-        |i0 AS (SELECT vec_id,
-        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
-        |  FROM e CROSS JOIN cn WHERE vec_id % 5 = 0 GROUP BY vec_id),
-        |ic0 AS (SELECT vec_id, list_position(scores, list_aggregate(scores, 'max')) - 1 AS cell FROM i0),
-        |itr AS (SELECT cell, d, round(avg(v[d]), 4) AS cd
-        |  FROM ic0 JOIN e USING (vec_id) CROSS JOIN generate_series(1, 64) t(d)
-        |  GROUP BY cell, d),
-        |itl AS (SELECT cell, list(cd ORDER BY d) AS c FROM itr GROUP BY cell),
-        |tc AS (SELECT cn.p, coalesce(itl.c, cn.c) AS c,
-        |  sqrt(list_sum(list_transform(generate_series(1, 64),
-        |    i -> coalesce(itl.c, cn.c)[i] * coalesce(itl.c, cn.c)[i]))) AS nc
-        |  FROM cn LEFT JOIN itl ON itl.cell = cn.p),
-        |scored AS (SELECT vec_id,
-        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
-        |  FROM e CROSS JOIN tc GROUP BY vec_id),
-        |cells AS (SELECT s.vec_id, e.v,
-        |  sqrt(list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * e.v[i]))) AS nrm,
-        |  list_position(s.scores, list_aggregate(s.scores, 'max')) - 1 AS cell
-        |  FROM scored s JOIN e ON e.vec_id = s.vec_id),
-        |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-        |  round(list_sum(list_transform(generate_series(1, 64),
-        |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS sim
-        |  FROM cells a JOIN cells b
-        |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-        |r AS (SELECT src, dst, sim, CAST(row_number() OVER (
-        |  PARTITION BY src ORDER BY sim DESC, dst) AS INT) AS rnk FROM p)
-        |SELECT src, dst, sim, rnk FROM r WHERE rnk <= 3
-        |ORDER BY src, rnk LIMIT 300""".stripMargin) { (s, _) =>
+    df("ss_knn_graph", ssKnnGraphOracle) { (s, _) =>
       Similarity.knnGraph(s.table("embeddings"), k = 3, centroids = 8,
           dims = 64)
+        .orderBy("src", "rnk").limit(300)
+    },
+    // the same k-NN graph under the OPERATOR DEFAULT cell budget
+    // (AutoCells: k = max(8, ceil(n/250))) — both sides derive k from the
+    // data, so this entry stays oracle-exact at any scale and the sf1
+    // gate measures the default path, not only the pinned-8 oracle form
+    df("ss_knn_graph_scaled", scaledCellsOracle(ssKnnGraphOracle)) { (s, _) =>
+      Similarity.knnGraph(s.table("embeddings"), k = 3, dims = 64)
         .orderBy("src", "rnk").limit(300)
     },
 
     // hard-negative mining: top-3 most-similar DIFFERENT-label vectors per
     // vector — the contrastive-training pair generator. Same trained-cells
     // chain as ss_knn_graph with the label inequality at the pair join.
-    df("ss_hard_negatives",
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |cn AS (SELECT p, c, sqrt(list_sum(list_transform(generate_series(1, 64), i -> c[i] * c[i]))) AS nc
-        |  FROM (SELECT p, list_transform(generate_series(1, 64),
-        |    d -> (strpos('0123456789abcdef', substring(md5(concat(p + 1000, '_', d - 1)), 1, 1)) - 8.5)) AS c
-        |  FROM generate_series(0, 7) t(p)) x),
-        |i0 AS (SELECT vec_id,
-        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
-        |  FROM e CROSS JOIN cn WHERE vec_id % 5 = 0 GROUP BY vec_id),
-        |ic0 AS (SELECT vec_id, list_position(scores, list_aggregate(scores, 'max')) - 1 AS cell FROM i0),
-        |itr AS (SELECT cell, d, round(avg(v[d]), 4) AS cd
-        |  FROM ic0 JOIN e USING (vec_id) CROSS JOIN generate_series(1, 64) t(d)
-        |  GROUP BY cell, d),
-        |itl AS (SELECT cell, list(cd ORDER BY d) AS c FROM itr GROUP BY cell),
-        |tc AS (SELECT cn.p, coalesce(itl.c, cn.c) AS c,
-        |  sqrt(list_sum(list_transform(generate_series(1, 64),
-        |    i -> coalesce(itl.c, cn.c)[i] * coalesce(itl.c, cn.c)[i]))) AS nc
-        |  FROM cn LEFT JOIN itl ON itl.cell = cn.p),
-        |scored AS (SELECT vec_id,
-        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
-        |  FROM e CROSS JOIN tc GROUP BY vec_id),
-        |cells AS (SELECT s.vec_id, e.v, emb.label AS lbl,
-        |  sqrt(list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * e.v[i]))) AS nrm,
-        |  list_position(s.scores, list_aggregate(s.scores, 'max')) - 1 AS cell
-        |  FROM scored s JOIN e ON e.vec_id = s.vec_id
-        |  JOIN embeddings emb ON emb.vec_id = s.vec_id),
-        |p AS (SELECT a.vec_id AS src, b.vec_id AS dst, b.lbl AS neg_label,
-        |  round(list_sum(list_transform(generate_series(1, 64),
-        |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS sim
-        |  FROM cells a JOIN cells b
-        |    ON a.cell = b.cell AND a.vec_id <> b.vec_id AND a.lbl <> b.lbl),
-        |r AS (SELECT src, dst, neg_label, sim, CAST(row_number() OVER (
-        |  PARTITION BY src ORDER BY sim DESC, dst) AS INT) AS rnk FROM p)
-        |SELECT src, dst, neg_label, sim, rnk FROM r WHERE rnk <= 3
-        |ORDER BY src, rnk LIMIT 300""".stripMargin) { (s, _) =>
+    df("ss_hard_negatives", ssHardNegativesOracle) { (s, _) =>
       Similarity.hardNegatives(s.table("embeddings"), k = 3, centroids = 8,
           dims = 64)
+        .orderBy("src", "rnk").limit(300)
+    },
+    // hard negatives under the operator-default AutoCells budget (see
+    // ss_knn_graph_scaled)
+    df("ss_hard_negatives_scaled", scaledCellsOracle(ssHardNegativesOracle)) { (s, _) =>
+      Similarity.hardNegatives(s.table("embeddings"), k = 3, dims = 64)
         .orderBy("src", "rnk").limit(300)
     },
 
@@ -2340,62 +2433,16 @@ object TrainingData {
     // their k=3 out-neighbors for 2 synchronous rounds (count desc, label
     // asc tiebreak). The oracle recomputes the full trained-cells kNN
     // chain plus both rounds
-    df("ss_label_prop",
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |cn AS (SELECT p, c, sqrt(list_sum(list_transform(generate_series(1, 64), i -> c[i] * c[i]))) AS nc
-        |  FROM (SELECT p, list_transform(generate_series(1, 64),
-        |    d -> (strpos('0123456789abcdef', substring(md5(concat(p + 1000, '_', d - 1)), 1, 1)) - 8.5)) AS c
-        |  FROM generate_series(0, 7) t(p)) x),
-        |i0 AS (SELECT vec_id,
-        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
-        |  FROM e CROSS JOIN cn WHERE vec_id % 5 = 0 GROUP BY vec_id),
-        |ic0 AS (SELECT vec_id, list_position(scores, list_aggregate(scores, 'max')) - 1 AS cell FROM i0),
-        |itr AS (SELECT cell, d, round(avg(v[d]), 4) AS cd
-        |  FROM ic0 JOIN e USING (vec_id) CROSS JOIN generate_series(1, 64) t(d)
-        |  GROUP BY cell, d),
-        |itl AS (SELECT cell, list(cd ORDER BY d) AS c FROM itr GROUP BY cell),
-        |tc AS (SELECT cn.p, coalesce(itl.c, cn.c) AS c,
-        |  sqrt(list_sum(list_transform(generate_series(1, 64),
-        |    i -> coalesce(itl.c, cn.c)[i] * coalesce(itl.c, cn.c)[i]))) AS nc
-        |  FROM cn LEFT JOIN itl ON itl.cell = cn.p),
-        |scored AS (SELECT vec_id,
-        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
-        |  FROM e CROSS JOIN tc GROUP BY vec_id),
-        |cells AS (SELECT s.vec_id, e.v,
-        |  sqrt(list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * e.v[i]))) AS nrm,
-        |  list_position(s.scores, list_aggregate(s.scores, 'max')) - 1 AS cell
-        |  FROM scored s JOIN e ON e.vec_id = s.vec_id),
-        |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-        |  round(list_sum(list_transform(generate_series(1, 64),
-        |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS sim
-        |  FROM cells a JOIN cells b
-        |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-        |r AS (SELECT src, dst, sim, CAST(row_number() OVER (
-        |  PARTITION BY src ORDER BY sim DESC, dst) AS INT) AS rnk FROM p),
-        |knn AS (SELECT src, dst FROM r WHERE rnk <= 3),
-        |l0 AS (SELECT vec_id AS id,
-        |  CASE WHEN vec_id % 5 = 0 THEN label END AS lbl,
-        |  vec_id % 5 = 0 AS seed FROM embeddings),
-        |v1 AS (SELECT src, nlbl FROM (
-        |  SELECT src, nlbl, row_number() OVER (PARTITION BY src ORDER BY c DESC, nlbl) AS rn
-        |  FROM (SELECT g.src, l.lbl AS nlbl, count(*) AS c FROM knn g
-        |        JOIN l0 l ON l.id = g.dst WHERE l.lbl IS NOT NULL
-        |        GROUP BY g.src, l.lbl) x) y WHERE rn = 1),
-        |l1 AS (SELECT l0.id, CASE WHEN l0.seed THEN l0.lbl
-        |    ELSE coalesce(v1.nlbl, l0.lbl) END AS lbl, l0.seed
-        |  FROM l0 LEFT JOIN v1 ON v1.src = l0.id),
-        |v2 AS (SELECT src, nlbl FROM (
-        |  SELECT src, nlbl, row_number() OVER (PARTITION BY src ORDER BY c DESC, nlbl) AS rn
-        |  FROM (SELECT g.src, l.lbl AS nlbl, count(*) AS c FROM knn g
-        |        JOIN l1 l ON l.id = g.dst WHERE l.lbl IS NOT NULL
-        |        GROUP BY g.src, l.lbl) x) y WHERE rn = 1),
-        |l2 AS (SELECT l1.id, CASE WHEN l1.seed THEN l1.lbl
-        |    ELSE coalesce(v2.nlbl, l1.lbl) END AS lbl, l1.seed
-        |  FROM l1 LEFT JOIN v2 ON v2.src = l1.id)
-        |SELECT id AS vec_id, lbl AS label_prop, seed FROM l2
-        |ORDER BY vec_id LIMIT 300""".stripMargin) { (s, _) =>
+    df("ss_label_prop", ssLabelPropOracle) { (s, _) =>
       Similarity.labelPropagation(s.table("embeddings"), k = 3, centroids = 8,
           dims = 64, iters = 2, seedMod = 5)
+        .orderBy("vec_id").limit(300)
+    },
+    // label propagation under the operator-default AutoCells budget (see
+    // ss_knn_graph_scaled)
+    df("ss_label_prop_scaled", scaledCellsOracle(ssLabelPropOracle)) { (s, _) =>
+      Similarity.labelPropagation(s.table("embeddings"), k = 3, dims = 64,
+          iters = 2, seedMod = 5)
         .orderBy("vec_id").limit(300)
     },
 
