@@ -466,25 +466,14 @@ object Events {
     * comparison, so an engine-ulp in a double sum cannot flip a score.
     *
     * Shape at 100 TB: one user-keyed partial agg, ONE quartile-edge row
-    * from a percentile aggregate (exact here for oracle parity; swap
-    * percentile_approx at extreme scale — the deciles twin's split),
-    * broadcast back, then map-only scoring. No per-user window. */
+    * from a percentile aggregate (exact here for oracle parity; use the
+    * sketch twin [[rfmApprox]] at extreme scale), broadcast back, then
+    * map-only scoring. No per-user window. */
   def rfm(events: DataFrame,
           userCol: String = "user_id",
           tsCol: String = "ts",
           valueCol: String = "value"): DataFrame = {
-    val perUser = events
-      .select(col(userCol).as("user_id"), to_date(col(tsCol)).as("d"),
-        col(valueCol).as("v"))
-      .groupBy("user_id")
-      .agg(max(col("d")).as("last_day"),
-        count(lit(1)).as("frequency"),
-        round(sum(col("v")), 6).as("monetary"))
-    val maxDay = perUser.agg(max(col("last_day")).as("corpus_last"))
-    val base = perUser.crossJoin(broadcast(maxDay))
-      .withColumn("recency_days",
-        datediff(col("corpus_last"), col("last_day")).cast("long"))
-      .drop("corpus_last", "last_day")
+    val base = rfmBase(events, userCol, tsCol, valueCol)
     val qs = array(lit(0.25), lit(0.5), lit(0.75))
     val edges = base.agg(
       transform(percentile(col("recency_days"), qs), e => round(e, 6))
@@ -493,6 +482,59 @@ object Events {
         .as("f_edges"),
       transform(percentile(col("monetary"), qs), e => round(e, 6))
         .as("m_edges"))
+    rfmScore(base, edges)
+  }
+
+  /** RFM, sketch form — the 100 TB path beside the exact [[rfm]] (the
+    * [[engagementDecilesApprox]] exact/sketch split): the exact quartile
+    * edges buffer the WHOLE per-user frame's values in one percentile
+    * agg; `percentile_approx`'s mergeable rank sketch bounds that state
+    * by `accuracy` and rides the aggregation's partial phases. Edges
+    * are observed values within rank error n/accuracy instead of
+    * interpolated midpoints, so per-user scores can shift by at most
+    * one step where a user's value straddles an edge — values are
+    * engine-specific, the registry entry is rows-only and the score
+    * displacement bound is EventsSpec-pinned against the exact twin. */
+  def rfmApprox(events: DataFrame,
+                accuracy: Int = 10000,
+                userCol: String = "user_id",
+                tsCol: String = "ts",
+                valueCol: String = "value"): DataFrame = {
+    val base = rfmBase(events, userCol, tsCol, valueCol)
+    val qs = array(lit(0.25), lit(0.5), lit(0.75))
+    def sketch(v: Column) =
+      transform(percentile_approx(v.cast("double"), qs, lit(accuracy)),
+        e => round(e, 6))
+    val edges = base.agg(
+      sketch(col("recency_days")).as("r_edges"),
+      sketch(col("frequency")).as("f_edges"),
+      sketch(col("monetary")).as("m_edges"))
+    rfmScore(base, edges)
+  }
+
+  /** The per-user (recency_days, frequency, monetary) frame both RFM
+    * forms score — ONE definition so the exact and sketch twins can
+    * never drift: one user-keyed partial agg plus a broadcast
+    * corpus-last row. */
+  private def rfmBase(events: DataFrame, userCol: String, tsCol: String,
+                      valueCol: String): DataFrame = {
+    val perUser = events
+      .select(col(userCol).as("user_id"), to_date(col(tsCol)).as("d"),
+        col(valueCol).as("v"))
+      .groupBy("user_id")
+      .agg(max(col("d")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("v")), 6).as("monetary"))
+    val maxDay = perUser.agg(max(col("last_day")).as("corpus_last"))
+    perUser.crossJoin(broadcast(maxDay))
+      .withColumn("recency_days",
+        datediff(col("corpus_last"), col("last_day")).cast("long"))
+      .drop("corpus_last", "last_day")
+  }
+
+  /** Shared RFM scoring: broadcast a one-row (r_edges, f_edges, m_edges)
+    * frame and score each dimension 1–4 map-only (recency inverted). */
+  private def rfmScore(base: DataFrame, edges: DataFrame): DataFrame = {
     def above(v: Column, es: Column): Column =
       size(filter(es, e => v > e)).cast("long")
     base.crossJoin(broadcast(edges))

@@ -378,23 +378,16 @@ object Traces {
     *
     * Shape at 100 TB: the same two pre-partitioned exchanges as the
     * service graph, then a partial agg onto the service-pair frame;
-    * the exact percentile runs per edge group (bounded by pair
-    * cardinality, not span count, in memory terms swap
-    * percentile_approx at extreme per-edge volume). */
+    * the exact percentile buffers each edge group's full delta set —
+    * use the sketch twin [[queueDelayApprox]] at extreme per-edge
+    * volume. */
   def queueDelay(spans: DataFrame,
                  idCol: String = "span_id",
                  parentCol: String = "parent_span_id",
                  traceCol: String = "trace_id",
                  serviceCol: String = "service_name",
-                 timeCol: String = "start_time_unix_nano"): DataFrame = {
-    val (child, parent) = parentResolutionSides(spans,
-      idCol, parentCol, traceCol,
-      childExtra = Seq(col(serviceCol).as("callee_service"),
-        unix_micros(col(timeCol)).as("cst")),
-      parentExtra = Seq(col(serviceCol).as("caller_service"),
-        unix_micros(col(timeCol)).as("pst")))
-    child.join(parent, col("t") === col("pt") && col("p") === col("ps"))
-      .withColumn("__d", (col("cst") - col("pst")) * lit(1000L)) // ns
+                 timeCol: String = "start_time_unix_nano"): DataFrame =
+    queueDelayDeltas(spans, idCol, parentCol, traceCol, serviceCol, timeCol)
       .groupBy("caller_service", "callee_service")
       .agg(count(lit(1)).as("n_calls"),
         min(col("__d")).as("min_delay_ns"),
@@ -403,6 +396,54 @@ object Traces {
         round(percentile(col("__d"), lit(0.5)), 4).as("p50_delay_ns"),
         round(percentile(col("__d"), lit(0.95)), 4).as("p95_delay_ns"),
         max(col("__d")).as("max_delay_ns"))
+
+  /** QUEUE DELAY, sketch form — the 100 TB path beside the exact
+    * [[queueDelay]] (the established exact/sketch split, see
+    * `Events.engagementDecilesApprox`): the exact form buffers each
+    * edge's FULL delta set in one percentile agg buffer, so one
+    * pathologically hot service edge at scale concentrates its whole
+    * call volume in a single aggregation state. `percentile_approx`'s
+    * mergeable rank sketch bounds that state by `accuracy` regardless
+    * of per-edge volume and rides the aggregation's partial phases.
+    * Same parent-resolution contract, same columns; the percentiles
+    * are observed delta values within rank error n/accuracy (not
+    * interpolated midpoints), so exact values are engine-specific —
+    * the registry entry is rows-only and the error bound is
+    * TracesSpec-pinned against the exact twin. Microsecond granularity
+    * as in [[queueDelay]]. */
+  def queueDelayApprox(spans: DataFrame,
+                       accuracy: Int = 10000,
+                       idCol: String = "span_id",
+                       parentCol: String = "parent_span_id",
+                       traceCol: String = "trace_id",
+                       serviceCol: String = "service_name",
+                       timeCol: String = "start_time_unix_nano"): DataFrame =
+    queueDelayDeltas(spans, idCol, parentCol, traceCol, serviceCol, timeCol)
+      .groupBy("caller_service", "callee_service")
+      .agg(count(lit(1)).as("n_calls"),
+        min(col("__d")).as("min_delay_ns"),
+        // doubles to keep the exact twin's column types
+        percentile_approx(col("__d").cast("double"), lit(0.5),
+          lit(accuracy)).as("p50_delay_ns"),
+        percentile_approx(col("__d").cast("double"), lit(0.95),
+          lit(accuracy)).as("p95_delay_ns"),
+        max(col("__d")).as("max_delay_ns"))
+
+  /** The per-call delay frame [[queueDelay]] and [[queueDelayApprox]]
+    * aggregate — ONE definition of the parent-resolution join and the
+    * µs-truncated ns delta so the exact and sketch twins can never
+    * drift. */
+  private def queueDelayDeltas(spans: DataFrame,
+      idCol: String, parentCol: String, traceCol: String,
+      serviceCol: String, timeCol: String): DataFrame = {
+    val (child, parent) = parentResolutionSides(spans,
+      idCol, parentCol, traceCol,
+      childExtra = Seq(col(serviceCol).as("callee_service"),
+        unix_micros(col(timeCol)).as("cst")),
+      parentExtra = Seq(col(serviceCol).as("caller_service"),
+        unix_micros(col(timeCol)).as("pst")))
+    child.join(parent, col("t") === col("pt") && col("p") === col("ps"))
+      .withColumn("__d", (col("cst") - col("pst")) * lit(1000L)) // ns
   }
 
   /** ONE definition of the parent-resolution frame pair

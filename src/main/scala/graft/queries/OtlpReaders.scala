@@ -343,6 +343,17 @@ object OtlpReaders {
         .orderBy("caller_service", "callee_service")
     },
 
+    // sketch-path queue delay: percentile_approx's mergeable rank sketch
+    // bounds per-edge agg state at 100 TB (the exact form buffers a hot
+    // edge's full delta set) — sketch values are engine-specific ->
+    // rows-only check; the error bound is TracesSpec-pinned vs the
+    // exact twin
+    noOracle("otlp_queue_delay_approx") { (s, _) =>
+      graft.operators.Traces.queueDelayApprox(
+          Otlp.readTraces(s, s"$fx/services_traces.jsonl"))
+        .orderBy("caller_service", "callee_service")
+    },
+
     // delta -> cumulative temporality conversion for sum metrics: running
     // sums per series in time order; cumulative points pass through
     df("otlp_delta_to_cumulative",

@@ -1026,6 +1026,23 @@ object TrainingData {
         .orderBy("entry_type")
     },
 
+    // sketch-path session-duration percentiles: percentile_approx per
+    // entry type (mergeable sketch — a hot landing page's full session
+    // set never sits in one exact-percentile buffer); sketch values are
+    // engine-specific -> rows-only check, bound pinned in EventsSpec vs
+    // the exact twin above
+    noOracle("ev_session_duration_pct_approx") { (s, _) =>
+      Events.sessionStats(s.table("events"))
+        .groupBy("entry_type")
+        .agg(count(lit(1)).as("n_sessions"),
+          percentile_approx(col("duration_ns").cast("double"), lit(0.5),
+            lit(10000)).as("p50_duration_ns"),
+          percentile_approx(col("duration_ns").cast("double"), lit(0.9),
+            lit(10000)).as("p90_duration_ns"),
+          max(col("duration_ns")).as("max_duration_ns"))
+        .orderBy("entry_type")
+    },
+
     // session transition matrix: next-event Markov table within gap
     // sessions, with P(to | from) and the terminal (end) step
     df("ev_transitions",
@@ -1103,6 +1120,14 @@ object TrainingData {
         |  concat(r_score, f_score, m_score) AS segment
         |FROM s ORDER BY user_id LIMIT 200""".stripMargin) { (s, _) =>
       Events.rfm(s.table("events")).orderBy("user_id").limit(200)
+    },
+
+    // sketch-path RFM: percentile_approx quartile edges (mergeable
+    // sketch, no full-frame percentile buffer) — edges are
+    // engine-specific -> rows-only check; per-user score displacement
+    // <= 1 per dimension is EventsSpec-pinned vs the exact twin
+    noOracle("ev_rfm_approx") { (s, _) =>
+      Events.rfmApprox(s.table("events")).orderBy("user_id").limit(200)
     },
 
     // cohort churn: users inactive for the corpus's trailing week, per

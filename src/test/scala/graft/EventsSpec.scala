@@ -476,4 +476,65 @@ class EventsSpec extends SparkTestBase {
       ("(direct)", "(direct)") -> ((1L, 1L)),
       ("email", "email") -> ((1L, 1L))), got)
   }
+
+  test("rfmApprox tracks the exact twin: base values identical, per-user " +
+    "score displacement <= 1 per dimension") {
+    Tables.register(spark, sfDir)
+    val ev = spark.table("events")
+    val exact = Events.rfm(ev).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("recency_days"), r.getAs[Long]("frequency"),
+          r.getAs[Double]("monetary"),
+          r.getAs[Long]("r_score"), r.getAs[Long]("f_score"),
+          r.getAs[Long]("m_score")))).toMap
+    val approx = Events.rfmApprox(ev).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("recency_days"), r.getAs[Long]("frequency"),
+          r.getAs[Double]("monetary"),
+          r.getAs[Long]("r_score"), r.getAs[Long]("f_score"),
+          r.getAs[Long]("m_score")))).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((u, (rd, fr, mo, r1, f1, m1)) <- exact) {
+      val (rda, fra, moa, r2, f2, m2) = approx(u)
+      // the base frame is shared code — values must be identical
+      assert(rd == rda && fr == fra && mo == moa, s"user $u base")
+      // a sketch edge is an observed value within rank error of the
+      // interpolated exact edge: a user's score can shift only where
+      // their value straddles that edge — at most one step per dimension
+      assert(math.abs(r1 - r2) <= 1, s"user $u r_score $r1 vs $r2")
+      assert(math.abs(f1 - f2) <= 1, s"user $u f_score $f1 vs $f2")
+      assert(math.abs(m1 - m2) <= 1, s"user $u m_score $m1 vs $m2")
+    }
+  }
+
+  test("session-duration sketch percentiles: counts/max identical, sketch " +
+    "values are observed durations within one rank step of the target") {
+    Tables.register(spark, sfDir)
+    val stats = Events.sessionStats(spark.table("events"))
+    val exact = SparkEntry.queries("ev_session_duration_pct")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_sessions"), r.getAs[Long]("max_duration_ns")))).toMap
+    val approx = SparkEntry.queries("ev_session_duration_pct_approx")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_sessions"), r.getAs[Long]("max_duration_ns"),
+          r.getAs[Double]("p50_duration_ns"),
+          r.getAs[Double]("p90_duration_ns")))).toMap
+    assert(approx.keySet == exact.keySet)
+    val durs = stats.select(col("entry_type"), col("duration_ns")).collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) =>
+        k -> rs.map(_.getAs[Long]("duration_ns")).sorted.toIndexedSeq }
+    for ((ty, (n, mx, p50, p90)) <- approx) {
+      val (ne, mxe) = exact(ty)
+      assert(n == ne && mx == mxe, s"$ty basics")
+      val ds = durs(ty)
+      def rankOk(v: Double, q: Double): Boolean = {
+        val target = q * (ds.length - 1)
+        ds.zipWithIndex.exists { case (d, i) =>
+          d.toDouble == v && math.abs(i - target) <= 1.0 }
+      }
+      assert(rankOk(p50, 0.5), s"$ty p50 $p50 vs $ds")
+      assert(rankOk(p90, 0.9), s"$ty p90 $p90 vs $ds")
+    }
+  }
 }

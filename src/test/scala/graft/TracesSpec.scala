@@ -489,4 +489,48 @@ class TracesSpec extends SparkTestBase {
     assert(got("ta") == ((2L, 1, 3L)), got)
     assert(got("tb") == ((3L, 2, 60L)), got)
   }
+
+  test("queueDelayApprox tracks the exact twin: counts/min/max identical, " +
+    "sketch percentiles are observed deltas within one rank step") {
+    val fx = "/root/repo/src/test/resources/otlp/services_traces.jsonl"
+    val spans = Otlp.readTraces(spark, fx)
+    val exact = Traces.queueDelay(spans).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_calls"), r.getAs[Long]("min_delay_ns"),
+          r.getAs[Long]("max_delay_ns")))).toMap
+    val approx = Traces.queueDelayApprox(spans).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_calls"), r.getAs[Long]("min_delay_ns"),
+          r.getAs[Long]("max_delay_ns"),
+          r.getAs[Double]("p50_delay_ns"),
+          r.getAs[Double]("p95_delay_ns")))).toMap
+    assert(approx.keySet == exact.keySet)
+    // raw per-edge deltas for the rank window (the fixture has unique
+    // (trace, span) keys — the oracle joins un-deduped too)
+    val sp = spans.select(col("trace_id").as("t"), col("span_id").as("s"),
+      col("parent_span_id").as("p"), col("service_name").as("svc"),
+      unix_micros(col("start_time_unix_nano")).as("st"))
+    val deltas = sp.as("c").join(sp.as("pa"),
+        col("c.t") === col("pa.t") && col("c.p") === col("pa.s"))
+      .select(col("pa.svc"), col("c.svc"),
+        ((col("c.st") - col("pa.st")) * lit(1000L)).as("d"))
+      .collect().groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case (k, rs) => k -> rs.map(_.getLong(2)).sorted.toIndexedSeq }
+    for ((edge, (n, mn, mx, p50, p95)) <- approx) {
+      val (ne, mne, mxe) = exact(edge)
+      assert(n == ne && mn == mne && mx == mxe, s"$edge basics")
+      val ds = deltas(edge)
+      assert(ds.length == n.toInt, s"$edge recomputed deltas")
+      // n << accuracy so the sketch holds every value exactly; the only
+      // freedom left is the edge-rank convention — the reported value
+      // must be an OBSERVED delta within one rank of the target
+      def rankOk(v: Double, q: Double): Boolean = {
+        val target = q * (ds.length - 1)
+        ds.zipWithIndex.exists { case (d, i) =>
+          d.toDouble == v && math.abs(i - target) <= 1.0 }
+      }
+      assert(rankOk(p50, 0.5), s"$edge p50 $p50 not a near-median delta of $ds")
+      assert(rankOk(p95, 0.95), s"$edge p95 $p95 not a near-p95 delta of $ds")
+    }
+  }
 }
