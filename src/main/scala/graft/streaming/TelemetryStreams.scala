@@ -268,6 +268,34 @@ object TelemetryStreams {
       .where(col("long_burn") >= threshold && col("short_burn") >= threshold)
   }
 
+  /** Period-to-date ERROR BUDGET on the LIVE span stream — the streaming
+    * face of `operators.Traces.errorBudget`, and the panel SREs watch
+    * BETWEEN the pages [[multiBurnStream]] raises: a running
+    * (n_spans, n_errors) per service since stream start (the SLO
+    * period — start a fresh checkpoint per period), re-emitting each
+    * service's budget spent/remaining as it changes (update or complete
+    * output mode; there is no window to close — the period IS the
+    * window). Replayed spans dedup on (trace_id, span_id) with
+    * UNBOUNDED state by design: period-to-date truth needs
+    * period-long memory — the same price the batch twin pays by
+    * re-scanning the period's seals, and attributionStream's documented
+    * trade. Aggregation state is one row per service; dedup keys are
+    * uniform random ids — both partition cleanly across executors.
+    * Stream ≡ batch pinned on a mid-period micro-batch split. */
+  def errorBudgetStream(spans: DataFrame, sloTarget: Double): DataFrame = {
+    require(sloTarget > 0.0 && sloTarget < 1.0, s"bad SLO target $sloTarget")
+    val rate = col("n_errors").cast("double") / col("n_spans")
+    val burn = rate / lit(1.0 - sloTarget)
+    spans
+      .dropDuplicates("trace_id", "span_id")
+      .groupBy(col("service_name"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("status_code") === 2, 1L).otherwise(0L)).as("n_errors"))
+      .withColumn("error_rate", round(rate, 6))
+      .withColumn("budget_used", round(burn, 4))
+      .withColumn("budget_remaining", round(lit(1.0) - burn, 4))
+  }
+
   /** Apdex on the LIVE span stream — the streaming face of
     * `operators.Traces.apdex`, windowed: per (window, service) the
     * satisfied (≤ T) / tolerating (≤ 4T) / frustrated buckets and the

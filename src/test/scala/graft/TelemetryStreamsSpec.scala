@@ -394,6 +394,52 @@ class TelemetryStreamsSpec extends SparkTestBase {
       ((5L, 3L, 60.0, 50.0))), stream)
   }
 
+  test("errorBudgetStream ≡ batch errorBudget at EVERY micro-batch: " +
+    "period-to-date spend tracks the growing frame, replays dedup") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String, String, Int)]
+    val df = in.toDF().toDF("trace_id", "span_id", "service_name",
+      "status_code")
+    val batch1 = Seq(
+      ("t1", "a1", "s1", 2), ("t1", "a2", "s1", 0), ("t1", "a3", "s1", 0),
+      ("t2", "b1", "s2", 0), ("t2", "b2", "s2", 0))
+    val batch2 = Seq(
+      ("t3", "a4", "s1", 0),
+      ("t1", "a1", "s1", 2), // replay of a batch-1 span: must not recount
+      ("t2", "b3", "s2", 2))
+    val q = TelemetryStreams.errorBudgetStream(df, sloTarget = 0.99)
+      .writeStream.format("memory").queryName("budgetstream")
+      .outputMode("complete").start()
+    def snapshot(): Map[String, (Long, Long, Double, Double, Double)] =
+      spark.table("budgetstream").collect()
+        .map(r => r.getAs[String]("service_name") ->
+          ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_errors"),
+            r.getAs[Double]("error_rate"), r.getAs[Double]("budget_used"),
+            r.getAs[Double]("budget_remaining")))).toMap
+    def batchOn(rows: Seq[(String, String, String, Int)]) =
+      graft.operators.Traces.errorBudget(
+          rows.toDF("trace_id", "span_id", "service_name", "status_code"),
+          sloTarget = 0.99)
+        .collect().map(r => r.getAs[String]("service_name") ->
+          ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_errors"),
+            r.getAs[Double]("error_rate"), r.getAs[Double]("budget_used"),
+            r.getAs[Double]("budget_remaining")))).toMap
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    // mid-period: the stream's running state equals the batch twin over
+    // the rows seen so far
+    assert(snapshot() == batchOn(batch1), s"mid-period ${snapshot()}")
+    assert(snapshot()("s1") == ((3L, 1L, 0.333333, 33.3333, -32.3333)))
+    in.addData(batch2: _*)
+    q.processAllAvailable(); q.stop()
+    // period end: equals the batch twin over the full deduped frame
+    assert(snapshot() == batchOn(batch1 ++ batch2), s"final ${snapshot()}")
+    assert(snapshot()("s1")._1 == 4L, "replayed span must not recount")
+    assert(snapshot()("s2") == ((3L, 1L, 0.333333, 33.3333, -32.3333)))
+  }
+
   test("streaming ratio: windowed vector matching matches batch ratioBy " +
     "when each window holds one timestamp; zero denominators drop") {
     import spark.implicits._
