@@ -232,6 +232,97 @@ object Multimodal {
     }
   }
 
+  /** 64-bit DIFFERENCE HASH (dHash) per image — the classical perceptual
+    * near-dup fingerprint: decode (real javax.imageio), sample a 9×8
+    * grayscale grid with the SAME nearest-neighbor rule as
+    * [[resizeImage]] (src pixel (x·w0/9, y·h0/8), integer floor — the
+    * one resample that is bit-reproducible in any engine), then bit
+    * k = y·8+x is set iff gray(x+1, y) > gray(x, y). Gray is the plain
+    * channel sum r+g+b: dHash only ever COMPARES neighboring pixels, so
+    * any strictly monotonic luminance proxy yields identical bits, and
+    * the integer sum (unlike a weighted Rec. 601 float) keeps the whole
+    * hash exact integer math a SQL oracle can replay on the formula
+    * PNGs. Map-only; robust to re-encode/resize by construction (the
+    * 9×8 grid sees both variants identically when the NN grid maps to
+    * the same source pixels). */
+  def imageDHash(media: Dataset[MediaItem]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition init, once
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.content))
+        require(img != null, s"media_id=${m.media_id}: undecodable image bytes")
+        val (w0, h0) = (img.getWidth, img.getHeight)
+        val gray = Array.ofDim[Int](8, 9)
+        var y = 0
+        while (y < 8) {
+          val sy = (y.toLong * h0 / 8).toInt
+          var x = 0
+          while (x < 9) {
+            val sx = (x.toLong * w0 / 9).toInt
+            val rgb = img.getRGB(sx, sy)
+            gray(y)(x) =
+              ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        var hash = 0L
+        y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (gray(y)(x + 1) > gray(y)(x)) hash |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        (m.media_id, hash)
+      }
+    }.toDF("media_id", "dhash")
+  }
+
+  /** IMAGE NEAR-DUP pairs: [[imageDHash]] + Hamming BANDING for candidate
+    * generation — the multimodal face of the dedup mandate. The 64-bit
+    * hash splits into four disjoint 16-bit bands; by pigeonhole, two
+    * hashes within Hamming distance ≤ 3 differ in at most 3 bands, so
+    * they AGREE exactly on at least one — candidates come from a banded
+    * EQUI-join (never all-pairs, the `minhashLsh` contract), and at
+    * `maxHamming` ≤ 3 the result is EXACTLY the all-pairs answer (the
+    * property the oracle exploits). Thresholds above 3 keep the banding
+    * but lose the completeness guarantee — the standard LSH recall
+    * trade, so the parameter is capped instead of silently weakened.
+    *
+    * Shape at 100 TB: hashing is map-only; the candidate join shuffles
+    * on (band, 16-bit value) — 4 rows per image against ≤ 65536 buckets
+    * per band, with content-clustered (not adversarial) skew; the pair
+    * dedup rides a (id_a, id_b)-keyed aggregation (uniform keys) and
+    * verification is one bit_count(xor) per candidate. */
+  def imageNearDup(media: Dataset[MediaItem], maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be 0..3 (4-band pigeonhole completeness), got $maxHamming")
+    val bands = imageDHash(media)
+      .select(col("media_id"), col("dhash"),
+        posexplode(array((0 until 4).map(i =>
+          shiftrightunsigned(col("dhash"), 16 * i)
+            .bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+    val a = bands.select(col("band"), col("bval"),
+      col("media_id").as("id_a"), col("dhash").as("ha"))
+    val b = bands.select(col("band"), col("bval"),
+      col("media_id").as("id_b"), col("dhash").as("hb"))
+    a.join(b, Seq("band", "bval"))
+      .where(col("id_a") < col("id_b"))
+      // a pair sharing several bands appears once per shared band —
+      // collapse on the pair key (uniform) before verification
+      .groupBy("id_a", "id_b")
+      .agg(first(col("ha")).as("ha"), first(col("hb")).as("hb"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Sample formula for the generated test WAVs — modular arithmetic in
     * (doc_id, channel, frame) with values in [-1000, 1000], so a SQL
     * oracle recomputes any decoded-sample statistic exactly. */

@@ -21,6 +21,36 @@ object MultimodalQueries {
   /** DuckDB: unsigned byte i (0-based) of hex string h. */
   private def byteAt(i: String) = s"(${hv(s"($i)*2+1")} * 16 + ${hv(s"($i)*2+2")})"
 
+
+  /** Shared DuckDB CTE chain: per-image 64-bit dHash over the formula
+    * PNGs, split into (hi, lo) 32-bit halves so the bit arithmetic never
+    * touches BIGINT bit 63 — the 9x8 nearest-neighbor grayscale grid
+    * (gray = r+g+b, integer-exact) and the horizontal-gradient bit walk
+    * mirror Multimodal.imageDHash exactly. Ends at h(media_id, hi, lo). */
+  private val duckDHashChain =
+    """m AS (SELECT doc_id AS media_id,
+      |    4 + doc_id % 13 AS w0, 3 + doc_id % 11 AS h0
+      |  FROM documents ORDER BY media_id LIMIT 150),
+      |g AS (SELECT media_id, x, y,
+      |    ((media_id * 7 + sx * 5 + sy * 3) % 256)
+      |  + ((media_id * 11 + sx * 3 + sy * 7) % 256)
+      |  + ((media_id * 13 + sx + sy * 5) % 256) AS gray
+      |  FROM (SELECT media_id, x, y,
+      |      x * w0 // 9 AS sx, y * h0 // 8 AS sy
+      |    FROM m CROSS JOIN generate_series(0, 8) tx(x)
+      |           CROSS JOIN generate_series(0, 7) ty(y)) z),
+      |hb AS (SELECT a.media_id, a.y * 8 + a.x AS k,
+      |    CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+      |  FROM g a JOIN g b ON b.media_id = a.media_id
+      |    AND b.y = a.y AND b.x = a.x + 1
+      |  WHERE a.x < 8),
+      |h AS (SELECT media_id,
+      |    CAST(sum(CASE WHEN k >= 32
+      |      THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END) AS BIGINT) AS hi,
+      |    CAST(sum(CASE WHEN k < 32
+      |      THEN bit * (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS lo
+      |  FROM hb GROUP BY media_id)""".stripMargin
+
   val all: Seq[QSpec] = Seq(
 
     df("mm_attach_binary",
@@ -220,6 +250,39 @@ object MultimodalQueries {
         // native DOUBLE
         .withColumn("v", col("v").cast("double"))
         .orderBy("media_id", "dim")
+    },
+
+
+    // 64-bit perceptual dHash over REAL decoded PNGs: the oracle replays
+    // the 9x8 NN grayscale grid + gradient bit walk as integer math on
+    // the pixel formula; hash split hi/lo so no engine touches bit 63
+    df("mm_image_dhash",
+      s"""WITH $duckDHashChain
+        |SELECT media_id, hi AS dhash_hi, lo AS dhash_lo
+        |FROM h ORDER BY media_id""".stripMargin) { (s, _) =>
+      Multimodal.imageDHash(Multimodal.pngFromDocuments(
+          s.table("documents").orderBy("doc_id").limit(150)))
+        .select(col("media_id"),
+          shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
+          col("dhash").bitwiseAND(lit(0xffffffffL)).as("dhash_lo"))
+        .orderBy("media_id")
+    },
+
+    // image near-dup pairs: dHash + 4x16-bit Hamming banding. At
+    // maxHamming <= 3 the banded equi-join is pigeonhole-COMPLETE, so
+    // the oracle may verify with a plain all-pairs join (150 images)
+    // while the Spark plan never goes all-pairs (PlanSpec-pinned)
+    df("mm_image_dedup",
+      s"""WITH $duckDHashChain
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(bit_count(xor(a.hi, b.hi))
+        |     + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, _) =>
+      Multimodal.imageNearDup(Multimodal.pngFromDocuments(
+          s.table("documents").orderBy("doc_id").limit(150)), maxHamming = 3)
+        .orderBy("id_a", "id_b")
     },
 
     df("mm_frame_sample",

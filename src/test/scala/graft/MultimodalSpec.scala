@@ -240,4 +240,45 @@ class MultimodalSpec extends SparkTestBase {
     val videos = media.where(col("media_type") === "video").count()
     assert(frames.count() == videos * 4)
   }
+
+  test("imageDHash: flat image hashes to 0, a horizontal ramp to all-ones; " +
+    "identical bytes pair at hamming 0 and the pair join is banded") {
+    import spark.implicits._
+    def png(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val flat = png(9, 8)((_, _) => 0x808080)
+    // gray strictly increases along x at every grid step -> all 64 bits
+    val ramp = png(9, 8)((x, _) => { val v = x * 20; (v << 16) | (v << 8) | v })
+    val items = Seq(
+      MediaItem(1L, "image", flat),
+      MediaItem(2L, "image", ramp),
+      MediaItem(3L, "image", ramp) // identical bytes, different id
+    ).toDS()
+    val hashes = Multimodal.imageDHash(items).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("dhash")).toMap
+    assert(hashes(1L) == 0L, s"flat image must hash to 0, got ${hashes(1L)}")
+    assert(hashes(2L) == -1L, s"ramp must set all 64 bits, got ${hashes(2L)}")
+    assert(hashes(2L) == hashes(3L))
+    val dups = Multimodal.imageNearDup(items).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(dups.contains((2L, 3L)) && dups((2L, 3L)) == 0L, dups)
+    // flat-vs-ramp is 64 bits apart: never a candidate (no shared band)
+    assert(!dups.contains((1L, 2L)) && !dups.contains((1L, 3L)), dups)
+    // candidate generation is a banded equi-join, never all-pairs
+    val plan = Multimodal.imageNearDup(items)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"near-dup join must be banded:\n$plan")
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDup(items, maxHamming = 4)
+    }
+  }
 }

@@ -227,6 +227,19 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("image near-dup candidates join on the (band, value) key, never " +
+    "an all-pairs product") {
+    Tables.register(spark, sfDir)
+    val p = plan(graft.operators.Multimodal.imageNearDup(
+      graft.operators.Multimodal.pngFromDocuments(
+        spark.table("documents").limit(50))))
+    assert(p.contains("SortMergeJoin [band") ||
+      p.contains("ShuffledHashJoin [band") ||
+      p.contains("BroadcastHashJoin [band"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dsir scoring broadcasts the bucket log-ratio lookup; the corpus " +
       "never shuffles by bucket") {
     Tables.register(spark, sfDir)
