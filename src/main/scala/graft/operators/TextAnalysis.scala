@@ -394,6 +394,227 @@ object TextAnalysis {
           greatest(sum("n_words"), lit(1L)), 4).as("fertility"))
   }
 
+  /** Substring-frequency SEED table for the unigram-LM trainer (Kudo 2018,
+    * "Subword Regularization": the initial over-complete vocabulary EM
+    * prunes down) — every substring of length 1..`maxPieceLen` of every
+    * corpus word, counted per occurrence weighted by word frequency.
+    * This is the trainer's ONE distributed pass beyond word frequencies,
+    * and the oracle-checkable face of training ([[unigramVocab]] derives
+    * its driver-side seed with the identical rule — spec-pinned equal).
+    *
+    * Shape at 100 TB: word frequencies are a uniform-key partial agg; the
+    * substring explode multiplies the DISTINCT-WORD frame (vocabulary-
+    * sized, not corpus-sized) by ~len·maxPieceLen, then one more uniform
+    * partial agg onto the piece key. */
+  def unigramSeed(docs: DataFrame, maxPieceLen: Int = 3,
+                  textCol: String = "text",
+                  maxVocabWords: Int = 1 << 22): DataFrame = {
+    require(maxPieceLen >= 1, "maxPieceLen must be positive")
+    docs.select(explode(
+        expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .orderBy(col("wc").desc, col("word")).limit(maxVocabWords)
+      .select(col("wc"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)),
+           |  st -> transform(sequence(1, least($maxPieceLen, length(word) - st + 1)),
+           |    ln -> substring(word, st, ln))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum(col("wc")).as("cnt"))
+  }
+
+  /** Unigram-LM tokenizer TRAINING (Kudo 2018 — the SentencePiece unigram
+    * model real pipelines ship beside BPE): seed with the most frequent
+    * substrings ([[unigramSeed]]'s rule), run `emIters` rounds of EM —
+    * E-step Viterbi-segments every distinct word under the current piece
+    * probabilities, M-step re-estimates probabilities from the
+    * frequency-weighted piece usage — then prune to `vocabSize` keeping
+    * every single character (full coverage, the paper's invariant).
+    * Returns (piece, cnt, score) with score = round(ln p, 6).
+    *
+    * Determinism: piece costs are quantized to integer MICRO-NATS
+    * (round(−ln p · 1e6)) before Viterbi, so segmentation decisions are
+    * integer comparisons — no float-order sensitivity; ties prefer the
+    * longer final piece at each DP boundary, then the seed order is
+    * (count desc, piece asc). Unreferenced non-char pieces drop each
+    * round; unreferenced chars keep a floor count of 1.
+    *
+    * Shape at 100 TB: ONE distributed distinct-word frequency pass (the
+    * bpeMerges contract — everything after runs on the vocabulary-sized
+    * artifact on the driver, exact below `maxVocabWords`); EM is
+    * O(iters · words · len · maxPieceLen) driver work on that frame. */
+  def unigramVocab(docs: DataFrame, vocabSize: Int = 64,
+                   maxPieceLen: Int = 3, emIters: Int = 2,
+                   seedSize: Int = 2048, textCol: String = "text",
+                   maxVocabWords: Int = 1 << 22): DataFrame = {
+    require(vocabSize >= 1 && emIters >= 1 && seedSize >= vocabSize,
+      s"bad unigram config ($vocabSize, $emIters, $seedSize)")
+    val spark = docs.sparkSession
+    val wf = docs.select(explode(
+        expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .orderBy(col("wc").desc, col("word")).limit(maxVocabWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    // driver-side seed with unigramSeed's exact rule (spec-pinned equal)
+    val seedCounts = scala.collection.mutable.HashMap.empty[String, Long]
+    wf.foreach { case (w, wc) =>
+      var st = 0
+      while (st < w.length) {
+        var l = 1
+        val maxL = math.min(maxPieceLen, w.length - st)
+        while (l <= maxL) {
+          val p = w.substring(st, st + l)
+          seedCounts.update(p, seedCounts.getOrElse(p, 0L) + wc)
+          l += 1
+        }
+        st += 1
+      }
+    }
+    val chars = seedCounts.keysIterator.filter(_.length == 1).toArray.sorted
+    def topBy(m: collection.Map[String, Long], n: Int,
+              always: Iterable[String]): Map[String, Long] = {
+      val ranked = m.toSeq.sortBy { case (p, c) => (-c, p) }.take(n).toMap
+      ranked ++ always.map(c => c -> math.max(1L, m.getOrElse(c, 1L)))
+    }
+    var pieces: Map[String, Long] = topBy(seedCounts, seedSize, chars)
+
+    def costsOf(ps: Map[String, Long]): Map[String, Long] = {
+      val total = ps.valuesIterator.sum.toDouble
+      ps.map { case (p, c) => p -> math.round(-math.log(c / total) * 1e6) }
+    }
+    for (_ <- 1 to emIters) {
+      val cost = costsOf(pieces)
+      val used = scala.collection.mutable.HashMap.empty[String, Long]
+      wf.foreach { case (w, wc) =>
+        viterbiSegment(w, cost, maxPieceLen).foreach(p =>
+          used.update(p, used.getOrElse(p, 0L) + wc))
+      }
+      pieces = used.toMap ++
+        chars.filterNot(used.contains).map(c => c -> 1L)
+    }
+    // prune: every single char stays (coverage invariant); the remaining
+    // vocabSize − nChars slots go to the best non-char pieces
+    val charSet = chars.toSet
+    val kept = (pieces.view.filterKeys(!charSet.contains(_))
+        .toSeq.sortBy { case (p, c) => (-c, p) }
+        .take(math.max(0, vocabSize - chars.length)) ++
+      chars.map(c => c -> pieces.getOrElse(c, 1L)))
+      .sortBy { case (p, c) => (-c, p) }
+    val total = kept.map(_._2).sum.toDouble
+    import spark.implicits._
+    kept.map { case (p, c) =>
+      (p, c, BigDecimal(math.log(c / total))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("piece", "cnt", "score")
+  }
+
+  /** Integer-cost Viterbi segmentation: minimal total micro-nat cost over
+    * pieces of length ≤ maxLen (single chars are always in the vocab, so
+    * every word segments). Ties prefer the LONGER final piece at each DP
+    * boundary — a deterministic integer rule shared by train and encode. */
+  private def viterbiSegment(word: String, cost: Map[String, Long],
+                             maxLen: Int): Array[String] = {
+    val n = word.length
+    val INF = Long.MaxValue / 4
+    val best = Array.fill(n + 1)(INF)
+    val lastLen = new Array[Int](n + 1)
+    best(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      val maxL = math.min(maxLen, i)
+      while (l <= maxL) {
+        if (best(i - l) < INF) {
+          cost.get(word.substring(i - l, i)) match {
+            case Some(c) =>
+              val cand = best(i - l) + c
+              if (cand < best(i) || (cand == best(i) && l > lastLen(i))) {
+                best(i) = cand; lastLen(i) = l
+              }
+            case None => ()
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    require(best(n) < INF, s"word '$word' not segmentable — missing chars in vocab")
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var pos = n
+    while (pos > 0) {
+      val l = lastLen(pos)
+      out.prepend(word.substring(pos - l, pos))
+      pos -= l
+    }
+    out.toArray
+  }
+
+  /** Apply a trained unigram vocabulary to the corpus — [[unigramVocab]]
+    * is train, this is apply (the bpeEncode twin): one row per doc,
+    * (idCol, n_unigram_tokens, tok_digest), digest = md5 of the
+    * space-joined token sequence in document order. The vocabulary
+    * collects to the driver (kilobytes — the PQ-codebook contract),
+    * costs re-derived in micro-nats exactly as training did, and
+    * segmentation runs ONCE per distinct word (mapPartitions over the
+    * distinct-word frame with the broadcast cost map — the
+    * vocabulary-memoization trick), then hash-joins back on the uniform
+    * word key and re-aggregates per doc. */
+  def unigramEncode(docs: DataFrame, vocab: DataFrame,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val vs = vocab.select(col("piece"), col("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(vs.nonEmpty, "empty unigram vocabulary")
+    val total = vs.map(_._2).sum.toDouble
+    val cost = vs.map { case (p, c) =>
+      p -> math.round(-math.log(c / total) * 1e6) }.toMap
+    val maxLen = vs.map(_._1.length).max
+    val bc = spark.sparkContext.broadcast((cost, maxLen))
+    import spark.implicits._
+    val words = docs.select(col(idCol),
+      posexplode(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"))
+        .as(Seq("pos", "word")))
+    val segmented = words.select("word").distinct().as[String]
+      .mapPartitions { it =>
+        val (cm, ml) = bc.value
+        it.map(w => (w, viterbiSegment(w, cm, ml).mkString(" ")))
+      }.toDF("word", "ts")
+      .withColumn("n", size(split(col("ts"), " ")).cast("long"))
+    words.join(segmented, Seq("word"))
+      .groupBy(idCol)
+      .agg(sum("n").as("n_unigram_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("ts")))),
+          s => s.getField("ts")), " ")).as("tok_digest"))
+  }
+
+  /** Tokenizer bake-off: BPE vs unigram-LM fertility per stratum — the
+    * side-by-side report a pipeline publishes when choosing which
+    * tokenizer to commit to (same `fertility` metric as
+    * [[bpeFertility]]; both encodes ride the distinct-word memoization,
+    * the rollup is strata-sized). */
+  def tokenizerCompare(docs: DataFrame, merges: DataFrame, vocab: DataFrame,
+                       strataCol: String = "lang", idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val bpe = bpeEncode(docs, merges, idCol, textCol)
+      .select(col(idCol), col("n_bpe_tokens"))
+    val uni = unigramEncode(docs, vocab, idCol, textCol)
+      .select(col(idCol), col("n_unigram_tokens"))
+    val base = docs.select(col(idCol), col(strataCol),
+      size(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"))
+        .cast("long").as("n_words"))
+    base.join(bpe, Seq(idCol), "left").join(uni, Seq(idCol), "left")
+      .groupBy(strataCol)
+      .agg(sum("n_words").as("n_words"),
+        sum(coalesce(col("n_bpe_tokens"), lit(0L))).as("n_bpe_tokens"),
+        round(sum(coalesce(col("n_bpe_tokens"), lit(0L))).cast("double") /
+          greatest(sum("n_words"), lit(1L)), 4).as("bpe_fertility"),
+        sum(coalesce(col("n_unigram_tokens"), lit(0L)))
+          .as("n_unigram_tokens"),
+        round(sum(coalesce(col("n_unigram_tokens"), lit(0L))).cast("double") /
+          greatest(sum("n_words"), lit(1L)), 4).as("unigram_fertility"))
+  }
+
   /** Deterministic hashed bag-of-words document embedding (the "hashing
     * trick", Weinberger et al. 2009): every token adds ±1 to one of `dims`
     * slots — slot and sign both md5-derived — and the counts vector is

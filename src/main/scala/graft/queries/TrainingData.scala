@@ -3006,6 +3006,60 @@ object TrainingData {
     // regexp_replace on delimiter-encoded symbols — left-to-right
     // non-overlapping in both Java regex and RE2, so the learned merge
     // table is bit-identical across engines
+    // unigram-LM seed table (Kudo 2018): the most frequent substrings of
+    // length <= 3 across the word-frequency table — the trainer's one
+    // distributed pass beyond word counts, oracle-exact (the driver-side
+    // EM derives its seed with the identical rule, spec-pinned equal)
+    df("ta_unigram_seed",
+      """WITH wf AS (SELECT w AS word, count(*) AS wc FROM (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |  FROM documents) x GROUP BY w),
+        |mx AS (SELECT max(len(word)) AS ml FROM wf),
+        |st AS (SELECT unnest(generate_series(1, (SELECT ml FROM mx))) AS s),
+        |ln AS (SELECT unnest(generate_series(1, 3)) AS l),
+        |p AS (SELECT substring(word, s, l) AS piece,
+        |  CAST(sum(wc) AS BIGINT) AS cnt
+        |  FROM wf, st, ln
+        |  WHERE s <= len(word) AND s + l - 1 <= len(word)
+        |  GROUP BY piece)
+        |SELECT piece, cnt FROM p
+        |ORDER BY cnt DESC, piece LIMIT 50""".stripMargin) { (s, _) =>
+      TextAnalysis.unigramSeed(s.table("documents"), maxPieceLen = 3)
+        .orderBy(col("cnt").desc, col("piece")).limit(50)
+    },
+
+    // unigram-LM tokenizer training (SentencePiece's second model beside
+    // BPE): EM over the distinct-word frame with integer micro-nat Viterbi
+    // — driver-side by the bpeMerges contract, so the learned vocabulary
+    // is engine-specific -> rows-only; the EM golden, the coverage
+    // invariant, and seed ≡ ta_unigram_seed are CorpusFiltersSpec-pinned
+    noOracle("ta_unigram_vocab") { (s, _) =>
+      TextAnalysis.unigramVocab(s.table("documents"), vocabSize = 64)
+        .orderBy(col("cnt").desc, col("piece"))
+    },
+
+    // unigram tokenization of the corpus under the trained vocabulary
+    // (train-then-apply, the ta_bpe_encode twin); rows-only — the token
+    // digests depend on the driver-trained vocab; round-trip and
+    // determinism are spec-pinned
+    noOracle("ta_unigram_encode") { (s, _) =>
+      val docs = s.table("documents")
+      TextAnalysis.unigramEncode(docs,
+          TextAnalysis.unigramVocab(docs, vocabSize = 64))
+        .orderBy("doc_id").limit(100)
+    },
+
+    // tokenizer bake-off: BPE (3 merges) vs unigram-LM (64 pieces)
+    // fertility per language — the report that decides which tokenizer a
+    // pipeline commits to
+    noOracle("ta_tokenizer_compare") { (s, _) =>
+      val docs = s.table("documents")
+      TextAnalysis.tokenizerCompare(docs,
+          TextAnalysis.bpeMerges(docs, merges = 3),
+          TextAnalysis.unigramVocab(docs, vocabSize = 64))
+        .orderBy("lang")
+    },
+
     df("ta_bpe_merges",
       """WITH wf AS (SELECT w AS word, count(*) AS wc FROM (
         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w

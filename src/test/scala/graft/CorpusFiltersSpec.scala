@@ -563,4 +563,88 @@ class CorpusFiltersSpec extends SparkTestBase {
     assert(got(2L) == ((0L, false)), "disjoint shingles share no band")
     assert(!got.contains(3L), "sub-shingle docs have no signature")
   }
+
+  test("unigram seed: hand-computed substring counts; trainer seed rule " +
+    "matches the distributed unigramSeed frame") {
+    import spark.implicits._
+    val docs = Seq(1L -> "aa aa ab").toDF("doc_id", "text")
+    val seed = graft.operators.TextAnalysis.unigramSeed(docs, maxPieceLen = 2)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("cnt")).toMap
+    // words: aa (wc 2), ab (wc 1); substrings weighted by wc:
+    // a: 2·2 + 1 = 5, aa: 2, ab: 1, b: 1
+    assert(seed == Map("a" -> 5L, "aa" -> 2L, "ab" -> 1L, "b" -> 1L), seed)
+  }
+
+  test("unigram vocab: hand-computed EM round (Viterbi E-step in integer " +
+    "micro-nats, char floor, prune keeps every char)") {
+    import spark.implicits._
+    val docs = Seq(1L -> "aa aa ab").toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.unigramVocab(docs, vocabSize = 3,
+        maxPieceLen = 2, emIters = 1, seedSize = 16)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("cnt"),
+        r.getAs[Double]("score")))
+    // seed probs 5/9, 2/9, 1/9, 1/9 -> costs 587787, 1504077, 2197225,
+    // 2197225 µnats; Viterbi: "aa" -> [a,a] (1175574 < 1504077),
+    // "ab" -> [ab] (2197225 < 2785012); usage a:4, ab:1, char floor b:1;
+    // prune to 3 keeps chars a,b + best non-char ab; total 6
+    assert(got.toSeq == Seq(
+      ("a", 4L, -0.405465), ("ab", 1L, -1.791759), ("b", 1L, -1.791759)),
+      got.toSeq)
+  }
+
+  test("unigram encode: tokens under the trained vocab, digest in doc " +
+    "order; every word re-concatenates (n_tokens between words and chars)") {
+    import spark.implicits._
+    val docs = Seq(1L -> "aa aa ab").toDF("doc_id", "text")
+    val vocab = graft.operators.TextAnalysis.unigramVocab(docs, vocabSize = 3,
+      maxPieceLen = 2, emIters = 1, seedSize = 16)
+    val got = graft.operators.TextAnalysis.unigramEncode(docs, vocab)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_unigram_tokens"), r.getAs[String]("tok_digest")))
+    // costs from {a:4, ab:1, b:1}: "aa" -> [a,a] (810930 < no aa piece),
+    // "ab" -> [ab] (1791759 < 2197224) => "a a a a ab"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("a a a a ab".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got.toSeq == Seq((1L, 5L, md)), got.toSeq)
+
+    // real corpus: deterministic across runs; 1 <= fertility (tokens per
+    // word) and tokens never exceed characters (full-coverage invariant)
+    Tables.register(spark, sfDir)
+    val d = spark.table("documents").limit(50)
+    val v = graft.operators.TextAnalysis.unigramVocab(d, vocabSize = 64)
+    val e1 = graft.operators.TextAnalysis.unigramEncode(d, v).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_unigram_tokens"),
+        r.getAs[String]("tok_digest"))).sortBy(_._1)
+    val e2 = graft.operators.TextAnalysis.unigramEncode(d, v).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_unigram_tokens"),
+        r.getAs[String]("tok_digest"))).sortBy(_._1)
+    assert(e1.toSeq == e2.toSeq)
+    val bounds = d.select(col("doc_id"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+          .cast("long").as("nw"),
+        length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+          .cast("long").as("nc"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    e1.foreach { case (id, nt, _) =>
+      val (nw, nc) = bounds(id)
+      assert(nt >= nw && nt <= nc, s"doc $id: $nt tokens vs $nw words/$nc chars")
+    }
+  }
+
+  test("tokenizer compare: per-language fertilities of BPE and unigram " +
+    "side by side, both >= 1 over the corpus sample") {
+    Tables.register(spark, sfDir)
+    val d = spark.table("documents")
+    val got = graft.operators.TextAnalysis.tokenizerCompare(d,
+        graft.operators.TextAnalysis.bpeMerges(d, merges = 3),
+        graft.operators.TextAnalysis.unigramVocab(d, vocabSize = 64))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Double]("bpe_fertility") >= 1.0, r)
+      assert(r.getAs[Double]("unigram_fertility") >= 1.0, r)
+      assert(r.getAs[Long]("n_unigram_tokens") >= r.getAs[Long]("n_words"), r)
+    }
+  }
 }
