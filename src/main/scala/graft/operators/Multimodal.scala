@@ -250,26 +250,9 @@ object Multimodal {
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false) // per-partition init, once
       it.map { m =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(m.content))
-        require(img != null, s"media_id=${m.media_id}: undecodable image bytes")
-        val (w0, h0) = (img.getWidth, img.getHeight)
-        val gray = Array.ofDim[Int](8, 9)
-        var y = 0
-        while (y < 8) {
-          val sy = (y.toLong * h0 / 8).toInt
-          var x = 0
-          while (x < 9) {
-            val sx = (x.toLong * w0 / 9).toInt
-            val rgb = img.getRGB(sx, sy)
-            gray(y)(x) =
-              ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-            x += 1
-          }
-          y += 1
-        }
+        val gray = grayGrid(m, 9, 8)
         var hash = 0L
-        y = 0
+        var y = 0
         while (y < 8) {
           var x = 0
           while (x < 8) {
@@ -281,6 +264,68 @@ object Multimodal {
         (m.media_id, hash)
       }
     }.toDF("media_id", "dhash")
+  }
+
+  /** 64-bit AVERAGE HASH (aHash) per image — [[imageDHash]]'s sibling
+    * perceptual fingerprint (brightness-profile instead of gradient-
+    * profile; pipelines run both because they fail differently): 8×8 NN
+    * grayscale grid, bit k = y·8+x set iff the cell is STRICTLY brighter
+    * than the grid mean — compared in the cross-multiplied integer form
+    * 64·gray(x,y) > Σ gray, exact in any engine (no float mean). Same
+    * decode/grid contract as dHash; map-only. */
+  def imageAHash(media: Dataset[MediaItem]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val gray = grayGrid(m, 8, 8)
+        var total = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) { total += gray(y)(x); x += 1 }
+          y += 1
+        }
+        var hash = 0L
+        y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (64L * gray(y)(x) > total) hash |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        (m.media_id, hash)
+      }
+    }.toDF("media_id", "ahash")
+  }
+
+  /** The decoded gw×gh nearest-neighbor grayscale grid both perceptual
+    * hashes sample — ONE definition of the decode + NN mapping
+    * (src pixel (x·w0/gw, y·h0/gh), integer floor — [[resizeImage]]'s
+    * rule) and the integer gray = r+g+b so dHash and aHash can never
+    * drift. Indexed gray(y)(x). */
+  private def grayGrid(m: MediaItem, gw: Int, gh: Int): Array[Array[Int]] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(m.content))
+    require(img != null, s"media_id=${m.media_id}: undecodable image bytes")
+    val (w0, h0) = (img.getWidth, img.getHeight)
+    val gray = Array.ofDim[Int](gh, gw)
+    var y = 0
+    while (y < gh) {
+      val sy = (y.toLong * h0 / gh).toInt
+      var x = 0
+      while (x < gw) {
+        val sx = (x.toLong * w0 / gw).toInt
+        val rgb = img.getRGB(sx, sy)
+        gray(y)(x) =
+          ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    gray
   }
 
   /** IMAGE NEAR-DUP pairs: [[imageDHash]] + Hamming BANDING for candidate
@@ -299,29 +344,46 @@ object Multimodal {
     * per band, with content-clustered (not adversarial) skew; the pair
     * dedup rides a (id_a, id_b)-keyed aggregation (uniform keys) and
     * verification is one bit_count(xor) per candidate. */
-  def imageNearDup(media: Dataset[MediaItem], maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"maxHamming must be 0..3 (4-band pigeonhole completeness), got $maxHamming")
-    val bands = imageDHash(media)
-      .select(col("media_id"), col("dhash"),
-        posexplode(array((0 until 4).map(i =>
-          shiftrightunsigned(col("dhash"), 16 * i)
-            .bitwiseAND(lit(0xffffL))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
-    val a = bands.select(col("band"), col("bval"),
-      col("media_id").as("id_a"), col("dhash").as("ha"))
-    val b = bands.select(col("band"), col("bval"),
-      col("media_id").as("id_b"), col("dhash").as("hb"))
-    a.join(b, Seq("band", "bval"))
-      .where(col("id_a") < col("id_b"))
-      // a pair sharing several bands appears once per shared band —
-      // collapse on the pair key (uniform) before verification
-      .groupBy("id_a", "id_b")
-      .agg(first(col("ha")).as("ha"), first(col("hb")).as("hb"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
-      .where(col("hamming") <= maxHamming)
+  def imageNearDup(media: Dataset[MediaItem], maxHamming: Int = 3): DataFrame =
+    Similarity.hamming64NearDup(imageDHash(media), maxHamming,
+      idCol = "media_id", hashCol = "dhash")
+
+  /** 64-bit AUDIO FINGERPRINT per (media, channel) from REAL PCM decode —
+    * the waveform analog of [[imageDHash]]: bit i is set iff
+    * sample(i+1) > sample(i) on that channel (the delta-sign profile —
+    * robust to gain changes, which scale but never reorder samples);
+    * clips shorter than 65 frames leave the tail bits 0. Same
+    * [[decodePcm]] contract as the other audio operators, map-only,
+    * integer-exact for a SQL oracle on the formula WAVs. */
+  def audioFingerprint(media: Dataset[MediaItem]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val pcm = decodePcm(m)
+        (0 until pcm.ch).map { c =>
+          var hash = 0L
+          var i = 0
+          val steps = math.max(0, math.min(64, pcm.frames - 1))
+          while (i < steps) {
+            if (pcm.sample(i + 1, c) > pcm.sample(i, c)) hash |= 1L << i
+            i += 1
+          }
+          (m.media_id, c, hash)
+        }
+      }
+    }.toDF("media_id", "channel", "fp")
   }
+
+  /** AUDIO NEAR-DUP pairs: [[audioFingerprint]] on channel 0 (the
+    * mixdown convention) + the shared Hamming banding
+    * (`Similarity.hamming64NearDup` — the exact contract
+    * [[imageNearDup]] uses: banded equi-join candidates,
+    * pigeonhole-complete at Hamming ≤ 3). */
+  def audioNearDup(media: Dataset[MediaItem], maxHamming: Int = 3): DataFrame =
+    Similarity.hamming64NearDup(
+      audioFingerprint(media).where(col("channel") === 0)
+        .select(col("media_id"), col("fp")),
+      maxHamming, idCol = "media_id", hashCol = "fp")
 
   /** Sample formula for the generated test WAVs — modular arithmetic in
     * (doc_id, channel, frame) with values in [-1000, 1000], so a SQL

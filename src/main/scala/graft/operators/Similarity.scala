@@ -136,6 +136,89 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCH ANN: exact cosine top-k for EVERY query in a (small) query
+    * frame, one corpus pass — the batch-inference shape a pipeline
+    * actually serves (retrieval eval sets, dedup seed lookups, RAG
+    * index probes), where the single-query operators would re-scan the
+    * corpus per query. The query frame broadcasts (kilobytes); scoring
+    * is map-only; top-k is TWO-PHASE: a per-(query, input-partition)
+    * partial top-k rides the aggregation's partial phase, so the final
+    * per-query window sees at most k · partitions candidate rows — not
+    * the corpus (the single-task-per-query global Window trap at 10⁹
+    * rows). Ties: sim round(4) desc, then id — deterministic in any
+    * engine. Self-matches (corpus id == query id) are excluded. */
+  def batchTopK(emb: DataFrame, queries: DataFrame, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                queryIdCol: String = "query_id"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    graft.functions.ArrayDot.register(emb.sparkSession)
+    val q = broadcast(queries.select(col(queryIdCol).as("qid"),
+      asDouble(col(vecCol)).as("qv")))
+    val scored = emb.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("nrm", sqrt(expr("array_dot(__v, __v)")))
+      .crossJoin(q)
+      .where(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        round(expr("array_dot(__v, qv)") /
+          (col("nrm") * sqrt(expr("array_dot(qv, qv)"))), 4).as("sim"))
+      // spark_partition_id is nondeterministic-tagged: materialize it in
+      // a Project first (grouping on it directly fails analysis)
+      .withColumn("__p", spark_partition_id())
+    val partial = scored
+      .groupBy("qid", "__p")
+      .agg(expr(
+        s"slice(array_sort(collect_list(struct(-sim AS ns, $idCol AS id))), 1, $k)")
+        .as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.id").as(idCol), (-col("t.ns")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col(idCol))
+    partial.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("qid").as(queryIdCol), col(idCol), col("sim"), col("rnk"))
+  }
+
+  /** NEAR-DUP pairs over a 64-bit fingerprint column via Hamming BANDING —
+    * ONE definition of the banded candidate join `Multimodal.imageNearDup`
+    * (dHash) and `Multimodal.audioNearDup` (PCM delta-sign) share: the
+    * hash splits into four disjoint 16-bit bands; by pigeonhole two
+    * hashes within Hamming distance ≤ 3 agree exactly on at least one
+    * band, so candidates come from a banded EQUI-join (never all-pairs)
+    * and at `maxHamming` ≤ 3 the result is EXACTLY the all-pairs answer.
+    * Thresholds above 3 would silently lose completeness, so the
+    * parameter is capped instead.
+    *
+    * Input: (idCol, hashCol 64-bit long). Output: (id_a, id_b, hamming).
+    *
+    * Shape at 100 TB: the candidate join shuffles on (band, 16-bit
+    * value) — 4 rows per item; the pair dedup rides an (id_a, id_b)-keyed
+    * aggregation (uniform keys); verification is one bit_count(xor) per
+    * candidate. */
+  def hamming64NearDup(hashes: DataFrame, maxHamming: Int = 3,
+                       idCol: String = "id",
+                       hashCol: String = "hash"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be 0..3 (4-band pigeonhole completeness), got $maxHamming")
+    val bands = hashes
+      .select(col(idCol).as("__id"), col(hashCol).as("__h"),
+        posexplode(array((0 until 4).map(i =>
+          shiftrightunsigned(col(hashCol), 16 * i)
+            .bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+    val a = bands.select(col("band"), col("bval"),
+      col("__id").as("id_a"), col("__h").as("ha"))
+    val b = bands.select(col("band"), col("bval"),
+      col("__id").as("id_b"), col("__h").as("hb"))
+    a.join(b, Seq("band", "bval"))
+      .where(col("id_a") < col("id_b"))
+      // a pair sharing several bands appears once per shared band —
+      // collapse on the pair key (uniform) before verification
+      .groupBy("id_a", "id_b")
+      .agg(first(col("ha")).as("ha"), first(col("hb")).as("hb"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   // ---- product quantization ----------------------------------------------
 
   /** Deterministic PQ seed codebooks: m subvectors × k codes × subDims,

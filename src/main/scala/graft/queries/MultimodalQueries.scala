@@ -285,6 +285,98 @@ object MultimodalQueries {
         .orderBy("id_a", "id_b")
     },
 
+
+    // average hash (aHash), dHash's sibling fingerprint: 8x8 grid, bit =
+    // cell strictly brighter than the grid mean, compared integer-exactly
+    // as 64*gray > total (no float mean on either engine)
+    df("mm_image_ahash",
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    4 + doc_id % 13 AS w0, 3 + doc_id % 11 AS h0
+        |  FROM documents ORDER BY media_id LIMIT 150),
+        |g AS (SELECT media_id, y * 8 + x AS k,
+        |    ((media_id * 7 + sx * 5 + sy * 3) % 256)
+        |  + ((media_id * 11 + sx * 3 + sy * 7) % 256)
+        |  + ((media_id * 13 + sx + sy * 5) % 256) AS gray
+        |  FROM (SELECT media_id, x, y, x * w0 // 8 AS sx, y * h0 // 8 AS sy
+        |    FROM m CROSS JOIN generate_series(0, 7) tx(x)
+        |           CROSS JOIN generate_series(0, 7) ty(y)) z),
+        |t AS (SELECT media_id, CAST(sum(gray) AS BIGINT) AS total
+        |  FROM g GROUP BY media_id),
+        |hb AS (SELECT g.media_id, k,
+        |    CASE WHEN 64 * gray > total THEN 1 ELSE 0 END AS bit
+        |  FROM g JOIN t ON t.media_id = g.media_id)
+        |SELECT media_id,
+        |  CAST(sum(CASE WHEN k >= 32
+        |    THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |  CAST(sum(CASE WHEN k < 32
+        |    THEN bit * (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS ahash_lo
+        |FROM hb GROUP BY media_id ORDER BY media_id""".stripMargin) { (s, _) =>
+      Multimodal.imageAHash(Multimodal.pngFromDocuments(
+          s.table("documents").orderBy("doc_id").limit(150)))
+        .select(col("media_id"),
+          shiftrightunsigned(col("ahash"), 32).as("ahash_hi"),
+          col("ahash").bitwiseAND(lit(0xffffffffL)).as("ahash_lo"))
+        .orderBy("media_id")
+    },
+
+    // 64-bit audio fingerprint from REAL PCM decode: per channel, bit i =
+    // sample(i+1) > sample(i) (delta-sign profile, gain-invariant); the
+    // oracle replays the waveform formula's comparisons exactly
+    df("mm_audio_fingerprint",
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    CAST(1 + doc_id % 2 AS INT) AS ch, 50 + doc_id % 101 AS frames
+        |  FROM documents ORDER BY media_id LIMIT 100),
+        |b AS (SELECT media_id, c, i,
+        |    CASE WHEN (media_id * 7 + c * 13 + (i + 1) * 31) % 2001
+        |            > (media_id * 7 + c * 13 + i * 31) % 2001
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM m CROSS JOIN generate_series(0, 63) t(i)
+        |         CROSS JOIN generate_series(0, 1) tc(c)
+        |  WHERE c < ch AND i < frames - 1)
+        |SELECT media_id, CAST(c AS INT) AS channel,
+        |  CAST(sum(CASE WHEN i >= 32
+        |    THEN bit * (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS fp_hi,
+        |  CAST(sum(CASE WHEN i < 32
+        |    THEN bit * (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS fp_lo
+        |FROM b GROUP BY media_id, c
+        |ORDER BY media_id, channel""".stripMargin) { (s, _) =>
+      Multimodal.audioFingerprint(Multimodal.wavFromDocuments(
+          s.table("documents").orderBy("doc_id").limit(100)))
+        .select(col("media_id"), col("channel"),
+          shiftrightunsigned(col("fp"), 32).as("fp_hi"),
+          col("fp").bitwiseAND(lit(0xffffffffL)).as("fp_lo"))
+        .orderBy("media_id", "channel")
+    },
+
+    // audio near-dup pairs on the channel-0 fingerprint via the SAME
+    // shared Hamming banding as mm_image_dedup (pigeonhole-complete at
+    // <= 3, so the oracle's all-pairs join is the exact answer)
+    df("mm_audio_dedup",
+      """WITH m AS (SELECT doc_id AS media_id, 50 + doc_id % 101 AS frames
+        |  FROM documents ORDER BY media_id LIMIT 100),
+        |b AS (SELECT media_id, i,
+        |    CASE WHEN (media_id * 7 + (i + 1) * 31) % 2001
+        |            > (media_id * 7 + i * 31) % 2001
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM m CROSS JOIN generate_series(0, 63) t(i)
+        |  WHERE i < frames - 1),
+        |h AS (SELECT media_id,
+        |  CAST(sum(CASE WHEN i >= 32
+        |    THEN bit * (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS hi,
+        |  CAST(sum(CASE WHEN i < 32
+        |    THEN bit * (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM b GROUP BY media_id)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(bit_count(xor(a.hi, b.hi))
+        |     + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, _) =>
+      Multimodal.audioNearDup(Multimodal.wavFromDocuments(
+          s.table("documents").orderBy("doc_id").limit(100)), maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
+
     df("mm_frame_sample",
       """WITH hx AS (SELECT doc_id AS media_id, concat(md5(text), md5(concat('2:', text))) AS h
         |  FROM documents WHERE doc_id % 3 = 2)

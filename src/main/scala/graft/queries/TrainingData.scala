@@ -2009,6 +2009,35 @@ object TrainingData {
 
     // Hamming top-k over the packed sign bits: broadcast query row,
     // map-only xor+bit_count scan, deterministic id tiebreak
+
+    // batch ANN: exact top-5 for every query in a query SET, one corpus
+    // pass — broadcast queries, map-only scoring, two-phase top-k (the
+    // per-query partial rides the aggregation; the final window sees
+    // k x partitions rows, never the corpus). Oracle: plain per-query
+    // row_number over the full cross product
+    df("ss_batch_topk",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(
+        |    generate_series(1, 64), i -> v[i] * v[i]))) AS nv FROM e),
+        |q AS (SELECT vec_id AS qid, v AS qv, nv AS nq FROM n
+        |  WHERE vec_id % 97 = 0),
+        |p AS (SELECT qid, c.vec_id,
+        |  round(list_sum(list_transform(generate_series(1, 64),
+        |    i -> c.v[i] * qv[i])) / (c.nv * nq), 4) AS sim
+        |  FROM n c CROSS JOIN q WHERE c.vec_id <> qid),
+        |r AS (SELECT qid AS query_id, vec_id, sim,
+        |  CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk FROM p)
+        |SELECT query_id, vec_id, sim, rnk FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin) { (s, _) =>
+      val emb = s.table("embeddings")
+      Similarity.batchTopK(emb,
+          emb.where(col("vec_id") % 97 === 0)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          k = 5)
+        .orderBy("query_id", "rnk")
+    },
+
     df("ss_ann_hamming",
       """WITH b AS (SELECT vec_id,
         |  list_transform(generate_series(0, 1), wd ->

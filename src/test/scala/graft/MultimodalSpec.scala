@@ -281,4 +281,65 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.imageNearDup(items, maxHamming = 4)
     }
   }
+
+  test("imageAHash golden: flat image -> 0 (strict mean compare), " +
+    "half-bright image sets exactly the bright half's bits") {
+    import spark.implicits._
+    def png(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val flat = png(8, 8)((_, _) => 0x404040)
+    // left 4 columns dark, right 4 bright: mean sits between, so exactly
+    // the 4 bright columns' bits set in every row
+    val half = png(8, 8)((x, _) => if (x < 4) 0x101010 else 0xf0f0f0)
+    val items = Seq(MediaItem(1L, "image", flat),
+      MediaItem(2L, "image", half)).toDS()
+    val got = Multimodal.imageAHash(items).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("ahash")).toMap
+    assert(got(1L) == 0L, s"flat must hash to 0, got ${got(1L)}")
+    val expected = (0 until 8).map { y =>
+      (4 until 8).map(x => 1L << (y * 8 + x)).sum }.sum
+    assert(got(2L) == expected, s"half-bright: ${got(2L)} vs $expected")
+  }
+
+  test("audioFingerprint: alternating waveform sets alternating bits; " +
+    "identical clips pair at hamming 0 via the shared banding") {
+    import spark.implicits._
+    // 16-bit mono PCM WAV bytes built by the JDK's own writer
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val bytes = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (v, i) =>
+        bytes(2 * i) = (v & 0xff).toByte
+        bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // 66 samples alternating 0, 100: sample(i+1) > sample(i) iff i even
+    val alt = wav(Array.tabulate(66)(i => if (i % 2 == 0) 0.toShort else 100.toShort))
+    val items = Seq(MediaItem(1L, "audio", alt), MediaItem(2L, "audio", alt),
+      // strictly decreasing ramp: no bit set -> far from the others
+      MediaItem(3L, "audio", wav(Array.tabulate(66)(i => (1000 - i * 10).toShort)))
+    ).toDS()
+    val fp = Multimodal.audioFingerprint(items).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("channel")) ->
+        r.getAs[Long]("fp")).toMap
+    val expected = (0 until 64 by 2).map(1L << _).sum
+    assert(fp((1L, 0)) == expected, s"alternating fp ${fp((1L, 0))} vs $expected")
+    assert(fp((3L, 0)) == 0L)
+    val dups = Multimodal.audioNearDup(items).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(dups == Map((1L, 2L) -> 0L), dups)
+  }
 }

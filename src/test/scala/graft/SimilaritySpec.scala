@@ -634,4 +634,29 @@ class SimilaritySpec extends SparkTestBase {
       Similarity.semDedup(emb, -1, 64, 0.3)
     }
   }
+
+  test("batchTopK equals the single-query operator for every query in the " +
+    "set; the final window never sees the corpus") {
+    Tables.register(spark, sfDir)
+    val emb = spark.table("embeddings")
+    val queries = emb.where(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = Similarity.batchTopK(emb, queries, k = 5).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("rnk"))
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq)
+      .toMap
+    val qids = queries.select("query_id").collect().map(_.getLong(0))
+    assert(got.keySet == qids.toSet)
+    for (qid <- qids) {
+      val single = Similarity.cosineTopK(emb, queryId = qid, k = 5).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+      assert(got(qid) == single, s"query $qid: ${got(qid)} vs $single")
+    }
+    // the partial top-k must ride the aggregation: a collect_list partial
+    // agg appears below the window, so the window input is k x partitions
+    val plan = Similarity.batchTopK(emb, queries, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("collect_list"), plan)
+  }
 }
