@@ -203,6 +203,34 @@ object Events {
         sum(col("n_transitions")).over(wF), 6))
   }
 
+  /** INTER-EVENT GAP distribution per event type: for each consecutive
+    * same-user event pair (full timeline — not session-bounded), the gap
+    * to the NEXT event attributed to the EARLIER event's type ("how long
+    * after an X does the user act again") — the dwell/hazard panel
+    * behind session-gap tuning and nudge timing. Exact p50/p90 per type
+    * (type cardinality bounds the agg state; the percentile input per
+    * group is user-pair gaps — swap percentile_approx by the
+    * queueDelayApprox pattern at extreme volume).
+    *
+    * Shape at 100 TB: ONE user-keyed window (uniform key) for the lead,
+    * then a partial agg onto the small type frame. */
+  def interEventGaps(events: DataFrame,
+                     userCol: String = "user_id",
+                     typeCol: String = "event_type",
+                     tsNsCol: String = "ts_ns",
+                     idCol: String = "event_id"): DataFrame = {
+    val wU = Window.partitionBy(col("u")).orderBy(col("et"), col("eid"))
+    events.select(col(userCol).as("u"), col(typeCol).as("ty"),
+        col(tsNsCol).as("et"), col(idCol).as("eid"))
+      .withColumn("gap_ns", lead(col("et"), 1).over(wU) - col("et"))
+      .where(col("gap_ns").isNotNull)
+      .groupBy(col("ty").as("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(percentile(col("gap_ns"), lit(0.5)), 4).as("p50_gap_ns"),
+        round(percentile(col("gap_ns"), lit(0.9)), 4).as("p90_gap_ns"),
+        max(col("gap_ns")).as("max_gap_ns"))
+  }
+
   /** Per-session ROLLUP over [[sessionize]]'s rule: one row per (user,
     * session) with its event count, wall duration, and entry/exit event
     * types — the session-level feature table behind "keep sessions with

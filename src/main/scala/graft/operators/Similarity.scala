@@ -161,10 +161,80 @@ object Similarity {
       .select(col("qid"), col(idCol),
         round(expr("array_dot(__v, qv)") /
           (col("nrm") * sqrt(expr("array_dot(qv, qv)"))), 4).as("sim"))
-      // spark_partition_id is nondeterministic-tagged: materialize it in
-      // a Project first (grouping on it directly fails analysis)
-      .withColumn("__p", spark_partition_id())
+    topKPerQuery(scored, k, idCol, queryIdCol)
+  }
+
+  /** Batch ANN under the TRAINED IVF quantizer — [[batchTopK]]'s indexed
+    * sibling and [[annTopKIvfTrained]] generalized from one query to a
+    * query frame: corpus cells assign map-only, the query frame (with
+    * its own cell scores and nprobe threshold under the SAME trained
+    * centroids) broadcasts, the probe predicate prunes each query's
+    * candidates to its `nprobe` best cells, and the two-phase top-k
+    * finishes per query. Recall < 1 by construction — measured by
+    * [[recallAtK]]. */
+  def batchTopKIvf(emb: DataFrame, queries: DataFrame, k: Int,
+                   centroids: Int, nprobe: Int, dims: Int,
+                   sampleMod: Int = 5,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   queryIdCol: String = "query_id"): DataFrame = {
+    require(k >= 1 && nprobe >= 1, "k and nprobe must be positive")
+    graft.functions.ArrayDot.register(emb.sparkSession)
+    val cents = ivfCentroidsTrained(emb, centroids, dims, sampleMod,
+      idCol, vecCol)
+    val corpus = ivfCellsWith(emb, cents, idCol, vecCol)
+      .withColumn("__v", asDouble(col(vecCol)))
+      .withColumn("nrm", sqrt(expr("array_dot(__v, __v)")))
+      .drop("cell_scores")
+    val q = broadcast(
+      ivfCellsWith(queries.select(col(queryIdCol).as("qid"), col(vecCol)),
+          cents, "qid", vecCol)
+        .select(col("qid"), asDouble(col(vecCol)).as("qv"),
+          col("cell_scores").as("qscores"))
+        .withColumn("thr", expr(s"sort_array(qscores, false)[${nprobe - 1}]")))
+    val scored = corpus.crossJoin(q)
+      .where(col(idCol) =!= col("qid") &&
+        expr("element_at(qscores, cell + 1) >= thr"))
+      .select(col("qid"), col(idCol),
+        round(expr("array_dot(__v, qv)") /
+          (col("nrm") * sqrt(expr("array_dot(qv, qv)"))), 4).as("sim"))
+    topKPerQuery(scored, k, idCol, queryIdCol)
+  }
+
+  /** ANN RECALL@k: |approx top-k ∩ exact top-k| / k per query — the
+    * evaluation loop a pipeline runs before committing an index config
+    * (the RecallBench harness's measurement as a first-class operator).
+    * Exact side [[batchTopK]], approximate side [[batchTopKIvf]], both
+    * under identical round(4)/id tie rules so the intersection is
+    * engine-exact. */
+  def recallAtK(emb: DataFrame, queries: DataFrame, k: Int,
+                centroids: Int, nprobe: Int, dims: Int,
+                sampleMod: Int = 5,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                queryIdCol: String = "query_id"): DataFrame = {
+    val exact = batchTopK(emb, queries, k, idCol, vecCol, queryIdCol)
+      .select(col(queryIdCol).as("__q"), col(idCol).as("__i"))
+    val approx = batchTopKIvf(emb, queries, k, centroids, nprobe, dims,
+        sampleMod, idCol, vecCol, queryIdCol)
+      .select(col(queryIdCol).as("__qa"), col(idCol).as("__ia"),
+        lit(1L).as("__hit"))
+    exact.join(approx,
+        col("__q") === col("__qa") && col("__i") === col("__ia"), "left")
+      .groupBy(col("__q").as(queryIdCol))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .withColumn("recall", round(col("hits") / lit(k.toDouble), 4))
+  }
+
+  /** Shared two-phase per-query top-k over a (qid, id, sim) frame: a
+    * per-(query, input-partition) partial top-k rides the aggregation's
+    * partial phase, so the final per-query window sees at most
+    * k · partitions candidate rows — never the corpus (the
+    * single-task-per-query global Window trap at 10⁹ rows).
+    * spark_partition_id is nondeterministic-tagged, so it materializes
+    * in a Project first (grouping on it directly fails analysis). */
+  private def topKPerQuery(scored: DataFrame, k: Int, idCol: String,
+                           queryIdCol: String): DataFrame = {
     val partial = scored
+      .withColumn("__p", spark_partition_id())
       .groupBy("qid", "__p")
       .agg(expr(
         s"slice(array_sort(collect_list(struct(-sim AS ns, $idCol AS id))), 1, $k)")

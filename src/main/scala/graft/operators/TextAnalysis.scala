@@ -394,6 +394,29 @@ object TextAnalysis {
           greatest(sum("n_words"), lit(1L)), 4).as("fertility"))
   }
 
+  /** Character-level Shannon entropy per document over [a-z] (the
+    * lowercase-alphabetic convention of every operator here) — a classic
+    * gibberish/low-quality signal: keyboard mash and base64-ish blobs sit
+    * far from prose's ~2.6–2.9 nats. The per-doc fold runs in SORTED
+    * character order on both engines (collected ≤26-entry count list),
+    * so the double sum is order-identical and round(6) compares exactly.
+    * Documents with no alphabetic characters emit no row.
+    *
+    * Shape at 100 TB: one (doc, char) partial agg (≤ 26 rows per doc
+    * survive the combine), then a doc-keyed agg; no window. */
+  def charEntropy(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(
+        expr(s"regexp_extract_all(lower($textCol), '[a-z]', 0)")).as("ch"))
+      .groupBy(idCol, "ch").agg(count(lit(1)).as("k"))
+      .groupBy(idCol)
+      .agg(sum("k").as("n_chars"),
+        sort_array(collect_list(struct(col("ch"), col("k")))).as("cs"))
+      .select(col(idCol), col("n_chars"),
+        round(expr(
+          "aggregate(cs, 0D, (acc, x) -> acc - (x.k / CAST(n_chars AS DOUBLE)) * ln(x.k / CAST(n_chars AS DOUBLE)))"),
+          6).as("entropy"))
+
   /** Substring-frequency SEED table for the unigram-LM trainer (Kudo 2018,
     * "Subword Regularization": the initial over-complete vocabulary EM
     * prunes down) — every substring of length 1..`maxPieceLen` of every

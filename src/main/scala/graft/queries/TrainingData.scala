@@ -1067,6 +1067,23 @@ object TrainingData {
         .orderBy("from_type", "to_type")
     },
 
+    // inter-event gap distribution per event type (gap attributed to the
+    // EARLIER event — "how long after an X does the user act again"):
+    // the dwell/hazard panel behind session-gap tuning
+    df("ev_inter_event",
+      """WITH o AS (SELECT user_id AS u, event_type AS ty,
+        |  epoch_ns(ts) AS et, event_id AS eid FROM events),
+        |g AS (SELECT ty, (lead(et) OVER (PARTITION BY u ORDER BY et, eid))
+        |    - et AS gap_ns FROM o)
+        |SELECT ty AS event_type, count(*) AS n_gaps,
+        |  round(quantile_cont(CAST(gap_ns AS DOUBLE), 0.5), 4) AS p50_gap_ns,
+        |  round(quantile_cont(CAST(gap_ns AS DOUBLE), 0.9), 4) AS p90_gap_ns,
+        |  CAST(max(gap_ns) AS BIGINT) AS max_gap_ns
+        |FROM g WHERE gap_ns IS NOT NULL
+        |GROUP BY ty ORDER BY event_type""".stripMargin) { (s, _) =>
+      Events.interEventGaps(s.table("events")).orderBy("event_type")
+    },
+
     // DAU/MAU stickiness: daily active over rolling-28-day active — the
     // engagement-intensity ratio
     df("ev_stickiness",
@@ -2036,6 +2053,65 @@ object TrainingData {
             .select(col("vec_id").as("query_id"), col("embedding")),
           k = 5)
         .orderBy("query_id", "rnk")
+    },
+
+    // ANN recall@k evaluation: |IVF(nprobe=2) top-5 ∩ exact top-5| / 5
+    // per query over the query set — the index-config eval loop as a
+    // first-class operator; both sides share round(4)/id tie rules so
+    // the intersection is engine-exact
+    df("ss_recall_at_k",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cn AS (SELECT p, c, sqrt(list_sum(list_transform(generate_series(1, 64), i -> c[i] * c[i]))) AS nc
+        |  FROM (SELECT p, list_transform(generate_series(1, 64),
+        |    d -> (strpos('0123456789abcdef', substring(md5(concat(p + 1000, '_', d - 1)), 1, 1)) - 8.5)) AS c
+        |  FROM generate_series(0, 7) t(p)) x),
+        |s0 AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN cn WHERE vec_id % 5 = 0 GROUP BY vec_id),
+        |c0 AS (SELECT vec_id, list_position(scores, list_aggregate(scores, 'max')) - 1 AS cell FROM s0),
+        |tr AS (SELECT cell, d, round(avg(v[d]), 4) AS cd
+        |  FROM c0 JOIN e USING (vec_id) CROSS JOIN generate_series(1, 64) t(d)
+        |  GROUP BY cell, d),
+        |tl AS (SELECT cell, list(cd ORDER BY d) AS c FROM tr GROUP BY cell),
+        |tc AS (SELECT cn.p, coalesce(tl.c, cn.c) AS c,
+        |  sqrt(list_sum(list_transform(generate_series(1, 64),
+        |    i -> coalesce(tl.c, cn.c)[i] * coalesce(tl.c, cn.c)[i]))) AS nc
+        |  FROM cn LEFT JOIN tl ON tl.cell = cn.p),
+        |scored AS (SELECT vec_id,
+        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+        |  FROM e CROSS JOIN tc GROUP BY vec_id),
+        |cells AS (SELECT s.vec_id, e.v, s.scores,
+        |  list_position(s.scores, list_aggregate(s.scores, 'max')) - 1 AS cell
+        |  FROM scored s JOIN e ON e.vec_id = s.vec_id),
+        |q AS (SELECT vec_id AS qid, v AS qv,
+        |  sqrt(list_sum(list_transform(generate_series(1, 64), i -> v[i] * v[i]))) AS nq,
+        |  scores AS qscores, list_sort(scores, 'DESC')[2] AS thr
+        |  FROM cells WHERE vec_id % 97 = 0),
+        |n AS (SELECT vec_id, v, cell,
+        |  sqrt(list_sum(list_transform(generate_series(1, 64), i -> v[i] * v[i]))) AS nv
+        |  FROM cells),
+        |ex AS (SELECT qid, vec_id FROM (
+        |  SELECT q.qid, n.vec_id, row_number() OVER (PARTITION BY q.qid ORDER BY
+        |    round(list_sum(list_transform(generate_series(1, 64),
+        |      i -> n.v[i] * q.qv[i])) / (n.nv * q.nq), 4) DESC, n.vec_id) AS rnk
+        |  FROM n CROSS JOIN q WHERE n.vec_id <> q.qid) x WHERE rnk <= 5),
+        |ap AS (SELECT qid, vec_id FROM (
+        |  SELECT q.qid, n.vec_id, row_number() OVER (PARTITION BY q.qid ORDER BY
+        |    round(list_sum(list_transform(generate_series(1, 64),
+        |      i -> n.v[i] * q.qv[i])) / (n.nv * q.nq), 4) DESC, n.vec_id) AS rnk
+        |  FROM n CROSS JOIN q
+        |  WHERE n.vec_id <> q.qid AND q.qscores[n.cell + 1] >= q.thr) y
+        |  WHERE rnk <= 5)
+        |SELECT x.qid AS query_id, CAST(count(a.vec_id) AS BIGINT) AS hits,
+        |  round(count(a.vec_id) / 5.0, 4) AS recall
+        |FROM ex x LEFT JOIN ap a ON a.qid = x.qid AND a.vec_id = x.vec_id
+        |GROUP BY x.qid ORDER BY query_id""".stripMargin) { (s, _) =>
+      val emb = s.table("embeddings")
+      Similarity.recallAtK(emb,
+          emb.where(col("vec_id") % 97 === 0)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          k = 5, centroids = 8, nprobe = 2, dims = 64)
+        .orderBy("query_id")
     },
 
     df("ss_ann_hamming",
@@ -3035,6 +3111,25 @@ object TrainingData {
     // regexp_replace on delimiter-encoded symbols — left-to-right
     // non-overlapping in both Java regex and RE2, so the learned merge
     // table is bit-identical across engines
+    // character-level Shannon entropy per doc: the gibberish/blob signal
+    // (prose sits ~2.6-2.9 nats); both engines fold the <=26-entry count
+    // list in sorted char order, so the double sum is order-identical
+    df("ta_char_entropy",
+      """WITH ch AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(lower(text), '[a-z]')) AS c
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+        |l AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_chars,
+        |  list(k ORDER BY c) AS ks FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, n_chars,
+        |  round(list_sum(list_transform(ks,
+        |    k -> -(k / CAST(n_chars AS DOUBLE))
+        |       * ln(k / CAST(n_chars AS DOUBLE)))), 6) AS entropy
+        |FROM l ORDER BY doc_id LIMIT 100""".stripMargin) { (s, _) =>
+      TextAnalysis.charEntropy(s.table("documents"))
+        .orderBy("doc_id").limit(100)
+    },
+
     // unigram-LM seed table (Kudo 2018): the most frequent substrings of
     // length <= 3 across the word-frequency table — the trainer's one
     // distributed pass beyond word counts, oracle-exact (the driver-side

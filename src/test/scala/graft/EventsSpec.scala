@@ -537,4 +537,21 @@ class EventsSpec extends SparkTestBase {
       assert(rankOk(p90, 0.9), s"$ty p90 $p90 vs $ds")
     }
   }
+
+  test("interEventGaps: gap attributed to the EARLIER event's type, last " +
+    "event of a user contributes nothing") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "view", 10L, 1L), (1L, "click", 20L, 2L), (1L, "view", 50L, 3L),
+      (2L, "view", 100L, 4L)) // single event: no gap
+      .toDF("user_id", "event_type", "ts_ns", "event_id")
+    val got = Events.interEventGaps(ev).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_gaps"), r.getAs[Double]("p50_gap_ns"),
+          r.getAs[Long]("max_gap_ns")))).toMap
+    // view@10 -> click@20 (gap 10, attributed to view);
+    // click@20 -> view@50 (gap 30, attributed to click)
+    assert(got == Map("view" -> ((1L, 10.0, 10L)),
+      "click" -> ((1L, 30.0, 30L))), got)
+  }
 }

@@ -659,4 +659,24 @@ class SimilaritySpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("collect_list"), plan)
   }
+
+  test("recallAtK: probing every cell makes the IVF side exhaustive " +
+    "(recall exactly 1); partial probes stay in [0, 1]") {
+    Tables.register(spark, sfDir)
+    val emb = spark.table("embeddings")
+    val queries = emb.where(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val full = Similarity.recallAtK(emb, queries, k = 5,
+      centroids = 8, nprobe = 8, dims = 64).collect()
+    assert(full.nonEmpty)
+    full.foreach(r => assert(r.getAs[Double]("recall") == 1.0 &&
+      r.getAs[Long]("hits") == 5L, r))
+    val part = Similarity.recallAtK(emb, queries, k = 5,
+      centroids = 8, nprobe = 2, dims = 64).collect()
+    part.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0, r)
+      assert(r.getAs[Long]("hits") <= 5L, r)
+    }
+  }
 }
