@@ -141,26 +141,35 @@ object Similarity {
     * actually serves (retrieval eval sets, dedup seed lookups, RAG
     * index probes), where the single-query operators would re-scan the
     * corpus per query. The query frame broadcasts (kilobytes); scoring
-    * is map-only; top-k is TWO-PHASE: a per-(query, input-partition)
-    * partial top-k rides the aggregation's partial phase, so the final
-    * per-query window sees at most k · partitions candidate rows — not
-    * the corpus (the single-task-per-query global Window trap at 10⁹
-    * rows). Ties: sim round(4) desc, then id — deterministic in any
-    * engine. Self-matches (corpus id == query id) are excluded. */
+    * is map-only; top-k is TWO-PHASE: a BOUNDED k-element heap per
+    * query inside each input partition (queries × k state, no
+    * corpus-sized buffer or shuffle), then a final per-query window
+    * over at most k · partitions candidate rows — never the corpus
+    * (the single-task-per-query global Window trap at 10⁹ rows).
+    * Ties: sim round(4) desc, then id — deterministic in any engine.
+    * Self-matches (corpus id == query id) and zero-norm vectors
+    * (cosine undefined — 0/0 is NaN, which sorts above every real
+    * double) are excluded. */
   def batchTopK(emb: DataFrame, queries: DataFrame, k: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 queryIdCol: String = "query_id"): DataFrame = {
     require(k >= 1, "k must be positive")
     graft.functions.ArrayDot.register(emb.sparkSession)
     val q = broadcast(queries.select(col(queryIdCol).as("qid"),
-      asDouble(col(vecCol)).as("qv")))
+        asDouble(col(vecCol)).as("qv"))
+      // query norm once per query, not once per (corpus row × query)
+      .withColumn("qn", sqrt(expr("array_dot(qv, qv)"))))
     val scored = emb.select(col(idCol), asDouble(col(vecCol)).as("__v"))
       .withColumn("nrm", sqrt(expr("array_dot(__v, __v)")))
+      // a zero-norm vector's cosine is 0/0 = NaN, and NaN sorts ABOVE
+      // every real double in Spark — drop undefined rows before they
+      // can poison a top-k slot
+      .where(col("nrm") > 0)
       .crossJoin(q)
-      .where(col(idCol) =!= col("qid"))
+      .where(col(idCol) =!= col("qid") && col("qn") > 0)
       .select(col("qid"), col(idCol),
-        round(expr("array_dot(__v, qv)") /
-          (col("nrm") * sqrt(expr("array_dot(qv, qv)"))), 4).as("sim"))
+        round(expr("array_dot(__v, qv)") / (col("nrm") * col("qn")), 4)
+          .as("sim"))
     topKPerQuery(scored, k, idCol, queryIdCol)
   }
 
@@ -190,13 +199,16 @@ object Similarity {
           cents, "qid", vecCol)
         .select(col("qid"), asDouble(col(vecCol)).as("qv"),
           col("cell_scores").as("qscores"))
+        .withColumn("qn", sqrt(expr("array_dot(qv, qv)")))
         .withColumn("thr", expr(s"sort_array(qscores, false)[${nprobe - 1}]")))
-    val scored = corpus.crossJoin(q)
-      .where(col(idCol) =!= col("qid") &&
+    val scored = corpus
+      .where(col("nrm") > 0) // NaN guard — see batchTopK
+      .crossJoin(q)
+      .where(col(idCol) =!= col("qid") && col("qn") > 0 &&
         expr("element_at(qscores, cell + 1) >= thr"))
       .select(col("qid"), col(idCol),
-        round(expr("array_dot(__v, qv)") /
-          (col("nrm") * sqrt(expr("array_dot(qv, qv)"))), 4).as("sim"))
+        round(expr("array_dot(__v, qv)") / (col("nrm") * col("qn")), 4)
+          .as("sim"))
     topKPerQuery(scored, k, idCol, queryIdCol)
   }
 
@@ -224,25 +236,49 @@ object Similarity {
       .withColumn("recall", round(col("hits") / lit(k.toDouble), 4))
   }
 
-  /** Shared two-phase per-query top-k over a (qid, id, sim) frame: a
-    * per-(query, input-partition) partial top-k rides the aggregation's
-    * partial phase, so the final per-query window sees at most
-    * k · partitions candidate rows — never the corpus (the
-    * single-task-per-query global Window trap at 10⁹ rows).
-    * spark_partition_id is nondeterministic-tagged, so it materializes
-    * in a Project first (grouping on it directly fails analysis). */
+  /** Shared two-phase per-query top-k over a (qid LONG, id LONG, sim
+    * DOUBLE) frame: phase one keeps a BOUNDED k-element heap per query
+    * inside each input partition (mapPartitions — state is
+    * queries × k entries, never the partition's rows; a collect_list
+    * partial agg would buffer and shuffle the FULL candidate list and
+    * only truncate after aggregation), so the final per-query window
+    * sees at most k · partitions candidate rows — never the corpus
+    * (the single-task-per-query global Window trap at 10⁹ rows). The
+    * heap's eviction rule is exactly the final window's (sim desc, id
+    * asc) order, so phase one can never drop a true top-k member.
+    * Null/NaN sims must be filtered by the caller (NaN sorts above
+    * every real double). */
   private def topKPerQuery(scored: DataFrame, k: Int, idCol: String,
                            queryIdCol: String): DataFrame = {
-    val partial = scored
-      .withColumn("__p", spark_partition_id())
-      .groupBy("qid", "__p")
-      .agg(expr(
-        s"slice(array_sort(collect_list(struct(-sim AS ns, $idCol AS id))), 1, $k)")
-        .as("top"))
-      .select(col("qid"), explode(col("top")).as("t"))
-      .select(col("qid"), col("t.id").as(idCol), (-col("t.ns")).as("sim"))
+    val spark = scored.sparkSession
+    import spark.implicits._
+    // worst-of-the-kept-set at the heap head: smaller sim is "greater"
+    // (evicted first); on a sim tie the LARGER id is worse
+    val worstFirst = new Ordering[(Long, Double)] {
+      def compare(a: (Long, Double), b: (Long, Double)): Int = {
+        val c = java.lang.Double.compare(b._2, a._2)
+        if (c != 0) c else java.lang.Long.compare(a._1, b._1)
+      }
+    }
+    val candidates = scored
+      .select(col("qid").cast("long"), col(idCol).cast("long"),
+        col("sim").cast("double"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.HashMap
+          .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Double)]]
+        it.foreach { case (q, id, sim) =>
+          val h = heaps.getOrElseUpdate(q,
+            scala.collection.mutable.PriorityQueue.empty(worstFirst))
+          h.enqueue((id, sim))
+          if (h.size > k) h.dequeue()
+        }
+        heaps.iterator.flatMap { case (q, h) =>
+          h.iterator.map { case (id, sim) => (q, id, sim) } }
+      }
+      .toDF("qid", idCol, "sim")
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col(idCol))
-    partial.withColumn("rnk", row_number().over(w).cast("long"))
+    candidates.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
       .select(col("qid").as(queryIdCol), col(idCol), col("sim"), col("rnk"))
   }
@@ -529,7 +565,16 @@ object Similarity {
     * Keys are the frames' analyzed plans: structurally-equal plans share
     * the entry, weak keys let entries die with their plans. The count
     * still runs at construction time — the cell count shapes the PLAN
-    * (centroid matrix width), so it cannot defer to first action. */
+    * (centroid matrix width), so it cannot defer to first action.
+    *
+    * STALENESS: the memo assumes the input is immutable for the JVM's
+    * lifetime — a long-lived session that appends files under the SAME
+    * path/view and re-derives a structurally-equal plan gets the OLD
+    * cell count (over-full cells, quadratic creep). For mutable inputs
+    * pass an explicit cell count, or construct the frame fresh
+    * (`spark.read` after the append yields a new FileIndex and a
+    * distinct plan identity is not guaranteed — explicit k is the
+    * reliable route). */
   private val autoCellsMemo =
     new java.util.WeakHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       java.util.HashMap[Integer, Integer]]()

@@ -530,10 +530,22 @@ object TextAnalysis {
     }.toDF("piece", "cnt", "score")
   }
 
+  /** Per-character fallback cost for a character the vocabulary does not
+    * cover — SentencePiece's &lt;unk&gt; convention: the char passes
+    * through as its own piece at a cost worse than any trained piece
+    * (40 nats ≈ p = e⁻⁴⁰, far below a 1-in-total floor), so ties can
+    * never prefer it over covered pieces. Below `maxVocabWords` this
+    * never fires (every char of every counted word seeds the vocab and
+    * survives pruning); ABOVE the cap a char appearing only in
+    * below-cap words would otherwise be uncoverable and a hard require
+    * here would kill the whole encode job on one rare glyph. */
+  private val UnkCharCost: Long = 40L * 1000000L
+
   /** Integer-cost Viterbi segmentation: minimal total micro-nat cost over
-    * pieces of length ≤ maxLen (single chars are always in the vocab, so
-    * every word segments). Ties prefer the LONGER final piece at each DP
-    * boundary — a deterministic integer rule shared by train and encode. */
+    * pieces of length ≤ maxLen (single chars are always in the vocab —
+    * or fall back to [[UnkCharCost]], so every word segments). Ties
+    * prefer the LONGER final piece at each DP boundary — a deterministic
+    * integer rule shared by train and encode. */
   private def viterbiSegment(word: String, cost: Map[String, Long],
                              maxLen: Int): Array[String] = {
     val n = word.length
@@ -547,13 +559,16 @@ object TextAnalysis {
       val maxL = math.min(maxLen, i)
       while (l <= maxL) {
         if (best(i - l) < INF) {
-          cost.get(word.substring(i - l, i)) match {
-            case Some(c) =>
-              val cand = best(i - l) + c
-              if (cand < best(i) || (cand == best(i) && l > lastLen(i))) {
-                best(i) = cand; lastLen(i) = l
-              }
-            case None => ()
+          val piece = word.substring(i - l, i)
+          val c = cost.get(piece) match {
+            case Some(pc) => pc
+            case None => if (l == 1) UnkCharCost else -1L // -1 = no piece
+          }
+          if (c >= 0L) {
+            val cand = best(i - l) + c
+            if (cand < best(i) || (cand == best(i) && l > lastLen(i))) {
+              best(i) = cand; lastLen(i) = l
+            }
           }
         }
         l += 1

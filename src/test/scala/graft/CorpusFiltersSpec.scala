@@ -647,4 +647,21 @@ class CorpusFiltersSpec extends SparkTestBase {
       assert(r.getAs[Long]("n_unigram_tokens") >= r.getAs[Long]("n_words"), r)
     }
   }
+
+  test("unigram encode UNK fallback: a character the vocab does not cover " +
+    "passes through as its own piece instead of killing the job") {
+    import spark.implicits._
+    // train on a q-less corpus, encode a word containing 'q'
+    val train = Seq(1L -> "aa aa ab").toDF("doc_id", "text")
+    val vocab = graft.operators.TextAnalysis.unigramVocab(train, vocabSize = 3,
+      maxPieceLen = 2, emIters = 1, seedSize = 16)
+    val docs = Seq(2L -> "aqb").toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.unigramEncode(docs, vocab)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_unigram_tokens"), r.getAs[String]("tok_digest")))
+    // vocab {a, ab, b} has no 'q' and no piece spans it -> [a, q, b]
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("a q b".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got.toSeq == Seq((2L, 3L, md)), got.toSeq)
+  }
 }

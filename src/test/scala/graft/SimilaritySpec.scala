@@ -653,11 +653,13 @@ class SimilaritySpec extends SparkTestBase {
         .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
       assert(got(qid) == single, s"query $qid: ${got(qid)} vs $single")
     }
-    // the partial top-k must ride the aggregation: a collect_list partial
-    // agg appears below the window, so the window input is k x partitions
+    // phase one is the bounded per-partition heap (MapPartitions), NOT a
+    // collect_list agg that would buffer/shuffle the full candidate list;
+    // the final window's input is k x partitions rows
     val plan = Similarity.batchTopK(emb, queries, k = 5)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("collect_list"), plan)
+    assert(plan.contains("MapPartitions"), plan)
+    assert(!plan.contains("collect_list"), plan)
   }
 
   test("recallAtK: probing every cell makes the IVF side exhaustive " +
@@ -678,5 +680,25 @@ class SimilaritySpec extends SparkTestBase {
       assert(rec >= 0.0 && rec <= 1.0, r)
       assert(r.getAs[Long]("hits") <= 5L, r)
     }
+  }
+
+  test("batchTopK: zero-norm vectors (NaN cosine) can never occupy a " +
+    "top-k slot, as corpus row or query") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(0f, 0f)),            // zero vector: cosine undefined
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 1f)), (4L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1f, 0f)), (0L, Array(0f, 0f)))
+      .toDF("query_id", "embedding")
+    val got = Similarity.batchTopK(emb, queries, k = 3)
+    val rows = got.collect()
+    // the zero-vector QUERY contributes nothing; the zero-vector corpus
+    // row appears in nobody's neighbors
+    assert(rows.forall(_.getAs[Long]("query_id") == 1L), rows.toSeq)
+    assert(rows.forall(_.getAs[Long]("vec_id") != 0L), rows.toSeq)
+    assert(rows.map(_.getAs[Long]("vec_id")).toSet == Set(2L, 4L, 3L))
+    assert(rows.forall(r => !r.getAs[Double]("sim").isNaN), rows.toSeq)
   }
 }
