@@ -360,6 +360,61 @@ object Traces {
         sum(col("dur")).as("total_callee_ns"))
   }
 
+  /** Service DEPENDENCY CENTRALITY: weighted PageRank over the
+    * [[serviceGraph]] edges (damping 0.85, `iters` synchronous rounds
+    * from the uniform start) — which services the request flow
+    * concentrates on, the blast-radius ranking an incident commander
+    * reads next to the raw call counts. A caller's rank flows to its
+    * callees proportionally to n_calls; services on no RESOLVED edge
+    * (never a parent or child of a cross-checked span) do not
+    * participate; dangling services (in-edges only) absorb rank without
+    * redistributing it — the simplified PR variant, divergence from the
+    * redistribute-to-all rule documented here.
+    *
+    * Deterministic cross-engine: each round's per-node inflow folds in
+    * SORTED caller order (collected bounded list) and rounds to 6
+    * decimals before the next round, so engine sum order can never
+    * drift a rank.
+    *
+    * Shape at 100 TB: everything after serviceGraph's two exchanges is
+    * arithmetic on the SERVICE-PAIR-bounded edge frame (a count() for N
+    * runs at construction — the frame is services-sized by
+    * construction). */
+  def serviceCentrality(spans: DataFrame, iters: Int = 2,
+                        damping: Double = 0.85,
+                        idCol: String = "span_id",
+                        parentCol: String = "parent_span_id",
+                        traceCol: String = "trace_id",
+                        serviceCol: String = "service_name"): DataFrame = {
+    require(iters >= 1 && damping > 0 && damping < 1,
+      s"bad centrality config ($iters, $damping)")
+    val edges = serviceGraph(spans, idCol, parentCol, traceCol, serviceCol)
+      .select(col("caller_service").as("src"),
+        col("callee_service").as("dst"), col("n_calls"))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("service"))
+      .union(edges.select(col("dst"))).distinct().localCheckpoint()
+    val n = nodes.count().toDouble
+    val outw = edges.groupBy("src")
+      .agg(sum(col("n_calls")).cast("double").as("ow"))
+    var pr = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(outw, "src")
+        .join(pr.select(col("service").as("src"), col("rank")), "src")
+        .select(col("dst"), col("src"),
+          (col("rank") * col("n_calls") / col("ow")).as("c"))
+      val inflow = contrib.groupBy("dst")
+        .agg(expr(
+          "aggregate(array_sort(collect_list(struct(src, c))), 0D, (acc, x) -> acc + x.c)")
+          .as("infl"))
+      pr = nodes.join(inflow, col("service") === col("dst"), "left")
+        .select(col("service"),
+          round(lit((1 - damping) / n) +
+            lit(damping) * coalesce(col("infl"), lit(0.0)), 6).as("rank"))
+    }
+    pr
+  }
+
   /** QUEUE DELAY per service edge: the child span's start minus its
     * parent's start — how long a request waited between being issued by
     * the caller and actually starting at the callee (scheduling/queue/

@@ -315,6 +315,48 @@ object OtlpReaders {
         .orderBy("caller_service", "callee_service")
     },
 
+    // weighted PageRank over the service graph (d=0.85, 2 rounds from the
+    // uniform start): the blast-radius ranking beside the raw call
+    // counts; per-node inflow folds in sorted caller order and rounds(6)
+    // each round so both engines agree bit-for-bit
+    df("otlp_service_centrality",
+      s"""WITH rec AS (
+         |  SELECT rs.resource AS res, sp.* FROM read_json('$fx/services_traces.jsonl',
+         |      format='newline_delimited', columns={resourceSpans: '$spansRecT'}),
+         |    unnest(resourceSpans) AS a(rs),
+         |    unnest(rs.scopeSpans) AS b(ss),
+         |    unnest(ss.spans) AS c(sp)),
+         |sp AS (SELECT lower(traceId) AS t, lower(spanId) AS s,
+         |  lower(parentSpanId) AS p, ${duckService("res.attributes")} AS svc
+         |  FROM rec),
+         |e AS (SELECT pa.svc AS src, ch.svc AS dst, count(*) AS w
+         |  FROM sp ch JOIN sp pa ON pa.t = ch.t AND pa.s = ch.p
+         |  GROUP BY 1, 2),
+         |nodes AS (SELECT src AS svc FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |ow AS (SELECT src, CAST(sum(w) AS DOUBLE) AS ow FROM e GROUP BY src),
+         |r0 AS (SELECT svc, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+         |c1 AS (SELECT e.dst, e.src, r0.rank * e.w / ow.ow AS c
+         |  FROM e JOIN ow USING (src) JOIN r0 ON r0.svc = e.src),
+         |i1 AS (SELECT dst, list_sum(list(c ORDER BY src)) AS infl
+         |  FROM c1 GROUP BY dst),
+         |r1 AS (SELECT svc, round(0.15 / nn.n
+         |    + 0.85 * coalesce(i1.infl, 0), 6) AS rank
+         |  FROM nodes CROSS JOIN nn LEFT JOIN i1 ON i1.dst = nodes.svc),
+         |c2 AS (SELECT e.dst, e.src, r1.rank * e.w / ow.ow AS c
+         |  FROM e JOIN ow USING (src) JOIN r1 ON r1.svc = e.src),
+         |i2 AS (SELECT dst, list_sum(list(c ORDER BY src)) AS infl
+         |  FROM c2 GROUP BY dst),
+         |r2 AS (SELECT svc, round(0.15 / nn.n
+         |    + 0.85 * coalesce(i2.infl, 0), 6) AS rank
+         |  FROM nodes CROSS JOIN nn LEFT JOIN i2 ON i2.dst = nodes.svc)
+         |SELECT svc AS service, rank FROM r2 ORDER BY service""".stripMargin) {
+      (s, _) =>
+      graft.operators.Traces.serviceCentrality(
+          Otlp.readTraces(s, s"$fx/services_traces.jsonl"), iters = 2)
+        .orderBy("service")
+    },
+
     // queue delay per service edge: child start − parent start (the wait
     // a duration-only dashboard can't see), exact p50/p95 per edge
     df("otlp_queue_delay",

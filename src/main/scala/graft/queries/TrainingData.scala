@@ -1067,6 +1067,45 @@ object TrainingData {
         .orderBy("from_type", "to_type")
     },
 
+    // DAU forecast: the product KPI run through the METRICS family's
+    // Holt-Winters operator (cross-family reuse — the per-day DAU series
+    // dressed in the metric-series schema rides the exact recurrence the
+    // PromQL surface serves); oracle unrolls the same recursion
+    df("ev_dau_forecast",
+      """WITH RECURSIVE g AS (SELECT CAST(ts AS DATE) AS day,
+        |  count(DISTINCT user_id) AS dau FROM events GROUP BY 1),
+        |pts AS (SELECT CAST(dau AS DOUBLE) AS v,
+        |  CAST(row_number() OVER (ORDER BY day) AS INT) AS i FROM g),
+        |n AS (SELECT CAST(max(i) AS BIGINT) AS n FROM pts),
+        |ld AS (SELECT strftime(max(day), '%Y-%m-%d') AS last_day FROM g),
+        |hw AS (SELECT 2 AS i, p2.v AS s, p2.v - p1.v AS b
+        |  FROM pts p1, pts p2 WHERE p1.i = 1 AND p2.i = 2
+        |  UNION ALL
+        |  SELECT hw.i + 1, 0.5 * p.v + 0.5 * (hw.s + hw.b),
+        |    0.3 * ((0.5 * p.v + 0.5 * (hw.s + hw.b)) - hw.s) + 0.7 * hw.b
+        |  FROM hw JOIN pts p ON p.i = hw.i + 1)
+        |SELECT 'dau' AS "name", ld.last_day, n.n AS n_points,
+        |  round(hw.s, 6) AS smoothed
+        |FROM n CROSS JOIN ld LEFT JOIN hw ON hw.i = n.n""".stripMargin) {
+      (s, _) =>
+      val series = s.table("events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count_distinct(col("user_id")).as("int_value"))
+        .select(lit("dau").as("name"),
+          lit(null).cast("string").as("service_name"),
+          lit(null).cast("string").as("service_namespace"),
+          lit(null).cast("string").as("service_instance_id"),
+          lit(null).cast("string").as("resource_attributes"),
+          lit(null).cast("string").as("scope_name"),
+          lit(null).cast("string").as("metric_attributes"),
+          col("day").cast("timestamp").as("time_unix_nano"),
+          col("int_value"), lit(null).cast("double").as("double_value"))
+      graft.operators.Metrics.holtWinters(series, sf = 0.5, tf = 0.3)
+        .select(col("name"),
+          date_format(col("last_time"), "yyyy-MM-dd").as("last_day"),
+          col("n_points"), col("smoothed"))
+    },
+
     // inter-event gap distribution per event type (gap attributed to the
     // EARLIER event — "how long after an X does the user act again"):
     // the dwell/hazard panel behind session-gap tuning

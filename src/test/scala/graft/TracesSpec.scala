@@ -533,4 +533,24 @@ class TracesSpec extends SparkTestBase {
       assert(rankOk(p95, 0.95), s"$edge p95 $p95 not a near-p95 delta of $ds")
     }
   }
+
+  test("serviceCentrality: hand-computed 2-round weighted PageRank " +
+    "(A feeds B and C, B feeds C; C absorbs)") {
+    import spark.implicits._
+    val spans = Seq(
+      ("t1", "a1", null, "A", 1L, 0),
+      ("t1", "b1", "a1", "B", 1L, 0),
+      ("t1", "b2", "a1", "B", 1L, 0),
+      ("t1", "c1", "a1", "C", 1L, 0),
+      ("t1", "c2", "a1", "C", 1L, 0),
+      ("t1", "c3", "b1", "C", 1L, 0))
+      .toDF("trace_id", "span_id", "parent_span_id", "service_name",
+        "duration_time_unix_nano", "status_code")
+    val got = Traces.serviceCentrality(spans, iters = 2).collect()
+      .map(r => r.getAs[String]("service") -> r.getAs[Double]("rank")).toMap
+    // N=3, ow(A)=4, ow(B)=1; r1 = (0.05, 0.05+0.85/6, 0.05+0.85/2)
+    // = (0.05, 0.191667, 0.475); r2: B gets 0.85*0.05/2, C gets
+    // 0.85*(0.025 + 0.191667)
+    assert(got == Map("A" -> 0.05, "B" -> 0.07125, "C" -> 0.234167), got)
+  }
 }
