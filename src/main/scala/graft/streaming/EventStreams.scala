@@ -57,6 +57,11 @@ object EventStreams {
   case class AttrState(firstTouch: Option[String],
                        lastTouch: Option[String])
 
+  /** [[attributionStreamTtl]] state: the touches plus the user's last
+    * activity instant (ms), which drives the event-time TTL eviction. */
+  case class AttrStateTtl(firstTouch: Option[String],
+                          lastTouch: Option[String], lastTsMs: Long)
+
   /** LIVE daily-active-users — `operators.Events.activeUsers`'s DAU
     * face on the stream: per event-time day window, the distinct users
     * seen, emitted as the window closes. Distinctness is plain
@@ -239,8 +244,10 @@ object EventStreams {
     * exactly the batch operator's unbounded-preceding window — so
     * evicting on a watermark would silently turn long-cycle converters
     * into "(direct)". At 10⁹ users that is two interned strings each;
-    * a deployment that wants bounded state trades it for a TTL by
-    * composing the batch operator over sealed history instead. */
+    * a deployment that wants bounded state takes
+    * [[attributionStreamTtl]] (explicit event-time TTL, documented
+    * "(direct)"-after-idle semantics) or composes the batch operator
+    * over sealed history instead. */
   def attributionStream(events: DataFrame, conversionType: String)
       : Dataset[AttributionEvent] = {
     val spark = events.sparkSession
@@ -265,6 +272,57 @@ object EventStreams {
               st = AttrState(st.firstTouch.orElse(Some(ty)), Some(ty))
           }
           state.update(st)
+          out.iterator
+      }
+  }
+
+  /** [[attributionStream]] with BOUNDED state — the TTL trade named in
+    * the unbounded twin's contract, made concrete: a user idle (no
+    * event of any kind) longer than `ttl` in EVENT time has their
+    * touch state evicted on the watermark, so a conversion after the
+    * gap attributes "(direct)". That is the deliberate semantic price
+    * of bounded state; the exact unbounded lookback remains
+    * [[attributionStream]] or the batch operator over sealed history.
+    * Eviction is event-time-deterministic (watermark-driven, like
+    * [[sessionizeStream]]'s expiry), so replays yield identical
+    * output. */
+  def attributionStreamTtl(events: DataFrame, conversionType: String,
+                           ttl: String = "30 days",
+                           watermark: String = "2 minutes")
+      : Dataset[AttributionEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ttlMs = TelemetryStreams.windowSlackMs(ttl)
+    require(ttlMs > 0, s"ttl must be positive: $ttl")
+    val lite = events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("user_id").cast("long").as("u"),
+        col("event_id").cast("long").as("eid"), col("event_type"),
+        col("ts_ns").cast("long").as("et"))
+      .as[(Timestamp, Long, Long, String, Long)]
+    lite.groupByKey(_._2)
+      .flatMapGroupsWithState[AttrStateTtl, AttributionEvent](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, _, state: GroupState[AttrStateTtl]) if state.hasTimedOut =>
+          state.remove(); Iterator.empty
+        case (u, it, state: GroupState[AttrStateTtl]) =>
+          var st = state.getOption.getOrElse(AttrStateTtl(None, None, 0L))
+          val out = scala.collection.mutable.ArrayBuffer[AttributionEvent]()
+          for ((ts, _, eid, ty, et) <- it.toSeq.sortBy(e => (e._5, e._3))) {
+            // every event refreshes the idle clock (max: a late event
+            // must not rewind it — the sessionizeStream anchor rule)
+            val tick = math.max(st.lastTsMs, ts.getTime)
+            if (ty == conversionType) {
+              out += AttributionEvent(u,
+                st.firstTouch.getOrElse("(direct)"),
+                st.lastTouch.getOrElse("(direct)"), et, eid)
+              st = st.copy(lastTsMs = tick)
+            } else
+              st = AttrStateTtl(st.firstTouch.orElse(Some(ty)), Some(ty), tick)
+          }
+          state.update(st)
+          state.setTimeoutTimestamp(math.max(st.lastTsMs + ttlMs,
+            state.getCurrentWatermarkMs() + 1))
           out.iterator
       }
   }

@@ -554,4 +554,45 @@ class EventsSpec extends SparkTestBase {
     assert(got == Map("view" -> ((1L, 10.0, 10L)),
       "click" -> ((1L, 30.0, 30L))), got)
   }
+
+  test("attributionStreamTtl: an idle-past-ttl user's touches evict on " +
+    "the watermark and a later conversion goes (direct); an active user " +
+    "keeps full attribution") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ns = 1000000000L
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(sec: Long) = new java.sql.Timestamp(base + sec * 1000)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, Long, String, Long)]
+    val run = graft.streaming.EventStreams
+      .attributionStreamTtl(in.toDF()
+          .toDF("ts", "user_id", "event_id", "event_type", "ts_ns"),
+        conversionType = "purchase", ttl = "100 seconds",
+        watermark = "1 seconds")
+      .writeStream.format("memory").queryName("attrttl")
+      .outputMode("append").start()
+    // u1 touches "ad" then goes idle past the 100 s ttl; u2 touches just
+    // before its conversion
+    in.addData((ts(0), 1L, 101L, "ad", 0 * ns))
+    run.processAllAvailable()
+    // watermark nudge far past u1's (lastTs + ttl): u1's state times out
+    in.addData((ts(10000), 9L, 901L, "view", 10000 * ns))
+    run.processAllAvailable()
+    in.addData(
+      (ts(20000), 1L, 102L, "purchase", 20000 * ns),
+      (ts(20000), 2L, 201L, "promo", 20000 * ns),
+      (ts(20010), 2L, 202L, "purchase", 20010 * ns))
+    run.processAllAvailable()
+    // close u2's window too (not strictly needed — conversions emit
+    // immediately in append)
+    run.stop()
+    val got = spark.table("attrttl").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[String]("first_touch"), r.getAs[String]("last_touch"))))
+      .toMap
+    assert(got(1L) == (("(direct)", "(direct)")),
+      s"expired user must attribute (direct): $got")
+    assert(got(2L) == (("promo", "promo")), got)
+  }
 }
