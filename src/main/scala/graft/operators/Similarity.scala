@@ -149,11 +149,14 @@ object Similarity {
     * Ties: sim round(4) desc, then id — deterministic in any engine.
     * Self-matches (corpus id == query id) and zero-norm vectors
     * (cosine undefined — 0/0 is NaN, which sorts above every real
-    * double) are excluded. */
+    * double) are excluded. Both id columns must be INTEGRAL (the
+    * bounded-heap phase encodes them as LONG; non-numeric ids are
+    * rejected at construction rather than nulled at runtime). */
   def batchTopK(emb: DataFrame, queries: DataFrame, k: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 queryIdCol: String = "query_id"): DataFrame = {
     require(k >= 1, "k must be positive")
+    requireIntegralId(emb, idCol); requireIntegralId(queries, queryIdCol)
     graft.functions.ArrayDot.register(emb.sparkSession)
     val q = broadcast(queries.select(col(queryIdCol).as("qid"),
         asDouble(col(vecCol)).as("qv"))
@@ -187,6 +190,7 @@ object Similarity {
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    queryIdCol: String = "query_id"): DataFrame = {
     require(k >= 1 && nprobe >= 1, "k and nprobe must be positive")
+    requireIntegralId(emb, idCol); requireIntegralId(queries, queryIdCol)
     graft.functions.ArrayDot.register(emb.sparkSession)
     val cents = ivfCentroidsTrained(emb, centroids, dims, sampleMod,
       idCol, vecCol)
@@ -248,6 +252,18 @@ object Similarity {
     * asc) order, so phase one can never drop a true top-k member.
     * Null/NaN sims must be filtered by the caller (NaN sorts above
     * every real double). */
+  /** The batch-ANN family's id-type contract: the heap phase encodes
+    * ids as LONG, so a string/uuid id would silently null (or collide
+    * as "01" vs "1") — fail loudly at construction instead. */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    val dt = df.schema(idCol).dataType
+    require(dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType ||
+        dt == org.apache.spark.sql.types.ShortType ||
+        dt == org.apache.spark.sql.types.ByteType,
+      s"batch top-k ids must be integral, got $idCol: ${dt.simpleString}")
+  }
+
   private def topKPerQuery(scored: DataFrame, k: Int, idCol: String,
                            queryIdCol: String): DataFrame = {
     val spark = scored.sparkSession

@@ -398,6 +398,12 @@ object Traces {
     val outw = edges.groupBy("src")
       .agg(sum(col("n_calls")).cast("double").as("ow"))
     var pr = nodes.withColumn("rank", lit(1.0 / n))
+    // decimal-exact (1 − damping), NOT the JVM double subtraction:
+    // 1 − 0.85 = 0.15000000000000002 in binary doubles while a SQL
+    // oracle's 0.15 literal is the nearest-to-0.15 double — a 1-ulp
+    // pre-round divergence that can flip a round(6) at the boundary
+    // (the r13 cross-engine-ulp class)
+    val teleport = (BigDecimal(1) - BigDecimal(damping)).toDouble / n
     for (_ <- 1 to iters) {
       val contrib = edges.join(outw, "src")
         .join(pr.select(col("service").as("src"), col("rank")), "src")
@@ -409,7 +415,7 @@ object Traces {
           .as("infl"))
       pr = nodes.join(inflow, col("service") === col("dst"), "left")
         .select(col("service"),
-          round(lit((1 - damping) / n) +
+          round(lit(teleport) +
             lit(damping) * coalesce(col("infl"), lit(0.0)), 6).as("rank"))
     }
     pr

@@ -2076,11 +2076,11 @@ object TrainingData {
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(
         |    generate_series(1, 64), i -> v[i] * v[i]))) AS nv FROM e),
         |q AS (SELECT vec_id AS qid, v AS qv, nv AS nq FROM n
-        |  WHERE vec_id % 97 = 0),
+        |  WHERE vec_id % 97 = 0 AND nv > 0),
         |p AS (SELECT qid, c.vec_id,
         |  round(list_sum(list_transform(generate_series(1, 64),
         |    i -> c.v[i] * qv[i])) / (c.nv * nq), 4) AS sim
-        |  FROM n c CROSS JOIN q WHERE c.vec_id <> qid),
+        |  FROM n c CROSS JOIN q WHERE c.vec_id <> qid AND c.nv > 0),
         |r AS (SELECT qid AS query_id, vec_id, sim,
         |  CAST(row_number() OVER (PARTITION BY qid
         |    ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk FROM p)
@@ -2125,7 +2125,8 @@ object TrainingData {
         |q AS (SELECT vec_id AS qid, v AS qv,
         |  sqrt(list_sum(list_transform(generate_series(1, 64), i -> v[i] * v[i]))) AS nq,
         |  scores AS qscores, list_sort(scores, 'DESC')[2] AS thr
-        |  FROM cells WHERE vec_id % 97 = 0),
+        |  FROM cells WHERE vec_id % 97 = 0
+        |    AND list_sum(list_transform(generate_series(1, 64), i -> v[i] * v[i])) > 0),
         |n AS (SELECT vec_id, v, cell,
         |  sqrt(list_sum(list_transform(generate_series(1, 64), i -> v[i] * v[i]))) AS nv
         |  FROM cells),
@@ -2133,13 +2134,14 @@ object TrainingData {
         |  SELECT q.qid, n.vec_id, row_number() OVER (PARTITION BY q.qid ORDER BY
         |    round(list_sum(list_transform(generate_series(1, 64),
         |      i -> n.v[i] * q.qv[i])) / (n.nv * q.nq), 4) DESC, n.vec_id) AS rnk
-        |  FROM n CROSS JOIN q WHERE n.vec_id <> q.qid) x WHERE rnk <= 5),
+        |  FROM n CROSS JOIN q WHERE n.vec_id <> q.qid AND n.nv > 0) x WHERE rnk <= 5),
         |ap AS (SELECT qid, vec_id FROM (
         |  SELECT q.qid, n.vec_id, row_number() OVER (PARTITION BY q.qid ORDER BY
         |    round(list_sum(list_transform(generate_series(1, 64),
         |      i -> n.v[i] * q.qv[i])) / (n.nv * q.nq), 4) DESC, n.vec_id) AS rnk
         |  FROM n CROSS JOIN q
-        |  WHERE n.vec_id <> q.qid AND q.qscores[n.cell + 1] >= q.thr) y
+        |  WHERE n.vec_id <> q.qid AND n.nv > 0
+        |    AND q.qscores[n.cell + 1] >= q.thr) y
         |  WHERE rnk <= 5)
         |SELECT x.qid AS query_id, CAST(count(a.vec_id) AS BIGINT) AS hits,
         |  round(count(a.vec_id) / 5.0, 4) AS recall

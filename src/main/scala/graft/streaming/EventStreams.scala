@@ -309,6 +309,15 @@ object EventStreams {
           var st = state.getOption.getOrElse(AttrStateTtl(None, None, 0L))
           val out = scala.collection.mutable.ArrayBuffer[AttributionEvent]()
           for ((ts, _, eid, ty, et) <- it.toSeq.sortBy(e => (e._5, e._3))) {
+            // INLINE ttl check: the semantics must not depend on
+            // micro-batch boundaries — a single-batch replay of the
+            // whole history must expire exactly what the live run
+            // expired (Spark fires state timeouts only AFTER a batch's
+            // new data, so the timeout alone would let a coalesced
+            // replay attribute through a past-ttl gap). The watermark
+            // timeout below is then pure state GC, not the rule.
+            if (st.lastTsMs > 0 && ts.getTime - st.lastTsMs > ttlMs)
+              st = AttrStateTtl(None, None, st.lastTsMs)
             // every event refreshes the idle clock (max: a late event
             // must not rewind it — the sessionizeStream anchor rule)
             val tick = math.max(st.lastTsMs, ts.getTime)

@@ -594,5 +594,31 @@ class EventsSpec extends SparkTestBase {
     assert(got(1L) == (("(direct)", "(direct)")),
       s"expired user must attribute (direct): $got")
     assert(got(2L) == (("promo", "promo")), got)
+
+    // batching-independence: the SAME history coalesced into ONE
+    // micro-batch (the standard catch-up replay shape) must expire
+    // exactly what the live run expired — the inline event-time ttl
+    // check, not the batch-boundary-dependent state timeout, is the rule
+    val in2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, Long, String, Long)]
+    val run2 = graft.streaming.EventStreams
+      .attributionStreamTtl(in2.toDF()
+          .toDF("ts", "user_id", "event_id", "event_type", "ts_ns"),
+        conversionType = "purchase", ttl = "100 seconds",
+        watermark = "1 seconds")
+      .writeStream.format("memory").queryName("attrttl2")
+      .outputMode("append").start()
+    in2.addData(
+      (ts(0), 1L, 101L, "ad", 0 * ns),
+      (ts(10000), 9L, 901L, "view", 10000 * ns),
+      (ts(20000), 1L, 102L, "purchase", 20000 * ns),
+      (ts(20000), 2L, 201L, "promo", 20000 * ns),
+      (ts(20010), 2L, 202L, "purchase", 20010 * ns))
+    run2.processAllAvailable(); run2.stop()
+    val replay = spark.table("attrttl2").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[String]("first_touch"), r.getAs[String]("last_touch"))))
+      .toMap
+    assert(replay == got, s"single-batch replay $replay vs live $got")
   }
 }
