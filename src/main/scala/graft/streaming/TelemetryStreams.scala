@@ -296,6 +296,67 @@ object TelemetryStreams {
       .withColumn("budget_remaining", round(lit(1.0) - burn, 4))
   }
 
+  /** LIVE service dependency edges — `operators.Traces.serviceGraph` on
+    * the span stream, per event-time window: the repo's STREAM-STREAM
+    * self-join (child × parent spans on (trace_id, parent = span)),
+    * watermark-bounded with an explicit time-range predicate — a child
+    * must start within [−skewSlackSec, +joinSlackSec] of its parent —
+    * which is what lets Spark EVICT join state (an unbounded
+    * parent-resolution join would hold every span forever); then one
+    * windowed per-edge aggregation on the parent's start time.
+    *
+    * Semantics vs the batch twin: identical edges/counts for spans
+    * whose parent resolves within the slack bounds (spec-pinned);
+    * a child that starts further from its parent than the slack is
+    * NOT resolved here by design (batch over sealed history remains
+    * the no-bounds route). Late spans beyond the watermark drop per
+    * the documented extension contract; WITHIN-watermark replays
+    * double-count (the batch twin replay-dedups; chaining a dedup
+    * before a stream-stream join is not supported) — feed
+    * exactly-once micro-batches (the seal stream's contract) or
+    * dedupe upstream.
+    *
+    * Scale: join state is watermark+slack-bounded per side, keyed by
+    * uniform (trace, span) — partitions cleanly; the aggregation
+    * rides (window, caller, callee) keys. */
+  def serviceGraphStream(spans: DataFrame, windowLen: String = "5 minutes",
+                         watermark: String = "10 minutes",
+                         joinSlackSec: Long = 300,
+                         skewSlackSec: Long = 60): DataFrame = {
+    require(joinSlackSec > 0 && skewSlackSec >= 0,
+      s"bad slack ($joinSlackSec, $skewSlackSec)")
+    // the root-span filter sits BEFORE the watermark on purpose (the
+    // optimizer would push it there anyway): the child side's watermark
+    // advances only with CHILD spans, so an all-roots stream holds
+    // windows open rather than emitting edges early — real traffic
+    // always carries children, and making the placement explicit keeps
+    // the behavior independent of pushdown rules
+    val child = spans
+      .where(col("parent_span_id").isNotNull && col("parent_span_id") =!= "")
+      .withWatermark("start_time_unix_nano", watermark)
+      .select(col("trace_id").as("t"), col("parent_span_id").as("p"),
+        col("service_name").as("callee_service"),
+        col("status_code").as("code"),
+        col("duration_time_unix_nano").cast("long").as("dur"),
+        col("start_time_unix_nano").as("cst"))
+    val parent = spans.withWatermark("start_time_unix_nano", watermark)
+      .select(col("trace_id").as("pt"), col("span_id").as("ps"),
+        col("service_name").as("caller_service"),
+        col("start_time_unix_nano").as("pst"))
+    child.join(parent,
+        col("t") === col("pt") && col("p") === col("ps") &&
+          col("cst") >= col("pst") - expr(s"INTERVAL $skewSlackSec SECOND") &&
+          col("cst") <= col("pst") + expr(s"INTERVAL $joinSlackSec SECOND"))
+      .groupBy(window(col("pst"), windowLen).as("w"),
+        col("caller_service"), col("callee_service"))
+      .agg(count(lit(1)).as("n_calls"),
+        sum(when(col("code") === 2, 1L).otherwise(0L)).as("n_errors"),
+        sum(col("dur")).as("total_callee_ns"))
+      .select(col("w.start").as("window_start"), col("caller_service"),
+        col("callee_service"), col("n_calls"), col("n_errors"),
+        col("total_callee_ns"))
+  }
+
   /** Apdex on the LIVE span stream — the streaming face of
     * `operators.Traces.apdex`, windowed: per (window, service) the
     * satisfied (≤ T) / tolerating (≤ 4T) / frustrated buckets and the

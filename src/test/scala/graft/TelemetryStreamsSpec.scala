@@ -394,6 +394,66 @@ class TelemetryStreamsSpec extends SparkTestBase {
       ((5L, 3L, 60.0, 50.0))), stream)
   }
 
+  test("serviceGraphStream ≡ batch serviceGraph: the stream-stream " +
+    "parent-resolution join resolves edges split across micro-batches") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, String, String, String, String, Int, Long)]
+    val df = in.toDF().toDF("start_time_unix_nano", "trace_id", "span_id",
+      "parent_span_id", "service_name", "status_code",
+      "duration_time_unix_nano")
+    val rows = Seq(
+      // t1: A(a1) -> B(b1 err), A(a1) -> C(c1); t2: B(b2) -> C(c2)
+      (Timestamp.valueOf("2024-01-01 00:00:10"), "t1", "a1", null,
+        "A", 0, 100L),
+      (Timestamp.valueOf("2024-01-01 00:00:20"), "t1", "b1", "a1",
+        "B", 2, 50L),
+      // -- micro-batch boundary splits c1 from its parent a1 --
+      (Timestamp.valueOf("2024-01-01 00:00:30"), "t1", "c1", "a1",
+        "C", 0, 30L),
+      (Timestamp.valueOf("2024-01-01 00:01:00"), "t2", "b2", null,
+        "B", 0, 80L),
+      (Timestamp.valueOf("2024-01-01 00:01:10"), "t2", "c2", "b2",
+        "C", 2, 40L))
+    val run = TelemetryStreams.serviceGraphStream(df,
+        windowLen = "300 seconds", watermark = "10 seconds")
+      .writeStream.format("memory").queryName("svcgraphstream")
+      // stream-stream joins emit only in APPEND mode; the windowed agg
+      // then emits each window once the watermark closes it
+      .outputMode("append").start()
+    val (b1, b2) = rows.splitAt(2)
+    in.addData(b1: _*); run.processAllAvailable()
+    in.addData(b2: _*); run.processAllAvailable()
+    // far-future CHILD spans (dangling parents — join nothing): the
+    // child side's watermark advances only with child spans (root-only
+    // traffic holds windows open by design), and the watermark computed
+    // at a batch's END drives the NEXT batch's emission through the
+    // join into the agg — so two nudge batches flush the closed window
+    in.addData((Timestamp.valueOf("2024-01-01 10:00:00"), "t9", "z1", "zz",
+      "Z", 0, 1L))
+    run.processAllAvailable()
+    in.addData((Timestamp.valueOf("2024-01-01 11:00:00"), "t9", "z2", "zz",
+      "Z", 0, 1L))
+    run.processAllAvailable()
+    run.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("caller_service"), r.getAs[String]("callee_service"))
+    def vals(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("n_calls"), r.getAs[Long]("n_errors"),
+        r.getAs[Long]("total_callee_ns"))
+    val stream = spark.table("svcgraphstream").collect()
+      .map(r => key(r) -> vals(r)).toMap
+    val batch = graft.operators.Traces.serviceGraph(
+        rows.toDF("start_time_unix_nano", "trace_id", "span_id",
+          "parent_span_id", "service_name", "status_code",
+          "duration_time_unix_nano"))
+      .collect().map(r => key(r) -> vals(r)).toMap
+    assert(stream == batch, s"stream $stream vs batch $batch")
+    assert(stream == Map(("A", "B") -> ((1L, 1L, 50L)),
+      ("A", "C") -> ((1L, 0L, 30L)), ("B", "C") -> ((1L, 1L, 40L))), stream)
+  }
+
   test("errorBudgetStream ≡ batch errorBudget at EVERY micro-batch: " +
     "period-to-date spend tracks the growing frame, replays dedup") {
     import spark.implicits._
