@@ -377,6 +377,31 @@ object MultimodalQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // image near-dup CLUSTERS: connected components over the dHash
+    // banded pairs (the dedup family's cluster machinery applied to the
+    // multimodal hashes — singleton images are not rows by contract);
+    // the oracle states the transitive-closure truth recursively
+    df("mm_image_clusters",
+      s"""WITH RECURSIVE $duckDHashChain,
+        |p AS (SELECT a.media_id AS ia, b.media_id AS ib
+        |  FROM h a JOIN h b ON a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.hi, b.hi))
+        |      + bit_count(xor(a.lo, b.lo)) <= 3),
+        |edges AS (SELECT ia AS s, ib AS d FROM p
+        |  UNION SELECT ib, ia FROM p),
+        |reach(a, b) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.a, e.d FROM reach r JOIN edges e ON e.s = r.b)
+        |SELECT a AS id, least(a, min(b)) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY id""".stripMargin) { (s, _) =>
+      import graft.operators.Dedup
+      val pairs = Multimodal.imageNearDup(Multimodal.pngFromDocuments(
+          s.table("documents").orderBy("doc_id").limit(150)), maxHamming = 3)
+        .select(col("id_a"), col("id_b"))
+      Dedup.neardupClusters(pairs).orderBy("id")
+    },
+
     df("mm_frame_sample",
       """WITH hx AS (SELECT doc_id AS media_id, concat(md5(text), md5(concat('2:', text))) AS h
         |  FROM documents WHERE doc_id % 3 = 2)
