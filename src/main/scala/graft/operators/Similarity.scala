@@ -190,10 +190,19 @@ object Similarity {
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    queryIdCol: String = "query_id"): DataFrame = {
     require(k >= 1 && nprobe >= 1, "k and nprobe must be positive")
+    // nprobe > cells would index past the sorted score array: under
+    // default (non-ANSI) Spark that is a silent NULL threshold — every
+    // probe predicate null, every query EMPTY, recall 0 — so fail loudly
+    // when the cell count is explicit and clamp when AutoCells resolves it
+    require(centroids <= 0 || nprobe <= centroids,
+      s"nprobe ($nprobe) must be <= centroids ($centroids)")
     requireIntegralId(emb, idCol); requireIntegralId(queries, queryIdCol)
     graft.functions.ArrayDot.register(emb.sparkSession)
-    val cents = ivfCentroidsTrained(emb, centroids, dims, sampleMod,
-      idCol, vecCol)
+    // AutoCells sentinel resolves like the cell-bounded family's — and the
+    // clamped threshold below keeps an oversized nprobe exhaustive rather
+    // than out-of-bounds against the resolved count
+    val cents = ivfCentroidsTrained(emb, resolveCells(emb, centroids), dims,
+      sampleMod, idCol, vecCol)
     val corpus = ivfCellsWith(emb, cents, idCol, vecCol)
       .withColumn("__v", asDouble(col(vecCol)))
       .withColumn("nrm", sqrt(expr("array_dot(__v, __v)")))
@@ -204,7 +213,8 @@ object Similarity {
         .select(col("qid"), asDouble(col(vecCol)).as("qv"),
           col("cell_scores").as("qscores"))
         .withColumn("qn", sqrt(expr("array_dot(qv, qv)")))
-        .withColumn("thr", expr(s"sort_array(qscores, false)[${nprobe - 1}]")))
+        .withColumn("thr", expr(
+          s"sort_array(qscores, false)[least($nprobe, size(qscores)) - 1]")))
     val scored = corpus
       .where(col("nrm") > 0) // NaN guard — see batchTopK
       .crossJoin(q)
@@ -565,7 +575,17 @@ object Similarity {
     }
     inner.synchronized {
       val cached = inner.get(Integer.valueOf(targetCellSize))
-      if (cached != null) cached.intValue()
+      if (cached != null) {
+        // surface the memo hit: a mutable-input deployment (same path
+        // re-read after appends, structurally-equal plan) sees the stale
+        // cached n HERE instead of only in a docstring — see STALENESS
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"autoCells memo hit: reusing cached cell count ${cached.intValue()} " +
+            s"(targetCellSize=$targetCellSize) for a structurally-equal plan; " +
+            "if the input grew since, pass an explicit cell count or call " +
+            "Similarity.clearAutoCellsCache()")
+        cached.intValue()
+      }
       else {
         val k = math.max(8, math.ceil(
           emb.count().toDouble / targetCellSize)).toInt
@@ -594,6 +614,13 @@ object Similarity {
   private val autoCellsMemo =
     new java.util.WeakHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       java.util.HashMap[Integer, Integer]]()
+
+  /** Explicit staleness hook for mutable-input deployments: drop every
+    * memoized AutoCells count so the next cell-bounded operator re-counts
+    * its (possibly grown) input. Cheap — the memo only ever holds a few
+    * plan → int entries. */
+  def clearAutoCellsCache(): Unit =
+    autoCellsMemo.synchronized { autoCellsMemo.clear() }
 
   private def resolveCells(emb: DataFrame, centroids: Int): Int = {
     require(centroids >= 0, s"centroids must be >= 0, got $centroids")
@@ -840,7 +867,8 @@ object Similarity {
       cells.where(col(idCol) === queryId)
         .select(asDouble(col(vecCol)).as("qv"),
           col("cell_scores").as("qscores"))
-        .withColumn("thr", expr(s"sort_array(qscores, false)[${nprobe - 1}]")))
+        .withColumn("thr", expr(
+          s"sort_array(qscores, false)[least($nprobe, size(qscores)) - 1]")))
     val cand = coded.where(col(idCol) =!= queryId)
       .crossJoin(q)
       .where(expr("element_at(qscores, cell + 1) >= thr"))
@@ -901,7 +929,8 @@ object Similarity {
     val q = broadcast(
       cells.where(col(idCol) === queryId)
         .select(col("__v").as("qv"), col("cell_scores").as("qscores"))
-        .withColumn("thr", expr(s"sort_array(qscores, false)[${nprobe - 1}]")))
+        .withColumn("thr", expr(
+          s"sort_array(qscores, false)[least($nprobe, size(qscores)) - 1]")))
     val cand = coded.where(col(idCol) =!= queryId)
       .crossJoin(q)
       .where(expr("element_at(qscores, cell + 1) >= thr"))
@@ -931,7 +960,8 @@ object Similarity {
       cells.where(col(idCol) === queryId)
         .select(asDouble(col(vecCol)).as("qv"),
           col("cell_scores").as("qscores"))
-        .withColumn("thr", expr(s"sort_array(qscores, false)[${nprobe - 1}]")))
+        .withColumn("thr", expr(
+          s"sort_array(qscores, false)[least($nprobe, size(qscores)) - 1]")))
     cells.where(col(idCol) =!= queryId)
       .crossJoin(q)
       .where(expr("element_at(qscores, cell + 1) >= thr"))

@@ -682,6 +682,33 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("batchTopKIvf: nprobe beyond the cell count fails loudly when " +
+    "explicit and clamps to exhaustive when AutoCells resolves it " +
+    "(ADVICE r14: the unclamped index returned a null threshold and " +
+    "silently EMPTY results for every query)") {
+    Tables.register(spark, sfDir)
+    val emb = spark.table("embeddings")
+    val queries = emb.where(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // explicit centroids: misconfiguration is a construction-time error
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.batchTopKIvf(emb, queries, k = 5,
+        centroids = 8, nprobe = 9, dims = 64)
+    }
+    assert(ex.getMessage.contains("nprobe"), ex.getMessage)
+    // AutoCells (cell count unknowable at the call site): an oversized
+    // nprobe clamps to the resolved count — every cell probed, so the
+    // result is the EXACT batch top-k, never an empty frame
+    val got = Similarity.batchTopKIvf(emb, queries, k = 5,
+      centroids = Similarity.AutoCells, nprobe = 1000000, dims = 64)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).sortBy(x => (x._1, -x._3, x._2))
+    val exact = Similarity.batchTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).sortBy(x => (x._1, -x._3, x._2))
+    assert(got.nonEmpty && got.toSeq == exact.toSeq)
+  }
+
   test("batchTopK: zero-norm vectors (NaN cosine) can never occupy a " +
     "top-k slot, as corpus row or query") {
     import spark.implicits._
