@@ -1,0 +1,250 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** The web-pipeline FRONT half the text-curation family assumes has
+  * already run: HTML main-content extraction (the first stage of every
+  * web corpus — C4, CCNet, RefinedWeb — Raffel et al. 2020 §2.2, Penedo
+  * et al. 2023 §3.1) and URL-level filtering / canonical-URL dedup
+  * (RefinedWeb stage 1). Everything is regex/string-op based — no DOM
+  * parser — so a SQL oracle replays the exact bytes, and every operator
+  * is MAP-ONLY over its input row (no shuffle, streaming-safe): at
+  * 100 TB the extraction cost is one pass over the crawl with zero data
+  * movement, which is the property that lets it run inside the ingest
+  * job instead of as its own shuffle stage.
+  *
+  * Extraction model (jusText/trafilatura-style, simplified but real):
+  * drop non-content elements wholesale (head, script, style, comments),
+  * segment into blocks at block-level tag boundaries, strip inline tags
+  * and decode the common entities per block, then keep a block iff it
+  * has at least [[MinBlockChars]] visible characters AND its LINK
+  * DENSITY (anchor-text chars / visible chars) is at most 1/2 — the
+  * boilerplate heuristic that kills navigation bars, footers, and
+  * link-farm blocks while keeping prose that merely contains links.
+  */
+object WebFilters {
+
+  /** Minimum visible characters for a block to count as main content. */
+  val MinBlockChars = 15
+
+  // non-content elements dropped with their contents. RE2-safe (no
+  // backreferences, no lookaround) so the same strings run in DuckDB.
+  private val HeadPat = "(?is)<head\\b[^>]*>.*?</head>"
+  private val ScriptPat = "(?is)<script\\b[^>]*>.*?</script>"
+  private val StylePat = "(?is)<style\\b[^>]*>.*?</style>"
+  private val CommentPat = "(?s)<!--.*?-->"
+
+  /** Block-level tag boundary: the segmentation SPLIT pattern. */
+  val BlockTagPat: String =
+    "(?i)</?(?:p|div|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody|section|" +
+      "article|header|footer|nav|aside|blockquote|pre|br|hr)\\b[^>]*>"
+
+  private val AnchorPat = "(?is)<a\\b[^>]*>(.*?)</a>"
+  private val AnyTagPat = "<[^>]*>"
+
+  private def wsNorm(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
+
+  /** The five common named entities plus the numeric apostrophe — decoded
+    * AFTER tag stripping, '&amp;' LAST so double-escaped text single-
+    * decodes ('&amp;lt;' → '&lt;', never '<'). */
+  private def decodeEntities(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(c,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
+      "&nbsp;", " "), "&amp;", "&")
+
+  private def stripInline(c: Column): Column =
+    regexp_replace(c, AnyTagPat, "")
+
+  /** `<title>` text (entity-decoded, whitespace-normalized) — extracted
+    * from the RAW html, since the head element is dropped before block
+    * segmentation. */
+  def htmlTitle(html: Column): Column =
+    wsNorm(decodeEntities(stripInline(
+      regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1))))
+
+  /** Content blocks of an HTML document as an array of structs
+    * (txt: visible text, lc: anchor-text chars) — empty-text blocks are
+    * already gone. One column expression, map-only. */
+  def htmlBlocks(html: Column): Column = {
+    val cleaned = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      html, HeadPat, " "), ScriptPat, " "), StylePat, " "), CommentPat, " ")
+    val raw = split(cleaned, BlockTagPat)
+    filter(
+      transform(raw, b => struct(
+        wsNorm(decodeEntities(stripInline(b))).as("txt"),
+        coalesce(aggregate(
+          regexp_extract_all(b, lit(AnchorPat), lit(1)),
+          lit(0), (a, x) => a + length(regexp_replace(x, AnyTagPat, ""))),
+          lit(0)).as("lc"))),
+      b => length(b.getField("txt")) > 0)
+  }
+
+  /** The boilerplate verdict for one block struct: enough visible text
+    * AND link density <= 1/2 (integer form 2·linkChars <= chars, so the
+    * comparison is exact in every engine). */
+  def blockKeep(b: Column, minChars: Int = MinBlockChars): Column =
+    length(b.getField("txt")) >= minChars &&
+      lit(2) * b.getField("lc") <= length(b.getField("txt"))
+
+  /** Extracted main content as ONE string column (kept blocks joined by
+    * newline, in document order) — the composition/streaming form:
+    * `docs.select(htmlMainContent(col("html")).as("text"))` feeds the
+    * whole downstream text-curation family unchanged. Map-only. */
+  def htmlMainContent(html: Column, minChars: Int = MinBlockChars): Column =
+    concat_ws("\n",
+      transform(filter(htmlBlocks(html), b => blockKeep(b, minChars)),
+        b => b.getField("txt")))
+
+  /** Per-document extraction report: title, block counts before/after the
+    * boilerplate heuristic, and the kept content's length + md5 digest (a
+    * byte-exact check of WHICH blocks survived). Staged projections keep
+    * the expensive block-array lambda a single evaluation. */
+  def htmlExtract(docs: DataFrame, htmlCol: String = "html",
+                  minChars: Int = MinBlockChars): DataFrame =
+    docs.select(col("doc_id"), htmlTitle(col(htmlCol)).as("title"),
+        htmlBlocks(col(htmlCol)).as("__b"))
+      .select(col("doc_id"), col("title"),
+        size(col("__b")).cast("long").as("n_blocks"),
+        filter(col("__b"), b => blockKeep(b, minChars)).as("__k"))
+      .select(col("doc_id"), col("title"), col("n_blocks"),
+        size(col("__k")).cast("long").as("kept_blocks"),
+        concat_ws("\n", transform(col("__k"), b => b.getField("txt"))).as("__t"))
+      .select(col("doc_id"), col("title"), col("n_blocks"), col("kept_blocks"),
+        length(col("__t")).cast("long").as("kept_chars"),
+        md5(col("__t")).as("content_digest"))
+
+  /** Deterministic HTML test corpus over the `documents` table (the same
+    * construction runs as a DuckDB CTE, so the oracle replays extraction
+    * on identical bytes): each document's words chunk into 12-word lines;
+    * lines wrap as `<p>….</p>` / `<div>… <a>…</a></div>` / `<li>…</li>`
+    * by line-length mod 3; around them sit the boilerplate a real page
+    * has — head with title/style/script, a nav bar of links, an HTML
+    * comment, one constant prose paragraph (entity exercise), one
+    * stop-word paragraph (so downstream Gopher gates have signal), and a
+    * link-heavy footer the link-density rule must kill. */
+  def htmlFixture(docs: DataFrame, limit: Int = 150, lineWords: Int = 12,
+                  textCol: String = "text"): DataFrame = {
+    val base = docs.orderBy("doc_id").limit(limit)
+      .select(col("doc_id"), Dedup.tokens(col(textCol)).as("ws"))
+      .where(size(col("ws")) > 0)
+    val nl = ceil(size(col("ws")).cast("double") / lineWords).cast("int")
+    val lines = transform(sequence(lit(1), nl), i =>
+      concat_ws(" ",
+        slice(col("ws"), (i - lit(1)) * lineWords + lit(1), lit(lineWords))))
+    val elems = transform(lines, l =>
+      when(length(l) % 3 === 0, concat(lit("<p>"), l, lit(".</p>")))
+        .when(length(l) % 3 === 1, concat(lit("<div class=\"entry\">"), l,
+          lit(" <a href=\"/read/more\">more &amp; info</a></div>")))
+        .otherwise(concat(lit("<li>"), l, lit("</li>"))))
+    base.select(col("doc_id"), concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit(" &amp; friends</title><style>p { margin: 0; }</style>" +
+        "<script>var a = 1 && 2; if (a < 3) { a = 4; }</script></head>"),
+      lit("<body><nav><a href=\"/\">Home</a> <a href=\"/cats\">Cats</a> " +
+        "<a href=\"/dogs\">Dogs</a></nav><!-- rendered by demo -->"),
+      lit("<div id=\"main\"><p>Fish &amp; Chips &lt;deluxe edition&gt; " +
+        "from the corner shop</p>" +
+        "<p>We work with the best of the best, and that is that.</p>"),
+      concat_ws("", elems),
+      lit("</div><footer><a href=\"/terms\">Terms of service</a> " +
+        "<a href=\"/privacy\">Privacy policy</a> " +
+        "<a href=\"/contact\">Contact the team</a> (c) demo</footer>" +
+        "</body></html>")).as("html"))
+  }
+
+  // ---------------------------------------------------------------- URLs
+
+  /** Extensions a text-corpus crawl never wants (media, code assets,
+    * archives, binaries) — RefinedWeb-style. */
+  val BlockedExtPat: String =
+    "\\.(jpe?g|png|gif|webp|bmp|ico|svg|css|js|mjs|woff2?|ttf|mp[34]|" +
+      "avi|mov|mkv|zip|tar|gz|tgz|rar|7z|exe|dmg|iso|pdf)$"
+
+  /** Default domain blocklist (exact host or any subdomain). */
+  val DefaultBlockedHosts: Seq[String] =
+    Seq("ads.example.com", "tracker.example.net", "doubleclick.net",
+      "adservice.example.org")
+
+  private val SchemePat = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val HostPat = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+  private val SchemeHostPat = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+  private def schemeOf(u: Column): Column =
+    lower(regexp_extract(u, SchemePat, 1))
+
+  /** Canonical host: lowercase, default port stripped (`:80` http /
+    * `:443` https), leading `www.` stripped. */
+  def urlHost(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val scheme = schemeOf(noFrag)
+    val hostPort = lower(regexp_extract(noFrag, HostPat, 1))
+    val noPort = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    regexp_replace(noPort, "^www\\.", "")
+  }
+
+  /** Canonical URL (the dedup key contract): lowercase scheme + canonical
+    * host; fragment dropped; tracking params (utm_*, gclid, fbclid)
+    * dropped; remaining query params SORTED; empty path → `/`, trailing
+    * slashes stripped. NULL when the value does not parse as a URL with a
+    * scheme+host. Pure string ops — map-only, engine-replayable. */
+  def urlCanonical(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val scheme = schemeOf(noFrag)
+    val rest = regexp_replace(noFrag, SchemeHostPat, "")
+    val path0 = regexp_extract(rest, "^([^?]*)", 1)
+    val stripped = regexp_replace(path0, "/+$", "")
+    val path = when(stripped === "", lit("/")).otherwise(stripped)
+    val qs = regexp_extract(rest, "\\?(.*)", 1)
+    val params = array_sort(filter(split(qs, "&"), p =>
+      p =!= "" && !p.rlike("^(?i)(utm_[a-z0-9]+|gclid|fbclid)=")))
+    val query = when(size(params) > 0, concat(lit("?"), concat_ws("&", params)))
+      .otherwise(lit(""))
+    when(scheme === "" || urlHost(url) === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), urlHost(url), path, query))
+  }
+
+  /** URL-level filter: per-URL verdicts (scheme ok, blocked domain,
+    * blocked extension) plus the combined keep — the crawl-frontier gate
+    * that runs BEFORE any byte of the page is fetched or stored. Keeps
+    * the caller's columns; map-only. */
+  def urlFilter(pages: DataFrame, urlCol: String = "url",
+                blockedHosts: Seq[String] = DefaultBlockedHosts): DataFrame = {
+    val u = col(urlCol)
+    val scheme = schemeOf(regexp_replace(u, "#.*", ""))
+    val host = urlHost(u)
+    val schemeOk = scheme === "http" || scheme === "https"
+    val blockedDomain = blockedHosts.map(b =>
+      (host === b || host.endsWith("." + b)): Column).reduce(_ || _)
+    val noFrag = regexp_replace(u, "#.*", "")
+    val path = regexp_extract(
+      regexp_replace(noFrag, SchemeHostPat, ""), "^([^?]*)", 1)
+    val blockedExt = lower(path).rlike(BlockedExtPat)
+    pages
+      .withColumn("canonical_url", urlCanonical(u))
+      .withColumn("host", host)
+      .withColumn("scheme_ok", schemeOk)
+      .withColumn("blocked_domain", blockedDomain)
+      .withColumn("blocked_ext", blockedExt)
+      .withColumn("keep", schemeOk && !blockedDomain && !blockedExt &&
+        col("canonical_url").isNotNull)
+  }
+
+  /** Canonical-URL dedup: keep-first (min id) per canonical URL — the
+    * uniform-hash-key contract ([[Dedup.exactGroups]]'s shape, the key
+    * being [[urlCanonical]] instead of md5(text)). Unparseable URLs
+    * (NULL canonical) are dropped — they fail [[urlFilter]] anyway.
+    * Returns one row per distinct canonical URL with its keeper and
+    * group size; min(struct) partial-aggregates map-side, so a hot URL
+    * collapses before the shuffle. */
+  def urlDedup(pages: DataFrame, idCol: String = "doc_id",
+               urlCol: String = "url"): DataFrame =
+    pages.select(col(idCol), urlCanonical(col(urlCol)).as("canonical_url"))
+      .where(col("canonical_url").isNotNull)
+      .groupBy("canonical_url")
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("group_size"))
+}

@@ -6,7 +6,7 @@ import graft.QSpec
 object Registry {
   val all: Seq[QSpec] = {
     val qs = Relational.all ++ TrainingData.all ++ MultimodalQueries.all ++
-      OtlpReaders.all
+      WebQueries.all ++ OtlpReaders.all
     require(qs.map(_.name).distinct.size == qs.size, "duplicate query names")
     qs
   }

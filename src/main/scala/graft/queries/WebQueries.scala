@@ -1,0 +1,273 @@
+package graft.queries
+
+import graft.QSpec
+import graft.QSpec._
+import graft.operators.{CorpusFilters, WebFilters}
+import org.apache.spark.sql.functions._
+
+/** Web-pipeline front half as oracle-checked queries: HTML main-content
+  * extraction, the extract→filter composition, URL-level filtering, and
+  * canonical-URL dedup. The HTML/URL fixtures are deterministic string
+  * constructions over the `documents` table, built identically in Spark
+  * and in the DuckDB oracle, so the oracle replays extraction on byte-
+  * identical inputs. */
+object WebQueries {
+
+  /** Shared DuckDB CTE chain: the synthetic HTML corpus (mirrors
+    * WebFilters.htmlFixture — 12-word lines from the shared lowercase
+    * token contract, wrapped by line-length mod 3, boilerplate around).
+    * Ends at fx(doc_id, html). */
+  private val duckHtmlFixture =
+    """wx AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |    x -> len(x) > 0) AS w
+      |  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 150) d),
+      |lx AS (SELECT doc_id, list_transform(
+      |    generate_series(1, CAST(ceil(len(w) / 12.0) AS INT)),
+      |    i -> array_to_string(list_slice(w, (i-1)*12+1, i*12), ' ')) AS lines
+      |  FROM wx WHERE len(w) > 0),
+      |fx AS (SELECT doc_id,
+      |  '<html><head><title>Doc ' || doc_id || ' &amp; friends</title><style>p { margin: 0; }</style><script>var a = 1 && 2; if (a < 3) { a = 4; }</script></head>' ||
+      |  '<body><nav><a href="/">Home</a> <a href="/cats">Cats</a> <a href="/dogs">Dogs</a></nav><!-- rendered by demo -->' ||
+      |  '<div id="main"><p>Fish &amp; Chips &lt;deluxe edition&gt; from the corner shop</p><p>We work with the best of the best, and that is that.</p>' ||
+      |  array_to_string(list_transform(lines, l -> CASE len(l) % 3
+      |       WHEN 0 THEN '<p>' || l || '.</p>'
+      |       WHEN 1 THEN '<div class="entry">' || l || ' <a href="/read/more">more &amp; info</a></div>'
+      |       ELSE '<li>' || l || '</li>' END), '') ||
+      |  '</div><footer><a href="/terms">Terms of service</a> <a href="/privacy">Privacy policy</a> <a href="/contact">Contact the team</a> (c) demo</footer></body></html>' AS html
+      | FROM lx)""".stripMargin
+
+  /** Shared DuckDB extraction chain over fx (mirrors WebFilters.htmlExtract
+    * block by block): drop head/script/style/comments, split at block tags,
+    * strip inline tags + decode entities + ws-normalize per block, compute
+    * anchor-text chars, apply the keep rule. Ends at
+    * kx(doc_id, pos, txt, lc, keep) and ag(doc_id, n_blocks, kept_blocks,
+    * body). */
+  private val duckHtmlExtract =
+    """ex0 AS (SELECT doc_id, html,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+      |    '(?is)<head\b[^>]*>.*?</head>', ' ', 'g'),
+      |    '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+      |    '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+      |    '(?s)<!--.*?-->', ' ', 'g') AS c FROM fx),
+      |bx AS (SELECT doc_id, unnest(blocks) AS b, generate_subscripts(blocks, 1) AS pos
+      |  FROM (SELECT doc_id, regexp_split_to_array(c,
+      |    '(?i)</?(?:p|div|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody|section|article|header|footer|nav|aside|blockquote|pre|br|hr)\b[^>]*>') AS blocks
+      |    FROM ex0) z),
+      |tx AS (SELECT doc_id, pos,
+      |  trim(regexp_replace(
+      |    replace(replace(replace(replace(replace(replace(
+      |      regexp_replace(b, '<[^>]*>', '', 'g'),
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+      |      '&nbsp;', ' '), '&amp;', '&'),
+      |    '\s+', ' ', 'g')) AS txt,
+      |  coalesce(list_sum(list_transform(
+      |    regexp_extract_all(b, '(?is)<a\b[^>]*>(.*?)</a>', 1),
+      |    x -> len(regexp_replace(x, '<[^>]*>', '', 'g')))), 0) AS lc
+      |  FROM bx),
+      |kx AS (SELECT doc_id, pos, txt, lc,
+      |  (len(txt) >= 15 AND 2 * lc <= len(txt)) AS keep
+      |  FROM tx WHERE len(txt) > 0),
+      |ag AS (SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_blocks,
+      |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS kept_blocks,
+      |  coalesce(string_agg(txt, chr(10) ORDER BY pos) FILTER (WHERE keep), '') AS body
+      |  FROM kx GROUP BY doc_id)""".stripMargin
+
+  /** Shared DuckDB URL fixture (mirrors the Spark construction in
+    * [[urlFixture]]): six URL shapes per doc_id mod 6 — canonicalization
+    * collisions, a blocked domain, a blocked extension, a non-http scheme,
+    * and an unparseable value. Ends at ux(doc_id, url). */
+  private val duckUrlFixture =
+    """ux AS (SELECT doc_id, CASE doc_id % 6
+      |  WHEN 0 THEN 'HTTP://WWW.Example.COM:80/a/' || (doc_id // 12) || '/?utm_source=feed&page=2#top'
+      |  WHEN 1 THEN 'http://example.com/a/' || (doc_id // 12) || '?page=2&utm_medium=rss'
+      |  WHEN 2 THEN 'https://ads.example.com/banner/' || doc_id
+      |  WHEN 3 THEN 'http://static.example.org/img/photo' || doc_id || '.JPG'
+      |  WHEN 4 THEN 'ftp://files.example.org/pub/' || doc_id
+      |  ELSE 'not a url ' || doc_id END AS url
+      |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200) d)""".stripMargin
+
+  /** Shared DuckDB canonicalization chain over ux (mirrors
+    * WebFilters.urlCanonical/urlHost): ends at
+    * cx(doc_id, url, scheme, host, path, canonical_url). */
+  private val duckUrlCanonical =
+    """nf AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS u FROM ux),
+      |pc AS (SELECT doc_id, url, u,
+      |  lower(coalesce(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
+      |  lower(coalesce(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')) AS hostport,
+      |  regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
+      |  FROM nf),
+      |hx AS (SELECT doc_id, url, scheme, rest,
+      |  regexp_replace(CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+      |    WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+      |    ELSE hostport END, '^www\.', '') AS host
+      |  FROM pc),
+      |px AS (SELECT doc_id, url, scheme, host,
+      |  coalesce(regexp_extract(rest, '^([^?]*)', 1), '') AS path0,
+      |  coalesce(regexp_extract(rest, '\?(.*)', 1), '') AS qs
+      |  FROM hx),
+      |qx AS (SELECT doc_id, url, scheme, host,
+      |  CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+      |    ELSE regexp_replace(path0, '/+$', '') END AS path,
+      |  list_sort(list_filter(string_split(qs, '&'), p -> p <> ''
+      |    AND NOT regexp_matches(p, '^(?i)(utm_[a-z0-9]+|gclid|fbclid)='))) AS params
+      |  FROM px),
+      |cx AS (SELECT doc_id, url, scheme, host, path,
+      |  CASE WHEN scheme = '' OR host = '' THEN NULL
+      |    ELSE scheme || '://' || host || path ||
+      |      (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END)
+      |  END AS canonical_url
+      |  FROM qx)""".stripMargin
+
+  /** The Spark-side URL fixture — one URL shape per doc_id mod 6. */
+  private def urlFixture(docs: org.apache.spark.sql.DataFrame) = {
+    val grp = floor(col("doc_id") / 12).cast("long").cast("string")
+    val id = col("doc_id").cast("string")
+    docs.orderBy("doc_id").limit(200).select(col("doc_id"),
+      when(col("doc_id") % 6 === 0,
+        concat(lit("HTTP://WWW.Example.COM:80/a/"), grp, lit("/?utm_source=feed&page=2#top")))
+        .when(col("doc_id") % 6 === 1,
+          concat(lit("http://example.com/a/"), grp, lit("?page=2&utm_medium=rss")))
+        .when(col("doc_id") % 6 === 2,
+          concat(lit("https://ads.example.com/banner/"), id))
+        .when(col("doc_id") % 6 === 3,
+          concat(lit("http://static.example.org/img/photo"), id, lit(".JPG")))
+        .when(col("doc_id") % 6 === 4,
+          concat(lit("ftp://files.example.org/pub/"), id))
+        .otherwise(concat(lit("not a url "), id)).as("url"))
+  }
+
+  val all: Seq[QSpec] = Seq(
+
+    // HTML main-content extraction: the boilerplate heuristic must keep
+    // the prose blocks and kill the title/nav/footer — the oracle replays
+    // the regex pipeline on the identically-constructed HTML
+    df("ta_html_extract",
+      s"""WITH $duckHtmlFixture,
+         |$duckHtmlExtract,
+         |tt AS (SELECT doc_id,
+         |  trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+         |    regexp_replace(
+         |      coalesce(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1), ''),
+         |      '<[^>]*>', '', 'g'),
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+         |    '&nbsp;', ' '), '&amp;', '&'),
+         |    '\\s+', ' ', 'g')) AS title FROM fx)
+         |SELECT a.doc_id, t.title, a.n_blocks, a.kept_blocks,
+         |  CAST(len(a.body) AS BIGINT) AS kept_chars, md5(a.body) AS content_digest
+         |FROM ag a JOIN tt t USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, _) =>
+      WebFilters.htmlExtract(WebFilters.htmlFixture(s.table("documents")))
+        .orderBy("doc_id")
+    },
+
+    // the web pipeline END TO END: HTML -> main content -> C4 line filter
+    // -> Gopher quality gate, per-doc verdicts from each stage
+    df("ta_web_pipeline",
+      s"""WITH $duckHtmlFixture,
+         |$duckHtmlExtract,
+         |doc2 AS (SELECT doc_id, body AS text FROM ag),
+         |cs AS (SELECT doc_id, text,
+         |  list_transform(regexp_split_to_array(text, '\\n'), l -> trim(l)) AS lines
+         |  FROM doc2),
+         |ck AS (SELECT doc_id, text, lines,
+         |  list_filter(lines, l -> regexp_matches(l, '[.!?"]$$')
+         |    AND len(list_filter(regexp_split_to_array(l, '\\s+'), w2 -> len(w2) > 0)) >= 3
+         |    AND NOT contains(lower(l), 'javascript')) AS kept
+         |  FROM cs),
+         |c4 AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+         |  CAST(len(kept) AS BIGINT) AS kept_lines,
+         |  (len(kept) >= 3 AND NOT contains(text, '{')
+         |    AND NOT contains(lower(text), 'lorem ipsum')) AS c4_keep
+         |  FROM ck),
+         |gt AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS w2,
+         |  list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+         |    l -> len(l) > 0) AS ls
+         |  FROM doc2),
+         |gs AS (SELECT doc_id,
+         |  CAST(len(w2) AS BIGINT) AS n_words,
+         |  round(CAST(list_sum(list_transform(w2, x -> len(x))) AS DOUBLE)
+         |    / greatest(len(w2), 1), 4) AS mean_word_len,
+         |  round(CAST(len(list_filter(w2, x -> contains(x, '#')
+         |      OR contains(x, '...'))) AS DOUBLE)
+         |    / greatest(len(w2), 1), 4) AS symbol_ratio,
+         |  round(CAST(len(list_filter(ls, l -> substring(l, 1, 1) IN
+         |      ('-', '*', chr(8226)))) AS DOUBLE)
+         |    / greatest(len(ls), 1), 4) AS bullet_ratio,
+         |  round(CAST(len(list_filter(ls, l -> l LIKE '%...')) AS DOUBLE)
+         |    / greatest(len(ls), 1), 4) AS ellipsis_ratio,
+         |  round(CAST(len(list_filter(w2, x -> regexp_matches(x, '[a-z]')))
+         |      AS DOUBLE) / greatest(len(w2), 1), 4) AS alpha_ratio,
+         |  CAST((CASE WHEN list_contains(w2, 'the') THEN 1 ELSE 0 END)
+         |    + (CASE WHEN list_contains(w2, 'be') THEN 1 ELSE 0 END)
+         |    + (CASE WHEN list_contains(w2, 'to') THEN 1 ELSE 0 END)
+         |    + (CASE WHEN list_contains(w2, 'of') THEN 1 ELSE 0 END)
+         |    + (CASE WHEN list_contains(w2, 'and') THEN 1 ELSE 0 END)
+         |    + (CASE WHEN list_contains(w2, 'that') THEN 1 ELSE 0 END)
+         |    + (CASE WHEN list_contains(w2, 'have') THEN 1 ELSE 0 END)
+         |    + (CASE WHEN list_contains(w2, 'with') THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS stop_hits
+         |  FROM gt),
+         |gv AS (SELECT doc_id, n_words, stop_hits,
+         |  (n_words >= 50 AND n_words <= 100000
+         |    AND mean_word_len >= 3 AND mean_word_len <= 10
+         |    AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+         |    AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+         |    AND stop_hits >= 2) AS gopher_keep
+         |  FROM gs)
+         |SELECT c4.doc_id, c4.n_lines, c4.kept_lines, c4.c4_keep,
+         |  gv.n_words, gv.stop_hits, gv.gopher_keep,
+         |  (c4.c4_keep AND gv.gopher_keep) AS keep
+         |FROM c4 JOIN gv USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, _) =>
+      val extracted = WebFilters.htmlFixture(s.table("documents"))
+        .select(col("doc_id"),
+          WebFilters.htmlMainContent(col("html")).as("text"))
+      val c4 = CorpusFilters.c4LineFilter(extracted)
+        .select(col("doc_id"), col("n_lines"), col("kept_lines"),
+          col("keep").as("c4_keep"))
+      val gopher = CorpusFilters.gopherFilter(extracted)
+        .select(col("doc_id"), col("n_words"), col("stop_hits"),
+          col("keep").as("gopher_keep"))
+      c4.join(gopher, Seq("doc_id"))
+        .withColumn("keep", col("c4_keep") && col("gopher_keep"))
+        .orderBy("doc_id")
+    },
+
+    // URL-level filtering (crawl-frontier gate): scheme / domain blocklist
+    // / extension rules + the canonical form
+    df("ta_url_filter",
+      s"""WITH $duckUrlFixture,
+         |$duckUrlCanonical
+         |SELECT doc_id, url, canonical_url, host,
+         |  (scheme IN ('http', 'https')) AS scheme_ok,
+         |  (host IN ('ads.example.com', 'tracker.example.net', 'doubleclick.net', 'adservice.example.org')
+         |    OR host LIKE '%.ads.example.com' OR host LIKE '%.tracker.example.net'
+         |    OR host LIKE '%.doubleclick.net' OR host LIKE '%.adservice.example.org') AS blocked_domain,
+         |  regexp_matches(lower(path), '\\.(jpe?g|png|gif|webp|bmp|ico|svg|css|js|mjs|woff2?|ttf|mp[34]|avi|mov|mkv|zip|tar|gz|tgz|rar|7z|exe|dmg|iso|pdf)$$') AS blocked_ext,
+         |  ((scheme IN ('http', 'https'))
+         |    AND NOT (host IN ('ads.example.com', 'tracker.example.net', 'doubleclick.net', 'adservice.example.org')
+         |      OR host LIKE '%.ads.example.com' OR host LIKE '%.tracker.example.net'
+         |      OR host LIKE '%.doubleclick.net' OR host LIKE '%.adservice.example.org')
+         |    AND NOT regexp_matches(lower(path), '\\.(jpe?g|png|gif|webp|bmp|ico|svg|css|js|mjs|woff2?|ttf|mp[34]|avi|mov|mkv|zip|tar|gz|tgz|rar|7z|exe|dmg|iso|pdf)$$')
+         |    AND canonical_url IS NOT NULL) AS keep
+         |FROM cx ORDER BY doc_id""".stripMargin) { (s, _) =>
+      WebFilters.urlFilter(urlFixture(s.table("documents")))
+        .select(col("doc_id"), col("url"), col("canonical_url"), col("host"),
+          col("scheme_ok"), col("blocked_domain"), col("blocked_ext"),
+          col("keep"))
+        .orderBy("doc_id")
+    },
+
+    // canonical-URL dedup: keep-first per canonical form — scheme/port/
+    // case/tracking-param/fragment variants of the same page collapse
+    df("dd_url_dedup",
+      s"""WITH $duckUrlFixture,
+         |$duckUrlCanonical
+         |SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keeper,
+         |  CAST(count(*) AS BIGINT) AS group_size
+         |FROM cx WHERE canonical_url IS NOT NULL
+         |GROUP BY canonical_url ORDER BY canonical_url""".stripMargin) { (s, _) =>
+      WebFilters.urlDedup(urlFixture(s.table("documents")))
+        .orderBy("canonical_url")
+    })
+}

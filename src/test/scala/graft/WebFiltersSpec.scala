@@ -1,0 +1,119 @@
+package graft
+
+import graft.operators.WebFilters
+import org.apache.spark.sql.functions._
+
+class WebFiltersSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val page =
+    """<html><head><title> My  &amp; Your <b>Page</b> </title>
+      |<style>body { color: red; }</style>
+      |<script type="text/javascript">if (1 < 2) { alert("x"); }</script>
+      |</head><body>
+      |<nav><a href="/">Home</a> <a href="/x">Other page here</a></nav>
+      |<!-- boilerplate comment with enough words to be a block -->
+      |<p>This is the first real paragraph of the page, long enough to keep.</p>
+      |<div>Second paragraph mentions <a href="/ref">a reference</a> briefly but stays mostly prose text.</div>
+      |<p>Fish &amp; Chips &lt;deluxe&gt; &quot;edition&quot; &#39;quoted&#39;&nbsp;here for entity checks.</p>
+      |<ul><li>tiny</li><li>also tiny</li></ul>
+      |<footer><a href="/terms">Terms of service page</a> <a href="/priv">Privacy policy page</a> (c)</footer>
+      |</body></html>""".stripMargin
+
+  test("htmlMainContent: head/script/style/comments die wholesale; nav and " +
+    "footer die on link density; short blocks die on min chars; entities " +
+    "decode; prose survives in order") {
+    val got = Seq((1L, page)).toDF("doc_id", "html")
+      .select(WebFilters.htmlMainContent(col("html")).as("t"))
+      .as[String].head()
+    val lines = got.split("\n").toSeq
+    assert(lines == Seq(
+      "This is the first real paragraph of the page, long enough to keep.",
+      "Second paragraph mentions a reference briefly but stays mostly prose text.",
+      "Fish & Chips <deluxe> \"edition\" 'quoted' here for entity checks."),
+      lines)
+  }
+
+  test("htmlExtract: counts, title, digest of the kept content") {
+    val row = WebFilters.htmlExtract(Seq((1L, page)).toDF("doc_id", "html"))
+      .collect().head
+    assert(row.getAs[String]("title") == "My & Your Page")
+    // nav, comment-free boilerplate... non-empty blocks: nav, p1, div,
+    // p2, tiny, also tiny, footer = 7
+    assert(row.getAs[Long]("n_blocks") == 7L, row)
+    assert(row.getAs[Long]("kept_blocks") == 3L, row)
+    val expected = Seq(
+      "This is the first real paragraph of the page, long enough to keep.",
+      "Second paragraph mentions a reference briefly but stays mostly prose text.",
+      "Fish & Chips <deluxe> \"edition\" 'quoted' here for entity checks.")
+      .mkString("\n")
+    assert(row.getAs[Long]("kept_chars") == expected.length.toLong)
+    assert(row.getAs[String]("content_digest") ==
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(expected))
+  }
+
+  test("blockKeep boundary: link density exactly 1/2 keeps, just over drops") {
+    // txt = 30 chars, anchor text 15 chars -> 2*15 <= 30 keeps
+    val keepHtml = "<p>" + "x" * 15 + "<a href='/'>" + "y" * 15 + "</a></p>"
+    // txt = 29 chars, anchor text 15 -> 30 > 29 drops
+    val dropHtml = "<p>" + "x" * 14 + "<a href='/'>" + "y" * 15 + "</a></p>"
+    val got = Seq((1L, keepHtml), (2L, dropHtml)).toDF("doc_id", "html")
+    val kept = WebFilters.htmlExtract(got).orderBy("doc_id")
+      .select("kept_blocks").as[Long].collect().toSeq
+    assert(kept == Seq(1L, 0L), kept)
+  }
+
+  test("htmlExtract is map-only: no exchange anywhere in the plan") {
+    Tables.register(spark, sfDir)
+    val plan = WebFilters.htmlExtract(
+      WebFilters.htmlFixture(spark.table("documents"), limit = 10))
+      .queryExecution.executedPlan.toString
+    // the fixture's orderBy+limit plans as TakeOrderedAndProject (no
+    // shuffle exchange); extraction itself adds only projections
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("urlCanonical: case, ports, www, fragments, tracking params, " +
+    "param order, trailing slashes, unparseable input") {
+    val cases = Seq(
+      "HTTP://WWW.Example.COM:80/A/B/?utm_source=x&b=2&a=1#frag" ->
+        "http://example.com/A/B?a=1&b=2",
+      "https://site.org:443/p" -> "https://site.org/p",
+      "https://site.org:8443/p" -> "https://site.org:8443/p",
+      "http://site.org" -> "http://site.org/",
+      "http://site.org///" -> "http://site.org/",
+      "http://site.org/?gclid=1&fbclid=2&UTM_CAMPAIGN=3" -> "http://site.org/",
+      "ftp://files.org/x" -> "ftp://files.org/x",
+      "nonsense" -> null)
+    val got = cases.zipWithIndex
+      .map { case ((u, _), i) => (i.toLong, u) }.toDF("doc_id", "url")
+      .select(col("doc_id"), WebFilters.urlCanonical(col("url")).as("c"))
+      .orderBy("doc_id").select("c").collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), got)
+  }
+
+  test("urlFilter verdicts + urlDedup keep-first groups") {
+    val pages = Seq(
+      (1L, "http://www.example.com/a?utm_source=x"),
+      (2L, "http://example.com:80/a"),          // same canonical as 1
+      (3L, "https://ads.example.com/banner"),    // blocked domain
+      (4L, "http://sub.doubleclick.net/pix"),    // blocked subdomain
+      (5L, "http://ok.org/logo.PNG"),            // blocked extension
+      (6L, "ftp://ok.org/file"),                 // scheme
+      (7L, "garbage")).toDF("doc_id", "url")
+    val f = WebFilters.urlFilter(pages).orderBy("doc_id")
+      .select("doc_id", "keep", "blocked_domain", "blocked_ext", "scheme_ok")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4))).toSeq
+    assert(f == Seq(
+      (1L, true, false, false, true), (2L, true, false, false, true),
+      (3L, false, true, false, true), (4L, false, true, false, true),
+      (5L, false, false, true, true), (6L, false, false, false, false),
+      (7L, false, false, false, false)), f)
+    val d = WebFilters.urlDedup(pages).orderBy("canonical_url")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(d.contains(("http://example.com/a", 1L, 2L)), d)
+    // unparseable URL contributes no group
+    assert(d.map(_._3).sum == 6L, d)
+  }
+}
