@@ -19,6 +19,7 @@ import org.apache.spark.sql.SparkSession
   *        100k; synthetic series tables, ~100 points/series — the corpus
   *        has no metric points, and row count x cardinality is the cost)
   *      logtmpl (k = maxDistinct budget; documents.text as log bodies)
+  *      unigram (k = EM iterations; distributed-E-step trainer)
   * env SPARK_GRAFT_PROBE_EXPLAIN=1 prints the executed plan once. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -234,6 +235,12 @@ object ScaleProbe {
             expr("array()").cast("array<bigint>")
               .as("negative_bucket_counts"))
             .transform(df => operators.Metrics.aggregateExpHistograms(df))
+        case "unigram" =>
+          // whole trainer timed (seed pass + k EM rounds, all distributed;
+          // the internal jobs run eagerly so the noop write adds nothing)
+          TextAnalysis.unigramVocab(
+            spark.read.parquet(s"$sfDir/documents.parquet"),
+            vocabSize = 64, emIters = k)
         case "exphistq" =>
           import org.apache.spark.sql.functions._
           val n = k * 100000L

@@ -460,10 +460,17 @@ object TextAnalysis {
     * (count desc, piece asc). Unreferenced non-char pieces drop each
     * round; unreferenced chars keep a floor count of 1.
     *
-    * Shape at 100 TB: ONE distributed distinct-word frequency pass (the
-    * bpeMerges contract — everything after runs on the vocabulary-sized
-    * artifact on the driver, exact below `maxVocabWords`); EM is
-    * O(iters · words · len · maxPieceLen) driver work on that frame. */
+    * Shape at 100 TB: the distinct-word frequency frame (capped at
+    * `maxVocabWords`, checkpointed once) NEVER leaves the executors — the
+    * seed pass is the distributed [[unigramSeed]] rule, and each EM
+    * round's E-step Viterbi-segments the distinct words in executors
+    * under the broadcast micro-nat cost map (exactly [[unigramEncode]]'s
+    * contract) with the M-step a piece-keyed partial aggregation. Only
+    * VOCABULARY-SIZED artifacts (seed top-k, per-round usage counts, the
+    * final table — kilobytes) ever reach the driver. Integer costs and
+    * exact long usage sums make the distributed fold order-insensitive,
+    * so results are bit-identical to the former driver-side loop
+    * (spec-pinned: the hand-computed EM goldens are unchanged). */
   def unigramVocab(docs: DataFrame, vocabSize: Int = 64,
                    maxPieceLen: Int = 3, emIters: Int = 2,
                    seedSize: Int = 2048, textCol: String = "text",
@@ -471,49 +478,56 @@ object TextAnalysis {
     require(vocabSize >= 1 && emIters >= 1 && seedSize >= vocabSize,
       s"bad unigram config ($vocabSize, $emIters, $seedSize)")
     val spark = docs.sparkSession
-    val wf = docs.select(explode(
+    import spark.implicits._
+    // the EM loop reads this frame emIters (+1 seed) times: checkpoint
+    // once; repartition spreads the top-k's single output partition back
+    // across the cluster so every E-step segments in parallel
+    val wfDf = docs.select(explode(
         expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wc"))
       .orderBy(col("wc").desc, col("word")).limit(maxVocabWords)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .repartition(col("word"))
+      .localCheckpoint()
 
-    // driver-side seed with unigramSeed's exact rule (spec-pinned equal)
-    val seedCounts = scala.collection.mutable.HashMap.empty[String, Long]
-    wf.foreach { case (w, wc) =>
-      var st = 0
-      while (st < w.length) {
-        var l = 1
-        val maxL = math.min(maxPieceLen, w.length - st)
-        while (l <= maxL) {
-          val p = w.substring(st, st + l)
-          seedCounts.update(p, seedCounts.getOrElse(p, 0L) + wc)
-          l += 1
-        }
-        st += 1
-      }
-    }
-    val chars = seedCounts.keysIterator.filter(_.length == 1).toArray.sorted
-    def topBy(m: collection.Map[String, Long], n: Int,
-              always: Iterable[String]): Map[String, Long] = {
-      val ranked = m.toSeq.sortBy { case (p, c) => (-c, p) }.take(n).toMap
-      ranked ++ always.map(c => c -> math.max(1L, m.getOrElse(c, 1L)))
-    }
-    var pieces: Map[String, Long] = topBy(seedCounts, seedSize, chars)
+    // distributed seed with unigramSeed's exact rule (spec-pinned equal);
+    // only the top-seedSize pieces and the (≤ alphabet-sized) char slice
+    // are collected
+    val seedDf = wfDf.select(col("wc"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)),
+           |  st -> transform(sequence(1, least($maxPieceLen, length(word) - st + 1)),
+           |    ln -> substring(word, st, ln))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum(col("wc")).as("cnt"))
+      .localCheckpoint()
+    val charCounts = seedDf.where(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val chars = charCounts.map(_._1)
+    val topSeed = seedDf.orderBy(col("cnt").desc, col("piece")).limit(seedSize)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    Blocks.release(seedDf)
+    var pieces: Map[String, Long] = topSeed.toMap ++
+      charCounts.map { case (c, cnt) => c -> math.max(1L, cnt) }
 
     def costsOf(ps: Map[String, Long]): Map[String, Long] = {
       val total = ps.valuesIterator.sum.toDouble
       ps.map { case (p, c) => p -> math.round(-math.log(c / total) * 1e6) }
     }
     for (_ <- 1 to emIters) {
-      val cost = costsOf(pieces)
-      val used = scala.collection.mutable.HashMap.empty[String, Long]
-      wf.foreach { case (w, wc) =>
-        viterbiSegment(w, cost, maxPieceLen).foreach(p =>
-          used.update(p, used.getOrElse(p, 0L) + wc))
-      }
-      pieces = used.toMap ++
+      val bc = spark.sparkContext.broadcast(costsOf(pieces))
+      val used = wfDf.select(col("word").as("_1"), col("wc").as("_2"))
+        .as[(String, Long)]
+        .mapPartitions { it =>
+          val cm = bc.value
+          it.flatMap { case (w, wc) =>
+            viterbiSegment(w, cm, maxPieceLen).iterator.map(p => (p, wc)) }
+        }
+        .toDF("piece", "wc")
+        .groupBy("piece").agg(sum(col("wc")).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      bc.destroy()
+      pieces = used ++
         chars.filterNot(used.contains).map(c => c -> 1L)
     }
+    Blocks.release(wfDf)
     // prune: every single char stays (coverage invariant); the remaining
     // vocabSize − nChars slots go to the best non-char pieces
     val charSet = chars.toSet
