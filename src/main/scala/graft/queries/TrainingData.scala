@@ -3203,6 +3203,82 @@ object TrainingData {
         .orderBy(col("cnt").desc, col("piece"))
     },
 
+    // ONE unigram EM round, oracle-checked cross-engine (the full trainer
+    // is rows-only because multi-round EM isn't SQL-replayable — but one
+    // round at maxPieceLen=2 IS: the oracle enumerates EVERY legal
+    // segmentation of each distinct word as a breakpoint bitmask, scores
+    // it under the seed's integer micro-nat costs, and picks the minimum
+    // with the DP's exact tie rule — among equal costs the segmentation
+    // whose piece-length sequence read from the END is lexicographically
+    // largest, which is precisely Viterbi's prefer-longer-final-piece
+    // backpointer choice. Usage counts, char floor, prune, and scores
+    // then replay the trainer's M-step arithmetic 1:1.
+    df("ta_unigram_em1",
+      """WITH wf AS (SELECT w AS word, count(*) AS wc FROM (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |  FROM documents) x GROUP BY w),
+        |mx AS (SELECT max(len(word)) AS ml FROM wf),
+        |st AS (SELECT unnest(generate_series(1, (SELECT ml FROM mx))) AS s),
+        |ln2 AS (SELECT unnest(generate_series(1, 2)) AS l),
+        |sd AS (SELECT substring(word, s, l) AS piece,
+        |  CAST(sum(wc) AS BIGINT) AS cnt
+        |  FROM wf, st, ln2
+        |  WHERE s <= len(word) AND s + l - 1 <= len(word)
+        |  GROUP BY piece),
+        |topseed AS (SELECT piece, cnt FROM sd
+        |  QUALIFY row_number() OVER (ORDER BY cnt DESC, piece) <= 48),
+        |px AS (SELECT piece, cnt FROM topseed WHERE len(piece) > 1
+        |  UNION ALL SELECT piece, greatest(cnt, CAST(1 AS BIGINT)) FROM sd
+        |  WHERE len(piece) = 1),
+        |ct AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM px),
+        |cost AS (SELECT piece,
+        |  CAST(round(-ln(cnt / (SELECT total FROM ct)) * 1000000) AS BIGINT) AS c
+        |  FROM px),
+        |mk AS (SELECT word, wc,
+        |  unnest(generate_series(0, CAST(pow(2, len(word) - 1) AS BIGINT) - 1)) AS mask
+        |  FROM wf),
+        |bx AS (SELECT word, wc, mask,
+        |  list_concat(list_concat([CAST(0 AS BIGINT)],
+        |    list_filter(generate_series(1, len(word) - 1),
+        |      i -> ((mask >> (i - 1)) & 1) = 1)),
+        |    [CAST(len(word) AS BIGINT)]) AS bounds
+        |  FROM mk),
+        |sg AS (SELECT word, wc, mask,
+        |  list_transform(generate_series(1, len(bounds) - 1),
+        |    j -> substring(word, CAST(bounds[j] + 1 AS INT),
+        |      CAST(bounds[j+1] - bounds[j] AS INT))) AS pieces,
+        |  list_reverse(list_transform(generate_series(1, len(bounds) - 1),
+        |    j -> bounds[j+1] - bounds[j])) AS rl
+        |  FROM bx
+        |  WHERE len(list_filter(generate_series(1, len(bounds) - 1),
+        |    j -> bounds[j+1] - bounds[j] > 2)) = 0),
+        |pe AS (SELECT word, wc, mask, rl, pieces, unnest(pieces) AS piece FROM sg),
+        |sc AS (SELECT word, wc, mask, rl, pieces, sum(c) AS total,
+        |  count(*) FILTER (WHERE c IS NULL) AS missing
+        |  FROM pe LEFT JOIN cost USING (piece)
+        |  GROUP BY word, wc, mask, rl, pieces),
+        |ch AS (SELECT word, wc, pieces FROM sc WHERE missing = 0
+        |  QUALIFY row_number() OVER (PARTITION BY word
+        |    ORDER BY total ASC, rl DESC) = 1),
+        |use1 AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS cnt
+        |  FROM (SELECT wc, unnest(pieces) AS piece FROM ch) u GROUP BY piece),
+        |after1 AS (SELECT piece, cnt FROM use1
+        |  UNION ALL SELECT piece, CAST(1 AS BIGINT) FROM sd
+        |  WHERE len(piece) = 1 AND piece NOT IN (SELECT piece FROM use1)),
+        |nch AS (SELECT count(*) AS n FROM sd WHERE len(piece) = 1),
+        |nonch AS (SELECT piece, cnt FROM after1 WHERE len(piece) > 1
+        |  QUALIFY row_number() OVER (ORDER BY cnt DESC, piece)
+        |    <= greatest(32 - (SELECT n FROM nch), 0)),
+        |kept AS (SELECT piece, cnt FROM nonch
+        |  UNION ALL SELECT piece, cnt FROM after1 WHERE len(piece) = 1),
+        |kt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM kept)
+        |SELECT piece, cnt, round(ln(cnt / (SELECT total FROM kt)), 6) AS score
+        |FROM kept ORDER BY cnt DESC, piece""".stripMargin) { (s, _) =>
+      TextAnalysis.unigramVocab(s.table("documents"), vocabSize = 32,
+          maxPieceLen = 2, emIters = 1, seedSize = 48)
+        .orderBy(col("cnt").desc, col("piece"))
+    },
+
     // unigram tokenization of the corpus under the trained vocabulary
     // (train-then-apply, the ta_bpe_encode twin); rows-only — the token
     // digests depend on the driver-trained vocab; round-trip and
