@@ -402,6 +402,48 @@ object MultimodalQueries {
       Dedup.neardupClusters(pairs).orderBy("id")
     },
 
+    // cluster -> keeper, completing the image family's dedup pipeline
+    // end-to-end like the text family's (dd_cluster_keep_best): the
+    // representative is the LARGEST image per near-dup cluster by REAL
+    // decoded area (width x height from javax.imageio), min-id tiebreak;
+    // the oracle replays the closure and the formula dims
+    df("mm_image_keep_best",
+      s"""WITH RECURSIVE $duckDHashChain,
+        |p AS (SELECT a.media_id AS ia, b.media_id AS ib
+        |  FROM h a JOIN h b ON a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.hi, b.hi))
+        |      + bit_count(xor(a.lo, b.lo)) <= 3),
+        |edges AS (SELECT ia AS s, ib AS d FROM p
+        |  UNION SELECT ib, ia FROM p),
+        |reach(a, b) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.a, e.d FROM reach r JOIN edges e ON e.s = r.b),
+        |cl AS (SELECT a AS id, least(a, min(b)) AS cluster_id
+        |  FROM reach GROUP BY a),
+        |ar AS (SELECT media_id, CAST(w0 * h0 AS BIGINT) AS score FROM m),
+        |mem AS (SELECT cl.id, cl.cluster_id, ar.score
+        |  FROM cl JOIN ar ON ar.media_id = cl.id),
+        |bs AS (SELECT cluster_id, max(score) AS best_score,
+        |  CAST(count(*) AS BIGINT) AS cluster_size FROM mem GROUP BY cluster_id)
+        |SELECT m2.cluster_id, CAST(min(m2.id) AS BIGINT) AS keeper_id,
+        |  max(m2.score) AS best_score, max(b.cluster_size) AS cluster_size
+        |FROM mem m2 JOIN bs b USING (cluster_id)
+        |WHERE m2.score = b.best_score
+        |GROUP BY m2.cluster_id ORDER BY cluster_id""".stripMargin) { (s, _) =>
+      import graft.operators.Dedup
+      val items = Multimodal.pngFromDocuments(
+        s.table("documents").orderBy("doc_id").limit(150))
+      val pairs = Multimodal.imageNearDup(items, maxHamming = 3)
+        .select(col("id_a"), col("id_b"))
+      val meta = Multimodal.decodeImage(items).toDF()
+        .select(col("media_id"),
+          (col("width") * col("height")).cast("long").as("area"))
+      Dedup.clusterKeepBest(meta, Dedup.neardupClusters(pairs),
+          col("area"), idCol = "media_id")
+        .orderBy("cluster_id")
+    },
+
     df("mm_frame_sample",
       """WITH hx AS (SELECT doc_id AS media_id, concat(md5(text), md5(concat('2:', text))) AS h
         |  FROM documents WHERE doc_id % 3 = 2)
