@@ -249,21 +249,27 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false) // per-partition init, once
-      it.map { m =>
-        val gray = grayGrid(m, 9, 8)
-        var hash = 0L
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            if (gray(y)(x + 1) > gray(y)(x)) hash |= 1L << (y * 8 + x)
-            x += 1
-          }
-          y += 1
-        }
-        (m.media_id, hash)
-      }
+      it.map(m => (m.media_id, dHash64(m)))
     }.toDF("media_id", "dhash")
+  }
+
+  /** One item's 64-bit dHash — the per-row core of [[imageDHash]], exposed
+    * so streaming gates can hash while KEEPING the item's columns (a
+    * frame-level hash would force a stream-stream join back). Same
+    * decode/grid/bit contract as the frame form by construction. */
+  def dHash64(m: MediaItem): Long = {
+    val gray = grayGrid(m, 9, 8)
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (gray(y)(x + 1) > gray(y)(x)) hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
   }
 
   /** 64-bit AVERAGE HASH (aHash) per image — [[imageDHash]]'s sibling

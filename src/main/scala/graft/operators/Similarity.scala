@@ -325,6 +325,15 @@ object Similarity {
     * value) — 4 rows per item; the pair dedup rides an (id_a, id_b)-keyed
     * aggregation (uniform keys); verification is one bit_count(xor) per
     * candidate. */
+  /** Band `i` (0..3) of a 64-bit hash — the 16-bit slice the Hamming
+    * banding joins on. ONE definition shared by [[hamming64NearDup]] and
+    * the streaming gate (`CorpusStreams.imageDedupGate`), so batch pairs
+    * and live gate decisions can never use different band boundaries. */
+  def hamming64BandKey(hash: Column, band: Int): Column = {
+    require(band >= 0 && band < 4, s"band must be 0..3, got $band")
+    shiftrightunsigned(hash, 16 * band).bitwiseAND(lit(0xffffL))
+  }
+
   def hamming64NearDup(hashes: DataFrame, maxHamming: Int = 3,
                        idCol: String = "id",
                        hashCol: String = "hash"): DataFrame = {
@@ -333,8 +342,7 @@ object Similarity {
     val bands = hashes
       .select(col(idCol).as("__id"), col(hashCol).as("__h"),
         posexplode(array((0 until 4).map(i =>
-          shiftrightunsigned(col(hashCol), 16 * i)
-            .bitwiseAND(lit(0xffffL))): _*)))
+          hamming64BandKey(col(hashCol), i)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
     val a = bands.select(col("band"), col("bval"),
       col("__id").as("id_a"), col("__h").as("ha"))

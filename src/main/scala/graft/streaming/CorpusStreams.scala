@@ -1,7 +1,7 @@
 package graft.streaming
 
-import graft.operators.{CorpusFilters, Dedup}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{CorpusFilters, Dedup, MediaItem}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Structured-Streaming corpus curation: the training-data operators
@@ -153,6 +153,48 @@ object CorpusStreams {
     docs.withColumn("__h", h)
       .join(seen, col("__h") === col("__seen_hash"), "left_anti")
       .drop("__h")
+  }
+
+  /** Streaming IMAGE near-dup gate: a live media feed (a crawler's image
+    * drop, a re-crawl) is checked against the RELEASED corpus's dHash
+    * band keys, and an arriving image that shares ANY 16-bit band with a
+    * corpus image dies before persisting — the multimodal face of
+    * [[corpusDedupGate]], band keys instead of md5. By the 4-band
+    * pigeonhole every true near-duplicate (Hamming ≤ 3 — the batch
+    * `Multimodal.imageNearDup` threshold) shares a band, so the gate
+    * NEVER passes an image the batch dedup would have paired; like
+    * [[decontaminationGate]] it is deliberately one-sided — a rare
+    * farther image that happens to share a band also drops (LSH-gate
+    * semantics: the cost of a lost fresh image is a re-crawl, the cost
+    * of a persisted near-duplicate is a polluted corpus).
+    *
+    * Shape: the stream hashes inline (one decode per item, keeping the
+    * caller's item columns), then FOUR stream-static LEFT ANTI equi-joins
+    * — one per band, via the shared `Similarity.hamming64BandKey` so gate
+    * and batch banding can never drift. Stateless on the stream side; the
+    * static side re-resolves per micro-batch, so a corpus that grows
+    * between batches is picked up. At 100 TB the static side is the
+    * corpus hash projection — bucket it by band value so each micro-batch
+    * join prunes to matching buckets. */
+  def imageDedupGate(media: Dataset[MediaItem],
+                     corpusHashes: DataFrame,
+                     hashCol: String = "dhash"): DataFrame = {
+    import media.sparkSession.implicits._
+    val hashed = media.mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map(m => (m.media_id, m.media_type, m.content,
+          graft.operators.Multimodal.dHash64(m)))
+      }.toDF("media_id", "media_type", "content", "__dhash")
+    val gated = (0 until 4).foldLeft(hashed) { (df, b) =>
+      val keys = corpusHashes.select(
+        graft.operators.Similarity.hamming64BandKey(col(hashCol), b)
+          .as(s"__ck$b")).distinct()
+      df.withColumn(s"__b$b", graft.operators.Similarity
+          .hamming64BandKey(col("__dhash"), b))
+        .join(keys, col(s"__b$b") === col(s"__ck$b"), "left_anti")
+        .drop(s"__b$b")
+    }
+    gated.drop("__dhash")
   }
 
   /** Temperature-mix gate on the stream: per-stratum keep rates derived

@@ -56,6 +56,81 @@ class CorpusStreamsSpec extends SparkTestBase {
       "gate must preserve the caller's schema")
   }
 
+  /** A w×8 PNG whose row-y gray values are `grays(y)(x)` (r=g=b). */
+  private def png(grays: Array[Array[Int]]): Array[Byte] = {
+    val h = grays.length; val w = grays(0).length
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = grays(y)(x)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("streaming image dedup gate: an exact replay and a Hamming-1 " +
+    "near-dup die against the released corpus's dHash bands; a fresh " +
+    "image flows; caller schema survives") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.{MediaItem, Multimodal}
+    // 9x8 so the dHash NN grid samples pixels 1:1 — gradients are exact.
+    // A: rising rows (all 64 bits set); B: A with ONE comparison flipped
+    // (Hamming 1 -> shares 3 of 4 bands -> must drop); C: falling rows
+    // (all bits clear -> no band in common with A -> must flow)
+    val aG = Array.tabulate(8, 9)((_, x) => x * 10)
+    val bG = Array.tabulate(8, 9)((y, x) =>
+      if (y == 0 && x == 1) 0 else x * 10) // gray(0)(1) <= gray(0)(0)
+    val cG = Array.tabulate(8, 9)((_, x) => 80 - x * 10)
+    val corpus = Seq(MediaItem(1L, "image", png(aG))).toDS()
+    val corpusHashes = Multimodal.imageDHash(corpus)
+    // precondition: A/B truly Hamming 1, A/C share no band
+    val ha = corpusHashes.collect().head.getAs[Long]("dhash")
+    val hb = Multimodal.dHash64(MediaItem(0L, "image", png(bG)))
+    val hc = Multimodal.dHash64(MediaItem(0L, "image", png(cG)))
+    assert(java.lang.Long.bitCount(ha ^ hb) == 1, s"$ha vs $hb")
+    assert((0 until 4).forall(b =>
+      ((ha >>> (16 * b)) & 0xffffL) != ((hc >>> (16 * b)) & 0xffffL)))
+
+    val in = MemoryStream[MediaItem]
+    val q = CorpusStreams.imageDedupGate(in.toDS(), corpusHashes)
+      .writeStream.format("memory").queryName("imggate")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    in.addData(
+      MediaItem(100L, "image", png(aG)),  // exact replay -> drop
+      MediaItem(101L, "image", png(bG)),  // near-dup (Hamming 1) -> drop
+      MediaItem(102L, "image", png(cG)))  // fresh -> flows
+    val run = q.start(); run.awaitTermination(60000)
+    val out = spark.table("imggate")
+    assert(out.columns.toSeq == Seq("media_id", "media_type", "content"),
+      "gate must preserve the item schema")
+    val kept = out.select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(102L), s"got $kept")
+  }
+
+  test("image dedup gate completeness: every image the batch near-dup " +
+    "pairing would match against the corpus is dropped by the gate") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.{MediaItem, Multimodal}
+    Tables.register(spark, sfDir)
+    val docs = spark.table("documents").orderBy("doc_id").limit(10)
+    val corpus = Multimodal.pngFromDocuments(docs)
+    val corpusHashes = Multimodal.imageDHash(corpus)
+    // the same ten images re-crawled under new ids: all exact near-dups
+    val replayed = corpus.collect().map(m =>
+      MediaItem(m.media_id + 100, m.media_type, m.content))
+    val in = MemoryStream[MediaItem]
+    val q = CorpusStreams.imageDedupGate(in.toDS(), corpusHashes)
+      .writeStream.format("memory").queryName("imggate2")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    in.addData(replayed.toIndexedSeq)
+    val run = q.start(); run.awaitTermination(60000)
+    assert(spark.table("imggate2").count() == 0L)
+  }
+
   test("windowed corpus stats: per-(window, lang) docs and token mass") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
