@@ -234,6 +234,31 @@ object WebFilters {
         col("canonical_url").isNotNull)
   }
 
+  /** Anchor hrefs (double-quoted) — group 1 is the raw link target. */
+  val HrefPat: String = "(?is)<a\\b[^>]*?href\\s*=\\s*\"([^\"]*)\""
+
+  /** Outlink extraction — the step that closes the crawl LOOP (extract →
+    * links → filter → dedup → next frontier): every double-quoted anchor
+    * href, resolved to an absolute URL. Absolute links pass through;
+    * root-relative links (`/path`) resolve against the page's canonical
+    * scheme://host; anything else (fragments, `javascript:`, path-relative
+    * — ambiguous without full RFC 3986 resolution) yields NULL and is
+    * dropped. One explode per page, map-only otherwise. Output
+    * (doc_id, url). */
+  def htmlLinks(docs: DataFrame, htmlCol: String = "html",
+                baseCol: String = "base_url"): DataFrame = {
+    val href = col("__href")
+    val resolved = when(href.rlike(SchemePat), href)
+      .when(href.startsWith("/"),
+        concat(schemeOf(col(baseCol)), lit("://"), urlHost(col(baseCol)), href))
+      .otherwise(lit(null).cast("string"))
+    docs.select(col("doc_id"), col(baseCol),
+        explode(regexp_extract_all(col(htmlCol), lit(HrefPat), lit(1)))
+          .as("__href"))
+      .select(col("doc_id"), resolved.as("url"))
+      .where(col("url").isNotNull)
+  }
+
   /** Canonical-URL dedup: keep-first (min id) per canonical URL — the
     * uniform-hash-key contract ([[Dedup.exactGroups]]'s shape, the key
     * being [[urlCanonical]] instead of md5(text)). Unparseable URLs

@@ -233,6 +233,63 @@ object WebQueries {
         .orderBy("doc_id")
     },
 
+    // outlink extraction: anchor hrefs resolved absolute (root-relative
+    // against the page's canonical scheme://host), canonicalized
+    df("ta_html_links",
+      s"""WITH $duckHtmlFixture,
+         |lk AS (SELECT doc_id,
+         |  unnest(regexp_extract_all(html,
+         |    '(?is)<a\\b[^>]*?href\\s*=\\s*"([^"]*)"', 1)) AS href
+         |  FROM fx),
+         |ux AS (SELECT doc_id, CASE
+         |    WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN href
+         |    WHEN href LIKE '/%' THEN 'https://docs.example.org' || href
+         |    ELSE NULL END AS url
+         |  FROM lk),
+         |$duckUrlCanonical
+         |SELECT doc_id, url, canonical_url FROM cx
+         |WHERE url IS NOT NULL ORDER BY doc_id, url""".stripMargin) { (s, _) =>
+      val fx = WebFilters.htmlFixture(s.table("documents"))
+        .withColumn("base_url",
+          concat(lit("https://docs.example.org/d/"), col("doc_id").cast("string")))
+      WebFilters.htmlLinks(fx)
+        .withColumn("canonical_url", WebFilters.urlCanonical(col("url")))
+        .orderBy("doc_id", "url")
+    },
+
+    // the crawl loop closed: extracted outlinks -> URL filter -> canonical
+    // dedup = the NEXT frontier, with how many link occurrences collapsed
+    // into each entry
+    df("ta_crawl_frontier",
+      s"""WITH $duckHtmlFixture,
+         |lk AS (SELECT doc_id,
+         |  unnest(regexp_extract_all(html,
+         |    '(?is)<a\\b[^>]*?href\\s*=\\s*"([^"]*)"', 1)) AS href
+         |  FROM fx),
+         |ux AS (SELECT doc_id, CASE
+         |    WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN href
+         |    WHEN href LIKE '/%' THEN 'https://docs.example.org' || href
+         |    ELSE NULL END AS url
+         |  FROM lk),
+         |$duckUrlCanonical
+         |SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keeper,
+         |  CAST(count(*) AS BIGINT) AS group_size
+         |FROM cx
+         |WHERE url IS NOT NULL AND canonical_url IS NOT NULL
+         |  AND scheme IN ('http', 'https')
+         |  AND NOT (host IN ('ads.example.com', 'tracker.example.net', 'doubleclick.net', 'adservice.example.org')
+         |    OR host LIKE '%.ads.example.com' OR host LIKE '%.tracker.example.net'
+         |    OR host LIKE '%.doubleclick.net' OR host LIKE '%.adservice.example.org')
+         |  AND NOT regexp_matches(lower(path), '\\.(jpe?g|png|gif|webp|bmp|ico|svg|css|js|mjs|woff2?|ttf|mp[34]|avi|mov|mkv|zip|tar|gz|tgz|rar|7z|exe|dmg|iso|pdf)$$')
+         |GROUP BY canonical_url ORDER BY canonical_url""".stripMargin) { (s, _) =>
+      val fx = WebFilters.htmlFixture(s.table("documents"))
+        .withColumn("base_url",
+          concat(lit("https://docs.example.org/d/"), col("doc_id").cast("string")))
+      WebFilters.urlDedup(
+          WebFilters.urlFilter(WebFilters.htmlLinks(fx)).where(col("keep")))
+        .orderBy("canonical_url")
+    },
+
     // URL-level filtering (crawl-frontier gate): scheme / domain blocklist
     // / extension rules + the canonical form
     df("ta_url_filter",

@@ -197,6 +197,28 @@ object CorpusStreams {
     gated.drop("__dhash")
   }
 
+  /** Streaming canonical-URL dedup gate: a live crawl frontier is checked
+    * against the already-crawled corpus's CANONICAL urls, so scheme/port/
+    * case/tracking-param/fragment variants of an already-fetched page are
+    * never fetched again — [[corpusDedupGate]] with
+    * `WebFilters.urlCanonical` as the key instead of md5(text). Stateless
+    * stream-static LEFT ANTI equi-join; the static side re-resolves per
+    * micro-batch. Unparseable URLs (NULL canonical) flow — killing them
+    * is `WebFilters.urlFilter`'s job, and a NULL key would never
+    * equi-join anyway. */
+  def urlDedupGate(pages: DataFrame, corpus: DataFrame,
+                   urlCol: String = "url",
+                   corpusUrlCol: String = "url"): DataFrame = {
+    val seen = corpus
+      .select(graft.operators.WebFilters.urlCanonical(col(corpusUrlCol))
+        .as("__seen_url"))
+      .where(col("__seen_url").isNotNull).distinct()
+    pages
+      .withColumn("__cu", graft.operators.WebFilters.urlCanonical(col(urlCol)))
+      .join(seen, col("__cu") === col("__seen_url"), "left_anti")
+      .drop("__cu")
+  }
+
   /** Temperature-mix gate on the stream: per-stratum keep rates derived
     * ONCE from a settled reference corpus (`Sampling.temperatureRates` —
     * share ∝ n^alpha) and baked into the plan as a literal CASE chain, so

@@ -131,6 +131,25 @@ class CorpusStreamsSpec extends SparkTestBase {
     assert(spark.table("imggate2").count() == 0L)
   }
 
+  test("streaming url dedup gate: canonical variants of crawled pages are " +
+    "not re-fetched; fresh and unparseable urls flow") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq("http://example.com/a?utm_source=x").toDF("url")
+    val in = MemoryStream[(Long, String)]
+    val q = CorpusStreams.urlDedupGate(in.toDF().toDF("doc_id", "url"), corpus)
+      .writeStream.format("memory").queryName("urlgate")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    in.addData(
+      (1L, "HTTP://WWW.Example.COM:80/a#frag"), // canonical dup -> drop
+      (2L, "http://example.com/b"),             // fresh -> flows
+      (3L, "not a url"))                        // unparseable -> flows
+    val run = q.start(); run.awaitTermination(60000)
+    val kept = spark.table("urlgate").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), s"got $kept")
+  }
+
   test("windowed corpus stats: per-(window, lang) docs and token mass") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -73,6 +73,22 @@ class WebFiltersSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("htmlLinks: absolute hrefs pass, root-relative resolve against the " +
+    "page's canonical host, everything else drops") {
+    val html = """<a href="https://other.org/x">abs</a>
+                 |<a class="nav" href="/rel/path">rootrel</a>
+                 |<a href="sub/page">pathrel</a>
+                 |<a href="#frag">frag</a>
+                 |<a href="javascript:void(0)">js</a>""".stripMargin
+    val got = WebFilters.htmlLinks(
+        Seq((1L, html, "HTTP://WWW.Base.ORG:80/deep/page")).toDF(
+          "doc_id", "html", "base_url"))
+      .orderBy("url").select("url").as[String].collect().toSeq
+    // javascript: has no ://, path-relative has no leading / — both
+    // resolve to NULL and drop
+    assert(got == Seq("http://base.org/rel/path", "https://other.org/x"), got)
+  }
+
   test("urlCanonical: case, ports, www, fragments, tracking params, " +
     "param order, trailing slashes, unparseable input") {
     val cases = Seq(
