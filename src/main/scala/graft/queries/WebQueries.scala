@@ -233,6 +233,36 @@ object WebQueries {
         .orderBy("doc_id")
     },
 
+    // extract -> corpus-level line dedup: the constant blocks every page
+    // shares (in-content boilerplate the link-density rule can't see —
+    // same prose on every page) die via lineDedup's distinct-doc rule
+    df("ta_web_line_dedup",
+      s"""WITH $duckHtmlFixture,
+         |$duckHtmlExtract,
+         |doc2 AS (SELECT doc_id, body AS text FROM ag),
+         |raw AS (SELECT doc_id,
+         |  list_transform(regexp_split_to_array(text, '\\n'), l -> trim(l)) AS ls
+         |  FROM doc2),
+         |lx2 AS (SELECT doc_id, unnest(ls) AS line,
+         |  generate_subscripts(ls, 1) AS pos FROM raw),
+         |nz AS (SELECT doc_id, pos, line, md5(line) AS h FROM lx2
+         |  WHERE len(line) > 0),
+         |fq AS (SELECT h, count(DISTINCT doc_id) AS dcnt FROM nz GROUP BY h),
+         |fl AS (SELECT nz.doc_id, nz.pos, nz.line, fq.dcnt >= 2 AS removed
+         |  FROM nz JOIN fq USING (h))
+         |SELECT doc_id, count(*) AS n_lines,
+         |  CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS removed_lines,
+         |  CAST(sum(CASE WHEN NOT removed THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines,
+         |  md5(coalesce(string_agg(CASE WHEN NOT removed THEN line END,
+         |    chr(10) ORDER BY pos), '')) AS kept_digest
+         |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, _) =>
+      CorpusFilters.lineDedup(
+          WebFilters.htmlFixture(s.table("documents"))
+            .select(col("doc_id"),
+              WebFilters.htmlMainContent(col("html")).as("text")))
+        .orderBy("doc_id")
+    },
+
     // outlink extraction: anchor hrefs resolved absolute (root-relative
     // against the page's canonical scheme://host), canonicalized
     df("ta_html_links",
