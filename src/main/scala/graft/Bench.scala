@@ -214,6 +214,10 @@ object Bench {
     // from regression (pre-retry windows stay visible in ingest_windows).
     val httpSteadyFloor = sys.env.get("SPARK_GRAFT_BENCH_HTTP_FLOOR")
       .map(_.toDouble).getOrElse(0.6 * 266000.0)
+    // ingest_logs_rows_per_sec is BY LINEAGE the post-sweep window C —
+    // snapshot it before a retry can append a fourth sample (a failed or
+    // weather-dented retry must never lower a published number)
+    val windowCDurable = steadySamples.lastOption.map(_._2).getOrElse(0.0)
     if (!skipIngest &&
         steadySamples.map(_._2).foldLeft(0.0)(math.max) < httpSteadyFloor) {
       spark.catalog.clearCache(); System.gc(); Thread.sleep(3000)
@@ -241,7 +245,7 @@ object Bench {
     val (accepted, steadyDurable) = aggr(steadySamples.toSeq)
     val (grpcAccepted, grpcDurable) = aggr(grpcSamples.toSeq)
     val (otapAccepted, otapDurable) = aggr(otapSamples.toSeq)
-    val durable = steadySamples.lastOption.map(_._2).getOrElse(0.0)
+    val durable = windowCDurable
     // catalog samples kept as an array like the other wires (ADVICE r14:
     // the retry must not hide the pre-retry number — every window value,
     // original and retried, is published; the metric is the max)
@@ -272,7 +276,11 @@ object Bench {
       flagHigh("grpc", grpcDurable, 1.5)
       flagHigh("otap", otapDurable, 2.0)
       flagHigh("catalog", catalogDurable, 1.0)
-      if (httpBest > 2.0 * 316000.0) weatherFlaggedHigh += "http"
+      // overridable alongside the floor so re-tuning the documented band
+      // on a different host moves BOTH checks, not just one
+      val httpSteadyCeil = sys.env.get("SPARK_GRAFT_BENCH_HTTP_CEIL")
+        .map(_.toDouble).getOrElse(2.0 * 316000.0)
+      if (httpBest > httpSteadyCeil) weatherFlaggedHigh += "http"
     }
 
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -218,8 +218,10 @@ object WebFilters {
     val scheme = schemeOf(regexp_replace(u, "#.*", ""))
     val host = urlHost(u)
     val schemeOk = scheme === "http" || scheme === "https"
-    val blockedDomain = blockedHosts.map(b =>
-      (host === b || host.endsWith("." + b)): Column).reduce(_ || _)
+    // foldLeft, not reduce: an EMPTY blocklist (the natural way to disable
+    // the domain rule) must mean blocked_domain = false, not a crash
+    val blockedDomain = blockedHosts.foldLeft(lit(false): Column)((acc, b) =>
+      acc || host === b || host.endsWith("." + b))
     val noFrag = regexp_replace(u, "#.*", "")
     val path = regexp_extract(
       regexp_replace(noFrag, SchemeHostPat, ""), "^([^?]*)", 1)
@@ -234,21 +236,27 @@ object WebFilters {
         col("canonical_url").isNotNull)
   }
 
-  /** Anchor hrefs (double-quoted) — group 1 is the raw link target. */
-  val HrefPat: String = "(?is)<a\\b[^>]*?href\\s*=\\s*\"([^\"]*)\""
+  /** Anchor hrefs (double-quoted) — group 1 is the raw link target. The
+    * `href` attribute name must follow a delimiter (whitespace or a quote
+    * closing the previous attribute value), so `data-href`/`xlink:href`
+    * can neither match nor shadow the real href. */
+  val HrefPat: String = "(?is)<a\\b[^>]*[\\s\"']href\\s*=\\s*\"([^\"]*)\""
 
   /** Outlink extraction — the step that closes the crawl LOOP (extract →
     * links → filter → dedup → next frontier): every double-quoted anchor
     * href, resolved to an absolute URL. Absolute links pass through;
-    * root-relative links (`/path`) resolve against the page's canonical
-    * scheme://host; anything else (fragments, `javascript:`, path-relative
-    * — ambiguous without full RFC 3986 resolution) yields NULL and is
-    * dropped. One explode per page, map-only otherwise. Output
-    * (doc_id, url). */
+    * protocol-relative links (`//host/path`) take the base page's scheme
+    * (RFC 3986 §4.2); root-relative links (`/path`) resolve against the
+    * page's canonical scheme://host; anything else (fragments,
+    * `javascript:`, path-relative — ambiguous without full RFC 3986
+    * resolution) yields NULL and is dropped. One explode per page,
+    * map-only otherwise. Output (doc_id, url). */
   def htmlLinks(docs: DataFrame, htmlCol: String = "html",
                 baseCol: String = "base_url"): DataFrame = {
     val href = col("__href")
     val resolved = when(href.rlike(SchemePat), href)
+      .when(href.startsWith("//"),
+        concat(schemeOf(col(baseCol)), lit(":"), href))
       .when(href.startsWith("/"),
         concat(schemeOf(col(baseCol)), lit("://"), urlHost(col(baseCol)), href))
       .otherwise(lit(null).cast("string"))

@@ -3213,10 +3213,15 @@ object TrainingData {
     // largest, which is precisely Viterbi's prefer-longer-final-piece
     // backpointer choice. Usage counts, char floor, prune, and scores
     // then replay the trainer's M-step arithmetic 1:1.
+    // word length capped at 12 on BOTH sides (Spark trains on the corpus
+    // rebuilt from its <= 12-char tokens; the oracle filters the word
+    // frame identically): the oracle enumerates 2^(len-1) masks per
+    // distinct word, so one long token in a regenerated fixture must
+    // bound the job at 2^11 masks, never 2^39
     df("ta_unigram_em1",
       """WITH wf AS (SELECT w AS word, count(*) AS wc FROM (
         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-        |  FROM documents) x GROUP BY w),
+        |  FROM documents) x WHERE len(w) <= 12 GROUP BY w),
         |mx AS (SELECT max(len(word)) AS ml FROM wf),
         |st AS (SELECT unnest(generate_series(1, (SELECT ml FROM mx))) AS s),
         |ln2 AS (SELECT unnest(generate_series(1, 2)) AS l),
@@ -3274,7 +3279,12 @@ object TrainingData {
         |kt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM kept)
         |SELECT piece, cnt, round(ln(cnt / (SELECT total FROM kt)), 6) AS score
         |FROM kept ORDER BY cnt DESC, piece""".stripMargin) { (s, _) =>
-      TextAnalysis.unigramVocab(s.table("documents"), vocabSize = 32,
+      // rebuild the corpus from its <= 12-char tokens: tokenizing the
+      // rebuilt text yields exactly the oracle's len-capped word frame
+      val capped = s.table("documents").select(concat_ws(" ",
+        filter(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"),
+          w => length(w) <= 12)).as("text"))
+      TextAnalysis.unigramVocab(capped, vocabSize = 32,
           maxPieceLen = 2, emIters = 1, seedSize = 48)
         .orderBy(col("cnt").desc, col("piece"))
     },

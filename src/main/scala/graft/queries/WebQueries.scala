@@ -269,10 +269,11 @@ object WebQueries {
       s"""WITH $duckHtmlFixture,
          |lk AS (SELECT doc_id,
          |  unnest(regexp_extract_all(html,
-         |    '(?is)<a\\b[^>]*?href\\s*=\\s*"([^"]*)"', 1)) AS href
+         |    '(?is)<a\\b[^>]*[\\s"'']href\\s*=\\s*"([^"]*)"', 1)) AS href
          |  FROM fx),
          |ux AS (SELECT doc_id, CASE
          |    WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN href
+         |    WHEN href LIKE '//%' THEN 'https:' || href
          |    WHEN href LIKE '/%' THEN 'https://docs.example.org' || href
          |    ELSE NULL END AS url
          |  FROM lk),
@@ -294,10 +295,11 @@ object WebQueries {
       s"""WITH $duckHtmlFixture,
          |lk AS (SELECT doc_id,
          |  unnest(regexp_extract_all(html,
-         |    '(?is)<a\\b[^>]*?href\\s*=\\s*"([^"]*)"', 1)) AS href
+         |    '(?is)<a\\b[^>]*[\\s"'']href\\s*=\\s*"([^"]*)"', 1)) AS href
          |  FROM fx),
          |ux AS (SELECT doc_id, CASE
          |    WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN href
+         |    WHEN href LIKE '//%' THEN 'https:' || href
          |    WHEN href LIKE '/%' THEN 'https://docs.example.org' || href
          |    ELSE NULL END AS url
          |  FROM lk),

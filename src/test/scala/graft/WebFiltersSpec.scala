@@ -77,6 +77,8 @@ class WebFiltersSpec extends SparkTestBase {
     "page's canonical host, everything else drops") {
     val html = """<a href="https://other.org/x">abs</a>
                  |<a class="nav" href="/rel/path">rootrel</a>
+                 |<a href="//mirror.org/m">protorel</a>
+                 |<a data-href="/beacon" href="/real">shadow</a>
                  |<a href="sub/page">pathrel</a>
                  |<a href="#frag">frag</a>
                  |<a href="javascript:void(0)">js</a>""".stripMargin
@@ -85,8 +87,10 @@ class WebFiltersSpec extends SparkTestBase {
           "doc_id", "html", "base_url"))
       .orderBy("url").select("url").as[String].collect().toSeq
     // javascript: has no ://, path-relative has no leading / — both
-    // resolve to NULL and drop
-    assert(got == Seq("http://base.org/rel/path", "https://other.org/x"), got)
+    // resolve to NULL and drop; //host takes the base scheme; data-href
+    // must not shadow the real href
+    assert(got == Seq("http://base.org/real", "http://base.org/rel/path",
+      "http://mirror.org/m", "https://other.org/x"), got)
   }
 
   test("urlCanonical: case, ports, www, fragments, tracking params, " +
@@ -131,5 +135,9 @@ class WebFiltersSpec extends SparkTestBase {
     assert(d.contains(("http://example.com/a", 1L, 2L)), d)
     // unparseable URL contributes no group
     assert(d.map(_._3).sum == 6L, d)
+    // an EMPTY blocklist disables the domain rule instead of crashing
+    val none = WebFilters.urlFilter(pages, blockedHosts = Seq.empty)
+      .where(col("blocked_domain")).count()
+    assert(none == 0L)
   }
 }
