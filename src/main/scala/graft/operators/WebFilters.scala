@@ -267,6 +267,101 @@ object WebFilters {
       .where(col("url").isNotNull)
   }
 
+  /** Parse WARC-style archive text (the Common Crawl container format —
+    * ISO 28500 simplified to its text skeleton, which is what a SQL
+    * oracle can replay byte-for-byte): records begin at a `WARC/1.0`
+    * version line; headers run to the first blank line; the payload is
+    * the rest of the record, trailing whitespace trimmed (the record
+    * separator's own blank lines are framing, not payload). Emits one
+    * row per record: (file key, rec_idx ordinal, WARC-Type,
+    * WARC-Target-URI, WARC-Date, declared Content-Length, actual payload
+    * length + md5). Missing headers are '' / NULL, never errors — an
+    * archive sweep reports malformed records, it doesn't die on them.
+    *
+    * Shape at 100 TB: one explode per file into record rows, map-only
+    * regex after that; files are the parallelism unit exactly as in a
+    * real crawl bucket layout. */
+  def warcParse(files: DataFrame, fileCol: String = "file_id",
+                bodyCol: String = "body"): DataFrame = {
+    val recs = files.select(col(fileCol),
+        posexplode(split(col(bodyCol), "(?m)^WARC/1\\.0\\r?\\n"))
+          .as(Seq("rec_idx", "rec")))
+      // slot 0 is whatever precedes the first version line — empty in a
+      // well-formed archive, junk otherwise; either way it is not a
+      // record. Empty later slots (doubled markers) are not records either.
+      .where(col("rec_idx") > 0 && col("rec") =!= "")
+    val hdrs = regexp_extract(col("rec"), "(?s)^(.*?)\\r?\\n\\r?\\n", 1)
+    val payload = regexp_replace(
+      regexp_replace(col("rec"), "(?s)^.*?\\r?\\n\\r?\\n", ""), "\\s+$", "")
+    def header(name: String) =
+      regexp_extract(hdrs, s"(?im)^$name:\\s*(\\S+)", 1)
+    val lenRaw = header("Content-Length")
+    recs.select(col(fileCol), col("rec_idx").cast("long").as("rec_idx"),
+      header("WARC-Type").as("warc_type"),
+      header("WARC-Target-URI").as("target_uri"),
+      header("WARC-Date").as("warc_date"),
+      when(lenRaw === "", lit(null).cast("long"))
+        .otherwise(lenRaw.cast("long")).as("content_length"),
+      length(payload).cast("long").as("payload_len"),
+      md5(payload).as("payload_digest"))
+  }
+
+  /** Parse robots.txt bodies into per-host Disallow rules for the
+    * wildcard agent — SIMPLIFIED robots semantics, engine-replayable by
+    * design: a `Disallow:` line belongs to the NEAREST preceding
+    * `User-agent:` line (the common single-agent-per-group layout; RFC
+    * 9309's multi-agent groups and `Allow:` precedence are out of scope
+    * and documented as such), comments (`# …`) strip per line, empty
+    * Disallow values (= allow all) emit no rule. Returns (host, prefix).
+    *
+    * Shape: one explode to line rows, a per-host running count window to
+    * attach each rule line to its agent group (robots files are tiny —
+    * the window partitions by host), one equi-join. */
+  def robotsRules(robots: DataFrame, hostCol: String = "host",
+                  bodyCol: String = "body"): DataFrame = {
+    val lines = robots.select(col(hostCol).as("host"),
+        posexplode(transform(split(col(bodyCol), "\n"), l =>
+          trim(regexp_replace(l, "#.*", "")))).as(Seq("pos", "line")))
+      .withColumn("low", lower(col("line")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val grouped = lines.withColumn("grp",
+      sum(when(col("low").startsWith("user-agent:"), 1L).otherwise(0L)).over(win))
+    val agents = grouped.where(col("low").startsWith("user-agent:"))
+      .select(col("host"), col("grp"),
+        trim(expr("substring(line, 12)")).as("agent"))
+    grouped.where(col("low").startsWith("disallow:"))
+      .select(col("host"), col("grp"),
+        trim(expr("substring(line, 10)")).as("prefix"))
+      .where(col("prefix") =!= "")
+      .join(agents, Seq("host", "grp"))
+      .where(col("agent") === "*")
+      .select("host", "prefix")
+  }
+
+  /** Apply robots Disallow rules to a URL frame: each URL gains its
+    * canonical (host, path) plus `robots_blocked` = some rule of its host
+    * prefix-matches its canonical path. Prefix match is an exact
+    * substring compare (no LIKE, so rule bytes can't act as wildcards).
+    * Hosts with no rules are unblocked — robots absence means allow. */
+  def robotsFilter(urls: DataFrame, rules: DataFrame,
+                   urlCol: String = "url"): DataFrame = {
+    val u = col(urlCol)
+    val noFrag = regexp_replace(u, "#.*", "")
+    val path0 = regexp_extract(
+      regexp_replace(noFrag, SchemeHostPat, ""), "^([^?]*)", 1)
+    val stripped = regexp_replace(path0, "/+$", "")
+    val canonPath = when(stripped === "", lit("/")).otherwise(stripped)
+    val keyed = urls.withColumn("host", urlHost(u))
+      .withColumn("path", canonPath)
+    keyed.join(rules, Seq("host"), "left")
+      .withColumn("__hit", col("prefix").isNotNull &&
+        expr("substring(path, 1, length(prefix))") === col("prefix"))
+      .groupBy(keyed.columns.map(col).toIndexedSeq: _*)
+      .agg(coalesce(expr("bool_or(__hit)"), lit(false)).as("robots_blocked"))
+  }
+
   /** Canonical-URL dedup: keep-first (min id) per canonical URL — the
     * uniform-hash-key contract ([[Dedup.exactGroups]]'s shape, the key
     * being [[urlCanonical]] instead of md5(text)). Unparseable URLs

@@ -347,6 +347,101 @@ object WebQueries {
         .orderBy("doc_id")
     },
 
+    // WARC-style archive parsing (the Common Crawl container — the web
+    // pipeline's byte-level entry point): 15 multi-record files built
+    // from the documents table, parsed back to per-record rows
+    df("ta_warc_parse",
+      """WITH rc AS (SELECT doc_id, doc_id // 10 AS file_id,
+        |  'WARC/1.0' || chr(10) || 'WARC-Type: response' || chr(10) ||
+        |  'WARC-Target-URI: https://docs.example.org/d/' || doc_id || chr(10) ||
+        |  'WARC-Date: 2026-01-01T00:00:00Z' || chr(10) ||
+        |  'Content-Length: ' || len(text) || chr(10) || chr(10) ||
+        |  text || chr(10) || chr(10) AS rec
+        |  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 150) d),
+        |fl AS (SELECT file_id, string_agg(rec, '' ORDER BY doc_id) AS body
+        |  FROM rc GROUP BY file_id),
+        |rx AS (SELECT file_id, unnest(rs) AS rec,
+        |  generate_subscripts(rs, 1) - 1 AS rec_idx
+        |  FROM (SELECT file_id,
+        |    regexp_split_to_array(body, '(?m)^WARC/1\.0\r?\n') AS rs FROM fl) z),
+        |rv AS (SELECT file_id, rec_idx, rec,
+        |  coalesce(regexp_extract(rec, '(?s)^(.*?)\r?\n\r?\n', 1), '') AS hdrs,
+        |  regexp_replace(regexp_replace(rec, '(?s)^.*?\r?\n\r?\n', ''),
+        |    '\s+$', '') AS payload
+        |  FROM rx WHERE rec_idx > 0 AND rec <> '')
+        |SELECT file_id, CAST(rec_idx AS BIGINT) AS rec_idx,
+        |  coalesce(regexp_extract(hdrs, '(?im)^WARC-Type:\s*(\S+)', 1), '') AS warc_type,
+        |  coalesce(regexp_extract(hdrs, '(?im)^WARC-Target-URI:\s*(\S+)', 1), '') AS target_uri,
+        |  coalesce(regexp_extract(hdrs, '(?im)^WARC-Date:\s*(\S+)', 1), '') AS warc_date,
+        |  CAST(nullif(coalesce(regexp_extract(hdrs, '(?im)^Content-Length:\s*([0-9]+)', 1), ''), '') AS BIGINT) AS content_length,
+        |  CAST(len(payload) AS BIGINT) AS payload_len,
+        |  md5(payload) AS payload_digest
+        |FROM rv ORDER BY file_id, rec_idx""".stripMargin) { (s, _) =>
+      val recs = s.table("documents").orderBy("doc_id").limit(150)
+        .select(col("doc_id"),
+          floor(col("doc_id") / 10).cast("long").as("file_id"),
+          concat(
+            lit("WARC/1.0\nWARC-Type: response\nWARC-Target-URI: " +
+              "https://docs.example.org/d/"), col("doc_id").cast("string"),
+            lit("\nWARC-Date: 2026-01-01T00:00:00Z\nContent-Length: "),
+            length(col("text")).cast("string"),
+            lit("\n\n"), col("text"), lit("\n\n")).as("rec"))
+      val files = recs.groupBy("file_id").agg(
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+          x => x.getField("rec"))).as("body"))
+      WebFilters.warcParse(files).orderBy("file_id", "rec_idx")
+    },
+
+    // robots.txt rules applied to the crawl frontier: Disallow prefixes
+    // of the wildcard agent group, nearest-preceding-agent semantics
+    df("ta_robots_filter",
+      s"""WITH $duckUrlFixture,
+         |$duckUrlCanonical,
+         |rb AS (SELECT * FROM (VALUES
+         |  ('example.com', '# demo' || chr(10) || 'User-agent: googlebot'
+         |    || chr(10) || 'Disallow: /g/' || chr(10) || '' || chr(10)
+         |    || 'User-agent: *' || chr(10) || 'Disallow: /a/0'
+         |    || chr(10) || 'Disallow: /private/'),
+         |  ('ads.example.com', 'User-agent: *' || chr(10) || 'Disallow: /'),
+         |  ('static.example.org', 'User-agent: *' || chr(10) || 'Disallow:')
+         |  ) AS t(host, body)),
+         |lx3 AS (SELECT host, unnest(ls) AS l0, generate_subscripts(ls, 1) AS pos
+         |  FROM (SELECT host, string_split(body, chr(10)) AS ls FROM rb) z),
+         |gl AS (SELECT host, pos,
+         |  trim(regexp_replace(l0, '#.*', '')) AS line,
+         |  lower(trim(regexp_replace(l0, '#.*', ''))) AS low,
+         |  sum(CASE WHEN lower(trim(regexp_replace(l0, '#.*', '')))
+         |      LIKE 'user-agent:%' THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY host ORDER BY pos) AS grp
+         |  FROM lx3),
+         |ua AS (SELECT host, grp, trim(substring(line, 12)) AS agent
+         |  FROM gl WHERE low LIKE 'user-agent:%'),
+         |ru AS (SELECT g.host, trim(substring(g.line, 10)) AS prefix
+         |  FROM gl g JOIN ua ON ua.host = g.host AND ua.grp = g.grp
+         |  WHERE g.low LIKE 'disallow:%'
+         |    AND trim(substring(g.line, 10)) <> '' AND ua.agent = '*')
+         |SELECT c.doc_id, c.url, c.host, c.path,
+         |  coalesce(bool_or(r.prefix IS NOT NULL
+         |    AND substring(c.path, 1, len(r.prefix)) = r.prefix), false)
+         |    AS robots_blocked
+         |FROM cx c LEFT JOIN ru r ON r.host = c.host
+         |GROUP BY c.doc_id, c.url, c.host, c.path
+         |ORDER BY doc_id""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val robots = Seq(
+        ("example.com", "# demo\nUser-agent: googlebot\nDisallow: /g/\n\n" +
+          "User-agent: *\nDisallow: /a/0\nDisallow: /private/"),
+        ("ads.example.com", "User-agent: *\nDisallow: /"),
+        ("static.example.org", "User-agent: *\nDisallow:"))
+        .toDF("host", "body")
+      WebFilters.robotsFilter(urlFixture(s.table("documents")),
+          WebFilters.robotsRules(robots))
+        .select(col("doc_id"), col("url"), col("host"), col("path"),
+          col("robots_blocked"))
+        .orderBy("doc_id")
+    },
+
     // canonical-URL dedup: keep-first per canonical form — scheme/port/
     // case/tracking-param/fragment variants of the same page collapse
     df("dd_url_dedup",

@@ -112,6 +112,50 @@ class WebFiltersSpec extends SparkTestBase {
     assert(got == cases.map(_._2), got)
   }
 
+  test("warcParse: preamble skipped, missing headers degrade to ''/NULL, " +
+    "payload trimmed of framing whitespace, ordinals per file") {
+    val body = "junk preamble\n" +
+      "WARC/1.0\nWARC-Type: response\nWARC-Target-URI: http://a/1\n" +
+      "Content-Length: 5\n\nhello\n\n" +
+      "WARC/1.0\nWARC-Type: request\n\npayload two\n\n"
+    val got = WebFilters.warcParse(Seq((7L, body)).toDF("file_id", "body"))
+      .orderBy("rec_idx").collect()
+    assert(got.length == 2)
+    val r1 = got(0); val r2 = got(1)
+    assert(r1.getAs[Long]("rec_idx") == 1L &&
+      r1.getAs[String]("warc_type") == "response" &&
+      r1.getAs[String]("target_uri") == "http://a/1" &&
+      r1.getAs[Long]("content_length") == 5L &&
+      r1.getAs[Long]("payload_len") == 5L &&
+      r1.getAs[String]("payload_digest") ==
+        org.apache.commons.codec.digest.DigestUtils.md5Hex("hello"), r1)
+    assert(r2.getAs[String]("target_uri") == "" &&
+      r2.isNullAt(r2.fieldIndex("content_length")) &&
+      r2.getAs[Long]("payload_len") == "payload two".length.toLong, r2)
+  }
+
+  test("robotsRules: nearest-preceding agent group, comments stripped, " +
+    "empty Disallow emits no rule; robotsFilter prefix-matches " +
+    "canonical paths") {
+    val robots = Seq(
+      ("a.org", "User-agent: googlebot\nDisallow: /g/\n\n" +
+        "User-agent: *\nDisallow: /x/ # comment\nDisallow:"),
+      ("b.org", "User-agent: *\nDisallow: /")).toDF("host", "body")
+    val rules = WebFilters.robotsRules(robots).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rules == Set(("a.org", "/x/"), ("b.org", "/")), rules)
+    val urls = Seq(
+      (1L, "http://a.org/x/page"),   // blocked by /x/
+      (2L, "http://a.org/g/page"),   // googlebot group, not *
+      (3L, "http://a.org/y"),        // no matching prefix
+      (4L, "http://b.org/anything"), // blocked by /
+      (5L, "http://c.org/x/page")    // no robots at all
+    ).toDF("doc_id", "url")
+    val got = WebFilters.robotsFilter(urls, WebFilters.robotsRules(robots))
+      .orderBy("doc_id").select("robots_blocked").as[Boolean].collect().toSeq
+    assert(got == Seq(true, false, false, true, false), got)
+  }
+
   test("urlFilter verdicts + urlDedup keep-first groups") {
     val pages = Seq(
       (1L, "http://www.example.com/a?utm_source=x"),
