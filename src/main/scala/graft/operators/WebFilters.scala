@@ -187,6 +187,21 @@ object WebFilters {
     regexp_replace(noPort, "^www\\.", "")
   }
 
+  /** Raw path of a URL: fragment, scheme://host, and query stripped —
+    * ONE definition shared by the canonical form, the extension filter,
+    * and robots matching so "path" can never mean three things. */
+  private def rawPath(u: Column): Column =
+    regexp_extract(
+      regexp_replace(regexp_replace(u, "#.*", ""), SchemeHostPat, ""),
+      "^([^?]*)", 1)
+
+  /** Canonical path: [[rawPath]] with trailing slashes stripped, empty →
+    * `/`. */
+  private def canonPath(u: Column): Column = {
+    val stripped = regexp_replace(rawPath(u), "/+$", "")
+    when(stripped === "", lit("/")).otherwise(stripped)
+  }
+
   /** Canonical URL (the dedup key contract): lowercase scheme + canonical
     * host; fragment dropped; tracking params (utm_*, gclid, fbclid)
     * dropped; remaining query params SORTED; empty path → `/`, trailing
@@ -196,9 +211,7 @@ object WebFilters {
     val noFrag = regexp_replace(url, "#.*", "")
     val scheme = schemeOf(noFrag)
     val rest = regexp_replace(noFrag, SchemeHostPat, "")
-    val path0 = regexp_extract(rest, "^([^?]*)", 1)
-    val stripped = regexp_replace(path0, "/+$", "")
-    val path = when(stripped === "", lit("/")).otherwise(stripped)
+    val path = canonPath(url)
     val qs = regexp_extract(rest, "\\?(.*)", 1)
     val params = array_sort(filter(split(qs, "&"), p =>
       p =!= "" && !p.rlike("^(?i)(utm_[a-z0-9]+|gclid|fbclid)=")))
@@ -222,10 +235,7 @@ object WebFilters {
     // the domain rule) must mean blocked_domain = false, not a crash
     val blockedDomain = blockedHosts.foldLeft(lit(false): Column)((acc, b) =>
       acc || host === b || host.endsWith("." + b))
-    val noFrag = regexp_replace(u, "#.*", "")
-    val path = regexp_extract(
-      regexp_replace(noFrag, SchemeHostPat, ""), "^([^?]*)", 1)
-    val blockedExt = lower(path).rlike(BlockedExtPat)
+    val blockedExt = lower(rawPath(u)).rlike(BlockedExtPat)
     pages
       .withColumn("canonical_url", urlCanonical(u))
       .withColumn("host", host)
@@ -239,8 +249,9 @@ object WebFilters {
   /** Anchor hrefs (double-quoted) — group 1 is the raw link target. The
     * `href` attribute name must follow a delimiter (whitespace or a quote
     * closing the previous attribute value), so `data-href`/`xlink:href`
-    * can neither match nor shadow the real href. */
-  val HrefPat: String = "(?is)<a\\b[^>]*[\\s\"']href\\s*=\\s*\"([^\"]*)\""
+    * can neither match nor shadow the real href; the LAZY [^>]*? keeps
+    * the FIRST href of a duplicate-attribute tag (browser behavior). */
+  val HrefPat: String = "(?is)<a\\b[^>]*?[\\s\"']href\\s*=\\s*\"([^\"]*)\""
 
   /** Outlink extraction — the step that closes the crawl LOOP (extract →
     * links → filter → dedup → next frontier): every double-quoted anchor
@@ -290,12 +301,22 @@ object WebFilters {
       // well-formed archive, junk otherwise; either way it is not a
       // record. Empty later slots (doubled markers) are not records either.
       .where(col("rec_idx") > 0 && col("rec") =!= "")
-    val hdrs = regexp_extract(col("rec"), "(?s)^(.*?)\\r?\\n\\r?\\n", 1)
-    val payload = regexp_replace(
-      regexp_replace(col("rec"), "(?s)^.*?\\r?\\n\\r?\\n", ""), "\\s+$", "")
+    // a record with NO blank-line separator is all headers and no
+    // payload — without this branch the header bytes would be digested
+    // as payload while every header simultaneously reported missing
+    val hasSep = col("rec").rlike("\\r?\\n\\r?\\n")
+    val hdrs = when(hasSep,
+      regexp_extract(col("rec"), "(?s)^(.*?)\\r?\\n\\r?\\n", 1))
+      .otherwise(col("rec"))
+    val payload = when(hasSep, regexp_replace(
+      regexp_replace(col("rec"), "(?s)^.*?\\r?\\n\\r?\\n", ""), "\\s+$", ""))
+      .otherwise(lit(""))
     def header(name: String) =
       regexp_extract(hdrs, s"(?im)^$name:\\s*(\\S+)", 1)
-    val lenRaw = header("Content-Length")
+    // digits-only capture: a malformed "Content-Length: N/A" degrades to
+    // NULL per the never-errors contract instead of an ANSI cast error,
+    // and matches the oracle's ([0-9]+) byte for byte
+    val lenRaw = regexp_extract(hdrs, "(?im)^Content-Length:\\s*([0-9]+)", 1)
     recs.select(col(fileCol), col("rec_idx").cast("long").as("rec_idx"),
       header("WARC-Type").as("warc_type"),
       header("WARC-Target-URI").as("target_uri"),
@@ -319,21 +340,26 @@ object WebFilters {
     * the window partitions by host), one equi-join. */
   def robotsRules(robots: DataFrame, hostCol: String = "host",
                   bodyCol: String = "body"): DataFrame = {
+    // split on \r?\n and regex-trim ALL whitespace: a CRLF or
+    // tab-indented robots.txt must parse identically to a LF one —
+    // trim() alone strips only spaces, leaving "*\r" agents that match
+    // nothing and silently allow every disallowed path
     val lines = robots.select(col(hostCol).as("host"),
-        posexplode(transform(split(col(bodyCol), "\n"), l =>
-          trim(regexp_replace(l, "#.*", "")))).as(Seq("pos", "line")))
+        posexplode(transform(split(col(bodyCol), "\\r?\\n"), l =>
+          regexp_replace(regexp_replace(l, "#.*", ""), "^\\s+|\\s+$", "")))
+          .as(Seq("pos", "line")))
       .withColumn("low", lower(col("line")))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("host").orderBy("pos")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val grouped = lines.withColumn("grp",
       sum(when(col("low").startsWith("user-agent:"), 1L).otherwise(0L)).over(win))
+    def value(from: Int) = regexp_replace(
+      expr(s"substring(line, $from)"), "^\\s+|\\s+$", "")
     val agents = grouped.where(col("low").startsWith("user-agent:"))
-      .select(col("host"), col("grp"),
-        trim(expr("substring(line, 12)")).as("agent"))
+      .select(col("host"), col("grp"), value(12).as("agent"))
     grouped.where(col("low").startsWith("disallow:"))
-      .select(col("host"), col("grp"),
-        trim(expr("substring(line, 10)")).as("prefix"))
+      .select(col("host"), col("grp"), value(10).as("prefix"))
       .where(col("prefix") =!= "")
       .join(agents, Seq("host", "grp"))
       .where(col("agent") === "*")
@@ -342,24 +368,31 @@ object WebFilters {
 
   /** Apply robots Disallow rules to a URL frame: each URL gains its
     * canonical (host, path) plus `robots_blocked` = some rule of its host
-    * prefix-matches its canonical path. Prefix match is an exact
-    * substring compare (no LIKE, so rule bytes can't act as wildcards).
-    * Hosts with no rules are unblocked — robots absence means allow. */
+    * prefix-matches its canonical path. The match runs against
+    * path + '/' so a DIRECTORY rule (`Disallow: /private/`) blocks the
+    * directory URL itself even though canonicalization strips its
+    * trailing slash (appending '/' can never un-match a prefix that
+    * already matched). Exact substring compare — no LIKE, so rule bytes
+    * can't act as wildcards. Hosts with no rules are unblocked — robots
+    * absence means allow.
+    *
+    * Shape: rules collapse to one (host, prefixes[]) row per host —
+    * robots rule sets are tiny — and BROADCAST onto the URL frame; the
+    * verdict is a map-only exists() over the array, so the operator is
+    * ROW-PRESERVING (duplicate input rows stay duplicate) and the big
+    * side never shuffles. */
   def robotsFilter(urls: DataFrame, rules: DataFrame,
                    urlCol: String = "url"): DataFrame = {
     val u = col(urlCol)
-    val noFrag = regexp_replace(u, "#.*", "")
-    val path0 = regexp_extract(
-      regexp_replace(noFrag, SchemeHostPat, ""), "^([^?]*)", 1)
-    val stripped = regexp_replace(path0, "/+$", "")
-    val canonPath = when(stripped === "", lit("/")).otherwise(stripped)
     val keyed = urls.withColumn("host", urlHost(u))
-      .withColumn("path", canonPath)
-    keyed.join(rules, Seq("host"), "left")
-      .withColumn("__hit", col("prefix").isNotNull &&
-        expr("substring(path, 1, length(prefix))") === col("prefix"))
-      .groupBy(keyed.columns.map(col).toIndexedSeq: _*)
-      .agg(coalesce(expr("bool_or(__hit)"), lit(false)).as("robots_blocked"))
+      .withColumn("path", canonPath(u))
+    val ruleSets = rules.groupBy("host")
+      .agg(collect_list(col("prefix")).as("__prefixes"))
+    keyed.join(broadcast(ruleSets), Seq("host"), "left")
+      .withColumn("robots_blocked",
+        coalesce(exists(col("__prefixes"), p =>
+          concat(col("path"), lit("/")).startsWith(p)), lit(false)))
+      .drop("__prefixes")
   }
 
   /** Canonical-URL dedup: keep-first (min id) per canonical URL — the

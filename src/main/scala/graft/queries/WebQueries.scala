@@ -119,6 +119,23 @@ object WebQueries {
       |  END AS canonical_url
       |  FROM qx)""".stripMargin
 
+
+  /** Shared DuckDB CTE chain: href extraction (lazy, delimiter-anchored —
+    * first href of a duplicate-attribute tag, data-href can't shadow) +
+    * absolute/protocol-relative/root-relative resolution over fx. Ends at
+    * ux(doc_id, url). */
+  private val duckHtmlLinks =
+    """lk AS (SELECT doc_id,
+      |  unnest(regexp_extract_all(html,
+      |    '(?is)<a\b[^>]*?[\s"'']href\s*=\s*"([^"]*)"', 1)) AS href
+      |  FROM fx),
+      |ux AS (SELECT doc_id, CASE
+      |    WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN href
+      |    WHEN href LIKE '//%' THEN 'https:' || href
+      |    WHEN href LIKE '/%' THEN 'https://docs.example.org' || href
+      |    ELSE NULL END AS url
+      |  FROM lk)""".stripMargin
+
   /** The Spark-side URL fixture — one URL shape per doc_id mod 6. */
   private def urlFixture(docs: org.apache.spark.sql.DataFrame) = {
     val grp = floor(col("doc_id") / 12).cast("long").cast("string")
@@ -267,16 +284,7 @@ object WebQueries {
     // against the page's canonical scheme://host), canonicalized
     df("ta_html_links",
       s"""WITH $duckHtmlFixture,
-         |lk AS (SELECT doc_id,
-         |  unnest(regexp_extract_all(html,
-         |    '(?is)<a\\b[^>]*[\\s"'']href\\s*=\\s*"([^"]*)"', 1)) AS href
-         |  FROM fx),
-         |ux AS (SELECT doc_id, CASE
-         |    WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN href
-         |    WHEN href LIKE '//%' THEN 'https:' || href
-         |    WHEN href LIKE '/%' THEN 'https://docs.example.org' || href
-         |    ELSE NULL END AS url
-         |  FROM lk),
+         |$duckHtmlLinks,
          |$duckUrlCanonical
          |SELECT doc_id, url, canonical_url FROM cx
          |WHERE url IS NOT NULL ORDER BY doc_id, url""".stripMargin) { (s, _) =>
@@ -293,16 +301,7 @@ object WebQueries {
     // into each entry
     df("ta_crawl_frontier",
       s"""WITH $duckHtmlFixture,
-         |lk AS (SELECT doc_id,
-         |  unnest(regexp_extract_all(html,
-         |    '(?is)<a\\b[^>]*[\\s"'']href\\s*=\\s*"([^"]*)"', 1)) AS href
-         |  FROM fx),
-         |ux AS (SELECT doc_id, CASE
-         |    WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN href
-         |    WHEN href LIKE '//%' THEN 'https:' || href
-         |    WHEN href LIKE '/%' THEN 'https://docs.example.org' || href
-         |    ELSE NULL END AS url
-         |  FROM lk),
+         |$duckHtmlLinks,
          |$duckUrlCanonical
          |SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keeper,
          |  CAST(count(*) AS BIGINT) AS group_size
@@ -365,9 +364,13 @@ object WebQueries {
         |  FROM (SELECT file_id,
         |    regexp_split_to_array(body, '(?m)^WARC/1\.0\r?\n') AS rs FROM fl) z),
         |rv AS (SELECT file_id, rec_idx, rec,
-        |  coalesce(regexp_extract(rec, '(?s)^(.*?)\r?\n\r?\n', 1), '') AS hdrs,
-        |  regexp_replace(regexp_replace(rec, '(?s)^.*?\r?\n\r?\n', ''),
-        |    '\s+$', '') AS payload
+        |  CASE WHEN regexp_matches(rec, '\r?\n\r?\n')
+        |    THEN coalesce(regexp_extract(rec, '(?s)^(.*?)\r?\n\r?\n', 1), '')
+        |    ELSE rec END AS hdrs,
+        |  CASE WHEN regexp_matches(rec, '\r?\n\r?\n')
+        |    THEN regexp_replace(regexp_replace(rec, '(?s)^.*?\r?\n\r?\n', ''),
+        |      '\s+$', '')
+        |    ELSE '' END AS payload
         |  FROM rx WHERE rec_idx > 0 AND rec <> '')
         |SELECT file_id, CAST(rec_idx AS BIGINT) AS rec_idx,
         |  coalesce(regexp_extract(hdrs, '(?im)^WARC-Type:\s*(\S+)', 1), '') AS warc_type,
@@ -407,23 +410,25 @@ object WebQueries {
          |  ('static.example.org', 'User-agent: *' || chr(10) || 'Disallow:')
          |  ) AS t(host, body)),
          |lx3 AS (SELECT host, unnest(ls) AS l0, generate_subscripts(ls, 1) AS pos
-         |  FROM (SELECT host, string_split(body, chr(10)) AS ls FROM rb) z),
-         |gl AS (SELECT host, pos,
-         |  trim(regexp_replace(l0, '#.*', '')) AS line,
-         |  lower(trim(regexp_replace(l0, '#.*', ''))) AS low,
-         |  sum(CASE WHEN lower(trim(regexp_replace(l0, '#.*', '')))
-         |      LIKE 'user-agent:%' THEN 1 ELSE 0 END)
+         |  FROM (SELECT host, regexp_split_to_array(body, '\\r?\\n') AS ls FROM rb) z),
+         |gl AS (SELECT host, pos, line, lower(line) AS low,
+         |  sum(CASE WHEN lower(line) LIKE 'user-agent:%' THEN 1 ELSE 0 END)
          |    OVER (PARTITION BY host ORDER BY pos) AS grp
-         |  FROM lx3),
-         |ua AS (SELECT host, grp, trim(substring(line, 12)) AS agent
+         |  FROM (SELECT host, pos, regexp_replace(
+         |    regexp_replace(l0, '#.*', ''), '^\\s+|\\s+$$', '', 'g') AS line
+         |    FROM lx3) t),
+         |ua AS (SELECT host, grp, regexp_replace(substring(line, 12),
+         |    '^\\s+|\\s+$$', '', 'g') AS agent
          |  FROM gl WHERE low LIKE 'user-agent:%'),
-         |ru AS (SELECT g.host, trim(substring(g.line, 10)) AS prefix
+         |ru AS (SELECT g.host, regexp_replace(substring(g.line, 10),
+         |    '^\\s+|\\s+$$', '', 'g') AS prefix
          |  FROM gl g JOIN ua ON ua.host = g.host AND ua.grp = g.grp
          |  WHERE g.low LIKE 'disallow:%'
-         |    AND trim(substring(g.line, 10)) <> '' AND ua.agent = '*')
+         |    AND regexp_replace(substring(g.line, 10), '^\\s+|\\s+$$', '', 'g') <> ''
+         |    AND ua.agent = '*')
          |SELECT c.doc_id, c.url, c.host, c.path,
          |  coalesce(bool_or(r.prefix IS NOT NULL
-         |    AND substring(c.path, 1, len(r.prefix)) = r.prefix), false)
+         |    AND substring(c.path || '/', 1, len(r.prefix)) = r.prefix), false)
          |    AS robots_blocked
          |FROM cx c LEFT JOIN ru r ON r.host = c.host
          |GROUP BY c.doc_id, c.url, c.host, c.path

@@ -79,6 +79,7 @@ class WebFiltersSpec extends SparkTestBase {
                  |<a class="nav" href="/rel/path">rootrel</a>
                  |<a href="//mirror.org/m">protorel</a>
                  |<a data-href="/beacon" href="/real">shadow</a>
+                 |<a href="/first" href="/dup-second">dup</a>
                  |<a href="sub/page">pathrel</a>
                  |<a href="#frag">frag</a>
                  |<a href="javascript:void(0)">js</a>""".stripMargin
@@ -88,9 +89,11 @@ class WebFiltersSpec extends SparkTestBase {
       .orderBy("url").select("url").as[String].collect().toSeq
     // javascript: has no ://, path-relative has no leading / — both
     // resolve to NULL and drop; //host takes the base scheme; data-href
-    // must not shadow the real href
-    assert(got == Seq("http://base.org/real", "http://base.org/rel/path",
-      "http://mirror.org/m", "https://other.org/x"), got)
+    // must not shadow the real href; a duplicate href attribute keeps
+    // the FIRST value (browser behavior)
+    assert(got == Seq("http://base.org/first", "http://base.org/real",
+      "http://base.org/rel/path", "http://mirror.org/m",
+      "https://other.org/x"), got)
   }
 
   test("urlCanonical: case, ports, www, fragments, tracking params, " +
@@ -117,11 +120,18 @@ class WebFiltersSpec extends SparkTestBase {
     val body = "junk preamble\n" +
       "WARC/1.0\nWARC-Type: response\nWARC-Target-URI: http://a/1\n" +
       "Content-Length: 5\n\nhello\n\n" +
-      "WARC/1.0\nWARC-Type: request\n\npayload two\n\n"
+      "WARC/1.0\nWARC-Type: request\n\npayload two\n\n" +
+      // truncated record: headers but NO blank-line separator — all
+      // headers must still parse and the payload must be EMPTY (the
+      // header bytes are not payload); malformed Content-Length -> NULL
+      "WARC/1.0\nWARC-Type: metadata\nContent-Length: N/A\n"
     val got = WebFilters.warcParse(Seq((7L, body)).toDF("file_id", "body"))
       .orderBy("rec_idx").collect()
-    assert(got.length == 2)
-    val r1 = got(0); val r2 = got(1)
+    assert(got.length == 3)
+    val r1 = got(0); val r2 = got(1); val r3 = got(2)
+    assert(r3.getAs[String]("warc_type") == "metadata" &&
+      r3.isNullAt(r3.fieldIndex("content_length")) &&
+      r3.getAs[Long]("payload_len") == 0L, r3)
     assert(r1.getAs[Long]("rec_idx") == 1L &&
       r1.getAs[String]("warc_type") == "response" &&
       r1.getAs[String]("target_uri") == "http://a/1" &&
@@ -135,11 +145,13 @@ class WebFiltersSpec extends SparkTestBase {
   }
 
   test("robotsRules: nearest-preceding agent group, comments stripped, " +
-    "empty Disallow emits no rule; robotsFilter prefix-matches " +
-    "canonical paths") {
+    "empty Disallow emits no rule, CRLF bodies parse; robotsFilter " +
+    "blocks the directory URL a directory rule names and preserves " +
+    "duplicate rows") {
     val robots = Seq(
-      ("a.org", "User-agent: googlebot\nDisallow: /g/\n\n" +
-        "User-agent: *\nDisallow: /x/ # comment\nDisallow:"),
+      // CRLF line endings throughout — must parse like LF
+      ("a.org", "User-agent: googlebot\r\nDisallow: /g/\r\n\r\n" +
+        "User-agent: *\r\nDisallow: /x/ # comment\r\nDisallow:"),
       ("b.org", "User-agent: *\nDisallow: /")).toDF("host", "body")
     val rules = WebFilters.robotsRules(robots).collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
@@ -149,11 +161,15 @@ class WebFiltersSpec extends SparkTestBase {
       (2L, "http://a.org/g/page"),   // googlebot group, not *
       (3L, "http://a.org/y"),        // no matching prefix
       (4L, "http://b.org/anything"), // blocked by /
-      (5L, "http://c.org/x/page")    // no robots at all
+      (5L, "http://c.org/x/page"),   // no robots at all
+      (6L, "http://a.org/x/"),       // the DIRECTORY URL itself: canonical
+                                     // path /x but the /x/ rule must block
+      (7L, "http://a.org/xylophone"),// /x/ must NOT block /xy...
+      (7L, "http://a.org/xylophone") // duplicate row must survive
     ).toDF("doc_id", "url")
     val got = WebFilters.robotsFilter(urls, WebFilters.robotsRules(robots))
       .orderBy("doc_id").select("robots_blocked").as[Boolean].collect().toSeq
-    assert(got == Seq(true, false, false, true, false), got)
+    assert(got == Seq(true, false, false, true, false, true, false, false), got)
   }
 
   test("urlFilter verdicts + urlDedup keep-first groups") {
