@@ -235,6 +235,25 @@ object ScaleProbe {
             expr("array()").cast("array<bigint>")
               .as("negative_bucket_counts"))
             .transform(df => operators.Metrics.aggregateExpHistograms(df))
+        case "htmlextract" =>
+          // the registry query rides a LIMIT-150 fixture (oracle needs a
+          // deterministic subset); this probe measures the operator over
+          // the WHOLE corpus so the map-only claim has a number (k = words
+          // per fixture line)
+          val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          operators.WebFilters.htmlExtract(
+            operators.WebFilters.htmlFixture(d, limit = 0,
+              lineWords = if (k > 0) k else 12))
+        case "weblinks" =>
+          // full-corpus outlink extraction + canonicalization (k unused)
+          val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          import org.apache.spark.sql.functions._
+          operators.WebFilters.htmlLinks(
+              operators.WebFilters.htmlFixture(d, limit = 0)
+                .withColumn("base_url", concat(lit("https://docs.example.org/d/"),
+                  col("doc_id").cast("string"))))
+            .withColumn("canonical_url",
+              operators.WebFilters.urlCanonical(col("url")))
         case "unigram" =>
           // whole trainer timed (seed pass + k EM rounds, all distributed;
           // the internal jobs run eagerly so the noop write adds nothing)

@@ -257,8 +257,10 @@ object Multimodal {
     * so streaming gates can hash while KEEPING the item's columns (a
     * frame-level hash would force a stream-stream join back). Same
     * decode/grid/bit contract as the frame form by construction. */
-  def dHash64(m: MediaItem): Long = {
-    val gray = grayGrid(m, 9, 8)
+  def dHash64(m: MediaItem): Long = dHashOf(decodeOf(m))
+
+  private def dHashOf(img: java.awt.image.BufferedImage): Long = {
+    val gray = grayGridOf(img, 9, 8)
     var hash = 0L
     var y = 0
     while (y < 8) {
@@ -270,6 +272,24 @@ object Multimodal {
       y += 1
     }
     hash
+  }
+
+  /** Single-decode image profile: (media_id, dhash, area) in ONE decode
+    * pass — the cluster → keep-best composition needs both the hash (for
+    * pairing) and the real decoded area (for representative selection);
+    * composing [[imageDHash]] with [[decodeImage]] would decode every
+    * image twice. Hash and dims are bit-identical to the separate
+    * operators by construction (shared decode + grid + bit walk). */
+  def imageProfile(media: Dataset[MediaItem]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img = decodeOf(m)
+        (m.media_id, dHashOf(img),
+          img.getWidth.toLong * img.getHeight)
+      }
+    }.toDF("media_id", "dhash", "area")
   }
 
   /** 64-bit AVERAGE HASH (aHash) per image — [[imageDHash]]'s sibling
@@ -312,10 +332,18 @@ object Multimodal {
     * (src pixel (x·w0/gw, y·h0/gh), integer floor — [[resizeImage]]'s
     * rule) and the integer gray = r+g+b so dHash and aHash can never
     * drift. Indexed gray(y)(x). */
-  private def grayGrid(m: MediaItem, gw: Int, gh: Int): Array[Array[Int]] = {
+  private def decodeOf(m: MediaItem): java.awt.image.BufferedImage = {
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(m.content))
     require(img != null, s"media_id=${m.media_id}: undecodable image bytes")
+    img
+  }
+
+  private def grayGrid(m: MediaItem, gw: Int, gh: Int): Array[Array[Int]] =
+    grayGridOf(decodeOf(m), gw, gh)
+
+  private def grayGridOf(img: java.awt.image.BufferedImage, gw: Int,
+                         gh: Int): Array[Array[Int]] = {
     val (w0, h0) = (img.getWidth, img.getHeight)
     val gray = Array.ofDim[Int](gh, gw)
     var y = 0

@@ -127,7 +127,10 @@ object WebFilters {
     * link-heavy footer the link-density rule must kill. */
   def htmlFixture(docs: DataFrame, limit: Int = 150, lineWords: Int = 12,
                   textCol: String = "text"): DataFrame = {
-    val base = docs.orderBy("doc_id").limit(limit)
+    // limit <= 0 = whole corpus WITHOUT the orderBy+limit subset (which
+    // would plan a global TakeOrdered) — the scale-probe path
+    val subset = if (limit > 0) docs.orderBy("doc_id").limit(limit) else docs
+    val base = subset
       .select(col("doc_id"), Dedup.tokens(col(textCol)).as("ws"))
       .where(size(col("ws")) > 0)
     val nl = ceil(size(col("ws")).cast("double") / lineWords).cast("int")

@@ -431,16 +431,17 @@ object MultimodalQueries {
         |FROM mem m2 JOIN bs b USING (cluster_id)
         |WHERE m2.score = b.best_score
         |GROUP BY m2.cluster_id ORDER BY cluster_id""".stripMargin) { (s, _) =>
-      import graft.operators.Dedup
-      val items = Multimodal.pngFromDocuments(
-        s.table("documents").orderBy("doc_id").limit(150))
-      val pairs = Multimodal.imageNearDup(items, maxHamming = 3)
+      import graft.operators.{Dedup, Similarity}
+      // ONE decode pass feeds both the pairing hash and the area score
+      // (checkpointed — two consumer branches would re-decode otherwise)
+      val profile = Multimodal.imageProfile(Multimodal.pngFromDocuments(
+          s.table("documents").orderBy("doc_id").limit(150)))
+        .localCheckpoint()
+      val pairs = Similarity.hamming64NearDup(profile, maxHamming = 3,
+          idCol = "media_id", hashCol = "dhash")
         .select(col("id_a"), col("id_b"))
-      val meta = Multimodal.decodeImage(items).toDF()
-        .select(col("media_id"),
-          (col("width") * col("height")).cast("long").as("area"))
-      Dedup.clusterKeepBest(meta, Dedup.neardupClusters(pairs),
-          col("area"), idCol = "media_id")
+      Dedup.clusterKeepBest(profile.select(col("media_id"), col("area")),
+          Dedup.neardupClusters(pairs), col("area"), idCol = "media_id")
         .orderBy("cluster_id")
     },
 
