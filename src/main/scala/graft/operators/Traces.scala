@@ -368,58 +368,23 @@ object Traces {
     * callees proportionally to n_calls; services on no RESOLVED edge
     * (never a parent or child of a cross-checked span) do not
     * participate; dangling services (in-edges only) absorb rank without
-    * redistributing it — the simplified PR variant, divergence from the
-    * redistribute-to-all rule documented here.
-    *
-    * Deterministic cross-engine: each round's per-node inflow folds in
-    * SORTED caller order (collected bounded list) and rounds to 6
-    * decimals before the next round, so engine sum order can never
-    * drift a rank.
-    *
-    * Shape at 100 TB: everything after serviceGraph's two exchanges is
-    * arithmetic on the SERVICE-PAIR-bounded edge frame (a count() for N
-    * runs at construction — the frame is services-sized by
-    * construction). */
+    * redistributing it. Math, determinism contract (sorted-fold inflow,
+    * round(6) per round, BigDecimal teleport), and the 100 TB shape all
+    * live in the ONE shared [[Graphs.pageRank]] (also under the web
+    * host-authority ranking) — everything after serviceGraph's two
+    * exchanges is arithmetic on the SERVICE-PAIR-bounded edge frame. */
   def serviceCentrality(spans: DataFrame, iters: Int = 2,
                         damping: Double = 0.85,
                         idCol: String = "span_id",
                         parentCol: String = "parent_span_id",
                         traceCol: String = "trace_id",
-                        serviceCol: String = "service_name"): DataFrame = {
-    require(iters >= 1 && damping > 0 && damping < 1,
-      s"bad centrality config ($iters, $damping)")
-    val edges = serviceGraph(spans, idCol, parentCol, traceCol, serviceCol)
-      .select(col("caller_service").as("src"),
-        col("callee_service").as("dst"), col("n_calls"))
-      .localCheckpoint()
-    val nodes = edges.select(col("src").as("service"))
-      .union(edges.select(col("dst"))).distinct().localCheckpoint()
-    val n = nodes.count().toDouble
-    val outw = edges.groupBy("src")
-      .agg(sum(col("n_calls")).cast("double").as("ow"))
-    var pr = nodes.withColumn("rank", lit(1.0 / n))
-    // decimal-exact (1 − damping), NOT the JVM double subtraction:
-    // 1 − 0.85 = 0.15000000000000002 in binary doubles while a SQL
-    // oracle's 0.15 literal is the nearest-to-0.15 double — a 1-ulp
-    // pre-round divergence that can flip a round(6) at the boundary
-    // (the r13 cross-engine-ulp class)
-    val teleport = (BigDecimal(1) - BigDecimal(damping)).toDouble / n
-    for (_ <- 1 to iters) {
-      val contrib = edges.join(outw, "src")
-        .join(pr.select(col("service").as("src"), col("rank")), "src")
-        .select(col("dst"), col("src"),
-          (col("rank") * col("n_calls") / col("ow")).as("c"))
-      val inflow = contrib.groupBy("dst")
-        .agg(expr(
-          "aggregate(array_sort(collect_list(struct(src, c))), 0D, (acc, x) -> acc + x.c)")
-          .as("infl"))
-      pr = nodes.join(inflow, col("service") === col("dst"), "left")
-        .select(col("service"),
-          round(lit(teleport) +
-            lit(damping) * coalesce(col("infl"), lit(0.0)), 6).as("rank"))
-    }
-    pr
-  }
+                        serviceCol: String = "service_name"): DataFrame =
+    Graphs.pageRank(
+        serviceGraph(spans, idCol, parentCol, traceCol, serviceCol),
+        iters, damping,
+        srcCol = "caller_service", dstCol = "callee_service",
+        weightCol = "n_calls")
+      .withColumnRenamed("node", "service")
 
   /** QUEUE DELAY per service edge: the child span's start minus its
     * parent's start — how long a request waited between being issued by

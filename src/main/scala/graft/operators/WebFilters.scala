@@ -266,20 +266,23 @@ object WebFilters {
     * resolution) yields NULL and is dropped. One explode per page,
     * map-only otherwise. Output (doc_id, url). */
   def htmlLinks(docs: DataFrame, htmlCol: String = "html",
-                baseCol: String = "base_url"): DataFrame = {
-    val href = col("__href")
-    val resolved = when(href.rlike(SchemePat), href)
-      .when(href.startsWith("//"),
-        concat(schemeOf(col(baseCol)), lit(":"), href))
-      .when(href.startsWith("/"),
-        concat(schemeOf(col(baseCol)), lit("://"), urlHost(col(baseCol)), href))
-      .otherwise(lit(null).cast("string"))
+                baseCol: String = "base_url"): DataFrame =
     docs.select(col("doc_id"), col(baseCol),
         explode(regexp_extract_all(col(htmlCol), lit(HrefPat), lit(1)))
           .as("__href"))
-      .select(col("doc_id"), resolved.as("url"))
+      .select(col("doc_id"), resolveHref(col("__href"), col(baseCol)).as("url"))
       .where(col("url").isNotNull)
-  }
+
+  /** Href → absolute URL (the [[htmlLinks]] contract, shared with
+    * [[htmlAnchors]]): absolute passes, protocol-relative takes the base
+    * scheme, root-relative resolves against the base's canonical
+    * scheme://host, anything else → NULL. */
+  private def resolveHref(href: Column, base: Column): Column =
+    when(href.rlike(SchemePat), href)
+      .when(href.startsWith("//"), concat(schemeOf(base), lit(":"), href))
+      .when(href.startsWith("/"),
+        concat(schemeOf(base), lit("://"), urlHost(base), href))
+      .otherwise(lit(null).cast("string"))
 
   /** Parse WARC-style archive text (the Common Crawl container format —
     * ISO 28500 simplified to its text skeleton, which is what a SQL
@@ -411,4 +414,176 @@ object WebFilters {
       .where(col("canonical_url").isNotNull)
       .groupBy("canonical_url")
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("group_size"))
+
+  // ----------------------------------------------------------- web graph
+
+  /** A complete anchor ELEMENT with an href (the [[HrefPat]] attribute
+    * contract inside it): group 0 is the whole `<a …>…</a>` span — lazy
+    * body, so the element ends at its own first `</a>`. */
+  val AnchorElemPat: String =
+    "(?is)<a\\b[^>]*?[\\s\"']href\\s*=\\s*\"[^\"]*\"[^>]*>.*?</a>"
+
+  /** Outlinks WITH their anchor text — the web graph's labeled edges
+    * (anchor text is the classic off-page relevance/quality signal:
+    * what OTHER pages call this page). One explode per page into anchor
+    * elements, then map-only regex per element: the href resolves
+    * exactly as [[htmlLinks]] (same [[resolveHref]]), the text is the
+    * element body with inline tags stripped, entities decoded,
+    * whitespace normalized. Keeps `base_url` so the host graph can key
+    * edges by source host. Output (doc_id, base_url, url, text);
+    * unresolvable hrefs drop. */
+  def htmlAnchors(docs: DataFrame, htmlCol: String = "html",
+                  baseCol: String = "base_url"): DataFrame = {
+    val elem = col("__elem")
+    val href = regexp_extract(elem, HrefPat, 1)
+    val body = regexp_extract(elem, "(?is)^<a\\b[^>]*>(.*)</a>$", 1)
+    docs.select(col("doc_id"), col(baseCol),
+        explode(regexp_extract_all(col(htmlCol), lit(AnchorElemPat), lit(0)))
+          .as("__elem"))
+      .select(col("doc_id"), col(baseCol),
+        resolveHref(href, col(baseCol)).as("url"),
+        wsNorm(decodeEntities(stripInline(body))).as("text"))
+      .where(col("url").isNotNull)
+  }
+
+  /** Anchor-text profile per link TARGET: for each canonical target URL,
+    * how many anchors point at it, how many distinct texts they use, and
+    * the dominant text (highest count; ties broken by the
+    * lexicographically smallest text, via min(struct(−cnt, text)) so the
+    * pick is one deterministic partial agg, not a window). Empty anchor
+    * texts (image links, icon links) don't vote. Two partial-agg
+    * shuffles — (url, text) then url — both map-side combined; no row
+    * explosion beyond the anchors themselves. */
+  def anchorText(anchors: DataFrame, urlCol: String = "url",
+                 textCol: String = "text"): DataFrame =
+    anchors
+      .select(urlCanonical(col(urlCol)).as("canonical_url"),
+        col(textCol).as("__t"))
+      .where(col("canonical_url").isNotNull && col("__t") =!= "")
+      .groupBy("canonical_url", "__t")
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy("canonical_url")
+      .agg(sum(col("__cnt")).as("n_anchors"),
+        count(lit(1)).as("n_texts"),
+        min(struct((-col("__cnt")).as("nc"), col("__t").as("t"))).as("__top"))
+      .select(col("canonical_url"), col("n_anchors"), col("n_texts"),
+        col("__top.t").as("top_text"), (-col("__top.nc")).as("top_count"))
+
+  /** Host-level link graph from labeled/unlabeled outlinks: edges
+    * (src = the linking page's canonical host, dst = the target's
+    * canonical host, w = link count), SELF-LOOPS EXCLUDED (intra-site
+    * navigation dominates raw counts and carries no cross-site authority
+    * — the standard host-graph convention, documented divergence from
+    * the raw link list). One partial agg onto the hosts²-bounded frame. */
+  def hostGraph(links: DataFrame, baseCol: String = "base_url",
+                urlCol: String = "url"): DataFrame =
+    links.select(urlHost(col(baseCol)).as("src"),
+        urlHost(col(urlCol)).as("dst"))
+      .where(col("src") =!= "" && col("dst") =!= "" &&
+        col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+
+  /** Host AUTHORITY ranking: weighted PageRank over [[hostGraph]] — the
+    * crawl-prioritization signal (which hosts the web's link mass
+    * concentrates on). Math + determinism + 100 TB shape all in the ONE
+    * shared [[Graphs.pageRank]] (also under the service-dependency
+    * centrality): after hostGraph's single agg the work is arithmetic on
+    * the hosts²-bounded edge frame. Returns (host, rank). */
+  def hostRank(links: DataFrame, iters: Int = 2, damping: Double = 0.85,
+               baseCol: String = "base_url",
+               urlCol: String = "url"): DataFrame =
+    Graphs.pageRank(hostGraph(links, baseCol, urlCol), iters, damping)
+      .withColumnRenamed("node", "host")
+
+  /** Per-host CRAWL BUDGET: cap the frontier at `cap` URLs per canonical
+    * host, keeping the most-linked first (inlink count desc, then
+    * canonical URL asc — fully deterministic). The politeness/fairness
+    * gate every crawler runs: without it one mega-host floods the fetch
+    * queue. Input is [[urlDedup]]'s shape (canonical_url, group_size);
+    * output adds (host, rk) and keeps only rows within budget.
+    *
+    * Shape at 100 TB: ONE window partitioned by host — parallelism is
+    * the host count (billions of hosts, bounded rows per host after
+    * urlDedup), never a global sort. */
+  def crawlBudget(frontier: DataFrame, cap: Int,
+                  urlCol: String = "canonical_url",
+                  inlinksCol: String = "group_size"): DataFrame = {
+    require(cap >= 1, s"bad crawl budget cap $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host")
+      .orderBy(col(inlinksCol).desc, col(urlCol).asc)
+    frontier.withColumn("host", urlHost(col(urlCol)))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= cap)
+  }
+
+  /** Crawl SNAPSHOT DELTA — the incremental-recrawl planner's input:
+    * full outer join of two crawl snapshots on canonical URL, each URL
+    * classified `new` (this crawl only) / `gone` (previous crawl only) /
+    * `changed` (both, content digest differs) / `unchanged`. Duplicate
+    * canonical URLs within a snapshot collapse keep-first (min id, the
+    * [[urlDedup]] contract) BEFORE the compare, so the join stays
+    * one-row-per-key. Output (canonical_url, status, prev_digest,
+    * curr_digest).
+    *
+    * Shape at 100 TB: two keep-first partial aggs + one equi-join on the
+    * canonical URL — the natural bucketing key for a crawl store, so on
+    * bucketed snapshots the join is co-located and shuffle-free. */
+  def crawlDelta(prev: DataFrame, curr: DataFrame,
+                 idCol: String = "doc_id", urlCol: String = "url",
+                 contentCol: String = "text"): DataFrame = {
+    def snap(df: DataFrame, digestName: String) =
+      df.select(col(idCol).as("__id"),
+          urlCanonical(col(urlCol)).as("canonical_url"),
+          md5(col(contentCol)).as("__d"))
+        .where(col("canonical_url").isNotNull)
+        .groupBy("canonical_url")
+        .agg(min(struct(col("__id"), col("__d"))).getField("__d")
+          .as(digestName))
+    snap(prev, "prev_digest")
+      .join(snap(curr, "curr_digest"), Seq("canonical_url"), "full_outer")
+      .select(col("canonical_url"),
+        when(col("prev_digest").isNull, lit("new"))
+          .when(col("curr_digest").isNull, lit("gone"))
+          .when(col("prev_digest") === col("curr_digest"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("prev_digest"), col("curr_digest"))
+  }
+
+  /** Deterministic cross-host ANCHOR fixture over the `documents` table
+    * (same construction as a DuckDB CTE — the oracle replays on
+    * identical bytes): seven hosts h0–h6.example.org; each doc's page
+    * carries four anchors exercising the resolution/canonicalization
+    * matrix — an absolute http link, a protocol-relative link with the
+    * default :443 port and a trailing slash, a root-relative SELF-host
+    * link (the host-graph self-loop case), and an upper-case
+    * www/port/tracking-param/fragment link with a nested inline tag in
+    * its anchor text. Anchor texts come from the doc's own words so text
+    * aggregation has real variety. */
+  def anchorFixture(docs: DataFrame, limit: Int = 150,
+                    textCol: String = "text"): DataFrame = {
+    val subset = if (limit > 0) docs.orderBy("doc_id").limit(limit) else docs
+    val base = subset
+      .select(col("doc_id"), Dedup.tokens(col(textCol)).as("ws"))
+      .where(size(col("ws")) > 0)
+    def w(i: Int) = coalesce(element_at(col("ws"), i), lit(s"w$i"))
+    def hostN(off: Int) =
+      concat(lit("h"), ((col("doc_id") + off) % 7).cast("string"),
+        lit(".example.org"))
+    val id = col("doc_id").cast("string")
+    base.select(col("doc_id"),
+      concat(lit("https://h"), (col("doc_id") % 7).cast("string"),
+        lit(".example.org/d/"), id).as("base_url"),
+      concat(
+        lit("<html><body><p>See <a href=\"http://"), hostN(1),
+        lit("/p/"), (col("doc_id") % 20).cast("string"), lit("\">"),
+        w(1), lit(" "), w(2), lit("</a> now.</p><p><a href=\"//"),
+        hostN(3), lit(":443/q/"), (col("doc_id") % 10).cast("string"),
+        lit("/\">"), w(3),
+        lit(" &amp; co</a></p><p><a href=\"/local/"),
+        (col("doc_id") % 5).cast("string"), lit("\">back "), w(1),
+        lit("</a> <a data-href=\"/x\" href=\"HTTPS://WWW."), hostN(5),
+        lit(":443/r/?b=2&a=1&utm_source=x#f\"><b>"), w(4),
+        lit("</b> page</a></p></body></html>")).as("html"))
+  }
 }

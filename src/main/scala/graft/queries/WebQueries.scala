@@ -88,9 +88,15 @@ object WebQueries {
       |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200) d)""".stripMargin
 
   /** Shared DuckDB canonicalization chain over ux (mirrors
-    * WebFilters.urlCanonical/urlHost): ends at
-    * cx(doc_id, url, scheme, host, path, canonical_url). */
-  private val duckUrlCanonical =
+    * WebFilters.urlCanonical/urlHost), parameterized on the columns
+    * carried through (so the anchor-text chain can keep its text): ends
+    * at cx($carry, url, scheme, host, path, canonical_url). */
+  private def duckCanonicalChain(carry: String): String =
+    duckUrlCanonicalBase.replace("doc_id", carry)
+
+  private val duckUrlCanonical = duckUrlCanonicalBase
+
+  private lazy val duckUrlCanonicalBase =
     """nf AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS u FROM ux),
       |pc AS (SELECT doc_id, url, u,
       |  lower(coalesce(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
@@ -135,6 +141,57 @@ object WebQueries {
       |    WHEN href LIKE '/%' THEN 'https://docs.example.org' || href
       |    ELSE NULL END AS url
       |  FROM lk)""".stripMargin
+
+  /** Shared DuckDB cross-host ANCHOR fixture (mirrors
+    * WebFilters.anchorFixture byte for byte — seven hosts, four anchors
+    * per page exercising the resolution/canonicalization matrix). Ends
+    * at af(doc_id, base_url, html). */
+  private val duckAnchorFixture =
+    """aw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |    x -> len(x) > 0) AS ws
+      |  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 150) d),
+      |af AS (SELECT doc_id,
+      |  'https://h' || (doc_id % 7) || '.example.org/d/' || doc_id AS base_url,
+      |  '<html><body><p>See <a href="http://h' || ((doc_id + 1) % 7) ||
+      |    '.example.org/p/' || (doc_id % 20) || '">' ||
+      |    coalesce(ws[1], 'w1') || ' ' || coalesce(ws[2], 'w2') ||
+      |    '</a> now.</p><p><a href="//h' || ((doc_id + 3) % 7) ||
+      |    '.example.org:443/q/' || (doc_id % 10) || '/">' ||
+      |    coalesce(ws[3], 'w3') ||
+      |    ' &amp; co</a></p><p><a href="/local/' || (doc_id % 5) ||
+      |    '">back ' || coalesce(ws[1], 'w1') ||
+      |    '</a> <a data-href="/x" href="HTTPS://WWW.h' || ((doc_id + 5) % 7) ||
+      |    '.example.org:443/r/?b=2&a=1&utm_source=x#f"><b>' ||
+      |    coalesce(ws[4], 'w4') ||
+      |    '</b> page</a></p></body></html>' AS html
+      |  FROM aw WHERE len(ws) > 0)""".stripMargin
+
+  /** Shared DuckDB anchor-extraction chain over af (mirrors
+    * WebFilters.htmlAnchors: full anchor elements, href via the
+    * delimiter-anchored lazy pattern, body inline-stripped +
+    * entity-decoded + ws-normalized, href resolved against the fixture's
+    * base https://h{doc_id%7}.example.org). Ends at
+    * ux(doc_id, text, url) — the canonical chain's expected entry. */
+  private val duckAnchors =
+    """ae AS (SELECT doc_id, unnest(regexp_extract_all(html,
+      |    '(?is)<a\b[^>]*?[\s"'']href\s*=\s*"[^"]*"[^>]*>.*?</a>')) AS elem
+      |  FROM af),
+      |ar AS (SELECT doc_id,
+      |  regexp_extract(elem, '(?is)<a\b[^>]*?[\s"'']href\s*=\s*"([^"]*)"', 1) AS href,
+      |  trim(regexp_replace(
+      |    replace(replace(replace(replace(replace(replace(
+      |      regexp_replace(coalesce(regexp_extract(elem,
+      |        '(?is)^<a\b[^>]*>(.*)</a>$', 1), ''), '<[^>]*>', '', 'g'),
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+      |      '&nbsp;', ' '), '&amp;', '&'),
+      |    '\s+', ' ', 'g')) AS text
+      |  FROM ae),
+      |ux AS (SELECT doc_id, text, CASE
+      |    WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN href
+      |    WHEN href LIKE '//%' THEN 'https:' || href
+      |    WHEN href LIKE '/%' THEN 'https://h' || (doc_id % 7) || '.example.org' || href
+      |    ELSE NULL END AS url
+      |  FROM ar)""".stripMargin
 
   /** The Spark-side URL fixture — one URL shape per doc_id mod 6. */
   private def urlFixture(docs: org.apache.spark.sql.DataFrame) = {
@@ -458,5 +515,142 @@ object WebQueries {
          |GROUP BY canonical_url ORDER BY canonical_url""".stripMargin) { (s, _) =>
       WebFilters.urlDedup(urlFixture(s.table("documents")))
         .orderBy("canonical_url")
+    },
+
+    // anchor-text profile per link target: the off-page relevance signal
+    // (what OTHER pages call this page) — dominant text = highest count,
+    // ties to the lexicographically smallest text
+    df("ta_anchor_text",
+      s"""WITH $duckAnchorFixture,
+         |$duckAnchors,
+         |${duckCanonicalChain("doc_id, text")},
+         |at AS (SELECT canonical_url, text FROM cx
+         |  WHERE canonical_url IS NOT NULL AND text <> ''),
+         |ag2 AS (SELECT canonical_url, text, count(*) AS cnt
+         |  FROM at GROUP BY 1, 2),
+         |sel AS (SELECT canonical_url, text, cnt, row_number() OVER
+         |  (PARTITION BY canonical_url ORDER BY cnt DESC, text ASC) AS rn
+         |  FROM ag2),
+         |tot AS (SELECT canonical_url, CAST(sum(cnt) AS BIGINT) AS n_anchors,
+         |  CAST(count(*) AS BIGINT) AS n_texts FROM ag2 GROUP BY 1)
+         |SELECT t.canonical_url AS canonical_url, t.n_anchors, t.n_texts,
+         |  s.text AS top_text, CAST(s.cnt AS BIGINT) AS top_count
+         |FROM tot t JOIN sel s
+         |  ON s.canonical_url = t.canonical_url AND s.rn = 1
+         |ORDER BY t.canonical_url""".stripMargin) { (s, _) =>
+      WebFilters.anchorText(
+          WebFilters.htmlAnchors(WebFilters.anchorFixture(s.table("documents"))))
+        .orderBy("canonical_url")
+    },
+
+    // host authority: weighted PageRank over the cross-host link graph
+    // (self-loops excluded) — the crawl-prioritization signal, same shared
+    // PageRank as the service-dependency centrality
+    df("ta_host_rank",
+      s"""WITH $duckAnchorFixture,
+         |$duckAnchors,
+         |${duckCanonicalChain("doc_id, text")},
+         |e AS (SELECT 'h' || (doc_id % 7) || '.example.org' AS src,
+         |    host AS dst, count(*) AS w
+         |  FROM cx WHERE url IS NOT NULL AND host <> ''
+         |    AND host <> 'h' || (doc_id % 7) || '.example.org'
+         |  GROUP BY 1, 2),
+         |nodes AS (SELECT src AS h FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |ow AS (SELECT src, CAST(sum(w) AS DOUBLE) AS ow FROM e GROUP BY src),
+         |r0 AS (SELECT h, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+         |c1 AS (SELECT e.dst, e.src, r0.rank * e.w / ow.ow AS c
+         |  FROM e JOIN ow USING (src) JOIN r0 ON r0.h = e.src),
+         |i1 AS (SELECT dst, list_sum(list(c ORDER BY src)) AS infl
+         |  FROM c1 GROUP BY dst),
+         |r1 AS (SELECT h, round(0.15 / nn.n
+         |    + 0.85 * coalesce(i1.infl, 0), 6) AS rank
+         |  FROM nodes CROSS JOIN nn LEFT JOIN i1 ON i1.dst = nodes.h),
+         |c2 AS (SELECT e.dst, e.src, r1.rank * e.w / ow.ow AS c
+         |  FROM e JOIN ow USING (src) JOIN r1 ON r1.h = e.src),
+         |i2 AS (SELECT dst, list_sum(list(c ORDER BY src)) AS infl
+         |  FROM c2 GROUP BY dst),
+         |r2 AS (SELECT h, round(0.15 / nn.n
+         |    + 0.85 * coalesce(i2.infl, 0), 6) AS rank
+         |  FROM nodes CROSS JOIN nn LEFT JOIN i2 ON i2.dst = nodes.h)
+         |SELECT h AS host, rank FROM r2 ORDER BY host""".stripMargin) { (s, _) =>
+      WebFilters.hostRank(
+          WebFilters.htmlAnchors(WebFilters.anchorFixture(s.table("documents"))),
+          iters = 2)
+        .orderBy("host")
+    },
+
+    // per-host crawl budget: the politeness/fairness gate — frontier
+    // capped at 3 URLs per host, most-linked first, canonical-URL
+    // tiebreak
+    df("ta_crawl_budget",
+      s"""WITH $duckAnchorFixture,
+         |$duckAnchors,
+         |${duckCanonicalChain("doc_id, text")},
+         |fr AS (SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keeper,
+         |    CAST(count(*) AS BIGINT) AS group_size
+         |  FROM cx WHERE url IS NOT NULL AND canonical_url IS NOT NULL
+         |    AND scheme IN ('http', 'https')
+         |  GROUP BY canonical_url),
+         |hb AS (SELECT *, regexp_replace(
+         |    lower(coalesce(regexp_extract(regexp_replace(canonical_url, '#.*', ''),
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')),
+         |    '^www\\.', '') AS host FROM fr),
+         |rn AS (SELECT *, row_number() OVER (PARTITION BY host
+         |    ORDER BY group_size DESC, canonical_url ASC) AS rk FROM hb)
+         |SELECT canonical_url, keeper, group_size, host,
+         |  CAST(rk AS BIGINT) AS rk
+         |FROM rn WHERE rk <= 3 ORDER BY host, rk""".stripMargin) { (s, _) =>
+      val fx = WebFilters.anchorFixture(s.table("documents"))
+      WebFilters.crawlBudget(
+          WebFilters.urlDedup(
+            WebFilters.urlFilter(WebFilters.htmlLinks(fx)).where(col("keep"))),
+          cap = 3)
+        .orderBy("host", "rk")
+    },
+
+    // crawl snapshot delta: per canonical URL new / gone / changed /
+    // unchanged between two crawls — the incremental-recrawl planner
+    df("ta_crawl_delta",
+      """WITH base AS (SELECT doc_id, text
+        |  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 200) d),
+        |prev AS (SELECT doc_id,
+        |  'https://docs.example.org/d/' || doc_id AS url, text FROM base),
+        |curr AS (
+        |  SELECT doc_id, 'https://docs.example.org/d/' || doc_id AS url,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END AS text
+        |  FROM base WHERE doc_id % 11 <> 3
+        |  UNION ALL
+        |  SELECT doc_id, 'https://docs.example.org/n/' || doc_id AS url,
+        |    upper(text) AS text FROM base WHERE doc_id % 13 = 1),
+        |ps AS (SELECT url AS canonical_url, md5(text) AS prev_digest
+        |  FROM prev),
+        |cs AS (SELECT url AS canonical_url, md5(text) AS curr_digest
+        |  FROM curr)
+        |SELECT coalesce(ps.canonical_url, cs.canonical_url) AS canonical_url,
+        |  CASE WHEN ps.prev_digest IS NULL THEN 'new'
+        |    WHEN cs.curr_digest IS NULL THEN 'gone'
+        |    WHEN ps.prev_digest = cs.curr_digest THEN 'unchanged'
+        |    ELSE 'changed' END AS status,
+        |  ps.prev_digest, cs.curr_digest
+        |FROM ps FULL OUTER JOIN cs ON ps.canonical_url = cs.canonical_url
+        |ORDER BY canonical_url""".stripMargin) { (s, _) =>
+      val base = s.table("documents").orderBy("doc_id").limit(200)
+        .select(col("doc_id"), col("text"))
+      val prev = base.select(col("doc_id"),
+        concat(lit("https://docs.example.org/d/"),
+          col("doc_id").cast("string")).as("url"), col("text"))
+      val curr = base.where(col("doc_id") % 11 =!= 3)
+        .select(col("doc_id"),
+          concat(lit("https://docs.example.org/d/"),
+            col("doc_id").cast("string")).as("url"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" updated")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(base.where(col("doc_id") % 13 === 1)
+          .select(col("doc_id"),
+            concat(lit("https://docs.example.org/n/"),
+              col("doc_id").cast("string")).as("url"),
+            upper(col("text")).as("text")))
+      WebFilters.crawlDelta(prev, curr).orderBy("canonical_url")
     })
 }

@@ -200,4 +200,116 @@ class WebFiltersSpec extends SparkTestBase {
       .where(col("blocked_domain")).count()
     assert(none == 0L)
   }
+
+  test("htmlAnchors: hrefs resolve like htmlLinks, anchor text strips " +
+    "inline tags + decodes entities, data-href can't shadow, hrefless " +
+    "and unresolvable anchors drop") {
+    val html = """<a href="https://other.org/x">plain <b>bold</b> text</a>
+                 |<a data-href="/beacon" href="/real">Fish &amp; Chips</a>
+                 |<a href="//mirror.org/m">  spaced   out  </a>
+                 |<a name="top">no href at all</a>
+                 |<a href="#frag">fragment only</a>""".stripMargin
+    val got = WebFilters.htmlAnchors(
+        Seq((1L, html, "HTTP://Base.ORG/deep")).toDF(
+          "doc_id", "html", "base_url"))
+      .orderBy("url").select("url", "text").as[(String, String)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("http://base.org/real", "Fish & Chips"),
+      ("http://mirror.org/m", "spaced out"),
+      ("https://other.org/x", "plain bold text")), got)
+  }
+
+  test("anchorText: dominant text by count, ties to the lexicographically " +
+    "smallest; empty texts don't vote; canonical variants collapse") {
+    val anchors = Seq(
+      (1L, "b", "http://t.org/p?utm_source=x", "beta"),
+      (2L, "b", "http://www.t.org/p", "beta"),
+      (3L, "b", "http://t.org:80/p", "alpha"),
+      (4L, "b", "http://t.org/p", "alpha"),   // 2-2 tie -> alpha wins
+      (5L, "b", "http://t.org/p", ""),        // empty text: no vote
+      (6L, "b", "http://t.org/q", "gamma")
+    ).toDF("doc_id", "base_url", "url", "text")
+    val got = WebFilters.anchorText(anchors).orderBy("canonical_url")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("http://t.org/p", 4L, 2L, "alpha", 2L),
+      ("http://t.org/q", 1L, 1L, "gamma", 1L)), got)
+  }
+
+  test("hostGraph: self-loops excluded, per-host-pair link counts; " +
+    "pageRank on a hand-computed two-node graph") {
+    val links = Seq(
+      (1L, "https://a.org/1", "https://b.org/x"),
+      (1L, "https://a.org/1", "https://b.org/y"),
+      (2L, "https://a.org/2", "https://a.org/self"), // self-loop: excluded
+      (3L, "https://b.org/1", "https://a.org/z")
+    ).toDF("doc_id", "base_url", "url")
+    val edges = WebFilters.hostGraph(links).orderBy("src", "dst")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(edges == Seq(("a.org", "b.org", 2L), ("b.org", "a.org", 1L)), edges)
+    // one-directional a->b: after iter1 b = 0.075 + 0.85*0.5 = 0.5,
+    // a = 0.075; after iter2 b = 0.075 + 0.85*0.075 = 0.13875
+    val oneWay = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
+    val pr = graft.operators.Graphs.pageRank(oneWay, iters = 2)
+      .orderBy("node").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(pr == Seq(("a", 0.075), ("b", 0.13875)), pr)
+  }
+
+  test("serviceCentrality still delegates to the same math: symmetric " +
+    "two-node flow stays at the uniform fixed point") {
+    val sym = Seq(("a", "b", 3L), ("b", "a", 3L)).toDF("src", "dst", "w")
+    val pr = graft.operators.Graphs.pageRank(sym, iters = 3)
+      .orderBy("node").collect().map(_.getDouble(1)).toSeq
+    assert(pr == Seq(0.5, 0.5), pr)
+  }
+
+  test("crawlBudget: cap per host, most-linked first, canonical tiebreak; " +
+    "rows beyond budget drop") {
+    val frontier = Seq(
+      ("http://big.org/a", 5L), ("http://big.org/b", 9L),
+      ("http://big.org/c", 9L), ("http://big.org/d", 1L),
+      ("http://small.org/only", 2L)
+    ).toDF("canonical_url", "group_size")
+    val got = WebFilters.crawlBudget(frontier, cap = 2)
+      .orderBy("host", "rk")
+      .select("host", "canonical_url", "rk")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("big.org", "http://big.org/b", 1L),   // 9, tie broken by URL asc
+      ("big.org", "http://big.org/c", 2L),
+      ("small.org", "http://small.org/only", 1L)), got)
+    intercept[IllegalArgumentException] {
+      WebFilters.crawlBudget(frontier, cap = 0).collect()
+    }
+  }
+
+  test("crawlDelta: new/gone/changed/unchanged; canonical variants " +
+    "collapse keep-first BEFORE the compare") {
+    val prev = Seq(
+      (1L, "http://s.org/same", "alpha"),
+      (2L, "http://s.org/edit", "old text"),
+      (3L, "http://s.org/dead", "bye"),
+      // duplicate canonical in ONE snapshot: keeper is min doc_id's digest
+      (5L, "http://s.org/dup?utm_source=x", "from five"),
+      (4L, "http://www.s.org/dup", "from four")
+    ).toDF("doc_id", "url", "text")
+    val curr = Seq(
+      (10L, "http://s.org/same", "alpha"),
+      (11L, "http://s.org/edit", "new text"),
+      (12L, "http://s.org/born", "hi"),
+      (13L, "http://s.org/dup", "from four")  // matches prev's keeper (4)
+    ).toDF("doc_id", "url", "text")
+    val got = WebFilters.crawlDelta(prev, curr).orderBy("canonical_url")
+      .select("canonical_url", "status")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(
+      ("http://s.org/born", "new"),
+      ("http://s.org/dead", "gone"),
+      ("http://s.org/dup", "unchanged"),
+      ("http://s.org/edit", "changed"),
+      ("http://s.org/same", "unchanged")), got)
+  }
 }
