@@ -667,6 +667,123 @@ object TextAnalysis {
           greatest(sum("n_words"), lit(1L)), 4).as("unigram_fertility"))
   }
 
+  /** WordPiece vocabulary (Schuster & Nakajima 2012 — the BERT-family
+    * tokenizer, the third tokenizer beside [[bpeMerges]] and
+    * [[unigramVocab]]): the top `vocabSize` substrings by the
+    * [[unigramSeed]] frequency rule (cnt desc, piece asc) plus EVERY
+    * single character the corpus contains (the full-coverage floor).
+    * Deliberately seed-frequency-based rather than likelihood-trained so
+    * the WHOLE vocabulary is SQL-replayable — BPE and unigram-LM cover
+    * the trained-vocab story; this family's value is the ENCODER's
+    * greedy longest-match-first semantics, which the registry oracle
+    * pins cross-engine. Role-agnostic vocabulary: a piece may match
+    * word-initially or as a continuation; the `##` marker is RENDERING
+    * on the encoded output, not a separate vocab entry (divergence from
+    * BERT's split initial/continuation vocab, documented).
+    *
+    * Shape at 100 TB: exactly unigramSeed's shape (distinct-word
+    * substring explode + uniform partial aggs); the top-k and the char
+    * floor are vocabulary-sized. */
+  def wordpieceVocab(docs: DataFrame, vocabSize: Int = 256,
+                     maxPieceLen: Int = 4, textCol: String = "text",
+                     maxVocabWords: Int = 1 << 22): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be positive")
+    // seed feeds both the top-k and the char floor: checkpoint so the
+    // corpus substring pass runs once
+    val seed = unigramSeed(docs, maxPieceLen, textCol, maxVocabWords)
+      .localCheckpoint()
+    val top = seed.orderBy(col("cnt").desc, col("piece")).limit(vocabSize)
+    val chars = seed.where(length(col("piece")) === 1)
+    top.union(chars).groupBy("piece").agg(max(col("cnt")).as("cnt"))
+  }
+
+  /** Greedy longest-match-first WordPiece segmentation: at each position
+    * take the LONGEST vocab piece prefixing the remainder; a stuck
+    * position collapses the WHOLE word to `[UNK]` (BERT semantics —
+    * partial segmentations are never emitted). Continuation pieces
+    * render with the `##` marker. */
+  private def greedySegment(word: String, vocab: Set[String],
+                            maxLen: Int): (Array[String], Boolean) = {
+    val n = word.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = 0
+    while (pos < n) {
+      var l = math.min(maxLen, n - pos)
+      var found = 0
+      while (l >= 1 && found == 0) {
+        if (vocab.contains(word.substring(pos, pos + l))) found = l
+        else l -= 1
+      }
+      if (found == 0) return (Array("[UNK]"), true)
+      out += (if (pos == 0) word.substring(0, found)
+              else "##" + word.substring(pos, pos + found))
+      pos += found
+    }
+    (out.toArray, false)
+  }
+
+  /** Apply a WordPiece vocabulary to the corpus ([[wordpieceVocab]] is
+    * train, this is apply — the [[bpeEncode]]/[[unigramEncode]] twin):
+    * one row per doc, (idCol, n_wp_tokens, n_unk_words, tok_digest),
+    * digest = md5 of the space-joined token sequence (with ## markers)
+    * in document order. Same distributed contract as unigramEncode: the
+    * vocabulary collects to the driver (kilobytes), segmentation runs
+    * ONCE per distinct word (mapPartitions under the broadcast piece
+    * set), then hash-joins back on the uniform word key. An [UNK] word
+    * contributes one token. */
+  def wordpieceEncode(docs: DataFrame, vocab: DataFrame,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val vs = vocab.select("piece").collect().map(_.getString(0))
+    require(vs.nonEmpty, "empty wordpiece vocabulary")
+    val maxLen = vs.map(_.length).max
+    val bc = spark.sparkContext.broadcast((vs.toSet, maxLen))
+    import spark.implicits._
+    val words = docs.select(col(idCol),
+      posexplode(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"))
+        .as(Seq("pos", "word")))
+    val segmented = words.select("word").distinct().as[String]
+      .mapPartitions { it =>
+        val (vset, ml) = bc.value
+        it.map { w =>
+          val (toks, unk) = greedySegment(w, vset, ml)
+          (w, toks.mkString(" "), toks.length.toLong, if (unk) 1L else 0L)
+        }
+      }.toDF("word", "ts", "n", "unk")
+    words.join(segmented, Seq("word"))
+      .groupBy(idCol)
+      .agg(sum("n").as("n_wp_tokens"),
+        sum("unk").as("n_unk_words"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("ts")))),
+          s => s.getField("ts")), " ")).as("tok_digest"))
+  }
+
+  /** WordPiece fertility + UNK-rate report per stratum — the
+    * [[bpeFertility]] twin with the extra signal BPE can't produce: how
+    * often a word falls out of the vocabulary entirely (`unk_rate`), the
+    * number a multilingual curation run watches per language. */
+  def wordpieceFertility(docs: DataFrame, vocab: DataFrame,
+                         strataCol: String = "lang",
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val enc = wordpieceEncode(docs, vocab, idCol, textCol)
+      .select(col(idCol), col("n_wp_tokens"), col("n_unk_words"))
+    val base = docs.select(col(idCol), col(strataCol),
+      size(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"))
+        .cast("long").as("n_words"))
+    base.join(enc, Seq(idCol), "left")
+      .groupBy(strataCol)
+      .agg(sum("n_words").as("n_words"),
+        sum(coalesce(col("n_wp_tokens"), lit(0L))).as("n_wp_tokens"),
+        round(sum(coalesce(col("n_wp_tokens"), lit(0L))).cast("double") /
+          greatest(sum("n_words"), lit(1L)), 4).as("fertility"),
+        sum(coalesce(col("n_unk_words"), lit(0L))).as("n_unk_words"),
+        round(sum(coalesce(col("n_unk_words"), lit(0L))).cast("double") /
+          greatest(sum("n_words"), lit(1L)), 4).as("unk_rate"))
+  }
+
   /** Deterministic hashed bag-of-words document embedding (the "hashing
     * trick", Weinberger et al. 2009): every token adds ±1 to one of `dims`
     * slots — slot and sign both md5-derived — and the counts vector is

@@ -284,6 +284,65 @@ object TrainingData {
       .replace(src, "FROM ps) x)")
   }
 
+  /** Shared DuckDB WordPiece VOCAB chain (mirrors
+    * TextAnalysis.wordpieceVocab: the unigramSeed substring-frequency
+    * rule at maxPieceLen=4, top 256 by (cnt desc, piece asc), plus every
+    * single corpus character). Ends at wpv(piece, cnt). */
+  private val duckWpVocab =
+    """wpwf AS (SELECT w AS word, count(*) AS wc FROM (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |  FROM documents) x GROUP BY w),
+      |wpmx AS (SELECT max(len(word)) AS ml FROM wpwf),
+      |wpst AS (SELECT unnest(generate_series(1, (SELECT ml FROM wpmx))) AS s),
+      |wpln AS (SELECT unnest(generate_series(1, 4)) AS l),
+      |wpp AS (SELECT substring(word, s, l) AS piece,
+      |  CAST(sum(wc) AS BIGINT) AS cnt
+      |  FROM wpwf, wpst, wpln
+      |  WHERE s <= len(word) AND s + l - 1 <= len(word)
+      |  GROUP BY piece),
+      |wptop AS (SELECT piece, cnt FROM wpp ORDER BY cnt DESC, piece LIMIT 256),
+      |wpv AS (SELECT piece, max(cnt) AS cnt FROM (
+      |  SELECT piece, cnt FROM wptop UNION ALL
+      |  SELECT piece, cnt FROM wpp WHERE len(piece) = 1) u GROUP BY piece)"""
+      .stripMargin
+
+  /** Shared DuckDB WordPiece ENCODE chain over wpv (mirrors
+    * TextAnalysis.wordpieceEncode's greedy longest-match-first walk): a
+    * best-piece table per (word, position) — the longest vocab piece
+    * matching there, found by an EQUI-join on the enumerated candidate
+    * substrings — then a recursive CTE replays the deterministic greedy
+    * walk (one successor per state; a stuck position collapses the word
+    * to [UNK] exactly as the Spark segmenter does). Needs WITH RECURSIVE.
+    * Ends at wpj(doc_id, pos, n, ts, unk). */
+  private val duckWpEncode =
+    """wpc AS (SELECT word, s, substring(word, s, l) AS c, l
+      |  FROM wpwf, wpst, wpln
+      |  WHERE s <= len(word) AND s + l - 1 <= len(word)),
+      |wpbp AS (SELECT word, s AS pos, max(l) AS bl
+      |  FROM wpc JOIN wpv ON wpv.piece = wpc.c GROUP BY word, s),
+      |wpseg AS (
+      |  SELECT word, 1 AS pos, CAST('' AS VARCHAR) AS ts, false AS unk
+      |  FROM wpwf
+      |  UNION ALL
+      |  SELECT s.word,
+      |    CASE WHEN b.bl IS NULL THEN len(s.word) + 1
+      |      ELSE s.pos + b.bl END AS pos,
+      |    CASE WHEN b.bl IS NULL THEN '[UNK]'
+      |      WHEN s.pos = 1 THEN substring(s.word, 1, b.bl)
+      |      ELSE s.ts || ' ##' || substring(s.word, s.pos, b.bl) END AS ts,
+      |    (s.unk OR b.bl IS NULL) AS unk
+      |  FROM wpseg s LEFT JOIN wpbp b ON b.word = s.word AND b.pos = s.pos
+      |  WHERE s.pos <= len(s.word)),
+      |wpfw AS (SELECT word, ts, unk,
+      |  CAST(len(string_split(ts, ' ')) AS BIGINT) AS n
+      |  FROM wpseg WHERE pos = len(word) + 1),
+      |wpdw AS (SELECT doc_id, unnest(ww) AS word,
+      |  unnest(generate_series(1, len(ww))) AS pos
+      |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ww
+      |    FROM documents) x),
+      |wpj AS (SELECT doc_id, pos, n, ts, unk FROM wpdw JOIN wpfw USING (word))"""
+      .stripMargin
+
   val all: Seq[QSpec] = Seq(
 
     // ---- deduplication ----------------------------------------------------
@@ -3308,6 +3367,62 @@ object TrainingData {
       TextAnalysis.tokenizerCompare(docs,
           TextAnalysis.bpeMerges(docs, merges = 3),
           TextAnalysis.unigramVocab(docs, vocabSize = 64))
+        .orderBy("lang")
+    },
+
+    // WordPiece vocabulary (the third tokenizer family, BERT's): top-256
+    // substrings by the seed frequency rule + every corpus character —
+    // unlike BPE/unigram TRAINING, this vocab is fully SQL-replayable
+    df("ta_wordpiece_vocab",
+      s"""WITH $duckWpVocab
+         |SELECT piece, cnt FROM wpv ORDER BY cnt DESC, piece""".stripMargin) {
+      (s, _) =>
+      TextAnalysis.wordpieceVocab(s.table("documents"),
+          vocabSize = 256, maxPieceLen = 4)
+        .orderBy(col("cnt").desc, col("piece"))
+    },
+
+    // WordPiece encode: greedy longest-match-first with ## continuation
+    // markers — the oracle replays the walk with a recursive CTE over a
+    // per-(word,pos) best-piece table
+    df("ta_wordpiece_encode",
+      s"""WITH RECURSIVE $duckWpVocab,
+         |$duckWpEncode
+         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_wp_tokens,
+         |  CAST(sum(CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk_words,
+         |  md5(string_agg(ts, ' ' ORDER BY pos)) AS tok_digest
+         |FROM wpj GROUP BY doc_id ORDER BY doc_id LIMIT 100""".stripMargin) {
+      (s, _) =>
+      val docs = s.table("documents")
+      TextAnalysis.wordpieceEncode(docs,
+          TextAnalysis.wordpieceVocab(docs, vocabSize = 256, maxPieceLen = 4))
+        .orderBy("doc_id").limit(100)
+    },
+
+    // WordPiece fertility + UNK rate per language — the signal BPE can't
+    // report (how often a word falls out of the vocabulary entirely)
+    df("ta_wordpiece_fertility",
+      s"""WITH RECURSIVE $duckWpVocab,
+         |$duckWpEncode,
+         |wpd AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS t,
+         |  CAST(sum(CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT) AS u
+         |  FROM wpj GROUP BY doc_id),
+         |wpb AS (SELECT doc_id, lang,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+         |    AS n_words
+         |  FROM documents)
+         |SELECT lang, CAST(sum(n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(coalesce(t, 0)) AS BIGINT) AS n_wp_tokens,
+         |  round(CAST(sum(coalesce(t, 0)) AS DOUBLE)
+         |    / greatest(sum(n_words), 1), 4) AS fertility,
+         |  CAST(sum(coalesce(u, 0)) AS BIGINT) AS n_unk_words,
+         |  round(CAST(sum(coalesce(u, 0)) AS DOUBLE)
+         |    / greatest(sum(n_words), 1), 4) AS unk_rate
+         |FROM wpb LEFT JOIN wpd USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, _) =>
+      val docs = s.table("documents")
+      TextAnalysis.wordpieceFertility(docs,
+          TextAnalysis.wordpieceVocab(docs, vocabSize = 256, maxPieceLen = 4))
         .orderBy("lang")
     },
 

@@ -664,4 +664,71 @@ class CorpusFiltersSpec extends SparkTestBase {
       .digest("a q b".getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(got.toSeq == Seq((2L, 3L, md)), got.toSeq)
   }
+
+  private def md5Of(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("wordpiece encode: greedy longest-match-first with ## markers; a " +
+    "stuck word collapses WHOLE to [UNK], not a partial segmentation") {
+    import spark.implicits._
+    val vocab = Seq("un", "able", "a", "b", "l", "e", "u", "n")
+      .map(p => (p, 1L)).toDF("piece", "cnt")
+    val docs = Seq(1L -> "unable zap").toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.wordpieceEncode(docs, vocab)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_wp_tokens"), r.getAs[Long]("n_unk_words"),
+        r.getAs[String]("tok_digest")))
+    // "unable" -> un ##able; "zap" has no 'z' anywhere -> [UNK] (1 token)
+    assert(got.toSeq ==
+      Seq((1L, 3L, 1L, md5Of("un ##able [UNK]"))), got.toSeq)
+  }
+
+  test("wordpiece encode is GREEDY, not optimal: a longer first piece wins " +
+    "even when it forces single-char continuations") {
+    import spark.implicits._
+    val vocab = Seq("una", "un", "able", "a", "b", "l", "e", "u", "n")
+      .map(p => (p, 1L)).toDF("piece", "cnt")
+    val docs = Seq(1L -> "unable").toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.wordpieceEncode(docs, vocab)
+      .collect().head
+    // greedy takes "una" at position 0 (longest), leaving b-l-e as chars;
+    // the optimal "un ##able" (2 tokens) is NOT what WordPiece produces
+    assert(got.getAs[Long]("n_wp_tokens") == 4L, got)
+    assert(got.getAs[String]("tok_digest") == md5Of("una ##b ##l ##e"), got)
+  }
+
+  test("wordpiece vocab: every corpus character survives even at " +
+    "vocabSize=1 (the coverage floor); top pieces follow the seed rule") {
+    import spark.implicits._
+    val docs = Seq(1L -> "abc abc xy").toDF("doc_id", "text")
+    val v = graft.operators.TextAnalysis.wordpieceVocab(docs, vocabSize = 1,
+        maxPieceLen = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // chars always present; the single top slot is the (cnt desc, piece
+    // asc) argmax: 'a','b','c' all have cnt 2 -> 'a' is already a char
+    assert(Set("a", "b", "c", "x", "y").subsetOf(v.keySet), v)
+    assert(v("a") == 2L && v("x") == 1L, v)
+    // no piece longer than 1 sneaks in past the top-1 slot unless it IS
+    // the top: top-1 at maxPieceLen=3 is 'a' (cnt 2, lexicographically
+    // first among cnt-2 pieces like 'ab','abc','b','bc','c')
+    assert(v.keySet.filter(_.length > 1).isEmpty, v)
+  }
+
+  test("wordpiece fertility: per-stratum rollup with unk_rate golden") {
+    import spark.implicits._
+    val vocab = Seq("ab", "a", "b").map(p => (p, 1L)).toDF("piece", "cnt")
+    val docs = Seq(
+      (1L, "ab ab", "en"),   // 2 words, 2 tokens, 0 unk
+      (2L, "aab zz", "de")   // aab -> ab? greedy: "ab"? pos0 'aa' no,
+                             // 'a' yes -> a ##ab = 2 toks; zz -> [UNK]
+    ).toDF("doc_id", "text", "lang")
+    val got = graft.operators.TextAnalysis.wordpieceFertility(docs, vocab)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      ("de", 2L, 3L, 1.5, 1L, 0.5),
+      ("en", 2L, 2L, 1.0, 0L, 0.0)), got)
+  }
 }
