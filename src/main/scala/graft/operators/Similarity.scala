@@ -78,12 +78,64 @@ object Similarity {
                    vecCol: String = "embedding"): DataFrame = {
     val v = asDouble(col(vecCol))
     val maxAbs = aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x)))
+    emb.select(col(idCol), maxAbs.as("max_abs"), int8Codes(v).as("q"))
+  }
+
+  /** The [[quantizeInt8]] code array for one vector expression — ONE
+    * definition shared by the quantization report and the SQ8 search so
+    * the two can never drift. */
+  def int8Codes(v: Column): Column = {
+    val maxAbs = aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x)))
     // max_abs rides along as an array_repeat argument — one evaluation per
     // row instead of one per element (see matryoshkaTruncate)
-    val q = zip_with(v, array_repeat(maxAbs, size(v)), (x, ma) =>
+    zip_with(v, array_repeat(maxAbs, size(v)), (x, ma) =>
       when(ma > 0, greatest(lit(-127L), least(lit(127L),
         round(x * 127.0 / ma, 0).cast("long")))).otherwise(lit(0L)))
-    emb.select(col(idCol), maxAbs.as("max_abs"), q.as("q"))
+  }
+
+  /** SQ8 scalar-quantized ANN top-k (the scalar-quantizer index family —
+    * the compression tier between raw fp32 scan and PQ): every candidate
+    * scores on its int8 codes first, and only the top `rerank` re-score
+    * with exact float cosine. The per-vector max-abs scales CANCEL in
+    * the quantized cosine — approx_sim = int_dot(qx, qy) / (|qx|·|qy|)
+    * over the integer codes — so candidate RANKING derives from exact
+    * integer arithmetic (bit-stable in any engine; the only floats are
+    * one sqrt + one divide of exact integers, then round(6)).
+    * Zero vectors rank last (approx −1) instead of dividing by zero.
+    *
+    * Shape at 100 TB: the scan side reads 1 byte per dimension instead
+    * of 8 — the memory story that lets a corpus's embeddings stay
+    * resident — as a map-only integer fold per row (broadcast query,
+    * no shuffle); the float path touches only `rerank` rows. */
+  def annTopKSq8(emb: DataFrame, queryId: Long, k: Int, rerank: Int = 40,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && rerank >= k, s"bad sq8 config (k=$k, rerank=$rerank)")
+    graft.functions.ArrayDot.register(emb.sparkSession)
+    val base = emb.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__q", int8Codes(col("__v")))
+    val q = broadcast(base.where(col(idCol) === queryId)
+      .select(col("__v").as("qv"), col("__q").as("qq")))
+    val scored = base.where(col(idCol) =!= queryId).crossJoin(q)
+      .select(col(idCol), col("__v"), col("qv"),
+        expr("aggregate(zip_with(__q, qq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+          .as("idot"),
+        expr("aggregate(__q, 0L, (acc, x) -> acc + x * x)").as("inv"),
+        expr("aggregate(qq, 0L, (acc, x) -> acc + x * x)").as("inq"))
+      .withColumn("approx_sim",
+        when(col("inv") > 0 && col("inq") > 0,
+          round(col("idot") / (sqrt(col("inv")) * sqrt(col("inq"))), 6))
+          .otherwise(lit(-1.0)))
+    // the exact rerank needs the same zero-norm guard: cosine of a zero
+    // vector is 0/0 = NaN, and Spark sorts NaN ABOVE every number — an
+    // unguarded zero vector would rank FIRST, not last
+    val vn = expr("aggregate(__v, 0D, (acc, x) -> acc + x * x)")
+    val qn = expr("aggregate(qv, 0D, (acc, x) -> acc + x * x)")
+    scored.orderBy(col("approx_sim").desc, col(idCol)).limit(rerank)
+      .select(col(idCol), col("approx_sim"),
+        when(vn > 0 && qn > 0, round(nativeCosine("__v", "qv"), 4))
+          .otherwise(lit(-1.0)).as("sim"))
+      .orderBy(col("sim").desc, col(idCol)).limit(k)
   }
 
   /** Sign-bit binary quantization: one bit per dimension (x >= 0), packed

@@ -2765,6 +2765,39 @@ object TrainingData {
         .orderBy("vec_id").limit(100)
     },
 
+    // SQ8 ANN: int8-code scoring (per-vector scales cancel in the cosine,
+    // so candidate ranking is exact integer arithmetic) + float rerank of
+    // the top-40 window only
+    df("ss_sq8_topk",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |g AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+        |c AS (SELECT vec_id, v, CASE WHEN ma > 0
+        |  THEN list_transform(v, x ->
+        |    greatest(-127, least(127, CAST(round(x * 127.0 / ma) AS BIGINT))))
+        |  ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q FROM g),
+        |qr AS (SELECT v AS qv, q AS qc FROM c WHERE vec_id = 7),
+        |s AS (SELECT vec_id, v, qv,
+        |  list_sum(list_transform(generate_series(1, len(q)), i -> q[i] * qc[i])) AS idot,
+        |  list_sum(list_transform(q, x -> x * x)) AS inv,
+        |  list_sum(list_transform(qc, x -> x * x)) AS inq
+        |  FROM c CROSS JOIN qr WHERE vec_id <> 7),
+        |a AS (SELECT vec_id, v, qv, CASE WHEN inv > 0 AND inq > 0
+        |  THEN round(idot / (sqrt(inv) * sqrt(inq)), 6)
+        |  ELSE -1.0 END AS approx_sim FROM s),
+        |cand AS (SELECT * FROM a ORDER BY approx_sim DESC, vec_id LIMIT 40)
+        |SELECT vec_id, approx_sim,
+        |  CASE WHEN list_sum(list_transform(v, x -> x * x)) > 0
+        |      AND list_sum(list_transform(qv, x -> x * x)) > 0
+        |    THEN round(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i]))
+        |      / (sqrt(list_sum(list_transform(v, x -> x * x)))
+        |        * sqrt(list_sum(list_transform(qv, x -> x * x)))), 4)
+        |    ELSE -1.0 END AS sim
+        |FROM cand ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) { (s, _) =>
+      Similarity.annTopKSq8(s.table("embeddings"), queryId = 7, k = 10,
+        rerank = 40)
+    },
+
     // ---- corpus-curation filters (C4 / Gopher / chunk dedup / packing) ----
 
     // C4 line filter (Raffel et al. 2020): terminal-punctuation lines with

@@ -728,4 +728,37 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("vec_id")).toSet == Set(2L, 4L, 3L))
     assert(rows.forall(r => !r.getAs[Double]("sim").isNaN), rows.toSeq)
   }
+
+  test("sq8 ann: with the rerank window spanning the corpus the result " +
+    "set equals brute force; sims are exact cosines; window order holds") {
+    val n = emb.count().toInt
+    val sq8 = Similarity.annTopKSq8(emb, queryId = 7, k = 10, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val brute = Similarity.cosineTopK(emb, queryId = 7, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(sq8.toSeq == brute.toSeq, (sq8.toSeq, brute.toSeq))
+    // the default narrow window still finds most of the exact top-10:
+    // int8 quantization distorts cosines by well under the top-10 gap
+    val narrow = Similarity.annTopKSq8(emb, queryId = 7, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val hits = narrow.intersect(brute.map(_._1).toSet).size
+    assert(hits >= 7, s"sq8 recall collapsed: $hits/10")
+    intercept[IllegalArgumentException] {
+      Similarity.annTopKSq8(emb, queryId = 7, k = 10, rerank = 5)
+    }
+  }
+
+  test("sq8 ann: a zero vector ranks last on the integer path instead of " +
+    "dividing by zero, and never displaces a real candidate") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 0.0f)), (3L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.annTopKSq8(tiny, queryId = 0, k = 3, rerank = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // approx ranking: 1 (high), 3 (negative), zero vector last at -1
+    assert(got.map(_._1) == Seq(1L, 2L, 3L), got)
+    assert(got.find(_._1 == 2L).get._2 == -1.0, got)
+  }
 }
