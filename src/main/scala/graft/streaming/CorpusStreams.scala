@@ -219,6 +219,40 @@ object CorpusStreams {
       .drop("__cu")
   }
 
+  /** Streaming incremental-recrawl gate: each freshly fetched page checks
+    * against the PREVIOUS crawl snapshot and flows only when it is worth
+    * persisting — `new` (canonical URL never crawled) or `changed`
+    * (content digest differs); a byte-identical refetch drops. The live
+    * face of [[graft.operators.WebFilters.crawlDelta]] for the two
+    * statuses a stream can decide per arrival (`gone` needs the whole
+    * snapshot — that stays the batch operator's job, documented).
+    * Stateless stream-static LEFT join on canonical URL; the static side
+    * collapses keep-first per canonical exactly as crawlDelta does, so
+    * the gate's verdict equals the batch delta's for every arriving URL.
+    * Unparseable URLs drop — there is nothing to key a store on. */
+  def recrawlGate(pages: DataFrame, prevSnapshot: DataFrame,
+                  urlCol: String = "url", textCol: String = "text",
+                  prevIdCol: String = "doc_id", prevUrlCol: String = "url",
+                  prevTextCol: String = "text"): DataFrame = {
+    val prev = prevSnapshot
+      .select(col(prevIdCol).as("__pid"),
+        graft.operators.WebFilters.urlCanonical(col(prevUrlCol)).as("__pu"),
+        md5(col(prevTextCol)).as("__pd"))
+      .where(col("__pu").isNotNull)
+      .groupBy("__pu")
+      .agg(min(struct(col("__pid"), col("__pd"))).getField("__pd").as("__pd"))
+    pages
+      .withColumn("__cu", graft.operators.WebFilters.urlCanonical(col(urlCol)))
+      .where(col("__cu").isNotNull)
+      .join(prev, col("__cu") === col("__pu"), "left")
+      .withColumn("status",
+        when(col("__pd").isNull, lit("new"))
+          .when(col("__pd") === md5(col(textCol)), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .where(col("status") =!= "unchanged")
+      .drop("__cu", "__pu", "__pd")
+  }
+
   /** Temperature-mix gate on the stream: per-stratum keep rates derived
     * ONCE from a settled reference corpus (`Sampling.temperatureRates` —
     * share ∝ n^alpha) and baked into the plan as a literal CASE chain, so

@@ -150,6 +150,48 @@ class CorpusStreamsSpec extends SparkTestBase {
     assert(kept == Set(2L, 3L), s"got $kept")
   }
 
+  test("recrawl gate: new and changed pages flow with their status, " +
+    "byte-identical refetches and unparseable URLs drop; verdicts equal " +
+    "the batch crawlDelta's for every arriving URL") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = Seq(
+      (1L, "http://s.org/same", "alpha"),
+      (2L, "http://s.org/edit", "old text"),
+      // duplicate canonical in the snapshot: keep-first (min id) digest
+      (9L, "http://s.org/dup?utm_source=x", "from nine"),
+      (4L, "http://www.s.org/dup", "from four")
+    ).toDF("doc_id", "url", "text")
+    val in = MemoryStream[(Long, String, String)]
+    val q = CorpusStreams.recrawlGate(
+        in.toDF().toDF("fetch_id", "url", "text"), prev)
+      .writeStream.format("memory").queryName("recrawl")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    in.addData(
+      (10L, "HTTP://s.org:80/same#f", "alpha"),    // canonical variant,
+                                                   // same bytes -> drops
+      (11L, "http://s.org/edit", "new text"),      // changed -> flows
+      (12L, "http://s.org/born", "hi"),            // new -> flows
+      (13L, "http://s.org/dup", "from four"),      // equals the KEEPER's
+                                                   // digest -> drops
+      (14L, "not a url", "x"))                     // unparseable -> drops
+    val run = q.start(); run.awaitTermination(60000)
+    val got = spark.table("recrawl").select("fetch_id", "status").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((11L, "changed"), (12L, "new")), s"got $got")
+    // batch equivalence: crawlDelta on the same frames agrees per URL
+    val curr = Seq(
+      (10L, "http://s.org/same", "alpha"), (11L, "http://s.org/edit", "new text"),
+      (12L, "http://s.org/born", "hi"), (13L, "http://s.org/dup", "from four")
+    ).toDF("doc_id", "url", "text")
+    val delta = graft.operators.WebFilters.crawlDelta(prev, curr)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(delta("http://s.org/edit") == "changed" &&
+      delta("http://s.org/born") == "new" &&
+      delta("http://s.org/same") == "unchanged" &&
+      delta("http://s.org/dup") == "unchanged", delta)
+  }
+
   test("windowed corpus stats: per-(window, lang) docs and token mass") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
