@@ -784,6 +784,52 @@ object TextAnalysis {
           greatest(sum("n_words"), lit(1L)), 4).as("unk_rate"))
   }
 
+  /** TextRank corpus keywords (Mihalcea & Tarau 2004): PageRank over the
+    * word co-occurrence graph — words are nodes, adjacency (window 2) in
+    * the CANDIDATE-FILTERED token sequence is an undirected edge weighted
+    * by corpus-wide co-occurrence count. Candidate rule: alphabetic
+    * tokens of length >= `minWordLen` (the POS filter of the paper
+    * re-expressed as a deterministic, engine-replayable rule — short
+    * function words drop, content words stay). The graph caps at
+    * `maxEdges` heaviest pairs (cnt desc, pair asc — deterministic), so
+    * the PageRank frame is bounded no matter the corpus; the cap is the
+    * operator's scale contract, not a silent truncation (it is in the
+    * signature). Undirected = both directions with the same weight
+    * through the ONE shared [[Graphs.pageRank]].
+    *
+    * Shape at 100 TB: one explode to adjacent pairs + a uniform-key
+    * partial agg onto the distinct-bigram frame, a bounded top-k, then
+    * PageRank arithmetic on the maxEdges-bounded frame. Returns the top
+    * `topK` (keyword, rank), rank desc / keyword asc. */
+  def textrankKeywords(docs: DataFrame, topK: Int = 50,
+                       minWordLen: Int = 4, maxEdges: Int = 10000,
+                       iters: Int = 2, textCol: String = "text"): DataFrame = {
+    require(topK >= 1 && minWordLen >= 1 && maxEdges >= 1,
+      s"bad textrank config ($topK, $minWordLen, $maxEdges)")
+    val toks = filter(
+      expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"),
+      t => length(t) >= minWordLen)
+    val pairs = docs.select(toks.as("w"))
+      .where(size(col("w")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+          " (a, b) -> struct(a, b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .where(col("a") =!= col("b"))
+      // canonical undirected pair before counting
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b")).limit(maxEdges)
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"),
+        col("cnt").as("w"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"),
+        col("cnt").as("w")))
+    Graphs.pageRank(sym, iters)
+      .withColumnRenamed("node", "keyword")
+      .orderBy(col("rank").desc, col("keyword")).limit(topK)
+  }
+
   /** Deterministic hashed bag-of-words document embedding (the "hashing
     * trick", Weinberger et al. 2009): every token adds ±1 to one of `dims`
     * slots — slot and sign both md5-derived — and the counts vector is

@@ -550,6 +550,41 @@ object WebFilters {
         col("prev_digest"), col("curr_digest"))
   }
 
+  /** HOST QUALITY profile — the RefinedWeb-style signal that lets a crawl
+    * blocklist/allowlist itself from data: per canonical host, how many
+    * documents it contributed and what fraction survive the C4 line
+    * filter and the Gopher quality gate (plus the joint keep rate a
+    * curation run actually applies). Keep rates average exact 0/1
+    * doubles, so the sums are order-insensitive integers in disguise and
+    * round(4) is engine-stable.
+    *
+    * Shape at 100 TB: the two filters are map-only per doc; one
+    * uniform-key partial agg onto the hosts-sized frame. A host with a
+    * low keep_rate here feeds the NEXT crawl's blocklist — the data-
+    * driven feedback loop between the text filters and [[urlFilter]]. */
+  def hostQuality(pages: DataFrame, urlCol: String = "url",
+                  textCol: String = "text"): DataFrame = {
+    // doc_id is the filters' fixed id contract (CorpusFilters selects it
+    // by name), so it is this operator's too
+    val base = pages.select(col("doc_id"), urlHost(col(urlCol)).as("host"),
+      col(textCol))
+    val g = CorpusFilters.gopherFilter(base, textCol = textCol)
+      .select(col("doc_id"), col("n_words"), col("keep").as("__gk"))
+    val c = CorpusFilters.c4LineFilter(base, textCol = textCol)
+      .select(col("doc_id"), col("keep").as("__ck"))
+    base.select(col("doc_id"), col("host"))
+      .join(g, Seq("doc_id")).join(c, Seq("doc_id"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        round(avg(when(col("__gk"), 1.0).otherwise(0.0)), 4)
+          .as("gopher_keep_rate"),
+        round(avg(when(col("__ck"), 1.0).otherwise(0.0)), 4)
+          .as("c4_keep_rate"),
+        round(avg(when(col("__gk") && col("__ck"), 1.0).otherwise(0.0)), 4)
+          .as("keep_rate"))
+  }
+
   /** Deterministic cross-host ANCHOR fixture over the `documents` table
     * (same construction as a DuckDB CTE — the oracle replays on
     * identical bytes): seven hosts h0–h6.example.org; each doc's page

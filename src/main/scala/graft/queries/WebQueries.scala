@@ -193,6 +193,62 @@ object WebQueries {
       |    ELSE NULL END AS url
       |  FROM ar)""".stripMargin
 
+  /** Shared DuckDB C4 + Gopher verdict chain over doc2(doc_id, text)
+    * (mirrors CorpusFilters.c4LineFilter / gopherFilter — the
+    * ta_web_pipeline replay, factored so the host-quality rollup reuses
+    * the identical rules). Ends at c4(doc_id, n_lines, kept_lines,
+    * c4_keep) and gv(doc_id, n_words, stop_hits, gopher_keep). */
+  private val duckQualityVerdicts =
+    """cs AS (SELECT doc_id, text,
+      |  list_transform(regexp_split_to_array(text, '\n'), l -> trim(l)) AS lines
+      |  FROM doc2),
+      |ck AS (SELECT doc_id, text, lines,
+      |  list_filter(lines, l -> regexp_matches(l, '[.!?"]$')
+      |    AND len(list_filter(regexp_split_to_array(l, '\s+'), w2 -> len(w2) > 0)) >= 3
+      |    AND NOT contains(lower(l), 'javascript')) AS kept
+      |  FROM cs),
+      |c4 AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+      |  CAST(len(kept) AS BIGINT) AS kept_lines,
+      |  (len(kept) >= 3 AND NOT contains(text, '{')
+      |    AND NOT contains(lower(text), 'lorem ipsum')) AS c4_keep
+      |  FROM ck),
+      |gt AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS w2,
+      |  list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+      |    l -> len(l) > 0) AS ls
+      |  FROM doc2),
+      |gs AS (SELECT doc_id,
+      |  CAST(len(w2) AS BIGINT) AS n_words,
+      |  round(CAST(list_sum(list_transform(w2, x -> len(x))) AS DOUBLE)
+      |    / greatest(len(w2), 1), 4) AS mean_word_len,
+      |  round(CAST(len(list_filter(w2, x -> contains(x, '#')
+      |      OR contains(x, '...'))) AS DOUBLE)
+      |    / greatest(len(w2), 1), 4) AS symbol_ratio,
+      |  round(CAST(len(list_filter(ls, l -> substring(l, 1, 1) IN
+      |      ('-', '*', chr(8226)))) AS DOUBLE)
+      |    / greatest(len(ls), 1), 4) AS bullet_ratio,
+      |  round(CAST(len(list_filter(ls, l -> l LIKE '%...')) AS DOUBLE)
+      |    / greatest(len(ls), 1), 4) AS ellipsis_ratio,
+      |  round(CAST(len(list_filter(w2, x -> regexp_matches(x, '[a-z]')))
+      |      AS DOUBLE) / greatest(len(w2), 1), 4) AS alpha_ratio,
+      |  CAST((CASE WHEN list_contains(w2, 'the') THEN 1 ELSE 0 END)
+      |    + (CASE WHEN list_contains(w2, 'be') THEN 1 ELSE 0 END)
+      |    + (CASE WHEN list_contains(w2, 'to') THEN 1 ELSE 0 END)
+      |    + (CASE WHEN list_contains(w2, 'of') THEN 1 ELSE 0 END)
+      |    + (CASE WHEN list_contains(w2, 'and') THEN 1 ELSE 0 END)
+      |    + (CASE WHEN list_contains(w2, 'that') THEN 1 ELSE 0 END)
+      |    + (CASE WHEN list_contains(w2, 'have') THEN 1 ELSE 0 END)
+      |    + (CASE WHEN list_contains(w2, 'with') THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS stop_hits
+      |  FROM gt),
+      |gv AS (SELECT doc_id, n_words, stop_hits,
+      |  (n_words >= 50 AND n_words <= 100000
+      |    AND mean_word_len >= 3 AND mean_word_len <= 10
+      |    AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+      |    AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+      |    AND stop_hits >= 2) AS gopher_keep
+      |  FROM gs)""".stripMargin
+
   /** The Spark-side URL fixture — one URL shape per doc_id mod 6. */
   private def urlFixture(docs: org.apache.spark.sql.DataFrame) = {
     val grp = floor(col("doc_id") / 12).cast("long").cast("string")
@@ -240,55 +296,7 @@ object WebQueries {
       s"""WITH $duckHtmlFixture,
          |$duckHtmlExtract,
          |doc2 AS (SELECT doc_id, body AS text FROM ag),
-         |cs AS (SELECT doc_id, text,
-         |  list_transform(regexp_split_to_array(text, '\\n'), l -> trim(l)) AS lines
-         |  FROM doc2),
-         |ck AS (SELECT doc_id, text, lines,
-         |  list_filter(lines, l -> regexp_matches(l, '[.!?"]$$')
-         |    AND len(list_filter(regexp_split_to_array(l, '\\s+'), w2 -> len(w2) > 0)) >= 3
-         |    AND NOT contains(lower(l), 'javascript')) AS kept
-         |  FROM cs),
-         |c4 AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
-         |  CAST(len(kept) AS BIGINT) AS kept_lines,
-         |  (len(kept) >= 3 AND NOT contains(text, '{')
-         |    AND NOT contains(lower(text), 'lorem ipsum')) AS c4_keep
-         |  FROM ck),
-         |gt AS (SELECT doc_id,
-         |  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) AS w2,
-         |  list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
-         |    l -> len(l) > 0) AS ls
-         |  FROM doc2),
-         |gs AS (SELECT doc_id,
-         |  CAST(len(w2) AS BIGINT) AS n_words,
-         |  round(CAST(list_sum(list_transform(w2, x -> len(x))) AS DOUBLE)
-         |    / greatest(len(w2), 1), 4) AS mean_word_len,
-         |  round(CAST(len(list_filter(w2, x -> contains(x, '#')
-         |      OR contains(x, '...'))) AS DOUBLE)
-         |    / greatest(len(w2), 1), 4) AS symbol_ratio,
-         |  round(CAST(len(list_filter(ls, l -> substring(l, 1, 1) IN
-         |      ('-', '*', chr(8226)))) AS DOUBLE)
-         |    / greatest(len(ls), 1), 4) AS bullet_ratio,
-         |  round(CAST(len(list_filter(ls, l -> l LIKE '%...')) AS DOUBLE)
-         |    / greatest(len(ls), 1), 4) AS ellipsis_ratio,
-         |  round(CAST(len(list_filter(w2, x -> regexp_matches(x, '[a-z]')))
-         |      AS DOUBLE) / greatest(len(w2), 1), 4) AS alpha_ratio,
-         |  CAST((CASE WHEN list_contains(w2, 'the') THEN 1 ELSE 0 END)
-         |    + (CASE WHEN list_contains(w2, 'be') THEN 1 ELSE 0 END)
-         |    + (CASE WHEN list_contains(w2, 'to') THEN 1 ELSE 0 END)
-         |    + (CASE WHEN list_contains(w2, 'of') THEN 1 ELSE 0 END)
-         |    + (CASE WHEN list_contains(w2, 'and') THEN 1 ELSE 0 END)
-         |    + (CASE WHEN list_contains(w2, 'that') THEN 1 ELSE 0 END)
-         |    + (CASE WHEN list_contains(w2, 'have') THEN 1 ELSE 0 END)
-         |    + (CASE WHEN list_contains(w2, 'with') THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS stop_hits
-         |  FROM gt),
-         |gv AS (SELECT doc_id, n_words, stop_hits,
-         |  (n_words >= 50 AND n_words <= 100000
-         |    AND mean_word_len >= 3 AND mean_word_len <= 10
-         |    AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
-         |    AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
-         |    AND stop_hits >= 2) AS gopher_keep
-         |  FROM gs)
+         |$duckQualityVerdicts
          |SELECT c4.doc_id, c4.n_lines, c4.kept_lines, c4.c4_keep,
          |  gv.n_words, gv.stop_hits, gv.gopher_keep,
          |  (c4.c4_keep AND gv.gopher_keep) AS keep
@@ -306,6 +314,34 @@ object WebQueries {
         .withColumn("keep", col("c4_keep") && col("gopher_keep"))
         .orderBy("doc_id")
     },
+
+    // per-host quality profile: the data-driven feedback loop from the
+    // text filters back to the crawl blocklist — per canonical host, C4 /
+    // Gopher / joint keep rates
+    df("ta_host_quality",
+      s"""WITH doc2 AS (SELECT doc_id, text
+         |  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 200) d),
+         |$duckQualityVerdicts,
+         |hh AS (SELECT doc_id, 'h' || (doc_id % 7) || '.example.org' AS host
+         |  FROM doc2)
+         |SELECT hh.host, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(gv.n_words) AS BIGINT) AS n_words,
+         |  round(avg(CASE WHEN gv.gopher_keep THEN 1.0 ELSE 0.0 END), 4)
+         |    AS gopher_keep_rate,
+         |  round(avg(CASE WHEN c4.c4_keep THEN 1.0 ELSE 0.0 END), 4)
+         |    AS c4_keep_rate,
+         |  round(avg(CASE WHEN gv.gopher_keep AND c4.c4_keep
+         |    THEN 1.0 ELSE 0.0 END), 4) AS keep_rate
+         |FROM hh JOIN gv USING (doc_id) JOIN c4 USING (doc_id)
+         |GROUP BY hh.host ORDER BY host""".stripMargin) { (s, _) =>
+      val pages = s.table("documents").orderBy("doc_id").limit(200)
+        .select(col("doc_id"), col("text"),
+          concat(lit("https://WWW.h"), (col("doc_id") % 7).cast("string"),
+            lit(".example.org:443/x/"), col("doc_id").cast("string"))
+            .as("url"))
+      WebFilters.hostQuality(pages).orderBy("host")
+    },
+
 
     // extract -> corpus-level line dedup: the constant blocks every page
     // shares (in-content boilerplate the link-density rule can't see —

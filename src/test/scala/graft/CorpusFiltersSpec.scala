@@ -715,6 +715,28 @@ class CorpusFiltersSpec extends SparkTestBase {
     assert(v.keySet.filter(_.length > 1).isEmpty, v)
   }
 
+  test("textrank keywords: short words filtered BEFORE adjacency (they " +
+    "bridge, not block), symmetric components settle at uniform rank, " +
+    "maxEdges keeps the heaviest pair deterministically") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "alpha the beta alpha beta",  // 'the' < 4 chars: filtered, so
+                                          // alpha-beta adjacency bridges it
+      2L -> "gamma delta gamma"
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.textrankKeywords(docs, topK = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // two symmetric 2-node components over 4 nodes: every rank stays at
+    // the uniform 1/4 fixed point; order is rank desc then keyword asc
+    assert(got == Seq("alpha" -> 0.25, "beta" -> 0.25,
+      "delta" -> 0.25, "gamma" -> 0.25), got)
+    val capped = graft.operators.TextAnalysis.textrankKeywords(docs,
+        topK = 10, maxEdges = 1)
+      .collect().map(_.getString(0)).toSet
+    // alpha-beta (cnt 3: a-b, b-a, a-b) outweighs delta-gamma (cnt 2)
+    assert(capped == Set("alpha", "beta"), capped)
+  }
+
   test("wordpiece fertility: per-stratum rollup with unk_rate golden") {
     import spark.implicits._
     val vocab = Seq("ab", "a", "b").map(p => (p, 1L)).toDF("piece", "cnt")

@@ -286,6 +286,24 @@ class WebFiltersSpec extends SparkTestBase {
     }
   }
 
+  test("hostQuality: canonical-host rollup of C4/Gopher keep rates — " +
+    "hand-computed golden with url variants collapsing to one host") {
+    val goodLine =
+      "the quick brown fox jumps over the lazy dog again and again."
+    val good = Seq.fill(5)(goodLine).mkString("\n") // 60 words, 5 kept lines
+    val pages = Seq(
+      (1L, "https://WWW.A.org:443/x", good),
+      (2L, "http://a.org:80/y", "junk"),
+      (3L, "http://b.org/z", "junk")
+    ).toDF("doc_id", "url", "text")
+    val got = WebFilters.hostQuality(pages).orderBy("host")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      ("a.org", 2L, 61L, 0.5, 0.5, 0.5),
+      ("b.org", 1L, 1L, 0.0, 0.0, 0.0)), got)
+  }
+
   test("crawlDelta: new/gone/changed/unchanged; canonical variants " +
     "collapse keep-first BEFORE the compare") {
     val prev = Seq(
