@@ -292,6 +292,39 @@ object Multimodal {
     }.toDF("media_id", "dhash", "area")
   }
 
+  /** Image CURATION filter — the dimension/aspect gate an image-text
+    * corpus runs before any pairing or dedup (LAION-style: tiny images
+    * and extreme banners carry no trainable signal): REAL decode once,
+    * then verdicts on the pixel dimensions — minimum short side and
+    * maximum aspect ratio, the latter compared in the cross-multiplied
+    * integer form `long_side · aspectQ <= aspectP · short_side` so the
+    * rule is exact in any engine — plus a minimum encoded-byte rule
+    * (0 disables; encoded size is encoder-specific, so the byte rule is
+    * operator-level only, never oracle-replayed). Map-only, one decode
+    * per item; composes with the streaming gates unchanged. */
+  def imageFilter(media: Dataset[MediaItem], minDim: Int = 6,
+                  aspectP: Int = 2, aspectQ: Int = 1,
+                  minBytes: Int = 0): DataFrame = {
+    import media.sparkSession.implicits._
+    require(minDim >= 1 && aspectP >= 1 && aspectQ >= 1 && minBytes >= 0,
+      s"bad image filter config ($minDim, $aspectP/$aspectQ, $minBytes)")
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img = decodeOf(m)
+        (m.media_id, img.getWidth.toLong, img.getHeight.toLong,
+          m.content.length.toLong)
+      }
+    }.toDF("media_id", "width", "height", "n_bytes")
+      .withColumn("dim_ok", least(col("width"), col("height")) >= minDim)
+      .withColumn("aspect_ok",
+        greatest(col("width"), col("height")) * aspectQ <=
+          least(col("width"), col("height")) * aspectP)
+      .withColumn("bytes_ok", col("n_bytes") >= minBytes)
+      .withColumn("keep",
+        col("dim_ok") && col("aspect_ok") && col("bytes_ok"))
+  }
+
   /** 64-bit AVERAGE HASH (aHash) per image — [[imageDHash]]'s sibling
     * perceptual fingerprint (brightness-profile instead of gradient-
     * profile; pipelines run both because they fail differently): 8×8 NN

@@ -256,6 +256,26 @@ object MultimodalQueries {
     // 64-bit perceptual dHash over REAL decoded PNGs: the oracle replays
     // the 9x8 NN grayscale grid + gradient bit walk as integer math on
     // the pixel formula; hash split hi/lo so no engine touches bit 63
+    // image curation filter: min short side + max aspect ratio over REAL
+    // decoded dimensions (the oracle derives the same dims from the PNG
+    // fixture's construction formula; the rules are exact integer forms)
+    df("mm_image_filter",
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    4 + doc_id % 13 AS w0, 3 + doc_id % 11 AS h0
+        |  FROM documents ORDER BY media_id LIMIT 150)
+        |SELECT media_id, CAST(w0 AS BIGINT) AS width,
+        |  CAST(h0 AS BIGINT) AS height,
+        |  (least(w0, h0) >= 6) AS dim_ok,
+        |  (greatest(w0, h0) * 1 <= least(w0, h0) * 2) AS aspect_ok,
+        |  (least(w0, h0) >= 6
+        |    AND greatest(w0, h0) * 1 <= least(w0, h0) * 2) AS keep
+        |FROM m ORDER BY media_id""".stripMargin) { (s, _) =>
+      Multimodal.imageFilter(Multimodal.pngFromDocuments(
+          s.table("documents").orderBy("doc_id").limit(150)))
+        .select("media_id", "width", "height", "dim_ok", "aspect_ok", "keep")
+        .orderBy("media_id")
+    },
+
     df("mm_image_dhash",
       s"""WITH $duckDHashChain
         |SELECT media_id, hi AS dhash_hi, lo AS dhash_lo

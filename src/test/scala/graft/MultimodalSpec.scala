@@ -342,4 +342,36 @@ class MultimodalSpec extends SparkTestBase {
         r.getAs[Long]("hamming")).toMap
     assert(dups == Map((1L, 2L) -> 0L), dups)
   }
+
+  test("imageFilter: min short side and cross-multiplied aspect rule on " +
+    "real decoded dims; byte rule disabled at 0 and enforced when set") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val items = Seq(
+      MediaItem(1L, "image", png(8, 8)),    // passes both rules
+      MediaItem(2L, "image", png(10, 5)),   // aspect 2:1 EXACTLY -> ok,
+                                            // but short side 5 < 6 fails
+      MediaItem(3L, "image", png(20, 6)),   // aspect fails (20 > 2*6)
+      MediaItem(4L, "image", png(12, 6))    // aspect boundary passes
+    ).toDS()
+    val got = graft.operators.Multimodal.imageFilter(items)
+      .orderBy("media_id")
+      .collect().map(r => (r.getAs[Long]("media_id"),
+        r.getAs[Boolean]("dim_ok"), r.getAs[Boolean]("aspect_ok"),
+        r.getAs[Boolean]("keep"))).toSeq
+    assert(got == Seq(
+      (1L, true, true, true), (2L, false, true, false),
+      (3L, true, false, false), (4L, true, true, true)), got)
+    // every PNG here is bigger than 30 bytes; a 1 MB floor kills them all
+    val strict = graft.operators.Multimodal.imageFilter(items,
+      minBytes = 1 << 20)
+    assert(strict.where(col("keep")).count() == 0L)
+    assert(strict.where(col("bytes_ok")).count() == 0L)
+  }
 }
