@@ -48,10 +48,7 @@ object CorpusFilters {
   def c4LineFilter(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val lines = transform(split(t, "\n"), l => trim(l))
-    val kept = filter(lines, l =>
-      l.rlike("[.!?\"]$") &&
-        size(filter(split(l, "\\s+"), w => length(w) > 0)) >= 3 &&
-        !lower(l).contains("javascript"))
+    val kept = c4KeptLines(t)
     val hasBrace = t.contains("{")
     val hasLorem = lower(t).contains("lorem ipsum")
     docs.select(
@@ -63,6 +60,22 @@ object CorpusFilters {
       (size(kept) >= 3 && !hasBrace && !hasLorem).as("keep"),
       md5(concat_ws("\n", kept)).as("kept_digest"))
   }
+
+  /** The C4 kept-line rule as one array expression — shared by the
+    * report form ([[c4LineFilter]]) and the verdict column ([[c4Keep]])
+    * so the two can never drift. */
+  private def c4KeptLines(t: Column): Column =
+    filter(transform(split(t, "\n"), l => trim(l)), l =>
+      l.rlike("[.!?\"]$") &&
+        size(filter(split(l, "\\s+"), w => length(w) > 0)) >= 3 &&
+        !lower(l).contains("javascript"))
+
+  /** The document-level C4 verdict as one map-only boolean column — the
+    * [[gopherKeep]] twin for composition/streaming use. Identical rules
+    * to [[c4LineFilter]] (same shared kept-line expression). */
+  def c4Keep(textCol: Column): Column =
+    size(c4KeptLines(textCol)) >= 3 && !textCol.contains("{") &&
+      !lower(textCol).contains("lorem ipsum")
 
   /** Gopher repetition statistics: the most frequent word and word 2-gram
     * per document with their count and fraction (word fraction of total

@@ -419,9 +419,15 @@ object WebFilters {
 
   /** A complete anchor ELEMENT with an href (the [[HrefPat]] attribute
     * contract inside it): group 0 is the whole `<a …>…</a>` span — lazy
-    * body, so the element ends at its own first `</a>`. */
+    * body, so the element ends at its own first `</a>`. The opening
+    * tag's `>` must not be preceded by `/` (RE2-safe optional group, no
+    * lookaround), so a SELF-CLOSING `<a href=…/>` never starts a match
+    * that would swallow the next anchor's element. Self-closing and
+    * unclosed anchors therefore appear in [[htmlLinks]] (href-level) but
+    * not here (element-level needs a body) — the documented contract
+    * difference between the two extractors. */
   val AnchorElemPat: String =
-    "(?is)<a\\b[^>]*?[\\s\"']href\\s*=\\s*\"[^\"]*\"[^>]*>.*?</a>"
+    "(?is)<a\\b[^>]*?[\\s\"']href\\s*=\\s*\"[^\"]*\"(?:[^>]*[^/>])?>.*?</a>"
 
   /** Outlinks WITH their anchor text — the web graph's labeled edges
     * (anchor text is the classic off-page relevance/quality signal:
@@ -447,25 +453,28 @@ object WebFilters {
   }
 
   /** Anchor-text profile per link TARGET: for each canonical target URL,
-    * how many anchors point at it, how many distinct texts they use, and
-    * the dominant text (highest count; ties broken by the
-    * lexicographically smallest text, via min(struct(−cnt, text)) so the
-    * pick is one deterministic partial agg, not a window). Empty anchor
-    * texts (image links, icon links) don't vote. Two partial-agg
-    * shuffles — (url, text) then url — both map-side combined; no row
-    * explosion beyond the anchors themselves. */
+    * how many anchors point at it (ALL of them — image/icon anchors with
+    * empty text still count as inlinks), how many distinct non-empty
+    * texts they use, and the dominant text (highest count; ties broken
+    * by the lexicographically smallest text, via min(struct(−cnt, text))
+    * so the pick is one deterministic partial agg, not a window). Empty
+    * anchor texts don't vote for the dominant text; a target linked ONLY
+    * by empty-text anchors reports NULL top_text/top_count. Two
+    * partial-agg shuffles — (url, text) then url — both map-side
+    * combined; no row explosion beyond the anchors themselves. */
   def anchorText(anchors: DataFrame, urlCol: String = "url",
                  textCol: String = "text"): DataFrame =
     anchors
       .select(urlCanonical(col(urlCol)).as("canonical_url"),
         col(textCol).as("__t"))
-      .where(col("canonical_url").isNotNull && col("__t") =!= "")
+      .where(col("canonical_url").isNotNull)
       .groupBy("canonical_url", "__t")
       .agg(count(lit(1)).as("__cnt"))
       .groupBy("canonical_url")
       .agg(sum(col("__cnt")).as("n_anchors"),
-        count(lit(1)).as("n_texts"),
-        min(struct((-col("__cnt")).as("nc"), col("__t").as("t"))).as("__top"))
+        count(when(col("__t") =!= "", lit(1))).as("n_texts"),
+        min(when(col("__t") =!= "",
+          struct((-col("__cnt")).as("nc"), col("__t").as("t")))).as("__top"))
       .select(col("canonical_url"), col("n_anchors"), col("n_texts"),
         col("__top.t").as("top_text"), (-col("__top.nc")).as("top_count"))
 
@@ -533,13 +542,8 @@ object WebFilters {
                  idCol: String = "doc_id", urlCol: String = "url",
                  contentCol: String = "text"): DataFrame = {
     def snap(df: DataFrame, digestName: String) =
-      df.select(col(idCol).as("__id"),
-          urlCanonical(col(urlCol)).as("canonical_url"),
-          md5(col(contentCol)).as("__d"))
-        .where(col("canonical_url").isNotNull)
-        .groupBy("canonical_url")
-        .agg(min(struct(col("__id"), col("__d"))).getField("__d")
-          .as(digestName))
+      snapshotDigests(df, idCol, urlCol, contentCol)
+        .withColumnRenamed("digest", digestName)
     snap(prev, "prev_digest")
       .join(snap(curr, "curr_digest"), Seq("canonical_url"), "full_outer")
       .select(col("canonical_url"),
@@ -550,6 +554,24 @@ object WebFilters {
         col("prev_digest"), col("curr_digest"))
   }
 
+  /** ONE snapshot-collapse rule shared by [[crawlDelta]] and the
+    * streaming [[graft.streaming.CorpusStreams.recrawlGate]] (which pins
+    * per-URL equivalence to the batch delta — the rule living twice
+    * would be a drift surface): keep-first (min id) content digest per
+    * canonical URL. NULL content digests as empty content (md5(NULL)
+    * would be NULL, which the delta compare would misread as absence —
+    * a fetched-but-empty page is a real fetch, not a gone page).
+    * Returns (canonical_url, digest). */
+  def snapshotDigests(df: DataFrame, idCol: String = "doc_id",
+                      urlCol: String = "url",
+                      contentCol: String = "text"): DataFrame =
+    df.select(col(idCol).as("__id"),
+        urlCanonical(col(urlCol)).as("canonical_url"),
+        md5(coalesce(col(contentCol), lit(""))).as("__d"))
+      .where(col("canonical_url").isNotNull)
+      .groupBy("canonical_url")
+      .agg(min(struct(col("__id"), col("__d"))).getField("__d").as("digest"))
+
   /** HOST QUALITY profile — the RefinedWeb-style signal that lets a crawl
     * blocklist/allowlist itself from data: per canonical host, how many
     * documents it contributed and what fraction survive the C4 line
@@ -558,25 +580,27 @@ object WebFilters {
     * doubles, so the sums are order-insensitive integers in disguise and
     * round(4) is engine-stable.
     *
-    * Shape at 100 TB: the two filters are map-only per doc; one
-    * uniform-key partial agg onto the hosts-sized frame. A host with a
-    * low keep_rate here feeds the NEXT crawl's blocklist — the data-
-    * driven feedback loop between the text filters and [[urlFilter]]. */
+    * Shape at 100 TB: genuinely ONE pass — the verdicts are the COLUMN
+    * forms of the filters (`gopherKeep`/`c4Keep`, identical rules to the
+    * report operators by shared construction), so the corpus is read
+    * once, map-only, into a single uniform-key partial agg onto the
+    * hosts-sized frame. No join back on doc_id, no second scan. A host
+    * with a low keep_rate here feeds the NEXT crawl's blocklist — the
+    * data-driven feedback loop between the text filters and
+    * [[urlFilter]]. */
   def hostQuality(pages: DataFrame, urlCol: String = "url",
                   textCol: String = "text"): DataFrame = {
-    // doc_id is the filters' fixed id contract (CorpusFilters selects it
-    // by name), so it is this operator's too
-    val base = pages.select(col("doc_id"), urlHost(col(urlCol)).as("host"),
-      col(textCol))
-    val g = CorpusFilters.gopherFilter(base, textCol = textCol)
-      .select(col("doc_id"), col("n_words"), col("keep").as("__gk"))
-    val c = CorpusFilters.c4LineFilter(base, textCol = textCol)
-      .select(col("doc_id"), col("keep").as("__ck"))
-    base.select(col("doc_id"), col("host"))
-      .join(g, Seq("doc_id")).join(c, Seq("doc_id"))
+    val t = col(textCol)
+    // gopherFilter's n_words rule (whitespace tokens of the lowercased
+    // text), inlined as a column
+    val nWords = size(filter(split(lower(t), "\\s+"), x => length(x) > 0))
+      .cast("long")
+    pages.select(urlHost(col(urlCol)).as("host"), nWords.as("__nw"),
+        CorpusFilters.gopherKeep(t).as("__gk"),
+        CorpusFilters.c4Keep(t).as("__ck"))
       .groupBy("host")
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_words")).as("n_words"),
+        sum(col("__nw")).as("n_words"),
         round(avg(when(col("__gk"), 1.0).otherwise(0.0)), 4)
           .as("gopher_keep_rate"),
         round(avg(when(col("__ck"), 1.0).otherwise(0.0)), 4)

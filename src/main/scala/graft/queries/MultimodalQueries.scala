@@ -253,9 +253,6 @@ object MultimodalQueries {
     },
 
 
-    // 64-bit perceptual dHash over REAL decoded PNGs: the oracle replays
-    // the 9x8 NN grayscale grid + gradient bit walk as integer math on
-    // the pixel formula; hash split hi/lo so no engine touches bit 63
     // image curation filter: min short side + max aspect ratio over REAL
     // decoded dimensions (the oracle derives the same dims from the PNG
     // fixture's construction formula; the rules are exact integer forms)
@@ -276,6 +273,9 @@ object MultimodalQueries {
         .orderBy("media_id")
     },
 
+    // 64-bit perceptual dHash over REAL decoded PNGs: the oracle replays
+    // the 9x8 NN grayscale grid + gradient bit walk as integer math on
+    // the pixel formula; hash split hi/lo so no engine touches bit 63
     df("mm_image_dhash",
       s"""WITH $duckDHashChain
         |SELECT media_id, hi AS dhash_hi, lo AS dhash_lo

@@ -332,24 +332,7 @@ object OtlpReaders {
          |e AS (SELECT pa.svc AS src, ch.svc AS dst, count(*) AS w
          |  FROM sp ch JOIN sp pa ON pa.t = ch.t AND pa.s = ch.p
          |  GROUP BY 1, 2),
-         |nodes AS (SELECT src AS svc FROM e UNION SELECT dst FROM e),
-         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-         |ow AS (SELECT src, CAST(sum(w) AS DOUBLE) AS ow FROM e GROUP BY src),
-         |r0 AS (SELECT svc, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
-         |c1 AS (SELECT e.dst, e.src, r0.rank * e.w / ow.ow AS c
-         |  FROM e JOIN ow USING (src) JOIN r0 ON r0.svc = e.src),
-         |i1 AS (SELECT dst, list_sum(list(c ORDER BY src)) AS infl
-         |  FROM c1 GROUP BY dst),
-         |r1 AS (SELECT svc, round(0.15 / nn.n
-         |    + 0.85 * coalesce(i1.infl, 0), 6) AS rank
-         |  FROM nodes CROSS JOIN nn LEFT JOIN i1 ON i1.dst = nodes.svc),
-         |c2 AS (SELECT e.dst, e.src, r1.rank * e.w / ow.ow AS c
-         |  FROM e JOIN ow USING (src) JOIN r1 ON r1.svc = e.src),
-         |i2 AS (SELECT dst, list_sum(list(c ORDER BY src)) AS infl
-         |  FROM c2 GROUP BY dst),
-         |r2 AS (SELECT svc, round(0.15 / nn.n
-         |    + 0.85 * coalesce(i2.infl, 0), 6) AS rank
-         |  FROM nodes CROSS JOIN nn LEFT JOIN i2 ON i2.dst = nodes.svc)
+         |${DuckOracles.pageRank2("svc")}
          |SELECT svc AS service, rank FROM r2 ORDER BY service""".stripMargin) {
       (s, _) =>
       graft.operators.Traces.serviceCentrality(

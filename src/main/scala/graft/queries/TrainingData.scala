@@ -3463,37 +3463,20 @@ object TrainingData {
     // (adjacent >=4-char words, top-500 heaviest undirected pairs) — the
     // same shared PageRank as the service centrality and host rank
     df("ta_textrank",
-      """WITH tw AS (SELECT list_filter(
-        |    regexp_extract_all(lower(text), '[a-z]+'), t -> len(t) >= 4) AS w
-        |  FROM documents),
-        |pr0 AS (SELECT unnest(w[1:len(w)-1]) AS a, unnest(w[2:len(w)]) AS b
-        |  FROM tw WHERE len(w) >= 2),
-        |cp AS (SELECT least(a, b) AS a, greatest(a, b) AS b,
-        |    count(*) AS cnt
-        |  FROM pr0 WHERE a <> b GROUP BY 1, 2),
-        |te AS (SELECT a, b, cnt FROM cp ORDER BY cnt DESC, a, b LIMIT 500),
-        |e AS (SELECT a AS src, b AS dst, cnt AS w FROM te
-        |  UNION ALL SELECT b, a, cnt FROM te),
-        |nodes AS (SELECT src AS kw FROM e UNION SELECT dst FROM e),
-        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-        |ow AS (SELECT src, CAST(sum(w) AS DOUBLE) AS ow FROM e GROUP BY src),
-        |r0 AS (SELECT kw, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
-        |c1 AS (SELECT e.dst, e.src, r0.rank * e.w / ow.ow AS c
-        |  FROM e JOIN ow USING (src) JOIN r0 ON r0.kw = e.src),
-        |i1 AS (SELECT dst, list_sum(list(c ORDER BY src)) AS infl
-        |  FROM c1 GROUP BY dst),
-        |r1 AS (SELECT kw, round(0.15 / nn.n
-        |    + 0.85 * coalesce(i1.infl, 0), 6) AS rank
-        |  FROM nodes CROSS JOIN nn LEFT JOIN i1 ON i1.dst = nodes.kw),
-        |c2 AS (SELECT e.dst, e.src, r1.rank * e.w / ow.ow AS c
-        |  FROM e JOIN ow USING (src) JOIN r1 ON r1.kw = e.src),
-        |i2 AS (SELECT dst, list_sum(list(c ORDER BY src)) AS infl
-        |  FROM c2 GROUP BY dst),
-        |r2 AS (SELECT kw, round(0.15 / nn.n
-        |    + 0.85 * coalesce(i2.infl, 0), 6) AS rank
-        |  FROM nodes CROSS JOIN nn LEFT JOIN i2 ON i2.dst = nodes.kw)
-        |SELECT kw AS keyword, rank FROM r2
-        |ORDER BY rank DESC, keyword LIMIT 40""".stripMargin) { (s, _) =>
+      s"""WITH tw AS (SELECT list_filter(
+         |    regexp_extract_all(lower(text), '[a-z]+'), t -> len(t) >= 4) AS w
+         |  FROM documents),
+         |pr0 AS (SELECT unnest(w[1:len(w)-1]) AS a, unnest(w[2:len(w)]) AS b
+         |  FROM tw WHERE len(w) >= 2),
+         |cp AS (SELECT least(a, b) AS a, greatest(a, b) AS b,
+         |    count(*) AS cnt
+         |  FROM pr0 WHERE a <> b GROUP BY 1, 2),
+         |te AS (SELECT a, b, cnt FROM cp ORDER BY cnt DESC, a, b LIMIT 500),
+         |e AS (SELECT a AS src, b AS dst, cnt AS w FROM te
+         |  UNION ALL SELECT b, a, cnt FROM te),
+         |${DuckOracles.pageRank2("kw")}
+         |SELECT kw AS keyword, rank FROM r2
+         |ORDER BY rank DESC, keyword LIMIT 40""".stripMargin) { (s, _) =>
       TextAnalysis.textrankKeywords(s.table("documents"), topK = 40,
         minWordLen = 4, maxEdges = 500)
     },

@@ -174,7 +174,7 @@ object WebQueries {
     * ux(doc_id, text, url) — the canonical chain's expected entry. */
   private val duckAnchors =
     """ae AS (SELECT doc_id, unnest(regexp_extract_all(html,
-      |    '(?is)<a\b[^>]*?[\s"'']href\s*=\s*"[^"]*"[^>]*>.*?</a>')) AS elem
+      |    '(?is)<a\b[^>]*?[\s"'']href\s*=\s*"[^"]*"(?:[^>]*[^/>])?>.*?</a>')) AS elem
       |  FROM af),
       |ar AS (SELECT doc_id,
       |  regexp_extract(elem, '(?is)<a\b[^>]*?[\s"'']href\s*=\s*"([^"]*)"', 1) AS href,
@@ -561,17 +561,18 @@ object WebQueries {
          |$duckAnchors,
          |${duckCanonicalChain("doc_id, text")},
          |at AS (SELECT canonical_url, text FROM cx
-         |  WHERE canonical_url IS NOT NULL AND text <> ''),
+         |  WHERE canonical_url IS NOT NULL),
          |ag2 AS (SELECT canonical_url, text, count(*) AS cnt
          |  FROM at GROUP BY 1, 2),
          |sel AS (SELECT canonical_url, text, cnt, row_number() OVER
          |  (PARTITION BY canonical_url ORDER BY cnt DESC, text ASC) AS rn
-         |  FROM ag2),
+         |  FROM ag2 WHERE text <> ''),
          |tot AS (SELECT canonical_url, CAST(sum(cnt) AS BIGINT) AS n_anchors,
-         |  CAST(count(*) AS BIGINT) AS n_texts FROM ag2 GROUP BY 1)
+         |  CAST(count(*) FILTER (WHERE text <> '') AS BIGINT) AS n_texts
+         |  FROM ag2 GROUP BY 1)
          |SELECT t.canonical_url AS canonical_url, t.n_anchors, t.n_texts,
          |  s.text AS top_text, CAST(s.cnt AS BIGINT) AS top_count
-         |FROM tot t JOIN sel s
+         |FROM tot t LEFT JOIN sel s
          |  ON s.canonical_url = t.canonical_url AND s.rn = 1
          |ORDER BY t.canonical_url""".stripMargin) { (s, _) =>
       WebFilters.anchorText(
@@ -591,24 +592,7 @@ object WebQueries {
          |  FROM cx WHERE url IS NOT NULL AND host <> ''
          |    AND host <> 'h' || (doc_id % 7) || '.example.org'
          |  GROUP BY 1, 2),
-         |nodes AS (SELECT src AS h FROM e UNION SELECT dst FROM e),
-         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-         |ow AS (SELECT src, CAST(sum(w) AS DOUBLE) AS ow FROM e GROUP BY src),
-         |r0 AS (SELECT h, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
-         |c1 AS (SELECT e.dst, e.src, r0.rank * e.w / ow.ow AS c
-         |  FROM e JOIN ow USING (src) JOIN r0 ON r0.h = e.src),
-         |i1 AS (SELECT dst, list_sum(list(c ORDER BY src)) AS infl
-         |  FROM c1 GROUP BY dst),
-         |r1 AS (SELECT h, round(0.15 / nn.n
-         |    + 0.85 * coalesce(i1.infl, 0), 6) AS rank
-         |  FROM nodes CROSS JOIN nn LEFT JOIN i1 ON i1.dst = nodes.h),
-         |c2 AS (SELECT e.dst, e.src, r1.rank * e.w / ow.ow AS c
-         |  FROM e JOIN ow USING (src) JOIN r1 ON r1.h = e.src),
-         |i2 AS (SELECT dst, list_sum(list(c ORDER BY src)) AS infl
-         |  FROM c2 GROUP BY dst),
-         |r2 AS (SELECT h, round(0.15 / nn.n
-         |    + 0.85 * coalesce(i2.infl, 0), 6) AS rank
-         |  FROM nodes CROSS JOIN nn LEFT JOIN i2 ON i2.dst = nodes.h)
+         |${DuckOracles.pageRank2("h")}
          |SELECT h AS host, rank FROM r2 ORDER BY host""".stripMargin) { (s, _) =>
       WebFilters.hostRank(
           WebFilters.htmlAnchors(WebFilters.anchorFixture(s.table("documents"))),
@@ -659,10 +643,10 @@ object WebQueries {
         |  UNION ALL
         |  SELECT doc_id, 'https://docs.example.org/n/' || doc_id AS url,
         |    upper(text) AS text FROM base WHERE doc_id % 13 = 1),
-        |ps AS (SELECT url AS canonical_url, md5(text) AS prev_digest
-        |  FROM prev),
-        |cs AS (SELECT url AS canonical_url, md5(text) AS curr_digest
-        |  FROM curr)
+        |ps AS (SELECT url AS canonical_url,
+        |  md5(coalesce(text, '')) AS prev_digest FROM prev),
+        |cs AS (SELECT url AS canonical_url,
+        |  md5(coalesce(text, '')) AS curr_digest FROM curr)
         |SELECT coalesce(ps.canonical_url, cs.canonical_url) AS canonical_url,
         |  CASE WHEN ps.prev_digest IS NULL THEN 'new'
         |    WHEN cs.curr_digest IS NULL THEN 'gone'

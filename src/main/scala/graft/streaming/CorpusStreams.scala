@@ -234,20 +234,21 @@ object CorpusStreams {
                   urlCol: String = "url", textCol: String = "text",
                   prevIdCol: String = "doc_id", prevUrlCol: String = "url",
                   prevTextCol: String = "text"): DataFrame = {
-    val prev = prevSnapshot
-      .select(col(prevIdCol).as("__pid"),
-        graft.operators.WebFilters.urlCanonical(col(prevUrlCol)).as("__pu"),
-        md5(col(prevTextCol)).as("__pd"))
-      .where(col("__pu").isNotNull)
-      .groupBy("__pu")
-      .agg(min(struct(col("__pid"), col("__pd"))).getField("__pd").as("__pd"))
+    // the ONE snapshot-collapse rule, shared with the batch delta so the
+    // gate's verdicts cannot drift from crawlDelta's (spec-pinned); it
+    // also digests NULL content as empty, so a fetched-but-empty page
+    // compares as a real fetch on both sides
+    val prev = graft.operators.WebFilters
+      .snapshotDigests(prevSnapshot, prevIdCol, prevUrlCol, prevTextCol)
+      .select(col("canonical_url").as("__pu"), col("digest").as("__pd"))
     pages
       .withColumn("__cu", graft.operators.WebFilters.urlCanonical(col(urlCol)))
       .where(col("__cu").isNotNull)
       .join(prev, col("__cu") === col("__pu"), "left")
       .withColumn("status",
         when(col("__pd").isNull, lit("new"))
-          .when(col("__pd") === md5(col(textCol)), lit("unchanged"))
+          .when(col("__pd") === md5(coalesce(col(textCol), lit(""))),
+            lit("unchanged"))
           .otherwise(lit("changed")))
       .where(col("status") =!= "unchanged")
       .drop("__cu", "__pu", "__pd")

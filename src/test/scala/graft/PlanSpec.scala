@@ -669,4 +669,81 @@ class PlanSpec extends SparkTestBase {
     assert("Exchange".r.findAllIn(p).size == exchangesAgg,
       s"quantile walk must be map-only on top of the aggregate:\n$p")
   }
+
+  test("anchor-text profile: two partial aggregations, no window, no " +
+    "cartesian — the dominant-text pick is a min(struct) agg") {
+    Tables.register(spark, sfDir)
+    // limit = 0: the fixture's whole-corpus path — an orderBy+limit subset
+    // plans as TakeOrdered whose SinglePartition output satisfies every
+    // downstream clustering, hiding the operator's true exchange shape
+    val p = plan(graft.operators.WebFilters.anchorText(
+      graft.operators.WebFilters.htmlAnchors(
+        graft.operators.WebFilters.anchorFixture(
+          spark.table("documents"), limit = 0))))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window ["), p)
+    // (url,text) agg + url agg, each partial+final (the min(struct) final
+    // pair plans as SortAggregate)
+    assert(("HashAggregate".r.findAllIn(p).size +
+      "SortAggregate".r.findAllIn(p).size) >= 4, p)
+  }
+
+  test("crawl budget windows per host, never a single global partition") {
+    Tables.register(spark, sfDir)
+    val fx = graft.operators.WebFilters.anchorFixture(
+      spark.table("documents"), limit = 0)
+    val p = plan(graft.operators.WebFilters.crawlBudget(
+      graft.operators.WebFilters.urlDedup(
+        graft.operators.WebFilters.htmlLinks(fx)), cap = 3))
+    assert(p.contains("hashpartitioning(host"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("crawl delta joins snapshots on the canonical url key after " +
+    "keep-first partial aggs — no cartesian") {
+    Tables.register(spark, sfDir)
+    // no limit: a global-limit subset is SinglePartition and would mask
+    // the join's true distribution requirement
+    val docs = spark.table("documents")
+      .withColumn("url", concat(lit("https://s.org/d/"), col("doc_id")))
+    val p = plan(graft.operators.WebFilters.crawlDelta(docs, docs))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin [canonical_url") ||
+      p.contains("ShuffledHashJoin [canonical_url") ||
+      p.contains("BroadcastHashJoin [canonical_url"), p)
+  }
+
+  test("wordpiece encode joins the corpus on the uniform word key — no " +
+    "cartesian, no nested loop over the vocabulary") {
+    Tables.register(spark, sfDir)
+    import spark.implicits._
+    val vocab = Seq(("a", 1L), ("b", 1L)).toDF("piece", "cnt")
+    val p = plan(graft.operators.TextAnalysis.wordpieceEncode(
+      spark.table("documents"), vocab))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin [word") ||
+      p.contains("ShuffledHashJoin [word") ||
+      p.contains("BroadcastHashJoin [word"), p)
+  }
+
+  test("sq8 ann is a broadcast-query integer scan with a bounded top-k — " +
+    "the corpus never shuffles") {
+    Tables.register(spark, sfDir)
+    val p = plan(graft.operators.Similarity.annTopKSq8(
+      spark.table("embeddings"), queryId = 7, k = 10))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("textrank caps the edge frame with a bounded top-k before the " +
+    "rank arithmetic — no global sort of the bigram frame") {
+    Tables.register(spark, sfDir)
+    val pairs = graft.operators.TextAnalysis.textrankKeywords(
+      spark.table("documents").limit(50), topK = 10, maxEdges = 100)
+    // the orderBy+limit edge cap plans as TakeOrdered, not Sort+collect
+    assert(plan(pairs).contains("TakeOrderedAndProject"), plan(pairs))
+  }
 }

@@ -208,34 +208,46 @@ class WebFiltersSpec extends SparkTestBase {
                  |<a data-href="/beacon" href="/real">Fish &amp; Chips</a>
                  |<a href="//mirror.org/m">  spaced   out  </a>
                  |<a name="top">no href at all</a>
-                 |<a href="#frag">fragment only</a>""".stripMargin
+                 |<a href="/selfclosed"/><a href="#frag">fragment only</a>""".stripMargin
     val got = WebFilters.htmlAnchors(
         Seq((1L, html, "HTTP://Base.ORG/deep")).toDF(
           "doc_id", "html", "base_url"))
       .orderBy("url").select("url", "text").as[(String, String)]
       .collect().toSeq
+    // the SELF-CLOSING anchor must neither emit an element nor swallow
+    // the next anchor's element (its href still shows up in htmlLinks —
+    // the documented contract difference between the two extractors)
     assert(got == Seq(
       ("http://base.org/real", "Fish & Chips"),
       ("http://mirror.org/m", "spaced out"),
       ("https://other.org/x", "plain bold text")), got)
+    val links = WebFilters.htmlLinks(
+        Seq((1L, html, "HTTP://Base.ORG/deep")).toDF(
+          "doc_id", "html", "base_url"))
+      .select("url").as[String].collect().toSet
+    assert(links.contains("http://base.org/selfclosed"), links)
   }
 
   test("anchorText: dominant text by count, ties to the lexicographically " +
-    "smallest; empty texts don't vote; canonical variants collapse") {
+    "smallest; empty texts count as inlinks but don't vote; an all-empty " +
+    "target reports NULL top; canonical variants collapse") {
     val anchors = Seq(
       (1L, "b", "http://t.org/p?utm_source=x", "beta"),
       (2L, "b", "http://www.t.org/p", "beta"),
       (3L, "b", "http://t.org:80/p", "alpha"),
       (4L, "b", "http://t.org/p", "alpha"),   // 2-2 tie -> alpha wins
-      (5L, "b", "http://t.org/p", ""),        // empty text: no vote
-      (6L, "b", "http://t.org/q", "gamma")
+      (5L, "b", "http://t.org/p", ""),        // counts, doesn't vote
+      (6L, "b", "http://t.org/q", "gamma"),
+      (7L, "b", "http://t.org/icon", "")      // only empty texts -> NULL top
     ).toDF("doc_id", "base_url", "url", "text")
     val got = WebFilters.anchorText(anchors).orderBy("canonical_url")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getString(3), r.getLong(4))).toSeq
+        Option(r.getString(3)), if (r.isNullAt(4)) -1L else r.getLong(4)))
+      .toSeq
     assert(got == Seq(
-      ("http://t.org/p", 4L, 2L, "alpha", 2L),
-      ("http://t.org/q", 1L, 1L, "gamma", 1L)), got)
+      ("http://t.org/icon", 1L, 0L, None, -1L),
+      ("http://t.org/p", 5L, 2L, Some("alpha"), 2L),
+      ("http://t.org/q", 1L, 1L, Some("gamma"), 1L)), got)
   }
 
   test("hostGraph: self-loops excluded, per-host-pair link counts; " +
@@ -258,8 +270,9 @@ class WebFiltersSpec extends SparkTestBase {
     assert(pr == Seq(("a", 0.075), ("b", 0.13875)), pr)
   }
 
-  test("serviceCentrality still delegates to the same math: symmetric " +
-    "two-node flow stays at the uniform fixed point") {
+  test("pageRank: symmetric two-node flow stays at the uniform fixed " +
+    "point (delegation wiring itself is covered by TracesSpec's " +
+    "hand-computed serviceCentrality golden)") {
     val sym = Seq(("a", "b", 3L), ("b", "a", 3L)).toDF("src", "dst", "w")
     val pr = graft.operators.Graphs.pageRank(sym, iters = 3)
       .orderBy("node").collect().map(_.getDouble(1)).toSeq
@@ -312,13 +325,16 @@ class WebFiltersSpec extends SparkTestBase {
       (3L, "http://s.org/dead", "bye"),
       // duplicate canonical in ONE snapshot: keeper is min doc_id's digest
       (5L, "http://s.org/dup?utm_source=x", "from five"),
-      (4L, "http://www.s.org/dup", "from four")
+      (4L, "http://www.s.org/dup", "from four"),
+      // NULL content digests as EMPTY content, never as absence
+      (6L, "http://s.org/nulled", null.asInstanceOf[String])
     ).toDF("doc_id", "url", "text")
     val curr = Seq(
       (10L, "http://s.org/same", "alpha"),
       (11L, "http://s.org/edit", "new text"),
       (12L, "http://s.org/born", "hi"),
-      (13L, "http://s.org/dup", "from four")  // matches prev's keeper (4)
+      (13L, "http://s.org/dup", "from four"), // matches prev's keeper (4)
+      (16L, "http://s.org/nulled", "")        // "" == null's digest
     ).toDF("doc_id", "url", "text")
     val got = WebFilters.crawlDelta(prev, curr).orderBy("canonical_url")
       .select("canonical_url", "status")
@@ -328,6 +344,8 @@ class WebFiltersSpec extends SparkTestBase {
       ("http://s.org/dead", "gone"),
       ("http://s.org/dup", "unchanged"),
       ("http://s.org/edit", "changed"),
+      // a fetched page with NULL/empty content is a real fetch — not gone
+      ("http://s.org/nulled", "unchanged"),
       ("http://s.org/same", "unchanged")), got)
   }
 }
