@@ -138,6 +138,59 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol)).limit(k)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of a LEXICAL and a
+    * DENSE candidate list — rrf = 1/(k0 + lex_rank) + 1/(k0 + ann_rank),
+    * ranks 1-based, a missing membership contributes 0. Fusion is
+    * RANK-only: BM25 scores and cosines live on incomparable scales, and
+    * rank fusion is why RRF beats score mixing without calibration. The
+    * fused score is a fixed-order two-term sum of exact rationals
+    * (1/(k0+rank) with integer denominators), so round(6) is
+    * engine-stable. Inputs are pool-sized frames (id, rank); everything
+    * here is arithmetic on ≤ 2·pool rows. */
+  def rrfFuse(lex: DataFrame, ann: DataFrame, k0: Int = 60,
+              idCol: String = "doc_id"): DataFrame = {
+    require(k0 >= 1, s"bad rrf k0 $k0")
+    lex.select(col(idCol), col("rank").as("bm25_rank"))
+      .join(ann.select(col(idCol), col("rank").as("ann_rank")),
+        Seq(idCol), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(k0) + col("bm25_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0) + col("ann_rank")), lit(0.0)), 6))
+  }
+
+  /** HYBRID retrieval top-k: BM25 over the text corpus fused with exact
+    * cosine over the embedding corpus by [[rrfFuse]] — the standard
+    * two-tower retrieval stack a corpus-mining pipeline runs (lexical
+    * catches exact terms, dense catches paraphrase; the fused list beats
+    * either alone). Each side retrieves a `pool`-sized candidate list;
+    * ranks are row_number over each list's own (score desc, id) order —
+    * the global windows run on POOL-sized frames, never the corpus (the
+    * same bounded-window contract as batchTopK's final phase).
+    * The lexical side ranks documents by `queryTerms`; the dense side
+    * ranks vectors around `queryId` (the corpus id spaces are assumed
+    * shared — the documents/embeddings contract of this corpus). Returns
+    * top `k` of (id, bm25_rank, ann_rank, rrf_score). */
+  def hybridTopKRrf(docs: DataFrame, emb: DataFrame, queryId: Long,
+                    queryTerms: Seq[String], k: Int, pool: Int = 20,
+                    k0: Int = 60, idCol: String = "doc_id",
+                    textCol: String = "text", vecIdCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && pool >= k, s"bad hybrid config (k=$k, pool=$pool)")
+    val wLex = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col(idCol))
+    val lex = TextAnalysis.bm25TopK(docs, queryTerms, pool,
+        idCol = idCol, textCol = textCol)
+      .select(col(idCol), row_number().over(wLex).cast("long").as("rank"))
+    val wAnn = org.apache.spark.sql.expressions.Window
+      .orderBy(col("sim").desc, col(vecIdCol))
+    val ann = cosineTopK(emb, queryId, pool, vecIdCol, vecCol)
+      .select(col(vecIdCol).as(idCol),
+        row_number().over(wAnn).cast("long").as("rank"))
+    rrfFuse(lex, ann, k0, idCol)
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Sign-bit binary quantization: one bit per dimension (x >= 0), packed
     * 32 bits per BIGINT word (bit d of word w = sign of dimension
     * 32w + d) — 32× smaller than fp32 conceptually, the coarsest tier of

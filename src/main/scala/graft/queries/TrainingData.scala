@@ -2798,6 +2798,48 @@ object TrainingData {
         rerank = 40)
     },
 
+    // hybrid retrieval: BM25 candidates + exact-cosine candidates fused by
+    // reciprocal rank (rank-only — lexical and dense scores never compare
+    // directly); fused score is a fixed-order sum of exact rationals
+    df("ss_hybrid_rrf",
+      """WITH base AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |b AS (SELECT doc_id, ws, CAST(len(ws) AS DOUBLE) AS dl FROM base WHERE len(ws) > 0),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM b),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(ws) AS term FROM b) x
+        |  WHERE term IN ('vector', 'merge', 'spark') GROUP BY doc_id, dl, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |c AS (SELECT tf.doc_id,
+        |  CAST(round(ln(1 + (s.n_docs - df + 0.5) / (df + 0.5))
+        |    * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)), 6)
+        |    AS DECIMAL(18,6)) AS w
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s),
+        |lex AS (SELECT doc_id, CAST(round(sum(w), 4) AS DOUBLE) AS score
+        |  FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
+        |lr AS (SELECT doc_id,
+        |  row_number() OVER (ORDER BY score DESC, doc_id) AS br FROM lex),
+        |e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q2 AS (SELECT v AS qv FROM e2 WHERE vec_id = 7),
+        |sc2 AS (SELECT vec_id, round(
+        |    list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i]))
+        |    / (sqrt(list_sum(list_transform(v, x -> x * x)))
+        |      * sqrt(list_sum(list_transform(qv, x -> x * x)))), 4) AS sim
+        |  FROM e2 CROSS JOIN q2 WHERE vec_id <> 7
+        |  ORDER BY sim DESC, vec_id LIMIT 20),
+        |ar AS (SELECT vec_id AS doc_id,
+        |  row_number() OVER (ORDER BY sim DESC, vec_id) AS ar FROM sc2)
+        |SELECT coalesce(lr.doc_id, ar.doc_id) AS doc_id,
+        |  lr.br AS bm25_rank, ar.ar AS ann_rank,
+        |  round(coalesce(1.0 / (60 + lr.br), 0)
+        |    + coalesce(1.0 / (60 + ar.ar), 0), 6) AS rrf_score
+        |FROM lr FULL OUTER JOIN ar ON lr.doc_id = ar.doc_id
+        |ORDER BY rrf_score DESC, doc_id LIMIT 15""".stripMargin) { (s, _) =>
+      Similarity.hybridTopKRrf(s.table("documents"), s.table("embeddings"),
+        queryId = 7, queryTerms = Seq("vector", "merge", "spark"), k = 15)
+    },
+
     // ---- corpus-curation filters (C4 / Gopher / chunk dedup / packing) ----
 
     // C4 line filter (Raffel et al. 2020): terminal-punctuation lines with

@@ -748,6 +748,40 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("rrf fusion: membership in BOTH lists beats a single top rank, " +
+    "missing members contribute zero, hand-computed round(6) goldens") {
+    import spark.implicits._
+    val lex = Seq((10L, 1L), (11L, 3L)).toDF("doc_id", "rank")
+    val ann = Seq((11L, 3L), (12L, 1L)).toDF("doc_id", "rank")
+    val got = Similarity.rrfFuse(lex, ann)
+      .orderBy(col("rrf_score").desc, col("doc_id")).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getDouble(r.fieldIndex("rrf_score")))).toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 11 sits at rank 3 in BOTH lists yet outranks the docs that top
+    // ONE list — the RRF property that makes hybrid retrieval robust
+    assert(got == Seq(
+      (11L, r6(1.0 / 63 + 1.0 / 63)),
+      (10L, r6(1.0 / 61)), (12L, r6(1.0 / 61))), got)
+  }
+
+  test("hybrid rrf top-k on the corpus: every fused row carries at least " +
+    "one rank, both-list rows dominate, output is k rows") {
+    Tables.register(spark, sfDir)
+    val got = Similarity.hybridTopKRrf(spark.table("documents"),
+      spark.table("embeddings"), queryId = 7,
+      queryTerms = Seq("vector", "merge", "spark"), k = 10).collect()
+    assert(got.length == 10, got.length)
+    got.foreach { r =>
+      val hasLex = !r.isNullAt(r.fieldIndex("bm25_rank"))
+      val hasAnn = !r.isNullAt(r.fieldIndex("ann_rank"))
+      assert(hasLex || hasAnn, r)
+    }
+    val scores = got.map(_.getDouble(3)).toSeq
+    assert(scores == scores.sorted.reverse, scores)
+  }
+
   test("sq8 ann: a zero vector ranks last on the integer path instead of " +
     "dividing by zero, and never displaces a real candidate") {
     import spark.implicits._
