@@ -609,6 +609,94 @@ object WebFilters {
           .as("keep_rate"))
   }
 
+  /** Parse sitemap XML bodies (sitemaps.org protocol, text-skeleton
+    * subset a SQL oracle replays byte-for-byte — the crawl DISCOVERY
+    * channel beside link extraction: a site's own list of URLs with
+    * freshness hints): one row per `<url>` entry — entity-decoded `<loc>`
+    * plus optional `lastmod` / `changefreq` / `priority` (missing → NULL,
+    * never an error; an entry with no loc is skipped — there is nothing
+    * to crawl). Map-only after one explode per sitemap file; composes
+    * with [[urlFilter]]/[[robotsFilter]]/[[urlDedup]] exactly like
+    * extracted outlinks. Output (host, loc, lastmod, changefreq,
+    * priority). */
+  def sitemapParse(sitemaps: DataFrame, hostCol: String = "host",
+                   bodyCol: String = "body"): DataFrame = {
+    val entry = col("__e")
+    def tag(name: String) =
+      regexp_extract(entry, s"(?is)<$name[^>]*>(.*?)</$name>", 1)
+    val locRaw = wsNorm(decodeEntities(tag("loc")))
+    val prioRaw = wsNorm(tag("priority"))
+    sitemaps.select(col(hostCol).as("host"),
+        explode(regexp_extract_all(col(bodyCol),
+          lit("(?is)<url\\b[^>]*>.*?</url>"), lit(0))).as("__e"))
+      .select(col("host"), locRaw.as("loc"),
+        when(wsNorm(tag("lastmod")) === "", lit(null).cast("string"))
+          .otherwise(wsNorm(tag("lastmod"))).as("lastmod"),
+        when(wsNorm(tag("changefreq")) === "", lit(null).cast("string"))
+          .otherwise(wsNorm(tag("changefreq"))).as("changefreq"),
+        when(prioRaw.rlike("^[0-9.]+$"), prioRaw.cast("double"))
+          .otherwise(lit(null).cast("double")).as("priority"))
+      .where(col("loc") =!= "")
+  }
+
+  /** Sitemap-driven RECRAWL schedule: sitemap entries joined to the crawl
+    * store's per-canonical-URL last-crawl time — an entry is `due` when
+    * never crawled OR its declared lastmod is strictly later than the
+    * stored crawl time (string compare — both sides are ISO-8601 dates,
+    * where lexicographic IS chronological; an entry with no lastmod is
+    * due only if never crawled, the conservative read of the protocol's
+    * optional field). One equi-join on the canonical URL, the crawl
+    * store's natural bucket key. Output adds (canonical_url, crawled_at,
+    * due). */
+  def sitemapRecrawl(entries: DataFrame, crawled: DataFrame,
+                     locCol: String = "loc", crawledUrlCol: String = "url",
+                     crawledAtCol: String = "crawled_at"): DataFrame = {
+    val store = crawled.select(
+        urlCanonical(col(crawledUrlCol)).as("__cu"),
+        col(crawledAtCol).as("crawled_at"))
+      .where(col("__cu").isNotNull)
+      .groupBy("__cu").agg(max(col("crawled_at")).as("crawled_at"))
+    entries.withColumn("canonical_url", urlCanonical(col(locCol)))
+      .where(col("canonical_url").isNotNull)
+      .join(store, col("canonical_url") === col("__cu"), "left")
+      .withColumn("due", col("crawled_at").isNull ||
+        (col("lastmod").isNotNull && col("lastmod") > col("crawled_at")))
+      .drop("__cu")
+  }
+
+  /** Declared-canonical extraction: the page's own
+    * `<link rel="canonical" href="…">` (both attribute orders), entity-
+    * decoded — the dedup signal a site PUBLISHES (print/mobile/tracking
+    * variants all declare one canonical). Empty when absent. */
+  def relCanonical(html: Column): Column = {
+    val relFirst = regexp_extract(html,
+      "(?is)<link\\b[^>]*\\brel\\s*=\\s*\"canonical\"[^>]*?[\\s\"']href\\s*=\\s*\"([^\"]*)\"", 1)
+    val hrefFirst = regexp_extract(html,
+      "(?is)<link\\b[^>]*?[\\s\"']href\\s*=\\s*\"([^\"]*)\"[^>]*\\brel\\s*=\\s*\"canonical\"", 1)
+    decodeEntities(when(relFirst =!= "", relFirst).otherwise(hrefFirst))
+  }
+
+  /** Dedup by DECLARED canonical: group pages by their self-declared
+    * rel=canonical target (canonicalized; pages declaring none fall back
+    * to their own canonical URL), keep-first per group — catches the
+    * variant sets [[urlCanonical]]'s syntactic rules cannot see (print
+    * views, mobile subdomains, session-id paths) because the SITE says
+    * they are one page. A page declaring an UNPARSEABLE canonical drops
+    * (declaring garbage is not declaring nothing — silently falling back
+    * to self would merge a misconfigured variant set into distinct
+    * pages). Same min-struct partial-agg shape as [[urlDedup]]. */
+  def relCanonicalDedup(pages: DataFrame, idCol: String = "doc_id",
+                        urlCol: String = "url",
+                        htmlCol: String = "html"): DataFrame = {
+    val declared = relCanonical(col(htmlCol))
+    val key = urlCanonical(
+      when(declared =!= "", declared).otherwise(col(urlCol)))
+    pages.select(col(idCol), key.as("canonical_target"))
+      .where(col("canonical_target").isNotNull)
+      .groupBy("canonical_target")
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("group_size"))
+  }
+
   /** Deterministic cross-host ANCHOR fixture over the `documents` table
     * (same construction as a DuckDB CTE — the oracle replays on
     * identical bytes): seven hosts h0–h6.example.org; each doc's page

@@ -249,6 +249,52 @@ object WebQueries {
       |    AND stop_hits >= 2) AS gopher_keep
       |  FROM gs)""".stripMargin
 
+  /** Shared DuckDB sitemap fixture (mirrors [[sitemapFixture]] byte for
+    * byte): per-host urlset bodies, one loc-less entry per host at the
+    * head. Ends at sm(host, body). */
+  private val duckSitemapFixture =
+    """sm0 AS (SELECT doc_id, 'h' || (doc_id % 5) || '.example.org' AS host,
+      |  '<url><loc>https://h' || (doc_id % 5) || '.example.org/page/' || doc_id ||
+      |    CASE WHEN doc_id % 4 = 1 THEN '?a=1&amp;b=2' ELSE '' END || '</loc>' ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '' ELSE '<lastmod>2026-01-' ||
+      |      lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0') || '</lastmod>' END ||
+      |    CASE WHEN doc_id % 4 = 2 THEN '<changefreq>daily</changefreq>'
+      |      WHEN doc_id % 4 = 3 THEN '<changefreq>weekly</changefreq>'
+      |      ELSE '' END ||
+      |    CASE WHEN doc_id % 2 = 1 THEN '<priority>0.' || (doc_id % 10) ||
+      |      '</priority>' ELSE '' END ||
+      |    '</url>' AS rec
+      |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200) d),
+      |sm AS (SELECT host,
+      |    '<?xml version="1.0"?><urlset><url><lastmod>2026-01-01</lastmod></url>' ||
+      |    string_agg(rec, '' ORDER BY doc_id) || '</urlset>' AS body
+      |  FROM sm0 GROUP BY host)""".stripMargin
+
+  /** Shared DuckDB sitemap-entry chain over sm (mirrors
+    * WebFilters.sitemapParse): explode url blocks, tag extraction,
+    * entity-decoded loc, NULLed optional fields, loc-less entries
+    * skipped. Ends at se(host, loc, lastmod, changefreq, priority). */
+  private val duckSitemapEntries =
+    """sp0 AS (SELECT host, unnest(regexp_extract_all(body,
+      |    '(?is)<url\b[^>]*>.*?</url>')) AS e FROM sm),
+      |se0 AS (SELECT host,
+      |  trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+      |    coalesce(regexp_extract(e, '(?is)<loc[^>]*>(.*?)</loc>', 1), ''),
+      |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+      |    '&nbsp;', ' '), '&amp;', '&'), '\s+', ' ', 'g')) AS loc,
+      |  trim(regexp_replace(coalesce(regexp_extract(e,
+      |    '(?is)<lastmod[^>]*>(.*?)</lastmod>', 1), ''), '\s+', ' ', 'g')) AS lm,
+      |  trim(regexp_replace(coalesce(regexp_extract(e,
+      |    '(?is)<changefreq[^>]*>(.*?)</changefreq>', 1), ''), '\s+', ' ', 'g')) AS cf,
+      |  trim(regexp_replace(coalesce(regexp_extract(e,
+      |    '(?is)<priority[^>]*>(.*?)</priority>', 1), ''), '\s+', ' ', 'g')) AS pr
+      |  FROM sp0),
+      |se AS (SELECT host, loc,
+      |  nullif(lm, '') AS lastmod, nullif(cf, '') AS changefreq,
+      |  CASE WHEN regexp_matches(pr, '^[0-9.]+$') THEN CAST(pr AS DOUBLE)
+      |    ELSE NULL END AS priority
+      |  FROM se0 WHERE loc <> '')""".stripMargin
+
   /** The Spark-side URL fixture — one URL shape per doc_id mod 6. */
   private def urlFixture(docs: org.apache.spark.sql.DataFrame) = {
     val grp = floor(col("doc_id") / 12).cast("long").cast("string")
@@ -672,5 +718,141 @@ object WebQueries {
               col("doc_id").cast("string")).as("url"),
             upper(col("text")).as("text")))
       WebFilters.crawlDelta(prev, curr).orderBy("canonical_url")
+    },
+
+    // sitemap parsing (the crawl DISCOVERY channel beside links): per-host
+    // urlset bodies round-tripped to entry rows — entity-decoded loc,
+    // optional lastmod/changefreq/priority, loc-less entries skipped
+    df("ta_sitemap_parse",
+      s"""WITH $duckSitemapFixture,
+         |$duckSitemapEntries
+         |SELECT host, loc, lastmod, changefreq, priority
+         |FROM se ORDER BY host, loc""".stripMargin) { (s, _) =>
+      WebFilters.sitemapParse(sitemapFixture(s.table("documents")))
+        .orderBy("host", "loc")
+    },
+
+    // sitemap-driven recrawl schedule: due = never crawled OR declared
+    // lastmod strictly later than the stored crawl time (ISO dates —
+    // lexicographic IS chronological)
+    df("ta_sitemap_recrawl",
+      s"""WITH $duckSitemapFixture,
+         |$duckSitemapEntries,
+         |ux AS (SELECT 0 AS doc_id, loc AS url, lastmod FROM se),
+         |${duckCanonicalChain("doc_id, lastmod")},
+         |store AS (SELECT 'https://h' || (doc_id % 5) || '.example.org/page/'
+         |    || doc_id AS u0, '2026-01-10' AS crawled_at
+         |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200) d
+         |  WHERE doc_id % 2 = 0),
+         |sx AS (SELECT u0 AS cu, max(crawled_at) AS crawled_at
+         |  FROM store GROUP BY u0)
+         |SELECT cx.canonical_url, cx.lastmod, sx.crawled_at,
+         |  (sx.crawled_at IS NULL OR (cx.lastmod IS NOT NULL
+         |    AND cx.lastmod > sx.crawled_at)) AS due
+         |FROM cx LEFT JOIN sx ON sx.cu = cx.canonical_url
+         |WHERE cx.canonical_url IS NOT NULL
+         |ORDER BY canonical_url""".stripMargin) { (s, _) =>
+      val entries = WebFilters.sitemapParse(
+        sitemapFixture(s.table("documents")))
+      val crawled = s.table("documents").orderBy("doc_id").limit(200)
+        .where(col("doc_id") % 2 === 0)
+        .select(concat(lit("https://h"), (col("doc_id") % 5).cast("string"),
+            lit(".example.org/page/"), col("doc_id").cast("string")).as("url"),
+          lit("2026-01-10").as("crawled_at"))
+      WebFilters.sitemapRecrawl(entries, crawled)
+        .select("canonical_url", "lastmod", "crawled_at", "due")
+        .orderBy("canonical_url")
+    },
+
+    // declared-canonical dedup: pages grouped by their own rel=canonical
+    // target (both attribute orders, entity decode, tracking params
+    // strip) — the variant sets syntactic canonicalization can't see
+    df("dd_rel_canonical",
+      s"""WITH rc AS (SELECT doc_id,
+         |  'https://self.example.org/d/' || doc_id AS url0,
+         |  '<html><head>' || CASE doc_id % 4
+         |    WHEN 0 THEN '<link rel="canonical" href="https://c.example.org/p/'
+         |      || (doc_id // 4) || '"/>'
+         |    WHEN 1 THEN '<link href="https://c.example.org/p/' || (doc_id // 4)
+         |      || '" rel="canonical"/>'
+         |    WHEN 2 THEN '<link rel="canonical" href="https://c.example.org/p/'
+         |      || (doc_id // 4) || '?utm_source=x&amp;fbclid=z"/>'
+         |    ELSE '' END || '</head><body></body></html>' AS html
+         |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200) d),
+         |dx AS (SELECT doc_id, url0,
+         |  replace(replace(replace(replace(replace(replace(
+         |    CASE WHEN coalesce(regexp_extract(html,
+         |      '(?is)<link\\b[^>]*\\brel\\s*=\\s*"canonical"[^>]*?[\\s"'']href\\s*=\\s*"([^"]*)"', 1), '') <> ''
+         |    THEN regexp_extract(html,
+         |      '(?is)<link\\b[^>]*\\brel\\s*=\\s*"canonical"[^>]*?[\\s"'']href\\s*=\\s*"([^"]*)"', 1)
+         |    ELSE coalesce(regexp_extract(html,
+         |      '(?is)<link\\b[^>]*?[\\s"'']href\\s*=\\s*"([^"]*)"[^>]*\\brel\\s*=\\s*"canonical"', 1), '') END,
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+         |    '&nbsp;', ' '), '&amp;', '&') AS decl
+         |  FROM rc),
+         |ux AS (SELECT doc_id,
+         |  CASE WHEN decl <> '' THEN decl ELSE url0 END AS url FROM dx),
+         |$duckUrlCanonical
+         |SELECT canonical_url AS canonical_target,
+         |  CAST(min(doc_id) AS BIGINT) AS keeper,
+         |  CAST(count(*) AS BIGINT) AS group_size
+         |FROM cx WHERE canonical_url IS NOT NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, _) =>
+      val grp = floor(col("doc_id") / 4).cast("long").cast("string")
+      val pages = s.table("documents").orderBy("doc_id").limit(200)
+        .select(col("doc_id"),
+          concat(lit("https://self.example.org/d/"),
+            col("doc_id").cast("string")).as("url"),
+          concat(lit("<html><head>"),
+            when(col("doc_id") % 4 === 0,
+              concat(lit("<link rel=\"canonical\" href=\"https://c.example.org/p/"),
+                grp, lit("\"/>")))
+              .when(col("doc_id") % 4 === 1,
+                concat(lit("<link href=\"https://c.example.org/p/"), grp,
+                  lit("\" rel=\"canonical\"/>")))
+              .when(col("doc_id") % 4 === 2,
+                concat(lit("<link rel=\"canonical\" href=\"https://c.example.org/p/"),
+                  grp, lit("?utm_source=x&amp;fbclid=z\"/>")))
+              .otherwise(lit("")),
+            lit("</head><body></body></html>")).as("html"))
+      WebFilters.relCanonicalDedup(pages).orderBy("canonical_target")
     })
+
+  /** Spark-side sitemap fixture (mirrors [[duckSitemapFixture]] byte for
+    * byte): five hosts, one urlset body per host built from the docs —
+    * entries carry an entity-escaped query, optional lastmod/changefreq/
+    * priority by doc_id residue, plus one loc-less entry per host that
+    * the parser must skip. */
+  private def sitemapFixture(docs: org.apache.spark.sql.DataFrame) = {
+    val id = col("doc_id").cast("string")
+    val entry = concat(
+      lit("<url><loc>https://h"), (col("doc_id") % 5).cast("string"),
+      lit(".example.org/page/"), id,
+      when(col("doc_id") % 4 === 1, lit("?a=1&amp;b=2")).otherwise(lit("")),
+      lit("</loc>"),
+      when(col("doc_id") % 3 === 0, lit(""))
+        .otherwise(concat(lit("<lastmod>2026-01-"),
+          lpad(((col("doc_id") % 27) + 1).cast("string"), 2, "0"),
+          lit("</lastmod>"))),
+      when(col("doc_id") % 4 === 2, lit("<changefreq>daily</changefreq>"))
+        .when(col("doc_id") % 4 === 3, lit("<changefreq>weekly</changefreq>"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 2 === 1,
+        concat(lit("<priority>0."), (col("doc_id") % 10).cast("string"),
+          lit("</priority>"))).otherwise(lit("")),
+      lit("</url>"))
+    docs.orderBy("doc_id").limit(200)
+      .select(col("doc_id"),
+        concat(lit("h"), (col("doc_id") % 5).cast("string"),
+          lit(".example.org")).as("host"),
+        entry.as("rec"))
+      .groupBy("host")
+      .agg(concat(
+        lit("<?xml version=\"1.0\"?><urlset>" +
+          "<url><lastmod>2026-01-01</lastmod></url>"),
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+          x => x.getField("rec"))),
+        lit("</urlset>")).as("body"))
+  }
 }

@@ -299,6 +299,72 @@ class WebFiltersSpec extends SparkTestBase {
     }
   }
 
+  test("sitemapParse: entity-decoded locs, optional fields NULL when " +
+    "absent, malformed priority NULL, loc-less entries skipped") {
+    val body = """<?xml version="1.0"?><urlset>
+      |<url><loc> https://a.org/full?x=1&amp;y=2 </loc><lastmod>2026-02-03</lastmod>
+      |<changefreq>daily</changefreq><priority>0.8</priority></url>
+      |<url><loc>https://a.org/min</loc></url>
+      |<url><lastmod>2026-01-01</lastmod></url>
+      |<url><loc>https://a.org/bad</loc><priority>N/A</priority></url>
+      |</urlset>""".stripMargin
+    val got = WebFilters.sitemapParse(Seq(("a.org", body)).toDF("host", "body"))
+      .orderBy("loc").collect()
+      .map(r => (r.getString(1), Option(r.getString(2)),
+        Option(r.getString(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(got == Seq(
+      ("https://a.org/bad", None, None, None),
+      ("https://a.org/full?x=1&y=2", Some("2026-02-03"), Some("daily"),
+        Some(0.8)),
+      ("https://a.org/min", None, None, None)), got)
+  }
+
+  test("sitemapRecrawl: never-crawled and newer-lastmod entries are due; " +
+    "older lastmod and lastmod-less crawled entries are not") {
+    val entries = WebFilters.sitemapParse(Seq(("a.org",
+      "<urlset>" +
+        "<url><loc>https://a.org/new</loc><lastmod>2026-02-01</lastmod></url>" +
+        "<url><loc>https://a.org/fresh</loc><lastmod>2026-02-01</lastmod></url>" +
+        "<url><loc>https://a.org/stale</loc><lastmod>2026-01-01</lastmod></url>" +
+        "<url><loc>https://a.org/nomod</loc></url>" +
+        "</urlset>")).toDF("host", "body"))
+    val crawled = Seq(
+      (1L, "https://a.org/fresh", "2026-01-15"),
+      (2L, "https://a.org/stale", "2026-01-15"),
+      (3L, "https://a.org/nomod", "2026-01-15")
+    ).toDF("doc_id", "url", "crawled_at")
+    val got = WebFilters.sitemapRecrawl(entries, crawled)
+      .orderBy("canonical_url")
+      .select("canonical_url", "due").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    assert(got == Seq(
+      ("https://a.org/fresh", true),   // lastmod after crawl
+      ("https://a.org/new", true),     // never crawled
+      ("https://a.org/nomod", false),  // crawled, no lastmod claim
+      ("https://a.org/stale", false)), got)
+  }
+
+  test("relCanonicalDedup: both attribute orders and entity decode " +
+    "collapse variants; no declaration falls back to self; a garbage " +
+    "declaration drops the page") {
+    val pages = Seq(
+      (1L, "https://self.org/a",
+        "<head><link rel=\"canonical\" href=\"https://c.org/one\"/></head>"),
+      (2L, "https://self.org/b",
+        "<head><link href=\"https://c.org/one?utm_source=x&amp;gclid=1\" " +
+          "rel=\"canonical\"/></head>"),
+      (3L, "https://self.org/c", "<head></head>"),          // self
+      (4L, "https://self.org/d",
+        "<head><link rel=\"canonical\" href=\"not a url\"/></head>") // drops
+    ).toDF("doc_id", "url", "html")
+    val got = WebFilters.relCanonicalDedup(pages).orderBy("canonical_target")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("https://c.org/one", 1L, 2L),
+      ("https://self.org/c", 3L, 1L)), got)
+  }
+
   test("hostQuality: canonical-host rollup of C4/Gopher keep rates — " +
     "hand-computed golden with url variants collapsing to one host") {
     val goodLine =
