@@ -20,6 +20,9 @@ import org.apache.spark.sql.SparkSession
   *        has no metric points, and row count x cardinality is the cost)
   *      logtmpl (k = maxDistinct budget; documents.text as log bodies)
   *      unigram (k = EM iterations; distributed-E-step trainer)
+  *      anchors (k = PR iters) | wordpiece (k = vocabSize) |
+  *      sq8 (k = rerank) | textrank (k = maxEdges) — full-corpus web/
+  *        tokenizer/ANN probes (no LIMIT fixtures)
   * env SPARK_GRAFT_PROBE_EXPLAIN=1 prints the executed plan once. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -254,6 +257,29 @@ object ScaleProbe {
                   col("doc_id").cast("string"))))
             .withColumn("canonical_url",
               operators.WebFilters.urlCanonical(col("url")))
+        case "anchors" =>
+          // full-corpus anchor extraction -> host graph -> PageRank (the
+          // web-graph family end to end; k = PR iterations)
+          val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          operators.WebFilters.hostRank(
+            operators.WebFilters.htmlAnchors(
+              operators.WebFilters.anchorFixture(d, limit = 0)),
+            iters = if (k > 0) k else 2)
+        case "wordpiece" =>
+          // vocab (seed rule) + whole-corpus encode; k = vocabSize
+          val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          TextAnalysis.wordpieceEncode(d,
+            TextAnalysis.wordpieceVocab(d,
+              vocabSize = if (k > 0) k else 256, maxPieceLen = 4))
+        case "sq8" =>
+          // full-corpus integer scan + rerank (k = rerank window)
+          Similarity.annTopKSq8(emb, queryId = 7, k = 10,
+            rerank = if (k > 0) k else 40)
+        case "textrank" =>
+          // whole-corpus co-occurrence graph (k = maxEdges cap)
+          TextAnalysis.textrankKeywords(
+            spark.read.parquet(s"$sfDir/documents.parquet"),
+            topK = 50, maxEdges = if (k > 0) k else 10000)
         case "unigram" =>
           // whole trainer timed (seed pass + k EM rounds, all distributed;
           // the internal jobs run eagerly so the noop write adds nothing)
