@@ -300,8 +300,13 @@ object Multimodal {
     * integer form `long_side · aspectQ <= aspectP · short_side` so the
     * rule is exact in any engine — plus a minimum encoded-byte rule
     * (0 disables; encoded size is encoder-specific, so the byte rule is
-    * operator-level only, never oracle-replayed). Map-only, one decode
-    * per item; composes with the streaming gates unchanged. */
+    * operator-level only, never oracle-replayed). UNDECODABLE bytes are
+    * a REJECT verdict (decode_ok=false, NULL dims, keep=false), never a
+    * job failure — a curation gate exists to discard junk, and real
+    * crawls always contain truncated fetches (contrast dHash/aHash,
+    * where a decode is semantically required and failure must surface).
+    * Map-only, one decode per item; composes with the streaming gates
+    * unchanged. */
   def imageFilter(media: Dataset[MediaItem], minDim: Int = 6,
                   aspectP: Int = 2, aspectQ: Int = 1,
                   minBytes: Int = 0): DataFrame = {
@@ -311,13 +316,15 @@ object Multimodal {
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
-        val img = decodeOf(m)
-        (m.media_id, img.getWidth.toLong, img.getHeight.toLong,
-          m.content.length.toLong)
+        val dims = scala.util.Try(decodeOf(m))
+          .toOption.map(i => (i.getWidth.toLong, i.getHeight.toLong))
+        (m.media_id, dims.map(_._1), dims.map(_._2),
+          m.content.length.toLong, dims.isDefined)
       }
-    }.toDF("media_id", "width", "height", "n_bytes")
-      .withColumn("dim_ok", least(col("width"), col("height")) >= minDim)
-      .withColumn("aspect_ok",
+    }.toDF("media_id", "width", "height", "n_bytes", "decode_ok")
+      .withColumn("dim_ok", col("decode_ok") &&
+        least(col("width"), col("height")) >= minDim)
+      .withColumn("aspect_ok", col("decode_ok") &&
         greatest(col("width"), col("height")) * aspectQ <=
           least(col("width"), col("height")) * aspectP)
       .withColumn("bytes_ok", col("n_bytes") >= minBytes)

@@ -419,15 +419,19 @@ object WebFilters {
 
   /** A complete anchor ELEMENT with an href (the [[HrefPat]] attribute
     * contract inside it): group 0 is the whole `<a …>…</a>` span — lazy
-    * body, so the element ends at its own first `</a>`. The opening
-    * tag's `>` must not be preceded by `/` (RE2-safe optional group, no
-    * lookaround), so a SELF-CLOSING `<a href=…/>` never starts a match
-    * that would swallow the next anchor's element. Self-closing and
-    * unclosed anchors therefore appear in [[htmlLinks]] (href-level) but
-    * not here (element-level needs a body) — the documented contract
-    * difference between the two extractors. */
+    * body, so the element ends at its own first `</a>`. A tag ending
+    * `/>` with the slash after a QUOTE or WHITESPACE (the XML
+    * self-closing forms `…"/>`/`… />`) never starts a match — a
+    * self-closing anchor must not swallow the next anchor's element —
+    * while a slash that merely terminates an UNQUOTED attribute value
+    * (`data-u=http://x.org/>`) still opens a real element (RE2-safe
+    * alternation, no lookaround). Self-closing and unclosed anchors
+    * therefore appear in [[htmlLinks]] (href-level) but not here
+    * (element-level needs a body) — the documented contract difference
+    * between the two extractors. */
   val AnchorElemPat: String =
-    "(?is)<a\\b[^>]*?[\\s\"']href\\s*=\\s*\"[^\"]*\"(?:[^>]*[^/>])?>.*?</a>"
+    "(?is)<a\\b[^>]*?[\\s\"']href\\s*=\\s*\"[^\"]*\"" +
+      "(?:[^>]*[^/>]|[^>]*[^\\s\"'>]/)?>.*?</a>"
 
   /** Outlinks WITH their anchor text — the web graph's labeled edges
     * (anchor text is the classic off-page relevance/quality signal:
@@ -625,16 +629,21 @@ object WebFilters {
     def tag(name: String) =
       regexp_extract(entry, s"(?is)<$name[^>]*>(.*?)</$name>", 1)
     val locRaw = wsNorm(decodeEntities(tag("loc")))
+    val lmRaw = wsNorm(tag("lastmod"))
+    val cfRaw = wsNorm(tag("changefreq"))
     val prioRaw = wsNorm(tag("priority"))
+    def emptyToNull(c: Column) =
+      when(c === "", lit(null).cast("string")).otherwise(c)
     sitemaps.select(col(hostCol).as("host"),
         explode(regexp_extract_all(col(bodyCol),
           lit("(?is)<url\\b[^>]*>.*?</url>"), lit(0))).as("__e"))
       .select(col("host"), locRaw.as("loc"),
-        when(wsNorm(tag("lastmod")) === "", lit(null).cast("string"))
-          .otherwise(wsNorm(tag("lastmod"))).as("lastmod"),
-        when(wsNorm(tag("changefreq")) === "", lit(null).cast("string"))
-          .otherwise(wsNorm(tag("changefreq"))).as("changefreq"),
-        when(prioRaw.rlike("^[0-9.]+$"), prioRaw.cast("double"))
+        emptyToNull(lmRaw).as("lastmod"),
+        emptyToNull(cfRaw).as("changefreq"),
+        // the sitemaps.org priority grammar (digits, optional fraction) —
+        // a looser [0-9.]+ admits '1.2.3', which this cast NULLs silently
+        // but an ANSI engine (and the DuckDB oracle) would hard-error on
+        when(prioRaw.rlike("^[0-9]+(\\.[0-9]+)?$"), prioRaw.cast("double"))
           .otherwise(lit(null).cast("double")).as("priority"))
       .where(col("loc") =!= "")
   }
@@ -669,10 +678,14 @@ object WebFilters {
     * decoded — the dedup signal a site PUBLISHES (print/mobile/tracking
     * variants all declare one canonical). Empty when absent. */
   def relCanonical(html: Column): Column = {
+    // [\s"']rel, not \brel: '-' is a word boundary, so \brel would match
+    // inside data-rel="canonical" and dedup every page carrying such a
+    // tag into one group keyed by whatever that link's href is — the
+    // same delimiter-anchoring HrefPat uses against data-href
     val relFirst = regexp_extract(html,
-      "(?is)<link\\b[^>]*\\brel\\s*=\\s*\"canonical\"[^>]*?[\\s\"']href\\s*=\\s*\"([^\"]*)\"", 1)
+      "(?is)<link\\b[^>]*?[\\s\"']rel\\s*=\\s*\"canonical\"[^>]*?[\\s\"']href\\s*=\\s*\"([^\"]*)\"", 1)
     val hrefFirst = regexp_extract(html,
-      "(?is)<link\\b[^>]*?[\\s\"']href\\s*=\\s*\"([^\"]*)\"[^>]*\\brel\\s*=\\s*\"canonical\"", 1)
+      "(?is)<link\\b[^>]*?[\\s\"']href\\s*=\\s*\"([^\"]*)\"[^>]*?[\\s\"']rel\\s*=\\s*\"canonical\"", 1)
     decodeEntities(when(relFirst =!= "", relFirst).otherwise(hrefFirst))
   }
 

@@ -261,7 +261,7 @@ object MultimodalQueries {
         |    4 + doc_id % 13 AS w0, 3 + doc_id % 11 AS h0
         |  FROM documents ORDER BY media_id LIMIT 150)
         |SELECT media_id, CAST(w0 AS BIGINT) AS width,
-        |  CAST(h0 AS BIGINT) AS height,
+        |  CAST(h0 AS BIGINT) AS height, true AS decode_ok,
         |  (least(w0, h0) >= 6) AS dim_ok,
         |  (greatest(w0, h0) * 1 <= least(w0, h0) * 2) AS aspect_ok,
         |  (least(w0, h0) >= 6
@@ -269,7 +269,8 @@ object MultimodalQueries {
         |FROM m ORDER BY media_id""".stripMargin) { (s, _) =>
       Multimodal.imageFilter(Multimodal.pngFromDocuments(
           s.table("documents").orderBy("doc_id").limit(150)))
-        .select("media_id", "width", "height", "dim_ok", "aspect_ok", "keep")
+        .select("media_id", "width", "height", "decode_ok", "dim_ok",
+          "aspect_ok", "keep")
         .orderBy("media_id")
     },
 

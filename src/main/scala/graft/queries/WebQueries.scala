@@ -174,7 +174,7 @@ object WebQueries {
     * ux(doc_id, text, url) — the canonical chain's expected entry. */
   private val duckAnchors =
     """ae AS (SELECT doc_id, unnest(regexp_extract_all(html,
-      |    '(?is)<a\b[^>]*?[\s"'']href\s*=\s*"[^"]*"(?:[^>]*[^/>])?>.*?</a>')) AS elem
+      |    '(?is)<a\b[^>]*?[\s"'']href\s*=\s*"[^"]*"(?:[^>]*[^/>]|[^>]*[^\s"''>]/)?>.*?</a>')) AS elem
       |  FROM af),
       |ar AS (SELECT doc_id,
       |  regexp_extract(elem, '(?is)<a\b[^>]*?[\s"'']href\s*=\s*"([^"]*)"', 1) AS href,
@@ -291,7 +291,7 @@ object WebQueries {
       |  FROM sp0),
       |se AS (SELECT host, loc,
       |  nullif(lm, '') AS lastmod, nullif(cf, '') AS changefreq,
-      |  CASE WHEN regexp_matches(pr, '^[0-9.]+$') THEN CAST(pr AS DOUBLE)
+      |  CASE WHEN regexp_matches(pr, '^[0-9]+(\.[0-9]+)?$') THEN CAST(pr AS DOUBLE)
       |    ELSE NULL END AS priority
       |  FROM se0 WHERE loc <> '')""".stripMargin
 
@@ -782,9 +782,9 @@ object WebQueries {
          |dx AS (SELECT doc_id, url0,
          |  replace(replace(replace(replace(replace(replace(
          |    CASE WHEN coalesce(regexp_extract(html,
-         |      '(?is)<link\\b[^>]*\\brel\\s*=\\s*"canonical"[^>]*?[\\s"'']href\\s*=\\s*"([^"]*)"', 1), '') <> ''
+         |      '(?is)<link\\b[^>]*?[\\s"'']rel\\s*=\\s*"canonical"[^>]*?[\\s"'']href\\s*=\\s*"([^"]*)"', 1), '') <> ''
          |    THEN regexp_extract(html,
-         |      '(?is)<link\\b[^>]*\\brel\\s*=\\s*"canonical"[^>]*?[\\s"'']href\\s*=\\s*"([^"]*)"', 1)
+         |      '(?is)<link\\b[^>]*?[\\s"'']rel\\s*=\\s*"canonical"[^>]*?[\\s"'']href\\s*=\\s*"([^"]*)"', 1)
          |    ELSE coalesce(regexp_extract(html,
          |      '(?is)<link\\b[^>]*?[\\s"'']href\\s*=\\s*"([^"]*)"[^>]*\\brel\\s*=\\s*"canonical"', 1), '') END,
          |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),

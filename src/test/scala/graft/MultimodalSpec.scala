@@ -373,5 +373,17 @@ class MultimodalSpec extends SparkTestBase {
       minBytes = 1 << 20)
     assert(strict.where(col("keep")).count() == 0L)
     assert(strict.where(col("bytes_ok")).count() == 0L)
+    // undecodable bytes are a REJECT verdict, never a job failure: a
+    // curation gate exists to discard junk, and real crawls always
+    // contain truncated fetches
+    val withJunk = (items.collect().toSeq :+
+      MediaItem(9L, "image", Array[Byte](1, 2, 3))).toDS()
+    val junkRow = graft.operators.Multimodal.imageFilter(withJunk)
+      .where(col("media_id") === 9L).collect().head
+    assert(!junkRow.getAs[Boolean]("decode_ok") &&
+      !junkRow.getAs[Boolean]("keep") &&
+      junkRow.isNullAt(junkRow.fieldIndex("width")), junkRow)
+    assert(graft.operators.Multimodal.imageFilter(withJunk)
+      .where(col("decode_ok") && col("keep")).count() == 2L)
   }
 }

@@ -741,9 +741,9 @@ class PlanSpec extends SparkTestBase {
   test("textrank caps the edge frame with a bounded top-k before the " +
     "rank arithmetic — no global sort of the bigram frame") {
     Tables.register(spark, sfDir)
-    val pairs = graft.operators.TextAnalysis.textrankKeywords(
-      spark.table("documents").limit(50), topK = 10, maxEdges = 100)
+    val p = plan(graft.operators.TextAnalysis.textrankKeywords(
+      spark.table("documents").limit(50), topK = 10, maxEdges = 100))
     // the orderBy+limit edge cap plans as TakeOrdered, not Sort+collect
-    assert(plan(pairs).contains("TakeOrderedAndProject"), plan(pairs))
+    assert(p.contains("TakeOrderedAndProject"), p)
   }
 }

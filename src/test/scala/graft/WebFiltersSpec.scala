@@ -208,6 +208,7 @@ class WebFiltersSpec extends SparkTestBase {
                  |<a data-href="/beacon" href="/real">Fish &amp; Chips</a>
                  |<a href="//mirror.org/m">  spaced   out  </a>
                  |<a name="top">no href at all</a>
+                 |<a href="/unquoted" data-u=http://x.org/>still open</a>
                  |<a href="/selfclosed"/><a href="#frag">fragment only</a>""".stripMargin
     val got = WebFilters.htmlAnchors(
         Seq((1L, html, "HTTP://Base.ORG/deep")).toDF(
@@ -216,9 +217,11 @@ class WebFiltersSpec extends SparkTestBase {
       .collect().toSeq
     // the SELF-CLOSING anchor must neither emit an element nor swallow
     // the next anchor's element (its href still shows up in htmlLinks —
-    // the documented contract difference between the two extractors)
+    // the documented contract difference between the two extractors);
+    // an UNQUOTED attribute value ending in '/' is still an OPEN tag
     assert(got == Seq(
       ("http://base.org/real", "Fish & Chips"),
+      ("http://base.org/unquoted", "still open"),
       ("http://mirror.org/m", "spaced out"),
       ("https://other.org/x", "plain bold text")), got)
     val links = WebFilters.htmlLinks(
@@ -307,6 +310,7 @@ class WebFiltersSpec extends SparkTestBase {
       |<url><loc>https://a.org/min</loc></url>
       |<url><lastmod>2026-01-01</lastmod></url>
       |<url><loc>https://a.org/bad</loc><priority>N/A</priority></url>
+      |<url><loc>https://a.org/bad2</loc><priority>1.2.3</priority></url>
       |</urlset>""".stripMargin
     val got = WebFilters.sitemapParse(Seq(("a.org", body)).toDF("host", "body"))
       .orderBy("loc").collect()
@@ -315,6 +319,10 @@ class WebFiltersSpec extends SparkTestBase {
         if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
     assert(got == Seq(
       ("https://a.org/bad", None, None, None),
+      // '1.2.3' passes a loose [0-9.]+ but is not a number: the tight
+      // digits(.digits)? grammar NULLs it in BOTH engines instead of
+      // hard-erroring the oracle's CAST
+      ("https://a.org/bad2", None, None, None),
       ("https://a.org/full?x=1&y=2", Some("2026-02-03"), Some("daily"),
         Some(0.8)),
       ("https://a.org/min", None, None, None)), got)
@@ -356,13 +364,18 @@ class WebFiltersSpec extends SparkTestBase {
           "rel=\"canonical\"/></head>"),
       (3L, "https://self.org/c", "<head></head>"),          // self
       (4L, "https://self.org/d",
-        "<head><link rel=\"canonical\" href=\"not a url\"/></head>") // drops
+        "<head><link rel=\"canonical\" href=\"not a url\"/></head>"), // drops
+      // data-rel must NOT declare a canonical ('-' is a word boundary, so
+      // \brel would match inside it) — this page falls back to self
+      (5L, "https://self.org/e",
+        "<head><link data-rel=\"canonical\" href=\"https://cdn.x/app.css\"/></head>")
     ).toDF("doc_id", "url", "html")
     val got = WebFilters.relCanonicalDedup(pages).orderBy("canonical_target")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq(
       ("https://c.org/one", 1L, 2L),
-      ("https://self.org/c", 3L, 1L)), got)
+      ("https://self.org/c", 3L, 1L),
+      ("https://self.org/e", 5L, 1L)), got)
   }
 
   test("hostQuality: canonical-host rollup of C4/Gopher keep rates — " +
