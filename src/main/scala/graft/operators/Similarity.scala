@@ -138,6 +138,65 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol)).limit(k)
   }
 
+  /** Batch SQ8 ANN — [[annTopKSq8]] generalized from one query to a
+    * query FRAME on [[batchTopK]]'s machinery: the corpus's int8 codes
+    * score once against the broadcast query codes (per-vector max-abs
+    * scales cancel in the cosine, so candidate ranking is exact integer
+    * arithmetic), a bounded `rerank`-element heap per (query, partition)
+    * keeps the approx winners (the two-phase top-k — never a
+    * collect_list), ONLY those candidates re-score with exact float
+    * cosine, and a k-bounded window per query finishes. Zero vectors
+    * rank last at −1 on both paths (the [[annTopKSq8]] contract —
+    * [[batchTopK]] instead drops them, a documented twin divergence:
+    * the SQ8 family reports the degenerate rows, the exact family
+    * refuses to rank undefined cosines).
+    *
+    * Shape at 100 TB: the batch scan reads 1 byte per dimension with no
+    * corpus shuffle; the float path touches ≤ queries·rerank·partitions
+    * rows. */
+  def batchTopKSq8(emb: DataFrame, queries: DataFrame, k: Int,
+                   rerank: Int = 40,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   queryIdCol: String = "query_id"): DataFrame = {
+    require(k >= 1 && rerank >= k,
+      s"bad sq8 batch config (k=$k, rerank=$rerank)")
+    requireIntegralId(emb, idCol); requireIntegralId(queries, queryIdCol)
+    graft.functions.ArrayDot.register(emb.sparkSession)
+    val q = broadcast(queries.select(col(queryIdCol).as("qid"),
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("qq", int8Codes(col("qv")))
+      .withColumn("inq", expr("aggregate(qq, 0L, (acc, x) -> acc + x * x)")))
+    val scored = emb.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__q", int8Codes(col("__v")))
+      .withColumn("inv", expr("aggregate(__q, 0L, (acc, x) -> acc + x * x)"))
+      .crossJoin(q)
+      .where(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        when(col("inv") > 0 && col("inq") > 0,
+          round(expr(
+            "aggregate(zip_with(__q, qq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+            / (sqrt(col("inv")) * sqrt(col("inq"))), 6))
+          .otherwise(lit(-1.0)).as("sim"))
+    val cand = topKPerQuery(scored, rerank, idCol, queryIdCol)
+      .select(col(queryIdCol), col(idCol), col("sim").as("approx_sim"))
+    val vn = expr("aggregate(__v, 0D, (acc, x) -> acc + x * x)")
+    val qn = expr("aggregate(qv, 0D, (acc, x) -> acc + x * x)")
+    val exact = cand
+      .join(emb.select(col(idCol), asDouble(col(vecCol)).as("__v")),
+        Seq(idCol))
+      .join(broadcast(queries.select(col(queryIdCol),
+        asDouble(col(vecCol)).as("qv"))), Seq(queryIdCol))
+      .withColumn("sim",
+        when(vn > 0 && qn > 0, round(nativeCosine("__v", "qv"), 4))
+          .otherwise(lit(-1.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(queryIdCol).orderBy(col("sim").desc, col(idCol))
+    exact.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col(queryIdCol), col(idCol), col("approx_sim"), col("sim"),
+        col("rnk"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of a LEXICAL and a
     * DENSE candidate list — rrf = 1/(k0 + lex_rank) + 1/(k0 + ann_rank),
     * ranks 1-based, a missing membership contributes 0. Fusion is

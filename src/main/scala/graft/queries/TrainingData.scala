@@ -2798,6 +2798,51 @@ object TrainingData {
         rerank = 40)
     },
 
+    // batch SQ8 ANN: the whole query set over the int8-code scan in one
+    // corpus pass, bounded-heap candidates, float rerank per query
+    df("ss_batch_sq8",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |g AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+        |c AS (SELECT vec_id, v, CASE WHEN ma > 0
+        |  THEN list_transform(v, x ->
+        |    greatest(-127, least(127, CAST(round(x * 127.0 / ma) AS BIGINT))))
+        |  ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q FROM g),
+        |qs AS (SELECT vec_id AS qid, v AS qv, q AS qc,
+        |  list_sum(list_transform(q, x -> x * x)) AS inq
+        |  FROM c WHERE vec_id % 97 = 0),
+        |s AS (SELECT qid, c.vec_id, qv, c.v,
+        |  CASE WHEN list_sum(list_transform(c.q, x -> x * x)) > 0 AND inq > 0
+        |    THEN round(list_sum(list_transform(generate_series(1, len(c.q)),
+        |        i -> c.q[i] * qc[i]))
+        |      / (sqrt(list_sum(list_transform(c.q, x -> x * x))) * sqrt(inq)), 6)
+        |    ELSE -1.0 END AS approx_sim
+        |  FROM c CROSS JOIN qs WHERE c.vec_id <> qid),
+        |ra AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY approx_sim DESC, vec_id) AS ar FROM s),
+        |cand AS (SELECT * FROM ra WHERE ar <= 40),
+        |ex AS (SELECT qid AS query_id, vec_id, approx_sim,
+        |  CASE WHEN list_sum(list_transform(v, x -> x * x)) > 0
+        |      AND list_sum(list_transform(qv, x -> x * x)) > 0
+        |    THEN round(list_sum(list_transform(generate_series(1, len(v)),
+        |        i -> v[i] * qv[i]))
+        |      / (sqrt(list_sum(list_transform(v, x -> x * x)))
+        |        * sqrt(list_sum(list_transform(qv, x -> x * x)))), 4)
+        |    ELSE -1.0 END AS sim
+        |  FROM cand),
+        |r AS (SELECT query_id, vec_id, approx_sim, sim,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk FROM ex)
+        |SELECT query_id, vec_id, approx_sim, sim, rnk FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin) { (s, _) =>
+      val emb = s.table("embeddings")
+      Similarity.batchTopKSq8(emb,
+          emb.where(col("vec_id") % 97 === 0)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          k = 5, rerank = 40)
+        .orderBy("query_id", "rnk")
+    },
+
     // hybrid retrieval: BM25 candidates + exact-cosine candidates fused by
     // reciprocal rank (rank-only — lexical and dense scores never compare
     // directly); fused score is a fixed-order sum of exact rationals

@@ -748,6 +748,24 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("batch sq8: with the rerank window spanning the corpus every " +
+    "query's result equals batchTopK's (ids, sims, ranks)") {
+    val n = emb.count().toInt
+    val queries = emb.where(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val sq8 = Similarity.batchTopKSq8(emb, queries, k = 5, rerank = n)
+      .select("query_id", "vec_id", "sim", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val exact = Similarity.batchTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(sq8 == exact, (sq8 -- exact, exact -- sq8))
+    intercept[IllegalArgumentException] {
+      Similarity.batchTopKSq8(emb, queries, k = 5, rerank = 3)
+    }
+  }
+
   test("rrf fusion: membership in BOTH lists beats a single top rank, " +
     "missing members contribute zero, hand-computed round(6) goldens") {
     import spark.implicits._
