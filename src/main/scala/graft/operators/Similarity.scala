@@ -93,6 +93,31 @@ object Similarity {
         round(x * 127.0 / ma, 0).cast("long")))).otherwise(lit(0L)))
   }
 
+  /** The SQ8 integer dot over code columns `__q` (corpus) and `qq`
+    * (query) — ONE definition shared by the single-query and batch
+    * operators (the int8Codes convention: shared so twins can't drift). */
+  private val Sq8IntDot =
+    "aggregate(zip_with(__q, qq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
+
+  /** SQ8 approx cosine from exact integer quantities: int dot over the
+    * quantized norms, round(6); zero-code vectors rank last at −1
+    * instead of dividing by zero. Shared by [[annTopKSq8]] and
+    * [[batchTopKSq8]]. */
+  private def sq8ApproxSim(idot: Column, inv: Column, inq: Column): Column =
+    when(inv > 0 && inq > 0, round(idot / (sqrt(inv) * sqrt(inq)), 6))
+      .otherwise(lit(-1.0))
+
+  /** Zero-norm-guarded exact cosine over vector columns `__v`/`qv`
+    * (cosine of a zero vector is 0/0 = NaN, and Spark sorts NaN ABOVE
+    * every number — an unguarded zero vector would rank FIRST, not
+    * last). Shared by both SQ8 rerank phases. */
+  private def sq8ExactSim: Column = {
+    val vn = expr("aggregate(__v, 0D, (acc, x) -> acc + x * x)")
+    val qn = expr("aggregate(qv, 0D, (acc, x) -> acc + x * x)")
+    when(vn > 0 && qn > 0, round(nativeCosine("__v", "qv"), 4))
+      .otherwise(lit(-1.0))
+  }
+
   /** SQ8 scalar-quantized ANN top-k (the scalar-quantizer index family —
     * the compression tier between raw fp32 scan and PQ): every candidate
     * scores on its int8 codes first, and only the top `rerank` re-score
@@ -118,23 +143,13 @@ object Similarity {
       .select(col("__v").as("qv"), col("__q").as("qq")))
     val scored = base.where(col(idCol) =!= queryId).crossJoin(q)
       .select(col(idCol), col("__v"), col("qv"),
-        expr("aggregate(zip_with(__q, qq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
-          .as("idot"),
+        expr(Sq8IntDot).as("idot"),
         expr("aggregate(__q, 0L, (acc, x) -> acc + x * x)").as("inv"),
         expr("aggregate(qq, 0L, (acc, x) -> acc + x * x)").as("inq"))
       .withColumn("approx_sim",
-        when(col("inv") > 0 && col("inq") > 0,
-          round(col("idot") / (sqrt(col("inv")) * sqrt(col("inq"))), 6))
-          .otherwise(lit(-1.0)))
-    // the exact rerank needs the same zero-norm guard: cosine of a zero
-    // vector is 0/0 = NaN, and Spark sorts NaN ABOVE every number — an
-    // unguarded zero vector would rank FIRST, not last
-    val vn = expr("aggregate(__v, 0D, (acc, x) -> acc + x * x)")
-    val qn = expr("aggregate(qv, 0D, (acc, x) -> acc + x * x)")
+        sq8ApproxSim(col("idot"), col("inv"), col("inq")))
     scored.orderBy(col("approx_sim").desc, col(idCol)).limit(rerank)
-      .select(col(idCol), col("approx_sim"),
-        when(vn > 0 && qn > 0, round(nativeCosine("__v", "qv"), 4))
-          .otherwise(lit(-1.0)).as("sim"))
+      .select(col(idCol), col("approx_sim"), sq8ExactSim.as("sim"))
       .orderBy(col("sim").desc, col(idCol)).limit(k)
   }
 
@@ -172,23 +187,17 @@ object Similarity {
       .crossJoin(q)
       .where(col(idCol) =!= col("qid"))
       .select(col("qid"), col(idCol),
-        when(col("inv") > 0 && col("inq") > 0,
-          round(expr(
-            "aggregate(zip_with(__q, qq, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
-            / (sqrt(col("inv")) * sqrt(col("inq"))), 6))
-          .otherwise(lit(-1.0)).as("sim"))
+        sq8ApproxSim(expr(Sq8IntDot), col("inv"), col("inq")).as("sim"))
     val cand = topKPerQuery(scored, rerank, idCol, queryIdCol)
       .select(col(queryIdCol), col(idCol), col("sim").as("approx_sim"))
-    val vn = expr("aggregate(__v, 0D, (acc, x) -> acc + x * x)")
-    val qn = expr("aggregate(qv, 0D, (acc, x) -> acc + x * x)")
-    val exact = cand
-      .join(emb.select(col(idCol), asDouble(col(vecCol)).as("__v")),
-        Seq(idCol))
+    // the candidate frame is queries×rerank rows — BROADCAST it so the
+    // exact rerank is a map-only second pass over the corpus, not a
+    // corpus-wide shuffle on the id key
+    val exact = emb.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .join(broadcast(cand), Seq(idCol))
       .join(broadcast(queries.select(col(queryIdCol),
         asDouble(col(vecCol)).as("qv"))), Seq(queryIdCol))
-      .withColumn("sim",
-        when(vn > 0 && qn > 0, round(nativeCosine("__v", "qv"), 4))
-          .otherwise(lit(-1.0)))
+      .withColumn("sim", sq8ExactSim)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(queryIdCol).orderBy(col("sim").desc, col(idCol))
     exact.withColumn("rnk", row_number().over(w).cast("long"))

@@ -419,19 +419,20 @@ object WebFilters {
 
   /** A complete anchor ELEMENT with an href (the [[HrefPat]] attribute
     * contract inside it): group 0 is the whole `<a …>…</a>` span — lazy
-    * body, so the element ends at its own first `</a>`. A tag ending
-    * `/>` with the slash after a QUOTE or WHITESPACE (the XML
-    * self-closing forms `…"/>`/`… />`) never starts a match — a
-    * self-closing anchor must not swallow the next anchor's element —
-    * while a slash that merely terminates an UNQUOTED attribute value
-    * (`data-u=http://x.org/>`) still opens a real element (RE2-safe
-    * alternation, no lookaround). Self-closing and unclosed anchors
-    * therefore appear in [[htmlLinks]] (href-level) but not here
-    * (element-level needs a body) — the documented contract difference
-    * between the two extractors. */
+    * body, so the element ends at its own first `</a>`. A trailing
+    * slash counts as the SELF-CLOSING marker (never starts a match — a
+    * self-closing anchor must not swallow the next anchor's element)
+    * unless an `=` introduced an UNQUOTED attribute value whose bytes
+    * run to that slash (`data-u=http://x.org/>` — per HTML5, `/` is
+    * value content only inside an unquoted value, so `download/>` after
+    * a BARE attribute is still self-closing). RE2-safe alternation, no
+    * lookaround. Self-closing and unclosed anchors therefore appear in
+    * [[htmlLinks]] (href-level) but not here (element-level needs a
+    * body) — the documented contract difference between the two
+    * extractors. */
   val AnchorElemPat: String =
     "(?is)<a\\b[^>]*?[\\s\"']href\\s*=\\s*\"[^\"]*\"" +
-      "(?:[^>]*[^/>]|[^>]*[^\\s\"'>]/)?>.*?</a>"
+      "(?:[^>]*[^/>]|[^>]*=[^\\s\"'>]*/)?>.*?</a>"
 
   /** Outlinks WITH their anchor text — the web graph's labeled edges
     * (anchor text is the classic off-page relevance/quality signal:

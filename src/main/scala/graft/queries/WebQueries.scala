@@ -174,7 +174,7 @@ object WebQueries {
     * ux(doc_id, text, url) — the canonical chain's expected entry. */
   private val duckAnchors =
     """ae AS (SELECT doc_id, unnest(regexp_extract_all(html,
-      |    '(?is)<a\b[^>]*?[\s"'']href\s*=\s*"[^"]*"(?:[^>]*[^/>]|[^>]*[^\s"''>]/)?>.*?</a>')) AS elem
+      |    '(?is)<a\b[^>]*?[\s"'']href\s*=\s*"[^"]*"(?:[^>]*[^/>]|[^>]*=[^\s"''>]*/)?>.*?</a>')) AS elem
       |  FROM af),
       |ar AS (SELECT doc_id,
       |  regexp_extract(elem, '(?is)<a\b[^>]*?[\s"'']href\s*=\s*"([^"]*)"', 1) AS href,
@@ -786,7 +786,7 @@ object WebQueries {
          |    THEN regexp_extract(html,
          |      '(?is)<link\\b[^>]*?[\\s"'']rel\\s*=\\s*"canonical"[^>]*?[\\s"'']href\\s*=\\s*"([^"]*)"', 1)
          |    ELSE coalesce(regexp_extract(html,
-         |      '(?is)<link\\b[^>]*?[\\s"'']href\\s*=\\s*"([^"]*)"[^>]*\\brel\\s*=\\s*"canonical"', 1), '') END,
+         |      '(?is)<link\\b[^>]*?[\\s"'']href\\s*=\\s*"([^"]*)"[^>]*?[\\s"'']rel\\s*=\\s*"canonical"', 1), '') END,
          |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
          |    '&nbsp;', ' '), '&amp;', '&') AS decl
          |  FROM rc),

@@ -209,6 +209,7 @@ class WebFiltersSpec extends SparkTestBase {
                  |<a href="//mirror.org/m">  spaced   out  </a>
                  |<a name="top">no href at all</a>
                  |<a href="/unquoted" data-u=http://x.org/>still open</a>
+                 |<a href="/bareattr" download/><a href="/after">after bare</a>
                  |<a href="/selfclosed"/><a href="#frag">fragment only</a>""".stripMargin
     val got = WebFilters.htmlAnchors(
         Seq((1L, html, "HTTP://Base.ORG/deep")).toDF(
@@ -218,8 +219,11 @@ class WebFiltersSpec extends SparkTestBase {
     // the SELF-CLOSING anchor must neither emit an element nor swallow
     // the next anchor's element (its href still shows up in htmlLinks —
     // the documented contract difference between the two extractors);
-    // an UNQUOTED attribute value ending in '/' is still an OPEN tag
+    // an UNQUOTED attribute value ending in '/' is still an OPEN tag,
+    // while '/' after a BARE attribute (download/>) is the self-closing
+    // marker — the following anchor keeps its own element either way
     assert(got == Seq(
+      ("http://base.org/after", "after bare"),
       ("http://base.org/real", "Fish & Chips"),
       ("http://base.org/unquoted", "still open"),
       ("http://mirror.org/m", "spaced out"),
