@@ -286,6 +286,19 @@ class WebFiltersSpec extends SparkTestBase {
     assert(pr == Seq(0.5, 0.5), pr)
   }
 
+  test("pageRank plan: inflow is a plain partial-aggregated sum — no " +
+    "collect_list / ObjectHashAggregate buffering a hub node's entire " +
+    "in-edge list in one task (power-law web-host in-degree safety)") {
+    val edges = Seq(("a", "b", 1L), ("b", "a", 2L), ("c", "a", 1L))
+      .toDF("src", "dst", "w")
+    val plan = graft.operators.Graphs.pageRank(edges, iters = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"), plan)
+    assert(!plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_sum") || plan.contains("partial sum") ||
+      plan.contains("HashAggregate"), plan)
+  }
+
   test("crawlBudget: cap per host, most-linked first, canonical tiebreak; " +
     "rows beyond budget drop") {
     val frontier = Seq(
