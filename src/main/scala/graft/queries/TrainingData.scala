@@ -265,6 +265,48 @@ object TrainingData {
         |SELECT id AS vec_id, lbl AS label_prop, seed FROM l2
         |ORDER BY vec_id LIMIT 300""".stripMargin
 
+  private val ddSemanticClustersOracle =
+    """WITH RECURSIVE
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cn AS (SELECT p, c, sqrt(list_sum(list_transform(generate_series(1, 64), i -> c[i] * c[i]))) AS nc
+      |  FROM (SELECT p, list_transform(generate_series(1, 64),
+      |    d -> (strpos('0123456789abcdef', substring(md5(concat(p + 1000, '_', d - 1)), 1, 1)) - 8.5)) AS c
+      |  FROM generate_series(0, 7) t(p)) x),
+      |i0 AS (SELECT vec_id,
+      |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+      |  FROM e CROSS JOIN cn WHERE vec_id % 5 = 0 GROUP BY vec_id),
+      |ic0 AS (SELECT vec_id, list_position(scores, list_aggregate(scores, 'max')) - 1 AS cell FROM i0),
+      |itr AS (SELECT cell, d, round(avg(v[d]), 4) AS cd
+      |  FROM ic0 JOIN e USING (vec_id) CROSS JOIN generate_series(1, 64) t(d)
+      |  GROUP BY cell, d),
+      |itl AS (SELECT cell, list(cd ORDER BY d) AS c FROM itr GROUP BY cell),
+      |tc AS (SELECT cn.p, coalesce(itl.c, cn.c) AS c,
+      |  sqrt(list_sum(list_transform(generate_series(1, 64),
+      |    i -> coalesce(itl.c, cn.c)[i] * coalesce(itl.c, cn.c)[i]))) AS nc
+      |  FROM cn LEFT JOIN itl ON itl.cell = cn.p),
+      |scored AS (SELECT vec_id,
+      |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
+      |  FROM e CROSS JOIN tc GROUP BY vec_id),
+      |cells AS (SELECT s.vec_id, e.v,
+      |  sqrt(list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * e.v[i]))) AS nrm,
+      |  list_position(s.scores, list_aggregate(s.scores, 'max')) - 1 AS cell
+      |  FROM scored s JOIN e ON e.vec_id = s.vec_id),
+      |pp AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+      |  round(list_sum(list_transform(generate_series(1, 64),
+      |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS sim
+      |  FROM cells a JOIN cells b
+      |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+      |rk AS (SELECT src, dst, sim, row_number() OVER (
+      |  PARTITION BY src ORDER BY sim DESC, dst) AS rnk FROM pp),
+      |pr AS (SELECT src, dst FROM rk WHERE rnk <= 3 AND sim >= 0.3),
+      |edges AS (SELECT src, dst FROM pr UNION SELECT dst, src FROM pr),
+      |reach(a, b) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r2.a, e2.dst FROM reach r2 JOIN edges e2 ON e2.src = r2.b)
+      |SELECT a AS id, least(a, min(b)) AS cluster_id
+      |FROM reach GROUP BY a ORDER BY id LIMIT 200""".stripMargin
+
   /** A pinned-cells ANN oracle chain rewritten to derive the cell count
     * from the corpus itself — k = max(8, ceil(n/250)), SemDeDup's own
     * occupancy rule and exactly what [[graft.operators.Similarity.AutoCells]]
@@ -2493,49 +2535,23 @@ object TrainingData {
     // cluster structure (keeper selection, diversity caps). Same trained
     // cells; the recursive CTE states the transitive-closure truth the
     // iterative min-label propagation must reach
-    df("dd_semantic_clusters",
-      """WITH RECURSIVE
-        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |cn AS (SELECT p, c, sqrt(list_sum(list_transform(generate_series(1, 64), i -> c[i] * c[i]))) AS nc
-        |  FROM (SELECT p, list_transform(generate_series(1, 64),
-        |    d -> (strpos('0123456789abcdef', substring(md5(concat(p + 1000, '_', d - 1)), 1, 1)) - 8.5)) AS c
-        |  FROM generate_series(0, 7) t(p)) x),
-        |i0 AS (SELECT vec_id,
-        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
-        |  FROM e CROSS JOIN cn WHERE vec_id % 5 = 0 GROUP BY vec_id),
-        |ic0 AS (SELECT vec_id, list_position(scores, list_aggregate(scores, 'max')) - 1 AS cell FROM i0),
-        |itr AS (SELECT cell, d, round(avg(v[d]), 4) AS cd
-        |  FROM ic0 JOIN e USING (vec_id) CROSS JOIN generate_series(1, 64) t(d)
-        |  GROUP BY cell, d),
-        |itl AS (SELECT cell, list(cd ORDER BY d) AS c FROM itr GROUP BY cell),
-        |tc AS (SELECT cn.p, coalesce(itl.c, cn.c) AS c,
-        |  sqrt(list_sum(list_transform(generate_series(1, 64),
-        |    i -> coalesce(itl.c, cn.c)[i] * coalesce(itl.c, cn.c)[i]))) AS nc
-        |  FROM cn LEFT JOIN itl ON itl.cell = cn.p),
-        |scored AS (SELECT vec_id,
-        |  list(list_sum(list_transform(generate_series(1, 64), i -> v[i] * c[i])) / nc ORDER BY p) AS scores
-        |  FROM e CROSS JOIN tc GROUP BY vec_id),
-        |cells AS (SELECT s.vec_id, e.v,
-        |  sqrt(list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * e.v[i]))) AS nrm,
-        |  list_position(s.scores, list_aggregate(s.scores, 'max')) - 1 AS cell
-        |  FROM scored s JOIN e ON e.vec_id = s.vec_id),
-        |pp AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-        |  round(list_sum(list_transform(generate_series(1, 64),
-        |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS sim
-        |  FROM cells a JOIN cells b
-        |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-        |rk AS (SELECT src, dst, sim, row_number() OVER (
-        |  PARTITION BY src ORDER BY sim DESC, dst) AS rnk FROM pp),
-        |pr AS (SELECT src, dst FROM rk WHERE rnk <= 3 AND sim >= 0.3),
-        |edges AS (SELECT src, dst FROM pr UNION SELECT dst, src FROM pr),
-        |reach(a, b) AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT r2.a, e2.dst FROM reach r2 JOIN edges e2 ON e2.src = r2.b)
-        |SELECT a AS id, least(a, min(b)) AS cluster_id
-        |FROM reach GROUP BY a ORDER BY id LIMIT 200""".stripMargin) { (s, _) =>
+    df("dd_semantic_clusters", ddSemanticClustersOracle) { (s, _) =>
       val emb = s.table("embeddings")
       val edges = Similarity.knnGraph(emb, k = 3, centroids = 8, dims = 64)
+        .where(col("sim") >= 0.3)
+        .select(col("src").as("id_a"), col("dst").as("id_b"))
+      Dedup.neardupClusters(edges).orderBy("id").limit(200)
+    },
+    // the same cluster structure under the OPERATOR DEFAULT cell budget
+    // (AutoCells: k = max(8, ceil(n/250)) — see ss_knn_graph_scaled).
+    // This was the repo's slowest sf1 query in its pinned-8 form (the
+    // whole corpus lands in 8 cells so the pair join is ~n²/8); with
+    // data-proportional cells the per-cell pair work stays constant and
+    // the sf1 gate measures the 100 TB default path every round.
+    df("dd_semantic_clusters_scaled",
+        scaledCellsOracle(ddSemanticClustersOracle)) { (s, _) =>
+      val emb = s.table("embeddings")
+      val edges = Similarity.knnGraph(emb, k = 3, dims = 64)
         .where(col("sim") >= 0.3)
         .select(col("src").as("id_a"), col("dst").as("id_b"))
       Dedup.neardupClusters(edges).orderBy("id").limit(200)
