@@ -258,13 +258,15 @@ object WebFilters {
 
   /** Outlink extraction — the step that closes the crawl LOOP (extract →
     * links → filter → dedup → next frontier): every double-quoted anchor
-    * href, resolved to an absolute URL. Absolute links pass through;
-    * protocol-relative links (`//host/path`) take the base page's scheme
-    * (RFC 3986 §4.2); root-relative links (`/path`) resolve against the
-    * page's canonical scheme://host; anything else (fragments,
-    * `javascript:`, path-relative — ambiguous without full RFC 3986
-    * resolution) yields NULL and is dropped. One explode per page,
-    * map-only otherwise. Output (doc_id, url). */
+    * href, resolved to an absolute URL per RFC 3986 §5. Absolute links
+    * pass through; protocol-relative links (`//host/path`) take the base
+    * page's scheme (§4.2); root-relative (`/path`), path-relative
+    * (`a.html`, `../x`, `./y` — the bulk of real-site outlinks),
+    * query-only (`?q=1`) and fragment-only/empty refs all resolve against
+    * the base via §5.3 merge + §5.2.4 dot-segment removal (see
+    * [[resolveHref]]); scheme-without-authority refs (`javascript:`,
+    * `mailto:`, `data:`) yield NULL and are dropped. One explode per
+    * page, map-only otherwise. Output (doc_id, url). */
   def htmlLinks(docs: DataFrame, htmlCol: String = "html",
                 baseCol: String = "base_url"): DataFrame =
     docs.select(col("doc_id"), col(baseCol),
@@ -273,16 +275,67 @@ object WebFilters {
       .select(col("doc_id"), resolveHref(col("__href"), col(baseCol)).as("url"))
       .where(col("url").isNotNull)
 
+  /** RFC 3986 §5.2.4 remove_dot_segments over an absolute path (must
+    * start with `/`): fold the segments through a string-accumulator
+    * stack — `.` is dropped, `..` pops the last segment (a pop at root
+    * is a no-op, the §5.2.4 excess-dot-segment rule), anything else
+    * (including the empty segments of `a//b` and a trailing `/`) is
+    * pushed verbatim. A path ENDING in a dot segment re-gains its
+    * trailing slash afterwards (§5.2.4 outputs `/a/` for `/a/b/..`, but
+    * the pop alone leaves `/a`). Engine-replayable: DuckDB's
+    * `list_reduce` over `string_split` starts its accumulator at the
+    * leading-`/` split's first (empty) element — byte-identical to this
+    * `aggregate` over the tail with a `''` init. Map-only. */
+  private def removeDotSegments(p: Column): Column = {
+    val segs = split(p, "/", -1)
+    val folded = aggregate(
+      slice(segs, lit(2), greatest(size(segs) - 1, lit(0))),
+      lit(""),
+      (acc, s) => when(s === ".", acc)
+        .when(s === "..", regexp_replace(acc, "/[^/]*$", ""))
+        .otherwise(concat(acc, lit("/"), s)))
+    val joined = when(folded === "", lit("/")).otherwise(folded)
+    when(p.rlike("(^|/)\\.\\.?$") && !joined.endsWith("/"),
+      concat(joined, lit("/"))).otherwise(joined)
+  }
+
   /** Href → absolute URL (the [[htmlLinks]] contract, shared with
-    * [[htmlAnchors]]): absolute passes, protocol-relative takes the base
-    * scheme, root-relative resolves against the base's canonical
-    * scheme://host, anything else → NULL. */
-  private def resolveHref(href: Column, base: Column): Column =
+    * [[htmlAnchors]]), RFC 3986 §5: refs with scheme+authority pass
+    * as-is; protocol-relative takes the base scheme; a scheme WITHOUT
+    * authority (`javascript:`, `mailto:`, `data:` — §4.2 says a relative
+    * ref's first segment can never contain `:`, so a leading
+    * `scheme:` is never a relative path) → NULL; root-relative keeps its
+    * own path (dot-segments removed); empty/fragment-only refs resolve
+    * to the base document (base path + base query, §5.3's R.path = ""
+    * row); query-only refs keep the base path with the ref's query;
+    * path-relative refs merge against the base directory (§5.3 merge:
+    * base path up to its last `/`) then remove dot segments. Resolved
+    * refs drop the ref fragment (the crawl key contract — absolute
+    * pass-through keeps its bytes untouched as before). All pure string
+    * column ops; map-only. */
+  private def resolveHref(href: Column, base: Column): Column = {
+    val bScheme = schemeOf(base)
+    val bHost = urlHost(base)
+    val bNoFrag = regexp_replace(base, "#.*", "")
+    val bPathRaw = rawPath(base)
+    val bPath = when(bPathRaw === "", lit("/")).otherwise(bPathRaw)
+    val bQuery = regexp_extract(bNoFrag, "(\\?.*)", 1)
+    val hNoFrag = regexp_replace(href, "#.*", "")
+    val hPath = regexp_extract(hNoFrag, "^([^?]*)", 1)
+    val hQuery = regexp_extract(hNoFrag, "(\\?.*)", 1)
+    def abs(path: Column, query: Column) =
+      concat(bScheme, lit("://"), bHost, path, query)
     when(href.rlike(SchemePat), href)
-      .when(href.startsWith("//"), concat(schemeOf(base), lit(":"), href))
-      .when(href.startsWith("/"),
-        concat(schemeOf(base), lit("://"), urlHost(base), href))
-      .otherwise(lit(null).cast("string"))
+      .when(href.startsWith("//"), concat(bScheme, lit(":"), href))
+      .when(hNoFrag.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"),
+        lit(null).cast("string"))
+      .when(href.startsWith("/"), abs(removeDotSegments(hPath), hQuery))
+      .when(hPath === "" && hQuery === "",
+        abs(removeDotSegments(bPath), bQuery))
+      .when(hPath === "", abs(removeDotSegments(bPath), hQuery))
+      .otherwise(abs(removeDotSegments(
+        concat(regexp_replace(bPath, "[^/]*$", ""), hPath)), hQuery))
+  }
 
   /** Parse WARC-style archive text (the Common Crawl container format —
     * ISO 28500 simplified to its text skeleton, which is what a SQL

@@ -3,6 +3,7 @@ package graft.queries
 import graft.QSpec
 import graft.QSpec._
 import graft.operators.{CorpusFilters, WebFilters}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Web-pipeline front half as oracle-checked queries: HTML main-content
@@ -126,21 +127,80 @@ object WebQueries {
       |  FROM qx)""".stripMargin
 
 
+  /** Appends the relative-href exercise paragraph to fx's html (mirrors
+    * the Spark-side concat in ta_html_links / ta_crawl_frontier): plain
+    * path-relative, `./`, `../`, excess-`../` beyond root, trailing
+    * `..`, query-only, fragment-only, empty, and two scheme-without-
+    * authority refs. Ends at fr(doc_id, html). */
+  private val duckRelLinksFixture =
+    """fr AS (SELECT doc_id, html ||
+      |  '<p><a href="a' || (doc_id % 9) ||
+      |  '.html">r1</a> <a href="./sub/b.html">r2</a>' ||
+      |  ' <a href="../up/c?z=1">r3</a>' ||
+      |  ' <a href="../../../root.html">r4</a> <a href="?q=' ||
+      |  (doc_id % 4) || '">r5</a> <a href="#frag">r6</a>' ||
+      |  ' <a href="">r7</a> <a href="javascript:void(0)">r8</a>' ||
+      |  ' <a href="mailto:x@y.example">r9</a> <a href="sub/..">r10</a></p>'
+      |  AS html FROM fx)""".stripMargin
+
+  /** Spark twin of [[duckRelLinksFixture]]'s html suffix — appended to
+    * the html fixture by ta_html_links / ta_crawl_frontier so the RFC
+    * 3986 relative-resolution matrix is oracle-exercised without
+    * touching the shared fixture every other html query replays. */
+  private def relLinksHtml(docId: Column): Column = concat(
+    lit("<p><a href=\"a"), (docId % 9).cast("string"),
+    lit(".html\">r1</a> <a href=\"./sub/b.html\">r2</a>" +
+      " <a href=\"../up/c?z=1\">r3</a>" +
+      " <a href=\"../../../root.html\">r4</a> <a href=\"?q="),
+    (docId % 4).cast("string"),
+    lit("\">r5</a> <a href=\"#frag\">r6</a>" +
+      " <a href=\"\">r7</a> <a href=\"javascript:void(0)\">r8</a>" +
+      " <a href=\"mailto:x@y.example\">r9</a> <a href=\"sub/..\">r10</a></p>"))
+
   /** Shared DuckDB CTE chain: href extraction (lazy, delimiter-anchored —
     * first href of a duplicate-attribute tag, data-href can't shadow) +
-    * absolute/protocol-relative/root-relative resolution over fx. Ends at
-    * ux(doc_id, url). */
+    * full RFC 3986 §5 resolution over fr against the fixture base
+    * `https://docs.example.org/d/{doc_id}` (mirrors
+    * WebFilters.resolveHref: §5.3 merge against the base directory
+    * `/d/`, §5.2.4 dot-segment removal via the same string-accumulator
+    * list_reduce stack, trailing-dot-segment slash fixup, ref fragment
+    * dropped, scheme-without-authority → NULL; the fixture base has no
+    * query, so the empty-ref and query-only rows share one branch).
+    * Ends at ux(doc_id, url). */
   private val duckHtmlLinks =
     """lk AS (SELECT doc_id,
       |  unnest(regexp_extract_all(html,
       |    '(?is)<a\b[^>]*?[\s"'']href\s*=\s*"([^"]*)"', 1)) AS href
-      |  FROM fx),
+      |  FROM fr),
+      |lh AS (SELECT doc_id, href,
+      |  regexp_replace(href, '#.*', '') AS hnf FROM lk),
+      |lp AS (SELECT doc_id, href, hnf,
+      |  coalesce(regexp_extract(hnf, '^([^?]*)', 1), '') AS hp,
+      |  coalesce(regexp_extract(hnf, '(\?.*)', 1), '') AS hq
+      |  FROM lh),
+      |lm AS (SELECT doc_id, href, hnf, hp, hq,
+      |  CASE WHEN href LIKE '/%' THEN hp
+      |       WHEN hp = '' THEN '/d/' || doc_id
+      |       ELSE '/d/' || hp END AS mp
+      |  FROM lp),
+      |lr AS (SELECT doc_id, href, hnf, hq, mp,
+      |  list_reduce(string_split(mp, '/'), (acc, x) ->
+      |    CASE WHEN x = '.' THEN acc
+      |         WHEN x = '..' THEN regexp_replace(acc, '/[^/]*$', '')
+      |         ELSE acc || '/' || x END) AS rp0
+      |  FROM lm),
+      |lf AS (SELECT doc_id, href, hnf, hq,
+      |  CASE WHEN (CASE WHEN rp0 = '' THEN '/' ELSE rp0 END) NOT LIKE '%/'
+      |        AND regexp_matches(mp, '(^|/)\.\.?$')
+      |    THEN (CASE WHEN rp0 = '' THEN '/' ELSE rp0 END) || '/'
+      |    ELSE (CASE WHEN rp0 = '' THEN '/' ELSE rp0 END) END AS rp
+      |  FROM lr),
       |ux AS (SELECT doc_id, CASE
       |    WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN href
       |    WHEN href LIKE '//%' THEN 'https:' || href
-      |    WHEN href LIKE '/%' THEN 'https://docs.example.org' || href
-      |    ELSE NULL END AS url
-      |  FROM lk)""".stripMargin
+      |    WHEN regexp_matches(hnf, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
+      |    ELSE 'https://docs.example.org' || rp || hq END AS url
+      |  FROM lf)""".stripMargin
 
   /** Shared DuckDB cross-host ANCHOR fixture (mirrors
     * WebFilters.anchorFixture byte for byte — seven hosts, four anchors
@@ -419,15 +479,20 @@ object WebQueries {
         .orderBy("doc_id")
     },
 
-    // outlink extraction: anchor hrefs resolved absolute (root-relative
-    // against the page's canonical scheme://host), canonicalized
+    // outlink extraction: anchor hrefs resolved absolute per RFC 3986 §5
+    // (root-relative against the page's canonical scheme://host,
+    // path-relative / dot-segment / query-only / fragment-only refs via
+    // §5.3 merge + §5.2.4 removal — the relLinksHtml suffix exercises the
+    // whole matrix), canonicalized
     df("ta_html_links",
       s"""WITH $duckHtmlFixture,
+         |$duckRelLinksFixture,
          |$duckHtmlLinks,
          |$duckUrlCanonical
          |SELECT doc_id, url, canonical_url FROM cx
          |WHERE url IS NOT NULL ORDER BY doc_id, url""".stripMargin) { (s, _) =>
       val fx = WebFilters.htmlFixture(s.table("documents"))
+        .withColumn("html", concat(col("html"), relLinksHtml(col("doc_id"))))
         .withColumn("base_url",
           concat(lit("https://docs.example.org/d/"), col("doc_id").cast("string")))
       WebFilters.htmlLinks(fx)
@@ -440,6 +505,7 @@ object WebQueries {
     // into each entry
     df("ta_crawl_frontier",
       s"""WITH $duckHtmlFixture,
+         |$duckRelLinksFixture,
          |$duckHtmlLinks,
          |$duckUrlCanonical
          |SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keeper,
@@ -453,6 +519,7 @@ object WebQueries {
          |  AND NOT regexp_matches(lower(path), '\\.(jpe?g|png|gif|webp|bmp|ico|svg|css|js|mjs|woff2?|ttf|mp[34]|avi|mov|mkv|zip|tar|gz|tgz|rar|7z|exe|dmg|iso|pdf)$$')
          |GROUP BY canonical_url ORDER BY canonical_url""".stripMargin) { (s, _) =>
       val fx = WebFilters.htmlFixture(s.table("documents"))
+        .withColumn("html", concat(col("html"), relLinksHtml(col("doc_id"))))
         .withColumn("base_url",
           concat(lit("https://docs.example.org/d/"), col("doc_id").cast("string")))
       WebFilters.urlDedup(

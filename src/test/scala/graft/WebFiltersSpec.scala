@@ -74,7 +74,8 @@ class WebFiltersSpec extends SparkTestBase {
   }
 
   test("htmlLinks: absolute hrefs pass, root-relative resolve against the " +
-    "page's canonical host, everything else drops") {
+    "page's canonical host, path-relative merge per RFC 3986 §5.3, " +
+    "scheme-without-authority drops") {
     val html = """<a href="https://other.org/x">abs</a>
                  |<a class="nav" href="/rel/path">rootrel</a>
                  |<a href="//mirror.org/m">protorel</a>
@@ -87,13 +88,39 @@ class WebFiltersSpec extends SparkTestBase {
         Seq((1L, html, "HTTP://WWW.Base.ORG:80/deep/page")).toDF(
           "doc_id", "html", "base_url"))
       .orderBy("url").select("url").as[String].collect().toSeq
-    // javascript: has no ://, path-relative has no leading / — both
-    // resolve to NULL and drop; //host takes the base scheme; data-href
-    // must not shadow the real href; a duplicate href attribute keeps
-    // the FIRST value (browser behavior)
-    assert(got == Seq("http://base.org/first", "http://base.org/real",
-      "http://base.org/rel/path", "http://mirror.org/m",
-      "https://other.org/x"), got)
+    // javascript: has a scheme but no authority — NULL and drop;
+    // path-relative merges against the base directory (/deep/);
+    // fragment-only resolves to the base document; //host takes the base
+    // scheme; data-href must not shadow the real href; a duplicate href
+    // attribute keeps the FIRST value (browser behavior)
+    assert(got == Seq("http://base.org/deep/page",
+      "http://base.org/deep/sub/page", "http://base.org/first",
+      "http://base.org/real", "http://base.org/rel/path",
+      "http://mirror.org/m", "https://other.org/x"), got)
+  }
+
+  test("htmlLinks RFC 3986 dot-segment matrix: ./ and ../ removal, " +
+    "excess .. stops at root, trailing dot segment keeps its slash, " +
+    "query-only and empty refs resolve to the base") {
+    val cases = Seq(
+      1L -> "a.html", 2L -> "./s/b.html", 3L -> "../up/c?z=1",
+      4L -> "../../../root.html", 5L -> "?q=9", 6L -> "",
+      7L -> "sub/..", 8L -> "mailto:x@y.example", 9L -> "/abs/../top")
+    val df = cases.map { case (id, href) =>
+      (id, s"""<a href="$href">t</a>""", "https://h.org/d/e/page")
+    }.toDF("doc_id", "html", "base_url")
+    val got = WebFilters.htmlLinks(df).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq(
+      1L -> "https://h.org/d/e/a.html",
+      2L -> "https://h.org/d/e/s/b.html",
+      3L -> "https://h.org/d/up/c?z=1",
+      4L -> "https://h.org/root.html",
+      5L -> "https://h.org/d/e/page?q=9",
+      6L -> "https://h.org/d/e/page",
+      7L -> "https://h.org/d/e/",      // trailing /.. pops AND keeps slash
+      // 8 (mailto:) dropped
+      9L -> "https://h.org/top"), got) // root-relative also dot-normalizes
   }
 
   test("urlCanonical: case, ports, www, fragments, tracking params, " +
@@ -224,6 +251,7 @@ class WebFiltersSpec extends SparkTestBase {
     // marker — the following anchor keeps its own element either way
     assert(got == Seq(
       ("http://base.org/after", "after bare"),
+      ("http://base.org/deep", "fragment only"), // RFC 3986: #frag = base doc
       ("http://base.org/real", "Fish & Chips"),
       ("http://base.org/unquoted", "still open"),
       ("http://mirror.org/m", "spaced out"),
