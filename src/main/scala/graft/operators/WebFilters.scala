@@ -386,17 +386,21 @@ object WebFilters {
       md5(payload).as("payload_digest"))
   }
 
-  /** Parse robots.txt bodies into per-host Disallow rules for the
-    * wildcard agent — SIMPLIFIED robots semantics, engine-replayable by
-    * design: a `Disallow:` line belongs to the NEAREST preceding
-    * `User-agent:` line (the common single-agent-per-group layout; RFC
-    * 9309's multi-agent groups and `Allow:` precedence are out of scope
-    * and documented as such), comments (`# …`) strip per line, empty
-    * Disallow values (= allow all) emit no rule. Returns (host, prefix).
+  /** Parse robots.txt bodies into per-host Allow/Disallow rules for the
+    * wildcard agent, RFC 9309 group semantics: a group is started by a
+    * `User-agent:` line whose nearest preceding NON-EMPTY line is not
+    * itself a `User-agent:` line — so consecutive `User-agent:` lines
+    * share one rule block (`User-agent: a` / `User-agent: *` /
+    * `Disallow: /x` applies `/x` to both agents), and every `*` group's
+    * rules combine. Comments (`# …`) strip per line; empty `Allow:` /
+    * `Disallow:` values match nothing and emit no rule (an empty
+    * Disallow is the classic allow-all). Blank lines are not group
+    * separators (RFC 9309 §2.1 — groups end at the next group's
+    * user-agent line). Returns (host, prefix, allow).
     *
-    * Shape: one explode to line rows, a per-host running count window to
-    * attach each rule line to its agent group (robots files are tiny —
-    * the window partitions by host), one equi-join. */
+    * Shape: one explode to line rows, a per-host lag + running count
+    * window to attach each rule line to its group (robots files are
+    * tiny — the window partitions by host), one equi-join. */
   def robotsRules(robots: DataFrame, hostCol: String = "host",
                   bodyCol: String = "body"): DataFrame = {
     // split on \r?\n and regex-trim ALL whitespace: a CRLF or
@@ -408,50 +412,77 @@ object WebFilters {
           regexp_replace(regexp_replace(l, "#.*", ""), "^\\s+|\\s+$", "")))
           .as(Seq("pos", "line")))
       .withColumn("low", lower(col("line")))
-    val win = org.apache.spark.sql.expressions.Window
+      // empty lines (blank or comment-only) carry no grouping or rule
+      // information under RFC 9309 — dropping them up front makes lag()
+      // read "nearest preceding non-empty line" directly
+      .where(col("line") =!= "")
+    val ord = org.apache.spark.sql.expressions.Window
       .partitionBy("host").orderBy("pos")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val grouped = lines.withColumn("grp",
-      sum(when(col("low").startsWith("user-agent:"), 1L).otherwise(0L)).over(win))
+    val cum = ord.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val isUa = col("low").startsWith("user-agent:")
+    val grouped = lines
+      .withColumn("starts_grp", isUa &&
+        !coalesce(lag(isUa, 1).over(ord), lit(false)))
+      .withColumn("grp",
+        sum(when(col("starts_grp"), 1L).otherwise(0L)).over(cum))
     def value(from: Int) = regexp_replace(
       expr(s"substring(line, $from)"), "^\\s+|\\s+$", "")
-    val agents = grouped.where(col("low").startsWith("user-agent:"))
+    val starGroups = grouped.where(isUa)
       .select(col("host"), col("grp"), value(12).as("agent"))
-    grouped.where(col("low").startsWith("disallow:"))
-      .select(col("host"), col("grp"), value(10).as("prefix"))
-      .where(col("prefix") =!= "")
-      .join(agents, Seq("host", "grp"))
       .where(col("agent") === "*")
-      .select("host", "prefix")
+      .select("host", "grp").distinct()
+    val rules = grouped
+      .withColumn("allow", col("low").startsWith("allow:"))
+      .where(col("allow") || col("low").startsWith("disallow:"))
+      .withColumn("prefix",
+        when(col("allow"), value(7)).otherwise(value(10)))
+      .where(col("prefix") =!= "")
+    rules.join(starGroups, Seq("host", "grp"))
+      .select("host", "prefix", "allow")
   }
 
-  /** Apply robots Disallow rules to a URL frame: each URL gains its
-    * canonical (host, path) plus `robots_blocked` = some rule of its host
-    * prefix-matches its canonical path. The match runs against
-    * path + '/' so a DIRECTORY rule (`Disallow: /private/`) blocks the
-    * directory URL itself even though canonicalization strips its
-    * trailing slash (appending '/' can never un-match a prefix that
-    * already matched). Exact substring compare — no LIKE, so rule bytes
-    * can't act as wildcards. Hosts with no rules are unblocked — robots
+  /** Apply robots rules to a URL frame, RFC 9309 precedence: each URL
+    * gains its canonical (host, path) plus `robots_blocked` = the
+    * LONGEST-prefix rule matching its canonical path is a Disallow;
+    * among equal-length matches Allow wins (§2.2.2's least-restrictive
+    * tiebreak), so `Disallow: /` + `Allow: /public/` blocks everything
+    * except the public tree. The match runs against path + '/' so a
+    * DIRECTORY rule (`Disallow: /private/`) blocks the directory URL
+    * itself even though canonicalization strips its trailing slash
+    * (appending '/' can never un-match a prefix that already matched).
+    * Exact substring compare — no LIKE, so rule bytes can't act as
+    * wildcards. Hosts with no matching rule are unblocked — robots
     * absence means allow.
     *
-    * Shape: rules collapse to one (host, prefixes[]) row per host —
-    * robots rule sets are tiny — and BROADCAST onto the URL frame; the
-    * verdict is a map-only exists() over the array, so the operator is
-    * ROW-PRESERVING (duplicate input rows stay duplicate) and the big
-    * side never shuffles. */
+    * Shape: rules collapse to one (host, rules[]) row per host — robots
+    * rule sets are tiny — and BROADCAST onto the URL frame; the verdict
+    * is a map-only fold over the array (longest match carried in the
+    * accumulator), so the operator is ROW-PRESERVING (duplicate input
+    * rows stay duplicate) and the big side never shuffles. */
   def robotsFilter(urls: DataFrame, rules: DataFrame,
                    urlCol: String = "url"): DataFrame = {
     val u = col(urlCol)
     val keyed = urls.withColumn("host", urlHost(u))
       .withColumn("path", canonPath(u))
     val ruleSets = rules.groupBy("host")
-      .agg(collect_list(col("prefix")).as("__prefixes"))
+      .agg(collect_list(struct(col("prefix"), col("allow"))).as("__rules"))
+    val matched = filter(col("__rules"), r =>
+      concat(col("path"), lit("/")).startsWith(r("prefix")))
+    // longest match, allow wins ties: the accumulator carries the best
+    // (length, allow) seen; the no-match sentinel (-1, allow) means
+    // unblocked, and coalesce covers hosts with no rules at all
+    val best = aggregate(matched,
+      struct(lit(-1).as("len"), lit(true).as("allow")),
+      (acc, r) => {
+        val rlen = length(r("prefix"))
+        when(rlen > acc("len") || (rlen === acc("len") && r("allow")),
+          struct(rlen.as("len"), r("allow").as("allow")))
+          .otherwise(acc)
+      })
     keyed.join(broadcast(ruleSets), Seq("host"), "left")
-      .withColumn("robots_blocked",
-        coalesce(exists(col("__prefixes"), p =>
-          concat(col("path"), lit("/")).startsWith(p)), lit(false)))
-      .drop("__prefixes")
+      .withColumn("robots_blocked", coalesce(!best("allow"), lit(false)))
+      .drop("__rules")
   }
 
   /** Canonical-URL dedup: keep-first (min id) per canonical URL — the

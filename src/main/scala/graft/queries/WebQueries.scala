@@ -602,49 +602,69 @@ object WebQueries {
       WebFilters.warcParse(files).orderBy("file_id", "rec_idx")
     },
 
-    // robots.txt rules applied to the crawl frontier: Disallow prefixes
-    // of the wildcard agent group, nearest-preceding-agent semantics
+    // robots.txt rules applied to the crawl frontier, RFC 9309: Allow +
+    // Disallow prefixes of the wildcard agent's group(s) (consecutive
+    // user-agent lines share one rule block), longest-prefix-match
+    // precedence with Allow winning equal-length ties — Disallow: / +
+    // Allow: /banner/1 blocks everything on the ad host except the
+    // /banner/1* tree, and the multi-UA static.example.org group blocks
+    // /img/ where nearest-preceding-agent parsing would have missed it
     df("ta_robots_filter",
       s"""WITH $duckUrlFixture,
          |$duckUrlCanonical,
          |rb AS (SELECT * FROM (VALUES
          |  ('example.com', '# demo' || chr(10) || 'User-agent: googlebot'
          |    || chr(10) || 'Disallow: /g/' || chr(10) || '' || chr(10)
-         |    || 'User-agent: *' || chr(10) || 'Disallow: /a/0'
-         |    || chr(10) || 'Disallow: /private/'),
-         |  ('ads.example.com', 'User-agent: *' || chr(10) || 'Disallow: /'),
-         |  ('static.example.org', 'User-agent: *' || chr(10) || 'Disallow:')
+         |    || 'User-agent: *' || chr(10) || 'Disallow: /a/'
+         |    || chr(10) || 'Allow: /a/1' || chr(10) || 'Disallow: /private/'
+         |    || chr(10) || 'Disallow:'),
+         |  ('ads.example.com', 'User-agent: *' || chr(10) || 'Disallow: /'
+         |    || chr(10) || 'Allow: /banner/1'),
+         |  ('static.example.org', 'User-agent: *' || chr(10)
+         |    || 'User-agent: imagebot' || chr(10) || 'Disallow: /img/')
          |  ) AS t(host, body)),
          |lx3 AS (SELECT host, unnest(ls) AS l0, generate_subscripts(ls, 1) AS pos
          |  FROM (SELECT host, regexp_split_to_array(body, '\\r?\\n') AS ls FROM rb) z),
-         |gl AS (SELECT host, pos, line, lower(line) AS low,
-         |  sum(CASE WHEN lower(line) LIKE 'user-agent:%' THEN 1 ELSE 0 END)
-         |    OVER (PARTITION BY host ORDER BY pos) AS grp
+         |ne AS (SELECT host, pos, line, lower(line) AS low
          |  FROM (SELECT host, pos, regexp_replace(
          |    regexp_replace(l0, '#.*', ''), '^\\s+|\\s+$$', '', 'g') AS line
-         |    FROM lx3) t),
-         |ua AS (SELECT host, grp, regexp_replace(substring(line, 12),
-         |    '^\\s+|\\s+$$', '', 'g') AS agent
-         |  FROM gl WHERE low LIKE 'user-agent:%'),
-         |ru AS (SELECT g.host, regexp_replace(substring(g.line, 10),
-         |    '^\\s+|\\s+$$', '', 'g') AS prefix
+         |    FROM lx3) t WHERE line <> ''),
+         |gf AS (SELECT host, pos, line, low,
+         |  CASE WHEN low LIKE 'user-agent:%' AND NOT coalesce(
+         |      lag(low LIKE 'user-agent:%') OVER (PARTITION BY host ORDER BY pos),
+         |      false) THEN 1 ELSE 0 END AS sg
+         |  FROM ne),
+         |gl AS (SELECT host, pos, line, low,
+         |  sum(sg) OVER (PARTITION BY host ORDER BY pos) AS grp FROM gf),
+         |ua AS (SELECT DISTINCT host, grp FROM gl WHERE low LIKE 'user-agent:%'
+         |  AND regexp_replace(substring(line, 12), '^\\s+|\\s+$$', '', 'g') = '*'),
+         |ru AS (SELECT g.host,
+         |  CASE WHEN g.low LIKE 'allow:%'
+         |    THEN regexp_replace(substring(g.line, 7), '^\\s+|\\s+$$', '', 'g')
+         |    ELSE regexp_replace(substring(g.line, 10), '^\\s+|\\s+$$', '', 'g')
+         |  END AS prefix,
+         |  (g.low LIKE 'allow:%') AS allow
          |  FROM gl g JOIN ua ON ua.host = g.host AND ua.grp = g.grp
-         |  WHERE g.low LIKE 'disallow:%'
-         |    AND regexp_replace(substring(g.line, 10), '^\\s+|\\s+$$', '', 'g') <> ''
-         |    AND ua.agent = '*')
-         |SELECT c.doc_id, c.url, c.host, c.path,
-         |  coalesce(bool_or(r.prefix IS NOT NULL
-         |    AND substring(c.path || '/', 1, len(r.prefix)) = r.prefix), false)
+         |  WHERE g.low LIKE 'disallow:%' OR g.low LIKE 'allow:%'),
+         |ru2 AS (SELECT host, prefix, allow FROM ru WHERE prefix <> ''),
+         |mt AS (SELECT c.doc_id, c.url, c.host, c.path, r.prefix, r.allow
+         |  FROM cx c LEFT JOIN ru2 r ON r.host = c.host
+         |    AND substring(c.path || '/', 1, len(r.prefix)) = r.prefix),
+         |mx AS (SELECT *, max(len(prefix))
+         |    OVER (PARTITION BY doc_id, url, host, path) AS ml FROM mt)
+         |SELECT doc_id, url, host, path,
+         |  coalesce(NOT bool_or(allow) FILTER (WHERE len(prefix) = ml), false)
          |    AS robots_blocked
-         |FROM cx c LEFT JOIN ru r ON r.host = c.host
-         |GROUP BY c.doc_id, c.url, c.host, c.path
+         |FROM mx GROUP BY doc_id, url, host, path
          |ORDER BY doc_id""".stripMargin) { (s, _) =>
       import s.implicits._
       val robots = Seq(
         ("example.com", "# demo\nUser-agent: googlebot\nDisallow: /g/\n\n" +
-          "User-agent: *\nDisallow: /a/0\nDisallow: /private/"),
-        ("ads.example.com", "User-agent: *\nDisallow: /"),
-        ("static.example.org", "User-agent: *\nDisallow:"))
+          "User-agent: *\nDisallow: /a/\nAllow: /a/1\nDisallow: /private/\n" +
+          "Disallow:"),
+        ("ads.example.com", "User-agent: *\nDisallow: /\nAllow: /banner/1"),
+        ("static.example.org",
+          "User-agent: *\nUser-agent: imagebot\nDisallow: /img/"))
         .toDF("host", "body")
       WebFilters.robotsFilter(urlFixture(s.table("documents")),
           WebFilters.robotsRules(robots))

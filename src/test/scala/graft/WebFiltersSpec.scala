@@ -171,32 +171,45 @@ class WebFiltersSpec extends SparkTestBase {
       r2.getAs[Long]("payload_len") == "payload two".length.toLong, r2)
   }
 
-  test("robotsRules: nearest-preceding agent group, comments stripped, " +
-    "empty Disallow emits no rule, CRLF bodies parse; robotsFilter " +
-    "blocks the directory URL a directory rule names and preserves " +
-    "duplicate rows") {
+  test("robotsRules: RFC 9309 groups (consecutive user-agent lines share " +
+    "rules), comments stripped, empty Disallow emits no rule, CRLF " +
+    "bodies parse; robotsFilter longest-match with Allow precedence, " +
+    "directory-URL blocking, duplicate rows preserved") {
     val robots = Seq(
       // CRLF line endings throughout — must parse like LF
       ("a.org", "User-agent: googlebot\r\nDisallow: /g/\r\n\r\n" +
         "User-agent: *\r\nDisallow: /x/ # comment\r\nDisallow:"),
-      ("b.org", "User-agent: *\nDisallow: /")).toDF("host", "body")
+      ("b.org", "User-agent: *\nDisallow: /\nAllow: /public/"),
+      // consecutive UA lines: the * group shares the rule block even
+      // though the nearest PRECEDING ua line is 'other'
+      ("c.org", "User-agent: *\nUser-agent: other\nDisallow: /shared/"),
+      // equal-length tie: Allow wins (least-restrictive, RFC 9309)
+      ("d.org", "User-agent: *\nDisallow: /tie/\nAllow: /tie/")
+    ).toDF("host", "body")
     val rules = WebFilters.robotsRules(robots).collect()
-      .map(r => (r.getString(0), r.getString(1))).toSet
-    assert(rules == Set(("a.org", "/x/"), ("b.org", "/")), rules)
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(rules == Set(("a.org", "/x/", false), ("b.org", "/", false),
+      ("b.org", "/public/", true), ("c.org", "/shared/", false),
+      ("d.org", "/tie/", false), ("d.org", "/tie/", true)), rules)
     val urls = Seq(
       (1L, "http://a.org/x/page"),   // blocked by /x/
       (2L, "http://a.org/g/page"),   // googlebot group, not *
       (3L, "http://a.org/y"),        // no matching prefix
       (4L, "http://b.org/anything"), // blocked by /
-      (5L, "http://c.org/x/page"),   // no robots at all
+      (5L, "http://c.org/x/page"),   // multi-UA group, /x/ not a c.org rule
       (6L, "http://a.org/x/"),       // the DIRECTORY URL itself: canonical
                                      // path /x but the /x/ rule must block
       (7L, "http://a.org/xylophone"),// /x/ must NOT block /xy...
-      (7L, "http://a.org/xylophone") // duplicate row must survive
+      (7L, "http://a.org/xylophone"),// duplicate row must survive
+      (8L, "http://b.org/public/doc"), // Allow: /public/ outranks Disallow: /
+      (9L, "http://c.org/shared/x"), // rule shared across the UA pair
+      (10L, "http://d.org/tie/x"),   // equal-length tie -> Allow wins
+      (11L, "http://e.org/x/page")   // no robots at all
     ).toDF("doc_id", "url")
     val got = WebFilters.robotsFilter(urls, WebFilters.robotsRules(robots))
       .orderBy("doc_id").select("robots_blocked").as[Boolean].collect().toSeq
-    assert(got == Seq(true, false, false, true, false, true, false, false), got)
+    assert(got == Seq(true, false, false, true, false, true, false, false,
+      false, true, false, false), got)
   }
 
   test("urlFilter verdicts + urlDedup keep-first groups") {
