@@ -733,6 +733,35 @@ object WebFilters {
       .where(col("loc") =!= "")
   }
 
+  /** Parse sitemap INDEX XML bodies (sitemaps.org `<sitemapindex>` — the
+    * ROOT of real-world sitemap discovery: robots.txt points at an
+    * index, the index lists child sitemap files, the children list page
+    * URLs): one row per `<sitemap>` entry — entity-decoded `<loc>` plus
+    * optional `<lastmod>` (missing → NULL, never an error; an entry with
+    * no loc is skipped). The `<sitemap\b` pattern cannot match the
+    * enclosing `<sitemapindex>` tag (no word boundary inside
+    * `sitemapindex`). Output (host, loc, lastmod) — deliberately
+    * [[sitemapRecrawl]]'s entries contract, so the same due computation
+    * schedules WHICH CHILD SITEMAPS to refetch before a single page URL
+    * is seen: index → due children → [[sitemapParse]] → due pages, the
+    * two-level discovery loop. Map-only after one explode per index
+    * file. */
+  def sitemapIndex(indexes: DataFrame, hostCol: String = "host",
+                   bodyCol: String = "body"): DataFrame = {
+    val entry = col("__e")
+    def tag(name: String) =
+      regexp_extract(entry, s"(?is)<$name[^>]*>(.*?)</$name>", 1)
+    val locRaw = wsNorm(decodeEntities(tag("loc")))
+    val lmRaw = wsNorm(tag("lastmod"))
+    indexes.select(col(hostCol).as("host"),
+        explode(regexp_extract_all(col(bodyCol),
+          lit("(?is)<sitemap\\b[^>]*>.*?</sitemap>"), lit(0))).as("__e"))
+      .select(col("host"), locRaw.as("loc"),
+        when(lmRaw === "", lit(null).cast("string")).otherwise(lmRaw)
+          .as("lastmod"))
+      .where(col("loc") =!= "")
+  }
+
   /** Sitemap-driven RECRAWL schedule: sitemap entries joined to the crawl
     * store's per-canonical-URL last-crawl time — an entry is `due` when
     * never crawled OR its declared lastmod is strictly later than the

@@ -355,6 +355,38 @@ object WebQueries {
       |    ELSE NULL END AS priority
       |  FROM se0 WHERE loc <> '')""".stripMargin
 
+  /** Shared DuckDB sitemap-INDEX fixture + entry chain (mirrors
+    * [[sitemapIndexFixture]] byte for byte and
+    * WebFilters.sitemapIndex): per-host sitemapindex bodies listing
+    * child sitemap files — entity-escaped query on every %4==1 child,
+    * lastmod missing on %3==0, one loc-less entry per host at the head;
+    * the `<sitemap\b` explode cannot match the enclosing
+    * `<sitemapindex>` tag. Ends at six(host, loc, lastmod). */
+  private val duckSitemapIndex =
+    """smi0 AS (SELECT doc_id, 'h' || (doc_id % 5) || '.example.org' AS host,
+      |  '<sitemap><loc>https://h' || (doc_id % 5) || '.example.org/sm/' || doc_id ||
+      |    CASE WHEN doc_id % 4 = 1 THEN '?a=1&amp;b=2' ELSE '' END || '</loc>' ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '' ELSE '<lastmod>2026-02-' ||
+      |      lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0') || '</lastmod>' END ||
+      |    '</sitemap>' AS rec
+      |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200) d),
+      |smi AS (SELECT host,
+      |    '<?xml version="1.0"?><sitemapindex><sitemap><lastmod>2026-01-01</lastmod></sitemap>' ||
+      |    string_agg(rec, '' ORDER BY doc_id) || '</sitemapindex>' AS body
+      |  FROM smi0 GROUP BY host),
+      |six0 AS (SELECT host, unnest(regexp_extract_all(body,
+      |    '(?is)<sitemap\b[^>]*>.*?</sitemap>')) AS e FROM smi),
+      |six1 AS (SELECT host,
+      |  trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+      |    coalesce(regexp_extract(e, '(?is)<loc[^>]*>(.*?)</loc>', 1), ''),
+      |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+      |    '&nbsp;', ' '), '&amp;', '&'), '\s+', ' ', 'g')) AS loc,
+      |  trim(regexp_replace(coalesce(regexp_extract(e,
+      |    '(?is)<lastmod[^>]*>(.*?)</lastmod>', 1), ''), '\s+', ' ', 'g')) AS lm
+      |  FROM six0),
+      |six AS (SELECT host, loc, nullif(lm, '') AS lastmod
+      |  FROM six1 WHERE loc <> '')""".stripMargin
+
   /** The Spark-side URL fixture — one URL shape per doc_id mod 6. */
   private def urlFixture(docs: org.apache.spark.sql.DataFrame) = {
     val grp = floor(col("doc_id") / 12).cast("long").cast("string")
@@ -851,6 +883,39 @@ object WebQueries {
         .orderBy("canonical_url")
     },
 
+    // sitemap INDEX files (where real discovery starts: robots.txt ->
+    // index -> child sitemaps -> pages): per-host sitemapindex bodies
+    // parsed to child-sitemap rows, composed with the SAME recrawl
+    // schedule — due = child never fetched OR index-declared lastmod
+    // newer than the stored fetch time
+    df("ta_sitemap_index",
+      s"""WITH $duckSitemapIndex,
+         |ux AS (SELECT 0 AS doc_id, loc AS url, lastmod FROM six),
+         |${duckCanonicalChain("doc_id, lastmod")},
+         |store AS (SELECT 'https://h' || (doc_id % 5) || '.example.org/sm/'
+         |    || doc_id AS u0, '2026-02-10' AS fetched_at
+         |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200) d
+         |  WHERE doc_id % 2 = 0),
+         |sx AS (SELECT u0 AS cu, max(fetched_at) AS crawled_at
+         |  FROM store GROUP BY u0)
+         |SELECT cx.canonical_url, cx.lastmod, sx.crawled_at,
+         |  (sx.crawled_at IS NULL OR (cx.lastmod IS NOT NULL
+         |    AND cx.lastmod > sx.crawled_at)) AS due
+         |FROM cx LEFT JOIN sx ON sx.cu = cx.canonical_url
+         |WHERE cx.canonical_url IS NOT NULL
+         |ORDER BY canonical_url""".stripMargin) { (s, _) =>
+      val children = WebFilters.sitemapIndex(
+        sitemapIndexFixture(s.table("documents")))
+      val fetched = s.table("documents").orderBy("doc_id").limit(200)
+        .where(col("doc_id") % 2 === 0)
+        .select(concat(lit("https://h"), (col("doc_id") % 5).cast("string"),
+            lit(".example.org/sm/"), col("doc_id").cast("string")).as("url"),
+          lit("2026-02-10").as("crawled_at"))
+      WebFilters.sitemapRecrawl(children, fetched)
+        .select("canonical_url", "lastmod", "crawled_at", "due")
+        .orderBy("canonical_url")
+    },
+
     // declared-canonical dedup: pages grouped by their own rel=canonical
     // target (both attribute orders, entity decode, tracking params
     // strip) — the variant sets syntactic canonicalization can't see
@@ -941,5 +1006,37 @@ object WebQueries {
           array_sort(collect_list(struct(col("doc_id"), col("rec")))),
           x => x.getField("rec"))),
         lit("</urlset>")).as("body"))
+  }
+
+  /** Spark-side sitemap-INDEX fixture (mirrors [[duckSitemapIndex]]'s
+    * smi chain byte for byte): five hosts, one sitemapindex body per
+    * host listing the host's child sitemap files — entity-escaped query
+    * on %4==1 children, lastmod missing on %3==0, one loc-less entry
+    * per host that the parser must skip. */
+  private def sitemapIndexFixture(docs: org.apache.spark.sql.DataFrame) = {
+    val id = col("doc_id").cast("string")
+    val entry = concat(
+      lit("<sitemap><loc>https://h"), (col("doc_id") % 5).cast("string"),
+      lit(".example.org/sm/"), id,
+      when(col("doc_id") % 4 === 1, lit("?a=1&amp;b=2")).otherwise(lit("")),
+      lit("</loc>"),
+      when(col("doc_id") % 3 === 0, lit(""))
+        .otherwise(concat(lit("<lastmod>2026-02-"),
+          lpad(((col("doc_id") % 27) + 1).cast("string"), 2, "0"),
+          lit("</lastmod>"))),
+      lit("</sitemap>"))
+    docs.orderBy("doc_id").limit(200)
+      .select(col("doc_id"),
+        concat(lit("h"), (col("doc_id") % 5).cast("string"),
+          lit(".example.org")).as("host"),
+        entry.as("rec"))
+      .groupBy("host")
+      .agg(concat(
+        lit("<?xml version=\"1.0\"?><sitemapindex>" +
+          "<sitemap><lastmod>2026-01-01</lastmod></sitemap>"),
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+          x => x.getField("rec"))),
+        lit("</sitemapindex>")).as("body"))
   }
 }

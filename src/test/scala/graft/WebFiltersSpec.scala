@@ -386,6 +386,34 @@ class WebFiltersSpec extends SparkTestBase {
       ("https://a.org/min", None, None, None)), got)
   }
 
+  test("sitemapIndex: child sitemaps with optional lastmod, loc-less " +
+    "entries skipped, the enclosing <sitemapindex> tag never parses as " +
+    "an entry; output composes with sitemapRecrawl") {
+    val body = """<?xml version="1.0"?><sitemapindex>
+      |<sitemap><loc> https://a.org/sm/1.xml?x=1&amp;y=2 </loc>
+      |<lastmod>2026-02-03</lastmod></sitemap>
+      |<sitemap><loc>https://a.org/sm/2.xml</loc></sitemap>
+      |<sitemap><lastmod>2026-01-01</lastmod></sitemap>
+      |</sitemapindex>""".stripMargin
+    val children = WebFilters.sitemapIndex(
+      Seq(("a.org", body)).toDF("host", "body"))
+    val got = children.orderBy("loc").collect()
+      .map(r => (r.getString(1), Option(r.getString(2)))).toSeq
+    assert(got == Seq(
+      ("https://a.org/sm/1.xml?x=1&y=2", Some("2026-02-03")),
+      ("https://a.org/sm/2.xml", None)), got)
+    // two-level discovery: the recrawl schedule runs over CHILD SITEMAPS
+    val fetched = Seq(("https://a.org/sm/1.xml?y=2&x=1", "2026-01-20"))
+      .toDF("url", "crawled_at")
+    val due = WebFilters.sitemapRecrawl(children, fetched)
+      .orderBy("loc").select("loc", "due").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    assert(due == Seq(
+      // fetched (param order canonicalizes) but index lastmod is newer
+      ("https://a.org/sm/1.xml?x=1&y=2", true),
+      ("https://a.org/sm/2.xml", true)), due) // never fetched
+  }
+
   test("sitemapRecrawl: never-crawled and newer-lastmod entries are due; " +
     "older lastmod and lastmod-less crawled entries are not") {
     val entries = WebFilters.sitemapParse(Seq(("a.org",
