@@ -128,10 +128,16 @@ object Similarity {
     * one sqrt + one divide of exact integers, then round(6)).
     * Zero vectors rank last (approx −1) instead of dividing by zero.
     *
-    * Shape at 100 TB: the scan side reads 1 byte per dimension instead
-    * of 8 — the memory story that lets a corpus's embeddings stay
-    * resident — as a map-only integer fold per row (broadcast query,
-    * no shuffle); the float path touches only `rerank` rows. */
+    * Shape at 100 TB: the approx phase SCORES on 1 byte per dimension
+    * (the integer-code fold) and its TakeOrdered ships only
+    * (id, approx_sim) rows — no float vector rides the per-partition
+    * top-rerank shuffle; the float path is a second pass over the
+    * corpus joining the BROADCAST rerank-sized candidate set, map-only.
+    * Note the SCAN still reads the fp32 embedding column both passes —
+    * the codes are computed on the fly here; the 1-byte-per-dimension
+    * READ story additionally needs a precomputed/stored code column
+    * (write `int8Codes` out once and feed that frame), which this
+    * operator's phases are shaped to exploit but do not require. */
   def annTopKSq8(emb: DataFrame, queryId: Long, k: Int, rerank: Int = 40,
                  idCol: String = "vec_id",
                  vecCol: String = "embedding"): DataFrame = {
@@ -139,16 +145,24 @@ object Similarity {
     graft.functions.ArrayDot.register(emb.sparkSession)
     val base = emb.select(col(idCol), asDouble(col(vecCol)).as("__v"))
       .withColumn("__q", int8Codes(col("__v")))
-    val q = broadcast(base.where(col(idCol) === queryId)
-      .select(col("__v").as("qv"), col("__q").as("qq")))
-    val scored = base.where(col(idCol) =!= queryId).crossJoin(q)
-      .select(col(idCol), col("__v"), col("qv"),
+    val qRow = base.where(col(idCol) === queryId)
+    val q = broadcast(qRow.select(col("__q").as("qq")))
+    val cand = base.where(col(idCol) =!= queryId).crossJoin(q)
+      .select(col(idCol),
         expr(Sq8IntDot).as("idot"),
         expr("aggregate(__q, 0L, (acc, x) -> acc + x * x)").as("inv"),
         expr("aggregate(qq, 0L, (acc, x) -> acc + x * x)").as("inq"))
       .withColumn("approx_sim",
         sq8ApproxSim(col("idot"), col("inv"), col("inq")))
-    scored.orderBy(col("approx_sim").desc, col(idCol)).limit(rerank)
+      .select(col(idCol), col("approx_sim"))
+      .orderBy(col("approx_sim").desc, col(idCol)).limit(rerank)
+    // ADVICE r15: join __v only AFTER the candidate set is fixed — the
+    // rerank-sized frame broadcasts onto the corpus for a map-only
+    // exact pass instead of carrying every partition's top-rerank
+    // float vectors through the TakeOrdered
+    emb.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .join(broadcast(cand), Seq(idCol))
+      .crossJoin(broadcast(qRow.select(col("__v").as("qv"))))
       .select(col(idCol), col("approx_sim"), sq8ExactSim.as("sim"))
       .orderBy(col("sim").desc, col(idCol)).limit(k)
   }
@@ -166,9 +180,11 @@ object Similarity {
     * the SQ8 family reports the degenerate rows, the exact family
     * refuses to rank undefined cosines).
     *
-    * Shape at 100 TB: the batch scan reads 1 byte per dimension with no
-    * corpus shuffle; the float path touches ≤ queries·rerank·partitions
-    * rows. */
+    * Shape at 100 TB: the batch scan SCORES on 1 byte per dimension
+    * with no corpus shuffle (the read itself still decodes the fp32
+    * column — see [[annTopKSq8]]'s precomputed-code-column note for the
+    * full 1-byte READ story); the float path touches ≤
+    * queries·rerank·partitions rows. */
   def batchTopKSq8(emb: DataFrame, queries: DataFrame, k: Int,
                    rerank: Int = 40,
                    idCol: String = "vec_id", vecCol: String = "embedding",

@@ -800,7 +800,11 @@ object TextAnalysis {
     * Shape at 100 TB: one explode to adjacent pairs + a uniform-key
     * partial agg onto the distinct-bigram frame, a bounded top-k, then
     * PageRank arithmetic on the maxEdges-bounded frame. Returns the top
-    * `topK` (keyword, rank), rank desc / keyword asc. */
+    * `topK` (keyword, rank), rank desc / keyword asc. NOTE: the shared
+    * DuckOracles.pageRank2 fragment hard-codes exactly two rounds, so
+    * `iters` (here and in hostRank/serviceCentrality) is cross-engine
+    * oracle-covered ONLY at the default iters = 2; other values run the
+    * same code path but outside the pin. */
   def textrankKeywords(docs: DataFrame, topK: Int = 50,
                        minWordLen: Int = 4, maxEdges: Int = 10000,
                        iters: Int = 2, textCol: String = "text"): DataFrame = {

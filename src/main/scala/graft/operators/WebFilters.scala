@@ -680,10 +680,10 @@ object WebFilters {
   def hostQuality(pages: DataFrame, urlCol: String = "url",
                   textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    // gopherFilter's n_words rule (whitespace tokens of the lowercased
-    // text), inlined as a column
-    val nWords = size(filter(split(lower(t), "\\s+"), x => length(x) > 0))
-      .cast("long")
+    // gopherFilter's n_words rule via the ONE shared tokenization
+    // (ADVICE r15: re-inlining the split-lowered-drop-empties rule here
+    // was exactly the drift surface the shared definition exists to kill)
+    val nWords = size(Dedup.tokens(t)).cast("long")
     pages.select(urlHost(col(urlCol)).as("host"), nWords.as("__nw"),
         CorpusFilters.gopherKeep(t).as("__gk"),
         CorpusFilters.c4Keep(t).as("__ck"))

@@ -91,35 +91,40 @@ object WebQueries {
   /** Shared DuckDB canonicalization chain over ux (mirrors
     * WebFilters.urlCanonical/urlHost), parameterized on the columns
     * carried through (so the anchor-text chain can keep its text): ends
-    * at cx($carry, url, scheme, host, path, canonical_url). */
+    * at cx($carry, url, scheme, host, path, canonical_url). The base
+    * string marks carried columns with the __CARRY__ token (ADVICE r15:
+    * replacing the literal 'doc_id' would silently rewrite any future
+    * doc_id used in a GROUP BY / join predicate / function argument),
+    * so only the select-list carries can ever be parameterized. */
   private def duckCanonicalChain(carry: String): String =
-    duckUrlCanonicalBase.replace("doc_id", carry)
+    duckUrlCanonicalBase.replace("__CARRY__", carry)
 
-  private val duckUrlCanonical = duckUrlCanonicalBase
+  private val duckUrlCanonical = duckUrlCanonicalBase.replace(
+    "__CARRY__", "doc_id")
 
   private lazy val duckUrlCanonicalBase =
-    """nf AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS u FROM ux),
-      |pc AS (SELECT doc_id, url, u,
+    """nf AS (SELECT __CARRY__, url, regexp_replace(url, '#.*', '') AS u FROM ux),
+      |pc AS (SELECT __CARRY__, url, u,
       |  lower(coalesce(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
       |  lower(coalesce(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')) AS hostport,
       |  regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
       |  FROM nf),
-      |hx AS (SELECT doc_id, url, scheme, rest,
+      |hx AS (SELECT __CARRY__, url, scheme, rest,
       |  regexp_replace(CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
       |    WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
       |    ELSE hostport END, '^www\.', '') AS host
       |  FROM pc),
-      |px AS (SELECT doc_id, url, scheme, host,
+      |px AS (SELECT __CARRY__, url, scheme, host,
       |  coalesce(regexp_extract(rest, '^([^?]*)', 1), '') AS path0,
       |  coalesce(regexp_extract(rest, '\?(.*)', 1), '') AS qs
       |  FROM hx),
-      |qx AS (SELECT doc_id, url, scheme, host,
+      |qx AS (SELECT __CARRY__, url, scheme, host,
       |  CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
       |    ELSE regexp_replace(path0, '/+$', '') END AS path,
       |  list_sort(list_filter(string_split(qs, '&'), p -> p <> ''
       |    AND NOT regexp_matches(p, '^(?i)(utm_[a-z0-9]+|gclid|fbclid)='))) AS params
       |  FROM px),
-      |cx AS (SELECT doc_id, url, scheme, host, path,
+      |cx AS (SELECT __CARRY__, url, scheme, host, path,
       |  CASE WHEN scheme = '' OR host = '' THEN NULL
       |    ELSE scheme || '://' || host || path ||
       |      (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END)
