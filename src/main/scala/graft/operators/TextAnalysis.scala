@@ -697,6 +697,63 @@ object TextAnalysis {
     top.union(chars).groupBy("piece").agg(max(col("cnt")).as("cnt"))
   }
 
+  /** One LIKELIHOOD-scored WordPiece merge round (the published
+    * WordPiece/SentencePiece-BPE criterion — Schuster & Nakajima 2012,
+    * as popularized by the BERT tokenizer): over the character-split
+    * word-frequency table, every adjacent symbol pair scores
+    * freq(ab) / (freq(a) · freq(b)) — the pair whose merge most
+    * increases corpus likelihood under a unigram symbol model — and the
+    * round's ranking IS the trainer's choice function (BPE merges by
+    * raw pair frequency; WordPiece normalizes by the parts' own
+    * frequencies, preferring pairs that co-occur more than their parts
+    * predict). Returns the top `topK` scored pairs:
+    * (rnk, left_sym, right_sym, pair_cnt, left_cnt, right_cnt,
+    * score_e9) with score_e9 = round(score · 1e9, 6); ranking uses the
+    * UNROUNDED score (an exact-integer ratio — both engines divide the
+    * same longs, so ordering can never drift), ties to the
+    * lexicographically smallest pair.
+    *
+    * Complements [[wordpieceVocab]] (the seed-frequency vocab this
+    * criterion would iterate from) — one round is exactly what a SQL
+    * oracle can replay, the `ta_unigram_em1` pattern.
+    *
+    * Shape at 100 TB: ONE distributed pass to the distinct-word
+    * frequency table, then uniform-key partial aggs onto the
+    * alphabet-sized symbol frame and the alphabet²-bounded pair frame;
+    * the final rank window runs on ≤ 26² rows. No driver loop, no
+    * collect. */
+  def wordpieceMergeScores(docs: DataFrame, topK: Int = 10,
+                           textCol: String = "text"): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val wf = docs.select(explode(
+        expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .localCheckpoint()
+    val symCnt = wf.select(col("wc"), explode(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        .as("c"))
+      .groupBy("c").agg(sum("wc").as("scnt"))
+    val pairCnt = wf.where(length(col("word")) >= 2)
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> " +
+          "struct(substring(word, i, 1) AS pa, substring(word, i + 1, 1) AS pb))"))
+        .as("__p"))
+      .select(col("__p.pa").as("pa"), col("__p.pb").as("pb"), col("wc"))
+      .groupBy("pa", "pb").agg(sum("wc").as("pair_cnt"))
+    val scored = pairCnt
+      .join(broadcast(symCnt.select(col("c").as("pa"), col("scnt").as("left_cnt"))), Seq("pa"))
+      .join(broadcast(symCnt.select(col("c").as("pb"), col("scnt").as("right_cnt"))), Seq("pb"))
+      .withColumn("__score",
+        col("pair_cnt") / (col("left_cnt") * col("right_cnt")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__score").desc, col("pa"), col("pb"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= topK)
+      .select(col("rnk"), col("pa").as("left_sym"), col("pb").as("right_sym"),
+        col("pair_cnt"), col("left_cnt"), col("right_cnt"),
+        round(col("__score") * 1e9, 6).as("score_e9"))
+  }
+
   /** Greedy longest-match-first WordPiece segmentation: at each position
     * take the LONGEST vocab piece prefixing the remainder; a stuck
     * position collapses the WHOLE word to `[UNK]` (BERT semantics —

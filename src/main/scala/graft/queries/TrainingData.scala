@@ -3535,6 +3535,38 @@ object TrainingData {
         .orderBy("doc_id").limit(100)
     },
 
+    // one LIKELIHOOD-scored WordPiece merge round: every adjacent symbol
+    // pair over the char-split word-frequency table scores
+    // freq(ab)/(freq(a)*freq(b)) — the published WordPiece criterion
+    // (vs BPE's raw pair frequency); ranking uses the unrounded
+    // exact-integer ratio so ordering can never drift cross-engine
+    df("ta_wordpiece_merge1",
+      """WITH wf AS (SELECT w AS word, count(*) AS wc FROM (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |  FROM documents) x GROUP BY w),
+        |sy AS (SELECT unnest(list_transform(generate_series(1, len(word)),
+        |    i -> word[i])) AS c, wc FROM wf),
+        |sc AS (SELECT c, CAST(sum(wc) AS BIGINT) AS scnt FROM sy GROUP BY c),
+        |pr AS (SELECT unnest(list_transform(generate_series(1, len(word) - 1),
+        |    i -> word[i])) AS pa,
+        |  unnest(list_transform(generate_series(1, len(word) - 1),
+        |    i -> word[i + 1])) AS pb, wc
+        |  FROM wf WHERE len(word) >= 2),
+        |pc AS (SELECT pa, pb, CAST(sum(wc) AS BIGINT) AS pair_cnt
+        |  FROM pr GROUP BY pa, pb),
+        |sj AS (SELECT pc.pa, pc.pb, pc.pair_cnt,
+        |  a.scnt AS left_cnt, b.scnt AS right_cnt,
+        |  pc.pair_cnt / (a.scnt * b.scnt) AS sc0
+        |  FROM pc JOIN sc a ON a.c = pc.pa JOIN sc b ON b.c = pc.pb),
+        |rk AS (SELECT *, CAST(row_number() OVER (
+        |  ORDER BY sc0 DESC, pa, pb) AS BIGINT) AS rnk FROM sj)
+        |SELECT rnk, pa AS left_sym, pb AS right_sym, pair_cnt,
+        |  left_cnt, right_cnt, round(sc0 * 1e9, 6) AS score_e9
+        |FROM rk WHERE rnk <= 10 ORDER BY rnk""".stripMargin) { (s, _) =>
+      TextAnalysis.wordpieceMergeScores(s.table("documents"), topK = 10)
+        .orderBy("rnk")
+    },
+
     // WordPiece fertility + UNK rate per language — the signal BPE can't
     // report (how often a word falls out of the vocabulary entirely)
     df("ta_wordpiece_fertility",

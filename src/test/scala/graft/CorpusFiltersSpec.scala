@@ -753,4 +753,24 @@ class CorpusFiltersSpec extends SparkTestBase {
       ("de", 2L, 3L, 1.5, 1L, 0.5),
       ("en", 2L, 2L, 1.0, 0L, 0.0)), got)
   }
+
+  test("wordpiece merge scores: freq(ab)/(freq(a)*freq(b)) ranks a rare " +
+    "but exclusive pair above a frequent promiscuous one") {
+    import spark.implicits._
+    // corpus: 'abab' x4, 'xy' x1 over distinct words weighted by count.
+    // symbols: a=8, b=8, x=1, y=1. pairs: (a,b)=8 (two per 'abab', x4),
+    // (b,a)=4, (x,y)=1. scores: xy = 1/(1*1) = 1 -> TOP despite count 1;
+    // ab = 8/64 = 0.125; ba = 4/64 = 0.0625. BPE's raw-frequency
+    // criterion would pick (a,b) first — the discriminating case.
+    val docs = (Seq.fill(4)("abab") ++ Seq("xy")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.wordpieceMergeScores(docs, topK = 3)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getDouble(6))).toSeq
+    assert(got == Seq(
+      (1L, "x", "y", 1L, 1.0e9),
+      (2L, "a", "b", 8L, 0.125e9),
+      (3L, "b", "a", 4L, 0.0625e9)), got)
+  }
 }
