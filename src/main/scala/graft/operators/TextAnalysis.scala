@@ -754,6 +754,90 @@ object TextAnalysis {
         round(col("__score") * 1e9, 6).as("score_e9"))
   }
 
+  /** ITERATED likelihood-scored WordPiece merges — the
+    * [[wordpieceMergeScores]] criterion run as a real trainer loop:
+    * each round scores every adjacent symbol pair
+    * freq(ab) / (freq(a) · freq(b)) over the current symbol sequences,
+    * merges the argmax pair everywhere (left-to-right non-overlapping,
+    * [[bpeMerges]]' application rule; ties to the lexicographically
+    * smallest pair), and re-scores. Returns the learned merge table
+    * (round, left_sym, right_sym, pair_cnt, left_cnt, right_cnt,
+    * score_e9); scores compare UNROUNDED (exact-integer ratios — both
+    * engines divide identical longs).
+    *
+    * Shape at 100 TB: the ONE distributed pass builds the distinct-word
+    * frequency table ([[bpeMerges]]' scale trick); the loop recomputes
+    * pair + symbol counts over that vocabulary-sized artifact per round
+    * — O(rounds · total symbols) driver work, right for the small merge
+    * counts an oracle can replay. A production-depth vocabulary (32k
+    * merges) would maintain counts incrementally exactly as
+    * [[bpeMerges]]' lazy-deletion heap does (a merge only perturbs
+    * scores of pairs touching its symbols — the likelihood numerator
+    * AND denominators change only there), not by widening this loop. */
+  def wordpieceMerges(docs: DataFrame, merges: Int, textCol: String = "text",
+                      maxVocabWords: Int = 1 << 22): DataFrame = {
+    require(merges >= 1, "merges must be positive")
+    val spark = docs.sparkSession
+    val wf = docs.select(explode(
+        expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .orderBy(col("wc").desc, col("word")).limit(maxVocabWords)
+      .collect()
+    val syms: Array[Array[String]] = wf.map(_.getString(0).split(""))
+    val wcs: Array[Long] = wf.map(_.getLong(1))
+
+    def applyMerge(s: Array[String], pa: String, pb: String): Array[String] = {
+      val out = Array.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == pa && s(i + 1) == pb) { out += pa + pb; i += 2 }
+        else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+
+    val learned = scala.collection.mutable.ListBuffer
+      .empty[(Int, String, String, Long, Long, Long, Double)]
+    var r = 1
+    var live = true
+    while (r <= merges && live) {
+      val symCnt = scala.collection.mutable.HashMap.empty[String, Long]
+      val pairCnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      syms.indices.foreach { w =>
+        val s = syms(w); val c = wcs(w)
+        var i = 0
+        while (i < s.length) {
+          symCnt.update(s(i), symCnt.getOrElse(s(i), 0L) + c)
+          if (i + 1 < s.length)
+            pairCnt.update((s(i), s(i + 1)),
+              pairCnt.getOrElse((s(i), s(i + 1)), 0L) + c)
+          i += 1
+        }
+      }
+      if (pairCnt.isEmpty) live = false
+      else {
+        // argmax by exact-integer-ratio score, ties to the smallest pair
+        val best = pairCnt.keysIterator.reduce { (x, y) =>
+          val sx = pairCnt(x).toDouble / (symCnt(x._1) * symCnt(x._2))
+          val sy = pairCnt(y).toDouble / (symCnt(y._1) * symCnt(y._2))
+          if (sx > sy) x
+          else if (sy > sx) y
+          else if (x._1 < y._1 || (x._1 == y._1 && x._2 <= y._2)) x else y
+        }
+        val (pa, pb) = best
+        val score = pairCnt(best).toDouble / (symCnt(pa) * symCnt(pb))
+        learned += ((r, pa, pb, pairCnt(best), symCnt(pa), symCnt(pb),
+          BigDecimal(score * 1e9)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        syms.indices.foreach(w => syms(w) = applyMerge(syms(w), pa, pb))
+        r += 1
+      }
+    }
+    import spark.implicits._
+    learned.toSeq.toDF("round", "left_sym", "right_sym", "pair_cnt",
+      "left_cnt", "right_cnt", "score_e9")
+  }
+
   /** Greedy longest-match-first WordPiece segmentation: at each position
     * take the LONGEST vocab piece prefixing the remainder; a stuck
     * position collapses the WHOLE word to `[UNK]` (BERT semantics —

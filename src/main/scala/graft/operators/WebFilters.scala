@@ -442,22 +442,30 @@ object WebFilters {
       .select("host", "prefix", "allow")
   }
 
-  /** Apply robots rules to a URL frame, RFC 9309 precedence: each URL
-    * gains its canonical (host, path) plus `robots_blocked` = the
-    * LONGEST-prefix rule matching its canonical path is a Disallow;
-    * among equal-length matches Allow wins (§2.2.2's least-restrictive
-    * tiebreak), so `Disallow: /` + `Allow: /public/` blocks everything
-    * except the public tree. The match runs against path + '/' so a
-    * DIRECTORY rule (`Disallow: /private/`) blocks the directory URL
-    * itself even though canonicalization strips its trailing slash
-    * (appending '/' can never un-match a prefix that already matched).
-    * Exact substring compare — no LIKE, so rule bytes can't act as
-    * wildcards. Hosts with no matching rule are unblocked — robots
-    * absence means allow.
+  /** Apply robots rules to a URL frame, RFC 9309 matching + precedence:
+    * each URL gains its canonical (host, path) plus `robots_blocked` =
+    * the MOST-SPECIFIC rule matching its canonical path is a Disallow.
+    * Specificity is raw pattern length (§2.2.2); among equal-length
+    * matches Allow wins (the least-restrictive tiebreak), so
+    * `Disallow: /` + `Allow: /public/` blocks everything except the
+    * public tree. Patterns support RFC 9309 wildcards: `*` matches any
+    * character run and a trailing `$` anchors the match at path end
+    * (the classic media rule — slash, `*`, `.pdf`, `$` — blocks every
+    * pdf path; the literal can't be spelled here because Scala block
+    * comments nest on its first two bytes); such patterns compile to
+    * anchored regexes
+    * (every other byte regex-escaped, identically in both engines) and
+    * match the RAW canonical path. Plain patterns keep the exact
+    * prefix compare against path + '/' — so a DIRECTORY rule
+    * (`Disallow: /private/`) blocks the directory URL itself even
+    * though canonicalization strips its trailing slash, and rule bytes
+    * can't act as accidental wildcards. Hosts with no matching rule
+    * are unblocked — robots absence means allow.
     *
     * Shape: rules collapse to one (host, rules[]) row per host — robots
-    * rule sets are tiny — and BROADCAST onto the URL frame; the verdict
-    * is a map-only fold over the array (longest match carried in the
+    * rule sets are tiny — with the regex compiled ONCE per rule on the
+    * rules side, then BROADCAST onto the URL frame; the verdict is a
+    * map-only fold over the array (most-specific match carried in the
     * accumulator), so the operator is ROW-PRESERVING (duplicate input
     * rows stay duplicate) and the big side never shuffles. */
   def robotsFilter(urls: DataFrame, rules: DataFrame,
@@ -465,13 +473,29 @@ object WebFilters {
     val u = col(urlCol)
     val keyed = urls.withColumn("host", urlHost(u))
       .withColumn("path", canonPath(u))
-    val ruleSets = rules.groupBy("host")
-      .agg(collect_list(struct(col("prefix"), col("allow"))).as("__rules"))
+    val special = col("prefix").contains("*") || col("prefix").endsWith("$")
+    val body = when(col("prefix").endsWith("$"),
+        expr("substring(prefix, 1, length(prefix) - 1)"))
+      .otherwise(col("prefix"))
+    // regex-escape every metachar EXCEPT '*' (which becomes .*); the
+    // resulting pattern contains only escaped literals, '.*', '^', '$' —
+    // portable between Java regex and DuckDB's RE2
+    val esc = regexp_replace(body, "([.^$+?(){}\\[\\]|\\\\])", "\\\\$1")
+    val rx = concat(lit("^"), regexp_replace(esc, "\\*", ".*"),
+      when(col("prefix").endsWith("$"), lit("$")).otherwise(lit("")))
+    val ruleSets = rules
+      .withColumn("special", special)
+      .withColumn("rx", when(special, rx).otherwise(lit("")))
+      .groupBy("host")
+      .agg(collect_list(struct(col("prefix"), col("allow"),
+        col("special"), col("rx"))).as("__rules"))
     val matched = filter(col("__rules"), r =>
-      concat(col("path"), lit("/")).startsWith(r("prefix")))
-    // longest match, allow wins ties: the accumulator carries the best
-    // (length, allow) seen; the no-match sentinel (-1, allow) means
-    // unblocked, and coalesce covers hosts with no rules at all
+      when(r("special"), regexp_like(col("path"), r("rx")))
+        .otherwise(concat(col("path"), lit("/")).startsWith(r("prefix"))))
+    // most-specific match, allow wins ties: the accumulator carries the
+    // best (pattern length, allow) seen; the no-match sentinel
+    // (-1, allow) means unblocked, and coalesce covers hosts with no
+    // rules at all
     val best = aggregate(matched,
       struct(lit(-1).as("len"), lit(true).as("allow")),
       (acc, r) => {
@@ -483,6 +507,66 @@ object WebFilters {
     keyed.join(broadcast(ruleSets), Seq("host"), "left")
       .withColumn("robots_blocked", coalesce(!best("allow"), lit(false)))
       .drop("__rules")
+  }
+
+  /** `Sitemap:` discovery lines from robots.txt bodies — where real
+    * sitemap discovery STARTS (robots → [[sitemapIndex]] → children →
+    * [[sitemapParse]] → pages). RFC 9309 §2.3: Sitemap is a non-group
+    * directive — it binds to the whole file regardless of surrounding
+    * user-agent groups, so this parse needs no group machinery at all:
+    * strip comments/whitespace per line, take `sitemap:` lines
+    * (case-insensitive key), emit DISTINCT (host, sitemap_url); empty
+    * values emit nothing. Map-only explode + a uniform-key distinct. */
+  def robotsSitemaps(robots: DataFrame, hostCol: String = "host",
+                     bodyCol: String = "body"): DataFrame =
+    robots.select(col(hostCol).as("host"),
+        explode(transform(split(col(bodyCol), "\\r?\\n"), l =>
+          regexp_replace(regexp_replace(l, "#.*", ""), "^\\s+|\\s+$", "")))
+          .as("line"))
+      .where(lower(col("line")).startsWith("sitemap:"))
+      .select(col("host"), regexp_replace(
+        expr("substring(line, 9)"), "^\\s+|\\s+$", "").as("sitemap_url"))
+      .where(col("sitemap_url") =!= "")
+      .distinct()
+
+  /** `Crawl-delay:` per host for the wildcard agent — the de-facto
+    * politeness directive (not in RFC 9309 but honored by most
+    * crawlers): same group semantics as [[robotsRules]] (consecutive
+    * user-agent lines share the block, every `*` group contributes).
+    * Values parse by the strict digits(.digits)? grammar — malformed
+    * values emit no row rather than erroring ([[sitemapParse]]'s
+    * priority contract). Multiple applicable delays keep the MAX — the
+    * conservative read when groups disagree. Output
+    * (host, crawl_delay). */
+  def robotsCrawlDelay(robots: DataFrame, hostCol: String = "host",
+                       bodyCol: String = "body"): DataFrame = {
+    val lines = robots.select(col(hostCol).as("host"),
+        posexplode(transform(split(col(bodyCol), "\\r?\\n"), l =>
+          regexp_replace(regexp_replace(l, "#.*", ""), "^\\s+|\\s+$", "")))
+          .as(Seq("pos", "line")))
+      .withColumn("low", lower(col("line")))
+      .where(col("line") =!= "")
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy("pos")
+    val cum = ord.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val isUa = col("low").startsWith("user-agent:")
+    val grouped = lines
+      .withColumn("starts_grp", isUa &&
+        !coalesce(lag(isUa, 1).over(ord), lit(false)))
+      .withColumn("grp",
+        sum(when(col("starts_grp"), 1L).otherwise(0L)).over(cum))
+    val starGroups = grouped.where(isUa)
+      .where(regexp_replace(expr("substring(line, 12)"),
+        "^\\s+|\\s+$", "") === "*")
+      .select("host", "grp").distinct()
+    val raw = grouped.where(col("low").startsWith("crawl-delay:"))
+      .select(col("host"), col("grp"), regexp_replace(
+        expr("substring(line, 13)"), "^\\s+|\\s+$", "").as("v"))
+      .where(col("v").rlike("^[0-9]+(\\.[0-9]+)?$"))
+    raw.join(starGroups, Seq("host", "grp"))
+      .groupBy("host")
+      .agg(max(col("v").cast("double")).as("crawl_delay"))
   }
 
   /** Canonical-URL dedup: keep-first (min id) per canonical URL — the

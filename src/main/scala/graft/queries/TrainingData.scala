@@ -3567,6 +3567,49 @@ object TrainingData {
         .orderBy("rnk")
     },
 
+    // the ITERATED WordPiece trainer: two likelihood-scored merge rounds
+    // — round 2 re-scores over the symbol sequences with round 1's
+    // winner merged everywhere (left-to-right non-overlapping, the BPE
+    // application rule), pinning that the loop updates BOTH the pair
+    // numerator and the symbol-count denominators
+    df("ta_wordpiece_merge2",
+      """WITH wf AS (SELECT w AS word, count(*) AS wc FROM (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |  FROM documents) x GROUP BY w),
+        |e0 AS (SELECT word, wc,
+        |  '|' || array_to_string(list_transform(generate_series(1, len(word)),
+        |    i -> word[i]), '| |') || '|' AS enc FROM wf),
+        |s1 AS (SELECT word, wc, regexp_extract_all(enc, '\|([a-z]+)\|', 1) AS syms FROM e0),
+        |y1 AS (SELECT unnest(syms) AS c, wc FROM s1),
+        |sc1 AS (SELECT c, CAST(sum(wc) AS BIGINT) AS scnt FROM y1 GROUP BY c),
+        |p1 AS (SELECT unnest(syms[1:len(syms)-1]) AS pa, unnest(syms[2:len(syms)]) AS pb, wc
+        |  FROM s1 WHERE len(syms) >= 2),
+        |c1 AS (SELECT pa, pb, CAST(sum(wc) AS BIGINT) AS pcnt FROM p1 GROUP BY pa, pb),
+        |j1 AS (SELECT c1.pa, c1.pb, c1.pcnt, a.scnt AS la, b.scnt AS lb,
+        |  c1.pcnt / (a.scnt * b.scnt) AS sc0
+        |  FROM c1 JOIN sc1 a ON a.c = c1.pa JOIN sc1 b ON b.c = c1.pb),
+        |b1 AS (SELECT * FROM j1 ORDER BY sc0 DESC, pa, pb LIMIT 1),
+        |e1 AS (SELECT word, wc, regexp_replace(enc,
+        |  '\|' || b1.pa || '\| \|' || b1.pb || '\|', '|' || b1.pa || b1.pb || '|', 'g') AS enc
+        |  FROM e0 CROSS JOIN b1),
+        |s2 AS (SELECT word, wc, regexp_extract_all(enc, '\|([a-z]+)\|', 1) AS syms FROM e1),
+        |y2 AS (SELECT unnest(syms) AS c, wc FROM s2),
+        |sc2 AS (SELECT c, CAST(sum(wc) AS BIGINT) AS scnt FROM y2 GROUP BY c),
+        |p2 AS (SELECT unnest(syms[1:len(syms)-1]) AS pa, unnest(syms[2:len(syms)]) AS pb, wc
+        |  FROM s2 WHERE len(syms) >= 2),
+        |c2 AS (SELECT pa, pb, CAST(sum(wc) AS BIGINT) AS pcnt FROM p2 GROUP BY pa, pb),
+        |j2 AS (SELECT c2.pa, c2.pb, c2.pcnt, a.scnt AS la, b.scnt AS lb,
+        |  c2.pcnt / (a.scnt * b.scnt) AS sc0
+        |  FROM c2 JOIN sc2 a ON a.c = c2.pa JOIN sc2 b ON b.c = c2.pb),
+        |b2 AS (SELECT * FROM j2 ORDER BY sc0 DESC, pa, pb LIMIT 1)
+        |SELECT 1 AS round, pa AS left_sym, pb AS right_sym, pcnt AS pair_cnt,
+        |  la AS left_cnt, lb AS right_cnt, round(sc0 * 1e9, 6) AS score_e9 FROM b1
+        |UNION ALL SELECT 2, pa, pb, pcnt, la, lb, round(sc0 * 1e9, 6) FROM b2
+        |ORDER BY round""".stripMargin) { (s, _) =>
+      TextAnalysis.wordpieceMerges(s.table("documents"), merges = 2)
+        .orderBy("round")
+    },
+
     // WordPiece fertility + UNK rate per language — the signal BPE can't
     // report (how often a word falls out of the vocabulary entirely)
     df("ta_wordpiece_fertility",

@@ -640,12 +640,15 @@ object WebQueries {
     },
 
     // robots.txt rules applied to the crawl frontier, RFC 9309: Allow +
-    // Disallow prefixes of the wildcard agent's group(s) (consecutive
-    // user-agent lines share one rule block), longest-prefix-match
-    // precedence with Allow winning equal-length ties — Disallow: / +
-    // Allow: /banner/1 blocks everything on the ad host except the
-    // /banner/1* tree, and the multi-UA static.example.org group blocks
-    // /img/ where nearest-preceding-agent parsing would have missed it
+    // Disallow patterns of the wildcard agent's group(s) (consecutive
+    // user-agent lines share one rule block), most-specific-match
+    // precedence (raw pattern length) with Allow winning equal-length
+    // ties — Disallow: / + Allow: /banner/1 blocks everything on the ad
+    // host except the /banner/1* tree; the multi-UA static.example.org
+    // group blocks /img/ where nearest-preceding-agent parsing would
+    // have missed it, with the WILDCARD Allow: /img/photo1* punching
+    // the photo1x set back out; Disallow: /a/1$ shows the end anchor
+    // (re-blocks exactly /a/1, not /a/10)
     df("ta_robots_filter",
       s"""WITH $duckUrlFixture,
          |$duckUrlCanonical,
@@ -653,12 +656,13 @@ object WebQueries {
          |  ('example.com', '# demo' || chr(10) || 'User-agent: googlebot'
          |    || chr(10) || 'Disallow: /g/' || chr(10) || '' || chr(10)
          |    || 'User-agent: *' || chr(10) || 'Disallow: /a/'
-         |    || chr(10) || 'Allow: /a/1' || chr(10) || 'Disallow: /private/'
-         |    || chr(10) || 'Disallow:'),
+         |    || chr(10) || 'Allow: /a/1' || chr(10) || 'Disallow: /a/1$$'
+         |    || chr(10) || 'Disallow: /private/' || chr(10) || 'Disallow:'),
          |  ('ads.example.com', 'User-agent: *' || chr(10) || 'Disallow: /'
          |    || chr(10) || 'Allow: /banner/1'),
          |  ('static.example.org', 'User-agent: *' || chr(10)
-         |    || 'User-agent: imagebot' || chr(10) || 'Disallow: /img/')
+         |    || 'User-agent: imagebot' || chr(10) || 'Disallow: /img/'
+         |    || chr(10) || 'Allow: /img/photo1*')
          |  ) AS t(host, body)),
          |lx3 AS (SELECT host, unnest(ls) AS l0, generate_subscripts(ls, 1) AS pos
          |  FROM (SELECT host, regexp_split_to_array(body, '\\r?\\n') AS ls FROM rb) z),
@@ -684,9 +688,20 @@ object WebQueries {
          |  FROM gl g JOIN ua ON ua.host = g.host AND ua.grp = g.grp
          |  WHERE g.low LIKE 'disallow:%' OR g.low LIKE 'allow:%'),
          |ru2 AS (SELECT host, prefix, allow FROM ru WHERE prefix <> ''),
+         |rw AS (SELECT host, prefix, allow,
+         |  (contains(prefix, '*') OR prefix LIKE '%$$') AS special,
+         |  CASE WHEN prefix LIKE '%$$'
+         |    THEN substring(prefix, 1, len(prefix) - 1) ELSE prefix END AS pbody
+         |  FROM ru2),
+         |rr AS (SELECT host, prefix, allow, special,
+         |  '^' || replace(regexp_replace(pbody,
+         |      '([.^$$+?(){}\\[\\]|\\\\])', '\\\\\\1', 'g'), '*', '.*') ||
+         |    (CASE WHEN prefix LIKE '%$$' THEN '$$' ELSE '' END) AS rx
+         |  FROM rw),
          |mt AS (SELECT c.doc_id, c.url, c.host, c.path, r.prefix, r.allow
-         |  FROM cx c LEFT JOIN ru2 r ON r.host = c.host
-         |    AND substring(c.path || '/', 1, len(r.prefix)) = r.prefix),
+         |  FROM cx c LEFT JOIN rr r ON r.host = c.host
+         |    AND (CASE WHEN r.special THEN regexp_matches(c.path, r.rx)
+         |      ELSE substring(c.path || '/', 1, len(r.prefix)) = r.prefix END)),
          |mx AS (SELECT *, max(len(prefix))
          |    OVER (PARTITION BY doc_id, url, host, path) AS ml FROM mt)
          |SELECT doc_id, url, host, path,
@@ -697,17 +712,149 @@ object WebQueries {
       import s.implicits._
       val robots = Seq(
         ("example.com", "# demo\nUser-agent: googlebot\nDisallow: /g/\n\n" +
-          "User-agent: *\nDisallow: /a/\nAllow: /a/1\nDisallow: /private/\n" +
-          "Disallow:"),
+          "User-agent: *\nDisallow: /a/\nAllow: /a/1\nDisallow: /a/1$\n" +
+          "Disallow: /private/\nDisallow:"),
         ("ads.example.com", "User-agent: *\nDisallow: /\nAllow: /banner/1"),
         ("static.example.org",
-          "User-agent: *\nUser-agent: imagebot\nDisallow: /img/"))
+          "User-agent: *\nUser-agent: imagebot\nDisallow: /img/\n" +
+            "Allow: /img/photo1*"))
         .toDF("host", "body")
       WebFilters.robotsFilter(urlFixture(s.table("documents")),
           WebFilters.robotsRules(robots))
         .select(col("doc_id"), col("url"), col("host"), col("path"),
           col("robots_blocked"))
         .orderBy("doc_id")
+    },
+
+    // Sitemap: discovery lines from robots.txt — where real sitemap
+    // discovery starts (robots -> index -> children -> pages). RFC 9309
+    // §2.3: a non-group directive, so it binds file-wide regardless of
+    // surrounding user-agent groups; case-insensitive key, comments
+    // strip, empty values and duplicates drop
+    df("ta_robots_sitemaps",
+      s"""WITH rsl AS (SELECT doc_id,
+         |  'h' || (doc_id % 5) || '.example.org' AS host,
+         |  CASE doc_id % 4
+         |    WHEN 0 THEN 'Sitemap: https://h' || (doc_id % 5) ||
+         |      '.example.org/sm/' || doc_id || '.xml'
+         |    WHEN 1 THEN 'SITEMAP:https://h' || (doc_id % 5) ||
+         |      '.example.org/sm/' || doc_id || '.xml  # discovered'
+         |    WHEN 2 THEN 'Sitemap: https://h' || (doc_id % 5) ||
+         |      '.example.org/index.xml'
+         |    ELSE 'Disallow: /x/' || doc_id END AS line
+         |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200) d),
+         |rsb AS (SELECT host, 'User-agent: *' || chr(10) || 'Sitemap:'
+         |    || chr(10) || string_agg(line, chr(10) ORDER BY doc_id) AS body
+         |  FROM rsl GROUP BY host),
+         |rsx AS (SELECT host, unnest(ls) AS l0
+         |  FROM (SELECT host, regexp_split_to_array(body, '\\r?\\n') AS ls
+         |    FROM rsb) z),
+         |rst AS (SELECT host, regexp_replace(regexp_replace(l0, '#.*', ''),
+         |    '^\\s+|\\s+$$', '', 'g') AS ln FROM rsx),
+         |rss AS (SELECT DISTINCT host, regexp_replace(substring(ln, 9),
+         |    '^\\s+|\\s+$$', '', 'g') AS sitemap_url
+         |  FROM rst WHERE lower(ln) LIKE 'sitemap:%'
+         |    AND regexp_replace(substring(ln, 9), '^\\s+|\\s+$$', '', 'g') <> '')
+         |SELECT host, sitemap_url FROM rss
+         |ORDER BY host, sitemap_url""".stripMargin) { (s, _) =>
+      val id5 = (col("doc_id") % 5).cast("string")
+      val id = col("doc_id").cast("string")
+      val line = when(col("doc_id") % 4 === 0,
+          concat(lit("Sitemap: https://h"), id5, lit(".example.org/sm/"),
+            id, lit(".xml")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("SITEMAP:https://h"), id5, lit(".example.org/sm/"),
+            id, lit(".xml  # discovered")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("Sitemap: https://h"), id5, lit(".example.org/index.xml")))
+        .otherwise(concat(lit("Disallow: /x/"), id))
+      val robots = s.table("documents").orderBy("doc_id").limit(200)
+        .select(col("doc_id"),
+          concat(lit("h"), id5, lit(".example.org")).as("host"),
+          line.as("line"))
+        .groupBy("host")
+        .agg(concat(lit("User-agent: *\nSitemap:\n"),
+          concat_ws("\n", transform(
+            array_sort(collect_list(struct(col("doc_id"), col("line")))),
+            x => x.getField("line")))).as("body"))
+      WebFilters.robotsSitemaps(robots).orderBy("host", "sitemap_url")
+    },
+
+    // per-host politeness plan: the crawl budget composed with robots
+    // Crawl-delay (wildcard-agent group semantics, strict numeric
+    // grammar, max across groups) — est_seconds = how long this host's
+    // budgeted frontier slice takes at its declared delay; hosts
+    // declaring none (or garbage) stay NULL for the scheduler's default
+    df("ta_crawl_politeness",
+      s"""WITH $duckAnchorFixture,
+         |$duckAnchors,
+         |${duckCanonicalChain("doc_id, text")},
+         |fr AS (SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keeper,
+         |    CAST(count(*) AS BIGINT) AS group_size
+         |  FROM cx WHERE url IS NOT NULL AND canonical_url IS NOT NULL
+         |    AND scheme IN ('http', 'https')
+         |  GROUP BY canonical_url),
+         |hb AS (SELECT *, regexp_replace(
+         |    lower(coalesce(regexp_extract(regexp_replace(canonical_url, '#.*', ''),
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')),
+         |    '^www\\.', '') AS host FROM fr),
+         |rn AS (SELECT *, row_number() OVER (PARTITION BY host
+         |    ORDER BY group_size DESC, canonical_url ASC) AS rk FROM hb),
+         |bq AS (SELECT host, CAST(count(*) AS BIGINT) AS n_urls
+         |  FROM rn WHERE rk <= 3 GROUP BY host),
+         |cdl AS (SELECT doc_id, 'h' || doc_id || '.example.org' AS host,
+         |  CASE doc_id % 3
+         |    WHEN 0 THEN 'User-agent: *' || chr(10) || 'Crawl-delay: ' || (doc_id + 1)
+         |    WHEN 1 THEN 'User-agent: a' || chr(10) || 'User-agent: *' || chr(10)
+         |      || 'Crawl-delay: 0.5' || chr(10) || '' || chr(10)
+         |      || 'User-agent: *' || chr(10) || 'Crawl-delay: 2'
+         |    ELSE 'User-agent: *' || chr(10) || 'Crawl-delay: fast' END AS body
+         |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 7) d),
+         |cl0 AS (SELECT host, unnest(ls) AS l0, generate_subscripts(ls, 1) AS pos
+         |  FROM (SELECT host, regexp_split_to_array(body, '\\r?\\n') AS ls
+         |    FROM cdl) z),
+         |cne AS (SELECT host, pos, line, lower(line) AS low FROM (
+         |  SELECT host, pos, regexp_replace(regexp_replace(l0, '#.*', ''),
+         |    '^\\s+|\\s+$$', '', 'g') AS line FROM cl0) t
+         |  WHERE line <> ''),
+         |cgf AS (SELECT host, pos, line, low,
+         |  CASE WHEN low LIKE 'user-agent:%' AND NOT coalesce(
+         |      lag(low LIKE 'user-agent:%') OVER (PARTITION BY host ORDER BY pos),
+         |      false) THEN 1 ELSE 0 END AS sg
+         |  FROM cne),
+         |cgl AS (SELECT host, pos, line, low,
+         |  sum(sg) OVER (PARTITION BY host ORDER BY pos) AS grp FROM cgf),
+         |cua AS (SELECT DISTINCT host, grp FROM cgl WHERE low LIKE 'user-agent:%'
+         |  AND regexp_replace(substring(line, 12), '^\\s+|\\s+$$', '', 'g') = '*'),
+         |cdv AS (SELECT g.host, regexp_replace(substring(g.line, 13),
+         |    '^\\s+|\\s+$$', '', 'g') AS v
+         |  FROM cgl g JOIN cua ON cua.host = g.host AND cua.grp = g.grp
+         |  WHERE g.low LIKE 'crawl-delay:%'),
+         |cdd AS (SELECT host, max(CAST(v AS DOUBLE)) AS crawl_delay FROM cdv
+         |  WHERE regexp_matches(v, '^[0-9]+(\\.[0-9]+)?$$') GROUP BY host)
+         |SELECT bq.host, bq.n_urls, cdd.crawl_delay,
+         |  round(bq.n_urls * cdd.crawl_delay, 4) AS est_seconds
+         |FROM bq LEFT JOIN cdd ON cdd.host = bq.host
+         |ORDER BY bq.host""".stripMargin) { (s, _) =>
+      val fx = WebFilters.anchorFixture(s.table("documents"))
+      val budget = WebFilters.crawlBudget(
+        WebFilters.urlDedup(
+          WebFilters.urlFilter(WebFilters.htmlLinks(fx)).where(col("keep"))),
+        cap = 3)
+      val k = col("doc_id")
+      val robots = s.table("documents").orderBy("doc_id").limit(7)
+        .select(concat(lit("h"), k.cast("string"), lit(".example.org"))
+            .as("host"),
+          when(k % 3 === 0,
+            concat(lit("User-agent: *\nCrawl-delay: "), (k + 1).cast("string")))
+          .when(k % 3 === 1, lit("User-agent: a\nUser-agent: *\n" +
+            "Crawl-delay: 0.5\n\nUser-agent: *\nCrawl-delay: 2"))
+          .otherwise(lit("User-agent: *\nCrawl-delay: fast")).as("body"))
+      budget.groupBy("host").agg(count(lit(1)).as("n_urls"))
+        .join(WebFilters.robotsCrawlDelay(robots), Seq("host"), "left")
+        .withColumn("est_seconds",
+          round(col("n_urls") * col("crawl_delay"), 4))
+        .orderBy("host")
     },
 
     // canonical-URL dedup: keep-first per canonical form — scheme/port/

@@ -773,4 +773,20 @@ class CorpusFiltersSpec extends SparkTestBase {
       (2L, "a", "b", 8L, 0.125e9),
       (3L, "b", "a", 4L, 0.0625e9)), got)
   }
+
+  test("wordpiece iterated merges: round 2 re-scores AFTER round 1's " +
+    "winner is merged (xy collapses to one symbol, then ab wins)") {
+    import spark.implicits._
+    val docs = (Seq.fill(4)("abab") ++ Seq("xy")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.wordpieceMerges(docs, merges = 2)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    // round 1: xy (score 1) merges; round 2: 'xy' is ONE symbol now, so
+    // the only pairs left are (a,b)=8 and (b,a)=4 over a=8, b=8
+    assert(got == Seq(
+      (1, "x", "y", 1L, 1L, 1L, 1.0e9),
+      (2, "a", "b", 8L, 8L, 8L, 0.125e9)), got)
+  }
 }

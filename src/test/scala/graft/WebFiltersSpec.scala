@@ -212,6 +212,61 @@ class WebFiltersSpec extends SparkTestBase {
       false, true, false, false), got)
   }
 
+  test("robotsFilter RFC 9309 wildcards: * spans segments, trailing $ " +
+    "anchors, specificity is raw pattern length, metachars in plain " +
+    "rules stay literal") {
+    val robots = Seq(
+      ("w.org", "User-agent: *\nDisallow: /*.pdf$\nAllow: /pub/*.pdf$\n" +
+        "Disallow: /exact$\nDisallow: /a*b"),
+      // regex metachars in a PLAIN rule must match literally, not as regex
+      ("m.org", "User-agent: *\nDisallow: /p(1)")).toDF("host", "body")
+    val urls = Seq(
+      (1L, "http://w.org/docs/x.pdf"),   // *.pdf$ blocks
+      (2L, "http://w.org/docs/x.pdfs"),  // $ anchor: no match
+      (3L, "http://w.org/pub/y.pdf"),    // Allow /pub/*.pdf$ (len 11) beats
+                                         // Disallow /*.pdf$ (len 7)
+      (4L, "http://w.org/exact"),        // $ after literal path
+      (5L, "http://w.org/exact/sub"),    // anchored rule must NOT match
+      (6L, "http://w.org/aXYb"),         // /a*b mid-pattern wildcard
+      (7L, "http://w.org/aXYc"),         // ...but not a different tail
+      (8L, "http://m.org/p(1)"),         // literal parens block
+      (9L, "http://m.org/pX")            // would match if ( ) leaked as regex
+    ).toDF("doc_id", "url")
+    val got = WebFilters.robotsFilter(urls, WebFilters.robotsRules(robots))
+      .orderBy("doc_id").select("robots_blocked").as[Boolean].collect().toSeq
+    assert(got == Seq(true, false, false, true, false, true, false,
+      true, false), got)
+  }
+
+  test("robotsSitemaps: non-group directive binds file-wide, " +
+    "case-insensitive key, comments strip, empty values and duplicates " +
+    "drop") {
+    val robots = Seq(
+      ("a.org", "User-agent: googlebot\nSitemap: https://a.org/s1.xml\n" +
+        "User-agent: *\nSITEMAP:https://a.org/s2.xml # note\n" +
+        "Sitemap: https://a.org/s1.xml\nSitemap:\nDisallow: /x")).toDF(
+      "host", "body")
+    val got = WebFilters.robotsSitemaps(robots).orderBy("sitemap_url")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("a.org", "https://a.org/s1.xml"),
+      ("a.org", "https://a.org/s2.xml")), got)
+  }
+
+  test("robotsCrawlDelay: wildcard-group values only, max across groups, " +
+    "malformed values skipped") {
+    val robots = Seq(
+      ("a.org", "User-agent: bot\nCrawl-delay: 9\n\n" +
+        "User-agent: x\nUser-agent: *\nCrawl-delay: 0.5\n\n" +
+        "User-agent: *\nCrawl-delay: 2"),
+      ("b.org", "User-agent: *\nCrawl-delay: fast"),
+      ("c.org", "User-agent: other\nCrawl-delay: 3")).toDF("host", "body")
+    val got = WebFilters.robotsCrawlDelay(robots).orderBy("host")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // a.org: the bot group's 9 is invisible to *; max(0.5, 2) = 2.0.
+    // b.org malformed and c.org non-wildcard emit nothing.
+    assert(got == Seq(("a.org", 2.0)), got)
+  }
+
   test("urlFilter verdicts + urlDedup keep-first groups") {
     val pages = Seq(
       (1L, "http://www.example.com/a?utm_source=x"),
