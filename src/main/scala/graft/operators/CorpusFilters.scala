@@ -566,4 +566,61 @@ object CorpusFilters {
       .withColumn("shard", floor(col("shard")).cast("long"))
       .select(col("doc_id"), col("toks"), col("grp"), col("shard"))
   }
+
+  /** GPT-style sequence packing (concat-and-chunk): the corpus
+    * concatenates in doc_id order into one token stream which chunks
+    * into fixed `seqLen`-token training sequences, so a document SPANS
+    * chunk boundaries when one falls inside it — the standard
+    * pretraining data layout ([[packShards]] is the OTHER policy:
+    * whole-document shard assignment; both are deterministic and
+    * order-insensitive to partitioning). Per doc:
+    * (doc_id, n_tokens, tok_start, first_chunk, last_chunk, n_chunks)
+    * with tok_start the EXCLUSIVE prefix sum; zero-token docs occupy no
+    * chunk (NULL first/last, n_chunks 0).
+    *
+    * Shape at 100 TB: the prefix sum is the textbook TWO-PHASE
+    * distributed scan — range-repartition on doc_id, per-partition
+    * token totals collect to the driver (ONE LONG PER PARTITION — the
+    * only driver traffic), each partition's exclusive global offset
+    * broadcasts back, and the intra-partition cumsum runs as a window
+    * PARTITIONED BY the physical partition id. Parallelism =
+    * partitions; there is never a single global-order window task. The
+    * result is partition-count independent (offsets + local sums
+    * reassociate exactly — token counts are integers). */
+  def seqPack(docs: DataFrame, seqLen: Int = 2048,
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(seqLen >= 1, "seqLen must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // checkpoint AFTER the partition id is stamped: the second pass and
+    // the offset pass must see the same physical partitioning
+    val parted = docs
+      .select(col(idCol), size(Dedup.tokens(col(textCol))).cast("long")
+        .as("n_tokens"))
+      .repartitionByRange(col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val partSums = parted.groupBy("__pid").agg(sum("n_tokens").as("s"))
+      .orderBy("__pid").collect()
+    var acc = 0L
+    val offs = partSums.map { r =>
+      val row = (r.getInt(0), acc); acc += r.getLong(1); row
+    }.toSeq
+    val offDf = broadcast(offs.toDF("__pid", "__off"))
+    val w = Window.partitionBy("__pid").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = lit(seqLen.toLong)
+    parted.join(offDf, Seq("__pid"))
+      .withColumn("tok_start",
+        col("__off") + sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("first_chunk",
+        when(col("n_tokens") > 0, floor(col("tok_start") / c)))
+      .withColumn("last_chunk",
+        when(col("n_tokens") > 0,
+          floor((col("tok_start") + col("n_tokens") - 1) / c)))
+      .withColumn("n_chunks",
+        coalesce(col("last_chunk") - col("first_chunk") + 1, lit(0L)))
+      .select(col(idCol), col("n_tokens"), col("tok_start"),
+        col("first_chunk"), col("last_chunk"), col("n_chunks"))
+  }
 }

@@ -3108,6 +3108,34 @@ object TrainingData {
         .orderBy("grp", "shard")
     },
 
+    // GPT-style sequence packing (concat-and-chunk): docs concatenate in
+    // doc_id order and chunk into fixed 128-token training sequences;
+    // a doc spans chunks when the boundary falls inside it. The Spark
+    // side computes the prefix sum with the two-phase distributed scan
+    // (per-partition offsets, window per partition id) — this oracle
+    // pins that it equals the straight global cumsum
+    df("ta_seq_pack",
+      """WITH tk AS (SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |cs AS (SELECT doc_id, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS tok_start
+        |  FROM tk),
+        |ck AS (SELECT doc_id, n_tokens, tok_start,
+        |  CASE WHEN n_tokens > 0 THEN tok_start // 128 END AS first_chunk,
+        |  CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 128 END
+        |    AS last_chunk
+        |  FROM cs)
+        |SELECT doc_id, n_tokens, tok_start, first_chunk, last_chunk,
+        |  CAST(coalesce(last_chunk - first_chunk + 1, 0) AS BIGINT) AS n_chunks
+        |FROM ck ORDER BY doc_id LIMIT 300""".stripMargin) { (s, _) =>
+      graft.operators.CorpusFilters.seqPack(s.table("documents"), seqLen = 128)
+        .orderBy("doc_id").limit(300)
+    },
+
     // SemDeDup (Abbas et al. 2023): trained-IVF clustering bounds the
     // pairwise cosine pass per cell; a vector with an earlier cluster-mate
     // at round(cos,4) >= 0.3 is a semantic duplicate. The oracle recomputes

@@ -219,6 +219,24 @@ object CorpusStreams {
       .drop("__cu")
   }
 
+  /** Streaming robots politeness gate: a live crawl frontier is filtered
+    * by the RFC 9309 verdict of
+    * [[graft.operators.WebFilters.robotsFilter]] — rules are a BATCH
+    * frame (robots fetches are tiny and slow-moving), collapsed to one
+    * broadcast (host, rules[]) row per host with patterns pre-compiled,
+    * and the verdict is a map-only fold per arriving URL, so the gate
+    * attaches to any streaming plan in append mode (stream-static
+    * broadcast join, no state, row-preserving before the filter).
+    * Blocked URLs drop; the annotation columns robotsFilter adds
+    * (host, path, robots_blocked) are dropped again — a gate filters,
+    * it does not annotate (callers keeping their own host/path columns
+    * should note robotsFilter overwrites them in flight). */
+  def robotsGate(frontier: DataFrame, rules: DataFrame,
+                 urlCol: String = "url"): DataFrame =
+    graft.operators.WebFilters.robotsFilter(frontier, rules, urlCol)
+      .where(!col("robots_blocked"))
+      .drop("host", "path", "robots_blocked")
+
   /** Streaming incremental-recrawl gate: each freshly fetched page checks
     * against the PREVIOUS crawl snapshot and flows only when it is worth
     * persisting — `new` (canonical URL never crawled) or `changed`

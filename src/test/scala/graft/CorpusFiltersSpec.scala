@@ -789,4 +789,27 @@ class CorpusFiltersSpec extends SparkTestBase {
       (1, "x", "y", 1L, 1L, 1L, 1.0e9),
       (2, "a", "b", 8L, 8L, 8L, 0.125e9)), got)
   }
+
+  test("seqPack: concat-and-chunk spans boundaries, empty docs occupy no " +
+    "chunk; the two-phase prefix sum is partition-count independent") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, ""), (3L, "d e f g"), (4L, "h"))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CorpusFilters.seqPack(d, seqLen = 4).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5))).toSeq
+    // tokens 3/0/4/1 → starts 0/3/3/7; chunks of 4: doc1 [0,2]→chunk 0,
+    // doc2 none, doc3 [3,6]→chunks 0–1 (SPANS the boundary), doc4 [7]→1
+    val expect = Seq(
+      (1L, 3L, 0L, 0L, 0L, 1L),
+      (2L, 0L, 3L, -1L, -1L, 0L),
+      (3L, 4L, 3L, 0L, 1L, 2L),
+      (4L, 1L, 7L, 1L, 1L, 1L))
+    assert(run(docs) == expect, run(docs))
+    // the global result must not depend on the incoming partitioning
+    assert(run(docs.repartition(8)) == expect)
+    assert(run(docs.coalesce(1)) == expect)
+  }
 }

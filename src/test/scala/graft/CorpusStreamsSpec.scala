@@ -150,6 +150,38 @@ class CorpusStreamsSpec extends SparkTestBase {
     assert(kept == Set(2L, 3L), s"got $kept")
   }
 
+  test("streaming robots gate: blocked frontier URLs drop by the RFC 9309 " +
+    "verdict (wildcard + Allow precedence live in the stream); verdicts " +
+    "equal batch robotsFilter for every arriving URL") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rules = graft.operators.WebFilters.robotsRules(Seq(
+      ("w.org", "User-agent: *\nDisallow: /\nAllow: /pub/\nDisallow: /*.pdf$")
+    ).toDF("host", "body"))
+    val in = MemoryStream[(Long, String)]
+    val frontier = in.toDF().toDF("doc_id", "url")
+    val q = CorpusStreams.robotsGate(frontier, rules)
+      .writeStream.format("memory").queryName("robogate")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    val arrivals = Seq(
+      (1L, "http://w.org/private/x"),   // Disallow: / -> drops
+      (2L, "http://w.org/pub/doc"),     // Allow: /pub/ outranks -> flows
+      (3L, "http://w.org/pub/doc.pdf"), // wildcard *.pdf$ (len 7) beats
+                                        // Allow /pub/ (len 5) -> drops
+      (4L, "http://other.org/x"))       // no robots -> flows
+    in.addData(arrivals)
+    val run = q.start(); run.awaitTermination(60000)
+    val kept = spark.table("robogate").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L), s"got $kept")
+    // stream ≡ batch: the gate's kept set is exactly batch robotsFilter's
+    val batchKept = graft.operators.WebFilters
+      .robotsFilter(arrivals.toDF("doc_id", "url"), rules)
+      .where(!col("robots_blocked")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == batchKept, s"stream $kept vs batch $batchKept")
+  }
+
   test("recrawl gate: new and changed pages flow with their status, " +
     "byte-identical refetches and unparseable URLs drop; verdicts equal " +
     "the batch crawlDelta's for every arriving URL") {
