@@ -392,6 +392,49 @@ object WebQueries {
       |six AS (SELECT host, loc, nullif(lm, '') AS lastmod
       |  FROM six1 WHERE loc <> '')""".stripMargin
 
+  /** Shared DuckDB robots-rules chain (mirrors WebFilters.robotsRules +
+    * the pattern compile robotsFilter performs on the rules side): takes
+    * a prior CTE rb(host, body), replays RFC 9309 grouping (consecutive
+    * user-agent lines share a block, comments strip, empty values drop),
+    * emits every wildcard-agent rule with its compiled regex. Ends at
+    * rr(host, prefix, allow, special, rx). Plain string — backslashes
+    * are literal; never start a continuation line with a pipe. */
+  private val duckRobotsRules =
+    """lx3 AS (SELECT host, unnest(ls) AS l0, generate_subscripts(ls, 1) AS pos
+      |  FROM (SELECT host, regexp_split_to_array(body, '\r?\n') AS ls FROM rb) z),
+      |ne AS (SELECT host, pos, line, lower(line) AS low
+      |  FROM (SELECT host, pos, regexp_replace(
+      |    regexp_replace(l0, '#.*', ''), '^\s+|\s+$', '', 'g') AS line
+      |    FROM lx3) t WHERE line <> ''),
+      |gf AS (SELECT host, pos, line, low,
+      |  CASE WHEN low LIKE 'user-agent:%' AND NOT coalesce(
+      |      lag(low LIKE 'user-agent:%') OVER (PARTITION BY host ORDER BY pos),
+      |      false) THEN 1 ELSE 0 END AS sg
+      |  FROM ne),
+      |gl AS (SELECT host, pos, line, low,
+      |  sum(sg) OVER (PARTITION BY host ORDER BY pos) AS grp FROM gf),
+      |ua AS (SELECT DISTINCT host, grp FROM gl WHERE low LIKE 'user-agent:%'
+      |  AND regexp_replace(substring(line, 12), '^\s+|\s+$', '', 'g') = '*'),
+      |ru AS (SELECT g.host,
+      |  CASE WHEN g.low LIKE 'allow:%'
+      |    THEN regexp_replace(substring(g.line, 7), '^\s+|\s+$', '', 'g')
+      |    ELSE regexp_replace(substring(g.line, 10), '^\s+|\s+$', '', 'g')
+      |  END AS prefix,
+      |  (g.low LIKE 'allow:%') AS allow
+      |  FROM gl g JOIN ua ON ua.host = g.host AND ua.grp = g.grp
+      |  WHERE g.low LIKE 'disallow:%' OR g.low LIKE 'allow:%'),
+      |ru2 AS (SELECT host, prefix, allow FROM ru WHERE prefix <> ''),
+      |rw AS (SELECT host, prefix, allow,
+      |  (contains(prefix, '*') OR prefix LIKE '%$') AS special,
+      |  CASE WHEN prefix LIKE '%$'
+      |    THEN substring(prefix, 1, len(prefix) - 1) ELSE prefix END AS pbody
+      |  FROM ru2),
+      |rr AS (SELECT host, prefix, allow, special,
+      |  '^' || replace(regexp_replace(pbody,
+      |      '([.^$+?(){}\[\]|\\])', '\\\1', 'g'), '*', '.*') ||
+      |    (CASE WHEN prefix LIKE '%$' THEN '$' ELSE '' END) AS rx
+      |  FROM rw)""".stripMargin
+
   /** The Spark-side URL fixture — one URL shape per doc_id mod 6. */
   private def urlFixture(docs: org.apache.spark.sql.DataFrame) = {
     val grp = floor(col("doc_id") / 12).cast("long").cast("string")
@@ -664,40 +707,7 @@ object WebQueries {
          |    || 'User-agent: imagebot' || chr(10) || 'Disallow: /img/'
          |    || chr(10) || 'Allow: /img/photo1*')
          |  ) AS t(host, body)),
-         |lx3 AS (SELECT host, unnest(ls) AS l0, generate_subscripts(ls, 1) AS pos
-         |  FROM (SELECT host, regexp_split_to_array(body, '\\r?\\n') AS ls FROM rb) z),
-         |ne AS (SELECT host, pos, line, lower(line) AS low
-         |  FROM (SELECT host, pos, regexp_replace(
-         |    regexp_replace(l0, '#.*', ''), '^\\s+|\\s+$$', '', 'g') AS line
-         |    FROM lx3) t WHERE line <> ''),
-         |gf AS (SELECT host, pos, line, low,
-         |  CASE WHEN low LIKE 'user-agent:%' AND NOT coalesce(
-         |      lag(low LIKE 'user-agent:%') OVER (PARTITION BY host ORDER BY pos),
-         |      false) THEN 1 ELSE 0 END AS sg
-         |  FROM ne),
-         |gl AS (SELECT host, pos, line, low,
-         |  sum(sg) OVER (PARTITION BY host ORDER BY pos) AS grp FROM gf),
-         |ua AS (SELECT DISTINCT host, grp FROM gl WHERE low LIKE 'user-agent:%'
-         |  AND regexp_replace(substring(line, 12), '^\\s+|\\s+$$', '', 'g') = '*'),
-         |ru AS (SELECT g.host,
-         |  CASE WHEN g.low LIKE 'allow:%'
-         |    THEN regexp_replace(substring(g.line, 7), '^\\s+|\\s+$$', '', 'g')
-         |    ELSE regexp_replace(substring(g.line, 10), '^\\s+|\\s+$$', '', 'g')
-         |  END AS prefix,
-         |  (g.low LIKE 'allow:%') AS allow
-         |  FROM gl g JOIN ua ON ua.host = g.host AND ua.grp = g.grp
-         |  WHERE g.low LIKE 'disallow:%' OR g.low LIKE 'allow:%'),
-         |ru2 AS (SELECT host, prefix, allow FROM ru WHERE prefix <> ''),
-         |rw AS (SELECT host, prefix, allow,
-         |  (contains(prefix, '*') OR prefix LIKE '%$$') AS special,
-         |  CASE WHEN prefix LIKE '%$$'
-         |    THEN substring(prefix, 1, len(prefix) - 1) ELSE prefix END AS pbody
-         |  FROM ru2),
-         |rr AS (SELECT host, prefix, allow, special,
-         |  '^' || replace(regexp_replace(pbody,
-         |      '([.^$$+?(){}\\[\\]|\\\\])', '\\\\\\1', 'g'), '*', '.*') ||
-         |    (CASE WHEN prefix LIKE '%$$' THEN '$$' ELSE '' END) AS rx
-         |  FROM rw),
+         |$duckRobotsRules,
          |mt AS (SELECT c.doc_id, c.url, c.host, c.path, r.prefix, r.allow
          |  FROM cx c LEFT JOIN rr r ON r.host = c.host
          |    AND (CASE WHEN r.special THEN regexp_matches(c.path, r.rx)
@@ -855,6 +865,71 @@ object WebQueries {
         .withColumn("est_seconds",
           round(col("n_urls") * col("crawl_delay"), 4))
         .orderBy("host")
+    },
+
+    // the WHOLE crawl loop in one query: outlinks -> URL filter ->
+    // RFC 9309 robots verdict (wildcards + Allow precedence live inside
+    // the composition) -> canonical dedup -> per-host budget = the next
+    // polite frontier. Per-host rules exercise all three verdict shapes:
+    // directory Disallow, Disallow-all + Allow carve-out, wildcard
+    df("ta_crawl_loop",
+      s"""WITH $duckAnchorFixture,
+         |$duckAnchors,
+         |${duckCanonicalChain("doc_id, text")},
+         |kept AS (SELECT doc_id, url, scheme, host, path, canonical_url
+         |  FROM cx
+         |  WHERE url IS NOT NULL AND canonical_url IS NOT NULL
+         |    AND scheme IN ('http', 'https')
+         |    AND NOT (host IN ('ads.example.com', 'tracker.example.net', 'doubleclick.net', 'adservice.example.org')
+         |      OR host LIKE '%.ads.example.com' OR host LIKE '%.tracker.example.net'
+         |      OR host LIKE '%.doubleclick.net' OR host LIKE '%.adservice.example.org')
+         |    AND NOT regexp_matches(lower(path), '\\.(jpe?g|png|gif|webp|bmp|ico|svg|css|js|mjs|woff2?|ttf|mp[34]|avi|mov|mkv|zip|tar|gz|tgz|rar|7z|exe|dmg|iso|pdf)$$')),
+         |rb AS (SELECT 'h' || doc_id || '.example.org' AS host,
+         |  CASE doc_id % 3
+         |    WHEN 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /p/'
+         |    WHEN 1 THEN 'User-agent: *' || chr(10) || 'Disallow: /'
+         |      || chr(10) || 'Allow: /q/'
+         |    ELSE 'User-agent: *' || chr(10) || 'Disallow: /r*' END AS body
+         |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 7) d),
+         |$duckRobotsRules,
+         |mt AS (SELECT k.doc_id, k.url, k.host, k.path, k.canonical_url,
+         |    r.prefix, r.allow
+         |  FROM kept k LEFT JOIN rr r ON r.host = k.host
+         |    AND (CASE WHEN r.special THEN regexp_matches(k.path, r.rx)
+         |      ELSE substring(k.path || '/', 1, len(r.prefix)) = r.prefix END)),
+         |mx AS (SELECT *, max(len(prefix)) OVER (PARTITION BY doc_id, url,
+         |    host, path, canonical_url) AS ml FROM mt),
+         |vd AS (SELECT doc_id, url, host, path, canonical_url,
+         |  coalesce(NOT bool_or(allow) FILTER (WHERE len(prefix) = ml), false)
+         |    AS robots_blocked
+         |  FROM mx GROUP BY doc_id, url, host, path, canonical_url),
+         |fr AS (SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keeper,
+         |    CAST(count(*) AS BIGINT) AS group_size
+         |  FROM vd WHERE NOT robots_blocked GROUP BY canonical_url),
+         |hb AS (SELECT *, regexp_replace(
+         |    lower(coalesce(regexp_extract(regexp_replace(canonical_url, '#.*', ''),
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')),
+         |    '^www\\.', '') AS host FROM fr),
+         |rn AS (SELECT *, row_number() OVER (PARTITION BY host
+         |    ORDER BY group_size DESC, canonical_url ASC) AS rk FROM hb)
+         |SELECT canonical_url, keeper, group_size, host,
+         |  CAST(rk AS BIGINT) AS rk
+         |FROM rn WHERE rk <= 2 ORDER BY host, rk""".stripMargin) { (s, _) =>
+      val fx = WebFilters.anchorFixture(s.table("documents"))
+      val k = col("doc_id")
+      val robots = s.table("documents").orderBy("doc_id").limit(7)
+        .select(concat(lit("h"), k.cast("string"), lit(".example.org"))
+            .as("host"),
+          when(k % 3 === 0, lit("User-agent: *\nDisallow: /p/"))
+            .when(k % 3 === 1, lit("User-agent: *\nDisallow: /\nAllow: /q/"))
+            .otherwise(lit("User-agent: *\nDisallow: /r*")).as("body"))
+      val filtered = WebFilters.urlFilter(WebFilters.htmlLinks(fx))
+        .where(col("keep"))
+      val polite = WebFilters
+        .robotsFilter(filtered, WebFilters.robotsRules(robots))
+        .where(!col("robots_blocked"))
+      WebFilters.crawlBudget(WebFilters.urlDedup(polite), cap = 2)
+        .orderBy("host", "rk")
     },
 
     // canonical-URL dedup: keep-first per canonical form — scheme/port/

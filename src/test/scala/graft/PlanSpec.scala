@@ -746,4 +746,35 @@ class PlanSpec extends SparkTestBase {
     // the orderBy+limit edge cap plans as TakeOrdered, not Sort+collect
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("robots filter broadcasts the per-host rule arrays; the URL side " +
+    "never shuffles and the verdict is a row-local fold") {
+    import spark.implicits._
+    val rules = graft.operators.WebFilters.robotsRules(Seq(
+      ("a.org", "User-agent: *\nDisallow: /x/\nAllow: /x/pub/\n" +
+        "Disallow: /*.pdf$")).toDF("host", "body"))
+    val urls = spark.range(1000).select(col("id").as("doc_id"),
+      concat(lit("http://a.org/p/"), col("id").cast("string")).as("url"))
+    val p = plan(graft.operators.WebFilters.robotsFilter(urls, rules))
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // no shuffle of the URL side: the only hashpartitioning exchange
+    // allowed is the tiny rules-side groupBy(host)
+    assert(!p.contains("hashpartitioning(doc_id") &&
+      !p.contains("hashpartitioning(url"), p)
+  }
+
+  test("seqPack's prefix sum windows per physical partition with " +
+    "broadcast offsets — never a single global-order window task") {
+    Tables.register(spark, sfDir)
+    val p = plan(graft.operators.CorpusFilters.seqPack(
+      spark.table("documents"), seqLen = 128))
+    // the cumsum window partitions by __pid (parallelism = partitions);
+    // a global ORDER BY window would plan a SinglePartition exchange
+    assert(p.contains("hashpartitioning(__pid"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
 }
