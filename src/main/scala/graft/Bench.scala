@@ -105,35 +105,40 @@ object Bench {
     // a failed run must never win the min: a transient 0.1s failure would
     // silently replace a real 10s timing. Failures count as +inf; two
     // failures report the explicit -1 error marker.
-    def sweep(): Map[String, Double] = selected.map { case (name, fn) =>
+    // the ONE query-timing rule (sweeps, the volatile third pass, and the
+    // quiet headline re-run all use it — three inline copies had already
+    // drifted on the failure path):
+    // - release the terminal localCheckpoint blocks the finished query's
+    //   returned frame owns (the operator can only free SUPERSEDED
+    //   rounds; the final checkpoint outlives it by design, so the
+    //   caller frees it). Left to GC + ContextCleaner, those blocks
+    //   piled up across the sweep and squeezed execution memory — the
+    //   r8 bench tail recorded 2-14x regressions with zero code change
+    //   (VERDICT r8 #2). Released through the frame's OWN plan leaves,
+    //   not a global unpersist-everything sweep that would also eat any
+    //   future long-lived cached state.
+    // - if fn() threw during CONSTRUCTION: operators with eager internal
+    //   checkpoints (traceTree, neardupClusters, semDedup rounds) may
+    //   already hold blocks no frame references — the global sweep is
+    //   the only handle left, and on this failure path nothing
+    //   long-lived can be cached mid-query.
+    def timeOne(
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      // release the terminal localCheckpoint blocks the finished query's
-      // returned frame owns (the operator can only free SUPERSEDED rounds;
-      // the final checkpoint outlives it by design, so the caller frees
-      // it). Left to GC + ContextCleaner, those blocks piled up across the
-      // 155-query sweep and squeezed execution memory — the r8 bench tail
-      // recorded 2-14x regressions with zero code change (VERDICT r8 #2).
-      // Released through the frame's OWN plan leaves, not a global
-      // unpersist-everything sweep that would also eat any future
-      // long-lived cached state.
       var df: org.apache.spark.sql.DataFrame = null
-      val t = try {
+      try {
         df = fn(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => Double.PositiveInfinity }
       finally {
         if (df != null) graft.operators.Blocks.release(df)
-        // fn() threw during CONSTRUCTION: operators with eager internal
-        // checkpoints (traceTree, neardupClusters, semDedup rounds) may
-        // already hold blocks no frame references — the global sweep is
-        // the only handle left, and on this failure path nothing
-        // long-lived can be cached mid-query
         else spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
       }
-      name -> t
-    }.toMap
+    }
+    def sweep(): Map[String, Double] =
+      selected.map { case (name, fn) => name -> timeOne(fn) }.toMap
     // steady ingest windows B and C interleave with the sweeps (see above);
     // in ingest-only dev mode the sweeps are empty, so a 5 s gap is the
     // only (weaker) decorrelation available
@@ -158,18 +163,8 @@ object Bench {
       "ta_dup_ngrams", "ta_hash_embedding")
     val sweep3: Map[String, Double] =
       if (selected.isEmpty) Map.empty
-      else selected.filter(s => volatileNames.contains(s._1)).map {
-        case (name, fn) =>
-          val t0 = System.nanoTime()
-          var df: org.apache.spark.sql.DataFrame = null
-          val t = try {
-            df = fn(spark, sfDir)
-            df.write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
-          } catch { case _: Throwable => Double.PositiveInfinity }
-          finally if (df != null) graft.operators.Blocks.release(df)
-          name -> t
-      }.toMap
+      else selected.filter(s => volatileNames.contains(s._1))
+        .map { case (name, fn) => name -> timeOne(fn) }.toMap
     val samples: Map[String, Seq[Double]] = selected.map { case (name, _) =>
       name -> (Seq(sweep1(name), sweep2(name)) ++ sweep3.get(name))
     }.toMap
@@ -316,17 +311,8 @@ object Bench {
       if (selected.isEmpty) Map.empty
       else {
         spark.catalog.clearCache(); System.gc()
-        headlineNames.flatMap(n => fnByName.get(n).map { fn =>
-          val t0 = System.nanoTime()
-          var df: org.apache.spark.sql.DataFrame = null
-          val t = try {
-            df = fn(spark, sfDir)
-            df.write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
-          } catch { case _: Throwable => Double.PositiveInfinity }
-          finally if (df != null) graft.operators.Blocks.release(df)
-          n -> t
-        }).toMap
+        headlineNames.flatMap(n =>
+          fnByName.get(n).map(fn => n -> timeOne(fn))).toMap
       }
     val samplesPub: Map[String, Seq[Double]] = samples.map { case (k, vs) =>
       k -> (vs ++ quietSamples.get(k))

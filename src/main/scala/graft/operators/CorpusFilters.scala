@@ -594,9 +594,13 @@ object CorpusFilters {
     import spark.implicits._
     // checkpoint AFTER the partition id is stamped: the second pass and
     // the offset pass must see the same physical partitioning
+    // coalesce: a NULL text must count as zero tokens, not poison the
+    // per-partition sum (a partition of all-NULL texts would NPE the
+    // driver's offset fold on a NULL sum)
     val parted = docs
-      .select(col(idCol), size(Dedup.tokens(col(textCol))).cast("long")
-        .as("n_tokens"))
+      .select(col(idCol),
+        coalesce(size(Dedup.tokens(col(textCol))).cast("long"), lit(0L))
+          .as("n_tokens"))
       .repartitionByRange(col(idCol))
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()

@@ -709,8 +709,10 @@ object TextAnalysis {
     * predict). Returns the top `topK` scored pairs:
     * (rnk, left_sym, right_sym, pair_cnt, left_cnt, right_cnt,
     * score_e9) with score_e9 = round(score · 1e9, 6); ranking uses the
-    * UNROUNDED score (an exact-integer ratio — both engines divide the
-    * same longs, so ordering can never drift), ties to the
+    * UNROUNDED score — both engines form the identical IEEE
+    * double(freq a)·double(freq b) product (doubles, because a long
+    * product overflows at web-corpus symbol counts) and divide the same
+    * exact integer numerator, so ordering can never drift — ties to the
     * lexicographically smallest pair.
     *
     * Complements [[wordpieceVocab]] (the seed-frequency vocab this
@@ -743,8 +745,13 @@ object TextAnalysis {
     val scored = pairCnt
       .join(broadcast(symCnt.select(col("c").as("pa"), col("scnt").as("left_cnt"))), Seq("pa"))
       .join(broadcast(symCnt.select(col("c").as("pb"), col("scnt").as("right_cnt"))), Seq("pb"))
+      // the denominator product forms in DOUBLES: long·long overflows at
+      // web-corpus symbol counts (two ~3e9 counts already exceed
+      // Long.MaxValue); double(la)·double(lb) is the identical IEEE value
+      // in both engines, so ordering still cannot drift
       .withColumn("__score",
-        col("pair_cnt") / (col("left_cnt") * col("right_cnt")))
+        col("pair_cnt") /
+          (col("left_cnt").cast("double") * col("right_cnt")))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("__score").desc, col("pa"), col("pb"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
@@ -762,8 +769,9 @@ object TextAnalysis {
     * [[bpeMerges]]' application rule; ties to the lexicographically
     * smallest pair), and re-scores. Returns the learned merge table
     * (round, left_sym, right_sym, pair_cnt, left_cnt, right_cnt,
-    * score_e9); scores compare UNROUNDED (exact-integer ratios — both
-    * engines divide identical longs).
+    * score_e9); scores compare UNROUNDED, with the denominator product
+    * formed in doubles (identical IEEE values both engines; a long
+    * product overflows at web-corpus symbol counts).
     *
     * Shape at 100 TB: the ONE distributed pass builds the distinct-word
     * frequency table ([[bpeMerges]]' scale trick); the loop recomputes
@@ -817,15 +825,16 @@ object TextAnalysis {
       if (pairCnt.isEmpty) live = false
       else {
         // argmax by exact-integer-ratio score, ties to the smallest pair
+        // double denominators: long·long overflows at web-corpus counts
         val best = pairCnt.keysIterator.reduce { (x, y) =>
-          val sx = pairCnt(x).toDouble / (symCnt(x._1) * symCnt(x._2))
-          val sy = pairCnt(y).toDouble / (symCnt(y._1) * symCnt(y._2))
+          val sx = pairCnt(x).toDouble / (symCnt(x._1).toDouble * symCnt(x._2))
+          val sy = pairCnt(y).toDouble / (symCnt(y._1).toDouble * symCnt(y._2))
           if (sx > sy) x
           else if (sy > sx) y
           else if (x._1 < y._1 || (x._1 == y._1 && x._2 <= y._2)) x else y
         }
         val (pa, pb) = best
-        val score = pairCnt(best).toDouble / (symCnt(pa) * symCnt(pb))
+        val score = pairCnt(best).toDouble / (symCnt(pa).toDouble * symCnt(pb))
         learned += ((r, pa, pb, pairCnt(best), symCnt(pa), symCnt(pb),
           BigDecimal(score * 1e9)
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))

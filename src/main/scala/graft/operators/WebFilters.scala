@@ -403,18 +403,43 @@ object WebFilters {
     * tiny — the window partitions by host), one equi-join. */
   def robotsRules(robots: DataFrame, hostCol: String = "host",
                   bodyCol: String = "body"): DataFrame = {
-    // split on \r?\n and regex-trim ALL whitespace: a CRLF or
-    // tab-indented robots.txt must parse identically to a LF one —
-    // trim() alone strips only spaces, leaving "*\r" agents that match
-    // nothing and silently allow every disallowed path
+    val (grouped, starGroups) = robotsLineGroups(robots, hostCol, bodyCol)
+    val rules = grouped
+      .withColumn("allow", col("low").startsWith("allow:"))
+      .where(col("allow") || col("low").startsWith("disallow:"))
+      .withColumn("prefix",
+        when(col("allow"), lineValue(7)).otherwise(lineValue(10)))
+      .where(col("prefix") =!= "")
+    rules.join(starGroups, Seq("host", "grp"))
+      .select("host", "prefix", "allow")
+  }
+
+  /** The directive VALUE of a trimmed robots line: everything from
+    * 1-based position `from` (just past the key's colon), whitespace
+    * re-trimmed. */
+  private def lineValue(from: Int): Column = regexp_replace(
+    expr(s"substring(line, $from)"), "^\\s+|\\s+$", "")
+
+  /** The ONE RFC 9309 line/group machine, shared by [[robotsRules]] and
+    * [[robotsCrawlDelay]] (and the line explode by [[robotsSitemaps]])
+    * so grouping semantics can never drift between directive parsers:
+    * bodies split on \r?\n with comments stripped and ALL whitespace
+    * trimmed (a CRLF or tab-indented robots.txt must parse identically
+    * to a LF one — trim() alone strips only spaces, leaving "*\r"
+    * agents that match nothing), empty lines dropped up front (they
+    * carry no grouping information under RFC 9309, and dropping them
+    * makes lag() read "nearest preceding non-empty line" directly), a
+    * group started by each user-agent line whose preceding non-empty
+    * line is not itself one (consecutive user-agent lines share a
+    * block). Returns (grouped lines with host/pos/line/low/grp, the
+    * distinct (host, grp) set whose user-agent list contains `*`). */
+  private def robotsLineGroups(robots: DataFrame, hostCol: String,
+                               bodyCol: String): (DataFrame, DataFrame) = {
     val lines = robots.select(col(hostCol).as("host"),
         posexplode(transform(split(col(bodyCol), "\\r?\\n"), l =>
           regexp_replace(regexp_replace(l, "#.*", ""), "^\\s+|\\s+$", "")))
           .as(Seq("pos", "line")))
       .withColumn("low", lower(col("line")))
-      // empty lines (blank or comment-only) carry no grouping or rule
-      // information under RFC 9309 — dropping them up front makes lag()
-      // read "nearest preceding non-empty line" directly
       .where(col("line") =!= "")
     val ord = org.apache.spark.sql.expressions.Window
       .partitionBy("host").orderBy("pos")
@@ -426,20 +451,10 @@ object WebFilters {
         !coalesce(lag(isUa, 1).over(ord), lit(false)))
       .withColumn("grp",
         sum(when(col("starts_grp"), 1L).otherwise(0L)).over(cum))
-    def value(from: Int) = regexp_replace(
-      expr(s"substring(line, $from)"), "^\\s+|\\s+$", "")
     val starGroups = grouped.where(isUa)
-      .select(col("host"), col("grp"), value(12).as("agent"))
-      .where(col("agent") === "*")
+      .where(lineValue(12) === "*")
       .select("host", "grp").distinct()
-    val rules = grouped
-      .withColumn("allow", col("low").startsWith("allow:"))
-      .where(col("allow") || col("low").startsWith("disallow:"))
-      .withColumn("prefix",
-        when(col("allow"), value(7)).otherwise(value(10)))
-      .where(col("prefix") =!= "")
-    rules.join(starGroups, Seq("host", "grp"))
-      .select("host", "prefix", "allow")
+    (grouped, starGroups)
   }
 
   /** Apply robots rules to a URL frame, RFC 9309 matching + precedence:
@@ -453,14 +468,16 @@ object WebFilters {
     * (the classic media rule — slash, `*`, `.pdf`, `$` — blocks every
     * pdf path; the literal can't be spelled here because Scala block
     * comments nest on its first two bytes); such patterns compile to
-    * anchored regexes
-    * (every other byte regex-escaped, identically in both engines) and
-    * match the RAW canonical path. Plain patterns keep the exact
-    * prefix compare against path + '/' — so a DIRECTORY rule
-    * (`Disallow: /private/`) blocks the directory URL itself even
-    * though canonicalization strips its trailing slash, and rule bytes
-    * can't act as accidental wildcards. Hosts with no matching rule
-    * are unblocked — robots absence means allow.
+    * anchored regexes (every other byte regex-escaped, identically in
+    * both engines). END-ANCHORED patterns match the raw canonical path
+    * (appending anything would defeat the anchor); every other rule —
+    * plain prefixes AND non-anchored wildcards — matches against
+    * path + '/', so BOTH spellings of a directory rule
+    * (`Disallow: /private/` and the wildcard slash-star-private form)
+    * block the directory URL itself even though canonicalization strips
+    * its trailing slash, and plain rule bytes can't act as accidental
+    * wildcards. Hosts with no matching rule are unblocked — robots
+    * absence means allow.
     *
     * Shape: rules collapse to one (host, rules[]) row per host — robots
     * rule sets are tiny — with the regex compiled ONCE per rule on the
@@ -485,12 +502,22 @@ object WebFilters {
       when(col("prefix").endsWith("$"), lit("$")).otherwise(lit("")))
     val ruleSets = rules
       .withColumn("special", special)
+      .withColumn("anch", col("prefix").endsWith("$"))
       .withColumn("rx", when(special, rx).otherwise(lit("")))
       .groupBy("host")
       .agg(collect_list(struct(col("prefix"), col("allow"),
-        col("special"), col("rx"))).as("__rules"))
+        col("special"), col("anch"), col("rx"))).as("__rules"))
+    // END-ANCHORED patterns match the raw canonical path (appending '/'
+    // would defeat the anchor); every OTHER rule — plain prefixes AND
+    // non-anchored wildcards — matches against path + '/', so both
+    // spellings of a directory rule (`/a/private/` and `/*/private/`)
+    // block the directory URL itself even though canonicalization
+    // strips its trailing slash (a '/'-append can never un-match a
+    // non-anchored pattern that already matched)
     val matched = filter(col("__rules"), r =>
-      when(r("special"), regexp_like(col("path"), r("rx")))
+      when(r("special") && r("anch"), regexp_like(col("path"), r("rx")))
+        .when(r("special"),
+          regexp_like(concat(col("path"), lit("/")), r("rx")))
         .otherwise(concat(col("path"), lit("/")).startsWith(r("prefix"))))
     // most-specific match, allow wins ties: the accumulator carries the
     // best (pattern length, allow) seen; the no-match sentinel
@@ -513,19 +540,16 @@ object WebFilters {
     * sitemap discovery STARTS (robots → [[sitemapIndex]] → children →
     * [[sitemapParse]] → pages). RFC 9309 §2.3: Sitemap is a non-group
     * directive — it binds to the whole file regardless of surrounding
-    * user-agent groups, so this parse needs no group machinery at all:
-    * strip comments/whitespace per line, take `sitemap:` lines
-    * (case-insensitive key), emit DISTINCT (host, sitemap_url); empty
-    * values emit nothing. Map-only explode + a uniform-key distinct. */
+    * user-agent groups, so the group ids the shared line machine stamps
+    * are simply ignored here: take `sitemap:` lines (case-insensitive
+    * key, comments/whitespace stripped by the shared rule), emit
+    * DISTINCT (host, sitemap_url); empty values emit nothing. One
+    * explode + a uniform-key distinct. */
   def robotsSitemaps(robots: DataFrame, hostCol: String = "host",
                      bodyCol: String = "body"): DataFrame =
-    robots.select(col(hostCol).as("host"),
-        explode(transform(split(col(bodyCol), "\\r?\\n"), l =>
-          regexp_replace(regexp_replace(l, "#.*", ""), "^\\s+|\\s+$", "")))
-          .as("line"))
-      .where(lower(col("line")).startsWith("sitemap:"))
-      .select(col("host"), regexp_replace(
-        expr("substring(line, 9)"), "^\\s+|\\s+$", "").as("sitemap_url"))
+    robotsLineGroups(robots, hostCol, bodyCol)._1
+      .where(col("low").startsWith("sitemap:"))
+      .select(col("host"), lineValue(9).as("sitemap_url"))
       .where(col("sitemap_url") =!= "")
       .distinct()
 
@@ -540,29 +564,9 @@ object WebFilters {
     * (host, crawl_delay). */
   def robotsCrawlDelay(robots: DataFrame, hostCol: String = "host",
                        bodyCol: String = "body"): DataFrame = {
-    val lines = robots.select(col(hostCol).as("host"),
-        posexplode(transform(split(col(bodyCol), "\\r?\\n"), l =>
-          regexp_replace(regexp_replace(l, "#.*", ""), "^\\s+|\\s+$", "")))
-          .as(Seq("pos", "line")))
-      .withColumn("low", lower(col("line")))
-      .where(col("line") =!= "")
-    val ord = org.apache.spark.sql.expressions.Window
-      .partitionBy("host").orderBy("pos")
-    val cum = ord.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val isUa = col("low").startsWith("user-agent:")
-    val grouped = lines
-      .withColumn("starts_grp", isUa &&
-        !coalesce(lag(isUa, 1).over(ord), lit(false)))
-      .withColumn("grp",
-        sum(when(col("starts_grp"), 1L).otherwise(0L)).over(cum))
-    val starGroups = grouped.where(isUa)
-      .where(regexp_replace(expr("substring(line, 12)"),
-        "^\\s+|\\s+$", "") === "*")
-      .select("host", "grp").distinct()
+    val (grouped, starGroups) = robotsLineGroups(robots, hostCol, bodyCol)
     val raw = grouped.where(col("low").startsWith("crawl-delay:"))
-      .select(col("host"), col("grp"), regexp_replace(
-        expr("substring(line, 13)"), "^\\s+|\\s+$", "").as("v"))
+      .select(col("host"), col("grp"), lineValue(13).as("v"))
       .where(col("v").rlike("^[0-9]+(\\.[0-9]+)?$"))
     raw.join(starGroups, Seq("host", "grp"))
       .groupBy("host")

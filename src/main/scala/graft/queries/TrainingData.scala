@@ -3584,7 +3584,7 @@ object TrainingData {
         |  FROM pr GROUP BY pa, pb),
         |sj AS (SELECT pc.pa, pc.pb, pc.pair_cnt,
         |  a.scnt AS left_cnt, b.scnt AS right_cnt,
-        |  pc.pair_cnt / (a.scnt * b.scnt) AS sc0
+        |  pc.pair_cnt / (CAST(a.scnt AS DOUBLE) * b.scnt) AS sc0
         |  FROM pc JOIN sc a ON a.c = pc.pa JOIN sc b ON b.c = pc.pb),
         |rk AS (SELECT *, CAST(row_number() OVER (
         |  ORDER BY sc0 DESC, pa, pb) AS BIGINT) AS rnk FROM sj)
@@ -3614,7 +3614,7 @@ object TrainingData {
         |  FROM s1 WHERE len(syms) >= 2),
         |c1 AS (SELECT pa, pb, CAST(sum(wc) AS BIGINT) AS pcnt FROM p1 GROUP BY pa, pb),
         |j1 AS (SELECT c1.pa, c1.pb, c1.pcnt, a.scnt AS la, b.scnt AS lb,
-        |  c1.pcnt / (a.scnt * b.scnt) AS sc0
+        |  c1.pcnt / (CAST(a.scnt AS DOUBLE) * b.scnt) AS sc0
         |  FROM c1 JOIN sc1 a ON a.c = c1.pa JOIN sc1 b ON b.c = c1.pb),
         |b1 AS (SELECT * FROM j1 ORDER BY sc0 DESC, pa, pb LIMIT 1),
         |e1 AS (SELECT word, wc, regexp_replace(enc,
@@ -3627,7 +3627,7 @@ object TrainingData {
         |  FROM s2 WHERE len(syms) >= 2),
         |c2 AS (SELECT pa, pb, CAST(sum(wc) AS BIGINT) AS pcnt FROM p2 GROUP BY pa, pb),
         |j2 AS (SELECT c2.pa, c2.pb, c2.pcnt, a.scnt AS la, b.scnt AS lb,
-        |  c2.pcnt / (a.scnt * b.scnt) AS sc0
+        |  c2.pcnt / (CAST(a.scnt AS DOUBLE) * b.scnt) AS sc0
         |  FROM c2 JOIN sc2 a ON a.c = c2.pa JOIN sc2 b ON b.c = c2.pb),
         |b2 AS (SELECT * FROM j2 ORDER BY sc0 DESC, pa, pb LIMIT 1)
         |SELECT 1 AS round, pa AS left_sym, pb AS right_sym, pcnt AS pair_cnt,

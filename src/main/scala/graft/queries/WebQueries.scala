@@ -426,13 +426,14 @@ object WebQueries {
       |ru2 AS (SELECT host, prefix, allow FROM ru WHERE prefix <> ''),
       |rw AS (SELECT host, prefix, allow,
       |  (contains(prefix, '*') OR prefix LIKE '%$') AS special,
+      |  (prefix LIKE '%$') AS anch,
       |  CASE WHEN prefix LIKE '%$'
       |    THEN substring(prefix, 1, len(prefix) - 1) ELSE prefix END AS pbody
       |  FROM ru2),
-      |rr AS (SELECT host, prefix, allow, special,
+      |rr AS (SELECT host, prefix, allow, special, anch,
       |  '^' || replace(regexp_replace(pbody,
       |      '([.^$+?(){}\[\]|\\])', '\\\1', 'g'), '*', '.*') ||
-      |    (CASE WHEN prefix LIKE '%$' THEN '$' ELSE '' END) AS rx
+      |    (CASE WHEN anch THEN '$' ELSE '' END) AS rx
       |  FROM rw)""".stripMargin
 
   /** The Spark-side URL fixture — one URL shape per doc_id mod 6. */
@@ -710,7 +711,8 @@ object WebQueries {
          |$duckRobotsRules,
          |mt AS (SELECT c.doc_id, c.url, c.host, c.path, r.prefix, r.allow
          |  FROM cx c LEFT JOIN rr r ON r.host = c.host
-         |    AND (CASE WHEN r.special THEN regexp_matches(c.path, r.rx)
+         |    AND (CASE WHEN r.special AND r.anch THEN regexp_matches(c.path, r.rx)
+         |      WHEN r.special THEN regexp_matches(c.path || '/', r.rx)
          |      ELSE substring(c.path || '/', 1, len(r.prefix)) = r.prefix END)),
          |mx AS (SELECT *, max(len(prefix))
          |    OVER (PARTITION BY doc_id, url, host, path) AS ml FROM mt)
@@ -876,7 +878,8 @@ object WebQueries {
       s"""WITH $duckAnchorFixture,
          |$duckAnchors,
          |${duckCanonicalChain("doc_id, text")},
-         |kept AS (SELECT doc_id, url, scheme, host, path, canonical_url
+         |kept AS (SELECT row_number() OVER (ORDER BY doc_id, url) AS rid,
+         |    doc_id, url, scheme, host, path, canonical_url
          |  FROM cx
          |  WHERE url IS NOT NULL AND canonical_url IS NOT NULL
          |    AND scheme IN ('http', 'https')
@@ -892,17 +895,18 @@ object WebQueries {
          |    ELSE 'User-agent: *' || chr(10) || 'Disallow: /r*' END AS body
          |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 7) d),
          |$duckRobotsRules,
-         |mt AS (SELECT k.doc_id, k.url, k.host, k.path, k.canonical_url,
+         |mt AS (SELECT k.rid, k.doc_id, k.url, k.host, k.path, k.canonical_url,
          |    r.prefix, r.allow
          |  FROM kept k LEFT JOIN rr r ON r.host = k.host
-         |    AND (CASE WHEN r.special THEN regexp_matches(k.path, r.rx)
+         |    AND (CASE WHEN r.special AND r.anch THEN regexp_matches(k.path, r.rx)
+         |      WHEN r.special THEN regexp_matches(k.path || '/', r.rx)
          |      ELSE substring(k.path || '/', 1, len(r.prefix)) = r.prefix END)),
-         |mx AS (SELECT *, max(len(prefix)) OVER (PARTITION BY doc_id, url,
-         |    host, path, canonical_url) AS ml FROM mt),
-         |vd AS (SELECT doc_id, url, host, path, canonical_url,
+         |mx AS (SELECT *, max(len(prefix)) OVER (PARTITION BY rid) AS ml
+         |  FROM mt),
+         |vd AS (SELECT rid, doc_id, canonical_url,
          |  coalesce(NOT bool_or(allow) FILTER (WHERE len(prefix) = ml), false)
          |    AS robots_blocked
-         |  FROM mx GROUP BY doc_id, url, host, path, canonical_url),
+         |  FROM mx GROUP BY rid, doc_id, canonical_url),
          |fr AS (SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keeper,
          |    CAST(count(*) AS BIGINT) AS group_size
          |  FROM vd WHERE NOT robots_blocked GROUP BY canonical_url),

@@ -229,13 +229,20 @@ object CorpusStreams {
     * broadcast join, no state, row-preserving before the filter).
     * Blocked URLs drop; the annotation columns robotsFilter adds
     * (host, path, robots_blocked) are dropped again — a gate filters,
-    * it does not annotate (callers keeping their own host/path columns
-    * should note robotsFilter overwrites them in flight). */
+    * it does not annotate — and a caller's OWN host/path columns are
+    * stashed around the verdict and restored untouched (robotsFilter
+    * overwrites them in flight; a gate must never eat caller schema). */
   def robotsGate(frontier: DataFrame, rules: DataFrame,
-                 urlCol: String = "url"): DataFrame =
-    graft.operators.WebFilters.robotsFilter(frontier, rules, urlCol)
+                 urlCol: String = "url"): DataFrame = {
+    val stash = Seq("host", "path").filter(frontier.columns.contains)
+    val renamed = stash.foldLeft(frontier)((d, c) =>
+      d.withColumnRenamed(c, "__keep_" + c))
+    val gated = graft.operators.WebFilters
+      .robotsFilter(renamed, rules, urlCol)
       .where(!col("robots_blocked"))
       .drop("host", "path", "robots_blocked")
+    stash.foldLeft(gated)((d, c) => d.withColumnRenamed("__keep_" + c, c))
+  }
 
   /** Streaming incremental-recrawl gate: each freshly fetched page checks
     * against the PREVIOUS crawl snapshot and flows only when it is worth

@@ -793,8 +793,10 @@ class CorpusFiltersSpec extends SparkTestBase {
   test("seqPack: concat-and-chunk spans boundaries, empty docs occupy no " +
     "chunk; the two-phase prefix sum is partition-count independent") {
     import spark.implicits._
-    val docs = Seq((1L, "a b c"), (2L, ""), (3L, "d e f g"), (4L, "h"))
-      .toDF("doc_id", "text")
+    // doc 2's text is NULL (not just empty): a NULL must count as zero
+    // tokens, not poison a partition's sum into NPE-ing the offset fold
+    val docs = Seq((1L, "a b c"), (2L, null: String), (3L, "d e f g"),
+      (4L, "h")).toDF("doc_id", "text")
     def run(d: org.apache.spark.sql.DataFrame) =
       CorpusFilters.seqPack(d, seqLen = 4).orderBy("doc_id").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

@@ -180,6 +180,14 @@ class CorpusStreamsSpec extends SparkTestBase {
       .where(!col("robots_blocked")).select("doc_id").collect()
       .map(_.getLong(0)).toSet
     assert(kept == batchKept, s"stream $kept vs batch $batchKept")
+    // caller schema survives: a frontier carrying its OWN host column
+    // (e.g. an upstream partitioner's) keeps it through the gate
+    val withHost = arrivals.toDF("doc_id", "url")
+      .withColumn("host", concat(lit("shard-"), col("doc_id") % 2))
+    val gated = CorpusStreams.robotsGate(withHost, rules)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("host"))).toSeq
+    assert(gated == Seq((2L, "shard-0"), (4L, "shard-0")), gated.toList)
   }
 
   test("recrawl gate: new and changed pages flow with their status, " +

@@ -218,6 +218,9 @@ class WebFiltersSpec extends SparkTestBase {
     val robots = Seq(
       ("w.org", "User-agent: *\nDisallow: /*.pdf$\nAllow: /pub/*.pdf$\n" +
         "Disallow: /exact$\nDisallow: /a*b"),
+      // a WILDCARD directory rule must block the directory URL itself,
+      // exactly like the plain-spelled directory rule does
+      ("d.org", "User-agent: *\nDisallow: /*/private/"),
       // regex metachars in a PLAIN rule must match literally, not as regex
       ("m.org", "User-agent: *\nDisallow: /p(1)")).toDF("host", "body")
     val urls = Seq(
@@ -230,12 +233,16 @@ class WebFiltersSpec extends SparkTestBase {
       (6L, "http://w.org/aXYb"),         // /a*b mid-pattern wildcard
       (7L, "http://w.org/aXYc"),         // ...but not a different tail
       (8L, "http://m.org/p(1)"),         // literal parens block
-      (9L, "http://m.org/pX")            // would match if ( ) leaked as regex
+      (9L, "http://m.org/pX"),           // would match if ( ) leaked as regex
+      (10L, "http://d.org/a/private/"),  // wildcard DIR rule blocks the dir
+                                         // URL (canonical path /a/private)
+      (11L, "http://d.org/a/private/x"), // ...and everything under it
+      (12L, "http://d.org/a/privateer")  // ...but not a sibling prefix
     ).toDF("doc_id", "url")
     val got = WebFilters.robotsFilter(urls, WebFilters.robotsRules(robots))
       .orderBy("doc_id").select("robots_blocked").as[Boolean].collect().toSeq
     assert(got == Seq(true, false, false, true, false, true, false,
-      true, false), got)
+      true, false, true, true, false), got)
   }
 
   test("robotsSitemaps: non-group directive binds file-wide, " +
