@@ -25,7 +25,12 @@ object Dedup {
 
   /** Word tokens of `textCol`, lowercased, split on runs of whitespace.
     * Empty tokens are filtered (regex-split engines disagree on whether a
-    * leading/trailing separator produces an empty token). */
+    * leading/trailing separator produces an empty token). NULL text
+    * yields NULL, not an empty array — per-row counts keep SQL NULL
+    * semantics and every oracle replays that; an aggregation boundary
+    * that must treat missing text as zero coalesces AT THE CALL SITE
+    * (e.g. seqPack's driver-collected partition sums), it does not
+    * change this shared definition. */
   def tokens(textCol: Column): Column =
     filter(split(lower(textCol), "\\s+"), t => length(t) > 0)
 

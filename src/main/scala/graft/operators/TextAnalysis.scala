@@ -824,7 +824,8 @@ object TextAnalysis {
       }
       if (pairCnt.isEmpty) live = false
       else {
-        // argmax by exact-integer-ratio score, ties to the smallest pair
+        // argmax by score (double denominators — see above), ties to the
+        // lexicographically smallest pair
         // double denominators: long·long overflows at web-corpus counts
         val best = pairCnt.keysIterator.reduce { (x, y) =>
           val sx = pairCnt(x).toDouble / (symCnt(x._1).toDouble * symCnt(x._2))

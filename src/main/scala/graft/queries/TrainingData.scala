@@ -3119,11 +3119,12 @@ object TrainingData {
         |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
         |    x -> len(x) > 0)) AS BIGINT) AS n_tokens
         |  FROM documents),
+        |tk2 AS (SELECT doc_id, coalesce(n_tokens, 0) AS n_tokens FROM tk),
         |cs AS (SELECT doc_id, n_tokens,
         |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
         |    AS tok_start
-        |  FROM tk),
+        |  FROM tk2),
         |ck AS (SELECT doc_id, n_tokens, tok_start,
         |  CASE WHEN n_tokens > 0 THEN tok_start // 128 END AS first_chunk,
         |  CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 128 END
@@ -3566,8 +3567,9 @@ object TrainingData {
     // one LIKELIHOOD-scored WordPiece merge round: every adjacent symbol
     // pair over the char-split word-frequency table scores
     // freq(ab)/(freq(a)*freq(b)) — the published WordPiece criterion
-    // (vs BPE's raw pair frequency); ranking uses the unrounded
-    // exact-integer ratio so ordering can never drift cross-engine
+    // (vs BPE's raw pair frequency); ranking uses the unrounded score
+    // with the denominator product formed in doubles (identical IEEE
+    // values both engines; a long product overflows at corpus scale)
     df("ta_wordpiece_merge1",
       """WITH wf AS (SELECT w AS word, count(*) AS wc FROM (
         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w

@@ -234,14 +234,21 @@ object CorpusStreams {
     * overwrites them in flight; a gate must never eat caller schema). */
   def robotsGate(frontier: DataFrame, rules: DataFrame,
                  urlCol: String = "url"): DataFrame = {
-    val stash = Seq("host", "path").filter(frontier.columns.contains)
+    // stash matches CASE-INSENSITIVELY (Spark resolution is
+    // case-insensitive by default, so a caller's 'Host' would be
+    // clobbered just like 'host') and covers robots_blocked too — the
+    // verdict column is gate-internal, never the caller's
+    val clobbered = Set("host", "path", "robots_blocked")
+    val stash = frontier.columns
+      .filter(c => clobbered.contains(c.toLowerCase)).toSeq
     val renamed = stash.foldLeft(frontier)((d, c) =>
-      d.withColumnRenamed(c, "__keep_" + c))
+      d.withColumnRenamed(c, "__keep_" + c.toLowerCase))
     val gated = graft.operators.WebFilters
       .robotsFilter(renamed, rules, urlCol)
       .where(!col("robots_blocked"))
       .drop("host", "path", "robots_blocked")
-    stash.foldLeft(gated)((d, c) => d.withColumnRenamed("__keep_" + c, c))
+    stash.foldLeft(gated)((d, c) =>
+      d.withColumnRenamed("__keep_" + c.toLowerCase, c))
   }
 
   /** Streaming incremental-recrawl gate: each freshly fetched page checks

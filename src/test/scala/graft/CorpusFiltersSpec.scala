@@ -793,22 +793,26 @@ class CorpusFiltersSpec extends SparkTestBase {
   test("seqPack: concat-and-chunk spans boundaries, empty docs occupy no " +
     "chunk; the two-phase prefix sum is partition-count independent") {
     import spark.implicits._
-    // doc 2's text is NULL (not just empty): a NULL must count as zero
-    // tokens, not poison a partition's sum into NPE-ing the offset fold
-    val docs = Seq((1L, "a b c"), (2L, null: String), (3L, "d e f g"),
-      (4L, "h")).toDF("doc_id", "text")
+    // doc 2 is EMPTY text, doc 5 is NULL text: both must count as zero
+    // tokens and occupy no chunk — the empty case guards tokenization
+    // ([""] would be 1 token), the NULL case guards the partition sums
+    // (a NULL sum would NPE the driver's offset fold)
+    val docs = Seq((1L, "a b c"), (2L, ""), (3L, "d e f g"),
+      (4L, "h"), (5L, null: String)).toDF("doc_id", "text")
     def run(d: org.apache.spark.sql.DataFrame) =
       CorpusFilters.seqPack(d, seqLen = 4).orderBy("doc_id").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           if (r.isNullAt(3)) -1L else r.getLong(3),
           if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5))).toSeq
-    // tokens 3/0/4/1 → starts 0/3/3/7; chunks of 4: doc1 [0,2]→chunk 0,
-    // doc2 none, doc3 [3,6]→chunks 0–1 (SPANS the boundary), doc4 [7]→1
+    // tokens 3/0/4/1/0 → starts 0/3/3/7/8; chunks of 4: doc1 [0,2]→chunk
+    // 0, doc2 none, doc3 [3,6]→chunks 0–1 (SPANS the boundary), doc4
+    // [7]→1, doc5 none
     val expect = Seq(
       (1L, 3L, 0L, 0L, 0L, 1L),
       (2L, 0L, 3L, -1L, -1L, 0L),
       (3L, 4L, 3L, 0L, 1L, 2L),
-      (4L, 1L, 7L, 1L, 1L, 1L))
+      (4L, 1L, 7L, 1L, 1L, 1L),
+      (5L, 0L, 8L, -1L, -1L, 0L))
     assert(run(docs) == expect, run(docs))
     // the global result must not depend on the incoming partitioning
     assert(run(docs.repartition(8)) == expect)
