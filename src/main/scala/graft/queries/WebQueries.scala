@@ -530,6 +530,69 @@ object WebQueries {
     },
 
 
+    // the corpus DATA CARD: the one-query datasheet a curation run
+    // publishes — per language: volume (docs, tokens, share), quality
+    // keep rates (the same shared C4/Gopher verdicts every filter uses),
+    // exact-duplicate rate, and mean document length. All uniform-key
+    // partial aggs; the totals row is a broadcast scalar
+    df("ta_corpus_datasheet",
+      s"""WITH doc2 AS (SELECT doc_id, text FROM documents),
+         |$duckQualityVerdicts,
+         |wl AS (SELECT doc_id, lang,
+         |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |    x -> len(x) > 0)) AS BIGINT) AS n_words,
+         |  md5(text) AS h FROM documents),
+         |dg AS (SELECT h, count(*) AS c FROM wl GROUP BY h),
+         |wd AS (SELECT wl.*, dg.c > 1 AS is_dup FROM wl JOIN dg USING (h)),
+         |pl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(wd.n_words) AS BIGINT) AS n_words,
+         |  round(CAST(sum(wd.n_words) AS BIGINT) / count(*), 4) AS mean_words,
+         |  round(avg(CASE WHEN c4.c4_keep THEN 1.0 ELSE 0.0 END), 4)
+         |    AS c4_keep_rate,
+         |  round(avg(CASE WHEN gv.gopher_keep THEN 1.0 ELSE 0.0 END), 4)
+         |    AS gopher_keep_rate,
+         |  round(avg(CASE WHEN wd.is_dup THEN 1.0 ELSE 0.0 END), 4)
+         |    AS dup_rate,
+         |  round(avg(CASE WHEN wd.n_words >= 64 THEN 1.0 ELSE 0.0 END), 4)
+         |    AS long_doc_rate
+         |  FROM wd JOIN c4 USING (doc_id) JOIN gv USING (doc_id)
+         |  GROUP BY lang),
+         |tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot FROM pl)
+         |SELECT lang, n_docs, round(CAST(n_docs AS DOUBLE) / tt.tot, 4)
+         |    AS share,
+         |  n_words, mean_words, c4_keep_rate, gopher_keep_rate, dup_rate,
+         |  long_doc_rate
+         |FROM pl CROSS JOIN tt ORDER BY lang""".stripMargin) { (s, _) =>
+      val d = s.table("documents")
+      val base = d.select(col("doc_id"), col("lang"),
+        coalesce(size(graft.operators.Dedup.tokens(col("text"))).cast("long"),
+          lit(0L)).as("n_words"),
+        CorpusFilters.c4Keep(col("text")).as("ck"),
+        CorpusFilters.gopherKeep(col("text")).as("gk"),
+        md5(col("text")).as("h"))
+      val dup = base.groupBy("h").agg(count(lit(1)).as("c"))
+      val perLang = base.join(dup, Seq("h"))
+        .withColumn("is_dup", col("c") > 1)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("n_words"),
+          round(sum("n_words") / count(lit(1)), 4).as("mean_words"),
+          round(avg(when(col("ck"), 1.0).otherwise(0.0)), 4)
+            .as("c4_keep_rate"),
+          round(avg(when(col("gk"), 1.0).otherwise(0.0)), 4)
+            .as("gopher_keep_rate"),
+          round(avg(when(col("is_dup"), 1.0).otherwise(0.0)), 4)
+            .as("dup_rate"),
+          round(avg(when(col("n_words") >= 64, 1.0).otherwise(0.0)), 4)
+            .as("long_doc_rate"))
+      perLang
+        .crossJoin(broadcast(perLang.agg(sum("n_docs").as("tot"))))
+        .withColumn("share", round(col("n_docs") / col("tot"), 4))
+        .select("lang", "n_docs", "share", "n_words", "mean_words",
+          "c4_keep_rate", "gopher_keep_rate", "dup_rate", "long_doc_rate")
+        .orderBy("lang")
+    },
+
     // extract -> corpus-level line dedup: the constant blocks every page
     // shares (in-content boilerplate the link-density rule can't see —
     // same prose on every page) die via lineDedup's distinct-doc rule
