@@ -353,6 +353,33 @@ object WebFilters {
     * real crawl bucket layout. */
   def warcParse(files: DataFrame, fileCol: String = "file_id",
                 bodyCol: String = "body"): DataFrame = {
+    val recs = warcRecordFrames(files, fileCol, bodyCol)
+    def header(name: String) =
+      regexp_extract(col("__hdrs"), s"(?im)^$name:\\s*(\\S+)", 1)
+    // digits-only capture: a malformed "Content-Length: N/A" degrades to
+    // NULL per the never-errors contract instead of an ANSI cast error,
+    // and matches the oracle's ([0-9]+) byte for byte
+    val lenRaw =
+      regexp_extract(col("__hdrs"), "(?im)^Content-Length:\\s*([0-9]+)", 1)
+    recs.select(col(fileCol), col("rec_idx"),
+      header("WARC-Type").as("warc_type"),
+      header("WARC-Target-URI").as("target_uri"),
+      header("WARC-Date").as("warc_date"),
+      when(lenRaw === "", lit(null).cast("long"))
+        .otherwise(lenRaw.cast("long")).as("content_length"),
+      length(col("__payload")).cast("long").as("payload_len"),
+      md5(col("__payload")).as("payload_digest"))
+  }
+
+  /** The shared WARC record framing behind [[warcParse]] and
+    * [[warcHttp]] (one definition so the archive inventory and the HTTP
+    * gate can never disagree about where a record's payload starts):
+    * records split at `WARC/1.0` version lines, WARC headers run to the
+    * first blank line, the payload is the rest with trailing whitespace
+    * trimmed (the record separator's blank lines are framing, not
+    * payload). Emits (fileCol, rec_idx, __hdrs, __payload). */
+  private def warcRecordFrames(files: DataFrame, fileCol: String,
+                               bodyCol: String): DataFrame = {
     val recs = files.select(col(fileCol),
         posexplode(split(col(bodyCol), "(?m)^WARC/1\\.0\\r?\\n"))
           .as(Seq("rec_idx", "rec")))
@@ -364,26 +391,63 @@ object WebFilters {
     // payload — without this branch the header bytes would be digested
     // as payload while every header simultaneously reported missing
     val hasSep = col("rec").rlike("\\r?\\n\\r?\\n")
-    val hdrs = when(hasSep,
-      regexp_extract(col("rec"), "(?s)^(.*?)\\r?\\n\\r?\\n", 1))
-      .otherwise(col("rec"))
-    val payload = when(hasSep, regexp_replace(
-      regexp_replace(col("rec"), "(?s)^.*?\\r?\\n\\r?\\n", ""), "\\s+$", ""))
-      .otherwise(lit(""))
-    def header(name: String) =
-      regexp_extract(hdrs, s"(?im)^$name:\\s*(\\S+)", 1)
-    // digits-only capture: a malformed "Content-Length: N/A" degrades to
-    // NULL per the never-errors contract instead of an ANSI cast error,
-    // and matches the oracle's ([0-9]+) byte for byte
-    val lenRaw = regexp_extract(hdrs, "(?im)^Content-Length:\\s*([0-9]+)", 1)
     recs.select(col(fileCol), col("rec_idx").cast("long").as("rec_idx"),
-      header("WARC-Type").as("warc_type"),
-      header("WARC-Target-URI").as("target_uri"),
-      header("WARC-Date").as("warc_date"),
-      when(lenRaw === "", lit(null).cast("long"))
-        .otherwise(lenRaw.cast("long")).as("content_length"),
-      length(payload).cast("long").as("payload_len"),
-      md5(payload).as("payload_digest"))
+      when(hasSep,
+        regexp_extract(col("rec"), "(?s)^(.*?)\\r?\\n\\r?\\n", 1))
+        .otherwise(col("rec")).as("__hdrs"),
+      when(hasSep, regexp_replace(
+        regexp_replace(col("rec"), "(?s)^.*?\\r?\\n\\r?\\n", ""), "\\s+$", ""))
+        .otherwise(lit("")).as("__payload"))
+  }
+
+  /** HTTP-envelope gate over WARC response payloads — the FIRST filter a
+    * real crawl pipeline applies before extraction (a Common Crawl WARC
+    * response payload IS the raw HTTP response; only `200` + an accepted
+    * media type proceeds — C4/CCNet/RefinedWeb all start here). Per
+    * record: the HTTP status (NULL when the payload has no valid
+    * `HTTP/x.y NNN` status line — a malformed capture degrades to a
+    * reject verdict, never a job error), the media type (from
+    * `Content-Type`, lowercased, parameters stripped, '' when absent),
+    * the declared charset (the Content-Type `charset=` parameter,
+    * optional quotes, lowercased, '' when absent), the HTTP body's
+    * length + md5 (split from the HTTP headers at the first blank line
+    * exactly as the WARC framing splits records, trailing whitespace
+    * trimmed), and the keep verdict: status 200 AND media type in
+    * `keepMimes`. Map-only after the per-file record explode — the same
+    * zero-shuffle shape as [[warcParse]], so at 100 TB the gate runs
+    * inside the archive scan. */
+  def warcHttp(files: DataFrame, fileCol: String = "file_id",
+               bodyCol: String = "body",
+               keepMimes: Seq[String] = Seq("text/html")): DataFrame = {
+    val recs = warcRecordFrames(files, fileCol, bodyCol)
+    val p = col("__payload")
+    val statusRaw = regexp_extract(p, "^HTTP/[0-9.]+[ \\t]+([0-9]{3})", 1)
+    val status = when(statusRaw === "", lit(null).cast("int"))
+      .otherwise(statusRaw.cast("int"))
+    val hasSep = p.rlike("\\r?\\n\\r?\\n")
+    val hHdrs = when(hasSep, regexp_extract(p, "(?s)^(.*?)\\r?\\n\\r?\\n", 1))
+      .otherwise(p)
+    val hBody = when(hasSep, regexp_replace(
+      regexp_replace(p, "(?s)^.*?\\r?\\n\\r?\\n", ""), "\\s+$", ""))
+      .otherwise(lit(""))
+    val ct = regexp_extract(hHdrs, "(?im)^Content-Type:[ \\t]*([^\\r\\n]*)", 1)
+    val mime = lower(trim(regexp_extract(ct, "^([^;]*)", 1)))
+    val charset = lower(
+      regexp_extract(ct, "(?i)charset[ \\t]*=[ \\t]*\"?([A-Za-z0-9_.:-]+)", 1))
+    // foldLeft, not reduce: an EMPTY keepMimes must mean keep-nothing
+    // (mime leg false), not a crash — the urlFilter blocklist convention
+    val mimeOk = keepMimes.foldLeft(lit(false): Column)((acc, m) =>
+      acc || mime === m.toLowerCase)
+    recs.select(col(fileCol), col("rec_idx"),
+      regexp_extract(col("__hdrs"), "(?im)^WARC-Target-URI:\\s*(\\S+)", 1)
+        .as("target_uri"),
+      status.as("http_status"), mime.as("mime"), charset.as("charset"),
+      length(hBody).cast("long").as("body_len"),
+      md5(hBody).as("body_digest"),
+      // when(), not status === 200 && …: a NULL status must verdict
+      // false, and NULL && false is NULL in three-valued logic
+      when(status.isNull, lit(false))
+        .otherwise(status === 200 && mimeOk).as("keep"))
   }
 
   /** Parse robots.txt bodies into per-host Allow/Disallow rules for the
@@ -605,6 +669,73 @@ object WebFilters {
   val AnchorElemPat: String =
     "(?is)<a\\b[^>]*?[\\s\"']href\\s*=\\s*\"[^\"]*\"" +
       "(?:[^>]*[^/>]|[^>]*=[^\\s\"'>]*/)?>.*?</a>"
+
+  /** Anchor OPEN TAGS with a double-quoted href — the rel-aware sibling
+    * of [[HrefPat]]: matching stops at the tag's own `>`, so the rel
+    * attribute (either side of href) is inside the match and per-anchor
+    * link policy can be read without requiring an element body (self-
+    * closing and unclosed-element anchors keep their href-level
+    * contract; only a truncated document whose final open tag never
+    * reaches `>` loses that one link — documented divergence from
+    * [[HrefPat]]). */
+  val AnchorTagPat: String =
+    "(?is)<a\\b[^>]*?[\\s\"']href\\s*=\\s*\"[^\"]*\"[^>]*>"
+
+  /** All `<meta name="robots" content="…">` directive strings of a page
+    * (both attribute orders, delimiter-anchored names so
+    * `data-name="robots"` can't match) — the page-level index/follow
+    * policy channel, robots.txt's in-document sibling. */
+  private def metaRobotsContents(html: Column): Column = concat(
+    regexp_extract_all(html, lit("(?is)<meta\\b[^>]*?[\\s\"']name\\s*=\\s*" +
+      "\"robots\"[^>]*?[\\s\"']content\\s*=\\s*\"([^\"]*)\""), lit(1)),
+    regexp_extract_all(html, lit("(?is)<meta\\b[^>]*?[\\s\"']content\\s*=" +
+      "\\s*\"([^\"]*)\"[^>]*?[\\s\"']name\\s*=\\s*\"robots\""), lit(1)))
+
+  // token-anchored within the comma-separated directive list: 'noindexing'
+  // must not read as noindex; 'none' implies both directives
+  private def hasRobotsToken(contents: Column, token: String): Column =
+    exists(contents, c =>
+      lower(c).rlike("(^|,)\\s*(" + token + "|none)\\s*(,|$)"))
+
+  /** TRUE iff any meta-robots directive of the page says `noindex` (or
+    * `none`) — the page asks to stay OUT of the corpus/index; most-
+    * restrictive-wins across multiple tags, matching how search engines
+    * combine them. Map-only. */
+  def metaNoindex(html: Column): Column =
+    hasRobotsToken(metaRobotsContents(html), "noindex")
+
+  /** TRUE iff any meta-robots directive says `nofollow` (or `none`) —
+    * none of the page's outlinks may enter the crawl frontier or vote in
+    * the link graph. Map-only. */
+  def metaNofollow(html: Column): Column =
+    hasRobotsToken(metaRobotsContents(html), "nofollow")
+
+  /** FOLLOWED outlinks — [[htmlLinks]] minus the links crawl policy says
+    * to ignore: anchors carrying `rel="nofollow"` (token-anchored within
+    * the rel list, so `rel="noopener nofollow"` drops but a hypothetical
+    * `nofollowx` token doesn't; delimiter-anchored rel so
+    * `data-rel="nofollow"` can't match), and EVERY link of a page whose
+    * meta robots declares `nofollow`/`none`. This is the frame the
+    * frontier and the host graph should consume — nofollow is precisely
+    * the publisher's signal that a link is not an endorsement (paid
+    * links, user-generated content), the reason search engines exclude
+    * it from PageRank. Same explode + map-only shape as [[htmlLinks]];
+    * output (doc_id, base_url, url). */
+  def followLinks(docs: DataFrame, htmlCol: String = "html",
+                  baseCol: String = "base_url"): DataFrame = {
+    val tag = col("__tag")
+    val relVal = lower(
+      regexp_extract(tag, "(?is)[\\s\"']rel\\s*=\\s*\"([^\"]*)\"", 1))
+    docs
+      .where(!metaNofollow(col(htmlCol)))
+      .select(col("doc_id"), col(baseCol),
+        explode(regexp_extract_all(col(htmlCol), lit(AnchorTagPat), lit(0)))
+          .as("__tag"))
+      .where(!relVal.rlike("(^|[\\s,])nofollow([\\s,]|$)"))
+      .select(col("doc_id"), col(baseCol),
+        resolveHref(regexp_extract(tag, HrefPat, 1), col(baseCol)).as("url"))
+      .where(col("url").isNotNull)
+  }
 
   /** Outlinks WITH their anchor text — the web graph's labeled edges
     * (anchor text is the classic off-page relevance/quality signal:

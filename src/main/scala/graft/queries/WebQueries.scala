@@ -436,6 +436,30 @@ object WebQueries {
       |    (CASE WHEN anch THEN '$' ELSE '' END) AS rx
       |  FROM rw)""".stripMargin
 
+  /** Shared DuckDB WARC framing chain (mirrors
+    * WebFilters.warcRecordFrames): takes a prior CTE
+    * rc(doc_id, file_id, rec), concatenates per-file bodies in doc
+    * order, splits records at `WARC/1.0` version lines (slot 0 and empty
+    * slots are not records), separates WARC headers from payload at the
+    * first blank line with trailing whitespace trimmed. Ends at
+    * rv(file_id, rec_idx, hdrs, payload). */
+  private val duckWarcFrames =
+    """fl AS (SELECT file_id, string_agg(rec, '' ORDER BY doc_id) AS body
+      |  FROM rc GROUP BY file_id),
+      |rx AS (SELECT file_id, unnest(rs) AS rec,
+      |  generate_subscripts(rs, 1) - 1 AS rec_idx
+      |  FROM (SELECT file_id,
+      |    regexp_split_to_array(body, '(?m)^WARC/1\.0\r?\n') AS rs FROM fl) z),
+      |rv AS (SELECT file_id, rec_idx, rec,
+      |  CASE WHEN regexp_matches(rec, '\r?\n\r?\n')
+      |    THEN coalesce(regexp_extract(rec, '(?s)^(.*?)\r?\n\r?\n', 1), '')
+      |    ELSE rec END AS hdrs,
+      |  CASE WHEN regexp_matches(rec, '\r?\n\r?\n')
+      |    THEN regexp_replace(regexp_replace(rec, '(?s)^.*?\r?\n\r?\n', ''),
+      |      '\s+$', '')
+      |    ELSE '' END AS payload
+      |  FROM rx WHERE rec_idx > 0 AND rec <> '')""".stripMargin
+
   /** The Spark-side URL fixture — one URL shape per doc_id mod 6. */
   private def urlFixture(docs: org.apache.spark.sql.DataFrame) = {
     val grp = floor(col("doc_id") / 12).cast("long").cast("string")
@@ -700,33 +724,19 @@ object WebQueries {
     // pipeline's byte-level entry point): 15 multi-record files built
     // from the documents table, parsed back to per-record rows
     df("ta_warc_parse",
-      """WITH rc AS (SELECT doc_id, doc_id // 10 AS file_id,
+      s"""WITH rc AS (SELECT doc_id, doc_id // 10 AS file_id,
         |  'WARC/1.0' || chr(10) || 'WARC-Type: response' || chr(10) ||
         |  'WARC-Target-URI: https://docs.example.org/d/' || doc_id || chr(10) ||
         |  'WARC-Date: 2026-01-01T00:00:00Z' || chr(10) ||
         |  'Content-Length: ' || len(text) || chr(10) || chr(10) ||
         |  text || chr(10) || chr(10) AS rec
         |  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 150) d),
-        |fl AS (SELECT file_id, string_agg(rec, '' ORDER BY doc_id) AS body
-        |  FROM rc GROUP BY file_id),
-        |rx AS (SELECT file_id, unnest(rs) AS rec,
-        |  generate_subscripts(rs, 1) - 1 AS rec_idx
-        |  FROM (SELECT file_id,
-        |    regexp_split_to_array(body, '(?m)^WARC/1\.0\r?\n') AS rs FROM fl) z),
-        |rv AS (SELECT file_id, rec_idx, rec,
-        |  CASE WHEN regexp_matches(rec, '\r?\n\r?\n')
-        |    THEN coalesce(regexp_extract(rec, '(?s)^(.*?)\r?\n\r?\n', 1), '')
-        |    ELSE rec END AS hdrs,
-        |  CASE WHEN regexp_matches(rec, '\r?\n\r?\n')
-        |    THEN regexp_replace(regexp_replace(rec, '(?s)^.*?\r?\n\r?\n', ''),
-        |      '\s+$', '')
-        |    ELSE '' END AS payload
-        |  FROM rx WHERE rec_idx > 0 AND rec <> '')
+        |$duckWarcFrames
         |SELECT file_id, CAST(rec_idx AS BIGINT) AS rec_idx,
-        |  coalesce(regexp_extract(hdrs, '(?im)^WARC-Type:\s*(\S+)', 1), '') AS warc_type,
-        |  coalesce(regexp_extract(hdrs, '(?im)^WARC-Target-URI:\s*(\S+)', 1), '') AS target_uri,
-        |  coalesce(regexp_extract(hdrs, '(?im)^WARC-Date:\s*(\S+)', 1), '') AS warc_date,
-        |  CAST(nullif(coalesce(regexp_extract(hdrs, '(?im)^Content-Length:\s*([0-9]+)', 1), ''), '') AS BIGINT) AS content_length,
+        |  coalesce(regexp_extract(hdrs, '(?im)^WARC-Type:\\s*(\\S+)', 1), '') AS warc_type,
+        |  coalesce(regexp_extract(hdrs, '(?im)^WARC-Target-URI:\\s*(\\S+)', 1), '') AS target_uri,
+        |  coalesce(regexp_extract(hdrs, '(?im)^WARC-Date:\\s*(\\S+)', 1), '') AS warc_date,
+        |  CAST(nullif(coalesce(regexp_extract(hdrs, '(?im)^Content-Length:\\s*([0-9]+)', 1), ''), '') AS BIGINT) AS content_length,
         |  CAST(len(payload) AS BIGINT) AS payload_len,
         |  md5(payload) AS payload_digest
         |FROM rv ORDER BY file_id, rec_idx""".stripMargin) { (s, _) =>
@@ -744,6 +754,131 @@ object WebQueries {
           array_sort(collect_list(struct(col("doc_id"), col("rec")))),
           x => x.getField("rec"))).as("body"))
       WebFilters.warcParse(files).orderBy("file_id", "rec_idx")
+    },
+
+    // HTTP-envelope gate over WARC response payloads (the FIRST filter a
+    // real crawl pipeline applies — only 200 + text/html proceeds): six
+    // response shapes exercise status parsing, media-type lowering,
+    // charset extraction (bare + quoted), a Location-only redirect with
+    // no Content-Type, a non-HTML media type, and a malformed capture
+    // with no status line (reject verdict, never an error)
+    df("ta_warc_http",
+      s"""WITH pc AS (SELECT doc_id, doc_id // 10 AS file_id, CASE doc_id % 6
+        |  WHEN 0 THEN 'HTTP/1.1 200 OK' || chr(10) || 'Content-Type: text/html; charset=UTF-8'
+        |    || chr(10) || chr(10) || '<html><body><p>' || text || '</p></body></html>'
+        |  WHEN 1 THEN 'HTTP/1.1 200 OK' || chr(10) || 'Content-Type: TEXT/HTML'
+        |    || chr(10) || chr(10) || text
+        |  WHEN 2 THEN 'HTTP/1.1 404 Not Found' || chr(10) || 'Content-Type: text/html; charset="latin-1"'
+        |    || chr(10) || chr(10) || 'not found: ' || doc_id
+        |  WHEN 3 THEN 'HTTP/1.1 301 Moved Permanently' || chr(10) || 'Location: https://docs.example.org/d/'
+        |    || doc_id || chr(10) || chr(10)
+        |  WHEN 4 THEN 'HTTP/1.1 200 OK' || chr(10) || 'Content-Type: image/png'
+        |    || chr(10) || chr(10) || 'PNGPIX' || doc_id
+        |  ELSE 'plain capture without envelope ' || text END AS payload
+        |  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 150) d),
+        |rc AS (SELECT doc_id, file_id,
+        |  'WARC/1.0' || chr(10) || 'WARC-Type: response' || chr(10) ||
+        |  'WARC-Target-URI: https://docs.example.org/d/' || doc_id || chr(10) ||
+        |  'Content-Length: ' || len(payload) || chr(10) || chr(10) ||
+        |  payload || chr(10) || chr(10) AS rec
+        |  FROM pc),
+        |$duckWarcFrames,
+        |hp AS (SELECT file_id, rec_idx, hdrs,
+        |  coalesce(regexp_extract(payload, '^HTTP/[0-9.]+[ \\t]+([0-9]{3})', 1), '') AS st,
+        |  CASE WHEN regexp_matches(payload, '\\r?\\n\\r?\\n')
+        |    THEN coalesce(regexp_extract(payload, '(?s)^(.*?)\\r?\\n\\r?\\n', 1), '')
+        |    ELSE payload END AS hh,
+        |  CASE WHEN regexp_matches(payload, '\\r?\\n\\r?\\n')
+        |    THEN regexp_replace(regexp_replace(payload, '(?s)^.*?\\r?\\n\\r?\\n', ''), '\\s+$$', '')
+        |    ELSE '' END AS hb
+        |  FROM rv),
+        |hm AS (SELECT file_id, rec_idx, hdrs, st, hb,
+        |  coalesce(regexp_extract(hh, '(?im)^Content-Type:[ \\t]*([^\\r\\n]*)', 1), '') AS ct
+        |  FROM hp),
+        |hz AS (SELECT file_id, rec_idx, hdrs, st, hb,
+        |  lower(trim(coalesce(regexp_extract(ct, '^([^;]*)', 1), ''))) AS mime,
+        |  lower(coalesce(regexp_extract(ct, '(?i)charset[ \\t]*=[ \\t]*"?([A-Za-z0-9_.:-]+)', 1), '')) AS charset
+        |  FROM hm)
+        |SELECT file_id, CAST(rec_idx AS BIGINT) AS rec_idx,
+        |  coalesce(regexp_extract(hdrs, '(?im)^WARC-Target-URI:\\s*(\\S+)', 1), '') AS target_uri,
+        |  CAST(nullif(st, '') AS INT) AS http_status,
+        |  mime, charset,
+        |  CAST(len(hb) AS BIGINT) AS body_len, md5(hb) AS body_digest,
+        |  (CASE WHEN st = '' THEN false
+        |    ELSE CAST(st AS INT) = 200 AND mime = 'text/html' END) AS keep
+        |FROM hz ORDER BY file_id, rec_idx""".stripMargin) { (s, _) =>
+      WebFilters.warcHttp(warcHttpFixture(s.table("documents")))
+        .orderBy("file_id", "rec_idx")
+    },
+
+    // meta-robots page policy (robots.txt's in-document sibling): both
+    // attribute orders, case-insensitive values, 'none' implying both
+    // directives, token anchoring ('noindexing' must not read as
+    // noindex), name-mismatch and data-name decoys that must not match
+    df("ta_meta_robots",
+      s"""WITH $duckHtmlFixture,
+         |mx AS (SELECT doc_id, html || CASE doc_id % 5
+         |  WHEN 0 THEN '<meta name="robots" content="noindex, nofollow">'
+         |  WHEN 1 THEN '<meta content="nofollow" name="robots">'
+         |  WHEN 2 THEN '<meta name="ROBOTS" content="NONE">'
+         |  WHEN 3 THEN '<meta name="robots" content="noindexing, follow"><meta name="description" content="noindex">'
+         |  ELSE '<meta data-name="robots" content="noindex">' END AS html
+         |  FROM fx),
+         |mc AS (SELECT doc_id, list_concat(
+         |  regexp_extract_all(html, '(?is)<meta\\b[^>]*?[\\s"'']name\\s*=\\s*"robots"[^>]*?[\\s"'']content\\s*=\\s*"([^"]*)"', 1),
+         |  regexp_extract_all(html, '(?is)<meta\\b[^>]*?[\\s"'']content\\s*=\\s*"([^"]*)"[^>]*?[\\s"'']name\\s*=\\s*"robots"', 1)) AS cs
+         |  FROM mx),
+         |md AS (SELECT doc_id,
+         |  len(list_filter(cs, c -> regexp_matches(lower(c), '(^|,)\\s*(noindex|none)\\s*(,|$$)'))) > 0 AS noindex,
+         |  len(list_filter(cs, c -> regexp_matches(lower(c), '(^|,)\\s*(nofollow|none)\\s*(,|$$)'))) > 0 AS nofollow
+         |  FROM mc)
+         |SELECT doc_id, noindex, nofollow, NOT noindex AS index_keep
+         |FROM md ORDER BY doc_id""".stripMargin) { (s, _) =>
+      val fx = WebFilters.htmlFixture(s.table("documents"))
+        .withColumn("html", concat(col("html"), metaRobotsHtml(col("doc_id"))))
+      fx.select(col("doc_id"),
+          WebFilters.metaNoindex(col("html")).as("noindex"),
+          WebFilters.metaNofollow(col("html")).as("nofollow"),
+          (!WebFilters.metaNoindex(col("html"))).as("index_keep"))
+        .orderBy("doc_id")
+    },
+
+    // nofollow-aware outlink extraction (the frame the frontier and the
+    // host graph should consume — nofollow links are not endorsements):
+    // anchor-level rel="nofollow" (token-anchored, multi-token rel,
+    // data-rel decoy) and page-level meta nofollow both prune; absolute
+    // and root-relative hrefs resolve as in htmlLinks
+    df("ta_follow_links",
+      s"""WITH nf AS (SELECT doc_id,
+         |  'https://h' || (doc_id % 7) || '.example.org/d/' || doc_id AS base_url,
+         |  '<html><body>' ||
+         |  (CASE WHEN doc_id % 7 = 0 THEN '<meta name="robots" content="nofollow">' ELSE '' END) ||
+         |  '<p><a href="https://h' || ((doc_id + 1) % 7) || '.example.org/f/' || (doc_id % 20) || '">f</a>' ||
+         |  ' <a rel="nofollow" href="https://h' || ((doc_id + 2) % 7) || '.example.org/g/' || (doc_id % 10) || '">g</a>' ||
+         |  ' <a href="/local/' || (doc_id % 5) || '" rel="noopener nofollow">l</a>' ||
+         |  ' <a href="https://h' || ((doc_id + 3) % 7) || '.example.org/k/' || (doc_id % 4) || '" rel="noopener">k</a>' ||
+         |  ' <a data-rel="nofollow" href="/keep/' || (doc_id % 3) || '">d</a></p></body></html>' AS html
+         |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 150) d),
+         |mf AS (SELECT doc_id, base_url, html FROM nf
+         |  WHERE len(list_filter(list_concat(
+         |    regexp_extract_all(html, '(?is)<meta\\b[^>]*?[\\s"'']name\\s*=\\s*"robots"[^>]*?[\\s"'']content\\s*=\\s*"([^"]*)"', 1),
+         |    regexp_extract_all(html, '(?is)<meta\\b[^>]*?[\\s"'']content\\s*=\\s*"([^"]*)"[^>]*?[\\s"'']name\\s*=\\s*"robots"', 1)),
+         |    c -> regexp_matches(lower(c), '(^|,)\\s*(nofollow|none)\\s*(,|$$)'))) = 0),
+         |tg AS (SELECT doc_id, base_url,
+         |  unnest(regexp_extract_all(html, '(?is)<a\\b[^>]*?[\\s"'']href\\s*=\\s*"[^"]*"[^>]*>', 0)) AS tag
+         |  FROM mf),
+         |tr AS (SELECT doc_id, base_url,
+         |  lower(coalesce(regexp_extract(tag, '(?is)[\\s"'']rel\\s*=\\s*"([^"]*)"', 1), '')) AS rel,
+         |  coalesce(regexp_extract(tag, '(?is)<a\\b[^>]*?[\\s"'']href\\s*=\\s*"([^"]*)"', 1), '') AS href
+         |  FROM tg),
+         |tk AS (SELECT doc_id, base_url, href FROM tr
+         |  WHERE NOT regexp_matches(rel, '(^|[\\s,])nofollow([\\s,]|$$)'))
+         |SELECT doc_id, base_url,
+         |  CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN href
+         |    ELSE 'https://h' || (doc_id % 7) || '.example.org' || regexp_replace(href, '#.*', '') END AS url
+         |FROM tk ORDER BY doc_id, url""".stripMargin) { (s, _) =>
+      WebFilters.followLinks(followLinksFixture(s.table("documents")))
+        .orderBy("doc_id", "url")
     },
 
     // robots.txt rules applied to the crawl frontier, RFC 9309: Allow +
@@ -1300,6 +1435,81 @@ object WebQueries {
           array_sort(collect_list(struct(col("doc_id"), col("rec")))),
           x => x.getField("rec"))),
         lit("</urlset>")).as("body"))
+  }
+
+  /** Spark-side WARC+HTTP fixture (mirrors ta_warc_http's pc/rc CTEs
+    * byte for byte): 15 files of WARC response records whose payloads
+    * are raw HTTP responses — six shapes per doc_id mod 6 exercising
+    * status / media type / charset / redirect / non-HTML / no-envelope. */
+  private def warcHttpFixture(docs: org.apache.spark.sql.DataFrame) = {
+    val id = col("doc_id").cast("string")
+    val payload = when(col("doc_id") % 6 === 0, concat(
+        lit("HTTP/1.1 200 OK\nContent-Type: text/html; charset=UTF-8\n\n" +
+          "<html><body><p>"), col("text"), lit("</p></body></html>")))
+      .when(col("doc_id") % 6 === 1, concat(
+        lit("HTTP/1.1 200 OK\nContent-Type: TEXT/HTML\n\n"), col("text")))
+      .when(col("doc_id") % 6 === 2, concat(
+        lit("HTTP/1.1 404 Not Found\nContent-Type: text/html; " +
+          "charset=\"latin-1\"\n\nnot found: "), id))
+      .when(col("doc_id") % 6 === 3, concat(
+        lit("HTTP/1.1 301 Moved Permanently\n" +
+          "Location: https://docs.example.org/d/"), id, lit("\n\n")))
+      .when(col("doc_id") % 6 === 4, concat(
+        lit("HTTP/1.1 200 OK\nContent-Type: image/png\n\nPNGPIX"), id))
+      .otherwise(concat(lit("plain capture without envelope "), col("text")))
+    val recs = docs.orderBy("doc_id").limit(150)
+      .select(col("doc_id"),
+        floor(col("doc_id") / 10).cast("long").as("file_id"),
+        payload.as("payload"))
+      .select(col("doc_id"), col("file_id"), concat(
+        lit("WARC/1.0\nWARC-Type: response\nWARC-Target-URI: " +
+          "https://docs.example.org/d/"), col("doc_id").cast("string"),
+        lit("\nContent-Length: "), length(col("payload")).cast("string"),
+        lit("\n\n"), col("payload"), lit("\n\n")).as("rec"))
+    recs.groupBy("file_id").agg(
+      concat_ws("", transform(
+        array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+        x => x.getField("rec"))).as("body"))
+  }
+
+  /** Spark twin of ta_meta_robots' mx suffix — one meta-robots shape per
+    * doc_id mod 5 (both attribute orders, case, 'none', the token and
+    * name/data-name decoys). */
+  private def metaRobotsHtml(docId: Column): Column =
+    when(docId % 5 === 0,
+      lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+      .when(docId % 5 === 1,
+        lit("<meta content=\"nofollow\" name=\"robots\">"))
+      .when(docId % 5 === 2, lit("<meta name=\"ROBOTS\" content=\"NONE\">"))
+      .when(docId % 5 === 3,
+        lit("<meta name=\"robots\" content=\"noindexing, follow\">" +
+          "<meta name=\"description\" content=\"noindex\">"))
+      .otherwise(lit("<meta data-name=\"robots\" content=\"noindex\">"))
+
+  /** Spark-side fixture for ta_follow_links (mirrors its nf CTE byte for
+    * byte): per page five anchors — plain keep, rel=nofollow drop,
+    * multi-token rel drop, rel=noopener keep, data-rel decoy keep — and
+    * a page-level meta nofollow on every doc_id % 7 == 0 page. */
+  private def followLinksFixture(docs: org.apache.spark.sql.DataFrame) = {
+    val id = col("doc_id")
+    def host(off: Int) =
+      concat(lit("https://h"), ((id + off) % 7).cast("string"),
+        lit(".example.org"))
+    docs.orderBy("doc_id").limit(150).select(col("doc_id"),
+      concat(host(0), lit("/d/"), id.cast("string")).as("base_url"),
+      concat(
+        lit("<html><body>"),
+        when(id % 7 === 0,
+          lit("<meta name=\"robots\" content=\"nofollow\">")).otherwise(lit("")),
+        lit("<p><a href=\""), host(1), lit("/f/"), (id % 20).cast("string"),
+        lit("\">f</a> <a rel=\"nofollow\" href=\""), host(2), lit("/g/"),
+        (id % 10).cast("string"),
+        lit("\">g</a> <a href=\"/local/"), (id % 5).cast("string"),
+        lit("\" rel=\"noopener nofollow\">l</a> <a href=\""), host(3),
+        lit("/k/"), (id % 4).cast("string"),
+        lit("\" rel=\"noopener\">k</a> <a data-rel=\"nofollow\" " +
+          "href=\"/keep/"), (id % 3).cast("string"),
+        lit("\">d</a></p></body></html>")).as("html"))
   }
 
   /** Spark-side sitemap-INDEX fixture (mirrors [[duckSitemapIndex]]'s

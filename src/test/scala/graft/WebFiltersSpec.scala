@@ -575,4 +575,90 @@ class WebFiltersSpec extends SparkTestBase {
       ("http://s.org/nulled", "unchanged"),
       ("http://s.org/same", "unchanged")), got)
   }
+
+  test("warcHttp: status/mime/charset parse; 200+text/html keeps; " +
+    "redirect without Content-Type, non-HTML mime, and a payload with " +
+    "no status line all reject without erroring") {
+    val recs = Seq(
+      "HTTP/1.1 200 OK\nContent-Type: text/html; charset=UTF-8\n\n<html>ok</html>",
+      "HTTP/1.1 200 OK\nContent-Type: TEXT/HTML\n\nbare",
+      "HTTP/1.1 404 Not Found\nContent-Type: text/html; charset=\"latin-1\"\n\nmiss",
+      "HTTP/1.1 301 Moved Permanently\nLocation: https://x.org/\n\n",
+      "HTTP/1.1 200 OK\nContent-Type: image/png\n\nPNG",
+      "no envelope at all")
+      .zipWithIndex.map { case (p, i) =>
+        s"WARC/1.0\nWARC-Type: response\nWARC-Target-URI: https://x.org/$i\n\n$p\n\n"
+      }.mkString
+    val got = WebFilters.warcHttp(Seq((1L, recs)).toDF("file_id", "body"))
+      .orderBy("rec_idx")
+      .select("http_status", "mime", "charset", "body_len", "keep")
+      .collect().map(r => (Option(r.get(0)), r.getString(1), r.getString(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    assert(got == Seq(
+      (Some(200), "text/html", "utf-8", 15L, true),
+      (Some(200), "text/html", "", 4L, true),
+      (Some(404), "text/html", "latin-1", 4L, false),
+      // the redirect's trailing blank line is WARC framing, so its HTTP
+      // headers never terminate: no body, no media type
+      (Some(301), "", "", 0L, false),
+      (Some(200), "image/png", "", 3L, false),
+      (None, "", "", 0L, false)), got)
+  }
+
+  test("warcHttp keepMimes: text/plain admits; empty list keeps nothing") {
+    val body = "WARC/1.0\nWARC-Target-URI: https://x.org/\n\n" +
+      "HTTP/1.1 200 OK\nContent-Type: text/plain\n\nhello\n\n"
+    val df = Seq((1L, body)).toDF("file_id", "body")
+    assert(WebFilters.warcHttp(df, keepMimes = Seq("text/plain", "text/html"))
+      .select("keep").as[Boolean].head())
+    assert(!WebFilters.warcHttp(df, keepMimes = Seq.empty)
+      .select("keep").as[Boolean].head())
+  }
+
+  test("metaNoindex/metaNofollow: both attribute orders, case-insensitive " +
+    "values, 'none' implies both, token anchoring, name decoys don't match") {
+    val cases = Seq(
+      (1L, "<meta name=\"robots\" content=\"noindex, nofollow\">", true, true),
+      (2L, "<meta content=\"NOFOLLOW\" name=\"Robots\">", false, true),
+      (3L, "<meta name=\"ROBOTS\" content=\"none\">", true, true),
+      // token anchoring: noindexing is not noindex; name mismatch and
+      // data-name are not the robots channel
+      (4L, "<meta name=\"robots\" content=\"noindexing, follow\">" +
+        "<meta name=\"description\" content=\"noindex\">" +
+        "<meta data-name=\"robots\" content=\"noindex\">", false, false),
+      // most-restrictive-wins across multiple robots tags
+      (5L, "<meta name=\"robots\" content=\"index\">" +
+        "<meta name=\"robots\" content=\" nofollow \">", false, true),
+      (6L, "<p>no meta here</p>", false, false))
+    val got = cases.map { case (id, h, _, _) => (id, h) }
+      .toDF("doc_id", "html")
+      .select(col("doc_id"), WebFilters.metaNoindex(col("html")).as("ni"),
+        WebFilters.metaNofollow(col("html")).as("nf"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(got.toSeq == cases.map { case (id, _, ni, nf) => (id, ni, nf) },
+      got.mkString(", "))
+  }
+
+  test("followLinks: rel=nofollow anchors drop (multi-token rel too), " +
+    "data-rel decoy keeps, page-level meta nofollow drops every link") {
+    val html =
+      """<p><a href="https://a.org/keep">k</a>
+        |<a rel="nofollow" href="https://a.org/paid">p</a>
+        |<a href="/ugc" rel="noopener nofollow">u</a>
+        |<a href="/fine" rel="noopener">f</a>
+        |<a data-rel="nofollow" href="/decoy">d</a></p>""".stripMargin
+    val pages = Seq(
+      (1L, html, "https://h.example.org/d/1"),
+      (2L, "<meta name=\"robots\" content=\"nofollow\">" + html,
+        "https://h.example.org/d/2")
+    ).toDF("doc_id", "html", "base_url")
+    val got = WebFilters.followLinks(pages).orderBy("doc_id", "url")
+      .select("doc_id", "url")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq(
+      (1L, "https://a.org/keep"),
+      (1L, "https://h.example.org/decoy"),
+      (1L, "https://h.example.org/fine")), got)
+  }
 }
