@@ -881,6 +881,81 @@ object WebQueries {
         .orderBy("doc_id", "url")
     },
 
+    // <base href> honored in link resolution (the HTML element that
+    // redirects every relative link on the page): absolute, root-
+    // relative, and path-relative base declarations each re-anchor the
+    // page's relative links; an unresolvable (mailto:) declaration falls
+    // back to the document URL. The oracle recomputes the effective base
+    // from the fixture's construction formula (the generic §5 resolution
+    // chain is pinned by ta_html_links)
+    df("ta_base_href",
+      s"""WITH bx AS (SELECT doc_id,
+         |  'https://h' || (doc_id % 7) || '.example.org/d/' || doc_id AS page_url,
+         |  CASE doc_id % 5
+         |    WHEN 1 THEN 'https://cdn.example.net/assets/'
+         |    WHEN 2 THEN '/b2/'
+         |    WHEN 3 THEN 'sub/'
+         |    ELSE '' END AS b
+         |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 150) d),
+         |eb AS (SELECT doc_id,
+         |  CASE WHEN b = '' THEN page_url
+         |    WHEN b LIKE 'https://%' THEN b
+         |    WHEN b LIKE '/%' THEN 'https://h' || (doc_id % 7) || '.example.org' || b
+         |    ELSE 'https://h' || (doc_id % 7) || '.example.org/d/' || b END AS eff
+         |  FROM bx),
+         |lk AS (SELECT doc_id, eff, unnest([
+         |    'p' || (doc_id % 3) || '.html',
+         |    '/r/' || (doc_id % 4),
+         |    'https://abs.example.org/z']) AS href
+         |  FROM eb)
+         |SELECT doc_id, CASE
+         |    WHEN href LIKE 'https://%' THEN href
+         |    WHEN href LIKE '/%' THEN regexp_extract(eff, '^(https://[^/]*)', 1) || href
+         |    ELSE regexp_replace(eff, '[^/]*$$', '') || href END AS url
+         |FROM lk ORDER BY doc_id, url""".stripMargin) { (s, _) =>
+      // the materialize-once contract: the effective base is resolved on
+      // the PAGE frame (the fetch/extract stage), then link extraction
+      // runs unchanged against it — see docBase's scaladoc for why it is
+      // not nested inside htmlLinks
+      val fx = baseHrefFixture(s.table("documents"))
+      WebFilters.htmlLinks(fx.withColumn("base_url",
+          WebFilters.docBase(col("html"), col("base_url"))))
+        .orderBy("doc_id", "url")
+    },
+
+    // declared character encoding (HTML5 prescan rule: first charset=
+    // inside any <meta> tag — both the charset attribute and the
+    // http-equiv Content-Type parameter forms), composed with the
+    // HTTP-layer charset which wins when both exist, utf-8 default
+    df("ta_charset",
+      s"""WITH cx AS (SELECT doc_id,
+         |  CASE doc_id % 6
+         |    WHEN 0 THEN '<html><head><meta charset="UTF-8"></head><body>x</body></html>'
+         |    WHEN 1 THEN '<html><head><meta charset=iso-8859-1></head><body>x</body></html>'
+         |    WHEN 2 THEN '<html><head><meta http-equiv="Content-Type" content="text/html; charset=Windows-1252"></head><body>x</body></html>'
+         |    WHEN 3 THEN '<html><head><meta charset="utf-8"><meta http-equiv="Content-Type" content="text/html; charset=latin-1"></head><body>x</body></html>'
+         |    WHEN 4 THEN '<html><body><p>charset=fake outside a meta tag</p></body></html>'
+         |    ELSE '<HTML><HEAD><META CHARSET=''koi8-r''></HEAD></HTML>' END AS html,
+         |  CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 2 THEN 'latin-1' ELSE '' END AS http_charset
+         |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 150) d),
+         |hc AS (SELECT doc_id, http_charset,
+         |  lower(coalesce(regexp_extract(html,
+         |    '(?is)<meta\\b[^>]*?charset\\s*=\\s*["'']?([A-Za-z0-9_.:-]+)', 1), '')) AS html_charset
+         |  FROM cx)
+         |SELECT doc_id, http_charset, html_charset,
+         |  coalesce(nullif(http_charset, ''), nullif(html_charset, ''), 'utf-8') AS effective
+         |FROM hc ORDER BY doc_id""".stripMargin) { (s, _) =>
+      val fx = charsetFixture(s.table("documents"))
+      fx.select(col("doc_id"), col("http_charset"),
+          WebFilters.htmlCharset(col("html")).as("html_charset"),
+          coalesce(
+            when(col("http_charset") === "", lit(null)).otherwise(col("http_charset")),
+            when(WebFilters.htmlCharset(col("html")) === "", lit(null))
+              .otherwise(WebFilters.htmlCharset(col("html"))),
+            lit("utf-8")).as("effective"))
+        .orderBy("doc_id")
+    },
+
     // robots.txt rules applied to the crawl frontier, RFC 9309: Allow +
     // Disallow patterns of the wildcard agent's group(s) (consecutive
     // user-agent lines share one rule block), most-specific-match
@@ -1510,6 +1585,55 @@ object WebQueries {
         lit("\" rel=\"noopener\">k</a> <a data-rel=\"nofollow\" " +
           "href=\"/keep/"), (id % 3).cast("string"),
         lit("\">d</a></p></body></html>")).as("html"))
+  }
+
+  /** Spark-side fixture for ta_base_href (base-tag shape per doc_id mod
+    * 5, three links per page — path-relative, root-relative, absolute;
+    * the mod-4 arm declares an unresolvable mailto: base that must fall
+    * back to the document URL). */
+  private def baseHrefFixture(docs: org.apache.spark.sql.DataFrame) = {
+    val id = col("doc_id")
+    val baseTag = when(id % 5 === 1,
+      lit("<base href=\"https://cdn.example.net/assets/\">"))
+      .when(id % 5 === 2, lit("<base href=\"/b2/\">"))
+      .when(id % 5 === 3, lit("<base href=\"sub/\">"))
+      .when(id % 5 === 4, lit("<base href=\"mailto:nobody\">"))
+      .otherwise(lit(""))
+    docs.orderBy("doc_id").limit(150).select(col("doc_id"),
+      concat(lit("https://h"), (id % 7).cast("string"),
+        lit(".example.org/d/"), id.cast("string")).as("base_url"),
+      concat(lit("<html><head>"), baseTag,
+        lit("</head><body><p><a href=\"p"), (id % 3).cast("string"),
+        lit(".html\">a</a> <a href=\"/r/"), (id % 4).cast("string"),
+        lit("\">b</a> <a href=\"https://abs.example.org/z\">c</a>" +
+          "</p></body></html>")).as("html"))
+  }
+
+  /** Spark-side fixture for ta_charset (mirrors its cx CTE byte for
+    * byte): six meta-charset shapes — quoted/unquoted attribute,
+    * http-equiv parameter, first-wins double declaration, an out-of-tag
+    * decoy, single quotes + upper case — plus the HTTP-layer charset
+    * column per doc_id mod 4. */
+  private def charsetFixture(docs: org.apache.spark.sql.DataFrame) = {
+    val id = col("doc_id")
+    docs.orderBy("doc_id").limit(150).select(col("doc_id"),
+      when(id % 6 === 0, lit(
+        "<html><head><meta charset=\"UTF-8\"></head><body>x</body></html>"))
+        .when(id % 6 === 1, lit(
+          "<html><head><meta charset=iso-8859-1></head><body>x</body></html>"))
+        .when(id % 6 === 2, lit(
+          "<html><head><meta http-equiv=\"Content-Type\" content=\"text/html; " +
+            "charset=Windows-1252\"></head><body>x</body></html>"))
+        .when(id % 6 === 3, lit(
+          "<html><head><meta charset=\"utf-8\"><meta http-equiv=\"Content-Type\" " +
+            "content=\"text/html; charset=latin-1\"></head><body>x</body></html>"))
+        .when(id % 6 === 4, lit(
+          "<html><body><p>charset=fake outside a meta tag</p></body></html>"))
+        .otherwise(lit("<HTML><HEAD><META CHARSET='koi8-r'></HEAD></HTML>"))
+        .as("html"),
+      when(id % 4 === 0, lit("utf-8"))
+        .when(id % 4 === 2, lit("latin-1"))
+        .otherwise(lit("")).as("http_charset"))
   }
 
   /** Spark-side sitemap-INDEX fixture (mirrors [[duckSitemapIndex]]'s

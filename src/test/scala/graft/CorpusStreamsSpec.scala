@@ -190,6 +190,42 @@ class CorpusStreamsSpec extends SparkTestBase {
     assert(gated == Seq((2L, "shard-0"), (4L, "shard-0")), gated.toList)
   }
 
+  test("warcHttp runs unchanged on a live archive stream (map-only, no " +
+    "state): per-record verdicts equal the batch gate's") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def warc(i: Int, p: String) =
+      s"WARC/1.0\nWARC-Target-URI: https://x.org/$i\n\n$p\n\n"
+    val files = Seq(
+      (1L, warc(1, "HTTP/1.1 200 OK\nContent-Type: text/html\n\n<html>a</html>") +
+        warc(2, "HTTP/1.1 200 OK\nContent-Type: image/png\n\nPNG")),
+      (2L, warc(3, "HTTP/1.1 503 Unavailable\nContent-Type: text/html\n\ndown") +
+        warc(4, "no envelope")))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.operators.WebFilters
+      .warcHttp(in.toDF().toDF("file_id", "body"))
+      .writeStream.format("memory").queryName("httpgate")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    in.addData(files)
+    val run = q.start(); run.awaitTermination(60000)
+    val got = spark.table("httpgate")
+      .orderBy("file_id", "rec_idx")
+      .select("file_id", "rec_idx", "http_status", "keep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), r.getBoolean(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 1L, Some(200), true), (1L, 2L, Some(200), false),
+      (2L, 1L, Some(503), false), (2L, 2L, None, false)), got)
+    // stream ≡ batch on the same bytes
+    val batch = graft.operators.WebFilters
+      .warcHttp(files.toDF("file_id", "body"))
+      .orderBy("file_id", "rec_idx")
+      .select("file_id", "rec_idx", "http_status", "keep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), r.getBoolean(3)))
+      .toSeq
+    assert(got == batch, s"stream $got vs batch $batch")
+  }
+
   test("recrawl gate: new and changed pages flow with their status, " +
     "byte-identical refetches and unparseable URLs drop; verdicts equal " +
     "the batch crawlDelta's for every arriving URL") {

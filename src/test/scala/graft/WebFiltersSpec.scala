@@ -640,6 +640,53 @@ class WebFiltersSpec extends SparkTestBase {
       got.mkString(", "))
   }
 
+  test("docBase materialized onto the page frame re-anchors relative " +
+    "links: absolute, root-relative, and path-relative base declarations " +
+    "each work; mailto base and no base fall back to the document URL; " +
+    "absolute links ignore the base") {
+    def links(html: String) = WebFilters.htmlLinks(
+      Seq((1L, html, "https://site.org/d/page")).toDF(
+          "doc_id", "html", "base_url")
+        .withColumn("base_url",
+          WebFilters.docBase(col("html"), col("base_url"))))
+      .orderBy("url").select("url").as[String].collect().toSeq
+    val anchors = "<a href=\"p.html\">a</a><a href=\"/r\">b</a>" +
+      "<a href=\"https://abs.org/z\">c</a>"
+    assert(links(anchors) == Seq(
+      "https://abs.org/z", "https://site.org/d/p.html", "https://site.org/r"))
+    assert(links("<base href=\"https://cdn.net/assets/\">" + anchors) == Seq(
+      "https://abs.org/z", "https://cdn.net/assets/p.html", "https://cdn.net/r"))
+    assert(links("<base href=\"/b/\">" + anchors) == Seq(
+      "https://abs.org/z", "https://site.org/b/p.html", "https://site.org/r"))
+    // path-relative base resolves against the document URL first
+    assert(links("<base href=\"sub/\">" + anchors) == Seq(
+      "https://abs.org/z", "https://site.org/d/sub/p.html", "https://site.org/r"))
+    assert(links("<base href=\"mailto:x\">" + anchors) == Seq(
+      "https://abs.org/z", "https://site.org/d/p.html", "https://site.org/r"))
+    // first base wins; data-href can't declare one
+    assert(links("<base data-href=\"/decoy/\" href=\"/real/\">" +
+      "<base href=\"/second/\"><a href=\"q.html\">q</a>") ==
+      Seq("https://site.org/real/q.html"))
+  }
+
+  test("htmlCharset: charset attribute (quoted/unquoted/single-quoted), " +
+    "http-equiv parameter form, first declaration wins, out-of-tag " +
+    "decoy never matches") {
+    val cases = Seq(
+      (1L, "<meta charset=\"UTF-8\">", "utf-8"),
+      (2L, "<meta charset=iso-8859-1>", "iso-8859-1"),
+      (3L, "<META CHARSET='koi8-r'>", "koi8-r"),
+      (4L, "<meta http-equiv=\"Content-Type\" content=\"text/html; " +
+        "charset=Windows-1252\">", "windows-1252"),
+      (5L, "<meta charset=\"utf-8\"><meta http-equiv=\"Content-Type\" " +
+        "content=\"text/html; charset=latin-1\">", "utf-8"),
+      (6L, "<p>charset=fake outside a meta tag</p>", ""))
+    val got = cases.map { case (id, h, _) => (id, h) }.toDF("doc_id", "html")
+      .select(col("doc_id"), WebFilters.htmlCharset(col("html")).as("c"))
+      .orderBy("doc_id").select("c").as[String].collect().toSeq
+    assert(got == cases.map(_._3), got)
+  }
+
   test("followLinks: rel=nofollow anchors drop (multi-token rel too), " +
     "data-rel decoy keeps, page-level meta nofollow drops every link") {
     val html =
