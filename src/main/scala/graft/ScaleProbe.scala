@@ -23,6 +23,8 @@ import org.apache.spark.sql.SparkSession
   *      anchors (k = PR iters) | wordpiece (k = vocabSize) |
   *      sq8 (k = rerank) | textrank (k = maxEdges) — full-corpus web/
   *        tokenizer/ANN probes (no LIMIT fixtures)
+  *      warchttp (k = records/file) | linkpolicy (k unused) —
+  *        full-corpus WARC HTTP gate / nofollow-aware outlinks
   * env SPARK_GRAFT_PROBE_EXPLAIN=1 prints the executed plan once. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -280,6 +282,37 @@ object ScaleProbe {
           TextAnalysis.textrankKeywords(
             spark.read.parquet(s"$sfDir/documents.parquet"),
             topK = 50, maxEdges = if (k > 0) k else 10000)
+        case "warchttp" =>
+          // whole corpus wrapped as WARC response records (k docs per
+          // file, default 10) -> HTTP envelope gate; the groupBy is the
+          // fixture's cost, the gate itself is the map-only explode+regex
+          import org.apache.spark.sql.functions._
+          val per = if (k > 0) k else 10
+          val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          val recs = d.select(col("doc_id"),
+            floor(col("doc_id") / per).cast("long").as("file_id"),
+            concat(lit("WARC/1.0\nWARC-Target-URI: https://x.org/"),
+              col("doc_id").cast("string"),
+              lit("\n\nHTTP/1.1 200 OK\nContent-Type: text/html\n\n" +
+                "<html><body><p>"), col("text"),
+              lit("</p></body></html>\n\n")).as("rec"))
+          operators.WebFilters.warcHttp(recs.groupBy("file_id").agg(
+            concat_ws("", transform(
+              array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+              x => x.getField("rec"))).as("body")))
+        case "linkpolicy" =>
+          // full-corpus nofollow-aware outlink extraction: the anchor
+          // fixture plus a nofollow anchor per page and a page-level
+          // meta nofollow on every 7th page
+          import org.apache.spark.sql.functions._
+          val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          operators.WebFilters.followLinks(
+            operators.WebFilters.anchorFixture(d, limit = 0)
+              .withColumn("html", concat(col("html"),
+                lit("<a rel=\"nofollow\" href=\"https://spam.example.net/x\">s</a>"),
+                when(col("doc_id") % 7 === 0,
+                  lit("<meta name=\"robots\" content=\"nofollow\">"))
+                  .otherwise(lit("")))))
         case "unigram" =>
           // whole trainer timed (seed pass + k EM rounds, all distributed;
           // the internal jobs run eagerly so the noop write adds nothing)
