@@ -698,6 +698,108 @@ object Similarity {
       .limit(k)
   }
 
+  /** Dense pseudo-relevance feedback (Rocchio 1971's vector-space form,
+    * positive term only — PRF has no non-relevant judgments): pass 1
+    * takes the exact cosine top-`feedback` for the query row and ASSUMES
+    * them relevant; the expanded query is `alpha·q + (beta/f)·Σ v_i`
+    * with the feedback vectors summed IN RANK ORDER (pass-1 sim desc,
+    * id asc — a deterministic left fold, so the float sum can never
+    * drift with partitioning); pass 2 re-scores the whole corpus under
+    * the expanded query (feedback docs stay eligible — the standard PRF
+    * contract; only the query row is excluded). `beta = 0` degrades to
+    * plain [[cosineTopK]] exactly (cosine is scale-invariant in the
+    * query).
+    *
+    * Shape at 100 TB: two map-only corpus scans, each ending in a
+    * global top-k (TakeOrdered — no corpus shuffle); between them the
+    * feedback set is `feedback` rows packed into ONE broadcast row, so
+    * the expansion arithmetic is constant work. */
+  def prfTopK(emb: DataFrame, queryId: Long, k: Int = 10,
+              feedback: Int = 5, alpha: Double = 1.0, beta: Double = 0.75,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && feedback >= 1, s"bad prf config ($k, $feedback)")
+    graft.functions.ArrayDot.register(emb.sparkSession)
+    val fb = cosineTopK(emb, queryId, feedback, idCol, vecCol)
+      .join(emb.select(col(idCol), asDouble(col(vecCol)).as("fv")), idCol)
+    // one row: the feedback vectors rank-ordered (−sim, id ascending ==
+    // sim desc, id asc — cosineTopK's own order key)
+    val packed = fb
+      .agg(array_sort(collect_list(struct((-col("sim")).as("ns"),
+        col(idCol).as("i"), col("fv").as("v")))).as("lst"))
+      .select(col("lst"), size(col("lst")).as("f"))
+    val q = emb.where(col(idCol) === queryId)
+      .select(asDouble(col(vecCol)).as("qv"))
+    val expanded = broadcast(packed.crossJoin(q).select(
+      aggregate(col("lst"), transform(col("qv"), x => x * lit(alpha)),
+        (acc, s) => zip_with(acc, s.getField("v"),
+          (a, x) => a + lit(beta) / col("f") * x)).as("qx")))
+    emb.where(col(idCol) =!= queryId)
+      .select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .crossJoin(expanded)
+      .select(col(idCol), round(nativeCosine("__v", "qx"), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    * greedily pick k results from the relevance top-`pool`, each step
+    * taking the candidate maximizing
+    * `mmrLambda·rel − (1−mmrLambda)·max_{s∈selected} sim(cand, s)` —
+    * the standard diversity-aware retrieval trick (near-duplicate hits
+    * that plain top-k would stack are pushed down by their similarity
+    * to what's already selected). First pick has no selected set; the
+    * max-sim fold starts at −1 (cosine's floor), a constant shift that
+    * cannot change any argmax. Ties break toward the smaller id;
+    * relevance and pairwise sims are round(4) (the cosineTopK contract)
+    * so both engines rank identical numbers; 1−mmrLambda is computed in
+    * decimal (the Graphs.pageRank teleport rule) so a SQL 0.3 literal
+    * matches.
+    *
+    * Shape at 100 TB: ONE map-only corpus scan (the relevance pass);
+    * everything after runs on the pool packed into a single row —
+    * pool² pairwise sims and the k-step greedy fold are column-local
+    * arithmetic on that one row, never a corpus shuffle. Pool and k are
+    * bounded parameters (a re-ranker, not a scan). */
+  def mmrTopK(emb: DataFrame, queryId: Long, k: Int = 10, pool: Int = 50,
+              mmrLambda: Double = 0.7, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && pool >= k && mmrLambda >= 0 && mmrLambda <= 1,
+      s"bad mmr config ($k, $pool, $mmrLambda)")
+    graft.functions.ArrayDot.register(emb.sparkSession)
+    val mu = (BigDecimal(1) - BigDecimal(mmrLambda)).toDouble
+    val pv = cosineTopK(emb, queryId, pool, idCol, vecCol)
+      .join(emb.select(col(idCol), asDouble(col(vecCol)).as("v")), idCol)
+    // one row: candidates rank-ordered (sim desc, id asc), then the
+    // pool x pool sim matrix aligned by that rank index
+    val packed = pv.agg(array_sort(collect_list(struct(
+        (-col("sim")).as("ns"), col(idCol).as("id"),
+        col("sim").as("rel"), col("v").as("v")))).as("cs"))
+    val withSims = packed.select(transform(col("cs"), c => struct(
+      c.getField("id").as("id"), c.getField("rel").as("rel"),
+      transform(col("cs"), d =>
+        round(cosine(c.getField("v"), d.getField("v")), 4)).as("sims")))
+      .as("cs"))
+    val cs = col("cs")
+    val sel = aggregate(sequence(lit(1), lit(k)),
+      array().cast("array<int>"),
+      (selAcc, _) => {
+        val scored = transform(cs, (c, i) => struct(
+          (-(lit(mmrLambda) * c.getField("rel") - lit(mu) *
+            aggregate(selAcc, lit(-1.0), (m, j) =>
+              greatest(m, element_at(c.getField("sims"), j + 1))))).as("ns"),
+          c.getField("id").as("id"), i.as("ix")))
+        val open = filter(scored, s =>
+          !array_contains(selAcc, s.getField("ix")))
+        concat(selAcc, array(array_min(open).getField("ix")))
+      })
+    withSims.select(cs, sel.as("sel"))
+      .select(cs, posexplode(col("sel")).as(Seq("r", "ix")))
+      .select((col("r") + 1).as("mmr_rank"),
+        element_at(cs, col("ix") + 1).getField("id").as("vec_id"),
+        element_at(cs, col("ix") + 1).getField("rel").as("rel"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
     * first hex nibble of md5("p_d") mapped to [-7.5, 7.5]. The md5 is
     * evaluated at plan-build time (same digest any engine computes), so the

@@ -694,6 +694,76 @@ object TrainingData {
       Similarity.cosineTopK(s.table("embeddings"), queryId = 7, k = 10)
     },
 
+    // Rocchio pseudo-relevance feedback (two-pass dense retrieval): the
+    // oracle replays pass 1, the rank-ordered left-fold query expansion
+    // (alpha*q + beta/f * sum of feedback vectors), and pass 2
+    df("ss_prf_rocchio",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+        |s1 AS (SELECT vec_id, v, round(
+        |  list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i]))
+        |  / (sqrt(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i])))
+        |   * sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))), 4) AS sim
+        |  FROM e CROSS JOIN q WHERE vec_id <> 7),
+        |fb AS (SELECT vec_id, sim, v FROM s1 ORDER BY sim DESC, vec_id LIMIT 5),
+        |pk AS (SELECT list(v ORDER BY sim DESC, vec_id) AS vs FROM fb),
+        |ex AS (SELECT list_reduce(
+        |    list_prepend(list_transform(qv, x -> x * 1.0), vs),
+        |    (acc, vv) -> list_transform(generate_series(1, len(acc)),
+        |      i -> acc[i] + 0.75 / len(vs) * vv[i])) AS qx
+        |  FROM pk CROSS JOIN q),
+        |s2 AS (SELECT vec_id, round(
+        |  list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qx[i]))
+        |  / (sqrt(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i])))
+        |   * sqrt(list_sum(list_transform(generate_series(1, len(qx)), i -> qx[i] * qx[i])))), 4) AS sim
+        |  FROM e CROSS JOIN ex WHERE vec_id <> 7)
+        |SELECT vec_id, sim FROM s2 ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) { (s, _) =>
+      Similarity.prfTopK(s.table("embeddings"), queryId = 7, k = 10,
+        feedback = 5, alpha = 1.0, beta = 0.75)
+    },
+
+    // MMR diversity re-ranking: the oracle replays the pool, the rank-
+    // indexed pool x pool sim matrix, and the k-step greedy argmax as a
+    // recursive CTE picking the min (ns, id, ix) struct each round
+    df("ss_mmr_rerank",
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+        |s1 AS (SELECT vec_id, v, round(
+        |  list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * qv[i]))
+        |  / (sqrt(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i])))
+        |   * sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))), 4) AS sim
+        |  FROM e CROSS JOIN q WHERE vec_id <> 7),
+        |pool AS (SELECT vec_id, sim, v FROM s1 ORDER BY sim DESC, vec_id LIMIT 20),
+        |pk AS (SELECT list(struct_pack(id := vec_id, rel := sim, v := v)
+        |    ORDER BY sim DESC, vec_id) AS cs0 FROM pool),
+        |ws AS (SELECT list_transform(cs0, c -> struct_pack(id := c.id, rel := c.rel,
+        |  sims := list_transform(cs0, d -> round(
+        |    list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * d.v[i]))
+        |    / (sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i])))
+        |     * sqrt(list_sum(list_transform(generate_series(1, len(d.v)), i -> d.v[i] * d.v[i])))), 4)))) AS cs
+        |  FROM pk),
+        |g AS (SELECT 0 AS step, CAST([] AS INT[]) AS sel FROM ws
+        |  UNION ALL
+        |  SELECT g.step + 1, list_append(g.sel, struct_extract(list_reduce(
+        |    list_transform(list_filter(generate_series(1, len(ws.cs)),
+        |      i -> NOT list_contains(g.sel, i)),
+        |    i -> struct_pack(
+        |      ns := -(0.7 * struct_extract(ws.cs[i], 'rel') - 0.3 * list_reduce(
+        |        list_prepend(-1.0, list_transform(g.sel,
+        |          j -> struct_extract(ws.cs[i], 'sims')[j])),
+        |        (m, x) -> greatest(m, x))),
+        |      id := struct_extract(ws.cs[i], 'id'), ix := i)),
+        |    (a, b) -> CASE WHEN b < a THEN b ELSE a END), 'ix'))
+        |  FROM g, ws WHERE g.step < 10)
+        |SELECT CAST(t.i AS INT) AS mmr_rank,
+        |  struct_extract(ws.cs[g.sel[t.i]], 'id') AS vec_id,
+        |  struct_extract(ws.cs[g.sel[t.i]], 'rel') AS rel
+        |FROM g, ws, generate_series(1, 10) t(i) WHERE g.step = 10
+        |ORDER BY mmr_rank""".stripMargin) { (s, _) =>
+      Similarity.mmrTopK(s.table("embeddings"), queryId = 7, k = 10,
+        pool = 20, mmrLambda = 0.7)
+    },
+
     df("ss_lsh_buckets",
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |proj AS (SELECT vec_id, p,

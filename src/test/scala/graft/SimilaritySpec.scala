@@ -813,4 +813,57 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.map(_._1) == Seq(1L, 2L, 3L), got)
     assert(got.find(_._1 == 2L).get._2 == -1.0, got)
   }
+
+  test("prfTopK with beta=0 is exactly cosineTopK (cosine is query-scale-" +
+    "invariant); with feedback it pulls feedback-aligned docs past " +
+    "query-orthogonal distractors") {
+    import spark.implicits._
+    val plain = Similarity.cosineTopK(emb, queryId = 7, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val noBeta = Similarity.prfTopK(emb, queryId = 7, k = 10,
+      feedback = 5, alpha = 1.0, beta = 0.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(noBeta == plain, s"beta=0 diverged: $noBeta vs $plain")
+    // planted flip: the feedback set (ids 1, 3) leans +y, so the
+    // y-aligned doc 2 must overtake the y-opposed distractor 4 that
+    // plain cosine ranked above it
+    val tiny = Seq(
+      (0L, Seq(1.0f, 0.0f)),     // query
+      (1L, Seq(0.8f, 0.59f)),    // feedback (plain sim ~0.805)
+      (3L, Seq(0.85f, 0.5f)),    // feedback (plain sim ~0.862)
+      (2L, Seq(0.0f, 1.0f)),     // y-aligned: plain sim 0
+      (4L, Seq(0.2f, -0.98f))    // distractor: plain sim ~0.2
+    ).toDF("vec_id", "embedding")
+    val before = Similarity.cosineTopK(tiny, queryId = 0, k = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(before == Seq(3L, 1L, 4L, 2L), before)
+    val after = Similarity.prfTopK(tiny, queryId = 0, k = 4, feedback = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(after == Seq(3L, 1L, 2L, 4L), after)
+  }
+
+  test("mmrTopK: lambda=1 is pure relevance order; a near-duplicate of the " +
+    "top hit is displaced by a diverse lower-relevance candidate") {
+    import spark.implicits._
+    val pure = Similarity.mmrTopK(emb, queryId = 7, k = 10, pool = 20,
+      mmrLambda = 1.0).collect().map(_.getLong(1)).toSeq
+    val plain = Similarity.cosineTopK(emb, queryId = 7, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(pure == plain, s"lambda=1 diverged: $pure vs $plain")
+    // unit circle: top hit at 30 deg, its near-neighbor at 35 deg (5 deg
+    // apart -> pairwise sim cos5 ~ 0.996), the diverse candidate at
+    // -40 deg (70 deg from the top hit -> sim cos70 ~ 0.34)
+    val tiny = Seq(
+      (0L, Seq(1.0f, 0.0f)),        // query
+      (1L, Seq(0.866f, 0.5f)),      // top hit (rel cos30 ~ 0.866)
+      (2L, Seq(0.8192f, 0.5736f)),  // near 1 (rel cos35, plain rank 2)
+      (3L, Seq(0.766f, -0.6428f))   // diverse (rel cos40 ~ 0.766)
+    ).toDF("vec_id", "embedding")
+    assert(Similarity.cosineTopK(tiny, queryId = 0, k = 2)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val mmr = Similarity.mmrTopK(tiny, queryId = 0, k = 2, pool = 3,
+      mmrLambda = 0.5).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(mmr == Seq((1, 1L), (2, 3L)), mmr.toList)
+  }
 }
