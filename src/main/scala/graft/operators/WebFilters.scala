@@ -799,6 +799,65 @@ object WebFilters {
       .where(col("url").isNotNull)
   }
 
+  /** Whole `<link …>` open tags — the head-element channel (canonical,
+    * alternate, stylesheet declarations live here). */
+  val LinkTagPat: String = "(?is)<link\\b[^>]*>"
+
+  /** Language-alternate links (`<link rel="alternate" hreflang="xx"
+    * href="…">`, RFC 8288 + Google's hreflang contract) — the signal
+    * that groups a page with its TRANSLATIONS. Any attribute order;
+    * rel tokens are token-anchored (a multi-token `alternate
+    * stylesheet` still declares an alternate, `data-rel` can't match);
+    * tags missing hreflang or href (the RSS `rel="alternate"` shape)
+    * drop; hrefs entity-decode and resolve via [[resolveHref]]. Output
+    * (doc_id, lang lowercased, url); one explode per page, map-only. */
+  def hreflangLinks(docs: DataFrame, htmlCol: String = "html",
+                    baseCol: String = "base_url"): DataFrame = {
+    val tag = col("__tag")
+    val relVal = lower(
+      regexp_extract(tag, "(?is)[\\s\"']rel\\s*=\\s*\"([^\"]*)\"", 1))
+    val lang = lower(
+      regexp_extract(tag, "(?is)[\\s\"']hreflang\\s*=\\s*\"([^\"]*)\"", 1))
+    val href = decodeEntities(
+      regexp_extract(tag, "(?is)[\\s\"']href\\s*=\\s*\"([^\"]*)\"", 1))
+    docs.select(col("doc_id"), col(baseCol),
+        explode(regexp_extract_all(col(htmlCol), lit(LinkTagPat), lit(0)))
+          .as("__tag"))
+      .where(relVal.rlike("(^|[\\s,])alternate([\\s,]|$)") &&
+        lang =!= "" && href =!= "")
+      .select(col("doc_id"), lang.as("lang"),
+        resolveHref(href, col(baseCol)).as("url"))
+      .where(col("url").isNotNull)
+  }
+
+  /** Translation clusters from the hreflang graph: each page's cluster
+    * key is its declared `x-default` alternate (canonicalized), falling
+    * back to the smallest canonical alternate URL when no x-default is
+    * declared — deterministic and consistent across the variant set as
+    * long as the set declares consistent alternates (the hreflang
+    * contract; pages with divergent declarations simply land in
+    * different clusters, never an error). Output: one row per distinct
+    * (cluster_key, lang, url) — the per-language variant table a
+    * monolingual corpus builder filters (`lang == target`) and a
+    * parallel-corpus miner joins on cluster_key.
+    *
+    * Shape at 100 TB: one partial-agg per page for the key, one
+    * co-keyed join back on doc_id, one distinct on the cluster-sized
+    * frame — no row explosion beyond the alternates themselves. */
+  def translationClusters(docs: DataFrame, htmlCol: String = "html",
+                          baseCol: String = "base_url"): DataFrame = {
+    val links = hreflangLinks(docs, htmlCol, baseCol)
+      .select(col("doc_id"), col("lang"),
+        urlCanonical(col("url")).as("curl"))
+      .where(col("curl").isNotNull)
+    val keys = links.groupBy("doc_id").agg(
+      coalesce(min(when(col("lang") === "x-default", col("curl"))),
+        min(col("curl"))).as("cluster_key"))
+    links.join(keys, "doc_id")
+      .select(col("cluster_key"), col("lang"), col("curl").as("url"))
+      .distinct()
+  }
+
   /** Outlinks WITH their anchor text — the web graph's labeled edges
     * (anchor text is the classic off-page relevance/quality signal:
     * what OTHER pages call this page). One explode per page into anchor

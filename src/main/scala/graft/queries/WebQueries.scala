@@ -923,6 +923,60 @@ object WebQueries {
         .orderBy("doc_id", "url")
     },
 
+    // hreflang alternate extraction (the signal grouping a page with its
+    // translations): any attribute order, token-anchored rel (multi-token
+    // 'alternate stylesheet' still declares one), case-insensitive lang,
+    // entity-decoded hrefs; stylesheet and hreflang-less RSS-alternate
+    // decoys drop
+    df("ta_hreflang",
+      s"""WITH $duckHreflangFixture,
+         |tg AS (SELECT doc_id, unnest(regexp_extract_all(html, '(?is)<link\\b[^>]*>', 0)) AS tag FROM hfx),
+         |tr AS (SELECT doc_id,
+         |  lower(coalesce(regexp_extract(tag, '(?is)[\\s"'']rel\\s*=\\s*"([^"]*)"', 1), '')) AS rel,
+         |  lower(coalesce(regexp_extract(tag, '(?is)[\\s"'']hreflang\\s*=\\s*"([^"]*)"', 1), '')) AS lang,
+         |  replace(coalesce(regexp_extract(tag, '(?is)[\\s"'']href\\s*=\\s*"([^"]*)"', 1), ''), '&amp;', '&') AS href
+         |  FROM tg),
+         |lk AS (SELECT doc_id, lang, href AS url FROM tr
+         |  WHERE regexp_matches(rel, '(^|[\\s,])alternate([\\s,]|$$)')
+         |    AND lang <> '' AND href <> '')
+         |SELECT doc_id, lang, url FROM lk
+         |ORDER BY doc_id, lang, url""".stripMargin) { (s, _) =>
+      WebFilters.hreflangLinks(hreflangFixture(s.table("documents")))
+        .orderBy("doc_id", "lang", "url")
+    },
+
+    // translation clusters + per-language pick (the monolingual corpus
+    // builder's variant collapse): cluster key = the canonicalized
+    // x-default alternate (falls back to the smallest canonical
+    // alternate), members deduped, the 'en' variant kept per cluster
+    df("dd_translation_pick",
+      s"""WITH $duckHreflangFixture,
+         |tg AS (SELECT doc_id, unnest(regexp_extract_all(html, '(?is)<link\\b[^>]*>', 0)) AS tag FROM hfx),
+         |tr AS (SELECT doc_id,
+         |  lower(coalesce(regexp_extract(tag, '(?is)[\\s"'']rel\\s*=\\s*"([^"]*)"', 1), '')) AS rel,
+         |  lower(coalesce(regexp_extract(tag, '(?is)[\\s"'']hreflang\\s*=\\s*"([^"]*)"', 1), '')) AS lang,
+         |  replace(coalesce(regexp_extract(tag, '(?is)[\\s"'']href\\s*=\\s*"([^"]*)"', 1), ''), '&amp;', '&') AS href
+         |  FROM tg),
+         |ux AS (SELECT doc_id, lang, href AS url FROM tr
+         |  WHERE regexp_matches(rel, '(^|[\\s,])alternate([\\s,]|$$)')
+         |    AND lang <> '' AND href <> ''),
+         |${duckCanonicalChain("doc_id, lang")},
+         |ky AS (SELECT doc_id, coalesce(
+         |    min(CASE WHEN lang = 'x-default' THEN canonical_url END),
+         |    min(canonical_url)) AS cluster_key
+         |  FROM cx WHERE canonical_url IS NOT NULL GROUP BY doc_id),
+         |mm AS (SELECT DISTINCT ky.cluster_key, cx.lang, cx.canonical_url AS url
+         |  FROM cx JOIN ky USING (doc_id) WHERE cx.canonical_url IS NOT NULL)
+         |SELECT cluster_key, min(CASE WHEN lang = 'en' THEN url END) AS keep_url,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |FROM mm GROUP BY cluster_key ORDER BY cluster_key""".stripMargin) { (s, _) =>
+      WebFilters.translationClusters(hreflangFixture(s.table("documents")))
+        .groupBy("cluster_key")
+        .agg(min(when(col("lang") === "en", col("url"))).as("keep_url"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("cluster_key")
+    },
+
     // declared character encoding (HTML5 prescan rule: first charset=
     // inside any <meta> tag — both the charset attribute and the
     // http-equiv Content-Type parameter forms), composed with the
@@ -1585,6 +1639,45 @@ object WebQueries {
         lit("\" rel=\"noopener\">k</a> <a data-rel=\"nofollow\" " +
           "href=\"/keep/"), (id % 3).cast("string"),
         lit("\">d</a></p></body></html>")).as("html"))
+  }
+
+  /** Shared DuckDB hreflang fixture (mirrors [[hreflangFixture]] byte
+    * for byte): 50 translation sets of three pages (en/de/fr by doc_id
+    * mod 3), each page declaring all three alternates + an x-default —
+    * attribute-order swap on de, multi-token rel on fr, a
+    * canonicalization exercise (www/case/utm/entity) on en — plus
+    * stylesheet and hreflang-less feed decoys. Ends at hfx(doc_id, html) — hfx, not hx: the canonical chain's own hx CTE would collide. */
+  // lazy: declared after `all` in source order, so a strict val would
+  // still be null while `all`'s query SQL interpolates it
+  private lazy val duckHreflangFixture =
+    """hfx AS (SELECT doc_id,
+      |  '<html><head><link rel="alternate" hreflang="en" href="https://www.Example.COM/en/page/' ||
+      |  (doc_id // 3) || '?utm_source=x&amp;b=2">' ||
+      |  '<link hreflang="DE" href="https://example.com/de/page/' || (doc_id // 3) || '" rel="alternate">' ||
+      |  '<link rel="alternate stylesheet" hreflang="fr" href="https://example.com/fr/page/' || (doc_id // 3) || '">' ||
+      |  '<link rel="alternate" hreflang="x-default" href="https://example.com/en/page/' || (doc_id // 3) || '?b=2">' ||
+      |  '<link rel="stylesheet" href="/css/x.css"><link rel="alternate" href="/feed.xml">' ||
+      |  '</head><body>p</body></html>' AS html
+      |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 150) d)""".stripMargin
+
+  /** Spark twin of [[duckHreflangFixture]]. */
+  private def hreflangFixture(docs: org.apache.spark.sql.DataFrame) = {
+    val grp = floor(col("doc_id") / 3).cast("long").cast("string")
+    docs.orderBy("doc_id").limit(150).select(col("doc_id"),
+      lit("https://h.example.org/x").as("base_url"),
+      concat(
+        lit("<html><head><link rel=\"alternate\" hreflang=\"en\" " +
+          "href=\"https://www.Example.COM/en/page/"), grp,
+        lit("?utm_source=x&amp;b=2\">" +
+          "<link hreflang=\"DE\" href=\"https://example.com/de/page/"), grp,
+        lit("\" rel=\"alternate\">" +
+          "<link rel=\"alternate stylesheet\" hreflang=\"fr\" " +
+          "href=\"https://example.com/fr/page/"), grp,
+        lit("\"><link rel=\"alternate\" hreflang=\"x-default\" " +
+          "href=\"https://example.com/en/page/"), grp,
+        lit("?b=2\"><link rel=\"stylesheet\" href=\"/css/x.css\">" +
+          "<link rel=\"alternate\" href=\"/feed.xml\">" +
+          "</head><body>p</body></html>")).as("html"))
   }
 
   /** Spark-side fixture for ta_base_href (base-tag shape per doc_id mod

@@ -687,6 +687,44 @@ class WebFiltersSpec extends SparkTestBase {
     assert(got == cases.map(_._3), got)
   }
 
+  test("hreflangLinks + translationClusters: any attribute order, " +
+    "relative hrefs resolve, x-default keys the cluster with min-" +
+    "canonical fallback, decoys and unresolvable hrefs drop") {
+    val decl = "<link rel=\"alternate\" hreflang=\"en\" href=\"/en/a\">" +
+      "<link hreflang=\"De\" href=\"https://site.org/de/a?utm_source=x\" rel=\"alternate\">" +
+      "<link rel=\"alternate\" hreflang=\"x-default\" href=\"https://www.site.org/en/a\">" +
+      "<link rel=\"stylesheet\" href=\"/c.css\">" +
+      "<link rel=\"alternate\" href=\"/feed.xml\">" +
+      "<link rel=\"alternate\" hreflang=\"zz\" href=\"mailto:x@y.org\">"
+    val noDefault = "<link rel=\"alternate\" hreflang=\"fr\" href=\"https://other.org/fr\">" +
+      "<link rel=\"alternate\" hreflang=\"es\" href=\"https://other.org/es\">"
+    val pages = Seq(
+      (1L, decl, "https://site.org/en/a"),
+      (2L, decl, "https://site.org/de/a"),   // same set -> same cluster
+      (3L, noDefault, "https://other.org/fr")
+    ).toDF("doc_id", "html", "base_url")
+    val links = WebFilters.hreflangLinks(pages)
+      .where(col("doc_id") === 1).orderBy("lang")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(links == Seq(
+      ("de", "https://site.org/de/a?utm_source=x"),
+      ("en", "https://site.org/en/a"),
+      ("x-default", "https://www.site.org/en/a")), links)
+    val clusters = WebFilters.translationClusters(pages)
+      .orderBy("cluster_key", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSeq
+    assert(clusters == Seq(
+      // no x-default: min canonical alternate keys the cluster
+      ("https://other.org/es", "es", "https://other.org/es"),
+      ("https://other.org/es", "fr", "https://other.org/fr"),
+      // x-default canonical (www stripped) keys pages 1+2's shared set
+      ("https://site.org/en/a", "de", "https://site.org/de/a"),
+      ("https://site.org/en/a", "en", "https://site.org/en/a"),
+      ("https://site.org/en/a", "x-default", "https://site.org/en/a")),
+      clusters)
+  }
+
   test("followLinks: rel=nofollow anchors drop (multi-token rel too), " +
     "data-rel decoy keeps, page-level meta nofollow drops every link") {
     val html =
