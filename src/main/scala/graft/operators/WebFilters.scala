@@ -1164,6 +1164,78 @@ object WebFilters {
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("group_size"))
   }
 
+  /** The page's declared `<link rel="next" href>` target (both attribute
+    * orders, entity-decoded, delimiter-anchored rel — the relCanonical
+    * conventions), '' when absent: the pagination channel (page 2, page
+    * 3 … of a multi-page article). */
+  def relNext(html: Column): Column = {
+    val relFirst = regexp_extract(html,
+      "(?is)<link\\b[^>]*?[\\s\"']rel\\s*=\\s*\"next\"[^>]*?[\\s\"']href\\s*=\\s*\"([^\"]*)\"", 1)
+    val hrefFirst = regexp_extract(html,
+      "(?is)<link\\b[^>]*?[\\s\"']href\\s*=\\s*\"([^\"]*)\"[^>]*?[\\s\"']rel\\s*=\\s*\"next\"", 1)
+    decodeEntities(when(relFirst =!= "", relFirst).otherwise(hrefFirst))
+  }
+
+  /** Pagination chains from the rel=next graph — the article-
+    * reconstruction prerequisite (a multi-page article is ONE training
+    * document, not N boilerplate-sharing fragments). Nodes are pages
+    * keyed by canonical URL (duplicate canonicals collapse keep-first —
+    * the urlDedup rule); a chain ROOT is a node no other node's next
+    * pointer targets (cycles therefore have no root and drop whole — a
+    * rel=next loop is a site bug, not an article); each root walks its
+    * next pointers up to `maxHops` (longer chains truncate, documented
+    * bound). Output (chain_root, hop, doc_id, canonical_url).
+    *
+    * Shape at 100 TB: `maxHops` equi-joins on the canonical-URL key
+    * (each co-keyed and partial-agg-friendly), never an unbounded
+    * iteration — the same bounded-loop contract as Graphs.pageRank. */
+  def paginationChains(pages: DataFrame, maxHops: Int = 5,
+                       idCol: String = "doc_id", urlCol: String = "url",
+                       htmlCol: String = "html"): DataFrame = {
+    require(maxHops >= 1, s"bad maxHops $maxHops")
+    val declared = relNext(col(htmlCol))
+    val raw = pages.select(col(idCol).as("__d"),
+      urlCanonical(col(urlCol)).as("cu"),
+      when(declared === "", lit(null).cast("string"))
+        .otherwise(urlCanonical(declared)).as("nu"))
+      .where(col("cu").isNotNull)
+    val nodes = raw.groupBy("cu")
+      .agg(min(struct(col("__d").as("d"), col("nu").as("n"))).as("__k"))
+      .select(col("cu"), col("__k.d").as("d"), col("__k.n").as("n"))
+      .localCheckpoint()
+    val targets = nodes.select(col("n").as("cu")).where(col("cu").isNotNull)
+      .distinct()
+    val roots = nodes.join(targets, Seq("cu"), "left_anti")
+    var level = roots.select(col("cu").as("chain_root"),
+      lit(0).as("hop"), col("d").as("doc_id"),
+      col("cu").as("canonical_url"), col("n").as("__next"))
+    var out = level
+    for (h <- 1 to maxHops) {
+      level = level.where(col("__next").isNotNull)
+        .select(col("chain_root"), col("__next").as("__want"))
+        .join(nodes, col("__want") === nodes("cu"))
+        .select(col("chain_root"), lit(h).as("hop"), col("d").as("doc_id"),
+          col("cu").as("canonical_url"), col("n").as("__next"))
+      out = out.unionByName(level)
+    }
+    out.drop("__next")
+  }
+
+  /** Chain MERGE: one row per chain root with the page count and the
+    * md5 of the hop-ordered newline-joined content — the reconstructed
+    * article. One partial agg; the per-chain buffer is maxHops-bounded
+    * by [[paginationChains]]' construction. */
+  def mergeChains(chains: DataFrame, docs: DataFrame,
+                  contentCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame =
+    chains.join(docs.select(col(idCol).as("doc_id"), col(contentCol)), "doc_id")
+      .groupBy("chain_root")
+      .agg(count(lit(1)).as("n_pages"),
+        md5(concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("hop"),
+            col(contentCol).as("c")))),
+          x => x.getField("c")))).as("content_digest"))
+
   /** Deterministic cross-host ANCHOR fixture over the `documents` table
     * (same construction as a DuckDB CTE — the oracle replays on
     * identical bytes): seven hosts h0–h6.example.org; each doc's page

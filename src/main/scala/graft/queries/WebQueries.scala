@@ -977,6 +977,56 @@ object WebQueries {
         .orderBy("cluster_key")
     },
 
+    // pagination chains (rel=next walking): roots via the anti-join rule
+    // (a page no next pointer targets — NOT a position formula, so a
+    // truncated first group still roots at its earliest page), bounded
+    // walk, canonicalized pointers (www/utm variants still chain); the
+    // oracle recomputes the canonical forms from the fixture construction
+    // (the canonical chain itself is pinned by ta_url_filter) and walks
+    // with a recursive CTE
+    df("ta_pagination",
+      """WITH RECURSIVE nd AS (SELECT doc_id, doc_id // 3 AS grp, doc_id % 3 AS pos
+        |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 150) d),
+        |no AS (SELECT doc_id AS d, 'https://site.org/art/' || grp || '/p' || pos AS cu,
+        |  CASE WHEN pos < 2 THEN 'https://site.org/art/' || grp || '/p' || (pos + 1) END AS n
+        |  FROM nd),
+        |rt AS (SELECT * FROM no WHERE cu NOT IN
+        |  (SELECT n FROM no WHERE n IS NOT NULL)),
+        |g AS (SELECT cu AS chain_root, 0 AS hop, d AS doc_id,
+        |    cu AS canonical_url, n AS nxt FROM rt
+        |  UNION ALL
+        |  SELECT g.chain_root, g.hop + 1, no.d, no.cu, no.n
+        |  FROM g JOIN no ON no.cu = g.nxt WHERE g.hop < 5)
+        |SELECT chain_root, CAST(hop AS INT) AS hop, doc_id, canonical_url
+        |FROM g ORDER BY chain_root, hop""".stripMargin) { (s, _) =>
+      WebFilters.paginationChains(paginationFixture(s.table("documents")))
+        .orderBy("chain_root", "hop")
+    },
+
+    // chain merge: the reconstructed multi-page article — page count +
+    // the md5 of hop-ordered newline-joined page content per chain
+    df("ta_page_merge",
+      """WITH RECURSIVE nd AS (SELECT doc_id, text, doc_id // 3 AS grp, doc_id % 3 AS pos
+        |  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 150) d),
+        |no AS (SELECT doc_id AS d, text, 'https://site.org/art/' || grp || '/p' || pos AS cu,
+        |  CASE WHEN pos < 2 THEN 'https://site.org/art/' || grp || '/p' || (pos + 1) END AS n
+        |  FROM nd),
+        |rt AS (SELECT * FROM no WHERE cu NOT IN
+        |  (SELECT n FROM no WHERE n IS NOT NULL)),
+        |g AS (SELECT cu AS chain_root, 0 AS hop, d AS doc_id, text, n AS nxt FROM rt
+        |  UNION ALL
+        |  SELECT g.chain_root, g.hop + 1, no.d, no.text, no.n
+        |  FROM g JOIN no ON no.cu = g.nxt WHERE g.hop < 5)
+        |SELECT chain_root, CAST(count(*) AS BIGINT) AS n_pages,
+        |  md5(string_agg(text, chr(10) ORDER BY hop)) AS content_digest
+        |FROM g GROUP BY chain_root ORDER BY chain_root""".stripMargin) { (s, _) =>
+      val docs = s.table("documents").orderBy("doc_id").limit(150)
+      WebFilters.mergeChains(
+          WebFilters.paginationChains(paginationFixture(s.table("documents"))),
+          docs)
+        .orderBy("chain_root")
+    },
+
     // declared character encoding (HTML5 prescan rule: first charset=
     // inside any <meta> tag — both the charset attribute and the
     // http-equiv Content-Type parameter forms), composed with the
@@ -1678,6 +1728,27 @@ object WebQueries {
         lit("?b=2\"><link rel=\"stylesheet\" href=\"/css/x.css\">" +
           "<link rel=\"alternate\" href=\"/feed.xml\">" +
           "</head><body>p</body></html>")).as("html"))
+  }
+
+  /** Spark-side pagination fixture: 50 three-page article chains (grp =
+    * doc_id/3, position = doc_id%3), each non-final page declaring a
+    * rel=next whose href needs CANONICALIZATION to chain (www host +
+    * tracking param), the final page carrying data-rel and rel=prev
+    * decoys relNext must ignore. The oracle recomputes the canonical
+    * node/pointer forms from this construction. */
+  private def paginationFixture(docs: org.apache.spark.sql.DataFrame) = {
+    val grp = floor(col("doc_id") / 3).cast("long").cast("string")
+    val pos = (col("doc_id") % 3).cast("string")
+    val nextPos = ((col("doc_id") % 3) + 1).cast("string")
+    docs.orderBy("doc_id").limit(150).select(col("doc_id"),
+      concat(lit("https://Site.ORG/art/"), grp, lit("/p"), pos).as("url"),
+      concat(lit("<html><head>"),
+        when(col("doc_id") % 3 < 2,
+          concat(lit("<link rel=\"next\" href=\"https://www.site.org/art/"),
+            grp, lit("/p"), nextPos, lit("?utm_source=feed\">")))
+          .otherwise(lit("<link data-rel=\"next\" href=\"/decoy\">" +
+            "<link rel=\"prev\" href=\"/prev-decoy\">")),
+        lit("</head><body>x</body></html>")).as("html"))
   }
 
   /** Spark-side fixture for ta_base_href (base-tag shape per doc_id mod

@@ -725,6 +725,40 @@ class WebFiltersSpec extends SparkTestBase {
       clusters)
   }
 
+  test("paginationChains: canonical variants chain, cycles drop whole, a " +
+    "chain missing its first page roots at the earliest survivor, " +
+    "duplicate canonicals collapse keep-first, maxHops truncates") {
+    def page(id: Long, url: String, next: Option[String]) =
+      (id, url, next.map(n =>
+        s"""<link rel="next" href="$n">""").getOrElse("<p>end</p>"))
+    val pages = Seq(
+      // 3-page chain; middle pointer needs canonicalization to chain
+      page(1, "http://a.org/s/p0", Some("http://WWW.A.org/s/p1?utm_source=x")),
+      page(2, "http://a.org/s/p1", Some("http://a.org/s/p2")),
+      page(3, "http://a.org/s/p2", None),
+      // 2-cycle: no root -> drops entirely
+      page(10, "http://c.org/x", Some("http://c.org/y")),
+      page(11, "http://c.org/y", Some("http://c.org/x")),
+      // first page missing: p1 is untargeted -> roots the remainder
+      page(20, "http://b.org/t/p1", Some("http://b.org/t/p2")),
+      page(21, "http://b.org/t/p2", None),
+      // duplicate canonical of page 2: higher id loses, its pointer too
+      page(30, "http://www.a.org/s/p1", Some("http://a.org/elsewhere"))
+    ).toDF("doc_id", "url", "html")
+    val got = WebFilters.paginationChains(pages)
+      .orderBy("chain_root", "hop")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("http://a.org/s/p0", 0, 1L), ("http://a.org/s/p0", 1, 2L),
+      ("http://a.org/s/p0", 2, 3L),
+      ("http://b.org/t/p1", 0, 20L), ("http://b.org/t/p1", 1, 21L)), got)
+    // maxHops truncation: the 3-page chain cut at one hop
+    val cut = WebFilters.paginationChains(pages, maxHops = 1)
+      .where(col("chain_root") === "http://a.org/s/p0")
+      .orderBy("hop").collect().map(_.getInt(1)).toSeq
+    assert(cut == Seq(0, 1), cut)
+  }
+
   test("followLinks: rel=nofollow anchors drop (multi-token rel too), " +
     "data-rel decoy keeps, page-level meta nofollow drops every link") {
     val html =
