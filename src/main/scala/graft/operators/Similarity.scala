@@ -754,7 +754,8 @@ object Similarity {
     * relevance and pairwise sims are round(4) (the cosineTopK contract)
     * so both engines rank identical numbers; 1−mmrLambda is computed in
     * decimal (the Graphs.pageRank teleport rule) so a SQL 0.3 literal
-    * matches.
+    * matches. A pool with fewer than k candidates returns that many
+    * rows (selection exhausts; never NULL padding).
     *
     * Shape at 100 TB: ONE map-only corpus scan (the relevance pass);
     * everything after runs on the pool packed into a single row —
@@ -791,12 +792,16 @@ object Similarity {
           c.getField("id").as("id"), i.as("ix")))
         val open = filter(scored, s =>
           !array_contains(selAcc, s.getField("ix")))
-        concat(selAcc, array(array_min(open).getField("ix")))
+        // a pool smaller than k exhausts: further steps are no-ops
+        // instead of appending array_min(empty) = NULL (which would
+        // poison array_contains and emit NULL-id rows)
+        when(size(selAcc) >= size(cs), selAcc)
+          .otherwise(concat(selAcc, array(array_min(open).getField("ix"))))
       })
     withSims.select(cs, sel.as("sel"))
       .select(cs, posexplode(col("sel")).as(Seq("r", "ix")))
       .select((col("r") + 1).as("mmr_rank"),
-        element_at(cs, col("ix") + 1).getField("id").as("vec_id"),
+        element_at(cs, col("ix") + 1).getField("id").as(idCol),
         element_at(cs, col("ix") + 1).getField("rel").as("rel"))
   }
 

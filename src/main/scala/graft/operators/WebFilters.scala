@@ -719,18 +719,38 @@ object WebFilters {
         regexp_replace(bPath, "[^/]*$", ""), declared))
   }
 
-  /** Declared character encoding of an HTML document, '' when none: the
-    * first `charset=` declaration inside any `<meta …>` tag — which
-    * covers BOTH `<meta charset="utf-8">` and `<meta http-equiv=
-    * "Content-Type" content="text/html; charset=utf-8">`, the same
-    * first-wins prescan rule HTML5 §13.2.3.2 uses (the prescan looks
-    * for a charset= substring in meta tags rather than fully parsing
-    * attributes). Lowercased; optional quotes. The HTTP-layer charset
-    * ([[warcHttp]]) takes precedence when both exist — compose with
+  /** Declared character encoding of an HTML document, '' when none —
+    * two HTML5 declaration forms, each parsed as a real attribute (a
+    * `charset=` substring inside an unrelated attribute VALUE — a
+    * description mentioning `charset=x` — can never match):
+    * (1) the `<meta charset="utf-8">` attribute form, recognized only
+    * when charset is the tag's first attribute (`[^>=]*?` — an `=`
+    * before it means it sits inside some other attribute's value; the
+    * HTML5 charset meta carries no preceding attributes in practice);
+    * (2) the `<meta http-equiv="Content-Type" content="…charset=x…">`
+    * parameter form (either attribute order, delimiter-anchored names).
+    * The attribute form wins over the parameter form regardless of
+    * document position (documented divergence from strict first-wins
+    * prescan order — cross-form position comparison is not expressible
+    * as one regex in both engines); within a form, first wins.
+    * Lowercased; optional quotes. The HTTP-layer charset ([[warcHttp]])
+    * takes precedence when both exist — compose with
     * `coalesce(nullif(http,''), nullif(html,''), 'utf-8')`. Map-only. */
-  def htmlCharset(html: Column): Column =
-    lower(regexp_extract(html,
-      "(?is)<meta\\b[^>]*?charset\\s*=\\s*[\"']?([A-Za-z0-9_.:-]+)", 1))
+  def htmlCharset(html: Column): Column = {
+    val attrForm = regexp_extract(html,
+      "(?is)<meta\\b[^>=]*?[\\s\"']charset\\s*=\\s*[\"']?([A-Za-z0-9_.:-]+)", 1)
+    val equivFirst = regexp_extract(html,
+      "(?is)<meta\\b[^>]*?[\\s\"']http-equiv\\s*=\\s*\"content-type\"" +
+        "[^>]*?[\\s\"']content\\s*=\\s*\"([^\"]*)\"", 1)
+    val contentFirst = regexp_extract(html,
+      "(?is)<meta\\b[^>]*?[\\s\"']content\\s*=\\s*\"([^\"]*)\"" +
+        "[^>]*?[\\s\"']http-equiv\\s*=\\s*\"content-type\"", 1)
+    val equivContent = when(equivFirst =!= "", equivFirst)
+      .otherwise(contentFirst)
+    val fromEquiv = regexp_extract(equivContent,
+      "(?i)charset[ \\t]*=[ \\t]*\"?([A-Za-z0-9_.:-]+)", 1)
+    lower(when(attrForm =!= "", attrForm).otherwise(fromEquiv))
+  }
 
   /** Anchor OPEN TAGS with a double-quoted href — the rel-aware sibling
     * of [[HrefPat]]: matching stops at the tag's own `>`, so the rel
@@ -843,13 +863,18 @@ object WebFilters {
     *
     * Shape at 100 TB: one partial-agg per page for the key, one
     * co-keyed join back on doc_id, one distinct on the cluster-sized
-    * frame — no row explosion beyond the alternates themselves. */
+    * frame — no row explosion beyond the alternates themselves. The
+    * extracted links are checkpointed once (the paginationChains
+    * pattern): they feed BOTH the key aggregation and the join back,
+    * and without the barrier the corpus-wide regex extraction scan —
+    * the expensive stage — would execute twice. */
   def translationClusters(docs: DataFrame, htmlCol: String = "html",
                           baseCol: String = "base_url"): DataFrame = {
     val links = hreflangLinks(docs, htmlCol, baseCol)
       .select(col("doc_id"), col("lang"),
         urlCanonical(col("url")).as("curl"))
       .where(col("curl").isNotNull)
+      .localCheckpoint()
     val keys = links.groupBy("doc_id").agg(
       coalesce(min(when(col("lang") === "x-default", col("curl"))),
         min(col("curl"))).as("cluster_key"))
@@ -1180,15 +1205,21 @@ object WebFilters {
     * reconstruction prerequisite (a multi-page article is ONE training
     * document, not N boilerplate-sharing fragments). Nodes are pages
     * keyed by canonical URL (duplicate canonicals collapse keep-first —
-    * the urlDedup rule); a chain ROOT is a node no other node's next
-    * pointer targets (cycles therefore have no root and drop whole — a
-    * rel=next loop is a site bug, not an article); each root walks its
-    * next pointers up to `maxHops` (longer chains truncate, documented
-    * bound). Output (chain_root, hop, doc_id, canonical_url).
+    * the urlDedup rule); next pointers RESOLVE against the page URL
+    * first (relative rel=next — the common real-world form — chains
+    * like absolute ones) and then canonicalize; a chain ROOT is a node
+    * no other node's next pointer targets (pure cycles therefore have
+    * no root and drop whole — a rel=next loop is a site bug, not an
+    * article), and a walk carries its visited set so a pointer BACK
+    * into the walked prefix (a rho-shaped tail into a cycle) ends the
+    * chain instead of re-emitting pages; each root walks up to
+    * `maxHops` (longer chains truncate, documented bound). Output
+    * (chain_root, hop, doc_id, canonical_url).
     *
     * Shape at 100 TB: `maxHops` equi-joins on the canonical-URL key
     * (each co-keyed and partial-agg-friendly), never an unbounded
-    * iteration — the same bounded-loop contract as Graphs.pageRank. */
+    * iteration — the same bounded-loop contract as Graphs.pageRank;
+    * the visited set is a maxHops-bounded array per in-flight walk. */
   def paginationChains(pages: DataFrame, maxHops: Int = 5,
                        idCol: String = "doc_id", urlCol: String = "url",
                        htmlCol: String = "html"): DataFrame = {
@@ -1197,7 +1228,7 @@ object WebFilters {
     val raw = pages.select(col(idCol).as("__d"),
       urlCanonical(col(urlCol)).as("cu"),
       when(declared === "", lit(null).cast("string"))
-        .otherwise(urlCanonical(declared)).as("nu"))
+        .otherwise(urlCanonical(resolveHref(declared, col(urlCol)))).as("nu"))
       .where(col("cu").isNotNull)
     val nodes = raw.groupBy("cu")
       .agg(min(struct(col("__d").as("d"), col("nu").as("n"))).as("__k"))
@@ -1208,17 +1239,22 @@ object WebFilters {
     val roots = nodes.join(targets, Seq("cu"), "left_anti")
     var level = roots.select(col("cu").as("chain_root"),
       lit(0).as("hop"), col("d").as("doc_id"),
-      col("cu").as("canonical_url"), col("n").as("__next"))
+      col("cu").as("canonical_url"), col("n").as("__next"),
+      array(col("cu")).as("__seen"))
     var out = level
     for (h <- 1 to maxHops) {
       level = level.where(col("__next").isNotNull)
-        .select(col("chain_root"), col("__next").as("__want"))
+        .select(col("chain_root"), col("__next").as("__want"), col("__seen"))
         .join(nodes, col("__want") === nodes("cu"))
+        // the revisit guard: a next pointer back into this walk's own
+        // prefix ends the chain (rho tails don't loop the cycle)
+        .where(!array_contains(col("__seen"), col("cu")))
         .select(col("chain_root"), lit(h).as("hop"), col("d").as("doc_id"),
-          col("cu").as("canonical_url"), col("n").as("__next"))
+          col("cu").as("canonical_url"), col("n").as("__next"),
+          concat(col("__seen"), array(col("cu"))).as("__seen"))
       out = out.unionByName(level)
     }
-    out.drop("__next")
+    out.drop("__next", "__seen")
   }
 
   /** Chain MERGE: one row per chain root with the page count and the

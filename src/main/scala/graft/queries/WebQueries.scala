@@ -1037,15 +1037,25 @@ object WebQueries {
          |    WHEN 0 THEN '<html><head><meta charset="UTF-8"></head><body>x</body></html>'
          |    WHEN 1 THEN '<html><head><meta charset=iso-8859-1></head><body>x</body></html>'
          |    WHEN 2 THEN '<html><head><meta http-equiv="Content-Type" content="text/html; charset=Windows-1252"></head><body>x</body></html>'
-         |    WHEN 3 THEN '<html><head><meta charset="utf-8"><meta http-equiv="Content-Type" content="text/html; charset=latin-1"></head><body>x</body></html>'
-         |    WHEN 4 THEN '<html><body><p>charset=fake outside a meta tag</p></body></html>'
+         |    WHEN 3 THEN '<html><head><meta name="description" content="mentions charset=shift_jis"><meta charset="utf-8"><meta http-equiv="Content-Type" content="text/html; charset=latin-1"></head><body>x</body></html>'
+         |    WHEN 4 THEN '<html><head><meta name="description" content="how to set charset=shift_jis"></head><body><p>charset=fake outside a meta tag</p></body></html>'
          |    ELSE '<HTML><HEAD><META CHARSET=''koi8-r''></HEAD></HTML>' END AS html,
          |  CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 2 THEN 'latin-1' ELSE '' END AS http_charset
          |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 150) d),
+         |h0 AS (SELECT doc_id, http_charset,
+         |  coalesce(regexp_extract(html,
+         |    '(?is)<meta\\b[^>=]*?[\\s"'']charset\\s*=\\s*["'']?([A-Za-z0-9_.:-]+)', 1), '') AS attr,
+         |  coalesce(regexp_extract(html,
+         |    '(?is)<meta\\b[^>]*?[\\s"'']http-equiv\\s*=\\s*"content-type"[^>]*?[\\s"'']content\\s*=\\s*"([^"]*)"', 1), '') AS eq1,
+         |  coalesce(regexp_extract(html,
+         |    '(?is)<meta\\b[^>]*?[\\s"'']content\\s*=\\s*"([^"]*)"[^>]*?[\\s"'']http-equiv\\s*=\\s*"content-type"', 1), '') AS eq2
+         |  FROM cx),
          |hc AS (SELECT doc_id, http_charset,
-         |  lower(coalesce(regexp_extract(html,
-         |    '(?is)<meta\\b[^>]*?charset\\s*=\\s*["'']?([A-Za-z0-9_.:-]+)', 1), '')) AS html_charset
-         |  FROM cx)
+         |  lower(CASE WHEN attr <> '' THEN attr
+         |    ELSE coalesce(regexp_extract(
+         |      CASE WHEN eq1 <> '' THEN eq1 ELSE eq2 END,
+         |      '(?i)charset[ \\t]*=[ \\t]*"?([A-Za-z0-9_.:-]+)', 1), '') END) AS html_charset
+         |  FROM h0)
          |SELECT doc_id, http_charset, html_charset,
          |  coalesce(nullif(http_charset, ''), nullif(html_charset, ''), 'utf-8') AS effective
          |FROM hc ORDER BY doc_id""".stripMargin) { (s, _) =>
@@ -1789,10 +1799,14 @@ object WebQueries {
           "<html><head><meta http-equiv=\"Content-Type\" content=\"text/html; " +
             "charset=Windows-1252\"></head><body>x</body></html>"))
         .when(id % 6 === 3, lit(
-          "<html><head><meta charset=\"utf-8\"><meta http-equiv=\"Content-Type\" " +
+          "<html><head><meta name=\"description\" content=\"mentions " +
+            "charset=shift_jis\"><meta charset=\"utf-8\">" +
+            "<meta http-equiv=\"Content-Type\" " +
             "content=\"text/html; charset=latin-1\"></head><body>x</body></html>"))
         .when(id % 6 === 4, lit(
-          "<html><body><p>charset=fake outside a meta tag</p></body></html>"))
+          "<html><head><meta name=\"description\" content=\"how to set " +
+            "charset=shift_jis\"></head><body><p>charset=fake outside " +
+            "a meta tag</p></body></html>"))
         .otherwise(lit("<HTML><HEAD><META CHARSET='koi8-r'></HEAD></HTML>"))
         .as("html"),
       when(id % 4 === 0, lit("utf-8"))

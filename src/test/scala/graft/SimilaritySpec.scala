@@ -865,5 +865,10 @@ class SimilaritySpec extends SparkTestBase {
       mmrLambda = 0.5).collect()
       .map(r => (r.getInt(0), r.getLong(1))).toSeq
     assert(mmr == Seq((1, 1L), (2, 3L)), mmr.toList)
+    // a pool with fewer candidates than k exhausts cleanly — 3 rows,
+    // never NULL padding up to k
+    val short = Similarity.mmrTopK(tiny, queryId = 0, k = 10, pool = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(short.length == 3 && short.map(_._1) == Seq(1, 2, 3), short)
   }
 }

@@ -670,8 +670,8 @@ class WebFiltersSpec extends SparkTestBase {
   }
 
   test("htmlCharset: charset attribute (quoted/unquoted/single-quoted), " +
-    "http-equiv parameter form, first declaration wins, out-of-tag " +
-    "decoy never matches") {
+    "http-equiv parameter form, attribute form wins, charset= inside an " +
+    "unrelated attribute value or outside any meta tag never matches") {
     val cases = Seq(
       (1L, "<meta charset=\"UTF-8\">", "utf-8"),
       (2L, "<meta charset=iso-8859-1>", "iso-8859-1"),
@@ -680,7 +680,16 @@ class WebFiltersSpec extends SparkTestBase {
         "charset=Windows-1252\">", "windows-1252"),
       (5L, "<meta charset=\"utf-8\"><meta http-equiv=\"Content-Type\" " +
         "content=\"text/html; charset=latin-1\">", "utf-8"),
-      (6L, "<p>charset=fake outside a meta tag</p>", ""))
+      (6L, "<p>charset=fake outside a meta tag</p>", ""),
+      // a charset= substring inside another attribute's VALUE is not a
+      // declaration — before the fix this decoy won over the real one
+      (7L, "<meta name=\"description\" content=\"set charset=shift_jis " +
+        "in vim\"><meta charset=\"utf-8\">", "utf-8"),
+      (8L, "<meta name=\"description\" content=\"set charset=shift_jis\">",
+        ""),
+      // content-first attribute order of the http-equiv form
+      (9L, "<meta content=\"text/html; charset=EUC-KR\" " +
+        "http-equiv=\"content-type\">", "euc-kr"))
     val got = cases.map { case (id, h, _) => (id, h) }.toDF("doc_id", "html")
       .select(col("doc_id"), WebFilters.htmlCharset(col("html")).as("c"))
       .orderBy("doc_id").select("c").as[String].collect().toSeq
