@@ -777,4 +777,49 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastExchange") ||
       p.contains("BroadcastHashJoin"), p)
   }
+
+  test("warcHttp is map-only after the record explode: no exchange " +
+    "anywhere — the gate runs inside the archive scan") {
+    import spark.implicits._
+    val files = spark.range(100).select(col("id").as("file_id"),
+      concat(lit("WARC/1.0\nWARC-Target-URI: https://x.org/"),
+        col("id").cast("string"),
+        lit("\n\nHTTP/1.1 200 OK\nContent-Type: text/html\n\nbody\n\n"))
+        .as("body"))
+    val p = plan(graft.operators.WebFilters.warcHttp(files))
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate"), p)
+  }
+
+  test("followLinks is map-only: the rel/meta policy adds filters and " +
+    "regex projections, never an exchange") {
+    import spark.implicits._
+    val pages = spark.range(100).select(col("id").as("doc_id"),
+      concat(lit("https://h.org/d/"), col("id").cast("string")).as("base_url"),
+      lit("<a href=\"/x\">a</a> <a rel=\"nofollow\" href=\"/y\">b</a>")
+        .as("html"))
+    val p = plan(graft.operators.WebFilters.followLinks(pages))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("prfTopK: two bounded top-k corpus passes with the expansion " +
+    "broadcast back — the corpus itself never shuffles or sort-merges") {
+    Tables.register(spark, sfDir)
+    val p = plan(graft.operators.Similarity.prfTopK(
+      spark.table("embeddings"), queryId = 7, k = 10, feedback = 5))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("hashpartitioning(vec_id"), p)
+  }
+
+  test("mmrTopK: one bounded top-k corpus pass; pool packing and the " +
+    "greedy fold are single-row column work, no corpus sort-merge") {
+    Tables.register(spark, sfDir)
+    val p = plan(graft.operators.Similarity.mmrTopK(
+      spark.table("embeddings"), queryId = 7, k = 5, pool = 10))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
