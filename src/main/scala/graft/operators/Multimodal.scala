@@ -253,6 +253,42 @@ object Multimodal {
     }.toDF("media_id", "dhash")
   }
 
+  /** STUBBED image-text alignment gate — the LAION pipeline's CLIP-score
+    * stage (keep an image-caption pair iff the towers' cosine clears a
+    * threshold). No model runtime exists in this environment, so both
+    * towers are deterministic stand-ins: the image tower maps the 64
+    * dHash bits (a REAL perceptual signature of the decoded pixels) to
+    * a ±1/8 unit vector; the text tower is the hashed bag-of-words
+    * embedding ([[TextAnalysis.hashEmbedding]]). The pipeline piece
+    * itself — two independently-computed embedding passes, an id-keyed
+    * equi-join, score arithmetic, the keep threshold — is exactly what
+    * a real CLIP gate runs and swaps onto real towers unchanged.
+    * Scores round(4). Output (media_id, align_score, keep). */
+  def imageTextAlignment(media: Dataset[MediaItem], captions: DataFrame,
+                         threshold: Double = 0.0,
+                         capIdCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    // bit k of the dHash via exact double arithmetic on the 32-bit
+    // halves (2^k and the halves are both exact below 2^53; bit 63 of a
+    // BIGINT shift would need unsigned care in SQL engines)
+    val lo = col("dhash").bitwiseAND(lit(0xffffffffL)).cast("double")
+    val hi = shiftrightunsigned(col("dhash"), 32).cast("double")
+    val eImg = transform(sequence(lit(0), lit(63)), k => {
+      val bit = when(k < 32, pmod(floor(lo / pow(lit(2.0), k)), lit(2.0)))
+        .otherwise(pmod(floor(hi / pow(lit(2.0), k - 32)), lit(2.0)))
+      when(bit === 1.0, lit(0.125)).otherwise(lit(-0.125))
+    })
+    val img = imageDHash(media).select(col("media_id"), eImg.as("__iv"))
+    val txt = TextAnalysis.hashEmbedding(captions, dims = 64,
+        idCol = capIdCol, textCol = textCol)
+      .select(col(capIdCol).as("media_id"), col("embedding").as("__tv"))
+    img.join(txt, "media_id")
+      .select(col("media_id"),
+        round(Similarity.cosine(col("__iv"), col("__tv")), 4)
+          .as("align_score"))
+      .withColumn("keep", col("align_score") >= threshold)
+  }
+
   /** One item's 64-bit dHash — the per-row core of [[imageDHash]], exposed
     * so streaming gates can hash while KEEPING the item's columns (a
     * frame-level hash would force a stream-stream join back). Same

@@ -20,6 +20,39 @@ object DuckOracles {
     * `Graphs.pageRank(iters = k)` parameter is oracle-covered solely at
     * k = 2 (every registry caller uses the default); a non-default
     * iters run is outside cross-engine coverage by construction. */
+  /** Shared hashed bag-of-words embedding chain (replays
+    * [[graft.operators.TextAnalysis.hashEmbedding]] at dims=64 over the
+    * `documents` table, salt "he"): md5-slot feature hashing, ±1 signs,
+    * L2-normalize, round(4). Ends at hemb(doc_id, embedding). Used by
+    * the embedding dump and the image-text alignment oracle. */
+  val hashEmbedding64: String =
+    """hetk AS (SELECT doc_id, list_filter(
+      |  regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS w
+      |  FROM documents),
+      |hetx AS (SELECT doc_id, unnest(w) AS t FROM hetk),
+      |hesx AS (SELECT doc_id,
+      |  CAST(floor(CAST(list_sum(list_transform(generate_series(1, 8),
+      |    i -> (strpos('0123456789abcdef',
+      |      substring(md5(concat('he', t)), i, 1)) - 1)
+      |      * 16.0 ** (8 - i))) AS DOUBLE) / 4294967296.0 * 64) AS INT) AS slot,
+      |  CASE WHEN CAST(list_sum(list_transform(generate_series(1, 8),
+      |    i -> (strpos('0123456789abcdef',
+      |      substring(md5(concat('hes', t)), i, 1)) - 1)
+      |      * 16.0 ** (8 - i))) AS DOUBLE) / 4294967296.0 < 0.5
+      |    THEN 1.0 ELSE -1.0 END AS sgn FROM hetx),
+      |hecnt AS (SELECT doc_id, slot, sum(sgn) AS s FROM hesx GROUP BY doc_id, slot),
+      |heds AS (SELECT DISTINCT doc_id FROM hecnt),
+      |hegrid AS (SELECT doc_id, d FROM heds CROSS JOIN generate_series(0, 63) t(d)),
+      |heraw AS (SELECT g.doc_id, list(coalesce(c.s, 0.0) ORDER BY g.d) AS raw
+      |  FROM hegrid g LEFT JOIN hecnt c ON c.doc_id = g.doc_id AND c.slot = g.d
+      |  GROUP BY g.doc_id),
+      |hen AS (SELECT doc_id, raw,
+      |  sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm FROM heraw),
+      |hemb AS (SELECT doc_id, CASE WHEN nrm > 0
+      |  THEN list_transform(raw, x -> round(x / nrm, 4))
+      |  ELSE list_transform(raw, x -> 0.0) END AS embedding
+      |  FROM hen)""".stripMargin
+
   def pageRank2(nodeCol: String): String =
     s"""nodes AS (SELECT src AS $nodeCol FROM e UNION SELECT dst FROM e),
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),

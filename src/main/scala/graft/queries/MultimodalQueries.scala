@@ -307,6 +307,33 @@ object MultimodalQueries {
     },
 
 
+    // image-text alignment gate (the LAION CLIP-score stage, towers
+    // stubbed deterministically — dHash-bit image vector x hashed
+    // bag-of-words caption vector): the oracle composes the two proven
+    // chains (formula-pixel dHash + md5 feature hashing) and replays the
+    // cosine + threshold
+    df("mm_text_alignment",
+      s"""WITH $duckDHashChain,
+        |iv AS (SELECT media_id, list_transform(generate_series(0, 63), k ->
+        |  CASE WHEN (CASE WHEN k < 32 THEN (lo // (1::BIGINT << k)) % 2
+        |    ELSE (hi // (1::BIGINT << (k - 32))) % 2 END) = 1
+        |  THEN 0.125 ELSE -0.125 END) AS iv FROM h),
+        |${DuckOracles.hashEmbedding64},
+        |tv AS (SELECT doc_id AS media_id, embedding AS tv FROM hemb),
+        |sc AS (SELECT media_id, round(
+        |  list_sum(list_transform(generate_series(1, 64), i -> iv[i] * tv[i]))
+        |  / (sqrt(list_sum(list_transform(iv, x -> x * x)))
+        |   * sqrt(list_sum(list_transform(tv, x -> x * x)))), 4) AS align_score
+        |  FROM iv JOIN tv USING (media_id))
+        |SELECT media_id, align_score, align_score >= 0.0 AS keep
+        |FROM sc ORDER BY media_id""".stripMargin) { (s, _) =>
+      Multimodal.imageTextAlignment(
+          Multimodal.pngFromDocuments(
+            s.table("documents").orderBy("doc_id").limit(150)),
+          s.table("documents"), threshold = 0.0)
+        .orderBy("media_id")
+    },
+
     // average hash (aHash), dHash's sibling fingerprint: 8x8 grid, bit =
     // cell strictly brighter than the grid mean, compared integer-exactly
     // as 64*gray > total (no float mean on either engine)

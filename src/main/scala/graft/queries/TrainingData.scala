@@ -3905,32 +3905,8 @@ object TrainingData {
     // comparator cannot sort an array-valued column, so the oracle shape is
     // scalar per row (the ss_label_centroids pattern).
     df("ta_hash_embedding",
-      """WITH toks AS (SELECT doc_id, list_filter(
-        |  regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS w
-        |  FROM documents),
-        |tx AS (SELECT doc_id, unnest(w) AS t FROM toks),
-        |sx AS (SELECT doc_id,
-        |  CAST(floor(CAST(list_sum(list_transform(generate_series(1, 8),
-        |    i -> (strpos('0123456789abcdef',
-        |      substring(md5(concat('he', t)), i, 1)) - 1)
-        |      * 16.0 ** (8 - i))) AS DOUBLE) / 4294967296.0 * 64) AS INT) AS slot,
-        |  CASE WHEN CAST(list_sum(list_transform(generate_series(1, 8),
-        |    i -> (strpos('0123456789abcdef',
-        |      substring(md5(concat('hes', t)), i, 1)) - 1)
-        |      * 16.0 ** (8 - i))) AS DOUBLE) / 4294967296.0 < 0.5
-        |    THEN 1.0 ELSE -1.0 END AS sgn FROM tx),
-        |cnt AS (SELECT doc_id, slot, sum(sgn) AS s FROM sx GROUP BY doc_id, slot),
-        |ds AS (SELECT DISTINCT doc_id FROM cnt),
-        |grid AS (SELECT doc_id, d FROM ds CROSS JOIN generate_series(0, 63) t(d)),
-        |rawv AS (SELECT g.doc_id, list(coalesce(c.s, 0.0) ORDER BY g.d) AS raw
-        |  FROM grid g LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.slot = g.d
-        |  GROUP BY g.doc_id),
-        |n AS (SELECT doc_id, raw,
-        |  sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm FROM rawv),
-        |emb AS (SELECT doc_id, CASE WHEN nrm > 0
-        |  THEN list_transform(raw, x -> round(x / nrm, 4))
-        |  ELSE list_transform(raw, x -> 0.0) END AS embedding
-        |FROM n ORDER BY doc_id LIMIT 100)
+      s"""WITH ${DuckOracles.hashEmbedding64},
+        |emb AS (SELECT doc_id, embedding FROM hemb ORDER BY doc_id LIMIT 100)
         |SELECT doc_id, generate_subscripts(embedding, 1) AS d,
         |  unnest(embedding) AS val
         |FROM emb ORDER BY doc_id, d""".stripMargin) { (s, _) =>

@@ -386,4 +386,30 @@ class MultimodalSpec extends SparkTestBase {
     assert(graft.operators.Multimodal.imageFilter(withJunk)
       .where(col("decode_ok") && col("keep")).count() == 2L)
   }
+
+  test("imageTextAlignment: unit-vector towers give scores in [-1, 1], " +
+    "keep tracks the threshold exactly, the gate is deterministic, and " +
+    "an unmatched caption produces no row") {
+    Tables.register(spark, sfDir)
+    val docs = spark.table("documents").orderBy("doc_id").limit(20)
+    val media = graft.operators.Multimodal.pngFromDocuments(docs)
+    val got = graft.operators.Multimodal
+      .imageTextAlignment(media, spark.table("documents"), threshold = 0.0)
+      .orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    assert(got.length == 20, got.length)
+    assert(got.forall { case (_, s, _) => s >= -1.0001 && s <= 1.0001 }, got)
+    assert(got.forall { case (_, s, k) => k == (s >= 0.0) }, got)
+    // deterministic stub: a second run scores identically
+    val again = graft.operators.Multimodal
+      .imageTextAlignment(media, spark.table("documents"), threshold = 0.0)
+      .orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    assert(again == got)
+    // a stricter threshold only shrinks the kept set
+    val strictKept = graft.operators.Multimodal
+      .imageTextAlignment(media, spark.table("documents"), threshold = 0.2)
+      .where(col("keep")).count()
+    assert(strictKept <= got.count(_._3), s"$strictKept vs ${got.count(_._3)}")
+  }
 }
