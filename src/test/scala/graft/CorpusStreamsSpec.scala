@@ -226,6 +226,32 @@ class CorpusStreamsSpec extends SparkTestBase {
     assert(got == batch, s"stream $got vs batch $batch")
   }
 
+  test("imageTextAlignment runs on a live media stream against static " +
+    "captions (stream-static equi-join): per-item verdicts equal the " +
+    "batch gate's") {
+    import spark.implicits._
+    import graft.operators.MediaItem
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    Tables.register(spark, sfDir)
+    val docs = spark.table("documents").orderBy("doc_id").limit(6)
+    val items = graft.operators.Multimodal.pngFromDocuments(docs).collect()
+    val captions = spark.table("documents")
+    val in = MemoryStream[MediaItem]
+    val q = graft.operators.Multimodal
+      .imageTextAlignment(in.toDS(), captions, threshold = 0.0)
+      .writeStream.format("memory").queryName("aligngate")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    in.addData(items.toSeq)
+    val run = q.start(); run.awaitTermination(60000)
+    val got = spark.table("aligngate").orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    val batch = graft.operators.Multimodal
+      .imageTextAlignment(items.toSeq.toDS(), captions, threshold = 0.0)
+      .orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    assert(got.nonEmpty && got == batch, s"stream $got vs batch $batch")
+  }
+
   test("recrawl gate: new and changed pages flow with their status, " +
     "byte-identical refetches and unparseable URLs drop; verdicts equal " +
     "the batch crawlDelta's for every arriving URL") {
