@@ -327,10 +327,16 @@ object MultimodalQueries {
         |  FROM iv JOIN tv USING (media_id))
         |SELECT media_id, align_score, align_score >= 0.0 AS keep
         |FROM sc ORDER BY media_id""".stripMargin) { (s, _) =>
+      // captions restricted to the fixture's 150 docs — the id-keyed
+      // join restricts to them anyway (result-identical to passing the
+      // whole table, and the oracle's full-corpus hemb chain joins down
+      // to the same rows), but the caption tower then embeds only the
+      // matched captions: the production shape, scale-flat in the gate
       Multimodal.imageTextAlignment(
           Multimodal.pngFromDocuments(
             s.table("documents").orderBy("doc_id").limit(150)),
-          s.table("documents"), threshold = 0.0)
+          s.table("documents").orderBy("doc_id").limit(150),
+          threshold = 0.0)
         .orderBy("media_id")
     },
 
