@@ -20,6 +20,27 @@ object DuckOracles {
     * `Graphs.pageRank(iters = k)` parameter is oracle-covered solely at
     * k = 2 (every registry caller uses the default); a non-default
     * iters run is outside cross-engine coverage by construction. */
+  def pageRank2(nodeCol: String): String =
+    s"""nodes AS (SELECT src AS $nodeCol FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |ow AS (SELECT src, CAST(sum(w) AS DOUBLE) AS ow FROM e GROUP BY src),
+       |r0 AS (SELECT $nodeCol, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+       |c1 AS (SELECT e.dst, r0.rank * e.w / ow.ow AS c
+       |  FROM e JOIN ow USING (src) JOIN r0 ON r0.$nodeCol = e.src),
+       |i1 AS (SELECT dst, sum(CAST(round(c * 1e12) AS BIGINT)) / 1e12 AS infl
+       |  FROM c1 GROUP BY dst),
+       |r1 AS (SELECT $nodeCol, round(0.15 / nn.n
+       |    + 0.85 * coalesce(i1.infl, 0), 6) AS rank
+       |  FROM nodes CROSS JOIN nn LEFT JOIN i1 ON i1.dst = nodes.$nodeCol),
+       |c2 AS (SELECT e.dst, r1.rank * e.w / ow.ow AS c
+       |  FROM e JOIN ow USING (src) JOIN r1 ON r1.$nodeCol = e.src),
+       |i2 AS (SELECT dst, sum(CAST(round(c * 1e12) AS BIGINT)) / 1e12 AS infl
+       |  FROM c2 GROUP BY dst),
+       |r2 AS (SELECT $nodeCol, round(0.15 / nn.n
+       |    + 0.85 * coalesce(i2.infl, 0), 6) AS rank
+       |  FROM nodes CROSS JOIN nn LEFT JOIN i2 ON i2.dst = nodes.$nodeCol)"""
+      .stripMargin
+
   /** Shared hashed bag-of-words embedding chain (replays
     * [[graft.operators.TextAnalysis.hashEmbedding]] at dims=64 over the
     * `documents` table, salt "he"): md5-slot feature hashing, ±1 signs,
@@ -52,25 +73,4 @@ object DuckOracles {
       |  THEN list_transform(raw, x -> round(x / nrm, 4))
       |  ELSE list_transform(raw, x -> 0.0) END AS embedding
       |  FROM hen)""".stripMargin
-
-  def pageRank2(nodeCol: String): String =
-    s"""nodes AS (SELECT src AS $nodeCol FROM e UNION SELECT dst FROM e),
-       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-       |ow AS (SELECT src, CAST(sum(w) AS DOUBLE) AS ow FROM e GROUP BY src),
-       |r0 AS (SELECT $nodeCol, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
-       |c1 AS (SELECT e.dst, r0.rank * e.w / ow.ow AS c
-       |  FROM e JOIN ow USING (src) JOIN r0 ON r0.$nodeCol = e.src),
-       |i1 AS (SELECT dst, sum(CAST(round(c * 1e12) AS BIGINT)) / 1e12 AS infl
-       |  FROM c1 GROUP BY dst),
-       |r1 AS (SELECT $nodeCol, round(0.15 / nn.n
-       |    + 0.85 * coalesce(i1.infl, 0), 6) AS rank
-       |  FROM nodes CROSS JOIN nn LEFT JOIN i1 ON i1.dst = nodes.$nodeCol),
-       |c2 AS (SELECT e.dst, r1.rank * e.w / ow.ow AS c
-       |  FROM e JOIN ow USING (src) JOIN r1 ON r1.$nodeCol = e.src),
-       |i2 AS (SELECT dst, sum(CAST(round(c * 1e12) AS BIGINT)) / 1e12 AS infl
-       |  FROM c2 GROUP BY dst),
-       |r2 AS (SELECT $nodeCol, round(0.15 / nn.n
-       |    + 0.85 * coalesce(i2.infl, 0), 6) AS rank
-       |  FROM nodes CROSS JOIN nn LEFT JOIN i2 ON i2.dst = nodes.$nodeCol)"""
-      .stripMargin
 }

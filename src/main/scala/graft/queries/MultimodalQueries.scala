@@ -320,12 +320,16 @@ object MultimodalQueries {
         |  THEN 0.125 ELSE -0.125 END) AS iv FROM h),
         |${DuckOracles.hashEmbedding64},
         |tv AS (SELECT doc_id AS media_id, embedding AS tv FROM hemb),
-        |sc AS (SELECT media_id, round(
-        |  list_sum(list_transform(generate_series(1, 64), i -> iv[i] * tv[i]))
-        |  / (sqrt(list_sum(list_transform(iv, x -> x * x)))
-        |   * sqrt(list_sum(list_transform(tv, x -> x * x)))), 4) AS align_score
+        |sc AS (SELECT media_id,
+        |  CASE WHEN sqrt(list_sum(list_transform(tv, x -> x * x))) > 0
+        |    THEN round(
+        |      list_sum(list_transform(generate_series(1, 64), i -> iv[i] * tv[i]))
+        |      / (sqrt(list_sum(list_transform(iv, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(tv, x -> x * x)))), 4)
+        |    ELSE -1.0 END AS align_score,
+        |  (sqrt(list_sum(list_transform(tv, x -> x * x))) > 0) AS ok
         |  FROM iv JOIN tv USING (media_id))
-        |SELECT media_id, align_score, align_score >= 0.0 AS keep
+        |SELECT media_id, align_score, (ok AND align_score >= 0.0) AS keep
         |FROM sc ORDER BY media_id""".stripMargin) { (s, _) =>
       // captions restricted to the fixture's 150 docs — the id-keyed
       // join restricts to them anyway (result-identical to passing the
