@@ -418,10 +418,14 @@ object WebFilters {
     * trimmed), and the keep verdict: status 200 AND media type in
     * `keepMimes`. Map-only after the per-file record explode — the same
     * zero-shuffle shape as [[warcParse]], so at 100 TB the gate runs
-    * inside the archive scan. */
+    * inside the archive scan. `keepBody = true` appends the HTTP body
+    * itself as `http_body` — the composition form (gate → extraction in
+    * one pass); the default omits it so the inventory schema stays
+    * digest-sized. */
   def warcHttp(files: DataFrame, fileCol: String = "file_id",
                bodyCol: String = "body",
-               keepMimes: Seq[String] = Seq("text/html")): DataFrame = {
+               keepMimes: Seq[String] = Seq("text/html"),
+               keepBody: Boolean = false): DataFrame = {
     val recs = warcRecordFrames(files, fileCol, bodyCol)
     val p = col("__payload")
     val statusRaw = regexp_extract(p, "^HTTP/[0-9.]+[ \\t]+([0-9]{3})", 1)
@@ -441,7 +445,7 @@ object WebFilters {
     // (mime leg false), not a crash — the urlFilter blocklist convention
     val mimeOk = keepMimes.foldLeft(lit(false): Column)((acc, m) =>
       acc || mime === m.toLowerCase)
-    recs.select(col(fileCol), col("rec_idx"),
+    val base = recs.select(col(fileCol), col("rec_idx"),
       regexp_extract(col("__hdrs"), "(?im)^WARC-Target-URI:\\s*(\\S+)", 1)
         .as("target_uri"),
       status.as("http_status"), mime.as("mime"), charset.as("charset"),
@@ -450,7 +454,9 @@ object WebFilters {
       // when(), not status === 200 && …: a NULL status must verdict
       // false, and NULL && false is NULL in three-valued logic
       when(status.isNull, lit(false))
-        .otherwise(status === 200 && mimeOk).as("keep"))
+        .otherwise(status === 200 && mimeOk).as("keep"),
+      hBody.as("http_body"))
+    if (keepBody) base else base.drop("http_body")
   }
 
   /** Parse robots.txt bodies into per-host Allow/Disallow rules for the

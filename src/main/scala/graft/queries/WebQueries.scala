@@ -18,7 +18,7 @@ object WebQueries {
     * WebFilters.htmlFixture — 12-word lines from the shared lowercase
     * token contract, wrapped by line-length mod 3, boilerplate around).
     * Ends at fx(doc_id, html). */
-  private val duckHtmlFixture =
+  private val duckHtmlFixtureCore =
     """wx AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
       |    x -> len(x) > 0) AS w
       |  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 150) d),
@@ -26,7 +26,7 @@ object WebQueries {
       |    generate_series(1, CAST(ceil(len(w) / 12.0) AS INT)),
       |    i -> array_to_string(list_slice(w, (i-1)*12+1, i*12), ' ')) AS lines
       |  FROM wx WHERE len(w) > 0),
-      |fx AS (SELECT doc_id,
+      |hsrc AS (SELECT doc_id,
       |  '<html><head><title>Doc ' || doc_id || ' &amp; friends</title><style>p { margin: 0; }</style><script>var a = 1 && 2; if (a < 3) { a = 4; }</script></head>' ||
       |  '<body><nav><a href="/">Home</a> <a href="/cats">Cats</a> <a href="/dogs">Dogs</a></nav><!-- rendered by demo -->' ||
       |  '<div id="main"><p>Fish &amp; Chips &lt;deluxe edition&gt; from the corner shop</p><p>We work with the best of the best, and that is that.</p>' ||
@@ -36,6 +36,13 @@ object WebQueries {
       |       ELSE '<li>' || l || '</li>' END), '') ||
       |  '</div><footer><a href="/terms">Terms of service</a> <a href="/privacy">Privacy policy</a> <a href="/contact">Contact the team</a> (c) demo</footer></body></html>' AS html
       | FROM lx)""".stripMargin
+
+  /** The fixture under its classic name `fx` — every existing consumer
+    * (duckHtmlExtract etc.) reads fx; [[duckHtmlFixtureCore]] exists so a
+    * query can build fx DIFFERENTLY (e.g. ta_warc_e2e, whose fx is the
+    * HTML parsed back OUT of WARC+HTTP envelopes wrapping hsrc). */
+  private val duckHtmlFixture =
+    duckHtmlFixtureCore + ",\nfx AS (SELECT doc_id, html FROM hsrc)"
 
   /** Shared DuckDB extraction chain over fx (mirrors WebFilters.htmlExtract
     * block by block): drop head/script/style/comments, split at block tags,
@@ -460,6 +467,29 @@ object WebQueries {
       |    ELSE '' END AS payload
       |  FROM rx WHERE rec_idx > 0 AND rec <> '')""".stripMargin
 
+  /** Shared DuckDB HTTP-envelope parse chain (mirrors
+    * WebFilters.warcHttp's payload parsing): takes rv from
+    * [[duckWarcFrames]], splits the HTTP response at its first blank
+    * line, extracts status / media type / charset and the trimmed body.
+    * Ends at hz(file_id, rec_idx, hdrs, st, hb, mime, charset). */
+  private val duckWarcHttp =
+    """hp AS (SELECT file_id, rec_idx, hdrs,
+      |  coalesce(regexp_extract(payload, '^HTTP/[0-9.]+[ \t]+([0-9]{3})', 1), '') AS st,
+      |  CASE WHEN regexp_matches(payload, '\r?\n\r?\n')
+      |    THEN coalesce(regexp_extract(payload, '(?s)^(.*?)\r?\n\r?\n', 1), '')
+      |    ELSE payload END AS hh,
+      |  CASE WHEN regexp_matches(payload, '\r?\n\r?\n')
+      |    THEN regexp_replace(regexp_replace(payload, '(?s)^.*?\r?\n\r?\n', ''), '\s+$', '')
+      |    ELSE '' END AS hb
+      |  FROM rv),
+      |hm AS (SELECT file_id, rec_idx, hdrs, st, hb,
+      |  coalesce(regexp_extract(hh, '(?im)^Content-Type:[ \t]*([^\r\n]*)', 1), '') AS ct
+      |  FROM hp),
+      |hz AS (SELECT file_id, rec_idx, hdrs, st, hb,
+      |  lower(trim(coalesce(regexp_extract(ct, '^([^;]*)', 1), ''))) AS mime,
+      |  lower(coalesce(regexp_extract(ct, '(?i)charset[ \t]*=[ \t]*"?([A-Za-z0-9_.:-]+)', 1), '')) AS charset
+      |  FROM hm)""".stripMargin
+
   /** The Spark-side URL fixture — one URL shape per doc_id mod 6. */
   private def urlFixture(docs: org.apache.spark.sql.DataFrame) = {
     val grp = floor(col("doc_id") / 12).cast("long").cast("string")
@@ -783,22 +813,7 @@ object WebQueries {
         |  payload || chr(10) || chr(10) AS rec
         |  FROM pc),
         |$duckWarcFrames,
-        |hp AS (SELECT file_id, rec_idx, hdrs,
-        |  coalesce(regexp_extract(payload, '^HTTP/[0-9.]+[ \\t]+([0-9]{3})', 1), '') AS st,
-        |  CASE WHEN regexp_matches(payload, '\\r?\\n\\r?\\n')
-        |    THEN coalesce(regexp_extract(payload, '(?s)^(.*?)\\r?\\n\\r?\\n', 1), '')
-        |    ELSE payload END AS hh,
-        |  CASE WHEN regexp_matches(payload, '\\r?\\n\\r?\\n')
-        |    THEN regexp_replace(regexp_replace(payload, '(?s)^.*?\\r?\\n\\r?\\n', ''), '\\s+$$', '')
-        |    ELSE '' END AS hb
-        |  FROM rv),
-        |hm AS (SELECT file_id, rec_idx, hdrs, st, hb,
-        |  coalesce(regexp_extract(hh, '(?im)^Content-Type:[ \\t]*([^\\r\\n]*)', 1), '') AS ct
-        |  FROM hp),
-        |hz AS (SELECT file_id, rec_idx, hdrs, st, hb,
-        |  lower(trim(coalesce(regexp_extract(ct, '^([^;]*)', 1), ''))) AS mime,
-        |  lower(coalesce(regexp_extract(ct, '(?i)charset[ \\t]*=[ \\t]*"?([A-Za-z0-9_.:-]+)', 1), '')) AS charset
-        |  FROM hm)
+        |$duckWarcHttp
         |SELECT file_id, CAST(rec_idx AS BIGINT) AS rec_idx,
         |  coalesce(regexp_extract(hdrs, '(?im)^WARC-Target-URI:\\s*(\\S+)', 1), '') AS target_uri,
         |  CAST(nullif(st, '') AS INT) AS http_status,
@@ -1067,6 +1082,82 @@ object WebQueries {
             when(WebFilters.htmlCharset(col("html")) === "", lit(null))
               .otherwise(WebFilters.htmlCharset(col("html"))),
             lit("utf-8")).as("effective"))
+        .orderBy("doc_id")
+    },
+
+    // the round-16 stack END TO END in one query: WARC bytes -> HTTP
+    // envelope gate (404s drop) -> main-content extraction on the parsed
+    // bodies -> meta-robots index/follow verdicts -> nofollow-aware
+    // outlink counts. Every stage replayed in DuckDB on the same bytes
+    // via the shared warc/http/extract fragments
+    df("ta_warc_e2e",
+      s"""WITH $duckHtmlFixtureCore,
+         |mx AS (SELECT doc_id, html || CASE doc_id % 5
+         |  WHEN 0 THEN '<meta name="robots" content="noindex, nofollow">'
+         |  WHEN 1 THEN '<meta content="nofollow" name="robots">'
+         |  WHEN 2 THEN '<meta name="ROBOTS" content="NONE">'
+         |  WHEN 3 THEN '<meta name="robots" content="noindexing, follow"><meta name="description" content="noindex">'
+         |  ELSE '<meta data-name="robots" content="noindex">' END ||
+         |  '<p><a rel="nofollow" href="/paid">sponsored link</a></p>' AS html
+         |  FROM hsrc),
+         |pc AS (SELECT doc_id, doc_id // 10 AS file_id,
+         |  CASE WHEN doc_id % 7 = 0
+         |    THEN 'HTTP/1.1 404 Not Found' || chr(10) || 'Content-Type: text/html'
+         |      || chr(10) || chr(10) || 'gone: ' || doc_id
+         |    ELSE 'HTTP/1.1 200 OK' || chr(10) || 'Content-Type: text/html; charset=UTF-8'
+         |      || chr(10) || chr(10) || html END AS payload
+         |  FROM mx),
+         |rc AS (SELECT doc_id, file_id,
+         |  'WARC/1.0' || chr(10) || 'WARC-Target-URI: https://docs.example.org/d/' || doc_id
+         |  || chr(10) || 'Content-Length: ' || len(payload) || chr(10) || chr(10)
+         |  || payload || chr(10) || chr(10) AS rec
+         |  FROM pc),
+         |$duckWarcFrames,
+         |$duckWarcHttp,
+         |fx AS (SELECT CAST(regexp_extract(
+         |    coalesce(regexp_extract(hdrs, '(?im)^WARC-Target-URI:\\s*(\\S+)', 1), ''),
+         |    '/d/([0-9]+)$$', 1) AS BIGINT) AS doc_id, hb AS html
+         |  FROM hz WHERE st <> '' AND CAST(st AS INT) = 200 AND mime = 'text/html'),
+         |$duckHtmlExtract,
+         |mc2 AS (SELECT doc_id, list_concat(
+         |  regexp_extract_all(html, '(?is)<meta\\b[^>]*?[\\s"'']name\\s*=\\s*"robots"[^>]*?[\\s"'']content\\s*=\\s*"([^"]*)"', 1),
+         |  regexp_extract_all(html, '(?is)<meta\\b[^>]*?[\\s"'']content\\s*=\\s*"([^"]*)"[^>]*?[\\s"'']name\\s*=\\s*"robots"', 1)) AS cs
+         |  FROM fx),
+         |md2 AS (SELECT doc_id,
+         |  len(list_filter(cs, c -> regexp_matches(lower(c), '(^|,)\\s*(noindex|none)\\s*(,|$$)'))) > 0 AS noindex,
+         |  len(list_filter(cs, c -> regexp_matches(lower(c), '(^|,)\\s*(nofollow|none)\\s*(,|$$)'))) > 0 AS nofollow
+         |  FROM mc2),
+         |tg2 AS (SELECT f.doc_id,
+         |  unnest(regexp_extract_all(f.html, '(?is)<a\\b[^>]*?[\\s"'']href\\s*=\\s*"[^"]*"[^>]*>', 0)) AS tag
+         |  FROM fx f JOIN md2 USING (doc_id) WHERE NOT md2.nofollow),
+         |tk2 AS (SELECT doc_id FROM tg2 WHERE NOT regexp_matches(
+         |  lower(coalesce(regexp_extract(tag, '(?is)[\\s"'']rel\\s*=\\s*"([^"]*)"', 1), '')),
+         |  '(^|[\\s,])nofollow([\\s,]|$$)')),
+         |fl2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_follow_links
+         |  FROM tk2 GROUP BY doc_id)
+         |SELECT ag.doc_id, ag.kept_blocks, md5(ag.body) AS content_digest,
+         |  md2.noindex, md2.nofollow,
+         |  coalesce(fl2.n_follow_links, 0) AS n_follow_links
+         |FROM ag JOIN md2 USING (doc_id) LEFT JOIN fl2 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, _) =>
+      val kept = WebFilters
+        .warcHttp(warcE2eFixture(s.table("documents")), keepBody = true)
+        .where(col("keep"))
+      val pages = kept.select(
+        regexp_extract(col("target_uri"), "/d/([0-9]+)$", 1).cast("long")
+          .as("doc_id"),
+        col("target_uri").as("base_url"), col("http_body").as("html"))
+      val ex = WebFilters.htmlExtract(pages)
+        .select("doc_id", "kept_blocks", "content_digest")
+      val meta = pages.select(col("doc_id"),
+        WebFilters.metaNoindex(col("html")).as("noindex"),
+        WebFilters.metaNofollow(col("html")).as("nofollow"))
+      val fl = WebFilters.followLinks(pages).groupBy("doc_id")
+        .agg(count(lit(1)).as("n_follow_links"))
+      ex.join(meta, "doc_id").join(fl, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("kept_blocks"), col("content_digest"),
+          col("noindex"), col("nofollow"),
+          coalesce(col("n_follow_links"), lit(0L)).as("n_follow_links"))
         .orderBy("doc_id")
     },
 
@@ -1738,6 +1829,34 @@ object WebQueries {
         lit("?b=2\"><link rel=\"stylesheet\" href=\"/css/x.css\">" +
           "<link rel=\"alternate\" href=\"/feed.xml\">" +
           "</head><body>p</body></html>")).as("html"))
+  }
+
+  /** Spark-side WARC e2e fixture (mirrors ta_warc_e2e's mx/pc/rc chain
+    * byte for byte): the html fixture pages plus the meta-robots arm and
+    * a rel=nofollow sponsor anchor, wrapped as HTTP responses (every 7th
+    * page a 404 the gate must drop) inside WARC records, 10 per file. */
+  private def warcE2eFixture(docs: org.apache.spark.sql.DataFrame) = {
+    val id = col("doc_id").cast("string")
+    val pg = WebFilters.htmlFixture(docs)
+      .withColumn("html", concat(col("html"), metaRobotsHtml(col("doc_id")),
+        lit("<p><a rel=\"nofollow\" href=\"/paid\">sponsored link</a></p>")))
+    val payload = when(col("doc_id") % 7 === 0,
+      concat(lit("HTTP/1.1 404 Not Found\nContent-Type: text/html\n\ngone: "),
+        id))
+      .otherwise(concat(
+        lit("HTTP/1.1 200 OK\nContent-Type: text/html; charset=UTF-8\n\n"),
+        col("html")))
+    val recs = pg.select(col("doc_id"),
+        floor(col("doc_id") / 10).cast("long").as("file_id"),
+        payload.as("payload"))
+      .select(col("doc_id"), col("file_id"), concat(
+        lit("WARC/1.0\nWARC-Target-URI: https://docs.example.org/d/"), id,
+        lit("\nContent-Length: "), length(col("payload")).cast("string"),
+        lit("\n\n"), col("payload"), lit("\n\n")).as("rec"))
+    recs.groupBy("file_id").agg(
+      concat_ws("", transform(
+        array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+        x => x.getField("rec"))).as("body"))
   }
 
   /** Spark-side pagination fixture: 50 three-page article chains (grp =
