@@ -1117,7 +1117,7 @@ object WebQueries {
          |fx AS (SELECT CAST(regexp_extract(
          |    coalesce(regexp_extract(hdrs, '(?im)^WARC-Target-URI:\\s*(\\S+)', 1), ''),
          |    '/d/([0-9]+)$$', 1) AS BIGINT) AS doc_id, hb AS html
-         |  FROM hz WHERE st <> '' AND CAST(st AS INT) = 200 AND mime = 'text/html'),
+         |  FROM hz WHERE CAST(nullif(st, '') AS INT) = 200 AND mime = 'text/html'),
          |$duckHtmlExtract,
          |mc2 AS (SELECT doc_id, list_concat(
          |  regexp_extract_all(html, '(?is)<meta\\b[^>]*?[\\s"'']name\\s*=\\s*"robots"[^>]*?[\\s"'']content\\s*=\\s*"([^"]*)"', 1),
