@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QSpec
 import graft.QSpec._
-import graft.operators.{CorpusFilters, Dedup, Events, Similarity, TextAnalysis}
+import graft.operators.{CorpusFilters, Dedup, Events, RetrievalEval, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators (dedup, similarity search, text
@@ -762,6 +762,58 @@ object TrainingData {
         |ORDER BY mmr_rank""".stripMargin) { (s, _) =>
       Similarity.mmrTopK(s.table("embeddings"), queryId = 7, k = 10,
         pool = 20, mmrLambda = 0.7)
+    },
+
+    // retrieval-evaluation metrics (recall@k / MRR@k / nDCG@k — what the
+    // ANN family is tuned against): arithmetic result/judgment fixture
+    // with three per-query classes (dense hits incl. judged-irrelevant
+    // ranks, sparse hits, zero hits), DCG discounts embedded as the SAME
+    // Scala-computed double literals in both engines (libm log2 may
+    // differ in the last ulp; a shared literal cannot), DCG row sums
+    // nano-unit quantized
+    df("ss_retrieval_eval",
+      s"""WITH q2 AS (SELECT unnest(generate_series(0, 19)) AS qid),
+         |rs AS (SELECT qid AS query_id, r AS rank,
+         |    (qid*7 + (r+2)*(1 + qid%3)) % 50 AS doc_id
+         |  FROM q2 CROSS JOIN generate_series(1, 10) t(r)),
+         |qr AS (SELECT qid AS query_id, (qid*7 + g) % 50 AS doc_id,
+         |    g % 4 AS grade
+         |  FROM q2 CROSS JOIN generate_series(1, 8) t2(g)),
+         |ws AS (SELECT [${(1 to 10).map(r =>
+             RetrievalEval.dcgWeight(r).toString).mkString(", ")}] AS w),
+         |tr AS (SELECT query_id,
+         |    count(CASE WHEN grade > 0 THEN 1 END) AS n_relevant,
+         |    list(grade ORDER BY grade DESC) FILTER (WHERE grade > 0) AS gs
+         |  FROM qr GROUP BY query_id
+         |  HAVING count(CASE WHEN grade > 0 THEN 1 END) > 0),
+         |ti AS (SELECT query_id, n_relevant,
+         |    list_sum(list_transform(generate_series(1, least(len(gs), 10)),
+         |      i -> (2.0 ** gs[i] - 1) * w[i])) AS idcg
+         |  FROM tr CROSS JOIN ws),
+         |ht AS (SELECT r.query_id, r.rank, q.grade
+         |  FROM rs r JOIN qr q USING (query_id, doc_id) WHERE r.rank <= 10),
+         |pq AS (SELECT ht.query_id,
+         |    count(CASE WHEN grade > 0 THEN 1 END) AS hit,
+         |    min(CASE WHEN grade > 0 THEN rank END) AS first,
+         |    sum(CAST(round(((2.0 ** grade - 1) * w[rank]) * 1e9) AS BIGINT)) / 1e9 AS dcg
+         |  FROM ht CROSS JOIN ws GROUP BY ht.query_id)
+         |SELECT ti.query_id, CAST(ti.n_relevant AS BIGINT) AS n_relevant,
+         |  round(coalesce(pq.hit, 0) / CAST(ti.n_relevant AS DOUBLE), 6) AS recall,
+         |  round(coalesce(1.0 / pq.first, 0.0), 6) AS rr,
+         |  round(coalesce(pq.dcg, 0.0) / ti.idcg, 6) AS ndcg
+         |FROM ti LEFT JOIN pq USING (query_id)
+         |ORDER BY query_id""".stripMargin) { (s, _) =>
+      val results = s.range(20).select(col("id").as("query_id"),
+          explode(sequence(lit(1), lit(10))).as("rank"))
+        .select(col("query_id"), col("rank"),
+          ((col("query_id") * 7 + (col("rank") + 2) *
+            (lit(1) + col("query_id") % 3)) % 50).as("doc_id"))
+      val qrels = s.range(20).select(col("id").as("query_id"),
+          explode(sequence(lit(1), lit(8))).as("g"))
+        .select(col("query_id"),
+          ((col("query_id") * 7 + col("g")) % 50).as("doc_id"),
+          (col("g") % 4).as("grade"))
+      RetrievalEval.evaluate(results, qrels, k = 10).orderBy("query_id")
     },
 
     df("ss_lsh_buckets",

@@ -871,4 +871,38 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
     assert(short.length == 3 && short.map(_._1) == Seq(1, 2, 3), short)
   }
+
+  test("RetrievalEval: recall counts distinct relevant hits within k, MRR " +
+    "is the first relevant rank's reciprocal, nDCG matches a hand " +
+    "computation, zero-hit and no-positive-judgment queries behave") {
+    import spark.implicits._
+    import graft.operators.RetrievalEval
+    val results = Seq(
+      // q1: first relevant at rank 2; rank 1 unjudged; relevant at rank 4
+      // sits past k=3; a judged-irrelevant doc at rank 3
+      (1L, 101L, 1), (1L, 102L, 2), (1L, 103L, 3), (1L, 104L, 4),
+      // q2: nothing relevant retrieved
+      (2L, 201L, 1), (2L, 202L, 2),
+      // q3: all judgments are grade 0 -> the query drops entirely
+      (3L, 301L, 1)
+    ).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq(
+      (1L, 102L, 3), (1L, 103L, 0), (1L, 104L, 2), (1L, 105L, 1),
+      (2L, 299L, 1),
+      (3L, 301L, 0)
+    ).toDF("query_id", "doc_id", "grade")
+    val got = RetrievalEval.evaluate(results, qrels, k = 3)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    // q1: 3 relevant judged; only doc 102 (grade 3) hits within k=3 ->
+    // recall 1/3, rr = 1/2; dcg = 7*w2, idcg = 7*w1 + 3*w2 + 1*w3
+    val w = (1 to 3).map(RetrievalEval.dcgWeight)
+    val ndcg1 = BigDecimal(
+      math.round(7 * w(1) * 1e9) / 1e9 / (7 * w(0) + 3 * w(1) + 1 * w(2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      (1L, 3L, 0.333333, 0.5, ndcg1),
+      (2L, 1L, 0.0, 0.0, 0.0)), got)
+  }
 }
