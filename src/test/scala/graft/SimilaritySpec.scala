@@ -905,4 +905,39 @@ class SimilaritySpec extends SparkTestBase {
       (1L, 3L, 0.333333, 0.5, ndcg1),
       (2L, 1L, 0.0, 0.0, 0.0)), got)
   }
+
+  test("RetrievalEval wired to a real index: IVF results scored against " +
+    "the exact-cosine truth — recall/rr floors hold and a perfect list " +
+    "scores ndcg 1") {
+    import graft.operators.RetrievalEval
+    import org.apache.spark.sql.expressions.Window
+    val queries = Seq(3L, 7L, 11L)
+    def withRank(df: org.apache.spark.sql.DataFrame, q: Long) =
+      df.select(lit(q).as("query_id"), col("vec_id").as("doc_id"),
+        row_number().over(
+          Window.partitionBy().orderBy(col("sim").desc, col("vec_id")))
+          .as("rank"))
+    val results = queries.map(q =>
+      withRank(Similarity.annTopKIvf(emb, q, k = 10, centroids = 8,
+        nprobe = 2, dims = 64), q)).reduce(_ unionByName _)
+    val qrels = queries.map(q =>
+      Similarity.cosineTopK(emb, q, k = 10)
+        .select(lit(q).as("query_id"), col("vec_id").as("doc_id"),
+          lit(1).as("grade"))).reduce(_ unionByName _)
+    val ev = RetrievalEval.evaluate(results, qrels, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(ev.length == queries.length, ev)
+    // nprobe=2 of 8 cells is deliberately non-exhaustive (measured
+    // recall 0.3-0.6 on this corpus — the metric has real signal);
+    // floors sit under the measured band
+    ev.foreach { case (q, recall, rr, ndcg) =>
+      assert(recall >= 0.25 && rr >= 0.5 && ndcg >= 0.4, s"q$q: $ev") }
+    // the exact list scored against itself is perfect on every metric
+    val self = RetrievalEval.evaluate(
+      queries.map(q => withRank(Similarity.cosineTopK(emb, q, 10), q))
+        .reduce(_ unionByName _), qrels, k = 10)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(self.forall(_ == ((1.0, 1.0, 1.0))), self.toSeq)
+  }
 }
