@@ -306,7 +306,7 @@ object Multimodal {
     img.join(txt, "media_id")
       .select(col("media_id"),
         when(tvNorm > 0,
-          round(Similarity.cosine(col("__iv"), col("__tv")), 4))
+          Similarity.roundZ(Similarity.cosine(col("__iv"), col("__tv")), 4))
           .otherwise(lit(-1.0)).as("align_score"),
         (tvNorm > 0).as("__ok"))
       .select(col("media_id"), col("align_score"),

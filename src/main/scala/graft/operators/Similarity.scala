@@ -47,6 +47,20 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** round(x, d) with the ZERO SIGN normalized: quantizes through an
+    * integer — `(round(x·10^d) as long) / 10^d` — so a tiny-negative
+    * value that rounds to zero emits +0.0 in BOTH Spark and DuckDB.
+    * Spark's BigDecimal HALF_UP round drops the sign (+0.0) where
+    * DuckDB's round keeps it (−0.0); the driver's correctness hash is
+    * bit-sensitive to the difference (r16's one FAIL). Use this, not
+    * bare round(x, d), for any rounded score that can land on exact
+    * zero from a negative (cosines, centered scores). Oracle twin:
+    * `round(x * 10^d)::BIGINT / 10^d.0`. */
+  def roundZ(c: Column, d: Int): Column = {
+    val p = math.pow(10, d)
+    round(c * lit(p), 0).cast("long") / lit(p)
+  }
+
   /** Matryoshka truncation (Kusupati et al. 2022, "Matryoshka
     * Representation Learning"): keep the first `dims` coordinates and
     * L2-renormalize — the nested-prefix trick for progressively cheaper

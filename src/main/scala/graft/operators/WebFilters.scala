@@ -552,12 +552,17 @@ object WebFilters {
     * wildcards. Hosts with no matching rule are unblocked — robots
     * absence means allow.
     *
-    * Shape: rules collapse to one (host, rules[]) row per host — robots
-    * rule sets are tiny — with the regex compiled ONCE per rule on the
-    * rules side, then BROADCAST onto the URL frame; the verdict is a
+    * Shape: rules collapse to one (host, rules[]) row per host with the
+    * regex compiled ONCE per rule on the rules side; the join strategy
+    * is left to Catalyst size stats + AQE, NOT force-hinted — each rule
+    * set is tiny but the frame is DISTINCT-HOSTS-proportional, and a
+    * real crawl has 10⁷–10⁸ robots-bearing hosts (tens of GB — a forced
+    * broadcast is a driver OOM at that scale). A small rules frame still
+    * broadcasts (stats-driven, PlanSpec-pinned); a huge one shuffles
+    * hash-join on the uniform `host` key. The verdict itself is a
     * map-only fold over the array (most-specific match carried in the
     * accumulator), so the operator is ROW-PRESERVING (duplicate input
-    * rows stay duplicate) and the big side never shuffles. */
+    * rows stay duplicate). */
   def robotsFilter(urls: DataFrame, rules: DataFrame,
                    urlCol: String = "url"): DataFrame = {
     val u = col(urlCol)
@@ -604,7 +609,7 @@ object WebFilters {
           struct(rlen.as("len"), r("allow").as("allow")))
           .otherwise(acc)
       })
-    keyed.join(broadcast(ruleSets), Seq("host"), "left")
+    keyed.join(ruleSets, Seq("host"), "left")
       .withColumn("robots_blocked", coalesce(!best("allow"), lit(false)))
       .drop("__rules")
   }
@@ -779,11 +784,14 @@ object WebFilters {
     regexp_extract_all(html, lit("(?is)<meta\\b[^>]*?[\\s\"']content\\s*=" +
       "\\s*\"([^\"]*)\"[^>]*?[\\s\"']name\\s*=\\s*\"robots\""), lit(1)))
 
-  // token-anchored within the comma-separated directive list: 'noindexing'
-  // must not read as noindex; 'none' implies both directives
+  // token-anchored within the directive list: 'noindexing' must not read
+  // as noindex; 'none' implies both directives. Commas are the spec'd
+  // separator but real crawlers/search engines also accept bare
+  // whitespace (content="noindex nofollow") — missing that keeps an
+  // opted-out page in the corpus, so whitespace is a boundary too
   private def hasRobotsToken(contents: Column, token: String): Column =
     exists(contents, c =>
-      lower(c).rlike("(^|,)\\s*(" + token + "|none)\\s*(,|$)"))
+      lower(c).rlike("(^|[\\s,])\\s*(" + token + "|none)\\s*([\\s,]|$)"))
 
   /** TRUE iff any meta-robots directive of the page says `noindex` (or
     * `none`) — the page asks to stay OUT of the corpus/index; most-

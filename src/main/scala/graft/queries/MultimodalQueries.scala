@@ -325,7 +325,8 @@ object MultimodalQueries {
         |    THEN round(
         |      list_sum(list_transform(generate_series(1, 64), i -> iv[i] * tv[i]))
         |      / (sqrt(list_sum(list_transform(iv, x -> x * x)))
-        |       * sqrt(list_sum(list_transform(tv, x -> x * x)))), 4)
+        |       * sqrt(list_sum(list_transform(tv, x -> x * x)))) * 10000)::BIGINT
+        |      / 10000.0
         |    ELSE -1.0 END AS align_score,
         |  (sqrt(list_sum(list_transform(tv, x -> x * x))) > 0) AS ok
         |  FROM iv JOIN tv USING (media_id))

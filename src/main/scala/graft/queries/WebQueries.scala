@@ -832,20 +832,21 @@ object WebQueries {
     // noindex), name-mismatch and data-name decoys that must not match
     df("ta_meta_robots",
       s"""WITH $duckHtmlFixture,
-         |mx AS (SELECT doc_id, html || CASE doc_id % 5
+         |mx AS (SELECT doc_id, html || CASE doc_id % 6
          |  WHEN 0 THEN '<meta name="robots" content="noindex, nofollow">'
          |  WHEN 1 THEN '<meta content="nofollow" name="robots">'
          |  WHEN 2 THEN '<meta name="ROBOTS" content="NONE">'
          |  WHEN 3 THEN '<meta name="robots" content="noindexing, follow"><meta name="description" content="noindex">'
-         |  ELSE '<meta data-name="robots" content="noindex">' END AS html
+         |  WHEN 4 THEN '<meta data-name="robots" content="noindex">'
+         |  ELSE '<meta name="robots" content="noindex nofollow">' END AS html
          |  FROM fx),
          |mc AS (SELECT doc_id, list_concat(
          |  regexp_extract_all(html, '(?is)<meta\\b[^>]*?[\\s"'']name\\s*=\\s*"robots"[^>]*?[\\s"'']content\\s*=\\s*"([^"]*)"', 1),
          |  regexp_extract_all(html, '(?is)<meta\\b[^>]*?[\\s"'']content\\s*=\\s*"([^"]*)"[^>]*?[\\s"'']name\\s*=\\s*"robots"', 1)) AS cs
          |  FROM mx),
          |md AS (SELECT doc_id,
-         |  len(list_filter(cs, c -> regexp_matches(lower(c), '(^|,)\\s*(noindex|none)\\s*(,|$$)'))) > 0 AS noindex,
-         |  len(list_filter(cs, c -> regexp_matches(lower(c), '(^|,)\\s*(nofollow|none)\\s*(,|$$)'))) > 0 AS nofollow
+         |  len(list_filter(cs, c -> regexp_matches(lower(c), '(^|[\\s,])\\s*(noindex|none)\\s*([\\s,]|$$)'))) > 0 AS noindex,
+         |  len(list_filter(cs, c -> regexp_matches(lower(c), '(^|[\\s,])\\s*(nofollow|none)\\s*([\\s,]|$$)'))) > 0 AS nofollow
          |  FROM mc)
          |SELECT doc_id, noindex, nofollow, NOT noindex AS index_keep
          |FROM md ORDER BY doc_id""".stripMargin) { (s, _) =>
@@ -878,7 +879,7 @@ object WebQueries {
          |  WHERE len(list_filter(list_concat(
          |    regexp_extract_all(html, '(?is)<meta\\b[^>]*?[\\s"'']name\\s*=\\s*"robots"[^>]*?[\\s"'']content\\s*=\\s*"([^"]*)"', 1),
          |    regexp_extract_all(html, '(?is)<meta\\b[^>]*?[\\s"'']content\\s*=\\s*"([^"]*)"[^>]*?[\\s"'']name\\s*=\\s*"robots"', 1)),
-         |    c -> regexp_matches(lower(c), '(^|,)\\s*(nofollow|none)\\s*(,|$$)'))) = 0),
+         |    c -> regexp_matches(lower(c), '(^|[\\s,])\\s*(nofollow|none)\\s*([\\s,]|$$)'))) = 0),
          |tg AS (SELECT doc_id, base_url,
          |  unnest(regexp_extract_all(html, '(?is)<a\\b[^>]*?[\\s"'']href\\s*=\\s*"[^"]*"[^>]*>', 0)) AS tag
          |  FROM mf),
@@ -1092,12 +1093,13 @@ object WebQueries {
     // via the shared warc/http/extract fragments
     df("ta_warc_e2e",
       s"""WITH $duckHtmlFixtureCore,
-         |mx AS (SELECT doc_id, html || CASE doc_id % 5
+         |mx AS (SELECT doc_id, html || CASE doc_id % 6
          |  WHEN 0 THEN '<meta name="robots" content="noindex, nofollow">'
          |  WHEN 1 THEN '<meta content="nofollow" name="robots">'
          |  WHEN 2 THEN '<meta name="ROBOTS" content="NONE">'
          |  WHEN 3 THEN '<meta name="robots" content="noindexing, follow"><meta name="description" content="noindex">'
-         |  ELSE '<meta data-name="robots" content="noindex">' END ||
+         |  WHEN 4 THEN '<meta data-name="robots" content="noindex">'
+         |  ELSE '<meta name="robots" content="noindex nofollow">' END ||
          |  '<p><a rel="nofollow" href="/paid">sponsored link</a></p>' AS html
          |  FROM hsrc),
          |pc AS (SELECT doc_id, doc_id // 10 AS file_id,
@@ -1124,8 +1126,8 @@ object WebQueries {
          |  regexp_extract_all(html, '(?is)<meta\\b[^>]*?[\\s"'']content\\s*=\\s*"([^"]*)"[^>]*?[\\s"'']name\\s*=\\s*"robots"', 1)) AS cs
          |  FROM fx),
          |md2 AS (SELECT doc_id,
-         |  len(list_filter(cs, c -> regexp_matches(lower(c), '(^|,)\\s*(noindex|none)\\s*(,|$$)'))) > 0 AS noindex,
-         |  len(list_filter(cs, c -> regexp_matches(lower(c), '(^|,)\\s*(nofollow|none)\\s*(,|$$)'))) > 0 AS nofollow
+         |  len(list_filter(cs, c -> regexp_matches(lower(c), '(^|[\\s,])\\s*(noindex|none)\\s*([\\s,]|$$)'))) > 0 AS noindex,
+         |  len(list_filter(cs, c -> regexp_matches(lower(c), '(^|[\\s,])\\s*(nofollow|none)\\s*([\\s,]|$$)'))) > 0 AS nofollow
          |  FROM mc2),
          |tg2 AS (SELECT f.doc_id,
          |  unnest(regexp_extract_all(f.html, '(?is)<a\\b[^>]*?[\\s"'']href\\s*=\\s*"[^"]*"[^>]*>', 0)) AS tag
@@ -1753,18 +1755,21 @@ object WebQueries {
   }
 
   /** Spark twin of ta_meta_robots' mx suffix — one meta-robots shape per
-    * doc_id mod 5 (both attribute orders, case, 'none', the token and
-    * name/data-name decoys). */
+    * doc_id mod 6 (both attribute orders, case, 'none', the token and
+    * name/data-name decoys, and the space-separated directive list real
+    * crawlers accept). */
   private def metaRobotsHtml(docId: Column): Column =
-    when(docId % 5 === 0,
+    when(docId % 6 === 0,
       lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
-      .when(docId % 5 === 1,
+      .when(docId % 6 === 1,
         lit("<meta content=\"nofollow\" name=\"robots\">"))
-      .when(docId % 5 === 2, lit("<meta name=\"ROBOTS\" content=\"NONE\">"))
-      .when(docId % 5 === 3,
+      .when(docId % 6 === 2, lit("<meta name=\"ROBOTS\" content=\"NONE\">"))
+      .when(docId % 6 === 3,
         lit("<meta name=\"robots\" content=\"noindexing, follow\">" +
           "<meta name=\"description\" content=\"noindex\">"))
-      .otherwise(lit("<meta data-name=\"robots\" content=\"noindex\">"))
+      .when(docId % 6 === 4,
+        lit("<meta data-name=\"robots\" content=\"noindex\">"))
+      .otherwise(lit("<meta name=\"robots\" content=\"noindex nofollow\">"))
 
   /** Spark-side fixture for ta_follow_links (mirrors its nf CTE byte for
     * byte): per page five anchors — plain keep, rel=nofollow drop,

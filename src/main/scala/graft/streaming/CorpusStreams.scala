@@ -223,10 +223,11 @@ object CorpusStreams {
     * by the RFC 9309 verdict of
     * [[graft.operators.WebFilters.robotsFilter]] — rules are a BATCH
     * frame (robots fetches are tiny and slow-moving), collapsed to one
-    * broadcast (host, rules[]) row per host with patterns pre-compiled,
-    * and the verdict is a map-only fold per arriving URL, so the gate
-    * attaches to any streaming plan in append mode (stream-static
-    * broadcast join, no state, row-preserving before the filter).
+    * (host, rules[]) row per host with patterns pre-compiled, and the
+    * verdict is a map-only fold per arriving URL, so the gate attaches
+    * to any streaming plan in append mode (stream-static join — the
+    * planner broadcasts a stats-small rules frame, no force hint; no
+    * state, row-preserving before the filter).
     * Blocked URLs drop; the annotation columns robotsFilter adds
     * (host, path, robots_blocked) are dropped again — a gate filters,
     * it does not annotate — and a caller's OWN host/path columns are

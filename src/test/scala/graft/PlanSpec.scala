@@ -747,8 +747,9 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("robots filter broadcasts the per-host rule arrays; the URL side " +
-    "never shuffles and the verdict is a row-local fold") {
+  test("robots filter: SMALL rule frames broadcast (stats-driven, no " +
+    "force hint); the URL side never shuffles and the verdict is a " +
+    "row-local fold") {
     import spark.implicits._
     val rules = graft.operators.WebFilters.robotsRules(Seq(
       ("a.org", "User-agent: *\nDisallow: /x/\nAllow: /x/pub/\n" +
@@ -763,6 +764,44 @@ class PlanSpec extends SparkTestBase {
     // allowed is the tiny rules-side groupBy(host)
     assert(!p.contains("hashpartitioning(doc_id") &&
       !p.contains("hashpartitioning(url"), p)
+  }
+
+  test("robots filter: a LARGE rule frame shuffles instead of " +
+    "broadcasting — the hint is size-conditional, not forced (a real " +
+    "crawl has 10^7-10^8 robots hosts; a forced broadcast is a driver " +
+    "OOM)") {
+    import spark.implicits._
+    val rules = graft.operators.WebFilters.robotsRules(Seq(
+      ("a.org", "User-agent: *\nDisallow: /x/")).toDF("host", "body"))
+    val urls = spark.range(1000).select(col("id").as("doc_id"),
+      concat(lit("http://a.org/p/"), col("id").cast("string")).as("url"))
+    // model "rules side over the broadcast ceiling" by lowering the
+    // ceiling to zero: with no force hint the planner MUST fall back to
+    // a shuffle join — a hard broadcast() hint would ignore this
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      .getOrElse("10MB")
+    val prevAqe =
+      spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        .getOrElse("")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val df = graft.operators.WebFilters.robotsFilter(urls, rules)
+      val p = plan(df)
+      assert(!p.contains("BroadcastExchange"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      // and the verdict is still correct on the shuffle path
+      assert(df.where(col("robots_blocked")).count() === 0)
+      val blocked = graft.operators.WebFilters.robotsFilter(
+        Seq("http://a.org/x/a", "http://a.org/pub").toDF("url"), rules)
+      assert(blocked.where(col("robots_blocked"))
+        .select("url").as[String].collect().toSeq === Seq("http://a.org/x/a"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      if (prevAqe.nonEmpty)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
+      else spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
   }
 
   test("seqPack's prefix sum windows per physical partition with " +

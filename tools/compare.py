@@ -11,7 +11,7 @@ Spark's int64 must FAIL here exactly like it fails there), and values
 with columns sorted by name.
 Dev-tool only — the engine itself is the Scala library.
 """
-import sys, json, glob, os
+import sys, json, glob, os, math
 import duckdb
 import pyarrow.parquet as pq
 import pyarrow as pa
@@ -21,7 +21,14 @@ TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
 
 def norm(v):
     if isinstance(v, float):
-        return round(v, 9)
+        r = round(v, 9)
+        # the driver's hash is bit-sensitive: -0.0 and +0.0 hash
+        # differently there (r16's mm_text_alignment shipped "green"
+        # locally because Python -0.0 == 0.0), so keep the zero sign
+        # distinguishable here too
+        if r == 0.0 and math.copysign(1.0, r) < 0:
+            return "-0.0"
+        return r
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
