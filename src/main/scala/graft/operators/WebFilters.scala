@@ -763,6 +763,113 @@ object WebFilters {
     lower(when(attrForm =!= "", attrForm).otherwise(fromEquiv))
   }
 
+  /** Well-formed UTF-8 as a regex over the LOWERCASE HEX of the bytes —
+    * the RFC 3629 byte patterns, one alternative per encoded-scalar
+    * shape (ASCII; 2-byte C2-DF; the four 3-byte rows including the
+    * E0-overlong and ED-surrogate exclusions; the three 4-byte rows
+    * including the F0-overlong and F4 > U+10FFFF exclusions).
+    * Alternatives are disjoint on the lead byte and each consumes a
+    * whole scalar, so matching is linear. Portable between Java regex
+    * and DuckDB's RE2 — the point: decode validity must be decided
+    * identically by the plan and the oracle, and neither engine exposes
+    * a charset-decoder verdict the other can replay. */
+  val Utf8HexPat: String =
+    "^(([0-7][0-9a-f])|((c[2-9a-f]|d[0-9a-f])[89ab][0-9a-f])" +
+      "|(e0[ab][0-9a-f][89ab][0-9a-f])" +
+      "|(e[1-9a-c][89ab][0-9a-f][89ab][0-9a-f])" +
+      "|(ed[89][0-9a-f][89ab][0-9a-f])" +
+      "|(e[ef][89ab][0-9a-f][89ab][0-9a-f])" +
+      "|(f0[9ab][0-9a-f]([89ab][0-9a-f]){2})" +
+      "|(f[1-3]([89ab][0-9a-f]){3})" +
+      "|(f48[0-9a-f]([89ab][0-9a-f]){2}))*$"
+
+  /** The WHATWG windows-1252 index: the 27 bytes in 0x80–0x9F that map
+    * to characters outside latin-1 (byte → codepoint). The five
+    * undefined bytes (81 8D 8F 90 9D) pass through as the C1 controls —
+    * the WHATWG decoder's behavior, and Java's. Everything outside this
+    * range is identical to ISO-8859-1, which is why the cp1252 decode
+    * below is one latin-1 decode + one [[org.apache.spark.sql.functions.translate]]. */
+  val Cp1252Map: Seq[(Int, Int)] = Seq(
+    0x80 -> 0x20AC, 0x82 -> 0x201A, 0x83 -> 0x0192, 0x84 -> 0x201E,
+    0x85 -> 0x2026, 0x86 -> 0x2020, 0x87 -> 0x2021, 0x88 -> 0x02C6,
+    0x89 -> 0x2030, 0x8A -> 0x0160, 0x8B -> 0x2039, 0x8C -> 0x0152,
+    0x8E -> 0x017D, 0x91 -> 0x2018, 0x92 -> 0x2019, 0x93 -> 0x201C,
+    0x94 -> 0x201D, 0x95 -> 0x2022, 0x96 -> 0x2013, 0x97 -> 0x2014,
+    0x98 -> 0x02DC, 0x99 -> 0x2122, 0x9A -> 0x0161, 0x9B -> 0x203A,
+    0x9C -> 0x0153, 0x9E -> 0x017E, 0x9F -> 0x0178)
+
+  private val cp1252From: String = Cp1252Map.map(_._1.toChar).mkString
+  private val cp1252To: String = Cp1252Map.map(_._2.toChar).mkString
+
+  /** Charset TRANSCODE gate — the stage that APPLIES what [[warcHttp]]
+    * and [[htmlCharset]] extract: decode raw page bytes to text by the
+    * pinned precedence (HTTP `charset=` > in-document meta charset >
+    * UTF-8 default), with a `decode_ok` verdict. Appends to each row:
+    *
+    *  - `charset_used` — the decoder actually applied (`utf-8`,
+    *    `iso-8859-1`, `windows-1252`);
+    *  - `decode_ok` — the declared (or defaulted) charset was
+    *    recognized AND its decode is clean;
+    *  - `text` — the decoded document.
+    *
+    * Decoders: latin-1 is the byte-to-codepoint identity (never fails);
+    * windows-1252 is latin-1 + the WHATWG C1 remap ([[Cp1252Map]], one
+    * `translate`); UTF-8 decodes only when the bytes are well-formed
+    * per [[Utf8HexPat]] — malformed-but-labeled-utf-8 pages (and pages
+    * labeled with a charset this gate doesn't know — shift_jis, koi8-r)
+    * fall back to the byte-preserving latin-1 decode with
+    * `decode_ok = false`, so nothing is silently dropped and nothing
+    * mojibakes unflagged: downstream filters on the verdict. The meta
+    * charset is read from the latin-1 PRESCAN of the bytes (charset
+    * declarations are ASCII; this is HTML5's prescan trick, which is
+    * also what makes the chicken-and-egg of reading a declaration out
+    * of undecoded bytes sound). Charset labels normalize through the
+    * common IANA aliases (latin1/l1/cp819; cp1252; utf8/us-ascii).
+    *
+    * Map-only — one decode + a few regexes per row, no exchange; at
+    * 100 TB the gate runs inside the scan like [[warcHttp]]. The hex
+    * validity check doubles the row transiently; pages are page-sized.
+    * The prescan decode materializes ONCE per row (`withColumn`) — the
+    * [[docBase]] pushdown-blowup contract. */
+  def transcode(pages: DataFrame, bytesCol: String = "body_bytes",
+                httpCharsetCol: String = "charset"): DataFrame = {
+    val b = col(bytesCol)
+    val staged = pages
+      .withColumn("__pre", decode(b, "ISO-8859-1"))
+      .withColumn("__utf8_ok", lower(hex(b)).rlike(Utf8HexPat))
+      .withColumn("__label", lower(coalesce(
+        when(col(httpCharsetCol) === "", lit(null))
+          .otherwise(col(httpCharsetCol)),
+        when(htmlCharset(col("__pre")) === "", lit(null))
+          .otherwise(htmlCharset(col("__pre"))),
+        lit("utf-8"))))
+    val canon =
+      when(col("__label").isin("iso-8859-1", "iso8859-1", "iso_8859-1",
+        "latin1", "latin-1", "l1", "cp819"), lit("iso-8859-1"))
+        .when(col("__label").isin("windows-1252", "cp1252", "x-cp1252"),
+          lit("windows-1252"))
+        .when(col("__label").isin("utf-8", "utf8", "us-ascii", "ascii"),
+          lit("utf-8"))
+        .otherwise(lit("unknown"))
+    val withCanon = staged.withColumn("__canon", canon)
+    val c = col("__canon")
+    withCanon
+      .withColumn("charset_used",
+        when(c === "iso-8859-1" || c === "windows-1252", c)
+          .otherwise(when(col("__utf8_ok"), lit("utf-8"))
+            .otherwise(lit("iso-8859-1"))))
+      .withColumn("decode_ok",
+        c === "iso-8859-1" || c === "windows-1252" ||
+          (c === "utf-8" && col("__utf8_ok")))
+      .withColumn("text",
+        when(c === "iso-8859-1", col("__pre"))
+          .when(c === "windows-1252",
+            translate(col("__pre"), cp1252From, cp1252To))
+          .otherwise(when(col("__utf8_ok"), decode(b, "UTF-8"))
+            .otherwise(col("__pre"))))
+      .drop("__pre", "__utf8_ok", "__label", "__canon")
+  }
+
   /** Anchor OPEN TAGS with a double-quoted href — the rel-aware sibling
     * of [[HrefPat]]: matching stops at the tag's own `>`, so the rel
     * attribute (either side of href) is inside the match and per-anchor

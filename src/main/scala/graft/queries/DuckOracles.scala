@@ -73,4 +73,81 @@ object DuckOracles {
       |  THEN list_transform(raw, x -> round(x / nrm, 4))
       |  ELSE list_transform(raw, x -> 0.0) END AS embedding
       |  FROM hen)""".stripMargin
+
+  /** ISO-8859-1 decode of a DuckDB BLOB expression — bytes map 1:1 to
+    * codepoints (the byte-preserving decode
+    * [[graft.operators.WebFilters.transcode]] uses for its prescan and
+    * its fallback). Hex pairs → codepoint → chr, concatenated in order;
+    * empty blob → ''. */
+  def duckLatin1(blob: String): String =
+    s"coalesce(list_aggregate(list_transform(generate_series(1, " +
+      s"octet_length($blob)), i -> chr(CAST(16 * (strpos('0123456789abcdef'," +
+      s" substr(lower(hex($blob)), 2*i-1, 1)) - 1) + strpos(" +
+      s"'0123456789abcdef', substr(lower(hex($blob)), 2*i, 1)) - 1 AS INT))" +
+      s"), 'string_agg', ''), '')"
+
+  /** Lowercase hex of the latin-1 BYTES of a string whose codepoints are
+    * all ≤ U+00FF (the byte-preserving read contract: such a string IS
+    * a byte sequence). Inverse of [[duckLatin1]]; empty string → ''. */
+  def duckLatin1Hex(str: String): String =
+    s"coalesce(list_aggregate(list_transform(generate_series(1, " +
+      s"length($str)), i -> substr('0123456789abcdef', " +
+      s"unicode(substr($str, i, 1)) // 16 + 1, 1) || " +
+      s"substr('0123456789abcdef', unicode(substr($str, i, 1)) % 16 + 1, 1)" +
+      s"), 'string_agg', ''), '')"
+
+  /** WHATWG windows-1252 C1 remap of an already-latin-1-decoded string —
+    * the same 27-entry table as the Scala side
+    * ([[graft.operators.WebFilters.Cp1252Map]], the single source), so
+    * the two translate calls cannot drift. */
+  def duckCp1252(expr: String): String = {
+    val from = graft.operators.WebFilters.Cp1252Map
+      .map(p => s"chr(${p._1})").mkString(" || ")
+    val to = graft.operators.WebFilters.Cp1252Map
+      .map(p => s"chr(${p._2})").mkString(" || ")
+    s"translate($expr, $from, $to)"
+  }
+
+  /** Replay of [[graft.operators.WebFilters.transcode]] over a prior CTE
+    * `tcin($keyCol, pre, h, http_charset)` where `pre` is the latin-1
+    * decode of the page bytes and `h` their lowercase hex (produce them
+    * with [[duckLatin1]]/[[duckLatin1Hex]] or lower(hex(blob)) as the
+    * caller's input dictates). Ends at
+    * `tcout($keyCol, pre, charset_used, decode_ok, text)`. Label
+    * precedence, alias canonicalization, the UTF-8 validity regex
+    * (shared literal — [[graft.operators.WebFilters.Utf8HexPat]]), the
+    * cp1252 table, and the latin-1 fallback all mirror the Scala
+    * operator by construction. */
+  def duckTranscode(keyCol: String): String =
+    s"""tl0 AS (SELECT $keyCol, pre, h, http_charset,
+       |  coalesce(regexp_extract(pre,
+       |    '(?is)<meta\\b[^>=]*?[\\s"'']charset\\s*=\\s*["'']?([A-Za-z0-9_.:-]+)', 1), '') AS attr,
+       |  coalesce(regexp_extract(pre,
+       |    '(?is)<meta\\b[^>]*?[\\s"'']http-equiv\\s*=\\s*"content-type"[^>]*?[\\s"'']content\\s*=\\s*"([^"]*)"', 1), '') AS eq1,
+       |  coalesce(regexp_extract(pre,
+       |    '(?is)<meta\\b[^>]*?[\\s"'']content\\s*=\\s*"([^"]*)"[^>]*?[\\s"'']http-equiv\\s*=\\s*"content-type"', 1), '') AS eq2
+       |  FROM tcin),
+       |tlb AS (SELECT $keyCol, pre, h, lower(coalesce(
+       |    nullif(http_charset, ''),
+       |    nullif(lower(CASE WHEN attr <> '' THEN attr
+       |      ELSE coalesce(regexp_extract(
+       |        CASE WHEN eq1 <> '' THEN eq1 ELSE eq2 END,
+       |        '(?i)charset[ \\t]*=[ \\t]*"?([A-Za-z0-9_.:-]+)', 1), '') END), ''),
+       |    'utf-8')) AS label FROM tl0),
+       |tcn AS (SELECT $keyCol, pre, h,
+       |  CASE WHEN label IN ('iso-8859-1','iso8859-1','iso_8859-1','latin1','latin-1','l1','cp819') THEN 'iso-8859-1'
+       |    WHEN label IN ('windows-1252','cp1252','x-cp1252') THEN 'windows-1252'
+       |    WHEN label IN ('utf-8','utf8','us-ascii','ascii') THEN 'utf-8'
+       |    ELSE 'unknown' END AS canon,
+       |  regexp_matches(h, '${graft.operators.WebFilters.Utf8HexPat}') AS u8
+       |  FROM tlb),
+       |tcout AS (SELECT $keyCol, pre,
+       |  CASE WHEN canon IN ('iso-8859-1','windows-1252') THEN canon
+       |    WHEN u8 THEN 'utf-8' ELSE 'iso-8859-1' END AS charset_used,
+       |  (canon IN ('iso-8859-1','windows-1252')
+       |    OR (canon = 'utf-8' AND u8)) AS decode_ok,
+       |  CASE WHEN canon = 'iso-8859-1' THEN pre
+       |    WHEN canon = 'windows-1252' THEN ${duckCp1252("pre")}
+       |    WHEN u8 THEN decode(unhex(h)) ELSE pre END AS text
+       |  FROM tcn)""".stripMargin
 }

@@ -1086,6 +1086,92 @@ object WebQueries {
         .orderBy("doc_id")
     },
 
+    // charset TRANSCODE gate — the stage that APPLIES the extracted
+    // charset: real ISO-8859-1 / Windows-1252 / UTF-8 / malformed bytes
+    // decode by the pinned precedence (HTTP charset > meta charset >
+    // UTF-8 default) with a decode_ok verdict; the oracle rebuilds the
+    // same blobs and replays the decode at the BYTE level (latin-1 via
+    // hex->chr, cp1252 via the shared WHATWG table, utf-8 validity via
+    // the shared RFC 3629 hex regex)
+    df("ta_transcode",
+      s"""WITH tx AS (SELECT doc_id,
+         |  CASE doc_id % 8
+         |    WHEN 0 THEN encode('<html><body>plain ' || doc_id || '</body></html>')
+         |    WHEN 1 THEN encode('<html><head><meta charset="utf-8"></head><body>caf') || unhex('C3A9') || encode(' price ') || unhex('E282AC') || encode(' n=' || doc_id || '</body></html>')
+         |    WHEN 2 THEN encode('<html><body>caf') || unhex('E9') || encode(' n=' || doc_id || '</body></html>')
+         |    WHEN 3 THEN encode('<html><body>he said ') || unhex('93') || encode('hi') || unhex('94') || encode(' for ') || unhex('80') || encode('99 ') || unhex('81') || encode(' n=' || doc_id || '</body></html>')
+         |    WHEN 4 THEN encode('<html><body>x') || unhex('E9') || encode('y n=' || doc_id || '</body></html>')
+         |    WHEN 5 THEN encode('<html><head><meta charset="iso-8859-1"></head><body>caf') || unhex('E9') || encode(' n=' || doc_id || '</body></html>')
+         |    WHEN 6 THEN encode('<html><head><meta charset="utf-8"></head><body>caf') || unhex('E9') || encode(' n=' || doc_id || '</body></html>')
+         |    ELSE encode('<html><body>ascii only n=' || doc_id || '</body></html>') END AS bb,
+         |  CASE doc_id % 8 WHEN 0 THEN 'utf-8' WHEN 2 THEN 'latin-1'
+         |    WHEN 3 THEN 'windows-1252' WHEN 4 THEN 'utf-8'
+         |    WHEN 6 THEN 'latin-1' WHEN 7 THEN 'shift_jis'
+         |    ELSE '' END AS http_charset
+         |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 150) d),
+         |tcin AS (SELECT doc_id, ${DuckOracles.duckLatin1("bb")} AS pre,
+         |  lower(hex(bb)) AS h, http_charset FROM tx),
+         |${DuckOracles.duckTranscode("doc_id")}
+         |SELECT doc_id, charset_used, decode_ok, text
+         |FROM tcout ORDER BY doc_id""".stripMargin) { (s, _) =>
+      WebFilters.transcode(transcodeFixture(s.table("documents")),
+          bytesCol = "body_bytes", httpCharsetCol = "http_charset")
+        .select("doc_id", "charset_used", "decode_ok", "text")
+        .orderBy("doc_id")
+    },
+
+    // transcode INSIDE the WARC chain: archives read BYTE-PRESERVING
+    // (latin-1 strings), the HTTP envelope gate extracts the header
+    // charset, the raw bytes are recovered (encode latin-1 — exact
+    // inverse of the read), and the transcode gate decodes each page by
+    // the HTTP > meta > utf-8 precedence — a UTF-8 page arrives as
+    // mojibake codepoints and leaves as real text, a latin-1/cp1252
+    // page decodes by its header, a header-less page falls back to its
+    // meta declaration. The oracle replays every stage on the same
+    // codepoints via the shared warc/http/transcode fragments
+    df("ta_warc_transcode",
+      s"""WITH wsrc AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 150),
+         |pc AS (SELECT doc_id, doc_id // 10 AS file_id,
+         |  'HTTP/1.1 200 OK' || chr(10) || 'Content-Type: ' ||
+         |  CASE doc_id % 4 WHEN 0 THEN 'text/html; charset=UTF-8'
+         |    WHEN 1 THEN 'text/html; charset=latin-1'
+         |    WHEN 2 THEN 'text/html; charset=Windows-1252'
+         |    ELSE 'text/html' END || chr(10) || chr(10) ||
+         |  CASE doc_id % 4
+         |    WHEN 0 THEN '<p>caf' || chr(195) || chr(169) || ' price ' || chr(194) || chr(163) || doc_id || '</p>'
+         |    WHEN 1 THEN '<p>caf' || chr(233) || ' n=' || doc_id || '</p>'
+         |    WHEN 2 THEN '<p>he said ' || chr(147) || 'hi' || chr(148) || ' for ' || chr(128) || doc_id || '</p>'
+         |    ELSE '<html><head><meta charset="iso-8859-1"></head><body>caf' || chr(233) || ' n=' || doc_id || '</body></html>' END AS payload
+         |  FROM wsrc),
+         |rc AS (SELECT doc_id, file_id,
+         |  'WARC/1.0' || chr(10) || 'WARC-Target-URI: https://docs.example.org/d/' || doc_id
+         |  || chr(10) || 'Content-Length: ' || len(payload) || chr(10) || chr(10)
+         |  || payload || chr(10) || chr(10) AS rec
+         |  FROM pc),
+         |$duckWarcFrames,
+         |$duckWarcHttp,
+         |tcin AS (SELECT CAST(regexp_extract(
+         |    coalesce(regexp_extract(hdrs, '(?im)^WARC-Target-URI:\\s*(\\S+)', 1), ''),
+         |    '/d/([0-9]+)$$', 1) AS BIGINT) AS doc_id,
+         |  hb AS pre, ${DuckOracles.duckLatin1Hex("hb")} AS h,
+         |  charset AS http_charset
+         |  FROM hz WHERE CAST(nullif(st, '') AS INT) = 200 AND mime = 'text/html'),
+         |${DuckOracles.duckTranscode("doc_id")}
+         |SELECT doc_id, charset_used, decode_ok, text
+         |FROM tcout ORDER BY doc_id""".stripMargin) { (s, _) =>
+      val kept = WebFilters
+        .warcHttp(warcTranscodeFixture(s.table("documents")), keepBody = true)
+        .where(col("keep"))
+      val pages = kept.select(
+        regexp_extract(col("target_uri"), "/d/([0-9]+)$", 1).cast("long")
+          .as("doc_id"),
+        col("charset"),
+        encode(col("http_body"), "ISO-8859-1").as("body_bytes"))
+      WebFilters.transcode(pages, "body_bytes", "charset")
+        .select("doc_id", "charset_used", "decode_ok", "text")
+        .orderBy("doc_id")
+    },
+
     // the round-16 stack END TO END in one query: WARC bytes -> HTTP
     // envelope gate (404s drop) -> main-content extraction on the parsed
     // bodies -> meta-robots index/follow verdicts -> nofollow-aware
@@ -1864,6 +1950,43 @@ object WebQueries {
         x => x.getField("rec"))).as("body"))
   }
 
+  /** Spark-side WARC fixture for ta_warc_transcode (mirrors its pc/rc
+    * CTEs codepoint for codepoint): 200-status pages whose payload
+    * strings are BYTE-PRESERVING latin-1 reads — a UTF-8 page shows as
+    * mojibake codepoints (C3 A9 for the é byte pair), a latin-1 page as
+    * é, a cp1252 page as the raw C1 codepoints — with the charset
+    * declared in the Content-Type header (or, on the mod-3 arm, only in
+    * a meta tag). */
+  private def warcTranscodeFixture(docs: org.apache.spark.sql.DataFrame) = {
+    val id = col("doc_id").cast("string")
+    val m = col("doc_id") % 4
+    val body = when(m === 0,
+      concat(lit("<p>cafÃ© price Â£"), id, lit("</p>")))
+      .when(m === 1, concat(lit("<p>café n="), id, lit("</p>")))
+      .when(m === 2,
+        concat(lit("<p>he said hi for "), id, lit("</p>")))
+      .otherwise(concat(
+        lit("<html><head><meta charset=\"iso-8859-1\"></head><body>café n="),
+        id, lit("</body></html>")))
+    val ct = when(m === 0, lit("text/html; charset=UTF-8"))
+      .when(m === 1, lit("text/html; charset=latin-1"))
+      .when(m === 2, lit("text/html; charset=Windows-1252"))
+      .otherwise(lit("text/html"))
+    val payload = concat(lit("HTTP/1.1 200 OK\nContent-Type: "), ct,
+      lit("\n\n"), body)
+    docs.orderBy("doc_id").limit(150)
+      .select(col("doc_id"),
+        floor(col("doc_id") / 10).cast("long").as("file_id"),
+        concat(
+          lit("WARC/1.0\nWARC-Target-URI: https://docs.example.org/d/"), id,
+          lit("\nContent-Length: "), length(payload).cast("string"),
+          lit("\n\n"), payload, lit("\n\n")).as("rec"))
+      .groupBy("file_id").agg(
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+          x => x.getField("rec"))).as("body"))
+  }
+
   /** Spark-side pagination fixture: 50 three-page article chains (grp =
     * doc_id/3, position = doc_id%3), each non-final page declaring a
     * rel=next whose href needs CANONICALIZATION to chain (www host +
@@ -1936,6 +2059,50 @@ object WebQueries {
       when(id % 4 === 0, lit("utf-8"))
         .when(id % 4 === 2, lit("latin-1"))
         .otherwise(lit("")).as("http_charset"))
+  }
+
+  /** Spark-side byte fixture for ta_transcode (mirrors its tx CTE byte
+    * for byte): eight charset shapes over REAL bytes — plain ascii,
+    * multibyte utf-8 under a meta declaration, latin-1, windows-1252
+    * (curly quotes, euro, one undefined C1 byte), malformed-utf-8
+    * labeled utf-8, meta-declared iso-8859-1, HTTP-beats-meta, and an
+    * unknown label (shift_jis). */
+  private def transcodeFixture(docs: org.apache.spark.sql.DataFrame) = {
+    val id = col("doc_id")
+    val ids = id.cast("string")
+    def asc(c: Column) = encode(c, "UTF-8")
+    def hx(h: String) = unhex(lit(h))
+    val tail = asc(concat(lit(" n="), ids, lit("</body></html>")))
+    val body = when(id % 8 === 0,
+      asc(concat(lit("<html><body>plain "), ids, lit("</body></html>"))))
+      .when(id % 8 === 1, concat(
+        asc(lit("<html><head><meta charset=\"utf-8\"></head><body>caf")),
+        hx("C3A9"), asc(lit(" price ")), hx("E282AC"), tail))
+      .when(id % 8 === 2,
+        concat(asc(lit("<html><body>caf")), hx("E9"), tail))
+      .when(id % 8 === 3, concat(asc(lit("<html><body>he said ")),
+        hx("93"), asc(lit("hi")), hx("94"), asc(lit(" for ")), hx("80"),
+        asc(lit("99 ")), hx("81"), tail))
+      .when(id % 8 === 4,
+        concat(asc(lit("<html><body>x")), hx("E9"),
+          asc(concat(lit("y n="), ids, lit("</body></html>")))))
+      .when(id % 8 === 5, concat(
+        asc(lit("<html><head><meta charset=\"iso-8859-1\"></head><body>caf")),
+        hx("E9"), tail))
+      .when(id % 8 === 6, concat(
+        asc(lit("<html><head><meta charset=\"utf-8\"></head><body>caf")),
+        hx("E9"), tail))
+      .otherwise(asc(concat(lit("<html><body>ascii only n="), ids,
+        lit("</body></html>"))))
+    val http = when(id % 8 === 0, lit("utf-8"))
+      .when(id % 8 === 2, lit("latin-1"))
+      .when(id % 8 === 3, lit("windows-1252"))
+      .when(id % 8 === 4, lit("utf-8"))
+      .when(id % 8 === 6, lit("latin-1"))
+      .when(id % 8 === 7, lit("shift_jis"))
+      .otherwise(lit(""))
+    docs.orderBy("doc_id").limit(150)
+      .select(id, body.as("body_bytes"), http.as("http_charset"))
   }
 
   /** Spark-side sitemap-INDEX fixture (mirrors [[duckSitemapIndex]]'s
