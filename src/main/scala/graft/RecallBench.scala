@@ -73,19 +73,46 @@ object RecallBench {
       "hamming_64" -> (q => Similarity.annTopKHamming(emb, dims = 64,
         queryId = q, k = k)))
 
-    val recalls = methods.map { case (name, fn) =>
-      val perQuery = queryIds.map { q =>
-        val brute = topIds(Similarity.cosineTopK(emb, q, k))
-        val ann = topIds(fn(q))
-        (ann & brute).size.toDouble / k
-      }
-      name -> perQuery.sum / perQuery.size
+    def topIdsOrdered(df: DataFrame): Seq[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSeq
+
+    // brute-force truth once per query (ordered — it is also the ranked
+    // qrel set the RetrievalEval metrics score against, grade 1)
+    val qs = queryIds.distinct
+    val bruteMap = qs.map(q =>
+      q -> topIdsOrdered(Similarity.cosineTopK(emb, q, k))).toMap
+    import spark.implicits._
+    val qrelsDf = bruteMap.toSeq
+      .flatMap { case (q, ids2) => ids2.map(d => (q, d, 1)) }
+      .toDF("query_id", "doc_id", "grade")
+
+    val evals = methods.map { case (name, fn) =>
+      val annLists = qs.map(q => q -> topIdsOrdered(fn(q)))
+      val recall = annLists.map { case (q, ann) =>
+        (ann.toSet & bruteMap(q).toSet).size.toDouble / k
+      }.sum / qs.size
+      // the ranked lists re-scored through the evaluation operator
+      // itself (the same code a corpus team runs) — MRR@k and nDCG@k
+      // add rank-position signal the flat set-recall cannot see
+      val resultsDf = annLists.flatMap { case (q, ids2) =>
+        ids2.zipWithIndex.map { case (d, i) => (q, d, i + 1) }
+      }.toDF("query_id", "doc_id", "rank")
+      val m = graft.operators.RetrievalEval.evaluate(resultsDf, qrelsDf, k)
+        .agg(org.apache.spark.sql.functions.avg("rr"),
+          org.apache.spark.sql.functions.avg("ndcg"))
+        .collect()(0)
+      (name, recall, m.getDouble(0), m.getDouble(1))
     }
 
-    val json = recalls
-      .map { case (n, r) => s""""$n":${math.round(r * 1000) / 1000.0}""" }
+    val json = evals
+      .map { case (n, r, _, _) => s""""$n":${math.round(r * 1000) / 1000.0}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"recall_at_10","sf":"$sfDir","n_queries":$nQueries,"mode":"$mode","recall":$json}""")
+    val evalJson = evals
+      .map { case (n, _, mrr, ndcg) =>
+        s""""$n":{"mrr":${math.round(mrr * 1000) / 1000.0},""" +
+          s""""ndcg":${math.round(ndcg * 1000) / 1000.0}}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"recall_at_10","sf":"$sfDir","n_queries":$nQueries,"mode":"$mode","recall":$json,"eval":$evalJson}""")
 
     // family mode also has LABEL ground truth: member vec f*100+m (m=1..9)
     // belongs to family f, so label propagation seeded ONLY at the family

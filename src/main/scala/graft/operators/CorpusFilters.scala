@@ -627,4 +627,43 @@ object CorpusFilters {
       .select(col(idCol), col("n_tokens"), col("tok_start"),
         col("first_chunk"), col("last_chunk"), col("n_chunks"))
   }
+
+  /** MATERIALIZED packed sequences — the inverse map of [[seqPack]]
+    * that a training loader actually consumes: one row per
+    * (chunk_id, doc_id) with the document's token SLICE in that chunk.
+    * A boundary document emits one row per chunk it spans, split
+    * exactly at the chunk edges:
+    *
+    *  - `chunk_off` — where the slice starts INSIDE the chunk;
+    *  - `doc_slice_start` — where it starts INSIDE the document
+    *    (token offset, 0-based);
+    *  - `doc_slice_len` — its length.
+    *
+    * Reading a chunk's rows ordered by `chunk_off` reconstructs the
+    * chunk: slices tile it exactly — every chunk sums to `seqLen`
+    * tokens except the final tail (spec-pinned). Zero-token documents
+    * emit nothing (they occupy no chunk, the [[seqPack]] contract).
+    *
+    * Shape at 100 TB: [[seqPack]]'s two-phase scan plus ONE bounded
+    * explode — a document emits `n_chunks ≤ n_tokens/seqLen + 1` rows,
+    * so total output is ~(corpus tokens / seqLen) + n_docs rows,
+    * map-only after the prefix sum. No shuffle is added. */
+  def seqChunks(docs: DataFrame, seqLen: Int = 2048,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val c = lit(seqLen.toLong)
+    seqPack(docs, seqLen, idCol, textCol)
+      .where(col("n_chunks") > 0)
+      .select(col(idCol), col("tok_start"), col("n_tokens"),
+        explode(sequence(col("first_chunk"), col("last_chunk")))
+          .as("chunk_id"))
+      .withColumn("chunk_off",
+        greatest(lit(0L), col("tok_start") - col("chunk_id") * c))
+      .withColumn("doc_slice_start",
+        greatest(lit(0L), col("chunk_id") * c - col("tok_start")))
+      .withColumn("doc_slice_len",
+        least(col("n_tokens"), (col("chunk_id") + 1) * c - col("tok_start"))
+          - col("doc_slice_start"))
+      .select(col("chunk_id"), col(idCol), col("chunk_off"),
+        col("doc_slice_start"), col("doc_slice_len"))
+  }
 }

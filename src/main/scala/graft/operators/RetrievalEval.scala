@@ -37,9 +37,23 @@ object RetrievalEval {
     1.0 / (math.log(r + 1.0) / math.log(2.0))
   }
 
-  /** Per-query recall@k, MRR@k (reciprocal rank of the first relevant
-    * hit within the top k, 0 when none), and nDCG@k in one frame:
-    * (query_id, n_relevant, recall, rr, ndcg). */
+  /** Per-query retrieval metrics in one frame:
+    * (query_id, n_relevant, recall, recall_capped, rr, ndcg, judged).
+    *
+    *  - `recall` — relevant hits in the top k over n_relevant;
+    *  - `recall_capped` — the R-capped variant, denominator
+    *    `min(n_relevant, k)`: a query with 40 relevants can still score
+    *    1.0 at k=10 (recall@k's ceiling of k/n_relevant makes plain
+    *    recall incomparable across queries — the standard IR fix);
+    *  - `rr` — reciprocal rank of the first relevant hit within the
+    *    top k, 0 when none (MRR@k is the mean of this column);
+    *  - `ndcg` — nDCG@k with exponential gains;
+    *  - `judged` — the fraction of the query's returned top-k rows that
+    *    carry ANY judgment (grade 0 counts — it IS a judgment); the
+    *    pool-coverage diagnostic that tells you whether a low recall is
+    *    a bad index or an unjudged pool. Denominator is the rows the
+    *    system actually returned within k (a short list isn't
+    *    penalized); 0 when it returned none. */
   def evaluate(results: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"bad k $k")
     val wArr = array((1 to k).map(r => lit(dcgWeight(r))): _*)
@@ -58,21 +72,28 @@ object RetrievalEval {
             slice(wArr, lit(1), least(size(col("__gs")), lit(k))),
             (g, w) => (pow(lit(2.0), g) - 1) * w),
           lit(0.0), (acc, x) => acc + x)).as("__idcg"))
-    val hits = results.where(col("rank") <= k)
-      .join(qrels, Seq("query_id", "doc_id"))
+    val topK = results.where(col("rank") <= k)
+    val hits = topK.join(qrels, Seq("query_id", "doc_id"))
     val perQuery = hits.groupBy("query_id").agg(
       count(when(col("grade") > 0, lit(1))).as("__hit"),
+      count(lit(1)).as("__judged"),
       min(when(col("grade") > 0, col("rank"))).as("__first"),
       // nano-unit quantized terms, plain long sum: order-insensitive
       (sum(round(((pow(lit(2.0), col("grade")) - 1) *
         element_at(wArr, col("rank"))) * lit(1e9), 0).cast("long")) / 1e9)
         .as("__dcg"))
+    val returned = topK.groupBy("query_id").agg(count(lit(1)).as("__nret"))
     truth.join(perQuery, Seq("query_id"), "left")
+      .join(returned, Seq("query_id"), "left")
       .select(col("query_id"), col("n_relevant"),
         round(coalesce(col("__hit"), lit(0L)).cast("double") /
           col("n_relevant"), 6).as("recall"),
+        round(coalesce(col("__hit"), lit(0L)).cast("double") /
+          least(col("n_relevant"), lit(k.toLong)), 6).as("recall_capped"),
         round(coalesce(lit(1.0) / col("__first"), lit(0.0)), 6).as("rr"),
         round(coalesce(col("__dcg"), lit(0.0)) / col("__idcg"), 6)
-          .as("ndcg"))
+          .as("ndcg"),
+        round(coalesce(coalesce(col("__judged"), lit(0L)).cast("double") /
+          col("__nret"), lit(0.0)), 6).as("judged"))
   }
 }

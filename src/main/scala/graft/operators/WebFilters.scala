@@ -1004,6 +1004,59 @@ object WebFilters {
       .distinct()
   }
 
+  /** Parallel-corpus CANDIDATE PAIRS mined from the hreflang clusters —
+    * what [[translationClusters]]' variant table exists for: every
+    * cross-language page pair of a cluster, sanity-gated, feeding
+    * cross-lingual dedup and sentence-alignment. Pages join the variant
+    * table on their canonical URL; `x-default` rows are excluded from
+    * pairing (a routing hint, not a language). Gates:
+    *
+    *  - digest inequality — a byte-identical "translation" is an
+    *    untranslated duplicate, not a pair;
+    *  - length ratio — `min(tokens)/max(tokens) >= minLenRatio`
+    *    (default 0.5): real translations have comparable lengths, a
+    *    stub page paired with a full article is noise.
+    *
+    * Output (cluster_key, doc_a, doc_b, lang_a, lang_b, len_ratio),
+    * doc_a < doc_b, ratio round(4) (always positive — no zero-sign
+    * hazard). Empty-text pages never pair.
+    *
+    * Shape at 100 TB: the cluster build is [[translationClusters]]'
+    * bounded-join shape; the pairing self-join keys on `cluster_key`
+    * and a cluster holds at most one page per declared language —
+    * language-count-sized, so the within-cluster quadratic is bounded
+    * by ~(number of languages)², never corpus-sized. */
+  def translationPairs(docs: DataFrame, minLenRatio: Double = 0.5,
+                       htmlCol: String = "html", baseCol: String = "base_url",
+                       textCol: String = "text"): DataFrame = {
+    val variants = translationClusters(docs, htmlCol, baseCol)
+      .where(col("lang") =!= "x-default")
+    val pages = docs.select(col("doc_id"),
+        urlCanonical(col(baseCol)).as("__curl"),
+        coalesce(size(Dedup.tokens(col(textCol))).cast("long"), lit(0L))
+          .as("__len"),
+        md5(col(textCol)).as("__digest"))
+      .where(col("__curl").isNotNull && col("__len") > 0)
+    val m = variants.join(pages, variants("url") === pages("__curl"))
+      .select(col("cluster_key"), col("lang"), col("doc_id"),
+        col("__len"), col("__digest"))
+    val a = m.select(col("cluster_key"), col("doc_id").as("doc_a"),
+      col("lang").as("lang_a"), col("__len").as("__la"),
+      col("__digest").as("__da"))
+    val b = m.select(col("cluster_key"), col("doc_id").as("doc_b"),
+      col("lang").as("lang_b"), col("__len").as("__lb"),
+      col("__digest").as("__db"))
+    a.join(b, Seq("cluster_key"))
+      .where(col("doc_a") < col("doc_b") && col("lang_a") =!= col("lang_b") &&
+        col("__da") =!= col("__db"))
+      .withColumn("len_ratio",
+        round(least(col("__la"), col("__lb")).cast("double")
+          / greatest(col("__la"), col("__lb")), 4))
+      .where(col("len_ratio") >= minLenRatio)
+      .select(col("cluster_key"), col("doc_a"), col("doc_b"),
+        col("lang_a"), col("lang_b"), col("len_ratio"))
+  }
+
   /** Outlinks WITH their anchor text — the web graph's labeled edges
     * (anchor text is the classic off-page relevance/quality signal:
     * what OTHER pages call this page). One explode per page into anchor

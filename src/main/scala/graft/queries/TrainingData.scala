@@ -794,14 +794,21 @@ object TrainingData {
          |  FROM rs r JOIN qr q USING (query_id, doc_id) WHERE r.rank <= 10),
          |pq AS (SELECT ht.query_id,
          |    count(CASE WHEN grade > 0 THEN 1 END) AS hit,
+         |    count(*) AS judged_n,
          |    min(CASE WHEN grade > 0 THEN rank END) AS first,
          |    sum(CAST(round(((2.0 ** grade - 1) * w[rank]) * 1e9) AS BIGINT)) / 1e9 AS dcg
-         |  FROM ht CROSS JOIN ws GROUP BY ht.query_id)
+         |  FROM ht CROSS JOIN ws GROUP BY ht.query_id),
+         |rt AS (SELECT query_id, count(*) AS nret FROM rs
+         |  WHERE rank <= 10 GROUP BY query_id)
          |SELECT ti.query_id, CAST(ti.n_relevant AS BIGINT) AS n_relevant,
          |  round(coalesce(pq.hit, 0) / CAST(ti.n_relevant AS DOUBLE), 6) AS recall,
+         |  round(coalesce(pq.hit, 0) /
+         |    CAST(least(ti.n_relevant, 10) AS DOUBLE), 6) AS recall_capped,
          |  round(coalesce(1.0 / pq.first, 0.0), 6) AS rr,
-         |  round(coalesce(pq.dcg, 0.0) / ti.idcg, 6) AS ndcg
-         |FROM ti LEFT JOIN pq USING (query_id)
+         |  round(coalesce(pq.dcg, 0.0) / ti.idcg, 6) AS ndcg,
+         |  round(coalesce(coalesce(pq.judged_n, 0) / CAST(rt.nret AS DOUBLE),
+         |    0.0), 6) AS judged
+         |FROM ti LEFT JOIN pq USING (query_id) LEFT JOIN rt USING (query_id)
          |ORDER BY query_id""".stripMargin) { (s, _) =>
       val results = s.range(20).select(col("id").as("query_id"),
           explode(sequence(lit(1), lit(10))).as("rank"))
@@ -3257,6 +3264,42 @@ object TrainingData {
         |FROM ck ORDER BY doc_id LIMIT 300""".stripMargin) { (s, _) =>
       graft.operators.CorpusFilters.seqPack(s.table("documents"), seqLen = 128)
         .orderBy("doc_id").limit(300)
+    },
+
+    // MATERIALIZED packed sequences — the inverse map a training loader
+    // consumes: one row per (chunk_id, doc_id) with the doc's token
+    // slice in that chunk, boundary docs split exactly at chunk edges.
+    // DuckDB replays from the same global cumsum + a generate_series
+    // explode; slices tile each chunk to exactly 128 tokens (tail
+    // excepted — CorpusFiltersSpec pins that invariant corpus-wide)
+    df("ta_seq_chunks",
+      """WITH tk AS (SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |tk2 AS (SELECT doc_id, coalesce(n_tokens, 0) AS n_tokens FROM tk),
+        |cs AS (SELECT doc_id, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS tok_start
+        |  FROM tk2 ),
+        |ck AS (SELECT doc_id, n_tokens, tok_start,
+        |  tok_start // 128 AS first_chunk,
+        |  (tok_start + n_tokens - 1) // 128 AS last_chunk
+        |  FROM cs WHERE n_tokens > 0),
+        |ex AS (SELECT doc_id, n_tokens, tok_start,
+        |  unnest(generate_series(first_chunk, last_chunk)) AS chunk_id
+        |  FROM ck),
+        |sl AS (SELECT chunk_id, doc_id,
+        |  CAST(greatest(0, tok_start - chunk_id * 128) AS BIGINT) AS chunk_off,
+        |  CAST(greatest(0, chunk_id * 128 - tok_start) AS BIGINT) AS doc_slice_start,
+        |  CAST(least(n_tokens, (chunk_id + 1) * 128 - tok_start)
+        |    - greatest(0, chunk_id * 128 - tok_start) AS BIGINT) AS doc_slice_len
+        |  FROM ex)
+        |SELECT chunk_id, doc_id, chunk_off, doc_slice_start, doc_slice_len
+        |FROM sl ORDER BY chunk_id, doc_id LIMIT 500""".stripMargin) { (s, _) =>
+      graft.operators.CorpusFilters.seqChunks(s.table("documents"), seqLen = 128)
+        .orderBy("chunk_id", "doc_id").limit(500)
     },
 
     // SemDeDup (Abbas et al. 2023): trained-IVF clustering bounds the

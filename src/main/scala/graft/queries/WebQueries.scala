@@ -993,6 +993,55 @@ object WebQueries {
         .orderBy("cluster_key")
     },
 
+    // parallel-corpus candidate pairs mined from the hreflang clusters:
+    // cross-language page pairs per cluster, digest-inequality gate
+    // (the every-5th-group verbatim-copy de page drops) and length-ratio
+    // gate (the every-4th-group fr stub drops); x-default never pairs.
+    // The oracle replays cluster build, URL join, gates and ratio
+    df("dd_translation_pairs",
+      """WITH tp AS (SELECT doc_id, doc_id // 3 AS grp, doc_id % 3 AS m
+        |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 150) d),
+        |px AS (SELECT doc_id, grp, m,
+        |  'https://example.com/' ||
+        |    (CASE m WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END) ||
+        |    '/p/' || grp AS base_url,
+        |  CASE WHEN m = 0 THEN repeat('en' || grp || ' ', CAST(20 + grp % 7 AS INT))
+        |    WHEN m = 1 THEN CASE WHEN grp % 5 = 0
+        |      THEN repeat('en' || grp || ' ', CAST(20 + grp % 7 AS INT))
+        |      ELSE repeat('de' || grp || ' ', CAST(18 + grp % 7 AS INT)) END
+        |    ELSE CASE WHEN grp % 4 = 0 THEN repeat('fr' || grp || ' ', 5)
+        |      ELSE repeat('fr' || grp || ' ', CAST(22 + grp % 7 AS INT)) END
+        |    END AS text
+        |  FROM tp),
+        |lx AS (SELECT doc_id, l.lang,
+        |  'https://example.com/' || l.pth || '/p/' || grp AS url
+        |  FROM px CROSS JOIN (VALUES ('en', 'en'), ('de', 'de'),
+        |    ('fr', 'fr'), ('x-default', 'en')) l(lang, pth)),
+        |ky AS (SELECT doc_id, coalesce(
+        |    min(CASE WHEN lang = 'x-default' THEN url END), min(url))
+        |    AS cluster_key
+        |  FROM lx GROUP BY doc_id),
+        |mm AS (SELECT DISTINCT ky.cluster_key, lx.lang, lx.url
+        |  FROM lx JOIN ky USING (doc_id) WHERE lx.lang <> 'x-default'),
+        |pg AS (SELECT doc_id, base_url AS curl,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS ln, md5(text) AS dig FROM px),
+        |mj AS (SELECT mm.cluster_key, mm.lang, pg.doc_id, pg.ln, pg.dig
+        |  FROM mm JOIN pg ON pg.curl = mm.url),
+        |pr AS (SELECT a.cluster_key, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  a.lang AS lang_a, b.lang AS lang_b,
+        |  round(CAST(least(a.ln, b.ln) AS DOUBLE) / greatest(a.ln, b.ln), 4)
+        |    AS len_ratio
+        |  FROM mj a JOIN mj b ON a.cluster_key = b.cluster_key
+        |    AND a.doc_id < b.doc_id
+        |  WHERE a.lang <> b.lang AND a.dig <> b.dig)
+        |SELECT cluster_key, doc_a, doc_b, lang_a, lang_b, len_ratio
+        |FROM pr WHERE len_ratio >= 0.5
+        |ORDER BY cluster_key, doc_a, doc_b""".stripMargin) { (s, _) =>
+      WebFilters.translationPairs(translationPairsFixture(s.table("documents")))
+        .orderBy("cluster_key", "doc_a", "doc_b")
+    },
+
     // pagination chains (rel=next walking): roots via the anti-join rule
     // (a page no next pointer targets — NOT a position formula, so a
     // truncated first group still roots at its earliest page), bounded
@@ -1920,6 +1969,41 @@ object WebQueries {
         lit("?b=2\"><link rel=\"stylesheet\" href=\"/css/x.css\">" +
           "<link rel=\"alternate\" href=\"/feed.xml\">" +
           "</head><body>p</body></html>")).as("html"))
+  }
+
+  /** Spark-side fixture for dd_translation_pairs (mirrors its px chain):
+    * 50 translation sets of three pages (en/de/fr by doc_id mod 3), each
+    * page AT its canonical variant URL with deterministic per-language
+    * text — the de page copies the en text verbatim on every 5th group
+    * (the digest gate must drop that pair) and the fr page is a 5-token
+    * stub on every 4th group (the length-ratio gate must drop its
+    * pairs). All four alternates (en/de/fr/x-default→en) declared on
+    * every page. */
+  private def translationPairsFixture(docs: org.apache.spark.sql.DataFrame) = {
+    val grp = floor(col("doc_id") / 3).cast("long")
+    val m = col("doc_id") % 3
+    val grpS = grp.cast("string")
+    val plang = when(m === 0, lit("en")).when(m === 1, lit("de"))
+      .otherwise(lit("fr"))
+    def alt(lang: String, path: String) = concat(
+      lit("<link rel=\"alternate\" hreflang=\"" + lang +
+        "\" href=\"https://example.com/" + path + "/p/"), grpS, lit("\">"))
+    docs.orderBy("doc_id").limit(150)
+      .withColumn("__grp", grp).withColumn("__m", m)
+      .select(col("doc_id"),
+        concat(lit("https://example.com/"), plang, lit("/p/"), grpS)
+          .as("base_url"),
+        concat(lit("<html><head>"), alt("en", "en"), alt("de", "de"),
+          alt("fr", "fr"), alt("x-default", "en"),
+          lit("</head><body>p</body></html>")).as("html"),
+        expr("CASE WHEN __m = 0 THEN repeat(concat('en', __grp, ' '), " +
+          "CAST(20 + __grp % 7 AS INT)) " +
+          "WHEN __m = 1 THEN CASE WHEN __grp % 5 = 0 THEN " +
+          "repeat(concat('en', __grp, ' '), CAST(20 + __grp % 7 AS INT)) " +
+          "ELSE repeat(concat('de', __grp, ' '), CAST(18 + __grp % 7 AS INT)) END " +
+          "ELSE CASE WHEN __grp % 4 = 0 THEN repeat(concat('fr', __grp, ' '), 5) " +
+          "ELSE repeat(concat('fr', __grp, ' '), CAST(22 + __grp % 7 AS INT)) " +
+          "END END").as("text"))
   }
 
   /** Spark-side WARC e2e fixture (mirrors ta_warc_e2e's mx/pc/rc chain

@@ -818,4 +818,49 @@ class CorpusFiltersSpec extends SparkTestBase {
     assert(run(docs.repartition(8)) == expect)
     assert(run(docs.coalesce(1)) == expect)
   }
+
+  test("seqChunks: slices tile every chunk to exactly seqLen tokens " +
+    "(tail excepted), boundary docs split at chunk edges, offsets are " +
+    "contiguous within a chunk") {
+    import spark.implicits._
+    Tables.register(spark, sfDir)
+    val docs = spark.table("documents")
+    val ch = CorpusFilters.seqChunks(docs, seqLen = 64)
+    val rows = ch.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // slice lengths are positive and chunk-bounded
+    assert(rows.forall(r => r._5 >= 1 && r._5 <= 64), "slice lens")
+    val byChunk = rows.groupBy(_._1)
+    val lastChunk = byChunk.keys.max
+    byChunk.foreach { case (cid, rs) =>
+      val total = rs.map(_._5).sum
+      if (cid < lastChunk) assert(total == 64L, s"chunk $cid sums $total")
+      else assert(total <= 64L, s"tail chunk sums $total")
+      // ordered by chunk_off the slices are contiguous from 0
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.head._3 == 0L, s"chunk $cid starts at offset 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._5 == b._3,
+          s"chunk $cid gap between ${a._2} and ${b._2}")
+        case _ =>
+      }
+    }
+    // total slice tokens == total corpus tokens (nothing lost or duped)
+    val totalTokens = CorpusFilters.seqPack(docs, seqLen = 64)
+      .agg(sum("n_tokens")).collect()(0).getLong(0)
+    assert(rows.map(_._5).sum == totalTokens)
+    // a boundary doc reconstructs: its slices are contiguous in
+    // doc_slice_start order and cover [0, n_tokens)
+    val spanning = rows.groupBy(_._2).filter(_._2.length > 1)
+    assert(spanning.nonEmpty, "fixture has boundary docs")
+    spanning.foreach { case (_, rs) =>
+      val s = rs.sortBy(_._4)
+      assert(s.head._4 == 0L)
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._5 == b._4)
+        case _ =>
+      }
+    }
+  }
 }

@@ -892,18 +892,23 @@ class SimilaritySpec extends SparkTestBase {
       (3L, 301L, 0)
     ).toDF("query_id", "doc_id", "grade")
     val got = RetrievalEval.evaluate(results, qrels, k = 3)
-      .orderBy("query_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
-        r.getDouble(3), r.getDouble(4))).toSeq
+      .orderBy("query_id")
+      .select("query_id", "n_relevant", "recall", "recall_capped", "rr",
+        "ndcg", "judged")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
     // q1: 3 relevant judged; only doc 102 (grade 3) hits within k=3 ->
-    // recall 1/3, rr = 1/2; dcg = 7*w2, idcg = 7*w1 + 3*w2 + 1*w3
+    // recall 1/3 (capped same: min(3,3)), rr = 1/2; dcg = 7*w2,
+    // idcg = 7*w1 + 3*w2 + 1*w3; judged: ranks 2 and 3 of the three
+    // returned rows carry judgments (grade 0 counts) -> 2/3
     val w = (1 to 3).map(RetrievalEval.dcgWeight)
     val ndcg1 = BigDecimal(
       math.round(7 * w(1) * 1e9) / 1e9 / (7 * w(0) + 3 * w(1) + 1 * w(2)))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got == Seq(
-      (1L, 3L, 0.333333, 0.5, ndcg1),
-      (2L, 1L, 0.0, 0.0, 0.0)), got)
+      (1L, 3L, 0.333333, 0.333333, 0.5, ndcg1, 0.666667),
+      (2L, 1L, 0.0, 0.0, 0.0, 0.0, 0.0)), got)
   }
 
   test("RetrievalEval wired to a real index: IVF results scored against " +
@@ -925,8 +930,9 @@ class SimilaritySpec extends SparkTestBase {
         .select(lit(q).as("query_id"), col("vec_id").as("doc_id"),
           lit(1).as("grade"))).reduce(_ unionByName _)
     val ev = RetrievalEval.evaluate(results, qrels, k = 10)
-      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3),
-        r.getDouble(4))).toSeq
+      .select("query_id", "recall", "rr", "ndcg")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
     assert(ev.length == queries.length, ev)
     // nprobe=2 of 8 cells is deliberately non-exhaustive (measured
     // recall 0.3-0.6 on this corpus — the metric has real signal);
@@ -934,10 +940,13 @@ class SimilaritySpec extends SparkTestBase {
     ev.foreach { case (q, recall, rr, ndcg) =>
       assert(recall >= 0.25 && rr >= 0.5 && ndcg >= 0.4, s"q$q: $ev") }
     // the exact list scored against itself is perfect on every metric
+    // (judged included: every returned doc IS the judgment set)
     val self = RetrievalEval.evaluate(
       queries.map(q => withRank(Similarity.cosineTopK(emb, q, 10), q))
         .reduce(_ unionByName _), qrels, k = 10)
-      .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
-    assert(self.forall(_ == ((1.0, 1.0, 1.0))), self.toSeq)
+      .select("recall", "recall_capped", "rr", "ndcg", "judged")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(self.forall(_ == ((1.0, 1.0, 1.0, 1.0, 1.0))), self.toSeq)
   }
 }
