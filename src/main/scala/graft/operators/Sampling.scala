@@ -256,8 +256,12 @@ object Sampling {
           log((col("cr") + 1).cast("double") / (col("tr") + buckets))).as("lr"))
     rawToks.join(broadcast(ratio), Seq("bucket"))
       .groupBy(col(idCol))
+      // roundZ, not round: a mean of log-ratios can be tiny-negative and
+      // round to ZERO — Spark's round drops the sign (+0.0) where
+      // DuckDB's keeps it (−0.0), and the driver hash is bit-sensitive
+      // (caught by the signed-zero-aware sweep at sf0.1)
       .agg(count(lit(1)).as("n_tokens"),
-        round(avg("lr"), 4).as("dsir_weight"))
+        Similarity.roundZ(avg("lr"), 4).as("dsir_weight"))
   }
 
   /** DSIR importance RESAMPLING (Xie et al. 2023 §2.3 — the sampling half
@@ -279,7 +283,9 @@ object Sampling {
     require(n > 0, "n must be positive")
     val u = hashUnit(col(idCol), salt) + lit(0.5 / 4294967296.0)
     dsirWeights(raw, target, buckets, "dsir", idCol, textCol)
-      .withColumn("skey", round(col("dsir_weight") - log(-log(u)), 4))
+      // roundZ: weight + Gumbel noise can also land on zero from below
+      .withColumn("skey",
+        Similarity.roundZ(col("dsir_weight") - log(-log(u)), 4))
       .orderBy(col("skey").desc, col(idCol))
       .limit(n)
       .select(col(idCol), col("dsir_weight"), col("skey"))

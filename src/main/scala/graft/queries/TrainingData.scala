@@ -985,7 +985,7 @@ object TrainingData {
     // unnest+generate_subscripts; means are exact-order-independent enough
     // after round(4) since addition groups per dimension in both engines.
     df("ss_label_centroids",
-      """SELECT label, d, round(avg(val), 4) AS c FROM (
+      """SELECT label, d, CAST(round(avg(val) * 10000) AS BIGINT) / 10000.0 AS c FROM (
         |  SELECT label, generate_subscripts(v, 1) AS d, unnest(v) AS val
         |  FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings) e) t
         |GROUP BY label, d ORDER BY label, d LIMIT 200""".stripMargin) { (s, _) =>
@@ -993,7 +993,9 @@ object TrainingData {
         .select(col("label"), posexplode(Similarity.asDouble(col("embedding"))))
         .select(col("label"), (col("pos") + 1).cast("long").as("d"),
           col("col").as("val"))
-        .groupBy("label", "d").agg(round(avg("val"), 4).as("c"))
+        // roundZ: a per-dimension mean of signed embedding components
+        // rounds to ZERO from below — the signed-zero hash class
+        .groupBy("label", "d").agg(Similarity.roundZ(avg("val"), 4).as("c"))
         .orderBy("label", "d").limit(200)
     },
 
@@ -4128,7 +4130,8 @@ object TrainingData {
         |    - ln((coalesce(rc.cr, 0) + 1) / (rtot.tr + 64)) AS lr
         |  FROM ab LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
         |  CROSS JOIN ttot CROSS JOIN rtot)
-        |SELECT doc_id, count(*) AS n_tokens, round(avg(l.lr), 4) AS dsir_weight
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(round(avg(l.lr) * 10000) AS BIGINT) / 10000.0 AS dsir_weight
         |FROM bx JOIN lr l USING (bucket)
         |GROUP BY doc_id ORDER BY doc_id LIMIT 100""".stripMargin) { (s, _) =>
       val d = s.table("documents")
@@ -4220,14 +4223,16 @@ object TrainingData {
         |    - ln((coalesce(rc.cr, 0) + 1) / (rtot.tr + 64)) AS lr
         |  FROM ab LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
         |  CROSS JOIN ttot CROSS JOIN rtot),
-        |wt AS (SELECT doc_id, round(avg(l.lr), 4) AS dsir_weight
+        |wt AS (SELECT doc_id,
+        |  CAST(round(avg(l.lr) * 10000) AS BIGINT) / 10000.0 AS dsir_weight
         |  FROM bx JOIN lr l USING (bucket) GROUP BY doc_id),
         |g AS (SELECT doc_id, dsir_weight,
-        |  round(dsir_weight - ln(-ln(
+        |  CAST(round((dsir_weight - ln(-ln(
         |    (CAST(list_sum(list_transform(generate_series(1, 8),
         |      i -> (strpos('0123456789abcdef',
         |        substring(md5(concat('dsirs', CAST(doc_id AS VARCHAR))), i, 1)) - 1)
-        |        * 16.0 ** (8 - i))) AS DOUBLE) + 0.5) / 4294967296.0)), 4) AS skey
+        |        * 16.0 ** (8 - i))) AS DOUBLE) + 0.5) / 4294967296.0))) * 10000)
+        |    AS BIGINT) / 10000.0 AS skey
         |  FROM wt)
         |SELECT doc_id, dsir_weight, skey FROM g
         |ORDER BY skey DESC, doc_id LIMIT 200""".stripMargin) { (s, _) =>
