@@ -350,6 +350,23 @@ object CorpusStreams {
           .when(col("surprisal") <= t2, "middle")
           .otherwise("tail").as("bucket"))
 
+  /** Streaming charset TRANSCODE gate: live page bytes decode to text by
+    * [[graft.operators.WebFilters.transcode]]'s pinned precedence (HTTP
+    * charset > meta charset > UTF-8 default) and rows whose declared
+    * charset could not be honored DROP — a gate filters; the batch
+    * operator's `decode_ok = false` latin-1 fallback is for pipelines
+    * that keep-and-flag instead. Pure column ops (one decode + regexes
+    * per row), so the gate is stateless, map-only, append-mode — it
+    * attaches between [[graft.operators.WebFilters.warcHttp]]'s envelope
+    * verdict and any extraction stage on a live crawl with no state and
+    * no watermark. Emits the caller's columns plus `charset_used` and
+    * `text`. */
+  def transcodeGate(pages: DataFrame, bytesCol: String = "body_bytes",
+                    httpCharsetCol: String = "charset"): DataFrame =
+    graft.operators.WebFilters.transcode(pages, bytesCol, httpCharsetCol)
+      .where(col("decode_ok"))
+      .drop("decode_ok")
+
   /** Event-time windowed corpus telemetry per stratum: docs, tokens, and
     * mean quality per (window, stratum) — the live dashboard a curation
     * pipeline publishes while filling shards. Append-mode compatible

@@ -226,6 +226,41 @@ class CorpusStreamsSpec extends SparkTestBase {
     assert(got == batch, s"stream $got vs batch $batch")
   }
 
+  test("transcode gate: live page bytes decode by the declared charset, " +
+    "unhonorable labels drop; verdicts equal the batch operator's") {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def b(s: String) = s.getBytes(StandardCharsets.ISO_8859_1)
+    val pages = Seq(
+      (1L, "café latin".getBytes(StandardCharsets.ISO_8859_1), "latin-1"),
+      (2L, "café utf8".getBytes(StandardCharsets.UTF_8), "utf-8"),
+      (3L, b("he said hi"), "windows-1252"),
+      (4L, b("bad é bytes"), "utf-8"), // malformed-labeled-utf8: drops
+      (5L, b("mystery"), "shift_jis")) // unknown label: drops
+    val in = MemoryStream[(Long, Array[Byte], String)]
+    val q = graft.streaming.CorpusStreams
+      .transcodeGate(in.toDF().toDF("doc_id", "body_bytes", "charset"))
+      .writeStream.format("memory").queryName("tcgate")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    in.addData(pages)
+    val run = q.start(); run.awaitTermination(60000)
+    val got = spark.table("tcgate").orderBy("doc_id")
+      .select("doc_id", "charset_used", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq(
+      (1L, "iso-8859-1", "café latin"),
+      (2L, "utf-8", "café utf8"),
+      (3L, "windows-1252", "he said “hi”")), got)
+    // gate ≡ batch operator's decode_ok slice on the same bytes
+    val batch = graft.operators.WebFilters
+      .transcode(pages.toDF("doc_id", "body_bytes", "charset"))
+      .where(col("decode_ok")).orderBy("doc_id")
+      .select("doc_id", "charset_used", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == batch, s"stream $got vs batch $batch")
+  }
+
   test("imageTextAlignment runs on a live media stream against static " +
     "captions (stream-static equi-join): per-item verdicts equal the " +
     "batch gate's") {

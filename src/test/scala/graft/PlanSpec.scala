@@ -817,6 +817,43 @@ class PlanSpec extends SparkTestBase {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("transcode is map-only: one decode + regexes per row, no exchange " +
+    "anywhere — the gate runs inside the scan at 100 TB") {
+    import spark.implicits._
+    val pages = spark.range(100).select(col("id").as("doc_id"),
+      encode(concat(lit("<html><body>p"), col("id").cast("string"),
+        lit("</body></html>")), "UTF-8").as("body_bytes"),
+      lit("utf-8").as("charset"))
+    val p = plan(graft.operators.WebFilters.transcode(pages))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("seqChunks inherits seqPack's two-phase shape and adds ONLY a " +
+    "bounded explode: per-partition window, no SinglePartition, a " +
+    "Generate node, no extra shuffle") {
+    Tables.register(spark, sfDir)
+    val p = plan(graft.operators.CorpusFilters.seqChunks(
+      spark.table("documents"), seqLen = 128))
+    assert(p.contains("hashpartitioning(__pid"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("Generate"), p)
+  }
+
+  test("translationPairs: the pairing is an equi-join on cluster_key — " +
+    "no cartesian product anywhere in the plan") {
+    Tables.register(spark, sfDir)
+    val docs = spark.table("documents").limit(60)
+      .select(col("doc_id"),
+        concat(lit("https://example.com/en/p/"), col("doc_id").cast("string"))
+          .as("base_url"),
+        concat(lit("<link rel=\"alternate\" hreflang=\"en\" " +
+          "href=\"https://example.com/en/p/"), col("doc_id").cast("string"),
+          lit("\">")).as("html"),
+        col("text"))
+    val p = plan(graft.operators.WebFilters.translationPairs(docs))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("warcHttp is map-only after the record explode: no exchange " +
     "anywhere — the gate runs inside the archive scan") {
     import spark.implicits._
