@@ -543,6 +543,55 @@ object CorpusFilters {
       md5(redactedText(t)).as("redacted_digest"))
   }
 
+  /** Payment-card candidate runs: 13–19 digits with optional single
+    * space/hyphen separators, word-bounded. RE2-safe (shared with the
+    * DuckDB oracle). Deliberately permissive — the Luhn gate below is
+    * what separates a card from a phone number or an order id. */
+  val CardPattern = "\\b(?:\\d[ -]?){12,18}\\d\\b"
+
+  /** Luhn checksum (ISO/IEC 7812) of a digits-only string, as a pure
+    * column expression: from the RIGHT, double every second digit and
+    * subtract 9 when that doubling carries; a valid PAN sums to ≡ 0
+    * (mod 10). Runs per candidate inside a higher-order filter, so it
+    * stays in codegen — no UDF. */
+  def luhnChecksum(digits: Column): Column =
+    aggregate(
+      sequence(lit(1), length(digits)),
+      lit(0),
+      (acc, i) => {
+        val d = substr(digits, i, lit(1)).cast("int")
+        val doubled = (length(digits) - i) % 2 === 1
+        acc + when(doubled, d * 2 - when(d > 4, 9).otherwise(0)).otherwise(d)
+      })
+
+  private def luhnValid(digits: Column): Column =
+    length(digits).between(13, 19) && luhnChecksum(digits) % 10 === 0
+
+  /** Card-number PII with Luhn validation — the checksum gate every
+    * production scrubber runs because the bare digit-run regex drowns in
+    * false positives (order ids, timestamps, phone numbers): candidates
+    * come from [[CardPattern]], and only candidates whose digits pass the
+    * Luhn check are counted as cards and redacted (the redaction fold
+    * replaces each VALID candidate string, so a Luhn-failing lookalike in
+    * the same document survives untouched). Returns per doc:
+    * `n_candidates`, `n_valid_cards`, and the md5 of the redacted text.
+    *
+    * Map-only: one regex pass + a per-candidate checksum over a
+    * candidates-bounded array; no exchange, runs inside the scan at any
+    * scale. */
+  def piiCards(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val candidates = regexp_extract_all(t, lit(CardPattern), lit(0))
+    val valid = filter(candidates,
+      c => luhnValid(regexp_replace(c, "[ -]", "")))
+    docs.select(
+      col("doc_id"),
+      size(candidates).cast("long").as("n_candidates"),
+      size(valid).cast("long").as("n_valid_cards"),
+      md5(aggregate(valid, t, (acc, c) => replace(acc, c, lit("<CARD>"))))
+        .as("redacted_digest"))
+  }
+
   /** Deterministic token-budget shard packing: hash documents into
     * `nGroups` independent groups (md5 of the salted doc id), order each
     * group by that hash, and cut shards whenever the running token count

@@ -204,6 +204,45 @@ object Sampling {
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"), sum(col(idCol)).as("id_sum"))
 
+  /** Leak-free held-out split: assignment by NEAR-DUP CLUSTER, not by
+    * document. [[heldoutSplit]] hashes each doc's own id, so two near-
+    * duplicates routinely land one in train and one in test — the
+    * evaluation then scores the model on paraphrases of its own training
+    * data (the contamination measured by Lee et al. 2021 §6.2). Here the
+    * split unit is `coalesce(cluster_id, doc_id)` over the connected
+    * near-dup components (`clusters` = [[graft.operators.Dedup.neardupClusters]]
+    * output, (id, cluster_id); singletons absent from it hash their own
+    * id), so every member of a cluster shares one hash draw and no
+    * candidate pair can ever straddle splits.
+    *
+    * Returns per-doc (doc_id, unit_id, split). Scale shape: one
+    * equi-join of docs against the clusters frame (clusters ≤ docs; AQE
+    * broadcasts when small) + the same map-only hash as heldoutSplit —
+    * nothing new shuffles beyond what clustering already paid.
+    *
+    * Stability trade-off, stated honestly: heldoutSplit is per-doc
+    * stable under corpus growth; this split is leak-free INSTEAD. When
+    * growth merges two clusters the survivor's min-id becomes the unit
+    * for both, so the merged docs move TOGETHER to one split — the
+    * no-straddle guarantee holds at every point in time, but a doc's
+    * assignment is only as stable as its component. Pipelines wanting
+    * both pin the clusters frame per release. */
+  def leakFreeSplit(docs: DataFrame, clusters: DataFrame,
+                    valRate: Double, testRate: Double,
+                    salt: String = "split",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(valRate >= 0 && testRate >= 0 && valRate + testRate < 1,
+      s"bad rates: val=$valRate test=$testRate")
+    val unit = coalesce(col("cluster_id"), col(idCol)).as("unit_id")
+    val u = hashUnit(col("unit_id"), salt)
+    docs.join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), unit)
+      .withColumn("split",
+        when(u < testRate, "test")
+          .when(u < testRate + valRate, "val")
+          .otherwise("train"))
+  }
+
   /** Per-stratum audit report of the temperature sample: totals, shares,
     * rate, plus what the deterministic sample actually kept (docs + an
     * id_sum so two engines must agree on the exact membership). */

@@ -870,6 +870,69 @@ object WebFilters {
       .drop("__pre", "__utf8_ok", "__label", "__canon")
   }
 
+  /** Mojibake signature set — the character PAIRS UTF-8 text shows after
+    * a wrong latin-1/cp1252 decode somewhere upstream: a lead byte
+    * (Ã/Â/â…) rendered as its own letter followed by a rendered
+    * continuation byte. Curated literal alternation (RE2-safe, no
+    * classes over C1 controls) covering the punctuation family
+    * (â€™ â€œ â€“ â€” â€¦ â€˜ = ' " – — … ') and the accented-latin
+    * family (Ã© Ã¨ … = é è …) plus the Â-before-symbol artifact —
+    * the set ftfy's sequence tables weight highest. Shared with the
+    * DuckDB oracle verbatim. */
+  val MojibakePattern: String =
+    "â€™|â€œ|â€“|â€”|â€¦|â€˜|Ã©|Ã¨|Ã¡|Ã³|Ãº|Ã¼|Ã¶|Ã¤|Ã«|Ã¯|Ã¢|Ã´|Ã®|Ã±|Ã§|Â«|Â»|Â°|Â·"
+
+  /** Mojibake DETECTOR — the verdict stage after [[transcode]]: a page
+    * that arrives already decoded (by an upstream system that guessed
+    * the charset wrong) can't be fixed by the byte-level gate, but its
+    * text carries the [[MojibakePattern]] artifacts. Appends
+    * `n_artifacts` (match count), `artifact_rate` (per 100 chars,
+    * 4 dp), and the `mojibake` verdict (`n_artifacts >= minHits` — one
+    * hit can be a legitimate 'câ€¦' quotation of mojibake itself; two
+    * independent hits essentially never are). Map-only, one regex pass. */
+  def mojibakeScore(pages: DataFrame, textCol: String = "text",
+                    minHits: Int = 2): DataFrame = {
+    val t = col(textCol)
+    pages
+      .withColumn("n_artifacts",
+        size(regexp_extract_all(t, lit(MojibakePattern), lit(0))).cast("long"))
+      .withColumn("artifact_rate",
+        round(col("n_artifacts") * 100.0 /
+          greatest(length(t).cast("double"), lit(1.0)), 4))
+      .withColumn("mojibake", col("n_artifacts") >= minHits)
+  }
+
+  /** Mojibake REPAIR — ftfy's fix_encoding one-pass inverse: re-encode
+    * the text through the windows-1252 it was wrongly decoded with
+    * (the [[Cp1252Map]] INVERSE translate turns € ™ ' " – — back into
+    * their C1 bytes, after which latin-1 encode is the byte identity),
+    * then decode those bytes as the UTF-8 they always were. Repairs
+    * only rows the [[mojibakeScore]] verdict flagged AND whose
+    * reconstructed bytes are well-formed UTF-8 ([[Utf8HexPat]]) — a
+    * false-positive page whose roundtrip is not valid UTF-8 passes
+    * through untouched, so the operator can never corrupt clean text.
+    * Appends `repaired` (bool) and `text_repaired`. Map-only. */
+  def mojibakeRepair(pages: DataFrame, textCol: String = "text",
+                     minHits: Int = 2): DataFrame = {
+    val scored = mojibakeScore(pages, textCol, minHits)
+    val inv = translate(col(textCol), cp1252To, cp1252From)
+    // the inverse must be losslessly latin-1-encodable — real CJK mixed
+    // into a flagged page must NOT be repaired, and Spark's strict
+    // `encode` RAISES on unmappable input, so the codepoint test gates
+    // the encode itself (the `when` branch never evaluates for
+    // non-latin-1 rows); the reconstructed bytes must then be
+    // well-formed UTF-8
+    val lossless = !inv.rlike("[^\\x00-\\xff]")
+    val bytesBack =
+      encode(when(lossless, inv).otherwise(lit("")), "ISO-8859-1")
+    scored
+      .withColumn("repaired",
+        col("mojibake") && lossless && lower(hex(bytesBack)).rlike(Utf8HexPat))
+      .withColumn("text_repaired",
+        when(col("repaired"), decode(bytesBack, "UTF-8"))
+          .otherwise(col(textCol)))
+  }
+
   /** Anchor OPEN TAGS with a double-quoted href — the rel-aware sibling
     * of [[HrefPat]]: matching stops at the tag's own `>`, so the rel
     * attribute (either side of href) is inside the match and per-anchor

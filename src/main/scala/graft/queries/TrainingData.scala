@@ -3215,6 +3215,41 @@ object TrainingData {
         .orderBy("doc_id").limit(100)
     },
 
+    // card-number PII with the Luhn gate: the fixture plants one valid
+    // PAN (4111…1111, spaces), one checksum-failing lookalike (…1112,
+    // hyphens), and an 11-digit Luhn-valid string too short to be a PAN —
+    // n_candidates counts the first two, n_valid_cards only the first,
+    // and the digest proves ONLY the valid one was redacted
+    df("ta_pii_cards",
+      """WITH d AS (SELECT doc_id,
+        |  text || ' pay 4111 1111 1111 1111 now or 4111-1111-1111-1112 ref 79927398713' AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id, text,
+        |  regexp_extract_all(text, '\b(?:\d[ -]?){12,18}\d\b') AS cands FROM d),
+        |v AS (SELECT doc_id, text, cands,
+        |  list_filter(cands, cc ->
+        |    len(regexp_replace(cc, '[ -]', '', 'g')) BETWEEN 13 AND 19 AND
+        |    list_sum(list_transform(
+        |      generate_series(1, len(regexp_replace(cc, '[ -]', '', 'g'))),
+        |      i -> CASE WHEN (len(regexp_replace(cc, '[ -]', '', 'g')) - i) % 2 = 1
+        |        THEN CASE WHEN CAST(substring(regexp_replace(cc, '[ -]', '', 'g'), i, 1) AS INT) > 4
+        |          THEN CAST(substring(regexp_replace(cc, '[ -]', '', 'g'), i, 1) AS INT) * 2 - 9
+        |          ELSE CAST(substring(regexp_replace(cc, '[ -]', '', 'g'), i, 1) AS INT) * 2 END
+        |        ELSE CAST(substring(regexp_replace(cc, '[ -]', '', 'g'), i, 1) AS INT) END))
+        |      % 10 = 0) AS valid
+        |  FROM c)
+        |SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,
+        |  CAST(len(valid) AS BIGINT) AS n_valid_cards,
+        |  md5(list_reduce(list_prepend(text, valid),
+        |    (acc, x) -> replace(acc, x, '<CARD>'))) AS redacted_digest
+        |FROM v ORDER BY doc_id LIMIT 100""".stripMargin) { (s, _) =>
+      graft.operators.CorpusFilters.piiCards(
+        s.table("documents").withColumn("text",
+          concat(col("text"),
+            lit(" pay 4111 1111 1111 1111 now or 4111-1111-1111-1112 ref 79927398713"))))
+        .orderBy("doc_id").limit(100)
+    },
+
     // deterministic token-budget shard packing summary (per-group running
     // token count cut at 512-token boundaries; md5-ordered, reproducible)
     df("ta_pack_shards",
@@ -4357,6 +4392,85 @@ object TrainingData {
         |FROM s GROUP BY split ORDER BY split""".stripMargin) { (s, _) =>
       graft.operators.Sampling.heldoutReport(s.table("documents"),
           valRate = 0.1, testRate = 0.1)
+        .orderBy("split")
+    },
+
+    // LEAK-FREE split: assignment by near-dup CLUSTER (coalesce(cluster,
+    // own id)), so no candidate pair straddles train/test —
+    // leaked_pairs is 0 BY CONSTRUCTION while the same hash applied
+    // per-doc (naive_leaked_pairs) provably leaks on the same graph.
+    // Clusters = connected components over the consecutive-id embedding
+    // pairs at cos >= 0.2 (the dd_neardup_clusters fixture).
+    df("dd_split_leakfree",
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p0 AS (SELECT vec_id AS id_a, vec_id + 1 AS id_b FROM embeddings),
+        |sim AS (SELECT id_a, id_b,
+        |  round(list_sum(list_transform(generate_series(1, len(ea.v)), i -> ea.v[i] * eb.v[i])) /
+        |  (sqrt(list_sum(list_transform(generate_series(1, len(ea.v)), i -> ea.v[i] * ea.v[i]))) *
+        |   sqrt(list_sum(list_transform(generate_series(1, len(eb.v)), i -> eb.v[i] * eb.v[i])))), 4) AS s
+        |  FROM p0 JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b),
+        |pr AS (SELECT id_a, id_b FROM sim WHERE s >= 0.2),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON e2.src = r.dst),
+        |cl AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+        |  FROM reach GROUP BY src),
+        |docs AS (SELECT vec_id AS doc_id FROM embeddings),
+        |su AS (SELECT doc_id, coalesce(cluster_id, doc_id) AS unit_id
+        |  FROM docs LEFT JOIN cl ON cl.id = docs.doc_id),
+        |hu AS (SELECT doc_id, unit_id,
+        |  CAST(list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |      substring(md5(concat('lf', CAST(unit_id AS VARCHAR))), i, 1)) - 1)
+        |      * 16.0 ** (8 - i))) AS DOUBLE) / 4294967296.0 AS u
+        |  FROM su),
+        |sp AS (SELECT doc_id, unit_id, CASE WHEN u < 0.1 THEN 'test'
+        |  WHEN u < 0.2 THEN 'val' ELSE 'train' END AS split FROM hu),
+        |hn AS (SELECT doc_id,
+        |  CAST(list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |      substring(md5(concat('lf', CAST(doc_id AS VARCHAR))), i, 1)) - 1)
+        |      * 16.0 ** (8 - i))) AS DOUBLE) / 4294967296.0 AS u
+        |  FROM docs),
+        |nv AS (SELECT doc_id, CASE WHEN u < 0.1 THEN 'test'
+        |  WHEN u < 0.2 THEN 'val' ELSE 'train' END AS split FROM hn),
+        |lk AS (SELECT CAST(count(*) AS BIGINT) AS leaked_pairs FROM pr
+        |  JOIN sp a ON a.doc_id = pr.id_a JOIN sp b ON b.doc_id = pr.id_b
+        |  WHERE a.split <> b.split),
+        |nlk AS (SELECT CAST(count(*) AS BIGINT) AS naive_leaked_pairs FROM pr
+        |  JOIN nv a ON a.doc_id = pr.id_a JOIN nv b ON b.doc_id = pr.id_b
+        |  WHERE a.split <> b.split)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT unit_id) AS BIGINT) AS n_units,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  leaked_pairs, naive_leaked_pairs
+        |FROM sp, lk, nlk
+        |GROUP BY split, leaked_pairs, naive_leaked_pairs
+        |ORDER BY split""".stripMargin) { (s, _) =>
+      val emb = s.table("embeddings")
+      val pairs = Similarity.embeddingNearDups(emb,
+          emb.select(col("vec_id").as("id_a"), (col("vec_id") + 1).as("id_b")),
+          threshold = 0.2)
+        .select("id_a", "id_b")
+      val clusters = Dedup.neardupClusters(pairs)
+      val docs = emb.select(col("vec_id").as("doc_id"))
+      val lf = graft.operators.Sampling.leakFreeSplit(docs, clusters,
+        valRate = 0.1, testRate = 0.1, salt = "lf")
+      val nv = graft.operators.Sampling.heldoutSplit(docs,
+        valRate = 0.1, testRate = 0.1, salt = "lf")
+      def leaks(splits: org.apache.spark.sql.DataFrame, out: String) = pairs
+        .join(splits.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+        .join(splits.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+        .agg(count(when(col("sa") =!= col("sb"), lit(1))).as(out))
+      lf.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("unit_id").as("n_units"),
+          sum("doc_id").as("id_sum"))
+        .crossJoin(broadcast(leaks(lf, "leaked_pairs")))
+        .crossJoin(broadcast(leaks(nv, "naive_leaked_pairs")))
         .orderBy("split")
     },
 

@@ -1221,6 +1221,56 @@ object WebQueries {
         .orderBy("doc_id")
     },
 
+    // mojibake DETECTOR — the verdict for pages that arrive ALREADY
+    // wrongly decoded (upstream of the byte-level transcode gate): the
+    // fixture plants the classic UTF-8-read-as-cp1252 artifact pairs on
+    // every 5th doc; detection is one regex pass over the shared
+    // signature alternation, threshold 2 hits
+    df("ta_mojibake",
+      s"""WITH d AS (SELECT doc_id,
+         |  text || CASE WHEN doc_id % 5 = 0
+         |    THEN ' donâ€™t â€” cafÃ© naÃ¯ve Â» fin' ELSE '' END AS text
+         |  FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 150) x),
+         |m AS (SELECT doc_id, text,
+         |  CAST(len(regexp_extract_all(text,
+         |    '${WebFilters.MojibakePattern}')) AS BIGINT) AS n_artifacts
+         |  FROM d)
+         |SELECT doc_id, n_artifacts,
+         |  round(n_artifacts * 100.0 / greatest(CAST(len(text) AS DOUBLE), 1.0), 4)
+         |    AS artifact_rate,
+         |  n_artifacts >= 2 AS mojibake
+         |FROM m ORDER BY doc_id""".stripMargin) { (s, _) =>
+      WebFilters.mojibakeScore(mojibakeFixture(s.table("documents")))
+        .select("doc_id", "n_artifacts", "artifact_rate", "mojibake")
+        .orderBy("doc_id")
+    },
+
+    // mojibake REPAIR — ftfy's fix_encoding inverse: Spark re-encodes
+    // flagged text through the cp1252 it was wrongly decoded with
+    // (inverse WHATWG translate + latin-1 byte identity) and re-decodes
+    // the bytes as UTF-8; the oracle replays the SAME repair as the
+    // explicit artifact->char mapping, so the digest pins that the
+    // byte-level roundtrip lands exactly on the true characters
+    df("ta_mojibake_repair",
+      s"""WITH d AS (SELECT doc_id,
+         |  text || CASE WHEN doc_id % 5 = 0
+         |    THEN ' donâ€™t â€” cafÃ© naÃ¯ve Â» fin' ELSE '' END AS text
+         |  FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 150) x),
+         |m AS (SELECT doc_id, text,
+         |  CAST(len(regexp_extract_all(text,
+         |    '${WebFilters.MojibakePattern}')) AS BIGINT) AS n FROM d)
+         |SELECT doc_id, n >= 2 AS repaired,
+         |  md5(CASE WHEN n >= 2 THEN
+         |    replace(replace(replace(replace(replace(text,
+         |      'â€™', '’'), 'â€”', '—'), 'Ã©', 'é'), 'Ã¯', 'ï'), 'Â»', '»')
+         |  ELSE text END) AS repaired_digest
+         |FROM m ORDER BY doc_id""".stripMargin) { (s, _) =>
+      WebFilters.mojibakeRepair(mojibakeFixture(s.table("documents")))
+        .select(col("doc_id"), col("repaired"),
+          md5(col("text_repaired")).as("repaired_digest"))
+        .orderBy("doc_id")
+    },
+
     // the round-16 stack END TO END in one query: WARC bytes -> HTTP
     // envelope gate (404s drop) -> main-content extraction on the parsed
     // bodies -> meta-robots index/follow verdicts -> nofollow-aware
@@ -2144,6 +2194,16 @@ object WebQueries {
         .when(id % 4 === 2, lit("latin-1"))
         .otherwise(lit("")).as("http_charset"))
   }
+
+  /** Spark-side fixture for ta_mojibake / ta_mojibake_repair (mirrors
+    * their d CTE byte for byte): every 5th doc gets the classic
+    * UTF-8-read-as-cp1252 artifact suffix (curly apostrophe, em-dash,
+    * two accented-latin pairs, guillemet). */
+  private def mojibakeFixture(docs: org.apache.spark.sql.DataFrame) =
+    docs.orderBy("doc_id").limit(150).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" donâ€™t â€” cafÃ© naÃ¯ve Â» fin")))
+        .otherwise(col("text")).as("text"))
 
   /** Spark-side byte fixture for ta_transcode (mirrors its tx CTE byte
     * for byte): eight charset shapes over REAL bytes — plain ascii,

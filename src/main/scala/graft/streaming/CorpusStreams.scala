@@ -367,6 +367,20 @@ object CorpusStreams {
       .where(col("decode_ok"))
       .drop("decode_ok")
 
+  /** Streaming mojibake gate — the twin of [[transcodeGate]] for feeds
+    * that arrive ALREADY decoded (an upstream fetcher guessed the
+    * charset): flagged rows get the cp1252-roundtrip repair of
+    * [[graft.operators.WebFilters.mojibakeRepair]] applied in place
+    * (`text` is replaced; unflagged and unrepairable rows pass through
+    * byte-identical), and `n_artifacts`/`repaired` ride along for
+    * downstream quality filters. Pure column ops — stateless, map-only,
+    * append-mode, no watermark. */
+  def mojibakeGate(docs: DataFrame, textCol: String = "text",
+                   minHits: Int = 2): DataFrame =
+    graft.operators.WebFilters.mojibakeRepair(docs, textCol, minHits)
+      .withColumn(textCol, col("text_repaired"))
+      .drop("text_repaired", "artifact_rate", "mojibake")
+
   /** Event-time windowed corpus telemetry per stratum: docs, tokens, and
     * mean quality per (window, stratum) — the live dashboard a curation
     * pipeline publishes while filling shards. Append-mode compatible

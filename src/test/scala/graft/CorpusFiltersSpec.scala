@@ -863,4 +863,54 @@ class CorpusFiltersSpec extends SparkTestBase {
       }
     }
   }
+
+  test("piiCards: Luhn gate separates real PANs from lookalikes and " +
+    "redacts only the valid ones") {
+    import spark.implicits._
+    val docs = Seq(
+      // valid 16-digit Visa (spaces) + checksum-failing twin (hyphens)
+      1L -> "pay 4111 1111 1111 1111 or 4111-1111-1111-1112 today",
+      // valid 15-digit Amex, bare
+      2L -> "amex 378282246310005 works",
+      // 11-digit Luhn-valid classic — too short to be a PAN, not even a
+      // candidate; 20-digit run — no word-bounded 13-19 digit match
+      3L -> "ref 79927398713 and 12345678901234567890 ignored",
+      // candidate count includes the invalid; valid count does not
+      4L -> "maybe 1234 5678 9012 3456 hmm",
+      5L -> "no digits at all here")
+      .toDF("doc_id", "text")
+    val got = CorpusFilters.piiCards(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_candidates"), r.getAs[Long]("n_valid_cards"),
+          r.getAs[String]("redacted_digest")))).toMap
+    assert(got(1L)._1 == 2L && got(1L)._2 == 1L)
+    assert(got(2L)._1 == 1L && got(2L)._2 == 1L)
+    assert(got(3L) == ((0L, 0L, md5Hex(
+      "ref 79927398713 and 12345678901234567890 ignored"))))
+    assert(got(4L)._1 == 1L && got(4L)._2 == 0L)
+    assert(got(5L) == ((0L, 0L, md5Hex("no digits at all here"))))
+    // only the Luhn-valid candidate is redacted; the lookalike survives
+    assert(got(1L)._3 == md5Hex(
+      "pay <CARD> or 4111-1111-1111-1112 today"))
+    assert(got(2L)._3 == md5Hex("amex <CARD> works"))
+    assert(got(4L)._3 == md5Hex("maybe 1234 5678 9012 3456 hmm"))
+  }
+
+  test("luhnChecksum: textbook checksum values") {
+    import spark.implicits._
+    val got = Seq("79927398713", "4111111111111111", "378282246310005",
+      "4111111111111112")
+      .toDF("ds")
+      .select(col("ds"), CorpusFilters.luhnChecksum(col("ds")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got("79927398713") % 10 == 0)
+    assert(got("4111111111111111") % 10 == 0)
+    assert(got("378282246310005") % 10 == 0)
+    assert(got("4111111111111112") % 10 != 0)
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
 }

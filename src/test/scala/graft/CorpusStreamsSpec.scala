@@ -261,6 +261,37 @@ class CorpusStreamsSpec extends SparkTestBase {
     assert(got == batch, s"stream $got vs batch $batch")
   }
 
+  test("mojibake gate: flagged rows repair in place on a live feed, " +
+    "clean rows pass byte-identical; equals the batch operator") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      (1L, "donâ€™t â€” cafÃ© fixed"),
+      (2L, "plain ascii stays"),
+      (3L, "cafÃ© cafÃ© 中文 mixed")) // flagged but non-latin-1: untouched
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.CorpusStreams
+      .mojibakeGate(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("mjgate")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    in.addData(docs)
+    val run = q.start(); run.awaitTermination(60000)
+    val got = spark.table("mjgate").orderBy("doc_id")
+      .select("doc_id", "text", "repaired").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(got == Seq(
+      (1L, "don’t — café fixed", true),
+      (2L, "plain ascii stays", false),
+      (3L, "cafÃ© cafÃ© 中文 mixed", false)), got)
+    // gate ≡ batch operator on the same rows
+    val batch = graft.operators.WebFilters
+      .mojibakeRepair(docs.toDF("doc_id", "text")).orderBy("doc_id")
+      .select(col("doc_id"), col("text_repaired").as("text"),
+        col("repaired")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(got == batch, s"stream $got vs batch $batch")
+  }
+
   test("imageTextAlignment runs on a live media stream against static " +
     "captions (stream-static equi-join): per-item verdicts equal the " +
     "batch gate's") {

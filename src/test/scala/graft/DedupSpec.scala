@@ -445,6 +445,41 @@ class DedupSpec extends SparkTestBase {
     assert(s.exists { case (id, sp) => other(id) != sp })
   }
 
+  test("leak-free split: cluster members share a split, singletons match " +
+    "the naive split, and no pair straddles train/test") {
+    import spark.implicits._
+    val docs = (0 until 300).map(i => Tuple1(i.toLong)).toDF("doc_id")
+    // chains 0-1-2, 10-11, 20-21-22-23 plus singletons
+    val pairs = Seq(0L -> 1L, 1L -> 2L, 10L -> 11L,
+      20L -> 21L, 21L -> 22L, 22L -> 23L).toDF("id_a", "id_b")
+    val clusters = Dedup.neardupClusters(pairs)
+    val lf = Sampling.leakFreeSplit(docs, clusters, valRate = 0.1,
+        testRate = 0.1, salt = "lfspec")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(lf.size == 300)
+    // every clustered doc carries its component min as the unit and the
+    // whole component shares one split
+    Seq(Seq(0L, 1L, 2L), Seq(10L, 11L), Seq(20L, 21L, 22L, 23L)).foreach {
+      comp =>
+        comp.foreach { id => assert(lf(id)._1 == comp.min, id) }
+        assert(comp.map(lf(_)._2).distinct.size == 1, comp)
+    }
+    // singletons hash their own id — identical to the naive split
+    val naive = Sampling.heldoutSplit(docs, 0.1, 0.1, salt = "lfspec")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0 until 300).map(_.toLong)
+      .filterNot(Seq(0L, 1L, 2L, 10L, 11L, 20L, 21L, 22L, 23L).contains)
+      .foreach { id =>
+        assert(lf(id)._1 == id, id)
+        assert(lf(id)._2 == naive(id), id)
+      }
+    // the guarantee itself: no candidate pair straddles splits
+    pairs.collect().foreach { r =>
+      assert(lf(r.getLong(0))._2 == lf(r.getLong(1))._2, r)
+    }
+  }
+
   test("bucketed corpus dedup: same verdicts as the plain anti-join, the " +
     "corpus side never re-shuffles, and null text still dedups") {
     import spark.implicits._

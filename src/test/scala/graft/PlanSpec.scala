@@ -898,4 +898,40 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("piiCards and the mojibake gates are map-only: regex extraction, " +
+    "the per-candidate Luhn fold, and the repair roundtrip never add an " +
+    "exchange") {
+    import spark.implicits._
+    val docs = spark.range(100).select(col("id").as("doc_id"),
+      concat(lit("pay 4111 1111 1111 1111 cafÃ© donâ€™t n="),
+        col("id").cast("string")).as("text"))
+    val pc = plan(graft.operators.CorpusFilters.piiCards(docs))
+    assert(!pc.contains("Exchange"), pc)
+    val ms = plan(graft.operators.WebFilters.mojibakeScore(docs))
+    assert(!ms.contains("Exchange"), ms)
+    val mr = plan(graft.operators.WebFilters.mojibakeRepair(docs))
+    assert(!mr.contains("Exchange"), mr)
+  }
+
+  test("leakFreeSplit: one equi-join against the clusters frame (AQE " +
+    "broadcast for a small one) + the map-only hash — no global sort, " +
+    "no cartesian") {
+    import spark.implicits._
+    val docs = spark.range(1000).select(col("id").as("doc_id"))
+    val clusters = Seq(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L)
+      .toDF("id", "cluster_id")
+    val p = plan(graft.operators.Sampling.leakFreeSplit(
+      docs, clusters, valRate = 0.1, testRate = 0.1))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Sort ["), p)
+    // the docs side must not hash-shuffle for a broadcastable clusters
+    // frame (AQE decides at runtime; statically it may stage as SMJ, so
+    // pin the executed plan after an action)
+    val dfx = graft.operators.Sampling.leakFreeSplit(
+      docs, clusters, valRate = 0.1, testRate = 0.1)
+    dfx.collect()
+    val executed = dfx.queryExecution.executedPlan.toString
+    assert(executed.contains("BroadcastHashJoin"), executed)
+  }
 }

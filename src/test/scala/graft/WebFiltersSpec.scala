@@ -884,4 +884,42 @@ class WebFiltersSpec extends SparkTestBase {
     assert(got(3).getString(1) == "windows-1252" && got(3).getBoolean(2) &&
       got(3).getString(3) == "“hi”€\u0081", got(3).toString)
   }
+
+  test("mojibakeScore: counts artifact pairs, two-hit verdict, clean " +
+    "text never flags") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "donâ€™t say â€œcafÃ©"),       // 3 artifacts -> mojibake
+      (2L, "one cafÃ© only"),              // 1 artifact  -> below threshold
+      (3L, "plain ascii text"),            // clean
+      (4L, "real café and naïve words"))   // real accents, NOT artifacts
+      .toDF("doc_id", "text")
+    val got = WebFilters.mojibakeScore(rows).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_artifacts"), r.getAs[Boolean]("mojibake")))).toMap
+    assert(got(1L) == ((3L, true)))
+    assert(got(2L) == ((1L, false)))
+    assert(got(3L) == ((0L, false)))
+    assert(got(4L) == ((0L, false)))
+  }
+
+  test("mojibakeRepair: cp1252 roundtrip restores the true characters, " +
+    "clean and non-latin-1 text pass through untouched") {
+    import spark.implicits._
+    val rows = Seq(
+      // both artifact families: punctuation (via C1 remap) + accents
+      (1L, "donâ€™t â€” cafÃ© naÃ¯ve Â» fin"),
+      // flagged but mixed with CJK: lossless guard must refuse
+      (2L, "cafÃ© cafÃ© 中文 mixed"),
+      // clean text below threshold: untouched even though repairable
+      (3L, "real café stays"))
+      .toDF("doc_id", "text")
+    val got = WebFilters.mojibakeRepair(rows).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("repaired"), r.getAs[String]("text_repaired"))))
+      .toMap
+    assert(got(1L) == ((true, "don’t — café naïve » fin")))
+    assert(got(2L) == ((false, "cafÃ© cafÃ© 中文 mixed")))
+    assert(got(3L) == ((false, "real café stays")))
+  }
 }
