@@ -25,6 +25,8 @@ import org.apache.spark.sql.SparkSession
   *        tokenizer/ANN probes (no LIMIT fixtures)
   *      warchttp (k = records/file) | linkpolicy (k unused) —
   *        full-corpus WARC HTTP gate / nofollow-aware outlinks
+  *      piicards (k unused) | mojibake (k = plant-every-k) —
+  *        full-corpus Luhn card gate / mojibake detect+repair
   * env SPARK_GRAFT_PROBE_EXPLAIN=1 prints the executed plan once. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -313,6 +315,26 @@ object ScaleProbe {
                 when(col("doc_id") % 7 === 0,
                   lit("<meta name=\"robots\" content=\"nofollow\">"))
                   .otherwise(lit("")))))
+        case "piicards" =>
+          // full-corpus Luhn card gate (no LIMIT): every doc carries one
+          // valid PAN and one checksum-failing lookalike — candidate
+          // extraction + the per-candidate checksum fold over the whole
+          // corpus, the 100 TB shape of the gate
+          import org.apache.spark.sql.functions._
+          val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          operators.CorpusFilters.piiCards(d.withColumn("text",
+            concat(col("text"),
+              lit(" pay 4111 1111 1111 1111 or 4111-1111-1111-1112"))))
+        case "mojibake" =>
+          // full-corpus mojibake detect + cp1252-roundtrip repair (no
+          // LIMIT): artifacts planted on every k-th doc (default 5)
+          import org.apache.spark.sql.functions._
+          val every = if (k > 0) k else 5
+          val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          operators.WebFilters.mojibakeRepair(d.withColumn("text",
+            when(col("doc_id") % every === 0,
+              concat(col("text"), lit(" donâ€™t â€” cafÃ© naÃ¯ve Â» fin")))
+              .otherwise(col("text"))))
         case "unigram" =>
           // whole trainer timed (seed pass + k EM rounds, all distributed;
           // the internal jobs run eagerly so the noop write adds nothing)

@@ -564,7 +564,9 @@ object CorpusFilters {
         acc + when(doubled, d * 2 - when(d > 4, 9).otherwise(0)).otherwise(d)
       })
 
-  private def luhnValid(digits: Column): Column =
+  /** PAN-plausible AND Luhn-clean — the card gate over a digits-only
+    * candidate (public: the streaming pii gate applies it too). */
+  def cardValid(digits: Column): Column =
     length(digits).between(13, 19) && luhnChecksum(digits) % 10 === 0
 
   /** Card-number PII with Luhn validation — the checksum gate every
@@ -583,13 +585,52 @@ object CorpusFilters {
     val t = col(textCol)
     val candidates = regexp_extract_all(t, lit(CardPattern), lit(0))
     val valid = filter(candidates,
-      c => luhnValid(regexp_replace(c, "[ -]", "")))
+      c => cardValid(regexp_replace(c, "[ -]", "")))
     docs.select(
       col("doc_id"),
       size(candidates).cast("long").as("n_candidates"),
       size(valid).cast("long").as("n_valid_cards"),
       md5(aggregate(valid, t, (acc, c) => replace(acc, c, lit("<CARD>"))))
         .as("redacted_digest"))
+  }
+
+  /** Corpus-level PII prevalence by source — the provenance report a
+    * curation pipeline publishes before deciding per-source scrub/drop
+    * policy: per `srcCol`, documents scanned, documents carrying ANY
+    * PII, totals for each type (emails, IPv4s, phone-like runs after
+    * email/IP redaction, Luhn-valid cards), and the prevalence rate.
+    * Types are INDEPENDENT tallies: a bare unseparated PAN is long
+    * enough to read as a phone-like run too and then counts under both
+    * types (a separator-grouped PAN never does); the scrub path
+    * ([[graft.streaming.CorpusStreams.piiGate]]) redacts cards first,
+    * so no byte is ever redacted twice.
+    * One map-only pass (all four detectors in a single projection)
+    * feeding one partial-aggregating groupBy on the low-cardinality
+    * source key — at 100 TB the shuffle moves one row per (partition,
+    * source). */
+  def piiReport(docs: DataFrame, srcCol: String = "source",
+                textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val cards = filter(
+      regexp_extract_all(t, lit(CardPattern), lit(0)),
+      c => cardValid(regexp_replace(c, "[ -]", "")))
+    val perDoc = docs.select(
+      col(srcCol).as("source"),
+      size(regexp_extract_all(t, lit(EmailPattern), lit(0))).cast("long").as("e"),
+      size(regexp_extract_all(t, lit(Ipv4Pattern), lit(0))).cast("long").as("i"),
+      size(regexp_extract_all(
+        regexp_replace(regexp_replace(t, EmailPattern, "<EMAIL>"),
+          Ipv4Pattern, "<IP>"),
+        lit(PhonePattern), lit(0))).cast("long").as("p"),
+      size(cards).cast("long").as("c"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("e") + col("i") + col("p") + col("c") > 0, 1L)
+          .otherwise(0L)).as("docs_with_pii"),
+        sum("e").as("emails"), sum("i").as("ips"),
+        sum("p").as("phones"), sum("c").as("cards"))
+      .withColumn("pii_rate",
+        round(col("docs_with_pii").cast("double") / col("docs"), 4))
   }
 
   /** Deterministic token-budget shard packing: hash documents into

@@ -74,6 +74,22 @@ object DuckOracles {
       |  ELSE list_transform(raw, x -> 0.0) END AS embedding
       |  FROM hen)""".stripMargin
 
+  /** Luhn validity of a card-candidate string expression (separators
+    * stripped, 13–19 digits, ISO/IEC 7812 checksum ≡ 0 mod 10) — the
+    * DuckDB replay of [[graft.operators.CorpusFilters.luhnChecksum]],
+    * digit-for-digit: from the right, every second digit doubles with
+    * the carry-9 rule. Usable inside a lambda (pass the lambda variable
+    * name as `cand`). */
+  def duckLuhnValid(cand: String): String = {
+    val ds = s"regexp_replace($cand, '[ -]', '', 'g')"
+    s"len($ds) BETWEEN 13 AND 19 AND list_sum(list_transform(" +
+      s"generate_series(1, len($ds)), i -> CASE WHEN (len($ds) - i) % 2 = 1" +
+      s" THEN CASE WHEN CAST(substring($ds, i, 1) AS INT) > 4" +
+      s" THEN CAST(substring($ds, i, 1) AS INT) * 2 - 9" +
+      s" ELSE CAST(substring($ds, i, 1) AS INT) * 2 END" +
+      s" ELSE CAST(substring($ds, i, 1) AS INT) END)) % 10 = 0"
+  }
+
   /** ISO-8859-1 decode of a DuckDB BLOB expression — bytes map 1:1 to
     * codepoints (the byte-preserving decode
     * [[graft.operators.WebFilters.transcode]] uses for its prescan and

@@ -3250,6 +3250,52 @@ object TrainingData {
         .orderBy("doc_id").limit(100)
     },
 
+    // per-source PII prevalence report: planted PII on coprime moduli
+    // (emails %3, IPs %5, Luhn-valid cards %7, Luhn-FAILING phones %11 —
+    // the phone deliberately fails the card checksum so no row
+    // double-counts) -> per-source totals + prevalence rate, the report
+    // that drives per-source scrub/drop policy
+    df("ta_pii_prevalence",
+      s"""WITH d AS (SELECT doc_id, source,
+         |  text || CASE WHEN doc_id % 3 = 0 THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+         |       || CASE WHEN doc_id % 5 = 0 THEN ' from 10.1.' || CAST(doc_id % 256 AS VARCHAR) || '.9' ELSE '' END
+         |       || CASE WHEN doc_id % 7 = 0 THEN ' card 4111 1111 1111 1111' ELSE '' END
+         |       || CASE WHEN doc_id % 11 = 0 THEN ' tel +4915112345670' ELSE '' END AS text
+         |  FROM documents),
+         |m AS (SELECT source,
+         |  CAST(len(regexp_extract_all(text, '${CorpusFilters.EmailPattern}')) AS BIGINT) AS e,
+         |  CAST(len(regexp_extract_all(text, '${CorpusFilters.Ipv4Pattern}')) AS BIGINT) AS i,
+         |  CAST(len(regexp_extract_all(
+         |    regexp_replace(regexp_replace(text,
+         |      '${CorpusFilters.EmailPattern}', '<EMAIL>', 'g'),
+         |      '${CorpusFilters.Ipv4Pattern}', '<IP>', 'g'),
+         |    '${CorpusFilters.PhonePattern}')) AS BIGINT) AS p,
+         |  CAST(len(list_filter(regexp_extract_all(text,
+         |    '${CorpusFilters.CardPattern}'),
+         |    cc -> ${DuckOracles.duckLuhnValid("cc")})) AS BIGINT) AS c
+         |  FROM d)
+         |SELECT source, CAST(count(*) AS BIGINT) AS docs,
+         |  CAST(sum(CASE WHEN e + i + p + c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_with_pii,
+         |  CAST(sum(e) AS BIGINT) AS emails, CAST(sum(i) AS BIGINT) AS ips,
+         |  CAST(sum(p) AS BIGINT) AS phones, CAST(sum(c) AS BIGINT) AS cards,
+         |  round(CAST(sum(CASE WHEN e + i + p + c > 0 THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 4) AS pii_rate
+         |FROM m GROUP BY source ORDER BY source""".stripMargin) { (s, _) =>
+      val id = col("doc_id")
+      graft.operators.CorpusFilters.piiReport(
+          s.table("documents").withColumn("text", concat(col("text"),
+            when(id % 3 === 0, concat(lit(" mail u"), id.cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+            when(id % 5 === 0, concat(lit(" from 10.1."),
+              (id % 256).cast("string"), lit(".9"))).otherwise(lit("")),
+            when(id % 7 === 0, lit(" card 4111 1111 1111 1111"))
+              .otherwise(lit("")),
+            when(id % 11 === 0, lit(" tel +4915112345670"))
+              .otherwise(lit("")))))
+        .orderBy("source")
+    },
+
     // deterministic token-budget shard packing summary (per-group running
     // token count cut at 512-token boundaries; md5-ordered, reproducible)
     df("ta_pack_shards",

@@ -381,6 +381,33 @@ object CorpusStreams {
       .withColumn(textCol, col("text_repaired"))
       .drop("text_repaired", "artifact_rate", "mojibake")
 
+  /** Streaming PII scrub gate: emails, IPv4s, and phone-like runs
+    * redact by pattern ([[graft.operators.CorpusFilters.redactedText]])
+    * and card candidates redact only when they pass the Luhn check
+    * (the [[graft.operators.CorpusFilters.piiCards]] gate) — `text` is
+    * replaced in place, `n_pii` rides along so downstream can route
+    * heavy-PII docs to quarantine instead of publishing them scrubbed.
+    * Pure column ops — stateless, map-only, append-mode. */
+  def piiGate(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import graft.operators.CorpusFilters._
+    val t = col(textCol)
+    docs
+      .withColumn("n_pii",
+        size(regexp_extract_all(t, lit(EmailPattern), lit(0))).cast("long") +
+          size(regexp_extract_all(t, lit(Ipv4Pattern), lit(0))).cast("long") +
+          size(regexp_extract_all(
+            regexp_replace(regexp_replace(t, EmailPattern, "<EMAIL>"),
+              Ipv4Pattern, "<IP>"),
+            lit(PhonePattern), lit(0))).cast("long") +
+          size(filter(regexp_extract_all(t, lit(CardPattern), lit(0)),
+            c => cardValid(regexp_replace(c, "[ -]", "")))).cast("long"))
+      .withColumn(textCol,
+        redactedText(aggregate(
+          filter(regexp_extract_all(t, lit(CardPattern), lit(0)),
+            c => cardValid(regexp_replace(c, "[ -]", ""))),
+          t, (acc, c) => replace(acc, c, lit("<CARD>")))))
+  }
+
   /** Event-time windowed corpus telemetry per stratum: docs, tokens, and
     * mean quality per (window, stratum) — the live dashboard a curation
     * pipeline publishes while filling shards. Append-mode compatible

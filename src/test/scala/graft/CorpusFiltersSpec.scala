@@ -896,6 +896,25 @@ class CorpusFiltersSpec extends SparkTestBase {
     assert(got(4L)._3 == md5Hex("maybe 1234 5678 9012 3456 hmm"))
   }
 
+  test("piiReport: per-source totals, any-PII doc count, and rate") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", 1L, "mail me u@example.com and v@example.org"), // 2 emails
+      ("a", 2L, "from 10.0.0.1 today"),                     // 1 ip
+      ("a", 3L, "clean"),
+      ("b", 4L, "card 4111 1111 1111 1111 tel +4915112345670"), // 1 card + 1 phone
+      ("b", 5L, "clean too"))
+      .toDF("source", "doc_id", "text")
+    val got = CorpusFilters.piiReport(docs).orderBy("source").collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("docs"), r.getAs[Long]("docs_with_pii"),
+          r.getAs[Long]("emails"), r.getAs[Long]("ips"),
+          r.getAs[Long]("phones"), r.getAs[Long]("cards"),
+          r.getAs[Double]("pii_rate")))).toMap
+    assert(got("a") == ((3L, 2L, 2L, 1L, 0L, 0L, 0.6667)))
+    assert(got("b") == ((2L, 1L, 0L, 0L, 1L, 1L, 0.5)))
+  }
+
   test("luhnChecksum: textbook checksum values") {
     import spark.implicits._
     val got = Seq("79927398713", "4111111111111111", "378282246310005",

@@ -292,6 +292,30 @@ class CorpusStreamsSpec extends SparkTestBase {
     assert(got == batch, s"stream $got vs batch $batch")
   }
 
+  test("pii gate: emails/ips/phones and Luhn-valid cards scrub in place " +
+    "on a live feed; lookalikes survive; n_pii counts all four types") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      (1L, "mail u@example.com from 10.0.0.1 card 4111 1111 1111 1111"),
+      (2L, "lookalike 4111-1111-1111-1112 stays put"),
+      (3L, "clean text flows through"))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.CorpusStreams
+      .piiGate(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("piigate")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    in.addData(docs)
+    val run = q.start(); run.awaitTermination(60000)
+    val got = spark.table("piigate").orderBy("doc_id")
+      .select("doc_id", "text", "n_pii").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, "mail <EMAIL> from <IP> card <CARD>", 3L),
+      (2L, "lookalike 4111-1111-1111-1112 stays put", 0L),
+      (3L, "clean text flows through", 0L)), got)
+  }
+
   test("imageTextAlignment runs on a live media stream against static " +
     "captions (stream-static equi-join): per-item verdicts equal the " +
     "batch gate's") {
