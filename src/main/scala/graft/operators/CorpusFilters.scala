@@ -594,6 +594,30 @@ object CorpusFilters {
         .as("redacted_digest"))
   }
 
+  /** Token-anchored hit count of a content blocklist — C4's badword
+    * gate (Raffel et al. 2020 drop any page with a hit from the public
+    * "List of Dirty, Naughty…" list; CCNet thresholds on the rate
+    * instead). Entries are lowercase words or space-joined phrases;
+    * matching is case-insensitive and word-bounded so "scunthorpe"
+    * never hits "thorpe" (the classic false-positive this anchoring
+    * exists for). One alternation regex over the config-sized list —
+    * map-only, no broadcast, runs inside the scan. */
+  def blocklistHits(text: Column, words: Seq[String]): Column = {
+    require(words.forall(_.matches("[a-z0-9]+( [a-z0-9]+)*")),
+      "blocklist entries must be lowercase word/phrase tokens")
+    if (words.isEmpty) lit(0L)
+    else size(regexp_extract_all(lower(text),
+      lit("\\b(" + words.mkString("|") + ")\\b"), lit(0))).cast("long")
+  }
+
+  /** The blocklist verdict per document: `n_blocked` hits and `keep`
+    * (hits ≤ maxHits; C4's rule is maxHits = 0). */
+  def blocklistGate(docs: DataFrame, words: Seq[String], maxHits: Long = 0L,
+                    textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_blocked", blocklistHits(col(textCol), words))
+      .withColumn("keep", col("n_blocked") <= maxHits)
+
   /** Corpus-level PII prevalence by source — the provenance report a
     * curation pipeline publishes before deciding per-source scrub/drop
     * policy: per `srcCol`, documents scanned, documents carrying ANY

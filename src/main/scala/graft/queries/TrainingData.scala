@@ -3296,6 +3296,35 @@ object TrainingData {
         .orderBy("source")
     },
 
+    // C4-style content blocklist gate: token-anchored case-insensitive
+    // matching over a config word/phrase list, keep = zero hits; the
+    // fixture plants single-word and phrase hits on coprime moduli plus
+    // a substring decoy ("scasino" — the leading s removes the left word
+    // boundary, so the anchoring keeps it clean)
+    df("ta_blocklist_filter",
+      """WITH d AS (SELECT doc_id,
+        |  text || CASE WHEN doc_id % 6 = 0 THEN ' win at CASINO BONUS now' ELSE '' END
+        |       || CASE WHEN doc_id % 9 = 0 THEN ' buy viagra cheap' ELSE '' END
+        |       || CASE WHEN doc_id % 7 = 0 THEN ' the scasino decoy stays clean' ELSE '' END AS text
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '\b(viagra|casino bonus|xxx)\b')) AS BIGINT) AS n_blocked
+        |  FROM d)
+        |SELECT doc_id, n_blocked, n_blocked <= 0 AS keep
+        |FROM m ORDER BY doc_id LIMIT 100""".stripMargin) { (s, _) =>
+      val id = col("doc_id")
+      graft.operators.CorpusFilters.blocklistGate(
+          s.table("documents").withColumn("text", concat(col("text"),
+            when(id % 6 === 0, lit(" win at CASINO BONUS now")).otherwise(lit("")),
+            when(id % 9 === 0, lit(" buy viagra cheap")).otherwise(lit("")),
+            when(id % 7 === 0, lit(" the scasino decoy stays clean"))
+              .otherwise(lit("")))),
+          words = Seq("viagra", "casino bonus", "xxx"))
+        .select("doc_id", "n_blocked", "keep")
+        .orderBy("doc_id").limit(100)
+    },
+
     // deterministic token-budget shard packing summary (per-group running
     // token count cut at 512-token boundaries; md5-ordered, reproducible)
     df("ta_pack_shards",

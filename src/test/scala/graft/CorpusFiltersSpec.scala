@@ -896,6 +896,36 @@ class CorpusFiltersSpec extends SparkTestBase {
     assert(got(4L)._3 == md5Hex("maybe 1234 5678 9012 3456 hmm"))
   }
 
+  test("blocklistGate: case-insensitive token-anchored words and phrases; " +
+    "substring decoys never hit; maxHits thresholds; empty list keeps all") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Win at CASINO BONUS and more casino bonus offers"), // phrase x2
+      (2L, "the scasino and xxxy decoys stay clean"),
+      (3L, "one viagra mention"),
+      (4L, "totally clean prose"))
+      .toDF("doc_id", "text")
+    val words = Seq("viagra", "casino bonus", "xxx")
+    val got = CorpusFilters.blocklistGate(docs, words).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_blocked"), r.getAs[Boolean]("keep")))).toMap
+    assert(got(1L) == ((2L, false)))
+    assert(got(2L) == ((0L, true)))
+    assert(got(3L) == ((1L, false)))
+    assert(got(4L) == ((0L, true)))
+    // CCNet-style rate thresholding instead of C4's zero-tolerance
+    val lax = CorpusFilters.blocklistGate(docs, words, maxHits = 1L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep"))
+      .toMap
+    assert(lax(1L) == false && lax(3L) == true)
+    val none = CorpusFilters.blocklistGate(docs, Seq.empty).collect()
+    assert(none.forall(_.getAs[Boolean]("keep")))
+    // non-token entries are refused, not silently mis-matched
+    intercept[IllegalArgumentException] {
+      CorpusFilters.blocklistGate(docs, Seq("bad.regex*")).collect()
+    }
+  }
+
   test("piiReport: per-source totals, any-PII doc count, and rate") {
     import spark.implicits._
     val docs = Seq(
