@@ -945,6 +945,41 @@ class CorpusFiltersSpec extends SparkTestBase {
     assert(got("b") == ((2L, 1L, 0L, 0L, 1L, 1L, 0.5)))
   }
 
+  test("cardValid: property check against an independent local Luhn " +
+    "over random digit strings of every PAN-relevant length") {
+    import spark.implicits._
+    def luhnLocal(ds: String): Boolean = {
+      val sum = ds.reverse.zipWithIndex.map { case (ch, i) =>
+        val d = ch - '0'
+        if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum
+      ds.length >= 13 && ds.length <= 19 && sum % 10 == 0
+    }
+    val rnd = new scala.util.Random(4217)
+    val cases = (1 to 200).map { _ =>
+      val len = 11 + rnd.nextInt(10) // 11..20: straddles both bounds
+      (1 to len).map(_ => rnd.nextInt(10)).mkString
+    } ++ Seq("4111111111111111", "378282246310005", "79927398713")
+    val got = cases.toDF("ds")
+      .select(col("ds"), CorpusFilters.cardValid(col("ds")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach { ds => assert(got(ds) == luhnLocal(ds), ds) }
+  }
+
+  test("piiCards: many candidates per document fold correctly") {
+    import spark.implicits._
+    // 40 valid + 40 invalid candidates in one doc: counts and the
+    // redaction fold must handle candidate-dense documents
+    val many = (1 to 40)
+      .map(_ => "4111 1111 1111 1111 and 4111-1111-1111-1112").mkString(" ")
+    val got = CorpusFilters.piiCards(Seq((1L, many)).toDF("doc_id", "text"))
+      .collect().head
+    assert(got.getAs[Long]("n_candidates") == 80L)
+    assert(got.getAs[Long]("n_valid_cards") == 40L)
+    assert(got.getAs[String]("redacted_digest") == md5Hex(
+      (1 to 40).map(_ => "<CARD> and 4111-1111-1111-1112").mkString(" ")))
+  }
+
   test("luhnChecksum: textbook checksum values") {
     import spark.implicits._
     val got = Seq("79927398713", "4111111111111111", "378282246310005",
