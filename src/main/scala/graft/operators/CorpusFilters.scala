@@ -569,6 +569,23 @@ object CorpusFilters {
   def cardValid(digits: Column): Column =
     length(digits).between(13, 19) && luhnChecksum(digits) % 10 === 0
 
+  /** The Luhn-surviving card candidates of a text column, raw (with
+    * their separators) so redaction can replace the exact matched
+    * spans. THE single definition — piiCards, piiReport, and the
+    * streaming piiGate all call this, so candidate normalization can
+    * never drift between the counts, the scrub, and the oracle. */
+  def validCardCandidates(text: Column): Column =
+    filter(regexp_extract_all(text, lit(CardPattern), lit(0)),
+      c => cardValid(regexp_replace(c, "[ -]", "")))
+
+  /** Text with the Luhn-valid card candidates replaced by `<CARD>` —
+    * the card leg of the scrub, applied BEFORE the pattern redactions
+    * so a bare PAN is gone before the phone pattern could eat its
+    * digits. */
+  def cardRedacted(text: Column): Column =
+    aggregate(validCardCandidates(text), text,
+      (acc, c) => replace(acc, c, lit("<CARD>")))
+
   /** Card-number PII with Luhn validation — the checksum gate every
     * production scrubber runs because the bare digit-run regex drowns in
     * false positives (order ids, timestamps, phone numbers): candidates
@@ -583,15 +600,12 @@ object CorpusFilters {
     * scale. */
   def piiCards(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val candidates = regexp_extract_all(t, lit(CardPattern), lit(0))
-    val valid = filter(candidates,
-      c => cardValid(regexp_replace(c, "[ -]", "")))
     docs.select(
       col("doc_id"),
-      size(candidates).cast("long").as("n_candidates"),
-      size(valid).cast("long").as("n_valid_cards"),
-      md5(aggregate(valid, t, (acc, c) => replace(acc, c, lit("<CARD>"))))
-        .as("redacted_digest"))
+      size(regexp_extract_all(t, lit(CardPattern), lit(0))).cast("long")
+        .as("n_candidates"),
+      size(validCardCandidates(t)).cast("long").as("n_valid_cards"),
+      md5(cardRedacted(t)).as("redacted_digest"))
   }
 
   /** Token-anchored hit count of a content blocklist — C4's badword
@@ -635,9 +649,7 @@ object CorpusFilters {
   def piiReport(docs: DataFrame, srcCol: String = "source",
                 textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val cards = filter(
-      regexp_extract_all(t, lit(CardPattern), lit(0)),
-      c => cardValid(regexp_replace(c, "[ -]", "")))
+    val cards = validCardCandidates(t)
     val perDoc = docs.select(
       col(srcCol).as("source"),
       size(regexp_extract_all(t, lit(EmailPattern), lit(0))).cast("long").as("e"),

@@ -769,10 +769,15 @@ object WebFilters {
     * E0-overlong and ED-surrogate exclusions; the three 4-byte rows
     * including the F0-overlong and F4 > U+10FFFF exclusions).
     * Alternatives are disjoint on the lead byte and each consumes a
-    * whole scalar, so matching is linear. Portable between Java regex
-    * and DuckDB's RE2 — the point: decode validity must be decided
-    * identically by the plan and the oracle, and neither engine exposes
-    * a charset-decoder verdict the other can replay. */
+    * whole scalar, so matching is linear IN RE2 — this pattern is the
+    * DUCKDB ORACLE's replay of the validity verdict and must never run
+    * through Spark's `rlike`: Java's backtracking engine matches the
+    * unbounded `(alt)*` star with one recursion frame per iteration and
+    * throws StackOverflowError at ~1 KB of input (found by review; the
+    * fixture bodies that had been covering the gate are tens of bytes).
+    * The executor path uses the native linear
+    * `is_valid_utf8` instead, pinned ≡ this regex ≡ the JDK decoder by
+    * the WebFiltersSpec property tests. */
   val Utf8HexPat: String =
     "^(([0-7][0-9a-f])|((c[2-9a-f]|d[0-9a-f])[89ab][0-9a-f])" +
       "|(e0[ab][0-9a-f][89ab][0-9a-f])" +
@@ -815,7 +820,8 @@ object WebFilters {
     * Decoders: latin-1 is the byte-to-codepoint identity (never fails);
     * windows-1252 is latin-1 + the WHATWG C1 remap ([[Cp1252Map]], one
     * `translate`); UTF-8 decodes only when the bytes are well-formed
-    * per [[Utf8HexPat]] — malformed-but-labeled-utf-8 pages (and pages
+    * per the native `is_valid_utf8` (the oracle replays the same
+    * verdict via [[Utf8HexPat]]) — malformed-but-labeled-utf-8 pages (and pages
     * labeled with a charset this gate doesn't know — shift_jis, koi8-r)
     * fall back to the byte-preserving latin-1 decode with
     * `decode_ok = false`, so nothing is silently dropped and nothing
@@ -836,7 +842,12 @@ object WebFilters {
     val b = col(bytesCol)
     val staged = pages
       .withColumn("__pre", decode(b, "ISO-8859-1"))
-      .withColumn("__utf8_ok", lower(hex(b)).rlike(Utf8HexPat))
+      // native linear validator, NOT rlike(Utf8HexPat): Java's
+      // backtracking regex engine matches the unbounded (alt)* star
+      // with one recursion frame per iteration and StackOverflows at
+      // ~1 KB of body — the hex regex is the ORACLE's replay (RE2 is
+      // linear), never the executor path
+      .withColumn("__utf8_ok", is_valid_utf8(b.cast("string")))
       .withColumn("__label", lower(coalesce(
         when(col(httpCharsetCol) === "", lit(null))
           .otherwise(col(httpCharsetCol)),
@@ -908,7 +919,8 @@ object WebFilters {
     * their C1 bytes, after which latin-1 encode is the byte identity),
     * then decode those bytes as the UTF-8 they always were. Repairs
     * only rows the [[mojibakeScore]] verdict flagged AND whose
-    * reconstructed bytes are well-formed UTF-8 ([[Utf8HexPat]]) — a
+    * reconstructed bytes are well-formed UTF-8 (native
+    * `is_valid_utf8` — see [[Utf8HexPat]] for why never the regex) — a
     * false-positive page whose roundtrip is not valid UTF-8 passes
     * through untouched, so the operator can never corrupt clean text.
     * Appends `repaired` (bool) and `text_repaired`. Map-only. */
@@ -927,7 +939,7 @@ object WebFilters {
       encode(when(lossless, inv).otherwise(lit("")), "ISO-8859-1")
     scored
       .withColumn("repaired",
-        col("mojibake") && lossless && lower(hex(bytesBack)).rlike(Utf8HexPat))
+        col("mojibake") && lossless && is_valid_utf8(bytesBack.cast("string")))
       .withColumn("text_repaired",
         when(col("repaired"), decode(bytesBack, "UTF-8"))
           .otherwise(col(textCol)))

@@ -384,28 +384,31 @@ object CorpusStreams {
   /** Streaming PII scrub gate: emails, IPv4s, and phone-like runs
     * redact by pattern ([[graft.operators.CorpusFilters.redactedText]])
     * and card candidates redact only when they pass the Luhn check
-    * (the [[graft.operators.CorpusFilters.piiCards]] gate) — `text` is
-    * replaced in place, `n_pii` rides along so downstream can route
+    * ([[graft.operators.CorpusFilters.validCardCandidates]]) — `text`
+    * is replaced in place, `n_pii` rides along so downstream can route
     * heavy-PII docs to quarantine instead of publishing them scrubbed.
-    * Pure column ops — stateless, map-only, append-mode. */
+    * `n_pii` counts exactly the entities the scrub removes: cards
+    * first, then phones counted on the CARD-REDACTED text — a bare
+    * unseparated PAN is long enough to match the phone pattern too,
+    * and counting it twice would double the routing signal for
+    * precisely the documents it matters most for. Pure column ops —
+    * stateless, map-only, append-mode. */
   def piiGate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     import graft.operators.CorpusFilters._
     val t = col(textCol)
+    val afterCards = cardRedacted(t)
     docs
       .withColumn("n_pii",
-        size(regexp_extract_all(t, lit(EmailPattern), lit(0))).cast("long") +
-          size(regexp_extract_all(t, lit(Ipv4Pattern), lit(0))).cast("long") +
+        size(validCardCandidates(t)).cast("long") +
+          size(regexp_extract_all(afterCards, lit(EmailPattern), lit(0)))
+            .cast("long") +
+          size(regexp_extract_all(afterCards, lit(Ipv4Pattern), lit(0)))
+            .cast("long") +
           size(regexp_extract_all(
-            regexp_replace(regexp_replace(t, EmailPattern, "<EMAIL>"),
+            regexp_replace(regexp_replace(afterCards, EmailPattern, "<EMAIL>"),
               Ipv4Pattern, "<IP>"),
-            lit(PhonePattern), lit(0))).cast("long") +
-          size(filter(regexp_extract_all(t, lit(CardPattern), lit(0)),
-            c => cardValid(regexp_replace(c, "[ -]", "")))).cast("long"))
-      .withColumn(textCol,
-        redactedText(aggregate(
-          filter(regexp_extract_all(t, lit(CardPattern), lit(0)),
-            c => cardValid(regexp_replace(c, "[ -]", ""))),
-          t, (acc, c) => replace(acc, c, lit("<CARD>")))))
+            lit(PhonePattern), lit(0))).cast("long"))
+      .withColumn(textCol, redactedText(afterCards))
   }
 
   /** Event-time windowed corpus telemetry per stratum: docs, tokens, and

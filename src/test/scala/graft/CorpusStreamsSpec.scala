@@ -299,7 +299,10 @@ class CorpusStreamsSpec extends SparkTestBase {
     val docs = Seq(
       (1L, "mail u@example.com from 10.0.0.1 card 4111 1111 1111 1111"),
       (2L, "lookalike 4111-1111-1111-1112 stays put"),
-      (3L, "clean text flows through"))
+      (3L, "clean text flows through"),
+      // a BARE unseparated PAN also matches the phone pattern — the
+      // count must see ONE entity (cards redact before phones count)
+      (4L, "bare 4111111111111111 pan"))
     val in = MemoryStream[(Long, String)]
     val q = graft.streaming.CorpusStreams
       .piiGate(in.toDF().toDF("doc_id", "text"))
@@ -313,7 +316,8 @@ class CorpusStreamsSpec extends SparkTestBase {
     assert(got == Seq(
       (1L, "mail <EMAIL> from <IP> card <CARD>", 3L),
       (2L, "lookalike 4111-1111-1111-1112 stays put", 0L),
-      (3L, "clean text flows through", 0L)), got)
+      (3L, "clean text flows through", 0L),
+      (4L, "bare <CARD> pan", 1L)), got)
   }
 
   test("imageTextAlignment runs on a live media stream against static " +

@@ -858,6 +858,56 @@ class WebFiltersSpec extends SparkTestBase {
     }
   }
 
+  test("transcode survives realistic page sizes: 1 KB to 1 MB bodies, " +
+    "valid and malformed, decode with correct verdicts (regression: the " +
+    "hex-regex validity check StackOverflowed at ~1 KB in Java regex)") {
+    import java.nio.charset.StandardCharsets
+    val rnd = new scala.util.Random(91)
+    val rows = Seq(1_000, 10_000, 100_000, 1_000_000).zipWithIndex.flatMap {
+      case (n, i) =>
+        val valid = ("café € " * (n / 10)).getBytes(StandardCharsets.UTF_8)
+        val broken = valid.clone(); broken(valid.length / 2) = 0xE9.toByte
+        Seq((i * 2L, valid, "utf-8"), (i * 2L + 1, broken, "utf-8"))
+    }
+    val got = WebFilters.transcode(
+        rows.toDF("id", "body_bytes", "charset"))
+      .select("id", "decode_ok").orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    rows.foreach { case (id, _, _) =>
+      assert(got(id) == (id % 2 == 0), s"id=$id")
+    }
+    // and the repair path (same validity check) on a large flagged page
+    val big = ("donâ€™t cafÃ© " * 20000)
+    val rep = WebFilters.mojibakeRepair(Seq((1L, big)).toDF("doc_id", "text"))
+      .select("repaired").collect().head.getBoolean(0)
+    assert(rep)
+  }
+
+  test("UTF-8 validity: native is_valid_utf8 == the oracle's hex regex " +
+    "== the JDK decoder on random byte strings") {
+    import java.nio.charset.StandardCharsets
+    val rnd = new scala.util.Random(23)
+    val cases = (0 until 300).map { i =>
+      val bytes =
+        if (i % 4 == 0) s"plain € $i café".getBytes(StandardCharsets.UTF_8)
+        else Array.fill(rnd.nextInt(30))(rnd.nextInt(256).toByte)
+      (i.toLong, bytes)
+    }
+    def jdk(b: Array[Byte]): Boolean =
+      try { StandardCharsets.UTF_8.newDecoder()
+        .decode(java.nio.ByteBuffer.wrap(b)); true }
+      catch { case _: java.nio.charset.CharacterCodingException => false }
+    val got = cases.toDF("id", "b")
+      .select(col("id"), is_valid_utf8(col("b").cast("string")).as("nat"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val rx = java.util.regex.Pattern.compile(WebFilters.Utf8HexPat)
+    cases.foreach { case (id, b) =>
+      val hex = b.map("%02x".format(_)).mkString
+      assert(got(id) == jdk(b), s"native vs JDK id=$id hex=$hex")
+      assert(got(id) == rx.matcher(hex).matches(), s"native vs regex id=$id hex=$hex")
+    }
+  }
+
   test("transcode precedence: HTTP charset beats the meta declaration, " +
     "meta beats the default, unknown labels flag decode_ok=false") {
     import java.nio.charset.StandardCharsets
