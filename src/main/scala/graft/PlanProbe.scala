@@ -38,6 +38,24 @@ object PlanProbe {
     spark.sparkContext.setLogLevel("WARN")
     QSpec.quietCheckpointRelease()
     new java.io.File(outDir).mkdirs()
+    // SPARK_GRAFT_PROBE_JOBS=1: print every Spark job's wall time +
+    // description — names which of an operator's internal actions
+    // (trainer collects, localCheckpoints, convergence checks) the
+    // per-query seconds actually go to
+    if (sys.env.contains("SPARK_GRAFT_PROBE_JOBS"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            t0.put(js.jobId, System.nanoTime())
+          override def onJobEnd(
+              je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val start = t0.remove(je.jobId)
+            if (start != 0L)
+              println(f"    [job ${je.jobId}%4d] ${(System.nanoTime() - start) / 1e3}%9.0f us")
+          }
+        })
     Tables.register(spark, sfDir)
     spark.table("lineitem").limit(1).count() // warmup outside timings
 

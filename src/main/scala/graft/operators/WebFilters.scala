@@ -25,6 +25,15 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object WebFilters {
 
+  /** Optimizer fence for the per-link resolver output ([[PlanFence]]'s
+    * scaladoc has the measured blowup): wraps a computed column so the
+    * resolver tree is planned and code-generated ONCE instead of being
+    * inlined into every downstream verdict predicate. Value-identical;
+    * callers must have registered the function for `docs.sparkSession`
+    * (each explode-then-resolve operator does, at entry). */
+  private def fenced(c: Column): Column =
+    call_function(graft.functions.PlanFence.FunctionName, c)
+
   /** Minimum visible characters for a block to count as main content. */
   val MinBlockChars = 15
 
@@ -271,12 +280,15 @@ object WebFilters {
     * not nested here). One explode per page, map-only otherwise.
     * Output (doc_id, url). */
   def htmlLinks(docs: DataFrame, htmlCol: String = "html",
-                baseCol: String = "base_url"): DataFrame =
+                baseCol: String = "base_url"): DataFrame = {
+    graft.functions.PlanFence.register(docs.sparkSession)
     docs.select(col("doc_id"), col(baseCol),
         explode(regexp_extract_all(col(htmlCol), lit(HrefPat), lit(1)))
           .as("__href"))
-      .select(col("doc_id"), resolveHref(col("__href"), col(baseCol)).as("url"))
+      .select(col("doc_id"),
+        fenced(resolveHref(col("__href"), col(baseCol))).as("url"))
       .where(col("url").isNotNull)
+  }
 
   /** RFC 3986 §5.2.4 remove_dot_segments over an absolute path (must
     * start with `/`): fold the segments through a string-accumulator
@@ -1004,6 +1016,7 @@ object WebFilters {
     val tag = col("__tag")
     val relVal = lower(
       regexp_extract(tag, "(?is)[\\s\"']rel\\s*=\\s*\"([^\"]*)\"", 1))
+    graft.functions.PlanFence.register(docs.sparkSession)
     docs
       .where(!metaNofollow(col(htmlCol)))
       .select(col("doc_id"), col(baseCol),
@@ -1011,7 +1024,8 @@ object WebFilters {
           .as("__tag"))
       .where(!relVal.rlike("(^|[\\s,])nofollow([\\s,]|$)"))
       .select(col("doc_id"), col(baseCol),
-        resolveHref(regexp_extract(tag, HrefPat, 1), col(baseCol)).as("url"))
+        fenced(resolveHref(regexp_extract(tag, HrefPat, 1), col(baseCol)))
+          .as("url"))
       .where(col("url").isNotNull)
   }
 
@@ -1036,13 +1050,14 @@ object WebFilters {
       regexp_extract(tag, "(?is)[\\s\"']hreflang\\s*=\\s*\"([^\"]*)\"", 1))
     val href = decodeEntities(
       regexp_extract(tag, "(?is)[\\s\"']href\\s*=\\s*\"([^\"]*)\"", 1))
+    graft.functions.PlanFence.register(docs.sparkSession)
     docs.select(col("doc_id"), col(baseCol),
         explode(regexp_extract_all(col(htmlCol), lit(LinkTagPat), lit(0)))
           .as("__tag"))
       .where(relVal.rlike("(^|[\\s,])alternate([\\s,]|$)") &&
         lang =!= "" && href =!= "")
       .select(col("doc_id"), lang.as("lang"),
-        resolveHref(href, col(baseCol)).as("url"))
+        fenced(resolveHref(href, col(baseCol))).as("url"))
       .where(col("url").isNotNull)
   }
 
@@ -1146,11 +1161,12 @@ object WebFilters {
     val elem = col("__elem")
     val href = regexp_extract(elem, HrefPat, 1)
     val body = regexp_extract(elem, "(?is)^<a\\b[^>]*>(.*)</a>$", 1)
+    graft.functions.PlanFence.register(docs.sparkSession)
     docs.select(col("doc_id"), col(baseCol),
         explode(regexp_extract_all(col(htmlCol), lit(AnchorElemPat), lit(0)))
           .as("__elem"))
       .select(col("doc_id"), col(baseCol),
-        resolveHref(href, col(baseCol)).as("url"),
+        fenced(resolveHref(href, col(baseCol))).as("url"),
         wsNorm(decodeEntities(stripInline(body))).as("text"))
       .where(col("url").isNotNull)
   }
@@ -1473,11 +1489,22 @@ object WebFilters {
                        idCol: String = "doc_id", urlCol: String = "url",
                        htmlCol: String = "html"): DataFrame = {
     require(maxHops >= 1, s"bad maxHops $maxHops")
+    graft.functions.PlanFence.register(pages.sparkSession)
+    // Staged + fenced resolution (the htmlLinks contract): urlCanonical
+    // textually references its argument ~6 times, so nesting the 27 KB
+    // resolveHref tree inside it multiplies AT CONSTRUCTION — the
+    // checkpoint job below was plan/codegen-bound (~4.5 s of the query's
+    // 5.0 s at sf0.1) before the resolver was computed once behind a
+    // fence and canonicalized as a plain attribute. urlCanonical(NULL)
+    // is NULL (every branch concats through the null), so the staged
+    // form preserves the declared=='' → NULL contract exactly.
     val declared = relNext(col(htmlCol))
-    val raw = pages.select(col(idCol).as("__d"),
-      urlCanonical(col(urlCol)).as("cu"),
-      when(declared === "", lit(null).cast("string"))
-        .otherwise(urlCanonical(resolveHref(declared, col(urlCol)))).as("nu"))
+    val resolved = pages.select(col(idCol).as("__d"), col(urlCol).as("__u"),
+      fenced(when(declared === "", lit(null).cast("string"))
+        .otherwise(resolveHref(declared, col(urlCol)))).as("__nraw"))
+    val raw = resolved.select(col("__d"),
+      urlCanonical(col("__u")).as("cu"),
+      urlCanonical(col("__nraw")).as("nu"))
       .where(col("cu").isNotNull)
     val nodes = raw.groupBy("cu")
       .agg(min(struct(col("__d").as("d"), col("nu").as("n"))).as("__k"))
@@ -1486,24 +1513,47 @@ object WebFilters {
     val targets = nodes.select(col("n").as("cu")).where(col("cu").isNotNull)
       .distinct()
     val roots = nodes.join(targets, Seq("cu"), "left_anti")
-    var level = roots.select(col("cu").as("chain_root"),
-      lit(0).as("hop"), col("d").as("doc_id"),
-      col("cu").as("canonical_url"), col("n").as("__next"),
+    // Linear walk, ONE frame: each hop LEFT-joins the chain front against
+    // the node table and appends (hop, doc_id, url) to a per-chain entries
+    // array when the walk extends (next pointer present, target exists,
+    // revisit guard passes — a next pointer back into this walk's own
+    // prefix ends the chain, so rho tails don't loop the cycle); a chain
+    // that ends carries its entries forward unchanged with a null front.
+    // One explode at the end emits the same (chain_root, hop, doc_id,
+    // canonical_url) rows the old per-level union produced — but the old
+    // form REPLAYED the join lineage per level (level h's plan contained
+    // joins 1..h, so a maxHops walk planned and executed O(maxHops²)
+    // joins: 15 at the default 5). This is O(maxHops) joins in one linear
+    // plan; entries/seen arrays stay maxHops-bounded per in-flight walk,
+    // the same 100 TB contract as before. Measured at sf0.1:
+    // ta_pagination 5.0 s → see plans/r17/ta_pagination_after.txt.
+    var walk = roots.select(col("cu").as("chain_root"),
+      array(struct(lit(0).as("hop"), col("d").as("doc_id"),
+        col("cu").as("canonical_url"))).as("__entries"),
+      col("n").as("__next"),
       array(col("cu")).as("__seen"))
-    var out = level
     for (h <- 1 to maxHops) {
-      level = level.where(col("__next").isNotNull)
-        .select(col("chain_root"), col("__next").as("__want"), col("__seen"))
-        .join(nodes, col("__want") === nodes("cu"))
-        // the revisit guard: a next pointer back into this walk's own
-        // prefix ends the chain (rho tails don't loop the cycle)
-        .where(!array_contains(col("__seen"), col("cu")))
-        .select(col("chain_root"), lit(h).as("hop"), col("d").as("doc_id"),
-          col("cu").as("canonical_url"), col("n").as("__next"),
-          concat(col("__seen"), array(col("cu"))).as("__seen"))
-      out = out.unionByName(level)
+      val step = walk.join(
+        nodes.select(col("cu").as("__want"), col("d").as("__d"),
+          col("n").as("__n")),
+        col("__next") === col("__want"), "left")
+      val extend = col("__want").isNotNull &&
+        !array_contains(col("__seen"), col("__want"))
+      walk = step.select(
+        col("chain_root"),
+        when(extend, concat(col("__entries"), array(struct(
+            lit(h).as("hop"), col("__d").as("doc_id"),
+            col("__want").as("canonical_url")))))
+          .otherwise(col("__entries")).as("__entries"),
+        when(extend, col("__n"))
+          .otherwise(lit(null).cast("string")).as("__next"),
+        when(extend, concat(col("__seen"), array(col("__want"))))
+          .otherwise(col("__seen")).as("__seen"))
     }
-    out.drop("__next", "__seen")
+    walk.select(col("chain_root"), explode(col("__entries")).as("__e"))
+      .select(col("chain_root"), col("__e.hop").as("hop"),
+        col("__e.doc_id").as("doc_id"),
+        col("__e.canonical_url").as("canonical_url"))
   }
 
   /** Chain MERGE: one row per chain root with the page count and the
