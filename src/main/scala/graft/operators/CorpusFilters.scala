@@ -132,12 +132,15 @@ object CorpusFilters {
     * shared across documents dies here while unique content survives. */
   def chunkDedup(docs: DataFrame, chunkWords: Int = 16,
                  textCol: String = "text"): DataFrame = {
+    graft.functions.ChunkHashes.register(docs.sparkSession)
     val base = docs.select(col("doc_id"), wordsOf(col(textCol)).as("ws"))
       .where(size(col("ws")) > 0)
     val nc = ceil(size(col("ws")).cast("double") / chunkWords).cast("int")
-    val hashes = transform(sequence(lit(1), nc), i =>
-      md5(concat_ws(" ",
-        slice(col("ws"), (i - lit(1)) * chunkWords + lit(1), lit(chunkWords)))))
+    // one native call per document (graft.functions.ChunkHashes) —
+    // value-identical to the transform/slice/concat_ws/md5 lambda the
+    // DuckDB oracle still runs, without per-chunk interpreted dispatch
+    val hashes = expr(
+      s"${graft.functions.ChunkHashes.FunctionName}(ws, $chunkWords)")
     val ch = base.select(col("doc_id"), posexplode(hashes).as(Seq("pos", "h")))
     val counts = base.select(col("doc_id"), nc.cast("long").as("n_chunks"))
     counts.join(keptPerDoc(ch), Seq("doc_id"), "left")
@@ -160,13 +163,12 @@ object CorpusFilters {
     * against the ref hash set without ever materializing pairs. */
   def crossChunkDedup(docs: DataFrame, ref: DataFrame, chunkWords: Int = 16,
                       textCol: String = "text"): DataFrame = {
+    graft.functions.ChunkHashes.register(docs.sparkSession)
     def chunksOf(d: DataFrame) = {
       val base = d.select(col("doc_id"), wordsOf(col(textCol)).as("ws"))
         .where(size(col("ws")) > 0)
-      val nc = ceil(size(col("ws")).cast("double") / chunkWords).cast("int")
-      base.select(col("doc_id"), explode(transform(sequence(lit(1), nc), i =>
-        md5(concat_ws(" ",
-          slice(col("ws"), (i - lit(1)) * chunkWords + lit(1), lit(chunkWords))))))
+      base.select(col("doc_id"), explode(expr(
+        s"${graft.functions.ChunkHashes.FunctionName}(ws, $chunkWords)"))
         .as("h"))
     }
     val refHashes = chunksOf(ref).select("h").distinct()
@@ -299,17 +301,24 @@ object CorpusFilters {
   def cdcChunks(docs: DataFrame, window: Int = 4,
                 textCol: String = "text",
                 blockWords: Int = 4096): DataFrame = {
+    graft.functions.CdcFlags.register(docs.sparkSession)
     val base = docs.select(col("doc_id"), wordsOf(col(textCol)).as("ws"))
       .where(size(col("ws")) > 0)
-    val w = base.select(col("doc_id"), col("ws"),
-      posexplode(col("ws")).as(Seq("pos", "word")))
-    val idx = col("pos") + 1 // 1-based, matches SQL list indexing
-    val flagged = w.withColumn("flag",
-      when(idx >= window &&
-        substring(md5(concat_ws(" ",
-          slice(col("ws"), idx - (window - 1), lit(window)))), 1, 1) === "0", 1L)
-        .otherwise(0L))
-      .select(col("doc_id"), col("pos"), col("word"), col("flag"))
+    // per-word boundary flags computed natively BEFORE the explode
+    // (graft.functions.CdcFlags — value-identical to the per-row
+    // when(idx >= window && substring(md5(slice …)),1,1)='0' form the
+    // DuckDB oracle still runs): the old shape evaluated an interpreted
+    // md5+slice per exploded row AND made the Generate carry the whole
+    // `ws` array on every word row — O(words²) bytes per document
+    // through the explode. Exploding arrays_zip(ws, flags) ships each
+    // word exactly once.
+    val w = base.select(col("doc_id"),
+      posexplode(arrays_zip(col("ws"),
+        expr(s"${graft.functions.CdcFlags.FunctionName}(ws, $window)")
+          .as("fl"))).as(Seq("pos", "zf")))
+    val flagged = w
+      .select(col("doc_id"), col("pos"), col("zf.ws").as("word"),
+        col("zf.fl").as("flag"))
       .withColumn("blk", (col("pos") / blockWords).cast("long"))
     // exclusive prefix sum of flags at pos' < pos, decomposed:
     //   chunk(pos) = boff(block)   [flags in earlier blocks of this doc]
@@ -354,13 +363,13 @@ object CorpusFilters {
     * shared contract), so the DuckDB oracle runs the same bytes. */
   def decontaminate(docs: DataFrame, evalDocs: DataFrame, n: Int = 5,
                     textCol: String = "text"): DataFrame = {
+    graft.functions.WindowHashes.register(docs.sparkSession)
     def grams(d: DataFrame) = {
       val ws = wordsOf(col(textCol))
       d.select(col("doc_id"), ws.as("ws"))
         .where(size(col("ws")) >= n)
-        .select(col("doc_id"), explode(
-          transform(sequence(lit(1), size(col("ws")) - (n - 1)), i =>
-            md5(concat_ws(" ", slice(col("ws"), i, lit(n)))))).as("gh"))
+        .select(col("doc_id"), explode(expr(
+          s"${graft.functions.WindowHashes.FunctionName}(ws, $n)")).as("gh"))
     }
     val evalGrams = grams(evalDocs).select("gh").distinct()
     val counts = docs.select(col("doc_id"),
@@ -390,13 +399,13 @@ object CorpusFilters {
   def decontaminateSuites(docs: DataFrame, evalDocs: DataFrame, n: Int = 5,
                           suiteCol: String = "suite",
                           textCol: String = "text"): DataFrame = {
+    graft.functions.WindowHashes.register(docs.sparkSession)
     def grams(d: DataFrame, keep: Seq[String]) = {
       val ws = wordsOf(col(textCol))
       d.select(keep.map(col) :+ ws.as("ws"): _*)
         .where(size(col("ws")) >= n)
-        .select(keep.map(col) :+ explode(
-          transform(sequence(lit(1), size(col("ws")) - (n - 1)), i =>
-            md5(concat_ws(" ", slice(col("ws"), i, lit(n)))))).as("gh"): _*)
+        .select(keep.map(col) :+ explode(expr(
+          s"${graft.functions.WindowHashes.FunctionName}(ws, $n)")).as("gh"): _*)
     }
     val evalGrams = broadcast(
       grams(evalDocs, Seq(suiteCol)).select(col(suiteCol), col("gh")).distinct())

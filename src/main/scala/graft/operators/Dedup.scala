@@ -457,13 +457,18 @@ object Dedup {
     * No stage is quadratic and nothing collects to the driver. */
   def substringDedup(docs: DataFrame, l: Int = 8, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
+    graft.functions.WindowHashes.register(docs.sparkSession)
     val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ws"))
       .where(size(col("ws")) > 0)
-    // every length-l window, 1-based start pos, md5 of the joined words
+    // every length-l window, 1-based start pos, md5 of the joined words —
+    // one native call per document (graft.functions.WindowHashes,
+    // value-identical to the transform/slice/concat_ws/md5 lambda the
+    // DuckDB oracle still runs, without the per-window interpreted
+    // dispatch + slice copies)
     val wins = base.where(size(col("ws")) >= l)
       .select(col("doc_id"), posexplode(
-        expr(s"transform(sequence(1, size(ws) - ${l - 1}), " +
-          s"i -> md5(concat_ws(' ', slice(ws, i, $l))))")).as(Seq("p0", "h")))
+        expr(s"${graft.functions.WindowHashes.FunctionName}(ws, $l)"))
+        .as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
     // canonical first occurrence per hash (map-side-combinable min-struct)
     val firsts = wins.groupBy("h")

@@ -277,30 +277,47 @@ object Sampling {
                   salt: String = "dsir", idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    def tokenBuckets(df: DataFrame) = df
-      .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("term"))
-      .withColumn("bucket", floor(hashUnit(col("term"), salt) * buckets))
-    def bucketCounts(tb: DataFrame) =
-      tb.groupBy("bucket").agg(count(lit(1)).as("cnt"))
-    val rawToks = tokenBuckets(raw)
+    // per-doc bucket-count ARRAYS (graft.functions.DocBuckets, one native
+    // md5 per token) instead of a corpus-sized token explode with an
+    // interpreted md5 per row: every downstream frame shrinks from one
+    // row per TOKEN to at most `buckets` rows per doc, and the counts are
+    // exact longs so regrouped sums are value-identical. The per-doc mean
+    // regroups the double sum (Σ cnt_b·lr_b vs Σ per-token lr) — the same
+    // order-of-summation class the cross-engine round(4) contract already
+    // absorbs (Spark's shuffle-order avg never matched DuckDB's scan
+    // order bit-for-bit; both land inside roundZ(4)).
+    graft.functions.DocBuckets.register(raw.sparkSession)
+    def docBuckets(df: DataFrame) = df
+      .select(col(idCol), graft.operators.Dedup.tokens(col(textCol)).as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col(idCol), expr(
+        s"${graft.functions.DocBuckets.FunctionName}(ws, $buckets, '$salt')")
+        .as("bc"))
+    def bucketed(df: DataFrame) = docBuckets(df)
+      .select(col(idCol), posexplode(col("bc")).as(Seq("bucket", "cnt")))
+      .where(col("cnt") > 0)
+      .select(col("bucket").cast("long").as("bucket"), col(idCol), col("cnt"))
+    val rawBuckets = bucketed(raw)
     val allBuckets = raw.sparkSession.range(buckets).select(col("id").as("bucket"))
     def dist(tb: DataFrame, cntName: String, totName: String) = allBuckets
-      .join(bucketCounts(tb), Seq("bucket"), "left")
+      .join(tb.groupBy("bucket").agg(sum("cnt").as("cnt")), Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("cnt"), lit(0L)).as(cntName))
-      .crossJoin(broadcast(tb.agg(count(lit(1)).cast("double").as(totName))))
-    val ratio = dist(tokenBuckets(target), "ct", "tt")
-      .join(dist(rawToks, "cr", "tr"), Seq("bucket"))
+      .crossJoin(broadcast(tb.agg(
+        coalesce(sum("cnt"), lit(0L)).cast("double").as(totName))))
+    val ratio = dist(bucketed(target), "ct", "tt")
+      .join(dist(rawBuckets, "cr", "tr"), Seq("bucket"))
       .select(col("bucket"),
         (log((col("ct") + 1).cast("double") / (col("tt") + buckets)) -
           log((col("cr") + 1).cast("double") / (col("tr") + buckets))).as("lr"))
-    rawToks.join(broadcast(ratio), Seq("bucket"))
+    rawBuckets.join(broadcast(ratio), Seq("bucket"))
       .groupBy(col(idCol))
       // roundZ, not round: a mean of log-ratios can be tiny-negative and
       // round to ZERO — Spark's round drops the sign (+0.0) where
       // DuckDB's keeps it (−0.0), and the driver hash is bit-sensitive
       // (caught by the signed-zero-aware sweep at sf0.1)
-      .agg(count(lit(1)).as("n_tokens"),
-        Similarity.roundZ(avg("lr"), 4).as("dsir_weight"))
+      .agg(sum("cnt").as("n_tokens"),
+        Similarity.roundZ(sum(col("cnt") * col("lr")) / sum("cnt"), 4)
+          .as("dsir_weight"))
   }
 
   /** DSIR importance RESAMPLING (Xie et al. 2023 §2.3 — the sampling half

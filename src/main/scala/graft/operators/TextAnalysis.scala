@@ -1000,17 +1000,18 @@ object TextAnalysis {
   def hashEmbedding(docs: DataFrame, dims: Int = 64, salt: String = "he",
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(Dedup.tokens(col(textCol))).as("term"))
-    val slots = toks.select(col(idCol),
-        floor(Sampling.hashUnit(col("term"), salt) * dims).cast("int").as("slot"),
-        when(Sampling.hashUnit(col("term"), salt + "s") < 0.5, lit(1.0))
-          .otherwise(lit(-1.0)).as("sgn"))
-      .groupBy(idCol, "slot").agg(sum("sgn").as("s"))
-    val vec = slots.groupBy(idCol)
-      .agg(map_from_entries(collect_list(struct(col("slot"), col("s")))).as("m"))
-      .select(col(idCol), transform(sequence(lit(0), lit(dims - 1)),
-        d => coalesce(element_at(col("m"), d), lit(0.0))).as("raw"))
+    // one native call per document (graft.functions.HashEmbed): the
+    // slot-sum array directly — value-identical to the old explode →
+    // two-md5s-per-term → (doc, slot) groupBy → map rebuild (±1.0 sums
+    // are exact integers, so summation order can't change a value; the
+    // DuckDB oracle still replays the relational form), without the
+    // corpus-sized token explode and its two shuffles
+    graft.functions.HashEmbed.register(docs.sparkSession)
+    val vec = docs.select(col(idCol), Dedup.tokens(col(textCol)).as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col(idCol), expr(
+        s"${graft.functions.HashEmbed.FunctionName}(ws, $dims, '$salt')")
+        .as("raw"))
     vec.withColumn("nrm", sqrt(Similarity.dot(col("raw"), col("raw"))))
       .select(col(idCol),
         transform(col("raw"), x =>

@@ -22,6 +22,38 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Exact interpolated quantile of lineitem.l_extendedprice as a
+    * DISTRIBUTED computation (guide §1.2: fix the algorithm before the
+    * config): a range-partitioned sort + a two-row order-statistic pick,
+    * instead of percentile_cont's single-group object aggregate that
+    * collects all N values into one buffer and sorts them on one core.
+    * The interpolation replays Spark's own Percentile.getPercentile
+    * arithmetic — `lower·(hi−pos) + higher·(pos−lo)` at pos = p·(N−1) —
+    * so the value is bit-identical to the SQL form the oracle still runs.
+    * Driver traffic is two doubles and one count (the pageRank/seqPack
+    * bounded-artifact rule); the sorted RDD is persisted across the
+    * zipWithIndex count pass and the pick pass, then released. */
+  private def exactQuantile(s: org.apache.spark.sql.SparkSession, p: Double,
+                            outName: String, scale: Int): org.apache.spark.sql.DataFrame = {
+    val vals = s.table("lineitem").select(col("l_extendedprice").as("v"))
+      .where(col("v").isNotNull)
+    val n = vals.count()
+    require(n > 0, "exactQuantile over an empty table")
+    val pos = p * (n - 1)
+    val lo = math.floor(pos).toLong
+    val hi = math.ceil(pos).toLong
+    val sorted = vals.orderBy("v").rdd.map(_.getDouble(0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val picked = sorted.zipWithIndex()
+        .filter { case (_, i) => i == lo || i == hi }
+        .collect().sortBy(_._2).map(_._1)
+      val v = if (lo == hi) picked(0)
+              else picked(0) * (hi - pos) + picked(1) * (pos - lo)
+      s.range(1).select(round(lit(v), scale).as(outName))
+    } finally sorted.unpersist(blocking = false)
+  }
+
   val all: Seq[QSpec] = Seq(
     // Q1 projection
     // ORDER BY covers every projected column: (orderkey, linenumber) is
@@ -60,13 +92,25 @@ object Relational {
         |  round(sum(o_totalprice), 2) AS sum_price,
         |  count(*) AS cnt
         |FROM orders""".stripMargin),
-    // Q8 exact percentile (ordered-set aggregate)
-    sameSql("q08_percentile",
+    // Q8 exact percentile (ordered-set aggregate). The SQL form
+    // (percentile_cont) stays as the DuckDB oracle; Spark-side it planned
+    // as a single-group ObjectHashAggregate that collects EVERY value into
+    // one reducer's buffer and sorts it single-threaded — 2.5 s at sf0.1
+    // and a straight row-count wall at scale. The distributed form
+    // computes the identical two order statistics via a range-partitioned
+    // sort (exactOrderStat) and interpolates with Spark's own
+    // percentile_cont formula, so the value is bit-identical.
+    df("q08_percentile",
       """SELECT round(CAST(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE), 4) AS p95_price
-        |FROM lineitem""".stripMargin),
-    // Q8b exact median
-    sameSql("q08_median",
-      "SELECT round(CAST(median(l_extendedprice) AS DOUBLE), 2) AS med_price FROM lineitem"),
+        |FROM lineitem""".stripMargin) { (s, _) =>
+      exactQuantile(s, 0.95, "p95_price", 4)
+    },
+    // Q8b exact median — same distributed order-statistic form (median =
+    // percentile_cont(0.5); DuckDB's median() is defined identically)
+    df("q08_median",
+      "SELECT round(CAST(median(l_extendedprice) AS DOUBLE), 2) AS med_price FROM lineitem") {
+      (s, _) => exactQuantile(s, 0.5, "med_price", 2)
+    },
     // Q8c/Q8d — the 100 TB production path for Q8's exact ordered-set
     // aggregates (SCALE.md §2, VERDICT r7 #6): approx_percentile is a
     // mergeable quantile sketch, aggregated map-side in full partial
