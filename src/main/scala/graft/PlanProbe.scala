@@ -46,14 +46,19 @@ object PlanProbe {
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          private val desc = new java.util.concurrent.ConcurrentHashMap[Int, String]()
           override def onJobStart(
-              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
             t0.put(js.jobId, System.nanoTime())
+            desc.put(js.jobId, Option(js.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short")))
+              .getOrElse(""))
+          }
           override def onJobEnd(
               je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
             val start = t0.remove(je.jobId)
             if (start != 0L)
-              println(f"    [job ${je.jobId}%4d] ${(System.nanoTime() - start) / 1e3}%9.0f us")
+              println(f"    [job ${je.jobId}%4d] ${(System.nanoTime() - start) / 1e3}%9.0f us  ${desc.getOrDefault(je.jobId, "")}")
           }
         })
     Tables.register(spark, sfDir)

@@ -349,26 +349,18 @@ object TextAnalysis {
     val ms = merges.select(col("round"), col("left_sym"), col("right_sym"))
       .collect().sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2)))
-    val words = docs.select(col(idCol),
-      posexplode(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"))
-        .as(Seq("pos", "word")))
-    val enc0 = concat(lit("|"), concat_ws("| |", expr(
-      "transform(sequence(1, length(word)), i -> substring(word, i, 1))")),
-      lit("|"))
-    val encN = ms.foldLeft(enc0) { case (e, (pa, pb)) =>
-      regexp_replace(e, "\\|" + pa + "\\| \\|" + pb + "\\|", "|" + pa + pb + "|")
-    }
-    val vocab = words.select("word").distinct()
-      .select(col("word"), regexp_extract_all(encN,
-        lit("\\|([a-z]+)\\|"), lit(1)).as("toks"))
-    val joined = words.join(vocab, Seq("word"))
-      .select(col(idCol), col("pos"), size(col("toks")).as("n"),
-        array_join(col("toks"), " ").as("ts"))
-    joined.groupBy(idCol)
-      .agg(sum("n").as("n_bpe_tokens"),
-        md5(array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("ts")))),
-          s => s.getField("ts")), " ")).as("tok_digest"))
+    // one native call per document (graft.functions.BpeEncodeDoc): merge
+    // application and the hop-ordered digest run doc-locally — the token
+    // digest the oracle pins is byte-identical, and the token-level
+    // shuffle (word join + per-doc sorted collect_list) disappears
+    graft.functions.EncodeDocBase.registerWith(docs.sparkSession,
+      "bpe_encode_doc", w => graft.functions.BpeEncodeDoc(w, ms.toSeq))
+    docs.select(col(idCol),
+        expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)").as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col(idCol), expr("bpe_encode_doc(ws)").as("e"))
+      .select(col(idCol), col("e.n").as("n_bpe_tokens"),
+        col("e.digest").as("tok_digest"))
   }
 
   /** Tokenizer fertility report: BPE tokens emitted per word, by stratum
@@ -553,14 +545,14 @@ object TextAnalysis {
     * survives pruning); ABOVE the cap a char appearing only in
     * below-cap words would otherwise be uncoverable and a hard require
     * here would kill the whole encode job on one rare glyph. */
-  private val UnkCharCost: Long = 40L * 1000000L
+  private[graft] val UnkCharCost: Long = 40L * 1000000L
 
   /** Integer-cost Viterbi segmentation: minimal total micro-nat cost over
     * pieces of length ≤ maxLen (single chars are always in the vocab —
     * or fall back to [[UnkCharCost]], so every word segments). Ties
     * prefer the LONGER final piece at each DP boundary — a deterministic
     * integer rule shared by train and encode. */
-  private def viterbiSegment(word: String, cost: Map[String, Long],
+  private[graft] def viterbiSegment(word: String, cost: Map[String, Long],
                              maxLen: Int): Array[String] = {
     val n = word.length
     val INF = Long.MaxValue / 4
@@ -617,27 +609,18 @@ object TextAnalysis {
     val vs = vocab.select(col("piece"), col("cnt")).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     require(vs.nonEmpty, "empty unigram vocabulary")
-    val total = vs.map(_._2).sum.toDouble
-    val cost = vs.map { case (p, c) =>
-      p -> math.round(-math.log(c / total) * 1e6) }.toMap
-    val maxLen = vs.map(_._1.length).max
-    val bc = spark.sparkContext.broadcast((cost, maxLen))
-    import spark.implicits._
-    val words = docs.select(col(idCol),
-      posexplode(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"))
-        .as(Seq("pos", "word")))
-    val segmented = words.select("word").distinct().as[String]
-      .mapPartitions { it =>
-        val (cm, ml) = bc.value
-        it.map(w => (w, viterbiSegment(w, cm, ml).mkString(" ")))
-      }.toDF("word", "ts")
-      .withColumn("n", size(split(col("ts"), " ")).cast("long"))
-    words.join(segmented, Seq("word"))
-      .groupBy(idCol)
-      .agg(sum("n").as("n_unigram_tokens"),
-        md5(array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("ts")))),
-          s => s.getField("ts")), " ")).as("tok_digest"))
+    // one native call per document (graft.functions.UnigramEncodeDoc —
+    // same micro-nat cost table, same shared viterbiSegment, byte-
+    // identical digest): the distinct-word mapPartitions + token-level
+    // join + sorted collect_list pipeline becomes one map-only projection
+    graft.functions.EncodeDocBase.registerWith(spark,
+      "uni_encode_doc", w => graft.functions.UnigramEncodeDoc(w, vs.toSeq))
+    docs.select(col(idCol),
+        expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)").as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col(idCol), expr("uni_encode_doc(ws)").as("e"))
+      .select(col(idCol), col("e.n").as("n_unigram_tokens"),
+        col("e.digest").as("tok_digest"))
   }
 
   /** Tokenizer bake-off: BPE vs unigram-LM fertility per stratum — the
@@ -853,7 +836,7 @@ object TextAnalysis {
     * position collapses the WHOLE word to `[UNK]` (BERT semantics —
     * partial segmentations are never emitted). Continuation pieces
     * render with the `##` marker. */
-  private def greedySegment(word: String, vocab: Set[String],
+  private[graft] def greedySegment(word: String, vocab: Set[String],
                             maxLen: Int): (Array[String], Boolean) = {
     val n = word.length
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -888,27 +871,19 @@ object TextAnalysis {
     val spark = docs.sparkSession
     val vs = vocab.select("piece").collect().map(_.getString(0))
     require(vs.nonEmpty, "empty wordpiece vocabulary")
-    val maxLen = vs.map(_.length).max
-    val bc = spark.sparkContext.broadcast((vs.toSet, maxLen))
-    import spark.implicits._
-    val words = docs.select(col(idCol),
-      posexplode(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"))
-        .as(Seq("pos", "word")))
-    val segmented = words.select("word").distinct().as[String]
-      .mapPartitions { it =>
-        val (vset, ml) = bc.value
-        it.map { w =>
-          val (toks, unk) = greedySegment(w, vset, ml)
-          (w, toks.mkString(" "), toks.length.toLong, if (unk) 1L else 0L)
-        }
-      }.toDF("word", "ts", "n", "unk")
-    words.join(segmented, Seq("word"))
-      .groupBy(idCol)
-      .agg(sum("n").as("n_wp_tokens"),
-        sum("unk").as("n_unk_words"),
-        md5(array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("ts")))),
-          s => s.getField("ts")), " ")).as("tok_digest"))
+    // one native call per document (graft.functions.WordpieceEncodeDoc —
+    // same shared greedySegment, byte-identical digest): the distinct-
+    // word mapPartitions + token-level join + sorted collect_list
+    // pipeline becomes one map-only projection
+    graft.functions.EncodeDocBase.registerWith(spark,
+      "wp_encode_doc", w => graft.functions.WordpieceEncodeDoc(w, vs.toSeq))
+    docs.select(col(idCol),
+        expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)").as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col(idCol), expr("wp_encode_doc(ws)").as("e"))
+      .select(col(idCol), col("e.n").as("n_wp_tokens"),
+        col("e.unk").as("n_unk_words"),
+        col("e.digest").as("tok_digest"))
   }
 
   /** WordPiece fertility + UNK-rate report per stratum — the

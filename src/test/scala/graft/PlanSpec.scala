@@ -262,26 +262,20 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SinglePartition"), p)
   }
 
-  test("bpe encode joins the corpus to the vocab on the uniform word key " +
-      "and folds the merge chain into a map-only projection") {
-    import spark.implicits._
-    val docs = Seq(1L -> "low low lower newest", 2L -> "newest widest")
-      .toDF("doc_id", "text")
-    val merges = graft.operators.TextAnalysis.bpeMerges(docs, merges = 2)
+  test("bpe encode is ONE map-only projection per document — no word " +
+      "join, no doc_id shuffle, no per-row UDF") {
+    Tables.register(spark, sfDir)
+    val docs = spark.table("documents")
+    val merges = graft.operators.TextAnalysis.bpeMerges(
+      docs.limit(50), merges = 2)
     val enc = graft.operators.TextAnalysis.bpeEncode(docs, merges)
     val p = plan(enc)
-    // corpus-to-vocabulary lookup is an equi-join on the word key — never
-    // a nested loop — and the per-doc reassembly shuffles on doc_id
-    assert(p.contains("Join") && !p.contains("CartesianProduct"), p)
-    assert(p.contains("hashpartitioning(word") ||
-      p.contains("BroadcastHashJoin [word"), p)
-    assert(p.contains("hashpartitioning(doc_id"), p)
-    // the learned merges are plan literals: one regexp_replace per merge
-    // round, no per-row UDF (the physical string elides expressions once
-    // they fold into an aggregate's result projection, so the literal
-    // chain is pinned on the optimized logical plan)
-    val lp = enc.queryExecution.optimizedPlan.toString
-    assert("regexp_replace".r.findAllIn(lp).size >= 2, lp)
+    // the r17-opt shape: the trained merge list rides the native
+    // bpe_encode_doc expression into a single projection over the scan —
+    // the old distinct-word join + per-doc sorted-collect_list rollup
+    // (two shuffles of token-level rows) is gone
+    assert(p.contains("bpe_encode_doc"), p)
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }
 
@@ -713,18 +707,19 @@ class PlanSpec extends SparkTestBase {
       p.contains("BroadcastHashJoin [canonical_url"), p)
   }
 
-  test("wordpiece encode joins the corpus on the uniform word key — no " +
-    "cartesian, no nested loop over the vocabulary") {
+  test("wordpiece encode is ONE map-only projection per document — no " +
+    "word join, no shuffle, no nested loop over the vocabulary") {
     Tables.register(spark, sfDir)
     import spark.implicits._
     val vocab = Seq(("a", 1L), ("b", 1L)).toDF("piece", "cnt")
     val p = plan(graft.operators.TextAnalysis.wordpieceEncode(
       spark.table("documents"), vocab))
+    // r17-opt shape: the vocab rides the native wp_encode_doc expression
+    // into a single projection over the scan (see the bpe twin's pin)
+    assert(p.contains("wp_encode_doc"), p)
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("SortMergeJoin [word") ||
-      p.contains("ShuffledHashJoin [word") ||
-      p.contains("BroadcastHashJoin [word"), p)
   }
 
   test("sq8 ann is a broadcast-query integer scan with a bounded top-k — " +
