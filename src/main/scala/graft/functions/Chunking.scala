@@ -104,6 +104,69 @@ object ChunkHashes {
       "internal")
 }
 
+/** Native word n-gram SHINGLE strings (stride 1): element g is words
+  * g..g+n−1 joined by single spaces — byte-identical to the lambda form
+  * `transform(sequence(0, size(w)-n), i -> concat_ws(' ', w[i+1], …,
+  * w[i+n]))` that [[graft.operators.Dedup.shingles]] evaluated
+  * interpreted per shingle (lambda dispatch + per-element concat
+  * allocation). The strings themselves (not hashes) are the product —
+  * the candidate-verify family joins on shingle equality. One call per
+  * document; codegen passes through. */
+case class ShingleStrings(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle_strings requires n >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_strings"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleStrings.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleStrings.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
+    copy(child = newChild)
+}
+
+object ShingleStrings {
+  def compute(words: ArrayData, n: Int): ArrayData = {
+    val m = words.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val ws = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) { ws(i) = words.getUTF8String(i); i += 1 }
+    val space = UTF8String.fromString(" ")
+    val out = new Array[Any](m - n + 1)
+    var g = 0
+    while (g <= m - n) {
+      // UTF8String.concat allocates once at the exact byte length
+      val parts = new Array[UTF8String](2 * n - 1)
+      var t = 0
+      while (t < n) {
+        parts(2 * t) = ws(g + t)
+        if (t < n - 1) parts(2 * t + 1) = space
+        t += 1
+      }
+      out(g) = UTF8String.concat(parts: _*)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  val FunctionName = "shingle_strings"
+
+  /** Register `shingle_strings(words, n)` (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FunctionName,
+      {
+        case Seq(w, Literal(n: Int, IntegerType)) => ShingleStrings(w, n)
+        case args => throw new IllegalArgumentException(
+          s"$FunctionName(words, n) expects a literal integer n, got $args")
+      },
+      "internal")
+}
+
 /** Native per-word CDC boundary flags: flag(i) = 1 iff i+1 >= window and
   * the md5 of the `window` words ENDING at word i (joined by ' ') starts
   * with hex nibble 0 — value-identical to the per-row form

@@ -34,14 +34,16 @@ object Dedup {
   def tokens(textCol: Column): Column =
     filter(split(lower(textCol), "\\s+"), t => length(t) > 0)
 
-  /** doc_id + exploded word n-gram shingles (space-joined). */
+  /** doc_id + exploded word n-gram shingles (space-joined) — one native
+    * call per document (graft.functions.ShingleStrings, byte-identical
+    * to the transform/concat_ws lambda the DuckDB oracles still run). */
   def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
-    val joined = (0 until n).map(i => s"w[i+$i]").mkString("concat_ws(' ', ", ", ", ")")
+    graft.functions.ShingleStrings.register(docs.sparkSession)
     docs.select(col(idCol), tokens(col(textCol)).as("w"))
       .where(size(col("w")) >= n)
-      .select(col(idCol),
-        explode(expr(s"transform(sequence(0, size(w)-$n), i -> $joined)")).as("shingle"))
+      .select(col(idCol), explode(expr(
+        s"${graft.functions.ShingleStrings.FunctionName}(w, $n)")).as("shingle"))
   }
 
   /** Exact-duplicate groups: one row per distinct md5(text), with the kept
