@@ -303,9 +303,19 @@ object Bench {
     // this JVM can offer; each published headline time is the min over
     // in-bench + quiet samples, and the quiet sample is appended to the
     // samples array so the artifact self-explains the contention gap.
+    // the original six stay FIRST and unchanged so round-over-round
+    // comparisons remain valid; the ten appended names are the heaviest
+    // registry queries of the round-17 final sweep (VERDICT r17 #1:
+    // the fixed six are all sub-second and untouched by optimization
+    // rounds, so the driver's per-query comparison measured host weather
+    // while the actual work was invisible — additions only)
     val headlineNames = Seq("q06_groupby_agg", "q13_join_multiway",
       "dd_minhash_lsh_pairs", "ss_cosine_topk", "ta_token_count",
-      "otlp_read_logs")
+      "otlp_read_logs",
+      "dd_semantic_clusters", "dd_cluster_keep_best",
+      "dd_semantic_clusters_scaled", "dd_split_leakfree",
+      "dd_editdist_verify", "dd_substring_dedup", "dd_minhash_calibration",
+      "ta_repetition", "dd_cdc_dedup", "dd_incremental_neardup")
     val fnByName = selected.toMap
     val quietSamples: Map[String, Double] =
       if (selected.isEmpty) Map.empty

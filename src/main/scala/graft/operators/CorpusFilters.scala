@@ -93,6 +93,7 @@ object CorpusFilters {
     * single document's grams across the cluster — the safer shape at
     * 100 TB. */
   def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    graft.functions.ShingleStrings.register(docs.sparkSession)
     val base = docs.select(col("doc_id"), wordsOf(col(textCol)).as("ws"))
       .where(size(col("ws")) > 0)
     val tot = base.select(col("doc_id"),
@@ -107,12 +108,14 @@ object CorpusFilters {
     }
     val wtop = top(base.select(col("doc_id"), explode(col("ws")).as("w")),
       "w", "top_word", "top_word_cnt")
+    // native shingle construction (graft.functions.ShingleStrings) —
+    // byte-identical strings to the interpreted transform/concat_ws
+    // lambda this replaces (the DuckDB oracle still runs the lambda
+    // form); a <2-word array yields an empty shingle array, so the old
+    // explicit when(size >= 2) guard is the kernel's own contract
     val btop = top(
-      base.select(col("doc_id"), explode(
-        when(size(col("ws")) >= 2,
-          transform(sequence(lit(1), size(col("ws")) - 1), i =>
-            concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1))))
-          .otherwise(array().cast("array<string>"))).as("g")),
+      base.select(col("doc_id"), explode(expr(
+        s"${graft.functions.ShingleStrings.FunctionName}(ws, 2)")).as("g")),
       "g", "top_2gram", "top_2gram_cnt")
     tot.join(wtop, Seq("doc_id"), "left").join(btop, Seq("doc_id"), "left")
       .select(col("doc_id"), col("total_words"), col("total_chars"),

@@ -349,21 +349,52 @@ object Dedup {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster_id"))
-      .localCheckpoint()
+    val numericIds = edges.schema("src").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     // Convergence check: labels only ever decrease, so for NUMERIC ids one
     // overflow-proof sum aggregate per round detects the fixpoint with no
-    // extra join. String ids (the module contract allows hex-digest ids)
-    // have no such homomorphism — they use the type-agnostic changed-rows
-    // join; both run on the freshly checkpointed frames.
-    val numericIds = labels.schema("cluster_id").dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // extra join — and that sum rides the round's own checkpoint action as
+    // an observed metric (the rows already stream past the CollectMetrics
+    // node during materialization), so the numeric path pays NO separate
+    // convergence job per round. String ids (the module contract allows
+    // hex-digest ids) have no such homomorphism — they keep the
+    // type-agnostic changed-rows join on the freshly checkpointed frames.
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val v = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).first()
       if (v.isNullAt(0)) java.math.BigDecimal.ZERO else v.getDecimal(0)
     }
-    var prevSum = if (numericIds) labelSum(labels) else null
+    // Checkpoint `df`, returning the frame plus (numeric path) the label
+    // sum observed DURING that materialization. Metric delivery is an
+    // async listener hop, so poll briefly; if it never arrives (a future
+    // Spark behavior change), fall back to the explicit aggregate job —
+    // correctness never rides the piggyback.
+    def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) =
+      if (!numericIds) (df.localCheckpoint(), null)
+      else {
+        val obs = org.apache.spark.sql.Observation()
+        val out = df
+          .observe(obs, sum(col("cluster_id").cast("decimal(38,0)")).as("s"))
+          .localCheckpoint()
+        val s =
+          try {
+            val r = scala.concurrent.Await.result(obs.future,
+              scala.concurrent.duration.Duration(10, "s"))
+            if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+          } catch {
+            case _: java.util.concurrent.TimeoutException => labelSum(out)
+          }
+        (out, s)
+      }
+    // Round 1's neighbor-min folds into the SAME shuffle that used to
+    // build the id set (`select(src).distinct` paid an identical exchange
+    // to emit labels = id): labels start at min(id, min neighbor) — one
+    // full propagation round ahead — and the iteration below converges to
+    // the same per-component minimum fixpoint (labels stay within the
+    // component's id set, the component min keeps labeling itself).
+    var (labels, prevSum) = checkpointWithSum(
+      edges.groupBy(col("src"))
+        .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
+        .select(col("src").as("id"), col("cluster_id")))
     var converged = false
     var round = 0
     while (!converged) {
@@ -384,17 +415,15 @@ object Dedup {
         .localCheckpoint()
       // pointer doubling: chase one extra hop through the label table so
       // label distance halves per round (O(log diameter) total rounds)
-      val next = stepped.as("a")
+      val (next, s) = checkpointWithSum(stepped.as("a")
         .join(stepped.select(col("id").as("pid"),
           col("cluster_id").as("pcluster")).as("p"),
           col("a.cluster_id") === col("p.pid"), "left")
         .select(col("a.id").as("id"),
           least(col("a.cluster_id"),
-            coalesce(col("p.pcluster"), col("a.cluster_id"))).as("cluster_id"))
-        .localCheckpoint()
+            coalesce(col("p.pcluster"), col("a.cluster_id"))).as("cluster_id")))
       Blocks.release(stepped) // next is materialized; the intermediate can go
       if (numericIds) {
-        val s = labelSum(next)
         converged = s.compareTo(prevSum) == 0
         prevSum = s
       } else

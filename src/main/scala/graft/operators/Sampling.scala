@@ -304,11 +304,20 @@ object Sampling {
       .select(col("bucket"), coalesce(col("cnt"), lit(0L)).as(cntName))
       .crossJoin(broadcast(tb.agg(
         coalesce(sum("cnt"), lit(0L)).cast("double").as(totName))))
+    // the per-bucket log-ratio quantizes through INTEGER nano-units
+    // (round(lr·1e9) as long) before any aggregation: the per-doc mean is
+    // then a ratio of EXACT integers (Σ cnt·lrz ≤ tokens·~2e10 ≪ 2^63,
+    // Σ cnt), so no floating summation order — Spark's regrouped
+    // Σ cnt_b·lrz_b, DuckDB's per-token Σ — can ever move the value
+    // (VERDICT r17 #4: the previous double regrouping relied on round(4)
+    // absorbing an ulp, which a value at a rounding boundary would not).
+    // The oracle SQL mirrors the same quantization bit-for-bit.
     val ratio = dist(bucketed(target), "ct", "tt")
       .join(dist(rawBuckets, "cr", "tr"), Seq("bucket"))
       .select(col("bucket"),
-        (log((col("ct") + 1).cast("double") / (col("tt") + buckets)) -
-          log((col("cr") + 1).cast("double") / (col("tr") + buckets))).as("lr"))
+        round((log((col("ct") + 1).cast("double") / (col("tt") + buckets)) -
+          log((col("cr") + 1).cast("double") / (col("tr") + buckets))) * 1e9,
+          0).cast("long").as("lrz"))
     rawBuckets.join(broadcast(ratio), Seq("bucket"))
       .groupBy(col(idCol))
       // roundZ, not round: a mean of log-ratios can be tiny-negative and
@@ -316,7 +325,8 @@ object Sampling {
       // DuckDB's keeps it (−0.0), and the driver hash is bit-sensitive
       // (caught by the signed-zero-aware sweep at sf0.1)
       .agg(sum("cnt").as("n_tokens"),
-        Similarity.roundZ(sum(col("cnt") * col("lr")) / sum("cnt"), 4)
+        Similarity.roundZ(
+          sum(col("cnt") * col("lrz")).cast("double") / sum("cnt") / 1e9, 4)
           .as("dsir_weight"))
   }
 

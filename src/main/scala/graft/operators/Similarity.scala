@@ -945,6 +945,25 @@ object Similarity {
     if (centroids > 0) centroids else autoCells(emb)
   }
 
+  /** NEGATIVE RESULT (round 18), recorded so it is not re-tried: salting
+    * the cell-keyed pair self-joins (knnGraph / hardNegatives / semDedup)
+    * per guide §2.5 — side A keyed by pmod(id, K), side B replicated K
+    * ways, join on (cell, salt) — was implemented, oracle-verified
+    * (24/24 green) and measured SLOWER under the interleaved filtered
+    * min-of-2 A/B at sf0.1/local[32] with K=8: ss_knn_graph 1.03→1.78 s,
+    * ss_hard_negatives 1.22→1.95, dd_semdedup 0.88→1.34, dd_d4_prune
+    * 2.00→3.96. The committed plans explain why
+    * (plans/r18/ss_knn_graph_before.txt vs _salted_attempt.txt): the
+    * pair join ALREADY plans as a BroadcastHashJoin — the probe side
+    * streams in its own scan partitions, so the presumed "nCells distinct
+    * keys → ≤ nCells tasks" ceiling never existed in this plan; it would
+    * bind only under a shuffle join. Salting therefore bought no
+    * parallelism and paid a K× larger broadcast build (the exploded side)
+    * per query. At the scale where the build side outgrows broadcast and
+    * the join DOES shuffle, the production path is AutoCells
+    * (k ≈ n/250 → cells ≫ cores), where the key count is never the
+    * binding constraint. */
+
   /** IVF coarse quantizer with deterministic md5-derived random centroids
     * (seed offset 1000 keeps them independent of the LSH planes): cell =
     * argmax over centroids of cos-score dot(v,c)/|c|. Random centroids give

@@ -1128,19 +1128,25 @@ object TextAnalysis {
     * per-doc rollup. Rounded to 4 decimals for engine-portable ln. */
   def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
+    graft.functions.ShingleStrings.register(docs.sparkSession)
     val base = docs.select(col(idCol),
       filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0).as("ws"))
     val toks = base.select(col(idCol), explode(col("ws")).as("term"))
+    // native bigram strings (graft.functions.ShingleStrings, one call per
+    // document) instead of the interpreted per-element struct lambda.
+    // Words contain no whitespace by the split contract, so the single
+    // space splits back losslessly: (prev, cur) <-> "prev cur" is a
+    // bijection, the string-keyed bigram frequency equals the pair-keyed
+    // one, and `prev` recovers exactly via substring_index — every nll is
+    // value-identical to the struct formulation the DuckDB oracle runs.
     val bg = base.where(size(col("ws")) >= 2)
-      .select(col(idCol), explode(
-        transform(sequence(lit(1), size(col("ws")) - 1), i =>
-          struct(element_at(col("ws"), i).as("prev"),
-            element_at(col("ws"), i + 1).as("cur")))).as("b"))
-      .select(col(idCol), col("b.prev"), col("b.cur"))
-    val bfreq = bg.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+      .select(col(idCol), explode(expr(
+        s"${graft.functions.ShingleStrings.FunctionName}(ws, 2)")).as("g"))
+    val bfreq = bg.groupBy("g").agg(count(lit(1)).as("cb"))
     val ufreq = toks.groupBy("term").agg(count(lit(1)).as("cu"))
     val stats = broadcast(ufreq.agg(count(lit(1)).cast("double").as("vocab")))
-    bg.join(bfreq, Seq("prev", "cur"))
+    bg.join(bfreq, Seq("g"))
+      .withColumn("prev", substring_index(col("g"), " ", 1))
       .join(ufreq.withColumnRenamed("term", "prev"), Seq("prev"))
       .crossJoin(stats)
       .withColumn("nll",

@@ -4236,12 +4236,14 @@ object TrainingData {
         |rtot AS (SELECT CAST(count(*) AS DOUBLE) AS tr FROM bx),
         |ab AS (SELECT CAST(b AS BIGINT) AS bucket FROM generate_series(0, 63) t(b)),
         |lr AS (SELECT ab.bucket,
-        |  ln((coalesce(tc.ct, 0) + 1) / (ttot.tt + 64))
-        |    - ln((coalesce(rc.cr, 0) + 1) / (rtot.tr + 64)) AS lr
+        |  CAST(round((ln((coalesce(tc.ct, 0) + 1) / (ttot.tt + 64))
+        |    - ln((coalesce(rc.cr, 0) + 1) / (rtot.tr + 64))) * 1000000000)
+        |    AS BIGINT) AS lrz
         |  FROM ab LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
         |  CROSS JOIN ttot CROSS JOIN rtot)
         |SELECT doc_id, count(*) AS n_tokens,
-        |  CAST(round(avg(l.lr) * 10000) AS BIGINT) / 10000.0 AS dsir_weight
+        |  CAST(round(CAST(sum(l.lrz) AS DOUBLE) / count(*) / 1000000000.0
+        |    * 10000) AS BIGINT) / 10000.0 AS dsir_weight
         |FROM bx JOIN lr l USING (bucket)
         |GROUP BY doc_id ORDER BY doc_id LIMIT 100""".stripMargin) { (s, _) =>
       val d = s.table("documents")
@@ -4329,12 +4331,14 @@ object TrainingData {
         |rtot AS (SELECT CAST(count(*) AS DOUBLE) AS tr FROM bx),
         |ab AS (SELECT CAST(b AS BIGINT) AS bucket FROM generate_series(0, 63) t(b)),
         |lr AS (SELECT ab.bucket,
-        |  ln((coalesce(tc.ct, 0) + 1) / (ttot.tt + 64))
-        |    - ln((coalesce(rc.cr, 0) + 1) / (rtot.tr + 64)) AS lr
+        |  CAST(round((ln((coalesce(tc.ct, 0) + 1) / (ttot.tt + 64))
+        |    - ln((coalesce(rc.cr, 0) + 1) / (rtot.tr + 64))) * 1000000000)
+        |    AS BIGINT) AS lrz
         |  FROM ab LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
         |  CROSS JOIN ttot CROSS JOIN rtot),
         |wt AS (SELECT doc_id,
-        |  CAST(round(avg(l.lr) * 10000) AS BIGINT) / 10000.0 AS dsir_weight
+        |  CAST(round(CAST(sum(l.lrz) AS DOUBLE) / count(*) / 1000000000.0
+        |    * 10000) AS BIGINT) / 10000.0 AS dsir_weight
         |  FROM bx JOIN lr l USING (bucket) GROUP BY doc_id),
         |g AS (SELECT doc_id, dsir_weight,
         |  CAST(round((dsir_weight - ln(-ln(

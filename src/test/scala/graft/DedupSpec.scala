@@ -52,6 +52,21 @@ class DedupSpec extends SparkTestBase {
     assert(got.forall(_._2 == 0L), s"all labels must reach 0: ${got.toMap}")
   }
 
+  test("neardup clusters: graphs already converged by the fused init " +
+    "(stars, 2-cliques) still emit every id with its component min") {
+    import spark.implicits._
+    // the init groupBy labels every node min(id, min neighbor): a star
+    // with the min at the center and a 2-node component are fixpoints
+    // after round 0 — the loop's first round must only CONFIRM (sum
+    // unchanged) and the output must still carry one row per id
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.neardupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 8L -> 7L), s"got $got")
+  }
+
   test("keep-first dedup = keep id == cluster_id") {
     import spark.implicits._
     val pairs = Seq((5L, 3L), (5L, 9L)).toDF("id_a", "id_b")

@@ -682,6 +682,41 @@ class PlanSpec extends SparkTestBase {
       "SortAggregate".r.findAllIn(p).size) >= 4, p)
   }
 
+  test("plan fence contract: parquet pushdown BELOW the fence survives, " +
+    "the fenced resolver is computed once, and fencing a scan-reachable " +
+    "column would demonstrably un-push its filter") {
+    Tables.register(spark, sfDir)
+    // a caller predicate on a scan column, applied below the fenced
+    // operator, must still reach the parquet scan (the fence only blocks
+    // pushdown THROUGH itself; every shipped call site fences a column
+    // derived from an exploded href, which no scan predicate can reach)
+    val docs = spark.table("documents").where(col("doc_id") < 50)
+      .select(col("doc_id"),
+        concat(lit("https://h"), col("doc_id") % 7,
+          lit(".example.org/d/"), col("doc_id")).as("base_url"),
+        concat(lit("<a href=\"/x/"), col("doc_id"), lit("\">t</a>"))
+          .as("html"))
+    val links = graft.operators.WebFilters.htmlLinks(docs)
+      .where(length(col("url")) > 5) // consumer filter on the fenced column
+    val p = plan(links)
+    assert(p.contains("LessThan(doc_id,50)"),
+      s"scan pushdown below the fence must survive:\n$p")
+    assert("plan_fence".r.findAllIn(p).size == 1,
+      s"the fenced resolver must be computed exactly once:\n$p")
+    // the sharp edge the scaladoc warns about, demonstrated: fencing a
+    // column the scan COULD serve blocks its predicate from pushing down
+    graft.functions.PlanFence.register(spark)
+    val misFenced = spark.table("documents")
+      .select(col("doc_id"),
+        call_function(graft.functions.PlanFence.FunctionName,
+          col("doc_id")).as("fid"))
+      .where(col("fid") < 50)
+    val mp = plan(misFenced)
+    assert(!mp.contains("LessThan(doc_id,50)"),
+      s"a mis-fenced scan column silently loses pushdown (the contract " +
+        s"this pin documents):\n$mp")
+  }
+
   test("crawl budget windows per host, never a single global partition") {
     Tables.register(spark, sfDir)
     val fx = graft.operators.WebFilters.anchorFixture(

@@ -949,4 +949,5 @@ class SimilaritySpec extends SparkTestBase {
         r.getDouble(3), r.getDouble(4)))
     assert(self.forall(_ == ((1.0, 1.0, 1.0, 1.0, 1.0))), self.toSeq)
   }
+
 }
