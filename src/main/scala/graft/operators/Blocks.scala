@@ -31,4 +31,28 @@ private[graft] object Blocks {
     df.queryExecution.analyzed.collect {
       case lr: LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
+
+  /** Eager localCheckpoint that additionally returns the value of a
+    * one-row aggregate `metric` OBSERVED during the same materialization:
+    * the rows already stream past a CollectMetrics node while the
+    * checkpoint job runs, so iterative operators (connected components,
+    * trace walks) read their per-round convergence statistic for free
+    * instead of paying a separate aggregate job per round. Metric
+    * delivery is an async listener hop — poll with a generous timeout and
+    * return None if it never arrives (a future Spark behavior change), so
+    * a caller can fall back to the explicit job: correctness never rides
+    * the piggyback. */
+  def checkpointObserving(df: DataFrame, metric: org.apache.spark.sql.Column)
+      : (DataFrame, Option[org.apache.spark.sql.Row]) = {
+    val obs = org.apache.spark.sql.Observation()
+    val out = df.observe(obs, metric).localCheckpoint()
+    val t0 = System.nanoTime()
+    val row =
+      try Some(scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(10, "s")))
+      catch { case _: java.util.concurrent.TimeoutException => None }
+    if (sys.env.contains("SPARK_GRAFT_OBS_DEBUG"))
+      System.err.println(f"[obs-wait] ${(System.nanoTime() - t0) / 1e6}%.1f ms")
+    (out, row)
+  }
 }

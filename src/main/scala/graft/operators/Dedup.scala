@@ -371,18 +371,13 @@ object Dedup {
     def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) =
       if (!numericIds) (df.localCheckpoint(), null)
       else {
-        val obs = org.apache.spark.sql.Observation()
-        val out = df
-          .observe(obs, sum(col("cluster_id").cast("decimal(38,0)")).as("s"))
-          .localCheckpoint()
-        val s =
-          try {
-            val r = scala.concurrent.Await.result(obs.future,
-              scala.concurrent.duration.Duration(10, "s"))
-            if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
-          } catch {
-            case _: java.util.concurrent.TimeoutException => labelSum(out)
-          }
+        val (out, row) = Blocks.checkpointObserving(df,
+          sum(col("cluster_id").cast("decimal(38,0)")).as("s"))
+        val s = row match {
+          case Some(r) if r.isNullAt(0) => java.math.BigDecimal.ZERO
+          case Some(r) => r.getDecimal(0)
+          case None => labelSum(out)
+        }
         (out, s)
       }
     // Round 1's neighbor-min folds into the SAME shuffle that used to
@@ -404,35 +399,54 @@ object Dedup {
           s"neardupClusters did not converge within $maxRounds rounds")
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min("cluster_id").as("nbr_min"))
-      val stepped = labels.as("l")
+      // the propagate step rides its own checkpoint's observed sum too:
+      // an unchanged sum here means labels was ALREADY a fixpoint of the
+      // propagate step (for all edges (x,y): label(x) <= label(y), which
+      // by symmetry makes labels constant per component and equal to the
+      // component min) — the confirming round then skips the chase
+      // checkpoint entirely instead of re-materializing an identical table
+      val (stepped, sSum) = checkpointWithSum(labels.as("l")
         .join(nbrMin.as("n"), col("l.id") === col("n.src"), "left")
         .select(col("l.id").as("id"),
           least(col("l.cluster_id"),
-            coalesce(col("n.nbr_min"), col("l.cluster_id"))).as("cluster_id"))
-        // materialized once: the shortcut below self-joins this frame, and
-        // an unmaterialized self-join would recompute the neighbor-min
-        // shuffle on both branches
-        .localCheckpoint()
-      // pointer doubling: chase one extra hop through the label table so
-      // label distance halves per round (O(log diameter) total rounds)
-      val (next, s) = checkpointWithSum(stepped.as("a")
-        .join(stepped.select(col("id").as("pid"),
-          col("cluster_id").as("pcluster")).as("p"),
-          col("a.cluster_id") === col("p.pid"), "left")
-        .select(col("a.id").as("id"),
-          least(col("a.cluster_id"),
-            coalesce(col("p.pcluster"), col("a.cluster_id"))).as("cluster_id")))
-      Blocks.release(stepped) // next is materialized; the intermediate can go
-      if (numericIds) {
-        converged = s.compareTo(prevSum) == 0
-        prevSum = s
-      } else
-        converged = next.as("a")
-          .join(labels.as("b"), col("a.id") === col("b.id"))
-          .where(col("a.cluster_id") =!= col("b.cluster_id"))
-          .isEmpty
-      Blocks.release(labels) // drop the superseded checkpoint's blocks
-      labels = next
+            coalesce(col("n.nbr_min"), col("l.cluster_id"))).as("cluster_id")))
+      // (the checkpoint also serves its original purpose: the chase below
+      // self-joins this frame, and an unmaterialized self-join would
+      // recompute the neighbor-min shuffle on both branches)
+      if (numericIds && sSum.compareTo(prevSum) == 0) {
+        converged = true
+        Blocks.release(labels)
+        labels = stepped
+      } else {
+        // pointer doubling: chase one extra hop through the label table so
+        // label distance halves per round (O(log diameter) total rounds).
+        // NEGATIVE RESULT (r18): composing the chase with itself (a 4x
+        // jump per round from the same two checkpoints, inner join
+        // recomputed on both sides of the outer) measured dd_semantic_
+        // clusters 4.7->19.5 s in the PlanProbe A/B — the nested
+        // unmaterialized self-join's recompute + per-round planning far
+        // exceeded the saved rounds, the same lesson as r17's fused-round
+        // revert. Single chase per materialization is the measured
+        // optimum on this family.
+        val (next, s) = checkpointWithSum(stepped.as("a")
+          .join(stepped.select(col("id").as("pid"),
+            col("cluster_id").as("pcluster")).as("p"),
+            col("a.cluster_id") === col("p.pid"), "left")
+          .select(col("a.id").as("id"),
+            least(col("a.cluster_id"),
+              coalesce(col("p.pcluster"), col("a.cluster_id"))).as("cluster_id")))
+        Blocks.release(stepped) // next is materialized; the intermediate can go
+        if (numericIds) {
+          converged = s.compareTo(prevSum) == 0
+          prevSum = s
+        } else
+          converged = next.as("a")
+            .join(labels.as("b"), col("a.id") === col("b.id"))
+            .where(col("a.cluster_id") =!= col("b.cluster_id"))
+            .isEmpty
+        Blocks.release(labels) // drop the superseded checkpoint's blocks
+        labels = next
+      }
     }
     edges.unpersist()
     labels

@@ -60,11 +60,18 @@ object Traces {
       .localCheckpoint()
     // invariant: anc is an ancestor of s (or null = s reached its root);
     // d = edges s→anc; w = Σ dur over s..anc EXCLUSIVE of anc (when anc is
-    // null: w covers the whole root path inclusive)
-    def doubling(prev: DataFrame): DataFrame = {
+    // null: w covers the whole root path inclusive).
+    // Each round's unresolved count rides the round's own checkpoint as an
+    // observed metric (Blocks.checkpointObserving) — no separate count job
+    // per round, and the blind budget can stop the moment every span
+    // reached its root (doubling past that point is the identity, so the
+    // early stop is output-identical; shallow batches pay
+    // ceil(log2(depth)) rounds instead of all `rounds`).
+    def doubling(prev: DataFrame): (DataFrame, Long) = {
       val hop = prev.select(col("t").as("t2"), col("s").as("s2"),
         col("anc").as("anc2"), col("d").as("d2"), col("w").as("w2"))
-      val next = prev.join(hop,
+      val (next, row) = Blocks.checkpointObserving(
+        prev.join(hop,
           col("t") === col("t2") && col("anc") === col("s2"), "left")
         .select(col("t"), col("s"),
           when(col("s2").isNull, col("anc")).otherwise(col("anc2")).as("anc"),
@@ -72,24 +79,29 @@ object Traces {
             .otherwise(col("d") + col("d2")).cast("int").as("d"),
           when(col("s2").isNull, col("w"))
             .otherwise(col("w") + col("w2")).as("w"),
-          col("is_root"), col("dur"))
-        .localCheckpoint()
+          col("is_root"), col("dur")),
+        sum(when(col("anc").isNotNull, 1L).otherwise(0L)).as("unresolved"))
       Blocks.release(prev) // next is materialized; the superseded round can go
-      next
+      val unresolved = row match {
+        case Some(r) if !r.isNullAt(0) => r.getLong(0)
+        case _ => next.where(col("anc").isNotNull).count() // metric missed
+      }
+      (next, unresolved)
     }
-    for (_ <- 1 to rounds) st = doubling(st)
+    var unresolved = -1L // unknown until the first round observes it
+    var r = 0
+    while (r < rounds && unresolved != 0) {
+      val (n, u) = doubling(st); st = n; unresolved = u; r += 1
+    }
     // convergence guard: the blind budget covers depth 2^rounds; anything
-    // deeper would silently truncate max_depth/critical_path_ns. One count
-    // per EXTRA round only — the common case pays a single count job.
+    // deeper would silently truncate max_depth/critical_path_ns.
     // Progress stalling (unresolved stops shrinking while doubling) means a
     // parent-pointer cycle: impossible to resolve, so stop doubling and
     // flag the affected traces instead of looping or aborting the batch.
-    var unresolved = st.where(col("anc").isNotNull).count()
     var prevUnresolved = Long.MaxValue
     while (unresolved > 0 && unresolved < prevUnresolved) {
       prevUnresolved = unresolved
-      st = doubling(st)
-      unresolved = st.where(col("anc").isNotNull).count()
+      val (n, u) = doubling(st); st = n; unresolved = u
     }
     st.groupBy(col("t").as("trace_id"))
       .agg(count(lit(1)).as("n_spans"),
@@ -250,14 +262,26 @@ object Traces {
     val tgt = base.groupBy("t")
       .agg(max(struct(col("e"), col("s"), col("nm"), col("dur"), col("p")))
         .as("m"))
-    var st = tgt.select(col("t"), col("m.p").as("par"),
+    // the per-round unresolved statistic rides each checkpoint as an
+    // observed metric (Blocks.checkpointObserving) — the walk previously
+    // paid one separate count job per hop on top of the checkpoint job
+    val unresolvedMetric =
+      sum(when(col("par").isNotNull, 1L).otherwise(0L)).as("unresolved")
+    def observed(row: Option[org.apache.spark.sql.Row],
+                 frame: DataFrame): Long = row match {
+      case Some(r) if !r.isNullAt(0) => r.getLong(0)
+      case _ => frame.where(col("par").isNotNull).count() // metric missed
+    }
+    var (st, row0) = Blocks.checkpointObserving(
+      tgt.select(col("t"), col("m.p").as("par"),
         col("m.nm").as("path"), col("m.dur").as("path_dur"),
-        lit(0).as("depth"), lit(false).as("dangling"))
-      .localCheckpoint()
+        lit(0).as("depth"), lit(false).as("dangling")),
+      unresolvedMetric)
     val hop = base.select(col("t").as("t2"), col("s").as("s2"),
       col("p").as("p2"), col("nm").as("nm2"), col("dur").as("dur2"))
-    def round(prev: DataFrame): DataFrame = {
-      val next = prev.join(hop,
+    def round(prev: DataFrame): (DataFrame, Long) = {
+      val (next, row) = Blocks.checkpointObserving(
+        prev.join(hop,
           col("t") === col("t2") && col("par") === col("s2"), "left")
         .select(col("t"),
           when(col("s2").isNull, lit(null)).otherwise(col("p2")).as("par"),
@@ -270,10 +294,10 @@ object Traces {
           // a missed hop with a live pointer is a DANGLING parent, not a
           // root — without the flag an orphan chain would claim the root
           (col("dangling") ||
-            (col("s2").isNull && col("par").isNotNull)).as("dangling"))
-        .localCheckpoint()
+            (col("s2").isNull && col("par").isNotNull)).as("dangling")),
+        unresolvedMetric)
       Blocks.release(prev)
-      next
+      (next, observed(row, next))
     }
     // walk until every chain reached a root/dangling pointer, capped at
     // maxDepth rounds. No shrink-stall guard here: state is ONE row per
@@ -281,11 +305,10 @@ object Traces {
     // while still progressing (a count-based guard truncated exactly
     // that case); a parent cycle simply burns the bounded rounds and
     // reports reached_root = false
-    var unresolved = st.where(col("par").isNotNull).count()
+    var unresolved = observed(row0, st)
     var r = 0
     while (unresolved > 0 && r < maxDepth) {
-      st = round(st)
-      unresolved = st.where(col("par").isNotNull).count()
+      val (n, u) = round(st); st = n; unresolved = u
       r += 1
     }
     val out = st.select(col("t").as("trace_id"), col("path"),
