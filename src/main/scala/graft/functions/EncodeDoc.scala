@@ -58,9 +58,17 @@ abstract class EncodeDocBase extends UnaryExpression {
     var i = 0
     while (i < m) {
       val w = words.getUTF8String(i).toString
-      // bounded memo: corpora have unbounded distinct words at scale
-      if (memo.size() > (1 << 20)) memo.clear()
-      val (toks, isUnk) = memo.computeIfAbsent(w, (k: String) => segment(k))
+      // bounded memo, checked only on INSERT (ADVICE r17: the previous
+      // per-token memo.size() summed ConcurrentHashMap counter cells on
+      // every memo HIT — the hot path); get-then-insert keeps the Zipf
+      // head's hits size()-free, and the overflow clear only ever runs
+      // from the rare miss path
+      var cached = memo.get(w)
+      if (cached == null) {
+        if (memo.size() > (1 << 20)) memo.clear()
+        cached = memo.computeIfAbsent(w, (k: String) => segment(k))
+      }
+      val (toks, isUnk) = cached
       n += toks.length
       if (isUnk) unk += 1L
       var t = 0
